@@ -1,0 +1,89 @@
+#!/usr/bin/env python3
+"""Dev-only self-check harness (mirrors the driver's t2 gate).
+
+NOT part of the library: uses driver-side python deps (duckdb, pyarrow)
+to compare `graft.Verify` parquet output against the DuckDB oracle SQL
+before the driver does. Usage:
+
+    sbt "runMain graft.Verify /root/testdata/sf0.01 /tmp/verify_out"
+    python3 tools/selfcheck.py /root/testdata/sf0.01 /tmp/verify_out
+"""
+import json
+import sys
+
+import duckdb
+import pyarrow.parquet as pq
+
+TABLES = ["region", "nation", "customer", "supplier", "part",
+          "orders", "lineitem", "events", "documents", "embeddings"]
+
+
+def norm_cell(v):
+    if v is None:
+        return "NULL"
+    if isinstance(v, float):
+        return f"{v:.9g}"
+    if isinstance(v, bytes):
+        return v.hex()
+    if isinstance(v, list):
+        return "[" + ",".join(norm_cell(x) for x in v) + "]"
+    return str(v)
+
+
+def canon(table):
+    """Arrow table -> (schema-cols, sorted row tuples) with cols sorted by name."""
+    cols = sorted(table.column_names)
+    pydata = {c: table.column(c).to_pylist() for c in cols}
+    n = table.num_rows
+    rows = sorted(tuple(norm_cell(pydata[c][i]) for c in cols) for i in range(n))
+    return cols, rows
+
+
+def main(sf_dir, out_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+    with open(f"{out_dir}/oracle_sql.json") as f:
+        oracles = json.load(f)
+    n_pass = n_fail = 0
+    for name, sql in sorted(oracles.items()):
+        try:
+            spark_tbl = pq.read_table(f"{out_dir}/{name}")
+        except Exception as e:
+            print(f"FAIL {name}: no spark output ({e})")
+            n_fail += 1
+            continue
+        try:
+            duck_tbl = con.execute(sql).fetch_arrow_table()
+        except Exception as e:
+            print(f"FAIL {name}: oracle SQL error: {e}")
+            n_fail += 1
+            continue
+        scols, srows = canon(spark_tbl)
+        dcols, drows = canon(duck_tbl)
+        if scols != dcols:
+            print(f"FAIL {name}: columns differ spark={scols} duck={dcols}")
+            n_fail += 1
+            continue
+        if len(srows) != len(drows):
+            print(f"FAIL {name}: rowcount spark={len(srows)} duck={len(drows)}")
+            n_fail += 1
+            continue
+        if srows != drows:
+            bad = [i for i, (a, b) in enumerate(zip(srows, drows)) if a != b]
+            print(f"FAIL {name}: {len(bad)}/{len(srows)} rows differ; first: ")
+            i = bad[0]
+            print(f"   cols : {scols}")
+            print(f"   spark: {srows[i]}")
+            print(f"   duck : {drows[i]}")
+            n_fail += 1
+            continue
+        print(f"PASS {name} ({len(srows)} rows)")
+        n_pass += 1
+    print(f"== {n_pass} pass / {n_fail} fail ==")
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))
