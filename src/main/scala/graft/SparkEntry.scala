@@ -1,26 +1,35 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.etl.{Pipeline, SortOrder}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.DecimalType
+import org.apache.spark.sql.types._
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
   * Each entry in [[queries]] demonstrates one operator of the engine
-  * (SURVEY.md §2 inventory) on the driver-provided parquet tables; the
-  * matching [[oracleSql]] is the DuckDB-runnable equivalent used by the
-  * correctness gate.
+  * (SURVEY.md §2 inventory, built on [[graft.etl.Pipeline]]) on the
+  * driver-provided parquet tables; the matching [[oracleSql]] is the
+  * DuckDB-runnable equivalent used by the correctness gate.
   *
-  * Numeric note: money sums are computed over DECIMAL(18,2) so that the
-  * result is exact and independent of partition/accumulation order —
-  * double sums would differ from DuckDB in the last bits.
+  * Cross-engine determinism rules used throughout:
+  *  - money sums run over DECIMAL(18,2) operands (exact, order-free);
+  *    double sums would differ from DuckDB in the final bits.
+  *  - doubles in output are either raw column values or a single
+  *    division of integer-valued operands (bit-identical in IEEE754).
+  *  - row sets are made deterministic (explicit orderings for top-k /
+  *    unique) so the hash compare is stable.
   */
 object SparkEntry {
 
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.load(s, dir, name)
 
+  private def p(s: SparkSession, dir: String, name: String): Pipeline =
+    Pipeline.of(name, Tables.load(s, dir, name))
+
   private val dec = DecimalType(18, 2)
+  private def dec2(c: Column): Column = c.cast(dec)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
@@ -28,15 +37,261 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ------------------------------------------------ aggregation (§2.5)
     "q1_agg" -> { (s, dir) =>
-      t(s, dir, "lineitem")
-        .groupBy(col("l_returnflag"), col("l_linestatus"))
-        .agg(
-          sum(col("l_quantity").cast(dec)).as("sum_qty"),
-          sum(col("l_extendedprice").cast(dec)).as("sum_base_price"),
-          sum(col("l_extendedprice").cast(dec) * (lit(1) - col("l_discount").cast(dec))).as("sum_disc_price"),
+      p(s, dir, "lineitem")
+        .groupAgg(Seq("l_returnflag", "l_linestatus"))(
+          sum(dec2(col("l_quantity"))).as("sum_qty"),
+          sum(dec2(col("l_extendedprice"))).as("sum_base_price"),
+          sum(dec2(col("l_extendedprice")) * (lit(1) - dec2(col("l_discount")))).as("sum_disc_price"),
           count(lit(1)).as("count_order"))
-        .orderBy(col("l_returnflag"), col("l_linestatus"))
+        .sortBy("l_returnflag", "l_linestatus")
+        .toDF
+    },
+
+    "q_reduce" -> { (s, dir) =>
+      // gratum reduce (fold-to-one-row) as a global aggregation
+      p(s, dir, "lineitem")
+        .reduceAgg(
+          sum(dec2(col("l_extendedprice"))).as("total_price"),
+          min(col("l_quantity")).as("min_qty"),
+          max(col("l_quantity")).as("max_qty"),
+          count(lit(1)).as("n"))
+        .toDF
+    },
+
+    "q_groupcount" -> { (s, dir) =>
+      // relational face of gratum groupBy (tree shape is a collect helper)
+      p(s, dir, "documents")
+        .groupAgg(Seq("lang", "source"))(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("total_chars"))
+        .toDF
+    },
+
+    "q_flattenwindow" -> { (s, dir) =>
+      // gratum flattenWindow: run-length sessions of equal consecutive
+      // event_type per user, then per-session aggregates
+      p(s, dir, "events")
+        .sessionize("event_type", Seq("user_id"), "event_id")
+        .groupAgg(Seq("user_id", "window_id"))(
+          count(lit(1)).as("n"),
+          min(col("event_type")).as("event_type"))
+        .toDF
+    },
+
+    // ------------------------------------------------------ filters (§2.3)
+    "q_filter_map" -> { (s, dir) =>
+      p(s, dir, "orders")
+        .filter(Map(
+          "o_orderstatus" -> "O",
+          "o_orderpriority" -> Seq("1-URGENT", "2-HIGH")))
+        .clip("o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority")
+        .toDF
+    },
+
+    "q_filter_regex" -> { (s, dir) =>
+      p(s, dir, "documents")
+        .filter(Map("text" -> "merge join".r))
+        .clip("doc_id", "lang")
+        .toDF
+    },
+
+    "q_filter_expr" -> { (s, dir) =>
+      p(s, dir, "lineitem")
+        .filter(col("l_quantity") > 45 && col("l_discount") >= 0.05)
+        .clip("l_orderkey", "l_linenumber", "l_quantity", "l_discount")
+        .toDF
+    },
+
+    "q_unique" -> { (s, dir) =>
+      // first customer (by key) per nation; dups leave as IGNORE_ROW
+      p(s, dir, "customer")
+        .unique("c_nationkey", orderBy = "c_custkey")
+        .clip("c_nationkey", "c_custkey", "c_name")
+        .toDF
+    },
+
+    "q_topk" -> { (s, dir) =>
+      p(s, dir, "orders")
+        .sortBy("o_totalprice" -> SortOrder.DESC, "o_orderkey" -> SortOrder.ASC)
+        .limitRows(100)
+        .clip("o_orderkey", "o_totalprice")
+        .toDF
+    },
+
+    // --------------------------------------- projection / columns (§2.2)
+    "q_addfield" -> { (s, dir) =>
+      p(s, dir, "lineitem")
+        .addField("revenue", dec2(col("l_extendedprice")) * (lit(1) - dec2(col("l_discount"))))
+        .addField("big", col("l_quantity") >= 25)
+        .filter(col("l_orderkey") <= 1000)
+        .clip("l_orderkey", "l_linenumber", "revenue", "big")
+        .toDF
+    },
+
+    "q_columns" -> { (s, dir) =>
+      // setField + renameFields + removeField + clip
+      p(s, dir, "customer")
+        .setField("source", "tpch")
+        .renameFields("c_name" -> "customer_name")
+        .removeField("c_acctbal")
+        .clip("c_custkey", "customer_name", "c_mktsegment", "source")
+        .toDF
+    },
+
+    "q_trim" -> { (s, dir) =>
+      p(s, dir, "nation").trimAll().toDF
+    },
+
+    "q_defaults" -> { (s, dir) =>
+      // synthesize falsy cells, then defaultValues + defaultsBy
+      p(s, dir, "events")
+        .addField("maybe_type", when(col("value") < 20, lit(null).cast(StringType)).otherwise(col("event_type")))
+        .addField("maybe_props", when(col("value") >= 80, lit("")).otherwise(col("props")))
+        .defaultValues("maybe_type" -> "unknown")
+        .defaultsBy("maybe_props" -> "event_type")
+        .clip("event_id", "maybe_type", "maybe_props")
+        .toDF
+    },
+
+    "q_replace" -> { (s, dir) =>
+      p(s, dir, "nation")
+        .replaceAll("n_name", "[AEIOU]", "_")
+        .addField("n_regionkey_s", col("n_regionkey").cast(StringType))
+        .replaceValues("n_regionkey_s", Map("0" -> "zero", "1" -> "one", "2" -> "two"))
+        .clip("n_nationkey", "n_name", "n_regionkey_s")
+        .toDF
+    },
+
+    // ----------------------------------------------------- casts (§1.2)
+    "q_asint" -> { (s, dir) =>
+      // parse-with-rejection: 'seven' rows are INVALID_FORMAT rejects
+      p(s, dir, "lineitem")
+        .addField("ln_s",
+          when(col("l_linenumber") === 7, lit("seven"))
+            .otherwise(col("l_linenumber").cast(StringType)))
+        .asInt("ln_s")
+        .reduceAgg(count(lit(1)).as("n_loaded"), sum(col("ln_s")).as("sum_ln"))
+        .toDF
+    },
+
+    "q_asdouble" -> { (s, dir) =>
+      p(s, dir, "lineitem")
+        .addField("qty_s",
+          when(col("l_linenumber") === 6, lit("NaN?no"))
+            .otherwise(col("l_quantity").cast(StringType)))
+        .asDouble("qty_s")
+        .reduceAgg(count(lit(1)).as("n_loaded"), sum(dec2(col("qty_s"))).as("sum_qty"))
+        .toDF
+    },
+
+    "q_asboolean" -> { (s, dir) =>
+      p(s, dir, "lineitem")
+        .addField("flag_s",
+          when(col("l_linenumber") === 1, lit("Y"))
+            .when(col("l_linenumber") === 2, lit("no"))
+            .when(col("l_linenumber") === 3, lit("1"))
+            .when(col("l_linenumber") === 4, lit("F"))
+            .when(col("l_linenumber") === 5, lit("true"))
+            .otherwise(lit(null).cast(StringType)))
+        .asBoolean("flag_s")
+        .groupAgg(Seq("flag_s"))(count(lit(1)).as("n"))
+        .toDF
+    },
+
+    "q_asdate" -> { (s, dir) =>
+      // format strings round-trip + one unparseable shape rejected
+      p(s, dir, "orders")
+        .addField("od_s",
+          when(col("o_orderkey") % 10 === 0, date_format(col("o_orderdate"), "MM/dd/yyyy"))
+            .otherwise(date_format(col("o_orderdate"), "yyyy-MM-dd")))
+        .asDate("od_s", "yyyy-MM-dd")
+        .reduceAgg(
+          count(lit(1)).as("n_loaded"),
+          min(col("od_s")).as("min_d"),
+          max(col("od_s")).as("max_d"))
+        .toDF
+    },
+
+    // ------------------------------------------- joins / multi-input (§2.4)
+    "q_join_inner" -> { (s, dir) =>
+      p(s, dir, "orders")
+        .join(p(s, dir, "customer"), Map("o_custkey" -> "c_custkey"), left = false)
+        .clip("o_orderkey", "o_custkey", "c_name", "o_totalprice")
+        .toDF
+    },
+
+    "q_join_left" -> { (s, dir) =>
+      p(s, dir, "customer")
+        .join(p(s, dir, "orders").renameFields("o_custkey" -> "c_custkey"),
+          Seq("c_custkey"), left = true)
+        .groupAgg(Seq("c_custkey"))(
+          count(col("o_orderkey")).as("n_orders"),
+          sum(dec2(col("o_totalprice"))).as("total_spend"))
+        .toDF
+    },
+
+    "q5_join_agg" -> { (s, dir) =>
+      // multi-join flagship: revenue per nation/region across 5 tables.
+      // nation/region/customer are broadcast by Catalyst (small side).
+      p(s, dir, "lineitem")
+        .join(p(s, dir, "orders"), Map("l_orderkey" -> "o_orderkey"), left = false)
+        .join(p(s, dir, "customer"), Map("o_custkey" -> "c_custkey"), left = false)
+        .join(p(s, dir, "nation"), Map("c_nationkey" -> "n_nationkey"), left = false)
+        .join(p(s, dir, "region"), Map("n_regionkey" -> "r_regionkey"), left = false)
+        .groupAgg(Seq("n_name", "r_name"))(
+          sum(dec2(col("l_extendedprice")) * (lit(1) - dec2(col("l_discount")))).as("revenue"),
+          count(lit(1)).as("n_items"))
+        .toDF
+    },
+
+    "q_intersect" -> { (s, dir) =>
+      // marker semantics: flag customers that have orders, no filtering
+      p(s, dir, "customer")
+        .intersectMarker(
+          p(s, dir, "orders").renameFields("o_custkey" -> "c_custkey"), Seq("c_custkey"))
+        .clip("c_custkey", "included")
+        .toDF
+    },
+
+    "q_concat" -> { (s, dir) =>
+      // UNION ALL by name with null padding for missing columns
+      p(s, dir, "customer")
+        .clip("c_custkey", "c_name", "c_nationkey")
+        .concatWith(p(s, dir, "supplier").clip("s_suppkey", "s_name", "s_nationkey"))
+        .toDF
+    },
+
+    "q_explode" -> { (s, dir) =>
+      // gratum inject/exchange: fan one row out per collection element
+      p(s, dir, "documents")
+        .filter(col("doc_id") < 50)
+        .addField("tokens", split(col("text"), " "))
+        .explodeField("tokens", "token")
+        .clip("doc_id", "token")
+        .toDF
+    },
+
+    "q_filldown" -> { (s, dir) =>
+      // gratum fillDownBy: carry last non-null value within user stream
+      p(s, dir, "events")
+        .addField("sparse_type",
+          when(col("value") < 30, lit(null).cast(StringType)).otherwise(col("event_type")))
+        .fillDown(Seq("user_id"), "event_id", Seq("sparse_type"))
+        .clip("event_id", "user_id", "sparse_type")
+        .toDF
+    },
+
+    "q_json" -> { (s, dir) =>
+      // nested-value access (gratum JSON rows): extract props.k
+      p(s, dir, "events")
+        .addField("k", get_json_object(col("props"), "$.k").cast(IntegerType))
+        .groupAgg(Seq("event_type"))(
+          sum(col("k")).as("sum_k"),
+          count(lit(1)).as("n"))
+        .toDF
     }
   )
 
@@ -49,8 +304,166 @@ object SparkEntry {
         |  sum(cast(l_extendedprice AS DECIMAL(18,2))) AS sum_base_price,
         |  sum(cast(l_extendedprice AS DECIMAL(18,2)) * (1 - cast(l_discount AS DECIMAL(18,2)))) AS sum_disc_price,
         |  count(*) AS count_order
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q_reduce" ->
+      """SELECT sum(cast(l_extendedprice AS DECIMAL(18,2))) AS total_price,
+        |  min(l_quantity) AS min_qty, max(l_quantity) AS max_qty, count(*) AS n
+        |FROM lineitem""".stripMargin,
+
+    "q_groupcount" ->
+      """SELECT lang, source, count(*) AS n_docs, sum(n_chars) AS total_chars
+        |FROM documents GROUP BY lang, source""".stripMargin,
+
+    "q_flattenwindow" ->
+      """WITH chg AS (
+        |  SELECT user_id, event_id, event_type,
+        |    CASE WHEN lag(event_type) OVER w IS NULL
+        |           OR lag(event_type) OVER w <> event_type THEN 1 ELSE 0 END AS c
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY event_id)
+        |), sess AS (
+        |  SELECT user_id, event_id, event_type,
+        |    sum(c) OVER (PARTITION BY user_id ORDER BY event_id
+        |                 ROWS UNBOUNDED PRECEDING) AS window_id
+        |  FROM chg)
+        |SELECT user_id, window_id, count(*) AS n, min(event_type) AS event_type
+        |FROM sess GROUP BY user_id, window_id""".stripMargin,
+
+    "q_filter_map" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice, o_orderpriority FROM orders
+        |WHERE o_orderstatus = 'O' AND o_orderpriority IN ('1-URGENT','2-HIGH')""".stripMargin,
+
+    "q_filter_regex" ->
+      """SELECT doc_id, lang FROM documents WHERE regexp_matches(text, 'merge join')""".stripMargin,
+
+    "q_filter_expr" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_discount FROM lineitem
+        |WHERE l_quantity > 45 AND l_discount >= 0.05""".stripMargin,
+
+    "q_unique" ->
+      """SELECT c_nationkey, c_custkey, c_name FROM customer
+        |QUALIFY row_number() OVER (PARTITION BY c_nationkey ORDER BY c_custkey) = 1""".stripMargin,
+
+    "q_topk" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin,
+
+    "q_addfield" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  cast(l_extendedprice AS DECIMAL(18,2)) * (1 - cast(l_discount AS DECIMAL(18,2))) AS revenue,
+        |  l_quantity >= 25 AS big
+        |FROM lineitem WHERE l_orderkey <= 1000""".stripMargin,
+
+    "q_columns" ->
+      """SELECT c_custkey, c_name AS customer_name, c_mktsegment, 'tpch' AS source
+        |FROM customer""".stripMargin,
+
+    "q_trim" ->
+      """SELECT trim(cast(n_nationkey AS VARCHAR)) AS n_nationkey,
+        |  trim(n_name) AS n_name,
+        |  trim(cast(n_regionkey AS VARCHAR)) AS n_regionkey
+        |FROM nation""".stripMargin,
+
+    "q_defaults" ->
+      """SELECT event_id,
+        |  coalesce(CASE WHEN value < 20 THEN NULL ELSE event_type END, 'unknown') AS maybe_type,
+        |  CASE WHEN coalesce(CASE WHEN value >= 80 THEN '' ELSE props END, '') = ''
+        |       THEN event_type
+        |       ELSE CASE WHEN value >= 80 THEN '' ELSE props END END AS maybe_props
+        |FROM events""".stripMargin,
+
+    "q_replace" ->
+      """SELECT n_nationkey, regexp_replace(n_name, '[AEIOU]', '_', 'g') AS n_name,
+        |  CASE cast(n_regionkey AS VARCHAR)
+        |    WHEN '0' THEN 'zero' WHEN '1' THEN 'one' WHEN '2' THEN 'two'
+        |    ELSE cast(n_regionkey AS VARCHAR) END AS n_regionkey_s
+        |FROM nation""".stripMargin,
+
+    "q_asint" ->
+      """WITH t AS (SELECT CASE WHEN l_linenumber = 7 THEN 'seven'
+        |    ELSE cast(l_linenumber AS VARCHAR) END AS ln_s FROM lineitem)
+        |SELECT count(*) AS n_loaded, sum(try_cast(ln_s AS INTEGER)) AS sum_ln
+        |FROM t WHERE ln_s IS NULL OR trim(ln_s) = '' OR try_cast(ln_s AS INTEGER) IS NOT NULL""".stripMargin,
+
+    "q_asdouble" ->
+      """WITH t AS (SELECT CASE WHEN l_linenumber = 6 THEN 'NaN?no'
+        |    ELSE cast(l_quantity AS VARCHAR) END AS qty_s FROM lineitem)
+        |SELECT count(*) AS n_loaded,
+        |  sum(cast(try_cast(qty_s AS DOUBLE) AS DECIMAL(18,2))) AS sum_qty
+        |FROM t WHERE qty_s IS NULL OR trim(qty_s) = '' OR try_cast(qty_s AS DOUBLE) IS NOT NULL""".stripMargin,
+
+    "q_asboolean" ->
+      """WITH t AS (SELECT CASE l_linenumber WHEN 1 THEN 'Y' WHEN 2 THEN 'no'
+        |    WHEN 3 THEN '1' WHEN 4 THEN 'F' WHEN 5 THEN 'true' ELSE NULL END AS raw
+        |  FROM lineitem)
+        |SELECT CASE WHEN raw IS NULL OR raw = '' THEN NULL
+        |  ELSE raw IN ('Y','y','yes','YES','Yes','1','T','t','true','True','TRUE') END AS flag_s,
+        |  count(*) AS n
+        |FROM t GROUP BY 1""".stripMargin,
+
+    "q_asdate" ->
+      """WITH t AS (SELECT CASE WHEN o_orderkey % 10 = 0
+        |    THEN strftime(o_orderdate, '%m/%d/%Y')
+        |    ELSE strftime(o_orderdate, '%Y-%m-%d') END AS od_s FROM orders),
+        |p AS (SELECT try_strptime(od_s, '%Y-%m-%d') AS od_s FROM t
+        |      WHERE od_s IS NULL OR trim(od_s) = '' OR try_strptime(od_s, '%Y-%m-%d') IS NOT NULL)
+        |SELECT count(*) AS n_loaded, min(od_s) AS min_d, max(od_s) AS max_d FROM p""".stripMargin,
+
+    "q_join_inner" ->
+      """SELECT o_orderkey, o_custkey, c_name, o_totalprice
+        |FROM orders JOIN customer ON o_custkey = c_custkey""".stripMargin,
+
+    "q_join_left" ->
+      """SELECT c_custkey, count(o_orderkey) AS n_orders,
+        |  sum(cast(o_totalprice AS DECIMAL(18,2))) AS total_spend
+        |FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+        |GROUP BY c_custkey""".stripMargin,
+
+    "q5_join_agg" ->
+      """SELECT n_name, r_name,
+        |  sum(cast(l_extendedprice AS DECIMAL(18,2)) * (1 - cast(l_discount AS DECIMAL(18,2)))) AS revenue,
+        |  count(*) AS n_items
         |FROM lineitem
-        |GROUP BY l_returnflag, l_linestatus
-        |ORDER BY l_returnflag, l_linestatus""".stripMargin
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY n_name, r_name""".stripMargin,
+
+    "q_intersect" ->
+      """SELECT c_custkey,
+        |  c_custkey IN (SELECT o_custkey FROM orders) AS included
+        |FROM customer""".stripMargin,
+
+    "q_concat" ->
+      """SELECT c_custkey, c_name, c_nationkey,
+        |  cast(NULL AS BIGINT) AS s_suppkey, cast(NULL AS VARCHAR) AS s_name,
+        |  cast(NULL AS INTEGER) AS s_nationkey
+        |FROM customer
+        |UNION ALL
+        |SELECT cast(NULL AS BIGINT), cast(NULL AS VARCHAR), cast(NULL AS INTEGER),
+        |  s_suppkey, s_name, s_nationkey
+        |FROM supplier""".stripMargin,
+
+    "q_explode" ->
+      """SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        |FROM documents WHERE doc_id < 50""".stripMargin,
+
+    "q_filldown" ->
+      """WITH sparse AS (
+        |  SELECT event_id, user_id,
+        |    CASE WHEN value < 30 THEN NULL ELSE event_type END AS sparse_type
+        |  FROM events)
+        |SELECT event_id, user_id,
+        |  coalesce(sparse_type,
+        |    last_value(sparse_type IGNORE NULLS) OVER (
+        |      PARTITION BY user_id ORDER BY event_id ROWS UNBOUNDED PRECEDING)) AS sparse_type
+        |FROM sparse""".stripMargin,
+
+    "q_json" ->
+      """SELECT event_type, sum(cast(json_extract_string(props, '$.k') AS INTEGER)) AS sum_k,
+        |  count(*) AS n
+        |FROM events GROUP BY event_type""".stripMargin
   )
 }

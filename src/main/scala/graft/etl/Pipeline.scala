@@ -1,0 +1,608 @@
+package graft.etl
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+
+/** One declared transformation of the pipeline. */
+sealed trait PStep { def name: String }
+
+/** Non-rejecting transform (projection, join, union, window, ...). */
+final case class MapStep(name: String, apply: DataFrame => DataFrame) extends PStep
+
+/** Rejecting predicate step: rows failing `keep` leave the main flow into
+  * the rejection channel; surviving rows get `onKept` applied.
+  *
+  * Compiled as a *real* `filter` so Catalyst still pushes it into the scan
+  * — rejected rows are never carried through downstream operators (that
+  * would defeat pushdown and poison joins/aggregations at scale). The
+  * rejected complement is recomputed declaratively only when the
+  * rejection side-channel is actually consumed.
+  */
+final case class FilterStep(
+    name: String,
+    category: RejectionCategory,
+    reason: DataFrame => Column,
+    keep: DataFrame => Column,
+    onKept: DataFrame => DataFrame = identity) extends PStep
+
+/** General rejecting step where the complement is not a column predicate
+  * (e.g. the anti-join side of an inner join). */
+final case class SplitStep(
+    name: String,
+    category: RejectionCategory,
+    reason: String,
+    apply: DataFrame => DataFrame,
+    rejected: DataFrame => DataFrame) extends PStep
+
+/** Copy of the flow at this point into a side pipeline (reference:
+  * gratum `Pipeline.groovy:315-361`); identity on the main flow. */
+final case class BranchStep(name: String, build: Pipeline => Pipeline) extends PStep
+
+/** Deferred write executed by [[Pipeline.go]] at this chain position. */
+final case class SinkStep(name: String, write: DataFrame => Map[String, String]) extends PStep
+
+/** Spark-native re-expression of the reference's row pipeline
+  * (gratum `src/main/groovy/gratum/etl/Pipeline.groovy`).
+  *
+  * A `Pipeline` is an immutable description: a source thunk plus a vector
+  * of declared steps. `toDF` folds the steps into a single lazy Catalyst
+  * plan — the optimizer (pushdown, pruning, join planning, AQE) sees the
+  * whole query, unlike the reference's eager row-at-a-time step list
+  * which executes exactly as written (SURVEY.md §4).
+  *
+  * Rejection model: rejecting operators are declared as [[FilterStep]] /
+  * [[SplitStep]]. The main flow is the kept side only; the rejected
+  * complement of every step is reconstructed lazily by [[rejections]]
+  * and counted by [[go]]. This keeps the hot path prunable and
+  * codegen-friendly at 100 TB while preserving the reference's
+  * LoadStatistic/onRejection observability.
+  */
+final class Pipeline private (
+    val name: String,
+    private val source: () => DataFrame,
+    private val steps: Vector[PStep],
+    private val rejectionHandlers: Vector[DataFrame => Unit],
+    private val afterHandlers: Vector[LoadStatistic => Unit],
+    private val cacheOnGo: Boolean) {
+
+  import Pipeline._
+
+  private def copyWith(
+      steps: Vector[PStep] = steps,
+      rejectionHandlers: Vector[DataFrame => Unit] = rejectionHandlers,
+      afterHandlers: Vector[LoadStatistic => Unit] = afterHandlers,
+      cacheOnGo: Boolean = cacheOnGo): Pipeline =
+    new Pipeline(name, source, steps, rejectionHandlers, afterHandlers, cacheOnGo)
+
+  private def add(step: PStep): Pipeline = copyWith(steps = steps :+ step)
+
+  // ---------------------------------------------------------------- plan
+
+  private def applyStep(df: DataFrame, s: PStep): DataFrame = s match {
+    case MapStep(_, f)                   => f(df)
+    case fs: FilterStep                  => fs.onKept(df.filter(fs.keep(df)))
+    case ss: SplitStep                   => ss.apply(df)
+    case _: BranchStep | _: SinkStep     => df
+  }
+
+  /** The optimal, uninstrumented plan of the kept (loaded) rows. */
+  def toDF: DataFrame = steps.foldLeft(source())(applyStep)
+
+  /** Plan state just before step `i`. */
+  private def prefixDF(i: Int): DataFrame =
+    steps.take(i).foldLeft(source())(applyStep)
+
+  /** All rejected rows of all steps: original columns plus
+    * `rejectionCategory`, `rejectionReason`, `rejectionStep`
+    * (reference column names: gratum `Pipeline.groovy:174-189`).
+    * Schemas across steps are aligned by name, missing columns null.
+    */
+  def rejections: DataFrame = {
+    val perStep = steps.zipWithIndex.flatMap {
+      case (fs: FilterStep, i) =>
+        val before = prefixDF(i)
+        Some(
+          before
+            .filter(!coalesce(fs.keep(before), lit(false)))
+            .withColumn("rejectionCategory", lit(fs.category.name))
+            .withColumn("rejectionReason", fs.reason(before).cast(StringType))
+            .withColumn("rejectionStep", lit(fs.name)))
+      case (ss: SplitStep, i) =>
+        val before = prefixDF(i)
+        Some(
+          ss.rejected(before)
+            .withColumn("rejectionCategory", lit(ss.category.name))
+            .withColumn("rejectionReason", lit(ss.reason))
+            .withColumn("rejectionStep", lit(ss.name)))
+      case _ => None
+    }
+    perStep match {
+      case Vector() =>
+        // empty frame with just the rejection columns
+        val spark = source().sparkSession
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[Row],
+          StructType(Seq(
+            StructField("rejectionCategory", StringType),
+            StructField("rejectionReason", StringType),
+            StructField("rejectionStep", StringType))))
+      case some =>
+        some.reduce(_.unionByName(_, allowMissingColumns = true))
+    }
+  }
+
+  // ---------------------------------------------------------------- run
+
+  /** Execute the pipeline: one action for the loaded count, one for the
+    * rejection counts (only if any step can reject), plus deferred sinks
+    * and branches. Returns the LoadStatistic.
+    */
+  def go(): LoadStatistic = {
+    val t0 = System.nanoTime()
+    val src0 = source()
+    val src = if (cacheOnGo) src0.persist() else src0
+    val withSrc = copyWith().replaceSource(() => src)
+
+    // deferred sinks run against their chain-position plan
+    withSrc.steps.zipWithIndex.foreach {
+      case (sk: SinkStep, i) => sk.write(withSrc.prefixDF(i))
+      case _ => ()
+    }
+    // branches see a copy of the flow at their position
+    withSrc.steps.zipWithIndex.foreach {
+      case (bs: BranchStep, i) =>
+        val side = Pipeline.of(s"$name/${bs.name}", withSrc.prefixDF(i))
+        bs.build(side).go()
+      case _ => ()
+    }
+
+    val loaded = withSrc.toDF.count()
+
+    val canReject = steps.exists {
+      case _: FilterStep | _: SplitStep => true
+      case _ => false
+    }
+    val rejMap: Map[RejectionCategory, Map[String, Long]] =
+      if (!canReject && rejectionHandlers.isEmpty) Map.empty
+      else {
+        val rej = withSrc.rejections
+        val persisted = if (rejectionHandlers.nonEmpty) rej.persist() else rej
+        val counts = persisted
+          .groupBy("rejectionCategory", "rejectionStep")
+          .count()
+          .collect()
+          .groupBy(r => RejectionCategory.of(r.getString(0)))
+          .map { case (cat, rows) =>
+            cat -> rows.map(r => r.getString(1) -> r.getLong(2)).toMap
+          }
+        rejectionHandlers.foreach(h => h(persisted))
+        if (rejectionHandlers.nonEmpty) persisted.unpersist()
+        counts
+      }
+
+    if (cacheOnGo) src.unpersist()
+    val stat = LoadStatistic(name, loaded, rejMap, (System.nanoTime() - t0) / 1000000L)
+    afterHandlers.foreach(_(stat))
+    stat
+  }
+
+  private def replaceSource(newSource: () => DataFrame): Pipeline =
+    new Pipeline(name, newSource, steps, rejectionHandlers, afterHandlers, cacheOnGo = false)
+
+  /** Persist the source during [[go]] so the loaded count, rejection
+    * complement, sinks and branches don't re-read it. */
+  def cached(): Pipeline = copyWith(cacheOnGo = true)
+
+  // ------------------------------------------------------- meta operators
+
+  /** gratum `addStep` (Pipeline.groovy:138-144) — arbitrary declarative
+    * DataFrame transform under a step name. */
+  def addStep(stepName: String)(fn: DataFrame => DataFrame): Pipeline =
+    add(MapStep(stepName, fn))
+
+  /** gratum `apply` (Pipeline.groovy:1129-1132). */
+  def applyTo(fn: Pipeline => Pipeline): Pipeline = fn(this)
+
+  /** gratum `onRejection` (Pipeline.groovy:166-199): consumer of the
+    * rejected-rows frame, run by [[go]]. */
+  def onRejection(handler: DataFrame => Unit): Pipeline =
+    copyWith(rejectionHandlers = rejectionHandlers :+ handler)
+
+  /** gratum `after` (Pipeline.groovy:153-157). */
+  def after(handler: LoadStatistic => Unit): Pipeline =
+    copyWith(afterHandlers = afterHandlers :+ handler)
+
+  /** Row-level escape hatch (gratum closure `addStep`): full Scala
+    * function over rows. Prefer Column ops — this exits codegen. */
+  def mapRows(schema: StructType)(fn: Row => Row): Pipeline =
+    add(MapStep("mapRows", df => {
+      df.map(fn)(org.apache.spark.sql.Encoders.row(schema))
+    }))
+
+  /** Row-level flatMap escape hatch (gratum `inject`, Pipeline.groovy:1005-1027). */
+  def flatMapRows(schema: StructType)(fn: Row => IterableOnce[Row]): Pipeline =
+    add(MapStep("flatMapRows", df => {
+      df.flatMap(fn)(org.apache.spark.sql.Encoders.row(schema))
+    }))
+
+  // ------------------------------------------------------------- filters
+
+  /** gratum `filter(Closure)` (Pipeline.groovy:240-251): keep rows where
+    * the predicate holds; complement is rejected IGNORE_ROW. */
+  def filter(cond: Column): Pipeline = filter(s"filter($cond)", cond)
+
+  def filter(stepName: String, cond: Column): Pipeline =
+    add(FilterStep(
+      stepName, RejectionCategory.IGNORE_ROW,
+      _ => lit("Row did not match the filter"),
+      _ => cond))
+
+  /** gratum `filter(Map)` (Pipeline.groovy:284-294) — see [[Condition]]. */
+  def filter(conditions: Map[String, Any]): Pipeline =
+    add(FilterStep(
+      s"filter(${Condition.describe(conditions)})",
+      RejectionCategory.IGNORE_ROW,
+      _ => lit(s"Row did not match ${Condition.describe(conditions)}"),
+      _ => Condition.compile(conditions)))
+
+  // ------------------------------------------------- projection / columns
+
+  /** gratum `addField` (Pipeline.groovy:925-939). */
+  def addField(field: String, value: Column): Pipeline =
+    add(MapStep(s"addField($field)", _.withColumn(field, value)))
+
+  /** gratum `setField` (Pipeline.groovy:912-918). */
+  def setField(field: String, value: Any): Pipeline =
+    add(MapStep(s"setField($field)", _.withColumn(field, lit(value))))
+
+  /** gratum `removeField` (Pipeline.groovy:950-962). */
+  def removeField(fields: String*): Pipeline =
+    add(MapStep(s"removeField(${fields.mkString(",")})", _.drop(fields: _*)))
+
+  /** gratum `renameFields` (Pipeline.groovy:463-472). */
+  def renameFields(renames: (String, String)*): Pipeline =
+    add(MapStep(s"renameFields", df =>
+      renames.foldLeft(df) { case (d, (from, to)) => d.withColumnRenamed(from, to) }))
+
+  /** gratum `clip` (Pipeline.groovy:969-977). */
+  def clip(columns: String*): Pipeline =
+    add(MapStep(s"clip(${columns.mkString(",")})", _.select(columns.map(col): _*)))
+
+  /** gratum `trim` (Pipeline.groovy:301-306): trims whitespace on ALL
+    * columns, casting everything to string (reference quirk preserved). */
+  def trimAll(): Pipeline =
+    add(MapStep("trim", df =>
+      df.select(df.columns.map(c => trim(col(c).cast(StringType)).as(c)): _*)))
+
+  /** gratum `defaultValues` (Pipeline.groovy:1073-1080): fill null/empty
+    * with a constant. */
+  def defaultValues(defaults: (String, Any)*): Pipeline =
+    add(MapStep("defaultValues", df =>
+      defaults.foldLeft(df) { case (d, (c, v)) =>
+        d.withColumn(c, when(falsy(d, c), lit(v)).otherwise(col(c)))
+      }))
+
+  /** gratum `defaultsBy` (Pipeline.groovy:1087-1094): fill null/empty dst
+    * from src column. */
+  def defaultsBy(pairs: (String, String)*): Pipeline =
+    add(MapStep("defaultsBy", df =>
+      pairs.foldLeft(df) { case (d, (dst, src)) =>
+        d.withColumn(dst, when(falsy(d, dst), col(src)).otherwise(col(dst)))
+      }))
+
+  // ------------------------------------------------------------ casts
+
+  /** gratum `asInt` (Pipeline.groovy:716-726): parse to int; null/empty
+    * pass through as null; unparseable rows rejected INVALID_FORMAT. */
+  def asInt(column: String): Pipeline = castStep(column, IntegerType, "an integer")
+
+  /** gratum `asDouble` (Pipeline.groovy:699-709). */
+  def asDouble(column: String): Pipeline = castStep(column, DoubleType, "a Double")
+
+  private def castStep(column: String, to: DataType, label: String): Pipeline =
+    add(FilterStep(
+      s"as${to.simpleString.capitalize}($column)",
+      RejectionCategory.INVALID_FORMAT,
+      df => concat_ws(" ", lit("Could not parse"), col(column).cast(StringType), lit(s"to $label")),
+      df => {
+        val s = col(column).cast(StringType)
+        s.isNull || trim(s) === "" || s.try_cast(to).isNotNull
+      },
+      df => df.withColumn(column, {
+        val s = col(column).cast(StringType)
+        when(s.isNull || trim(s) === "", lit(null).cast(to)).otherwise(s.try_cast(to))
+      })))
+
+  /** gratum `asBoolean` (Pipeline.groovy:733-769): Y/N/yes/no/1/0/T/F
+    * truth table; never rejects (garbage parses to false, as
+    * Boolean.parseBoolean does in the reference); null/empty unchanged. */
+  def asBoolean(column: String): Pipeline = {
+    val truthy = Seq("Y", "y", "yes", "YES", "Yes", "1", "T", "t", "true", "True", "TRUE")
+    add(MapStep(s"asBoolean($column)", df => {
+      val s = col(column).cast(StringType)
+      df.withColumn(column,
+        when(s.isNull || s === "", lit(null).cast(BooleanType))
+          .otherwise(s.isin(truthy: _*)))
+    }))
+  }
+
+  /** gratum `asDate` (Pipeline.groovy:779-798): try each format in order;
+    * null/empty pass through; unparseable rejected INVALID_FORMAT.
+    * Formats are Spark `DateTimeFormatter` patterns (reference used
+    * SimpleDateFormat — documented deviation). */
+  def asDate(column: String, formats: String*): Pipeline = {
+    val fmts = if (formats.isEmpty) Seq("yyyy-MM-dd") else formats
+    def parsed(c: Column): Column =
+      coalesce(fmts.map(f => try_to_timestamp(c, lit(f))): _*)
+    add(FilterStep(
+      s"asDate($column, ${fmts.mkString(",")})",
+      RejectionCategory.INVALID_FORMAT,
+      df => concat_ws(" ", col(column).cast(StringType),
+        lit(s"could not be parsed by format ${fmts.mkString(",")}")),
+      df => {
+        val s = col(column).cast(StringType)
+        s.isNull || trim(s) === "" || parsed(s).isNotNull
+      },
+      df => df.withColumn(column, {
+        val s = col(column).cast(StringType)
+        when(s.isNull || trim(s) === "", lit(null).cast(TimestampType))
+          .otherwise(parsed(s))
+      })))
+  }
+
+  // ---------------------------------------------------- scalar transforms
+
+  /** gratum `replaceAll` (Pipeline.groovy:1146-1152). */
+  def replaceAll(column: String, regex: String, replacement: String): Pipeline =
+    add(MapStep(s"replaceAll($column)",
+      _.withColumn(column, regexp_replace(col(column), regex, replacement))))
+
+  /** gratum `replaceValues` (Pipeline.groovy:1163-1171): dictionary recode. */
+  def replaceValues(column: String, mapping: Map[String, String]): Pipeline =
+    add(MapStep(s"replaceValues($column)", df => {
+      val chain = mapping.foldLeft[Option[Column]](None) {
+        case (None, (k, v))    => Some(when(col(column) === k, lit(v)))
+        case (Some(w), (k, v)) => Some(w.when(col(column) === k, lit(v)))
+      }
+      df.withColumn(column, chain.map(_.otherwise(col(column))).getOrElse(col(column)))
+    }))
+
+  // ------------------------------------------------------- shape / order
+
+  /** gratum `unique` (Pipeline.groovy:985-995): keep one row per distinct
+    * key; duplicates rejected IGNORE_ROW. First-wins is defined by
+    * `orderBy` (the reference relies on source row order, which Spark
+    * does not guarantee — pass an ordering column for determinism).
+    * Executes as a single hash aggregation per key (map-side partial)
+    * rather than a row-number window, so it scales without a sort. */
+  def unique(column: String, orderBy: String = null): Pipeline = {
+    val ord = Option(orderBy)
+    add(SplitStep(
+      s"unique($column)", RejectionCategory.IGNORE_ROW, s"Duplicate value for $column",
+      apply = df => {
+        val o = ord.getOrElse(df.columns.head)
+        val w = Window.partitionBy(col(column)).orderBy(col(o))
+        df.withColumn("__rn__", row_number().over(w)).filter(col("__rn__") === 1).drop("__rn__")
+      },
+      rejected = df => {
+        val o = ord.getOrElse(df.columns.head)
+        val w = Window.partitionBy(col(column)).orderBy(col(o))
+        df.withColumn("__rn__", row_number().over(w)).filter(col("__rn__") > 1).drop("__rn__")
+      }))
+  }
+
+  /** gratum `limit` (Pipeline.groovy:1107-1120). halt=true (default) stops
+    * the scan via Catalyst's CollectLimit; halt=false keeps consuming and
+    * counts the overflow as IGNORE_ROW rejections (reference parity —
+    * expensive, computes the complement via exceptAll). */
+  def limitRows(n: Int, halt: Boolean = true): Pipeline =
+    if (halt) add(MapStep(s"limit($n)", _.limit(n)))
+    else add(SplitStep(
+      s"limit($n)", RejectionCategory.IGNORE_ROW, s"Exceeded the limit of $n rows",
+      apply = _.limit(n),
+      rejected = df => df.exceptAll(df.limit(n))))
+
+  /** gratum `sort` (Pipeline.groovy:650-654,573-577): multi-column sort.
+    * Spark's sort is a distributed range-partitioned external sort —
+    * the reference's CSV-spill merge sort (Pipeline.groovy:587-691) is
+    * subsumed by UnsafeExternalSorter. */
+  def sortBy(columns: String*): Pipeline =
+    add(MapStep(s"sort(${columns.mkString(",")})", _.orderBy(columns.map(col): _*)))
+
+  def sortBy(orders: (String, SortOrder)*)(implicit d: DummyImplicit): Pipeline =
+    add(MapStep(s"sort", _.orderBy(orders.map {
+      case (c, SortOrder.ASC)  => col(c).asc
+      case (c, SortOrder.DESC) => col(c).desc
+    }: _*)))
+
+  // --------------------------------------------------------- multi-input
+
+  /** gratum `concat` (Pipeline.groovy:208-220): UNION ALL by column name,
+    * null-padding columns missing on either side. */
+  def concatWith(other: Pipeline): Pipeline =
+    add(MapStep(s"concat(${other.name})",
+      _.unionByName(other.toDF, allowMissingColumns = true)))
+
+  /** gratum `join` (Pipeline.groovy:385-427).
+    *
+    * `left=false` → inner join; unmatched left rows are IGNORE_ROW
+    * rejections (computed as the anti-join). `left=true` → left outer,
+    * unmatched rows null-padded. On column collision the LEFT value wins
+    * (reference `j.putAll(row)` semantics, Pipeline.groovy:403-405):
+    * colliding non-key right columns are dropped.
+    *
+    * Physical: declared as a plain equi-join so Catalyst/AQE pick
+    * broadcast-hash vs sort-merge from stats — the reference always
+    * materializes the whole right side in memory (Pipeline.groovy:386-392),
+    * which is exactly the build side of a hash join, minus spilling.
+    */
+  def join(other: Pipeline, on: Seq[String], left: Boolean = false): Pipeline = {
+    val how = if (left) "left_outer" else "inner"
+    def rightPruned(l: DataFrame, r: DataFrame): DataFrame = {
+      val collisions = l.columns.toSet.intersect(r.columns.toSet) -- on.toSet
+      collisions.foldLeft(r)(_.drop(_))
+    }
+    if (left)
+      add(MapStep(s"join(${other.name})", df => {
+        df.join(rightPruned(df, other.toDF), on, how)
+      }))
+    else
+      add(SplitStep(
+        s"join(${other.name})", RejectionCategory.IGNORE_ROW,
+        s"Could not join on (${on.mkString(",")})",
+        apply = df => df.join(rightPruned(df, other.toDF), on, "inner"),
+        rejected = df => df.join(other.toDF.select(on.map(col): _*), on, "left_anti")))
+  }
+
+  /** Join with differing column names: map of leftCol → rightCol
+    * (gratum `leftColumn`/`rightColumn`, Pipeline.groovy:507-525). */
+  def join(other: Pipeline, on: Map[String, String], left: Boolean)(implicit d: DummyImplicit): Pipeline = {
+    val renamed = on.foldLeft(other) { case (p, (l, r)) =>
+      if (l == r) p else p.renameFields(r -> l)
+    }
+    join(renamed, on.keys.toSeq, left)
+  }
+
+  /** gratum `intersect` (Pipeline.groovy:488-505): mark each left row
+    * with boolean `included` = key exists in the other pipeline. No
+    * filtering (reference behavior). Implemented as a left-semi-style
+    * join against the distinct keys of the right side. */
+  def intersectMarker(other: Pipeline, on: Seq[String]): Pipeline =
+    add(MapStep(s"intersect(${other.name})", df => {
+      val keys = other.toDF.select(on.map(col): _*).distinct()
+        .withColumn("__included__", lit(true))
+      df.join(keys, on, "left_outer")
+        .withColumn("included", coalesce(col("__included__"), lit(false)))
+        .drop("__included__")
+    }))
+
+  /** gratum `branch` (Pipeline.groovy:315-361): copy the flow into a side
+    * pipeline built by `build`; main flow unchanged. The side pipeline
+    * runs during [[go]]. */
+  def branch(build: Pipeline => Pipeline): Pipeline =
+    add(BranchStep("branch", build))
+
+  def branch(conditions: Map[String, Any])(build: Pipeline => Pipeline): Pipeline =
+    add(BranchStep(s"branch(${Condition.describe(conditions)})",
+      p => build(p.filter(conditions))))
+
+  /** gratum `inject`/`exchange` for the common collection-valued case:
+    * explode an array/map column into one row per element
+    * (Pipeline.groovy:1005-1027,1039-1053 → SURVEY §2.4). */
+  def explodeField(column: String, as: String): Pipeline =
+    add(MapStep(s"explode($column)", _.withColumn(as, explode(col(column)))))
+
+  /** gratum `fillDownBy` (Pipeline.groovy:437-455): copy the previous
+    * non-empty value into null/empty cells, within `partitionCols` groups
+    * ordered by `orderCol`. The reference's decider-closure generality is
+    * scoped to the partition-equality case — the only shape that
+    * parallelizes (documented deviation; arbitrary deciders are
+    * inherently sequential). */
+  def fillDown(partitionCols: Seq[String], orderCol: String, columns: Seq[String]): Pipeline =
+    add(MapStep(s"fillDownBy(${partitionCols.mkString(",")})", df => {
+      val w = Window.partitionBy(partitionCols.map(col): _*).orderBy(col(orderCol))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      columns.foldLeft(df) { (d, c) =>
+        val nonEmpty = when(!falsy(d, c), col(c))
+        d.withColumn(c, when(falsy(d, c), last(nonEmpty, ignoreNulls = true).over(w)).otherwise(col(c)))
+      }
+    }))
+
+  // ---------------------------------------------------------- aggregation
+
+  /** Relational face of gratum `groupBy` (Pipeline.groovy:537-566):
+    * group + aggregate. The reference's nested-tree result shape is an
+    * API artifact of emitting one row; [[groupTree]] reproduces it. */
+  def groupAgg(groupCols: Seq[String])(aggs: Column*): Pipeline =
+    add(MapStep(s"groupBy(${groupCols.mkString(",")})",
+      _.groupBy(groupCols.map(col): _*).agg(aggs.head, aggs.tail: _*)))
+
+  /** gratum `reduce` (Pipeline.groovy:1253-1269): fold all rows into one
+    * accumulator row — expressed as a global aggregation (map-side
+    * partials + single final combine; the closure-fold of the reference
+    * is sequential by construction). */
+  def reduceAgg(aggs: Column*): Pipeline =
+    add(MapStep("reduce", _.agg(aggs.head, aggs.tail: _*)))
+
+  /** gratum `flattenWindow` (Pipeline.groovy:1284-1313): run-length
+    * session id over consecutive equal values of `field`, within
+    * `partitionCols` ordered by `orderCol`. Adds column `as`; downstream
+    * group-on-session reproduces the reference's buffered windows. */
+  def sessionize(field: String, partitionCols: Seq[String], orderCol: String,
+      as: String = "window_id"): Pipeline =
+    add(MapStep(s"flattenWindow($field)", df => {
+      val w = Window.partitionBy(partitionCols.map(col): _*).orderBy(col(orderCol))
+      val changed = when(
+        lag(col(field), 1).over(w).isNull || lag(col(field), 1).over(w) =!= col(field),
+        lit(1)).otherwise(lit(0))
+      df.withColumn(as,
+        sum(changed).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    }))
+
+  /** gratum `groupBy` tree result (Pipeline.groovy:537-566): collects the
+    * grouped rows to the driver as the reference's nested
+    * Map[v1][v2]...[vN] = List[row] shape. Driver-side by definition —
+    * bounded use only (the reference materializes the same tree in heap).
+    */
+  def groupTree(columns: String*): Map[String, Any] = {
+    val df = toDF
+    val rows = df.collect()
+    def build(rs: Seq[Row], cols: List[String]): Any = cols match {
+      case Nil => rs.map(r => r.getValuesMap[Any](r.schema.fieldNames)).toList
+      case c :: rest =>
+        rs.groupBy(r => String.valueOf(r.getAs[Any](c))).map {
+          case (k, grp) => k -> build(grp, rest)
+        }
+    }
+    build(rows.toSeq, columns.toList).asInstanceOf[Map[String, Any]]
+  }
+
+  // --------------------------------------------------------------- sinks
+
+  /** gratum `save` (Pipeline.groovy:809-844): deferred write executed by
+    * [[go]] at this chain position; main flow continues unchanged. */
+  def save(path: String, format: String = "csv",
+      options: Map[String, String] = Map.empty): Pipeline = {
+    val defaults =
+      if (format == "csv") Map("header" -> "true", "quoteAll" -> "true")
+      else Map.empty[String, String]
+    add(SinkStep(s"save($path)", df => {
+      df.write.mode("overwrite").format(format).options(defaults ++ options).save(path)
+      Map("file" -> path, "filename" -> path)
+    }))
+  }
+
+  /** gratum `printRow` (Pipeline.groovy:884-894). */
+  def printRow(columns: String*): Pipeline =
+    add(SinkStep("printRow", df => {
+      val d = if (columns.isEmpty) df else df.select(columns.map(col): _*)
+      d.show(20, false)
+      Map.empty
+    }))
+}
+
+object Pipeline {
+
+  /** Entry point over any DataFrame (gratum `Source.into`). */
+  def of(name: String, df: => DataFrame): Pipeline =
+    new Pipeline(name, () => df, Vector.empty, Vector.empty, Vector.empty, cacheOnGo = false)
+
+  def of(df: => DataFrame): Pipeline = of("pipeline", df)
+
+  /** Groovy-falsy test used by defaultValues/defaultsBy/fillDown:
+    * null, empty/blank string (for string-typed columns). */
+  private[etl] def falsy(df: DataFrame, c: String): Column =
+    df.schema(c).dataType match {
+      case StringType => col(c).isNull || trim(col(c)) === ""
+      case _          => col(c).isNull
+    }
+}
+
+/** gratum SortOrder (SortOrder.groovy:3-6). */
+sealed trait SortOrder
+object SortOrder {
+  case object ASC extends SortOrder
+  case object DESC extends SortOrder
+}

@@ -1,0 +1,266 @@
+package graft.etl
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Operator-parity specs in the reference's count-assertion style
+  * (gratum `src/test/groovy/gratum/etl/PipelineTest.groovy`): exact
+  * loaded/rejected-by-category counts on small in-code fixtures shaped
+  * like the reference's people/hobbies fixtures
+  * (`src/test/groovy/gratum/etl/GratumFixture.groovy:7-37`).
+  */
+class PipelineSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-test")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  import spark.implicits._
+
+  def people: DataFrame = Seq(
+    (1, "Bob", "46", "male", "a multi\nline comment"),
+    (2, "Randy", "52", "male", ""),
+    (3, "Penny", "73", "female", "comment, with comma"),
+    (4, "Winnie", "40", "female", null),
+    (5, "Carol", "fifty", "female", "unparseable age")
+  ).toDF("id", "name", "age", "gender", "comment")
+
+  def hobbies: DataFrame = Seq(
+    (1, "Stamps"), (1, "Birding"),
+    (2, "Fencing"), (2, "Chess"),
+    (3, "Poetry"), (3, "Gardening"),
+    (4, "Cooking"), (4, "Painting")
+  ).toDF("id", "hobby")
+
+  test("filter(Column) splits loaded vs IGNORE_ROW rejections") {
+    val stat = Pipeline.of("people", people).filter(col("gender") === "male").go()
+    assert(stat.loaded == 2)
+    assert(stat.rejections(RejectionCategory.IGNORE_ROW) == 3)
+    assert(stat.rejections == 3)
+  }
+
+  test("filter(Map): literal, IN-list, regex-find, column predicate") {
+    assert(Pipeline.of(people).filter(Map("gender" -> "female")).go().loaded == 3)
+    assert(Pipeline.of(people).filter(Map("gender" -> Seq("male", "female"))).go().loaded == 5)
+    assert(Pipeline.of(people).filter(Map("name" -> "nn".r)).go().loaded == 2) // Penny, Winnie
+    assert(Pipeline.of(people).filter(Map("id" -> (col("id") > 3))).go().loaded == 2)
+    // "*" whole-row OR logic
+    assert(Pipeline.of(people)
+      .filter(Map("*" -> (col("id") === 1 || col("name") === "Carol"))).go().loaded == 2)
+  }
+
+  test("addField / setField / removeField / renameFields / clip") {
+    val df = Pipeline.of(people)
+      .addField("age2", col("id") * 2)
+      .setField("source", "test")
+      .removeField("comment")
+      .renameFields("gender" -> "sex")
+      .clip("id", "sex", "age2", "source")
+      .toDF
+    assert(df.columns.toSeq == Seq("id", "sex", "age2", "source"))
+    assert(df.where(col("source") === "test").count() == 5)
+  }
+
+  test("trimAll trims and stringifies every column") {
+    val df = Pipeline.of(Seq((1, "  a  "), (2, " b")).toDF("id", "s")).trimAll().toDF
+    assert(df.schema.fields.forall(_.dataType == StringType))
+    assert(df.where(col("s") === "a").count() == 1)
+  }
+
+  test("defaultValues / defaultsBy fill null and empty strings") {
+    val stat = Pipeline.of(people)
+      .defaultValues("comment" -> "n/a")
+      .toDF
+    assert(stat.where(col("comment") === "n/a").count() == 2) // Randy(""), Winnie(null)
+    val by = Pipeline.of(people).defaultsBy("comment" -> "name").toDF
+    assert(by.where(col("comment") === "Randy").count() == 1)
+  }
+
+  test("asInt rejects unparseable, passes null/empty as null") {
+    val stat = Pipeline.of(people).asInt("age").go()
+    assert(stat.loaded == 4) // Carol's "fifty" rejected
+    assert(stat.rejections(RejectionCategory.INVALID_FORMAT) == 1)
+    val df = Pipeline.of(people).filter(col("name") =!= "Carol").asInt("age").toDF
+    assert(df.schema("age").dataType == IntegerType)
+    assert(df.agg(sum(col("age"))).head().getLong(0) == 211)
+  }
+
+  test("asDouble / asBoolean / asDate") {
+    val d = Seq(("1", "1.5", "Y", "2020-01-02"), ("2", "bad", "N", "2020-06-07"))
+      .toDF("id", "v", "b", "dt")
+    val stat = Pipeline.of(d).asDouble("v").go()
+    assert(stat.loaded == 1 && stat.rejections(RejectionCategory.INVALID_FORMAT) == 1)
+
+    val bdf = Pipeline.of(d).asBoolean("b").toDF
+    assert(bdf.schema("b").dataType == BooleanType)
+    assert(bdf.where(col("b")).count() == 1)
+
+    val ddf = Pipeline.of(d).asDate("dt").toDF
+    assert(ddf.schema("dt").dataType == TimestampType)
+    assert(ddf.where(col("dt").isNotNull).count() == 2)
+
+    val bad = Pipeline.of(Seq(("x", "07/04/2020")).toDF("id", "dt")).asDate("dt").go()
+    assert(bad.loaded == 0 && bad.rejections(RejectionCategory.INVALID_FORMAT) == 1)
+    val multi = Pipeline.of(Seq(("x", "07/04/2020")).toDF("id", "dt"))
+      .asDate("dt", "yyyy-MM-dd", "MM/dd/yyyy").go()
+    assert(multi.loaded == 1)
+  }
+
+  test("unique keeps one row per key, rejects dups IGNORE_ROW") {
+    val stat = Pipeline.of(hobbies).unique("id", orderBy = "hobby").go()
+    assert(stat.loaded == 4)
+    assert(stat.rejections(RejectionCategory.IGNORE_ROW) == 4)
+    // first-wins by the ordering column
+    val kept = Pipeline.of(hobbies).unique("id", orderBy = "hobby").toDF
+      .where(col("id") === 1).select("hobby").head().getString(0)
+    assert(kept == "Birding")
+  }
+
+  test("limitRows halt and no-halt") {
+    assert(Pipeline.of(hobbies).limitRows(3).go().loaded == 3)
+    val noHalt = Pipeline.of(hobbies).limitRows(3, halt = false).go()
+    assert(noHalt.loaded == 3)
+    assert(noHalt.rejections(RejectionCategory.IGNORE_ROW) == 5)
+  }
+
+  test("sortBy ascending and mixed order") {
+    val first = Pipeline.of(people).sortBy("name").toDF.head().getString(1)
+    assert(first == "Bob")
+    val desc = Pipeline.of(people).sortBy("gender" -> SortOrder.ASC, "name" -> SortOrder.DESC)
+      .toDF.head()
+    assert(desc.getString(1) == "Winnie")
+  }
+
+  test("inner join rejects unmatched left rows; left join null-pads") {
+    val inner = Pipeline.of("people", people).join(Pipeline.of("hobbies", hobbies), Seq("id"))
+    val stat = inner.go()
+    assert(stat.loaded == 8) // 4 people x 2 hobbies
+    assert(stat.rejections(RejectionCategory.IGNORE_ROW) == 1) // Carol id=5
+
+    val left = Pipeline.of(people).join(Pipeline.of(hobbies), Seq("id"), left = true)
+    assert(left.go().loaded == 9)
+    assert(left.toDF.where(col("hobby").isNull).count() == 1)
+  }
+
+  test("join with differing key names and left-wins collision rule") {
+    val right = hobbies.withColumnRenamed("id", "person_id")
+      .withColumn("name", lit("SHOULD_LOSE"))
+    val joined = Pipeline.of(people)
+      .join(Pipeline.of(right), Map("id" -> "person_id"), left = false)
+      .toDF
+    assert(joined.count() == 8)
+    // left's name column wins the collision
+    assert(joined.where(col("name") === "SHOULD_LOSE").count() == 0)
+  }
+
+  test("intersectMarker marks membership without filtering") {
+    val df = Pipeline.of(people).intersectMarker(Pipeline.of(hobbies), Seq("id")).toDF
+    assert(df.count() == 5)
+    assert(df.where(col("included")).count() == 4)
+    assert(df.where(!col("included")).count() == 1)
+  }
+
+  test("concatWith unions by name with null padding") {
+    val other = Seq((6, "Zed")).toDF("id", "name")
+    val df = Pipeline.of(people).concatWith(Pipeline.of(other)).toDF
+    assert(df.count() == 6)
+    assert(df.where(col("id") === 6 && col("gender").isNull).count() == 1)
+  }
+
+  test("branch copies flow into side pipeline; main flow unchanged") {
+    var branchLoaded = -1L
+    val stat = Pipeline.of(people)
+      .branch { side =>
+        side.filter(Map("gender" -> "female")).after(s => branchLoaded = s.loaded)
+      }
+      .filter(Map("gender" -> "male"))
+      .go()
+    assert(stat.loaded == 2)
+    assert(branchLoaded == 3)
+  }
+
+  test("explodeField fans out collection values") {
+    val df = Seq((1, Seq("a", "b")), (2, Seq("c"))).toDF("id", "xs")
+    val out = Pipeline.of(df).explodeField("xs", "x").toDF
+    assert(out.count() == 3)
+  }
+
+  test("fillDown fills falsy cells from previous row in order") {
+    val df = Seq(
+      (1, 1, "Alice", "j1"), (2, 1, "", "j2"), (3, 1, null, "j3"),
+      (4, 2, "Bob", "j4"), (5, 2, "", "j5")
+    ).toDF("seq", "pid", "pname", "job")
+    val out = Pipeline.of(df).fillDown(Seq("pid"), "seq", Seq("pname")).toDF
+    assert(out.where(col("pname") === "Alice").count() == 3)
+    assert(out.where(col("pname") === "Bob").count() == 2)
+  }
+
+  test("groupAgg and reduceAgg") {
+    val g = Pipeline.of(hobbies).groupAgg(Seq("id"))(count(lit(1)).as("n")).toDF
+    assert(g.count() == 4)
+    assert(g.where(col("n") === 2).count() == 4)
+    val r = Pipeline.of(people).reduceAgg(sum(col("id")).as("total")).toDF
+    assert(r.head().getLong(0) == 15)
+  }
+
+  test("groupTree reproduces the nested map-of-lists shape") {
+    val tree = Pipeline.of(people).groupTree("gender")
+    assert(tree.keySet == Set("male", "female"))
+    assert(tree("female").asInstanceOf[List[_]].size == 3)
+  }
+
+  test("sessionize assigns run-length window ids") {
+    val df = Seq(
+      (1, "u1", "view"), (2, "u1", "view"), (3, "u1", "click"),
+      (4, "u1", "view"), (5, "u2", "view")
+    ).toDF("seq", "user", "etype")
+    val out = Pipeline.of(df).sessionize("etype", Seq("user"), "seq").toDF
+    val u1 = out.where(col("user") === "u1").orderBy("seq")
+      .select("window_id").collect().map(_.getLong(0)).toSeq
+    assert(u1 == Seq(1L, 1L, 2L, 3L))
+  }
+
+  test("replaceAll and replaceValues") {
+    val df = Pipeline.of(people)
+      .replaceAll("name", "[aeiou]", "_")
+      .replaceValues("gender", Map("male" -> "M", "female" -> "F"))
+      .toDF
+    assert(df.where(col("name") === "B_b").count() == 1)
+    assert(df.where(col("gender").isin("M", "F")).count() == 5)
+  }
+
+  test("onRejection sees rejected rows with rejection columns") {
+    var cats: Seq[String] = Nil
+    Pipeline.of(people)
+      .filter(Map("gender" -> "male"))
+      .asInt("age")
+      .onRejection { rej =>
+        cats = rej.select("rejectionCategory").collect().map(_.getString(0)).toSeq
+      }
+      .go()
+    assert(cats.sorted == Seq("IGNORE_ROW", "IGNORE_ROW", "IGNORE_ROW"))
+  }
+
+  test("rejections carry step names for per-step attribution") {
+    val stat = Pipeline.of(people)
+      .filter("only-males", col("gender") === "male")
+      .asInt("age")
+      .go()
+    assert(stat.rejections(RejectionCategory.IGNORE_ROW, "only-males") == 3)
+    assert(stat.loaded == 2)
+  }
+
+  test("save writes csv and go() still counts") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-save").toString
+    val stat = Pipeline.of(people).save(s"$dir/out", "csv").go()
+    assert(stat.loaded == 5)
+    val back = spark.read.option("header", "true").option("multiLine", "true").csv(s"$dir/out")
+    assert(back.count() == 5)
+  }
+}
