@@ -292,6 +292,86 @@ object SparkEntry {
           sum(col("k")).as("sum_k"),
           count(lit(1)).as("n"))
         .toDF
+    },
+
+    // ------------------------- beyond-reference: text analysis
+    "q_token_count" -> { (s, dir) =>
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        ops.TextOps.tokenCount(col("text")).as("n_tokens"))
+    },
+
+    "q_quality" -> { (s, dir) =>
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        length(col("text")).as("n_chars_m"),
+        ops.TextOps.tokenCount(col("text")).as("n_tokens"),
+        ops.TextOps.alphaRatio(col("text")).as("alpha_ratio"),
+        ops.TextOps.avgTokenLen(col("text")).as("avg_token_len"),
+        ops.TextOps.stopwordRatio(col("text"), ops.TextOps.englishStopwords).as("stopword_ratio"))
+    },
+
+    "q_langid" -> { (s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"), ops.TextOps.langId(col("text")).as("pred_lang"), col("lang"))
+        .withColumn("agree", col("pred_lang") === col("lang"))
+    },
+
+    "q_fingerprint" -> { (s, dir) =>
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        ops.TextOps.fingerprint(col("text")).as("fp"))
+    },
+
+    // ------------------------- beyond-reference: dedup
+    "q_dedup_exact" -> { (s, dir) =>
+      ops.Dedup.exact(t(s, dir, "documents"), "text", "doc_id")
+        .select("doc_id", "lang", "n_chars")
+    },
+
+    "q_dedup_minhash" -> { (s, dir) =>
+      // near-dup pairs (unigram shingles fit this corpus's similarity
+      // range); xxhash-based — no SQL oracle, driver records rows-only
+      ops.Dedup.minhashNearDups(t(s, dir, "documents"), "doc_id", "text",
+        shingleN = 1, numHashes = 64, bands = 16, threshold = 0.8)
+        .orderBy("id1", "id2")
+    },
+
+    "q_dedup_simhash" -> { (s, dir) =>
+      ops.Dedup.simhashNearDups(t(s, dir, "documents"), "doc_id", "text",
+        bits = 64, bands = 16, maxHamming = 8)
+        .orderBy("id1", "id2")
+    },
+
+    // ------------------------- beyond-reference: similarity search
+    "q_simsearch_knn" -> { (s, dir) =>
+      val emb = t(s, dir, "embeddings")
+      ops.VectorOps.bruteForceTopK(
+        emb, emb.filter(col("vec_id") < 5), "vec_id", "embedding", k = 5)
+    },
+
+    "q_simsearch_threshold" -> { (s, dir) =>
+      val emb = t(s, dir, "embeddings")
+      ops.VectorOps.cosineThreshold(
+        emb, emb.filter(col("vec_id") < 20), "vec_id", "embedding", threshold = 0.3)
+    },
+
+    "q_simsearch_lsh" -> { (s, dir) =>
+      // sign-LSH bucketed near-neighbor pairs; no SQL oracle (seeded
+      // hyperplanes), driver records rows-only
+      ops.VectorOps.lshNeighbors(t(s, dir, "embeddings"), "vec_id", "embedding",
+        nPlanes = 16, rowsPerBand = 4, threshold = 0.25)
+        .orderBy("id1", "id2")
+    },
+
+    // ------------------------- beyond-reference: multimodal plumbing
+    "q_multimodal" -> { (s, dir) =>
+      val withPayload = t(s, dir, "documents")
+        .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+      ops.Multimodal.withMediaMeta(withPayload, "payload")
+        .select(col("doc_id"), col("media_meta.mime").as("mime"),
+          col("media_meta.size_bytes").as("size_bytes"),
+          col("media_meta.content_md5").as("content_md5"))
     }
   )
 
@@ -464,6 +544,88 @@ object SparkEntry {
     "q_json" ->
       """SELECT event_type, sum(cast(json_extract_string(props, '$.k') AS INTEGER)) AS sum_k,
         |  count(*) AS n
-        |FROM events GROUP BY event_type""".stripMargin
+        |FROM events GROUP BY event_type""".stripMargin,
+
+    "q_token_count" ->
+      """SELECT doc_id, len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens
+        |FROM documents""".stripMargin,
+
+    "q_quality" ->
+      s"""SELECT doc_id, length(text) AS n_chars_m,
+         |  len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens,
+         |  length(regexp_replace(text, '[^A-Za-z]', '', 'g')) / length(text) AS alpha_ratio,
+         |  length(regexp_replace(text, '\\s+', '', 'g'))
+         |    / len(regexp_split_to_array(trim(text), '\\s+')) AS avg_token_len,
+         |  len(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+         |        t -> t IN (${ops.TextOps.englishStopwords.map("'" + _ + "'").mkString(",")})))
+         |    / len(regexp_split_to_array(trim(text), '\\s+')) AS stopword_ratio
+         |FROM documents""".stripMargin,
+
+    "q_langid" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, lang, text,
+         |    regexp_split_to_array(trim(lower(text)), '\\s+') AS tk FROM documents),
+         |scores AS (
+         |  SELECT doc_id, lang,
+         |    len(list_filter(tk, t -> t IN ('the','and','of','is'))) AS s_en,
+         |    len(list_filter(tk, t -> t IN ('el','la','que','los'))) AS s_es,
+         |    len(list_filter(tk, t -> t IN ('der','und','die','nicht'))) AS s_de,
+         |    len(list_filter(tk, t -> t IN ('le','les','des','est'))) AS s_fr,
+         |    len(regexp_split_to_array(text, '[\\x{4e00}-\\x{9fff}]')) - 1 AS s_zh
+         |  FROM toks)
+         |SELECT doc_id,
+         |  CASE WHEN s_zh > greatest(s_en, s_es, s_de, s_fr) THEN 'zh'
+         |       WHEN s_en >= greatest(s_es, s_de, s_fr) THEN 'en'
+         |       WHEN s_es >= greatest(s_de, s_fr) THEN 'es'
+         |       WHEN s_de >= s_fr THEN 'de' ELSE 'fr' END AS pred_lang,
+         |  lang,
+         |  (CASE WHEN s_zh > greatest(s_en, s_es, s_de, s_fr) THEN 'zh'
+         |       WHEN s_en >= greatest(s_es, s_de, s_fr) THEN 'en'
+         |       WHEN s_es >= greatest(s_de, s_fr) THEN 'es'
+         |       WHEN s_de >= s_fr THEN 'de' ELSE 'fr' END) = lang AS agree
+         |FROM scores""".stripMargin,
+
+    "q_fingerprint" ->
+      """SELECT doc_id,
+        |  md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+        |FROM documents""".stripMargin,
+
+    "q_dedup_exact" ->
+      """SELECT doc_id, lang, n_chars FROM documents
+        |QUALIFY row_number() OVER (
+        |  PARTITION BY md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))
+        |  ORDER BY doc_id) = 1""".stripMargin,
+
+    "q_simsearch_knn" ->
+      """WITH v AS (SELECT vec_id,
+        |    list_transform(embedding, x -> cast(x AS DOUBLE)) AS e FROM embeddings),
+        |s AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    list_sum(list_transform(range(1, len(q.e) + 1), i -> q.e[i] * c.e[i])) /
+        |    (sqrt(list_sum(list_transform(range(1, len(q.e) + 1), i -> q.e[i] * q.e[i]))) *
+        |     sqrt(list_sum(list_transform(range(1, len(c.e) + 1), i -> c.e[i] * c.e[i])))) AS cosine
+        |  FROM v q, v c WHERE q.vec_id < 5 AND c.vec_id <> q.vec_id)
+        |SELECT query_id, neighbor_id, cosine, rank FROM (
+        |  SELECT *, cast(row_number() OVER (
+        |    PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS INTEGER) AS rank
+        |  FROM s) WHERE rank <= 5""".stripMargin,
+
+    "q_simsearch_threshold" ->
+      """WITH v AS (SELECT vec_id,
+        |    list_transform(embedding, x -> cast(x AS DOUBLE)) AS e FROM embeddings)
+        |SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    list_sum(list_transform(range(1, len(q.e) + 1), i -> q.e[i] * c.e[i])) /
+        |    (sqrt(list_sum(list_transform(range(1, len(q.e) + 1), i -> q.e[i] * q.e[i]))) *
+        |     sqrt(list_sum(list_transform(range(1, len(c.e) + 1), i -> c.e[i] * c.e[i])))) AS cosine
+        |FROM v q, v c
+        |WHERE q.vec_id < 20 AND c.vec_id <> q.vec_id
+        |  AND list_sum(list_transform(range(1, len(q.e) + 1), i -> q.e[i] * c.e[i])) /
+        |    (sqrt(list_sum(list_transform(range(1, len(q.e) + 1), i -> q.e[i] * q.e[i]))) *
+        |     sqrt(list_sum(list_transform(range(1, len(c.e) + 1), i -> c.e[i] * c.e[i])))) > 0.3""".stripMargin,
+
+    "q_multimodal" ->
+      """SELECT doc_id, 'application/octet-stream' AS mime,
+        |  octet_length(encode(text)) AS size_bytes,
+        |  md5(text) AS content_md5
+        |FROM documents""".stripMargin
   )
 }

@@ -1,0 +1,131 @@
+package graft.ops
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Text-analysis primitives for large-scale corpus pipelines: token
+  * counting, quality scoring, language identification, fingerprinting,
+  * shingling. All pure Column expressions (codegen'd, no UDFs), so they
+  * push down and fuse at 100 TB.
+  */
+object TextOps {
+
+  /** Whitespace tokens of a text column. */
+  def tokens(c: Column): Column = split(trim(c), "\\s+")
+
+  /** BPE-ish subword split: word pieces plus punctuation as own tokens. */
+  def bpeishTokens(c: Column): Column =
+    split(trim(c), "(?<=[^A-Za-z0-9])|(?=[^A-Za-z0-9\\s])|\\s+")
+
+  def tokenCount(c: Column): Column = size(tokens(c))
+
+  /** Count occurrences of literal `word` as a whitespace-delimited token.
+    * Expressed with replace-length arithmetic so the same SQL shape runs
+    * on any engine (used by the DuckDB oracle). */
+  def wordCount(c: Column, word: String): Column = {
+    val padded = concat(lit(" "), lower(c), lit(" "))
+    val target = s" $word "
+    // overlapping " w1 w2 " patterns: double the spaces so every word is
+    // surrounded by its own delimiters
+    val spaced = regexp_replace(padded, " ", "  ")
+    (length(spaced) - length(regexp_replace(spaced, target.replace(" ", "  "), ""))) /
+      lit(target.length * 2 - target.trim.length)
+  }
+
+  /** Ratio of alphabetic chars (single int/int division — deterministic
+    * across engines). */
+  def alphaRatio(c: Column): Column =
+    length(regexp_replace(c, "[^A-Za-z]", "")) / length(c)
+
+  def digitRatio(c: Column): Column =
+    length(regexp_replace(c, "[^0-9]", "")) / length(c)
+
+  def punctRatio(c: Column): Column =
+    length(regexp_replace(c, "[^.,;:!?'\"()-]", "")) / length(c)
+
+  /** Mean token length. */
+  def avgTokenLen(c: Column): Column =
+    length(regexp_replace(c, "\\s+", "")) / tokenCount(c)
+
+  /** Stopword ratio against a dictionary (token-level membership). */
+  def stopwordRatio(c: Column, stopwords: Seq[String]): Column =
+    size(filter(tokens(lower(c)), t => t.isin(stopwords: _*))) / tokenCount(c)
+
+  /** Composite quality features struct for corpus filtering. */
+  def qualityFeatures(c: Column, stopwords: Seq[String] = englishStopwords): Column =
+    struct(
+      length(c).as("n_chars"),
+      tokenCount(c).as("n_tokens"),
+      alphaRatio(c).as("alpha_ratio"),
+      digitRatio(c).as("digit_ratio"),
+      punctRatio(c).as("punct_ratio"),
+      avgTokenLen(c).as("avg_token_len"),
+      stopwordRatio(c, stopwords).as("stopword_ratio"))
+
+  val englishStopwords: Seq[String] = Seq(
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "it",
+    "that", "for", "on", "with", "as", "was", "at", "by", "be")
+
+  /** Per-language stopword seeds for the n-gram/stopword language-ID
+    * heuristic. Tiny on purpose: language ID at corpus scale is a
+    * scoring pass, not a model. */
+  val langStopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of", "is"),
+    "es" -> Seq("el", "la", "que", "los"),
+    "de" -> Seq("der", "und", "die", "nicht"),
+    "fr" -> Seq("le", "les", "des", "est"),
+    "zh" -> Seq()) // CJK handled by the codepoint-class score below
+
+  /** Language-ID heuristic: per-language stopword token counts, CJK
+    * codepoint density for zh, deterministic argmax (tie order en, es,
+    * de, fr, zh). Returns the predicted language code. */
+  def langId(c: Column): Column = {
+    val toks = tokens(lower(c))
+    def score(lang: String): Column = {
+      val words = langStopwords(lang)
+      if (words.isEmpty) lit(0)
+      else size(filter(toks, t => t.isin(words: _*)))
+    }
+    val zhScore = size(split(c, "[\\u4e00-\\u9fff]")) - 1
+    val en = score("en"); val es = score("es"); val de = score("de"); val fr = score("fr")
+    when(zhScore > greatest(en, es, de, fr), lit("zh"))
+      .when(en >= greatest(es, de, fr), lit("en"))
+      .when(es >= greatest(de, fr), lit("es"))
+      .when(de >= fr, lit("de"))
+      .otherwise(lit("fr"))
+  }
+
+  /** Whitespace-canonical form used for fingerprinting/exact dedup. */
+  def normalized(c: Column): Column =
+    regexp_replace(lower(trim(c)), "\\s+", " ")
+
+  /** Content fingerprint: md5 of the normalized text. */
+  def fingerprint(c: Column): Column = md5(normalized(c))
+
+  /** Rolling (order-sensitive) 64-bit fingerprint over tokens: each step
+    * chains the accumulator into the next token hash. Chained hashing
+    * instead of a polynomial accumulator — a `acc * p + h` fold would
+    * overflow LongType under ANSI mode (Spark 4 default). */
+  def rollingHash(c: Column): Column =
+    aggregate(tokens(normalized(c)), lit(0L), (acc, t) => xxhash64(t, acc))
+
+  /** Word n-gram shingles; short texts yield the whole text as the one
+    * shingle so every document has a non-empty shingle set. */
+  def shingles(c: Column, n: Int): Column = {
+    val tk = tokens(normalized(c))
+    when(size(tk) >= n,
+      transform(sequence(lit(0), size(tk) - n),
+        i => concat_ws(" ", slice(tk, i + 1, lit(n)))))
+      .otherwise(array(concat_ws(" ", tk)))
+  }
+
+  /** Character n-gram shingles. */
+  def charShingles(c: Column, n: Int): Column = {
+    val s = normalized(c)
+    when(length(s) >= n,
+      transform(sequence(lit(0), length(s) - n),
+        i => s.substr(i + 1, lit(n))))
+      .otherwise(array(s))
+  }
+}

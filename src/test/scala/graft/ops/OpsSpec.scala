@@ -1,0 +1,171 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Specs for the beyond-reference operators (dedup, similarity search,
+  * text analysis, multimodal plumbing) on synthetic fixtures with known
+  * ground truth. */
+class OpsSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-ops-test")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  import spark.implicits._
+
+  // corpus with two exact dups, one near-dup pair, and distinct rest
+  def docs: DataFrame = Seq(
+    (0L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+    (1L, "the quick brown fox jumps over the lazy dog near the river bank today"), // exact dup of 0
+    (2L, "the quick brown fox jumps over the lazy dog near the river bank tonight"), // near dup of 0
+    (3L, "completely different text about database engines and query optimization"),
+    (4L, "yet another unrelated document discussing spark partitions and shuffles"),
+    (5L, "short text")
+  ).toDF("doc_id", "text")
+
+  test("TextOps: tokenCount / ratios / fingerprint / shingles") {
+    val d = docs.select(
+      TextOps.tokenCount($"text").as("n"),
+      TextOps.alphaRatio($"text").as("ar"),
+      TextOps.fingerprint($"text").as("fp"),
+      TextOps.shingles($"text", 3).as("sh")).where($"n" === 14)
+    val row = d.head()
+    assert(row.getAs[Double]("ar") > 0.8)
+    assert(row.getAs[String]("fp").length == 32)
+    assert(row.getSeq[String](3).size == 12) // 14 tokens -> 12 3-grams
+  }
+
+  test("TextOps: shingles of short text fall back to whole text") {
+    val sh = docs.where($"doc_id" === 5)
+      .select(TextOps.shingles($"text", 5)).head().getSeq[String](0)
+    assert(sh == Seq("short text"))
+  }
+
+  test("TextOps: langId picks dominant stopword language") {
+    val d = Seq(
+      (1, "the cat and the dog of the house is big"),
+      (2, "el gato y la casa que los perros el dia"),
+      (3, "der hund und die katze nicht der haus"),
+      (4, "le chat et les chiens des maisons est grand")
+    ).toDF("id", "text")
+    val preds = d.select($"id", TextOps.langId($"text").as("p"))
+      .collect().map(r => r.getInt(0) -> r.getString(1)).toMap
+    assert(preds == Map(1 -> "en", 2 -> "es", 3 -> "de", 4 -> "fr"))
+  }
+
+  test("TextOps: rollingHash is order-sensitive, fingerprint is not") {
+    val d = Seq((1, "alpha beta gamma"), (2, "gamma beta alpha")).toDF("id", "text")
+    val rh = d.select(TextOps.rollingHash($"text")).collect().map(_.getLong(0))
+    assert(rh(0) != rh(1))
+    val fp = d.select(TextOps.fingerprint($"text")).collect().map(_.getString(0))
+    assert(fp(0) != fp(1)) // different normalized content
+  }
+
+  test("Dedup.exact keeps smallest id per duplicate text") {
+    val kept = Dedup.exact(docs, "text", "doc_id")
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    assert(kept.toSeq == Seq(0L, 2L, 3L, 4L, 5L)) // doc 1 dropped
+  }
+
+  test("Dedup.minhashNearDups finds exact and near dups, not unrelated") {
+    val pairs = Dedup.minhashNearDups(docs, "doc_id", "text",
+      shingleN = 2, numHashes = 64, bands = 32, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 1L))) // exact dup always caught
+    assert(pairs.contains((0L, 2L)) || pairs.contains((1L, 2L))) // near dup
+    assert(!pairs.exists { case (a, b) => Set(a, b).contains(3L) || Set(a, b).contains(4L) })
+  }
+
+  test("Dedup.minhashDedup drops greedy losers") {
+    val kept = Dedup.minhashDedup(docs, "doc_id", "text",
+      shingleN = 2, numHashes = 64, bands = 32, threshold = 0.5)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(kept.contains(0L) && !kept.contains(1L))
+  }
+
+  test("Dedup.simhashNearDups: identical docs at hamming 0") {
+    val pairs = Dedup.simhashNearDups(docs, "doc_id", "text",
+      bits = 64, bands = 8, maxHamming = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(pairs.exists { case (a, b, h) => a == 0L && b == 1L && h == 0 })
+  }
+
+  test("Dedup.ngramJaccard: identical=1, disjoint=0") {
+    val d = Seq(("abcdef", "abcdef", "zzzzzz")).toDF("a", "b", "c")
+    val r = d.select(
+      Dedup.ngramJaccard($"a", $"b", 3).as("same"),
+      Dedup.ngramJaccard($"a", $"c", 3).as("diff")).head()
+    assert(r.getDouble(0) == 1.0 && r.getDouble(1) == 0.0)
+  }
+
+  test("VectorOps: cosine of identical/orthogonal vectors") {
+    val d = Seq(
+      (Seq(1.0, 0.0), Seq(1.0, 0.0), Seq(0.0, 1.0))
+    ).toDF("a", "b", "c")
+    val r = d.select(
+      VectorOps.cosine($"a", $"b").as("same"),
+      VectorOps.cosine($"a", $"c").as("orth")).head()
+    assert(math.abs(r.getDouble(0) - 1.0) < 1e-12)
+    assert(math.abs(r.getDouble(1)) < 1e-12)
+  }
+
+  test("VectorOps.bruteForceTopK ranks planted neighbor first") {
+    val vecs = Seq(
+      (0L, Seq(1.0f, 0.0f, 0.0f, 0.0f)),
+      (1L, Seq(0.99f, 0.1f, 0.0f, 0.0f)), // near query 0
+      (2L, Seq(0.0f, 1.0f, 0.0f, 0.0f)),
+      (3L, Seq(0.0f, 0.0f, 1.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val top = VectorOps.bruteForceTopK(vecs, vecs.where($"vec_id" === 0), "vec_id", "embedding", 2)
+      .orderBy("rank").collect()
+    assert(top(0).getAs[Long]("neighbor_id") == 1L)
+    assert(top(0).getAs[Double]("cosine") > 0.99)
+  }
+
+  test("VectorOps.lshNeighbors recalls a planted near-dup pair") {
+    val rnd = new scala.util.Random(7)
+    val base = Seq.fill(32)(rnd.nextGaussian().toFloat)
+    val near = base.zipWithIndex.map { case (x, i) => if (i == 0) x + 0.01f else x }
+    val noise = (2L until 100L).map(i => (i, Seq.fill(32)(rnd.nextGaussian().toFloat)))
+    val vecs = ((0L, base) +: (1L, near) +: noise).toDF("vec_id", "embedding")
+    val pairs = VectorOps.lshNeighbors(vecs, "vec_id", "embedding",
+      nPlanes = 16, rowsPerBand = 4, threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.contains((0L, 1L)))
+  }
+
+  test("Multimodal: mime sniffing + meta struct + stub decode plumbing") {
+    val jpeg = Array[Byte](0xFF.toByte, 0xD8.toByte, 0xFF.toByte, 0xE0.toByte, 1, 2, 3, 4, 5)
+    val png = Array[Byte](0x89.toByte, 0x50, 0x4E, 0x47, 0x0D, 0x0A, 0x1A, 0x0A, 9)
+    val d = Seq((1L, jpeg), (2L, png)).toDF("id", "payload")
+    val rows = Multimodal.withMediaMeta(d, "payload")
+      .select($"id", $"media_meta.mime".as("mime"), $"media_meta.size_bytes".as("sz"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(rows.contains((1L, "image/jpeg", 9L)))
+    assert(rows.contains((2L, "image/png", 9L)))
+
+    val feats = Multimodal.decodeFeaturesStub(d, "payload", dim = 8)
+    assert(feats.schema("features").dataType == Multimodal.featureSchema)
+    val f = feats.select($"features").collect().map(_.getSeq[Float](0))
+    assert(f.forall(_.size == 8))
+    // deterministic: same payload -> same features
+    val f2 = Multimodal.decodeFeaturesStub(d, "payload", dim = 8)
+      .select($"features").collect().map(_.getSeq[Float](0))
+    assert(f.toSeq == f2.toSeq)
+  }
+
+  test("Multimodal.frameSampleStub emits offset structs") {
+    val d = Seq((1L, Array.fill[Byte](100)(7))).toDF("id", "payload")
+    val frames = d.select(Multimodal.frameSampleStub($"payload", 25).as("fr"))
+      .select(explode($"fr").as("f")).select($"f.frame_index", $"f.byte_offset")
+      .collect().map(r => (r.getInt(0), r.getInt(1)))
+    assert(frames.length == 4)
+    assert(frames.contains((3, 75)))
+  }
+}

@@ -81,6 +81,15 @@ def main(sf_dir, out_dir):
             continue
         print(f"PASS {name} ({len(srows)} rows)")
         n_pass += 1
+    import os
+    for d in sorted(os.listdir(out_dir)):
+        path = os.path.join(out_dir, d)
+        if os.path.isdir(path) and d not in oracles:
+            try:
+                n = pq.read_table(path).num_rows
+                print(f"INFO {d}: no oracle, {n} rows (driver records rows-only)")
+            except Exception as e:
+                print(f"INFO {d}: no oracle, unreadable: {e}")
     print(f"== {n_pass} pass / {n_fail} fail ==")
     return 1 if n_fail else 0
 
