@@ -330,10 +330,11 @@ object SparkEntry {
     },
 
     "q_dedup_minhash" -> { (s, dir) =>
-      // near-dup pairs (unigram shingles fit this corpus's similarity
-      // range); xxhash-based — no SQL oracle, driver records rows-only
+      // near-dup pairs; thresholds sized to this corpus's similarity
+      // range (max 2-gram jaccard ~0.12); xxhash-based — no SQL oracle,
+      // driver records rows-only
       ops.Dedup.minhashNearDups(t(s, dir, "documents"), "doc_id", "text",
-        shingleN = 1, numHashes = 64, bands = 16, threshold = 0.8)
+        shingleN = 2, numHashes = 64, bands = 32, threshold = 0.08)
         .orderBy("id1", "id2")
     },
 

@@ -24,58 +24,87 @@ object Dedup {
       .drop("__rn__")
   }
 
-  /** MinHash signature (array<long> of `numHashes` minima over shingle
-    * hashes). Seeded by hash index — deterministic everywhere. */
+  /** MinHash signature column (array<long> of `numHashes` minima over
+    * shingle hashes). Seeded by hash index — deterministic everywhere.
+    *
+    * NOTE: nested higher-order functions run interpreted (no codegen) —
+    * fine for a handful of rows, but for corpus-scale signature
+    * computation use [[minhashSignatures]], whose explode+aggregate
+    * shape stays inside whole-stage codegen (~100x faster per row and
+    * parallel regardless of input file layout). */
   def minhashSignature(textCol: Column, shingleN: Int, numHashes: Int): Column = {
     val sh = TextOps.shingles(textCol, shingleN)
     transform(sequence(lit(0), lit(numHashes - 1)),
       j => array_min(transform(sh, s => xxhash64(s, j))))
   }
 
-  /** Candidate near-dup pairs via LSH banding of the MinHash signature,
-    * then exact Jaccard over shingle sets on candidates only. Returns
-    * (id1, id2, jaccard) with jaccard >= threshold, id1 < id2. */
+  /** Corpus-scale MinHash signatures: one row (id, __sig__) per input
+    * row. Shape: repartition (heavy per-row compute must not inherit a
+    * single-file scan's 1-task layout) → explode shingles → `numHashes`
+    * codegen'd min(xxhash64(shingle, j)) aggregates with map-side
+    * partials. This is the 100 TB shape — the per-doc work is spread
+    * across the cluster and each aggregate buffer is just
+    * `numHashes` longs. */
+  def minhashSignatures(
+      df: DataFrame, idCol: String, textCol: String,
+      shingleN: Int, numHashes: Int): DataFrame = {
+    val par = df.sparkSession.sparkContext.defaultParallelism
+    df.select(col(idCol).as("__id__"), col(textCol).as("__t__"))
+      .repartition(par)
+      .select(col("__id__"), explode(TextOps.shingles(col("__t__"), shingleN)).as("__sh__"))
+      .groupBy("__id__")
+      .agg(array((0 until numHashes).map(j => min(xxhash64(col("__sh__"), lit(j)))): _*).as("__sig__"))
+  }
+
+  /** Candidate near-dup pairs via LSH banding of the MinHash signature.
+    *
+    * Buckets carry only (id, signature); candidates are screened by
+    * MinHash signature agreement (an unbiased Jaccard estimator), and —
+    * when `exactVerify` — the shingle sets are joined back for the
+    * surviving candidates only and exact Jaccard is computed. Returns
+    * (id1, id2, jaccard) with jaccard >= threshold, id1 < id2.
+    */
   def minhashNearDups(
       df: DataFrame, idCol: String, textCol: String,
       shingleN: Int = 3, numHashes: Int = 64, bands: Int = 16,
-      threshold: Double = 0.8, maxBucket: Int = 1000): DataFrame = {
+      threshold: Double = 0.8, maxBucket: Int = 200,
+      exactVerify: Boolean = true): DataFrame = {
     require(numHashes % bands == 0, "numHashes must be divisible by bands")
     val r = numHashes / bands
 
-    val sigs = df.select(
-      col(idCol).as("__id__"),
-      TextOps.shingles(col(textCol), shingleN).as("__sh__"),
-      minhashSignature(col(textCol), shingleN, numHashes).as("__sig__"))
+    val sigs = minhashSignatures(df, idCol, textCol, shingleN, numHashes)
 
-    val banded = sigs.select(
-      col("__id__"), col("__sh__"),
-      explode(transform(sequence(lit(0), lit(bands - 1)),
-        b => struct(b.as("band"),
-          hash(slice(col("__sig__"), b * r + 1, lit(r))).as("bucket")))).as("bb"))
-      .select(col("__id__"), col("__sh__"), col("bb.band"), col("bb.bucket"))
+    val pairs = LshBlocking.candidatePairs(sigs, bands, r, maxBucket)
 
-    val buckets = banded
-      .groupBy("band", "bucket")
-      .agg(slice(sort_array(collect_list(struct(col("__id__"), col("__sh__")))), 1, maxBucket)
-        .as("members"))
-      .filter(size(col("members")) > 1)
+    // signature agreement = estimated Jaccard; screen with a safety
+    // margin before the (more expensive) exact verification
+    val screened = pairs
+      .withColumn("est_jaccard",
+        size(filter(zip_with(col("p1"), col("p2"), (a, b) => a === b), x => x))
+          / lit(numHashes))
+      .filter(col("est_jaccard") >= threshold * 0.5)
 
-    val pairs = buckets
-      .select(explode(flatten(
-        transform(col("members"), (x, i) =>
-          transform(slice(col("members"), i + 2, size(col("members"))),
-            y => struct(
-              x.getField("__id__").as("id1"), y.getField("__id__").as("id2"),
-              x.getField("__sh__").as("sh1"), y.getField("__sh__").as("sh2")))))).as("p"))
-      .select(col("p.id1"), col("p.id2"), col("p.sh1"), col("p.sh2"))
-      .dropDuplicates("id1", "id2")
-
-    pairs
-      .withColumn("jaccard",
-        size(array_intersect(array_distinct(col("sh1")), array_distinct(col("sh2")))) /
-          size(array_union(col("sh1"), col("sh2"))))
-      .filter(col("jaccard") >= threshold)
-      .select(col("id1"), col("id2"), col("jaccard"))
+    if (!exactVerify)
+      screened.filter(col("est_jaccard") >= threshold)
+        .select(col("id1"), col("id2"), col("est_jaccard").as("jaccard"))
+    else {
+      val par = df.sparkSession.sparkContext.defaultParallelism
+      val shingleSets = df.select(
+        col(idCol).as("__sid__"), col(textCol).as("__t__"))
+        .repartition(par)
+        .select(col("__sid__"),
+          array_distinct(TextOps.shingles(col("__t__"), shingleN)).as("__sh__"))
+      screened
+        .join(shingleSets.withColumnRenamed("__sid__", "id1").withColumnRenamed("__sh__", "sh1"),
+          Seq("id1"))
+        .join(shingleSets.withColumnRenamed("__sid__", "id2").withColumnRenamed("__sh__", "sh2"),
+          Seq("id2"))
+        .withColumn("jaccard",
+          size(array_intersect(col("sh1"), col("sh2"))) /
+            size(array_union(col("sh1"), col("sh2"))))
+        .filter(col("jaccard") >= threshold)
+        .select(col("id1"), col("id2"), col("jaccard"))
+    }
   }
 
   /** Greedy near-dup removal: drops every row that appears as the larger
@@ -102,42 +131,36 @@ object Dedup {
         lit(1)).otherwise(lit(0)))
   }
 
+  /** Corpus-scale SimHash signatures (same explode+aggregate shape as
+    * [[minhashSignatures]]: codegen'd sums, map-side partials, explicit
+    * repartition for parallelism). */
+  def simhashSignatures(
+      df: DataFrame, idCol: String, textCol: String, bits: Int): DataFrame = {
+    val par = df.sparkSession.sparkContext.defaultParallelism
+    df.select(col(idCol).as("__id__"), col(textCol).as("__t__"))
+      .repartition(par)
+      .select(col("__id__"),
+        explode(TextOps.tokens(TextOps.normalized(col("__t__")))).as("__tok__"))
+      .groupBy("__id__")
+      .agg(array((0 until bits).map { i =>
+        when(sum(when(pmod(xxhash64(col("__tok__"), lit(i)), lit(2)) === 1, lit(1L))
+          .otherwise(lit(-1L))) >= 0, lit(1)).otherwise(lit(0))
+      }: _*).as("__sig__"))
+  }
+
   /** Near-dup pairs by SimHash: band-exact blocking then Hamming
     * distance <= maxHamming on candidates. */
   def simhashNearDups(
       df: DataFrame, idCol: String, textCol: String,
       bits: Int = 64, bands: Int = 8, maxHamming: Int = 3,
-      maxBucket: Int = 1000): DataFrame = {
+      maxBucket: Int = 200): DataFrame = {
     require(bits % bands == 0)
     val r = bits / bands
-    val sigs = df.select(
-      col(idCol).as("__id__"),
-      simhashSignature(col(textCol), bits).as("__sig__"))
+    val sigs = simhashSignatures(df, idCol, textCol, bits)
 
-    val banded = sigs.select(
-      col("__id__"), col("__sig__"),
-      explode(transform(sequence(lit(0), lit(bands - 1)),
-        b => struct(b.as("band"),
-          hash(slice(col("__sig__"), b * r + 1, lit(r))).as("bucket")))).as("bb"))
-      .select(col("__id__"), col("__sig__"), col("bb.band"), col("bb.bucket"))
-
-    val buckets = banded
-      .groupBy("band", "bucket")
-      .agg(slice(sort_array(collect_list(struct(col("__id__"), col("__sig__")))), 1, maxBucket)
-        .as("members"))
-      .filter(size(col("members")) > 1)
-
-    buckets
-      .select(explode(flatten(
-        transform(col("members"), (x, i) =>
-          transform(slice(col("members"), i + 2, size(col("members"))),
-            y => struct(
-              x.getField("__id__").as("id1"), y.getField("__id__").as("id2"),
-              x.getField("__sig__").as("s1"), y.getField("__sig__").as("s2")))))).as("p"))
-      .select(col("p.id1"), col("p.id2"), col("p.s1"), col("p.s2"))
-      .dropDuplicates("id1", "id2")
+    LshBlocking.candidatePairs(sigs, bands, r, maxBucket)
       .withColumn("hamming",
-        aggregate(zip_with(col("s1"), col("s2"), (a, b) => abs(a - b)), lit(0),
+        aggregate(zip_with(col("p1"), col("p2"), (a, b) => abs(a - b)), lit(0),
           (acc, x) => acc + x))
       .filter(col("hamming") <= maxHamming)
       .select(col("id1"), col("id2"), col("hamming"))

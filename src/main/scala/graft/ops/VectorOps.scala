@@ -78,11 +78,37 @@ object VectorOps {
     Seq.fill(nPlanes)(Seq.fill(dim)(rnd.nextGaussian()))
   }
 
-  /** Sign-LSH bit signature (array<int> of 0/1) of a vector column. */
+  /** Sign-LSH bit signature (array<int> of 0/1) of a vector column.
+    * Interpreted (nested higher-order functions) — fine for a few rows;
+    * corpus-scale signature computation goes through [[lshSignatures]].
+    */
   def lshSignature(v: Column, planes: Seq[Seq[Double]]): Column = {
     val h = typedLit(planes)
     transform(sequence(lit(0), lit(planes.size - 1)),
       i => when(dot(v, element_at(h, i + 1)) >= 0, lit(1)).otherwise(lit(0)))
+  }
+
+  /** Corpus-scale sign-LSH signatures: (id, vector, signature) rows.
+    * Shape: repartition → posexplode the vector → one codegen'd
+    * `sum(component * plane_j[pos])` aggregate per plane → sign bits.
+    * Keeps the heavy per-row math inside whole-stage codegen and
+    * parallel regardless of the input's file layout. */
+  def lshSignatures(
+      df: DataFrame, idCol: String, vecCol: String,
+      planes: Seq[Seq[Double]]): DataFrame = {
+    val par = df.sparkSession.sparkContext.defaultParallelism
+    val vecs = df
+      .select(col(idCol).as("__id__"), asDouble(col(vecCol)).as("__v__"))
+      .repartition(par)
+    // explode carries only (id, pos, component) — never the whole vector
+    val sigs = vecs
+      .select(col("__id__"), posexplode(col("__v__")).as(Seq("__pos__", "__x__")))
+      .groupBy("__id__")
+      .agg(array(planes.zipWithIndex.map { case (p, j) =>
+        when(sum(col("__x__") * element_at(typedLit(p), col("__pos__") + 1)) >= 0, lit(1))
+          .otherwise(lit(0)).as(s"b$j")
+      }: _*).as("__sig__"))
+    vecs.join(sigs, "__id__")
   }
 
   /** Approximate near-neighbor pairs via sign-LSH banding: vectors
@@ -97,39 +123,17 @@ object VectorOps {
   def lshNeighbors(
       df: DataFrame, idCol: String, vecCol: String,
       nPlanes: Int = 32, rowsPerBand: Int = 8,
-      threshold: Double = 0.7, maxBucket: Int = 1000,
+      threshold: Double = 0.7, maxBucket: Int = 200,
       seed: Long = 42L): DataFrame = {
     require(nPlanes % rowsPerBand == 0, "nPlanes must be divisible by rowsPerBand")
     val nBands = nPlanes / rowsPerBand
     val dim = df.select(size(col(vecCol))).head().getInt(0)
     val planes = hyperplanes(nPlanes, dim, seed)
 
-    val sigs = df.select(
-      col(idCol).as("__id__"),
-      asDouble(col(vecCol)).as("__v__"),
-      lshSignature(asDouble(col(vecCol)), planes).as("__sig__"))
+    val sigs = lshSignatures(df, idCol, vecCol, planes)
 
-    val banded = sigs.select(
-      col("__id__"), col("__v__"),
-      explode(transform(sequence(lit(0), lit(nBands - 1)),
-        b => struct(b.as("band"),
-          hash(slice(col("__sig__"), b * rowsPerBand + 1, lit(rowsPerBand))).as("bucket")))).as("bb"))
-      .select(col("__id__"), col("__v__"), col("bb.band"), col("bb.bucket"))
-
-    // pairs within each (band, bucket); cap bucket size against skew
-    val buckets = banded
-      .groupBy("band", "bucket")
-      .agg(slice(sort_array(collect_list(struct(col("__id__"), col("__v__")))), 1, maxBucket).as("members"))
-      .filter(size(col("members")) > 1)
-
-    val pairs = buckets
-      .select(explode(flatten(
-        transform(col("members"), (x, i) =>
-          transform(slice(col("members"), i + 2, size(col("members"))),
-            y => struct(x.getField("__id__").as("id1"), y.getField("__id__").as("id2"),
-              x.getField("__v__").as("v1"), y.getField("__v__").as("v2")))))).as("p"))
-      .select(col("p.id1"), col("p.id2"), col("p.v1"), col("p.v2"))
-      .dropDuplicates("id1", "id2")
+    val pairs = LshBlocking.candidatePairs(sigs, nBands, rowsPerBand, maxBucket, payload = Some("__v__"))
+      .withColumnRenamed("p1", "v1").withColumnRenamed("p2", "v2")
 
     pairs
       .withColumn("cosine", cosine(col("v1"), col("v2")))
