@@ -1,0 +1,67 @@
+package graft.streaming
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.nio.file.Files
+
+/** Streaming parity: the streamed windowed aggregation over the events
+  * table must equal the same aggregation computed in batch. */
+class StreamsSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-streaming-test")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  import spark.implicits._
+
+  test("windowedAgg over a file stream matches the batch computation") {
+    // stage the events table (ts nanos-long -> timestamp) as a stream dir
+    val events = graft.Tables.load(spark, "/root/testdata/sf0.001", "events")
+      .select(timestamp_micros((col("ts") / 1000).cast("long")).as("ts"),
+        col("event_type"), col("value"))
+    val dir = Files.createTempDirectory("graft-stream").toString
+    events.write.mode("overwrite").parquet(dir)
+
+    val stream = Streams.parquetStream(spark, dir, events.schema)
+    val agg = Streams.windowedAgg(stream, "ts", "1 hour", "1 hour", "1 hour",
+      Seq("event_type"))(count(lit(1)).as("n"))
+    Streams.runToMemory(agg, "windowed", OutputMode.Append())
+
+    val streamed = spark.table("windowed")
+      .select(col("window.start").as("ws"), col("event_type"), col("n"))
+    val batch = events
+      .groupBy(window(col("ts"), "1 hour").as("window"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("ws"), col("event_type"), col("n"))
+
+    // append mode only emits windows the watermark has closed; every
+    // emitted window must match batch, and most windows must be emitted
+    val s = streamed.collect().map(r => (r.getTimestamp(0), r.getString(1)) -> r.getLong(2)).toMap
+    val b = batch.collect().map(r => (r.getTimestamp(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(s.nonEmpty)
+    assert(s.forall { case (k, v) => b.get(k).contains(v) })
+    assert(s.size >= b.size / 2)
+  }
+
+  test("runningTotals keeps per-key state across triggers") {
+    val dir = Files.createTempDirectory("graft-stream2").toString
+    Seq((1L, 2.0), (1L, 3.0), (2L, 5.0)).toDF("user_id", "value")
+      .write.mode("overwrite").parquet(dir)
+    val stream = Streams.parquetStream(spark, dir,
+      Seq((1L, 1.0)).toDF("user_id", "value").schema)
+      .as[(Long, Double)]
+    val totals = Streams.runningTotals(stream)
+    Streams.runToMemory(totals.toDF(), "totals", OutputMode.Update())
+    val out = spark.table("totals")
+      .groupBy("key").agg(max("count").as("n"), max("sum").as("s"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(out == Set((1L, 2L, 5.0), (2L, 1L, 5.0)))
+  }
+}
