@@ -294,6 +294,20 @@ object SparkEntry {
         .toDF
     },
 
+    "q_rejections" -> { (s, dir) =>
+      // the rejection side-channel itself: per-step, per-category
+      // rejected-row counts of a two-rejecting-step pipeline
+      p(s, dir, "lineitem")
+        .filter("qty-filter", col("l_quantity") <= 45)
+        .addField("ln_s",
+          when(col("l_linenumber") === 7, lit("seven"))
+            .otherwise(col("l_linenumber").cast(StringType)))
+        .asInt("ln_s")
+        .rejections
+        .groupBy("rejectionStep", "rejectionCategory")
+        .agg(count(lit(1)).as("n"))
+    },
+
     // ------------------------- beyond-reference: text analysis
     "q_token_count" -> { (s, dir) =>
       t(s, dir, "documents").select(
@@ -546,6 +560,14 @@ object SparkEntry {
       """SELECT event_type, sum(cast(json_extract_string(props, '$.k') AS INTEGER)) AS sum_k,
         |  count(*) AS n
         |FROM events GROUP BY event_type""".stripMargin,
+
+    "q_rejections" ->
+      """SELECT 'qty-filter' AS rejectionStep, 'IGNORE_ROW' AS rejectionCategory,
+        |  count(*) AS n
+        |FROM lineitem WHERE NOT (l_quantity <= 45)
+        |UNION ALL
+        |SELECT 'asInt(ln_s)', 'INVALID_FORMAT', count(*)
+        |FROM lineitem WHERE l_quantity <= 45 AND l_linenumber = 7""".stripMargin,
 
     "q_token_count" ->
       """SELECT doc_id, len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens

@@ -1,0 +1,83 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XxHash64Function}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.graftbridge.Bridge
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native MinHash signature expression: array<string> shingles →
+  * array<long> of `numHashes` minima, in ONE tight-loop pass per row.
+  *
+  * Why a custom Catalyst expression (SURVEY §7.3 preference order):
+  * the composable alternatives are either nested higher-order functions
+  * (interpreted — no codegen, ~100x slower) or explode + `numHashes`
+  * min-aggregates (codegen'd but pays a shuffle and hashes every
+  * shingle `numHashes` times). This expression hashes each shingle
+  * twice and derives the k-th hash as h1 + k*h2
+  * (Kirsch-Mitzenmacher), stays inside whole-stage codegen via a
+  * static call, and needs no shuffle at all.
+  *
+  * Reference semantics anchor: gratum has no sketching operators; this
+  * backs the beyond-reference dedup family (BASELINE.json north star).
+  */
+case class MinHashSig(child: Expression, numHashes: Int)
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"minhash_sig expects array<string>, got ${other.simpleString}")
+    }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "minhash_sig"
+
+  override protected def nullSafeEval(input: Any): Any =
+    MinHashSigUtil.compute(input.asInstanceOf[ArrayData], numHashes)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.MinHashSigUtil$$.MODULE$$.compute($c, $numHashes)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object MinHashSigUtil {
+  /** Tight-loop MinHash: two xxhash64 passes per shingle, k-th hash
+    * derived arithmetically (wrapping long math — no ANSI overflow). */
+  def compute(shingles: ArrayData, numHashes: Int): ArrayData = {
+    val mins = Array.fill(numHashes)(Long.MaxValue)
+    val n = shingles.numElements()
+    var i = 0
+    while (i < n) {
+      val s = shingles.getUTF8String(i)
+      if (s != null) {
+        val h1 = XxHash64Function.hash(s, StringType, 42L)
+        val h2 = XxHash64Function.hash(s, StringType, 77L)
+        var k = 0
+        var hk = h1
+        while (k < numHashes) {
+          if (hk < mins(k)) mins(k) = hk
+          hk += h2 // h1 + (k+1)*h2, wrapping
+          k += 1
+        }
+      }
+      i += 1
+    }
+    new GenericArrayData(mins)
+  }
+}
+
+/** Column-level entry points for the native expressions. */
+object exprs {
+  /** MinHash signature of an array<string> column. */
+  def minhash_sig(shingles: Column, numHashes: Int): Column =
+    Bridge.toColumn(MinHashSig(Bridge.toExpression(shingles), numHashes))
+}

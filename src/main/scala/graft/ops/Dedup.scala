@@ -39,13 +39,28 @@ object Dedup {
   }
 
   /** Corpus-scale MinHash signatures: one row (id, __sig__) per input
-    * row. Shape: repartition (heavy per-row compute must not inherit a
-    * single-file scan's 1-task layout) → explode shingles → `numHashes`
-    * codegen'd min(xxhash64(shingle, j)) aggregates with map-side
-    * partials. This is the 100 TB shape — the per-doc work is spread
-    * across the cluster and each aggregate buffer is just
-    * `numHashes` longs. */
+    * row, via the native [[graft.functions.MinHashSig]] expression — a
+    * single tight-loop pass per row inside whole-stage codegen, no
+    * shuffle. Repartitions first so heavy per-row compute doesn't
+    * inherit a single-file scan's 1-task layout. */
   def minhashSignatures(
+      df: DataFrame, idCol: String, textCol: String,
+      shingleN: Int, numHashes: Int): DataFrame = {
+    val par = df.sparkSession.sparkContext.defaultParallelism
+    df.select(col(idCol).as("__id__"), col(textCol).as("__t__"))
+      .repartition(par)
+      .select(col("__id__"),
+        graft.functions.exprs.minhash_sig(
+          TextOps.shingles(col("__t__"), shingleN), numHashes).as("__sig__"))
+  }
+
+  /** The explode + N-aggregates formulation of [[minhashSignatures]] —
+    * kept as the pure-built-in alternative (SURVEY §7.3 preference
+    * (a)): `numHashes` codegen'd min(xxhash64(shingle, j)) aggregates
+    * with map-side partials. Same scale shape, but hashes every shingle
+    * `numHashes` times and pays a shuffle; the native expression is
+    * ~an order of magnitude cheaper. */
+  def minhashSignaturesAgg(
       df: DataFrame, idCol: String, textCol: String,
       shingleN: Int, numHashes: Int): DataFrame = {
     val par = df.sparkSession.sparkContext.defaultParallelism
