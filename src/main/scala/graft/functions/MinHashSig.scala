@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XxHash64Function}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64, XxHash64Function}
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.graftbridge.Bridge
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
@@ -49,7 +49,75 @@ case class MinHashSig(child: Expression, numHashes: Int)
     copy(child = newChild)
 }
 
+/** MinHash signature computed directly from a STRING by sliding a
+  * char n-gram window inside the native loop — no intermediate shingle
+  * array is ever materialized (the composable form pays an interpreted
+  * higher-order `transform` per row to build ~len(text) substrings). */
+case class MinHashCharSig(child: Expression, n: Int, numHashes: Int)
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case StringType => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"minhash_char_sig expects string, got ${other.simpleString}")
+    }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "minhash_char_sig"
+
+  override protected def nullSafeEval(input: Any): Any =
+    MinHashSigUtil.computeChar(input.asInstanceOf[UTF8String], n, numHashes)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.MinHashSigUtil$$.MODULE$$.computeChar($c, $n, $numHashes)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object MinHashSigUtil {
+
+  /** Sliding char-n-gram MinHash over a string: char-start byte
+    * offsets are computed in one pass, then each window hashes its byte
+    * range in place (no substring allocation; `substringSQL` per window
+    * would be O(len) each — O(len^2) per row). */
+  def computeChar(text: UTF8String, n: Int, numHashes: Int): ArrayData = {
+    val mins = Array.fill(numHashes)(Long.MaxValue)
+    val base = text.getBaseObject
+    val baseOff = text.getBaseOffset
+    val nb = text.numBytes()
+    // byte offset of each char start, plus end sentinel
+    val starts = new Array[Int](text.numChars() + 1)
+    var b = 0
+    var c = 0
+    while (b < nb) {
+      starts(c) = b
+      b += UTF8String.numBytesForFirstByte(text.getByte(b))
+      c += 1
+    }
+    starts(c) = nb
+    val nChars = c
+    val win = if (nChars >= n) n else math.max(nChars, 1)
+    val last = math.max(nChars - win, 0)
+    var i = 0
+    while (i <= last && nChars > 0) {
+      val from = starts(i)
+      val len = starts(i + win) - from
+      val h1 = XXH64.hashUnsafeBytes(base, baseOff + from, len, 42L)
+      val h2 = XXH64.hashUnsafeBytes(base, baseOff + from, len, 77L)
+      var k = 0
+      var hk = h1
+      while (k < numHashes) {
+        if (hk < mins(k)) mins(k) = hk
+        hk += h2
+        k += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(mins)
+  }
   /** Tight-loop MinHash: two xxhash64 passes per shingle, k-th hash
     * derived arithmetically (wrapping long math — no ANSI overflow). */
   def compute(shingles: ArrayData, numHashes: Int): ArrayData = {
@@ -80,4 +148,8 @@ object exprs {
   /** MinHash signature of an array<string> column. */
   def minhash_sig(shingles: Column, numHashes: Int): Column =
     Bridge.toColumn(MinHashSig(Bridge.toExpression(shingles), numHashes))
+
+  /** MinHash signature of char n-grams of a string column. */
+  def minhash_char_sig(text: Column, n: Int, numHashes: Int): Column =
+    Bridge.toColumn(MinHashCharSig(Bridge.toExpression(text), n, numHashes))
 }

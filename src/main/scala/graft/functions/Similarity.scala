@@ -1,0 +1,178 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.graftbridge.Bridge
+import org.apache.spark.sql.types._
+
+/** Native cosine similarity over two array<double> columns.
+  *
+  * Accumulates dot and both norms in ONE sequential pass (index order,
+  * double precision) — bit-identical to the zip_with/aggregate
+  * formulation and to the DuckDB oracle's list arithmetic, but inside
+  * whole-stage codegen instead of interpreted lambda evaluation. */
+case class CosineSim(left: Expression, right: Expression) extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(DoubleType, _), ArrayType(DoubleType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"cosine_sim expects (array<double>, array<double>), got $other")
+    }
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "cosine_sim"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    SimilarityUtil.cosine(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.SimilarityUtil$$.MODULE$$.cosine($a, $b)")
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** Native Jaccard similarity of two array<string> columns as SETS. */
+case class JaccardSim(left: Expression, right: Expression) extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(StringType, _), ArrayType(StringType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"jaccard_sim expects (array<string>, array<string>), got $other")
+    }
+  override def dataType: DataType = DoubleType
+  // deliberately NOT null-intolerant: with it, a downstream filter on
+  // the jaccard value lets Catalyst infer isnotnull(<shingle expr>) and
+  // push the whole (expensive) shingle construction into the scan as a
+  // data filter — evaluated for every row before the candidate
+  // semi-join. Runtime null behavior is unchanged (null in -> null out).
+  override def nullIntolerant: Boolean = false
+  override def prettyName: String = "jaccard_sim"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    SimilarityUtil.jaccard(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.SimilarityUtil$$.MODULE$$.jaccard($a, $b)")
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** Fraction of equal components of two array<long> MinHash signatures
+  * (the unbiased Jaccard estimator) — native because the composable
+  * zip_with+filter form runs interpreted over every candidate pair. */
+case class SigAgreement(left: Expression, right: Expression) extends BinaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"sig_agreement expects (array<long>, array<long>), got $other")
+    }
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "sig_agreement"
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    SimilarityUtil.agreement(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.SimilarityUtil$$.MODULE$$.agreement($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** Hamming distance of two array<int> bit signatures (SimHash). */
+case class HammingDist(left: Expression, right: Expression) extends BinaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(IntegerType, _), ArrayType(IntegerType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"hamming_dist expects (array<int>, array<int>), got $other")
+    }
+  override def dataType: DataType = IntegerType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "hamming_dist"
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    SimilarityUtil.hamming(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.SimilarityUtil$$.MODULE$$.hamming($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+object SimilarityUtil {
+
+  def agreement(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var eq = 0
+    var i = 0
+    while (i < n) { if (a.getLong(i) == b.getLong(i)) eq += 1; i += 1 }
+    if (n == 0) 0.0 else eq.toDouble / n
+  }
+
+  def hamming(a: ArrayData, b: ArrayData): Int = {
+    val n = math.min(a.numElements(), b.numElements())
+    var d = 0
+    var i = 0
+    while (i < n) { if (a.getInt(i) != b.getInt(i)) d += 1; i += 1 }
+    d
+  }
+
+  /** Sequential-order cosine: same operation order as a left fold of
+    * the products, so results match engines doing sequential double
+    * arithmetic bit-for-bit. */
+  def cosine(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var dot = 0.0
+    var i = 0
+    while (i < n) { dot += a.getDouble(i) * b.getDouble(i); i += 1 }
+    var na = 0.0
+    i = 0
+    while (i < a.numElements()) { val x = a.getDouble(i); na += x * x; i += 1 }
+    var nb = 0.0
+    i = 0
+    while (i < b.numElements()) { val x = b.getDouble(i); nb += x * x; i += 1 }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  def jaccard(a: ArrayData, b: ArrayData): Double = {
+    val sa = new java.util.HashSet[Any]()
+    var i = 0
+    while (i < a.numElements()) {
+      val v = a.getUTF8String(i); if (v != null) sa.add(v); i += 1
+    }
+    val sb = new java.util.HashSet[Any]()
+    i = 0
+    while (i < b.numElements()) {
+      val v = b.getUTF8String(i); if (v != null) sb.add(v); i += 1
+    }
+    var inter = 0
+    val it = sa.iterator()
+    while (it.hasNext) { if (sb.contains(it.next())) inter += 1 }
+    val union = sa.size() + sb.size() - inter
+    if (union == 0) 1.0 else inter.toDouble / union
+  }
+}
+
+object similarityExprs {
+  def cosine_sim(a: Column, b: Column): Column =
+    Bridge.toColumn(CosineSim(Bridge.toExpression(a), Bridge.toExpression(b)))
+  def jaccard_sim(a: Column, b: Column): Column =
+    Bridge.toColumn(JaccardSim(Bridge.toExpression(a), Bridge.toExpression(b)))
+  def sig_agreement(a: Column, b: Column): Column =
+    Bridge.toColumn(SigAgreement(Bridge.toExpression(a), Bridge.toExpression(b)))
+  def hamming_dist(a: Column, b: Column): Column =
+    Bridge.toColumn(HammingDist(Bridge.toExpression(a), Bridge.toExpression(b)))
+}

@@ -15,6 +15,19 @@ import org.apache.spark.sql.{Column, DataFrame}
   */
 object Dedup {
 
+  /** Spread (id, payload) across the cluster before a heavy per-row
+    * projection. A plain `repartition(n)` is NOT enough: Catalyst may
+    * eliminate a round-robin exchange that a later shuffle supersedes,
+    * silently moving the expensive projection back into the scan stage
+    * (one task for a single-file input). A group-by-key aggregation is
+    * semantically load-bearing, so its exchange survives every
+    * optimizer pass, and anything projected above the final aggregate
+    * runs post-shuffle in parallel. Requires `idCol` unique. */
+  private[ops] def spreadByKey(df: DataFrame, idCol: String, valCol: String): DataFrame =
+    df.select(col(idCol).as("__id__"), col(valCol).as("__t__"))
+      .groupBy("__id__")
+      .agg(first(col("__t__")).as("__t__"))
+
   /** Exact dedup on normalized-text fingerprint: keeps the row with the
     * smallest `orderCol` per fingerprint (deterministic winner). */
   def exact(df: DataFrame, textCol: String, orderCol: String): DataFrame = {
@@ -45,14 +58,12 @@ object Dedup {
     * inherit a single-file scan's 1-task layout. */
   def minhashSignatures(
       df: DataFrame, idCol: String, textCol: String,
-      shingleN: Int, numHashes: Int): DataFrame = {
-    val par = df.sparkSession.sparkContext.defaultParallelism
-    df.select(col(idCol).as("__id__"), col(textCol).as("__t__"))
-      .repartition(par)
+      shingleN: Int, numHashes: Int,
+      shingler: (Column, Int) => Column = TextOps.shingles): DataFrame =
+    spreadByKey(df, idCol, textCol)
       .select(col("__id__"),
         graft.functions.exprs.minhash_sig(
-          TextOps.shingles(col("__t__"), shingleN), numHashes).as("__sig__"))
-  }
+          shingler(col("__t__"), shingleN), numHashes).as("__sig__"))
 
   /** The explode + N-aggregates formulation of [[minhashSignatures]] —
     * kept as the pure-built-in alternative (SURVEY §7.3 preference
@@ -83,40 +94,64 @@ object Dedup {
       df: DataFrame, idCol: String, textCol: String,
       shingleN: Int = 3, numHashes: Int = 64, bands: Int = 16,
       threshold: Double = 0.8, maxBucket: Int = 200,
-      exactVerify: Boolean = true): DataFrame = {
+      exactVerify: Boolean = true,
+      charShingles: Boolean = false): DataFrame = {
     require(numHashes % bands == 0, "numHashes must be divisible by bands")
     val r = numHashes / bands
 
-    val sigs = minhashSignatures(df, idCol, textCol, shingleN, numHashes)
+    // char mode shingles inside the native expression (no intermediate
+    // array); word mode shingles via the codegen'd split + native sig.
+    // The heavy projection sits above a BY-KEY aggregation so it runs
+    // post-shuffle across the cluster (see Dedup.spreadByKey).
+    val sigs = spreadByKey(df, idCol, textCol)
+      .select(col("__id__"),
+        (if (charShingles)
+          graft.functions.exprs.minhash_char_sig(
+            TextOps.normalized(col("__t__")), shingleN, numHashes)
+        else
+          graft.functions.exprs.minhash_sig(
+            TextOps.shingles(col("__t__"), shingleN), numHashes)).as("__sig__"))
 
     val pairs = LshBlocking.candidatePairs(sigs, bands, r, maxBucket)
 
     // signature agreement = estimated Jaccard; screen with a safety
     // margin before the (more expensive) exact verification
+    // persist: in exact-verify mode this frame feeds the candidate-id
+    // union (twice) and the final join — without it the whole LSH
+    // pipeline upstream would recompute once per reference
     val screened = pairs
       .withColumn("est_jaccard",
-        size(filter(zip_with(col("p1"), col("p2"), (a, b) => a === b), x => x))
-          / lit(numHashes))
+        graft.functions.similarityExprs.sig_agreement(col("p1"), col("p2")))
       .filter(col("est_jaccard") >= threshold * 0.5)
+      .select(col("id1"), col("id2"), col("est_jaccard"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     if (!exactVerify)
       screened.filter(col("est_jaccard") >= threshold)
         .select(col("id1"), col("id2"), col("est_jaccard").as("jaccard"))
     else {
-      val par = df.sparkSession.sparkContext.defaultParallelism
-      val shingleSets = df.select(
-        col(idCol).as("__sid__"), col(textCol).as("__t__"))
-        .repartition(par)
+      // build shingle SETS only for documents that survived screening:
+      // candidates << corpus, so the (interpreted) array construction
+      // runs over a few hundred rows, not the whole input — and that is
+      // also the only shape that works at 100 TB
+      val candidateIds = screened.select(col("id1").as("__sid__"))
+        .union(screened.select(col("id2").as("__sid__"))).distinct()
+      val shingler: (Column, Int) => Column =
+        if (charShingles) TextOps.charShingles else TextOps.shingles
+      val shingleSets = df.select(col(idCol).as("__sid__"), col(textCol).as("__t__"))
+        .join(candidateIds, Seq("__sid__"), "left_semi")
         .select(col("__sid__"),
-          array_distinct(TextOps.shingles(col("__t__"), shingleN)).as("__sh__"))
+          array_distinct(shingler(col("__t__"), shingleN)).as("__sh__"))
+      // hint shuffle-hash: the shingle side is wide (arrays), so the
+      // planner's size estimate oscillates around the broadcast
+      // threshold; broadcasting megabytes of arrays is the slow path
       screened
-        .join(shingleSets.withColumnRenamed("__sid__", "id1").withColumnRenamed("__sh__", "sh1"),
-          Seq("id1"))
-        .join(shingleSets.withColumnRenamed("__sid__", "id2").withColumnRenamed("__sh__", "sh2"),
-          Seq("id2"))
+        .join(shingleSets.withColumnRenamed("__sid__", "id1").withColumnRenamed("__sh__", "sh1")
+          .hint("shuffle_hash"), Seq("id1"))
+        .join(shingleSets.withColumnRenamed("__sid__", "id2").withColumnRenamed("__sh__", "sh2")
+          .hint("shuffle_hash"), Seq("id2"))
         .withColumn("jaccard",
-          size(array_intersect(col("sh1"), col("sh2"))) /
-            size(array_union(col("sh1"), col("sh2"))))
+          graft.functions.similarityExprs.jaccard_sim(col("sh1"), col("sh2")))
         .filter(col("jaccard") >= threshold)
         .select(col("id1"), col("id2"), col("jaccard"))
     }
@@ -146,22 +181,15 @@ object Dedup {
         lit(1)).otherwise(lit(0)))
   }
 
-  /** Corpus-scale SimHash signatures (same explode+aggregate shape as
-    * [[minhashSignatures]]: codegen'd sums, map-side partials, explicit
-    * repartition for parallelism). */
+  /** Corpus-scale SimHash signatures via the native
+    * [[graft.functions.SimHashSig]] expression — one hash per token,
+    * one pass per row, no shuffle; repartitioned for parallelism. */
   def simhashSignatures(
-      df: DataFrame, idCol: String, textCol: String, bits: Int): DataFrame = {
-    val par = df.sparkSession.sparkContext.defaultParallelism
-    df.select(col(idCol).as("__id__"), col(textCol).as("__t__"))
-      .repartition(par)
+      df: DataFrame, idCol: String, textCol: String, bits: Int): DataFrame =
+    spreadByKey(df, idCol, textCol)
       .select(col("__id__"),
-        explode(TextOps.tokens(TextOps.normalized(col("__t__")))).as("__tok__"))
-      .groupBy("__id__")
-      .agg(array((0 until bits).map { i =>
-        when(sum(when(pmod(xxhash64(col("__tok__"), lit(i)), lit(2)) === 1, lit(1L))
-          .otherwise(lit(-1L))) >= 0, lit(1)).otherwise(lit(0))
-      }: _*).as("__sig__"))
-  }
+        graft.functions.simhashExprs.simhash_sig(
+          TextOps.tokens(TextOps.normalized(col("__t__"))), bits).as("__sig__"))
 
   /** Near-dup pairs by SimHash: band-exact blocking then Hamming
     * distance <= maxHamming on candidates. */
@@ -175,8 +203,7 @@ object Dedup {
 
     LshBlocking.candidatePairs(sigs, bands, r, maxBucket)
       .withColumn("hamming",
-        aggregate(zip_with(col("p1"), col("p2"), (a, b) => abs(a - b)), lit(0),
-          (acc, x) => acc + x))
+        graft.functions.similarityExprs.hamming_dist(col("p1"), col("p2")))
       .filter(col("hamming") <= maxHamming)
       .select(col("id1"), col("id2"), col("hamming"))
   }

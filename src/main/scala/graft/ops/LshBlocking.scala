@@ -41,10 +41,14 @@ object LshBlocking {
     // codegen'd — no interpreted lambda pair expansion, no giant
     // collected-bucket rows, and AQE handles residual bucket skew
     val w = org.apache.spark.sql.expressions.Window.partitionBy("band", "bucket")
+    // persist: the self-join below references this subtree twice, which
+    // would otherwise recompute the (expensive) signature pipeline per
+    // side; the banded frame is only (id, sig, band, bucket)
     val filtered = banded
       .withColumn("__n__", count(lit(1)).over(w))
       .filter(col("__n__").between(2, maxBucket))
       .drop("__n__")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     filtered.select(col("band"), col("bucket"), col("__id__").as("id1"), col("__p__").as("p1"))
       .join(

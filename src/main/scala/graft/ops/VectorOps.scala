@@ -27,8 +27,16 @@ object VectorOps {
   def norm(a: Column): Column =
     sqrt(aggregate(a, lit(0.0), (acc, x) => acc + x * x))
 
-  /** Cosine similarity of two double-array columns. */
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+  /** Cosine similarity of two double-array columns — the native
+    * [[graft.functions.CosineSim]] expression (codegen'd single pass,
+    * same sequential operation order as the fold form, bit-identical
+    * results). */
+  def cosine(a: Column, b: Column): Column =
+    graft.functions.similarityExprs.cosine_sim(a, b)
+
+  /** The pure-built-in cosine (interpreted higher-order fold) — kept
+    * for reference and cross-checking against the native expression. */
+  def cosineHof(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
   /** Brute-force top-k cosine neighbors for each query vector.
     *
