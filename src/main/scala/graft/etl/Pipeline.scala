@@ -202,6 +202,11 @@ final class Pipeline private (
   def addStep(stepName: String)(fn: DataFrame => DataFrame): Pipeline =
     add(MapStep(stepName, fn))
 
+  /** gratum `prependStep` (Pipeline.groovy:119-126) — same, inserted at
+    * the head of the chain (runs before every existing step). */
+  def prependStep(stepName: String)(fn: DataFrame => DataFrame): Pipeline =
+    copyWith(steps = MapStep(stepName, fn) +: steps)
+
   /** gratum `apply` (Pipeline.groovy:1129-1132). */
   def applyTo(fn: Pipeline => Pipeline): Pipeline = fn(this)
 
@@ -260,6 +265,15 @@ final class Pipeline private (
   /** gratum `removeField` (Pipeline.groovy:950-962). */
   def removeField(fields: String*): Pipeline =
     add(MapStep(s"removeField(${fields.mkString(",")})", _.drop(fields: _*)))
+
+  /** Conditional variant of gratum `removeField`: the reference drops
+    * the key per-row when the closure holds; columnar rows have a fixed
+    * schema, so the per-row "absence" becomes NULL where `cond` holds
+    * (documented deviation, SURVEY §2.2). */
+  def removeFieldWhen(field: String, cond: Column): Pipeline =
+    add(MapStep(s"removeField($field,cond)", df =>
+      df.withColumn(field,
+        when(cond, lit(null).cast(df.schema(field).dataType)).otherwise(col(field)))))
 
   /** gratum `renameFields` (Pipeline.groovy:463-472). */
   def renameFields(renames: (String, String)*): Pipeline =

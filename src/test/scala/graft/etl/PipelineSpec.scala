@@ -67,6 +67,18 @@ class PipelineSpec extends AnyFunSuite {
     assert(df.where(col("source") === "test").count() == 5)
   }
 
+  test("prependStep runs before existing steps; removeFieldWhen nulls per-row") {
+    val p = Pipeline.of(people)
+      .filter(col("flag") === true) // references a column only prepend provides
+      .prependStep("add-flag")(_.withColumn("flag", col("id") <= 3))
+    assert(p.go().loaded == 3)
+
+    val df = Pipeline.of(people)
+      .removeFieldWhen("comment", col("gender") === "male")
+      .toDF
+    assert(df.where(col("comment").isNull).count() == 3) // 2 males + Winnie's null
+  }
+
   test("trimAll trims and stringifies every column") {
     val df = Pipeline.of(Seq((1, "  a  "), (2, " b")).toDF("id", "s")).trimAll().toDF
     assert(df.schema.fields.forall(_.dataType == StringType))
