@@ -294,6 +294,41 @@ object SparkEntry {
         .toDF
     },
 
+    "q_window" -> { (s, dir) =>
+      // window-function family over the events stream: rank within
+      // user by value, neighbors by event order (exact int/typed values)
+      import org.apache.spark.sql.expressions.Window
+      val byVal = Window.partitionBy("user_id").orderBy(col("value").desc, col("event_id"))
+      val byTime = Window.partitionBy("user_id").orderBy(col("event_id"))
+      t(s, dir, "events")
+        .withColumn("value_rank", rank().over(byVal))
+        .withColumn("prev_type", lag(col("event_type"), 1).over(byTime))
+        .withColumn("next_type", lead(col("event_type"), 1).over(byTime))
+        .filter(col("value_rank") <= 3)
+        .select("user_id", "event_id", "event_type", "value_rank", "prev_type", "next_type")
+    },
+
+    "q_running" -> { (s, dir) =>
+      // running per-user totals (decimal: exact regardless of the
+      // engines' window accumulation strategies)
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, dir, "events")
+        .withColumn("running_value", sum(col("value").cast(dec)).over(w))
+        .withColumn("n_so_far", count(lit(1)).over(w))
+        .select("user_id", "event_id", "running_value", "n_so_far")
+    },
+
+    "q_rollup" -> { (s, dir) =>
+      t(s, dir, "lineitem")
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(dec2(col("l_quantity"))).as("sum_qty"),
+          count(lit(1)).as("n"),
+          grouping_id().cast(IntegerType).as("gid"))
+    },
+
     "q_rejections" -> { (s, dir) =>
       // the rejection side-channel itself: per-step, per-category
       // rejected-row counts of a two-rejecting-step pipeline
@@ -566,6 +601,32 @@ object SparkEntry {
       """SELECT event_type, sum(cast(json_extract_string(props, '$.k') AS INTEGER)) AS sum_k,
         |  count(*) AS n
         |FROM events GROUP BY event_type""".stripMargin,
+
+    "q_window" ->
+      """SELECT user_id, event_id, event_type, value_rank, prev_type, next_type
+        |FROM (
+        |  SELECT user_id, event_id, event_type,
+        |    cast(rank() OVER (PARTITION BY user_id ORDER BY value DESC, event_id) AS INTEGER) AS value_rank,
+        |    lag(event_type, 1) OVER (PARTITION BY user_id ORDER BY event_id) AS prev_type,
+        |    lead(event_type, 1) OVER (PARTITION BY user_id ORDER BY event_id) AS next_type
+        |  FROM events)
+        |WHERE value_rank <= 3""".stripMargin,
+
+    "q_running" ->
+      """SELECT user_id, event_id,
+        |  sum(cast(value AS DECIMAL(18,2))) OVER w AS running_value,
+        |  count(*) OVER w AS n_so_far
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY event_id
+        |             ROWS UNBOUNDED PRECEDING)""".stripMargin,
+
+    "q_rollup" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  sum(cast(l_quantity AS DECIMAL(18,2))) AS sum_qty,
+        |  count(*) AS n,
+        |  cast(grouping(l_returnflag) * 2 + grouping(l_linestatus) AS INTEGER) AS gid
+        |FROM lineitem
+        |GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
 
     "q_rejections" ->
       """SELECT 'qty-filter' AS rejectionStep, 'IGNORE_ROW' AS rejectionCategory,
