@@ -294,6 +294,13 @@ object SparkEntry {
         .toDF
     },
 
+    "q_group_topk" -> { (s, dir) =>
+      // top-3 events per user via the bounded typed Aggregator (no full
+      // window sort; k-bounded partial buffers with map-side combine)
+      ops.Aggregators.groupTopK(
+        t(s, dir, "events"), Seq("user_id"), "value", "event_id", k = 3)
+    },
+
     "q_window" -> { (s, dir) =>
       // window-function family over the events stream: rank within
       // user by value, neighbors by event order (exact int/typed values)
@@ -601,6 +608,11 @@ object SparkEntry {
       """SELECT event_type, sum(cast(json_extract_string(props, '$.k') AS INTEGER)) AS sum_k,
         |  count(*) AS n
         |FROM events GROUP BY event_type""".stripMargin,
+
+    "q_group_topk" ->
+      """SELECT user_id, value, event_id FROM events
+        |QUALIFY row_number() OVER (
+        |  PARTITION BY user_id ORDER BY value DESC, event_id) <= 3""".stripMargin,
 
     "q_window" ->
       """SELECT user_id, event_id, event_type, value_rank, prev_type, next_type

@@ -1,0 +1,100 @@
+package graft.ops
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Property-based invariants of the ops layer (generator-driven via
+  * scalacheck Gens with fixed seeds — the scalatest-scalacheck bridge
+  * is not in the offline artifact cache). */
+class PropertiesSpec extends AnyFunSuite {
+
+  /** Run `body` over `n` deterministic samples of `gen`. */
+  def forSamples[A](gen: Gen[A], n: Int)(body: A => Unit): Unit =
+    (0 until n).foreach { i =>
+      gen(Gen.Parameters.default, Seed(42L + i)).foreach(body)
+    }
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-props")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  import spark.implicits._
+
+  val word: Gen[String] = Gen.oneOf(
+    "alpha", "beta", "gamma", "delta", "epsilon", "zeta", "eta", "theta")
+  val text: Gen[String] = Gen.chooseNum(1, 30).flatMap(n => Gen.listOfN(n, word)).map(_.mkString(" "))
+
+  test("jaccard_sim is symmetric, bounded, and 1 on self") {
+    forSamples(Gen.listOfN(4, text), 10) { texts =>
+      {
+        val df = Seq((texts(0), texts(1)), (texts(2), texts(3)))
+          .toDF("a", "b")
+          .select(
+            graft.functions.similarityExprs.jaccard_sim(
+              TextOps.shingles($"a", 2), TextOps.shingles($"b", 2)).as("ab"),
+            graft.functions.similarityExprs.jaccard_sim(
+              TextOps.shingles($"b", 2), TextOps.shingles($"a", 2)).as("ba"),
+            graft.functions.similarityExprs.jaccard_sim(
+              TextOps.shingles($"a", 2), TextOps.shingles($"a", 2)).as("aa"))
+        df.collect().foreach { r =>
+          assert(r.getDouble(0) == r.getDouble(1)) // symmetric
+          assert(r.getDouble(0) >= 0.0 && r.getDouble(0) <= 1.0)
+          assert(r.getDouble(2) == 1.0) // self-similarity
+        }
+      }
+    }
+  }
+
+  test("minhash signature agreement tracks true jaccard within tolerance") {
+    forSamples(Gen.chooseNum(0, 80), 8) { overlap =>
+      val base = (0 until 100).map(i => s"sh$i")
+      val other = base.take(overlap) ++ (0 until (100 - overlap)).map(i => s"zz$i")
+      val df = Seq((base, other)).toDF("a", "b")
+        .select(
+          graft.functions.similarityExprs.sig_agreement(
+            graft.functions.exprs.minhash_sig($"a", 128),
+            graft.functions.exprs.minhash_sig($"b", 128)).as("est"))
+      val est = df.head().getDouble(0)
+      val trueJ = overlap.toDouble / (200 - overlap)
+      assert(math.abs(est - trueJ) < 0.15, s"est=$est true=$trueJ overlap=$overlap")
+    }
+  }
+
+  test("TopK aggregator equals window-sort top-k on random data") {
+    forSamples(Gen.listOfN(60, Gen.zip(Gen.chooseNum(1, 5), Gen.chooseNum(0.0, 100.0))), 5) { rows =>
+      {
+        val df = rows.zipWithIndex
+          .map { case ((g, v), i) => (g.toLong, v, i.toLong) }
+          .toDF("g", "v", "id")
+        val viaAgg = Aggregators.groupTopK(df, Seq("g"), "v", "id", 3)
+          .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toSet
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("g").orderBy(col("v").desc, col("id"))
+        val viaWindow = df.withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 3).drop("rn")
+          .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toSet
+        assert(viaAgg == viaWindow)
+      }
+    }
+  }
+
+  test("exact dedup is idempotent and never increases rows") {
+    forSamples(Gen.listOfN(12, text), 5) { texts =>
+      {
+        val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+        val once = Dedup.exact(df, "text", "id")
+        val twice = Dedup.exact(once, "text", "id")
+        assert(once.count() <= df.count())
+        assert(twice.count() == once.count())
+        assert(once.select("text").distinct().count() ==
+          df.select(TextOps.normalized($"text")).distinct().count())
+      }
+    }
+  }
+}
