@@ -419,6 +419,15 @@ object SparkEntry {
         emb, emb.filter(col("vec_id") < 20), "vec_id", "embedding", threshold = 0.3)
     },
 
+    "q_simsearch_ivf" -> { (s, dir) =>
+      // IVF coarse-quantized ANN: kmeans cells + nProbe probing; no SQL
+      // oracle (kmeans training), driver records rows-only
+      val emb = t(s, dir, "embeddings")
+      ops.Ivf.topK(emb, emb.filter(col("vec_id") < 5), "vec_id", "embedding",
+        k = 5, nCells = 16, nProbe = 4)
+        .orderBy("query_id", "rank")
+    },
+
     "q_simsearch_lsh" -> { (s, dir) =>
       // sign-LSH bucketed near-neighbor pairs; no SQL oracle (seeded
       // hyperplanes), driver records rows-only

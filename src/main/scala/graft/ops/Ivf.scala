@@ -1,0 +1,120 @@
+package graft.ops
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame}
+
+/** IVF (inverted-file) approximate nearest-neighbor index: k-means
+  * coarse quantizer → per-cell inverted lists → probe the `nProbe`
+  * nearest cells per query.
+  *
+  * Scale shape: centroids are trained on a bounded driver-side sample
+  * (classic IVF practice — the quantizer needs thousands of points, not
+  * the corpus), then shipped as a broadcast literal; cell assignment is
+  * one codegen'd argmax projection over the corpus (no shuffle); the
+  * search joins queries to only the probed cells, so the exact-cosine
+  * work is corpus/nCells * nProbe instead of the full corpus.
+  */
+object Ivf {
+
+  /** Deterministic Lloyd's k-means on a driver-side sample (seeded
+    * start from sample points; cosine geometry via L2 on normalized
+    * vectors). */
+  def trainCentroids(
+      df: DataFrame, vecCol: String, nCells: Int,
+      sampleSize: Int = 2000, iterations: Int = 8, seed: Long = 42L): Seq[Seq[Double]] = {
+    val sample = df.select(VectorOps.asDouble(col(vecCol)).as("v"))
+      .limit(sampleSize).collect().map(_.getSeq[Double](0).toArray)
+    require(sample.nonEmpty, "empty training sample")
+    def normalize(v: Array[Double]): Array[Double] = {
+      val n = math.sqrt(v.map(x => x * x).sum)
+      if (n == 0) v else v.map(_ / n)
+    }
+    val points = sample.map(normalize)
+    val rnd = new scala.util.Random(seed)
+    var centroids = rnd.shuffle(points.indices.toList).take(nCells).map(points).toArray
+    (0 until iterations).foreach { _ =>
+      val sums = Array.fill(centroids.length)(new Array[Double](points.head.length))
+      val counts = new Array[Int](centroids.length)
+      points.foreach { p =>
+        var best = 0
+        var bestDot = Double.MinValue
+        centroids.indices.foreach { c =>
+          var dot = 0.0
+          var i = 0
+          while (i < p.length) { dot += p(i) * centroids(c)(i); i += 1 }
+          if (dot > bestDot) { bestDot = dot; best = c }
+        }
+        counts(best) += 1
+        var i = 0
+        while (i < p.length) { sums(best)(i) += p(i); i += 1 }
+      }
+      centroids = centroids.indices.map { c =>
+        if (counts(c) == 0) centroids(c) else normalize(sums(c))
+      }.toArray
+    }
+    centroids.map(_.toSeq).toSeq
+  }
+
+  /** Nearest-centroid cell id for a (double-array) vector column —
+    * codegen'd argmax over the broadcast centroid literals. */
+  def cellOf(v: Column, centroids: Seq[Seq[Double]]): Column = {
+    val scored = centroids.zipWithIndex.map { case (c, i) =>
+      struct(graft.functions.similarityExprs
+        .cosine_sim(v, typedLit(c)).as("s"), lit(i).as("cell"))
+    }
+    array_max(array(scored: _*)).getField("cell")
+  }
+
+  /** The `nProbe` nearest cells of a vector, as an array column. */
+  def probeCells(v: Column, centroids: Seq[Seq[Double]], nProbe: Int): Column = {
+    val scored = centroids.zipWithIndex.map { case (c, i) =>
+      struct(graft.functions.similarityExprs
+        .cosine_sim(v, typedLit(c)).as("s"), lit(i).as("cell"))
+    }
+    transform(
+      slice(reverse(array_sort(array(scored: _*))), 1, nProbe),
+      e => e.getField("cell"))
+  }
+
+  /** Build the inverted index: corpus rows tagged with their cell. */
+  def index(df: DataFrame, idCol: String, vecCol: String,
+      centroids: Seq[Seq[Double]]): DataFrame =
+    df.select(
+      col(idCol).as("__id__"),
+      VectorOps.asDouble(col(vecCol)).as("__v__"))
+      .withColumn("__cell__", cellOf(col("__v__"), centroids))
+
+  /** Top-k cosine neighbors per query, probing `nProbe` cells.
+    * `queries` is broadcast; the corpus is filtered to probed cells
+    * before any exact cosine is computed. */
+  def search(
+      indexed: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String,
+      centroids: Seq[Seq[Double]], k: Int, nProbe: Int): DataFrame = {
+    val q = broadcast(
+      queries.select(
+        col(idCol).as("query_id"),
+        VectorOps.asDouble(col(vecCol)).as("__qv__"))
+        .withColumn("__probe__", explode(probeCells(col("__qv__"), centroids, nProbe))))
+    val scored = indexed
+      .join(q, indexed("__cell__") === q("__probe__"))
+      .filter(col("__id__") =!= col("query_id"))
+      .withColumn("cosine",
+        graft.functions.similarityExprs.cosine_sim(col("__qv__"), col("__v__")))
+    val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("__id__").asc)
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("__id__").as("neighbor_id"), col("cosine"), col("rank"))
+  }
+
+  /** Convenience: train + index + search in one call. */
+  def topK(
+      corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
+      k: Int, nCells: Int = 16, nProbe: Int = 4): DataFrame = {
+    val centroids = trainCentroids(corpus, vecCol, nCells)
+    search(index(corpus, idCol, vecCol, centroids), queries, idCol, vecCol,
+      centroids, k, nProbe)
+  }
+}

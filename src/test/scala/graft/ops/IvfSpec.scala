@@ -1,0 +1,40 @@
+package graft.ops
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class IvfSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-ivf-test")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  import spark.implicits._
+
+  test("IVF search recalls most brute-force top-k on the embeddings table") {
+    val emb = graft.Tables.load(spark, "/root/testdata/sf0.01", "embeddings")
+    val queries = emb.filter($"vec_id" < 5)
+    val ivf = Ivf.topK(emb, queries, "vec_id", "embedding", k = 5, nCells = 8, nProbe = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = VectorOps.bruteForceTopK(emb, queries, "vec_id", "embedding", 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (ivf & brute).size.toDouble / brute.size
+    assert(recall >= 0.5, s"recall=$recall (ivf=${ivf.size}, brute=${brute.size})")
+    assert(ivf.size == brute.size) // k results per query either way
+  }
+
+  test("cell assignment is deterministic and centroids are stable") {
+    val emb = graft.Tables.load(spark, "/root/testdata/sf0.01", "embeddings")
+    val c1 = Ivf.trainCentroids(emb, "embedding", nCells = 4)
+    val c2 = Ivf.trainCentroids(emb, "embedding", nCells = 4)
+    assert(c1 == c2)
+    val cells = Ivf.index(emb, "vec_id", "embedding", c1)
+      .groupBy("__cell__").count().collect().map(_.getLong(1))
+    assert(cells.sum == emb.count())
+    assert(cells.length > 1) // quantizer actually partitions
+  }
+}
