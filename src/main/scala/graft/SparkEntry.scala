@@ -15,10 +15,16 @@ import org.apache.spark.sql.types._
   * Cross-engine determinism rules used throughout:
   *  - money sums run over DECIMAL(18,2) operands (exact, order-free);
   *    double sums would differ from DuckDB in the final bits.
+  *  - every computed numeric output is cast to ONE explicit type on BOTH
+  *    engines: aggregate result types differ otherwise (Spark
+  *    sum(DECIMAL(18,2)) → DECIMAL(28,2) vs DuckDB → DECIMAL(38,2);
+  *    Spark sum(INT) → BIGINT vs DuckDB → HUGEINT), which the driver's
+  *    hash compare is sensitive to even when every value is identical.
+  *  - every query ends in a deterministic total ORDER BY mirrored in the
+  *    oracle SQL (DuckDB sorts NULLS LAST by default, Spark NULLS FIRST —
+  *    nullable sort keys carry explicit NULLS FIRST in the SQL).
   *  - doubles in output are either raw column values or a single
   *    division of integer-valued operands (bit-identical in IEEE754).
-  *  - row sets are made deterministic (explicit orderings for top-k /
-  *    unique) so the hash compare is stable.
   */
 object SparkEntry {
 
@@ -30,6 +36,10 @@ object SparkEntry {
 
   private val dec = DecimalType(18, 2)
   private def dec2(c: Column): Column = c.cast(dec)
+  // canonical output types for computed aggregates (see scaladoc above)
+  private val sumDec = DecimalType(38, 2)   // sum over DECIMAL(18,2)
+  private val sumDec4 = DecimalType(38, 4)  // sum over (18,2)*(19,2) products
+  private def asBig(c: Column): Column = c.cast(LongType)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
@@ -42,19 +52,19 @@ object SparkEntry {
     "q1_agg" -> { (s, dir) =>
       p(s, dir, "lineitem")
         .groupAgg(Seq("l_returnflag", "l_linestatus"))(
-          sum(dec2(col("l_quantity"))).as("sum_qty"),
-          sum(dec2(col("l_extendedprice"))).as("sum_base_price"),
-          sum(dec2(col("l_extendedprice")) * (lit(1) - dec2(col("l_discount")))).as("sum_disc_price"),
+          sum(dec2(col("l_quantity"))).cast(sumDec).as("sum_qty"),
+          sum(dec2(col("l_extendedprice"))).cast(sumDec).as("sum_base_price"),
+          sum(dec2(col("l_extendedprice")) * (lit(1) - dec2(col("l_discount")))).cast(sumDec4).as("sum_disc_price"),
           count(lit(1)).as("count_order"))
-        .sortBy("l_returnflag", "l_linestatus")
         .toDF
+        .orderBy("l_returnflag", "l_linestatus")
     },
 
     "q_reduce" -> { (s, dir) =>
       // gratum reduce (fold-to-one-row) as a global aggregation
       p(s, dir, "lineitem")
         .reduceAgg(
-          sum(dec2(col("l_extendedprice"))).as("total_price"),
+          sum(dec2(col("l_extendedprice"))).cast(sumDec).as("total_price"),
           min(col("l_quantity")).as("min_qty"),
           max(col("l_quantity")).as("max_qty"),
           count(lit(1)).as("n"))
@@ -66,8 +76,9 @@ object SparkEntry {
       p(s, dir, "documents")
         .groupAgg(Seq("lang", "source"))(
           count(lit(1)).as("n_docs"),
-          sum(col("n_chars")).as("total_chars"))
+          asBig(sum(col("n_chars"))).as("total_chars"))
         .toDF
+        .orderBy("lang", "source")
     },
 
     "q_flattenwindow" -> { (s, dir) =>
@@ -79,6 +90,7 @@ object SparkEntry {
           count(lit(1)).as("n"),
           min(col("event_type")).as("event_type"))
         .toDF
+        .orderBy("user_id", "window_id")
     },
 
     // ------------------------------------------------------ filters (§2.3)
@@ -89,6 +101,7 @@ object SparkEntry {
           "o_orderpriority" -> Seq("1-URGENT", "2-HIGH")))
         .clip("o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority")
         .toDF
+        .orderBy("o_orderkey")
     },
 
     "q_filter_regex" -> { (s, dir) =>
@@ -96,6 +109,7 @@ object SparkEntry {
         .filter(Map("text" -> "merge join".r))
         .clip("doc_id", "lang")
         .toDF
+        .orderBy("doc_id")
     },
 
     "q_filter_expr" -> { (s, dir) =>
@@ -103,6 +117,7 @@ object SparkEntry {
         .filter(col("l_quantity") > 45 && col("l_discount") >= 0.05)
         .clip("l_orderkey", "l_linenumber", "l_quantity", "l_discount")
         .toDF
+        .orderBy("l_orderkey", "l_linenumber")
     },
 
     "q_unique" -> { (s, dir) =>
@@ -111,6 +126,7 @@ object SparkEntry {
         .unique("c_nationkey", orderBy = "c_custkey")
         .clip("c_nationkey", "c_custkey", "c_name")
         .toDF
+        .orderBy("c_nationkey")
     },
 
     "q_topk" -> { (s, dir) =>
@@ -119,16 +135,18 @@ object SparkEntry {
         .limitRows(100)
         .clip("o_orderkey", "o_totalprice")
         .toDF
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
     },
 
     // --------------------------------------- projection / columns (§2.2)
     "q_addfield" -> { (s, dir) =>
       p(s, dir, "lineitem")
-        .addField("revenue", dec2(col("l_extendedprice")) * (lit(1) - dec2(col("l_discount"))))
+        .addField("revenue", (dec2(col("l_extendedprice")) * (lit(1) - dec2(col("l_discount")))).cast(sumDec4))
         .addField("big", col("l_quantity") >= 25)
         .filter(col("l_orderkey") <= 1000)
         .clip("l_orderkey", "l_linenumber", "revenue", "big")
         .toDF
+        .orderBy("l_orderkey", "l_linenumber")
     },
 
     "q_columns" -> { (s, dir) =>
@@ -139,10 +157,11 @@ object SparkEntry {
         .removeField("c_acctbal")
         .clip("c_custkey", "customer_name", "c_mktsegment", "source")
         .toDF
+        .orderBy("c_custkey")
     },
 
     "q_trim" -> { (s, dir) =>
-      p(s, dir, "nation").trimAll().toDF
+      p(s, dir, "nation").trimAll().toDF.orderBy("n_nationkey")
     },
 
     "q_defaults" -> { (s, dir) =>
@@ -154,6 +173,7 @@ object SparkEntry {
         .defaultsBy("maybe_props" -> "event_type")
         .clip("event_id", "maybe_type", "maybe_props")
         .toDF
+        .orderBy("event_id")
     },
 
     "q_replace" -> { (s, dir) =>
@@ -163,6 +183,7 @@ object SparkEntry {
         .replaceValues("n_regionkey_s", Map("0" -> "zero", "1" -> "one", "2" -> "two"))
         .clip("n_nationkey", "n_name", "n_regionkey_s")
         .toDF
+        .orderBy("n_nationkey")
     },
 
     // ----------------------------------------------------- casts (§1.2)
@@ -173,7 +194,7 @@ object SparkEntry {
           when(col("l_linenumber") === 7, lit("seven"))
             .otherwise(col("l_linenumber").cast(StringType)))
         .asInt("ln_s")
-        .reduceAgg(count(lit(1)).as("n_loaded"), sum(col("ln_s")).as("sum_ln"))
+        .reduceAgg(count(lit(1)).as("n_loaded"), asBig(sum(col("ln_s"))).as("sum_ln"))
         .toDF
     },
 
@@ -183,7 +204,7 @@ object SparkEntry {
           when(col("l_linenumber") === 6, lit("NaN?no"))
             .otherwise(col("l_quantity").cast(StringType)))
         .asDouble("qty_s")
-        .reduceAgg(count(lit(1)).as("n_loaded"), sum(dec2(col("qty_s"))).as("sum_qty"))
+        .reduceAgg(count(lit(1)).as("n_loaded"), sum(dec2(col("qty_s"))).cast(sumDec).as("sum_qty"))
         .toDF
     },
 
@@ -199,6 +220,7 @@ object SparkEntry {
         .asBoolean("flag_s")
         .groupAgg(Seq("flag_s"))(count(lit(1)).as("n"))
         .toDF
+        .orderBy(col("flag_s").asc)  // nulls first; oracle says NULLS FIRST
     },
 
     "q_asdate" -> { (s, dir) =>
@@ -221,6 +243,7 @@ object SparkEntry {
         .join(p(s, dir, "customer"), Map("o_custkey" -> "c_custkey"), left = false)
         .clip("o_orderkey", "o_custkey", "c_name", "o_totalprice")
         .toDF
+        .orderBy("o_orderkey")
     },
 
     "q_join_left" -> { (s, dir) =>
@@ -229,8 +252,9 @@ object SparkEntry {
           Seq("c_custkey"), left = true)
         .groupAgg(Seq("c_custkey"))(
           count(col("o_orderkey")).as("n_orders"),
-          sum(dec2(col("o_totalprice"))).as("total_spend"))
+          sum(dec2(col("o_totalprice"))).cast(sumDec).as("total_spend"))
         .toDF
+        .orderBy("c_custkey")
     },
 
     "q5_join_agg" -> { (s, dir) =>
@@ -242,9 +266,10 @@ object SparkEntry {
         .join(p(s, dir, "nation"), Map("c_nationkey" -> "n_nationkey"), left = false)
         .join(p(s, dir, "region"), Map("n_regionkey" -> "r_regionkey"), left = false)
         .groupAgg(Seq("n_name", "r_name"))(
-          sum(dec2(col("l_extendedprice")) * (lit(1) - dec2(col("l_discount")))).as("revenue"),
+          sum(dec2(col("l_extendedprice")) * (lit(1) - dec2(col("l_discount")))).cast(sumDec4).as("revenue"),
           count(lit(1)).as("n_items"))
         .toDF
+        .orderBy("n_name", "r_name")
     },
 
     "q_intersect" -> { (s, dir) =>
@@ -254,6 +279,7 @@ object SparkEntry {
           p(s, dir, "orders").renameFields("o_custkey" -> "c_custkey"), Seq("c_custkey"))
         .clip("c_custkey", "included")
         .toDF
+        .orderBy("c_custkey")
     },
 
     "q_concat" -> { (s, dir) =>
@@ -262,6 +288,7 @@ object SparkEntry {
         .clip("c_custkey", "c_name", "c_nationkey")
         .concatWith(p(s, dir, "supplier").clip("s_suppkey", "s_name", "s_nationkey"))
         .toDF
+        .orderBy(col("c_custkey").asc, col("s_suppkey").asc) // nulls first both
     },
 
     "q_explode" -> { (s, dir) =>
@@ -272,6 +299,7 @@ object SparkEntry {
         .explodeField("tokens", "token")
         .clip("doc_id", "token")
         .toDF
+        .orderBy("doc_id", "token")
     },
 
     "q_filldown" -> { (s, dir) =>
@@ -282,6 +310,7 @@ object SparkEntry {
         .fillDown(Seq("user_id"), "event_id", Seq("sparse_type"))
         .clip("event_id", "user_id", "sparse_type")
         .toDF
+        .orderBy("event_id")
     },
 
     "q_json" -> { (s, dir) =>
@@ -289,9 +318,10 @@ object SparkEntry {
       p(s, dir, "events")
         .addField("k", get_json_object(col("props"), "$.k").cast(IntegerType))
         .groupAgg(Seq("event_type"))(
-          sum(col("k")).as("sum_k"),
+          asBig(sum(col("k"))).as("sum_k"),
           count(lit(1)).as("n"))
         .toDF
+        .orderBy("event_type")
     },
 
     "q_group_topk" -> { (s, dir) =>
@@ -299,6 +329,7 @@ object SparkEntry {
       // window sort; k-bounded partial buffers with map-side combine)
       ops.Aggregators.groupTopK(
         t(s, dir, "events"), Seq("user_id"), "value", "event_id", k = 3)
+        .orderBy("user_id", "event_id")
     },
 
     "q_window" -> { (s, dir) =>
@@ -313,6 +344,7 @@ object SparkEntry {
         .withColumn("next_type", lead(col("event_type"), 1).over(byTime))
         .filter(col("value_rank") <= 3)
         .select("user_id", "event_id", "event_type", "value_rank", "prev_type", "next_type")
+        .orderBy("user_id", "event_id")
     },
 
     "q_running" -> { (s, dir) =>
@@ -322,18 +354,23 @@ object SparkEntry {
       val w = Window.partitionBy("user_id").orderBy("event_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       t(s, dir, "events")
-        .withColumn("running_value", sum(col("value").cast(dec)).over(w))
+        .withColumn("running_value", sum(col("value").cast(dec)).over(w).cast(sumDec))
         .withColumn("n_so_far", count(lit(1)).over(w))
         .select("user_id", "event_id", "running_value", "n_so_far")
+        .orderBy("user_id", "event_id")
     },
 
     "q_rollup" -> { (s, dir) =>
       t(s, dir, "lineitem")
         .rollup(col("l_returnflag"), col("l_linestatus"))
         .agg(
-          sum(dec2(col("l_quantity"))).as("sum_qty"),
+          sum(dec2(col("l_quantity"))).cast(sumDec).as("sum_qty"),
           count(lit(1)).as("n"),
           grouping_id().cast(IntegerType).as("gid"))
+        // gid determines which keys are NULL, so within a gid the sort
+        // keys are either all non-null or constant-null (no cross-engine
+        // null-ordering ambiguity)
+        .orderBy("gid", "l_returnflag", "l_linestatus")
     },
 
     "q_rejections" -> { (s, dir) =>
@@ -348,41 +385,48 @@ object SparkEntry {
         .rejections
         .groupBy("rejectionStep", "rejectionCategory")
         .agg(count(lit(1)).as("n"))
+        .orderBy("rejectionStep")
     },
 
     // ------------------------- beyond-reference: text analysis
     "q_token_count" -> { (s, dir) =>
+      // BIGINT counts: DuckDB len()/length() are int64, Spark's int32
       t(s, dir, "documents").select(
         col("doc_id"),
-        ops.TextOps.tokenCount(col("text")).as("n_tokens"))
+        asBig(ops.TextOps.tokenCount(col("text"))).as("n_tokens"))
+        .orderBy("doc_id")
     },
 
     "q_quality" -> { (s, dir) =>
       t(s, dir, "documents").select(
         col("doc_id"),
-        length(col("text")).as("n_chars_m"),
-        ops.TextOps.tokenCount(col("text")).as("n_tokens"),
+        asBig(length(col("text"))).as("n_chars_m"),
+        asBig(ops.TextOps.tokenCount(col("text"))).as("n_tokens"),
         ops.TextOps.alphaRatio(col("text")).as("alpha_ratio"),
         ops.TextOps.avgTokenLen(col("text")).as("avg_token_len"),
         ops.TextOps.stopwordRatio(col("text"), ops.TextOps.englishStopwords).as("stopword_ratio"))
+        .orderBy("doc_id")
     },
 
     "q_langid" -> { (s, dir) =>
       t(s, dir, "documents")
         .select(col("doc_id"), ops.TextOps.langId(col("text")).as("pred_lang"), col("lang"))
         .withColumn("agree", col("pred_lang") === col("lang"))
+        .orderBy("doc_id")
     },
 
     "q_fingerprint" -> { (s, dir) =>
       t(s, dir, "documents").select(
         col("doc_id"),
         ops.TextOps.fingerprint(col("text")).as("fp"))
+        .orderBy("doc_id")
     },
 
     // ------------------------- beyond-reference: dedup
     "q_dedup_exact" -> { (s, dir) =>
       ops.Dedup.exact(t(s, dir, "documents"), "text", "doc_id")
         .select("doc_id", "lang", "n_chars")
+        .orderBy("doc_id")
     },
 
     "q_dedup_minhash" -> { (s, dir) =>
@@ -411,12 +455,14 @@ object SparkEntry {
       val emb = t(s, dir, "embeddings")
       ops.VectorOps.bruteForceTopK(
         emb, emb.filter(col("vec_id") < 5), "vec_id", "embedding", k = 5)
+        .orderBy("query_id", "rank")
     },
 
     "q_simsearch_threshold" -> { (s, dir) =>
       val emb = t(s, dir, "embeddings")
       ops.VectorOps.cosineThreshold(
         emb, emb.filter(col("vec_id") < 20), "vec_id", "embedding", threshold = 0.3)
+        .orderBy("query_id", "neighbor_id")
     },
 
     "q_simsearch_ivf" -> { (s, dir) =>
@@ -444,6 +490,7 @@ object SparkEntry {
         .select(col("doc_id"), col("media_meta.mime").as("mime"),
           col("media_meta.size_bytes").as("size_bytes"),
           col("media_meta.content_md5").as("content_md5"))
+        .orderBy("doc_id")
     }
   )
 
@@ -452,21 +499,23 @@ object SparkEntry {
   def oracleSql: Map[String, String] = Map(
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
-        |  sum(cast(l_quantity AS DECIMAL(18,2))) AS sum_qty,
-        |  sum(cast(l_extendedprice AS DECIMAL(18,2))) AS sum_base_price,
-        |  sum(cast(l_extendedprice AS DECIMAL(18,2)) * (1 - cast(l_discount AS DECIMAL(18,2)))) AS sum_disc_price,
+        |  cast(sum(cast(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty,
+        |  cast(sum(cast(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_base_price,
+        |  cast(sum(cast(l_extendedprice AS DECIMAL(18,2)) * (1 - cast(l_discount AS DECIMAL(18,2)))) AS DECIMAL(38,4)) AS sum_disc_price,
         |  count(*) AS count_order
         |FROM lineitem GROUP BY l_returnflag, l_linestatus
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
 
     "q_reduce" ->
-      """SELECT sum(cast(l_extendedprice AS DECIMAL(18,2))) AS total_price,
+      """SELECT cast(sum(cast(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total_price,
         |  min(l_quantity) AS min_qty, max(l_quantity) AS max_qty, count(*) AS n
         |FROM lineitem""".stripMargin,
 
     "q_groupcount" ->
-      """SELECT lang, source, count(*) AS n_docs, sum(n_chars) AS total_chars
-        |FROM documents GROUP BY lang, source""".stripMargin,
+      """SELECT lang, source, count(*) AS n_docs,
+        |  cast(sum(n_chars) AS BIGINT) AS total_chars
+        |FROM documents GROUP BY lang, source
+        |ORDER BY lang, source""".stripMargin,
 
     "q_flattenwindow" ->
       """WITH chg AS (
@@ -476,26 +525,31 @@ object SparkEntry {
         |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY event_id)
         |), sess AS (
         |  SELECT user_id, event_id, event_type,
-        |    sum(c) OVER (PARTITION BY user_id ORDER BY event_id
-        |                 ROWS UNBOUNDED PRECEDING) AS window_id
+        |    cast(sum(c) OVER (PARTITION BY user_id ORDER BY event_id
+        |                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS window_id
         |  FROM chg)
         |SELECT user_id, window_id, count(*) AS n, min(event_type) AS event_type
-        |FROM sess GROUP BY user_id, window_id""".stripMargin,
+        |FROM sess GROUP BY user_id, window_id
+        |ORDER BY user_id, window_id""".stripMargin,
 
     "q_filter_map" ->
       """SELECT o_orderkey, o_custkey, o_totalprice, o_orderpriority FROM orders
-        |WHERE o_orderstatus = 'O' AND o_orderpriority IN ('1-URGENT','2-HIGH')""".stripMargin,
+        |WHERE o_orderstatus = 'O' AND o_orderpriority IN ('1-URGENT','2-HIGH')
+        |ORDER BY o_orderkey""".stripMargin,
 
     "q_filter_regex" ->
-      """SELECT doc_id, lang FROM documents WHERE regexp_matches(text, 'merge join')""".stripMargin,
+      """SELECT doc_id, lang FROM documents WHERE regexp_matches(text, 'merge join')
+        |ORDER BY doc_id""".stripMargin,
 
     "q_filter_expr" ->
       """SELECT l_orderkey, l_linenumber, l_quantity, l_discount FROM lineitem
-        |WHERE l_quantity > 45 AND l_discount >= 0.05""".stripMargin,
+        |WHERE l_quantity > 45 AND l_discount >= 0.05
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
 
     "q_unique" ->
       """SELECT c_nationkey, c_custkey, c_name FROM customer
-        |QUALIFY row_number() OVER (PARTITION BY c_nationkey ORDER BY c_custkey) = 1""".stripMargin,
+        |QUALIFY row_number() OVER (PARTITION BY c_nationkey ORDER BY c_custkey) = 1
+        |ORDER BY c_nationkey""".stripMargin,
 
     "q_topk" ->
       """SELECT o_orderkey, o_totalprice FROM orders
@@ -503,19 +557,20 @@ object SparkEntry {
 
     "q_addfield" ->
       """SELECT l_orderkey, l_linenumber,
-        |  cast(l_extendedprice AS DECIMAL(18,2)) * (1 - cast(l_discount AS DECIMAL(18,2))) AS revenue,
+        |  cast(cast(l_extendedprice AS DECIMAL(18,2)) * (1 - cast(l_discount AS DECIMAL(18,2))) AS DECIMAL(38,4)) AS revenue,
         |  l_quantity >= 25 AS big
-        |FROM lineitem WHERE l_orderkey <= 1000""".stripMargin,
+        |FROM lineitem WHERE l_orderkey <= 1000
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
 
     "q_columns" ->
       """SELECT c_custkey, c_name AS customer_name, c_mktsegment, 'tpch' AS source
-        |FROM customer""".stripMargin,
+        |FROM customer ORDER BY c_custkey""".stripMargin,
 
     "q_trim" ->
       """SELECT trim(cast(n_nationkey AS VARCHAR)) AS n_nationkey,
         |  trim(n_name) AS n_name,
         |  trim(cast(n_regionkey AS VARCHAR)) AS n_regionkey
-        |FROM nation""".stripMargin,
+        |FROM nation ORDER BY n_nationkey""".stripMargin,
 
     "q_defaults" ->
       """SELECT event_id,
@@ -523,26 +578,27 @@ object SparkEntry {
         |  CASE WHEN coalesce(CASE WHEN value >= 80 THEN '' ELSE props END, '') = ''
         |       THEN event_type
         |       ELSE CASE WHEN value >= 80 THEN '' ELSE props END END AS maybe_props
-        |FROM events""".stripMargin,
+        |FROM events ORDER BY event_id""".stripMargin,
 
     "q_replace" ->
       """SELECT n_nationkey, regexp_replace(n_name, '[AEIOU]', '_', 'g') AS n_name,
         |  CASE cast(n_regionkey AS VARCHAR)
         |    WHEN '0' THEN 'zero' WHEN '1' THEN 'one' WHEN '2' THEN 'two'
         |    ELSE cast(n_regionkey AS VARCHAR) END AS n_regionkey_s
-        |FROM nation""".stripMargin,
+        |FROM nation ORDER BY n_nationkey""".stripMargin,
 
     "q_asint" ->
       """WITH t AS (SELECT CASE WHEN l_linenumber = 7 THEN 'seven'
         |    ELSE cast(l_linenumber AS VARCHAR) END AS ln_s FROM lineitem)
-        |SELECT count(*) AS n_loaded, sum(try_cast(ln_s AS INTEGER)) AS sum_ln
+        |SELECT count(*) AS n_loaded,
+        |  cast(sum(try_cast(ln_s AS INTEGER)) AS BIGINT) AS sum_ln
         |FROM t WHERE ln_s IS NULL OR trim(ln_s) = '' OR try_cast(ln_s AS INTEGER) IS NOT NULL""".stripMargin,
 
     "q_asdouble" ->
       """WITH t AS (SELECT CASE WHEN l_linenumber = 6 THEN 'NaN?no'
         |    ELSE cast(l_quantity AS VARCHAR) END AS qty_s FROM lineitem)
         |SELECT count(*) AS n_loaded,
-        |  sum(cast(try_cast(qty_s AS DOUBLE) AS DECIMAL(18,2))) AS sum_qty
+        |  cast(sum(cast(try_cast(qty_s AS DOUBLE) AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty
         |FROM t WHERE qty_s IS NULL OR trim(qty_s) = '' OR try_cast(qty_s AS DOUBLE) IS NOT NULL""".stripMargin,
 
     "q_asboolean" ->
@@ -552,7 +608,8 @@ object SparkEntry {
         |SELECT CASE WHEN raw IS NULL OR raw = '' THEN NULL
         |  ELSE raw IN ('Y','y','yes','YES','Yes','1','T','t','true','True','TRUE') END AS flag_s,
         |  count(*) AS n
-        |FROM t GROUP BY 1""".stripMargin,
+        |FROM t GROUP BY 1
+        |ORDER BY flag_s NULLS FIRST""".stripMargin,
 
     "q_asdate" ->
       """WITH t AS (SELECT CASE WHEN o_orderkey % 10 = 0
@@ -564,43 +621,50 @@ object SparkEntry {
 
     "q_join_inner" ->
       """SELECT o_orderkey, o_custkey, c_name, o_totalprice
-        |FROM orders JOIN customer ON o_custkey = c_custkey""".stripMargin,
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |ORDER BY o_orderkey""".stripMargin,
 
     "q_join_left" ->
       """SELECT c_custkey, count(o_orderkey) AS n_orders,
-        |  sum(cast(o_totalprice AS DECIMAL(18,2))) AS total_spend
+        |  cast(sum(cast(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total_spend
         |FROM customer LEFT JOIN orders ON o_custkey = c_custkey
-        |GROUP BY c_custkey""".stripMargin,
+        |GROUP BY c_custkey
+        |ORDER BY c_custkey""".stripMargin,
 
     "q5_join_agg" ->
       """SELECT n_name, r_name,
-        |  sum(cast(l_extendedprice AS DECIMAL(18,2)) * (1 - cast(l_discount AS DECIMAL(18,2)))) AS revenue,
+        |  cast(sum(cast(l_extendedprice AS DECIMAL(18,2)) * (1 - cast(l_discount AS DECIMAL(18,2)))) AS DECIMAL(38,4)) AS revenue,
         |  count(*) AS n_items
         |FROM lineitem
         |JOIN orders ON l_orderkey = o_orderkey
         |JOIN customer ON o_custkey = c_custkey
         |JOIN nation ON c_nationkey = n_nationkey
         |JOIN region ON n_regionkey = r_regionkey
-        |GROUP BY n_name, r_name""".stripMargin,
+        |GROUP BY n_name, r_name
+        |ORDER BY n_name, r_name""".stripMargin,
 
     "q_intersect" ->
       """SELECT c_custkey,
         |  c_custkey IN (SELECT o_custkey FROM orders) AS included
-        |FROM customer""".stripMargin,
+        |FROM customer ORDER BY c_custkey""".stripMargin,
 
     "q_concat" ->
-      """SELECT c_custkey, c_name, c_nationkey,
-        |  cast(NULL AS BIGINT) AS s_suppkey, cast(NULL AS VARCHAR) AS s_name,
-        |  cast(NULL AS INTEGER) AS s_nationkey
-        |FROM customer
-        |UNION ALL
-        |SELECT cast(NULL AS BIGINT), cast(NULL AS VARCHAR), cast(NULL AS INTEGER),
-        |  s_suppkey, s_name, s_nationkey
-        |FROM supplier""".stripMargin,
+      """SELECT * FROM (
+        |  SELECT c_custkey, c_name, c_nationkey,
+        |    cast(NULL AS BIGINT) AS s_suppkey, cast(NULL AS VARCHAR) AS s_name,
+        |    cast(NULL AS INTEGER) AS s_nationkey
+        |  FROM customer
+        |  UNION ALL
+        |  SELECT cast(NULL AS BIGINT), cast(NULL AS VARCHAR), cast(NULL AS INTEGER),
+        |    s_suppkey, s_name, s_nationkey
+        |  FROM supplier)
+        |ORDER BY c_custkey NULLS FIRST, s_suppkey NULLS FIRST""".stripMargin,
 
     "q_explode" ->
-      """SELECT doc_id, unnest(string_split(text, ' ')) AS token
-        |FROM documents WHERE doc_id < 50""".stripMargin,
+      """SELECT * FROM (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        |  FROM documents WHERE doc_id < 50)
+        |ORDER BY doc_id, token""".stripMargin,
 
     "q_filldown" ->
       """WITH sparse AS (
@@ -611,17 +675,20 @@ object SparkEntry {
         |  coalesce(sparse_type,
         |    last_value(sparse_type IGNORE NULLS) OVER (
         |      PARTITION BY user_id ORDER BY event_id ROWS UNBOUNDED PRECEDING)) AS sparse_type
-        |FROM sparse""".stripMargin,
+        |FROM sparse ORDER BY event_id""".stripMargin,
 
     "q_json" ->
-      """SELECT event_type, sum(cast(json_extract_string(props, '$.k') AS INTEGER)) AS sum_k,
+      """SELECT event_type,
+        |  cast(sum(cast(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT) AS sum_k,
         |  count(*) AS n
-        |FROM events GROUP BY event_type""".stripMargin,
+        |FROM events GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
 
     "q_group_topk" ->
       """SELECT user_id, value, event_id FROM events
         |QUALIFY row_number() OVER (
-        |  PARTITION BY user_id ORDER BY value DESC, event_id) <= 3""".stripMargin,
+        |  PARTITION BY user_id ORDER BY value DESC, event_id) <= 3
+        |ORDER BY user_id, event_id""".stripMargin,
 
     "q_window" ->
       """SELECT user_id, event_id, event_type, value_rank, prev_type, next_type
@@ -631,35 +698,40 @@ object SparkEntry {
         |    lag(event_type, 1) OVER (PARTITION BY user_id ORDER BY event_id) AS prev_type,
         |    lead(event_type, 1) OVER (PARTITION BY user_id ORDER BY event_id) AS next_type
         |  FROM events)
-        |WHERE value_rank <= 3""".stripMargin,
+        |WHERE value_rank <= 3
+        |ORDER BY user_id, event_id""".stripMargin,
 
     "q_running" ->
       """SELECT user_id, event_id,
-        |  sum(cast(value AS DECIMAL(18,2))) OVER w AS running_value,
+        |  cast(sum(cast(value AS DECIMAL(18,2))) OVER w AS DECIMAL(38,2)) AS running_value,
         |  count(*) OVER w AS n_so_far
         |FROM events
         |WINDOW w AS (PARTITION BY user_id ORDER BY event_id
-        |             ROWS UNBOUNDED PRECEDING)""".stripMargin,
+        |             ROWS UNBOUNDED PRECEDING)
+        |ORDER BY user_id, event_id""".stripMargin,
 
     "q_rollup" ->
       """SELECT l_returnflag, l_linestatus,
-        |  sum(cast(l_quantity AS DECIMAL(18,2))) AS sum_qty,
+        |  cast(sum(cast(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty,
         |  count(*) AS n,
         |  cast(grouping(l_returnflag) * 2 + grouping(l_linestatus) AS INTEGER) AS gid
         |FROM lineitem
-        |GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
+        |GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY gid, l_returnflag, l_linestatus""".stripMargin,
 
     "q_rejections" ->
-      """SELECT 'qty-filter' AS rejectionStep, 'IGNORE_ROW' AS rejectionCategory,
-        |  count(*) AS n
-        |FROM lineitem WHERE NOT (l_quantity <= 45)
-        |UNION ALL
-        |SELECT 'asInt(ln_s)', 'INVALID_FORMAT', count(*)
-        |FROM lineitem WHERE l_quantity <= 45 AND l_linenumber = 7""".stripMargin,
+      """SELECT * FROM (
+        |  SELECT 'qty-filter' AS rejectionStep, 'IGNORE_ROW' AS rejectionCategory,
+        |    count(*) AS n
+        |  FROM lineitem WHERE NOT (l_quantity <= 45)
+        |  UNION ALL
+        |  SELECT 'asInt(ln_s)', 'INVALID_FORMAT', count(*)
+        |  FROM lineitem WHERE l_quantity <= 45 AND l_linenumber = 7)
+        |ORDER BY rejectionStep""".stripMargin,
 
     "q_token_count" ->
       """SELECT doc_id, len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens
-        |FROM documents""".stripMargin,
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     "q_quality" ->
       s"""SELECT doc_id, length(text) AS n_chars_m,
@@ -670,7 +742,7 @@ object SparkEntry {
          |  len(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
          |        t -> t IN (${ops.TextOps.englishStopwords.map("'" + _ + "'").mkString(",")})))
          |    / len(regexp_split_to_array(trim(text), '\\s+')) AS stopword_ratio
-         |FROM documents""".stripMargin,
+         |FROM documents ORDER BY doc_id""".stripMargin,
 
     "q_langid" ->
       s"""WITH toks AS (
@@ -694,18 +766,19 @@ object SparkEntry {
          |       WHEN s_en >= greatest(s_es, s_de, s_fr) THEN 'en'
          |       WHEN s_es >= greatest(s_de, s_fr) THEN 'es'
          |       WHEN s_de >= s_fr THEN 'de' ELSE 'fr' END) = lang AS agree
-         |FROM scores""".stripMargin,
+         |FROM scores ORDER BY doc_id""".stripMargin,
 
     "q_fingerprint" ->
       """SELECT doc_id,
         |  md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
-        |FROM documents""".stripMargin,
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     "q_dedup_exact" ->
       """SELECT doc_id, lang, n_chars FROM documents
         |QUALIFY row_number() OVER (
         |  PARTITION BY md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))
-        |  ORDER BY doc_id) = 1""".stripMargin,
+        |  ORDER BY doc_id) = 1
+        |ORDER BY doc_id""".stripMargin,
 
     "q_simsearch_knn" ->
       """WITH v AS (SELECT vec_id,
@@ -718,7 +791,8 @@ object SparkEntry {
         |SELECT query_id, neighbor_id, cosine, rank FROM (
         |  SELECT *, cast(row_number() OVER (
         |    PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS INTEGER) AS rank
-        |  FROM s) WHERE rank <= 5""".stripMargin,
+        |  FROM s) WHERE rank <= 5
+        |ORDER BY query_id, rank""".stripMargin,
 
     "q_simsearch_threshold" ->
       """WITH v AS (SELECT vec_id,
@@ -731,12 +805,13 @@ object SparkEntry {
         |WHERE q.vec_id < 20 AND c.vec_id <> q.vec_id
         |  AND list_sum(list_transform(range(1, len(q.e) + 1), i -> q.e[i] * c.e[i])) /
         |    (sqrt(list_sum(list_transform(range(1, len(q.e) + 1), i -> q.e[i] * q.e[i]))) *
-        |     sqrt(list_sum(list_transform(range(1, len(c.e) + 1), i -> c.e[i] * c.e[i])))) > 0.3""".stripMargin,
+        |     sqrt(list_sum(list_transform(range(1, len(c.e) + 1), i -> c.e[i] * c.e[i])))) > 0.3
+        |ORDER BY query_id, neighbor_id""".stripMargin,
 
     "q_multimodal" ->
       """SELECT doc_id, 'application/octet-stream' AS mime,
         |  octet_length(encode(text)) AS size_bytes,
         |  md5(text) AS content_md5
-        |FROM documents""".stripMargin
+        |FROM documents ORDER BY doc_id""".stripMargin
   )
 }

@@ -345,11 +345,14 @@ final class Pipeline private (
   /** gratum `asDate` (Pipeline.groovy:779-798): try each format in order;
     * null/empty pass through; unparseable rejected INVALID_FORMAT.
     * Formats are Spark `DateTimeFormatter` patterns (reference used
-    * SimpleDateFormat — documented deviation). */
+    * SimpleDateFormat — documented deviation). Produces TIMESTAMP_NTZ:
+    * the reference parses wall-clock dates with no timezone, and the
+    * UTC-adjusted TimestampType would not round-trip against naive
+    * timestamps in other engines. */
   def asDate(column: String, formats: String*): Pipeline = {
     val fmts = if (formats.isEmpty) Seq("yyyy-MM-dd") else formats
     def parsed(c: Column): Column =
-      coalesce(fmts.map(f => try_to_timestamp(c, lit(f))): _*)
+      coalesce(fmts.map(f => try_to_timestamp(c, lit(f))): _*).cast(TimestampNTZType)
     add(FilterStep(
       s"asDate($column, ${fmts.mkString(",")})",
       RejectionCategory.INVALID_FORMAT,
@@ -361,7 +364,7 @@ final class Pipeline private (
       },
       df => df.withColumn(column, {
         val s = col(column).cast(StringType)
-        when(s.isNull || trim(s) === "", lit(null).cast(TimestampType))
+        when(s.isNull || trim(s) === "", lit(null).cast(TimestampNTZType))
           .otherwise(parsed(s))
       })))
   }

@@ -114,7 +114,7 @@ class PipelineSpec extends AnyFunSuite {
     assert(bdf.where(col("b")).count() == 1)
 
     val ddf = Pipeline.of(d).asDate("dt").toDF
-    assert(ddf.schema("dt").dataType == TimestampType)
+    assert(ddf.schema("dt").dataType == TimestampNTZType)
     assert(ddf.where(col("dt").isNotNull).count() == 2)
 
     val bad = Pipeline.of(Seq(("x", "07/04/2020")).toDF("id", "dt")).asDate("dt").go()

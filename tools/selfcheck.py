@@ -7,6 +7,15 @@ before the driver does. Usage:
 
     sbt "runMain graft.Verify /root/testdata/sf0.01 /tmp/verify_out"
     python3 tools/selfcheck.py /root/testdata/sf0.01 /tmp/verify_out
+
+The compare is deliberately STRICTER than the driver's:
+  - Arrow schema types must match exactly (column name -> arrow type,
+    including decimal precision/scale and int width). Round 1 showed the
+    driver hash is type-sensitive even when schema_match (names) passes.
+  - Rows are compared IN FILE ORDER (every query carries a total ORDER
+    BY on both engines), then again order-insensitively to distinguish
+    "wrong order" from "wrong values".
+A green selfcheck should imply a green driver gate.
 """
 import json
 import sys
@@ -22,7 +31,7 @@ def norm_cell(v):
     if v is None:
         return "NULL"
     if isinstance(v, float):
-        return f"{v:.9g}"
+        return f"{v:.17g}"
     if isinstance(v, bytes):
         return v.hex()
     if isinstance(v, list):
@@ -31,12 +40,13 @@ def norm_cell(v):
 
 
 def canon(table):
-    """Arrow table -> (schema-cols, sorted row tuples) with cols sorted by name."""
+    """Arrow table -> (sorted (name,type) pairs, rows-in-file-order)."""
     cols = sorted(table.column_names)
+    typed = [(c, str(table.schema.field(c).type)) for c in cols]
     pydata = {c: table.column(c).to_pylist() for c in cols}
     n = table.num_rows
-    rows = sorted(tuple(norm_cell(pydata[c][i]) for c in cols) for i in range(n))
-    return cols, rows
+    rows = [tuple(norm_cell(pydata[c][i]) for c in cols) for i in range(n)]
+    return typed, rows
 
 
 def main(sf_dir, out_dir):
@@ -60,10 +70,11 @@ def main(sf_dir, out_dir):
             print(f"FAIL {name}: oracle SQL error: {e}")
             n_fail += 1
             continue
-        scols, srows = canon(spark_tbl)
-        dcols, drows = canon(duck_tbl)
-        if scols != dcols:
-            print(f"FAIL {name}: columns differ spark={scols} duck={dcols}")
+        stypes, srows = canon(spark_tbl)
+        dtypes, drows = canon(duck_tbl)
+        if stypes != dtypes:
+            diff = [(a, b) for a, b in zip(stypes, dtypes) if a != b]
+            print(f"FAIL {name}: arrow types differ: {diff or (stypes, dtypes)}")
             n_fail += 1
             continue
         if len(srows) != len(drows):
@@ -71,12 +82,18 @@ def main(sf_dir, out_dir):
             n_fail += 1
             continue
         if srows != drows:
-            bad = [i for i, (a, b) in enumerate(zip(srows, drows)) if a != b]
-            print(f"FAIL {name}: {len(bad)}/{len(srows)} rows differ; first: ")
-            i = bad[0]
-            print(f"   cols : {scols}")
-            print(f"   spark: {srows[i]}")
-            print(f"   duck : {drows[i]}")
+            if sorted(srows) == sorted(drows):
+                bad = [i for i, (a, b) in enumerate(zip(srows, drows)) if a != b]
+                print(f"FAIL {name}: values match but ROW ORDER differs "
+                      f"({len(bad)} positions; first at {bad[0]})")
+            else:
+                ss, ds = sorted(srows), sorted(drows)
+                bad = [i for i, (a, b) in enumerate(zip(ss, ds)) if a != b]
+                print(f"FAIL {name}: {len(bad)}/{len(srows)} rows differ; first: ")
+                i = bad[0]
+                print(f"   cols : {[c for c, _ in stypes]}")
+                print(f"   spark: {ss[i]}")
+                print(f"   duck : {ds[i]}")
             n_fail += 1
             continue
         print(f"PASS {name} ({len(srows)} rows)")
