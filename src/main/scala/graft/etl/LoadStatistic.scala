@@ -5,15 +5,18 @@ package graft.etl
   * Mirrors the observable surface of the reference's LoadStatistic
   * (gratum `src/main/groovy/gratum/etl/LoadStatistic.groovy:12-19`):
   * loaded row count, rejections keyed by category and step, wall-clock
-  * duration. Per-step CPU timings are intentionally not reproduced —
-  * Spark executes fused whole-stage-codegen'd plans, so per-step wall
-  * time is not attributable (documented deviation, SURVEY.md §4).
+  * duration, per-step timings. Timing approximation: Spark executes
+  * fused whole-stage-codegen'd plans, so steps fused into the single
+  * counting action all report that action's duration; sinks and
+  * branches (separate actions) report their own wall time (documented
+  * deviation, SURVEY.md §4).
   */
 final case class LoadStatistic(
     name: String,
     loaded: Long,
     rejectionsByCategory: Map[RejectionCategory, Map[String, Long]],
-    durationMs: Long) {
+    durationMs: Long,
+    stepTimings: Map[String, Long] = Map.empty) {
 
   def rejections: Long =
     rejectionsByCategory.values.map(_.values.sum).sum

@@ -3,7 +3,12 @@ package graft.etl
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
-import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Observation, Row, SparkSession}
+
+/** Run-killing abort (reference `PipelineAbortException.java` +
+  * `Step.groovy:39-41`): raised when a step accumulates more than 50
+  * SCRIPT_ERROR rejections without a single loaded row. */
+class PipelineAbortException(msg: String) extends RuntimeException(msg)
 
 /** One declared transformation of the pipeline. */
 sealed trait PStep { def name: String }
@@ -11,21 +16,32 @@ sealed trait PStep { def name: String }
 /** Non-rejecting transform (projection, join, union, window, ...). */
 final case class MapStep(name: String, apply: DataFrame => DataFrame) extends PStep
 
-/** Rejecting predicate step: rows failing `keep` leave the main flow into
-  * the rejection channel; surviving rows get `onKept` applied.
+/** Rejecting predicate step: `pre` transforms the flow (default
+  * identity), then rows failing `keep` leave the main flow into the
+  * rejection channel; surviving rows get `onKept` applied, rejected
+  * rows `onRejected(input, rejected)` (to strip columns `pre` added).
   *
   * Compiled as a *real* `filter` so Catalyst still pushes it into the scan
   * — rejected rows are never carried through downstream operators (that
   * would defeat pushdown and poison joins/aggregations at scale). The
   * rejected complement is recomputed declaratively only when the
   * rejection side-channel is actually consumed.
+  *
+  * The `pre` hook lets whole-operator rejections stay countable as a
+  * row predicate in [[Pipeline.go]]'s single pass: the inner join
+  * declares `pre = left_outer join + match marker`, `keep = marker is
+  * not null` — in the uninstrumented plan Catalyst's EliminateOuterJoin
+  * rewrites that back to a plain inner join, so [[Pipeline.toDF]] loses
+  * nothing.
   */
 final case class FilterStep(
     name: String,
     category: RejectionCategory,
     reason: DataFrame => Column,
     keep: DataFrame => Column,
-    onKept: DataFrame => DataFrame = identity) extends PStep
+    onKept: DataFrame => DataFrame = identity,
+    pre: DataFrame => DataFrame = identity,
+    onRejected: (DataFrame, DataFrame) => DataFrame = (_, r) => r) extends PStep
 
 /** General rejecting step where the complement is not a column predicate
   * (e.g. the anti-join side of an inner join). */
@@ -35,6 +51,17 @@ final case class SplitStep(
     reason: String,
     apply: DataFrame => DataFrame,
     rejected: DataFrame => DataFrame) extends PStep
+
+/** Row-closure step (gratum `addStep` with an arbitrary closure,
+  * `Step.groovy:23-59`): `fn` maps one input row to zero or more output
+  * rows. A row whose closure THROWS becomes a SCRIPT_ERROR rejection; a
+  * row whose closure returns null becomes a REJECTION ("Unknown
+  * Reason", reference `Pipeline.groovy:1012-1015`). Exits whole-stage
+  * codegen — prefer declarative steps; this is the escape hatch. */
+final case class ScriptStep(
+    name: String,
+    schema: StructType,
+    fn: Row => IterableOnce[Row]) extends PStep
 
 /** Copy of the flow at this point into a side pipeline (reference:
   * gratum `Pipeline.groovy:315-361`); identity on the main flow. */
@@ -82,9 +109,51 @@ final class Pipeline private (
 
   private def applyStep(df: DataFrame, s: PStep): DataFrame = s match {
     case MapStep(_, f)                   => f(df)
-    case fs: FilterStep                  => fs.onKept(df.filter(fs.keep(df)))
+    case fs: FilterStep                  =>
+      val pre = fs.pre(df)
+      fs.onKept(pre.filter(fs.keep(pre)))
     case ss: SplitStep                   => ss.apply(df)
+    case sc: ScriptStep                  => applyScript(df, sc, null, null)
     case _: BranchStep | _: SinkStep     => df
+  }
+
+  /** Kept flow of a [[ScriptStep]]: failing/null rows are dropped (they
+    * surface via [[rejections]]/[[go]]). When accumulators are passed
+    * (go() instrumentation) they count SCRIPT_ERROR / null-REJECTION
+    * rows; task retries may overcount (documented approximation).
+    * Abort parity (`Step.groovy:39-41`): a partition that accumulates
+    * >50 script errors before its first kept row kills the run. */
+  private def applyScript(
+      df: DataFrame,
+      sc: ScriptStep,
+      errAcc: org.apache.spark.util.LongAccumulator,
+      nullAcc: org.apache.spark.util.LongAccumulator): DataFrame = {
+    val fn = sc.fn
+    df.mapPartitions { it =>
+      var errors = 0L
+      var kept = 0L
+      it.flatMap { r =>
+        try {
+          val out = fn(r)
+          if (out == null) {
+            if (nullAcc != null) nullAcc.add(1)
+            Iterator.empty
+          } else {
+            kept += 1
+            out.iterator
+          }
+        } catch {
+          case e: PipelineAbortException => throw e
+          case _: Exception =>
+            errors += 1
+            if (errAcc != null) errAcc.add(1)
+            if (errors > 50 && kept == 0)
+              throw new PipelineAbortException(
+                s"Step ${sc.name} has more than 50 script errors with no loaded rows")
+            Iterator.empty
+        }
+      }
+    }(org.apache.spark.sql.Encoders.row(sc.schema))
   }
 
   /** The optimal, uninstrumented plan of the kept (loaded) rows. */
@@ -95,27 +164,60 @@ final class Pipeline private (
     steps.take(i).foldLeft(source())(applyStep)
 
   /** All rejected rows of all steps: original columns plus
-    * `rejectionCategory`, `rejectionReason`, `rejectionStep`
-    * (reference column names: gratum `Pipeline.groovy:174-189`).
-    * Schemas across steps are aligned by name, missing columns null.
+    * `rejectionCategory`, `rejectionReason`, `rejectionStep`,
+    * `rejectionException` (reference column names: gratum
+    * `Pipeline.groovy:174-189`). Schemas across steps are aligned by
+    * name, missing columns null.
+    *
+    * Determinism: each step's complement is reconstructed from the
+    * declared plan, so for a NONDETERMINISTIC rejecting step the kept
+    * flow and this complement are two independent executions and may
+    * not partition the input. Rejecting steps must be deterministic
+    * (all built-ins are; `unique`/`limitRows(halt=false)` take an
+    * explicit ordering for exactly this reason).
     */
   def rejections: DataFrame = {
     val perStep = steps.zipWithIndex.flatMap {
       case (fs: FilterStep, i) =>
         val before = prefixDF(i)
+        val pre = fs.pre(before)
         Some(
-          before
-            .filter(!coalesce(fs.keep(before), lit(false)))
+          fs.onRejected(before, pre.filter(!coalesce(fs.keep(pre), lit(false))))
             .withColumn("rejectionCategory", lit(fs.category.name))
-            .withColumn("rejectionReason", fs.reason(before).cast(StringType))
-            .withColumn("rejectionStep", lit(fs.name)))
+            .withColumn("rejectionReason", fs.reason(pre).cast(StringType))
+            .withColumn("rejectionStep", lit(fs.name))
+            .withColumn("rejectionException", lit(null).cast(StringType)))
       case (ss: SplitStep, i) =>
         val before = prefixDF(i)
         Some(
           ss.rejected(before)
             .withColumn("rejectionCategory", lit(ss.category.name))
             .withColumn("rejectionReason", lit(ss.reason))
-            .withColumn("rejectionStep", lit(ss.name)))
+            .withColumn("rejectionStep", lit(ss.name))
+            .withColumn("rejectionException", lit(null).cast(StringType)))
+      case (sc: ScriptStep, i) =>
+        val before = prefixDF(i)
+        val fn = sc.fn
+        val excSchema = StructType(before.schema.fields :+
+          StructField("__graft_exc__", StringType))
+        val failed = before.mapPartitions { it =>
+          it.flatMap { r =>
+            try {
+              if (fn(r) == null) Some(Row.fromSeq(r.toSeq :+ null)) else None
+            } catch {
+              case e: Exception => Some(Row.fromSeq(r.toSeq :+ e.toString))
+            }
+          }
+        }(org.apache.spark.sql.Encoders.row(excSchema))
+        Some(failed
+          .withColumn("rejectionCategory",
+            when(col("__graft_exc__").isNotNull, lit(RejectionCategory.SCRIPT_ERROR.name))
+              .otherwise(lit(RejectionCategory.REJECTION.name)))
+          .withColumn("rejectionReason",
+            coalesce(col("__graft_exc__"), lit("Unknown Reason")))
+          .withColumn("rejectionStep", lit(sc.name))
+          .withColumn("rejectionException", col("__graft_exc__"))
+          .drop("__graft_exc__"))
       case _ => None
     }
     perStep match {
@@ -127,7 +229,8 @@ final class Pipeline private (
           StructType(Seq(
             StructField("rejectionCategory", StringType),
             StructField("rejectionReason", StringType),
-            StructField("rejectionStep", StringType))))
+            StructField("rejectionStep", StringType),
+            StructField("rejectionException", StringType))))
       case some =>
         some.reduce(_.unionByName(_, allowMissingColumns = true))
     }
@@ -135,55 +238,125 @@ final class Pipeline private (
 
   // ---------------------------------------------------------------- run
 
-  /** Execute the pipeline: one action for the loaded count, one for the
-    * rejection counts (only if any step can reject), plus deferred sinks
-    * and branches. Returns the LoadStatistic.
+  /** Execute the pipeline in ONE action.
+    *
+    * The loaded count and every step's rejected count come from a single
+    * pass: each rejecting step is wrapped in `Dataset.observe`
+    * (CollectMetrics) so the counters ride the same scan that computes
+    * the result — a pipeline with k rejecting steps reads the source
+    * once, not k+2 times (the reference counts per-step in-stream the
+    * same way, `Step.groovy:24-50`). Note CollectMetrics is a pushdown
+    * barrier: rejecting steps' predicates evaluate against the full
+    * input by definition (every source row must be counted), so nothing
+    * is lost — [[toDF]] stays the uninstrumented, fully-pushed plan.
+    *
+    * Side outputs (sinks, branches, onRejection handlers) need a second
+    * traversal by nature; when any exist the source is persisted
+    * automatically for the duration of the run.
+    *
+    * Abort parity (`Step.groovy:39-41` + PipelineAbortException): >50
+    * SCRIPT_ERROR rows with zero loaded kills the run — checked
+    * in-stream per partition and globally after the action.
+    *
+    * Per-step timings: Spark fuses steps into whole-stage-codegen'd
+    * plans, so per-step wall time is not attributable; every fused step
+    * reports the single action's duration, sinks and branches report
+    * their own (documented approximation vs `LoadStatistic.groovy`).
     */
   def go(): LoadStatistic = {
     val t0 = System.nanoTime()
+    val hasSideOutputs = steps.exists {
+      case _: BranchStep | _: SinkStep => true
+      case _ => false
+    } || rejectionHandlers.nonEmpty
     val src0 = source()
-    val src = if (cacheOnGo) src0.persist() else src0
+    val src = if (cacheOnGo || hasSideOutputs) src0.persist() else src0
     val withSrc = copyWith().replaceSource(() => src)
+    val spark = src.sparkSession
 
-    // deferred sinks run against their chain-position plan
-    withSrc.steps.zipWithIndex.foreach {
-      case (sk: SinkStep, i) => sk.write(withSrc.prefixDF(i))
-      case _ => ()
+    // ---- build the instrumented plan: observe() counters per rejecting step
+    val filterObs = scala.collection.mutable.ArrayBuffer.empty[(FilterStep, Observation)]
+    val splitObs = scala.collection.mutable.ArrayBuffer.empty[(SplitStep, Observation, Observation)]
+    val scriptAcc = scala.collection.mutable.ArrayBuffer.empty[
+      (ScriptStep, org.apache.spark.util.LongAccumulator, org.apache.spark.util.LongAccumulator)]
+    var obsId = 0
+    def nextObs(): Observation = { obsId += 1; Observation(s"graft_${name}_$obsId") }
+
+    val instrumented = withSrc.steps.foldLeft(src) { (df, step) =>
+      step match {
+        case MapStep(_, f) => f(df)
+        case fs: FilterStep =>
+          val obs = nextObs()
+          filterObs += ((fs, obs))
+          val pre = fs.pre(df)
+          val observed = pre.observe(obs,
+            sum(when(!coalesce(fs.keep(pre), lit(false)), lit(1L)).otherwise(lit(0L))).as("rejected"))
+          fs.onKept(observed.filter(fs.keep(observed)))
+        case ss: SplitStep =>
+          val (inObs, outObs) = (nextObs(), nextObs())
+          splitObs += ((ss, inObs, outObs))
+          ss.apply(df.observe(inObs, count(lit(1)).as("n")))
+            .observe(outObs, count(lit(1)).as("n"))
+        case sc: ScriptStep =>
+          val errAcc = spark.sparkContext.longAccumulator(s"${sc.name}.scriptErrors")
+          val nullAcc = spark.sparkContext.longAccumulator(s"${sc.name}.nullRejects")
+          scriptAcc += ((sc, errAcc, nullAcc))
+          applyScript(df, sc, errAcc, nullAcc)
+        case _: BranchStep | _: SinkStep => df
+      }
     }
-    // branches see a copy of the flow at their position
+
+    val loaded = instrumented.count()
+    val actionMs = (System.nanoTime() - t0) / 1000000L
+
+    // ---- fold observed metrics into per-category per-step counts
+    val counted = scala.collection.mutable.Map
+      .empty[RejectionCategory, Map[String, Long]].withDefaultValue(Map.empty)
+    def addCount(cat: RejectionCategory, step: String, n: Long): Unit =
+      if (n > 0) counted(cat) = counted(cat) + (step -> (counted(cat).getOrElse(step, 0L) + n))
+    filterObs.foreach { case (fs, obs) =>
+      addCount(fs.category, fs.name,
+        Option(obs.get("rejected")).map(_.asInstanceOf[Long]).getOrElse(0L))
+    }
+    splitObs.foreach { case (ss, inObs, outObs) =>
+      val in = inObs.get("n").asInstanceOf[Long]
+      val out = outObs.get("n").asInstanceOf[Long]
+      addCount(ss.category, ss.name, in - out)
+    }
+    var scriptErrors = 0L
+    scriptAcc.foreach { case (sc, errAcc, nullAcc) =>
+      scriptErrors += errAcc.value
+      addCount(RejectionCategory.SCRIPT_ERROR, sc.name, errAcc.value)
+      addCount(RejectionCategory.REJECTION, sc.name, nullAcc.value)
+    }
+    if (scriptErrors > 50 && loaded == 0)
+      throw new PipelineAbortException(
+        s"Pipeline $name: $scriptErrors script errors with no loaded rows")
+
+    // ---- side outputs against the persisted source
+    val stepTimings = scala.collection.mutable.Map.empty[String, Long]
+    withSrc.steps.foreach(s => stepTimings(s.name) = actionMs)
     withSrc.steps.zipWithIndex.foreach {
+      case (sk: SinkStep, i) =>
+        val s0 = System.nanoTime()
+        sk.write(withSrc.prefixDF(i))
+        stepTimings(sk.name) = (System.nanoTime() - s0) / 1000000L
       case (bs: BranchStep, i) =>
+        val s0 = System.nanoTime()
         val side = Pipeline.of(s"$name/${bs.name}", withSrc.prefixDF(i))
         bs.build(side).go()
+        stepTimings(bs.name) = (System.nanoTime() - s0) / 1000000L
       case _ => ()
     }
-
-    val loaded = withSrc.toDF.count()
-
-    val canReject = steps.exists {
-      case _: FilterStep | _: SplitStep => true
-      case _ => false
+    if (rejectionHandlers.nonEmpty) {
+      val persisted = withSrc.rejections.persist()
+      rejectionHandlers.foreach(h => h(persisted))
+      persisted.unpersist()
     }
-    val rejMap: Map[RejectionCategory, Map[String, Long]] =
-      if (!canReject && rejectionHandlers.isEmpty) Map.empty
-      else {
-        val rej = withSrc.rejections
-        val persisted = if (rejectionHandlers.nonEmpty) rej.persist() else rej
-        val counts = persisted
-          .groupBy("rejectionCategory", "rejectionStep")
-          .count()
-          .collect()
-          .groupBy(r => RejectionCategory.of(r.getString(0)))
-          .map { case (cat, rows) =>
-            cat -> rows.map(r => r.getString(1) -> r.getLong(2)).toMap
-          }
-        rejectionHandlers.foreach(h => h(persisted))
-        if (rejectionHandlers.nonEmpty) persisted.unpersist()
-        counts
-      }
 
-    if (cacheOnGo) src.unpersist()
-    val stat = LoadStatistic(name, loaded, rejMap, (System.nanoTime() - t0) / 1000000L)
+    if (cacheOnGo || hasSideOutputs) src.unpersist()
+    val stat = LoadStatistic(name, loaded, counted.toMap.filter(_._2.nonEmpty),
+      (System.nanoTime() - t0) / 1000000L, stepTimings.toMap)
     afterHandlers.foreach(_(stat))
     stat
   }
@@ -220,17 +393,22 @@ final class Pipeline private (
     copyWith(afterHandlers = afterHandlers :+ handler)
 
   /** Row-level escape hatch (gratum closure `addStep`): full Scala
-    * function over rows. Prefer Column ops — this exits codegen. */
+    * function over rows. Prefer Column ops — this exits codegen.
+    * Reference parity (`Step.groovy:23-59`): a row whose closure throws
+    * becomes a SCRIPT_ERROR rejection (with the exception recorded in
+    * the `rejectionException` column); returning null rejects the row
+    * with category REJECTION. */
   def mapRows(schema: StructType)(fn: Row => Row): Pipeline =
-    add(MapStep("mapRows", df => {
-      df.map(fn)(org.apache.spark.sql.Encoders.row(schema))
-    }))
+    mapRows("mapRows", schema)(fn)
 
-  /** Row-level flatMap escape hatch (gratum `inject`, Pipeline.groovy:1005-1027). */
+  def mapRows(stepName: String, schema: StructType)(fn: Row => Row): Pipeline =
+    add(ScriptStep(stepName, schema,
+      r => { val out = fn(r); if (out == null) null else Seq(out) }))
+
+  /** Row-level flatMap escape hatch (gratum `inject`, Pipeline.groovy:1005-1027).
+    * Same rejection semantics as [[mapRows]]. */
   def flatMapRows(schema: StructType)(fn: Row => IterableOnce[Row]): Pipeline =
-    add(MapStep("flatMapRows", df => {
-      df.flatMap(fn)(org.apache.spark.sql.Encoders.row(schema))
-    }))
+    add(ScriptStep("flatMapRows", schema, fn))
 
   // ------------------------------------------------------------- filters
 
@@ -466,11 +644,20 @@ final class Pipeline private (
         df.join(rightPruned(df, other.toDF), on, how)
       }))
     else
-      add(SplitStep(
+      // Declared as left_outer + match marker so go()'s single pass can
+      // count unmatched rows as a row predicate (observe); in the
+      // uninstrumented plan the null-filtering keep predicate lets
+      // Catalyst's EliminateOuterJoin rewrite this back to a plain
+      // inner join, so toDF pays nothing for the observability.
+      add(FilterStep(
         s"join(${other.name})", RejectionCategory.IGNORE_ROW,
-        s"Could not join on (${on.mkString(",")})",
-        apply = df => df.join(rightPruned(df, other.toDF), on, "inner"),
-        rejected = df => df.join(other.toDF.select(on.map(col): _*), on, "left_anti")))
+        _ => lit(s"Could not join on (${on.mkString(",")})"),
+        keep = _ => col("__graft_matched__").isNotNull,
+        onKept = _.drop("__graft_matched__"),
+        pre = df => df.join(
+          rightPruned(df, other.toDF).withColumn("__graft_matched__", lit(true)),
+          on, "left_outer"),
+        onRejected = (input, rejected) => rejected.select(input.columns.map(col): _*)))
   }
 
   /** Join with differing column names: map of leftCol → rightCol

@@ -275,4 +275,59 @@ class PipelineSpec extends AnyFunSuite {
     val back = spark.read.option("header", "true").option("multiLine", "true").csv(s"$dir/out")
     assert(back.count() == 5)
   }
+
+  test("go() reads the source exactly once for a 3-rejecting-step pipeline") {
+    // touch counter in a head mapRows step: if go() re-scanned the
+    // prefix per rejecting step (the round-1 design), this would be ~4n
+    val touches = spark.sparkContext.longAccumulator("touches")
+    val schema = people.schema
+    val stat = Pipeline.of(people)
+      .mapRows("touch", schema)(r => { touches.add(1); r })
+      .filter("step1", col("id") =!= 1)
+      .filter("step2", col("gender") === "female")
+      .asInt("age")
+      .go()
+    assert(stat.loaded == 2) // Penny, Winnie (Carol's age unparseable, id 1 male dropped)
+    assert(stat.rejections(RejectionCategory.IGNORE_ROW, "step1") == 1)
+    assert(stat.rejections(RejectionCategory.IGNORE_ROW, "step2") == 1)
+    assert(stat.rejections(RejectionCategory.INVALID_FORMAT) == 1)
+    assert(touches.value == 5, s"source scanned ${touches.value}/5 row-touches — go() must be single-pass")
+  }
+
+  test("script errors become SCRIPT_ERROR rejections with rejectionException") {
+    val schema = people.schema
+    val p = Pipeline.of(people)
+      .mapRows("boom", schema)(r =>
+        if (r.getInt(0) == 3) throw new IllegalStateException("bad row")
+        else if (r.getInt(0) == 4) null // null return = REJECTION
+        else r)
+    val stat = p.go()
+    assert(stat.loaded == 3)
+    assert(stat.rejections(RejectionCategory.SCRIPT_ERROR, "boom") == 1)
+    assert(stat.rejections(RejectionCategory.REJECTION, "boom") == 1)
+    val rej = p.rejections.select("rejectionCategory", "rejectionException").collect()
+    val byCat = rej.map(r => r.getString(0) -> Option(r.getString(1))).toMap
+    assert(byCat("SCRIPT_ERROR").exists(_.contains("bad row")))
+    assert(byCat("REJECTION").isEmpty)
+  }
+
+  test("aborts after >50 script errors with zero loaded rows") {
+    val d = spark.range(200).toDF("id")
+    val p = Pipeline.of(d).mapRows("always-fails", d.schema)(_ =>
+      throw new IllegalStateException("nope"))
+    val e = intercept[Exception](p.go())
+    def hasAbort(t: Throwable): Boolean =
+      t != null && (t.isInstanceOf[PipelineAbortException] || hasAbort(t.getCause))
+    assert(hasAbort(e), s"expected PipelineAbortException in cause chain, got $e")
+  }
+
+  test("stepTimings covers every step; sinks get their own timing") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-timing").toString
+    val stat = Pipeline.of(people)
+      .filter("f", col("id") > 1)
+      .save(s"$dir/out", "csv")
+      .go()
+    assert(stat.stepTimings.contains("f"))
+    assert(stat.stepTimings.contains(s"save($dir/out)"))
+  }
 }
