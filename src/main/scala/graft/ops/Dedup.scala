@@ -112,19 +112,16 @@ object Dedup {
           graft.functions.exprs.minhash_sig(
             TextOps.shingles(col("__t__"), shingleN), numHashes)).as("__sig__"))
 
-    val pairs = LshBlocking.candidatePairs(sigs, bands, r, maxBucket)
-
-    // signature agreement = estimated Jaccard; screen with a safety
-    // margin before the (more expensive) exact verification
-    // persist: in exact-verify mode this frame feeds the candidate-id
-    // union (twice) and the final join — without it the whole LSH
-    // pipeline upstream would recompute once per reference
-    val screened = pairs
-      .withColumn("est_jaccard",
-        graft.functions.similarityExprs.sig_agreement(col("p1"), col("p2")))
-      .filter(col("est_jaccard") >= threshold * 0.5)
-      .select(col("id1"), col("id2"), col("est_jaccard"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // signature agreement = estimated Jaccard; screened with a safety
+    // margin inside candidatePairs (before its cross-band dedup), which
+    // returns the survivors MATERIALIZED — the candidate-id union and
+    // the final verify join below re-read them without re-running the
+    // signature pipeline, and no cache entry outlives this call
+    val screened = LshBlocking.candidatePairs(sigs, bands, r, maxBucket,
+      screen = _.withColumn("est_jaccard",
+          graft.functions.similarityExprs.sig_agreement(col("p1"), col("p2")))
+        .filter(col("est_jaccard") >= threshold * 0.5)
+        .select(col("id1"), col("id2"), col("est_jaccard")))
 
     if (!exactVerify)
       screened.filter(col("est_jaccard") >= threshold)
@@ -134,28 +131,44 @@ object Dedup {
       // candidates << corpus, so the (interpreted) array construction
       // runs over a few hundred rows, not the whole input — and that is
       // also the only shape that works at 100 TB
-      val candidateIds = screened.select(col("id1").as("__sid__"))
-        .union(screened.select(col("id2").as("__sid__"))).distinct()
       val shingler: (Column, Int) => Column =
         if (charShingles) TextOps.charShingles else TextOps.shingles
-      val shingleSets = df.select(col(idCol).as("__sid__"), col(textCol).as("__t__"))
-        .join(candidateIds, Seq("__sid__"), "left_semi")
-        .select(col("__sid__"),
-          array_distinct(shingler(col("__t__"), shingleN)).as("__sh__"))
-      // hint shuffle-hash: the shingle side is wide (arrays), so the
-      // planner's size estimate oscillates around the broadcast
-      // threshold; broadcasting megabytes of arrays is the slow path
+      def sets(src: DataFrame): DataFrame = src
+        .select(col(idCol).as("__sid__"),
+          array_distinct(shingler(col(textCol), shingleN)).as("__sh__"))
+      // `screened` is materialized and bounded (bucket cap + screen), so
+      // the candidate-id set is knowable up front. When it is small —
+      // the normal case — pull the ids to the driver: the shingle build
+      // becomes an id-IN-list PUSHED INTO the parquet scan (row-group
+      // skipping) and both verify joins broadcast, zero shuffles. A big
+      // candidate set falls back to semi-join + shuffle-hash (the
+      // planner's size estimate for wide array rows oscillates around
+      // the broadcast threshold, so the hint keeps it off the slow
+      // broadcast-megabytes path).
+      val candidateIds = screened.select(col("id1").as("__sid__"))
+        .union(screened.select(col("id2").as("__sid__"))).distinct()
+      val ids = candidateIds.limit(maxBroadcastCandidates + 1).collect().map(_.get(0))
+      val shingleSets =
+        if (ids.length <= maxBroadcastCandidates)
+          broadcast(sets(df.filter(col(idCol).isin(ids.toIndexedSeq: _*))))
+        else
+          sets(df.join(candidateIds, df(idCol) === candidateIds("__sid__"), "left_semi"))
+            .hint("shuffle_hash")
       screened
-        .join(shingleSets.withColumnRenamed("__sid__", "id1").withColumnRenamed("__sh__", "sh1")
-          .hint("shuffle_hash"), Seq("id1"))
-        .join(shingleSets.withColumnRenamed("__sid__", "id2").withColumnRenamed("__sh__", "sh2")
-          .hint("shuffle_hash"), Seq("id2"))
+        .join(shingleSets.withColumnRenamed("__sid__", "id1").withColumnRenamed("__sh__", "sh1"),
+          Seq("id1"))
+        .join(shingleSets.withColumnRenamed("__sid__", "id2").withColumnRenamed("__sh__", "sh2"),
+          Seq("id2"))
         .withColumn("jaccard",
           graft.functions.similarityExprs.jaccard_sim(col("sh1"), col("sh2")))
         .filter(col("jaccard") >= threshold)
         .select(col("id1"), col("id2"), col("jaccard"))
     }
   }
+
+  /** Above this many exact-verify candidates the shingle sets stop being
+    * driver/broadcast material and the verify joins shuffle instead. */
+  private val maxBroadcastCandidates = 10000
 
   /** Greedy near-dup removal: drops every row that appears as the larger
     * id of a qualifying pair (keep-smallest; connected components are
@@ -201,11 +214,11 @@ object Dedup {
     val r = bits / bands
     val sigs = simhashSignatures(df, idCol, textCol, bits)
 
-    LshBlocking.candidatePairs(sigs, bands, r, maxBucket)
-      .withColumn("hamming",
-        graft.functions.similarityExprs.hamming_dist(col("p1"), col("p2")))
-      .filter(col("hamming") <= maxHamming)
-      .select(col("id1"), col("id2"), col("hamming"))
+    LshBlocking.candidatePairs(sigs, bands, r, maxBucket,
+      screen = _.withColumn("hamming",
+          graft.functions.similarityExprs.hamming_dist(col("p1"), col("p2")))
+        .filter(col("hamming") <= maxHamming)
+        .select(col("id1"), col("id2"), col("hamming")))
   }
 
   /** n-gram Jaccard similarity of two text columns (character n-grams).

@@ -9,53 +9,78 @@ import org.apache.spark.sql.{Column, DataFrame}
   * Scale design (the reason this is its own module):
   *  - buckets carry only (id, signature/payload) — never raw feature
   *    sets; exact verification joins data back for candidates only.
-  *  - bucket sizes are counted FIRST and oversized buckets are dropped
-  *    before any `collect_list` materializes them: a bucket with more
-  *    than `maxBucket` members is non-discriminative by definition
-  *    (its band carries no signal) and would otherwise produce
-  *    O(maxBucket^2) pairs and an unbounded aggregation buffer.
-  *  - pair output is deduplicated on (id1, id2) across bands.
+  *  - bucket sizes are computed as a HASH AGGREGATION and oversized
+  *    buckets are dropped via a semi-join before any pair is generated:
+  *    a bucket with more than `maxBucket` members is non-discriminative
+  *    by definition (its band carries no signal) and would otherwise
+  *    produce O(maxBucket^2) pairs. A window count would do the same
+  *    cap but forces a full sort per (band, bucket) partition — the
+  *    aggregate + semi-join shape is sort-free and reuses the same
+  *    (band, bucket) exchange for the self-join.
+  *  - the caller's cheap per-pair `screen` (signature agreement /
+  *    hamming / cosine) runs BEFORE the cross-band pair dedup, so the
+  *    dedup shuffle moves only surviving candidates.
+  *  - the result is materialized internally (localCheckpoint) and every
+  *    cached intermediate is unpersisted before returning: repeated
+  *    downstream references read the materialized candidates instead of
+  *    re-running the signature pipeline, and long-lived sessions don't
+  *    accumulate leaked blocks. Trade: the candidate set (bounded by
+  *    screen + bucket cap) forfeits lineage recompute — executor loss
+  *    fails the query instead of recomputing; acceptable for a frame
+  *    orders of magnitude smaller than the corpus.
   */
 object LshBlocking {
 
   /** `df` must have columns `__id__` and `__sig__` (array); `payload`
     * optionally names an extra column to carry to both pair sides.
-    * Returns (id1, id2, p1, p2) with id1 < id2 (payload columns only if
-    * `payload` is set, else s1/s2 are the signatures).
+    * Generates within-bucket pairs (id1, id2, p1, p2) with id1 < id2,
+    * applies `screen` (which must keep id1/id2 and filter/project the
+    * rest), dedups pairs across bands, and returns the MATERIALIZED
+    * result (no live cache entries remain).
     */
   def candidatePairs(
       df: DataFrame, bands: Int, rowsPerBand: Int,
-      maxBucket: Int, payload: Option[String] = None): DataFrame = {
+      maxBucket: Int, payload: Option[String] = None,
+      screen: DataFrame => DataFrame = identity): DataFrame = {
     val carry = payload.getOrElse("__sig__")
 
-    val banded = df.select(
+    // Persist the INPUT (id, signature[, payload]) rather than the
+    // banded frame: the banding projection references __sig__ once per
+    // band slice plus the payload, and CollapseProject would inline the
+    // (expensive) signature pipeline into every use — computing each
+    // signature bands+1 times per row. The cache is a materialization
+    // barrier, so signatures compute exactly once; re-deriving the
+    // cheap explode/slice/hash from cache for the bucket-size aggregate
+    // and both self-join sides costs almost nothing. Unpersisted below.
+    val sigs = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    val banded = sigs.select(
       col("__id__"), col(carry).as("__p__"),
       explode(transform(sequence(lit(0), lit(bands - 1)),
         b => struct(b.as("band"),
           hash(slice(col("__sig__"), b * rowsPerBand + 1, lit(rowsPerBand))).as("bucket")))).as("bb"))
       .select(col("__id__"), col("__p__"), col("bb.band"), col("bb.bucket"))
 
-    // bucket-size cap via a window count over the banding partitioning
-    // (oversized, non-discriminative buckets never produce pairs), then
-    // pair generation as a self-equi-join on (band, bucket): fully
-    // codegen'd — no interpreted lambda pair expansion, no giant
-    // collected-bucket rows, and AQE handles residual bucket skew
-    val w = org.apache.spark.sql.expressions.Window.partitionBy("band", "bucket")
-    // persist: the self-join below references this subtree twice, which
-    // would otherwise recompute the (expensive) signature pipeline per
-    // side; the banded frame is only (id, sig, band, bucket)
-    val filtered = banded
-      .withColumn("__n__", count(lit(1)).over(w))
+    val goodBuckets = banded
+      .groupBy("band", "bucket")
+      .agg(count(lit(1)).as("__n__"))
       .filter(col("__n__").between(2, maxBucket))
-      .drop("__n__")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .select("band", "bucket")
 
-    filtered.select(col("band"), col("bucket"), col("__id__").as("id1"), col("__p__").as("p1"))
+    val filtered = banded.join(goodBuckets, Seq("band", "bucket"), "left_semi")
+
+    val raw = filtered
+      .select(col("band"), col("bucket"), col("__id__").as("id1"), col("__p__").as("p1"))
       .join(
         filtered.select(col("band"), col("bucket"), col("__id__").as("id2"), col("__p__").as("p2")),
         Seq("band", "bucket"))
       .filter(col("id1") < col("id2"))
-      .dropDuplicates("id1", "id2")
       .select(col("id1"), col("id2"), col("p1"), col("p2"))
+
+    val out = screen(raw)
+      .dropDuplicates("id1", "id2")
+      .localCheckpoint(true)
+    sigs.unpersist(false)
+    out
   }
 }

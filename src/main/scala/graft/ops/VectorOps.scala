@@ -140,12 +140,9 @@ object VectorOps {
 
     val sigs = lshSignatures(df, idCol, vecCol, planes)
 
-    val pairs = LshBlocking.candidatePairs(sigs, nBands, rowsPerBand, maxBucket, payload = Some("__v__"))
-      .withColumnRenamed("p1", "v1").withColumnRenamed("p2", "v2")
-
-    pairs
-      .withColumn("cosine", cosine(col("v1"), col("v2")))
-      .filter(col("cosine") > threshold)
-      .select(col("id1"), col("id2"), col("cosine"))
+    LshBlocking.candidatePairs(sigs, nBands, rowsPerBand, maxBucket, payload = Some("__v__"),
+      screen = _.withColumn("cosine", cosine(col("p1"), col("p2")))
+        .filter(col("cosine") > threshold)
+        .select(col("id1"), col("id2"), col("cosine")))
   }
 }

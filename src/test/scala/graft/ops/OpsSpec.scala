@@ -82,6 +82,16 @@ class OpsSpec extends AnyFunSuite {
     assert(!pairs.exists { case (a, b) => Set(a, b).contains(3L) || Set(a, b).contains(4L) })
   }
 
+  test("dedup/LSH ops leave no cached frames behind (no persist leaks)") {
+    spark.catalog.clearCache()
+    Dedup.minhashNearDups(docs, "doc_id", "text",
+      shingleN = 2, numHashes = 64, bands = 32, threshold = 0.5).count()
+    Dedup.simhashNearDups(docs, "doc_id", "text",
+      bits = 64, bands = 8, maxHamming = 10).count()
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "candidatePairs must unpersist every intermediate before returning")
+  }
+
   test("Dedup.minhashDedup drops greedy losers") {
     val kept = Dedup.minhashDedup(docs, "doc_id", "text",
       shingleN = 2, numHashes = 64, bands = 32, threshold = 0.5)
