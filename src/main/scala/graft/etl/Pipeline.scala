@@ -570,34 +570,56 @@ final class Pipeline private (
     * key; duplicates rejected IGNORE_ROW. First-wins is defined by
     * `orderBy` (the reference relies on source row order, which Spark
     * does not guarantee — pass an ordering column for determinism).
-    * Executes as a single hash aggregation per key (map-side partial)
-    * rather than a row-number window, so it scales without a sort. */
+    * Executes as a single `min_by` hash aggregation per key (map-side
+    * partial) rather than a row-number window, so it scales without a
+    * sort.
+    *
+    * DETERMINISM REQUIREMENT: `orderBy` must be unique within each key
+    * — on ties the kept row is arbitrary and the rejection complement
+    * (an independent execution, see [[rejections]]) may not agree with
+    * the kept flow. */
   def unique(column: String, orderBy: String = null): Pipeline = {
     val ord = Option(orderBy)
     add(SplitStep(
       s"unique($column)", RejectionCategory.IGNORE_ROW, s"Duplicate value for $column",
       apply = df => {
         val o = ord.getOrElse(df.columns.head)
-        val w = Window.partitionBy(col(column)).orderBy(col(o))
-        df.withColumn("__rn__", row_number().over(w)).filter(col("__rn__") === 1).drop("__rn__")
+        df.groupBy(col(column))
+          .agg(min_by(struct(df.columns.map(col): _*), col(o)).as("__r__"))
+          .select("__r__.*")
       },
       rejected = df => {
         val o = ord.getOrElse(df.columns.head)
-        val w = Window.partitionBy(col(column)).orderBy(col(o))
-        df.withColumn("__rn__", row_number().over(w)).filter(col("__rn__") > 1).drop("__rn__")
+        val mins = df.groupBy(col(column)).agg(min(col(o)).as("__graft_min__"))
+        df.join(mins, Seq(column)).filter(col(o) =!= col("__graft_min__"))
+          .drop("__graft_min__")
+          .select(df.columns.map(col): _*)
       }))
   }
 
   /** gratum `limit` (Pipeline.groovy:1107-1120). halt=true (default) stops
     * the scan via Catalyst's CollectLimit; halt=false keeps consuming and
-    * counts the overflow as IGNORE_ROW rejections (reference parity —
-    * expensive, computes the complement via exceptAll). */
-  def limitRows(n: Int, halt: Boolean = true): Pipeline =
-    if (halt) add(MapStep(s"limit($n)", _.limit(n)))
-    else add(SplitStep(
+    * counts the overflow as IGNORE_ROW rejections.
+    *
+    * halt=false determinism: pass `orderBy` — the kept rows are then
+    * the first n of one explicit total order and the overflow complement
+    * is the same sort's `offset(n)` (one sort, no O(N) exceptAll
+    * shuffle). Without `orderBy`, which n rows are kept is
+    * execution-dependent and the complement (an independent execution)
+    * may not partition the input — reference semantics relied on source
+    * row order, which a distributed scan does not have. */
+  def limitRows(n: Int, halt: Boolean = true, orderBy: Seq[String] = Nil): Pipeline =
+    if (halt) {
+      if (orderBy.isEmpty) add(MapStep(s"limit($n)", _.limit(n)))
+      else add(MapStep(s"limit($n)", _.orderBy(orderBy.map(col): _*).limit(n)))
+    } else add(SplitStep(
       s"limit($n)", RejectionCategory.IGNORE_ROW, s"Exceeded the limit of $n rows",
-      apply = _.limit(n),
-      rejected = df => df.exceptAll(df.limit(n))))
+      apply = df =>
+        if (orderBy.isEmpty) df.limit(n)
+        else df.orderBy(orderBy.map(col): _*).limit(n),
+      rejected = df =>
+        if (orderBy.isEmpty) df.exceptAll(df.limit(n))
+        else df.orderBy(orderBy.map(col): _*).offset(n)))
 
   /** gratum `sort` (Pipeline.groovy:650-654,573-577): multi-column sort.
     * Spark's sort is a distributed range-partitioned external sort —
@@ -778,12 +800,46 @@ final class Pipeline private (
     }))
   }
 
+  /** gratum `save(Sink)` (Pipeline.groovy:833-844): write through a
+    * [[graft.sinks.Sink]] and REPLACE the downstream flow with the
+    * sink's single result row ({file, filename}) — the reference's
+    * post-save chaining contract (`CsvSink.groovy:40-43`). The write
+    * executes when the downstream plan is built (toDF/go), mirroring
+    * the reference's pipeline-breaking sinks; use [[save]] to keep the
+    * main flow flowing. */
+  def saveAs(sink: graft.sinks.Sink): Pipeline =
+    add(MapStep(s"save(${sink.name})", df => {
+      val result = sink.write(df)
+      val spark = df.sparkSession
+      val keys = result.keys.toSeq
+      spark.createDataFrame(
+        java.util.List.of(Row.fromSeq(keys.map(result))),
+        StructType(keys.map(k => StructField(k, StringType))))
+    }))
+
   /** gratum `printRow` (Pipeline.groovy:884-894). */
   def printRow(columns: String*): Pipeline =
     add(SinkStep("printRow", df => {
       val d = if (columns.isEmpty) df else df.select(columns.map(col): _*)
       d.show(20, false)
       Map.empty
+    }))
+
+  /** gratum `progress(n)` (Pipeline.groovy:896-904): a dot per `every`
+    * rows. Cosmetic observability; prints from the worker threads
+    * (= the console in local mode). Exits codegen — keep out of
+    * billion-row hot paths and watch the Spark UI instead. */
+  def progress(every: Int = 1000): Pipeline =
+    add(MapStep("progress", df => {
+      val schema = df.schema
+      df.mapPartitions { it =>
+        var n = 0L
+        it.map { r =>
+          n += 1
+          if (n % every == 0) { System.err.print(".") }
+          r
+        }
+      }(org.apache.spark.sql.Encoders.row(schema))
     }))
 }
 

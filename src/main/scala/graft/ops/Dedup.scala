@@ -40,6 +40,15 @@ object Dedup {
   /** MinHash signature column (array<long> of `numHashes` minima over
     * shingle hashes). Seeded by hash index — deterministic everywhere.
     *
+    * HASH-FAMILY NOTE: this composable form derives the k-th hash as
+    * xxhash64(shingle, k) (multi-arg hashing), while the native
+    * [[graft.functions.MinHashSig]] uses Kirsch-Mitzenmacher
+    * h1 + k*h2 with wrapping long arithmetic — which built-ins cannot
+    * express (no public seed parameter for the second hash, and ANSI
+    * mode rejects wrapping `+`/`*`). Signatures from the three APIs are
+    * therefore NOT comparable across APIs; each is self-consistent, and
+    * all downstream screening compares signatures produced by one API.
+    *
     * NOTE: nested higher-order functions run interpreted (no codegen) —
     * fine for a handful of rows, but for corpus-scale signature
     * computation use [[minhashSignatures]], whose explode+aggregate
@@ -65,12 +74,14 @@ object Dedup {
         graft.functions.exprs.minhash_sig(
           shingler(col("__t__"), shingleN), numHashes).as("__sig__"))
 
-  /** The explode + N-aggregates formulation of [[minhashSignatures]] —
-    * kept as the pure-built-in alternative (SURVEY §7.3 preference
-    * (a)): `numHashes` codegen'd min(xxhash64(shingle, j)) aggregates
-    * with map-side partials. Same scale shape, but hashes every shingle
-    * `numHashes` times and pays a shuffle; the native expression is
-    * ~an order of magnitude cheaper. */
+  /** The explode + N-aggregates formulation — the pure-built-in
+    * alternative (SURVEY §7.3 preference (a)): `numHashes` codegen'd
+    * min(xxhash64(shingle, j)) aggregates with map-side partials. Same
+    * scale shape, but hashes every shingle `numHashes` times and pays a
+    * shuffle; the native expression is ~an order of magnitude cheaper.
+    * Uses the same xxhash64(shingle, j) family as [[minhashSignature]]
+    * (interchangeable with it) but NOT with the native
+    * [[minhashSignatures]] — see the hash-family note above. */
   def minhashSignaturesAgg(
       df: DataFrame, idCol: String, textCol: String,
       shingleN: Int, numHashes: Int): DataFrame = {

@@ -19,11 +19,20 @@ object Ivf {
 
   /** Deterministic Lloyd's k-means on a driver-side sample (seeded
     * start from sample points; cosine geometry via L2 on normalized
-    * vectors). */
+    * vectors).
+    *
+    * The sample is a seeded uniform `df.sample` over the WHOLE corpus —
+    * never `limit(n)`, which takes the first rows of the first file and
+    * at scale trains the quantizer on one shard's distribution (skewed
+    * cells, collapsed recall). The preceding count() is metadata-only
+    * on parquet. */
   def trainCentroids(
       df: DataFrame, vecCol: String, nCells: Int,
       sampleSize: Int = 2000, iterations: Int = 8, seed: Long = 42L): Seq[Seq[Double]] = {
+    val total = df.count()
+    val fraction = if (total == 0) 1.0 else math.min(1.0, sampleSize * 1.2 / total.toDouble)
     val sample = df.select(VectorOps.asDouble(col(vecCol)).as("v"))
+      .sample(withReplacement = false, fraction, seed)
       .limit(sampleSize).collect().map(_.getSeq[Double](0).toArray)
     require(sample.nonEmpty, "empty training sample")
     def normalize(v: Array[Double]): Array[Double] = {
@@ -77,13 +86,24 @@ object Ivf {
       e => e.getField("cell"))
   }
 
-  /** Build the inverted index: corpus rows tagged with their cell. */
+  /** Build the inverted index: corpus rows tagged with their cell.
+    *
+    * `replication > 1` multi-assigns each vector to its `replication`
+    * nearest cells (classic IVF boundary-effect fix): recall on hard,
+    * weakly-clustered corpora rises sharply for a linear index-size
+    * cost — the right trade when the index is cheap relative to the
+    * exact-distance work it prunes. */
   def index(df: DataFrame, idCol: String, vecCol: String,
-      centroids: Seq[Seq[Double]]): DataFrame =
-    df.select(
+      centroids: Seq[Seq[Double]], replication: Int = 1): DataFrame = {
+    val base = df.select(
       col(idCol).as("__id__"),
       VectorOps.asDouble(col(vecCol)).as("__v__"))
-      .withColumn("__cell__", cellOf(col("__v__"), centroids))
+    if (replication <= 1)
+      base.withColumn("__cell__", cellOf(col("__v__"), centroids))
+    else
+      base.withColumn("__cell__",
+        explode(probeCells(col("__v__"), centroids, replication)))
+  }
 
   /** Top-k cosine neighbors per query, probing `nProbe` cells.
     * `queries` is broadcast; the corpus is filtered to probed cells
@@ -100,6 +120,11 @@ object Ivf {
     val scored = indexed
       .join(q, indexed("__cell__") === q("__probe__"))
       .filter(col("__id__") =!= col("query_id"))
+      // a replicated index / multi-probe query can meet the same
+      // (query, neighbor) pair via several cells — dedup BEFORE the
+      // exact distance so each pair is scored once
+      .select(col("query_id"), col("__qv__"), col("__id__"), col("__v__"))
+      .dropDuplicates("query_id", "__id__")
       .withColumn("cosine",
         graft.functions.similarityExprs.cosine_sim(col("__qv__"), col("__v__")))
     val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("__id__").asc)
@@ -112,9 +137,9 @@ object Ivf {
   /** Convenience: train + index + search in one call. */
   def topK(
       corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
-      k: Int, nCells: Int = 16, nProbe: Int = 4): DataFrame = {
+      k: Int, nCells: Int = 16, nProbe: Int = 4, replication: Int = 2): DataFrame = {
     val centroids = trainCentroids(corpus, vecCol, nCells)
-    search(index(corpus, idCol, vecCol, centroids), queries, idCol, vecCol,
+    search(index(corpus, idCol, vecCol, centroids, replication), queries, idCol, vecCol,
       centroids, k, nProbe)
   }
 }

@@ -23,7 +23,7 @@ class IvfSpec extends AnyFunSuite {
     val brute = VectorOps.bruteForceTopK(emb, queries, "vec_id", "embedding", 5)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val recall = (ivf & brute).size.toDouble / brute.size
-    assert(recall >= 0.5, s"recall=$recall (ivf=${ivf.size}, brute=${brute.size})")
+    assert(recall >= 0.9, s"recall=$recall (ivf=${ivf.size}, brute=${brute.size})")
     assert(ivf.size == brute.size) // k results per query either way
   }
 

@@ -43,6 +43,17 @@ class SourcesSpec extends AnyFunSuite {
     assert(df.where(col("status") === "404").count() == 1)
   }
 
+  test("csv: escaping=false keeps quote characters verbatim") {
+    val f = tmp.resolve("unescaped.csv")
+    // reference unescaped.csv semantics (PipelineTest.groovy:995-1020):
+    // with escaping off, quotes are ordinary characters, not delimiters
+    Files.writeString(f, "id,note\n1,\"not a quote\n2, \"half open\n")
+    val df = Sources.csv(spark, f.toString, escaping = false).toDF
+    assert(df.count() == 2)
+    assert(df.where(col("note") === "\"not a quote").count() == 1)
+    assert(df.where(col("note") === " \"half open").count() == 1)
+  }
+
   test("csv: ragged rows padded with null") {
     val f = tmp.resolve("ragged.csv")
     Files.writeString(f, "a,b,c\n1,2,3\n4,5\n6\n")
