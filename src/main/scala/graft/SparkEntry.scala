@@ -482,6 +482,23 @@ object SparkEntry {
         .orderBy("id1", "id2")
     },
 
+    // ------------------------- plan-level operator: as-of join
+    "q_asof" -> { (s, dir) =>
+      // most recent strictly-earlier high-value event of the same user,
+      // via the custom AsOfJoin LogicalPlan + Strategy + merge exec
+      // (graft.plans); oracle is DuckDB's native ASOF LEFT JOIN
+      val ev = t(s, dir, "events").select("event_id", "user_id", "value")
+      val signals = t(s, dir, "events").filter(col("value") >= 90).select(
+        col("user_id").as("sig_user"),
+        col("event_id").as("sig_event_id"),
+        col("value").as("sig_value"))
+      graft.plans.AsOf.join(ev, signals,
+        leftOn = Seq("user_id"), rightOn = Seq("sig_user"),
+        leftTimeCol = "event_id", rightTimeCol = "sig_event_id")
+        .select(col("event_id"), col("user_id"), col("sig_event_id"), col("sig_value"))
+        .orderBy("event_id")
+    },
+
     // ------------------------- beyond-reference: multimodal plumbing
     "q_multimodal" -> { (s, dir) =>
       val withPayload = t(s, dir, "documents")
@@ -807,6 +824,15 @@ object SparkEntry {
         |    (sqrt(list_sum(list_transform(range(1, len(q.e) + 1), i -> q.e[i] * q.e[i]))) *
         |     sqrt(list_sum(list_transform(range(1, len(c.e) + 1), i -> c.e[i] * c.e[i])))) > 0.3
         |ORDER BY query_id, neighbor_id""".stripMargin,
+
+    "q_asof" ->
+      """SELECT l.event_id, l.user_id, r.sig_event_id, r.sig_value
+        |FROM (SELECT event_id, user_id, value FROM events) l
+        |ASOF LEFT JOIN (SELECT user_id AS sig_user, event_id AS sig_event_id,
+        |                       value AS sig_value
+        |                FROM events WHERE value >= 90) r
+        |  ON l.user_id = r.sig_user AND l.event_id > r.sig_event_id
+        |ORDER BY l.event_id""".stripMargin,
 
     "q_multimodal" ->
       """SELECT doc_id, 'application/octet-stream' AS mime,

@@ -1,7 +1,8 @@
 package org.apache.spark.sql.graftbridge
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.classic.ExpressionUtils
 import org.apache.spark.sql.types.{AbstractDataType, DataType}
 
@@ -19,4 +20,16 @@ object Bridge {
   /** AbstractDataType is private[sql]; expose an input-type spec helper
     * so graft expressions can declare ExpectsInputTypes. */
   def abstractType(dt: DataType): AbstractDataType = dt
+
+  /** Analyzed logical plan of a DataFrame (for building custom logical
+    * nodes over resolved children — `queryExecution` lives on the
+    * classic Dataset in Spark 4). */
+  def analyzed(df: DataFrame): LogicalPlan =
+    df.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]].queryExecution.analyzed
+
+  /** DataFrame over a custom logical plan (`Dataset.ofRows` is
+    * private[sql]). */
+  def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
+    org.apache.spark.sql.classic.Dataset.ofRows(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
 }
