@@ -634,6 +634,29 @@ final class Pipeline private (
       case (c, SortOrder.DESC) => col(c).desc
     }: _*)))
 
+  /** gratum `sort(name, configClosure)` (Pipeline.groovy:587-642,
+    * `SortConfig.groovy:8-13`): general sort with page-spill, an
+    * `after(file)` callback receiving the fully-sorted file, and a
+    * `downstream` flag. Mapping: `pageSize` is accepted but inert —
+    * Spark's range-partitioned sort spills via UnsafeExternalSorter
+    * without configuration (the reference's hand-rolled CSV page merge,
+    * Pipeline.groovy:597-691, is engine work Spark already does);
+    * `comparator` closures become explicit sort-key Columns (a JVM
+    * comparator cannot participate in a distributed range sort);
+    * `after` writes the sorted flow through [[graft.sinks.CsvFileSink]]
+    * and hands over the single file; `downstream=false` ends the flow
+    * after the callback (reference parity). */
+  def sortWith(spec: SortSpec): Pipeline =
+    add(MapStep("sort(config)", df => {
+      val sorted = df.orderBy(spec.keys: _*)
+      spec.after.foreach { cb =>
+        val f = java.io.File.createTempFile("graft-sort", ".csv")
+        new graft.sinks.CsvFileSink(f.getAbsolutePath).write(sorted)
+        cb(f)
+      }
+      if (spec.downstream) sorted else sorted.limit(0)
+    }))
+
   // --------------------------------------------------------- multi-input
 
   /** gratum `concat` (Pipeline.groovy:208-220): UNION ALL by column name,
@@ -770,10 +793,18 @@ final class Pipeline private (
   /** gratum `groupBy` tree result (Pipeline.groovy:537-566): collects the
     * grouped rows to the driver as the reference's nested
     * Map[v1][v2]...[vN] = List[row] shape. Driver-side by definition —
-    * bounded use only (the reference materializes the same tree in heap).
+    * bounded use only (the reference materializes the same tree in
+    * heap). Guarded: refuses to collect more than [[Pipeline.GroupTreeMaxRows]]
+    * rows (cheap count first) instead of silently OOMing the driver —
+    * at scale, aggregate relationally with [[groupAgg]] instead.
     */
   def groupTree(columns: String*): Map[String, Any] = {
     val df = toDF
+    val n = df.count()
+    if (n > GroupTreeMaxRows)
+      throw new IllegalStateException(
+        s"groupTree would collect $n rows to the driver (cap $GroupTreeMaxRows); " +
+          "use groupAgg for corpus-scale aggregation")
     val rows = df.collect()
     def build(rs: Seq[Row], cols: List[String]): Any = cols match {
       case Nil => rs.map(r => r.getValuesMap[Any](r.schema.fieldNames)).toList
@@ -843,7 +874,17 @@ final class Pipeline private (
     }))
 }
 
+/** gratum SortConfig (SortConfig.groovy:8-13) — see [[Pipeline.sortWith]]. */
+final case class SortSpec(
+    keys: Seq[Column],
+    pageSize: Int = 0,
+    after: Option[java.io.File => Unit] = None,
+    downstream: Boolean = true)
+
 object Pipeline {
+
+  /** [[Pipeline.groupTree]] driver-collect guard. */
+  val GroupTreeMaxRows: Long = 1000000L
 
   /** Entry point over any DataFrame (gratum `Source.into`). */
   def of(name: String, df: => DataFrame): Pipeline =

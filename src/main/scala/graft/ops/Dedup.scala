@@ -29,13 +29,14 @@ object Dedup {
       .agg(first(col("__t__")).as("__t__"))
 
   /** Exact dedup on normalized-text fingerprint: keeps the row with the
-    * smallest `orderCol` per fingerprint (deterministic winner). */
-  def exact(df: DataFrame, textCol: String, orderCol: String): DataFrame = {
-    val w = Window.partitionBy(TextOps.fingerprint(col(textCol))).orderBy(col(orderCol))
-    df.withColumn("__rn__", row_number().over(w))
-      .filter(col("__rn__") === 1)
-      .drop("__rn__")
-  }
+    * smallest `orderCol` per fingerprint (deterministic winner).
+    * One `min_by` hash aggregation (map-side partial combine) — no
+    * per-fingerprint sort; a row_number window would sort every
+    * partition of a 100 TB corpus just to pick one row per key. */
+  def exact(df: DataFrame, textCol: String, orderCol: String): DataFrame =
+    df.groupBy(TextOps.fingerprint(col(textCol)).as("__fp__"))
+      .agg(min_by(struct(df.columns.map(col): _*), col(orderCol)).as("__r__"))
+      .select("__r__.*")
 
   /** MinHash signature column (array<long> of `numHashes` minima over
     * shingle hashes). Seeded by hash index — deterministic everywhere.

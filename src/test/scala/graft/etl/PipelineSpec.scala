@@ -227,6 +227,26 @@ class PipelineSpec extends AnyFunSuite {
     assert(tree("female").asInstanceOf[List[_]].size == 3)
   }
 
+  test("sortWith: after-callback gets the sorted file; downstream=false ends the flow") {
+    var lines: Seq[String] = Nil
+    val stat = Pipeline.of(people)
+      .sortWith(SortSpec(
+        keys = Seq(col("id").desc),
+        after = Some(f => { lines = scala.io.Source.fromFile(f).getLines().toSeq; f.delete() }),
+        downstream = false))
+      .go()
+    assert(stat.loaded == 0) // downstream=false: nothing flows past the sort
+    assert(lines.size == 6) // header + 5 rows
+    assert(lines(1).startsWith("\"5\"")) // sorted desc by id, reference always-quote style
+  }
+
+  test("sortWith: downstream=true keeps the sorted flow") {
+    val out = Pipeline.of(people)
+      .sortWith(SortSpec(keys = Seq(col("id").desc)))
+      .toDF.select("id").collect().map(_.getInt(0)).toSeq
+    assert(out == Seq(5, 4, 3, 2, 1))
+  }
+
   test("sessionize assigns run-length window ids") {
     val df = Seq(
       (1, "u1", "view"), (2, "u1", "view"), (3, "u1", "click"),
