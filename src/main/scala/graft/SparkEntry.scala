@@ -450,6 +450,16 @@ object SparkEntry {
         .orderBy("id1", "id2")
     },
 
+    "q_dedup_embedding" -> { (s, dir) =>
+      // exact all-pairs cosine dedup (recall 1.0) — oracle-checkable
+      // because CosineSim is bit-identical to DuckDB's sequential list
+      // fold; the corpus-scale approximate path is embeddingNearDups
+      ops.Dedup.embeddingDedup(t(s, dir, "embeddings"), "vec_id", "embedding",
+        threshold = 0.4, exact = true)
+        .select("vec_id")
+        .orderBy("vec_id")
+    },
+
     // ------------------------- beyond-reference: similarity search
     "q_simsearch_knn" -> { (s, dir) =>
       val emb = t(s, dir, "embeddings")
@@ -497,6 +507,24 @@ object SparkEntry {
         leftTimeCol = "event_id", rightTimeCol = "sig_event_id")
         .select(col("event_id"), col("user_id"), col("sig_event_id"), col("sig_value"))
         .orderBy("event_id")
+    },
+
+    // ------------------------- binned range join
+    "q_rangejoin" -> { (s, dir) =>
+      // events joined to overlapping value intervals via the binned
+      // equi-join (graft.ops.RangeJoin) — no nested-loop pair scan;
+      // aggregates are order-insensitive (count/min/max) so the oracle
+      // hash-compare is safe over DOUBLE inputs
+      val intervals = s.range(0, 12).select(
+        (col("id") * 8.0).as("lo"), (col("id") * 8.0 + 11.9).as("hi"))
+      ops.RangeJoin.pointInInterval(
+        t(s, dir, "events").select("event_id", "value"), "value",
+        intervals, "lo", "hi", binWidth = 12.0)
+        .groupBy("lo", "hi")
+        .agg(count(lit(1)).as("n_events"),
+          min(col("event_id")).as("min_event_id"),
+          max(col("event_id")).as("max_event_id"))
+        .orderBy("lo")
     },
 
     // ------------------------- beyond-reference: multimodal plumbing
@@ -824,6 +852,26 @@ object SparkEntry {
         |    (sqrt(list_sum(list_transform(range(1, len(q.e) + 1), i -> q.e[i] * q.e[i]))) *
         |     sqrt(list_sum(list_transform(range(1, len(c.e) + 1), i -> c.e[i] * c.e[i])))) > 0.3
         |ORDER BY query_id, neighbor_id""".stripMargin,
+
+    "q_dedup_embedding" ->
+      """WITH v AS (SELECT vec_id,
+        |    list_transform(embedding, x -> cast(x AS DOUBLE)) AS e FROM embeddings),
+        |losers AS (SELECT DISTINCT b.vec_id FROM v a, v b
+        |  WHERE a.vec_id < b.vec_id
+        |    AND list_sum(list_transform(range(1, len(a.e) + 1), i -> a.e[i] * b.e[i])) /
+        |      (sqrt(list_sum(list_transform(range(1, len(a.e) + 1), i -> a.e[i] * a.e[i]))) *
+        |       sqrt(list_sum(list_transform(range(1, len(b.e) + 1), i -> b.e[i] * b.e[i])))) >= 0.4)
+        |SELECT vec_id FROM embeddings WHERE vec_id NOT IN (SELECT vec_id FROM losers)
+        |ORDER BY vec_id""".stripMargin,
+
+    "q_rangejoin" ->
+      """WITH r AS (SELECT i * cast(8.0 AS DOUBLE) AS lo,
+        |    i * cast(8.0 AS DOUBLE) + cast(11.9 AS DOUBLE) AS hi FROM range(0, 12) t(i))
+        |SELECT r.lo, r.hi, count(*) AS n_events,
+        |  min(e.event_id) AS min_event_id, max(e.event_id) AS max_event_id
+        |FROM events e JOIN r ON e.value >= r.lo AND e.value <= r.hi
+        |GROUP BY r.lo, r.hi
+        |ORDER BY lo""".stripMargin,
 
     "q_asof" ->
       """SELECT l.event_id, l.user_id, r.sig_event_id, r.sig_value

@@ -247,4 +247,43 @@ object Dedup {
       df: DataFrame, idCol: String, vecCol: String,
       threshold: Double = 0.95): DataFrame =
     VectorOps.lshNeighbors(df, idCol, vecCol, threshold = threshold)
+
+  /** EXACT embedding-cosine near-duplicate pairs: every (id1 < id2)
+    * with cosine >= `threshold`. All-pairs by definition (recall 1.0) —
+    * quadratic in corpus size, so this is the bounded-corpus / verifier
+    * path; at corpus scale use [[embeddingNearDups]] (sign-LSH
+    * candidates, one shuffle, approximate recall).
+    *
+    * Shape: one side broadcast, the stream side spread by key
+    * (see [[spreadByKey]] — a single-file input would otherwise run
+    * the O(n^2) cosine loop in one task), native codegen'd
+    * [[graft.functions.CosineSim]] per surviving pair. */
+  def embeddingNearDupsExact(
+      df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double): DataFrame = {
+    val stream = spreadByKey(
+      df.select(col(idCol), VectorOps.asDouble(col(vecCol)).as("__v__")), idCol, "__v__")
+      .select(col("__id__").as("id1"), col("__t__").as("__v1__"))
+    val build = broadcast(
+      df.select(col(idCol).as("id2"), VectorOps.asDouble(col(vecCol)).as("__v2__")))
+    stream.join(build, col("id1") < col("id2"))
+      .withColumn("cosine", VectorOps.cosine(col("__v1__"), col("__v2__")))
+      .filter(col("cosine") >= threshold)
+      .select(col("id1"), col("id2"), col("cosine"))
+  }
+
+  /** Greedy embedding near-dup removal, keep-smallest-id (same loser
+    * rule as [[minhashDedup]]): drops every row appearing as the larger
+    * id of a qualifying pair. `exact=true` routes pair generation
+    * through [[embeddingNearDupsExact]] (recall 1.0, quadratic);
+    * default is the sign-LSH approximate path. */
+  def embeddingDedup(
+      df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double = 0.95, exact: Boolean = false): DataFrame = {
+    val pairs =
+      if (exact) embeddingNearDupsExact(df, idCol, vecCol, threshold)
+      else embeddingNearDups(df, idCol, vecCol, threshold)
+    val losers = pairs.select(col("id2").as(idCol)).distinct()
+    df.join(losers, Seq(idCol), "left_anti")
+  }
 }

@@ -138,6 +138,62 @@ class OpsSpec extends AnyFunSuite {
     assert(top(0).getAs[Double]("cosine") > 0.99)
   }
 
+  test("Dedup.embeddingNearDupsExact finds all pairs above threshold; embeddingDedup drops losers") {
+    val rnd = new scala.util.Random(11)
+    val base = Seq.fill(16)(rnd.nextGaussian().toFloat)
+    val near = base.zipWithIndex.map { case (x, i) => if (i == 0) x + 0.01f else x }
+    val noise = (2L until 40L).map(i => (i, Seq.fill(16)(rnd.nextGaussian().toFloat)))
+    val vecs = ((0L, base) +: (1L, near) +: noise).toDF("vec_id", "embedding")
+
+    // exact pairs must equal a naive all-pairs cosine filter
+    val got = Dedup.embeddingNearDupsExact(vecs, "vec_id", "embedding", 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val a = vecs.select($"vec_id".as("id1"), VectorOps.asDouble($"embedding").as("v1"))
+    val b = vecs.select($"vec_id".as("id2"), VectorOps.asDouble($"embedding").as("v2"))
+    val naive = a.crossJoin(b).where($"id1" < $"id2")
+      .where(VectorOps.cosine($"v1", $"v2") >= 0.9)
+      .select("id1", "id2")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == naive)
+    assert(got.contains((0L, 1L)))
+
+    val kept = Dedup.embeddingDedup(vecs, "vec_id", "embedding", 0.9, exact = true)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(kept.contains(0L) && !kept.contains(1L))
+  }
+
+  test("RangeJoin.pointInInterval matches the naive nested-loop join exactly once per pair") {
+    val points = (0 until 200).map(i => (i.toLong, i * 0.7)).toDF("pid", "x")
+    val intervals = Seq(
+      (1L, 0.0, 25.0), (2L, 10.0, 40.0), (3L, 39.5, 140.0), // overlapping, varied widths
+      (4L, 200.0, 300.0) // empty
+    ).toDF("iid", "lo", "hi")
+    val got = RangeJoin.pointInInterval(points, "x", intervals, "lo", "hi", binWidth = 30.0)
+      .select("pid", "iid").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val naive = points.crossJoin(intervals)
+      .where($"x" >= $"lo" && $"x" <= $"hi")
+      .select("pid", "iid").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got.sorted == naive.sorted) // same pairs, no duplicates from bin overlap
+    assert(got.size == got.toSet.size)
+  }
+
+  test("RangeJoin.pointInInterval plans as an equi-join, not a nested loop") {
+    val points = (0 until 50).map(i => (i.toLong, i * 1.0)).toDF("pid", "x")
+    val intervals = Seq((1L, 0.0, 10.0), (2L, 5.0, 30.0)).toDF("iid", "lo", "hi")
+    val df = RangeJoin.pointInInterval(points, "x", intervals, "lo", "hi", binWidth = 10.0)
+    df.collect() // finalize the adaptive plan
+    val qe = df.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]].queryExecution
+    def hasNestedLoop(p: org.apache.spark.sql.execution.SparkPlan): Boolean = p match {
+      case _: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => true
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        hasNestedLoop(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => hasNestedLoop(q.plan)
+      case other => other.children.exists(hasNestedLoop)
+    }
+    assert(!hasNestedLoop(qe.executedPlan),
+      s"binned range join degenerated to a nested loop:\n${qe.executedPlan}")
+  }
+
   test("VectorOps.lshNeighbors recalls a planted near-dup pair") {
     val rnd = new scala.util.Random(7)
     val base = Seq.fill(32)(rnd.nextGaussian().toFloat)
