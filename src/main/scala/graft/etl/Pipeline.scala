@@ -743,6 +743,18 @@ final class Pipeline private (
   def explodeField(column: String, as: String): Pipeline =
     add(MapStep(s"explode($column)", _.withColumn(as, explode(col(column)))))
 
+  /** gratum `exchange(Closure)` general form (Pipeline.groovy:1039-1053):
+    * every row spawns a sub-flow whose output rows are injected
+    * downstream. The reference constructs a Pipeline object per row;
+    * a distributed engine cannot build a driver-side plan per row, so
+    * the general form takes the sub-flow as a per-row row-generating
+    * function and runs it executor-side as one parallel flatMap — same
+    * semantics, no driver round-trip. Collection-shaped exchanges
+    * should use [[explodeField]] instead (declarative, codegen'd,
+    * no opaque closure blocking Catalyst). */
+  def exchange(schema: StructType)(subFlow: Row => IterableOnce[Row]): Pipeline =
+    add(ScriptStep("exchange", schema, subFlow))
+
   /** gratum `fillDownBy` (Pipeline.groovy:437-455): copy the previous
     * non-empty value into null/empty cells, within `partitionCols` groups
     * ordered by `orderCol`. The reference's decider-closure generality is

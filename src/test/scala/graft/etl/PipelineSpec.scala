@@ -247,6 +247,19 @@ class PipelineSpec extends AnyFunSuite {
     assert(out == Seq(5, 4, 3, 2, 1))
   }
 
+  test("exchange: per-row sub-flow injects generated rows downstream") {
+    import org.apache.spark.sql.Row
+    val schema = StructType(Seq(
+      StructField("id", IntegerType), StructField("copy", IntegerType)))
+    val out = Pipeline.of(people)
+      .exchange(schema)(r => {
+        val id = r.getAs[Int]("id")
+        (0 until id % 3).map(i => Row(id, i)) // sub-flow of id%3 rows per input row
+      })
+      .toDF.collect().map(r => (r.getInt(0), r.getInt(1))).toSet
+    assert(out == Set((1, 0), (4, 0), (2, 0), (2, 1), (5, 0), (5, 1))) // ids 1,2,4,5 -> 1%3+2%3+4%3+5%3 rows; 3%3=0
+  }
+
   test("sessionize assigns run-length window ids") {
     val df = Seq(
       (1, "u1", "view"), (2, "u1", "view"), (3, "u1", "click"),
