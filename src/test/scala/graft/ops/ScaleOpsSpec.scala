@@ -1,0 +1,77 @@
+package graft.ops
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Specs for the shuffle-topology helpers: salting (skew) and
+  * bucketing (co-location). Correctness first (identical results to the
+  * plain formulation), then the plan property each helper exists for. */
+class ScaleOpsSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-scale-test")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.warehouse.dir", "/tmp/graft-warehouse")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  import spark.implicits._
+
+  private def countShuffles(p: SparkPlan): Int = p match {
+    case a: AdaptiveSparkPlanExec => countShuffles(a.executedPlan)
+    case q: QueryStageExec => countShuffles(q.plan)
+    case s: ShuffleExchangeLike => 1 + s.children.map(countShuffles).sum
+    case other => other.children.map(countShuffles).sum
+  }
+
+  test("Skew.saltedJoin returns exactly the plain join's rows, hot key split across salts") {
+    // one pathologically hot key (900 of 1000 rows) + a long tail
+    val left = ((1 to 900).map(i => (42L, i)) ++ (1 to 100).map(i => (i.toLong % 7, -i)))
+      .toDF("k", "v")
+    val right = (0L to 50L).map(k => (k, s"dim$k")).toDF("k", "name")
+
+    val plain = left.join(right, Seq("k")).select("k", "v", "name")
+      .collect().map(_.toSeq).toSeq
+    val salted = Skew.saltedJoin(left, right, Seq("k"), factor = 8)
+      .select("k", "v", "name").collect().map(_.toSeq).toSeq
+    assert(salted.sortBy(_.toString) == plain.sortBy(_.toString))
+
+    // the hot key's rows really do spread over multiple salt values
+    val salts = left.withColumn("__salt__", floor(rand(42L) * 8).cast("int"))
+      .where($"k" === 42L).select("__salt__").distinct().count()
+    assert(salts > 1, "salt must vary within a join key")
+  }
+
+  test("Bucketing.coLocatedJoin plans with zero shuffle exchanges") {
+    val facts = (1 to 1000).map(i => (i.toLong % 50, i)).toDF("k", "v")
+    val dims = (0L to 49L).map(k => (k, s"dim$k")).toDF("k", "name")
+    Bucketing.writeBucketed(facts, "graft_test_facts", Seq("k"), numBuckets = 4)
+    Bucketing.writeBucketed(dims, "graft_test_dims", Seq("k"), numBuckets = 4)
+    // forbid broadcast so the shuffle-free property is the bucketing's doing
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = Bucketing.coLocatedJoin(spark, "graft_test_facts", "graft_test_dims", Seq("k"))
+      assert(joined.count() == 1000)
+      val qe = joined.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]].queryExecution
+      assert(countShuffles(qe.executedPlan) == 0,
+        s"bucketed join should not shuffle:\n${qe.executedPlan}")
+
+      // control: the same join over non-bucketed frames shuffles both sides
+      val unbucketed = facts.join(dims, Seq("k"))
+      unbucketed.count()
+      val qe2 = unbucketed.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]].queryExecution
+      assert(countShuffles(qe2.executedPlan) >= 2)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.sql("DROP TABLE IF EXISTS graft_test_facts")
+      spark.sql("DROP TABLE IF EXISTS graft_test_dims")
+    }
+  }
+}
