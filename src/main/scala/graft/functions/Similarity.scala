@@ -112,7 +112,51 @@ case class HammingDist(left: Expression, right: Expression) extends BinaryExpres
     copy(left = l, right = r)
 }
 
+/** Sign-LSH bit signature of an array<double> vector against a literal
+  * array<array<double>> of random hyperplanes: bit j = 1 iff
+  * dot(vector, plane_j) >= 0. Native because the composable form is a
+  * posexplode + one aggregate per plane — a shuffle of every vector
+  * component — or an interpreted nested higher-order function; this is
+  * one codegen'd pass over the vector per plane, no shuffle at all. */
+case class SignLshSig(left: Expression, right: Expression) extends BinaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(DoubleType, _), ArrayType(ArrayType(DoubleType, _), _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"sign_lsh_sig expects (array<double>, array<array<double>>), got $other")
+    }
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "sign_lsh_sig"
+  override protected def nullSafeEval(v: Any, planes: Any): Any =
+    SimilarityUtil.signBits(v.asInstanceOf[ArrayData], planes.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (v, p) =>
+      s"graft.functions.SimilarityUtil$$.MODULE$$.signBits($v, $p)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
 object SimilarityUtil {
+
+  /** One sequential dot product per plane (same accumulation order as
+    * the fold/aggregate formulations). */
+  def signBits(v: ArrayData, planes: ArrayData): ArrayData = {
+    val nP = planes.numElements()
+    val out = new Array[Int](nP)
+    var j = 0
+    while (j < nP) {
+      val p = planes.getArray(j)
+      val n = math.min(v.numElements(), p.numElements())
+      var dot = 0.0
+      var i = 0
+      while (i < n) { dot += v.getDouble(i) * p.getDouble(i); i += 1 }
+      out(j) = if (dot >= 0) 1 else 0
+      j += 1
+    }
+    ArrayData.toArrayData(out)
+  }
 
   def agreement(a: ArrayData, b: ArrayData): Double = {
     val n = math.min(a.numElements(), b.numElements())
@@ -175,4 +219,6 @@ object similarityExprs {
     Bridge.toColumn(SigAgreement(Bridge.toExpression(a), Bridge.toExpression(b)))
   def hamming_dist(a: Column, b: Column): Column =
     Bridge.toColumn(HammingDist(Bridge.toExpression(a), Bridge.toExpression(b)))
+  def sign_lsh_sig(v: Column, planes: Column): Column =
+    Bridge.toColumn(SignLshSig(Bridge.toExpression(v), Bridge.toExpression(planes)))
 }

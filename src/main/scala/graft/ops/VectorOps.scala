@@ -96,19 +96,32 @@ object VectorOps {
       i => when(dot(v, element_at(h, i + 1)) >= 0, lit(1)).otherwise(lit(0)))
   }
 
-  /** Corpus-scale sign-LSH signatures: (id, vector, signature) rows.
-    * Shape: repartition → posexplode the vector → one codegen'd
-    * `sum(component * plane_j[pos])` aggregate per plane → sign bits.
-    * Keeps the heavy per-row math inside whole-stage codegen and
-    * parallel regardless of the input's file layout. */
+  /** Corpus-scale sign-LSH signatures: (id, vector, signature) rows via
+    * the native [[graft.functions.SignLshSig]] expression — one
+    * codegen'd pass over the vector per plane, zero shuffles beyond the
+    * parallelism spread (see [[Dedup.spreadByKey]]: a plain repartition
+    * is optimizer-removable). */
   def lshSignatures(
+      df: DataFrame, idCol: String, vecCol: String,
+      planes: Seq[Seq[Double]]): DataFrame =
+    Dedup.spreadByKey(
+      df.select(col(idCol), asDouble(col(vecCol)).as("__v0__")), idCol, "__v0__")
+      .select(col("__id__"), col("__t__").as("__v__"),
+        graft.functions.similarityExprs.sign_lsh_sig(
+          col("__t__"), typedLit(planes)).as("__sig__"))
+
+  /** The posexplode + per-plane-aggregate formulation — the pure
+    * built-in alternative (explode carries only (id, pos, component));
+    * same results when dot-product accumulation order matches, but it
+    * pays a full shuffle of every vector component plus a self-join.
+    * Kept for reference/cross-checking; the native path is the hot one. */
+  def lshSignaturesAgg(
       df: DataFrame, idCol: String, vecCol: String,
       planes: Seq[Seq[Double]]): DataFrame = {
     val par = df.sparkSession.sparkContext.defaultParallelism
     val vecs = df
       .select(col(idCol).as("__id__"), asDouble(col(vecCol)).as("__v__"))
       .repartition(par)
-    // explode carries only (id, pos, component) — never the whole vector
     val sigs = vecs
       .select(col("__id__"), posexplode(col("__v__")).as(Seq("__pos__", "__x__")))
       .groupBy("__id__")

@@ -38,6 +38,19 @@ class SimilaritySpec extends AnyFunSuite {
     assert(got.toSeq == Seq(0.5, 1.0, 0.0, 1.0))
   }
 
+  test("sign_lsh_sig matches the posexplode+aggregate formulation bit-for-bit") {
+    val emb = graft.Tables.load(spark, "/root/testdata/sf0.001", "embeddings").limit(50)
+    val planes = graft.ops.VectorOps.hyperplanes(nPlanes = 16, dim = 512)
+    val native = graft.ops.VectorOps.lshSignatures(emb, "vec_id", "embedding", planes)
+      .select($"__id__", $"__sig__").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    val agg = graft.ops.VectorOps.lshSignaturesAgg(emb, "vec_id", "embedding", planes)
+      .select($"__id__", $"__sig__").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    assert(native == agg) // same sequential dot order -> same sign bits
+    assert(native.values.forall(sig => sig.size == 16 && sig.forall(b => b == 0 || b == 1)))
+  }
+
   test("simhash_sig: identical token multisets match; unrelated differ") {
     val df = Seq(
       (1L, Seq("a", "b", "c", "d", "e", "f")),
