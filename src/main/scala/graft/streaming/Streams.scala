@@ -57,6 +57,22 @@ object Streams {
       }
   }
 
+  /** Streaming exact deduplication on a content fingerprint: keeps the
+    * first arrival of each normalized-text fingerprint, drops later
+    * copies. State holds one entry per DISTINCT fingerprint seen inside
+    * the watermark horizon — `dropDuplicatesWithinWatermark` reclaims
+    * entries once the watermark passes them, so state is bounded on an
+    * unbounded stream (the batch analogue is [[graft.ops.Dedup.exact]];
+    * "first" here is arrival order, not a sort, because a stream has no
+    * total order to sort by). */
+  def dedupExact(
+      df: DataFrame, textCol: String, tsCol: String,
+      watermarkDelay: String): DataFrame =
+    df.withColumn("__fp__", graft.ops.TextOps.fingerprint(col(textCol)))
+      .withWatermark(tsCol, watermarkDelay)
+      .dropDuplicatesWithinWatermark("__fp__")
+      .drop("__fp__")
+
   /** Run a streaming DataFrame to a named in-memory table and process
     * everything currently available (synchronous test/dev harness). */
   def runToMemory(df: DataFrame, name: String, outputMode: OutputMode = OutputMode.Append()): Unit = {

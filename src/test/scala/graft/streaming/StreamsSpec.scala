@@ -50,6 +50,27 @@ class StreamsSpec extends AnyFunSuite {
     assert(s.size >= b.size / 2)
   }
 
+  test("dedupExact drops later copies of the same fingerprint, keeps distinct docs") {
+    val dir = Files.createTempDirectory("graft-stream3").toString
+    val docs = Seq(
+      ("2024-01-01 00:00:00", 1L, "the quick brown fox"),
+      ("2024-01-01 00:01:00", 2L, "The quick  brown FOX"), // same fingerprint as 1
+      ("2024-01-01 00:02:00", 3L, "a completely different document"),
+      ("2024-01-01 00:03:00", 4L, "the quick brown fox")   // dup again
+    ).toDF("ts_s", "doc_id", "text")
+      .select(to_timestamp(col("ts_s")).as("ts"), col("doc_id"), col("text"))
+    docs.write.mode("overwrite").parquet(dir)
+
+    val stream = Streams.parquetStream(spark, dir, docs.schema)
+    val deduped = Streams.dedupExact(stream, "text", "ts", "10 minutes")
+    Streams.runToMemory(deduped, "deduped", OutputMode.Append())
+
+    val kept = spark.table("deduped").select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept.size == 2) // one representative per fingerprint
+    assert(kept.contains(3L))
+    assert((kept - 3L).subsetOf(Set(1L, 2L, 4L))) // one of the three copies
+  }
+
   test("runningTotals keeps per-key state across triggers") {
     val dir = Files.createTempDirectory("graft-stream2").toString
     Seq((1L, 2.0), (1L, 3.0), (2L, 5.0)).toDF("user_id", "value")
