@@ -884,6 +884,39 @@ final class Pipeline private (
         }
       }(org.apache.spark.sql.Encoders.row(schema))
     }))
+
+  // ------------------------------------- training-data pipeline verbs
+  // The graft.ops family surfaced as chainable steps, so a corpus-prep
+  // flow reads as one pipeline: source → quality filter → dedup → save.
+
+  /** Exact-dedup on `textCol`'s normalized fingerprint, keeping the
+    * smallest `orderCol` per group ([[graft.ops.Dedup.exact]]: one
+    * min_by hash aggregation). */
+  def dedupExact(textCol: String, orderCol: String): Pipeline =
+    add(MapStep("dedupExact", graft.ops.Dedup.exact(_, textCol, orderCol)))
+
+  /** Greedy MinHash+LSH near-dedup ([[graft.ops.Dedup.minhashDedup]]):
+    * drops rows near-duplicating a smaller-`idCol` row at `threshold`
+    * Jaccard over `shingleN`-gram shingles. */
+  def dedupNearMinhash(
+      idCol: String, textCol: String,
+      shingleN: Int = 3, numHashes: Int = 64, bands: Int = 16,
+      threshold: Double = 0.8): Pipeline =
+    add(MapStep("dedupNearMinhash",
+      graft.ops.Dedup.minhashDedup(_, idCol, textCol, shingleN, numHashes, bands, threshold)))
+
+  /** Append [[graft.ops.TextOps.qualityFeatures]] as a struct column. */
+  def withQualityFeatures(textCol: String, as: String = "quality"): Pipeline =
+    add(MapStep("qualityFeatures",
+      _.withColumn(as, graft.ops.TextOps.qualityFeatures(col(textCol)))))
+
+  /** Append the [[graft.ops.TextOps.langId]] language guess. */
+  def withLangId(textCol: String, as: String = "lang_pred"): Pipeline =
+    add(MapStep("langId", _.withColumn(as, graft.ops.TextOps.langId(col(textCol)))))
+
+  /** Append the whitespace token count ([[graft.ops.TextOps.tokenCount]]). */
+  def withTokenCount(textCol: String, as: String = "n_tokens"): Pipeline =
+    add(MapStep("tokenCount", _.withColumn(as, graft.ops.TextOps.tokenCount(col(textCol)))))
 }
 
 /** gratum SortConfig (SortConfig.groovy:8-13) — see [[Pipeline.sortWith]]. */

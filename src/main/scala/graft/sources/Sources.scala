@@ -125,7 +125,11 @@ object Sources {
 
   /** gratum `ZipSource.unzip` (ZipSource.groovy:11-39): one row per zip
     * entry. Executor-side extraction over binaryFile rows — each
-    * archive is processed where its bytes land, no driver funnel. */
+    * archive is processed where its bytes land, no driver funnel.
+    * Memory bound: one whole archive per task (inherent to Spark's
+    * binaryFile format, capped by
+    * `spark.sql.sources.binaryFile.maxLength`) plus ONE entry at a
+    * time — the entry iterator is lazy, entries are never collected. */
   def zipEntries(spark: SparkSession, dir: String, glob: String = "*.zip"): Pipeline = {
     val files = spark.read.format("binaryFile")
       .option("pathGlobFilter", glob).option("recursiveFileLookup", true).load(dir)
@@ -140,7 +144,7 @@ object Sources {
         .map { e =>
           val content = zin.readAllBytes()
           Row(path, e.getName, content.length.toLong, content)
-        }.toSeq
+        }
     }(org.apache.spark.sql.Encoders.row(entrySchema))
     Pipeline.of(s"unzip($dir)", df)
   }
@@ -165,7 +169,7 @@ object Sources {
         .map { e =>
           val content = in.readAllBytes()
           Row(path, e.getName, content.length.toLong, content)
-        }.toSeq
+        }
     }(org.apache.spark.sql.Encoders.row(entrySchema))
     Pipeline.of(s"unarchive($dir)", df)
   }

@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Regression guards for the plan properties the gate queries rely on:
+  * column pruning into the parquet scan, filter pushdown, broadcast of
+  * dimension tables. These are the properties that decide whether a
+  * query that passes at sf0.01 still runs at 100 TB — lock them in a
+  * spec so a refactor can't silently regress them. */
+class PlanAuditSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-plan-audit")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def executed(df: org.apache.spark.sql.DataFrame): SparkPlan = {
+    df.collect()
+    df.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]].queryExecution.executedPlan
+  }
+
+  private def planString(p: SparkPlan): String = {
+    def unwrap(x: SparkPlan): Seq[SparkPlan] = x match {
+      case a: AdaptiveSparkPlanExec => unwrap(a.executedPlan)
+      case q: QueryStageExec => unwrap(q.plan)
+      case other => other +: other.children.flatMap(unwrap)
+    }
+    unwrap(p).map(_.verboseString(1000)).mkString("\n")
+  }
+
+  test("q1_agg scan is pruned to exactly the referenced lineitem columns") {
+    val s = planString(executed(SparkEntry.queries("q1_agg")(spark, dir)))
+    val scanLine = s.linesIterator.find(l => l.contains("FileScan") || l.contains("Scan parquet"))
+      .getOrElse(fail(s"no parquet scan in plan:\n$s"))
+    // the 5 referenced columns and nothing else wide
+    Seq("l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount")
+      .foreach(c => assert(scanLine.contains(c), s"column $c missing from scan: $scanLine"))
+    Seq("l_comment", "l_shipdate", "l_orderkey")
+      .foreach(c => assert(!scanLine.contains(c), s"unreferenced column $c read by scan: $scanLine"))
+  }
+
+  test("filter queries push predicates into the parquet scan") {
+    val s = planString(executed(SparkEntry.queries("q_filter_map")(spark, dir)))
+    assert(s.contains("PushedFilters: ["), s"no pushed filters in:\n$s")
+    assert(!s.contains("PushedFilters: []"), s"empty pushed filters in:\n$s")
+  }
+
+  test("q5_join_agg broadcasts the dimension tables") {
+    val s = planString(executed(SparkEntry.queries("q5_join_agg")(spark, dir)))
+    val broadcasts = s.linesIterator.count(_.contains("BroadcastHashJoin"))
+    assert(broadcasts >= 3, s"expected >=3 broadcast joins (customer/nation/region), got $broadcasts:\n$s")
+  }
+}

@@ -247,6 +247,25 @@ class PipelineSpec extends AnyFunSuite {
     assert(out == Seq(5, 4, 3, 2, 1))
   }
 
+  test("training-data verbs: quality/langid/token columns + exact dedup chain") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "The quick  brown fox jumps over the lazy DOG"), // same fingerprint as 1
+      (3L, "el gato y la casa que los perros el dia bueno")
+    ).toDF("doc_id", "text")
+    val out = Pipeline.of(docs)
+      .withTokenCount("text")
+      .withLangId("text")
+      .withQualityFeatures("text")
+      .dedupExact("text", "doc_id")
+      .toDF
+    assert(out.count() == 2) // doc 2 deduped away
+    val en = out.where(col("doc_id") === 1).head()
+    assert(en.getAs[String]("lang_pred") == "en")
+    assert(en.getAs[Int]("n_tokens") == 9)
+    assert(out.columns.contains("quality"))
+  }
+
   test("exchange: per-row sub-flow injects generated rows downstream") {
     import org.apache.spark.sql.Row
     val schema = StructType(Seq(
