@@ -509,6 +509,21 @@ object SparkEntry {
         .orderBy("event_id")
     },
 
+    // ------------------------- skew-salted join
+    "q_saltedjoin" -> { (s, dir) =>
+      // salted equi-join (8-way hot-key split) aggregated per nation —
+      // result is salt-invariant, so the plain-join SQL is the oracle
+      val orders = t(s, dir, "orders").select(
+        col("o_custkey").as("k"), col("o_totalprice"))
+      val cust = t(s, dir, "customer").select(
+        col("c_custkey").as("k"), col("c_nationkey"))
+      ops.Skew.saltedJoin(orders, cust, Seq("k"), factor = 8)
+        .groupBy("c_nationkey")
+        .agg(count(lit(1)).as("n_orders"),
+          sum(dec2(col("o_totalprice"))).cast(sumDec).as("total_price"))
+        .orderBy("c_nationkey")
+    },
+
     // ------------------------- binned range join
     "q_rangejoin" -> { (s, dir) =>
       // events joined to overlapping value intervals via the binned
@@ -863,6 +878,13 @@ object SparkEntry {
         |       sqrt(list_sum(list_transform(range(1, len(b.e) + 1), i -> b.e[i] * b.e[i])))) >= 0.4)
         |SELECT vec_id FROM embeddings WHERE vec_id NOT IN (SELECT vec_id FROM losers)
         |ORDER BY vec_id""".stripMargin,
+
+    "q_saltedjoin" ->
+      """SELECT c.c_nationkey, count(*) AS n_orders,
+        |  cast(sum(cast(o.o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total_price
+        |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        |GROUP BY c.c_nationkey
+        |ORDER BY c.c_nationkey""".stripMargin,
 
     "q_rangejoin" ->
       """WITH r AS (SELECT i * cast(8.0 AS DOUBLE) AS lo,

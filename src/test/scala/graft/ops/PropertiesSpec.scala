@@ -84,6 +84,41 @@ class PropertiesSpec extends AnyFunSuite {
     }
   }
 
+  test("saltedJoin equals the plain join for arbitrary key distributions and factors") {
+    val data: Gen[(List[Int], List[Int], Int)] = for {
+      leftKeys <- Gen.listOfN(60, Gen.chooseNum(0, 9))
+      rightKeys <- Gen.listOfN(15, Gen.chooseNum(0, 12))
+      factor <- Gen.chooseNum(1, 7)
+    } yield (leftKeys, rightKeys, factor)
+    forSamples(data, 6) { case (leftKeys, rightKeys, factor) =>
+      val left = leftKeys.zipWithIndex.map { case (k, i) => (k.toLong, i) }.toDF("k", "v")
+      val right = rightKeys.distinct.map(k => (k.toLong, s"d$k")).toDF("k", "name")
+      val plain = left.join(right, Seq("k")).select("k", "v", "name")
+        .collect().map(_.toSeq.toString).sorted.toSeq
+      val salted = Skew.saltedJoin(left, right, Seq("k"), factor)
+        .select("k", "v", "name").collect().map(_.toSeq.toString).sorted.toSeq
+      assert(salted == plain)
+    }
+  }
+
+  test("pointInInterval equals the naive range join for arbitrary intervals and bin widths") {
+    val data: Gen[(List[(Double, Double)], Double)] = for {
+      bounds <- Gen.listOfN(6, Gen.chooseNum(0, 90))
+      lens <- Gen.listOfN(6, Gen.chooseNum(1, 40))
+      w <- Gen.chooseNum(3, 50)
+    } yield (bounds.zip(lens).map { case (b, l) => (b.toDouble, (b + l).toDouble) }, w.toDouble)
+    forSamples(data, 6) { case (intervals, w) =>
+      val points = (0 until 120).map(i => (i.toLong, i * 0.9)).toDF("pid", "x")
+      val ivs = intervals.zipWithIndex.map { case ((lo, hi), i) => (i.toLong, lo, hi) }
+        .toDF("iid", "lo", "hi")
+      val got = RangeJoin.pointInInterval(points, "x", ivs, "lo", "hi", w)
+        .select("pid", "iid").collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      val naive = points.crossJoin(ivs).where($"x" >= $"lo" && $"x" <= $"hi")
+        .select("pid", "iid").collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      assert(got == naive)
+    }
+  }
+
   test("exact dedup is idempotent and never increases rows") {
     forSamples(Gen.listOfN(12, text), 5) { texts =>
       {
