@@ -509,6 +509,20 @@ object SparkEntry {
         .orderBy("event_id")
     },
 
+    // ------------------------- corpus-prep flagship (pipeline verbs)
+    "q_prep" -> { (s, dir) =>
+      // the training-data flow as ONE pipeline: token-count → quality
+      // filter → exact dedup → projection; every stage oracle-expressible
+      p(s, dir, "documents")
+        .withTokenCount("text")
+        .filter(col("n_tokens") >= 20)
+        .dedupExact("text", "doc_id")
+        .clip("doc_id", "lang", "n_tokens")
+        .toDF
+        .withColumn("n_tokens", asBig(col("n_tokens"))) // DuckDB len() is int64
+        .orderBy("doc_id")
+    },
+
     // ------------------------- skew-salted join
     "q_saltedjoin" -> { (s, dir) =>
       // salted equi-join (8-way hot-key split) aggregated per nation —
@@ -878,6 +892,18 @@ object SparkEntry {
         |       sqrt(list_sum(list_transform(range(1, len(b.e) + 1), i -> b.e[i] * b.e[i])))) >= 0.4)
         |SELECT vec_id FROM embeddings WHERE vec_id NOT IN (SELECT vec_id FROM losers)
         |ORDER BY vec_id""".stripMargin,
+
+    "q_prep" ->
+      """WITH tok AS (
+        |  SELECT doc_id, lang, text,
+        |         len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens
+        |  FROM documents),
+        |filt AS (SELECT * FROM tok WHERE n_tokens >= 20)
+        |SELECT doc_id, lang, n_tokens FROM filt
+        |QUALIFY row_number() OVER (
+        |  PARTITION BY md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))
+        |  ORDER BY doc_id) = 1
+        |ORDER BY doc_id""".stripMargin,
 
     "q_saltedjoin" ->
       """SELECT c.c_nationkey, count(*) AS n_orders,
