@@ -466,7 +466,7 @@ final class Pipeline private (
     * columns, casting everything to string (reference quirk preserved). */
   def trimAll(): Pipeline =
     add(MapStep("trim", df =>
-      df.select(df.columns.map(c => trim(col(c).cast(StringType)).as(c)): _*)))
+      df.select(df.columns.toIndexedSeq.map(c => trim(col(c).cast(StringType)).as(c)): _*)))
 
   /** gratum `defaultValues` (Pipeline.groovy:1073-1080): fill null/empty
     * with a constant. */
@@ -585,7 +585,7 @@ final class Pipeline private (
       apply = df => {
         val o = ord.getOrElse(df.columns.head)
         df.groupBy(col(column))
-          .agg(min_by(struct(df.columns.map(col): _*), col(o)).as("__r__"))
+          .agg(min_by(struct(df.columns.toIndexedSeq.map(col): _*), col(o)).as("__r__"))
           .select("__r__.*")
       },
       rejected = df => {
@@ -593,7 +593,7 @@ final class Pipeline private (
         val mins = df.groupBy(col(column)).agg(min(col(o)).as("__graft_min__"))
         df.join(mins, Seq(column)).filter(col(o) =!= col("__graft_min__"))
           .drop("__graft_min__")
-          .select(df.columns.map(col): _*)
+          .select(df.columns.toIndexedSeq.map(col): _*)
       }))
   }
 
@@ -702,7 +702,7 @@ final class Pipeline private (
         pre = df => df.join(
           rightPruned(df, other.toDF).withColumn("__graft_matched__", lit(true)),
           on, "left_outer"),
-        onRejected = (input, rejected) => rejected.select(input.columns.map(col): _*)))
+        onRejected = (input, rejected) => rejected.select(input.columns.toIndexedSeq.map(col): _*)))
   }
 
   /** Join with differing column names: map of leftCol → rightCol
@@ -819,7 +819,7 @@ final class Pipeline private (
           "use groupAgg for corpus-scale aggregation")
     val rows = df.collect()
     def build(rs: Seq[Row], cols: List[String]): Any = cols match {
-      case Nil => rs.map(r => r.getValuesMap[Any](r.schema.fieldNames)).toList
+      case Nil => rs.map(r => r.getValuesMap[Any](r.schema.fieldNames.toIndexedSeq)).toList
       case c :: rest =>
         rs.groupBy(r => String.valueOf(r.getAs[Any](c))).map {
           case (k, grp) => k -> build(grp, rest)

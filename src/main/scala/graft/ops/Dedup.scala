@@ -35,7 +35,7 @@ object Dedup {
     * partition of a 100 TB corpus just to pick one row per key. */
   def exact(df: DataFrame, textCol: String, orderCol: String): DataFrame =
     df.groupBy(TextOps.fingerprint(col(textCol)).as("__fp__"))
-      .agg(min_by(struct(df.columns.map(col): _*), col(orderCol)).as("__r__"))
+      .agg(min_by(struct(df.columns.toIndexedSeq.map(col): _*), col(orderCol)).as("__r__"))
       .select("__r__.*")
 
   /** MinHash signature column (array<long> of `numHashes` minima over

@@ -67,7 +67,7 @@ object Sources {
   private def descend(root: DataFrame, descent: Seq[String], includeRoot: Boolean): DataFrame = {
     var df =
       if (!includeRoot) root
-      else root.withColumn("_root_json", to_json(struct(root.columns.map(col): _*)))
+      else root.withColumn("_root_json", to_json(struct(root.columns.toIndexedSeq.map(col): _*)))
     descent.foreach { name =>
       val rootCols = if (includeRoot) Seq(col("_root_json")) else Nil
       df.schema(name).dataType match {
