@@ -145,9 +145,14 @@ object Dedup {
       // also the only shape that works at 100 TB
       val shingler: (Column, Int) => Column =
         if (charShingles) TextOps.charShingles else TextOps.shingles
-      def sets(src: DataFrame): DataFrame = src
-        .select(col(idCol).as("__sid__"),
-          array_distinct(shingler(col(textCol), shingleN)).as("__sh__"))
+      // the interpreted shingle projection must sit above a by-key
+      // aggregation (spreadByKey), or it runs inside the scan stage —
+      // one task for a single-file input with the id-IN-list pushed
+      // down, serializing the most expensive per-row work of the verify
+      def sets(src: DataFrame): DataFrame =
+        spreadByKey(src.select(col(idCol), col(textCol)), idCol, textCol)
+          .select(col("__id__").as("__sid__"),
+            array_distinct(shingler(col("__t__"), shingleN)).as("__sh__"))
       // `screened` is materialized and bounded (bucket cap + screen), so
       // the candidate-id set is knowable up front. When it is small —
       // the normal case — pull the ids to the driver: the shingle build
