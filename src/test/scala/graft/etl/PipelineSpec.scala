@@ -279,6 +279,22 @@ class PipelineSpec extends AnyFunSuite {
     assert(out == Set((1, 0), (4, 0), (2, 0), (2, 1), (5, 0), (5, 1))) // ids 1,2,4,5 -> 1%3+2%3+4%3+5%3 rows; 3%3=0
   }
 
+  test("rejections before and after an exchange are both counted (ref testExchangeRejections)") {
+    import org.apache.spark.sql.Row
+    val schema = StructType(Seq(
+      StructField("id", IntegerType), StructField("n", IntegerType)))
+    val stat = Pipeline.of(people)
+      .filter(Map("gender" -> "female")) // rejects the 2 males
+      .exchange(schema)(r => {
+        val id = r.getAs[Int]("id")
+        (1 to id % 4).map(i => Row(id, i)) // 3->3 rows, 4->0 rows, 5->1 row
+      })
+      .filter(col("n") <= 2) // rejects (3,3)
+      .go()
+    assert(stat.loaded == 3) // (3,1),(3,2),(5,1)
+    assert(stat.rejections(RejectionCategory.IGNORE_ROW) == 3) // 2 males + (3,3)
+  }
+
   test("sessionize assigns run-length window ids") {
     val df = Seq(
       (1, "u1", "view"), (2, "u1", "view"), (3, "u1", "click"),
