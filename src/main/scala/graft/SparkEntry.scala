@@ -450,6 +450,16 @@ object SparkEntry {
         .orderBy("id1", "id2")
     },
 
+    "q_dedup_ngram" -> { (s, dir) =>
+      // EXACT all-pairs n-gram Jaccard with the lossless size-ratio
+      // prune; scoped to doc_id < 250 so the DuckDB oracle's list ops
+      // stay cheap (the operator itself is unscoped; OpsSpec covers it)
+      ops.Dedup.ngramJaccardPairs(
+        t(s, dir, "documents").filter(col("doc_id") < 250), "doc_id", "text",
+        shingleN = 5, threshold = 0.8)
+        .orderBy("id1", "id2")
+    },
+
     "q_dedup_embedding" -> { (s, dir) =>
       // exact all-pairs cosine dedup (recall 1.0) — oracle-checkable
       // because CosineSim is bit-identical to DuckDB's sequential list
@@ -881,6 +891,27 @@ object SparkEntry {
         |    (sqrt(list_sum(list_transform(range(1, len(q.e) + 1), i -> q.e[i] * q.e[i]))) *
         |     sqrt(list_sum(list_transform(range(1, len(c.e) + 1), i -> c.e[i] * c.e[i])))) > 0.3
         |ORDER BY query_id, neighbor_id""".stripMargin,
+
+    "q_dedup_ngram" ->
+      """WITH norm AS (
+        |  SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS s
+        |  FROM documents WHERE doc_id < 250),
+        |sh AS (
+        |  SELECT doc_id,
+        |    CASE WHEN length(s) >= 5
+        |         THEN list_distinct(list_transform(range(0, length(s) - 4), i -> substr(s, i + 1, 5)))
+        |         ELSE [s] END AS shset
+        |  FROM norm),
+        |sz AS (SELECT doc_id, shset, len(shset) AS n FROM sh),
+        |scored AS (
+        |  SELECT a.doc_id AS id1, b.doc_id AS id2,
+        |    cast(len(list_intersect(a.shset, b.shset)) AS DOUBLE)
+        |      / len(list_distinct(a.shset || b.shset)) AS jaccard
+        |  FROM sz a JOIN sz b
+        |    ON a.doc_id < b.doc_id
+        |   AND least(a.n, b.n) >= cast(0.8 AS DOUBLE) * greatest(a.n, b.n) - 1e-9)
+        |SELECT id1, id2, jaccard FROM scored WHERE jaccard >= 0.8
+        |ORDER BY id1, id2""".stripMargin,
 
     "q_dedup_embedding" ->
       """WITH v AS (SELECT vec_id,

@@ -247,6 +247,39 @@ object Dedup {
     size(array_intersect(sa, sb)) / size(array_union(sa, sb))
   }
 
+  /** EXACT all-pairs n-gram Jaccard >= `threshold` (recall 1.0), with a
+    * LOSSLESS size-ratio prune: jaccard(A,B) >= t implies
+    * min(|A|,|B|) >= t * max(|A|,|B|), so pairs outside that band are
+    * skipped before any set intersection — an integer comparison per
+    * pair instead of a set operation, no recall loss.
+    *
+    * Still quadratic in pair enumeration (cheap int filter per pair);
+    * this is the bounded-corpus / verifier path — at corpus scale use
+    * [[minhashNearDups]] (LSH candidates, one shuffle). Shingle sets
+    * are built once per doc above a by-key spread; one side broadcasts.
+    */
+  def ngramJaccardPairs(
+      df: DataFrame, idCol: String, textCol: String,
+      shingleN: Int, threshold: Double): DataFrame = {
+    val sets = spreadByKey(df, idCol, textCol)
+      .select(col("__id__"),
+        array_distinct(TextOps.charShingles(col("__t__"), shingleN)).as("__sh__"))
+      .withColumn("__n__", size(col("__sh__")))
+    val a = sets.select(col("__id__").as("id1"), col("__sh__").as("sh1"), col("__n__").as("n1"))
+    val b = broadcast(
+      sets.select(col("__id__").as("id2"), col("__sh__").as("sh2"), col("__n__").as("n2")))
+    // epsilon slack keeps boundary pairs (min == t*max exactly, where
+    // jaccard can be exactly t) admitted despite double rounding of
+    // t*max; slack only ADMITS candidates — the exact filter decides
+    a.join(b, col("id1") < col("id2") &&
+        least(col("n1"), col("n2")) >=
+          lit(threshold) * greatest(col("n1"), col("n2")) - lit(1e-9))
+      .withColumn("jaccard",
+        graft.functions.similarityExprs.jaccard_sim(col("sh1"), col("sh2")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id1"), col("id2"), col("jaccard"))
+  }
+
   /** Embedding-cosine near-duplicate pairs (delegates to sign-LSH). */
   def embeddingNearDups(
       df: DataFrame, idCol: String, vecCol: String,

@@ -106,6 +106,20 @@ class OpsSpec extends AnyFunSuite {
     assert(pairs.exists { case (a, b, h) => a == 0L && b == 1L && h == 0 })
   }
 
+  test("Dedup.ngramJaccardPairs equals naive all-pairs; prune loses nothing") {
+    val got = Dedup.ngramJaccardPairs(docs, "doc_id", "text", shingleN = 2, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val a = docs.select($"doc_id".as("id1"), $"text".as("t1"))
+    val naive = a.crossJoin(docs.select($"doc_id".as("id2"), $"text".as("t2")))
+      .where($"id1" < $"id2")
+      .withColumn("jaccard", Dedup.ngramJaccard($"t1", $"t2", 2))
+      .where($"jaccard" >= 0.5)
+      .select("id1", "id2", "jaccard")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got == naive)
+    assert(got.exists { case (a1, b1, _) => a1 == 0L && b1 == 1L }) // exact dup pair
+  }
+
   test("Dedup.ngramJaccard: identical=1, disjoint=0") {
     val d = Seq(("abcdef", "abcdef", "zzzzzz")).toDF("a", "b", "c")
     val r = d.select(
