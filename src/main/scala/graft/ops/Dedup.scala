@@ -270,14 +270,18 @@ object Dedup {
       sets.select(col("__id__").as("id2"), col("__sh__").as("sh2"), col("__n__").as("n2")))
     // epsilon slack keeps boundary pairs (min == t*max exactly, where
     // jaccard can be exactly t) admitted despite double rounding of
-    // t*max; slack only ADMITS candidates — the exact filter decides
+    // t*max; slack only ADMITS candidates — the exact jaccard decides.
+    // The jaccard predicate lives INSIDE the join condition, AFTER the
+    // cheap conjuncts: a separate .filter would be pushed into the
+    // condition PREPENDED (evaluated first, for every enumerated pair),
+    // while an explicit condition keeps its order and short-circuits —
+    // only size-band survivors pay the set intersection.
+    val jac = graft.functions.similarityExprs.jaccard_sim(col("sh1"), col("sh2"))
     a.join(b, col("id1") < col("id2") &&
         least(col("n1"), col("n2")) >=
-          lit(threshold) * greatest(col("n1"), col("n2")) - lit(1e-9))
-      .withColumn("jaccard",
-        graft.functions.similarityExprs.jaccard_sim(col("sh1"), col("sh2")))
-      .filter(col("jaccard") >= threshold)
-      .select(col("id1"), col("id2"), col("jaccard"))
+          lit(threshold) * greatest(col("n1"), col("n2")) - lit(1e-9) &&
+        jac >= threshold)
+      .select(col("id1"), col("id2"), jac.as("jaccard"))
   }
 
   /** Embedding-cosine near-duplicate pairs (delegates to sign-LSH). */
