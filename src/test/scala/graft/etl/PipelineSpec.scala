@@ -247,6 +247,22 @@ class PipelineSpec extends AnyFunSuite {
     assert(out == Seq(5, 4, 3, 2, 1))
   }
 
+  test("branch with aggregation and custom sink (ref testBranchWithGroupBy/testComplexBranch)") {
+    var captured: Map[String, Long] = Map.empty
+    val sink = new graft.sinks.Sink {
+      def name = "collect"
+      def write(df: DataFrame): Map[String, String] = {
+        captured = df.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+        Map("rows" -> captured.size.toString)
+      }
+    }
+    val stat = Pipeline.of(people)
+      .branch(p => p.groupAgg(Seq("gender"))(count(lit(1)).as("n")).saveAs(sink))
+      .go()
+    assert(stat.loaded == 5) // main flow unchanged by the branch
+    assert(captured == Map("male" -> 2L, "female" -> 3L))
+  }
+
   test("training-data verbs: quality/langid/token columns + exact dedup chain") {
     val docs = Seq(
       (1L, "the quick brown fox jumps over the lazy dog"),
