@@ -373,6 +373,18 @@ object SparkEntry {
         .orderBy("gid", "l_returnflag", "l_linestatus")
     },
 
+    "q_cube" -> { (s, dir) =>
+      // full CUBE over two keys (rollup's sibling; completes the
+      // grouping-sets family of SURVEY §2.5)
+      t(s, dir, "orders")
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(
+          sum(dec2(col("o_totalprice"))).cast(sumDec).as("sum_price"),
+          count(lit(1)).as("n"),
+          grouping_id().cast(IntegerType).as("gid"))
+        .orderBy("gid", "o_orderstatus", "o_orderpriority")
+    },
+
     "q_rejections" -> { (s, dir) =>
       // the rejection side-channel itself: per-step, per-category
       // rejected-row counts of a two-rejecting-step pipeline
@@ -802,6 +814,15 @@ object SparkEntry {
         |FROM lineitem
         |GROUP BY ROLLUP (l_returnflag, l_linestatus)
         |ORDER BY gid, l_returnflag, l_linestatus""".stripMargin,
+
+    "q_cube" ->
+      """SELECT o_orderstatus, o_orderpriority,
+        |  cast(sum(cast(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_price,
+        |  count(*) AS n,
+        |  cast(grouping(o_orderstatus) * 2 + grouping(o_orderpriority) AS INTEGER) AS gid
+        |FROM orders
+        |GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        |ORDER BY gid, o_orderstatus, o_orderpriority""".stripMargin,
 
     "q_rejections" ->
       """SELECT * FROM (
