@@ -373,6 +373,21 @@ object SparkEntry {
         .orderBy("gid", "l_returnflag", "l_linestatus")
     },
 
+    "q_topvalues" -> { (s, dir) =>
+      // heavy hitters with exact counts (Sketches.topValues): hash agg
+      // + bounded take, never a global sort
+      ops.Sketches.topValues(t(s, dir, "events"), col("event_type"), 3)
+    },
+
+    "q_quantiles" -> { (s, dir) =>
+      // EXACT percentile (driver-bounded single-group aggregate); the
+      // corpus-scale path is Sketches.approxQuantiles (GK sketch)
+      t(s, dir, "documents").agg(
+        percentile(col("n_chars"), lit(0.25)).as("p25"),
+        percentile(col("n_chars"), lit(0.5)).as("p50"),
+        percentile(col("n_chars"), lit(0.9)).as("p90"))
+    },
+
     "q_cube" -> { (s, dir) =>
       // full CUBE over two keys (rollup's sibling; completes the
       // grouping-sets family of SURVEY §2.5)
@@ -814,6 +829,16 @@ object SparkEntry {
         |FROM lineitem
         |GROUP BY ROLLUP (l_returnflag, l_linestatus)
         |ORDER BY gid, l_returnflag, l_linestatus""".stripMargin,
+
+    "q_topvalues" ->
+      """SELECT event_type AS value, count(*) AS n FROM events
+        |GROUP BY event_type ORDER BY n DESC, value ASC LIMIT 3""".stripMargin,
+
+    "q_quantiles" ->
+      """SELECT quantile_cont(n_chars, 0.25) AS p25,
+        |  quantile_cont(n_chars, 0.5) AS p50,
+        |  quantile_cont(n_chars, 0.9) AS p90
+        |FROM documents""".stripMargin,
 
     "q_cube" ->
       """SELECT o_orderstatus, o_orderpriority,
