@@ -373,6 +373,19 @@ object SparkEntry {
         .orderBy("gid", "l_returnflag", "l_linestatus")
     },
 
+    "q_setops" -> { (s, dir) =>
+      // §2.7 supersets: customers without orders via EXCEPT, plus
+      // UNION-DISTINCT and INTERSECT cardinalities as one summary row
+      val custKeys = p(s, dir, "customer").clip("c_custkey")
+      val orderCust = p(s, dir, "orders")
+        .renameFields("o_custkey" -> "c_custkey").clip("c_custkey")
+      val noOrders = custKeys.exceptRows(orderCust).toDF.count()
+      val union = custKeys.concatDistinct(orderCust).toDF.count()
+      val both = custKeys.intersectRows(orderCust).toDF.count()
+      import s.implicits._
+      Seq((noOrders, union, both)).toDF("n_no_orders", "n_union", "n_intersect")
+    },
+
     "q_topvalues" -> { (s, dir) =>
       // heavy hitters with exact counts (Sketches.topValues): hash agg
       // + bounded take, never a global sort
@@ -829,6 +842,15 @@ object SparkEntry {
         |FROM lineitem
         |GROUP BY ROLLUP (l_returnflag, l_linestatus)
         |ORDER BY gid, l_returnflag, l_linestatus""".stripMargin,
+
+    "q_setops" ->
+      """SELECT
+        |  (SELECT count(*) FROM
+        |    (SELECT c_custkey FROM customer EXCEPT SELECT o_custkey FROM orders)) AS n_no_orders,
+        |  (SELECT count(*) FROM
+        |    (SELECT c_custkey FROM customer UNION SELECT o_custkey FROM orders)) AS n_union,
+        |  (SELECT count(*) FROM
+        |    (SELECT c_custkey FROM customer INTERSECT SELECT o_custkey FROM orders)) AS n_intersect""".stripMargin,
 
     "q_topvalues" ->
       """SELECT event_type AS value, count(*) AS n FROM events

@@ -665,6 +665,22 @@ final class Pipeline private (
     add(MapStep(s"concat(${other.name})",
       _.unionByName(other.toDF, allowMissingColumns = true)))
 
+  // Set-operation supersets (SURVEY §2.7: the reference has only concat
+  // and the intersect marker; Spark provides the rest natively).
+
+  /** UNION DISTINCT by column name. */
+  def concatDistinct(other: Pipeline): Pipeline =
+    add(MapStep(s"unionDistinct(${other.name})",
+      _.unionByName(other.toDF, allowMissingColumns = true).distinct()))
+
+  /** EXCEPT (distinct rows of this flow absent from `other`). */
+  def exceptRows(other: Pipeline): Pipeline =
+    add(MapStep(s"except(${other.name})", _.except(other.toDF)))
+
+  /** INTERSECT with dedup (unlike [[intersectMarker]], this filters). */
+  def intersectRows(other: Pipeline): Pipeline =
+    add(MapStep(s"intersect(${other.name})", _.intersect(other.toDF)))
+
   /** gratum `join` (Pipeline.groovy:385-427).
     *
     * `left=false` → inner join; unmatched left rows are IGNORE_ROW

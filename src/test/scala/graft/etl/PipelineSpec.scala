@@ -185,6 +185,15 @@ class PipelineSpec extends AnyFunSuite {
     assert(df.where(col("id") === 6 && col("gender").isNull).count() == 1)
   }
 
+  test("set-op supersets: concatDistinct / exceptRows / intersectRows") {
+    val a = Pipeline.of(Seq(1, 2, 2, 3).toDF("k"))
+    val b = Pipeline.of(Seq(3, 4).toDF("k"))
+    def ks(p: Pipeline): Seq[Int] = p.toDF.collect().map(_.getInt(0)).sorted.toSeq
+    assert(ks(a.concatDistinct(b)) == Seq(1, 2, 3, 4))
+    assert(ks(a.exceptRows(b)) == Seq(1, 2))
+    assert(ks(a.intersectRows(b)) == Seq(3))
+  }
+
   test("branch copies flow into side pipeline; main flow unchanged") {
     var branchLoaded = -1L
     val stat = Pipeline.of(people)
