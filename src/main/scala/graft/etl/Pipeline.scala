@@ -44,13 +44,17 @@ final case class FilterStep(
     onRejected: (DataFrame, DataFrame) => DataFrame = (_, r) => r) extends PStep
 
 /** General rejecting step where the complement is not a column predicate
-  * (e.g. the anti-join side of an inner join). */
+  * (e.g. the anti-join side of an inner join). `exactInput=true` marks
+  * steps whose `apply` stops consuming its input (a LIMIT): an observe
+  * below such a step only sees the rows the limit pulled, so [[Pipeline.go]]
+  * counts the step's input with a dedicated full count instead. */
 final case class SplitStep(
     name: String,
     category: RejectionCategory,
     reason: String,
     apply: DataFrame => DataFrame,
-    rejected: DataFrame => DataFrame) extends PStep
+    rejected: DataFrame => DataFrame,
+    exactInput: Boolean = false) extends PStep
 
 /** Row-closure step (gratum `addStep` with an arbitrary closure,
   * `Step.groovy:23-59`): `fn` maps one input row to zero or more output
@@ -263,6 +267,23 @@ final class Pipeline private (
     * reports the single action's duration, sinks and branches report
     * their own (documented approximation vs `LoadStatistic.groovy`).
     */
+  /** Observed metric with a bounded wait. CollectMetrics can be pruned
+    * out of the executed plan entirely (limit 0, empty-relation
+    * propagation above the observe), in which case its metric never
+    * arrives — default to 0 after the deadline instead of blocking in
+    * `Observation.get` forever. Metrics normally arrive within
+    * milliseconds of the action via the listener bus. */
+  private def metricOrZero(obs: Observation, key: String, timeoutMs: Long = 10000L): Long = {
+    val deadline = System.currentTimeMillis() + timeoutMs
+    while (System.currentTimeMillis() < deadline) {
+      val m = org.apache.spark.sql.graftbridge.Bridge.observedMetrics(obs)
+      if (m.nonEmpty)
+        return m.get(key).map(_.asInstanceOf[Number].longValue()).getOrElse(0L)
+      Thread.sleep(20)
+    }
+    0L
+  }
+
   def go(): LoadStatistic = {
     val t0 = System.nanoTime()
     val hasSideOutputs = steps.exists {
@@ -276,13 +297,13 @@ final class Pipeline private (
 
     // ---- build the instrumented plan: observe() counters per rejecting step
     val filterObs = scala.collection.mutable.ArrayBuffer.empty[(FilterStep, Observation)]
-    val splitObs = scala.collection.mutable.ArrayBuffer.empty[(SplitStep, Observation, Observation)]
+    val splitObs = scala.collection.mutable.ArrayBuffer.empty[(SplitStep, Option[Observation], Observation, Int)]
     val scriptAcc = scala.collection.mutable.ArrayBuffer.empty[
       (ScriptStep, org.apache.spark.util.LongAccumulator, org.apache.spark.util.LongAccumulator)]
     var obsId = 0
     def nextObs(): Observation = { obsId += 1; Observation(s"graft_${name}_$obsId") }
 
-    val instrumented = withSrc.steps.foldLeft(src) { (df, step) =>
+    val instrumented = withSrc.steps.zipWithIndex.foldLeft(src) { case (df, (step, i)) =>
       step match {
         case MapStep(_, f) => f(df)
         case fs: FilterStep =>
@@ -293,10 +314,19 @@ final class Pipeline private (
             sum(when(!coalesce(fs.keep(pre), lit(false)), lit(1L)).otherwise(lit(0L))).as("rejected"))
           fs.onKept(observed.filter(fs.keep(observed)))
         case ss: SplitStep =>
-          val (inObs, outObs) = (nextObs(), nextObs())
-          splitObs += ((ss, inObs, outObs))
-          ss.apply(df.observe(inObs, count(lit(1)).as("n")))
-            .observe(outObs, count(lit(1)).as("n"))
+          val outObs = nextObs()
+          if (ss.exactInput) {
+            // a limit-like apply stops pulling from its input — an
+            // observe below it would undercount; the input is counted
+            // with a dedicated full count after the action instead
+            splitObs += ((ss, None, outObs, i))
+            ss.apply(df).observe(outObs, count(lit(1)).as("n"))
+          } else {
+            val inObs = nextObs()
+            splitObs += ((ss, Some(inObs), outObs, i))
+            ss.apply(df.observe(inObs, count(lit(1)).as("n")))
+              .observe(outObs, count(lit(1)).as("n"))
+          }
         case sc: ScriptStep =>
           val errAcc = spark.sparkContext.longAccumulator(s"${sc.name}.scriptErrors")
           val nullAcc = spark.sparkContext.longAccumulator(s"${sc.name}.nullRejects")
@@ -315,12 +345,19 @@ final class Pipeline private (
     def addCount(cat: RejectionCategory, step: String, n: Long): Unit =
       if (n > 0) counted(cat) = counted(cat) + (step -> (counted(cat).getOrElse(step, 0L) + n))
     filterObs.foreach { case (fs, obs) =>
-      addCount(fs.category, fs.name,
-        Option(obs.get("rejected")).map(_.asInstanceOf[Long]).getOrElse(0L))
+      addCount(fs.category, fs.name, metricOrZero(obs, "rejected"))
     }
-    splitObs.foreach { case (ss, inObs, outObs) =>
-      val in = inObs.get("n").asInstanceOf[Long]
-      val out = outObs.get("n").asInstanceOf[Long]
+    splitObs.foreach { case (ss, inObs, outObs, i) =>
+      val in = inObs match {
+        case Some(o) => metricOrZero(o, "n")
+        // exactInput: full input count in a dedicated action (one extra
+        // traversal of the prefix; the source is persisted when side
+        // outputs exist). This is what makes limitRows(halt=false)
+        // report the true overflow instead of only the rows the limit
+        // happened to pull.
+        case None => withSrc.prefixDF(i).count()
+      }
+      val out = metricOrZero(outObs, "n")
       addCount(ss.category, ss.name, in - out)
     }
     var scriptErrors = 0L
@@ -580,19 +617,27 @@ final class Pipeline private (
     * the kept flow. */
   def unique(column: String, orderBy: String = null): Pipeline = {
     val ord = Option(orderBy)
+    // null-safe total ordering: min_by IGNORES rows whose ordering is
+    // null — a group whose every orderBy value is null would aggregate
+    // to a fabricated all-null row. Wrapping in struct(isNull, value)
+    // ranks null orderings last but keeps every row a candidate.
+    def ordExpr(df: DataFrame): Column = {
+      val o = ord.getOrElse(df.columns.head)
+      struct(col(o).isNull.as("__null__"), col(o).as("__v__"))
+    }
     add(SplitStep(
       s"unique($column)", RejectionCategory.IGNORE_ROW, s"Duplicate value for $column",
-      apply = df => {
-        val o = ord.getOrElse(df.columns.head)
+      apply = df =>
         df.groupBy(col(column))
-          .agg(min_by(struct(df.columns.toIndexedSeq.map(col): _*), col(o)).as("__r__"))
-          .select("__r__.*")
-      },
+          .agg(min_by(struct(df.columns.toIndexedSeq.map(col): _*), ordExpr(df)).as("__r__"))
+          .select("__r__.*"),
       rejected = df => {
-        val o = ord.getOrElse(df.columns.head)
-        val mins = df.groupBy(col(column)).agg(min(col(o)).as("__graft_min__"))
-        df.join(mins, Seq(column)).filter(col(o) =!= col("__graft_min__"))
-          .drop("__graft_min__")
+        val mins = df.groupBy(col(column).as("__graft_key__"))
+          .agg(min(ordExpr(df)).as("__graft_min__"))
+        // null-safe key join: rows whose key IS null still group (and
+        // reject) together, matching the kept side's groupBy semantics
+        df.join(mins, df(column) <=> mins("__graft_key__"))
+          .filter(!(ordExpr(df) <=> col("__graft_min__")))
           .select(df.columns.toIndexedSeq.map(col): _*)
       }))
   }
@@ -619,7 +664,8 @@ final class Pipeline private (
         else df.orderBy(orderBy.map(col): _*).limit(n),
       rejected = df =>
         if (orderBy.isEmpty) df.exceptAll(df.limit(n))
-        else df.orderBy(orderBy.map(col): _*).offset(n)))
+        else df.orderBy(orderBy.map(col): _*).offset(n),
+      exactInput = true)) // a limit stops pulling; go() counts input fully
 
   /** gratum `sort` (Pipeline.groovy:650-654,573-577): multi-column sort.
     * Spark's sort is a distributed range-partitioned external sort —
@@ -866,15 +912,22 @@ final class Pipeline private (
     * executes when the downstream plan is built (toDF/go), mirroring
     * the reference's pipeline-breaking sinks; use [[save]] to keep the
     * main flow flowing. */
-  def saveAs(sink: graft.sinks.Sink): Pipeline =
+  def saveAs(sink: graft.sinks.Sink): Pipeline = {
+    // the write is a driver-side action inside plan construction;
+    // memoized so the prefix re-folds go() performs for branches,
+    // sinks, and rejection complements do not re-execute it — one
+    // write per pipeline value (a gratum Sink also attaches once)
+    val memo = new java.util.concurrent.atomic.AtomicReference[Map[String, String]]()
     add(MapStep(s"save(${sink.name})", df => {
-      val result = sink.write(df)
+      if (memo.get() == null) memo.compareAndSet(null, sink.write(df))
+      val result = memo.get()
       val spark = df.sparkSession
       val keys = result.keys.toSeq
       spark.createDataFrame(
         java.util.List.of(Row.fromSeq(keys.map(result))),
         StructType(keys.map(k => StructField(k, StringType))))
     }))
+  }
 
   /** gratum `printRow` (Pipeline.groovy:884-894). */
   def printRow(columns: String*): Pipeline =

@@ -32,10 +32,14 @@ object Dedup {
     * smallest `orderCol` per fingerprint (deterministic winner).
     * One `min_by` hash aggregation (map-side partial combine) — no
     * per-fingerprint sort; a row_number window would sort every
-    * partition of a 100 TB corpus just to pick one row per key. */
+    * partition of a 100 TB corpus just to pick one row per key.
+    * The ordering is struct(isNull, value): min_by ignores null
+    * orderings, so a group of all-null `orderCol` rows would otherwise
+    * collapse to a fabricated all-null row. */
   def exact(df: DataFrame, textCol: String, orderCol: String): DataFrame =
     df.groupBy(TextOps.fingerprint(col(textCol)).as("__fp__"))
-      .agg(min_by(struct(df.columns.toIndexedSeq.map(col): _*), col(orderCol)).as("__r__"))
+      .agg(min_by(struct(df.columns.toIndexedSeq.map(col): _*),
+        struct(col(orderCol).isNull, col(orderCol))).as("__r__"))
       .select("__r__.*")
 
   /** MinHash signature column (array<long> of `numHashes` minima over

@@ -31,9 +31,13 @@ object Ivf {
       sampleSize: Int = 2000, iterations: Int = 8, seed: Long = 42L): Seq[Seq[Double]] = {
     val total = df.count()
     val fraction = if (total == 0) 1.0 else math.min(1.0, sampleSize * 1.2 / total.toDouble)
+    // no limit() after the sample: limit takes rows in scan order, so
+    // it would keep the FIRST ~sampleSize sampled rows and the corpus
+    // tail could never train the quantizer; the fraction already bounds
+    // the driver collect at ~1.2x sampleSize
     val sample = df.select(VectorOps.asDouble(col(vecCol)).as("v"))
       .sample(withReplacement = false, fraction, seed)
-      .limit(sampleSize).collect().map(_.getSeq[Double](0).toArray)
+      .collect().map(_.getSeq[Double](0).toArray)
     require(sample.nonEmpty, "empty training sample")
     def normalize(v: Array[Double]): Array[Double] = {
       val n = math.sqrt(v.map(x => x * x).sum)

@@ -77,10 +77,10 @@ object LshBlocking {
       .filter(col("id1") < col("id2"))
       .select(col("id1"), col("id2"), col("p1"), col("p2"))
 
-    val out = screen(raw)
-      .dropDuplicates("id1", "id2")
-      .localCheckpoint(true)
-    sigs.unpersist(false)
-    out
+    try
+      screen(raw)
+        .dropDuplicates("id1", "id2")
+        .localCheckpoint(true)
+    finally sigs.unpersist(false) // even when screen/checkpoint throws
   }
 }

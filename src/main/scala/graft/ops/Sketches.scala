@@ -37,8 +37,10 @@ object Sketches {
   def approxQuantiles(
       df: DataFrame, c: Column, probs: Seq[Double],
       accuracy: Int = 10000): Seq[Double] =
-    df.agg(percentile_approx(c, typedlit(probs), lit(accuracy)))
-      .head().getSeq[Any](0).map(_.toString.toDouble)
+    Option(df.agg(percentile_approx(c, typedlit(probs), lit(accuracy)))
+      .head().getSeq[Any](0))
+      .map(_.map(_.toString.toDouble).toSeq)
+      .getOrElse(Nil) // empty frame / all-null column -> NULL aggregate
 
   /** Top-`k` most frequent values of a column with exact counts of the
     * returned candidates: one hash aggregation plus a size-k take —

@@ -111,6 +111,7 @@ case class AsOfJoinExec(
       val result = UnsafeProjection.create(
         output, left.output ++ right.output.map(_.withNullability(true)))
 
+      val nKeys = leftKeys.length
       new Iterator[InternalRow] {
         private var rHead: InternalRow = if (rIter.hasNext) rIter.next() else null
         private var lastMatch: InternalRow = null // copied
@@ -120,14 +121,22 @@ case class AsOfJoinExec(
         override def next(): InternalRow = {
           val l = lIter.next()
           val lkt = lKT(l)
-          // consume right rows strictly below (lKey, lTime)
+          // consume right rows strictly below (lKey, lTime). SQL null
+          // semantics (`l.t > r.t` / `l.k = r.k` never true for NULL):
+          // null-time and null-key right rows are consumed — they sort
+          // nulls-first within their key — but never recorded as a match
           while (rHead != null && ktOrdering.compare(rKT(rHead), lkt) < 0) {
-            lastMatch = rHead.copy()
-            lastMatchKey = rKey(rHead).copy()
+            val rkt = rKT(rHead)
+            if (!rkt.isNullAt(nKeys) && !rKey(rHead).anyNull) {
+              lastMatch = rHead.copy()
+              lastMatchKey = rKey(rHead).copy()
+            }
             rHead = if (rIter.hasNext) rIter.next() else null
           }
           val lk = lKey(l)
-          if (lastMatchKey != null && lastMatchKey == lk)
+          // a left row with a null key or null time matches nothing
+          if (!lkt.isNullAt(nKeys) && !lk.anyNull &&
+              lastMatchKey != null && lastMatchKey == lk)
             result(joined(l, lastMatch))
           else
             result(joined(l, nullRight))
@@ -174,9 +183,17 @@ object AsOf {
       p.output.find(_.name == n).getOrElse(
         throw new IllegalArgumentException(
           s"column $n not in [${p.output.map(_.name).mkString(",")}]"))
-    AsOf.ofPlans(leftDf.sparkSession, lp, rp,
-      leftOn.map(attr(lp, _)), rightOn.map(attr(rp, _)),
-      attr(lp, leftTimeCol), attr(rp, rightTimeCol))
+    val (lks, rks) = (leftOn.map(attr(lp, _)), rightOn.map(attr(rp, _)))
+    val (lt, rt) = (attr(lp, leftTimeCol), attr(rp, rightTimeCol))
+    // the merge compares raw bytes / left-typed orderings — unlike a
+    // regular join there is no analyzer to insert implicit casts, so
+    // mismatched types would compare garbage; fail loudly instead
+    lks.zip(rks).foreach { case (a, b) =>
+      require(a.dataType == b.dataType,
+        s"as-of key type mismatch: ${a.name}:${a.dataType} vs ${b.name}:${b.dataType} — cast explicitly") }
+    require(lt.dataType == rt.dataType,
+      s"as-of time type mismatch: ${lt.name}:${lt.dataType} vs ${rt.name}:${rt.dataType} — cast explicitly")
+    AsOf.ofPlans(leftDf.sparkSession, lp, rp, lks, rks, lt, rt)
   }
 
   /** Same-named keys on both sides. */

@@ -236,6 +236,47 @@ class PipelineSpec extends AnyFunSuite {
     assert(tree("female").asInstanceOf[List[_]].size == 3)
   }
 
+  test("limitRows(halt=false) counts the FULL overflow, not just pulled rows") {
+    // 1000 rows over 4 partitions: an observe below the limit would see
+    // at most limit-per-partition rows and undercount the rejections
+    val big = spark.range(1000).toDF("id")
+    val stat = Pipeline.of(big).limitRows(100, halt = false).go()
+    assert(stat.loaded == 100)
+    assert(stat.rejections(RejectionCategory.IGNORE_ROW) == 900)
+  }
+
+  test("unique keeps a real row when every orderBy value in a group is null") {
+    val df = Seq(
+      (1, "a", null.asInstanceOf[Integer]), (2, "a", null.asInstanceOf[Integer]),
+      (3, "b", Integer.valueOf(7))
+    ).toDF("id", "k", "ord")
+    val kept = Pipeline.of(df).unique("k", "ord").toDF
+      .collect().map(r => (r.getInt(0), r.getString(1))).toSet
+    assert(kept.map(_._2) == Set("a", "b"))
+    assert(kept.forall(_._1 > 0)) // a REAL row per group, not a fabricated null row
+    // null KEY rows also group together (null-safe key join in the complement)
+    val df2 = Seq((1, null.asInstanceOf[String]), (2, null.asInstanceOf[String]))
+      .toDF("id", "k")
+    val stat = Pipeline.of(df2).unique("k", "id").go()
+    assert(stat.loaded == 1)
+    assert(stat.rejections(RejectionCategory.IGNORE_ROW) == 1)
+  }
+
+  test("saveAs writes exactly once even when go() re-folds prefixes for a branch") {
+    var writes = 0
+    val sink = new graft.sinks.Sink {
+      def name = "counting"
+      def write(df: DataFrame): Map[String, String] = {
+        writes += 1; Map("n" -> df.count().toString)
+      }
+    }
+    Pipeline.of(people)
+      .saveAs(sink)
+      .branch(p => p.filter(col("n") > "0")) // forces a prefix re-fold
+      .go()
+    assert(writes == 1, s"sink wrote $writes times")
+  }
+
   test("sortWith: after-callback gets the sorted file; downstream=false ends the flow") {
     var lines: Seq[String] = Nil
     val stat = Pipeline.of(people)

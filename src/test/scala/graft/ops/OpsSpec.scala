@@ -73,6 +73,16 @@ class OpsSpec extends AnyFunSuite {
     assert(kept.toSeq == Seq(0L, 2L, 3L, 4L, 5L)) // doc 1 dropped
   }
 
+  test("Dedup.exact keeps a real row when the order column is all-null in a group") {
+    val df = Seq(
+      (Option.empty[Long], "same text here"), (Option.empty[Long], "same text here"),
+      (Option(5L), "different text entirely")
+    ).toDF("ord", "text")
+    val kept = Dedup.exact(df, "text", "ord").collect()
+    assert(kept.length == 2)
+    assert(kept.forall(r => r.getString(1) != null)) // no fabricated all-null row
+  }
+
   test("Dedup.minhashNearDups finds exact and near dups, not unrelated") {
     val pairs = Dedup.minhashNearDups(docs, "doc_id", "text",
       shingleN = 2, numHashes = 64, bands = 32, threshold = 0.5)

@@ -78,6 +78,36 @@ class AsOfJoinSpec extends AnyFunSuite {
     assert(rows(2).isNullAt(2))
   }
 
+  test("SQL null semantics: null times and null keys never match") {
+    import spark.implicits._
+    val left = Seq(
+      (Option(1L), Option(10L)),             // normal: matches (1, 5)
+      (Option(1L), None),                    // null left time -> null-pad
+      (None, Option(10L))                    // null left key -> null-pad
+    ).toDF("k", "t")
+    val right = Seq(
+      (Option(1L), None, 99.0),              // null right time: never a match
+      (Option(1L), Option(5L), 1.0),
+      (None, Option(5L), 2.0)                // null right key: never a match
+    ).toDF("rk", "rt", "v")
+    val rows = AsOf.join(left, right, Seq("k"), Seq("rk"), "t", "rt")
+      .select("k", "t", "rt", "v").collect()
+      .map(r => (Option(r.get(0)), Option(r.get(1)), Option(r.get(2)), Option(r.get(3)))).toSet
+    assert(rows == Set(
+      (Some(1L), Some(10L), Some(5L), Some(1.0)), // real match, not the null-time v=99 row
+      (Some(1L), None, None, None),
+      (None, Some(10L), None, None)))
+  }
+
+  test("mismatched key/time types are rejected loudly") {
+    import spark.implicits._
+    val left = Seq((1, 10)).toDF("k", "t")               // int
+    val right = Seq((1L, 5L, 1.0)).toDF("rk", "rt", "v") // long
+    intercept[IllegalArgumentException] {
+      AsOf.join(left, right, Seq("k"), Seq("rk"), "t", "rt")
+    }
+  }
+
   test("plans as the dedicated physical operator") {
     val (left, right) = mkData(11)
     val df = AsOf.join(left, right, Seq("k"), Seq("rk"), "t", "rt")
