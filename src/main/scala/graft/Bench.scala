@@ -36,13 +36,14 @@ object Bench {
       System.err.println(f"[bench] $name%-24s cold=$cold%7.2fs steady=$steady%7.2fs rows=$n2")
       if (n1 != n2) // one run failed or row counts diverged: flag, keep the bench alive
         System.err.println(s"[bench] WARNING $name row count differs across runs: $n1 vs $n2")
-      (name, cold, steady)
+      (name, cold, steady, n1 < 0 || n2 < 0 || n1 != n2)
     }
-    def obj(f: ((String, Double, Double)) => Double): String =
-      results.map { case t @ (k, _, _) => "\"" + k + "\":" + f(t) }.mkString("{", ",", "}")
+    def obj(f: ((String, Double, Double, Boolean)) => Double): String =
+      results.map { case t @ (k, _, _, _) => "\"" + k + "\":" + f(t) }.mkString("{", ",", "}")
     val total = results.map(_._3).sum
     val totalCold = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","timing":"steady-state (2nd run; 1st reported as queries_cold)","queries":${obj(_._3)},"queries_cold":${obj(_._2)},"total_cold":$totalCold,"sf":"$sfDir"}""")
+    val failed = results.filter(_._4).map("\"" + _._1 + "\"").mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","timing":"steady-state (2nd run; 1st reported as queries_cold)","queries":${obj(_._3)},"queries_cold":${obj(_._2)},"total_cold":$totalCold,"failed":$failed,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

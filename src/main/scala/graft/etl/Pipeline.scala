@@ -74,6 +74,14 @@ final case class BranchStep(name: String, build: Pipeline => Pipeline) extends P
 /** Deferred write executed by [[Pipeline.go]] at this chain position. */
 final case class SinkStep(name: String, write: DataFrame => Map[String, String]) extends PStep
 
+/** Pipeline-BREAKING sink (gratum `save(Sink)`, Pipeline.groovy:833-844):
+  * the flow is written and the sink's result row replaces it downstream.
+  * [[Pipeline.go]] writes exactly once per run and caches the result row
+  * for its side-output traversals; a bare [[Pipeline.toDF]] on a
+  * result-sink pipeline performs the write too — the downstream schema
+  * IS the write's result, so the side effect is inherent (documented). */
+final case class ResultSinkStep(name: String, sink: graft.sinks.Sink) extends PStep
+
 /** Spark-native re-expression of the reference's row pipeline
   * (gratum `src/main/groovy/gratum/etl/Pipeline.groovy`).
   *
@@ -118,7 +126,17 @@ final class Pipeline private (
       fs.onKept(pre.filter(fs.keep(pre)))
     case ss: SplitStep                   => ss.apply(df)
     case sc: ScriptStep                  => applyScript(df, sc, null, null)
+    case rs: ResultSinkStep              => resultRowDF(df, rs.sink.write(df))
     case _: BranchStep | _: SinkStep     => df
+  }
+
+  /** One-row frame of a sink's result map (the reference's post-write
+    * `{file, filename}` row pushed downstream). */
+  private def resultRowDF(src: DataFrame, result: Map[String, String]): DataFrame = {
+    val keys = result.keys.toSeq
+    src.sparkSession.createDataFrame(
+      java.util.List.of(Row.fromSeq(keys.map(result))),
+      StructType(keys.map(k => StructField(k, StringType))))
   }
 
   /** Kept flow of a [[ScriptStep]]: failing/null rows are dropped (they
@@ -163,9 +181,13 @@ final class Pipeline private (
   /** The optimal, uninstrumented plan of the kept (loaded) rows. */
   def toDF: DataFrame = steps.foldLeft(source())(applyStep)
 
-  /** Plan state just before step `i`. */
-  private def prefixDF(i: Int): DataFrame =
-    steps.take(i).foldLeft(source())(applyStep)
+  /** Plan state just before step `i`. `resultCache` short-circuits
+    * already-written [[ResultSinkStep]]s with their cached result row
+    * so a re-fold never repeats the write (populated by [[go]]). */
+  private def prefixDF(i: Int, resultCache: collection.Map[Int, DataFrame] = Map.empty): DataFrame =
+    steps.take(i).zipWithIndex.foldLeft(source()) { case (df, (s, j)) =>
+      resultCache.getOrElse(j, applyStep(df, s))
+    }
 
   /** All rejected rows of all steps: original columns plus
     * `rejectionCategory`, `rejectionReason`, `rejectionStep`,
@@ -180,10 +202,12 @@ final class Pipeline private (
     * (all built-ins are; `unique`/`limitRows(halt=false)` take an
     * explicit ordering for exactly this reason).
     */
-  def rejections: DataFrame = {
+  def rejections: DataFrame = rejectionsWith(Map.empty)
+
+  private def rejectionsWith(resultCache: collection.Map[Int, DataFrame]): DataFrame = {
     val perStep = steps.zipWithIndex.flatMap {
       case (fs: FilterStep, i) =>
-        val before = prefixDF(i)
+        val before = prefixDF(i, resultCache)
         val pre = fs.pre(before)
         Some(
           fs.onRejected(before, pre.filter(!coalesce(fs.keep(pre), lit(false))))
@@ -192,7 +216,7 @@ final class Pipeline private (
             .withColumn("rejectionStep", lit(fs.name))
             .withColumn("rejectionException", lit(null).cast(StringType)))
       case (ss: SplitStep, i) =>
-        val before = prefixDF(i)
+        val before = prefixDF(i, resultCache)
         Some(
           ss.rejected(before)
             .withColumn("rejectionCategory", lit(ss.category.name))
@@ -200,7 +224,7 @@ final class Pipeline private (
             .withColumn("rejectionStep", lit(ss.name))
             .withColumn("rejectionException", lit(null).cast(StringType)))
       case (sc: ScriptStep, i) =>
-        val before = prefixDF(i)
+        val before = prefixDF(i, resultCache)
         val fn = sc.fn
         val excSchema = StructType(before.schema.fields :+
           StructField("__graft_exc__", StringType))
@@ -278,9 +302,15 @@ final class Pipeline private (
     while (System.currentTimeMillis() < deadline) {
       val m = org.apache.spark.sql.graftbridge.Bridge.observedMetrics(obs)
       if (m.nonEmpty)
-        return m.get(key).map(_.asInstanceOf[Number].longValue()).getOrElse(0L)
+        // a sum over zero observed rows is a NULL metric value
+        return m.get(key) match {
+          case Some(v: Number) => v.longValue()
+          case _ => 0L
+        }
       Thread.sleep(20)
     }
+    System.err.println(
+      s"[graft] WARNING observation $key never arrived (pruned plan or listener lag); counting 0")
     0L
   }
 
@@ -303,9 +333,21 @@ final class Pipeline private (
     var obsId = 0
     def nextObs(): Observation = { obsId += 1; Observation(s"graft_${name}_$obsId") }
 
+    // result-sink cache: each ResultSinkStep writes exactly once per
+    // run (on the instrumented flow, so the observes fire during the
+    // write); every later traversal reuses the cached result row
+    val resultRows = scala.collection.mutable.Map.empty[Int, DataFrame]
+    val resultTimings = scala.collection.mutable.Map.empty[String, Long]
+
     val instrumented = withSrc.steps.zipWithIndex.foldLeft(src) { case (df, (step, i)) =>
       step match {
         case MapStep(_, f) => f(df)
+        case rs: ResultSinkStep =>
+          val s0 = System.nanoTime()
+          val row = resultRowDF(df, rs.sink.write(df))
+          resultTimings(rs.name) = (System.nanoTime() - s0) / 1000000L
+          resultRows(i) = row
+          row
         case fs: FilterStep =>
           val obs = nextObs()
           filterObs += ((fs, obs))
@@ -355,7 +397,7 @@ final class Pipeline private (
         // outputs exist). This is what makes limitRows(halt=false)
         // report the true overflow instead of only the rows the limit
         // happened to pull.
-        case None => withSrc.prefixDF(i).count()
+        case None => withSrc.prefixDF(i, resultRows).count()
       }
       val out = metricOrZero(outObs, "n")
       addCount(ss.category, ss.name, in - out)
@@ -373,20 +415,21 @@ final class Pipeline private (
     // ---- side outputs against the persisted source
     val stepTimings = scala.collection.mutable.Map.empty[String, Long]
     withSrc.steps.foreach(s => stepTimings(s.name) = actionMs)
+    resultTimings.foreach { case (k, v) => stepTimings(k) = v }
     withSrc.steps.zipWithIndex.foreach {
       case (sk: SinkStep, i) =>
         val s0 = System.nanoTime()
-        sk.write(withSrc.prefixDF(i))
+        sk.write(withSrc.prefixDF(i, resultRows))
         stepTimings(sk.name) = (System.nanoTime() - s0) / 1000000L
       case (bs: BranchStep, i) =>
         val s0 = System.nanoTime()
-        val side = Pipeline.of(s"$name/${bs.name}", withSrc.prefixDF(i))
+        val side = Pipeline.of(s"$name/${bs.name}", withSrc.prefixDF(i, resultRows))
         bs.build(side).go()
         stepTimings(bs.name) = (System.nanoTime() - s0) / 1000000L
       case _ => ()
     }
     if (rejectionHandlers.nonEmpty) {
-      val persisted = withSrc.rejections.persist()
+      val persisted = withSrc.rejectionsWith(resultRows).persist()
       rejectionHandlers.foreach(h => h(persisted))
       persisted.unpersist()
     }
@@ -632,12 +675,15 @@ final class Pipeline private (
           .agg(min_by(struct(df.columns.toIndexedSeq.map(col): _*), ordExpr(df)).as("__r__"))
           .select("__r__.*"),
       rejected = df => {
-        val mins = df.groupBy(col(column).as("__graft_key__"))
-          .agg(min(ordExpr(df)).as("__graft_min__"))
-        // null-safe key join: rows whose key IS null still group (and
-        // reject) together, matching the kept side's groupBy semantics
-        df.join(mins, df(column) <=> mins("__graft_key__"))
-          .filter(!(ordExpr(df) <=> col("__graft_min__")))
+        // complement = everything past rank 1 per key. A window (not a
+        // min anti-join) so groups whose ordering TIES at the min —
+        // including the all-null-ordering group — still reject exactly
+        // n-1 rows; WHICH row was kept is ambiguous on ties (documented
+        // requirement above). Acceptable cost: the complement only
+        // executes when the rejection side-channel is consumed.
+        val w = Window.partitionBy(col(column)).orderBy(ordExpr(df))
+        df.withColumn("__graft_rn__", row_number().over(w))
+          .filter(col("__graft_rn__") > 1)
           .select(df.columns.toIndexedSeq.map(col): _*)
       }))
   }
@@ -912,22 +958,8 @@ final class Pipeline private (
     * executes when the downstream plan is built (toDF/go), mirroring
     * the reference's pipeline-breaking sinks; use [[save]] to keep the
     * main flow flowing. */
-  def saveAs(sink: graft.sinks.Sink): Pipeline = {
-    // the write is a driver-side action inside plan construction;
-    // memoized so the prefix re-folds go() performs for branches,
-    // sinks, and rejection complements do not re-execute it — one
-    // write per pipeline value (a gratum Sink also attaches once)
-    val memo = new java.util.concurrent.atomic.AtomicReference[Map[String, String]]()
-    add(MapStep(s"save(${sink.name})", df => {
-      if (memo.get() == null) memo.compareAndSet(null, sink.write(df))
-      val result = memo.get()
-      val spark = df.sparkSession
-      val keys = result.keys.toSeq
-      spark.createDataFrame(
-        java.util.List.of(Row.fromSeq(keys.map(result))),
-        StructType(keys.map(k => StructField(k, StringType))))
-    }))
-  }
+  def saveAs(sink: graft.sinks.Sink): Pipeline =
+    add(ResultSinkStep(s"save(${sink.name})", sink))
 
   /** gratum `printRow` (Pipeline.groovy:884-894). */
   def printRow(columns: String*): Pipeline =

@@ -260,6 +260,11 @@ class PipelineSpec extends AnyFunSuite {
     val stat = Pipeline.of(df2).unique("k", "id").go()
     assert(stat.loaded == 1)
     assert(stat.rejections(RejectionCategory.IGNORE_ROW) == 1)
+    // the rejection SIDE-CHANNEL must agree with the counts even when
+    // the ordering ties (all-null group): n-1 rejected rows delivered
+    var rejected = -1L
+    Pipeline.of(df).unique("k", "ord").onRejection(r => rejected = r.count()).go()
+    assert(rejected == 1) // one of the two tied "a" rows
   }
 
   test("saveAs writes exactly once even when go() re-folds prefixes for a branch") {
