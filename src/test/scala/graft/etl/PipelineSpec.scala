@@ -236,6 +236,12 @@ class PipelineSpec extends AnyFunSuite {
     assert(tree("female").asInstanceOf[List[_]].size == 3)
   }
 
+  test("go() on an empty source returns zero counts (sum-over-zero-rows metric is NULL)") {
+    val stat = Pipeline.of(people.limit(0)).filter(col("gender") === "male").go()
+    assert(stat.loaded == 0)
+    assert(stat.rejections == 0)
+  }
+
   test("limitRows(halt=false) counts the FULL overflow, not just pulled rows") {
     // 1000 rows over 4 partitions: an observe below the limit would see
     // at most limit-per-partition rows and undercount the rejections
