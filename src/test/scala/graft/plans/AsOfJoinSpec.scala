@@ -65,6 +65,34 @@ class AsOfJoinSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("as-of join matches the oracle on random data WITH null keys and times") {
+    val rnd = new scala.util.Random(13)
+    def maybe[A](v: A): Option[A] = if (rnd.nextInt(10) == 0) None else Some(v)
+    val left = Seq.fill(300)((maybe(rnd.nextInt(4).toLong), maybe(rnd.nextInt(500).toLong)))
+      .distinct.toDF("k", "t")
+    val right = Seq.fill(200)((maybe(rnd.nextInt(4).toLong), maybe(rnd.nextInt(500).toLong)))
+      .distinct
+      .map { case (k, t) => (k, t, rnd.nextDouble()) }
+      .toDF("rk", "rt", "v")
+    // SQL-null-semantics oracle: null-key/null-time rows on either side
+    // never participate in a match; null-side left rows null-pad
+    val validLeft = left.filter($"k".isNotNull && $"t".isNotNull)
+    val validRight = right.filter($"rk".isNotNull && $"rt".isNotNull)
+    val matched = asOfViaWindow(validLeft, validRight)
+    val padded = left.exceptAll(validLeft)
+      .select($"k", $"t",
+        lit(null).cast("long").as("m_t"), lit(null).cast("double").as("m_v"))
+    val want = matched.unionByName(padded)
+      .collect().map(r => (Option(r.get(0)), Option(r.get(1)),
+        Option(r.get(2)), Option(r.get(3)))).toSet
+
+    val got = AsOf.join(left, right, Seq("k"), Seq("rk"), "t", "rt")
+      .select(col("k"), col("t"), col("rt").as("m_t"), col("v").as("m_v"))
+      .collect().map(r => (Option(r.get(0)), Option(r.get(1)),
+        Option(r.get(2)), Option(r.get(3)))).toSet
+    assert(got == want)
+  }
+
   test("unmatched left rows null-pad; match is strictly before") {
     val left = Seq((1L, 10L), (1L, 20L), (2L, 5L)).toDF("k", "t")
     val right = Seq((1L, 10L, 1.0), (1L, 15L, 2.0), (3L, 1L, 9.0)).toDF("rk", "rt", "v")
