@@ -15,10 +15,17 @@ import org.apache.spark.sql.types._
   * Cross-engine determinism rules used throughout:
   *  - money sums run over DECIMAL(18,2) operands (exact, order-free);
   *    double sums would differ from DuckDB in the final bits.
-  *  - every computed numeric output is cast to ONE explicit type on BOTH
-  *    engines: aggregate result types differ otherwise (Spark
-  *    sum(DECIMAL(18,2)) → DECIMAL(28,2) vs DuckDB → DECIMAL(38,2);
-  *    Spark sum(INT) → BIGINT vs DuckDB → HUGEINT), which the driver's
+  *  - computed money outputs are emitted as SCALED BIGINT (cents via
+  *    ×100, 1e-4 units via ×10000), never DECIMAL: CORRECTNESS_r02's
+  *    nine hash-red queries were exactly the DECIMAL(38,x)-output ones
+  *    (decimal128 rendering differs across duckdb/pyarrow versions in
+  *    the driver's hash canonicalization), while every BIGINT output is
+  *    empirically hash-green. The scaling is exact — operands are
+  *    DECIMAL(18,2)/(·,4), so the scaled value is integral and far
+  *    below 2^63 at every SF — and both engines cast it losslessly.
+  *  - every other computed numeric output is cast to ONE explicit type
+  *    on BOTH engines: aggregate result types differ otherwise (Spark
+  *    sum(INT) → BIGINT vs DuckDB → HUGEINT), which the driver's
   *    hash compare is sensitive to even when every value is identical.
   *  - every query ends in a deterministic total ORDER BY mirrored in the
   *    oracle SQL (DuckDB sorts NULLS LAST by default, Spark NULLS FIRST —
@@ -36,9 +43,16 @@ object SparkEntry {
 
   private val dec = DecimalType(18, 2)
   private def dec2(c: Column): Column = c.cast(dec)
-  // canonical output types for computed aggregates (see scaladoc above)
-  private val sumDec = DecimalType(38, 2)   // sum over DECIMAL(18,2)
-  private val sumDec4 = DecimalType(38, 4)  // sum over (18,2)*(19,2) products
+  // canonical gate-output casts for computed money aggregates (see
+  // scaladoc above): scaled BIGINT, never DECIMAL. The inner cast to
+  // DECIMAL(28,x) is exact (values are far smaller) and keeps the ×100/
+  // ×10000 product inside precision 38, so Spark never reduces the
+  // scale to fit (allowPrecisionLoss) — the scaled value stays integral
+  // and the Long cast is lossless.
+  private def cents(c: Column): Column =
+    (c.cast(DecimalType(28, 2)) * 100).cast(LongType)   // scale-2 operand
+  private def e4(c: Column): Column =
+    (c.cast(DecimalType(28, 4)) * 10000).cast(LongType) // scale-4 operand
   private def asBig(c: Column): Column = c.cast(LongType)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
@@ -52,9 +66,9 @@ object SparkEntry {
     "q1_agg" -> { (s, dir) =>
       p(s, dir, "lineitem")
         .groupAgg(Seq("l_returnflag", "l_linestatus"))(
-          sum(dec2(col("l_quantity"))).cast(sumDec).as("sum_qty"),
-          sum(dec2(col("l_extendedprice"))).cast(sumDec).as("sum_base_price"),
-          sum(dec2(col("l_extendedprice")) * (lit(1) - dec2(col("l_discount")))).cast(sumDec4).as("sum_disc_price"),
+          cents(sum(dec2(col("l_quantity")))).as("sum_qty_cents"),
+          cents(sum(dec2(col("l_extendedprice")))).as("sum_base_price_cents"),
+          e4(sum(dec2(col("l_extendedprice")) * (lit(1) - dec2(col("l_discount"))))).as("sum_disc_price_e4"),
           count(lit(1)).as("count_order"))
         .toDF
         .orderBy("l_returnflag", "l_linestatus")
@@ -64,7 +78,7 @@ object SparkEntry {
       // gratum reduce (fold-to-one-row) as a global aggregation
       p(s, dir, "lineitem")
         .reduceAgg(
-          sum(dec2(col("l_extendedprice"))).cast(sumDec).as("total_price"),
+          cents(sum(dec2(col("l_extendedprice")))).as("total_price_cents"),
           min(col("l_quantity")).as("min_qty"),
           max(col("l_quantity")).as("max_qty"),
           count(lit(1)).as("n"))
@@ -141,10 +155,10 @@ object SparkEntry {
     // --------------------------------------- projection / columns (§2.2)
     "q_addfield" -> { (s, dir) =>
       p(s, dir, "lineitem")
-        .addField("revenue", (dec2(col("l_extendedprice")) * (lit(1) - dec2(col("l_discount")))).cast(sumDec4))
+        .addField("revenue_e4", e4(dec2(col("l_extendedprice")) * (lit(1) - dec2(col("l_discount")))))
         .addField("big", col("l_quantity") >= 25)
         .filter(col("l_orderkey") <= 1000)
-        .clip("l_orderkey", "l_linenumber", "revenue", "big")
+        .clip("l_orderkey", "l_linenumber", "revenue_e4", "big")
         .toDF
         .orderBy("l_orderkey", "l_linenumber")
     },
@@ -204,7 +218,7 @@ object SparkEntry {
           when(col("l_linenumber") === 6, lit("NaN?no"))
             .otherwise(col("l_quantity").cast(StringType)))
         .asDouble("qty_s")
-        .reduceAgg(count(lit(1)).as("n_loaded"), sum(dec2(col("qty_s"))).cast(sumDec).as("sum_qty"))
+        .reduceAgg(count(lit(1)).as("n_loaded"), cents(sum(dec2(col("qty_s")))).as("sum_qty_cents"))
         .toDF
     },
 
@@ -252,7 +266,7 @@ object SparkEntry {
           Seq("c_custkey"), left = true)
         .groupAgg(Seq("c_custkey"))(
           count(col("o_orderkey")).as("n_orders"),
-          sum(dec2(col("o_totalprice"))).cast(sumDec).as("total_spend"))
+          cents(sum(dec2(col("o_totalprice")))).as("total_spend_cents"))
         .toDF
         .orderBy("c_custkey")
     },
@@ -266,7 +280,7 @@ object SparkEntry {
         .join(p(s, dir, "nation"), Map("c_nationkey" -> "n_nationkey"), left = false)
         .join(p(s, dir, "region"), Map("n_regionkey" -> "r_regionkey"), left = false)
         .groupAgg(Seq("n_name", "r_name"))(
-          sum(dec2(col("l_extendedprice")) * (lit(1) - dec2(col("l_discount")))).cast(sumDec4).as("revenue"),
+          e4(sum(dec2(col("l_extendedprice")) * (lit(1) - dec2(col("l_discount"))))).as("revenue_e4"),
           count(lit(1)).as("n_items"))
         .toDF
         .orderBy("n_name", "r_name")
@@ -354,9 +368,9 @@ object SparkEntry {
       val w = Window.partitionBy("user_id").orderBy("event_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       t(s, dir, "events")
-        .withColumn("running_value", sum(col("value").cast(dec)).over(w).cast(sumDec))
+        .withColumn("running_cents", cents(sum(col("value").cast(dec)).over(w)))
         .withColumn("n_so_far", count(lit(1)).over(w))
-        .select("user_id", "event_id", "running_value", "n_so_far")
+        .select("user_id", "event_id", "running_cents", "n_so_far")
         .orderBy("user_id", "event_id")
     },
 
@@ -364,7 +378,7 @@ object SparkEntry {
       t(s, dir, "lineitem")
         .rollup(col("l_returnflag"), col("l_linestatus"))
         .agg(
-          sum(dec2(col("l_quantity"))).cast(sumDec).as("sum_qty"),
+          cents(sum(dec2(col("l_quantity")))).as("sum_qty_cents"),
           count(lit(1)).as("n"),
           grouping_id().cast(IntegerType).as("gid"))
         // gid determines which keys are NULL, so within a gid the sort
@@ -407,7 +421,7 @@ object SparkEntry {
       t(s, dir, "orders")
         .cube(col("o_orderstatus"), col("o_orderpriority"))
         .agg(
-          sum(dec2(col("o_totalprice"))).cast(sumDec).as("sum_price"),
+          cents(sum(dec2(col("o_totalprice")))).as("sum_price_cents"),
           count(lit(1)).as("n"),
           grouping_id().cast(IntegerType).as("gid"))
         .orderBy("gid", "o_orderstatus", "o_orderpriority")
@@ -584,7 +598,7 @@ object SparkEntry {
       ops.Skew.saltedJoin(orders, cust, Seq("k"), factor = 8)
         .groupBy("c_nationkey")
         .agg(count(lit(1)).as("n_orders"),
-          sum(dec2(col("o_totalprice"))).cast(sumDec).as("total_price"))
+          cents(sum(dec2(col("o_totalprice")))).as("total_price_cents"))
         .orderBy("c_nationkey")
     },
 
@@ -623,15 +637,15 @@ object SparkEntry {
   def oracleSql: Map[String, String] = Map(
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
-        |  cast(sum(cast(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty,
-        |  cast(sum(cast(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_base_price,
-        |  cast(sum(cast(l_extendedprice AS DECIMAL(18,2)) * (1 - cast(l_discount AS DECIMAL(18,2)))) AS DECIMAL(38,4)) AS sum_disc_price,
+        |  cast(cast(sum(cast(l_quantity AS DECIMAL(18,2))) AS DECIMAL(28,2)) * 100 AS BIGINT) AS sum_qty_cents,
+        |  cast(cast(sum(cast(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(28,2)) * 100 AS BIGINT) AS sum_base_price_cents,
+        |  cast(cast(sum(cast(l_extendedprice AS DECIMAL(18,2)) * (1 - cast(l_discount AS DECIMAL(18,2)))) AS DECIMAL(28,4)) * 10000 AS BIGINT) AS sum_disc_price_e4,
         |  count(*) AS count_order
         |FROM lineitem GROUP BY l_returnflag, l_linestatus
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
 
     "q_reduce" ->
-      """SELECT cast(sum(cast(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total_price,
+      """SELECT cast(cast(sum(cast(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(28,2)) * 100 AS BIGINT) AS total_price_cents,
         |  min(l_quantity) AS min_qty, max(l_quantity) AS max_qty, count(*) AS n
         |FROM lineitem""".stripMargin,
 
@@ -681,7 +695,7 @@ object SparkEntry {
 
     "q_addfield" ->
       """SELECT l_orderkey, l_linenumber,
-        |  cast(cast(l_extendedprice AS DECIMAL(18,2)) * (1 - cast(l_discount AS DECIMAL(18,2))) AS DECIMAL(38,4)) AS revenue,
+        |  cast(cast(cast(l_extendedprice AS DECIMAL(18,2)) * (1 - cast(l_discount AS DECIMAL(18,2))) AS DECIMAL(28,4)) * 10000 AS BIGINT) AS revenue_e4,
         |  l_quantity >= 25 AS big
         |FROM lineitem WHERE l_orderkey <= 1000
         |ORDER BY l_orderkey, l_linenumber""".stripMargin,
@@ -722,7 +736,7 @@ object SparkEntry {
       """WITH t AS (SELECT CASE WHEN l_linenumber = 6 THEN 'NaN?no'
         |    ELSE cast(l_quantity AS VARCHAR) END AS qty_s FROM lineitem)
         |SELECT count(*) AS n_loaded,
-        |  cast(sum(cast(try_cast(qty_s AS DOUBLE) AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty
+        |  cast(cast(sum(cast(try_cast(qty_s AS DOUBLE) AS DECIMAL(18,2))) AS DECIMAL(28,2)) * 100 AS BIGINT) AS sum_qty_cents
         |FROM t WHERE qty_s IS NULL OR trim(qty_s) = '' OR try_cast(qty_s AS DOUBLE) IS NOT NULL""".stripMargin,
 
     "q_asboolean" ->
@@ -750,14 +764,14 @@ object SparkEntry {
 
     "q_join_left" ->
       """SELECT c_custkey, count(o_orderkey) AS n_orders,
-        |  cast(sum(cast(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total_spend
+        |  cast(cast(sum(cast(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(28,2)) * 100 AS BIGINT) AS total_spend_cents
         |FROM customer LEFT JOIN orders ON o_custkey = c_custkey
         |GROUP BY c_custkey
         |ORDER BY c_custkey""".stripMargin,
 
     "q5_join_agg" ->
       """SELECT n_name, r_name,
-        |  cast(sum(cast(l_extendedprice AS DECIMAL(18,2)) * (1 - cast(l_discount AS DECIMAL(18,2)))) AS DECIMAL(38,4)) AS revenue,
+        |  cast(cast(sum(cast(l_extendedprice AS DECIMAL(18,2)) * (1 - cast(l_discount AS DECIMAL(18,2)))) AS DECIMAL(28,4)) * 10000 AS BIGINT) AS revenue_e4,
         |  count(*) AS n_items
         |FROM lineitem
         |JOIN orders ON l_orderkey = o_orderkey
@@ -827,7 +841,7 @@ object SparkEntry {
 
     "q_running" ->
       """SELECT user_id, event_id,
-        |  cast(sum(cast(value AS DECIMAL(18,2))) OVER w AS DECIMAL(38,2)) AS running_value,
+        |  cast(cast(sum(cast(value AS DECIMAL(18,2))) OVER w AS DECIMAL(28,2)) * 100 AS BIGINT) AS running_cents,
         |  count(*) OVER w AS n_so_far
         |FROM events
         |WINDOW w AS (PARTITION BY user_id ORDER BY event_id
@@ -836,7 +850,7 @@ object SparkEntry {
 
     "q_rollup" ->
       """SELECT l_returnflag, l_linestatus,
-        |  cast(sum(cast(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty,
+        |  cast(cast(sum(cast(l_quantity AS DECIMAL(18,2))) AS DECIMAL(28,2)) * 100 AS BIGINT) AS sum_qty_cents,
         |  count(*) AS n,
         |  cast(grouping(l_returnflag) * 2 + grouping(l_linestatus) AS INTEGER) AS gid
         |FROM lineitem
@@ -864,7 +878,7 @@ object SparkEntry {
 
     "q_cube" ->
       """SELECT o_orderstatus, o_orderpriority,
-        |  cast(sum(cast(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_price,
+        |  cast(cast(sum(cast(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(28,2)) * 100 AS BIGINT) AS sum_price_cents,
         |  count(*) AS n,
         |  cast(grouping(o_orderstatus) * 2 + grouping(o_orderpriority) AS INTEGER) AS gid
         |FROM orders
@@ -1006,7 +1020,7 @@ object SparkEntry {
 
     "q_saltedjoin" ->
       """SELECT c.c_nationkey, count(*) AS n_orders,
-        |  cast(sum(cast(o.o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total_price
+        |  cast(cast(sum(cast(o.o_totalprice AS DECIMAL(18,2))) AS DECIMAL(28,2)) * 100 AS BIGINT) AS total_price_cents
         |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
         |GROUP BY c.c_nationkey
         |ORDER BY c.c_nationkey""".stripMargin,
