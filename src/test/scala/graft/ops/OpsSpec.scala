@@ -218,6 +218,22 @@ class OpsSpec extends AnyFunSuite {
       s"binned range join degenerated to a nested loop:\n${qe.executedPlan}")
   }
 
+  test("reserved-column collisions fail loudly instead of mis-joining") {
+    val withBin = Seq((1L, 2.0, 9L)).toDF("pid", "x", "__bin__")
+    val intervals = Seq((1L, 0.0, 10.0)).toDF("iid", "lo", "hi")
+    val e1 = intercept[IllegalArgumentException] {
+      RangeJoin.pointInInterval(withBin, "x", intervals, "lo", "hi", binWidth = 10.0)
+    }
+    assert(e1.getMessage.contains("__bin__"))
+
+    val withSalt = Seq((1L, 0)).toDF("k", "__salt__")
+    val plain = Seq((1L, "a")).toDF("k", "name")
+    val e2 = intercept[IllegalArgumentException] {
+      Skew.saltedJoin(withSalt, plain, Seq("k"), factor = 4)
+    }
+    assert(e2.getMessage.contains("__salt__"))
+  }
+
   test("VectorOps.lshNeighbors recalls a planted near-dup pair") {
     val rnd = new scala.util.Random(7)
     val base = Seq.fill(32)(rnd.nextGaussian().toFloat)
