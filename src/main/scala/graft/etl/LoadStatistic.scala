@@ -6,8 +6,11 @@ package graft.etl
   * (gratum `src/main/groovy/gratum/etl/LoadStatistic.groovy:12-19`):
   * loaded row count, rejections keyed by category and step, wall-clock
   * duration, per-step timings. Timing approximation: Spark executes
-  * fused whole-stage-codegen'd plans, so steps fused into the single
-  * counting action all report that action's duration; sinks and
+  * fused whole-stage-codegen'd plans, so [[Pipeline.go]] attributes the
+  * plan's per-span `pipelineTime` metrics to steps by segmenting at the
+  * rejecting steps' observe boundaries (see [[StepTiming]]) — steps
+  * fused into one segment share its value, and values are executor
+  * pipeline ms summed over parallel tasks, not wall-clock; sinks and
   * branches (separate actions) report their own wall time (documented
   * deviation, SURVEY.md §4).
   */

@@ -296,10 +296,14 @@ final class Pipeline private (
     * SCRIPT_ERROR rows with zero loaded kills the run — checked
     * in-stream per partition and globally after the action.
     *
-    * Per-step timings: Spark fuses steps into whole-stage-codegen'd
-    * plans, so per-step wall time is not attributable; every fused step
-    * reports the single action's duration, sinks and branches report
-    * their own (documented approximation vs `LoadStatistic.groovy`).
+    * Per-step timings: the executed plan's whole-stage-codegen spans
+    * are segmented at the observe boundaries and each segment's
+    * `pipelineTime` is attributed to the steps it covers (see
+    * [[StepTiming]]); steps fused into one segment share its value, and
+    * the reported times are executor pipeline ms (task-summed), not
+    * wall. Sinks and branches report their own wall time. Falls back to
+    * the action's duration for every step when no metrics are available
+    * (documented approximation vs `LoadStatistic.groovy`).
     */
   /** Observed metric with a bounded wait. CollectMetrics can be pruned
     * out of the executed plan entirely (limit 0, empty-relation
@@ -338,6 +342,9 @@ final class Pipeline private (
     // ---- build the instrumented plan: observe() counters per rejecting step
     val filterObs = scala.collection.mutable.ArrayBuffer.empty[(FilterStep, Observation)]
     val splitObs = scala.collection.mutable.ArrayBuffer.empty[(SplitStep, Option[Observation], Observation, Int)]
+    // (stepIndex, observationName) in declaration order: the physical
+    // CollectMetrics nodes segment the executed plan for StepTiming
+    val obsAtStep = scala.collection.mutable.ArrayBuffer.empty[(Int, String)]
     val scriptAcc = scala.collection.mutable.ArrayBuffer.empty[
       (ScriptStep, org.apache.spark.util.LongAccumulator, org.apache.spark.util.LongAccumulator)]
     var obsId = 0
@@ -361,12 +368,14 @@ final class Pipeline private (
         case fs: FilterStep =>
           val obs = nextObs()
           filterObs += ((fs, obs))
+          obsAtStep += ((i, obs.name))
           val pre = fs.pre(df)
           val observed = pre.observe(obs,
             sum(when(!coalesce(fs.keep(pre), lit(false)), lit(1L)).otherwise(lit(0L))).as("rejected"))
           fs.onKept(observed.filter(fs.keep(observed)))
         case ss: SplitStep =>
           val outObs = nextObs()
+          obsAtStep += ((i, outObs.name))
           if (ss.exactInput) {
             // a limit-like apply stops pulling from its input — an
             // observe below it would undercount; the input is counted
@@ -388,7 +397,30 @@ final class Pipeline private (
       }
     }
 
-    val loaded = instrumented.count()
+    // Execute the single action with a QueryExecutionListener attached:
+    // `count()` runs its OWN derived QueryExecution (an agg over the
+    // instrumented plan), so the executed plan — with populated SQL
+    // metrics for StepTiming — is only reachable through the listener.
+    @volatile var executedRoot: Option[org.apache.spark.sql.execution.SparkPlan] = None
+    val planCapture = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, durationNs: Long): Unit =
+        if (funcName == "count" && executedRoot.isEmpty)
+          executedRoot = Some(qe.executedPlan)
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, e: Exception): Unit = ()
+    }
+    spark.listenerManager.register(planCapture)
+    val loaded =
+      try instrumented.count()
+      finally {
+        // the listener bus is async; give the success event a bounded
+        // window to deliver before unregistering
+        val deadline = System.currentTimeMillis() + 2000L
+        while (executedRoot.isEmpty && System.currentTimeMillis() < deadline)
+          Thread.sleep(10)
+        spark.listenerManager.unregister(planCapture)
+      }
     val actionMs = (System.nanoTime() - t0) / 1000000L
 
     // ---- fold observed metrics into per-category per-step counts
@@ -422,9 +454,14 @@ final class Pipeline private (
       throw new PipelineAbortException(
         s"Pipeline $name: $scriptErrors script errors with no loaded rows")
 
-    // ---- side outputs against the persisted source
+    // ---- per-step timing: segment the executed plan's codegen metrics
+    // at the observe boundaries (see StepTiming); fall back to the
+    // action duration for every step when attribution isn't possible
     val stepTimings = scala.collection.mutable.Map.empty[String, Long]
     withSrc.steps.foreach(s => stepTimings(s.name) = actionMs)
+    executedRoot
+      .flatMap(StepTiming.segments(_, obsAtStep.toSeq, withSrc.steps.map(_.name)))
+      .foreach(_.foreach { case (k, v) => stepTimings(k) = v })
     resultTimings.foreach { case (k, v) => stepTimings(k) = v }
     withSrc.steps.zipWithIndex.foreach {
       case (sk: SinkStep, i) =>

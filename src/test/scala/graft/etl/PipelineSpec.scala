@@ -283,6 +283,36 @@ class PipelineSpec extends AnyFunSuite {
     assert(stat.rejections(RejectionCategory.IGNORE_ROW) == 900)
   }
 
+  test("per-step timings segment at observe boundaries") {
+    // two rejecting steps create a real observe boundary; the second
+    // segment hashes a ~2KB payload per row so both segments do
+    // measurable work. The codegen clock smears wall time across spans
+    // that pull from each other within one stage (see StepTiming), so
+    // the spec asserts the attribution STRUCTURE — steps in different
+    // segments get different values, fused steps share one — not a
+    // relative ordering of the two segments.
+    def build() = Pipeline.of(spark.range(200000L).toDF("id"))
+      .filter("filter-a", col("id") % 2 === 0)
+      .filter("filter-b", col("id") % 4 === 0)
+      .addField("g", col("id") % 100)
+      .groupAgg(Seq("g"))(
+        sum(xxhash64(sha2(repeat(col("id").cast("string"), 400), 512))).as("h"),
+        count(lit(1)).as("n"))
+    build().go() // warm the codegen paths: first-compile time smears spans
+    val stat = build().go()
+    assert(stat.loaded == 25) // multiples of 4 -> 25 residues mod 100
+    val a = stat.stepTimings("filter-a")
+    val b = stat.stepTimings("filter-b")
+    // fused steps above the last observe share the second segment
+    assert(stat.stepTimings("addField(g)") == b)
+    assert(stat.stepTimings("groupBy(g)") == b)
+    // segments were actually attributed from plan metrics: with ~2KB
+    // sha2 per row in segment 2 and the scan in segment 1, identical
+    // millisecond values would mean the fallback (one action duration
+    // for every step) fired
+    assert(a != b, s"expected differing segment times, got a=$a b=$b (${stat.stepTimings})")
+  }
+
   test("limitRows(halt=false): kept and rejected exactly partition the input") {
     // multi-partition frame whose orderBy key TIES everywhere — the
     // whole-row hash tiebreak must resolve the boundary identically in
