@@ -104,3 +104,121 @@ final class JsonFileSink(
     Map("file" -> path, "filename" -> file.getAbsolutePath)
   }
 }
+
+/** Single-file xlsx sink (reference `XlsxSink.groovy:16-81`), written
+  * with plain `java.util.zip` + hand-built OOXML parts — POI is absent
+  * in this environment but an xlsx is just a ZIP of five XML parts.
+  *
+  * Typing mirrors the reference's cell dispatch
+  * (`XlsxSink.groovy:44-63`): strings as inline strings, numerics as
+  * native number cells, booleans as boolean cells, dates/timestamps as
+  * real date cells (day serials styled with builtin formats 14/22).
+  * One documented fix over the reference: a header row is written
+  * first — the reference's sink omits headers, which its own
+  * XlsxSource then misreads (first DATA row becomes the headers).
+  */
+final class XlsxFileSink(
+    path: String,
+    sheetName: String = "Sheet 1",
+    columns: Seq[String] = null) extends Sink {
+
+  override def name: String = new File(path).getName
+
+  private def esc(s: String): String = s
+    .replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+
+  private def colRef(i: Int): String = {
+    var n = i + 1; val sb = new StringBuilder
+    while (n > 0) { val r = (n - 1) % 26; sb.insert(0, ('A' + r).toChar); n = (n - 1) / 26 }
+    sb.toString
+  }
+
+  private def cellXml(ref: String, v: Any): String = v match {
+    case null => ""
+    case s: String =>
+      s"""<c r="$ref" t="inlineStr"><is><t xml:space="preserve">${esc(s)}</t></is></c>"""
+    case b: Boolean =>
+      s"""<c r="$ref" t="b"><v>${if (b) 1 else 0}</v></c>"""
+    case d: java.sql.Date =>
+      s"""<c r="$ref" s="1"><v>${graft.sources.XlsxParser.toSerial(d.toLocalDate)}</v></c>"""
+    case t: java.sql.Timestamp =>
+      s"""<c r="$ref" s="2"><v>${graft.sources.XlsxParser.toSerial(t.toLocalDateTime)}</v></c>"""
+    case d: java.math.BigDecimal =>
+      s"""<c r="$ref"><v>${d.toPlainString}</v></c>"""
+    case n @ (_: Int | _: Long | _: Short | _: Byte | _: Double | _: Float) =>
+      s"""<c r="$ref"><v>$n</v></c>"""
+    case other =>
+      s"""<c r="$ref" t="inlineStr"><is><t xml:space="preserve">${esc(other.toString)}</t></is></c>"""
+  }
+
+  override def write(df: DataFrame): Map[String, String] = {
+    val cols = if (columns == null) df.columns.toSeq else columns
+    val proj = df.select(cols.map(col): _*)
+    val file = new File(path)
+    Option(file.getAbsoluteFile.getParentFile).foreach(_.mkdirs())
+    val zip = new java.util.zip.ZipOutputStream(
+      new java.io.BufferedOutputStream(new java.io.FileOutputStream(file)))
+    def part(name: String, content: String): Unit = {
+      zip.putNextEntry(new java.util.zip.ZipEntry(name))
+      zip.write(content.getBytes(StandardCharsets.UTF_8))
+      zip.closeEntry()
+    }
+    try {
+      val main = "http://schemas.openxmlformats.org/spreadsheetml/2006/main"
+      part("[Content_Types].xml",
+        """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
+          |<Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types">
+          |<Default Extension="rels" ContentType="application/vnd.openxmlformats-package.relationships+xml"/>
+          |<Default Extension="xml" ContentType="application/xml"/>
+          |<Override PartName="/xl/workbook.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.sheet.main+xml"/>
+          |<Override PartName="/xl/worksheets/sheet1.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.worksheet+xml"/>
+          |<Override PartName="/xl/styles.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.styles+xml"/>
+          |</Types>""".stripMargin)
+      part("_rels/.rels",
+        """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
+          |<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">
+          |<Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/officeDocument" Target="xl/workbook.xml"/>
+          |</Relationships>""".stripMargin)
+      part("xl/workbook.xml",
+        s"""<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
+           |<workbook xmlns="$main" xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships">
+           |<sheets><sheet name="${esc(sheetName).replace("\"", "&quot;")}" sheetId="1" r:id="rId1"/></sheets>
+           |</workbook>""".stripMargin)
+      part("xl/_rels/workbook.xml.rels",
+        """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
+          |<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">
+          |<Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/worksheet" Target="worksheets/sheet1.xml"/>
+          |<Relationship Id="rId2" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/styles" Target="styles.xml"/>
+          |</Relationships>""".stripMargin)
+      part("xl/styles.xml",
+        s"""<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
+           |<styleSheet xmlns="$main">
+           |<fonts count="1"><font/></fonts>
+           |<fills count="1"><fill/></fills>
+           |<borders count="1"><border/></borders>
+           |<cellStyleXfs count="1"><xf/></cellStyleXfs>
+           |<cellXfs count="3"><xf numFmtId="0" xfId="0"/><xf numFmtId="14" xfId="0" applyNumberFormat="1"/><xf numFmtId="22" xfId="0" applyNumberFormat="1"/></cellXfs>
+           |</styleSheet>""".stripMargin)
+
+      zip.putNextEntry(new java.util.zip.ZipEntry("xl/worksheets/sheet1.xml"))
+      val w = new OutputStreamWriter(zip, StandardCharsets.UTF_8)
+      w.write(s"""<?xml version="1.0" encoding="UTF-8" standalone="yes"?>""")
+      w.write(s"""<worksheet xmlns="$main"><sheetData>""")
+      w.write(cols.zipWithIndex.map { case (c, i) =>
+        cellXml(s"${colRef(i)}1", c)
+      }.mkString("""<row r="1">""", "", "</row>"))
+      val it = proj.toLocalIterator()
+      var r = 2
+      while (it.hasNext) {
+        val row = it.next()
+        w.write(cols.indices.map(i =>
+          cellXml(s"${colRef(i)}$r", row.get(i))).mkString(s"""<row r="$r">""", "", "</row>"))
+        r += 1
+      }
+      w.write("</sheetData></worksheet>")
+      w.flush()
+      zip.closeEntry()
+    } finally zip.close()
+    Map("file" -> path, "filename" -> file.getAbsolutePath)
+  }
+}

@@ -10,10 +10,12 @@ import java.io.ByteArrayInputStream
 /** Source surface of the engine, mapping the reference's source family
   * (gratum `src/main/groovy/gratum/source/`) onto Spark's readers.
   *
-  * Not ported (libraries absent in this environment, driver-side
-  * fetch-then-read patterns documented in SURVEY §2.10): XlsxSource/
-  * XlsSource (POI), SshSource (JSch), PGP (BouncyCastle), Http/OkHttp
-  * (zero-egress environment).
+  * XlsxSource lives in [[graft.sources.Xlsx]] (pure-JDK ZIP+StAX
+  * parser — POI is absent in this environment but unnecessary for
+  * unencrypted workbooks). Not ported (libraries absent, driver-side
+  * fetch-then-read patterns documented in SURVEY §2.10): XlsSource
+  * (legacy BIFF8 binary format), SshSource (JSch), PGP (BouncyCastle),
+  * Http/OkHttp (zero-egress environment).
   */
 object Sources {
 
