@@ -549,6 +549,14 @@ final class Pipeline private (
       _ => lit("Row did not match the filter"),
       _ => cond))
 
+  /** Filter with an explicit rejection category and reason — for
+    * boundary rejections that are not IGNORE_ROW semantics (e.g. the
+    * HTTP source's rejectNon200 → RUNTIME_ERROR, reference
+    * `OkHttpSource.groovy:216-219`). */
+  def filter(stepName: String, cond: Column,
+      category: RejectionCategory, reason: String): Pipeline =
+    add(FilterStep(stepName, category, _ => lit(reason), _ => cond))
+
   /** gratum `filter(Map)` (Pipeline.groovy:284-294) — see [[Condition]]. */
   def filter(conditions: Map[String, Any]): Pipeline =
     add(FilterStep(

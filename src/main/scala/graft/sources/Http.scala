@@ -1,0 +1,186 @@
+package graft.sources
+
+import graft.etl.{Pipeline, RejectionCategory}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.{Row, SparkSession}
+
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+import java.nio.charset.StandardCharsets
+import java.time.Duration
+import java.util.Base64
+
+/** HTTP source (reference `OkHttpSource.groovy:44-249` /
+  * `HttpSource.groovy`), on the JDK's own `java.net.http.HttpClient` —
+  * the reference's OkHttp dependency is absent in this environment and
+  * unnecessary.
+  *
+  * Reference semantics carried over:
+  *  - one fetch produces ONE row `{url, status, content_type, body}`
+  *    (the reference's `[url, response, body, status]` row,
+  *    `OkHttpSource.groovy:225`); content-type-aware parsing into
+  *    ROWS is the [[getJsonRows]]/[[getCsvRows]] helpers — the
+  *    DataFrame equivalent of the reference attaching a parsed `json`
+  *    object to the row;
+  *  - 429 responses honor `Retry-After` (seconds) and retry up to
+  *    `maxRetries` times (`OkHttpSource.groovy:206-248`,
+  *    MAX_RETRIES=5);
+  *  - `rejectNon200` turns a >399 status into a RUNTIME_ERROR
+  *    rejection instead of a flowing row (`:216-219`);
+  *  - basic / bearer auth and query-parameter helpers
+  *    (`OkHttpBuilder.authBasic/authToken/query`, `:85-124`).
+  *
+  * Scale design: [[get]] fetches lazily on the driver at source
+  * evaluation (one URL, one row — the reference's shape, memoized so
+  * go()'s multiple traversals fetch once). [[getMany]] is the
+  * cluster-scale path: URLs fan out over executors and each partition
+  * fetches with its own client — bulk ingestion from an API that a
+  * single-node loop cannot saturate.
+  */
+object Http {
+
+  val MaxRetries = 5
+
+  private[sources] val responseSchema = StructType(Seq(
+    StructField("url", StringType),
+    StructField("status", IntegerType),
+    StructField("content_type", StringType),
+    StructField("body", StringType)))
+
+  /** Driver-side single fetch (memoized) as a one-row Pipeline. */
+  def get(
+      spark: SparkSession, url: String,
+      headers: Map[String, String] = Map.empty,
+      query: Map[String, String] = Map.empty,
+      basicAuth: (String, String) = null,
+      bearerToken: String = null,
+      maxRetries: Int = MaxRetries,
+      rejectNon200: Boolean = false): Pipeline = {
+    lazy val row = fetch(url, headers, query, Option(basicAuth), Option(bearerToken), maxRetries)
+    val p = Pipeline.of(s"http($url)", {
+      spark.createDataFrame(
+        java.util.List.of(Row(row._1, row._2, row._3, row._4)), responseSchema)
+    })
+    withStatusPolicy(p, rejectNon200)
+  }
+
+  /** Executor-side fan-out fetch: one row per URL. `parallelism` caps
+    * concurrent partitions (and therefore concurrent connections). */
+  def getMany(
+      spark: SparkSession, urls: Seq[String],
+      headers: Map[String, String] = Map.empty,
+      basicAuth: (String, String) = null,
+      bearerToken: String = null,
+      maxRetries: Int = MaxRetries,
+      parallelism: Int = 8,
+      rejectNon200: Boolean = false): Pipeline = {
+    val hdrs = headers
+    val auth = Option(basicAuth)
+    val tok = Option(bearerToken)
+    val retries = maxRetries
+    val n = math.max(1, math.min(parallelism, urls.size))
+    import spark.implicits._
+    val df = spark.createDataset(urls).repartition(n)
+      .mapPartitions(_.map { u =>
+        val r = fetch(u, hdrs, Map.empty, auth, tok, retries)
+        Row(r._1, r._2, r._3, r._4)
+      })(org.apache.spark.sql.Encoders.row(responseSchema))
+    withStatusPolicy(Pipeline.of(s"http(${urls.size} urls)", df), rejectNon200)
+  }
+
+  /** Fetch + parse a JSON response body into rows (the reference's
+    * `json` column, relationalized): top-level arrays become one row
+    * per element; `descent`/`includeRoot` behave as in
+    * [[Sources.json]]. */
+  def getJsonRows(
+      spark: SparkSession, url: String,
+      headers: Map[String, String] = Map.empty,
+      query: Map[String, String] = Map.empty,
+      basicAuth: (String, String) = null,
+      bearerToken: String = null,
+      maxRetries: Int = MaxRetries,
+      descent: Seq[String] = Nil,
+      includeRoot: Boolean = false): Pipeline = {
+    val body = fetch(url, headers, query, Option(basicAuth), Option(bearerToken), maxRetries)._4
+    import spark.implicits._
+    val root = spark.read.json(spark.createDataset(Seq(body)))
+    Pipeline.of(s"httpJson($url)", Sources.descend(root, descent, includeRoot))
+  }
+
+  /** Fetch + parse a CSV response body into all-string rows
+    * ([[Sources.csv]] semantics over the response). */
+  def getCsvRows(
+      spark: SparkSession, url: String,
+      headers: Map[String, String] = Map.empty,
+      query: Map[String, String] = Map.empty,
+      basicAuth: (String, String) = null,
+      bearerToken: String = null,
+      maxRetries: Int = MaxRetries,
+      separator: String = ",",
+      csvHeaders: Seq[String] = null): Pipeline = {
+    val body = fetch(url, headers, query, Option(basicAuth), Option(bearerToken), maxRetries)._4
+    import spark.implicits._
+    val lines = spark.createDataset(body.linesIterator.toSeq)
+    val df = spark.read
+      .option("sep", separator)
+      .option("header", csvHeaders == null)
+      .option("inferSchema", false)
+      .option("mode", "PERMISSIVE")
+      .csv(lines)
+    val named = if (csvHeaders == null) df else df.toDF(csvHeaders: _*)
+    Pipeline.of(s"httpCsv($url)", named)
+  }
+
+  private def withStatusPolicy(p: Pipeline, rejectNon200: Boolean): Pipeline =
+    if (!rejectNon200) p
+    else p.filter("http-status", col("status") <= 399,
+      RejectionCategory.RUNTIME_ERROR, "Non-2xx/3xx HTTP response")
+
+  /** (url, status, contentType, body) after the 429 retry loop. */
+  private def fetch(
+      url: String,
+      headers: Map[String, String],
+      query: Map[String, String],
+      basicAuth: Option[(String, String)],
+      bearerToken: Option[String],
+      maxRetries: Int): (String, Int, String, String) = {
+    val fullUrl =
+      if (query.isEmpty) url
+      else {
+        val sep = if (url.contains("?")) "&" else "?"
+        url + sep + query.map { case (k, v) =>
+          java.net.URLEncoder.encode(k, StandardCharsets.UTF_8) + "=" +
+            java.net.URLEncoder.encode(v, StandardCharsets.UTF_8)
+        }.mkString("&")
+      }
+    val client = HttpClient.newBuilder()
+      .followRedirects(HttpClient.Redirect.NORMAL)
+      .connectTimeout(Duration.ofSeconds(30))
+      .build()
+    val builder = HttpRequest.newBuilder(URI.create(fullUrl)).GET()
+    headers.foreach { case (k, v) => builder.header(k, v) }
+    basicAuth.foreach { case (u, pw) =>
+      builder.header("Authorization", "Basic " + Base64.getEncoder
+        .encodeToString(s"$u:$pw".getBytes(StandardCharsets.UTF_8)))
+    }
+    bearerToken.foreach(t => builder.header("Authorization", s"Bearer $t"))
+    val request = builder.build()
+
+    var attempts = maxRetries
+    var response: HttpResponse[String] = null
+    var done = false
+    while (!done && attempts > 0) {
+      response = client.send(request, HttpResponse.BodyHandlers.ofString())
+      attempts -= 1
+      if (response.statusCode == 429 && attempts > 0) {
+        // reference behavior: wait Retry-After seconds then retry
+        val retryAfter = response.headers.firstValue("Retry-After").orElse("1").toLong
+        Thread.sleep(retryAfter * 1000L)
+      } else done = true
+    }
+    val ct = response.headers.firstValue("Content-Type").orElse(null)
+    val contentType = if (ct == null) null else ct.split(";")(0).trim
+    (fullUrl, response.statusCode, contentType, response.body)
+  }
+}

@@ -12,10 +12,11 @@ import java.io.ByteArrayInputStream
   *
   * XlsxSource lives in [[graft.sources.Xlsx]] (pure-JDK ZIP+StAX
   * parser — POI is absent in this environment but unnecessary for
-  * unencrypted workbooks). Not ported (libraries absent, driver-side
-  * fetch-then-read patterns documented in SURVEY §2.10): XlsSource
-  * (legacy BIFF8 binary format), SshSource (JSch), PGP (BouncyCastle),
-  * Http/OkHttp (zero-egress environment).
+  * unencrypted workbooks); the HTTP source lives in
+  * [[graft.sources.Http]] (JDK HttpClient; specs run an in-process
+  * server — no egress needed). Not ported (libraries absent,
+  * documented in SURVEY §2.10): XlsSource (legacy BIFF8 binary
+  * format), SshSource (JSch), PGP (BouncyCastle).
   */
 object Sources {
 
@@ -66,7 +67,7 @@ object Sources {
     Pipeline.of(s"jsonl($path)", descend(root, descent, includeRoot))
   }
 
-  private def descend(root: DataFrame, descent: Seq[String], includeRoot: Boolean): DataFrame = {
+  private[sources] def descend(root: DataFrame, descent: Seq[String], includeRoot: Boolean): DataFrame = {
     var df =
       if (!includeRoot) root
       else root.withColumn("_root_json", to_json(struct(root.columns.toIndexedSeq.map(col): _*)))

@@ -1,0 +1,130 @@
+package graft.sources
+
+import graft.etl.RejectionCategory
+import com.sun.net.httpserver.{HttpExchange, HttpServer}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.net.InetSocketAddress
+import java.nio.charset.StandardCharsets
+import java.util.concurrent.atomic.AtomicInteger
+
+/** Http source specs against an in-process `com.sun.net.httpserver`
+  * (the environment has no egress, which blocks the INTERNET, not
+  * loopback). Mirrors the reference's OkHttpSource contract: row shape,
+  * JSON/CSV body parsing, the 429 Retry-After retry loop, rejectNon200
+  * as RUNTIME_ERROR, auth headers. */
+class HttpSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-http-test")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private var server: HttpServer = _
+  private var base: String = _
+  private val flakyCalls = new AtomicInteger(0)
+
+  private def respond(ex: HttpExchange, status: Int, contentType: String,
+      body: String, extraHeaders: Map[String, String] = Map.empty): Unit = {
+    val bytes = body.getBytes(StandardCharsets.UTF_8)
+    if (contentType != null) ex.getResponseHeaders.set("Content-Type", contentType)
+    extraHeaders.foreach { case (k, v) => ex.getResponseHeaders.set(k, v) }
+    ex.sendResponseHeaders(status, bytes.length)
+    ex.getResponseBody.write(bytes)
+    ex.close()
+  }
+
+  override def beforeAll(): Unit = {
+    server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/astros.json", (ex: HttpExchange) =>
+      respond(ex, 200, "application/json; charset=utf-8",
+        """{"number":3,"people":[
+          |{"name":"Ann","craft":"ISS"},{"name":"Bob","craft":"ISS"},
+          |{"name":"Cid","craft":"Soyuz"}]}""".stripMargin))
+    server.createContext("/data.csv", (ex: HttpExchange) =>
+      respond(ex, 200, "text/csv", "id,name\n1,Bob\n2,Sue\n"))
+    server.createContext("/flaky", (ex: HttpExchange) =>
+      if (flakyCalls.incrementAndGet() <= 2)
+        respond(ex, 429, "text/plain", "slow down", Map("Retry-After" -> "0"))
+      else respond(ex, 200, "text/plain", "ok"))
+    server.createContext("/missing", (ex: HttpExchange) =>
+      respond(ex, 404, "text/plain", "not here"))
+    server.createContext("/echo-auth", (ex: HttpExchange) =>
+      respond(ex, 200, "text/plain",
+        Option(ex.getRequestHeaders.getFirst("Authorization")).getOrElse("none")))
+    server.createContext("/query", (ex: HttpExchange) =>
+      respond(ex, 200, "text/plain", Option(ex.getRequestURI.getRawQuery).getOrElse("")))
+    server.start()
+    base = s"http://127.0.0.1:${server.getAddress.getPort}"
+  }
+
+  override def afterAll(): Unit = if (server != null) server.stop(0)
+
+  test("get: one row with url/status/content_type/body") {
+    val df = Http.get(spark, s"$base/astros.json").toDF
+    val r = df.head()
+    assert(df.columns.toSeq == Seq("url", "status", "content_type", "body"))
+    assert(r.getAs[Int]("status") == 200)
+    assert(r.getAs[String]("content_type") == "application/json")
+    assert(r.getAs[String]("body").contains("\"craft\":\"ISS\""))
+  }
+
+  test("getJsonRows: descent into nested array, reference astros example") {
+    val iss = Http.getJsonRows(spark, s"$base/astros.json", descent = Seq("people"))
+      .filter(Map("craft" -> "ISS"))
+      .toDF
+    assert(iss.count() == 2)
+    assert(iss.select("name").collect().map(_.getString(0)).sorted.toSeq == Seq("Ann", "Bob"))
+  }
+
+  test("getCsvRows: all-string csv ingestion of the response") {
+    val df = Http.getCsvRows(spark, s"$base/data.csv").toDF
+    assert(df.columns.toSeq == Seq("id", "name"))
+    assert(df.count() == 2)
+    assert(df.schema.fields.forall(_.dataType.typeName == "string"))
+  }
+
+  test("429 retry loop honors Retry-After and eventually succeeds") {
+    flakyCalls.set(0)
+    val r = Http.get(spark, s"$base/flaky").toDF.head()
+    assert(r.getAs[Int]("status") == 200)
+    assert(r.getAs[String]("body") == "ok")
+    assert(flakyCalls.get() == 3) // two 429s then the success
+  }
+
+  test("rejectNon200: >399 status becomes a RUNTIME_ERROR rejection") {
+    val stat = Http.get(spark, s"$base/missing", rejectNon200 = true).go()
+    assert(stat.loaded == 0)
+    assert(stat.rejections(RejectionCategory.RUNTIME_ERROR) == 1)
+    // without the flag the row flows through
+    assert(Http.get(spark, s"$base/missing").toDF.head().getAs[Int]("status") == 404)
+  }
+
+  test("auth and query helpers set the right request state") {
+    val basic = Http.get(spark, s"$base/echo-auth",
+      basicAuth = ("user", "secret")).toDF.head().getAs[String]("body")
+    assert(basic == "Basic " + java.util.Base64.getEncoder
+      .encodeToString("user:secret".getBytes(StandardCharsets.UTF_8)))
+    val bearer = Http.get(spark, s"$base/echo-auth",
+      bearerToken = "tok123").toDF.head().getAs[String]("body")
+    assert(bearer == "Bearer tok123")
+    val q = Http.get(spark, s"$base/query",
+      query = Map("a" -> "1", "b c" -> "x y")).toDF.head().getAs[String]("body")
+    assert(q.contains("a=1") && q.contains("b+c=x+y"))
+  }
+
+  test("getMany fans URLs over executors, one row each") {
+    val urls = Seq(s"$base/astros.json", s"$base/data.csv", s"$base/missing")
+    val df = Http.getMany(spark, urls, parallelism = 3).toDF
+    assert(df.count() == 3)
+    val byUrl = df.collect().map(r => r.getAs[String]("url") -> r.getAs[Int]("status")).toMap
+    assert(byUrl(s"$base/astros.json") == 200)
+    assert(byUrl(s"$base/missing") == 404)
+  }
+}
