@@ -21,8 +21,11 @@ import org.apache.spark.sql.types._
   *    (decimal128 rendering differs across duckdb/pyarrow versions in
   *    the driver's hash canonicalization), while every BIGINT output is
   *    empirically hash-green. The scaling is exact — operands are
-  *    DECIMAL(18,2)/(·,4), so the scaled value is integral and far
-  *    below 2^63 at every SF — and both engines cast it losslessly.
+  *    DECIMAL(18,2)/(·,4), so the scaled value is integral and (for
+  *    the gate's SF range, with headroom past SF 1000) below 2^63 —
+  *    and both engines cast it losslessly. Note the bound is about
+  *    these GATE queries, not the library: user aggregations keep
+  *    full decimal types.
   *  - every other computed numeric output is cast to ONE explicit type
   *    on BOTH engines: aggregate result types differ otherwise (Spark
   *    sum(INT) → BIGINT vs DuckDB → HUGEINT), which the driver's

@@ -375,7 +375,11 @@ final class Pipeline private (
           fs.onKept(observed.filter(fs.keep(observed)))
         case ss: SplitStep =>
           val outObs = nextObs()
-          obsAtStep += ((i, outObs.name))
+          // timing boundary: the IN observe sits below ss.apply (like a
+          // FilterStep's observe below its keep-filter), so the split's
+          // own work lands in the split's segment. exactInput splits
+          // have no below-apply observe by design — no boundary, their
+          // work folds into the enclosing segment.
           if (ss.exactInput) {
             // a limit-like apply stops pulling from its input — an
             // observe below it would undercount; the input is counted
@@ -385,6 +389,7 @@ final class Pipeline private (
           } else {
             val inObs = nextObs()
             splitObs += ((ss, Some(inObs), outObs, i))
+            obsAtStep += ((i, inObs.name))
             ss.apply(df.observe(inObs, count(lit(1)).as("n")))
               .observe(outObs, count(lit(1)).as("n"))
           }
@@ -411,13 +416,15 @@ final class Pipeline private (
           qe: org.apache.spark.sql.execution.QueryExecution, e: Exception): Unit = ()
     }
     spark.listenerManager.register(planCapture)
+    var actionOk = false
     val loaded =
-      try instrumented.count()
+      try { val n = instrumented.count(); actionOk = true; n }
       finally {
         // the listener bus is async; give the success event a bounded
-        // window to deliver before unregistering
+        // window to deliver before unregistering. Skip the wait when
+        // the action threw — onSuccess will never fire.
         val deadline = System.currentTimeMillis() + 2000L
-        while (executedRoot.isEmpty && System.currentTimeMillis() < deadline)
+        while (actionOk && executedRoot.isEmpty && System.currentTimeMillis() < deadline)
           Thread.sleep(10)
         spark.listenerManager.unregister(planCapture)
       }

@@ -124,8 +124,24 @@ final class XlsxFileSink(
 
   override def name: String = new File(path).getName
 
-  private def esc(s: String): String = s
-    .replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+  private val escapeLookalike = "_x([0-9A-Fa-f]{4})_".r
+
+  private def esc(s: String): String = {
+    val basic = s
+      .replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+    // XML 1.0 cannot carry control characters at all — encode them the
+    // way Excel/POI do (_xHHHH_). Literal text that LOOKS like an
+    // escape gets its underscore armored as _x005F_ first, so the
+    // reader's unescape reproduces the original exactly.
+    val armored =
+      if (!basic.contains("_x")) basic
+      else escapeLookalike.replaceAllIn(basic, m => "_x005F_" + m.matched.substring(1))
+    if (armored.forall(c => c >= 0x20 || c == '\t' || c == '\n' || c == '\r')) armored
+    else armored.flatMap { c =>
+      if (c < 0x20 && c != '\t' && c != '\n' && c != '\r') f"_x${c.toInt}%04X_"
+      else c.toString
+    }
+  }
 
   private def colRef(i: Int): String = {
     var n = i + 1; val sb = new StringBuilder

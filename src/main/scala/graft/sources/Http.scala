@@ -109,7 +109,10 @@ object Http {
   }
 
   /** Fetch + parse a CSV response body into all-string rows
-    * ([[Sources.csv]] semantics over the response). */
+    * ([[Sources.csv]] semantics over the response). The body is staged
+    * to a temp file and read through the standard csv source — NOT
+    * split on newlines first, which would corrupt RFC-4180 records
+    * with quoted embedded newlines. */
   def getCsvRows(
       spark: SparkSession, url: String,
       headers: Map[String, String] = Map.empty,
@@ -120,22 +123,24 @@ object Http {
       separator: String = ",",
       csvHeaders: Seq[String] = null): Pipeline = {
     val body = fetch(url, headers, query, Option(basicAuth), Option(bearerToken), maxRetries)._4
-    import spark.implicits._
-    val lines = spark.createDataset(body.linesIterator.toSeq)
-    val df = spark.read
-      .option("sep", separator)
-      .option("header", csvHeaders == null)
-      .option("inferSchema", false)
-      .option("mode", "PERMISSIVE")
-      .csv(lines)
-    val named = if (csvHeaders == null) df else df.toDF(csvHeaders: _*)
-    Pipeline.of(s"httpCsv($url)", named)
+    val tmp = java.io.File.createTempFile("graft-http", ".csv")
+    tmp.deleteOnExit()
+    java.nio.file.Files.writeString(tmp.toPath, body)
+    Pipeline.of(s"httpCsv($url)",
+      Sources.csv(spark, tmp.getAbsolutePath, separator, csvHeaders).toDF)
   }
 
   private def withStatusPolicy(p: Pipeline, rejectNon200: Boolean): Pipeline =
     if (!rejectNon200) p
     else p.filter("http-status", col("status") <= 399,
       RejectionCategory.RUNTIME_ERROR, "Non-2xx/3xx HTTP response")
+
+  /** One shared client (connection reuse across fetches; HttpClient is
+    * thread-safe, and on executors every task in the JVM reuses it). */
+  @transient private lazy val client = HttpClient.newBuilder()
+    .followRedirects(HttpClient.Redirect.NORMAL)
+    .connectTimeout(Duration.ofSeconds(30))
+    .build()
 
   /** (url, status, contentType, body) after the 429 retry loop. */
   private def fetch(
@@ -145,6 +150,9 @@ object Http {
       basicAuth: Option[(String, String)],
       bearerToken: Option[String],
       maxRetries: Int): (String, Int, String, String) = {
+    require(maxRetries > 0, "maxRetries must be at least 1 (the first attempt)")
+    require(basicAuth.isEmpty || bearerToken.isEmpty,
+      "pass either basicAuth or bearerToken, not both (one Authorization header)")
     val fullUrl =
       if (query.isEmpty) url
       else {
@@ -154,10 +162,6 @@ object Http {
             java.net.URLEncoder.encode(v, StandardCharsets.UTF_8)
         }.mkString("&")
       }
-    val client = HttpClient.newBuilder()
-      .followRedirects(HttpClient.Redirect.NORMAL)
-      .connectTimeout(Duration.ofSeconds(30))
-      .build()
     val builder = HttpRequest.newBuilder(URI.create(fullUrl)).GET()
     headers.foreach { case (k, v) => builder.header(k, v) }
     basicAuth.foreach { case (u, pw) =>
@@ -174,8 +178,11 @@ object Http {
       response = client.send(request, HttpResponse.BodyHandlers.ofString())
       attempts -= 1
       if (response.statusCode == 429 && attempts > 0) {
-        // reference behavior: wait Retry-After seconds then retry
-        val retryAfter = response.headers.firstValue("Retry-After").orElse("1").toLong
+        // reference behavior: wait Retry-After seconds then retry.
+        // RFC 7231 also allows an HTTP-date here — fall back to 1s
+        // rather than crash the fetch on a non-numeric value.
+        val retryAfter = scala.util.Try(
+          response.headers.firstValue("Retry-After").orElse("1").toLong).getOrElse(1L)
         Thread.sleep(retryAfter * 1000L)
       } else done = true
     }

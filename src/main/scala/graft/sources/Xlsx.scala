@@ -60,7 +60,7 @@ private[graft] object XlsxParser {
     val sheets = parseWorkbookSheets(
       part("xl/workbook.xml").getOrElse(
         throw new IllegalArgumentException("not an xlsx workbook: missing xl/workbook.xml")),
-      part("xl/_rels/workbook.xml.rels").getOrElse(Array.empty))
+      part("xl/_rels/workbook.xml.rels"))
 
     val chosen = Option(sheetName) match {
       case Some(n) => sheets.find(_._1 == n).getOrElse(
@@ -91,7 +91,10 @@ private[graft] object XlsxParser {
     f.createXMLStreamReader(new ByteArrayInputStream(bytes))
   }
 
-  /** All text below the current element (concatenates rich-text runs). */
+  /** All text below the current element (concatenates rich-text runs),
+    * with OOXML `_xHHHH_` escapes decoded (Excel/POI encode XML-illegal
+    * control characters this way; `_x005F_` armors a literal underscore
+    * of a lookalike sequence). */
   private def textBelow(r: XMLStreamReader): String = {
     val sb = new StringBuilder
     var depth = 1
@@ -104,8 +107,16 @@ private[graft] object XlsxParser {
         case _ => ()
       }
     }
-    sb.toString
+    unescapeOoxml(sb.toString)
   }
+
+  private val OoxmlEscape = "_x([0-9A-Fa-f]{4})_".r
+
+  private def unescapeOoxml(s: String): String =
+    if (!s.contains("_x")) s
+    else OoxmlEscape.replaceAllIn(s, m =>
+      java.util.regex.Matcher.quoteReplacement(
+        Integer.parseInt(m.group(1), 16).toChar.toString))
 
   private def parseSharedStrings(bytes: Array[Byte]): Vector[String] = {
     val r = reader(bytes)
@@ -156,11 +167,13 @@ private[graft] object XlsxParser {
     stripped.exists(c => "ymdhs".contains(c))
   }
 
-  /** (name, part path) per sheet, workbook order. */
+  /** (name, part path) per sheet, workbook order. Workbooks without a
+    * rels part (rare but legal for our fallback path) resolve sheets
+    * positionally as xl/worksheets/sheetN.xml. */
   private def parseWorkbookSheets(
-      workbook: Array[Byte], rels: Array[Byte]): Vector[(String, String)] = {
-    val relTargets = {
-      val r = reader(rels)
+      workbook: Array[Byte], rels: Option[Array[Byte]]): Vector[(String, String)] = {
+    val relTargets = rels.filter(_.nonEmpty).map { bytes =>
+      val r = reader(bytes)
       val m = Map.newBuilder[String, String]
       while (r.hasNext) {
         if (r.next() == XMLStreamConstants.START_ELEMENT && r.getLocalName == "Relationship") {
@@ -172,7 +185,7 @@ private[graft] object XlsxParser {
         }
       }
       m.result()
-    }
+    }.getOrElse(Map.empty[String, String])
     val r = reader(workbook)
     val out = Vector.newBuilder[(String, String)]
     var fallbackIdx = 0

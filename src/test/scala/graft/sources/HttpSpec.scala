@@ -49,6 +49,8 @@ class HttpSpec extends AnyFunSuite with BeforeAndAfterAll {
           |{"name":"Cid","craft":"Soyuz"}]}""".stripMargin))
     server.createContext("/data.csv", (ex: HttpExchange) =>
       respond(ex, 200, "text/csv", "id,name\n1,Bob\n2,Sue\n"))
+    server.createContext("/quoted.csv", (ex: HttpExchange) =>
+      respond(ex, 200, "text/csv", "id,note\n1,\"line one\nline two\"\n"))
     server.createContext("/flaky", (ex: HttpExchange) =>
       if (flakyCalls.incrementAndGet() <= 2)
         respond(ex, 429, "text/plain", "slow down", Map("Retry-After" -> "0"))
@@ -88,6 +90,12 @@ class HttpSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(df.columns.toSeq == Seq("id", "name"))
     assert(df.count() == 2)
     assert(df.schema.fields.forall(_.dataType.typeName == "string"))
+  }
+
+  test("getCsvRows preserves quoted embedded newlines (RFC 4180)") {
+    val df = Http.getCsvRows(spark, s"$base/quoted.csv").toDF
+    assert(df.count() == 1)
+    assert(df.head().getString(1) == "line one\nline two")
   }
 
   test("429 retry loop honors Retry-After and eventually succeeds") {

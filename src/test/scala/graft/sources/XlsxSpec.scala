@@ -112,6 +112,19 @@ class XlsxSpec extends AnyFunSuite {
     assert(e.getMessage.contains("nope"))
   }
 
+  test("control characters and escape-lookalike text round-trip via _xHHHH_") {
+    import spark.implicits._
+    val dir = tmp
+    val out = dir.resolve("ctrl.xlsx").toString
+    //  is illegal in XML 1.0; the literal _x0041_ must NOT come
+    // back as "A"; _x005F_ must survive armoring
+    val weird = "belltab\there_x0041_and_x005F_literal"
+    new XlsxFileSink(out).write(Seq((weird, "plain")).toDF("a", "b"))
+    val back = Xlsx.read(spark, out).toDF.head()
+    assert(back.getString(0) == weird)
+    assert(back.getString(1) == "plain")
+  }
+
   test("multi-file directory read aligns columns by header name") {
     import spark.implicits._
     val dir = tmp
