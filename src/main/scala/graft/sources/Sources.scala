@@ -11,12 +11,12 @@ import java.io.ByteArrayInputStream
   * (gratum `src/main/groovy/gratum/source/`) onto Spark's readers.
   *
   * XlsxSource lives in [[graft.sources.Xlsx]] (pure-JDK ZIP+StAX
-  * parser — POI is absent in this environment but unnecessary for
-  * unencrypted workbooks); the HTTP source lives in
+  * parser), legacy xls in [[graft.sources.Xls]] (pure-JDK CFB+BIFF8
+  * parser) — POI is absent in this environment but unnecessary for
+  * unencrypted workbooks; the HTTP source lives in
   * [[graft.sources.Http]] (JDK HttpClient; specs run an in-process
   * server — no egress needed). Not ported (libraries absent,
-  * documented in SURVEY §2.10): XlsSource (legacy BIFF8 binary
-  * format), SshSource (JSch), PGP (BouncyCastle).
+  * documented in SURVEY §2.10): SshSource (JSch), PGP (BouncyCastle).
   */
 object Sources {
 

@@ -1,0 +1,436 @@
+package graft.sources
+
+import graft.etl.Pipeline
+import org.apache.spark.sql.types.{StringType, StructField, StructType}
+import org.apache.spark.sql.{Row, SparkSession}
+
+import java.time.LocalDate
+import java.time.format.DateTimeFormatter
+
+/** Pure-JDK legacy `.xls` (BIFF8) parsing (reference
+  * `XlsSource.groovy:13-91` + `XlsProcessor.groovy:33-253`).
+  *
+  * The reference reads xls through POI's HSSF event model; POI is
+  * absent here, but the format is two well-documented layers, both
+  * parseable with nothing beyond `java.nio`:
+  *
+  *  1. a CFB compound file (MS-CFB): 512-byte header, FAT/DIFAT sector
+  *     chains, a directory of streams, a mini-FAT for streams under
+  *     4096 bytes — the `Workbook` stream holds the spreadsheet;
+  *  2. the BIFF8 record stream (MS-XLS): `[id:u16][len:u16][payload]`
+  *     records — workbook globals (SST shared strings with CONTINUE
+  *     splits, XF/FORMAT for date detection, BOUNDSHEET sheet
+  *     directory, DATEMODE) followed by one substream per sheet
+  *     (LABELSST/NUMBER/RK/MULRK/FORMULA+STRING/BOOLERR/LABEL/BLANK
+  *     cell records).
+  *
+  * Row semantics match `XlsProcessor`: rows before `startOnRow` are
+  * skipped, the first surviving row is the header, every value arrives
+  * as a formatted string (POI formatNumberDateCell semantics — General
+  * numbers undecorated, date-styled cells rendered via `dateFormat`),
+  * BLANK cells are null, formula cells contribute their cached value
+  * (`outputFormulaValues=true`, the reference default). Encrypted
+  * workbooks (FILEPASS) are unsupported, as in [[XlsxParser]].
+  */
+private[graft] object XlsParser {
+
+  import java.nio.{ByteBuffer, ByteOrder}
+
+  private def le(bytes: Array[Byte]): ByteBuffer =
+    ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+
+  // ---------------------------------------------------------------- CFB
+
+  private val EndOfChain = 0xFFFFFFFEL
+
+  /** Extract a named stream ("Workbook"/"Book") from a CFB container. */
+  private[sources] def cfbStream(bytes: Array[Byte], names: Seq[String]): Array[Byte] = {
+    val buf = le(bytes)
+    require(bytes.length >= 512 &&
+      buf.getLong(0) == 0xE11AB1A1E011CFD0L, // D0CF11E0A1B11AE1 little-endian
+      "not a CFB compound file (bad magic)")
+    val sectorSize = 1 << buf.getShort(30)
+    val miniSectorSize = 1 << buf.getShort(32)
+    val firstDirSector = buf.getInt(48) & 0xFFFFFFFFL
+    val miniCutoff = buf.getInt(56)
+    val firstMiniFat = buf.getInt(60) & 0xFFFFFFFFL
+    val firstDifat = buf.getInt(68) & 0xFFFFFFFFL
+    val numDifat = buf.getInt(72)
+
+    def sector(n: Long): Array[Byte] = {
+      val off = (n + 1) * sectorSize
+      java.util.Arrays.copyOfRange(bytes, off.toInt, (off + sectorSize).toInt)
+    }
+    // FAT sector list: 109 header DIFAT entries + chained DIFAT sectors
+    val fatSectors = {
+      val ids = Vector.newBuilder[Long]
+      (0 until 109).foreach { i =>
+        val v = buf.getInt(76 + i * 4) & 0xFFFFFFFFL
+        if (v < EndOfChain - 1) ids += v
+      }
+      var difat = firstDifat
+      var guard = numDifat + 1
+      while (difat < EndOfChain - 1 && guard > 0) {
+        val d = le(sector(difat))
+        (0 until sectorSize / 4 - 1).foreach { i =>
+          val v = d.getInt(i * 4) & 0xFFFFFFFFL
+          if (v < EndOfChain - 1) ids += v
+        }
+        difat = d.getInt(sectorSize - 4) & 0xFFFFFFFFL
+        guard -= 1
+      }
+      ids.result()
+    }
+    val fat: Array[Long] = fatSectors.flatMap { s =>
+      val b = le(sector(s)); (0 until sectorSize / 4).map(i => b.getInt(i * 4) & 0xFFFFFFFFL)
+    }.toArray
+
+    def chain(start: Long): Vector[Long] = {
+      val out = Vector.newBuilder[Long]
+      var cur = start
+      var guard = bytes.length / 64 + 16 // any valid chain is shorter
+      while (cur < EndOfChain - 1 && guard > 0) {
+        out += cur; cur = fat(cur.toInt); guard -= 1
+      }
+      out.result()
+    }
+    def readChain(start: Long, size: Long): Array[Byte] = {
+      val data = chain(start).toArray.flatMap(sector)
+      java.util.Arrays.copyOfRange(data, 0, math.min(size, data.length.toLong).toInt)
+    }
+
+    // directory entries (128 bytes each) across the directory chain
+    val dir = chain(firstDirSector).toArray.flatMap(sector)
+    case class Entry(name: String, objType: Int, start: Long, size: Long)
+    val entries = (0 until dir.length / 128).map { i =>
+      val e = le(java.util.Arrays.copyOfRange(dir, i * 128, i * 128 + 128))
+      val nameLen = e.getShort(64) & 0xFFFF
+      val name =
+        if (nameLen < 2) ""
+        else new String(dir, i * 128, nameLen - 2, java.nio.charset.StandardCharsets.UTF_16LE)
+      Entry(name, dir(i * 128 + 66) & 0xFF, e.getInt(116) & 0xFFFFFFFFL, e.getLong(120))
+    }
+    val root = entries.find(_.objType == 5).getOrElse(
+      throw new IllegalArgumentException("CFB container has no root entry"))
+    val target = entries.find(e => e.objType == 2 && names.contains(e.name)).getOrElse(
+      throw new IllegalArgumentException(
+        s"no ${names.mkString("/")} stream (streams: ${entries.filter(_.objType == 2).map(_.name).mkString(", ")})"))
+
+    if (target.size >= miniCutoff) readChain(target.start, target.size)
+    else {
+      // mini stream: 64-byte sectors inside the root entry's stream
+      val miniStream = readChain(root.start, root.size)
+      val miniFat: Array[Long] = chain(firstMiniFat).toArray.flatMap { s =>
+        val b = le(sector(s)); (0 until sectorSize / 4).map(i => b.getInt(i * 4) & 0xFFFFFFFFL)
+      }
+      val out = Vector.newBuilder[Byte]
+      var cur = target.start
+      var guard = miniStream.length / miniSectorSize + 16
+      while (cur < EndOfChain - 1 && guard > 0) {
+        val off = cur.toInt * miniSectorSize
+        out ++= java.util.Arrays.copyOfRange(
+          miniStream, off, math.min(off + miniSectorSize, miniStream.length))
+        cur = miniFat(cur.toInt); guard -= 1
+      }
+      val data = out.result().toArray
+      java.util.Arrays.copyOfRange(data, 0, math.min(target.size, data.length.toLong).toInt)
+    }
+  }
+
+  // --------------------------------------------------------------- BIFF8
+
+  private final case class Rec(id: Int, data: Array[Byte], offset: Int)
+
+  private def records(stream: Array[Byte]): Vector[Rec] = {
+    val out = Vector.newBuilder[Rec]
+    var pos = 0
+    while (pos + 4 <= stream.length) {
+      val id = (stream(pos) & 0xFF) | ((stream(pos + 1) & 0xFF) << 8)
+      val len = (stream(pos + 2) & 0xFF) | ((stream(pos + 3) & 0xFF) << 8)
+      if (pos + 4 + len > stream.length) return out.result()
+      out += Rec(id, java.util.Arrays.copyOfRange(stream, pos + 4, pos + 4 + len), pos)
+      pos += 4 + len
+    }
+    out.result()
+  }
+
+  /** Cursor over SST payload + its CONTINUE payloads. Character data
+    * re-reads the compression flag at each block boundary (MS-XLS
+    * 2.5.293); fixed-width header/skip fields may also span blocks. */
+  private final class SstCursor(blocks: Vector[Array[Byte]]) {
+    private var block = 0
+    private var off = 0
+    private def ensure(): Unit =
+      while (block < blocks.length && off >= blocks(block).length) { block += 1; off = 0 }
+    def hasMore: Boolean = { ensure(); block < blocks.length }
+    def u8(): Int = { ensure(); val v = blocks(block)(off) & 0xFF; off += 1; v }
+    def u16(): Int = u8() | (u8() << 8)
+    def u32(): Long = u16().toLong | (u16().toLong << 16)
+    def skip(n: Long): Unit = {
+      var left = n
+      while (left > 0) {
+        ensure()
+        val take = math.min(left, (blocks(block).length - off).toLong).toInt
+        off += take; left -= take
+      }
+    }
+    /** Read `cch` characters honoring mid-string continuation: each
+      * block boundary hit while characters remain re-reads a fresh
+      * compression flag byte. */
+    def chars(cch: Int, firstHigh: Boolean): String = {
+      val sb = new StringBuilder(cch)
+      var remaining = cch
+      var high = firstHigh
+      while (remaining > 0) {
+        ensure()
+        // any block boundary hit while characters remain means the
+        // string continued into a CONTINUE record, which re-emits a
+        // fresh compression flag before the remaining characters
+        if (off == 0 && block > 0) high = (u8() & 1) == 1
+        val avail = blocks(block).length - off
+        val width = if (high) 2 else 1
+        val take = math.min(remaining, avail / width)
+        if (take == 0) { block += 1; off = 0 }
+        else {
+          val b = blocks(block)
+          (0 until take).foreach { i =>
+            val c =
+              if (high) ((b(off + i * 2) & 0xFF) | ((b(off + i * 2 + 1) & 0xFF) << 8)).toChar
+              else (b(off + i) & 0xFF).toChar
+            sb.append(c)
+          }
+          off += take * width
+          remaining -= take
+        }
+      }
+      sb.toString
+    }
+  }
+
+  private def parseSst(recs: Vector[Rec], at: Int): Vector[String] = {
+    val blocks = Vector.newBuilder[Array[Byte]]
+    blocks += recs(at).data
+    var i = at + 1
+    while (i < recs.length && recs(i).id == 0x3C) { blocks += recs(i).data; i += 1 }
+    val cur = new SstCursor(blocks.result())
+    cur.skip(4) // cstTotal
+    val unique = cur.u32().toInt
+    val out = Vector.newBuilder[String]
+    (0 until unique).foreach { _ =>
+      val cch = cur.u16()
+      val grbit = cur.u8()
+      val cRun = if ((grbit & 8) != 0) cur.u16() else 0
+      val cbExt = if ((grbit & 4) != 0) cur.u32() else 0L
+      out += cur.chars(cch, (grbit & 1) == 1)
+      cur.skip(4L * cRun + cbExt)
+    }
+    out.result()
+  }
+
+  /** RK-number decoding (MS-XLS 2.5.276). */
+  private def rkValue(rk: Long): Double = {
+    val div100 = (rk & 1) != 0
+    val isInt = (rk & 2) != 0
+    val v =
+      if (isInt) (rk.toInt >> 2).toDouble
+      else java.lang.Double.longBitsToDouble((rk & 0xFFFFFFFCL) << 32)
+    if (div100) v / 100 else v
+  }
+
+  /** XLUnicodeString at a byte offset (16-bit length). */
+  private def unicodeString(d: Array[Byte], at: Int): String = {
+    val cch = (d(at) & 0xFF) | ((d(at + 1) & 0xFF) << 8)
+    val grbit = d(at + 2) & 0xFF
+    var p = at + 3
+    if ((grbit & 8) != 0) p += 2 // cRun
+    if ((grbit & 4) != 0) p += 4 // cbExtRst
+    if ((grbit & 1) == 1)
+      new String(d, p, cch * 2, java.nio.charset.StandardCharsets.UTF_16LE)
+    else new String((0 until cch).map(i => (d(p + i) & 0xFF).toChar).toArray)
+  }
+
+  // ---------------------------------------------------------- top level
+
+  /** Parse an xls workbook to the chosen sheet's headers + rows. */
+  def parse(bytes: Array[Byte], sheetName: String, dateFormat: String,
+      startOnRow: Int = 0): XlsxParser.Sheet = {
+    val stream = cfbStream(bytes, Seq("Workbook", "Book"))
+    val recs = records(stream)
+    val fmt = DateTimeFormatter.ofPattern(dateFormat)
+
+    // ---- globals: SST, XF->ifmt, custom FORMATs, sheets, date mode
+    var sst = Vector.empty[String]
+    val xfFmt = Vector.newBuilder[Int]
+    val customDateFmt = scala.collection.mutable.Set.empty[Int]
+    val sheets = Vector.newBuilder[(String, Int)] // (name, stream offset)
+    var date1904 = false
+    recs.zipWithIndex.takeWhile { case (r, i) => i == 0 || r.id != 0x0809 || {
+      // stop at the first sheet BOF (records before it are the globals)
+      val dt = (r.data(2) & 0xFF) | ((r.data(3) & 0xFF) << 8); dt == 0x05
+    }}.foreach { case (r, i) =>
+      r.id match {
+        case 0xFC => sst = parseSst(recs, i)
+        case 0xE0 => xfFmt += ((r.data(2) & 0xFF) | ((r.data(3) & 0xFF) << 8))
+        case 0x41E =>
+          val ifmt = (r.data(0) & 0xFF) | ((r.data(1) & 0xFF) << 8)
+          if (XlsxParser.isDateFormatCode(unicodeString(r.data, 2))) customDateFmt += ifmt
+        case 0x85 =>
+          val pos = le(r.data).getInt(0)
+          val cch = r.data(6) & 0xFF
+          val high = (r.data(7) & 1) == 1
+          val name =
+            if (high) new String(r.data, 8, cch * 2, java.nio.charset.StandardCharsets.UTF_16LE)
+            else new String((0 until cch).map(j => (r.data(8 + j) & 0xFF).toChar).toArray)
+          sheets += name -> pos
+        case 0x22 => date1904 = (r.data(0) & 0xFF) == 1
+        case 0x2F => throw new IllegalArgumentException(
+          "encrypted xls workbooks are unsupported (FILEPASS)")
+        case _ => ()
+      }
+    }
+    val xf = xfFmt.result()
+    def isDateXf(ixfe: Int): Boolean = xf.lift(ixfe).exists(ifmt =>
+      XlsxParser.BuiltinDateFormats(ifmt) || customDateFmt(ifmt))
+    val epoch = if (date1904) LocalDate.of(1904, 1, 1) else LocalDate.of(1899, 12, 30)
+
+    def formatNum(v: Double, ixfe: Int): String =
+      if (isDateXf(ixfe)) {
+        val days = Math.floor(v).toLong
+        val nanos = Math.round((v - days) * 86400d) * 1000000000L
+        epoch.plusDays(days).atStartOfDay.plusNanos(nanos).format(fmt)
+      } else XlsxParser.formatGeneral(
+        if (v == Math.rint(v) && Math.abs(v) < 1e15) v.toLong.toString else v.toString)
+
+    val allSheets = sheets.result()
+    if (allSheets.isEmpty) throw new IllegalArgumentException("workbook has no sheets")
+    val chosen = Option(sheetName) match {
+      case Some(n) => allSheets.find(_._1 == n).getOrElse(
+        throw new IllegalArgumentException(
+          s"sheet '$n' not found (has: ${allSheets.map(_._1).mkString(", ")})"))
+      case None => allSheets.head
+    }
+
+    // ---- the chosen sheet's substream: sparse (row, col) -> value
+    val sheetRecs = recs.dropWhile(_.offset < chosen._2)
+    val cells = scala.collection.mutable.SortedMap.empty[Int, scala.collection.mutable.Map[Int, String]]
+    def put(row: Int, col: Int, v: String): Unit =
+      cells.getOrElseUpdate(row, scala.collection.mutable.Map.empty)(col) = v
+    var pendingFormula: Option[(Int, Int)] = None // formula awaiting its STRING
+    var depth = 0
+    val it = sheetRecs.iterator
+    var done = false
+    while (it.hasNext && !done) {
+      val r = it.next()
+      r.id match {
+        case 0x0809 => depth += 1 // BOF (the sheet's own, or nested charts)
+        case 0x0A => depth -= 1; if (depth <= 0) done = true // EOF
+        case 0xFD => // LABELSST
+          val b = le(r.data)
+          put(b.getShort(0) & 0xFFFF, b.getShort(2) & 0xFFFF,
+            sst.lift(b.getInt(6)).orNull)
+        case 0x203 => // NUMBER
+          val b = le(r.data)
+          put(b.getShort(0) & 0xFFFF, b.getShort(2) & 0xFFFF,
+            formatNum(b.getDouble(6), b.getShort(4) & 0xFFFF))
+        case 0x27E => // RK
+          val b = le(r.data)
+          put(b.getShort(0) & 0xFFFF, b.getShort(2) & 0xFFFF,
+            formatNum(rkValue(b.getInt(6) & 0xFFFFFFFFL), b.getShort(4) & 0xFFFF))
+        case 0xBD => // MULRK
+          val b = le(r.data)
+          val row = b.getShort(0) & 0xFFFF
+          val colFirst = b.getShort(2) & 0xFFFF
+          val n = (r.data.length - 6) / 6
+          (0 until n).foreach { k =>
+            val ixfe = b.getShort(4 + k * 6) & 0xFFFF
+            val rk = b.getInt(6 + k * 6) & 0xFFFFFFFFL
+            put(row, colFirst + k, formatNum(rkValue(rk), ixfe))
+          }
+        case 0x06 => // FORMULA (cached result)
+          val b = le(r.data)
+          val row = b.getShort(0) & 0xFFFF
+          val col = b.getShort(2) & 0xFFFF
+          val ixfe = b.getShort(4) & 0xFFFF
+          if ((b.getShort(12) & 0xFFFF) == 0xFFFF) {
+            (r.data(6) & 0xFF) match {
+              case 0 => pendingFormula = Some((row, col)) // string follows
+              case 1 => put(row, col, if ((r.data(8) & 0xFF) == 1) "TRUE" else "FALSE")
+              case 3 => put(row, col, "")
+              case _ => put(row, col, null) // error
+            }
+          } else put(row, col, formatNum(b.getDouble(6), ixfe))
+        case 0x207 => // STRING (pending formula's cached text)
+          pendingFormula.foreach { case (row, col) =>
+            put(row, col, unicodeString(r.data, 0))
+          }
+          pendingFormula = None
+        case 0x205 => // BOOLERR
+          val b = le(r.data)
+          val row = b.getShort(0) & 0xFFFF
+          val col = b.getShort(2) & 0xFFFF
+          if ((r.data(7) & 0xFF) == 0) put(row, col, if ((r.data(6) & 0xFF) == 1) "TRUE" else "FALSE")
+          else put(row, col, null)
+        case 0x204 => // LABEL (inline string cell)
+          val b = le(r.data)
+          put(b.getShort(0) & 0xFFFF, b.getShort(2) & 0xFFFF, unicodeString(r.data, 6))
+        case 0x201 => // BLANK
+          val b = le(r.data)
+          put(b.getShort(0) & 0xFFFF, b.getShort(2) & 0xFFFF, null)
+        case 0xBE => // MULBLANK
+          val b = le(r.data)
+          val row = b.getShort(0) & 0xFFFF
+          val colFirst = b.getShort(2) & 0xFFFF
+          val n = (r.data.length - 6) / 2
+          (0 until n).foreach(k => put(row, colFirst + k, null))
+        case _ => ()
+      }
+    }
+
+    // ---- assemble: first surviving row = header (XlsProcessor:245-250)
+    val surviving = cells.iterator.filter(_._1 >= startOnRow).toVector
+    if (surviving.isEmpty) return XlsxParser.Sheet(Vector.empty, Vector.empty)
+    val headerCells = surviving.head._2
+    val width = headerCells.keys.max + 1
+    val headers = (0 until width).map { i =>
+      headerCells.get(i).flatMap(Option(_)).filter(_.nonEmpty).getOrElse(s"col$i")
+    }.toVector
+    val rows = surviving.tail.map { case (_, m) =>
+      (0 until width).map(i => m.get(i).orNull).toVector
+    }
+    XlsxParser.Sheet(headers, rows)
+  }
+}
+
+/** Spark-side legacy-xls reading (reference `XlsSource.xls`); same
+  * per-file parallel topology as [[Xlsx.read]]. */
+object Xls {
+
+  def read(
+      spark: SparkSession, path: String,
+      sheet: String = null,
+      dateFormat: String = "yyyy-MM-dd",
+      startOnRow: Int = 0): Pipeline = {
+    val files = spark.read.format("binaryFile")
+      .option("pathGlobFilter", "*.xls")
+      .option("recursiveFileLookup", true)
+      .load(path)
+      .select("path", "content")
+    val first = files.orderBy("path").limit(1).collect()
+    if (first.isEmpty)
+      throw new IllegalArgumentException(s"no .xls files under $path")
+    val headers = XlsParser.parse(
+      first(0).getAs[Array[Byte]]("content"), sheet, dateFormat, startOnRow).headers
+    val schema = StructType(headers.map(StructField(_, StringType, nullable = true)))
+
+    val sheetName = sheet
+    val fmt = dateFormat
+    val start = startOnRow
+    val df = files.flatMap { row =>
+      val parsed = XlsParser.parse(row.getAs[Array[Byte]](1), sheetName, fmt, start)
+      val idx = headers.map(parsed.headers.indexOf)
+      parsed.rows.iterator.map(cells =>
+        Row.fromSeq(idx.map(i => if (i < 0) null else cells(i))))
+    }(org.apache.spark.sql.Encoders.row(schema))
+    Pipeline.of(s"xls($path)", df)
+  }
+}

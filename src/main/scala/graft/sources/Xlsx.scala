@@ -36,8 +36,8 @@ import javax.xml.stream.{XMLInputFactory, XMLStreamConstants, XMLStreamReader}
   * OOXML agile-encryption CFB container needs POI's crypto stack);
   * header-row GAPS keep their column position and empty header cells
   * are named col{i} (the reference appends header cells positionally,
-  * silently shifting every later column under a gap); legacy binary
-  * `.xls` (BIFF8) is out of scope.
+  * silently shifting every later column under a gap). Legacy binary
+  * `.xls` is [[XlsParser]].
   */
 private[graft] object XlsxParser {
 
@@ -46,7 +46,7 @@ private[graft] object XlsxParser {
   private val ExcelEpoch = LocalDate.of(1899, 12, 30)
 
   /** Builtin numFmtIds that render as dates/times. */
-  private val BuiltinDateFormats: Set[Int] = (14 to 22).toSet ++ (45 to 47).toSet
+  private[sources] val BuiltinDateFormats: Set[Int] = (14 to 22).toSet ++ (45 to 47).toSet
 
   final case class Sheet(headers: Vector[String], rows: Vector[Vector[String]])
 
@@ -159,7 +159,7 @@ private[graft] object XlsxParser {
   /** Date-format heuristic over a custom format code: any y/m/d/h/s
     * token outside quoted literals and [] sections (the POI
     * DateUtil.isADateFormat approach, simplified). */
-  private def isDateFormatCode(code: String): Boolean = {
+  private[sources] def isDateFormatCode(code: String): Boolean = {
     val stripped = code
       .replaceAll("\"[^\"]*\"", "")
       .replaceAll("\\[[^]]*]", "")
@@ -288,7 +288,7 @@ private[graft] object XlsxParser {
 
   /** POI General-format semantics: integral values undecorated, float
     * noise rounded to 11 significant digits, trailing zeros stripped. */
-  private def formatGeneral(raw: String): String = {
+  private[sources] def formatGeneral(raw: String): String = {
     val lower = raw.toLowerCase
     if (!lower.contains('.') && !lower.contains('e')) raw
     else {
@@ -300,7 +300,7 @@ private[graft] object XlsxParser {
     }
   }
 
-  private def formatDate(serialStr: String, fmt: DateTimeFormatter): String = {
+  private[sources] def formatDate(serialStr: String, fmt: DateTimeFormatter): String = {
     val serial = serialStr.toDouble
     val days = Math.floor(serial).toLong
     val nanosOfDay = Math.round((serial - days) * 86400d) * 1000000000L
