@@ -911,6 +911,16 @@ final class Pipeline private (
         .drop("__included__")
     }))
 
+  /** gratum `encryptPgp` (Pipeline.groovy:1182-1208): PGP-encrypt the
+    * binary payload column in place via [[graft.ops.Pgp]] (system
+    * GnuPG; the reference used BouncyCastle). */
+  def encryptPgp(column: String, config: graft.ops.Pgp.PgpConfig): Pipeline =
+    addStep(s"encrypt($column)")(df => graft.ops.Pgp.encrypt(df, column, config))
+
+  /** gratum `decryptPgp` (Pipeline.groovy:1219-1241). */
+  def decryptPgp(column: String, config: graft.ops.Pgp.PgpConfig): Pipeline =
+    addStep(s"decrypt($column)")(df => graft.ops.Pgp.decrypt(df, column, config))
+
   /** gratum `branch` (Pipeline.groovy:315-361): copy the flow into a side
     * pipeline built by `build`; main flow unchanged. The side pipeline
     * runs during [[go]]. */

@@ -1,0 +1,138 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{BinaryType, StructField, StructType}
+import org.apache.spark.sql.{DataFrame, Row}
+
+import java.nio.file.{Files, Path}
+
+/** PGP encryption/decryption of a binary column (reference
+  * `PgpContext.java:102-220` + `Pipeline.groovy:1182-1241`
+  * encryptPgp/decryptPgp).
+  *
+  * The reference uses BouncyCastle; this implementation drives the
+  * system GnuPG binary instead — hand-rolled OpenPGP packet crypto is
+  * the one part of an engine that should NOT be reimplemented, and gpg
+  * is the interoperability reference everything else tests against.
+  * Each partition stages the configured keyrings into a private
+  * throwaway GNUPGHOME once, then pipes each row's payload through one
+  * gpg process (`--encrypt`/`--decrypt` over stdin/stdout, no
+  * plaintext ever on disk); the home is removed when the task
+  * completes. Payload-per-row matches the reference's stream-per-row
+  * model — the unit of work is a file-sized blob, not a tiny cell, so
+  * the process spawn amortizes.
+  *
+  * Parity notes: AES-256 with integrity protection is gpg's default
+  * (the reference's explicit choice); `asciiArmor` maps to `-a`;
+  * recipients select public keys like the reference's identities;
+  * decryption uses the secret keyring + passphrase (loopback
+  * pinentry). Failures (bad key, wrong passphrase, corrupt packet)
+  * throw with gpg's stderr attached.
+  */
+object Pgp {
+
+  final case class PgpConfig(
+      publicKeyRing: Array[Byte] = null,
+      secretKeyRing: Array[Byte] = null,
+      recipients: Seq[String] = Nil,
+      passphrase: String = null,
+      asciiArmor: Boolean = false,
+      gpgBinary: String = "gpg")
+
+  /** Encrypt `column` (binary) to the config's recipients. */
+  def encrypt(df: DataFrame, column: String, config: PgpConfig): DataFrame = {
+    require(config.publicKeyRing != null || config.secretKeyRing != null,
+      "encrypt needs a keyring holding the recipients' public keys")
+    require(config.recipients.nonEmpty, "encrypt needs at least one recipient identity")
+    transformColumn(df, column, config) { (home, cfg, payload) =>
+      val args = Seq(cfg.gpgBinary, "--batch", "--yes", "--quiet",
+        "--trust-model", "always", "--encrypt", "--output", "-") ++
+        (if (cfg.asciiArmor) Seq("--armor") else Nil) ++
+        cfg.recipients.flatMap(r => Seq("--recipient", r))
+      runGpg(home, args, payload)
+    }
+  }
+
+  /** Decrypt `column` (binary) with the config's secret keyring. */
+  def decrypt(df: DataFrame, column: String, config: PgpConfig): DataFrame = {
+    require(config.secretKeyRing != null, "decrypt needs a secret keyring")
+    transformColumn(df, column, config) { (home, cfg, payload) =>
+      val args = Seq(cfg.gpgBinary, "--batch", "--yes", "--quiet",
+        "--pinentry-mode", "loopback") ++
+        (if (cfg.passphrase != null) Seq("--passphrase", cfg.passphrase) else Nil) ++
+        Seq("--decrypt", "--output", "-")
+      runGpg(home, args, payload)
+    }
+  }
+
+  // ------------------------------------------------------------ plumbing
+
+  private def transformColumn(
+      df: DataFrame, column: String, config: PgpConfig)(
+      run: (Path, PgpConfig, Array[Byte]) => Array[Byte]): DataFrame = {
+    val idx = df.schema.fieldIndex(column)
+    require(df.schema(idx).dataType == BinaryType,
+      s"$column must be a binary column (got ${df.schema(idx).dataType.simpleString})")
+    val schema = StructType(df.schema.map {
+      case f if f.name == column => StructField(f.name, BinaryType, nullable = f.nullable)
+      case f => f
+    })
+    val cfg = config
+    df.mapPartitions { rows =>
+      if (rows.isEmpty) Iterator.empty
+      else {
+        val home = stageHome(cfg)
+        rows.map { r =>
+          val payload = r.getAs[Array[Byte]](idx)
+          val out = if (payload == null) null else run(home, cfg, payload)
+          Row.fromSeq(r.toSeq.updated(idx, out))
+        }
+      }
+    }(org.apache.spark.sql.Encoders.row(schema))
+  }
+
+  /** Fresh GNUPGHOME with the configured keyrings imported; removed on
+    * task completion (or JVM exit outside a task). */
+  private def stageHome(cfg: PgpConfig): Path = {
+    val home = Files.createTempDirectory("graft-gnupg")
+    home.toFile.setReadable(false, false); home.toFile.setExecutable(false, false)
+    home.toFile.setReadable(true, true); home.toFile.setWritable(true, true)
+    home.toFile.setExecutable(true, true)
+    def imp(ring: Array[Byte]): Unit =
+      runGpg(home, Seq(cfg.gpgBinary, "--batch", "--quiet", "--import"), ring)
+    Option(cfg.publicKeyRing).foreach(imp)
+    Option(cfg.secretKeyRing).foreach(imp)
+    Option(org.apache.spark.TaskContext.get()) match {
+      case Some(tc) => tc.addTaskCompletionListener[Unit](_ => deleteRecursively(home))
+      case None => Runtime.getRuntime.addShutdownHook(new Thread(() => deleteRecursively(home)))
+    }
+    home
+  }
+
+  private def deleteRecursively(p: Path): Unit = {
+    import scala.jdk.CollectionConverters._
+    if (Files.exists(p))
+      Files.walk(p).iterator().asScala.toSeq.reverse.foreach(f => Files.deleteIfExists(f))
+  }
+
+  /** One gpg invocation: payload on stdin, result from stdout; throws
+    * with stderr on a non-zero exit. */
+  private def runGpg(home: Path, args: Seq[String], input: Array[Byte]): Array[Byte] = {
+    val pb = new ProcessBuilder(args: _*)
+    pb.environment().put("GNUPGHOME", home.toString)
+    val proc = pb.start()
+    val writer = new Thread(() => {
+      try { proc.getOutputStream.write(input); proc.getOutputStream.close() }
+      catch { case _: java.io.IOException => () } // process died first; exit code tells
+    })
+    writer.setDaemon(true)
+    writer.start()
+    val out = proc.getInputStream.readAllBytes()
+    val err = new String(proc.getErrorStream.readAllBytes())
+    val code = proc.waitFor()
+    writer.join()
+    if (code != 0)
+      throw new RuntimeException(s"gpg exited $code: ${err.trim} (${args.mkString(" ")})")
+    out
+  }
+}

@@ -16,7 +16,7 @@ import java.io.ByteArrayInputStream
   * unencrypted workbooks; the HTTP source lives in
   * [[graft.sources.Http]] (JDK HttpClient; specs run an in-process
   * server — no egress needed). Not ported (libraries absent,
-  * documented in SURVEY §2.10): SshSource (JSch), PGP (BouncyCastle).
+  * documented in SURVEY §2.10): SshSource only (no sshd in the environment to validate against); PGP lives in [[graft.ops.Pgp]] (system GnuPG).
   */
 object Sources {
 
