@@ -188,10 +188,9 @@ object Sources {
     * properties (user, password, driver, fetchsize, partitionColumn/
     * lowerBound/upperBound/numPartitions for parallel reads).
     *
-    * NOTE: no database (or JDBC driver jar) exists in this build
-    * environment, so this wrapper is API surface verified only for plan
-    * construction; it is the reference's semantics 1:1 on any cluster
-    * with a driver on the classpath. */
+    * Verified end-to-end against embedded Derby (on the Spark
+    * classpath) in JdbcSpec; any other database needs only its driver
+    * jar on the cluster classpath. */
   def jdbc(
       spark: SparkSession, url: String, query: String,
       options: Map[String, String] = Map.empty): Pipeline =
