@@ -32,8 +32,9 @@ import javax.xml.stream.{XMLInputFactory, XMLStreamConstants, XMLStreamReader}
   *  - sheet selected by name, else the first sheet in workbook order
   *    (`:164-181`).
   *
-  * Deviations (documented): encrypted workbooks are unsupported (the
-  * OOXML agile-encryption CFB container needs POI's crypto stack);
+  * Deviations (documented): agile-encrypted workbooks (Office 2010+)
+  * are supported via [[OoxmlCrypto]]; the pre-2010 "standard" CFB
+  * scheme is rejected with a clear error;
   * header-row GAPS keep their column position and empty header cells
   * are named col{i} (the reference appends header cells positionally,
   * silently shifting every later column under a gap). Legacy binary
@@ -329,10 +330,14 @@ private[graft] object XlsxParser {
   */
 object Xlsx {
 
+  /** @param password opens agile-encrypted workbooks (reference
+    *   `XlsxSource.groovy:101-104`); see [[OoxmlCrypto]]. Plain
+    *   workbooks ignore it, as POI does. */
   def read(
       spark: SparkSession, path: String,
       sheet: String = null,
-      dateFormat: String = "yyyy-MM-dd"): Pipeline = {
+      dateFormat: String = "yyyy-MM-dd",
+      password: String = null): Pipeline = {
     val files = spark.read.format("binaryFile")
       .option("pathGlobFilter", "*.xlsx")
       .option("recursiveFileLookup", true)
@@ -342,13 +347,16 @@ object Xlsx {
     if (first.isEmpty)
       throw new IllegalArgumentException(s"no .xlsx files under $path")
     val headers = XlsxParser.parse(
-      first(0).getAs[Array[Byte]]("content"), sheet, dateFormat).headers
+      OoxmlCrypto.maybeDecrypt(first(0).getAs[Array[Byte]]("content"), password),
+      sheet, dateFormat).headers
     val schema = StructType(headers.map(StructField(_, StringType, nullable = true)))
 
     val sheetName = sheet
     val fmt = dateFormat
+    val pass = password
     val df = files.flatMap { row =>
-      val parsed = XlsxParser.parse(row.getAs[Array[Byte]](1), sheetName, fmt)
+      val parsed = XlsxParser.parse(
+        OoxmlCrypto.maybeDecrypt(row.getAs[Array[Byte]](1), pass), sheetName, fmt)
       val idx = headers.map(parsed.headers.indexOf) // align by name
       parsed.rows.iterator.map(cells =>
         Row.fromSeq(idx.map(i => if (i < 0) null else cells(i))))
