@@ -68,6 +68,43 @@ class XlsxSpec extends AnyFunSuite {
     assert(years.forall(_ > 1900)) // reference testXlsxDates
   }
 
+  private val encryptedXlsx =
+    "/root/reference/src/test/resources/encrypted_players.xlsx"
+  private def haveEncrypted = new java.io.File(encryptedXlsx).exists()
+
+  test("encrypted_players.xlsx: agile decryption equals the plain fixture " +
+    "(reference testDecryptXlsx, password Freedom)") {
+    assume(havePlayers && haveEncrypted)
+    // the encrypted fixture carries MM/dd/yyyy dates (testDecryptXlsx)
+    val enc = Xlsx.read(spark, encryptedXlsx,
+      password = "Freedom", dateFormat = "MM/dd/yyyy").toDF
+    val plain = Xlsx.read(spark, playersXlsx).toDF
+    assert(enc.columns.toSeq == plain.columns.toSeq)
+    assert(enc.count() == 7)
+    // full content parity modulo the date rendering: normalize both
+    // birth_date columns to DateType and compare row sets
+    def norm(df: org.apache.spark.sql.DataFrame, fmt: String) =
+      df.withColumn("birth_date", to_date(col("birth_date"), fmt))
+        .collect().map(_.toSeq).toSet
+    assert(norm(enc, "MM/dd/yyyy") == norm(plain, "yyyy-MM-dd"))
+    // and the dates really parsed (reference's Verify Dates step)
+    val stat = Pipeline.of(enc).asDate("birth_date", "MM/dd/yyyy").go()
+    assert(stat.loaded == 7 && stat.rejections == 0)
+  }
+
+  test("encrypted_players.xlsx: wrong password fails loudly, no password " +
+    "demands one") {
+    assume(haveEncrypted)
+    val wrong = intercept[Exception] {
+      Xlsx.read(spark, encryptedXlsx, password = "freedom").toDF.count()
+    }
+    assert(wrong.getMessage.contains("wrong password"))
+    val none = intercept[Exception] {
+      Xlsx.read(spark, encryptedXlsx).toDF.count()
+    }
+    assert(none.getMessage.contains("encrypted"))
+  }
+
   test("round-trip: typed frame through XlsxFileSink and back") {
     import spark.implicits._
     val dir = tmp
