@@ -407,10 +407,15 @@ final class Pipeline private (
     // instrumented plan), so the executed plan — with populated SQL
     // metrics for StepTiming — is only reachable through the listener.
     @volatile var executedRoot: Option[org.apache.spark.sql.execution.SparkPlan] = None
+    // the listener is session-global, so a concurrent count() (parallel
+    // go(), user action) could fire first — only accept the execution
+    // whose plan actually contains THIS pipeline's instrumented plan
+    val targetPlan = instrumented.queryExecution.analyzed
     val planCapture = new org.apache.spark.sql.util.QueryExecutionListener {
       override def onSuccess(funcName: String,
           qe: org.apache.spark.sql.execution.QueryExecution, durationNs: Long): Unit =
-        if (funcName == "count" && executedRoot.isEmpty)
+        if (funcName == "count" && executedRoot.isEmpty &&
+            qe.analyzed.exists(_.sameResult(targetPlan)))
           executedRoot = Some(qe.executedPlan)
       override def onFailure(funcName: String,
           qe: org.apache.spark.sql.execution.QueryExecution, e: Exception): Unit = ()

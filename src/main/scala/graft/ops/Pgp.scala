@@ -57,9 +57,14 @@ object Pgp {
   def decrypt(df: DataFrame, column: String, config: PgpConfig): DataFrame = {
     require(config.secretKeyRing != null, "decrypt needs a secret keyring")
     transformColumn(df, column, config) { (home, cfg, payload) =>
+      // the passphrase travels via a 0600 file inside the private
+      // GNUPGHOME (staged once per partition), never on the command
+      // line — /proc/<pid>/cmdline is world-readable on shared hosts
       val args = Seq(cfg.gpgBinary, "--batch", "--yes", "--quiet",
         "--pinentry-mode", "loopback") ++
-        (if (cfg.passphrase != null) Seq("--passphrase", cfg.passphrase) else Nil) ++
+        (if (cfg.passphrase != null)
+          Seq("--passphrase-file", home.resolve(PassphraseFile).toString)
+        else Nil) ++
         Seq("--decrypt", "--output", "-")
       runGpg(home, args, payload)
     }
@@ -91,6 +96,8 @@ object Pgp {
     }(org.apache.spark.sql.Encoders.row(schema))
   }
 
+  private val PassphraseFile = "graft-passphrase"
+
   /** Fresh GNUPGHOME with the configured keyrings imported; removed on
     * task completion (or JVM exit outside a task). */
   private def stageHome(cfg: PgpConfig): Path = {
@@ -102,6 +109,12 @@ object Pgp {
       runGpg(home, Seq(cfg.gpgBinary, "--batch", "--quiet", "--import"), ring)
     Option(cfg.publicKeyRing).foreach(imp)
     Option(cfg.secretKeyRing).foreach(imp)
+    if (cfg.passphrase != null) {
+      val pp = home.resolve(PassphraseFile)
+      Files.write(pp, cfg.passphrase.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      pp.toFile.setReadable(false, false); pp.toFile.setWritable(false, false)
+      pp.toFile.setReadable(true, true); pp.toFile.setWritable(true, true)
+    }
     Option(org.apache.spark.TaskContext.get()) match {
       case Some(tc) => tc.addTaskCompletionListener[Unit](_ => deleteRecursively(home))
       case None => Runtime.getRuntime.addShutdownHook(new Thread(() => deleteRecursively(home)))
@@ -127,10 +140,20 @@ object Pgp {
     })
     writer.setDaemon(true)
     writer.start()
+    // drain stderr concurrently with stdout — gpg blocks if it fills
+    // the ~64KB stderr pipe while we are still reading stdout
+    val errBytes = new java.util.concurrent.atomic.AtomicReference[Array[Byte]](Array.empty)
+    val errReader = new Thread(() => {
+      try errBytes.set(proc.getErrorStream.readAllBytes())
+      catch { case _: java.io.IOException => () }
+    })
+    errReader.setDaemon(true)
+    errReader.start()
     val out = proc.getInputStream.readAllBytes()
-    val err = new String(proc.getErrorStream.readAllBytes())
     val code = proc.waitFor()
     writer.join()
+    errReader.join()
+    val err = new String(errBytes.get())
     if (code != 0)
       throw new RuntimeException(s"gpg exited $code: ${err.trim} (${args.mkString(" ")})")
     out

@@ -109,10 +109,12 @@ object Http {
   }
 
   /** Fetch + parse a CSV response body into all-string rows
-    * ([[Sources.csv]] semantics over the response). The body is staged
-    * to a temp file and read through the standard csv source — NOT
-    * split on newlines first, which would corrupt RFC-4180 records
-    * with quoted embedded newlines. */
+    * ([[Sources.csv]] semantics over the response). The body is split
+    * into RFC-4180 records with a quote-aware scan (a newline inside a
+    * double-quoted field is data, not a record boundary) and parsed
+    * through Spark's csv-over-Dataset reader — no driver-local temp
+    * file, so the source works on real clusters where executors cannot
+    * see the driver's filesystem. */
   def getCsvRows(
       spark: SparkSession, url: String,
       headers: Map[String, String] = Map.empty,
@@ -123,11 +125,39 @@ object Http {
       separator: String = ",",
       csvHeaders: Seq[String] = null): Pipeline = {
     val body = fetch(url, headers, query, Option(basicAuth), Option(bearerToken), maxRetries)._4
-    val tmp = java.io.File.createTempFile("graft-http", ".csv")
-    tmp.deleteOnExit()
-    java.nio.file.Files.writeString(tmp.toPath, body)
-    Pipeline.of(s"httpCsv($url)",
-      Sources.csv(spark, tmp.getAbsolutePath, separator, csvHeaders).toDF)
+    import spark.implicits._
+    val records = spark.createDataset(csvRecords(body))
+    val df = spark.read
+      .option("sep", separator)
+      .option("header", csvHeaders == null)
+      .option("inferSchema", false)
+      .option("mode", "PERMISSIVE")
+      .csv(records)
+    val named = if (csvHeaders == null) df else df.toDF(csvHeaders: _*)
+    Pipeline.of(s"httpCsv($url)", named)
+  }
+
+  /** RFC-4180 record split: newlines inside double-quoted fields stay
+    * in the field ("" self-escapes, toggling the state twice). */
+  private[sources] def csvRecords(body: String): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    val cur = new StringBuilder
+    var inQuotes = false
+    var i = 0
+    while (i < body.length) {
+      body.charAt(i) match {
+        case '"' => inQuotes = !inQuotes; cur.append('"')
+        case '\r' if !inQuotes &&
+            i + 1 < body.length && body.charAt(i + 1) == '\n' =>
+          out += cur.result(); cur.clear(); i += 1
+        case '\n' | '\r' if !inQuotes =>
+          out += cur.result(); cur.clear()
+        case c => cur.append(c)
+      }
+      i += 1
+    }
+    if (cur.nonEmpty) out += cur.result()
+    out.result()
   }
 
   private def withStatusPolicy(p: Pipeline, rejectNon200: Boolean): Pipeline =

@@ -410,16 +410,14 @@ object Xls {
       sheet: String = null,
       dateFormat: String = "yyyy-MM-dd",
       startOnRow: Int = 0): Pipeline = {
-    val files = spark.read.format("binaryFile")
+    val loaded = spark.read.format("binaryFile")
       .option("pathGlobFilter", "*.xls")
       .option("recursiveFileLookup", true)
       .load(path)
-      .select("path", "content")
-    val first = files.orderBy("path").limit(1).collect()
-    if (first.isEmpty)
-      throw new IllegalArgumentException(s"no .xls files under $path")
+    val files = loaded.select("path", "content")
     val headers = XlsParser.parse(
-      first(0).getAs[Array[Byte]]("content"), sheet, dateFormat, startOnRow).headers
+      HeaderProbe.firstFileBytes(loaded, path, "xls"),
+      sheet, dateFormat, startOnRow).headers
     val schema = StructType(headers.map(StructField(_, StringType, nullable = true)))
 
     val sheetName = sheet

@@ -328,6 +328,35 @@ private[graft] object XlsxParser {
   * name, missing columns null. All columns are strings — typing is
   * applied downstream via asInt/asDouble/asDate, reference parity.
   */
+/** Shared driver-side header/schema probe for the workbook sources:
+  * both [[Xlsx.read]] and [[Xls.read]] pull ONE file's bytes to the
+  * driver to infer headers (exactly like Spark's own csv header
+  * inference). A workbook is MBs at most; a multi-GB mislabeled input
+  * must fail loudly instead of OOMing the driver, so the size is
+  * checked from the binaryFile metadata BEFORE the content is
+  * collected. */
+private[sources] object HeaderProbe {
+
+  /** Refuse to collect a "workbook" larger than this (256 MiB). */
+  val MaxProbeBytes: Long = 256L * 1024 * 1024
+
+  def firstFileBytes(
+      loaded: org.apache.spark.sql.DataFrame, path: String,
+      kind: String): Array[Byte] = {
+    import org.apache.spark.sql.functions.col
+    val head = loaded.select("path", "length").orderBy("path").limit(1).collect()
+    if (head.isEmpty)
+      throw new IllegalArgumentException(s"no .$kind files under $path")
+    val (firstPath, len) = (head(0).getString(0), head(0).getLong(1))
+    require(len <= MaxProbeBytes,
+      s"$firstPath is $len bytes — larger than the $MaxProbeBytes-byte cap " +
+        s"for a .$kind workbook header probe; a real spreadsheet is MBs at " +
+        "most. Is this file mislabeled?")
+    loaded.filter(col("path") === firstPath)
+      .select("content").head().getAs[Array[Byte]](0)
+  }
+}
+
 object Xlsx {
 
   /** @param password opens agile-encrypted workbooks (reference
@@ -338,16 +367,14 @@ object Xlsx {
       sheet: String = null,
       dateFormat: String = "yyyy-MM-dd",
       password: String = null): Pipeline = {
-    val files = spark.read.format("binaryFile")
+    val loaded = spark.read.format("binaryFile")
       .option("pathGlobFilter", "*.xlsx")
       .option("recursiveFileLookup", true)
       .load(path)
-      .select("path", "content")
-    val first = files.orderBy("path").limit(1).collect()
-    if (first.isEmpty)
-      throw new IllegalArgumentException(s"no .xlsx files under $path")
+    val files = loaded.select("path", "content")
     val headers = XlsxParser.parse(
-      OoxmlCrypto.maybeDecrypt(first(0).getAs[Array[Byte]]("content"), password),
+      OoxmlCrypto.maybeDecrypt(
+        HeaderProbe.firstFileBytes(loaded, path, "xlsx"), password),
       sheet, dateFormat).headers
     val schema = StructType(headers.map(StructField(_, StringType, nullable = true)))
 

@@ -113,6 +113,48 @@ class PgpSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(new String(ct, StandardCharsets.US_ASCII).startsWith("-----BEGIN PGP MESSAGE-----"))
   }
 
+  test("passphrase-protected key: decrypt via the 0600 passphrase file, " +
+    "wrong passphrase fails") {
+    assume(haveGpg)
+    import spark.implicits._
+    val params = Files.createTempFile(home, "genkey-locked", ".txt")
+    Files.writeString(params,
+      """Key-Type: RSA
+        |Key-Length: 2048
+        |Name-Real: Graft Locked
+        |Name-Email: locked@graft.test
+        |Expire-Date: 0
+        |Passphrase: s3cret-spin
+        |%commit
+        |""".stripMargin)
+    gpg("--batch", "--gen-key", params.toString)
+    val pub2 = gpg("--batch", "--export", "--armor", "locked@graft.test")
+    val sec2 = gpg("--batch", "--pinentry-mode", "loopback",
+      "--passphrase", "s3cret-spin",
+      "--export-secret-keys", "--armor", "locked@graft.test")
+
+    val df = Seq(("a", "locked payload")).toDF("id", "text")
+      .withColumn("payload", encode(col("text"), "UTF-8"))
+    val enc = Pipeline.of(df)
+      .encryptPgp("payload", Pgp.PgpConfig(
+        publicKeyRing = pub2, recipients = Seq("locked@graft.test")))
+      .toDF
+    val back = Pipeline.of(enc)
+      .decryptPgp("payload", Pgp.PgpConfig(
+        secretKeyRing = sec2, passphrase = "s3cret-spin"))
+      .toDF.withColumn("text2", decode(col("payload"), "UTF-8"))
+      .select("text2").head().getString(0)
+    assert(back == "locked payload")
+
+    val e = intercept[Exception] {
+      Pipeline.of(enc)
+        .decryptPgp("payload", Pgp.PgpConfig(
+          secretKeyRing = sec2, passphrase = "not-it"))
+        .toDF.collect()
+    }
+    assert(e.getMessage.contains("gpg") || e.getCause != null)
+  }
+
   test("wrong keyring fails loudly with gpg's stderr") {
     assume(haveGpg)
     import spark.implicits._

@@ -105,6 +105,17 @@ class XlsxSpec extends AnyFunSuite {
     assert(none.getMessage.contains("encrypted"))
   }
 
+  test("oversized first file fails loudly before its bytes reach the driver") {
+    val dir = tmp
+    val raf = new java.io.RandomAccessFile(dir.resolve("huge.xlsx").toFile, "rw")
+    raf.setLength(300L * 1024 * 1024) // sparse — no real disk use
+    raf.close()
+    val e = intercept[IllegalArgumentException] {
+      Xlsx.read(spark, dir.toString)
+    }
+    assert(e.getMessage.contains("header probe"))
+  }
+
   test("round-trip: typed frame through XlsxFileSink and back") {
     import spark.implicits._
     val dir = tmp
