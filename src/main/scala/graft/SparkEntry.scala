@@ -632,8 +632,76 @@ object SparkEntry {
           col("media_meta.size_bytes").as("size_bytes"),
           col("media_meta.content_md5").as("content_md5"))
         .orderBy("doc_id")
+    },
+
+    // ---------------- I/O round-trips (§2.9/§2.10 under the hard gate)
+    // Each drives a sink + matching source end-to-end and hands the
+    // re-read data to the oracle compare: the oracle sees the ORIGINAL
+    // table, so any corruption in the writer or reader (quoting, cell
+    // typing, crypto framing) breaks the hash match. The tables are
+    // deliberately fixed-size (nation / doc_id<50): these prove
+    // CODEC correctness; scans and shuffles are proven by the scale
+    // queries above.
+    "q_xlsx_roundtrip" -> { (s, dir) =>
+      val out = java.nio.file.Files.createTempDirectory("graft-gate-xlsx")
+        .resolve("nation.xlsx").toString
+      new sinks.XlsxFileSink(out).write(t(s, dir, "nation"))
+      sources.Xlsx.read(s, out).toDF
+        .select(col("n_nationkey").cast(LongType).as("n_nationkey"),
+          col("n_name"),
+          col("n_regionkey").cast(LongType).as("n_regionkey"))
+        .orderBy("n_nationkey")
+    },
+
+    "q_csv_roundtrip" -> { (s, dir) =>
+      val out = java.nio.file.Files.createTempDirectory("graft-gate-csv")
+        .resolve("nation.csv").toString
+      new sinks.CsvFileSink(out).write(t(s, dir, "nation"))
+      sources.Sources.csv(s, out).toDF
+        .select(col("n_nationkey").cast(LongType).as("n_nationkey"),
+          col("n_name"),
+          col("n_regionkey").cast(LongType).as("n_regionkey"))
+        .orderBy("n_nationkey")
+    },
+
+    "q_pgp_roundtrip" -> { (s, dir) =>
+      val (pub, sec) = pgpGateKeys
+      val docs = t(s, dir, "documents").filter(col("doc_id") < 50)
+        .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+        .repartition(8, col("doc_id")) // spread the per-row gpg processes
+      val enc = ops.Pgp.encrypt(docs, "payload", ops.Pgp.PgpConfig(
+        publicKeyRing = pub, recipients = Seq("gate@graft.test")))
+      val dec = ops.Pgp.decrypt(enc, "payload", ops.Pgp.PgpConfig(
+        secretKeyRing = sec))
+      dec.select(col("doc_id"), md5(col("payload")).as("payload_md5"))
+        .orderBy("doc_id")
     }
   )
+
+  /** One throwaway RSA keypair per JVM for the PGP round-trip gate
+    * query, generated with the system gpg (the same interop anchor the
+    * PgpSpec uses). */
+  private lazy val pgpGateKeys: (Array[Byte], Array[Byte]) = {
+    val home = java.nio.file.Files.createTempDirectory("graft-gate-gnupg")
+    def gpg(args: String*): Array[Byte] = {
+      val pb = new ProcessBuilder(("gpg" +: args): _*)
+      pb.environment().put("GNUPGHOME", home.toString)
+      val p = pb.start()
+      p.getOutputStream.close()
+      val out = p.getInputStream.readAllBytes()
+      val err = new String(p.getErrorStream.readAllBytes())
+      require(p.waitFor() == 0, s"gpg ${args.mkString(" ")} failed: $err")
+      out
+    }
+    val params = home.resolve("gen.txt")
+    java.nio.file.Files.writeString(params,
+      "%no-protection\nKey-Type: RSA\nKey-Length: 2048\n" +
+        "Name-Real: Graft Gate\nName-Email: gate@graft.test\n" +
+        "Expire-Date: 0\n%commit\n")
+    gpg("--batch", "--quiet", "--gen-key", params.toString)
+    (gpg("--batch", "--export", "--armor", "gate@graft.test"),
+      gpg("--batch", "--export-secret-keys", "--armor", "gate@graft.test"))
+  }
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -1050,6 +1118,23 @@ object SparkEntry {
       """SELECT doc_id, 'application/octet-stream' AS mime,
         |  octet_length(encode(text)) AS size_bytes,
         |  md5(text) AS content_md5
-        |FROM documents ORDER BY doc_id""".stripMargin
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // I/O round-trips: the oracle reads the ORIGINAL table — the Spark
+    // side must reproduce it bit-for-bit through sink + source.
+    "q_xlsx_roundtrip" ->
+      """SELECT cast(n_nationkey AS BIGINT) AS n_nationkey, n_name,
+        |  cast(n_regionkey AS BIGINT) AS n_regionkey
+        |FROM nation ORDER BY n_nationkey""".stripMargin,
+
+    "q_csv_roundtrip" ->
+      """SELECT cast(n_nationkey AS BIGINT) AS n_nationkey, n_name,
+        |  cast(n_regionkey AS BIGINT) AS n_regionkey
+        |FROM nation ORDER BY n_nationkey""".stripMargin,
+
+    "q_pgp_roundtrip" ->
+      """SELECT doc_id, md5(text) AS payload_md5
+        |FROM documents WHERE doc_id < 50
+        |ORDER BY doc_id""".stripMargin
   )
 }
