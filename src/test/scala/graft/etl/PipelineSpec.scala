@@ -313,6 +313,36 @@ class PipelineSpec extends AnyFunSuite {
     assert(a != b, s"expected differing segment times, got a=$a b=$b (${stat.stepTimings})")
   }
 
+  test("plan capture survives concurrent counts on the same session") {
+    // the timing listener is session-global; a concurrent count() used
+    // to be captured in place of the pipeline's own action, which made
+    // StepTiming bail to the everything-equals-action-duration fallback.
+    // Under sustained count() noise the segmentation must still come
+    // from THIS pipeline's executed plan (differing segment times).
+    def build() = Pipeline.of(spark.range(200000L).toDF("id"))
+      .filter("filter-a", col("id") % 2 === 0)
+      .filter("filter-b", col("id") % 4 === 0)
+      .addField("g", col("id") % 100)
+      .groupAgg(Seq("g"))(
+        sum(xxhash64(sha2(repeat(col("id").cast("string"), 400), 512))).as("h"),
+        count(lit(1)).as("n"))
+    build().go() // warm codegen
+    @volatile var stop = false
+    val noise = new Thread(() => {
+      while (!stop) spark.range(1000L).toDF("x").count()
+    })
+    noise.setDaemon(true)
+    noise.start()
+    try {
+      val stat = build().go()
+      assert(stat.loaded == 25)
+      val a = stat.stepTimings("filter-a")
+      val b = stat.stepTimings("filter-b")
+      assert(a != b,
+        s"timing fallback fired under concurrent counts (${stat.stepTimings})")
+    } finally { stop = true; noise.join() }
+  }
+
   test("limitRows(halt=false): kept and rejected exactly partition the input") {
     // multi-partition frame whose orderBy key TIES everywhere — the
     // whole-row hash tiebreak must resolve the boundary identically in
