@@ -30,11 +30,14 @@ import javax.xml.stream.{XMLInputFactory, XMLStreamConstants}
   * append a fixed 8-byte block key and re-hash; the verifier round-trip
   * proves the password before the package key is trusted.
   *
-  * Scope: agile (version 4.4) only — the format every modern Excel and
-  * POI write. The pre-2010 "standard" scheme (versions 2.x-3.x, AES-ECB
-  * + SHA-1) is rejected with a clear error. The optional dataIntegrity
-  * HMAC is not checked (the verifier already authenticates the
-  * password; a truncated package fails ZIP parsing loudly).
+  * Scope: agile (version 4.4, every modern Excel and POI write) plus
+  * the pre-2010 "standard" scheme (version minor 2, MS-OFFCRYPTO
+  * 2.3.4.5: AES-ECB, SHA-1 key schedule spun 50,000 times, whole-
+  * package ECB — no segments, no IV). RC4 CryptoAPI (the pre-AES
+  * cipher) and the "extensible" scheme (minor 3) are rejected with
+  * clear errors. The optional dataIntegrity HMAC is not checked (the
+  * verifier already authenticates the password; a truncated package
+  * fails ZIP parsing loudly).
   */
 private[graft] object OoxmlCrypto {
 
@@ -79,10 +82,18 @@ private[graft] object OoxmlCrypto {
     val pkg = XlsParser.cfbStream(bytes, Seq("EncryptedPackage"))
     val major = (info(0) & 0xFF) | ((info(1) & 0xFF) << 8)
     val minor = (info(2) & 0xFF) | ((info(3) & 0xFF) << 8)
+    if (minor == 2 && (major == 2 || major == 3 || major == 4))
+      return standardDecrypt(info, pkg, password)
     require(major == 4 && minor == 4,
-      s"unsupported OOXML encryption version $major.$minor — only agile " +
-        "(4.4, Office 2010+) is implemented; re-save the workbook with a " +
-        "modern Excel/POI to upgrade the container")
+      s"unsupported OOXML encryption version $major.$minor — agile (4.4, " +
+        "Office 2010+) and standard (x.2, Office 2007) are implemented; " +
+        "re-save the workbook with a modern Excel/POI to upgrade the " +
+        "container")
+    agileDecrypt(info, pkg, password)
+  }
+
+  private def agileDecrypt(
+      info: Array[Byte], pkg: Array[Byte], password: String): Array[Byte] = {
     val (keyData, pw) = parseDescriptor(
       java.util.Arrays.copyOfRange(info, 8, info.length))
 
@@ -146,6 +157,96 @@ private[graft] object OoxmlCrypto {
       seg += 1
     }
     out
+  }
+
+  // ------------------------------------------ standard encryption (x.2)
+
+  /** MS-OFFCRYPTO 2.3.4.5/2.3.4.7/2.3.4.9: the Office 2007 "standard"
+    * scheme. EncryptionInfo is binary (no XML): flags + EncryptionHeader
+    * (algId/keySize/CSP name) + EncryptionVerifier (salt + AES-ECB
+    * encrypted verifier blobs). The key is SHA-1 spun 50,000 times over
+    * the salted password, finalized with block 0 and expanded through
+    * the 0x36/0x5C HMAC-style pads; the package is one AES-ECB stream
+    * after a u64-LE plaintext length. */
+  private def standardDecrypt(
+      info: Array[Byte], pkg: Array[Byte], password: String): Array[Byte] = {
+    val buf = java.nio.ByteBuffer.wrap(info)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    val headerSize = buf.getInt(8)
+    // EncryptionHeader at offset 12: flags, sizeExtra, algId, algIdHash,
+    // keySize, providerType, reserved1/2, then the UTF-16LE CSP name
+    val algId = buf.getInt(12 + 8)
+    val keyBits = buf.getInt(12 + 16)
+    algId match {
+      case 0x660E | 0x660F | 0x6610 => ()
+      case 0x6801 | 0x0000 => throw new IllegalArgumentException(
+        "RC4 CryptoAPI OOXML encryption is not supported — re-save the " +
+          "workbook with AES (any Excel/POI since 2007)")
+      case other => throw new IllegalArgumentException(
+        f"unsupported standard-encryption algId 0x$other%04X")
+    }
+    require(keyBits == 128 || keyBits == 192 || keyBits == 256,
+      s"unsupported AES key size $keyBits")
+    // EncryptionVerifier directly after the header
+    var off = 12 + headerSize
+    val saltSize = buf.getInt(off)
+    require(saltSize == 16, s"standard encryption salt must be 16 bytes, got $saltSize")
+    val salt = java.util.Arrays.copyOfRange(info, off + 4, off + 4 + 16)
+    val encryptedVerifier = java.util.Arrays.copyOfRange(info, off + 20, off + 36)
+    val verifierHashSize = buf.getInt(off + 36)
+    require(verifierHashSize == 20, // SHA-1
+      s"standard encryption verifier hash must be SHA-1 (20 bytes), got $verifierHashSize")
+    val encryptedVerifierHash = java.util.Arrays.copyOfRange(info, off + 40, off + 72)
+
+    val key = standardKey(salt, password, keyBits / 8)
+    // 2.3.4.9 verifier round-trip: ECB, no IV
+    val verifier = aesEcb(encryptedVerifier, key)
+    val sha = MessageDigest.getInstance("SHA-1")
+    val expected = sha.digest(verifier)
+    val actual = java.util.Arrays.copyOfRange(aesEcb(encryptedVerifierHash, key), 0, 20)
+    require(java.util.Arrays.equals(expected, actual),
+      "wrong password for encrypted workbook")
+
+    val total = java.nio.ByteBuffer.wrap(pkg, 0, 8)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN).getLong
+    require(total >= 0 && total <= pkg.length.toLong - 8,
+      s"corrupt EncryptedPackage: declared $total bytes, have ${pkg.length - 8}")
+    val plain = aesEcb(java.util.Arrays.copyOfRange(pkg, 8, pkg.length), key)
+    java.util.Arrays.copyOfRange(plain, 0, total.toInt)
+  }
+
+  /** 2.3.4.7 key derivation: H0 = SHA1(salt ‖ UTF16LE(pw)); spin
+    * Hn = SHA1(LE32(n) ‖ Hn-1) 50,000 times; Hfinal = SHA1(H ‖ LE32(0));
+    * expand via X1 = SHA1(0x36-pad ⊕ Hfinal), X2 = SHA1(0x5C-pad ⊕
+    * Hfinal); key = first keyLen of X1 ‖ X2. */
+  private[sources] def standardKey(
+      salt: Array[Byte], password: String, keyLen: Int): Array[Byte] = {
+    val sha = MessageDigest.getInstance("SHA-1")
+    sha.update(salt)
+    var h = sha.digest(password.getBytes(StandardCharsets.UTF_16LE))
+    val le = java.nio.ByteBuffer.allocate(4)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    var i = 0
+    while (i < 50000) {
+      le.clear(); le.putInt(i)
+      sha.update(le.array()); h = sha.digest(h)
+      i += 1
+    }
+    sha.update(h)
+    h = sha.digest(Array[Byte](0, 0, 0, 0)) // block 0, LE
+    def pad(fill: Byte): Array[Byte] = {
+      val b = Array.fill[Byte](64)(fill)
+      h.indices.foreach(j => b(j) = (b(j) ^ h(j)).toByte)
+      b
+    }
+    val x = sha.digest(pad(0x36)) ++ sha.digest(pad(0x5C))
+    java.util.Arrays.copyOfRange(x, 0, keyLen)
+  }
+
+  private def aesEcb(data: Array[Byte], key: Array[Byte]): Array[Byte] = {
+    val c = Cipher.getInstance("AES/ECB/NoPadding")
+    c.init(Cipher.DECRYPT_MODE, new SecretKeySpec(key, "AES"))
+    c.doFinal(data)
   }
 
   // --------------------------------------------------------------- helpers
