@@ -175,15 +175,25 @@ private[graft] object OoxmlCrypto {
     val headerSize = buf.getInt(8)
     // EncryptionHeader at offset 12: flags, sizeExtra, algId, algIdHash,
     // keySize, providerType, reserved1/2, then the UTF-16LE CSP name
+    val headerFlags = buf.getInt(12)
     val algId = buf.getInt(12 + 8)
-    val keyBits = buf.getInt(12 + 16)
+    // 2.3.4.5: AlgID 0x0000 means "determined by Flags" — with fAES
+    // (0x20) set it is AES (key size from KeySize, default 128); only
+    // without fAES does it mean RC4 CryptoAPI.
+    val fAES = (headerFlags & 0x20) != 0
     algId match {
       case 0x660E | 0x660F | 0x6610 => ()
+      case 0x0000 if fAES => ()
       case 0x6801 | 0x0000 => throw new IllegalArgumentException(
         "RC4 CryptoAPI OOXML encryption is not supported — re-save the " +
           "workbook with AES (any Excel/POI since 2007)")
       case other => throw new IllegalArgumentException(
         f"unsupported standard-encryption algId 0x$other%04X")
+    }
+    // KeySize 0x0000 is likewise flag-determined: AES defaults to 128.
+    val keyBits = buf.getInt(12 + 16) match {
+      case 0 if algId == 0x0000 => 128
+      case other => other
     }
     require(keyBits == 128 || keyBits == 192 || keyBits == 256,
       s"unsupported AES key size $keyBits")
