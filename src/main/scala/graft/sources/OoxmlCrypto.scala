@@ -179,8 +179,10 @@ private[graft] object OoxmlCrypto {
     val algId = buf.getInt(12 + 8)
     // 2.3.4.5: AlgID 0x0000 means "determined by Flags" — with fAES
     // (0x20) set it is AES (key size from KeySize, default 128); only
-    // without fAES does it mean RC4 CryptoAPI.
-    val fAES = (headerFlags & 0x20) != 0
+    // without fAES does it mean RC4 CryptoAPI. fExternal (0x10) demands
+    // every other flag bit clear, so fAES+fExternal is malformed — do
+    // not let it select the AES path.
+    val fAES = (headerFlags & 0x20) != 0 && (headerFlags & 0x10) == 0
     algId match {
       case 0x660E | 0x660F | 0x6610 => ()
       case 0x0000 if fAES => ()

@@ -81,6 +81,39 @@ class OoxmlStandardSpec extends AnyFunSuite {
     assert(rc4.getMessage.contains("RC4"))
   }
 
+  test("flag-determined header (AlgID 0x0000 + fAES, KeySize 0) decrypts as AES-128") {
+    // 2.3.4.5 permits AlgID 0x0000 ("determined by Flags") and KeySize
+    // 0x0000 (default for the flag-selected cipher: AES-128). Real
+    // writers rarely emit this shape, so it only gets coverage here.
+    val dir = tmp
+    val zip = plainXlsx(dir)
+    val bytes = StdFixture.encrypt(zip, "flagged", keyBits = 128,
+      writeRawAlgId = true, writeZeroKeySize = true)
+    val plain = Xlsx.read(spark, dir.resolve("plain.xlsx").toString).toDF
+    val encFile = dir.resolve("flagdet.xlsx")
+    Files.write(encFile, bytes)
+    val back = Xlsx.read(spark, encFile.toString, password = "flagged").toDF
+    assert(back.collect().map(_.toSeq).toSet == plain.collect().map(_.toSeq).toSet)
+  }
+
+  test("AlgID 0x0000 without fAES is rejected as RC4; fAES+fExternal is not AES") {
+    val dir = tmp
+    val zip = plainXlsx(dir)
+    // flags 0x04 = fCryptoAPI only → RC4 CryptoAPI
+    val rc4 = intercept[IllegalArgumentException] {
+      OoxmlCrypto.decrypt(StdFixture.encrypt(zip, "x", keyBits = 128,
+        writeRawAlgId = true, headerFlags = 0x04), "x")
+    }
+    assert(rc4.getMessage.contains("RC4"))
+    // fExternal (0x10) requires all other bits clear; fAES alongside it
+    // is malformed and must not select the AES path
+    val ext = intercept[IllegalArgumentException] {
+      OoxmlCrypto.decrypt(StdFixture.encrypt(zip, "x", keyBits = 128,
+        writeRawAlgId = true, headerFlags = 0x34), "x")
+    }
+    assert(ext.getMessage.contains("RC4"))
+  }
+
   test("CFB writer output is readable by the golden-tested CFB reader") {
     // the reader half of this round-trip is independently proven
     // against real Excel files (players.xls golden parity) — so a
@@ -237,7 +270,10 @@ object StdFixture {
     * verifier are fixed so the fixture is deterministic. */
   def encrypt(
       zip: Array[Byte], password: String,
-      keyBits: Int, algId: Int = 0): Array[Byte] = {
+      keyBits: Int, algId: Int = 0,
+      writeRawAlgId: Boolean = false,    // emit AlgID literally (0x0000 = flag-determined)
+      writeZeroKeySize: Boolean = false, // emit KeySize 0x0000 (flag-determined default)
+      headerFlags: Int = 0x24): Array[Byte] = {
     val salt = Array.tabulate[Byte](16)(i => (i * 11 + 3).toByte)
     val verifier = Array.tabulate[Byte](16)(i => (99 - i * 5).toByte)
     val key = deriveKey(salt, password, keyBits / 8)
@@ -250,9 +286,12 @@ object StdFixture {
     val verifierHash = MessageDigest.getInstance("SHA-1").digest(verifier)
     val paddedHash = java.util.Arrays.copyOf(verifierHash, 32)
 
-    val realAlgId = if (algId != 0) algId else keyBits match {
-      case 128 => 0x660E; case 192 => 0x660F; case 256 => 0x6610
-    }
+    val realAlgId =
+      if (writeRawAlgId) algId
+      else if (algId != 0) algId
+      else keyBits match {
+        case 128 => 0x660E; case 192 => 0x660F; case 256 => 0x6610
+      }
     val csp = ("Microsoft Enhanced RSA and AES Cryptographic Provider" + 0.toChar)
       .getBytes(StandardCharsets.UTF_16LE)
     val headerSize = 32 + csp.length
@@ -261,9 +300,9 @@ object StdFixture {
     info.putShort(3).putShort(2)       // version 3.2
     info.putInt(0x24)                  // flags: fCryptoAPI | fAES
     info.putInt(headerSize)
-    info.putInt(0x24).putInt(0)        // header flags, sizeExtra
+    info.putInt(headerFlags).putInt(0) // header flags, sizeExtra
     info.putInt(realAlgId).putInt(0x8004) // algId, SHA-1
-    info.putInt(keyBits).putInt(0x18)  // keySize, providerType
+    info.putInt(if (writeZeroKeySize) 0 else keyBits).putInt(0x18) // keySize, providerType
     info.putInt(0).putInt(0)           // reserved
     info.put(csp)
     info.putInt(16).put(salt)
