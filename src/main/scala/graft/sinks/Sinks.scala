@@ -124,7 +124,12 @@ final class XlsxFileSink(
 
   override def name: String = new File(path).getName
 
-  private val escapeLookalike = "_x([0-9A-Fa-f]{4})_".r
+  private def isLookalikeAt(s: String, i: Int): Boolean =
+    i + 7 <= s.length && s.charAt(i) == '_' && (s.charAt(i + 1) | 0x20) == 'x' && {
+      var j = i + 2
+      while (j < i + 6 && Character.digit(s.charAt(j), 16) >= 0) j += 1
+      j == i + 6 && s.charAt(i + 6) == '_'
+    }
 
   private def esc(s: String): String = {
     val basic = s
@@ -132,13 +137,30 @@ final class XlsxFileSink(
     // XML 1.0 cannot carry control characters at all — encode them the
     // way Excel/POI do (_xHHHH_). Literal text that LOOKS like an
     // escape gets its underscore armored as _x005F_ first, so the
-    // reader's unescape reproduces the original exactly.
+    // reader's unescape reproduces the original exactly. The scan
+    // consumes ONE character per armored underscore (not the whole
+    // lookalike): consecutive lookalikes overlap on their shared
+    // underscore ("_x005F_x0041_" holds two), and a regex replace of
+    // whole matches would leave the second un-armored.
+    // A literal \r must be armored too — conformant XML parsers
+    // normalize CR and CRLF to LF in character data, so a bare \r
+    // cannot survive any reader (Excel writes _x000D_ as well).
     val armored =
       if (!basic.contains("_x")) basic
-      else escapeLookalike.replaceAllIn(basic, m => "_x005F_" + m.matched.substring(1))
-    if (armored.forall(c => c >= 0x20 || c == '\t' || c == '\n' || c == '\r')) armored
+      else {
+        val sb = new StringBuilder(basic.length + 16)
+        var i = 0
+        while (i < basic.length) {
+          if (isLookalikeAt(basic, i)) { sb.append("_x005F_"); i += 1 }
+          else { sb.append(basic.charAt(i)); i += 1 }
+        }
+        sb.toString
+      }
+    if (armored.forall(c => (c >= 0x20 || c == '\t' || c == '\n') && c != 0xFFFE && c != 0xFFFF))
+      armored
     else armored.flatMap { c =>
-      if (c < 0x20 && c != '\t' && c != '\n' && c != '\r') f"_x${c.toInt}%04X_"
+      if ((c < 0x20 && c != '\t' && c != '\n') || c == 0xFFFE || c == 0xFFFF)
+        f"_x${c.toInt}%04X_"
       else c.toString
     }
   }

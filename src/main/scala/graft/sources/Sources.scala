@@ -40,6 +40,10 @@ object Sources {
       .option("inferSchema", false)
       .option("multiLine", true)
       .option("mode", "PERMISSIVE")
+      // the reference writer (and RFC 4180) escape quotes by DOUBLING;
+      // Spark's default escape is backslash, under which `"...""..."`
+      // and quote-adjacent separators misparse — pin doubling semantics
+      .option("escape", "\"")
     val withQuote = if (escaping) reader else reader.option("quote", "\u0000")
     val df = withQuote.csv(path)
     val named = if (headers == null) df else df.toDF(headers: _*)
