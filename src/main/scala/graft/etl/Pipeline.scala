@@ -1030,14 +1030,23 @@ final class Pipeline private (
   // --------------------------------------------------------------- sinks
 
   /** gratum `save` (Pipeline.groovy:809-844): deferred write executed by
-    * [[go]] at this chain position; main flow continues unchanged. */
+    * [[go]] at this chain position; main flow continues unchanged.
+    *
+    * `partitionBy` (beyond the reference: it writes one local file)
+    * lays the output out as hive-style `col=value` directories — at
+    * corpus scale this is what makes every downstream read prunable
+    * (a filter on a partition column skips whole directories instead
+    * of opening files), so date/language/source-style columns belong
+    * here rather than inside the files. */
   def save(path: String, format: String = "csv",
-      options: Map[String, String] = Map.empty): Pipeline = {
+      options: Map[String, String] = Map.empty,
+      partitionBy: Seq[String] = Nil): Pipeline = {
     val defaults =
       if (format == "csv") Map("header" -> "true", "quoteAll" -> "true")
       else Map.empty[String, String]
     add(SinkStep(s"save($path)", df => {
-      df.write.mode("overwrite").format(format).options(defaults ++ options).save(path)
+      val w = df.write.mode("overwrite").format(format).options(defaults ++ options)
+      (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).save(path)
       Map("file" -> path, "filename" -> path)
     }))
   }

@@ -529,6 +529,23 @@ class PipelineSpec extends AnyFunSuite {
     assert(back.count() == 5)
   }
 
+  test("save(partitionBy) lays out hive-style dirs and read-back filters prune partitions") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-save-part").toString
+    val stat = Pipeline.of(people)
+      .save(s"$dir/out", "parquet", partitionBy = Seq("gender")).go()
+    assert(stat.loaded == 5)
+    val dirs = new java.io.File(s"$dir/out").listFiles().map(_.getName).filter(_.contains("="))
+    assert(dirs.toSet == Set("gender=male", "gender=female"))
+    // a filter on the partition column must land in PartitionFilters
+    // (directory skip), not PushedFilters (row-group skip inside files)
+    val back = spark.read.parquet(s"$dir/out").filter(col("gender") === "female")
+    val scan = back.queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters") &&
+      scan.replaceAll("(?s).*PartitionFilters: \\[([^\\]]*)\\].*", "$1").contains("female"),
+      s"partition filter not pruned:\n$scan")
+    assert(back.count() == 3)
+  }
+
   test("go() reads the source exactly once for a 3-rejecting-step pipeline") {
     // touch counter in a head mapRows step: if go() re-scanned the
     // prefix per rejecting step (the round-1 design), this would be ~4n
