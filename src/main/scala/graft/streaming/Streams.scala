@@ -57,6 +57,82 @@ object Streams {
       }
   }
 
+  /** Gap-based session aggregation on the NATIVE `session_window`
+    * (SURVEY §7.3 preference (a): built-in op, codegen'd, AQE-aware) —
+    * sessions close after `gap` of event-time silence; watermark
+    * reclaims closed-session state. Works identically over batch (no
+    * watermark needed) and stream. */
+  def sessionAgg(
+      df: DataFrame, tsCol: String, watermarkDelay: String, gap: String,
+      keys: Seq[String])(aggs: Column*): DataFrame =
+    df.withWatermark(tsCol, watermarkDelay)
+      .groupBy(session_window(col(tsCol), gap) +: keys.map(col): _*)
+      .agg(aggs.head, aggs.tail: _*)
+
+  /** One event entering [[gapSessions]]. */
+  case class SessionEvent(key: Long, ts: java.sql.Timestamp, value: Double)
+  /** Open-session accumulator held in state (millis bounds). */
+  case class OpenSession(start: Long, end: Long, count: Long, sum: Double)
+  /** A closed (emitted) session. */
+  case class ClosedSession(
+      key: Long, start: java.sql.Timestamp, end: java.sql.Timestamp,
+      count: Long, sum: Double)
+
+  /** Gap-based sessionization via `flatMapGroupsWithState` — the
+    * custom-state escape hatch for session semantics the built-in
+    * `session_window` can't carry (here: emitting each closed session
+    * exactly once as a first-class row, with arbitrary accumulator
+    * logic). State is ONE OpenSession per active key, reclaimed by the
+    * event-time timeout when the watermark passes `end + gap` — bounded
+    * on an unbounded stream.
+    *
+    * Within a trigger, rows are buffered and sorted by event time (a
+    * group's per-trigger slice fits in memory by the same contract as
+    * every GroupState operator); across triggers, late rows beyond the
+    * watermark are dropped by the runtime before they reach this
+    * function. */
+  def gapSessions(
+      events: Dataset[SessionEvent], gapMs: Long,
+      watermarkDelay: String): Dataset[ClosedSession] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(_.key)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (key: Long, rows: Iterator[SessionEvent], state: GroupState[OpenSession]) =>
+          def close(s: OpenSession) = ClosedSession(
+            key, new java.sql.Timestamp(s.start), new java.sql.Timestamp(s.end),
+            s.count, s.sum)
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(close(s))
+          } else {
+            val sorted = rows.toIndexedSeq.sortBy(_.ts.getTime)
+            val out = Seq.newBuilder[ClosedSession]
+            var cur = state.getOption
+            sorted.foreach { e =>
+              val t = e.ts.getTime
+              cur = cur match {
+                case Some(s) if t <= s.end + gapMs =>
+                  Some(OpenSession(math.min(s.start, t), math.max(s.end, t),
+                    s.count + 1, s.sum + e.value))
+                case Some(s) =>
+                  out += close(s)
+                  Some(OpenSession(t, t, 1L, e.value))
+                case None =>
+                  Some(OpenSession(t, t, 1L, e.value))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.end + gapMs)
+            }
+            out.result().iterator
+          }
+      }
+  }
+
   /** Streaming exact deduplication on a content fingerprint: keeps the
     * first arrival of each normalized-text fingerprint, drops later
     * copies. State holds one entry per DISTINCT fingerprint seen inside

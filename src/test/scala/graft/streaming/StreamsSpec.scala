@@ -71,6 +71,72 @@ class StreamsSpec extends AnyFunSuite {
     assert((kept - 3L).subsetOf(Set(1L, 2L, 4L))) // one of the three copies
   }
 
+  test("gapSessions (flatMapGroupsWithState) matches the native session_window in batch") {
+    // events for two keys with deliberate >gap silences; files split so
+    // maxFilesPerTrigger=1 forces multiple triggers and the advancing
+    // watermark closes sessions via the event-time timeout
+    val dir = Files.createTempDirectory("graft-sessions").toString
+    def ev(key: Long, minute: Int, v: Double) =
+      (key, java.sql.Timestamp.valueOf(f"2024-01-01 00:$minute%02d:00"), v)
+    val early = Seq(
+      ev(1L, 0, 1.0), ev(1L, 1, 2.0), ev(1L, 2, 3.0),   // session A: 0-2
+      ev(1L, 10, 4.0), ev(1L, 11, 5.0),                 // session B: 10-11
+      ev(2L, 5, 10.0))                                  // session C: 5
+    val late = Seq(ev(2L, 40, 20.0), ev(1L, 45, 6.0))   // push watermark far ahead
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(StructField("key", LongType),
+      StructField("ts", TimestampType), StructField("value", DoubleType)))
+    early.toDF("key", "ts", "value").repartition(1).write.parquet(s"$dir/f1")
+    late.toDF("key", "ts", "value").repartition(1).write.parquet(s"$dir/f2")
+    val staged = s"$dir/stream"
+    new java.io.File(staged).mkdirs()
+    // stage in arrival order: f1 strictly before f2 — the file source
+    // orders by modification time, and a same-millisecond copy could let
+    // the late file go first, discarding every early event as beyond the
+    // watermark
+    def stage(src: String, prefix: String, mtime: Long): Unit =
+      java.nio.file.Files.list(java.nio.file.Paths.get(src)).forEach { p =>
+        if (p.toString.endsWith(".parquet")) {
+          val dst = java.nio.file.Paths.get(staged, prefix + p.getFileName)
+          java.nio.file.Files.copy(p, dst)
+          dst.toFile.setLastModified(mtime)
+        }
+      }
+    val now = System.currentTimeMillis()
+    stage(s"$dir/f1", "a_", now - 60000)
+    stage(s"$dir/f2", "b_", now)
+
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(staged)
+      .as[(Long, java.sql.Timestamp, Double)]
+      .map { case (k, ts, v) => Streams.SessionEvent(k, ts, v) }
+    val sessions = Streams.gapSessions(stream, gapMs = 5 * 60 * 1000L, "1 minute")
+    Streams.runToMemory(sessions.toDF(), "sessions", OutputMode.Append())
+
+    val streamed = spark.table("sessions")
+      .select("key", "start", "end", "count", "sum")
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2),
+        r.getLong(3), r.getDouble(4))).toSet
+
+    // batch oracle: the native session_window over the same rows
+    val all = (early ++ late).toDF("key", "ts", "value")
+    val batch = all
+      .groupBy(col("key"), session_window(col("ts"), "5 minutes").as("w"))
+      .agg(count(lit(1)).as("count"), sum("value").as("sum"))
+      // session_window's end is exclusive (last event + gap); gapSessions
+      // reports the last EVENT time — align by subtracting the gap
+      .select(col("key"), col("w.start").as("start"),
+        (col("w.end").cast("long") - 5 * 60).cast("timestamp").as("end"),
+        col("count"), col("sum"))
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2),
+        r.getLong(3), r.getDouble(4))).toSet
+
+    // every emitted session must equal a batch session; the three early
+    // sessions are all past the final watermark, so all must be emitted
+    assert(streamed.subsetOf(batch), s"streamed=$streamed\nbatch=$batch")
+    assert(streamed.size >= 3, s"expected the 3 closed sessions, got $streamed")
+  }
+
   test("runningTotals keeps per-key state across triggers") {
     val dir = Files.createTempDirectory("graft-stream2").toString
     Seq((1L, 2.0), (1L, 3.0), (2L, 5.0)).toDF("user_id", "value")
