@@ -110,6 +110,31 @@ object SparkEntry {
         .orderBy("user_id", "window_id")
     },
 
+    "q_session" -> { (s, dir) =>
+      // gap-based event-time sessions via the NATIVE session_window
+      // (Streams.sessionAgg, batch path — the watermark node is
+      // eliminated on bounded input); oracle = gaps-and-islands SQL.
+      // session_window.end is last event + gap (exclusive), so the last
+      // event time is recovered by subtracting the gap.
+      // `ts div 1000`, NOT `/ 1000`: the nanos are ~1.7e18, beyond
+      // double's 53-bit mantissa — float division corrupts microseconds
+      val ev = t(s, dir, "events").select(
+        timestamp_micros(expr("ts div 1000")).as("ts"),
+        col("user_id"), col("value"))
+      graft.streaming.Streams.sessionAgg(ev, "ts", "0 seconds", "4 hours",
+        Seq("user_id"))(
+        count(lit(1)).as("n"),
+        cents(sum(col("value").cast(dec))).as("sum_value_cents"))
+        .select(col("user_id"),
+          // NTZ casts: DuckDB timestamps are naive; Spark's session-local
+          // TIMESTAMP carries UTC in arrow and the driver compares types
+          col("session_window.start").cast("timestamp_ntz").as("session_start"),
+          (col("session_window.end") - expr("INTERVAL 4 HOURS"))
+            .cast("timestamp_ntz").as("session_end"),
+          col("n"), col("sum_value_cents"))
+        .orderBy("user_id", "session_start")
+    },
+
     // ------------------------------------------------------ filters (§2.3)
     "q_filter_map" -> { (s, dir) =>
       p(s, dir, "orders")
@@ -740,6 +765,24 @@ object SparkEntry {
         |SELECT user_id, window_id, count(*) AS n, min(event_type) AS event_type
         |FROM sess GROUP BY user_id, window_id
         |ORDER BY user_id, window_id""".stripMargin,
+
+    "q_session" ->
+      """WITH marked AS (
+        |  SELECT user_id, ts, value,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR ts - lag(ts) OVER w >= INTERVAL 4 HOUR THEN 1 ELSE 0 END AS c
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+        |), sess AS (
+        |  SELECT user_id, ts, value,
+        |    sum(c) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM marked)
+        |SELECT user_id,
+        |  min(ts) AS session_start,
+        |  max(ts) AS session_end,
+        |  count(*) AS n,
+        |  cast(cast(sum(cast(value AS DECIMAL(18,2))) AS DECIMAL(28,2)) * 100 AS BIGINT) AS sum_value_cents
+        |FROM sess GROUP BY user_id, sid
+        |ORDER BY user_id, session_start""".stripMargin,
 
     "q_filter_map" ->
       """SELECT o_orderkey, o_custkey, o_totalprice, o_orderpriority FROM orders

@@ -24,7 +24,7 @@ class StreamsSpec extends AnyFunSuite {
   test("windowedAgg over a file stream matches the batch computation") {
     // stage the events table (ts nanos-long -> timestamp) as a stream dir
     val events = graft.Tables.load(spark, "/root/testdata/sf0.001", "events")
-      .select(timestamp_micros((col("ts") / 1000).cast("long")).as("ts"),
+      .select(timestamp_micros(expr("ts div 1000")).as("ts"),
         col("event_type"), col("value"))
     val dir = Files.createTempDirectory("graft-stream").toString
     events.write.mode("overwrite").parquet(dir)
