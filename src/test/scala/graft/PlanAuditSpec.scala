@@ -58,4 +58,17 @@ class PlanAuditSpec extends AnyFunSuite {
     val broadcasts = s.linesIterator.count(_.contains("BroadcastHashJoin"))
     assert(broadcasts >= 3, s"expected >=3 broadcast joins (customer/nation/region), got $broadcasts:\n$s")
   }
+
+  test("q_session plans one grouping shuffle with partial session aggregation") {
+    val s = planString(executed(SparkEntry.queries("q_session")(spark, dir)))
+    // sort-merge session aggregation: partial HashAggregate below ONE
+    // exchange on the group key, MergingSessions above it, plus only the
+    // final ORDER BY's range exchange — a second grouping shuffle here
+    // would double the dominant cost at corpus scale
+    assert(s.contains("MergingSessions"), s"no MergingSessions operator:\n$s")
+    val exchanges = s.linesIterator.count(l =>
+      l.contains("Exchange hashpartitioning"))
+    assert(exchanges == 1,
+      s"expected exactly 1 hash exchange (group key), got $exchanges:\n$s")
+  }
 }

@@ -48,6 +48,46 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(salts > 1, "salt must vary within a join key")
   }
 
+  test("AQE splits a skewed sort-merge join partition (the no-salt runtime path)") {
+    // Skew.saltedJoin is the PLANNED mitigation; AQE's skew-join split
+    // is the RUNTIME one — this locks that our sessions leave it
+    // operable (a refactor that pinned shuffle partitioning or disabled
+    // AQE would break it silently). Thresholds are lowered so the
+    // test-size hot partition qualifies as skewed.
+    val conf = Map(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1", // force SMJ
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "16KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "8KB",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2")
+    val prev = conf.keys.map(k => k -> spark.conf.getOption(k)).toMap
+    conf.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val pad = "x" * 100
+      val left = ((1 to 20000).map(i => (42L, s"$i$pad")) ++
+        (1 to 500).map(i => (i.toLong % 7, s"-$i$pad"))).toDF("k", "v")
+      val right = (0L to 50L).map(k => (k, s"dim$k")).toDF("k", "name")
+      val joined = left.join(right, Seq("k"))
+      // collect() (not count()) so THIS dataset's adaptive plan is the
+      // one that executes — count() builds its own QueryExecution
+      assert(joined.collect().length == 20500)
+      val qe = joined.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]].queryExecution
+      def find(p: SparkPlan): Seq[SparkPlan] = p match {
+        case a: AdaptiveSparkPlanExec => find(a.executedPlan)
+        case q: QueryStageExec => find(q.plan)
+        case other => other +: other.children.flatMap(find)
+      }
+      val smj = find(qe.executedPlan).collect {
+        case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
+      }
+      assert(smj.nonEmpty, s"expected a sort-merge join:\n${qe.executedPlan}")
+      assert(smj.exists(_.isSkewJoin),
+        s"AQE did not mark the skewed join:\n${qe.executedPlan}")
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("Bucketing.coLocatedJoin plans with zero shuffle exchanges") {
     val facts = (1 to 1000).map(i => (i.toLong % 50, i)).toDF("k", "v")
     val dims = (0L to 49L).map(k => (k, s"dim$k")).toDF("k", "name")
