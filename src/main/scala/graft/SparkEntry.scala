@@ -700,6 +700,52 @@ object SparkEntry {
         secretKeyRing = sec))
       dec.select(col("doc_id"), md5(col("payload")).as("payload_md5"))
         .orderBy("doc_id")
+    },
+
+    // ------- beyond-reference: dup clusters / decontamination / splits
+    "q_dedup_cluster" -> { (s, dir) =>
+      // duplicate CLUSTERS: shared-8-gram edges → distributed connected
+      // components (large-star/small-star) → (doc, component-min). The
+      // one 3-node chain in the corpus is exactly the case the greedy
+      // pair rule of minhashDedup cannot see. Spark joins grams on
+      // xxhash64; the oracle joins raw gram strings — equal absent a
+      // 64-bit collision.
+      val docs = t(s, dir, "documents")
+      val edges = ops.Dedup.sharedShingleEdges(docs, "doc_id", "text", shingleN = 8)
+      ops.Dedup.nearDupClusters(docs, "doc_id", edges)
+        .select(col("doc_id"), col("cluster_id"))
+        .orderBy("doc_id")
+    },
+
+    "q_decontaminate" -> { (s, dir) =>
+      // benchmark-leakage guard: drop every "train" doc sharing an
+      // 8-token gram with the held-out slice (doc_id % 20 == 0 stands
+      // in for the eval set)
+      val docs = t(s, dir, "documents")
+      ops.Contamination.decontaminate(
+        docs.filter(col("doc_id") % 20 =!= 0),
+        docs.filter(col("doc_id") % 20 === 0), "doc_id", "text")
+        .select("doc_id")
+        .orderBy("doc_id")
+    },
+
+    "q_sample_split" -> { (s, dir) =>
+      // rerun-stable train/val/test assignment from md5(key || salt) —
+      // binary-exact weights so the hex cuts are reproducible literals
+      t(s, dir, "documents")
+        .withColumn("split", ops.Sampling.splitByHash(col("doc_id"),
+          Seq("train" -> 0.75, "val" -> 0.125, "test" -> 0.125), ":split42"))
+        .select("doc_id", "split")
+        .orderBy("doc_id")
+    },
+
+    "q_sample_stratified" -> { (s, dir) =>
+      // deterministic 5-per-user sample in hash order — bounded top-k
+      // buffers (no per-stratum sort); the oracle mirrors the exact
+      // (48-bit-prefix, key) ordering
+      ops.Sampling.stratifiedSample(
+        t(s, dir, "events"), Seq("user_id"), "event_id", n = 5, salt = ":s42")
+        .orderBy("user_id", "event_id")
     }
   )
 
@@ -1178,6 +1224,80 @@ object SparkEntry {
     "q_pgp_roundtrip" ->
       """SELECT doc_id, md5(text) AS payload_md5
         |FROM documents WHERE doc_id < 50
-        |ORDER BY doc_id""".stripMargin
+        |ORDER BY doc_id""".stripMargin,
+
+    // shared-8-gram duplicate graph (with the same doc-frequency cap
+    // the Spark side applies), then connected components as a
+    // min-label transitive closure in a recursive CTE
+    "q_dedup_cluster" ->
+      """WITH RECURSIVE norm AS (
+        |  SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS s
+        |  FROM documents),
+        |tok AS (SELECT doc_id, string_split(s, ' ') AS tk FROM norm),
+        |grams AS (
+        |  SELECT doc_id, unnest(
+        |    CASE WHEN len(tk) >= 8
+        |         THEN list_distinct(list_transform(range(0, len(tk) - 7),
+        |                i -> array_to_string(tk[i + 1:i + 8], ' ')))
+        |         ELSE [array_to_string(tk, ' ')] END) AS g
+        |  FROM tok),
+        |good AS (SELECT g FROM grams GROUP BY g HAVING count(*) BETWEEN 2 AND 1000),
+        |edges AS (
+        |  SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+        |  FROM grams a JOIN good USING (g) JOIN grams b USING (g)
+        |  WHERE a.doc_id < b.doc_id),
+        |und AS (SELECT id1 AS a, id2 AS b FROM edges
+        |        UNION SELECT id2, id1 FROM edges),
+        |reach(node, lab) AS (
+        |  SELECT a, a FROM und
+        |  UNION
+        |  SELECT u.b, r.lab FROM reach r JOIN und u ON u.a = r.node),
+        |comp AS (SELECT node, min(lab) AS cluster_id FROM reach GROUP BY node)
+        |SELECT d.doc_id, coalesce(c.cluster_id, d.doc_id) AS cluster_id
+        |FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
+
+    // strict 8-token grams (short docs yield NONE — they cannot be
+    // contaminated), semi-join against the eval slice's grams
+    "q_decontaminate" ->
+      """WITH norm AS (
+        |  SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS s
+        |  FROM documents),
+        |tok AS (SELECT doc_id, string_split(s, ' ') AS tk FROM norm),
+        |grams AS (
+        |  SELECT doc_id, unnest(
+        |    CASE WHEN len(tk) >= 8
+        |         THEN list_distinct(list_transform(range(0, len(tk) - 7),
+        |                i -> array_to_string(tk[i + 1:i + 8], ' ')))
+        |         ELSE [] END) AS g
+        |  FROM tok),
+        |ev AS (SELECT DISTINCT g FROM grams WHERE doc_id % 20 = 0),
+        |bad AS (SELECT DISTINCT gr.doc_id FROM grams gr JOIN ev USING (g)
+        |        WHERE gr.doc_id % 20 <> 0)
+        |SELECT doc_id FROM documents
+        |WHERE doc_id % 20 <> 0 AND doc_id NOT IN (SELECT doc_id FROM bad)
+        |ORDER BY doc_id""".stripMargin,
+
+    // the hex cut literals come from the SAME library function the
+    // Spark side uses (Sampling.hexThreshold) — one source of truth
+    "q_sample_split" ->
+      s"""SELECT doc_id,
+         |  CASE WHEN substr(md5(cast(doc_id AS VARCHAR) || ':split42'), 1, 12)
+         |         < '${ops.Sampling.hexThreshold(0.75)}' THEN 'train'
+         |       WHEN substr(md5(cast(doc_id AS VARCHAR) || ':split42'), 1, 12)
+         |         < '${ops.Sampling.hexThreshold(0.875)}' THEN 'val'
+         |       ELSE 'test' END AS split
+         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // ORDER BY the 12-hex-digit prefix then key — exactly the Spark
+    // side's (48-bit numeric prefix, key) ordering, so prefix ties
+    // resolve identically on both engines
+    "q_sample_stratified" ->
+      """SELECT user_id, event_id FROM events
+        |QUALIFY row_number() OVER (
+        |  PARTITION BY user_id
+        |  ORDER BY substr(md5(cast(event_id AS VARCHAR) || ':s42'), 1, 12),
+        |           event_id) <= 5
+        |ORDER BY user_id, event_id""".stripMargin
   )
 }

@@ -1,0 +1,49 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Train/eval decontamination: remove from a training corpus every
+  * document that shares a word n-gram with a held-out evaluation set —
+  * the standard guard against benchmark leakage when assembling
+  * training data.
+  *
+  * Scale shape: both sides explode to DISTINCT hashed n-grams; the
+  * corpus side is then SEMI-joined against the eval grams and the
+  * surviving ids anti-joined back. The corpus (the 100 TB side) is
+  * never collected, never self-joined, and carries only (id, 64-bit
+  * gram hash) through the one shuffle; the eval side is typically a
+  * few thousand documents, so AQE turns the semi-join into a broadcast
+  * at runtime. Gram hashing (xxhash64) trades an astronomically
+  * unlikely false positive (~n²/2^64 over distinct grams — a dropped
+  * clean document, never a kept tainted one at these odds) for not
+  * shuffling raw n-gram strings.
+  *
+  * Documents with fewer than `gramN` tokens produce no grams
+  * ([[TextOps.strictShingles]]) and therefore can never be tainted.
+  */
+object Contamination {
+
+  private def gramHashes(df: DataFrame, cols: Seq[String], textCol: String, gramN: Int): DataFrame =
+    df.select(cols.map(col) :+
+      explode(array_distinct(TextOps.strictShingles(col(textCol), gramN))).as("__g__"): _*)
+      .select(cols.map(col) :+ xxhash64(col("__g__")).as("__h__"): _*)
+
+  /** Ids of corpus documents sharing at least one `gramN`-gram with
+    * `eval`. */
+  def taintedIds(
+      corpus: DataFrame, eval: DataFrame,
+      idCol: String, textCol: String, gramN: Int = 8): DataFrame = {
+    val evalGrams = gramHashes(eval, Seq.empty, textCol, gramN)
+      .select("__h__").distinct()
+    gramHashes(corpus, Seq(idCol), textCol, gramN)
+      .join(evalGrams, Seq("__h__"), "left_semi")
+      .select(idCol).distinct()
+  }
+
+  /** The corpus minus every tainted document (all original columns). */
+  def decontaminate(
+      corpus: DataFrame, eval: DataFrame,
+      idCol: String, textCol: String, gramN: Int = 8): DataFrame =
+    corpus.join(taintedIds(corpus, eval, idCol, textCol, gramN), Seq(idCol), "left_anti")
+}

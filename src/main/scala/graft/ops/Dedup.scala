@@ -288,6 +288,74 @@ object Dedup {
       .select(col("id1"), col("id2"), jac.as("jaccard"))
   }
 
+  /** Duplicate-graph edges: one (id1, id2) row per document pair that
+    * shares at least one word `shingleN`-gram — the cheap equi-join
+    * relation used to build duplicate CLUSTERS (feed the result to
+    * [[nearDupClusters]] / [[clusterDedup]]).
+    *
+    * Scale shape: explode to distinct 64-bit gram hashes, drop grams
+    * appearing in more than `maxDocsPerGram` documents (a gram that
+    * common is boilerplate and would contribute O(k²) pairs with no
+    * signal — same cap rationale as [[LshBlocking]]'s bucket cap),
+    * then self-join the survivors on the hash. One aggregate + one
+    * equi-join shuffle, both on (gram hash); never all-pairs. */
+  def sharedShingleEdges(
+      df: DataFrame, idCol: String, textCol: String,
+      shingleN: Int = 8, maxDocsPerGram: Int = 1000): DataFrame = {
+    // same cap machinery as LshBlocking.candidatePairs: the gram
+    // frequency is a sort-free COUNT aggregate (never a collected id
+    // list — a boilerplate gram must not materialize its doc set
+    // anywhere), oversized grams are dropped via semi-join, and the
+    // self-join runs on the same (hash) partitioning. The (id, hash)
+    // frame is persisted across its three uses so the shingle explode
+    // runs once. Unpersisted before returning; the result is
+    // materialized (localCheckpoint) like LshBlocking's.
+    val grams = spreadByKey(df, idCol, textCol)
+      .select(col("__id__"),
+        explode(array_distinct(TextOps.shingles(col("__t__"), shingleN))).as("__g__"))
+      .select(col("__id__"), xxhash64(col("__g__")).as("__h__"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val goodGrams = grams.groupBy("__h__").agg(count(lit(1)).as("__n__"))
+        .filter(col("__n__").between(2, maxDocsPerGram))
+        .select("__h__")
+      val keep = grams.join(goodGrams, Seq("__h__"), "left_semi")
+      keep.select(col("__h__"), col("__id__").as("id1"))
+        .join(keep.select(col("__h__"), col("__id__").as("id2")), Seq("__h__"))
+        .filter(col("id1") < col("id2"))
+        .select("id1", "id2")
+        .distinct()
+        .localCheckpoint(true)
+    } finally grams.unpersist(false)
+  }
+
+  /** Cluster assignment from a near-dup pair set: connected components
+    * over the pairs (see [[Graph.connectedComponents]] — transitive
+    * closure, unlike the greedy keep-smallest rule of [[minhashDedup]],
+    * so A~B~C lands in ONE cluster even when A~C was never emitted).
+    * Returns every row of `df` with a `cluster_id` column = smallest
+    * id in the row's duplicate cluster (singletons map to themselves).
+    */
+  def nearDupClusters(
+      df: DataFrame, idCol: String, pairs: DataFrame,
+      id1: String = "id1", id2: String = "id2"): DataFrame = {
+    val comp = Graph.connectedComponents(pairs, id1, id2)
+      .select(col("node").as(idCol), col("component").as("cluster_id"))
+    df.join(comp, Seq(idCol), "left")
+      .withColumn("cluster_id", coalesce(col("cluster_id"), col(idCol).cast("long")))
+  }
+
+  /** Transitive near-dup removal: keep exactly one document (the
+    * smallest id) per connected component of the pair graph. */
+  def clusterDedup(
+      df: DataFrame, idCol: String, pairs: DataFrame,
+      id1: String = "id1", id2: String = "id2"): DataFrame = {
+    val losers = Graph.connectedComponents(pairs, id1, id2)
+      .filter(col("node") =!= col("component"))
+      .select(col("node").as(idCol))
+    df.join(losers, Seq(idCol), "left_anti")
+  }
+
   /** Embedding-cosine near-duplicate pairs (delegates to sign-LSH). */
   def embeddingNearDups(
       df: DataFrame, idCol: String, vecCol: String,

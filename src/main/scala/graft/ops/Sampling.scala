@@ -1,0 +1,84 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic, rerun-stable sampling and dataset splitting — the
+  * sampling family a training-data pipeline actually needs. Every
+  * decision is a pure function of (key, salt), never of RNG state,
+  * partitioning, or row order, so:
+  *
+  *  - a row keeps its verdict across reruns, retries, and cluster
+  *    resizes (Spark's `df.sample` does not survive any of those);
+  *  - train/val/test membership is consistent between independently
+  *    running jobs that share the salt — no coordination, no joins;
+  *  - results are engine-portable: the hash is md5 of the key string,
+  *    identical in any system (which is also what puts these operators
+  *    under the DuckDB oracle gate, not just rows-only checks).
+  *
+  * The decision compares a fixed-width hex prefix of
+  * md5(key || salt) against fraction thresholds: 12 hex digits = 48
+  * uniform bits, so realized fractions sit within 2^-48 of the target
+  * (plus binomial noise), and changing the salt draws an independent
+  * sample. Lexicographic compare of lowercase hex equals numeric
+  * compare — no hex→int conversion is needed on either engine.
+  */
+object Sampling {
+
+  private val Digits = 12
+
+  /** Hex threshold string for a fraction: floor(fraction · 16^12) as 12
+    * lowercase hex digits. Public because the oracle SQL embeds it. */
+  def hexThreshold(fraction: Double): String = {
+    require(fraction >= 0.0 && fraction < 1.0,
+      s"fraction must be in [0, 1); got $fraction (1.0 = keep everything)")
+    val scaled = (BigDecimal(fraction) * BigDecimal(BigInt(16).pow(Digits)))
+      .setScale(0, scala.math.BigDecimal.RoundingMode.FLOOR).toBigInt
+    val hex = scaled.toString(16)
+    "0" * (Digits - hex.length) + hex
+  }
+
+  /** The 12-hex-digit decision prefix for a key. */
+  def hashPrefix(key: Column, salt: String): Column =
+    substring(md5(concat(key.cast("string"), lit(salt))), 1, Digits)
+
+  /** Keep ~`fraction` of rows, decided per `key`: stable under reruns
+    * and across engines. A narrow filter over a codegen'd expression —
+    * no shuffle, pushes nothing but survives any plan around it. */
+  def sampleByHash(df: DataFrame, key: Column, fraction: Double, salt: String): DataFrame =
+    if (fraction >= 1.0) df
+    else df.filter(hashPrefix(key, salt) < lit(hexThreshold(fraction)))
+
+  /** Split-label column: `weights` are (label, weight), normalized to
+    * sum 1; the last label absorbs the tail so every row gets exactly
+    * one label. Use the same (key, salt) in any number of jobs to get
+    * consistent membership without coordination. */
+  def splitByHash(key: Column, weights: Seq[(String, Double)], salt: String): Column = {
+    require(weights.size >= 2, "need at least two split labels")
+    require(weights.forall(_._2 > 0), "weights must be positive")
+    val total = weights.map(_._2).sum
+    val h = hashPrefix(key, salt)
+    val cuts = weights.init.scanLeft(0.0) { case (acc, (_, w)) => acc + w / total }.tail
+    val branches = weights.init.map(_._1).zip(cuts)
+    branches.foldRight(lit(weights.last._1): Column) { case ((label, cut), els) =>
+      when(h < lit(hexThreshold(cut)), lit(label)).otherwise(els)
+    }
+  }
+
+  /** Exactly `n` rows per stratum (fewer when the stratum is smaller),
+    * chosen by hash order of `keyCol` — a deterministic simple random
+    * sample per group. Rides the bounded top-k buffers
+    * ([[Aggregators.groupTopK]]): map-side partial combine, no full
+    * window sort of each stratum. The hash order uses the NUMERIC value
+    * of the 48-bit prefix (exact in a Double), which equals hex-string
+    * order; ties on the full 48 bits fall back to `keyCol` ascending.
+    * Returns (strata..., keyCol) — project/join back for payloads. */
+  def stratifiedSample(
+      df: DataFrame, strata: Seq[String], keyCol: String,
+      n: Int, salt: String): DataFrame = {
+    val ord = -conv(hashPrefix(col(keyCol), salt), 16, 10).cast("double")
+    Aggregators.groupTopK(
+      df.withColumn("__ord__", ord), strata, "__ord__", keyCol, n)
+      .drop("__ord__")
+  }
+}

@@ -120,6 +120,20 @@ object TextOps {
       .otherwise(array(concat_ws(" ", tk)))
   }
 
+  /** Word n-gram shingles WITHOUT the short-text fallback: a text with
+    * fewer than `n` tokens yields an EMPTY set. This is the right
+    * semantics for overlap tests ([[Contamination]]): a document
+    * shorter than the n-gram cannot contain one, whereas the
+    * [[shingles]] fallback would let two unrelated short snippets
+    * "overlap" on their whole text. */
+  def strictShingles(c: Column, n: Int): Column = {
+    val tk = tokens(normalized(c))
+    when(size(tk) >= n,
+      transform(sequence(lit(0), size(tk) - n),
+        i => concat_ws(" ", slice(tk, i + 1, lit(n)))))
+      .otherwise(array().cast("array<string>"))
+  }
+
   /** Character n-gram shingles. */
   def charShingles(c: Column, n: Int): Column = {
     val s = normalized(c)

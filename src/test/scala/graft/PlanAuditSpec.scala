@@ -59,6 +59,27 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(broadcasts >= 3, s"expected >=3 broadcast joins (customer/nation/region), got $broadcasts:\n$s")
   }
 
+  test("q_decontaminate joins stay hash-based — no pair enumeration anywhere") {
+    val s = planString(executed(SparkEntry.queries("q_decontaminate")(spark, dir)))
+    // the corpus side must reach the eval grams via semi-join and fold
+    // back via anti-join; a nested-loop/cartesian here would be the
+    // O(train × eval) plan this operator exists to avoid
+    assert(!s.contains("CartesianProduct"), s"cartesian product in:\n$s")
+    assert(!s.contains("BroadcastNestedLoopJoin"), s"nested-loop join in:\n$s")
+    assert(s.contains("LeftSemi"), s"no semi join in:\n$s")
+    assert(s.contains("LeftAnti"), s"no anti join in:\n$s")
+  }
+
+  test("q_sample_stratified uses bounded top-k buffers, not a window sort") {
+    val s = planString(executed(SparkEntry.queries("q_sample_stratified")(spark, dir)))
+    // the whole point of riding Aggregators.groupTopK: per-stratum
+    // selection must be a partial-combine aggregate, never a Window
+    // (which sorts every stratum of the corpus)
+    assert(!s.contains("Window"), s"window sort in stratified sample:\n$s")
+    assert(s.linesIterator.exists(l => l.contains("Aggregate") && l.contains("partial")),
+      s"no partial aggregate in:\n$s")
+  }
+
   test("q_session plans one grouping shuffle with partial session aggregation") {
     val s = planString(executed(SparkEntry.queries("q_session")(spark, dir)))
     // sort-merge session aggregation: partial HashAggregate below ONE

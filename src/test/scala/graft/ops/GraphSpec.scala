@@ -1,0 +1,80 @@
+package graft.ops
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Connected components (large-star/small-star) against a local
+  * union-find ground truth. */
+class GraphSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-graph-test")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  import spark.implicits._
+
+  private def cc(edges: Seq[(Long, Long)]): Map[Long, Long] =
+    Graph.connectedComponents(edges.toDF("src", "dst"), "src", "dst")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  /** Local union-find with path compression for ground truth. */
+  private def unionFind(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x
+      else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (a, b) =>
+      parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+    // root-relabel to the component MINIMUM, matching the contract
+    val byRoot = nodes.groupBy(find)
+    byRoot.flatMap { case (_, ns) => val m = ns.min; ns.map(_ -> m) }.toMap
+  }
+
+  test("chain collapses to one component rooted at the min") {
+    assert(cc(Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L))) ==
+      Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L))
+  }
+
+  test("separate components, duplicate/reversed edges, self-loops") {
+    val edges = Seq((10L, 20L), (20L, 10L), (10L, 10L), (20L, 20L),
+      (30L, 40L), (40L, 50L), (7L, 7L))
+    assert(cc(edges) == Map(
+      10L -> 10L, 20L -> 10L, 30L -> 30L, 40L -> 30L, 50L -> 30L, 7L -> 7L))
+  }
+
+  test("long chain (worst case for star contraction) converges") {
+    val n = 64
+    val edges = (1L until n).map(i => (i, i + 1))
+    val got = cc(edges)
+    assert(got.size == n)
+    assert(got.values.toSet == Set(1L))
+  }
+
+  test("random graph matches local union-find") {
+    val rnd = new scala.util.Random(42)
+    val edges = Seq.fill(120)((rnd.nextInt(80).toLong, rnd.nextInt(80).toLong))
+      .filter(e => e._1 != e._2)
+    assert(cc(edges) == unionFind(edges))
+  }
+
+  test("clusterDedup keeps exactly the component minima") {
+    val df = (0L to 9L).map(i => (i, s"doc$i")).toDF("id", "payload")
+    val pairs = Seq((0L, 1L), (1L, 2L), (5L, 6L)).toDF("id1", "id2")
+    val kept = Dedup.clusterDedup(df, "id", pairs)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(0L, 3L, 4L, 5L, 7L, 8L, 9L))
+    val clusters = Dedup.nearDupClusters(df, "id", pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(clusters == Map(0L -> 0L, 1L -> 0L, 2L -> 0L, 3L -> 3L, 4L -> 4L,
+      5L -> 5L, 6L -> 5L, 7L -> 7L, 8L -> 8L, 9L -> 9L))
+  }
+}

@@ -1,0 +1,97 @@
+package graft.ops
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class SamplingSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-sampling-test")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  import spark.implicits._
+
+  private def keys = spark.range(0, 2000).toDF("k")
+
+  test("hexThreshold: exact binary fractions give exact hex cuts") {
+    assert(Sampling.hexThreshold(0.75) == "c00000000000")
+    assert(Sampling.hexThreshold(0.875) == "e00000000000")
+    assert(Sampling.hexThreshold(0.5) == "800000000000")
+    assert(Sampling.hexThreshold(0.0) == "000000000000")
+    assert(Sampling.hexThreshold(1.0 / 16) == "100000000000")
+    intercept[IllegalArgumentException](Sampling.hexThreshold(1.0))
+  }
+
+  test("sampleByHash: deterministic across runs and near the fraction") {
+    val a = Sampling.sampleByHash(keys, col("k"), 0.25, ":s1")
+      .collect().map(_.getLong(0)).toSet
+    val b = Sampling.sampleByHash(keys, col("k"), 0.25, ":s1")
+      .collect().map(_.getLong(0)).toSet
+    assert(a == b)
+    // binomial(2000, 0.25): sd ~ 19; allow 5 sd
+    assert(math.abs(a.size - 500) < 100)
+    // a different salt draws an effectively independent sample
+    val c = Sampling.sampleByHash(keys, col("k"), 0.25, ":s2")
+      .collect().map(_.getLong(0)).toSet
+    assert(c != a)
+    // a smaller fraction with the same salt is a strict subset: the
+    // decision is "prefix < cut", so raising the cut only adds keys
+    val d = Sampling.sampleByHash(keys, col("k"), 0.1, ":s1")
+      .collect().map(_.getLong(0)).toSet
+    assert(d.subsetOf(a))
+  }
+
+  test("splitByHash: total, disjoint, deterministic, near weights") {
+    val labeled = keys.withColumn("split", Sampling.splitByHash(col("k"),
+      Seq("train" -> 0.75, "val" -> 0.125, "test" -> 0.125), ":sp"))
+    val counts = labeled.groupBy("split").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts.keySet == Set("train", "val", "test"))
+    assert(counts.values.sum == 2000)
+    assert(math.abs(counts("train") - 1500) < 120)
+    assert(math.abs(counts("val") - 250) < 90)
+    // weights need not sum to 1 — normalized internally
+    val norm = keys.withColumn("split", Sampling.splitByHash(col("k"),
+      Seq("a" -> 3.0, "b" -> 1.0), ":sp2"))
+      .groupBy("split").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(math.abs(norm("a") - 1500) < 120)
+  }
+
+  test("stratifiedSample: n per stratum, deterministic, sample changes with salt") {
+    val df = (0L until 400L).map(i => (i % 8, i)).toDF("g", "k")
+    val s1 = Sampling.stratifiedSample(df, Seq("g"), "k", 5, ":x")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(s1.size == 40)
+    assert(s1.groupBy(_._1).forall(_._2.size == 5))
+    val s2 = Sampling.stratifiedSample(df, Seq("g"), "k", 5, ":x")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(s1 == s2)
+    val s3 = Sampling.stratifiedSample(df, Seq("g"), "k", 5, ":y")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(s3 != s1)
+    // stratum smaller than n: all rows survive
+    val tiny = Seq((1L, 10L), (1L, 11L), (2L, 20L)).toDF("g", "k")
+    assert(Sampling.stratifiedSample(tiny, Seq("g"), "k", 5, ":x").count() == 3)
+  }
+
+  test("stratified hash order matches the oracle's (hex prefix, key) order") {
+    // the Spark side ranks by the NUMERIC 48-bit prefix; the oracle by
+    // the hex STRING — verify they agree on a concrete stratum
+    val df = (0L until 200L).map(i => (0L, i)).toDF("g", "k")
+    val got = Sampling.stratifiedSample(df, Seq("g"), "k", 7, ":o")
+      .collect().map(_.getLong(1)).toSet
+    val expected = (0L until 200L)
+      .sortBy { k =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+          .digest(s"$k:o".getBytes("UTF-8"))
+        (md.map("%02x".format(_)).mkString.take(12), k)
+      }
+      .take(7).toSet
+    assert(got == expected)
+  }
+}
