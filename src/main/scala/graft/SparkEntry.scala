@@ -746,6 +746,16 @@ object SparkEntry {
       ops.Sampling.stratifiedSample(
         t(s, dir, "events"), Seq("user_id"), "event_id", n = 5, salt = ":s42")
         .orderBy("user_id", "event_id")
+    },
+
+    "q_repetition" -> { (s, dir) =>
+      // intra-document repetition (duplicated-3-gram fraction) — the
+      // Gopher-style boilerplate signal; both engines compute the same
+      // int/int division so the double is bit-identical
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          ops.TextOps.repetitionRatio(col("text"), 3).as("rep_ratio"))
+        .orderBy("doc_id")
     }
   )
 
@@ -1298,6 +1308,22 @@ object SparkEntry {
         |  PARTITION BY user_id
         |  ORDER BY substr(md5(cast(event_id AS VARCHAR) || ':s42'), 1, 12),
         |           event_id) <= 5
-        |ORDER BY user_id, event_id""".stripMargin
+        |ORDER BY user_id, event_id""".stripMargin,
+
+    "q_repetition" ->
+      """WITH norm AS (
+        |  SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS s
+        |  FROM documents),
+        |tok AS (SELECT doc_id, string_split(s, ' ') AS tk FROM norm),
+        |grams AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(tk) >= 3
+        |         THEN list_transform(range(0, len(tk) - 2),
+        |                i -> array_to_string(tk[i + 1:i + 3], ' '))
+        |         ELSE [array_to_string(tk, ' ')] END AS g
+        |  FROM tok)
+        |SELECT doc_id,
+        |  1 - cast(len(list_distinct(g)) AS DOUBLE) / len(g) AS rep_ratio
+        |FROM grams ORDER BY doc_id""".stripMargin
   )
 }

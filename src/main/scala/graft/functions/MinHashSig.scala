@@ -152,4 +152,9 @@ object exprs {
   /** MinHash signature of char n-grams of a string column. */
   def minhash_char_sig(text: Column, n: Int, numHashes: Int): Column =
     Bridge.toColumn(MinHashCharSig(Bridge.toExpression(text), n, numHashes))
+
+  /** Distinct word n-gram hashes of a string column (see
+    * [[WordNgramHashes]]). */
+  def word_ngram_hashes(text: Column, n: Int, shortFallback: Boolean): Column =
+    Bridge.toColumn(WordNgramHashes(Bridge.toExpression(text), n, shortFallback))
 }

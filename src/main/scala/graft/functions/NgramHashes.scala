@@ -1,0 +1,127 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graftbridge.Bridge
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** DISTINCT 64-bit hashes of the word n-grams of a string, in one
+  * native pass: lowercase once, walk whitespace-delimited tokens, hash
+  * each token's bytes, and chain-combine each n-window of token hashes.
+  * No token array, no gram strings, no per-gram substring allocation.
+  *
+  * Why a custom expression (SURVEY §7.3 preference order): the
+  * composable form — explode(array_distinct(transform(sequence(...),
+  * i → concat_ws(slice(tokens, ...))))) — has TWO problems at corpus
+  * scale: higher-order functions run interpreted, and a generator's
+  * child expression is re-evaluated PER OUTPUT ROW (an exploded
+  * 50-gram document rebuilds the whole gram array 50 times — measured
+  * ~30x slowdown on the documents table). This expression is one
+  * tight loop per row and stays inside whole-stage codegen via a
+  * static call.
+  *
+  * Gram identity is the chained hash of the window's token hashes —
+  * NOT the hash of the joined gram string. Every consumer
+  * ([[graft.ops.Dedup.sharedShingleEdges]],
+  * [[graft.ops.Contamination]]) only joins these hashes against hashes
+  * from the same expression, so any injective-enough identity works;
+  * the DuckDB oracles join raw gram strings on their side and agree
+  * absent a 64-bit collision.
+  *
+  * `shortFallback` mirrors the two shingle semantics in
+  * [[graft.ops.TextOps]]: true = a text with fewer than `n` tokens
+  * yields ONE hash of all its tokens ([[graft.ops.TextOps.shingles]]);
+  * false = it yields nothing ([[graft.ops.TextOps.strictShingles]] —
+  * a document shorter than the gram cannot contain one).
+  */
+case class WordNgramHashes(child: Expression, n: Int, shortFallback: Boolean)
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case StringType => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"word_ngram_hashes expects string, got ${other.simpleString}")
+    }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "word_ngram_hashes"
+
+  override protected def nullSafeEval(input: Any): Any =
+    NgramHashesUtil.compute(input.asInstanceOf[UTF8String], n, shortFallback)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.NgramHashesUtil$$.MODULE$$.compute($c, $n, $shortFallback)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object NgramHashesUtil {
+
+  private final val TokenSeed = 42L
+  private final val ChainSeed = 7L
+
+  /** Whitespace per Java regex \s — the same separator class the
+    * composable `split(trim(x), "\\s+")` tokenizer uses. */
+  private def isWs(b: Byte): Boolean =
+    b == ' ' || b == '\t' || b == '\n' || b == '\r' || b == 0x0b || b == 0x0c
+
+  def compute(text: UTF8String, n: Int, shortFallback: Boolean): ArrayData = {
+    val lower = text.toLowerCase
+    val base = lower.getBaseObject
+    val off = lower.getBaseOffset
+    val nb = lower.numBytes()
+
+    // one pass: hash each whitespace-delimited token's bytes
+    var hashes = new Array[Long](16)
+    var nTok = 0
+    var i = 0
+    while (i < nb) {
+      while (i < nb && isWs(lower.getByte(i))) i += 1
+      if (i < nb) {
+        val start = i
+        while (i < nb && !isWs(lower.getByte(i))) i += 1
+        if (nTok == hashes.length) {
+          val grown = new Array[Long](hashes.length * 2)
+          System.arraycopy(hashes, 0, grown, 0, hashes.length)
+          hashes = grown
+        }
+        hashes(nTok) = XXH64.hashUnsafeBytes(base, off + start, i - start, TokenSeed)
+        nTok += 1
+      }
+    }
+
+    def window(from: Int, len: Int): Long = {
+      var g = ChainSeed
+      var k = from
+      val end = from + len
+      while (k < end) { g = XXH64.hashLong(hashes(k), g); k += 1 }
+      g
+    }
+
+    if (nTok < n) {
+      if (!shortFallback) return new GenericArrayData(Array.emptyLongArray)
+      // whole-text gram, like TextOps.shingles' fallback (an empty
+      // text hashes as the zero-token chain — equal only to other
+      // empty texts, matching concat_ws of an empty token list)
+      return new GenericArrayData(Array(window(0, nTok)))
+    }
+
+    val seen = new java.util.HashSet[java.lang.Long](nTok * 2)
+    val out = new Array[Long](nTok - n + 1)
+    var m = 0
+    var w = 0
+    while (w <= nTok - n) {
+      val g = window(w, n)
+      if (seen.add(g)) { out(m) = g; m += 1 }
+      w += 1
+    }
+    new GenericArrayData(java.util.Arrays.copyOf(out, m))
+  }
+}

@@ -14,20 +14,24 @@ import org.apache.spark.sql.functions._
   * never collected, never self-joined, and carries only (id, 64-bit
   * gram hash) through the one shuffle; the eval side is typically a
   * few thousand documents, so AQE turns the semi-join into a broadcast
-  * at runtime. Gram hashing (xxhash64) trades an astronomically
-  * unlikely false positive (~n²/2^64 over distinct grams — a dropped
-  * clean document, never a kept tainted one at these odds) for not
-  * shuffling raw n-gram strings.
+  * at runtime. Gram hashing ([[graft.functions.WordNgramHashes]] —
+  * one native pass per document) trades an astronomically unlikely
+  * false positive (~n²/2^64 over distinct grams — a dropped clean
+  * document, never a kept tainted one at these odds) for not building
+  * or shuffling raw n-gram strings.
   *
   * Documents with fewer than `gramN` tokens produce no grams
   * ([[TextOps.strictShingles]]) and therefore can never be tainted.
   */
 object Contamination {
 
+  // native one-pass gram hashing — see graft.functions.WordNgramHashes
+  // for why the composable strictShingles form is not used here
+  // (generator-child re-evaluation per output row)
   private def gramHashes(df: DataFrame, cols: Seq[String], textCol: String, gramN: Int): DataFrame =
     df.select(cols.map(col) :+
-      explode(array_distinct(TextOps.strictShingles(col(textCol), gramN))).as("__g__"): _*)
-      .select(cols.map(col) :+ xxhash64(col("__g__")).as("__h__"): _*)
+      explode(graft.functions.exprs.word_ngram_hashes(
+        col(textCol), gramN, shortFallback = false)).as("__h__"): _*)
 
   /** Ids of corpus documents sharing at least one `gramN`-gram with
     * `eval`. */

@@ -30,10 +30,19 @@ object Graph {
     * node: (`node` BIGINT, `component` BIGINT) where `component` is the
     * smallest node id in the node's component (so roots map to
     * themselves). Deterministic.
+    *
+    * Routing: a dedup graph is usually SPARSE relative to its corpus —
+    * at most a few edges per duplicated document — so when the
+    * normalized edge set fits comfortably on the driver
+    * (≤ `maxDriverEdges`), path-compressed union-find over one
+    * collect beats ~4 driver-synchronized rounds of distributed star
+    * contraction outright (two actions instead of ~a dozen; same
+    * answer, exactly). Larger graphs take the star-contraction loop —
+    * the price of the driver shortcut is one count we need anyway.
     */
   def connectedComponents(
       edges: DataFrame, srcCol: String, dstCol: String,
-      maxIter: Int = 50): DataFrame = {
+      maxIter: Int = 50, maxDriverEdges: Int = 4000000): DataFrame = {
 
     // normalize: distinct undirected edges, self-loops dropped, kept as
     // (larger, smaller) so the first small-star sees every edge
@@ -45,15 +54,46 @@ object Graph {
       .localCheckpoint(true)
 
     // the original node set — the star graphs at convergence drop
-    // fully-isolated roots' edges, but every node must appear in the
-    // output, so it is captured up front (one extra column-pruned scan
-    // of the input, cheaper than carrying sentinel self-loops through
-    // every round)
+    // fully-isolated roots' edges (and the normalize above drops
+    // self-loops), but every node must appear in the output
     val nodes = edges
       .select(explode(array(col(srcCol).cast("long"), col(dstCol).cast("long"))).as("node"))
       .filter(col("node").isNotNull)
       .distinct()
-      .localCheckpoint(true)
+
+    val spark = edges.sparkSession
+    val nEdges = e.count()
+    // node count is bounded by 2·edges except for self-loop-only nodes,
+    // which the normalize dropped — so guard on it independently before
+    // choosing the driver path
+    if (nEdges <= maxDriverEdges &&
+      nodes.limit(2 * maxDriverEdges + 1).count() <= 2L * maxDriverEdges) {
+      // driver path: collect the (bounded) edge and node sets, run
+      // path-compressed union-find, emit the assignments — two jobs
+      // total instead of ~a dozen driver-synchronized rounds
+      val parent = new java.util.HashMap[Long, Long]()
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrDefault(r, r) != r) r = parent.getOrDefault(r, r)
+        var c = x
+        while (parent.getOrDefault(c, c) != c) { val n = parent.getOrDefault(c, c); parent.put(c, r); c = n }
+        r
+      }
+      nodes.collect().foreach { row =>
+        val n = row.getLong(0); if (!parent.containsKey(n)) parent.put(n, n)
+      }
+      e.collect().foreach { row =>
+        val (a, b) = (row.getLong(0), row.getLong(1))
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent.put(math.max(ra, rb), math.min(ra, rb))
+      }
+      val out = new scala.collection.mutable.ArrayBuffer[(Long, Long)](parent.size())
+      parent.keySet().forEach(n => out += ((n, find(n))))
+      import spark.implicits._
+      return out.toSeq.toDF("node", "component")
+    }
+
+    val nodesCk = nodes.localCheckpoint(true)
 
     // large-star: per node u over the symmetrized neighborhood, connect
     // strictly larger neighbors to m = min(N(u) ∪ {u})
@@ -120,7 +160,7 @@ object Graph {
     require(converged && dupMembers == 0 && chainedRoots == 0,
       s"connectedComponents did not converge in $maxIter rounds")
 
-    nodes
+    nodesCk
       .join(e.select(col("u").as("node"), col("v").as("__c__")), Seq("node"), "left")
       .select(col("node"), coalesce(col("__c__"), col("node")).as("component"))
   }

@@ -120,6 +120,15 @@ object TextOps {
       .otherwise(array(concat_ws(" ", tk)))
   }
 
+  /** Fraction of duplicated word n-grams in the document (0 = no
+    * repetition, →1 = the same phrase over and over) — the standard
+    * intra-document repetition signal for corpus quality filtering.
+    * Texts shorter than `n` tokens score 0. Pure Column expression. */
+  def repetitionRatio(c: Column, n: Int): Column = {
+    val sh = shingles(c, n)
+    lit(1.0) - size(array_distinct(sh)).cast("double") / size(sh)
+  }
+
   /** Word n-gram shingles WITHOUT the short-text fallback: a text with
     * fewer than `n` tokens yields an EMPTY set. This is the right
     * semantics for overlap tests ([[Contamination]]): a document

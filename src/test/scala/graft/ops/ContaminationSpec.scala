@@ -43,6 +43,36 @@ class ContaminationSpec extends AnyFunSuite {
     assert(sh(1) == Seq("a b c d e f g h"))
   }
 
+  test("word_ngram_hashes agrees with the composable shingles on counts and equality") {
+    import org.apache.spark.sql.functions._
+    val texts = corpus.union(evalDf)
+    // distinct-gram COUNT must match the composable form in both modes
+    val counts = texts.select(
+      size(graft.functions.exprs.word_ngram_hashes(col("text"), 8, shortFallback = true)).as("nat"),
+      size(array_distinct(TextOps.shingles(col("text"), 8))).as("comp"),
+      size(graft.functions.exprs.word_ngram_hashes(col("text"), 8, shortFallback = false)).as("natS"),
+      size(array_distinct(TextOps.strictShingles(col("text"), 8))).as("compS"))
+      .collect()
+    counts.foreach { r =>
+      assert(r.getInt(0) == r.getInt(1), s"fallback-mode count mismatch: $r")
+      assert(r.getInt(2) == r.getInt(3), s"strict-mode count mismatch: $r")
+    }
+    // two docs share a native gram hash iff they share a raw 8-gram
+    def gramSets(strict: Boolean) = texts.select(col("doc_id"),
+      explode(graft.functions.exprs.word_ngram_hashes(col("text"), 8, !strict)).as("h"))
+      .collect().groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    def rawSets = texts.select(col("doc_id"),
+      TextOps.strictShingles(col("text"), 8).as("g"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toSet).toMap
+    val nat = gramSets(strict = true)
+    val raw = rawSets
+    for (a <- nat.keys; b <- nat.keys if a < b) {
+      val shareNative = (nat(a) & nat(b)).nonEmpty
+      val shareRaw = (raw(a) & raw(b)).nonEmpty
+      assert(shareNative == shareRaw, s"overlap disagreement for ($a, $b)")
+    }
+  }
+
   test("taintedIds finds exactly the docs sharing an 8-gram") {
     val tainted = Contamination.taintedIds(corpus, evalDf, "doc_id", "text")
       .collect().map(_.getLong(0)).toSet
@@ -53,6 +83,20 @@ class ContaminationSpec extends AnyFunSuite {
     val kept = Contamination.decontaminate(corpus, evalDf, "doc_id", "text")
     assert(kept.columns.toSeq == Seq("doc_id", "text"))
     assert(kept.select("doc_id").collect().map(_.getLong(0)).toSet == Set(1L, 2L, 3L))
+  }
+
+  test("repetitionRatio separates looping text from prose") {
+    import org.apache.spark.sql.functions.col
+    val d = Seq(
+      (1L, "buy now buy now buy now buy now buy now buy now"),
+      (2L, "a perfectly ordinary sentence with no repeated phrases inside it"),
+      (3L, "too short")
+    ).toDF("id", "text")
+      .select(col("id"), TextOps.repetitionRatio(col("text"), 3).as("r"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(d(1L) > 0.7)  // 12 tokens looping a 2-gram: nearly all 3-grams repeat
+    assert(d(2L) == 0.0)
+    assert(d(3L) == 0.0) // shorter than n -> whole-text shingle, ratio 0
   }
 
   test("a short eval doc taints nothing") {

@@ -16,9 +16,18 @@ class GraphSpec extends AnyFunSuite {
 
   import spark.implicits._
 
-  private def cc(edges: Seq[(Long, Long)]): Map[Long, Long] =
-    Graph.connectedComponents(edges.toDF("src", "dst"), "src", "dst")
+  // maxDriverEdges = 0 forces the distributed star-contraction path;
+  // the default exercises the driver union-find path. Every test runs
+  // BOTH and asserts they agree.
+  private def cc(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val df = edges.toDF("src", "dst")
+    val driver = Graph.connectedComponents(df, "src", "dst")
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val dist = Graph.connectedComponents(df, "src", "dst", maxDriverEdges = 0)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(driver == dist, "driver union-find and star contraction disagree")
+    driver
+  }
 
   /** Local union-find with path compression for ground truth. */
   private def unionFind(edges: Seq[(Long, Long)]): Map[Long, Long] = {
