@@ -1118,6 +1118,41 @@ final class Pipeline private (
   /** Append the whitespace token count ([[graft.ops.TextOps.tokenCount]]). */
   def withTokenCount(textCol: String, as: String = "n_tokens"): Pipeline =
     add(MapStep("tokenCount", _.withColumn(as, graft.ops.TextOps.tokenCount(col(textCol)))))
+
+  /** Append the duplicated-n-gram fraction
+    * ([[graft.ops.TextOps.repetitionRatio]] — boilerplate signal). */
+  def withRepetitionRatio(textCol: String, n: Int = 3, as: String = "rep_ratio"): Pipeline =
+    add(MapStep("repetitionRatio",
+      _.withColumn(as, graft.ops.TextOps.repetitionRatio(col(textCol), n))))
+
+  /** TRANSITIVE near-dedup: shared-`shingleN`-gram edges → connected
+    * components → keep the smallest `idCol` per duplicate cluster
+    * ([[graft.ops.Dedup.sharedShingleEdges]] + [[graft.ops.Dedup.clusterDedup]]). */
+  def dedupClusters(idCol: String, textCol: String, shingleN: Int = 8): Pipeline =
+    add(MapStep("dedupClusters", df =>
+      graft.ops.Dedup.clusterDedup(df, idCol,
+        graft.ops.Dedup.sharedShingleEdges(df, idCol, textCol, shingleN))))
+
+  /** Drop rows sharing a `gramN`-token gram with `eval`
+    * ([[graft.ops.Contamination.decontaminate]]). */
+  def decontaminate(
+      eval: DataFrame, idCol: String, textCol: String, gramN: Int = 8): Pipeline =
+    add(MapStep("decontaminate",
+      graft.ops.Contamination.decontaminate(_, eval, idCol, textCol, gramN)))
+
+  /** Keep ~`fraction` of rows decided per `keyCol` — rerun-stable
+    * ([[graft.ops.Sampling.sampleByHash]]). */
+  def sampleByHash(keyCol: String, fraction: Double, salt: String): Pipeline =
+    add(MapStep("sampleByHash",
+      graft.ops.Sampling.sampleByHash(_, col(keyCol), fraction, salt)))
+
+  /** Append a rerun-stable split label from `keyCol`
+    * ([[graft.ops.Sampling.splitByHash]]). */
+  def withSplit(
+      keyCol: String, weights: Seq[(String, Double)], salt: String,
+      as: String = "split"): Pipeline =
+    add(MapStep("split",
+      _.withColumn(as, graft.ops.Sampling.splitByHash(col(keyCol), weights, salt))))
 }
 
 /** gratum SortConfig (SortConfig.groovy:8-13) — see [[Pipeline.sortWith]]. */

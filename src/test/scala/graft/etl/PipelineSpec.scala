@@ -451,6 +451,32 @@ class PipelineSpec extends AnyFunSuite {
     assert(out.columns.contains("quality"))
   }
 
+  test("training-data verbs: cluster dedup, decontaminate, split, sample, repetition") {
+    val phrase = "one two three four five six seven eight"
+    val docs = Seq(
+      (1L, s"prefix $phrase middle words here to shingle"),
+      (2L, s"other start $phrase and a different tail text"), // shares the 8-gram with 1
+      (3L, "entirely distinct content that overlaps with nothing else at all"),
+      (4L, "buy now buy now buy now buy now buy now")
+    ).toDF("doc_id", "text")
+    val deduped = Pipeline.of(docs).dedupClusters("doc_id", "text").toDF
+    assert(deduped.select("doc_id").collect().map(_.getLong(0)).toSet == Set(1L, 3L, 4L))
+
+    val evalSet = Seq((9L, s"held out $phrase exactly")).toDF("doc_id", "text")
+    val clean = Pipeline.of(docs).decontaminate(evalSet, "doc_id", "text").toDF
+    assert(clean.select("doc_id").collect().map(_.getLong(0)).toSet == Set(3L, 4L))
+
+    val labeled = Pipeline.of(docs)
+      .withSplit("doc_id", Seq("train" -> 0.5, "test" -> 0.5), ":s")
+      .withRepetitionRatio("text")
+      .toDF
+    assert(labeled.columns.contains("split") && labeled.columns.contains("rep_ratio"))
+    assert(labeled.where(col("doc_id") === 4).head().getAs[Double]("rep_ratio") > 0.5)
+
+    val sampled = Pipeline.of(docs).sampleByHash("doc_id", 0.5, ":s").toDF
+    assert(sampled.count() <= 4)
+  }
+
   test("exchange: per-row sub-flow injects generated rows downstream") {
     import org.apache.spark.sql.Row
     val schema = StructType(Seq(
