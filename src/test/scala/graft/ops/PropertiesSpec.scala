@@ -119,6 +119,43 @@ class PropertiesSpec extends AnyFunSuite {
     }
   }
 
+  test("word_ngram_hashes matches the composable shingles on random texts") {
+    // messy texts: mixed case, repeated words, runs of varied whitespace,
+    // punctuation-bearing tokens, accents — the native tokenizer must
+    // agree with split(trim(normalized), "\\s+") everywhere
+    val messyWord: Gen[String] = Gen.oneOf(
+      "Alpha", "BETA", "gamma", "d.e,l;ta", "Épsilon", "zeta!", "η-eta", "x")
+    val ws: Gen[String] = Gen.oneOf(" ", "  ", "\t", "\n", " \r\n ")
+    val messyText: Gen[String] = for {
+      n <- Gen.chooseNum(0, 24)
+      words <- Gen.listOfN(n, messyWord)
+      seps <- Gen.listOfN(math.max(n - 1, 0), ws)
+      lead <- Gen.oneOf("", "  ", "\t")
+      trail <- Gen.oneOf("", " ", "\n")
+    } yield lead + (words, seps :+ "").zipped.map(_ + _).mkString + trail
+    forSamples(Gen.listOfN(12, messyText), 8) { texts =>
+      val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+      for (n <- Seq(2, 5); fallback <- Seq(true, false)) {
+        val shingle =
+          if (fallback) TextOps.shingles($"text", n) else TextOps.strictShingles($"text", n)
+        val rows = df.select($"id",
+          graft.functions.exprs.word_ngram_hashes($"text", n, fallback).as("nat"),
+          array_distinct(shingle).as("comp")).collect()
+        // per-text distinct-gram counts agree
+        rows.foreach { r =>
+          assert(r.getSeq[Long](1).size == r.getSeq[String](2).size,
+            s"count mismatch n=$n fallback=$fallback text=${texts(r.getLong(0).toInt)}")
+        }
+        // pairwise overlap agrees: shared native hash iff shared raw gram
+        val nat = rows.map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+        val raw = rows.map(r => r.getLong(0) -> r.getSeq[String](2).toSet).toMap
+        for (a <- nat.keys; b <- nat.keys if a < b)
+          assert((nat(a) & nat(b)).nonEmpty == (raw(a) & raw(b)).nonEmpty,
+            s"overlap mismatch n=$n fallback=$fallback pair=($a,$b)")
+      }
+    }
+  }
+
   test("exact dedup is idempotent and never increases rows") {
     forSamples(Gen.listOfN(12, text), 5) { texts =>
       {
