@@ -12,9 +12,9 @@ import org.apache.spark.sql.functions._
   * corpus side is then SEMI-joined against the eval grams and the
   * surviving ids anti-joined back. The corpus (the 100 TB side) is
   * never collected, never self-joined, and carries only (id, 64-bit
-  * gram hash) through the one shuffle; the eval side is typically a
-  * few thousand documents, so AQE turns the semi-join into a broadcast
-  * at runtime. Gram hashing ([[graft.functions.WordNgramHashes]] —
+  * gram hash) into the semi-join; the eval side is benchmark-sized,
+  * so its gram set is explicitly broadcast by default (see
+  * [[taintedIds]]). Gram hashing ([[graft.functions.WordNgramHashes]] —
   * one native pass per document) trades an astronomically unlikely
   * false positive (~n²/2^64 over distinct grams — a dropped clean
   * document, never a kept tainted one at these odds) for not building
@@ -34,20 +34,28 @@ object Contamination {
         col(textCol), gramN, shortFallback = false)).as("__h__"): _*)
 
   /** Ids of corpus documents sharing at least one `gramN`-gram with
-    * `eval`. */
+    * `eval`. `broadcastEval` (default) pins the eval gram set to the
+    * build side regardless of planner size estimates — an eval set is
+    * benchmark-sized, and a mis-estimate here would otherwise shuffle
+    * the ENTIRE corpus gram stream; disable it only for an eval side
+    * too large to broadcast, accepting the shuffle. */
   def taintedIds(
       corpus: DataFrame, eval: DataFrame,
-      idCol: String, textCol: String, gramN: Int = 8): DataFrame = {
+      idCol: String, textCol: String, gramN: Int = 8,
+      broadcastEval: Boolean = true): DataFrame = {
     val evalGrams = gramHashes(eval, Seq.empty, textCol, gramN)
       .select("__h__").distinct()
     gramHashes(corpus, Seq(idCol), textCol, gramN)
-      .join(evalGrams, Seq("__h__"), "left_semi")
+      .join(if (broadcastEval) broadcast(evalGrams) else evalGrams,
+        Seq("__h__"), "left_semi")
       .select(idCol).distinct()
   }
 
   /** The corpus minus every tainted document (all original columns). */
   def decontaminate(
       corpus: DataFrame, eval: DataFrame,
-      idCol: String, textCol: String, gramN: Int = 8): DataFrame =
-    corpus.join(taintedIds(corpus, eval, idCol, textCol, gramN), Seq(idCol), "left_anti")
+      idCol: String, textCol: String, gramN: Int = 8,
+      broadcastEval: Boolean = true): DataFrame =
+    corpus.join(taintedIds(corpus, eval, idCol, textCol, gramN, broadcastEval),
+      Seq(idCol), "left_anti")
 }

@@ -301,26 +301,24 @@ object Dedup {
     * equi-join shuffle, both on (gram hash); never all-pairs. */
   def sharedShingleEdges(
       df: DataFrame, idCol: String, textCol: String,
-      shingleN: Int = 8, maxDocsPerGram: Int = 1000): DataFrame = {
+      shingleN: Int = 8, maxDocsPerGram: Int = 1000,
+      materialize: Boolean = true): DataFrame = {
     // same cap machinery as LshBlocking.candidatePairs: the gram
     // frequency is a sort-free COUNT aggregate (never a collected id
     // list — a boilerplate gram must not materialize its doc set
     // anywhere), oversized grams are dropped via semi-join, and the
-    // self-join runs on the same (hash) partitioning. The (id, hash)
-    // frame is persisted across its three uses so the shingle explode
-    // runs once. Unpersisted before returning; the result is
-    // materialized (localCheckpoint) like LshBlocking's.
-    // native one-pass gram hashing (graft.functions.WordNgramHashes):
-    // the composable explode(array_distinct(shingles)) rebuilds the
-    // gram array once PER OUTPUT ROW (generator-child re-evaluation)
-    // and runs its higher-order transform interpreted — measured ~30x
-    // slower on the documents table
-    val grams = spreadByKey(df, idCol, textCol)
-      .select(col("__id__"),
-        explode(graft.functions.exprs.word_ngram_hashes(
-          col("__t__"), shingleN, shortFallback = true)).as("__h__"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try {
+    // self-join runs on the same (hash) partitioning. Gram hashing is
+    // one native pass (graft.functions.WordNgramHashes): the
+    // composable explode(array_distinct(shingles)) rebuilds the gram
+    // array once PER OUTPUT ROW (generator-child re-evaluation) and
+    // runs its higher-order transform interpreted — measured ~30x
+    // slower on the documents table.
+    // materialize=true (default): the (id, hash) frame is persisted
+    // across its three uses and the result localCheckpoint'ed like
+    // LshBlocking's, so downstream iteration (connected components)
+    // never re-runs the explode. false returns the LAZY plan — for
+    // composition into a larger single-action query or plan audits.
+    def pairs(grams: DataFrame): DataFrame = {
       val goodGrams = grams.groupBy("__h__").agg(count(lit(1)).as("__n__"))
         .filter(col("__n__").between(2, maxDocsPerGram))
         .select("__h__")
@@ -330,8 +328,17 @@ object Dedup {
         .filter(col("id1") < col("id2"))
         .select("id1", "id2")
         .distinct()
-        .localCheckpoint(true)
-    } finally grams.unpersist(false)
+    }
+    val grams = spreadByKey(df, idCol, textCol)
+      .select(col("__id__"),
+        explode(graft.functions.exprs.word_ngram_hashes(
+          col("__t__"), shingleN, shortFallback = true)).as("__h__"))
+    if (!materialize) pairs(grams)
+    else {
+      val cached = grams.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try pairs(cached).localCheckpoint(true)
+      finally cached.unpersist(false)
+    }
   }
 
   /** Cluster assignment from a near-dup pair set: connected components

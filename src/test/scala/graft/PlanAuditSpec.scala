@@ -68,6 +68,25 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!s.contains("BroadcastNestedLoopJoin"), s"nested-loop join in:\n$s")
     assert(s.contains("LeftSemi"), s"no semi join in:\n$s")
     assert(s.contains("LeftAnti"), s"no anti join in:\n$s")
+    // the eval gram set must be the BROADCAST side of the semi-join —
+    // a shuffle here would move the whole corpus gram stream
+    assert(s.linesIterator.exists(l => l.contains("BroadcastHashJoin") && l.contains("LeftSemi")),
+      s"eval grams not broadcast:\n$s")
+  }
+
+  test("sharedShingleEdges plans as equi-join + capped aggregate") {
+    // audit the LAZY form — the gate query materializes the edge set
+    // eagerly, so its final executed plan no longer contains the build
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val s = planString(executed(graft.ops.Dedup.sharedShingleEdges(
+      docs, "doc_id", "text", materialize = false)))
+    assert(!s.contains("CartesianProduct"), s"cartesian product in:\n$s")
+    assert(!s.contains("BroadcastNestedLoopJoin"), s"nested-loop join in:\n$s")
+    // gram-frequency cap is a hash aggregate + semi-join, never a
+    // window sort or a collected id list
+    assert(!s.contains("Window"), s"window in edge build:\n$s")
+    assert(s.contains("LeftSemi"), s"no capping semi join in:\n$s")
+    assert(!s.contains("collect_"), s"collected id list in edge build:\n$s")
   }
 
   test("q_sample_stratified uses bounded top-k buffers, not a window sort") {
