@@ -72,6 +72,8 @@ object Sampling {
     * window sort of each stratum. The hash order uses the NUMERIC value
     * of the 48-bit prefix (exact in a Double), which equals hex-string
     * order; ties on the full 48 bits fall back to `keyCol` ascending.
+    * `keyCol` must be integral (the top-k buffers carry it as LONG —
+    * a string key would hash fine but cast to null on output).
     * Returns (strata..., keyCol) — project/join back for payloads. */
   def stratifiedSample(
       df: DataFrame, strata: Seq[String], keyCol: String,
