@@ -1312,18 +1312,19 @@ object SparkEntry {
 
     "q_repetition" ->
       """WITH norm AS (
-        |  SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS s
+        |  SELECT doc_id, text, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS s
         |  FROM documents),
-        |tok AS (SELECT doc_id, string_split(s, ' ') AS tk FROM norm),
+        |tok AS (SELECT doc_id, text, string_split(s, ' ') AS tk FROM norm),
         |grams AS (
-        |  SELECT doc_id,
+        |  SELECT doc_id, text,
         |    CASE WHEN len(tk) >= 3
         |         THEN list_transform(range(0, len(tk) - 2),
         |                i -> array_to_string(tk[i + 1:i + 3], ' '))
         |         ELSE [array_to_string(tk, ' ')] END AS g
         |  FROM tok)
         |SELECT doc_id,
-        |  1 - cast(len(list_distinct(g)) AS DOUBLE) / len(g) AS rep_ratio
+        |  CASE WHEN text IS NULL THEN NULL
+        |       ELSE 1 - cast(len(list_distinct(g)) AS DOUBLE) / len(g) END AS rep_ratio
         |FROM grams ORDER BY doc_id""".stripMargin
   )
 }

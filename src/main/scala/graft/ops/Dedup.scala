@@ -351,10 +351,15 @@ object Dedup {
   def nearDupClusters(
       df: DataFrame, idCol: String, pairs: DataFrame,
       id1: String = "id1", id2: String = "id2"): DataFrame = {
+    // joined under a temp name so re-clustering a frame that already
+    // HAS a cluster_id column (a second dedup pass) replaces it
+    // instead of failing with an ambiguous reference
     val comp = Graph.connectedComponents(pairs, id1, id2)
-      .select(col("node").as(idCol), col("component").as("cluster_id"))
-    df.join(comp, Seq(idCol), "left")
-      .withColumn("cluster_id", coalesce(col("cluster_id"), col(idCol).cast("long")))
+      .select(col("node").as(idCol), col("component").as("__cluster__"))
+    df.drop("cluster_id")
+      .join(comp, Seq(idCol), "left")
+      .withColumn("cluster_id", coalesce(col("__cluster__"), col(idCol).cast("long")))
+      .drop("__cluster__")
   }
 
   /** Transitive near-dup removal: keep exactly one document (the

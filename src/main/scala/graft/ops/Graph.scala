@@ -55,19 +55,24 @@ object Graph {
 
     // the original node set — the star graphs at convergence drop
     // fully-isolated roots' edges (and the normalize above drops
-    // self-loops), but every node must appear in the output
+    // self-loops), but every node must appear in the output.
+    // Checkpointed immediately: it is read up to three times (path
+    // guard, driver collect / distributed final join), and each read
+    // would otherwise re-execute the caller's whole edge pipeline.
+    // (With the `e` normalize above, an unmaterialized `edges` input is
+    // thus executed exactly twice.)
     val nodes = edges
       .select(explode(array(col(srcCol).cast("long"), col(dstCol).cast("long"))).as("node"))
       .filter(col("node").isNotNull)
       .distinct()
+      .localCheckpoint(true)
 
     val spark = edges.sparkSession
     val nEdges = e.count()
     // node count is bounded by 2·edges except for self-loop-only nodes,
     // which the normalize dropped — so guard on it independently before
     // choosing the driver path
-    if (nEdges <= maxDriverEdges &&
-      nodes.limit(2 * maxDriverEdges + 1).count() <= 2L * maxDriverEdges) {
+    if (nEdges <= maxDriverEdges && nodes.count() <= 2L * maxDriverEdges) {
       // driver path: collect the (bounded) edge and node sets, run
       // path-compressed union-find, emit the assignments — two jobs
       // total instead of ~a dozen driver-synchronized rounds
@@ -93,7 +98,6 @@ object Graph {
       return out.toSeq.toDF("node", "component")
     }
 
-    val nodesCk = nodes.localCheckpoint(true)
 
     // large-star: per node u over the symmetrized neighborhood, connect
     // strictly larger neighbors to m = min(N(u) ∪ {u})
@@ -153,14 +157,20 @@ object Graph {
     // the checksum shortcut above must not be able to silently emit a
     // node in two clusters. Two bounded aggregates over the final
     // (already tiny) edge set.
+    require(converged,
+      s"connectedComponents did not converge in $maxIter rounds")
     val dupMembers = e.groupBy("u").agg(count(lit(1)).as("n"))
       .filter(col("n") > 1).limit(1).count()
+    require(dupMembers == 0,
+      "connectedComponents fixed point is not a star graph: a node has two roots " +
+        "(checksum convergence masked a real change — report this)")
     val chainedRoots = e.select(col("v").as("u"))
       .join(e.select("u"), Seq("u"), "left_semi").limit(1).count()
-    require(converged && dupMembers == 0 && chainedRoots == 0,
-      s"connectedComponents did not converge in $maxIter rounds")
+    require(chainedRoots == 0,
+      "connectedComponents fixed point is not a star graph: a root is itself a member " +
+        "(checksum convergence masked a real change — report this)")
 
-    nodesCk
+    nodes
       .join(e.select(col("u").as("node"), col("v").as("__c__")), Seq("node"), "left")
       .select(col("node"), coalesce(col("__c__"), col("node")).as("component"))
   }

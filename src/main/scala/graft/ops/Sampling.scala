@@ -61,7 +61,12 @@ object Sampling {
     val cuts = weights.init.scanLeft(0.0) { case (acc, (_, w)) => acc + w / total }.tail
     val branches = weights.init.map(_._1).zip(cuts)
     branches.foldRight(lit(weights.last._1): Column) { case ((label, cut), els) =>
-      when(h < lit(hexThreshold(cut)), lit(label)).otherwise(els)
+      // a cumulative cut can ROUND to >= 1.0 when a tail weight is
+      // negligibly small; "g" sorts above every hex digit, so the
+      // branch then takes everything — the correct limit semantics —
+      // instead of hexThreshold throwing
+      val cutLit = if (cut >= 1.0) "g" else hexThreshold(cut)
+      when(h < lit(cutLit), lit(label)).otherwise(els)
     }
   }
 

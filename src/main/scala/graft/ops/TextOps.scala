@@ -123,10 +123,21 @@ object TextOps {
   /** Fraction of duplicated word n-grams in the document (0 = no
     * repetition, →1 = the same phrase over and over) — the standard
     * intra-document repetition signal for corpus quality filtering.
-    * Texts shorter than `n` tokens score 0. Pure Column expression. */
+    * Texts shorter than `n` tokens score 0; NULL in, NULL out.
+    *
+    * The distinct-gram count rides the native
+    * [[graft.functions.WordNgramHashes]] (one codegen pass) and the
+    * total count is arithmetic on the token count — the composable
+    * `size(array_distinct(shingles))/size(shingles)` form would build
+    * the interpreted gram array twice per row. Both counts are exact
+    * integers, so the single division stays bit-identical to the
+    * oracle's. */
   def repetitionRatio(c: Column, n: Int): Column = {
-    val sh = shingles(c, n)
-    lit(1.0) - size(array_distinct(sh)).cast("double") / size(sh)
+    val tc = tokenCount(c)
+    val total = when(tc >= n, tc - n + 1).otherwise(lit(1))
+    val distinctGrams = size(graft.functions.exprs.word_ngram_hashes(c, n, shortFallback = true))
+    when(c.isNull, lit(null).cast("double"))
+      .otherwise(lit(1.0) - distinctGrams.cast("double") / total)
   }
 
   /** Word n-gram shingles WITHOUT the short-text fallback: a text with

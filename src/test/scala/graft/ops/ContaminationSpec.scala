@@ -97,6 +97,12 @@ class ContaminationSpec extends AnyFunSuite {
     assert(d(1L) > 0.7)  // 12 tokens looping a 2-gram: nearly all 3-grams repeat
     assert(d(2L) == 0.0)
     assert(d(3L) == 0.0) // shorter than n -> whole-text shingle, ratio 0
+    // NULL in, NULL out (and it must agree with the composable form's
+    // duplicate fraction on non-null rows — checked via the oracle gate)
+    import org.apache.spark.sql.functions.col
+    val nullRow = Seq((9L, null: String)).toDF("id", "text")
+      .select(TextOps.repetitionRatio(col("text"), 3)).head()
+    assert(nullRow.isNullAt(0))
   }
 
   test("a short eval doc taints nothing") {

@@ -86,4 +86,15 @@ class GraphSpec extends AnyFunSuite {
     assert(clusters == Map(0L -> 0L, 1L -> 0L, 2L -> 0L, 3L -> 3L, 4L -> 4L,
       5L -> 5L, 6L -> 5L, 7L -> 7L, 8L -> 8L, 9L -> 9L))
   }
+
+  test("nearDupClusters replaces an existing cluster_id column on a second pass") {
+    val df = (0L to 4L).map(i => (i, s"doc$i")).toDF("id", "payload")
+    val first = Dedup.nearDupClusters(df, "id", Seq((0L, 1L)).toDF("id1", "id2"))
+    // second pass over the already-clustered frame with new pairs
+    val second = Dedup.nearDupClusters(first, "id", Seq((3L, 4L)).toDF("id1", "id2"))
+    val got = second.select("id", "cluster_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(0L -> 0L, 1L -> 1L, 2L -> 2L, 3L -> 3L, 4L -> 3L))
+    assert(second.columns.count(_ == "cluster_id") == 1)
+  }
 }

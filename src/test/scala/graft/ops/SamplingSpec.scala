@@ -62,6 +62,18 @@ class SamplingSpec extends AnyFunSuite {
     assert(math.abs(norm("a") - 1500) < 120)
   }
 
+  test("splitByHash: negligible tail weight degrades gracefully, never throws") {
+    // 0.5 + 0.5 dwarf 1e-17, so the second cumulative cut rounds to
+    // 1.0 — the "c" label then gets ~nothing rather than crashing
+    val counts = keys.withColumn("split", Sampling.splitByHash(col("k"),
+      Seq("a" -> 0.5, "b" -> 0.5, "c" -> 1e-17), ":tiny"))
+      .groupBy("split").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts.values.sum == 2000)
+    assert(counts.getOrElse("c", 0L) == 0L)
+    assert(math.abs(counts("a") - 1000) < 120)
+  }
+
   test("stratifiedSample: n per stratum, deterministic, sample changes with salt") {
     val df = (0L until 400L).map(i => (i % 8, i)).toDF("g", "k")
     val s1 = Sampling.stratifiedSample(df, Seq("g"), "k", 5, ":x")
