@@ -54,6 +54,27 @@ class MinHashSigSpec extends AnyFunSuite {
     assert(viaCodegen == interpreted)
   }
 
+  test("word_ngram_hashes: interpreted matches codegen; null yields null") {
+    val df = Seq((1L, "one two three four five"), (2L, "a b")).toDF("id", "t")
+    def eval() = df.select($"id", exprs.word_ngram_hashes($"t", 3, shortFallback = true))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val viaCodegen = eval()
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    val interpreted =
+      try eval()
+      finally {
+        spark.conf.set("spark.sql.codegen.wholeStage", "true")
+        spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+      }
+    assert(viaCodegen == interpreted)
+    assert(viaCodegen(1L).size == 3)
+    assert(viaCodegen(2L).size == 1) // fallback gram
+    val nul = Seq((1L, null: String)).toDF("id", "t")
+      .select(exprs.word_ngram_hashes($"t", 3, shortFallback = true)).head()
+    assert(nul.isNullAt(0))
+  }
+
   test("null input row yields null; empty set yields MaxValue minima") {
     val df = Seq((1L, Option(Seq("a"))), (2L, Option.empty[Seq[String]]))
       .toDF("id", "sh")

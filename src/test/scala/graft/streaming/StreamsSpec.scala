@@ -50,6 +50,33 @@ class StreamsSpec extends AnyFunSuite {
     assert(s.size >= b.size / 2)
   }
 
+  test("stateless corpus ops (repetition/sampling/langid) are streaming-identical") {
+    // the text-quality and consistent-sampling family is pure
+    // projection/filter — it must produce EXACTLY the batch result
+    // when applied to an unbounded source
+    val docs = graft.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+      .select("doc_id", "text")
+    val dir = Files.createTempDirectory("graft-stream-docs").toString
+    docs.write.mode("overwrite").parquet(dir)
+
+    def enrich(df: org.apache.spark.sql.DataFrame) =
+      graft.ops.Sampling.sampleByHash(df, col("doc_id"), 0.5, ":st")
+        .select(col("doc_id"),
+          graft.ops.TextOps.repetitionRatio(col("text"), 3).as("rep"),
+          graft.ops.TextOps.langId(col("text")).as("lang"),
+          graft.ops.Sampling.splitByHash(col("doc_id"),
+            Seq("train" -> 0.75, "test" -> 0.25), ":sp").as("split"))
+
+    Streams.runToMemory(
+      enrich(Streams.parquetStream(spark, dir, docs.schema)), "corpus_ops")
+    val streamed = spark.table("corpus_ops").collect()
+      .map(r => r.getLong(0) -> (r.getDouble(1), r.getString(2), r.getString(3))).toMap
+    val batch = enrich(docs).collect()
+      .map(r => r.getLong(0) -> (r.getDouble(1), r.getString(2), r.getString(3))).toMap
+    assert(streamed.nonEmpty)
+    assert(streamed == batch)
+  }
+
   test("dedupExact drops later copies of the same fingerprint, keeps distinct docs") {
     val dir = Files.createTempDirectory("graft-stream3").toString
     val docs = Seq(
