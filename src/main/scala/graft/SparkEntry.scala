@@ -756,6 +756,17 @@ object SparkEntry {
         .select(col("doc_id"),
           ops.TextOps.repetitionRatio(col("text"), 3).as("rep_ratio"))
         .orderBy("doc_id")
+    },
+
+    "q_pack" -> { (s, dir) =>
+      // concat-and-chunk sequence packing: exact global token prefix
+      // sum via order-aligned buckets + per-bucket windows (never one
+      // global window partition), then 512-token shard assignment
+      val docs = t(s, dir, "documents")
+        .withColumn("n_tokens", ops.TextOps.tokenCount(col("text")).cast(LongType))
+      ops.Packing.assignShards(docs, "doc_id", "n_tokens", budget = 512, bucketWidth = 100)
+        .select(col("doc_id"), col("cum_before"), col("shard_id"))
+        .orderBy("doc_id")
     }
   )
 
@@ -1325,6 +1336,21 @@ object SparkEntry {
         |SELECT doc_id,
         |  CASE WHEN text IS NULL THEN NULL
         |       ELSE 1 - cast(len(list_distinct(g)) AS DOUBLE) / len(g) END AS rep_ratio
-        |FROM grams ORDER BY doc_id""".stripMargin
+        |FROM grams ORDER BY doc_id""".stripMargin,
+
+    "q_pack" ->
+      """WITH tok AS (
+        |  SELECT doc_id,
+        |    cast(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id,
+        |    cast(coalesce(sum(n_tokens) OVER (
+        |      ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS BIGINT) AS cum_before
+        |  FROM tok)
+        |SELECT doc_id, cum_before,
+        |  cast(cum_before // 512 AS BIGINT) AS shard_id
+        |FROM c ORDER BY doc_id""".stripMargin
   )
 }

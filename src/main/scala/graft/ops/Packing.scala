@@ -1,0 +1,73 @@
+package graft.ops
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame}
+
+/** Sequence packing for training shards: documents are conceptually
+  * concatenated in `orderCol` order and chunked every `budget` tokens;
+  * each document is assigned the shard its first token lands in
+  * (concat-and-chunk packing). The primitive underneath is an EXACT
+  * global running total — the textbook formulation
+  * (`sum over (ORDER BY orderCol)`) plans as ONE partition holding the
+  * entire corpus, the classic global-window bottleneck.
+  *
+  * Scale shape instead: order-aligned buckets (`orderCol div
+  * bucketWidth`), per-bucket partial sums pulled to the driver (one
+  * bounded row per bucket — guarded), exclusive prefix offsets
+  * broadcast back, and a per-BUCKET window cumsum (many small ordered
+  * partitions in parallel, never one global one). Deterministic and
+  * bit-exact vs the naive window for integral weights.
+  */
+object Packing {
+
+  /** Above this many buckets the per-bucket offsets stop being driver
+    * material — choose a wider `bucketWidth`. */
+  private val maxBuckets = 4000000
+
+  /** Adds `cum_before` = sum of `weightCol` over all rows strictly
+    * before this one in `orderCol` order (exclusive prefix sum).
+    * `orderCol` must be integral and unique; `bucketWidth` groups
+    * consecutive keys into one ordered partition each. */
+  def globalCumsum(
+      df: DataFrame, orderCol: String, weightCol: String,
+      bucketWidth: Long = 100000): DataFrame = {
+    require(bucketWidth > 0, "bucketWidth must be positive")
+    val bucketed = df.withColumn("__b__",
+      floor(col(orderCol).cast("long") / bucketWidth))
+
+    // one bounded row per bucket -> exclusive prefix offset per bucket
+    val sums = bucketed.groupBy("__b__")
+      .agg(sum(col(weightCol).cast("long")).as("__s__"))
+      .orderBy("__b__")
+      .limit(maxBuckets + 1)
+      .collect()
+    require(sums.length <= maxBuckets,
+      s"more than $maxBuckets buckets at bucketWidth=$bucketWidth — widen the bucket")
+    var acc = 0L
+    val offsets = sums.map { r =>
+      val o = (r.getLong(0), acc); acc += r.getLong(1); o
+    }
+    val spark = df.sparkSession
+    import spark.implicits._
+    val offsetDf = broadcast(offsets.toSeq.toDF("__b__", "__off__"))
+
+    // within-bucket exclusive cumsum: many SMALL ordered partitions
+    val w = Window.partitionBy("__b__").orderBy(orderCol)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    bucketed.join(offsetDf, Seq("__b__"))
+      .withColumn("cum_before",
+        col("__off__") + coalesce(sum(col(weightCol).cast("long")).over(w), lit(0L)))
+      .drop("__b__", "__off__")
+  }
+
+  /** Adds `shard_id` = `budget`-token chunk index of the document's
+    * first token under concat-and-chunk packing in `orderCol` order. */
+  def assignShards(
+      df: DataFrame, orderCol: String, weightCol: String,
+      budget: Long, bucketWidth: Long = 100000): DataFrame = {
+    require(budget > 0, "budget must be positive")
+    globalCumsum(df, orderCol, weightCol, bucketWidth)
+      .withColumn("shard_id", floor(col("cum_before") / budget))
+  }
+}

@@ -99,6 +99,17 @@ class PlanAuditSpec extends AnyFunSuite {
       s"no partial aggregate in:\n$s")
   }
 
+  test("q_pack's prefix sum windows are bucket-partitioned, never global") {
+    val s = planString(executed(SparkEntry.queries("q_pack")(spark, dir)))
+    // a window spec without partitioning pulls the whole corpus into
+    // one task — the exact bottleneck Packing.globalCumsum exists to
+    // avoid; every window here must be partitioned on the bucket
+    val windows = s.linesIterator.filter(_.contains("windowspecdefinition")).toSeq
+    assert(windows.nonEmpty, s"no window in plan:\n$s")
+    windows.foreach(l =>
+      assert(l.contains("__b__"), s"unpartitioned (global) window: $l"))
+  }
+
   test("q_session plans one grouping shuffle with partial session aggregation") {
     val s = planString(executed(SparkEntry.queries("q_session")(spark, dir)))
     // sort-merge session aggregation: partial HashAggregate below ONE

@@ -1,0 +1,66 @@
+package graft.ops
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class PackingSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-packing-test")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  import spark.implicits._
+
+  // sparse, unordered ids (incl. a gap and unsorted input order)
+  private def df = Seq(
+    (7L, 3L), (1L, 10L), (12L, 1L), (3L, 5L), (8L, 0L), (25L, 4L), (2L, 7L))
+    .toDF("id", "w")
+
+  private def naive = {
+    val w = Window.orderBy("id").rowsBetween(Window.unboundedPreceding, -1)
+    df.withColumn("cum_before", coalesce(sum(col("w")).over(w), lit(0L)))
+      .select("id", "cum_before")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+
+  test("globalCumsum equals the naive global window at every bucket width") {
+    val expected = naive
+    for (width <- Seq(1L, 2L, 7L, 100L, 100000L)) {
+      val got = Packing.globalCumsum(df, "id", "w", width)
+        .select("id", "cum_before")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == expected, s"bucketWidth=$width")
+    }
+  }
+
+  test("assignShards chunks by the first-token position") {
+    // ordered weights: 10,7,5,3,0,1,4 -> exclusive cumsums 0,10,17,22,25,25,26
+    val got = Packing.assignShards(df, "id", "w", budget = 10, bucketWidth = 3)
+      .select("id", "shard_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 0L, 2L -> 1L, 3L -> 1L, 7L -> 2L, 8L -> 2L, 12L -> 2L, 25L -> 2L))
+  }
+
+  test("random weights match the naive window (seeded)") {
+    val rnd = new scala.util.Random(7)
+    val rows = (0L until 500L).map(i => (i * 3 + rnd.nextInt(2), rnd.nextInt(50).toLong))
+      .distinctBy(_._1)
+    val d = rows.toDF("id", "w")
+    val w = Window.orderBy("id").rowsBetween(Window.unboundedPreceding, -1)
+    val expected = d.withColumn("c", coalesce(sum(col("w")).over(w), lit(0L)))
+      .select("id", "c").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val got = Packing.globalCumsum(d, "id", "w", 37)
+      .select("id", "cum_before").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == expected)
+  }
+
+  test("bucket guard and argument validation") {
+    intercept[IllegalArgumentException](Packing.globalCumsum(df, "id", "w", 0))
+    intercept[IllegalArgumentException](Packing.assignShards(df, "id", "w", budget = 0))
+  }
+}
