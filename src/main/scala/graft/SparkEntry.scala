@@ -767,6 +767,19 @@ object SparkEntry {
       ops.Packing.assignShards(docs, "doc_id", "n_tokens", budget = 512, bucketWidth = 100)
         .select(col("doc_id"), col("cum_before"), col("shard_id"))
         .orderBy("doc_id")
+    },
+
+    "q_redact" -> { (s, dir) =>
+      // PII scrub: the corpus has no planted PII, so both engines
+      // append the same synthetic email + phone per doc, then redact —
+      // proving pattern parity and replacement framing end to end
+      val withPii = t(s, dir, "documents").select(col("doc_id"),
+        concat(col("text"), lit(" contact user"), col("doc_id"),
+          lit("@example.com or 555-123-4567 now")).as("text"))
+      withPii.select(col("doc_id"),
+        ops.TextOps.matchCount(col("text"), ops.TextOps.emailPattern).as("n_emails"),
+        md5(ops.TextOps.redactPii(col("text"))).as("redacted_md5"))
+        .orderBy("doc_id")
     }
   )
 
@@ -1351,6 +1364,21 @@ object SparkEntry {
         |  FROM tok)
         |SELECT doc_id, cum_before,
         |  cast(cum_before // 512 AS BIGINT) AS shard_id
-        |FROM c ORDER BY doc_id""".stripMargin
+        |FROM c ORDER BY doc_id""".stripMargin,
+
+    // patterns interpolated from TextOps — one source of truth; both
+    // engines append the same synthetic PII then scrub it
+    "q_redact" ->
+      s"""WITH pii AS (
+         |  SELECT doc_id,
+         |    text || ' contact user' || cast(doc_id AS VARCHAR)
+         |      || '@example.com or 555-123-4567 now' AS text
+         |  FROM documents)
+         |SELECT doc_id,
+         |  cast(len(regexp_extract_all(text, '${ops.TextOps.emailPattern}')) AS INTEGER) AS n_emails,
+         |  md5(regexp_replace(regexp_replace(text,
+         |      '${ops.TextOps.emailPattern}', '<EMAIL>', 'g'),
+         |      '${ops.TextOps.phonePattern}', '<PHONE>', 'g')) AS redacted_md5
+         |FROM pii ORDER BY doc_id""".stripMargin
   )
 }

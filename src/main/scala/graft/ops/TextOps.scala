@@ -140,6 +140,26 @@ object TextOps {
       .otherwise(lit(1.0) - distinctGrams.cast("double") / total)
   }
 
+  /** Engine-portable PII patterns: deliberately plain regex (no
+    * lookaround, no backrefs) so the same pattern string runs
+    * identically on Java regex and RE2-family engines — redaction must
+    * be reproducible by whatever audits the output corpus. */
+  val emailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val phonePattern = "\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b"
+
+  /** Replace every match of `pattern` with `token`. */
+  def redact(c: Column, pattern: String, token: String): Column =
+    regexp_replace(c, pattern, token)
+
+  /** Count of matches of `pattern` (for redaction accounting). */
+  def matchCount(c: Column, pattern: String): Column =
+    size(regexp_extract_all(c, lit(pattern), lit(0)))
+
+  /** Scrub emails then phone numbers — the standard corpus privacy
+    * pass. Pure codegen'd regexp_replace chain, no UDFs. */
+  def redactPii(c: Column): Column =
+    redact(redact(c, emailPattern, "<EMAIL>"), phonePattern, "<PHONE>")
+
   /** Word n-gram shingles WITHOUT the short-text fallback: a text with
     * fewer than `n` tokens yields an EMPTY set. This is the right
     * semantics for overlap tests ([[Contamination]]): a document

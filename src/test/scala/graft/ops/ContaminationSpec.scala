@@ -105,6 +105,22 @@ class ContaminationSpec extends AnyFunSuite {
     assert(nullRow.isNullAt(0))
   }
 
+  test("redactPii scrubs emails and phones, leaves the rest intact") {
+    import org.apache.spark.sql.functions.col
+    val d = Seq(
+      (1L, "write to First.Last+tag@sub.example.co or call 555-123-4567 today"),
+      (2L, "no pii here, just words and 12345 numbers"),
+      (3L, "two mails a@b.io c@d.org and dotted phone 800.555.1234")
+    ).toDF("id", "text")
+      .select(col("id"),
+        TextOps.redactPii(col("text")).as("r"),
+        TextOps.matchCount(col("text"), TextOps.emailPattern).as("n"))
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getInt(2))).toMap
+    assert(d(1L) == ("write to <EMAIL> or call <PHONE> today", 1))
+    assert(d(2L) == ("no pii here, just words and 12345 numbers", 0))
+    assert(d(3L) == ("two mails <EMAIL> <EMAIL> and dotted phone <PHONE>", 2))
+  }
+
   test("a short eval doc taints nothing") {
     val kept = Contamination.decontaminate(
       corpus, evalDf.filter($"doc_id" === 101L), "doc_id", "text")
