@@ -30,6 +30,25 @@ class ScaleOpsSpec extends AnyFunSuite {
     case other => other.children.map(countShuffles).sum
   }
 
+  test("distributed star-contraction CC handles a 20k-node graph and matches the driver path") {
+    // the gate corpus only ever exercises the driver union-find path;
+    // this pins the DISTRIBUTED path (maxDriverEdges = 0) on a graph
+    // with long chains, a big star, and many islands at real size
+    val rnd = new scala.util.Random(11)
+    val chain = (0L until 2000L).map(i => (i, i + 1))                 // one long chain
+    val star = (0L until 2000L).map(i => (500000L, 500001L + i))      // one big star
+    val random = Seq.fill(26000)(
+      (10000L + rnd.nextInt(18000), 10000L + rnd.nextInt(18000)))     // islands
+    val edges = (chain ++ star ++ random).toDF("a", "b")
+    val dist = Graph.connectedComponents(edges, "a", "b", maxDriverEdges = 0)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val driver = Graph.connectedComponents(edges, "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(dist == driver)
+    assert((0L to 2000L).forall(dist(_) == 0L))      // chain collapsed
+    assert(dist(500001L) == 500000L)                  // star rooted at hub min
+  }
+
   test("Skew.saltedJoin returns exactly the plain join's rows, hot key split across salts") {
     // one pathologically hot key (900 of 1000 rows) + a long tail
     val left = ((1 to 900).map(i => (42L, i)) ++ (1 to 100).map(i => (i.toLong % 7, -i)))
