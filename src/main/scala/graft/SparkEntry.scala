@@ -780,6 +780,29 @@ object SparkEntry {
         ops.TextOps.matchCount(col("text"), ops.TextOps.emailPattern).as("n_emails"),
         md5(ops.TextOps.redactPii(col("text"))).as("redacted_md5"))
         .orderBy("doc_id")
+    },
+
+    "q_clean" -> { (s, dir) =>
+      // corpus cleaning incl. real cross-engine NFC: both engines
+      // append the same decomposed "cafe" + U+0301, a control byte and
+      // tab/space mess, clean it, and md5-compare — the combining
+      // accent must COMPOSE identically (java.text.Normalizer vs
+      // DuckDB's utf8proc, both UAX #15)
+      t(s, dir, "documents").select(col("doc_id"),
+        md5(ops.TextOps.cleanText(
+          concat(col("text"), lit(" cafe\u0301"), lit("\u0001"),
+            lit("\ttabbed  end ")))).as("clean_md5"),
+        length(ops.TextOps.cleanText(col("text"))).as("n_clean"))
+        .orderBy("doc_id")
+    },
+
+    "q_tfidf" -> { (s, dir) =>
+      // document-term tf-idf (SURVEY §7 text-analysis plan): two hash
+      // aggregates + term-dictionary join, corpus size via one-row
+      // broadcast — a single lazy plan
+      ops.TextOps.tfIdf(
+        t(s, dir, "documents").filter(col("doc_id") < 100), "doc_id", "text")
+        .orderBy("doc_id", "term")
     }
   )
 
@@ -1379,6 +1402,43 @@ object SparkEntry {
          |  md5(regexp_replace(regexp_replace(text,
          |      '${ops.TextOps.emailPattern}', '<EMAIL>', 'g'),
          |      '${ops.TextOps.phonePattern}', '<PHONE>', 'g')) AS redacted_md5
-         |FROM pii ORDER BY doc_id""".stripMargin
+         |FROM pii ORDER BY doc_id""".stripMargin,
+
+    // the same decomposed accent (chr(769) = U+0301) and control/tab
+    // mess appended on the DuckDB side, then the same clean steps in
+    // the same order: NFC -> tab/newline to space -> strip
+    // C0/C1/DEL -> collapse spaces -> trim
+    "q_clean" ->
+      """WITH aug AS (
+        |  SELECT doc_id,
+        |    text || ' cafe' || chr(769) || chr(1) || chr(9) || 'tabbed  end ' AS t
+        |  FROM documents),
+        |cleaned AS (
+        |  SELECT doc_id,
+        |    trim(regexp_replace(regexp_replace(regexp_replace(
+        |      nfc_normalize(t), '[\t\n\r]', ' ', 'g'),
+        |      '[[:cntrl:]\x{0080}-\x{009F}]', '', 'g'),
+        |      ' +', ' ', 'g')) AS ct,
+        |    trim(regexp_replace(regexp_replace(regexp_replace(
+        |      nfc_normalize(text), '[\t\n\r]', ' ', 'g'),
+        |      '[[:cntrl:]\x{0080}-\x{009F}]', '', 'g'),
+        |      ' +', ' ', 'g')) AS cplain
+        |  FROM aug JOIN documents USING (doc_id))
+        |SELECT doc_id, md5(ct) AS clean_md5,
+        |  cast(length(cplain) AS INTEGER) AS n_clean
+        |FROM cleaned ORDER BY doc_id""".stripMargin,
+
+    "q_tfidf" ->
+      """WITH tok AS (
+        |  SELECT doc_id,
+        |    unnest(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS term
+        |  FROM documents WHERE doc_id < 100),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),
+        |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+        |n AS (SELECT count(*) AS n FROM documents WHERE doc_id < 100)
+        |SELECT doc_id, term, tf, df,
+        |  round(tf * (ln((n + 1.0) / (df + 1.0)) + 1.0), 9) AS tfidf
+        |FROM tf JOIN dfreq USING (term), n
+        |ORDER BY doc_id, term""".stripMargin
   )
 }

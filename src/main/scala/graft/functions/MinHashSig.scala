@@ -157,4 +157,8 @@ object exprs {
     * [[WordNgramHashes]]). */
   def word_ngram_hashes(text: Column, n: Int, shortFallback: Boolean): Column =
     Bridge.toColumn(WordNgramHashes(Bridge.toExpression(text), n, shortFallback))
+
+  /** Unicode NFC normalization (see [[NfcNormalize]]). */
+  def nfc_normalize(text: Column): Column =
+    Bridge.toColumn(NfcNormalize(Bridge.toExpression(text)))
 }

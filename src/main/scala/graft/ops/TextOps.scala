@@ -140,6 +140,45 @@ object TextOps {
       .otherwise(lit(1.0) - distinctGrams.cast("double") / total)
   }
 
+  /** Document-term TF-IDF over whitespace tokens of the normalized
+    * text: one row per (doc, term) with the raw term frequency, the
+    * document frequency, and smoothed tf-idf
+    * `tf · (ln((N+1)/(df+1)) + 1)` (the standard add-one smoothing —
+    * terms in every document still score > 0).
+    *
+    * Scale shape: explode → two hash aggregates (map-side partial
+    * combine) → equi-join tf with the term dictionary on `term`; the
+    * corpus size N arrives via a one-row broadcast cross join so the
+    * whole computation stays in ONE lazy plan (no driver count).
+    * tfidf is rounded to 9 decimals: ln is a transcendental whose last
+    * ulp is not guaranteed identical across engines/libms, and the
+    * round makes the value reproducible everywhere. */
+  def tfIdf(df: org.apache.spark.sql.DataFrame, idCol: String, textCol: String): org.apache.spark.sql.DataFrame = {
+    val toks = df.select(col(idCol), explode(tokens(normalized(col(textCol)))).as("term"))
+    val tf = toks.groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val n = broadcast(df.agg(count(lit(1)).as("__n__")))
+    tf.join(dfreq, "term")
+      .crossJoin(n)
+      .withColumn("tfidf",
+        round(col("tf") * (log((col("__n__") + lit(1.0)) / (col("df") + lit(1.0))) + lit(1.0)), 9))
+      .select(col(idCol), col("term"), col("tf"), col("df"), col("tfidf"))
+  }
+
+  /** Corpus text cleaning: Unicode NFC composition (composed and
+    * decomposed renderings of the same text must fingerprint/dedup
+    * identically — [[graft.functions.NfcNormalize]]), C0/C1 control
+    * characters stripped (tab/newline/CR become spaces first so word
+    * boundaries survive), then whitespace runs collapsed and trimmed.
+    * Case is PRESERVED — this is cleanup, not canonicalization; chain
+    * [[normalized]] after it for fingerprinting. */
+  def cleanText(c: Column): Column = {
+    val composed = graft.functions.exprs.nfc_normalize(c)
+    val spaced = regexp_replace(composed, "[\\t\\n\\r]", " ")
+    val stripped = regexp_replace(spaced, "[\\p{Cntrl}\\x{0080}-\\x{009F}]", "")
+    trim(regexp_replace(stripped, " +", " "))
+  }
+
   /** Engine-portable PII patterns: deliberately plain regex (no
     * lookaround, no backrefs) so the same pattern string runs
     * identically on Java regex and RE2-family engines — redaction must

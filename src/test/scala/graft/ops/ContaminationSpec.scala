@@ -121,6 +121,34 @@ class ContaminationSpec extends AnyFunSuite {
     assert(d(3L) == ("two mails <EMAIL> <EMAIL> and dotted phone <PHONE>", 2))
   }
 
+  test("cleanText composes NFC, strips controls, collapses whitespace, keeps case") {
+    import org.apache.spark.sql.functions.col
+    val rows = Seq(
+      (1L, "A  b\tc\u0001d cafe\u0301 "),
+      (2L, "café"),        // already composed
+      (3L, "Keep CASE as-is")
+    ).toDF("id", "text")
+      .select(col("id"), TextOps.cleanText(col("text")).as("c"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(rows(1L) == "A b cd café") // composed é, controls gone, spaces collapsed
+    assert(rows(2L) == "café")
+    assert(rows(1L).last == rows(2L).last) // decomposed == composed after NFC
+    assert(rows(3L) == "Keep CASE as-is")
+  }
+
+  test("tfIdf matches hand-computed smoothed values") {
+    import org.apache.spark.sql.functions.col
+    val docs = Seq((1L, "a b a"), (2L, "a c")).toDF("doc_id", "text")
+    val got = TextOps.tfIdf(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1)) -> (r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    // N=2; df(a)=2 -> idf=ln(3/3)+1=1; df(b)=df(c)=1 -> idf=ln(3/2)+1
+    val idf1 = BigDecimal(math.log(1.5) + 1.0).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got((1L, "a")) == ((2L, 2L, 2.0)))
+    assert(got((1L, "b")) == ((1L, 1L, idf1)))
+    assert(got((2L, "a")) == ((1L, 2L, 1.0)))
+    assert(got((2L, "c")) == ((1L, 1L, idf1)))
+  }
+
   test("a short eval doc taints nothing") {
     val kept = Contamination.decontaminate(
       corpus, evalDf.filter($"doc_id" === 101L), "doc_id", "text")
