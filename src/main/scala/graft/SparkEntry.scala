@@ -1374,10 +1374,13 @@ object SparkEntry {
         |       ELSE 1 - cast(len(list_distinct(g)) AS DOUBLE) / len(g) END AS rep_ratio
         |FROM grams ORDER BY doc_id""".stripMargin,
 
+    // explicit Java-\s-equivalent separator class: RE2's \s EXCLUDES
+    // vertical tab (U+000B) while Java's includes it, and in a PREFIX
+    // SUM one divergent token count would corrupt every later row
     "q_pack" ->
       """WITH tok AS (
         |  SELECT doc_id,
-        |    cast(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens
+        |    cast(len(regexp_split_to_array(trim(text), '[ \t\n\x0b\f\r]+')) AS BIGINT) AS n_tokens
         |  FROM documents),
         |c AS (
         |  SELECT doc_id,
@@ -1437,7 +1440,7 @@ object SparkEntry {
         |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
         |n AS (SELECT count(*) AS n FROM documents WHERE doc_id < 100)
         |SELECT doc_id, term, tf, df,
-        |  round(tf * (ln((n + 1.0) / (df + 1.0)) + 1.0), 9) AS tfidf
+        |  round(tf * (ln((n + 1.0) / (df + 1.0)) + 1.0), 6) AS tfidf
         |FROM tf JOIN dfreq USING (term), n
         |ORDER BY doc_id, term""".stripMargin
   )

@@ -27,23 +27,35 @@ object Packing {
 
   /** Adds `cum_before` = sum of `weightCol` over all rows strictly
     * before this one in `orderCol` order (exclusive prefix sum).
-    * `orderCol` must be integral and unique; `bucketWidth` groups
-    * consecutive keys into one ordered partition each. */
+    * `orderCol` must be integral, unique, and NON-NULL (a null order
+    * key fails loudly — it has no position); NULL weights count as 0
+    * (matching SQL SUM's null-skipping); weights should be
+    * non-negative (shard assignment uses truncating division).
+    *
+    * The input is executed twice — a column-pruned (orderCol,
+    * weightCol) pass for the bucket sums, then the full output plan —
+    * so it must be DETERMINISTIC (as any reused DataFrame must);
+    * localCheckpoint a non-deterministic source first. */
   def globalCumsum(
       df: DataFrame, orderCol: String, weightCol: String,
       bucketWidth: Long = 100000): DataFrame = {
     require(bucketWidth > 0, "bucketWidth must be positive")
+    Seq("__b__", "__off__", "cum_before").foreach(c =>
+      require(!df.columns.contains(c), s"input already has a column named $c"))
+    val weight = coalesce(col(weightCol).cast("long"), lit(0L))
     val bucketed = df.withColumn("__b__",
       floor(col(orderCol).cast("long") / bucketWidth))
 
     // one bounded row per bucket -> exclusive prefix offset per bucket
     val sums = bucketed.groupBy("__b__")
-      .agg(sum(col(weightCol).cast("long")).as("__s__"))
+      .agg(sum(weight).as("__s__"))
       .orderBy("__b__")
       .limit(maxBuckets + 1)
       .collect()
     require(sums.length <= maxBuckets,
       s"more than $maxBuckets buckets at bucketWidth=$bucketWidth — widen the bucket")
+    require(sums.forall(!_.isNullAt(0)),
+      s"globalCumsum: $orderCol contains NULL — order keys must be non-null")
     var acc = 0L
     val offsets = sums.map { r =>
       val o = (r.getLong(0), acc); acc += r.getLong(1); o
@@ -57,7 +69,7 @@ object Packing {
       .rowsBetween(Window.unboundedPreceding, -1)
     bucketed.join(offsetDf, Seq("__b__"))
       .withColumn("cum_before",
-        col("__off__") + coalesce(sum(col(weightCol).cast("long")).over(w), lit(0L)))
+        col("__off__") + coalesce(sum(weight).over(w), lit(0L)))
       .drop("__b__", "__off__")
   }
 
@@ -67,7 +79,10 @@ object Packing {
       df: DataFrame, orderCol: String, weightCol: String,
       budget: Long, bucketWidth: Long = 100000): DataFrame = {
     require(budget > 0, "budget must be positive")
+    // integral `div`, not floor(double /): exact at every magnitude
+    // (a >2^53 cumulative token total would round a double across a
+    // budget boundary)
     globalCumsum(df, orderCol, weightCol, bucketWidth)
-      .withColumn("shard_id", floor(col("cum_before") / budget))
+      .withColumn("shard_id", expr(s"cum_before div $budget"))
   }
 }

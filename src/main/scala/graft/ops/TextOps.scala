@@ -150,9 +150,13 @@ object TextOps {
     * combine) → equi-join tf with the term dictionary on `term`; the
     * corpus size N arrives via a one-row broadcast cross join so the
     * whole computation stays in ONE lazy plan (no driver count).
-    * tfidf is rounded to 9 decimals: ln is a transcendental whose last
+    * tfidf is rounded to 6 decimals: ln is a transcendental whose last
     * ulp is not guaranteed identical across engines/libms, and the
-    * round makes the value reproducible everywhere. */
+    * rounding implementations themselves differ (Spark rounds doubles
+    * through exact BigDecimal, DuckDB in floating point) — at 6
+    * decimals an ulp-level ln difference lands on a rounding boundary
+    * with probability ~1e-9 per value, vs a materially risky ~1e-6 at
+    * 9 decimals. */
   def tfIdf(df: org.apache.spark.sql.DataFrame, idCol: String, textCol: String): org.apache.spark.sql.DataFrame = {
     val toks = df.select(col(idCol), explode(tokens(normalized(col(textCol)))).as("term"))
     val tf = toks.groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
@@ -161,7 +165,7 @@ object TextOps {
     tf.join(dfreq, "term")
       .crossJoin(n)
       .withColumn("tfidf",
-        round(col("tf") * (log((col("__n__") + lit(1.0)) / (col("df") + lit(1.0))) + lit(1.0)), 9))
+        round(col("tf") * (log((col("__n__") + lit(1.0)) / (col("df") + lit(1.0))) + lit(1.0)), 6))
       .select(col(idCol), col("term"), col("tf"), col("df"), col("tfidf"))
   }
 

@@ -142,7 +142,7 @@ class ContaminationSpec extends AnyFunSuite {
     val got = TextOps.tfIdf(docs, "doc_id", "text")
       .collect().map(r => (r.getLong(0), r.getString(1)) -> (r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
     // N=2; df(a)=2 -> idf=ln(3/3)+1=1; df(b)=df(c)=1 -> idf=ln(3/2)+1
-    val idf1 = BigDecimal(math.log(1.5) + 1.0).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val idf1 = BigDecimal(math.log(1.5) + 1.0).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
     assert(got((1L, "a")) == ((2L, 2L, 2.0)))
     assert(got((1L, "b")) == ((1L, 1L, idf1)))
     assert(got((2L, "a")) == ((1L, 2L, 1.0)))

@@ -62,5 +62,21 @@ class PackingSpec extends AnyFunSuite {
   test("bucket guard and argument validation") {
     intercept[IllegalArgumentException](Packing.globalCumsum(df, "id", "w", 0))
     intercept[IllegalArgumentException](Packing.assignShards(df, "id", "w", budget = 0))
+    // reserved output/temp columns fail fast instead of being clobbered
+    intercept[IllegalArgumentException](
+      Packing.globalCumsum(df.withColumn("cum_before", col("w")), "id", "w"))
+  }
+
+  test("null weights count as zero; null order keys fail loudly") {
+    val withNullW = Seq((1L, Some(5L)), (2L, None), (3L, Some(2L)))
+      .toDF("id", "w")
+    val got = Packing.globalCumsum(withNullW, "id", "w", 2)
+      .select("id", "cum_before")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 0L, 2L -> 5L, 3L -> 5L))
+    val withNullId = Seq((Some(1L), 5L), (None, 3L)).toDF("id", "w")
+    val e = intercept[IllegalArgumentException](
+      Packing.globalCumsum(withNullId, "id", "w", 2))
+    assert(e.getMessage.contains("NULL"))
   }
 }
