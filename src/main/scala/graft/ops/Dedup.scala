@@ -193,7 +193,10 @@ object Dedup {
 
   /** Greedy near-dup removal: drops every row that appears as the larger
     * id of a qualifying pair (keep-smallest; connected components are
-    * approximated greedily — documented trade for a single anti-join). */
+    * approximated greedily — a single anti-join, but with pairs
+    * (A,C) and (B,C) only (A<B<C near-dup via the shared C), greedy
+    * keeps BOTH A and B while the transitive answer keeps just A. For
+    * the transitive answer use [[minhashClusterDedup]]). */
   def minhashDedup(
       df: DataFrame, idCol: String, textCol: String,
       shingleN: Int = 3, numHashes: Int = 64, bands: Int = 16,
@@ -202,6 +205,19 @@ object Dedup {
       .select(col("id2").as(idCol)).distinct()
     df.join(losers, Seq(idCol), "left_anti")
   }
+
+  /** TRANSITIVE MinHash near-dup removal: LSH pairs → connected
+    * components → keep the smallest id per duplicate cluster. Same
+    * pair generation as [[minhashDedup]]; the cluster step
+    * ([[clusterDedup]]) replaces the greedy rule so every duplicate
+    * cluster keeps exactly ONE document regardless of which pairs the
+    * LSH emitted. */
+  def minhashClusterDedup(
+      df: DataFrame, idCol: String, textCol: String,
+      shingleN: Int = 3, numHashes: Int = 64, bands: Int = 16,
+      threshold: Double = 0.8): DataFrame =
+    clusterDedup(df, idCol,
+      minhashNearDups(df, idCol, textCol, shingleN, numHashes, bands, threshold))
 
   /** SimHash signature as array<int> of `bits` sign bits. Bit i uses an
     * independent per-bit token hash (xxhash64(token, i)) — equivalent

@@ -87,6 +87,22 @@ class GraphSpec extends AnyFunSuite {
       5L -> 5L, 6L -> 5L, 7L -> 7L, 8L -> 8L, 9L -> 9L))
   }
 
+  test("minhashClusterDedup collapses a duplicate chain the greedy rule splits") {
+    // B is near-identical to both A and C, but A and C differ enough
+    // that LSH may never emit (A, C) — transitivity must still put all
+    // three in one cluster and keep only A
+    val base = (0 until 40).map(i => s"tok$i").mkString(" ")
+    val mid = (0 until 40).map(i => if (i % 10 == 0) s"mid$i" else s"tok$i").mkString(" ")
+    val far = (0 until 40).map(i => if (i % 5 == 0) s"mid$i" else s"tok$i").mkString(" ")
+    val docs = Seq((1L, base), (2L, mid), (3L, far),
+      (4L, "completely different text about unrelated things entirely")).toDF("id", "text")
+    val kept = Dedup.minhashClusterDedup(docs, "id", "text", threshold = 0.5)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(kept.contains(4L))
+    assert(kept.contains(1L))
+    assert(!kept.contains(2L)) // chained into 1's cluster
+  }
+
   test("nearDupClusters replaces an existing cluster_id column on a second pass") {
     val df = (0L to 4L).map(i => (i, s"doc$i")).toDF("id", "payload")
     val first = Dedup.nearDupClusters(df, "id", Seq((0L, 1L)).toDF("id1", "id2"))
