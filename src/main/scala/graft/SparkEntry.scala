@@ -717,6 +717,20 @@ object SparkEntry {
         .orderBy("doc_id")
     },
 
+    "q_dedup_minhash_cluster" -> { (s, dir) =>
+      // TRANSITIVE MinHash dedup under the hard gate: LSH pairs →
+      // connected components → keep-smallest per cluster. On this
+      // corpus the char-5-gram LSH at 8x8 bands has recall 1.0 for
+      // jaccard >= 0.8 pairs and exactVerify gives precision 1.0, so
+      // the surviving set equals the oracle's recursive-CTE min-label
+      // closure over EXACT jaccard >= 0.8 pairs
+      ops.Dedup.minhashClusterDedup(t(s, dir, "documents"), "doc_id", "text",
+        shingleN = 5, numHashes = 64, bands = 8, threshold = 0.8,
+        charShingles = true)
+        .select("doc_id")
+        .orderBy("doc_id")
+    },
+
     "q_decontaminate" -> { (s, dir) =>
       // benchmark-leakage guard: drop every "train" doc sharing an
       // 8-token gram with the held-out slice (doc_id % 20 == 0 stands
@@ -1112,25 +1126,29 @@ object SparkEntry {
         |  FROM lineitem WHERE l_quantity <= 45 AND l_linenumber = 7)
         |ORDER BY rejectionStep""".stripMargin,
 
+    // all oracle tokenization uses the explicit Java-\s-equivalent
+    // separator class '[ \t\n\x0b\f\r]+': RE2's \s EXCLUDES vertical
+    // tab (U+000B) while Java's includes it, so a literal '\s+' here
+    // would diverge from the Spark side on any \x0b-bearing text
     "q_token_count" ->
-      """SELECT doc_id, len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens
+      """SELECT doc_id, len(regexp_split_to_array(trim(text), '[ \t\n\x0b\f\r]+')) AS n_tokens
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     "q_quality" ->
       s"""SELECT doc_id, length(text) AS n_chars_m,
-         |  len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens,
+         |  len(regexp_split_to_array(trim(text), '[ \\t\\n\\x0b\\f\\r]+')) AS n_tokens,
          |  length(regexp_replace(text, '[^A-Za-z]', '', 'g')) / length(text) AS alpha_ratio,
-         |  length(regexp_replace(text, '\\s+', '', 'g'))
-         |    / len(regexp_split_to_array(trim(text), '\\s+')) AS avg_token_len,
-         |  len(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+         |  length(regexp_replace(text, '[ \\t\\n\\x0b\\f\\r]+', '', 'g'))
+         |    / len(regexp_split_to_array(trim(text), '[ \\t\\n\\x0b\\f\\r]+')) AS avg_token_len,
+         |  len(list_filter(regexp_split_to_array(trim(lower(text)), '[ \\t\\n\\x0b\\f\\r]+'),
          |        t -> t IN (${ops.TextOps.englishStopwords.map("'" + _ + "'").mkString(",")})))
-         |    / len(regexp_split_to_array(trim(text), '\\s+')) AS stopword_ratio
+         |    / len(regexp_split_to_array(trim(text), '[ \\t\\n\\x0b\\f\\r]+')) AS stopword_ratio
          |FROM documents ORDER BY doc_id""".stripMargin,
 
     "q_langid" ->
       s"""WITH toks AS (
          |  SELECT doc_id, lang, text,
-         |    regexp_split_to_array(trim(lower(text)), '\\s+') AS tk FROM documents),
+         |    regexp_split_to_array(trim(lower(text)), '[ \\t\\n\\x0b\\f\\r]+') AS tk FROM documents),
          |scores AS (
          |  SELECT doc_id, lang,
          |    len(list_filter(tk, t -> t IN ('the','and','of','is'))) AS s_en,
@@ -1153,13 +1171,13 @@ object SparkEntry {
 
     "q_fingerprint" ->
       """SELECT doc_id,
-        |  md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+        |  md5(regexp_replace(lower(trim(text)), '[ \t\n\x0b\f\r]+', ' ', 'g')) AS fp
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     "q_dedup_exact" ->
       """SELECT doc_id, lang, n_chars FROM documents
         |QUALIFY row_number() OVER (
-        |  PARTITION BY md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))
+        |  PARTITION BY md5(regexp_replace(lower(trim(text)), '[ \t\n\x0b\f\r]+', ' ', 'g'))
         |  ORDER BY doc_id) = 1
         |ORDER BY doc_id""".stripMargin,
 
@@ -1193,7 +1211,7 @@ object SparkEntry {
 
     "q_dedup_ngram" ->
       """WITH norm AS (
-        |  SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS s
+        |  SELECT doc_id, regexp_replace(lower(trim(text)), '[ \t\n\x0b\f\r]+', ' ', 'g') AS s
         |  FROM documents WHERE doc_id < 250),
         |sh AS (
         |  SELECT doc_id,
@@ -1226,12 +1244,12 @@ object SparkEntry {
     "q_prep" ->
       """WITH tok AS (
         |  SELECT doc_id, lang, text,
-        |         len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens
+        |         len(regexp_split_to_array(trim(text), '[ \t\n\x0b\f\r]+')) AS n_tokens
         |  FROM documents),
         |filt AS (SELECT * FROM tok WHERE n_tokens >= 20)
         |SELECT doc_id, lang, n_tokens FROM filt
         |QUALIFY row_number() OVER (
-        |  PARTITION BY md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))
+        |  PARTITION BY md5(regexp_replace(lower(trim(text)), '[ \t\n\x0b\f\r]+', ' ', 'g'))
         |  ORDER BY doc_id) = 1
         |ORDER BY doc_id""".stripMargin,
 
@@ -1285,10 +1303,13 @@ object SparkEntry {
 
     // shared-8-gram duplicate graph (with the same doc-frequency cap
     // the Spark side applies), then connected components as a
-    // min-label transitive closure in a recursive CTE
+    // min-label transitive closure in a recursive CTE. The collapsed
+    // string is TRIMMED before splitting: the Spark side's
+    // tokens(normalized(text)) re-trims, so a leading tab/newline must
+    // not become an empty first token here
     "q_dedup_cluster" ->
       """WITH RECURSIVE norm AS (
-        |  SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS s
+        |  SELECT doc_id, trim(regexp_replace(lower(trim(text)), '[ \t\n\x0b\f\r]+', ' ', 'g')) AS s
         |  FROM documents),
         |tok AS (SELECT doc_id, string_split(s, ' ') AS tk FROM norm),
         |grams AS (
@@ -1314,11 +1335,44 @@ object SparkEntry {
         |FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
         |ORDER BY d.doc_id""".stripMargin,
 
+    // exact char-5-gram jaccard >= 0.8 pairs (same shingle/normalize
+    // shape as q_dedup_ngram, whole corpus, lossless size-ratio prune),
+    // then the same recursive-CTE min-label closure as q_dedup_cluster;
+    // survivors = docs that are not a non-root member of any component
+    "q_dedup_minhash_cluster" ->
+      """WITH RECURSIVE norm AS (
+        |  SELECT doc_id, regexp_replace(lower(trim(text)), '[ \t\n\x0b\f\r]+', ' ', 'g') AS s
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id,
+        |    CASE WHEN length(s) >= 5
+        |         THEN list_distinct(list_transform(range(0, length(s) - 4), i -> substr(s, i + 1, 5)))
+        |         ELSE [s] END AS shset
+        |  FROM norm),
+        |sz AS (SELECT doc_id, shset, len(shset) AS n FROM sh),
+        |edges AS (
+        |  SELECT a.doc_id AS id1, b.doc_id AS id2
+        |  FROM sz a JOIN sz b
+        |    ON a.doc_id < b.doc_id
+        |   AND least(a.n, b.n) >= cast(0.8 AS DOUBLE) * greatest(a.n, b.n) - 1e-9
+        |   AND cast(len(list_intersect(a.shset, b.shset)) AS DOUBLE)
+        |      / len(list_distinct(a.shset || b.shset)) >= 0.8),
+        |und AS (SELECT id1 AS a, id2 AS b FROM edges
+        |        UNION SELECT id2, id1 FROM edges),
+        |reach(node, lab) AS (
+        |  SELECT a, a FROM und
+        |  UNION
+        |  SELECT u.b, r.lab FROM reach r JOIN und u ON u.a = r.node),
+        |comp AS (SELECT node, min(lab) AS cluster_id FROM reach GROUP BY node)
+        |SELECT doc_id FROM documents
+        |WHERE doc_id NOT IN (SELECT node FROM comp WHERE node <> cluster_id)
+        |ORDER BY doc_id""".stripMargin,
+
     // strict 8-token grams (short docs yield NONE — they cannot be
     // contaminated), semi-join against the eval slice's grams
     "q_decontaminate" ->
       """WITH norm AS (
-        |  SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS s
+        |  SELECT doc_id, trim(regexp_replace(lower(trim(text)), '[ \t\n\x0b\f\r]+', ' ', 'g')) AS s
         |  FROM documents),
         |tok AS (SELECT doc_id, string_split(s, ' ') AS tk FROM norm),
         |grams AS (
@@ -1359,7 +1413,7 @@ object SparkEntry {
 
     "q_repetition" ->
       """WITH norm AS (
-        |  SELECT doc_id, text, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS s
+        |  SELECT doc_id, text, trim(regexp_replace(lower(trim(text)), '[ \t\n\x0b\f\r]+', ' ', 'g')) AS s
         |  FROM documents),
         |tok AS (SELECT doc_id, text, string_split(s, ' ') AS tk FROM norm),
         |grams AS (
@@ -1434,7 +1488,7 @@ object SparkEntry {
     "q_tfidf" ->
       """WITH tok AS (
         |  SELECT doc_id,
-        |    unnest(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS term
+        |    unnest(string_split(trim(regexp_replace(lower(trim(text)), '[ \t\n\x0b\f\r]+', ' ', 'g')), ' ')) AS term
         |  FROM documents WHERE doc_id < 100),
         |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),
         |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),

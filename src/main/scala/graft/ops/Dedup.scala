@@ -215,9 +215,12 @@ object Dedup {
   def minhashClusterDedup(
       df: DataFrame, idCol: String, textCol: String,
       shingleN: Int = 3, numHashes: Int = 64, bands: Int = 16,
-      threshold: Double = 0.8): DataFrame =
+      threshold: Double = 0.8, charShingles: Boolean = false): DataFrame = {
+    requireIntegralId(df, idCol, "minhashClusterDedup")
     clusterDedup(df, idCol,
-      minhashNearDups(df, idCol, textCol, shingleN, numHashes, bands, threshold))
+      minhashNearDups(df, idCol, textCol, shingleN, numHashes, bands, threshold,
+        charShingles = charShingles))
+  }
 
   /** SimHash signature as array<int> of `bits` sign bits. Bit i uses an
     * independent per-bit token hash (xxhash64(token, i)) — equivalent
@@ -357,6 +360,20 @@ object Dedup {
     }
   }
 
+  /** The cluster APIs carry ids as LONG through connected components,
+    * so a non-integral id column would cast to NULL — silently deduping
+    * NOTHING. Fail loudly at plan-build time instead. */
+  private def requireIntegralId(
+      df: DataFrame, idCol: String, op: String): Unit = {
+    import org.apache.spark.sql.types.{ByteType, ShortType, IntegerType, LongType}
+    val dt = df.schema(idCol).dataType
+    require(Seq(ByteType, ShortType, IntegerType, LongType).contains(dt),
+      s"$op requires an integral id column (cluster ids travel as LONG through " +
+        s"connected components); '$idCol' is ${dt.simpleString}. Map string/UUID ids " +
+        "to a surrogate long first (e.g. xxhash64), or use the greedy minhashDedup, " +
+        "which works for any ordered id type.")
+  }
+
   /** Cluster assignment from a near-dup pair set: connected components
     * over the pairs (see [[Graph.connectedComponents]] — transitive
     * closure, unlike the greedy keep-smallest rule of [[minhashDedup]],
@@ -367,6 +384,9 @@ object Dedup {
   def nearDupClusters(
       df: DataFrame, idCol: String, pairs: DataFrame,
       id1: String = "id1", id2: String = "id2"): DataFrame = {
+    requireIntegralId(df, idCol, "nearDupClusters")
+    requireIntegralId(pairs, id1, "nearDupClusters")
+    requireIntegralId(pairs, id2, "nearDupClusters")
     // joined under a temp name so re-clustering a frame that already
     // HAS a cluster_id column (a second dedup pass) replaces it
     // instead of failing with an ambiguous reference
@@ -383,6 +403,9 @@ object Dedup {
   def clusterDedup(
       df: DataFrame, idCol: String, pairs: DataFrame,
       id1: String = "id1", id2: String = "id2"): DataFrame = {
+    requireIntegralId(df, idCol, "clusterDedup")
+    requireIntegralId(pairs, id1, "clusterDedup")
+    requireIntegralId(pairs, id2, "clusterDedup")
     val losers = Graph.connectedComponents(pairs, id1, id2)
       .filter(col("node") =!= col("component"))
       .select(col("node").as(idCol))

@@ -73,29 +73,72 @@ object Graph {
     // which the normalize dropped — so guard on it independently before
     // choosing the driver path
     if (nEdges <= maxDriverEdges && nodes.count() <= 2L * maxDriverEdges) {
-      // driver path: collect the (bounded) edge and node sets, run
-      // path-compressed union-find, emit the assignments — two jobs
-      // total instead of ~a dozen driver-synchronized rounds
-      val parent = new java.util.HashMap[Long, Long]()
-      def find(x: Long): Long = {
+      // driver path: collect the (bounded) node set, stream the edges,
+      // run path-compressed union-find over flat primitive arrays, emit
+      // the assignments as a REAL distributed dataset (parallelize),
+      // never a LocalRelation embedded in the downstream plan.
+      //
+      // Memory math at the defaults (maxDriverEdges = 4M ⇒ ≤ 8M nodes):
+      // node values 8M·8B = 64 MB, open-addressed node→index table at
+      // load ≤ 0.5 (16M slots · (8+4)B) = 192 MB, parent 8M·4B = 32 MB,
+      // output tuples ~8M·32B = 256 MB transient — ~0.5 GB flat arrays
+      // with no boxing and no per-entry GC pressure (the boxed
+      // HashMap[Long,Long] this replaces cost several hundred MB in
+      // Entry objects alone, all garbage). Edges are streamed partition
+      // by partition (toLocalIterator over the checkpointed set), so
+      // the 4M edge rows are never all resident.
+      import spark.implicits._
+      val nodeArr: Array[Long] = nodes.as[Long].collect()
+      val n = nodeArr.length
+      // open-addressed node→dense-index map, power-of-2 capacity ≥ 2n
+      var capL = 16L
+      while (capL < 2L * n) capL <<= 1
+      require(capL <= (1 << 30), s"driver union-find node count $n too large")
+      val cap = capL.toInt
+      val mask = cap - 1
+      val keyTable = new Array[Long](cap)
+      val idxTable = Array.fill(cap)(-1)
+      def slot(key: Long): Int = {
+        var h = key * -7046029254386353131L // Fibonacci hashing (2^64/φ)
+        h ^= h >>> 32
+        (h & mask).toInt
+      }
+      def indexOf(key: Long): Int = {
+        var s = slot(key)
+        while (idxTable(s) != -1 && keyTable(s) != key) s = (s + 1) & mask
+        idxTable(s)
+      }
+      var i = 0
+      while (i < n) {
+        var s = slot(nodeArr(i))
+        while (idxTable(s) != -1) s = (s + 1) & mask
+        keyTable(s) = nodeArr(i); idxTable(s) = i
+        i += 1
+      }
+      val parent = Array.tabulate(n)(identity)
+      def find(x: Int): Int = {
         var r = x
-        while (parent.getOrDefault(r, r) != r) r = parent.getOrDefault(r, r)
+        while (parent(r) != r) r = parent(r)
         var c = x
-        while (parent.getOrDefault(c, c) != c) { val n = parent.getOrDefault(c, c); parent.put(c, r); c = n }
+        while (parent(c) != r) { val nx = parent(c); parent(c) = r; c = nx }
         r
       }
-      nodes.collect().foreach { row =>
-        val n = row.getLong(0); if (!parent.containsKey(n)) parent.put(n, n)
+      e.toLocalIterator().forEachRemaining { row =>
+        val ra = find(indexOf(row.getLong(0)))
+        val rb = find(indexOf(row.getLong(1)))
+        // roots point toward the smaller NODE VALUE, so every final
+        // root is its component's minimum id
+        if (ra != rb) {
+          if (nodeArr(ra) < nodeArr(rb)) parent(rb) = ra else parent(ra) = rb
+        }
       }
-      e.collect().foreach { row =>
-        val (a, b) = (row.getLong(0), row.getLong(1))
-        val (ra, rb) = (find(a), find(b))
-        if (ra != rb) parent.put(math.max(ra, rb), math.min(ra, rb))
-      }
-      val out = new scala.collection.mutable.ArrayBuffer[(Long, Long)](parent.size())
-      parent.keySet().forEach(n => out += ((n, find(n))))
-      import spark.implicits._
-      return out.toSeq.toDF("node", "component")
+      val out = new Array[(Long, Long)](n)
+      i = 0
+      while (i < n) { out(i) = (nodeArr(i), nodeArr(find(i))); i += 1 }
+      val slices = math.max(1, math.min(spark.sparkContext.defaultParallelism, n / 100000 + 1))
+      return spark.sparkContext.parallelize(
+        scala.collection.immutable.ArraySeq.unsafeWrapArray(out), slices)
+        .toDF("node", "component")
     }
 
 

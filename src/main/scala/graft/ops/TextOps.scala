@@ -131,9 +131,16 @@ object TextOps {
     * `size(array_distinct(shingles))/size(shingles)` form would build
     * the interpreted gram array twice per row. Both counts are exact
     * integers, so the single division stays bit-identical to the
-    * oracle's. */
+    * oracle's.
+    *
+    * The token count comes from the SAME tokenization as the native
+    * gram hashes: `tokens(normalized(c))`, whose collapse-then-trim
+    * drops the stray empty token that plain `tokenCount` keeps when the
+    * text starts or ends with tab/newline (Spark `trim` strips only
+    * spaces) — a raw `tokenCount(c)` total would over-count such texts
+    * and score unrepeated text > 0. */
   def repetitionRatio(c: Column, n: Int): Column = {
-    val tc = tokenCount(c)
+    val tc = size(tokens(normalized(c)))
     val total = when(tc >= n, tc - n + 1).otherwise(lit(1))
     val distinctGrams = size(graft.functions.exprs.word_ngram_hashes(c, n, shortFallback = true))
     when(c.isNull, lit(null).cast("double"))

@@ -1,0 +1,109 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** In-repo invariants for the four gate queries that have NO SQL oracle
+  * by design (seeded hashes / k-means that DuckDB cannot replicate), so
+  * the driver records only a row count. Each spec re-verifies the
+  * emitted frame against ground truth computed independently from the
+  * SAME sf0.01 tables the gate uses: every emitted pair must satisfy
+  * its threshold under an exact recomputation, and every emitted score
+  * must equal the exact score — the rows-only driver signal is thus
+  * backed by a hard property, not just planted-pair recall specs.
+  */
+class RowsOnlyInvariantSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-rows-only-invariants")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val dir = "/root/testdata/sf0.01"
+
+  private def docs: DataFrame =
+    Tables.load(spark, dir, "documents").select("doc_id", "text")
+  private def emb: DataFrame =
+    Tables.load(spark, dir, "embeddings")
+      .select(col("vec_id"), ops.VectorOps.asDouble(col("embedding")).as("v"))
+
+  test("q_dedup_minhash: every emitted pair's jaccard is exact and >= threshold") {
+    val out = SparkEntry.queries("q_dedup_minhash")(spark, dir)
+    val rows = out
+      .join(docs.select(col("doc_id").as("id1"), col("text").as("t1")), Seq("id1"))
+      .join(docs.select(col("doc_id").as("id2"), col("text").as("t2")), Seq("id2"))
+      .select(col("id1"), col("id2"), col("jaccard"),
+        ops.Dedup.ngramJaccard(col("t1"), col("t2"), 5).as("exact"))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Double]("exact") >= 0.8,
+        s"pair (${r.get(0)}, ${r.get(1)}) exact jaccard ${r.getAs[Double]("exact")} < 0.8")
+      assert(r.getAs[Double]("jaccard") == r.getAs[Double]("exact"),
+        s"pair (${r.get(0)}, ${r.get(1)}) emitted ${r.getAs[Double]("jaccard")} != exact")
+    }
+  }
+
+  test("q_dedup_simhash: every emitted hamming distance is exact and <= max") {
+    val out = SparkEntry.queries("q_dedup_simhash")(spark, dir)
+    val sigs = ops.Dedup.simhashSignatures(docs, "doc_id", "text", 64)
+    val rows = out
+      .join(sigs.select(col("__id__").as("id1"), col("__sig__").as("s1")), Seq("id1"))
+      .join(sigs.select(col("__id__").as("id2"), col("__sig__").as("s2")), Seq("id2"))
+      .select(col("id1"), col("id2"), col("hamming"),
+        functions.similarityExprs.hamming_dist(col("s1"), col("s2")).as("exact"))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Int]("exact") <= 8,
+        s"pair (${r.get(0)}, ${r.get(1)}) exact hamming ${r.getAs[Int]("exact")} > 8")
+      assert(r.getAs[Int]("hamming") == r.getAs[Int]("exact"),
+        s"pair (${r.get(0)}, ${r.get(1)}) emitted ${r.getAs[Int]("hamming")} != exact")
+    }
+  }
+
+  test("q_simsearch_lsh: every emitted cosine is exact and > threshold") {
+    val out = SparkEntry.queries("q_simsearch_lsh")(spark, dir)
+    val rows = out
+      .join(emb.select(col("vec_id").as("id1"), col("v").as("v1")), Seq("id1"))
+      .join(emb.select(col("vec_id").as("id2"), col("v").as("v2")), Seq("id2"))
+      .select(col("id1"), col("id2"), col("cosine"),
+        ops.VectorOps.cosine(col("v1"), col("v2")).as("exact"))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Double]("exact") > 0.25,
+        s"pair (${r.get(0)}, ${r.get(1)}) exact cosine ${r.getAs[Double]("exact")} <= 0.25")
+      assert(r.getAs[Double]("cosine") == r.getAs[Double]("exact"),
+        s"pair (${r.get(0)}, ${r.get(1)}) emitted ${r.getAs[Double]("cosine")} != exact")
+    }
+  }
+
+  test("q_simsearch_ivf: emitted cosines are exact, ranks dense in score order") {
+    val out = SparkEntry.queries("q_simsearch_ivf")(spark, dir)
+    val rows = out
+      .join(emb.select(col("vec_id").as("query_id"), col("v").as("vq")), Seq("query_id"))
+      .join(emb.select(col("vec_id").as("neighbor_id"), col("v").as("vn")), Seq("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rank"),
+        ops.VectorOps.cosine(col("vq"), col("vn")).as("exact"))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("neighbor_id") != r.getAs[Long]("query_id"))
+      assert(r.getAs[Double]("cosine") == r.getAs[Double]("exact"),
+        s"(${r.get(0)}, ${r.get(1)}) emitted ${r.getAs[Double]("cosine")} != exact")
+    }
+    rows.groupBy(_.getAs[Long]("query_id")).foreach { case (q, rs) =>
+      val byRank = rs.sortBy(_.getAs[Int]("rank"))
+      assert(byRank.map(_.getAs[Int]("rank")).toSeq == (1 to rs.length),
+        s"query $q ranks not dense 1..${rs.length}")
+      // ordered by (cosine desc, neighbor_id asc)
+      val key = byRank.map(r => (-r.getAs[Double]("cosine"), r.getAs[Long]("neighbor_id")))
+      assert(key.sameElements(key.sorted), s"query $q ranks out of score order")
+    }
+  }
+}

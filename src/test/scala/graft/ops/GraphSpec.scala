@@ -113,4 +113,21 @@ class GraphSpec extends AnyFunSuite {
     assert(got == Map(0L -> 0L, 1L -> 1L, 2L -> 2L, 3L -> 3L, 4L -> 3L))
     assert(second.columns.count(_ == "cluster_id") == 1)
   }
+
+  test("cluster APIs reject non-integral id columns loudly") {
+    // string/UUID ids would cast to NULL inside connected components
+    // and silently dedup nothing — the contract is enforced up front
+    val sdf = Seq(("a", "x"), ("b", "y")).toDF("id", "payload")
+    val spairs = Seq(("a", "b")).toDF("id1", "id2")
+    val lpairs = Seq((0L, 1L)).toDF("id1", "id2")
+    val ldf = Seq((0L, "x"), (1L, "y")).toDF("id", "text")
+    for (thunk <- Seq(
+        () => Dedup.nearDupClusters(sdf, "id", lpairs),
+        () => Dedup.clusterDedup(sdf, "id", lpairs),
+        () => Dedup.clusterDedup(ldf, "id", spairs),
+        () => Dedup.minhashClusterDedup(sdf, "id", "payload"))) {
+      val e = intercept[IllegalArgumentException](thunk())
+      assert(e.getMessage.contains("integral id column"))
+    }
+  }
 }

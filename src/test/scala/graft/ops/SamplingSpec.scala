@@ -106,4 +106,14 @@ class SamplingSpec extends AnyFunSuite {
       .take(7).toSet
     assert(got == expected)
   }
+
+  test("stratifiedSample rejects a non-integral key column loudly") {
+    // the top-k buffers carry the key as LONG; a string key would hash
+    // fine but come back NULL — the contract is enforced, not silent
+    val df = Seq((1L, "a"), (1L, "b")).toDF("g", "k")
+    val e = intercept[IllegalArgumentException] {
+      Sampling.stratifiedSample(df, Seq("g"), "k", 1, ":x")
+    }
+    assert(e.getMessage.contains("integral key column"))
+  }
 }
