@@ -84,9 +84,10 @@ object Graph {
       // output tuples ~8M·32B = 256 MB transient — ~0.5 GB flat arrays
       // with no boxing and no per-entry GC pressure (the boxed
       // HashMap[Long,Long] this replaces cost several hundred MB in
-      // Entry objects alone, all garbage). Edges are streamed partition
-      // by partition (toLocalIterator over the checkpointed set), so
-      // the 4M edge rows are never all resident.
+      // Entry objects alone, all garbage). Edges arrive as one typed
+      // collect (specialized long pairs, ~4M·32B = 128 MB transient,
+      // ONE job — a toLocalIterator would run a sequential job per
+      // partition).
       import spark.implicits._
       val nodeArr: Array[Long] = nodes.as[Long].collect()
       val n = nodeArr.length
@@ -123,9 +124,9 @@ object Graph {
         while (parent(c) != r) { val nx = parent(c); parent(c) = r; c = nx }
         r
       }
-      e.toLocalIterator().forEachRemaining { row =>
-        val ra = find(indexOf(row.getLong(0)))
-        val rb = find(indexOf(row.getLong(1)))
+      e.as[(Long, Long)].collect().foreach { case (a, b) =>
+        val ra = find(indexOf(a))
+        val rb = find(indexOf(b))
         // roots point toward the smaller NODE VALUE, so every final
         // root is its component's minimum id
         if (ra != rb) {

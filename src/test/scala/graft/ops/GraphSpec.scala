@@ -114,6 +114,19 @@ class GraphSpec extends AnyFunSuite {
     assert(second.columns.count(_ == "cluster_id") == 1)
   }
 
+  test("driver union-find emits a distributed relation, never a LocalRelation") {
+    // the assignments feed joins in nearDupClusters/clusterDedup — an
+    // up-to-8M-row LocalRelation embedded in that plan would be driver
+    // memory + plan-size poison, so the output must be a parallelized
+    // (ExternalRDD-backed) relation
+    val pairs = Seq((0L, 1L), (1L, 2L), (5L, 6L)).toDF("id1", "id2")
+    val cc = Graph.connectedComponents(pairs, "id1", "id2")
+    val hasLocalRelation = cc.queryExecution.optimizedPlan.exists(
+      _.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.LocalRelation])
+    assert(!hasLocalRelation)
+    assert(cc.collect().length == 5)
+  }
+
   test("cluster APIs reject non-integral id columns loudly") {
     // string/UUID ids would cast to NULL inside connected components
     // and silently dedup nothing — the contract is enforced up front
