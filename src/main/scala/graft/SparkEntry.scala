@@ -817,6 +817,27 @@ object SparkEntry {
       ops.TextOps.tfIdf(
         t(s, dir, "documents").filter(col("doc_id") < 100), "doc_id", "text")
         .orderBy("doc_id", "term")
+    },
+
+    "q_boilerplate" -> { (s, dir) =>
+      // CCNet/RefinedWeb-style boilerplate-line removal: both engines
+      // append the same shared footer line to every doc (plus the
+      // corpus's organic whole-text duplicates), drop lines present in
+      // >= 3 distinct docs, and md5-compare the rebuilt texts — the
+      // footer must vanish everywhere, unique lines must survive
+      val withFooter = t(s, dir, "documents").select(col("doc_id"),
+        concat(col("text"), lit("\nshared footer line")).as("text"))
+      ops.TextOps.removeBoilerplateLines(withFooter, "doc_id", "text", minDocs = 3)
+        .select(col("doc_id"), md5(col("text")).as("clean_md5"))
+        .orderBy("doc_id")
+    },
+
+    "q_chunk" -> { (s, dir) =>
+      // token-budget chunking with overlap (context-window prep):
+      // chunk i covers normalized tokens [i*48, i*48+64)
+      ops.TextOps.chunkDocuments(t(s, dir, "documents"), "doc_id", "text",
+        maxTokens = 64, overlap = 16)
+        .orderBy("doc_id", "chunk_id")
     }
   )
 
@@ -1496,6 +1517,56 @@ object SparkEntry {
         |SELECT doc_id, term, tf, df,
         |  round(tf * (ln((n + 1.0) / (df + 1.0)) + 1.0), 6) AS tfidf
         |FROM tf JOIN dfreq USING (term), n
-        |ORDER BY doc_id, term""".stripMargin
+        |ORDER BY doc_id, term""".stripMargin,
+
+    // same synthetic footer appended, then: explode lines with
+    // position, count DISTINCT docs per normalized line (blank lines
+    // excluded), drop boilerplate, rebuild in line order. The Spark
+    // side joins on xxhash64 of the normalized line; this joins the
+    // normalized strings themselves — equal absent a 64-bit collision
+    "q_boilerplate" ->
+      """WITH aug AS (
+        |  SELECT doc_id, text || chr(10) || 'shared footer line' AS text
+        |  FROM documents),
+        |lines AS (
+        |  SELECT doc_id,
+        |    unnest(list_transform(range(1, len(string_split(text, chr(10))) + 1),
+        |      i -> struct_pack(i := i, line := string_split(text, chr(10))[i])),
+        |      recursive := true)
+        |  FROM aug),
+        |norm AS (
+        |  SELECT doc_id, i, line,
+        |    regexp_replace(lower(trim(line)), '[ \t\n\x0b\f\r]+', ' ', 'g') AS nl,
+        |    regexp_matches(line, '^[ \t\n\x0b\f\r]*$') AS blank
+        |  FROM lines),
+        |boiler AS (
+        |  SELECT nl FROM norm WHERE NOT blank
+        |  GROUP BY nl HAVING count(DISTINCT doc_id) >= 3),
+        |kept AS (SELECT * FROM norm WHERE blank OR nl NOT IN (SELECT nl FROM boiler)),
+        |rebuilt AS (
+        |  SELECT doc_id, string_agg(line, chr(10) ORDER BY i) AS t
+        |  FROM kept GROUP BY doc_id)
+        |SELECT a.doc_id, md5(coalesce(r.t, '')) AS clean_md5
+        |FROM aug a LEFT JOIN rebuilt r USING (doc_id)
+        |ORDER BY a.doc_id""".stripMargin,
+
+    // chunk i = tokens[i*48+1 : i*48+64] (1-based inclusive slice =
+    // Spark's slice(tk, i*48+1, 64)); nChunks folds ceil into one
+    // floor exactly like the Spark side
+    "q_chunk" ->
+      """WITH tok AS (
+        |  SELECT doc_id,
+        |    string_split(trim(regexp_replace(lower(trim(text)), '[ \t\n\x0b\f\r]+', ' ', 'g')), ' ') AS tk
+        |  FROM documents),
+        |n AS (SELECT doc_id, tk, len(tk) AS n FROM tok),
+        |c AS (SELECT doc_id, tk, n,
+        |  CASE WHEN n <= 64 THEN 1
+        |       ELSE cast(floor((n - 64 + 95) / 48.0) AS INTEGER) END AS nc
+        |  FROM n),
+        |x AS (SELECT doc_id, tk, n, unnest(range(0, nc)) AS i FROM c)
+        |SELECT doc_id, cast(i AS INTEGER) AS chunk_id,
+        |  array_to_string(tk[i*48+1 : i*48+64], ' ') AS chunk_text,
+        |  cast(least(64, n - i*48) AS INTEGER) AS n_chunk_tokens
+        |FROM x ORDER BY doc_id, chunk_id""".stripMargin
   )
 }

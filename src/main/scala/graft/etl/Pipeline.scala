@@ -1153,6 +1153,19 @@ final class Pipeline private (
       as: String = "split"): Pipeline =
     add(MapStep("split",
       _.withColumn(as, graft.ops.Sampling.splitByHash(col(keyCol), weights, salt))))
+
+  /** Drop lines occurring in ≥ `minDocs` distinct documents from every
+    * document ([[graft.ops.TextOps.removeBoilerplateLines]] — the
+    * CCNet/RefinedWeb paragraph-dedup step). */
+  def removeBoilerplate(idCol: String, textCol: String, minDocs: Int): Pipeline =
+    add(MapStep("removeBoilerplate",
+      graft.ops.TextOps.removeBoilerplateLines(_, idCol, textCol, minDocs)))
+
+  /** Explode each document into ≤ `maxTokens`-token chunks with
+    * `overlap` shared tokens ([[graft.ops.TextOps.chunkDocuments]]). */
+  def chunk(idCol: String, textCol: String, maxTokens: Int, overlap: Int = 0): Pipeline =
+    add(MapStep("chunk",
+      graft.ops.TextOps.chunkDocuments(_, idCol, textCol, maxTokens, overlap)))
 }
 
 /** gratum SortConfig (SortConfig.groovy:8-13) — see [[Pipeline.sortWith]]. */

@@ -176,6 +176,91 @@ object TextOps {
       .select(col(idCol), col("term"), col("tf"), col("df"), col("tfidf"))
   }
 
+  /** Corpus-level boilerplate LINE removal (the CCNet / RefinedWeb
+    * paragraph-dedup step): a line whose normalized form occurs in at
+    * least `minDocs` DISTINCT documents is boilerplate (nav text,
+    * cookie banners, copyright footers) and is dropped from EVERY
+    * document. Blank lines are document structure, not boilerplate —
+    * always kept. Returns `df` with `textCol` rebuilt, line order
+    * preserved; a document whose every line was boilerplate becomes
+    * the empty string.
+    *
+    * Scale shape: posexplode to (doc, pos, line) → distinct-doc count
+    * per line hash (hash aggregate with map-side partials — boilerplate
+    * lines are by definition high-frequency, but the aggregate carries
+    * only (hash, count), never a doc list) → anti-join the boilerplate
+    * keys → one groupBy(doc) rebuild via
+    * array_sort(collect_list(struct(pos, line))): per-DOC arrays,
+    * never corpus-sized, and no window sort anywhere. Line identity is
+    * xxhash64 of the normalized line (the oracle joins the normalized
+    * strings themselves — equal absent a 64-bit collision). */
+  def removeBoilerplateLines(
+      df: org.apache.spark.sql.DataFrame, idCol: String, textCol: String,
+      minDocs: Int): org.apache.spark.sql.DataFrame = {
+    require(minDocs >= 2, s"minDocs must be >= 2, got $minDocs")
+    val lines = df
+      .select(col(idCol).as("__bid__"),
+        posexplode(split(col(textCol), "\n", -1)).as(Seq("__pos__", "__line__")))
+      .withColumn("__k__", xxhash64(normalized(col("__line__"))))
+    val boiler = lines
+      .filter(!col("__line__").rlike("^\\s*$"))
+      .groupBy("__k__").agg(count_distinct(col("__bid__")).as("__nd__"))
+      .filter(col("__nd__") >= minDocs)
+      .select("__k__")
+    // blank lines survive the anti-join by construction: they are
+    // excluded from the boilerplate count, and no non-blank line
+    // normalizes to a blank's normalized form
+    val kept = lines.join(boiler, Seq("__k__"), "left_anti")
+    val rebuilt = kept.groupBy("__bid__")
+      .agg(concat_ws("\n",
+        transform(array_sort(collect_list(struct(col("__pos__"), col("__line__")))),
+          s => s.getField("__line__"))).as("__clean__"))
+    df.join(rebuilt, col(idCol) === col("__bid__"), "left")
+      .withColumn(textCol, coalesce(col("__clean__"), lit("")))
+      .drop("__bid__", "__clean__")
+  }
+
+  /** Token-budget document chunking (context-window preprocessing):
+    * split each document into chunks of at most `maxTokens` whitespace
+    * tokens of the normalized text, consecutive chunks sharing
+    * `overlap` tokens. Chunk i covers tokens
+    * [i·stride, i·stride + maxTokens) with stride = maxTokens −
+    * overlap; every token is covered, and a document of ≤ `maxTokens`
+    * tokens yields exactly one chunk. Returns one row per chunk:
+    * (`idCol`, chunk_id, chunk_text, n_chunk_tokens).
+    *
+    * Scale shape: the token array and chunk array are materialized in
+    * a projection BELOW the generator, so posexplode's child is a bare
+    * attribute (no per-output-row re-evaluation — the WordNgramHashes
+    * lesson); everything is codegen'd Column arithmetic, no UDFs, no
+    * shuffle. */
+  def chunkDocuments(
+      df: org.apache.spark.sql.DataFrame, idCol: String, textCol: String,
+      maxTokens: Int, overlap: Int = 0): org.apache.spark.sql.DataFrame = {
+    require(maxTokens >= 1, s"maxTokens must be >= 1, got $maxTokens")
+    require(overlap >= 0 && overlap < maxTokens,
+      s"overlap must be in [0, maxTokens), got $overlap for maxTokens=$maxTokens")
+    val stride = maxTokens - overlap
+    // nChunks = ceil((n - maxTokens) / stride) + 1 for n > maxTokens,
+    // folded to one floor: (n - maxTokens + 2·stride - 1) div stride
+    // (double division then int cast truncates = floor for the
+    // non-negative numerator this branch guarantees)
+    val base = df
+      .select(col(idCol), tokens(normalized(col(textCol))).as("__tk__"))
+      .withColumn("__n__", size(col("__tk__")))
+      .withColumn("__nc__", when(col("__n__") <= maxTokens, lit(1))
+        .otherwise(((col("__n__") - maxTokens + lit(2 * stride - 1)) / lit(stride)).cast("int")))
+      .withColumn("__chunks__",
+        transform(sequence(lit(0), col("__nc__") - 1), i => struct(
+          concat_ws(" ", slice(col("__tk__"), i * stride + 1, lit(maxTokens))).as("chunk_text"),
+          least(lit(maxTokens), col("__n__") - i * stride).as("n_chunk_tokens"))))
+    base
+      .select(col(idCol), posexplode(col("__chunks__")).as(Seq("chunk_id", "__c__")))
+      .select(col(idCol), col("chunk_id"),
+        col("__c__.chunk_text").as("chunk_text"),
+        col("__c__.n_chunk_tokens").as("n_chunk_tokens"))
+  }
+
   /** Corpus text cleaning: Unicode NFC composition (composed and
     * decomposed renderings of the same text must fingerprint/dedup
     * identically — [[graft.functions.NfcNormalize]]), C0/C1 control

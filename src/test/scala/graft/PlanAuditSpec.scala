@@ -110,6 +110,33 @@ class PlanAuditSpec extends AnyFunSuite {
       assert(l.contains("__b__"), s"unpartitioned (global) window: $l"))
   }
 
+  test("q_chunk plans as pure projection + generate — no shuffle at all") {
+    val df = ops.TextOps.chunkDocuments(
+      spark.read.parquet(s"$dir/documents.parquet"), "doc_id", "text",
+      maxTokens = 64, overlap = 16) // audit the op, not the gate's ORDER BY
+    val s = planString(executed(df))
+    assert(s.contains("Generate"), s"no generate in plan:\n$s")
+    assert(!s.contains("Exchange"), s"chunking must not shuffle:\n$s")
+    // the chunk array must be materialized BELOW the generator (bare
+    // attribute child), not rebuilt per emitted row
+    val genLine = s.linesIterator.find(_.trim.startsWith("Generate"))
+      .getOrElse(fail(s"no Generate line:\n$s"))
+    assert(!genLine.contains("transform("),
+      s"generator child re-evaluates the chunk transform per output row: $genLine")
+  }
+
+  test("q_boilerplate joins stay hash-based with doc-bounded aggregation") {
+    val s = planString(executed(SparkEntry.queries("q_boilerplate")(spark, dir)))
+    // line-frequency count and per-doc rebuild are hash aggregates;
+    // boilerplate keys fold back via anti-join — a nested-loop or
+    // cartesian would enumerate line pairs
+    assert(!s.contains("CartesianProduct"), s"cartesian product in:\n$s")
+    assert(!s.contains("BroadcastNestedLoopJoin"), s"nested-loop join in:\n$s")
+    assert(s.contains("LeftAnti"), s"no anti join in:\n$s")
+    assert(s.linesIterator.exists(l => l.contains("HashAggregate") && l.contains("count(")),
+      s"no hash-aggregate line count in:\n$s")
+  }
+
   test("q_session plans one grouping shuffle with partial session aggregation") {
     val s = planString(executed(SparkEntry.queries("q_session")(spark, dir)))
     // sort-merge session aggregation: partial HashAggregate below ONE

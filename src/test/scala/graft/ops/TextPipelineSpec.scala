@@ -1,0 +1,107 @@
+package graft.ops
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Specs for the corpus-pipeline text operators: boilerplate-line
+  * removal and token-budget chunking, on fixtures with known ground
+  * truth. */
+class TextPipelineSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-textpipeline-test")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  import spark.implicits._
+
+  test("removeBoilerplateLines drops shared lines, keeps unique ones in order") {
+    val docs = Seq(
+      (0L, "unique alpha\nCopyright Footer\nunique beta"),
+      (1L, "another text\nCopyright Footer\ntail line one"),
+      (2L, "third document\nCopyright Footer"),
+      (3L, "Copyright Footer")) // all-boilerplate doc
+      .toDF("doc_id", "text")
+    val out = TextOps.removeBoilerplateLines(docs, "doc_id", "text", minDocs = 3)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(0L) == "unique alpha\nunique beta")
+    assert(out(1L) == "another text\ntail line one")
+    assert(out(2L) == "third document")
+    assert(out(3L) == "") // every line was boilerplate
+  }
+
+  test("removeBoilerplateLines: minDocs boundary, normalization, blank lines") {
+    val docs = Seq(
+      (0L, "  Shared   LINE \n\nkeep me"),   // normalizes like doc 1/2's
+      (1L, "shared line\n\nonly here"),
+      (2L, "SHARED\tLINE"),
+      (3L, "twice only\nsolo content"),
+      (4L, "twice only\nother content"))
+      .toDF("doc_id", "text")
+    val out = TextOps.removeBoilerplateLines(docs, "doc_id", "text", minDocs = 3)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // "shared line" appears (normalized) in docs 0,1,2 = 3 docs -> dropped;
+    // blank lines are kept; "twice only" is in 2 docs < minDocs -> kept
+    assert(out(0L) == "\nkeep me")
+    assert(out(1L) == "\nonly here")
+    assert(out(2L) == "")
+    assert(out(3L) == "twice only\nsolo content")
+    assert(out(4L) == "twice only\nother content")
+  }
+
+  test("removeBoilerplateLines preserves other columns and rejects minDocs < 2") {
+    val docs = Seq((0L, "a\nz", "en"), (1L, "a\ny", "de"), (2L, "a\nx", "fr"))
+      .toDF("doc_id", "text", "lang")
+    val out = TextOps.removeBoilerplateLines(docs, "doc_id", "text", minDocs = 2)
+    assert(out.columns.toSeq == Seq("doc_id", "text", "lang"))
+    val m = out.collect().map(r => r.getLong(0) -> (r.getString(1), r.getString(2))).toMap
+    assert(m(0L) == ("z", "en") && m(1L) == ("y", "de") && m(2L) == ("x", "fr"))
+    intercept[IllegalArgumentException] {
+      TextOps.removeBoilerplateLines(docs, "doc_id", "text", minDocs = 1)
+    }
+  }
+
+  test("chunkDocuments: single chunk for short docs, exact overlap reconstruction") {
+    val text = (0 until 100).map(i => s"t$i").mkString(" ")
+    val docs = Seq((0L, "short doc only"), (1L, text)).toDF("doc_id", "text")
+    val out = TextOps.chunkDocuments(docs, "doc_id", "text", maxTokens = 64, overlap = 16)
+      .orderBy("doc_id", "chunk_id").collect()
+
+    val short = out.filter(_.getLong(0) == 0L)
+    assert(short.length == 1 && short(0).getString(2) == "short doc only"
+      && short(0).getInt(3) == 3)
+
+    val chunks = out.filter(_.getLong(0) == 1L)
+    // n=100, maxTokens=64, stride=48 -> 2 chunks: [0,64), [48,100)
+    assert(chunks.map(_.getInt(1)).toSeq == Seq(0, 1))
+    assert(chunks.map(_.getInt(3)).toSeq == Seq(64, 52))
+    // every chunk's text has exactly n_chunk_tokens tokens
+    chunks.foreach(c => assert(c.getString(2).split(" ").length == c.getInt(3)))
+    // dropping the first `overlap` tokens of each later chunk and
+    // concatenating reconstructs the full normalized token stream
+    val rebuilt = chunks.head.getString(2).split(" ").toSeq ++
+      chunks.tail.toSeq.flatMap(_.getString(2).split(" ").drop(16).toSeq)
+    assert(rebuilt == (0 until 100).map(i => s"t$i"))
+  }
+
+  test("chunkDocuments: zero overlap partitions the tokens exactly") {
+    val text = (0 until 130).map(i => s"w$i").mkString(" ")
+    val out = TextOps.chunkDocuments(Seq((7L, text)).toDF("doc_id", "text"),
+      "doc_id", "text", maxTokens = 50, overlap = 0)
+      .orderBy("chunk_id").collect()
+    assert(out.map(_.getInt(3)).toSeq == Seq(50, 50, 30))
+    assert(out.flatMap(_.getString(2).split(" ")).toSeq == (0 until 130).map(i => s"w$i"))
+  }
+
+  test("chunkDocuments rejects bad parameters") {
+    val docs = Seq((0L, "a b c")).toDF("doc_id", "text")
+    intercept[IllegalArgumentException](
+      TextOps.chunkDocuments(docs, "doc_id", "text", maxTokens = 0))
+    intercept[IllegalArgumentException](
+      TextOps.chunkDocuments(docs, "doc_id", "text", maxTokens = 10, overlap = 10))
+  }
+}
