@@ -819,6 +819,19 @@ object SparkEntry {
         .orderBy("doc_id", "term")
     },
 
+    "q_shards" -> { (s, dir) =>
+      // write-ready packed shards: same 512-token concat-and-chunk
+      // arithmetic as q_pack, then per-shard doc-order concatenation —
+      // md5-compared against DuckDB's string_agg(ORDER BY)
+      val docs = t(s, dir, "documents")
+        .withColumn("n_tokens", ops.TextOps.tokenCount(col("text")).cast(LongType))
+      ops.Packing.buildShards(docs, "doc_id", "text", "n_tokens",
+        budget = 512, sep = "\n", bucketWidth = 100)
+        .select(col("shard_id"), col("n_docs"),
+          col("n_tokens").as("shard_tokens"), md5(col("shard_text")).as("shard_md5"))
+        .orderBy("shard_id")
+    },
+
     "q_boilerplate" -> { (s, dir) =>
       // CCNet/RefinedWeb-style boilerplate-line removal: both engines
       // append the same shared footer line to every doc (plus the
@@ -1518,6 +1531,26 @@ object SparkEntry {
         |  round(tf * (ln((n + 1.0) / (df + 1.0)) + 1.0), 6) AS tfidf
         |FROM tf JOIN dfreq USING (term), n
         |ORDER BY doc_id, term""".stripMargin,
+
+    // the q_pack prefix-sum arithmetic, grouped to shards; HUGEINT
+    // sums cast back to BIGINT to match Spark's long
+    "q_shards" ->
+      """WITH tok AS (
+        |  SELECT doc_id, text,
+        |    cast(len(regexp_split_to_array(trim(text), '[ \t\n\x0b\f\r]+')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, text, n_tokens,
+        |    cast(coalesce(sum(n_tokens) OVER (
+        |      ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS BIGINT) AS cum_before
+        |  FROM tok)
+        |SELECT cast(cum_before // 512 AS BIGINT) AS shard_id,
+        |  count(*) AS n_docs,
+        |  cast(sum(n_tokens) AS BIGINT) AS shard_tokens,
+        |  md5(string_agg(text, chr(10) ORDER BY doc_id)) AS shard_md5
+        |FROM c GROUP BY 1
+        |ORDER BY shard_id""".stripMargin,
 
     // same synthetic footer appended, then: explode lines with
     // position, count DISTINCT docs per normalized line (blank lines

@@ -1166,6 +1166,20 @@ final class Pipeline private (
   def chunk(idCol: String, textCol: String, maxTokens: Int, overlap: Int = 0): Pipeline =
     add(MapStep("chunk",
       graft.ops.TextOps.chunkDocuments(_, idCol, textCol, maxTokens, overlap)))
+
+  /** Append `cum_before`/`shard_id` under concat-and-chunk packing
+    * ([[graft.ops.Packing.assignShards]]). */
+  def packShards(orderCol: String, weightCol: String, budget: Long): Pipeline =
+    add(MapStep("packShards",
+      graft.ops.Packing.assignShards(_, orderCol, weightCol, budget)))
+
+  /** Materialize write-ready packed shard rows
+    * ([[graft.ops.Packing.buildShards]]). */
+  def buildShards(
+      orderCol: String, textCol: String, weightCol: String,
+      budget: Long, sep: String = "\n"): Pipeline =
+    add(MapStep("buildShards",
+      graft.ops.Packing.buildShards(_, orderCol, textCol, weightCol, budget, sep)))
 }
 
 /** gratum SortConfig (SortConfig.groovy:8-13) — see [[Pipeline.sortWith]]. */

@@ -85,4 +85,29 @@ object Packing {
     globalCumsum(df, orderCol, weightCol, bucketWidth)
       .withColumn("shard_id", expr(s"cum_before div $budget"))
   }
+
+  /** Materializes the packed shards [[assignShards]] implies: one row
+    * per shard with the member documents' `textCol` concatenated in
+    * `orderCol` order separated by `sep` (an EOS sentinel in a real
+    * pretraining flow), plus the member count and token total —
+    * the write-ready form of a packed pretraining shard.
+    *
+    * Scale shape: one groupBy(shard_id) hash aggregate; the
+    * within-shard rebuild is array_sort(collect_list(struct(order,
+    * text))) over arrays that are BUDGET-bounded by construction
+    * (a shard holds ~`budget` tokens of text), so no window sort and
+    * no unbounded per-group state. NULL texts are skipped by
+    * concat_ws but still count toward n_docs (and weight 0 toward
+    * n_tokens) — filter them upstream if shards must be NULL-free. */
+  def buildShards(
+      df: DataFrame, orderCol: String, textCol: String, weightCol: String,
+      budget: Long, sep: String = "\n", bucketWidth: Long = 100000): DataFrame =
+    assignShards(df, orderCol, weightCol, budget, bucketWidth)
+      .groupBy("shard_id")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(coalesce(col(weightCol).cast("long"), lit(0L))).as("n_tokens"),
+        concat_ws(sep,
+          transform(array_sort(collect_list(struct(col(orderCol), col(textCol)))),
+            s => s.getField(textCol))).as("shard_text"))
 }

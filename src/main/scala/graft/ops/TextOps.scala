@@ -215,8 +215,13 @@ object TextOps {
       .agg(concat_ws("\n",
         transform(array_sort(collect_list(struct(col("__pos__"), col("__line__")))),
           s => s.getField("__line__"))).as("__clean__"))
+    // NULL text stays NULL (consistent with repetitionRatio); the
+    // empty-string fallback is only for docs whose every line was
+    // removed (their group vanished from the rebuild)
     df.join(rebuilt, col(idCol) === col("__bid__"), "left")
-      .withColumn(textCol, coalesce(col("__clean__"), lit("")))
+      .withColumn(textCol,
+        when(col(textCol).isNull, lit(null).cast("string"))
+          .otherwise(coalesce(col("__clean__"), lit(""))))
       .drop("__bid__", "__clean__")
   }
 
@@ -227,7 +232,9 @@ object TextOps {
     * [i·stride, i·stride + maxTokens) with stride = maxTokens −
     * overlap; every token is covered, and a document of ≤ `maxTokens`
     * tokens yields exactly one chunk. Returns one row per chunk:
-    * (`idCol`, chunk_id, chunk_text, n_chunk_tokens).
+    * (`idCol`, chunk_id, chunk_text, n_chunk_tokens). A NULL text
+    * yields NO chunks (the generator drops the row) — filter or
+    * default NULLs upstream if every document must survive.
     *
     * Scale shape: the token array and chunk array are materialized in
     * a projection BELOW the generator, so posexplode's child is a bare

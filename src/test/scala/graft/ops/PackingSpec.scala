@@ -67,6 +67,23 @@ class PackingSpec extends AnyFunSuite {
       Packing.globalCumsum(df.withColumn("cum_before", col("w")), "id", "w"))
   }
 
+  test("buildShards concatenates in doc order with exact shard totals") {
+    val docs = Seq(
+      (1L, "one two three", 3L), (2L, "four five", 2L), (3L, "six", 1L),
+      (4L, "seven eight nine ten", 4L), (5L, "eleven", 1L))
+      .toDF("id", "text", "w")
+    // budget 5: cum_before = 0,3,5,6,10 -> shards 0,0,1,1,2
+    val out = Packing.buildShards(docs, "id", "text", "w", budget = 5, sep = " <eos> ", bucketWidth = 2)
+      .orderBy("shard_id").collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(0L, 1L, 2L))
+    assert(out.map(_.getLong(1)).toSeq == Seq(2L, 2L, 1L)) // n_docs
+    assert(out.map(_.getLong(2)).toSeq == Seq(5L, 5L, 1L)) // n_tokens
+    assert(out.map(_.getString(3)).toSeq == Seq(
+      "one two three <eos> four five",
+      "six <eos> seven eight nine ten",
+      "eleven"))
+  }
+
   test("null weights count as zero; null order keys fail loudly") {
     val withNullW = Seq((1L, Some(5L)), (2L, None), (3L, Some(2L)))
       .toDF("id", "w")

@@ -97,6 +97,18 @@ class TextPipelineSpec extends AnyFunSuite {
     assert(out.flatMap(_.getString(2).split(" ")).toSeq == (0 until 130).map(i => s"w$i"))
   }
 
+  test("NULL text: boilerplate removal preserves NULL, chunking emits no chunks") {
+    val docs = Seq((0L, "a\nkeep"), (1L, "a\nother"), (2L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val cleaned = TextOps.removeBoilerplateLines(docs, "doc_id", "text", minDocs = 2)
+      .collect().map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    assert(cleaned(0L).contains("keep") && cleaned(1L).contains("other"))
+    assert(cleaned(2L).isEmpty) // NULL in, NULL out — not ""
+    val chunks = TextOps.chunkDocuments(docs, "doc_id", "text", maxTokens = 4)
+    assert(chunks.filter(col("doc_id") === 2L).count() == 0)
+    assert(chunks.filter(col("doc_id") === 0L).count() == 1)
+  }
+
   test("chunkDocuments rejects bad parameters") {
     val docs = Seq((0L, "a b c")).toDF("doc_id", "text")
     intercept[IllegalArgumentException](
