@@ -49,7 +49,10 @@ object Bench {
       val (cold, n1) = once()
       val (s1, n2) = once()
       val (s2, n3) = once()
-      val steady = math.min(s1, s2)
+      // min over SUCCESSFUL runs only: a fast-throwing failed run must
+      // not under-report the steady cost it never paid
+      val ok = Seq((s1, n2), (s2, n3)).filter(_._2 >= 0)
+      val steady = if (ok.nonEmpty) ok.map(_._1).min else math.max(s1, s2)
       System.err.println(
         f"[bench] $name%-24s cold=$cold%7.2fs steady=$steady%7.2fs (runs $s1%.2f/$s2%.2f) rows=$n3")
       val counts = Seq(n1, n2, n3)

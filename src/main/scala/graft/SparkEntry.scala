@@ -1579,7 +1579,9 @@ object SparkEntry {
         |rebuilt AS (
         |  SELECT doc_id, string_agg(line, chr(10) ORDER BY i) AS t
         |  FROM kept GROUP BY doc_id)
-        |SELECT a.doc_id, md5(coalesce(r.t, '')) AS clean_md5
+        |SELECT a.doc_id,
+        |  CASE WHEN a.text IS NULL THEN NULL
+        |       ELSE md5(coalesce(r.t, '')) END AS clean_md5
         |FROM aug a LEFT JOIN rebuilt r USING (doc_id)
         |ORDER BY a.doc_id""".stripMargin,
 

@@ -44,6 +44,12 @@ object Aggregators {
   def groupTopK(
       df: DataFrame, groupCols: Seq[String],
       ordCol: String, idCol: String, k: Int): DataFrame = {
+    // the buffers carry idCol as LONG (top_k's cast) — guard at the
+    // casting site so EVERY caller fails at plan-build time instead of
+    // reading silent NULLs / late ANSI cast errors
+    ColumnChecks.requireIntegral(df, idCol, "groupTopK",
+      "Map the id to a surrogate long first (e.g. xxhash64), or join payloads back " +
+        "by the returned key after sampling on an integral column.")
     df.groupBy(groupCols.map(col): _*)
       .agg(top_k(col(ordCol), col(idCol), k).as("__topk__"))
       .select(groupCols.map(col) :+ explode(col("__topk__")).as("e"): _*)

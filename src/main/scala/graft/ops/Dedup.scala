@@ -360,19 +360,15 @@ object Dedup {
     }
   }
 
-  /** The cluster APIs carry ids as LONG through connected components,
-    * so a non-integral id column would cast to NULL — silently deduping
-    * NOTHING. Fail loudly at plan-build time instead. */
+  /** The cluster APIs carry ids as LONG through connected components —
+    * fail loudly at plan-build time on a non-integral id column
+    * ([[ColumnChecks.requireIntegral]]) instead of failing late or
+    * silently deduping nothing. */
   private def requireIntegralId(
-      df: DataFrame, idCol: String, op: String): Unit = {
-    import org.apache.spark.sql.types.{ByteType, ShortType, IntegerType, LongType}
-    val dt = df.schema(idCol).dataType
-    require(Seq(ByteType, ShortType, IntegerType, LongType).contains(dt),
-      s"$op requires an integral id column (cluster ids travel as LONG through " +
-        s"connected components); '$idCol' is ${dt.simpleString}. Map string/UUID ids " +
-        "to a surrogate long first (e.g. xxhash64), or use the greedy minhashDedup, " +
-        "which works for any ordered id type.")
-  }
+      df: DataFrame, idCol: String, op: String): Unit =
+    ColumnChecks.requireIntegral(df, idCol, op,
+      "Map string/UUID ids to a surrogate long first (e.g. xxhash64), or use the " +
+        "greedy minhashDedup, which works for any ordered id type.")
 
   /** Cluster assignment from a near-dup pair set: connected components
     * over the pairs (see [[Graph.connectedComponents]] — transitive

@@ -125,8 +125,18 @@ object Graph {
         r
       }
       e.as[(Long, Long)].collect().foreach { case (a, b) =>
-        val ra = find(indexOf(a))
-        val rb = find(indexOf(b))
+        val ia = indexOf(a)
+        val ib = indexOf(b)
+        // `nodes` and `e` materialize from two independent executions
+        // of the caller's plan — a NONDETERMINISTIC input (uncached
+        // sample/limit) can produce an edge endpoint absent from the
+        // node set; diagnose it instead of a bare AIOOBE
+        require(ia >= 0 && ib >= 0,
+          s"connectedComponents: edge endpoint ${if (ia < 0) a else b} is missing " +
+            "from the node set — the edges input is likely nondeterministic " +
+            "(localCheckpoint it before calling)")
+        val ra = find(ia)
+        val rb = find(ib)
         // roots point toward the smaller NODE VALUE, so every final
         // root is its component's minimum id
         if (ra != rb) {

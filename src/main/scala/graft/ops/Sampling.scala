@@ -83,13 +83,9 @@ object Sampling {
   def stratifiedSample(
       df: DataFrame, strata: Seq[String], keyCol: String,
       n: Int, salt: String): DataFrame = {
-    import org.apache.spark.sql.types.{ByteType, ShortType, IntegerType, LongType}
-    val dt = df.schema(keyCol).dataType
-    require(Seq(ByteType, ShortType, IntegerType, LongType).contains(dt),
-      s"stratifiedSample requires an integral key column (the top-k buffers carry " +
-        s"it as LONG); '$keyCol' is ${dt.simpleString} — a non-integral key would " +
-        "hash fine but come back NULL on output. Map it to a surrogate long first " +
-        "(e.g. xxhash64), or sample with sampleByHash instead.")
+    ColumnChecks.requireIntegral(df, keyCol, "stratifiedSample",
+      "A non-integral key would hash fine but not survive the top-k buffers. Map it " +
+        "to a surrogate long first (e.g. xxhash64), or sample with sampleByHash instead.")
     val ord = -conv(hashPrefix(col(keyCol), salt), 16, 10).cast("double")
     Aggregators.groupTopK(
       df.withColumn("__ord__", ord), strata, "__ord__", keyCol, n)

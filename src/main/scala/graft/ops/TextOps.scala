@@ -193,7 +193,16 @@ object TextOps {
     * array_sort(collect_list(struct(pos, line))): per-DOC arrays,
     * never corpus-sized, and no window sort anywhere. Line identity is
     * xxhash64 of the normalized line (the oracle joins the normalized
-    * strings themselves — equal absent a 64-bit collision). */
+    * strings themselves — equal absent a 64-bit collision).
+    *
+    * The line explode is DELIBERATELY evaluated twice (once under the
+    * frequency aggregate, once as the anti-join probe): split+hash is
+    * cheap pipelined per-row work, while persisting a corpus-sized
+    * line table to make it single-pass would write and re-read the
+    * whole corpus through the block store — strictly worse at scale.
+    * This is the standard two-pass shape of CCNet-style paragraph
+    * dedup. (The small boilerplate KEY set is what the second pass
+    * joins against; AQE broadcasts it when it measures small.) */
   def removeBoilerplateLines(
       df: org.apache.spark.sql.DataFrame, idCol: String, textCol: String,
       minDocs: Int): org.apache.spark.sql.DataFrame = {

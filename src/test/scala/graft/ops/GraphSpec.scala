@@ -127,6 +127,13 @@ class GraphSpec extends AnyFunSuite {
     assert(cc.collect().length == 5)
   }
 
+  test("scale-0 decimal ids (parquet BIGINT surrogates) are accepted") {
+    val ddf = Seq((0L, "x"), (1L, "y"), (2L, "z")).toDF("id", "text")
+      .withColumn("id", org.apache.spark.sql.functions.col("id").cast("decimal(18,0)"))
+    val kept = Dedup.clusterDedup(ddf, "id", Seq((0L, 1L)).toDF("id1", "id2"))
+    assert(kept.count() == 2) // 1 deduped into 0's cluster; exact through cast
+  }
+
   test("cluster APIs reject non-integral id columns loudly") {
     // string/UUID ids would cast to NULL inside connected components
     // and silently dedup nothing — the contract is enforced up front
@@ -140,7 +147,7 @@ class GraphSpec extends AnyFunSuite {
         () => Dedup.clusterDedup(ldf, "id", spairs),
         () => Dedup.minhashClusterDedup(sdf, "id", "payload"))) {
       val e = intercept[IllegalArgumentException](thunk())
-      assert(e.getMessage.contains("integral id column"))
+      assert(e.getMessage.contains("integral column"))
     }
   }
 }

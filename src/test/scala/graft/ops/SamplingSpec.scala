@@ -107,6 +107,13 @@ class SamplingSpec extends AnyFunSuite {
     assert(got == expected)
   }
 
+  test("groupTopK itself guards the long-cast site, covering every caller") {
+    val df = Seq((1L, 1.0, "a"), (1L, 2.0, "b")).toDF("g", "o", "k")
+    val e = intercept[IllegalArgumentException](
+      Aggregators.groupTopK(df, Seq("g"), "o", "k", 1))
+    assert(e.getMessage.contains("integral"))
+  }
+
   test("stratifiedSample rejects a non-integral key column loudly") {
     // the top-k buffers carry the key as LONG; a string key would hash
     // fine but come back NULL — the contract is enforced, not silent
@@ -114,6 +121,6 @@ class SamplingSpec extends AnyFunSuite {
     val e = intercept[IllegalArgumentException] {
       Sampling.stratifiedSample(df, Seq("g"), "k", 1, ":x")
     }
-    assert(e.getMessage.contains("integral key column"))
+    assert(e.getMessage.contains("integral column"))
   }
 }
