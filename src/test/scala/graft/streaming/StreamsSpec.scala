@@ -77,6 +77,31 @@ class StreamsSpec extends AnyFunSuite {
     assert(streamed == batch)
   }
 
+  test("chunking, cleaning and redaction are streaming-identical") {
+    // chunkDocuments is projection + generate and cleanText/redactPii
+    // are pure column chains — all must stream without modification
+    // and produce exactly the batch rows
+    val docs = graft.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+      .select("doc_id", "text")
+    val dir = Files.createTempDirectory("graft-stream-chunks").toString
+    docs.write.mode("overwrite").parquet(dir)
+
+    def xform(df: org.apache.spark.sql.DataFrame) =
+      graft.ops.TextOps.chunkDocuments(
+        df.withColumn("text",
+          graft.ops.TextOps.redactPii(graft.ops.TextOps.cleanText(col("text")))),
+        "doc_id", "text", maxTokens = 32, overlap = 8)
+
+    Streams.runToMemory(
+      xform(Streams.parquetStream(spark, dir, docs.schema)), "chunk_ops")
+    val streamed = spark.table("chunk_ops").collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> (r.getString(2), r.getInt(3))).toMap
+    val batch = xform(docs).collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> (r.getString(2), r.getInt(3))).toMap
+    assert(streamed.nonEmpty)
+    assert(streamed == batch)
+  }
+
   test("dedupExact drops later copies of the same fingerprint, keeps distinct docs") {
     val dir = Files.createTempDirectory("graft-stream3").toString
     val docs = Seq(
