@@ -156,6 +156,67 @@ class PropertiesSpec extends AnyFunSuite {
     }
   }
 
+  test("chunkDocuments covers every token with the declared overlap for random params") {
+    val params = for {
+      nTok <- Gen.chooseNum(0, 200)
+      maxT <- Gen.chooseNum(1, 60)
+      ov <- Gen.chooseNum(0, maxT - 1)
+    } yield (nTok, maxT, ov)
+    forSamples(params, 20) { case (nTok, maxT, ov) =>
+      val toks = (0 until nTok).map(i => s"t$i")
+      val df = Seq((1L, toks.mkString(" "))).toDF("id", "text")
+      val chunks = TextOps.chunkDocuments(df, "id", "text", maxT, ov)
+        .orderBy("chunk_id").collect()
+      val stride = maxT - ov
+      // expected chunk count from the closed form
+      val n = math.max(1, nTok) // empty text tokenizes to one "" token
+      val expected = if (n <= maxT) 1 else ((n - maxT + stride - 1) / stride) + 1
+      assert(chunks.length == expected, s"nTok=$nTok maxT=$maxT ov=$ov")
+      // every chunk within budget, counts exact, ids dense
+      assert(chunks.map(_.getInt(1)).toSeq == (0 until expected))
+      chunks.foreach { c =>
+        assert(c.getInt(3) <= maxT && c.getInt(3) >= 1)
+        assert(c.getString(2).split(" ").length == c.getInt(3))
+      }
+      // overlap reconstruction returns the exact token stream
+      if (nTok > 0) {
+        val rebuilt = chunks.head.getString(2).split(" ").toSeq ++
+          chunks.tail.toSeq.flatMap(_.getString(2).split(" ").drop(ov).toSeq)
+        assert(rebuilt == toks, s"nTok=$nTok maxT=$maxT ov=$ov")
+      }
+    }
+  }
+
+  test("removeBoilerplateLines is idempotent and only ever deletes whole lines") {
+    val corpus = for {
+      nDocs <- Gen.chooseNum(3, 8)
+      shared <- Gen.listOfN(2, text)
+      docs <- Gen.listOfN(nDocs, Gen.listOfN(4, Gen.frequency(
+        3 -> text, 2 -> Gen.oneOf(shared), 1 -> Gen.const(""))))
+    } yield docs.map(_.mkString("\n"))
+    forSamples(corpus, 8) { texts =>
+      val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+      val once = TextOps.removeBoilerplateLines(df, "id", "text", minDocs = 3)
+      val out1 = once.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      // every output doc is a subsequence of its input's lines
+      val in = texts.zipWithIndex.map { case (t, i) => i.toLong -> t }.toMap
+      out1.foreach { case (id, t) =>
+        val inLines = in(id).split("\n", -1).toList
+        val outLines = if (t.isEmpty) Nil else t.split("\n", -1).toList
+        def isSubseq(a: List[String], b: List[String]): Boolean = (a, b) match {
+          case (Nil, _) => true
+          case (_, Nil) => false
+          case (x :: xs, y :: ys) => if (x == y) isSubseq(xs, ys) else isSubseq(a, ys)
+        }
+        assert(isSubseq(outLines, inLines), s"doc $id not a line-subsequence")
+      }
+      // a second pass removes nothing further
+      val out2 = TextOps.removeBoilerplateLines(once, "id", "text", minDocs = 3)
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(out2 == out1)
+    }
+  }
+
   test("exact dedup is idempotent and never increases rows") {
     forSamples(Gen.listOfN(12, text), 5) { texts =>
       {
