@@ -1,0 +1,85 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** End-to-end corpus preparation over the real sf0.01 tables: the full
+  * training-data flow a user of this library would run, chained as ONE
+  * Pipeline — clean → quality gate → boilerplate removal → transitive
+  * dedup → decontamination → split → pack → shard build. Each stage's
+  * operator is individually oracle-gated; this spec proves they
+  * COMPOSE (column contracts line up, nothing shuffles a stale schema)
+  * and that corpus-level invariants hold at the end of the chain.
+  */
+class CorpusPrepIntegrationSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-corpus-prep-integration")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val dir = "/root/testdata/sf0.01"
+
+  test("the full corpus-prep chain composes and preserves its invariants") {
+    val docs = Tables.load(spark, dir, "documents")
+    val eval = docs.filter(col("doc_id") % 20 === 0)
+    val total = docs.count()
+
+    val prepped = etl.Pipeline.of("corpus", docs)
+      .addField("text", ops.TextOps.cleanText(col("text")))
+      .withTokenCount("text")
+      .filter(col("n_tokens") >= 10)
+      .removeBoilerplate("doc_id", "text", minDocs = 50)
+      .dedupClusters("doc_id", "text", shingleN = 8)
+      .decontaminate(eval, "doc_id", "text")
+      .withSplit("doc_id", Seq("train" -> 0.9, "val" -> 0.1), ":prep")
+      .withRepetitionRatio("text")
+      .toDF
+      .withColumn("n_tokens", ops.TextOps.tokenCount(col("text")).cast("long"))
+      .localCheckpoint(true)
+
+    val n = prepped.count()
+    assert(n > 0 && n < total, s"prep should drop something: $n of $total")
+    // decontamination: nothing from the eval slice's id space remains
+    assert(prepped.filter(col("doc_id") % 20 === 0).count() == 0)
+    // dedup: no two surviving docs share a fingerprint
+    val fps = prepped.select(ops.TextOps.fingerprint(col("text")).as("fp"))
+    assert(fps.count() == fps.distinct().count())
+    // split labels are total and near the weights
+    val bySplit = prepped.groupBy("split").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bySplit.keySet == Set("train", "val"))
+    assert(bySplit.values.sum == n)
+    assert(math.abs(bySplit("train").toDouble / n - 0.9) < 0.05)
+    // quality gate: clean text everywhere, no control chars survive
+    assert(prepped.filter(col("text").rlike("[\\x00-\\x08\\x0e-\\x1f]")).count() == 0)
+
+    // pack the train split into 512-token shards and build shard text
+    val train = prepped.filter(col("split") === "train")
+    val shards = ops.Packing.buildShards(
+      train, "doc_id", "text", "n_tokens", budget = 512, sep = "\n")
+      .localCheckpoint(true)
+    val trainDocs = train.count()
+    val trainTokens = train.agg(sum(col("n_tokens"))).head().getLong(0)
+    val sh = shards.agg(
+      sum(col("n_docs")), sum(col("n_tokens")), count(lit(1))).head()
+    assert(sh.getLong(0) == trainDocs, "every train doc lands in exactly one shard")
+    assert(sh.getLong(1) == trainTokens, "token mass is conserved")
+    // concat-and-chunk: shard count is exactly ceil(total/budget) of
+    // the shards actually touched by a document's first token — at
+    // minimum totalTokens/512 can't be exceeded by more than the doc
+    // count (each doc starts in one shard)
+    assert(sh.getLong(2) <= trainTokens / 512 + 1)
+
+    // chunk the val split to a 128-token context window: every chunk
+    // within budget, every doc represented
+    val va = prepped.filter(col("split") === "val")
+    val chunks = ops.TextOps.chunkDocuments(va, "doc_id", "text", maxTokens = 128, overlap = 0)
+    assert(chunks.filter(col("n_chunk_tokens") > 128).count() == 0)
+    assert(chunks.select("doc_id").distinct().count() == va.count())
+  }
+}
