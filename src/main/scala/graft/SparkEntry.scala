@@ -851,6 +851,54 @@ object SparkEntry {
       ops.TextOps.chunkDocuments(t(s, dir, "documents"), "doc_id", "text",
         maxTokens = 64, overlap = 16)
         .orderBy("doc_id", "chunk_id")
+    },
+
+    "q_gopher_quality" -> { (s, dir) =>
+      // Gopher quality-rule signals + verdict (Rae et al. 2021): every
+      // ratio is a SINGLE division of exact ints, so the doubles (and
+      // the boolean verdict built from them) are bit-identical to the
+      // oracle's
+      t(s, dir, "documents")
+        .select(col("doc_id"), ops.TextOps.gopherSignals(col("text")).as("g"))
+        .select(col("doc_id"),
+          col("g.n_words").cast(LongType).as("n_words"),
+          col("g.mean_word_len").as("mean_word_len"),
+          col("g.symbol_ratio").as("symbol_ratio"),
+          col("g.bullet_frac").as("bullet_frac"),
+          col("g.ellipsis_frac").as("ellipsis_frac"),
+          col("g.alpha_word_frac").as("alpha_word_frac"),
+          col("g.stopword_hits").cast(LongType).as("stopword_hits"),
+          ops.TextOps.gopherPass(col("g")).as("pass"))
+        .orderBy("doc_id")
+    },
+
+    "q_sample_mixture" -> { (s, dir) =>
+      // language-mixture reweighting (data mixing): per-stratum keep
+      // fractions decided by the same md5 prefix as q_sample_split —
+      // a pure scan-time filter, no shuffle, rerun/engine-stable
+      ops.Sampling.sampleByStratum(
+        t(s, dir, "documents"), col("doc_id"), col("lang"),
+        Seq("en" -> 0.5, "de" -> 0.25, "zh" -> 1.0),
+        defaultFraction = 0.125, salt = ":mix42")
+        .select("doc_id", "lang")
+        .orderBy("doc_id")
+    },
+
+    "q_dedup_cross" -> { (s, dir) =>
+      // cross-corpus dedup (new crawl vs existing training set):
+      // doc_id % 10 == 0 stands in for the already-shipped reference;
+      // the corpus is never self-joined. Same char-5-gram LSH family as
+      // q_dedup_minhash_cluster (recall 1.0 on this corpus, exactVerify
+      // precision 1.0), so the surviving set equals the oracle's
+      // exact-jaccard anti-join
+      val docs = t(s, dir, "documents")
+      ops.Dedup.crossCorpusDedup(
+        docs.filter(col("doc_id") % 10 =!= 0),
+        docs.filter(col("doc_id") % 10 === 0), "doc_id", "text",
+        shingleN = 5, numHashes = 64, bands = 8, threshold = 0.8,
+        charShingles = true)
+        .select("doc_id")
+        .orderBy("doc_id")
     }
   )
 
@@ -1602,6 +1650,79 @@ object SparkEntry {
         |SELECT doc_id, cast(i AS INTEGER) AS chunk_id,
         |  array_to_string(tk[i*48+1 : i*48+64], ' ') AS chunk_text,
         |  cast(least(64, n - i*48) AS INTEGER) AS n_chunk_tokens
-        |FROM x ORDER BY doc_id, chunk_id""".stripMargin
+        |FROM x ORDER BY doc_id, chunk_id""".stripMargin,
+
+    // every ratio mirrors the Spark side's single-int-division shape;
+    // len()/list results are BIGINT so the Spark side casts its INT
+    // counts to long. replace() is literal (non-overlapping leftmost,
+    // same as the regex '\.\.\.'), and the line/bullet regexes use the
+    // explicit '[ \t]' class (no \s — RE2/Java divergence)
+    "q_gopher_quality" ->
+      """WITH norm AS (
+        |  SELECT doc_id, text,
+        |    trim(regexp_replace(lower(trim(text)), '[ \t\n\x0b\f\r]+', ' ', 'g')) AS s
+        |  FROM documents),
+        |base AS (
+        |  SELECT doc_id, s,
+        |    string_split(s, ' ') AS tk, len(string_split(s, ' ')) AS nw,
+        |    string_split(text, chr(10)) AS ln, len(string_split(text, chr(10))) AS nl,
+        |    length(s) - length(replace(s, '#', '')) AS hash_chars,
+        |    length(s) - length(replace(s, '...', '')) AS ell_chars
+        |  FROM norm),
+        |sig AS (
+        |  SELECT doc_id,
+        |    nw AS n_words,
+        |    (length(s) - (nw - 1)) / nw AS mean_word_len,
+        |    (hash_chars * 3 + ell_chars) / (nw * 3) AS symbol_ratio,
+        |    len(list_filter(ln, l -> regexp_matches(l, '^[ \t]*[-*•]'))) / nl AS bullet_frac,
+        |    len(list_filter(ln, l -> regexp_matches(l, '(\.\.\.|…)[ \t]*$'))) / nl AS ellipsis_frac,
+        |    len(list_filter(tk, t -> regexp_matches(t, '[a-z]'))) / nw AS alpha_word_frac,
+        |    len(list_intersect(tk, ['the','be','to','of','and','that','have','with'])) AS stopword_hits
+        |  FROM base)
+        |SELECT doc_id, n_words, mean_word_len, symbol_ratio, bullet_frac, ellipsis_frac,
+        |  alpha_word_frac, stopword_hits,
+        |  (n_words BETWEEN 50 AND 100000) AND (mean_word_len BETWEEN 3 AND 10)
+        |    AND symbol_ratio <= 0.1 AND bullet_frac <= 0.9 AND ellipsis_frac <= 0.3
+        |    AND alpha_word_frac >= 0.8 AND stopword_hits >= 2 AS pass
+        |FROM sig ORDER BY doc_id""".stripMargin,
+
+    // the CASE thresholds come from the SAME library function the
+    // Spark side uses (Sampling.hexThreshold); 'g' sorts above every
+    // hex digit = keep the whole stratum
+    "q_sample_mixture" ->
+      s"""SELECT doc_id, lang FROM documents
+         |WHERE substr(md5(cast(doc_id AS VARCHAR) || ':mix42'), 1, 12) <
+         |  CASE lang WHEN 'en' THEN '${ops.Sampling.hexThreshold(0.5)}'
+         |            WHEN 'de' THEN '${ops.Sampling.hexThreshold(0.25)}'
+         |            WHEN 'zh' THEN 'g'
+         |            ELSE '${ops.Sampling.hexThreshold(0.125)}' END
+         |ORDER BY doc_id""".stripMargin,
+
+    // exact char-5-gram jaccard >= 0.8 pairs BETWEEN the corpus slice
+    // and the reference slice (same shingle/normalize shape and
+    // lossless size-ratio prune as q_dedup_minhash_cluster), then the
+    // anti-join: survivors = corpus docs with no qualifying reference
+    // partner
+    "q_dedup_cross" ->
+      """WITH norm AS (
+        |  SELECT doc_id, regexp_replace(lower(trim(text)), '[ \t\n\x0b\f\r]+', ' ', 'g') AS s
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id,
+        |    CASE WHEN length(s) >= 5
+        |         THEN list_distinct(list_transform(range(0, length(s) - 4), i -> substr(s, i + 1, 5)))
+        |         ELSE [s] END AS shset
+        |  FROM norm),
+        |sz AS (SELECT doc_id, shset, len(shset) AS n FROM sh),
+        |hits AS (
+        |  SELECT DISTINCT a.doc_id
+        |  FROM sz a JOIN sz b
+        |    ON a.doc_id % 10 <> 0 AND b.doc_id % 10 = 0
+        |   AND least(a.n, b.n) >= cast(0.8 AS DOUBLE) * greatest(a.n, b.n) - 1e-9
+        |   AND cast(len(list_intersect(a.shset, b.shset)) AS DOUBLE)
+        |      / len(list_distinct(a.shset || b.shset)) >= 0.8)
+        |SELECT doc_id FROM documents
+        |WHERE doc_id % 10 <> 0 AND doc_id NOT IN (SELECT doc_id FROM hits)
+        |ORDER BY doc_id""".stripMargin
   )
 }

@@ -1180,6 +1180,37 @@ final class Pipeline private (
       budget: Long, sep: String = "\n"): Pipeline =
     add(MapStep("buildShards",
       graft.ops.Packing.buildShards(_, orderCol, textCol, weightCol, budget, sep)))
+
+  /** Drop rows near-duplicating ANY document of `reference`
+    * ([[graft.ops.Dedup.crossCorpusDedup]] — dedupe a new crawl
+    * against the previous training set). */
+  def dedupAgainst(
+      reference: DataFrame, idCol: String, textCol: String,
+      shingleN: Int = 3, numHashes: Int = 64, bands: Int = 16,
+      threshold: Double = 0.8): Pipeline =
+    add(MapStep("dedupAgainst",
+      graft.ops.Dedup.crossCorpusDedup(_, reference, idCol, textCol,
+        shingleN, numHashes, bands, threshold)))
+
+  /** Keep only rows passing the Gopher quality rules at the published
+    * thresholds ([[graft.ops.TextOps.gopherSignals]] /
+    * [[graft.ops.TextOps.gopherPass]]). The signals struct is computed
+    * once as a real column, then dropped. */
+  def filterGopher(textCol: String): Pipeline =
+    add(MapStep("filterGopher", df =>
+      df.withColumn("__g__", graft.ops.TextOps.gopherSignals(col(textCol)))
+        .filter(graft.ops.TextOps.gopherPass(col("__g__")))
+        .drop("__g__")))
+
+  /** Per-stratum keep fractions — data mixing / source reweighting
+    * ([[graft.ops.Sampling.sampleByStratum]]). */
+  def sampleByStratum(
+      keyCol: String, stratumCol: String,
+      fractions: Seq[(String, Double)], defaultFraction: Double,
+      salt: String): Pipeline =
+    add(MapStep("sampleByStratum",
+      graft.ops.Sampling.sampleByStratum(_, col(keyCol), col(stratumCol),
+        fractions, defaultFraction, salt)))
 }
 
 /** gratum SortConfig (SortConfig.groovy:8-13) — see [[Pipeline.sortWith]]. */

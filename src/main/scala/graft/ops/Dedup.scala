@@ -149,32 +149,9 @@ object Dedup {
       // also the only shape that works at 100 TB
       val shingler: (Column, Int) => Column =
         if (charShingles) TextOps.charShingles else TextOps.shingles
-      // the interpreted shingle projection must sit above a by-key
-      // aggregation (spreadByKey), or it runs inside the scan stage —
-      // one task for a single-file input with the id-IN-list pushed
-      // down, serializing the most expensive per-row work of the verify
-      def sets(src: DataFrame): DataFrame =
-        spreadByKey(src.select(col(idCol), col(textCol)), idCol, textCol)
-          .select(col("__id__").as("__sid__"),
-            array_distinct(shingler(col("__t__"), shingleN)).as("__sh__"))
-      // `screened` is materialized and bounded (bucket cap + screen), so
-      // the candidate-id set is knowable up front. When it is small —
-      // the normal case — pull the ids to the driver: the shingle build
-      // becomes an id-IN-list PUSHED INTO the parquet scan (row-group
-      // skipping) and both verify joins broadcast, zero shuffles. A big
-      // candidate set falls back to semi-join + shuffle-hash (the
-      // planner's size estimate for wide array rows oscillates around
-      // the broadcast threshold, so the hint keeps it off the slow
-      // broadcast-megabytes path).
       val candidateIds = screened.select(col("id1").as("__sid__"))
         .union(screened.select(col("id2").as("__sid__"))).distinct()
-      val ids = candidateIds.limit(maxBroadcastCandidates + 1).collect().map(_.get(0))
-      val shingleSets =
-        if (ids.length <= maxBroadcastCandidates)
-          broadcast(sets(df.filter(col(idCol).isin(ids.toIndexedSeq: _*))))
-        else
-          sets(df.join(candidateIds, df(idCol) === candidateIds("__sid__"), "left_semi"))
-            .hint("shuffle_hash")
+      val shingleSets = candidateShingleSets(df, idCol, textCol, candidateIds, shingler, shingleN)
       screened
         .join(shingleSets.withColumnRenamed("__sid__", "id1").withColumnRenamed("__sh__", "sh1"),
           Seq("id1"))
@@ -190,6 +167,108 @@ object Dedup {
   /** Above this many exact-verify candidates the shingle sets stop being
     * driver/broadcast material and the verify joins shuffle instead. */
   private val maxBroadcastCandidates = 10000
+
+  /** Distinct shingle sets for the candidate rows of `src` named by
+    * `candidateIds` (a one-column `__sid__` frame) — the exact-verify
+    * data-join used by [[minhashNearDups]] and [[crossCorpusNearDups]].
+    *
+    * The interpreted shingle projection must sit above a by-key
+    * aggregation ([[spreadByKey]]), or it runs inside the scan stage —
+    * one task for a single-file input with the id-IN-list pushed down,
+    * serializing the most expensive per-row work of the verify.
+    * `candidateIds` is materialized and bounded upstream (bucket cap +
+    * screen), so the id set is knowable up front. When it is small —
+    * the normal case — pull the ids to the driver: the shingle build
+    * becomes an id-IN-list PUSHED INTO the parquet scan (row-group
+    * skipping) and the verify joins broadcast, zero shuffles. A big
+    * candidate set falls back to semi-join + shuffle-hash (the
+    * planner's size estimate for wide array rows oscillates around the
+    * broadcast threshold, so the hint keeps it off the slow
+    * broadcast-megabytes path). */
+  private def candidateShingleSets(
+      src: DataFrame, idCol: String, textCol: String,
+      candidateIds: DataFrame,
+      shingler: (Column, Int) => Column, shingleN: Int): DataFrame = {
+    def sets(s: DataFrame): DataFrame =
+      spreadByKey(s.select(col(idCol), col(textCol)), idCol, textCol)
+        .select(col("__id__").as("__sid__"),
+          array_distinct(shingler(col("__t__"), shingleN)).as("__sh__"))
+    val ids = candidateIds.limit(maxBroadcastCandidates + 1).collect().map(_.get(0))
+    if (ids.length <= maxBroadcastCandidates)
+      broadcast(sets(src.filter(col(idCol).isin(ids.toIndexedSeq: _*))))
+    else
+      sets(src.join(candidateIds, src(idCol) === candidateIds("__sid__"), "left_semi"))
+        .hint("shuffle_hash")
+  }
+
+  /** Cross-corpus near-duplicate pairs: every (corpus `id1`, reference
+    * `id2`, jaccard >= threshold) — the "does my new crawl overlap the
+    * existing training set" primitive, also the scale path for deduping
+    * against data already shipped in a previous training run. Same
+    * signature family, banding, screening, and exact-verify discipline
+    * as [[minhashNearDups]], but candidates come from CROSS-side bucket
+    * collisions only ([[LshBlocking.crossCandidatePairs]]): the corpus
+    * is never self-joined, and a reference that is small relative to
+    * the corpus adds one broadcast-sized banding side, not a shuffle of
+    * the corpus. */
+  def crossCorpusNearDups(
+      corpus: DataFrame, reference: DataFrame, idCol: String, textCol: String,
+      shingleN: Int = 3, numHashes: Int = 64, bands: Int = 16,
+      threshold: Double = 0.8, maxBucket: Int = 200,
+      exactVerify: Boolean = true,
+      charShingles: Boolean = false): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must be divisible by bands")
+    val r = numHashes / bands
+    def sigsOf(df: DataFrame): DataFrame =
+      spreadByKey(df, idCol, textCol)
+        .select(col("__id__"),
+          (if (charShingles)
+            graft.functions.exprs.minhash_char_sig(
+              TextOps.normalized(col("__t__")), shingleN, numHashes)
+          else
+            graft.functions.exprs.minhash_sig(
+              TextOps.shingles(col("__t__"), shingleN), numHashes)).as("__sig__"))
+    val screened = LshBlocking.crossCandidatePairs(
+      sigsOf(corpus), sigsOf(reference), bands, r, maxBucket,
+      screen = _.withColumn("est_jaccard",
+          graft.functions.similarityExprs.sig_agreement(col("p1"), col("p2")))
+        .filter(col("est_jaccard") >= threshold * 0.5)
+        .select(col("id1"), col("id2"), col("est_jaccard")))
+    if (!exactVerify)
+      screened.filter(col("est_jaccard") >= threshold)
+        .select(col("id1"), col("id2"), col("est_jaccard").as("jaccard"))
+    else {
+      val shingler: (Column, Int) => Column =
+        if (charShingles) TextOps.charShingles else TextOps.shingles
+      val sets1 = candidateShingleSets(corpus, idCol, textCol,
+        screened.select(col("id1").as("__sid__")).distinct(), shingler, shingleN)
+      val sets2 = candidateShingleSets(reference, idCol, textCol,
+        screened.select(col("id2").as("__sid__")).distinct(), shingler, shingleN)
+      screened
+        .join(sets1.withColumnRenamed("__sid__", "id1").withColumnRenamed("__sh__", "sh1"),
+          Seq("id1"))
+        .join(sets2.withColumnRenamed("__sid__", "id2").withColumnRenamed("__sh__", "sh2"),
+          Seq("id2"))
+        .withColumn("jaccard",
+          graft.functions.similarityExprs.jaccard_sim(col("sh1"), col("sh2")))
+        .filter(col("jaccard") >= threshold)
+        .select(col("id1"), col("id2"), col("jaccard"))
+    }
+  }
+
+  /** Drop every corpus document that near-duplicates ANY reference
+    * document (cross-corpus dedup). The reference frame is left
+    * untouched — only corpus rows are filtered, via one anti-join on
+    * the distinct hit ids. */
+  def crossCorpusDedup(
+      corpus: DataFrame, reference: DataFrame, idCol: String, textCol: String,
+      shingleN: Int = 3, numHashes: Int = 64, bands: Int = 16,
+      threshold: Double = 0.8, charShingles: Boolean = false): DataFrame = {
+    val hits = crossCorpusNearDups(corpus, reference, idCol, textCol,
+      shingleN, numHashes, bands, threshold, charShingles = charShingles)
+      .select(col("id1").as(idCol)).distinct()
+    corpus.join(hits, Seq(idCol), "left_anti")
+  }
 
   /** Greedy near-dup removal: drops every row that appears as the larger
     * id of a qualifying pair (keep-smallest; connected components are

@@ -38,6 +38,17 @@ object LshBlocking {
     * rest), dedups pairs across bands, and returns the MATERIALIZED
     * result (no live cache entries remain).
     */
+  /** (id, payload, band, bucket) rows: one per (input row, band), the
+    * bucket being a hash of that band's signature slice. */
+  private def bandRows(
+      sigs: DataFrame, bands: Int, rowsPerBand: Int, carry: String): DataFrame =
+    sigs.select(
+      col("__id__"), col(carry).as("__p__"),
+      explode(transform(sequence(lit(0), lit(bands - 1)),
+        b => struct(b.as("band"),
+          hash(slice(col("__sig__"), b * rowsPerBand + 1, lit(rowsPerBand))).as("bucket")))).as("bb"))
+      .select(col("__id__"), col("__p__"), col("bb.band"), col("bb.bucket"))
+
   def candidatePairs(
       df: DataFrame, bands: Int, rowsPerBand: Int,
       maxBucket: Int, payload: Option[String] = None,
@@ -54,12 +65,7 @@ object LshBlocking {
     // and both self-join sides costs almost nothing. Unpersisted below.
     val sigs = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
-    val banded = sigs.select(
-      col("__id__"), col(carry).as("__p__"),
-      explode(transform(sequence(lit(0), lit(bands - 1)),
-        b => struct(b.as("band"),
-          hash(slice(col("__sig__"), b * rowsPerBand + 1, lit(rowsPerBand))).as("bucket")))).as("bb"))
-      .select(col("__id__"), col("__p__"), col("bb.band"), col("bb.bucket"))
+    val banded = bandRows(sigs, bands, rowsPerBand, carry)
 
     val goodBuckets = banded
       .groupBy("band", "bucket")
@@ -82,5 +88,49 @@ object LshBlocking {
         .dropDuplicates("id1", "id2")
         .localCheckpoint(true)
     finally sigs.unpersist(false) // even when screen/checkpoint throws
+  }
+
+  /** Cross-frame variant: candidate pairs BETWEEN two signature frames
+    * (each with `__id__`/`__sig__`), for corpus-vs-reference overlap.
+    * Only CROSS-side bucket collisions generate pairs — a bucket whose
+    * members all sit on one side is skipped by the size filter, and
+    * there is no id1 < id2 constraint (the sides are different id
+    * spaces; ids may even collide across them). The bucket cap applies
+    * to the combined (band, bucket) population: a bucket that popular
+    * is non-discriminative regardless of which side its members came
+    * from. Same screen-then-dedup-then-materialize discipline as
+    * [[candidatePairs]]; id1 is always the `a` side. */
+  def crossCandidatePairs(
+      a: DataFrame, b: DataFrame, bands: Int, rowsPerBand: Int,
+      maxBucket: Int, screen: DataFrame => DataFrame = identity): DataFrame = {
+    val sa = a.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sb = b.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val ba = bandRows(sa, bands, rowsPerBand, "__sig__")
+      val bb = bandRows(sb, bands, rowsPerBand, "__sig__")
+      // one aggregate over the tagged union yields both side counts:
+      // total n and b-side count nb (sum of the 0/1 tag) — keep only
+      // buckets with members on BOTH sides, under the combined cap
+      val good = ba.withColumn("__s__", lit(0))
+        .unionByName(bb.withColumn("__s__", lit(1)))
+        .groupBy("band", "bucket")
+        .agg(count(lit(1)).as("__n__"), sum(col("__s__")).as("__nb__"))
+        .filter(col("__nb__") >= 1 && col("__nb__") < col("__n__") &&
+          col("__n__") <= maxBucket)
+        .select("band", "bucket")
+      val raw = ba.join(good, Seq("band", "bucket"), "left_semi")
+        .select(col("band"), col("bucket"), col("__id__").as("id1"), col("__p__").as("p1"))
+        .join(
+          bb.join(good, Seq("band", "bucket"), "left_semi")
+            .select(col("band"), col("bucket"), col("__id__").as("id2"), col("__p__").as("p2")),
+          Seq("band", "bucket"))
+        .select(col("id1"), col("id2"), col("p1"), col("p2"))
+      screen(raw)
+        .dropDuplicates("id1", "id2")
+        .localCheckpoint(true)
+    } finally {
+      sa.unpersist(false)
+      sb.unpersist(false)
+    }
   }
 }

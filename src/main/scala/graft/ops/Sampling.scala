@@ -70,6 +70,27 @@ object Sampling {
     }
   }
 
+  /** Per-stratum keep fractions (data mixing / source-language
+    * reweighting): keep ~`fractions(stratum)` of each stratum's rows
+    * (`defaultFraction` for unlisted strata), decided by the same
+    * engine-portable (key, salt) hash as [[sampleByHash]]. Mixture
+    * weights retune per source without coordination, and membership
+    * stays rerun- and engine-stable. A fraction >= 1.0 keeps the whole
+    * stratum ("g" sorts above every hex digit). Scale shape: one
+    * narrow codegen'd filter — a scan-time decision, no aggregation,
+    * no shuffle, regardless of corpus size or stratum skew. */
+  def sampleByStratum(
+      df: DataFrame, key: Column, stratum: Column,
+      fractions: Seq[(String, Double)], defaultFraction: Double,
+      salt: String): DataFrame = {
+    require(fractions.nonEmpty, "need at least one stratum fraction")
+    def thr(f: Double): Column = if (f >= 1.0) lit("g") else lit(hexThreshold(f))
+    val cut = fractions.foldRight(thr(defaultFraction)) {
+      case ((label, f), els) => when(stratum === label, thr(f)).otherwise(els)
+    }
+    df.filter(hashPrefix(key, salt) < cut)
+  }
+
   /** Exactly `n` rows per stratum (fewer when the stratum is smaller),
     * chosen by hash order of `keyCol` — a deterministic simple random
     * sample per group. Rides the bounded top-k buffers

@@ -100,6 +100,66 @@ object TextOps {
   def normalized(c: Column): Column =
     regexp_replace(lower(trim(c)), "\\s+", " ")
 
+  /** The Gopher quality-rule stopwords (Rae et al. 2021, "Scaling
+    * Language Models: ...", appendix A — a document must contain at
+    * least two of these to pass the rule set). */
+  val gopherStopwords: Seq[String] = Seq(
+    "the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** Gopher-style document-quality signals (Rae et al. 2021 rule set —
+    * the standard pre-training corpus filter): word count, mean word
+    * length, symbol-to-word ratio (# and ellipsis), bullet-line and
+    * ellipsis-line fractions, fraction of words with an alphabetic
+    * character, and required-stopword hits. Pure codegen'd Column
+    * arithmetic over one row — no shuffle, engine-portable.
+    *
+    * Cross-engine determinism: every ratio is a SINGLE division of two
+    * exact integers (the symbol ratio scales both sides by 3 so the
+    * ellipsis character count never divides separately), so the double
+    * is bit-identical on any IEEE engine — which is what puts the
+    * whole rule set under the DuckDB oracle gate. Tokens come from
+    * `trim(normalized(c))` split on the single collapsed space: the
+    * same tokenization as the native gram/packing family (leading
+    * tab/newline never fabricates an empty token). Line fractions use
+    * raw `\n` lines (structure is a raw-text property; trailing empty
+    * lines count, exactly as `split(limit = -1)` keeps them). */
+  def gopherSignals(c: Column): Column = {
+    val s = trim(normalized(c))
+    val toks = split(s, " ")
+    val nw = size(toks)
+    val lines = split(c, "\n", -1)
+    val nl = size(lines)
+    val hashChars = length(s) - length(regexp_replace(s, "#", ""))
+    val ellipsisChars = length(s) - length(regexp_replace(s, "\\.\\.\\.", ""))
+    struct(
+      nw.as("n_words"),
+      ((length(s) - (nw - 1)) / nw).as("mean_word_len"),
+      ((hashChars * 3 + ellipsisChars) / (nw * 3)).as("symbol_ratio"),
+      (size(filter(lines, l => l.rlike("^[ \t]*[-*•]"))) / nl).as("bullet_frac"),
+      (size(filter(lines, l => l.rlike("(\\.\\.\\.|…)[ \t]*$"))) / nl).as("ellipsis_frac"),
+      (size(filter(toks, t => t.rlike("[a-z]"))) / nw).as("alpha_word_frac"),
+      size(array_intersect(toks, array(gopherStopwords.map(lit): _*))).as("stopword_hits"))
+  }
+
+  /** The Gopher pass/fail verdict over a [[gopherSignals]] struct
+    * column (thresholds are the published defaults). Kept separate so
+    * the (7-way-reused) signals struct is computed once as a real
+    * column, not re-derived per predicate. */
+  def gopherPass(
+      g: Column,
+      minWords: Int = 50, maxWords: Int = 100000,
+      minMeanWord: Double = 3, maxMeanWord: Double = 10,
+      maxSymbolRatio: Double = 0.1, maxBulletFrac: Double = 0.9,
+      maxEllipsisFrac: Double = 0.3, minAlphaWordFrac: Double = 0.8,
+      minStopwordHits: Int = 2): Column =
+    g.getField("n_words").between(minWords, maxWords) &&
+      g.getField("mean_word_len").between(minMeanWord, maxMeanWord) &&
+      g.getField("symbol_ratio") <= maxSymbolRatio &&
+      g.getField("bullet_frac") <= maxBulletFrac &&
+      g.getField("ellipsis_frac") <= maxEllipsisFrac &&
+      g.getField("alpha_word_frac") >= minAlphaWordFrac &&
+      g.getField("stopword_hits") >= minStopwordHits
+
   /** Content fingerprint: md5 of the normalized text. */
   def fingerprint(c: Column): Column = md5(normalized(c))
 

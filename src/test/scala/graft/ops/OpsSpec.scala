@@ -102,6 +102,42 @@ class OpsSpec extends AnyFunSuite {
       "candidatePairs must unpersist every intermediate before returning")
   }
 
+  test("Dedup.crossCorpusNearDups/Dedup.crossCorpusDedup: cross-side pairs only") {
+    // corpus: 0/1 duplicate REFERENCE doc 100; 2/3 duplicate EACH OTHER
+    // but nothing in the reference -> an in-corpus pair must neither be
+    // emitted nor deduped
+    val corpus = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+      (1L, "the quick brown fox jumps over the lazy dog near the river bank tonight"),
+      (2L, "spark partitions and shuffles dominate the cost of wide transformations"),
+      (3L, "spark partitions and shuffles dominate the cost of wide transformations"),
+      (4L, "completely unrelated corpus document about gardening and soil quality")
+    ).toDF("doc_id", "text")
+    val reference = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+      (101L, "reference only content on medieval architecture and cathedrals")
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.crossCorpusNearDups(corpus, reference, "doc_id", "text",
+      shingleN = 2, numHashes = 64, bands = 32, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(pairs.exists { case (a, b, _) => a == 0L && b == 100L }) // exact cross dup
+    assert(pairs.exists { case (a, b, _) => a == 1L && b == 100L }) // near cross dup
+    // id1 always corpus-side, id2 always reference-side, jaccard >= t
+    assert(pairs.forall { case (a, b, j) => a <= 4L && b >= 100L && j >= 0.5 })
+    val kept = Dedup.crossCorpusDedup(corpus, reference, "doc_id", "text",
+      shingleN = 2, numHashes = 64, bands = 32, threshold = 0.5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(2L, 3L, 4L)) // 0/1 dropped; the in-corpus 2/3 pair untouched
+  }
+
+  test("crossCandidatePairs leaves no cached frames behind") {
+    spark.catalog.clearCache()
+    Dedup.crossCorpusNearDups(docs, docs.withColumn("doc_id", col("doc_id") + 100),
+      "doc_id", "text", shingleN = 2, numHashes = 64, bands = 32, threshold = 0.5).count()
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "crossCandidatePairs must unpersist both signature frames before returning")
+  }
+
   test("Dedup.minhashDedup drops greedy losers") {
     val kept = Dedup.minhashDedup(docs, "doc_id", "text",
       shingleN = 2, numHashes = 64, bands = 32, threshold = 0.5)

@@ -74,6 +74,31 @@ class SamplingSpec extends AnyFunSuite {
     assert(math.abs(counts("a") - 1000) < 120)
   }
 
+  test("sampleByStratum: per-stratum fractions, keep-all, default, subset consistency") {
+    val df = (0L until 3000L).map(i => (i, Seq("en", "de", "zh")((i % 3).toInt)))
+      .toDF("k", "lang")
+    val kept = Sampling.sampleByStratum(df, col("k"), col("lang"),
+      Seq("en" -> 0.5, "zh" -> 1.0), defaultFraction = 0.125, salt = ":m")
+    val counts = kept.groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts("zh") == 1000)                       // fraction 1.0 keeps the stratum whole
+    assert(math.abs(counts("en") - 500) < 100)         // ~0.5 of 1000
+    assert(math.abs(counts.getOrElse("de", 0L) - 125) < 60) // default 0.125
+    // the per-stratum decision IS sampleByHash on the stratum subset:
+    // same key, same salt, same threshold -> identical membership
+    val enViaGlobal = Sampling.sampleByHash(
+      df.filter(col("lang") === "en"), col("k"), 0.5, ":m")
+      .collect().map(_.getLong(0)).toSet
+    val enViaStratum = kept.filter(col("lang") === "en")
+      .collect().map(_.getLong(0)).toSet
+    assert(enViaGlobal == enViaStratum)
+    // deterministic across runs
+    assert(kept.count() == Sampling.sampleByStratum(df, col("k"), col("lang"),
+      Seq("en" -> 0.5, "zh" -> 1.0), 0.125, ":m").count())
+    intercept[IllegalArgumentException](
+      Sampling.sampleByStratum(df, col("k"), col("lang"), Seq.empty, 0.1, ":m"))
+  }
+
   test("stratifiedSample: n per stratum, deterministic, sample changes with salt") {
     val df = (0L until 400L).map(i => (i % 8, i)).toDF("g", "k")
     val s1 = Sampling.stratifiedSample(df, Seq("g"), "k", 5, ":x")

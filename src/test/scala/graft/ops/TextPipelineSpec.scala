@@ -109,6 +109,49 @@ class TextPipelineSpec extends AnyFunSuite {
     assert(chunks.filter(col("doc_id") === 0L).count() == 1)
   }
 
+  test("gopherSignals/gopherPass: each rule trips on its designed offender") {
+    // one doc per rule violation + one clean passer (50+ words, sane
+    // shape). Signals are checked exactly where they are simple ints.
+    val passerText = (("the quick brown fox jumps over lazy dogs near rivers and " * 6) +
+      "it must be that we have to deal with them all of today").trim
+    val docs = Seq(
+      (0L, passerText),                                // passes all rules
+      (1L, "too short to pass with the and of that"),  // < 50 words
+      (2L, passerText + " ###### ##### #### ### ## # ##### ##### ######"), // symbol ratio
+      (3L, (1 to 12).map(i => s"- bullet item $i").mkString("\n")), // bullet lines
+      (4L, passerText.split(" ").map(_ => "97531 86420").mkString(" ")), // no alpha words
+      (5L, "zz qq ww ee rr tt yy uu ii oo pp aa ss dd ff gg hh jj kk ll " * 3) // no stopwords
+    ).toDF("doc_id", "text")
+    val out = docs
+      .select(col("doc_id"), TextOps.gopherSignals(col("text")).as("g"))
+      .select(col("doc_id"), col("g.n_words").as("nw"),
+        col("g.bullet_frac").as("bf"), col("g.stopword_hits").as("sh"),
+        TextOps.gopherPass(col("g")).as("pass"))
+      .collect().map(r =>
+        r.getLong(0) -> (r.getInt(1), r.getDouble(2), r.getInt(3), r.getBoolean(4))).toMap
+    assert(out(0L)._4, s"clean doc should pass: ${out(0L)}")
+    assert(!out(1L)._4 && out(1L)._1 < 50)
+    assert(!out(2L)._4) // symbol-to-word ratio > 0.1
+    assert(!out(3L)._4 && out(3L)._2 == 1.0) // every line is a bullet
+    assert(!out(4L)._4) // alpha-word fraction ~ 0
+    assert(!out(5L)._4 && out(5L)._3 < 2) // not enough required stopwords
+    assert(out(0L)._3 >= 2)
+  }
+
+  test("gopherSignals: single-division ratios and line fractions are exact") {
+    // 4 lines: one bullet, one ellipsis-ended, two plain -> fractions
+    // 0.25 exactly; 8 words, all alphabetic
+    val text = "- item one\nplain words here\nmore plain\nwaiting on this…"
+    val g = Seq((0L, text)).toDF("doc_id", "text")
+      .select(TextOps.gopherSignals(col("text")).as("g"))
+      .select("g.n_words", "g.bullet_frac", "g.ellipsis_frac", "g.alpha_word_frac")
+      .head()
+    assert(g.getInt(0) == 11)
+    assert(g.getDouble(1) == 0.25)
+    assert(g.getDouble(2) == 0.25)
+    assert(g.getDouble(3) == 10.0 / 11) // the bare "-" token has no letter
+  }
+
   test("chunkDocuments rejects bad parameters") {
     val docs = Seq((0L, "a b c")).toDF("doc_id", "text")
     intercept[IllegalArgumentException](
