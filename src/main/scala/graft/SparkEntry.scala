@@ -899,6 +899,20 @@ object SparkEntry {
         charShingles = true)
         .select("doc_id")
         .orderBy("doc_id")
+    },
+
+    "q_dedup_semantic" -> { (s, dir) =>
+      // SemDeDup: kmeans-cell-bounded cosine near-dup pairs. The seeded
+      // quantizer has no DuckDB counterpart (rows-only, like IVF);
+      // RowsOnlyInvariantSpec re-verifies every emitted cosine exactly
+      // and pins the replication=nCells == exact-all-pairs equivalence
+      // threshold 0.4 matches this corpus's similarity range (its max
+      // pairwise cosine is ~0.51 — same reason q_dedup_embedding
+      // thresholds at 0.4)
+      ops.Dedup.semanticNearDups(
+        t(s, dir, "embeddings"), "vec_id", "embedding",
+        threshold = 0.4, nCells = 8, replication = 2)
+        .orderBy("id1", "id2")
     }
   )
 

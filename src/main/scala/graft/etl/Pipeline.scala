@@ -1202,6 +1202,15 @@ final class Pipeline private (
         .filter(graft.ops.TextOps.gopherPass(col("__g__")))
         .drop("__g__")))
 
+  /** SemDeDup-style semantic near-dedup over an embedding column
+    * ([[graft.ops.Dedup.semDedup]] — kmeans cells bound the pairwise
+    * cosine work). */
+  def dedupSemantic(
+      idCol: String, vecCol: String, threshold: Double = 0.95,
+      nCells: Int = 16, replication: Int = 2): Pipeline =
+    add(MapStep("dedupSemantic",
+      graft.ops.Dedup.semDedup(_, idCol, vecCol, threshold, nCells, replication)))
+
   /** Per-stratum keep fractions — data mixing / source reweighting
     * ([[graft.ops.Sampling.sampleByStratum]]). */
   def sampleByStratum(

@@ -521,6 +521,70 @@ object Dedup {
       .select(col("id1"), col("id2"), col("cosine"))
   }
 
+  /** SemDeDup-style semantic near-duplicate pairs (Abbas et al. 2023,
+    * "SemDeDup: Data-efficient learning at web-scale through semantic
+    * deduplication"): k-means cells bound the pairwise cosine work to
+    * within-cell pairs — corpus²/nCells instead of corpus² — and
+    * `replication` multi-assigns each vector to its `replication`
+    * nearest cells so boundary-straddling near-dups still co-locate in
+    * at least one shared cell. Returns (id1 < id2, cosine >= threshold).
+    *
+    * Reuses the IVF coarse quantizer: [[Ivf.trainCentroids]] (bounded
+    * seeded driver sample — classic quantizer practice, never a corpus
+    * collect) and [[Ivf.index]] (codegen'd argmax cell assignment over
+    * broadcast centroid literals, no shuffle). The only shuffles are
+    * the per-cell equi-join and the cross-cell pair dedup — never
+    * all-pairs. `replication = nCells` assigns every vector to every
+    * cell and therefore equals the exact all-pairs answer (spec-pinned
+    * equivalence, same trick as IVF's nProbe=all).
+    *
+    * Cells larger than `maxCell` are dropped before pairing — the same
+    * cap discipline as [[LshBlocking]]: a cell that big means the
+    * quantizer is under-sized for the corpus (raise nCells) and it
+    * would contribute O(maxCell²) pairs of near-zero discrimination. */
+  def semanticNearDups(
+      df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double = 0.95, nCells: Int = 16, replication: Int = 2,
+      maxCell: Int = 10000, seed: Long = 42L): DataFrame = {
+    val centroids = Ivf.trainCentroids(df, vecCol, nCells, seed = seed)
+    // persisted: referenced by the cell-size aggregate and both pair
+    // sides; materialized (localCheckpoint) before the finally-unpersist
+    // so the returned frame never recomputes the assignment
+    val indexed = Ivf.index(df, idCol, vecCol, centroids, replication)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val good = indexed.groupBy("__cell__").agg(count(lit(1)).as("__n__"))
+        .filter(col("__n__").between(2, maxCell))
+        .select("__cell__")
+      val ok = indexed.join(good, Seq("__cell__"), "left_semi")
+      ok.select(col("__cell__"), col("__id__").as("id1"), col("__v__").as("v1"))
+        .join(ok.select(col("__cell__"), col("__id__").as("id2"), col("__v__").as("v2")),
+          Seq("__cell__"))
+        .filter(col("id1") < col("id2"))
+        .select(col("id1"), col("id2"), col("v1"), col("v2"))
+        // replication can meet the same pair in several shared cells —
+        // dedup BEFORE the exact cosine so each pair is scored once
+        .dropDuplicates("id1", "id2")
+        .withColumn("cosine",
+          graft.functions.similarityExprs.cosine_sim(col("v1"), col("v2")))
+        .filter(col("cosine") >= threshold)
+        .select(col("id1"), col("id2"), col("cosine"))
+        .localCheckpoint(true)
+    } finally indexed.unpersist(false)
+  }
+
+  /** SemDeDup removal: keep-smallest-id per [[semanticNearDups]] pair
+    * (greedy, same loser rule as [[minhashDedup]]). */
+  def semDedup(
+      df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double = 0.95, nCells: Int = 16, replication: Int = 2,
+      seed: Long = 42L): DataFrame = {
+    val losers = semanticNearDups(df, idCol, vecCol, threshold, nCells,
+      replication, seed = seed)
+      .select(col("id2").as(idCol)).distinct()
+    df.join(losers, Seq(idCol), "left_anti")
+  }
+
   /** Greedy embedding near-dup removal, keep-smallest-id (same loser
     * rule as [[minhashDedup]]): drops every row appearing as the larger
     * id of a qualifying pair. `exact=true` routes pair generation

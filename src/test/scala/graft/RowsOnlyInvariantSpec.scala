@@ -83,6 +83,34 @@ class RowsOnlyInvariantSpec extends AnyFunSuite {
     }
   }
 
+  test("q_dedup_semantic: emitted cosines exact and >= threshold; full replication == exact all-pairs") {
+    val out = SparkEntry.queries("q_dedup_semantic")(spark, dir)
+    val rows = out
+      .join(emb.select(col("vec_id").as("id1"), col("v").as("v1")), Seq("id1"))
+      .join(emb.select(col("vec_id").as("id2"), col("v").as("v2")), Seq("id2"))
+      .select(col("id1"), col("id2"), col("cosine"),
+        ops.VectorOps.cosine(col("v1"), col("v2")).as("exact"))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Double]("exact") >= 0.4,
+        s"pair (${r.get(0)}, ${r.get(1)}) exact cosine ${r.getAs[Double]("exact")} < 0.4")
+      assert(r.getAs[Double]("cosine") == r.getAs[Double]("exact"),
+        s"pair (${r.get(0)}, ${r.get(1)}) emitted ${r.getAs[Double]("cosine")} != exact")
+    }
+    // replication = nCells multi-assigns every vector to every cell, so
+    // the cell bound prunes nothing: must equal the exact all-pairs set
+    val full = ops.Dedup.semanticNearDups(
+      Tables.load(spark, dir, "embeddings"), "vec_id", "embedding",
+      threshold = 0.4, nCells = 4, replication = 4)
+      .select("id1", "id2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = ops.Dedup.embeddingNearDupsExact(
+      Tables.load(spark, dir, "embeddings"), "vec_id", "embedding", threshold = 0.4)
+      .select("id1", "id2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(full == exact, s"full-replication SemDeDup != exact: " +
+      s"missing ${exact -- full}, extra ${full -- exact}")
+  }
+
   test("q_simsearch_ivf: emitted cosines are exact, ranks dense in score order") {
     val out = SparkEntry.queries("q_simsearch_ivf")(spark, dir)
     val rows = out

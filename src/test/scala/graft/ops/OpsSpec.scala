@@ -222,6 +222,34 @@ class OpsSpec extends AnyFunSuite {
     assert(kept.contains(0L) && !kept.contains(1L))
   }
 
+  test("Dedup.semanticNearDups/semDedup: planted pairs found, scored exactly once") {
+    spark.catalog.clearCache()
+    val rnd = new scala.util.Random(13)
+    val base = Seq.fill(16)(rnd.nextGaussian().toFloat)
+    val near = base.zipWithIndex.map { case (x, i) => if (i == 0) x + 0.01f else x }
+    val base2 = Seq.fill(16)(rnd.nextGaussian().toFloat)
+    val noise = (4L until 40L).map(i => (i, Seq.fill(16)(rnd.nextGaussian().toFloat)))
+    val vecs = ((0L, base) +: (1L, near) +: (2L, base2) +: (3L, base2) +: noise)
+      .toDF("vec_id", "embedding")
+    val pairs = Dedup.semanticNearDups(vecs, "vec_id", "embedding",
+      threshold = 0.9, nCells = 4, replication = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // identical vectors always share their nearest cell; the perturbed
+    // pair is covered by replication=2
+    assert(pairs.exists { case (a, b, _) => a == 0L && b == 1L })
+    assert(pairs.exists { case (a, b, c) => a == 2L && b == 3L && c >= 0.999 })
+    // replication met pairs in up to 2 shared cells — each emitted once
+    assert(pairs.map(p => (p._1, p._2)).distinct.length == pairs.length)
+    val kept = Dedup.semDedup(vecs, "vec_id", "embedding",
+      threshold = 0.9, nCells = 4, replication = 2)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(kept.contains(0L) && !kept.contains(1L))
+    assert(kept.contains(2L) && !kept.contains(3L))
+    // no cached frames left behind
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "semanticNearDups must unpersist the indexed frame before returning")
+  }
+
   test("RangeJoin.pointInInterval matches the naive nested-loop join exactly once per pair") {
     val points = (0 until 200).map(i => (i.toLong, i * 0.7)).toDF("pid", "x")
     val intervals = Seq(
