@@ -137,6 +137,70 @@ class PlanAuditSpec extends AnyFunSuite {
       s"no hash-aggregate line count in:\n$s")
   }
 
+  test("q_gopher_quality plans as a pure pruned-scan projection — no shuffle") {
+    val df = Tables.load(spark, dir, "documents")
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+        ops.TextOps.gopherSignals(org.apache.spark.sql.functions.col("text")).as("g"))
+    val s = planString(executed(df)) // audit the op, not the gate's ORDER BY
+    assert(!s.contains("Exchange"), s"gopher signals must not shuffle:\n$s")
+    val scanLine = s.linesIterator.find(l => l.contains("FileScan") || l.contains("Scan parquet"))
+      .getOrElse(fail(s"no parquet scan in plan:\n$s"))
+    assert(!scanLine.contains("lang") && !scanLine.contains("source"),
+      s"unreferenced columns read by scan: $scanLine")
+  }
+
+  test("q_sample_mixture is a scan-time filter — no shuffle, no aggregate") {
+    val df = ops.Sampling.sampleByStratum(
+      Tables.load(spark, dir, "documents"),
+      org.apache.spark.sql.functions.col("doc_id"),
+      org.apache.spark.sql.functions.col("lang"),
+      Seq("en" -> 0.5), defaultFraction = 0.125, salt = ":a")
+    val s = planString(executed(df))
+    assert(!s.contains("Exchange"), s"mixture sampling must not shuffle:\n$s")
+    assert(!s.contains("HashAggregate"), s"mixture sampling must not aggregate:\n$s")
+  }
+
+  test("cross-corpus and semantic dedup never enumerate pairs outside buckets/cells") {
+    // both ops materialize their candidate set internally
+    // (localCheckpoint), which hides the banding / cell joins from the
+    // returned frame's executed plan — so capture EVERY execution
+    // during the calls via a listener and audit the union
+    val plans = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(f: String, qe: org.apache.spark.sql.execution.QueryExecution,
+          d: Long): Unit = plans.add(qe.executedPlan.toString)
+      override def onFailure(f: String, qe: org.apache.spark.sql.execution.QueryExecution,
+          e: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      val docs = Tables.load(spark, dir, "documents")
+      graft.ops.Dedup.crossCorpusNearDups(
+        docs.filter(org.apache.spark.sql.functions.col("doc_id") % 10 =!= 0),
+        docs.filter(org.apache.spark.sql.functions.col("doc_id") % 10 === 0),
+        "doc_id", "text", shingleN = 5, numHashes = 64, bands = 8,
+        threshold = 0.8, charShingles = true).count()
+      graft.ops.Dedup.semanticNearDups(
+        Tables.load(spark, dir, "embeddings"), "vec_id", "embedding",
+        threshold = 0.4, nCells = 4, replication = 2).count()
+      // listener delivery is async: wait until the captured set has
+      // been stable for 1s (15s deadline)
+      val deadline = System.nanoTime() + 15L * 1000 * 1000 * 1000
+      var last = -1
+      var stableSince = System.nanoTime()
+      while (System.nanoTime() < deadline &&
+        (plans.size() != last || System.nanoTime() - stableSince < 1000L * 1000 * 1000)) {
+        if (plans.size() != last) { last = plans.size(); stableSince = System.nanoTime() }
+        Thread.sleep(50)
+      }
+    } finally spark.listenerManager.unregister(listener)
+    assert(!plans.isEmpty, "listener captured no executions")
+    plans.forEach { p =>
+      assert(!p.contains("CartesianProduct"), s"cartesian product in:\n$p")
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"nested-loop join in:\n$p")
+    }
+  }
+
   test("q_session plans one grouping shuffle with partial session aggregation") {
     val s = planString(executed(SparkEntry.queries("q_session")(spark, dir)))
     // sort-merge session aggregation: partial HashAggregate below ONE
