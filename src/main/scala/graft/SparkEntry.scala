@@ -913,6 +913,24 @@ object SparkEntry {
         t(s, dir, "embeddings"), "vec_id", "embedding",
         threshold = 0.4, nCells = 8, replication = 2)
         .orderBy("id1", "id2")
+    },
+
+    "q_url_normalize" -> { (s, dir) =>
+      // URL canonicalization (the first dedup key of a web corpus):
+      // both engines synthesize the same messy URL — uppercase
+      // authority, default port, tracking params, fragment — and must
+      // agree bit-for-bit on host, registered domain, and the
+      // normalized form
+      val docs = t(s, dir, "documents").select(col("doc_id"),
+        concat(lit("HTTPS://WWW.Example"), (col("doc_id") % 7).cast("string"),
+          lit(".CO.UK:443/Path/"), col("doc_id").cast("string"),
+          lit("/?utm_source=feed&id="), col("doc_id").cast("string"),
+          lit("&utm_campaign=x&fbclid=abc#frag")).as("url"))
+      docs.select(col("doc_id"),
+        ops.UrlOps.extractDomain(col("url")).as("url_domain"),
+        ops.UrlOps.registeredDomain(ops.UrlOps.extractDomain(col("url"))).as("url_registered"),
+        ops.UrlOps.normalizeUrl(col("url")).as("url_norm"))
+        .orderBy("doc_id")
     }
   )
 
@@ -1737,6 +1755,45 @@ object SparkEntry {
         |      / len(list_distinct(a.shset || b.shset)) >= 0.8)
         |SELECT doc_id FROM documents
         |WHERE doc_id % 10 <> 0 AND doc_id NOT IN (SELECT doc_id FROM hits)
-        |ORDER BY doc_id""".stripMargin
+        |ORDER BY doc_id""".stripMargin,
+
+    // the same regex pattern STRINGS the Spark side uses (interpolated
+    // from UrlOps — one source of truth); only the replacement syntax
+    // is engine-local (RE2 \1 vs Java $1). DuckDB needs the 'g' flag
+    // for replace-all where more than one match is possible
+    "q_url_normalize" ->
+      s"""WITH u AS (
+         |  SELECT doc_id,
+         |    'HTTPS://WWW.Example' || (doc_id % 7) || '.CO.UK:443/Path/' || doc_id ||
+         |    '/?utm_source=feed&id=' || doc_id || '&utm_campaign=x&fbclid=abc#frag' AS url
+         |  FROM documents),
+         |d AS (
+         |  SELECT doc_id,
+         |    lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/@?#]*@)?([^/:?#]+)', 1)) AS url_domain,
+         |    regexp_replace(url, '#.*', '') AS s1
+         |  FROM u),
+         |e AS (
+         |  SELECT doc_id, url_domain,
+         |    regexp_replace(regexp_replace(regexp_replace(regexp_replace(s1,
+         |      '${ops.UrlOps.trackingParamPattern}', '', 'g'),
+         |      '&&+', '&', 'g'), '\\?&', '?', 'g'), '[?&]+$$', '', 'g') AS s2
+         |  FROM d),
+         |f AS (
+         |  SELECT doc_id, url_domain,
+         |    lower(regexp_extract(s2, '^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)', 1)) ||
+         |    regexp_replace(s2, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*', '') AS s3
+         |  FROM e),
+         |g AS (
+         |  SELECT doc_id, url_domain,
+         |    regexp_replace(regexp_replace(s3,
+         |      '^(http://[^/:?#]+):80([/?#]|$$)', '\\1\\2'),
+         |      '^(https://[^/:?#]+):443([/?#]|$$)', '\\1\\2') AS s4
+         |  FROM f)
+         |SELECT doc_id, url_domain,
+         |  CASE WHEN regexp_extract(url_domain, '${ops.UrlOps.registeredDomainPattern}', 1) = ''
+         |       THEN url_domain
+         |       ELSE regexp_extract(url_domain, '${ops.UrlOps.registeredDomainPattern}', 1) END AS url_registered,
+         |  regexp_replace(s4, '/+$$', '') AS url_norm
+         |FROM g ORDER BY doc_id""".stripMargin
   )
 }

@@ -1211,6 +1211,15 @@ final class Pipeline private (
     add(MapStep("dedupSemantic",
       graft.ops.Dedup.semDedup(_, idCol, vecCol, threshold, nCells, replication)))
 
+  /** Append canonical URL, host, and registered-domain columns
+    * ([[graft.ops.UrlOps]] — the standard web-corpus dedup key). */
+  def withUrlColumns(urlCol: String): Pipeline =
+    add(MapStep("urlColumns", df => df
+      .withColumn("url_norm", graft.ops.UrlOps.normalizeUrl(col(urlCol)))
+      .withColumn("url_domain", graft.ops.UrlOps.extractDomain(col(urlCol)))
+      .withColumn("url_registered",
+        graft.ops.UrlOps.registeredDomain(graft.ops.UrlOps.extractDomain(col(urlCol))))))
+
   /** Per-stratum keep fractions — data mixing / source reweighting
     * ([[graft.ops.Sampling.sampleByStratum]]). */
   def sampleByStratum(

@@ -1,0 +1,81 @@
+package graft.ops
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** URL canonicalization for web-corpus pipelines — the standard FIRST
+  * dedup key (CCNet / RefinedWeb dedupe by normalized URL before any
+  * content hashing): host extraction, registered-domain grouping, and
+  * tracking-parameter-stripping normalization.
+  *
+  * All pure codegen'd Column expressions over engine-portable regexes
+  * (no lookaround, no backrefs in patterns — replacement strings are
+  * engine-local anyway), so the same canonical form is reproducible by
+  * whatever audits the corpus, and the DuckDB oracle checks it
+  * bit-for-bit. No UDFs, no shuffle: at 100 TB this is scan-time work.
+  */
+object UrlOps {
+
+  /** Lowercased host of an absolute URL: scheme and optional userinfo
+    * stripped, cut at the first `/`, `:`, `?` or `#`. NULL-safe; a
+    * schemeless string yields an empty string (loud, not a guess). */
+  def extractDomain(u: Column): Column =
+    lower(regexp_extract(u, "^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/@?#]*@)?([^/:?#]+)", 1))
+
+  /** Multi-label public suffixes recognized by [[registeredDomain]].
+    * Deliberately a SMALL embedded set of the most common two-label
+    * suffixes, not the full Public Suffix List (no egress here; real
+    * deployments can regenerate the regex from the PSL — the operator
+    * shape does not change). */
+  val multiPartSuffixes: Seq[String] = Seq(
+    "co.uk", "ac.uk", "gov.uk", "org.uk", "com.au", "net.au", "co.jp",
+    "com.br", "co.in", "com.cn", "com.mx", "co.za", "com.ar", "com.tr")
+
+  /** The extraction regex behind [[registeredDomain]]. Public because
+    * the DuckDB oracle embeds the SAME pattern string — one source of
+    * truth, like `Sampling.hexThreshold`. */
+  val registeredDomainPattern: String = {
+    val alts = multiPartSuffixes.map(_.replace(".", "\\.")).mkString("|")
+    s"([^.]+\\.(?:$alts)|[^.]+\\.[^.]+)$$"
+  }
+
+  /** Registered domain (eTLD+1 approximation) of a host: the last two
+    * labels, or three when the trailing two are a known multi-label
+    * suffix ([[multiPartSuffixes]]). A single-label host (localhost)
+    * falls back to itself. Grouping key for per-site statistics, crawl
+    * budgets, and domain-level filtering. */
+  def registeredDomain(host: Column): Column = {
+    val m = regexp_extract(host, registeredDomainPattern, 1)
+    when(host.isNull, lit(null).cast("string"))
+      .otherwise(when(m === "", host).otherwise(m))
+  }
+
+  /** Tracking query parameters stripped by [[normalizeUrl]]. */
+  val trackingParamPattern: String =
+    "(utm_[A-Za-z0-9_]+|gclid|fbclid|msclkid|mc_eid|igshid|ref_src)=[^&#]*"
+
+  /** Canonical URL form for dedup:
+    *  1. fragment removed;
+    *  2. tracking parameters ([[trackingParamPattern]]) removed, with
+    *     separator cleanup (`&&`→`&`, `?&`→`?`, trailing `?`/`&`
+    *     dropped);
+    *  3. scheme and authority lowercased (path/query case preserved —
+    *     paths are case-sensitive on most servers);
+    *  4. default ports dropped (`http://…:80`, `https://…:443`);
+    *  5. trailing slashes of the path dropped.
+    * Each step is one regexp_replace — a fused codegen chain, same
+    * shape the oracle mirrors. */
+  def normalizeUrl(u: Column): Column = {
+    val noFrag = regexp_replace(u, "#.*", "")
+    val noTrack0 = regexp_replace(noFrag, trackingParamPattern, "")
+    val noTrack1 = regexp_replace(noTrack0, "&&+", "&")
+    val noTrack2 = regexp_replace(noTrack1, "\\?&", "?")
+    val noTrack = regexp_replace(noTrack2, "[?&]+$", "")
+    val lowerAuth = concat(
+      lower(regexp_extract(noTrack, "^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)", 1)),
+      regexp_replace(noTrack, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*", ""))
+    val noPort80 = regexp_replace(lowerAuth, "^(http://[^/:?#]+):80([/?#]|$)", "$1$2")
+    val noPort = regexp_replace(noPort80, "^(https://[^/:?#]+):443([/?#]|$)", "$1$2")
+    regexp_replace(noPort, "/+$", "")
+  }
+}

@@ -617,6 +617,18 @@ class PipelineSpec extends AnyFunSuite {
     assert(hasAbort(e), s"expected PipelineAbortException in cause chain, got $e")
   }
 
+  test("withUrlColumns appends the three canonical URL columns") {
+    val out = Pipeline.of("urls",
+      Seq((1L, "HTTPS://WWW.Ex.CO.UK:443/P/?utm_source=a&id=1#f"))
+        .toDF("id", "url"))
+      .withUrlColumns("url")
+      .toDF
+    val r = out.select("url_norm", "url_domain", "url_registered").head()
+    assert(r.getString(0) == "https://www.ex.co.uk/P/?id=1")
+    assert(r.getString(1) == "www.ex.co.uk")
+    assert(r.getString(2) == "ex.co.uk")
+  }
+
   test("stepTimings covers every step; sinks get their own timing") {
     val dir = java.nio.file.Files.createTempDirectory("graft-timing").toString
     val stat = Pipeline.of(people)

@@ -1,0 +1,65 @@
+package graft.ops
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class UrlOpsSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-url-test")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  import spark.implicits._
+
+  private def one(f: org.apache.spark.sql.Column => org.apache.spark.sql.Column,
+      in: String): String =
+    Seq(Tuple1(in)).toDF("u").select(f(col("u"))).head().getString(0)
+
+  test("extractDomain: scheme, userinfo, port, cut points") {
+    assert(one(UrlOps.extractDomain, "https://Example.COM/path") == "example.com")
+    assert(one(UrlOps.extractDomain, "http://user:pw@Host.Org:8080/x") == "host.org")
+    assert(one(UrlOps.extractDomain, "ftp://files.example.net") == "files.example.net")
+    assert(one(UrlOps.extractDomain, "https://example.com?q=1") == "example.com")
+    assert(one(UrlOps.extractDomain, "not a url") == "") // loud empty, not a guess
+  }
+
+  test("registeredDomain: plain TLD, multi-label suffix, single label") {
+    assert(one(UrlOps.registeredDomain, "www.example.com") == "example.com")
+    assert(one(UrlOps.registeredDomain, "a.b.example.co.uk") == "example.co.uk")
+    assert(one(UrlOps.registeredDomain, "example.com.au") == "example.com.au")
+    assert(one(UrlOps.registeredDomain, "localhost") == "localhost") // fallback
+  }
+
+  test("normalizeUrl: fragment, tracking params, case, default ports, trailing slash") {
+    // tracking params interleaved with a real one; separators healed
+    assert(one(UrlOps.normalizeUrl,
+      "HTTPS://Ex.COM:443/P/?utm_source=a&id=7&fbclid=x#f") == "https://ex.com/P/?id=7")
+    // tracking-only query collapses away entirely
+    assert(one(UrlOps.normalizeUrl,
+      "http://ex.com/p?utm_campaign=z") == "http://ex.com/p")
+    // default port stripped only for the matching scheme
+    assert(one(UrlOps.normalizeUrl, "http://ex.com:80/a") == "http://ex.com/a")
+    assert(one(UrlOps.normalizeUrl, "http://ex.com:443/a") == "http://ex.com:443/a")
+    assert(one(UrlOps.normalizeUrl, "https://ex.com:8443/a") == "https://ex.com:8443/a")
+    // path case preserved; trailing slashes dropped
+    assert(one(UrlOps.normalizeUrl, "https://Ex.com/CaseSensitive/") ==
+      "https://ex.com/CaseSensitive")
+    // already-canonical URLs pass through unchanged
+    assert(one(UrlOps.normalizeUrl, "https://ex.com/a?b=1&c=2") ==
+      "https://ex.com/a?b=1&c=2")
+  }
+
+  test("normalizeUrl as a dedup key: variants of one page collapse") {
+    val variants = Seq(
+      "https://ex.com/page?utm_source=x",
+      "HTTPS://EX.COM:443/page",
+      "https://ex.com/page/",
+      "https://ex.com/page#section")
+    val keys = variants.map(one(UrlOps.normalizeUrl, _)).toSet
+    assert(keys == Set("https://ex.com/page"), s"got $keys")
+  }
+}
