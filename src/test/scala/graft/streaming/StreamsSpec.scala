@@ -102,6 +102,35 @@ class StreamsSpec extends AnyFunSuite {
     assert(streamed == batch)
   }
 
+  test("gopher rules, URL canonicalization and mixture sampling are streaming-identical") {
+    // all three are pure projection/filter chains — the quality gate,
+    // the web-corpus dedup key, and the data-mixing decision must
+    // apply to a live stream unchanged, row for row
+    val docs = graft.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+      .select("doc_id", "text", "lang")
+    val dir = Files.createTempDirectory("graft-stream-gopher").toString
+    docs.write.mode("overwrite").parquet(dir)
+
+    def xform(df: org.apache.spark.sql.DataFrame) =
+      graft.ops.Sampling.sampleByStratum(df, col("doc_id"), col("lang"),
+        Seq("en" -> 0.75), defaultFraction = 0.5, salt = ":sm")
+        .select(col("doc_id"),
+          graft.ops.TextOps.gopherPass(
+            graft.ops.TextOps.gopherSignals(col("text"))).as("pass"),
+          graft.ops.UrlOps.normalizeUrl(
+            concat(lit("HTTPS://Ex.COM:443/d/"), col("doc_id").cast("string"),
+              lit("?utm_source=s"))).as("url_norm"))
+
+    Streams.runToMemory(
+      xform(Streams.parquetStream(spark, dir, docs.schema)), "gopher_ops")
+    val streamed = spark.table("gopher_ops").collect()
+      .map(r => r.getLong(0) -> (r.getBoolean(1), r.getString(2))).toMap
+    val batch = xform(docs).collect()
+      .map(r => r.getLong(0) -> (r.getBoolean(1), r.getString(2))).toMap
+    assert(streamed.nonEmpty)
+    assert(streamed == batch)
+  }
+
   test("dedupExact drops later copies of the same fingerprint, keeps distinct docs") {
     val dir = Files.createTempDirectory("graft-stream3").toString
     val docs = Seq(
