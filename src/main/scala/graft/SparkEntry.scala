@@ -931,6 +931,17 @@ object SparkEntry {
         ops.UrlOps.registeredDomain(ops.UrlOps.extractDomain(col("url"))).as("url_registered"),
         ops.UrlOps.normalizeUrl(col("url")).as("url_norm"))
         .orderBy("doc_id")
+    },
+
+    "q_report" -> { (s, dir) =>
+      // corpus health report: doc/token/char volume + exact-dup rate
+      // per (source, lang) with subtotals and grand total, in ONE
+      // rollup aggregation; every double is a single division of exact
+      // integer counts. Within each gid the NULLed-out dims are
+      // constant, so the total ORDER BY never compares NULL against a
+      // value (Spark sorts nulls first, DuckDB last — must not matter)
+      ops.Report.corpusReport(t(s, dir, "documents"), "text", Seq("source", "lang"))
+        .orderBy("gid", "source", "lang")
     }
   )
 
@@ -1794,6 +1805,23 @@ object SparkEntry {
          |       THEN url_domain
          |       ELSE regexp_extract(url_domain, '${ops.UrlOps.registeredDomainPattern}', 1) END AS url_registered,
          |  regexp_replace(s4, '/+$$', '') AS url_norm
-         |FROM g ORDER BY doc_id""".stripMargin
+         |FROM g ORDER BY doc_id""".stripMargin,
+
+    // same gid construction as q_cube; HUGEINT sums cast to BIGINT;
+    // the ratio divisions mirror the Spark side's single int/int shape
+    "q_report" ->
+      """SELECT source, lang,
+        |  cast(grouping(source) * 2 + grouping(lang) AS INTEGER) AS gid,
+        |  count(*) AS n_docs,
+        |  cast(sum(len(regexp_split_to_array(trim(text), '[ \t\n\x0b\f\r]+'))) AS BIGINT) AS n_tokens,
+        |  cast(sum(length(text)) AS BIGINT) AS n_chars,
+        |  count(DISTINCT md5(regexp_replace(lower(trim(text)), '[ \t\n\x0b\f\r]+', ' ', 'g'))) AS n_distinct,
+        |  1.0 - (count(DISTINCT md5(regexp_replace(lower(trim(text)), '[ \t\n\x0b\f\r]+', ' ', 'g')))
+        |         / count(*)) AS dup_rate,
+        |  cast(sum(len(regexp_split_to_array(trim(text), '[ \t\n\x0b\f\r]+'))) AS BIGINT)
+        |    / count(*) AS avg_doc_tokens
+        |FROM documents
+        |GROUP BY ROLLUP (source, lang)
+        |ORDER BY gid, source, lang""".stripMargin
   )
 }

@@ -1220,6 +1220,12 @@ final class Pipeline private (
       .withColumn("url_registered",
         graft.ops.UrlOps.registeredDomain(graft.ops.UrlOps.extractDomain(col(urlCol))))))
 
+  /** Collapse the flow into the corpus health report
+    * ([[graft.ops.Report.corpusReport]]). */
+  def report(textCol: String, dims: Seq[String], approxDistinct: Boolean = false): Pipeline =
+    add(MapStep("report",
+      graft.ops.Report.corpusReport(_, textCol, dims, approxDistinct)))
+
   /** Per-stratum keep fractions — data mixing / source reweighting
     * ([[graft.ops.Sampling.sampleByStratum]]). */
   def sampleByStratum(

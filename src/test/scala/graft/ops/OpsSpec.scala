@@ -250,6 +250,39 @@ class OpsSpec extends AnyFunSuite {
       "semanticNearDups must unpersist the indexed frame before returning")
   }
 
+  test("Report.corpusReport: rollup levels, dup rate, approx within HLL error") {
+    // src A: 3 docs, one exact dup pair (after normalization) -> 2 distinct
+    // src B: 2 docs, both distinct
+    val corpus = Seq(
+      ("A", "the quick brown fox"),
+      ("A", "  THE   quick "), // normalizes to "the quick" — no dup
+      ("A", "the quick brown fox"), // exact dup
+      ("B", "one two three"),
+      ("B", "four five six seven")
+    ).toDF("source", "text")
+    val rows = Report.corpusReport(corpus, "text", Seq("source"))
+      .collect().map(r => (r.getAs[Any]("source"), r.getAs[Int]("gid"),
+        r.getAs[Long]("n_docs"), r.getAs[Long]("n_tokens"),
+        r.getAs[Long]("n_distinct"), r.getAs[Double]("dup_rate")))
+    val byKey = rows.map(r => (r._1, r._2) -> r).toMap
+    val a = byKey(("A", 0))
+    assert(a._3 == 3 && a._5 == 2)
+    assert(a._6 == 1.0 - 2.0 / 3)
+    assert(a._4 == 4 + 2 + 4) // token counts
+    val b = byKey(("B", 0))
+    assert(b._3 == 2 && b._5 == 2 && b._6 == 0.0)
+    val total = byKey((null, 1))
+    assert(total._3 == 5 && total._5 == 4 && total._4 == 17)
+    // approx path: HLL distinct within its standard error on the real table
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val exact = Report.corpusReport(docs, "text", Seq("source"))
+      .filter(col("gid") === 1).head().getAs[Long]("n_distinct")
+    val approx = Report.corpusReport(docs, "text", Seq("source"), approxDistinct = true)
+      .filter(col("gid") === 1).head().getAs[Long]("n_distinct")
+    assert(math.abs(approx - exact).toDouble / exact < 0.1,
+      s"HLL distinct $approx too far from exact $exact")
+  }
+
   test("RangeJoin.pointInInterval matches the naive nested-loop join exactly once per pair") {
     val points = (0 until 200).map(i => (i.toLong, i * 0.7)).toDF("pid", "x")
     val intervals = Seq(
