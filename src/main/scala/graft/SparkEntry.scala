@@ -1718,7 +1718,7 @@ object SparkEntry {
         |    (length(s) - (nw - 1)) / nw AS mean_word_len,
         |    (hash_chars * 3 + ell_chars) / (nw * 3) AS symbol_ratio,
         |    len(list_filter(ln, l -> regexp_matches(l, '^[ \t]*[-*•]'))) / nl AS bullet_frac,
-        |    len(list_filter(ln, l -> regexp_matches(l, '(\.\.\.|…)[ \t]*$'))) / nl AS ellipsis_frac,
+        |    len(list_filter(ln, l -> regexp_matches(l, '(\.\.\.|…)[ \t\r]*$'))) / nl AS ellipsis_frac,
         |    len(list_filter(tk, t -> regexp_matches(t, '[a-z]'))) / nw AS alpha_word_frac,
         |    len(list_intersect(tk, ['the','be','to','of','and','that','have','with'])) AS stopword_hits
         |  FROM base)

@@ -136,7 +136,11 @@ object TextOps {
       ((length(s) - (nw - 1)) / nw).as("mean_word_len"),
       ((hashChars * 3 + ellipsisChars) / (nw * 3)).as("symbol_ratio"),
       (size(filter(lines, l => l.rlike("^[ \t]*[-*•]"))) / nl).as("bullet_frac"),
-      (size(filter(lines, l => l.rlike("(\\.\\.\\.|…)[ \t]*$"))) / nl).as("ellipsis_frac"),
+      // [ \t\r]* BEFORE the anchor: a CRLF corpus leaves \r on every
+      // split line, and Java's $ would match before that final \r
+      // while RE2's matches only at absolute end — consuming the \r
+      // explicitly keeps both engines identical
+      (size(filter(lines, l => l.rlike("(\\.\\.\\.|…)[ \t\r]*$"))) / nl).as("ellipsis_frac"),
       (size(filter(toks, t => t.rlike("[a-z]"))) / nw).as("alpha_word_frac"),
       size(array_intersect(toks, array(gopherStopwords.map(lit): _*))).as("stopword_hits"))
   }

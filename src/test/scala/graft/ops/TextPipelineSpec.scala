@@ -150,6 +150,14 @@ class TextPipelineSpec extends AnyFunSuite {
     assert(g.getDouble(1) == 0.25)
     assert(g.getDouble(2) == 0.25)
     assert(g.getDouble(3) == 10.0 / 11) // the bare "-" token has no letter
+    // CRLF text: split('\n') leaves \r on every line — the line rules
+    // must still fire (the ellipsis anchor consumes the \r; RE2-parity)
+    val crlf = Seq((0L, "waiting on this...\r\nplain\r\n- item\r\nx"))
+      .toDF("doc_id", "text")
+      .select(TextOps.gopherSignals(col("text")).as("g"))
+      .select("g.bullet_frac", "g.ellipsis_frac").head()
+    assert(crlf.getDouble(0) == 0.25)
+    assert(crlf.getDouble(1) == 0.25)
   }
 
   test("chunkDocuments rejects bad parameters") {
