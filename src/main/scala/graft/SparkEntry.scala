@@ -863,7 +863,8 @@ object SparkEntry {
         .select(col("doc_id"),
           col("g.n_words").cast(LongType).as("n_words"),
           col("g.mean_word_len").as("mean_word_len"),
-          col("g.symbol_ratio").as("symbol_ratio"),
+          col("g.hash_ratio").as("hash_ratio"),
+          col("g.ellipsis_ratio").as("ellipsis_ratio"),
           col("g.bullet_frac").as("bullet_frac"),
           col("g.ellipsis_frac").as("ellipsis_frac"),
           col("g.alpha_word_frac").as("alpha_word_frac"),
@@ -1710,22 +1711,25 @@ object SparkEntry {
         |    string_split(s, ' ') AS tk, len(string_split(s, ' ')) AS nw,
         |    string_split(text, chr(10)) AS ln, len(string_split(text, chr(10))) AS nl,
         |    length(s) - length(replace(s, '#', '')) AS hash_chars,
-        |    length(s) - length(replace(s, '...', '')) AS ell_chars
+        |    length(s) - length(replace(s, '...', '')) AS dot_ell_chars,
+        |    length(s) - length(replace(s, '…', '')) AS char_ell
         |  FROM norm),
         |sig AS (
         |  SELECT doc_id,
         |    nw AS n_words,
         |    (length(s) - (nw - 1)) / nw AS mean_word_len,
-        |    (hash_chars * 3 + ell_chars) / (nw * 3) AS symbol_ratio,
+        |    hash_chars / nw AS hash_ratio,
+        |    (dot_ell_chars + char_ell * 3) / (nw * 3) AS ellipsis_ratio,
         |    len(list_filter(ln, l -> regexp_matches(l, '^[ \t]*[-*•]'))) / nl AS bullet_frac,
         |    len(list_filter(ln, l -> regexp_matches(l, '(\.\.\.|…)[ \t\r]*$'))) / nl AS ellipsis_frac,
         |    len(list_filter(tk, t -> regexp_matches(t, '[a-z]'))) / nw AS alpha_word_frac,
         |    len(list_intersect(tk, ['the','be','to','of','and','that','have','with'])) AS stopword_hits
         |  FROM base)
-        |SELECT doc_id, n_words, mean_word_len, symbol_ratio, bullet_frac, ellipsis_frac,
-        |  alpha_word_frac, stopword_hits,
+        |SELECT doc_id, n_words, mean_word_len, hash_ratio, ellipsis_ratio, bullet_frac,
+        |  ellipsis_frac, alpha_word_frac, stopword_hits,
         |  (n_words BETWEEN 50 AND 100000) AND (mean_word_len BETWEEN 3 AND 10)
-        |    AND symbol_ratio <= 0.1 AND bullet_frac <= 0.9 AND ellipsis_frac <= 0.3
+        |    AND hash_ratio <= 0.1 AND ellipsis_ratio <= 0.1
+        |    AND bullet_frac <= 0.9 AND ellipsis_frac <= 0.3
         |    AND alpha_word_frac >= 0.8 AND stopword_hits >= 2 AS pass
         |FROM sig ORDER BY doc_id""".stripMargin,
 
@@ -1786,12 +1790,14 @@ object SparkEntry {
          |e AS (
          |  SELECT doc_id, url_domain,
          |    regexp_replace(regexp_replace(regexp_replace(regexp_replace(s1,
-         |      '${ops.UrlOps.trackingParamPattern}', '', 'g'),
+         |      '${ops.UrlOps.trackingParamPattern}', '\\1', 'g'),
          |      '&&+', '&', 'g'), '\\?&', '?', 'g'), '[?&]+$$', '', 'g') AS s2
          |  FROM d),
          |f AS (
          |  SELECT doc_id, url_domain,
-         |    lower(regexp_extract(s2, '^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)', 1)) ||
+         |    lower(regexp_extract(s2, '^([A-Za-z][A-Za-z0-9+.-]*://)', 1)) ||
+         |    regexp_extract(regexp_extract(s2, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1), '^(.*@)', 1) ||
+         |    lower(regexp_replace(regexp_extract(s2, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1), '^.*@', '')) ||
          |    regexp_replace(s2, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*', '') AS s3
          |  FROM e),
          |g AS (

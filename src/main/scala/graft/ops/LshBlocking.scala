@@ -31,13 +31,6 @@ import org.apache.spark.sql.{Column, DataFrame}
   */
 object LshBlocking {
 
-  /** `df` must have columns `__id__` and `__sig__` (array); `payload`
-    * optionally names an extra column to carry to both pair sides.
-    * Generates within-bucket pairs (id1, id2, p1, p2) with id1 < id2,
-    * applies `screen` (which must keep id1/id2 and filter/project the
-    * rest), dedups pairs across bands, and returns the MATERIALIZED
-    * result (no live cache entries remain).
-    */
   /** (id, payload, band, bucket) rows: one per (input row, band), the
     * bucket being a hash of that band's signature slice. */
   private def bandRows(
@@ -49,6 +42,13 @@ object LshBlocking {
           hash(slice(col("__sig__"), b * rowsPerBand + 1, lit(rowsPerBand))).as("bucket")))).as("bb"))
       .select(col("__id__"), col("__p__"), col("bb.band"), col("bb.bucket"))
 
+  /** `df` must have columns `__id__` and `__sig__` (array); `payload`
+    * optionally names an extra column to carry to both pair sides.
+    * Generates within-bucket pairs (id1, id2, p1, p2) with id1 < id2,
+    * applies `screen` (which must keep id1/id2 and filter/project the
+    * rest), dedups pairs across bands, and returns the MATERIALIZED
+    * result (no live cache entries remain).
+    */
   def candidatePairs(
       df: DataFrame, bands: Int, rowsPerBand: Int,
       maxBucket: Int, payload: Option[String] = None,

@@ -35,7 +35,12 @@ object Report {
         sum(TextOps.tokenCount(col(textCol)).cast("long")).as("n_tokens"),
         sum(length(col(textCol)).cast("long")).as("n_chars"),
         distinctAgg.as("n_distinct"))
-      .withColumn("dup_rate", lit(1.0) - col("n_distinct") / col("n_docs"))
+      // least(): an HLL estimate can overshoot the group count, and
+      // 1 - distinct/docs would then go NEGATIVE; the clamp is exact on
+      // the exact path (distinct <= docs always), so the oracle needs
+      // no counterpart
+      .withColumn("dup_rate",
+        lit(1.0) - least(col("n_distinct"), col("n_docs")) / col("n_docs"))
       .withColumn("avg_doc_tokens", col("n_tokens") / col("n_docs"))
   }
 }

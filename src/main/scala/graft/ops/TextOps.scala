@@ -108,14 +108,16 @@ object TextOps {
 
   /** Gopher-style document-quality signals (Rae et al. 2021 rule set —
     * the standard pre-training corpus filter): word count, mean word
-    * length, symbol-to-word ratio (# and ellipsis), bullet-line and
-    * ellipsis-line fractions, fraction of words with an alphabetic
-    * character, and required-stopword hits. Pure codegen'd Column
-    * arithmetic over one row — no shuffle, engine-portable.
+    * length, hash-to-word and ellipsis-to-word ratios (tested
+    * SEPARATELY, as the paper does; both `...` and the single-char
+    * `…` count as an ellipsis), bullet-line and ellipsis-line
+    * fractions, fraction of words with an alphabetic character, and
+    * required-stopword hits. Pure codegen'd Column arithmetic over one
+    * row — no shuffle, engine-portable.
     *
     * Cross-engine determinism: every ratio is a SINGLE division of two
-    * exact integers (the symbol ratio scales both sides by 3 so the
-    * ellipsis character count never divides separately), so the double
+    * exact integers (the ellipsis ratio scales both sides by 3 so the
+    * three-char `...` count never divides separately), so the double
     * is bit-identical on any IEEE engine — which is what puts the
     * whole rule set under the DuckDB oracle gate. Tokens come from
     * `trim(normalized(c))` split on the single collapsed space: the
@@ -130,11 +132,16 @@ object TextOps {
     val lines = split(c, "\n", -1)
     val nl = size(lines)
     val hashChars = length(s) - length(regexp_replace(s, "#", ""))
-    val ellipsisChars = length(s) - length(regexp_replace(s, "\\.\\.\\.", ""))
+    // counted independently on s: dot-ellipsis as char-triples,
+    // U+2026 as single chars — occurrences = dots/3 + singles, folded
+    // into ONE division by scaling both sides by 3
+    val dotEllipsisChars = length(s) - length(regexp_replace(s, "\\.\\.\\.", ""))
+    val charEllipsis = length(s) - length(regexp_replace(s, "…", ""))
     struct(
       nw.as("n_words"),
       ((length(s) - (nw - 1)) / nw).as("mean_word_len"),
-      ((hashChars * 3 + ellipsisChars) / (nw * 3)).as("symbol_ratio"),
+      (hashChars / nw).as("hash_ratio"),
+      ((dotEllipsisChars + charEllipsis * 3) / (nw * 3)).as("ellipsis_ratio"),
       (size(filter(lines, l => l.rlike("^[ \t]*[-*•]"))) / nl).as("bullet_frac"),
       // [ \t\r]* BEFORE the anchor: a CRLF corpus leaves \r on every
       // split line, and Java's $ would match before that final \r
@@ -158,7 +165,8 @@ object TextOps {
       minStopwordHits: Int = 2): Column =
     g.getField("n_words").between(minWords, maxWords) &&
       g.getField("mean_word_len").between(minMeanWord, maxMeanWord) &&
-      g.getField("symbol_ratio") <= maxSymbolRatio &&
+      g.getField("hash_ratio") <= maxSymbolRatio &&
+      g.getField("ellipsis_ratio") <= maxSymbolRatio &&
       g.getField("bullet_frac") <= maxBulletFrac &&
       g.getField("ellipsis_frac") <= maxEllipsisFrac &&
       g.getField("alpha_word_frac") >= minAlphaWordFrac &&

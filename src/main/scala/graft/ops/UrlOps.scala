@@ -50,30 +50,40 @@ object UrlOps {
       .otherwise(when(m === "", host).otherwise(m))
   }
 
-  /** Tracking query parameters stripped by [[normalizeUrl]]. */
+  /** Tracking query parameters stripped by [[normalizeUrl]]. The
+    * leading `[?&]` boundary is CAPTURED and re-emitted by the
+    * replacement (engine-local: `$1` on Java, `\1` on RE2), so a param
+    * whose name merely CONTAINS a tracking name (`my_gclid=5`) — or a
+    * path segment that happens to look like one — is never touched;
+    * only a whole parameter at a separator is. */
   val trackingParamPattern: String =
-    "(utm_[A-Za-z0-9_]+|gclid|fbclid|msclkid|mc_eid|igshid|ref_src)=[^&#]*"
+    "([?&])(utm_[A-Za-z0-9_]+|gclid|fbclid|msclkid|mc_eid|igshid|ref_src)=[^&#]*"
 
   /** Canonical URL form for dedup:
     *  1. fragment removed;
-    *  2. tracking parameters ([[trackingParamPattern]]) removed, with
-    *     separator cleanup (`&&`→`&`, `?&`→`?`, trailing `?`/`&`
-    *     dropped);
-    *  3. scheme and authority lowercased (path/query case preserved —
-    *     paths are case-sensitive on most servers);
+    *  2. tracking parameters ([[trackingParamPattern]]) removed (the
+    *     captured separator survives), with separator cleanup
+    *     (`&&`→`&`, `?&`→`?`, trailing `?`/`&` dropped);
+    *  3. scheme and HOST:port lowercased — per RFC 3986 only scheme
+    *     and host are case-insensitive; userinfo (up to the last `@`
+    *     of the authority) and path/query keep their case;
     *  4. default ports dropped (`http://…:80`, `https://…:443`);
     *  5. trailing slashes of the path dropped.
-    * Each step is one regexp_replace — a fused codegen chain, same
-    * shape the oracle mirrors. */
+    * Each step is one regexp_replace/extract — a fused codegen chain,
+    * same shape the oracle mirrors. */
   def normalizeUrl(u: Column): Column = {
     val noFrag = regexp_replace(u, "#.*", "")
-    val noTrack0 = regexp_replace(noFrag, trackingParamPattern, "")
+    val noTrack0 = regexp_replace(noFrag, trackingParamPattern, "$1")
     val noTrack1 = regexp_replace(noTrack0, "&&+", "&")
     val noTrack2 = regexp_replace(noTrack1, "\\?&", "?")
     val noTrack = regexp_replace(noTrack2, "[?&]+$", "")
-    val lowerAuth = concat(
-      lower(regexp_extract(noTrack, "^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)", 1)),
-      regexp_replace(noTrack, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*", ""))
+    val scheme = regexp_extract(noTrack, "^([A-Za-z][A-Za-z0-9+.-]*://)", 1)
+    val auth = regexp_extract(noTrack, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1)
+    // greedy .* -> the LAST @ delimits userinfo from host (RFC 3986)
+    val userinfo = regexp_extract(auth, "^(.*@)", 1)
+    val hostPort = regexp_replace(auth, "^.*@", "")
+    val rest = regexp_replace(noTrack, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*", "")
+    val lowerAuth = concat(lower(scheme), userinfo, lower(hostPort), rest)
     val noPort80 = regexp_replace(lowerAuth, "^(http://[^/:?#]+):80([/?#]|$)", "$1$2")
     val noPort = regexp_replace(noPort80, "^(https://[^/:?#]+):443([/?#]|$)", "$1$2")
     regexp_replace(noPort, "/+$", "")

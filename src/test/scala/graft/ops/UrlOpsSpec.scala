@@ -51,6 +51,15 @@ class UrlOpsSpec extends AnyFunSuite {
     // already-canonical URLs pass through unchanged
     assert(one(UrlOps.normalizeUrl, "https://ex.com/a?b=1&c=2") ==
       "https://ex.com/a?b=1&c=2")
+    // a param NAME that merely contains a tracking name is untouched
+    // (the [?&] boundary is required and re-emitted)
+    assert(one(UrlOps.normalizeUrl, "https://ex.com/p?my_gclid=5") ==
+      "https://ex.com/p?my_gclid=5")
+    assert(one(UrlOps.normalizeUrl, "https://ex.com/gclid=5/page") ==
+      "https://ex.com/gclid=5/page")
+    // userinfo is case-SENSITIVE per RFC 3986 — only scheme+host fold
+    assert(one(UrlOps.normalizeUrl, "HTTPS://UserA@Ex.COM/x") ==
+      "https://UserA@ex.com/x")
   }
 
   test("normalizeUrl as a dedup key: variants of one page collapse") {
