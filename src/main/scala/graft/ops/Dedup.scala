@@ -561,14 +561,18 @@ object Dedup {
         .join(ok.select(col("__cell__"), col("__id__").as("id2"), col("__v__").as("v2")),
           Seq("__cell__"))
         .filter(col("id1") < col("id2"))
-        .select(col("id1"), col("id2"), col("v1"), col("v2"))
-        // replication can meet the same pair in several shared cells —
-        // dedup BEFORE the exact cosine so each pair is scored once
-        .dropDuplicates("id1", "id2")
+        // score and THRESHOLD-FILTER before the cross-cell pair dedup:
+        // a pair sharing several cells pays the (cheap, codegen'd)
+        // cosine once per shared cell, but only QUALIFYING pairs — a
+        // tiny fraction of the candidates — reach the dedup shuffle.
+        // Deduping first would shuffle every candidate pair still
+        // carrying both dense vectors (~1 KB/row): measured ~4x slower
+        // and memory-unstable at 32 threads
         .withColumn("cosine",
           graft.functions.similarityExprs.cosine_sim(col("v1"), col("v2")))
         .filter(col("cosine") >= threshold)
         .select(col("id1"), col("id2"), col("cosine"))
+        .dropDuplicates("id1", "id2")
         .localCheckpoint(true)
     } finally indexed.unpersist(false)
   }
