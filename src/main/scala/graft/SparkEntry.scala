@@ -943,6 +943,27 @@ object SparkEntry {
       // value (Spark sorts nulls first, DuckDB last — must not matter)
       ops.Report.corpusReport(t(s, dir, "documents"), "text", Seq("source", "lang"))
         .orderBy("gid", "source", "lang")
+    },
+
+    "q_shuffle" -> { (s, dir) =>
+      // reproducible corpus shuffle: the row ORDER is the output —
+      // both engines must produce the identical permutation from the
+      // same md5-prefix sort (the op IS the total ORDER BY)
+      ops.Sampling.shuffleByHash(t(s, dir, "documents"), col("doc_id"), ":shuf42")
+        .select(col("doc_id"),
+          ops.Sampling.hashPrefix(col("doc_id"), ":shuf42").as("shuffle_key"))
+    },
+
+    "q_contamination_report" -> { (s, dir) =>
+      // leakage AUDIT (not removal): distinct shared 8-gram count per
+      // tainted train doc against the held-out slice; Spark joins gram
+      // hashes, the oracle joins gram strings — equal absent a 64-bit
+      // collision
+      val docs = t(s, dir, "documents")
+      ops.Contamination.contaminationReport(
+        docs.filter(col("doc_id") % 20 =!= 0),
+        docs.filter(col("doc_id") % 20 === 0), "doc_id", "text")
+        .orderBy("doc_id")
     }
   )
 
@@ -1828,6 +1849,32 @@ object SparkEntry {
         |    / count(*) AS avg_doc_tokens
         |FROM documents
         |GROUP BY ROLLUP (source, lang)
-        |ORDER BY gid, source, lang""".stripMargin
+        |ORDER BY gid, source, lang""".stripMargin,
+
+    "q_shuffle" ->
+      """SELECT doc_id,
+        |  substr(md5(cast(doc_id AS VARCHAR) || ':shuf42'), 1, 12) AS shuffle_key
+        |FROM documents ORDER BY shuffle_key, doc_id""".stripMargin,
+
+    // q_decontaminate's gram CTE (strict, per-doc distinct), but
+    // counting the shared grams per tainted doc instead of dropping
+    "q_contamination_report" ->
+      """WITH norm AS (
+        |  SELECT doc_id, trim(regexp_replace(lower(trim(text)), '[ \t\n\x0b\f\r]+', ' ', 'g')) AS s
+        |  FROM documents),
+        |tok AS (SELECT doc_id, string_split(s, ' ') AS tk FROM norm),
+        |grams AS (
+        |  SELECT doc_id, unnest(
+        |    CASE WHEN len(tk) >= 8
+        |         THEN list_distinct(list_transform(range(0, len(tk) - 7),
+        |                i -> array_to_string(tk[i + 1:i + 8], ' ')))
+        |         ELSE [] END) AS g
+        |  FROM tok),
+        |ev AS (SELECT DISTINCT g FROM grams WHERE doc_id % 20 = 0)
+        |SELECT gr.doc_id, count(*) AS n_shared_grams
+        |FROM grams gr JOIN ev USING (g)
+        |WHERE gr.doc_id % 20 <> 0
+        |GROUP BY gr.doc_id
+        |ORDER BY gr.doc_id""".stripMargin
   )
 }

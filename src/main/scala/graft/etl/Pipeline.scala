@@ -1140,6 +1140,12 @@ final class Pipeline private (
     add(MapStep("decontaminate",
       graft.ops.Contamination.decontaminate(_, eval, idCol, textCol, gramN)))
 
+  /** Reproducible corpus shuffle
+    * ([[graft.ops.Sampling.shuffleByHash]]). */
+  def shuffleByHash(keyCol: String, salt: String, local: Boolean = false): Pipeline =
+    add(MapStep("shuffleByHash",
+      graft.ops.Sampling.shuffleByHash(_, col(keyCol), salt, local)))
+
   /** Keep ~`fraction` of rows decided per `keyCol` — rerun-stable
     * ([[graft.ops.Sampling.sampleByHash]]). */
   def sampleByHash(keyCol: String, fraction: Double, salt: String): Pipeline =

@@ -58,4 +58,24 @@ object Contamination {
       broadcastEval: Boolean = true): DataFrame =
     corpus.join(taintedIds(corpus, eval, idCol, textCol, gramN, broadcastEval),
       Seq(idCol), "left_anti")
+
+  /** Contamination REPORT instead of removal: every corpus document
+    * with the number of DISTINCT eval grams it shares (only documents
+    * sharing at least one appear). Auditing which benchmarks leak and
+    * how hard beats silently dropping when deciding between removal,
+    * re-splitting, or benchmark exclusion. Same scale shape as
+    * [[taintedIds]] — the semi-join becomes an inner join + one count
+    * aggregate on (id); the corpus still never self-joins or collects. */
+  def contaminationReport(
+      corpus: DataFrame, eval: DataFrame,
+      idCol: String, textCol: String, gramN: Int = 8,
+      broadcastEval: Boolean = true): DataFrame = {
+    val evalGrams = gramHashes(eval, Seq.empty, textCol, gramN)
+      .select("__h__").distinct()
+    gramHashes(corpus, Seq(idCol), textCol, gramN)
+      .distinct() // per-doc DISTINCT grams: a repeated gram is one leak
+      .join(if (broadcastEval) broadcast(evalGrams) else evalGrams, Seq("__h__"))
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_shared_grams"))
+  }
 }

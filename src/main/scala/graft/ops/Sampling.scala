@@ -91,6 +91,22 @@ object Sampling {
     df.filter(hashPrefix(key, salt) < cut)
   }
 
+  /** Deterministic corpus shuffle: a TOTAL order by the same
+    * engine-portable (key, salt) hash as [[sampleByHash]] —
+    * reproducible training-order randomization. Rerun it and get the
+    * same permutation; change the salt and draw an independent one.
+    * Prefix ties break on the key, so the order is total on any
+    * engine. Cost: one global sort (range exchange + sort) — the
+    * unavoidable price of a global permutation; when per-shard
+    * randomization suffices (it usually does once shards are
+    * assigned), `local = true` sorts within partitions with NO
+    * exchange at all. */
+  def shuffleByHash(
+      df: DataFrame, key: Column, salt: String,
+      local: Boolean = false): DataFrame =
+    if (local) df.sortWithinPartitions(hashPrefix(key, salt), key)
+    else df.orderBy(hashPrefix(key, salt), key)
+
   /** Exactly `n` rows per stratum (fewer when the stratum is smaller),
     * chosen by hash order of `keyCol` — a deterministic simple random
     * sample per group. Rides the bounded top-k buffers

@@ -85,6 +85,19 @@ class ContaminationSpec extends AnyFunSuite {
     assert(kept.select("doc_id").collect().map(_.getLong(0)).toSet == Set(1L, 2L, 3L))
   }
 
+  test("contaminationReport counts distinct shared grams per tainted doc only") {
+    val report = Contamination.contaminationReport(corpus, evalDf, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // docs 0 and 4 share exactly the one 8-token eval phrase; clean
+    // docs do not appear at all
+    assert(report == Map(0L -> 1L, 4L -> 1L), s"got $report")
+    // a doc repeating the leaked phrase still counts it ONCE (distinct)
+    val repeat = Seq((7L, s"$evalPhrase stop $evalPhrase")).toDF("doc_id", "text")
+    val rep = Contamination.contaminationReport(repeat, evalDf, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rep(7L) == 1L, s"got $rep")
+  }
+
   test("repetitionRatio separates looping text from prose") {
     import org.apache.spark.sql.functions.col
     val d = Seq(

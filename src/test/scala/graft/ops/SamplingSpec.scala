@@ -99,6 +99,23 @@ class SamplingSpec extends AnyFunSuite {
       Sampling.sampleByStratum(df, col("k"), col("lang"), Seq.empty, 0.1, ":m"))
   }
 
+  test("shuffleByHash: a reproducible permutation; local variant adds no exchange") {
+    val df = keys
+    val p1 = Sampling.shuffleByHash(df, col("k"), ":sh").collect().map(_.getLong(0)).toSeq
+    val p2 = Sampling.shuffleByHash(df, col("k"), ":sh").collect().map(_.getLong(0)).toSeq
+    assert(p1 == p2)                       // rerun-stable
+    assert(p1.sorted == (0L until 2000L))  // a true permutation
+    assert(p1 != (0L until 2000L).toSeq)   // and actually shuffled
+    val p3 = Sampling.shuffleByHash(df, col("k"), ":other").collect().map(_.getLong(0)).toSeq
+    assert(p3 != p1)                       // salt draws a new permutation
+    // per-shard variant: sorted inside partitions, NO exchange in plan
+    val local = Sampling.shuffleByHash(df, col("k"), ":sh", local = true)
+    local.collect()
+    val plan = local.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]]
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"local shuffle must not exchange:\n$plan")
+  }
+
   test("stratifiedSample: n per stratum, deterministic, sample changes with salt") {
     val df = (0L until 400L).map(i => (i % 8, i)).toDF("g", "k")
     val s1 = Sampling.stratifiedSample(df, Seq("g"), "k", 5, ":x")
