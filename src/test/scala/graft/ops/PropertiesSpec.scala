@@ -230,4 +230,56 @@ class PropertiesSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("normalizeUrl is idempotent and preserves the host for arbitrary messy URLs") {
+    val scheme = Gen.oneOf("http", "HTTP", "https", "HTTPS")
+    val host = Gen.oneOf("Ex.COM", "www.example.co.uk", "A.b.C.org", "ex.com")
+    val port = Gen.oneOf("", ":80", ":443", ":8080")
+    val user = Gen.oneOf("", "UserA@", "a:B@")
+    val path = Gen.oneOf("", "/", "/P/Q", "/x/", "/x//", "/gclid=5/seg")
+    val query = Gen.oneOf("", "?id=1", "?utm_source=a", "?utm_a=1&id=2&fbclid=x",
+      "?my_gclid=keep", "?a=1&utm_b=2")
+    val frag = Gen.oneOf("", "#f", "#a?b=1")
+    val url = for {
+      s <- scheme; u <- user; h <- host; po <- port; pa <- path; q <- query; f <- frag
+    } yield s"$s://$u$h$po$pa$q$f"
+    forSamples(Gen.listOfN(12, url), 8) { urls =>
+      val df = urls.toDF("u")
+      val once = df.select(UrlOps.normalizeUrl($"u").as("n"))
+      val rows = once.select($"n", UrlOps.normalizeUrl($"n").as("n2"),
+        UrlOps.extractDomain($"n").as("d")).collect()
+      rows.zip(urls).foreach { case (r, orig) =>
+        assert(r.getString(0) == r.getString(1),
+          s"not idempotent: '$orig' -> '${r.getString(0)}' -> '${r.getString(1)}'")
+      }
+      // the canonical form's host equals the original's lowercased host
+      val origDomains = df.select(UrlOps.extractDomain($"u")).collect().map(_.getString(0))
+      rows.map(_.getString(2)).zip(origDomains).zip(urls).foreach { case ((nd, od), orig) =>
+        assert(nd == od, s"host changed by normalization of '$orig': '$od' -> '$nd'")
+      }
+    }
+  }
+
+  test("sampleByStratum output is always a subset with per-row decisions stable across salts' reuse") {
+    val fracs = for {
+      fEn <- Gen.chooseNum(0.0, 0.99); fDe <- Gen.chooseNum(0.0, 1.5)
+      dflt <- Gen.chooseNum(0.0, 0.99)
+    } yield (fEn, fDe, dflt)
+    forSamples(fracs, 8) { case (fEn, fDe, dflt) =>
+      val df = (0L until 300L).map(i => (i, Seq("en", "de", "fr")((i % 3).toInt)))
+        .toDF("k", "g")
+      val kept = Sampling.sampleByStratum(df, $"k", $"g",
+        Seq("en" -> fEn, "de" -> fDe), dflt, ":p")
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+      val all = df.collect().map(r => (r.getLong(0), r.getString(1))).toSet
+      assert(kept.subsetOf(all))
+      // fraction >= 1.0 keeps the whole stratum
+      if (fDe >= 1.0) assert(kept.count(_._2 == "de") == 100)
+      // decisions are per-key deterministic: rerun is identical
+      val again = Sampling.sampleByStratum(df, $"k", $"g",
+        Seq("en" -> fEn, "de" -> fDe), dflt, ":p")
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+      assert(again == kept)
+    }
+  }
 }
