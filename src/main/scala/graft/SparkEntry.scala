@@ -1805,14 +1805,16 @@ object SparkEntry {
          |  FROM documents),
          |d AS (
          |  SELECT doc_id,
-         |    lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/@?#]*@)?([^/:?#]+)', 1)) AS url_domain,
+         |    lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/?#]*@)?([^/:?#]+)', 1)) AS url_domain,
          |    regexp_replace(url, '#.*', '') AS s1
          |  FROM u),
          |e AS (
          |  SELECT doc_id, url_domain,
-         |    regexp_replace(regexp_replace(regexp_replace(regexp_replace(s1,
+         |    regexp_replace(s1, '\\?.*', '') ||
+         |    regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+         |      regexp_extract(s1, '(\\?.*)', 1),
          |      '${ops.UrlOps.trackingParamPattern}', '\\1', 'g'),
-         |      '&&+', '&', 'g'), '\\?&', '?', 'g'), '[?&]+$$', '', 'g') AS s2
+         |      '&&+', '&', 'g'), '^\\?&', '?'), '[?&]+$$', '', 'g') AS s2
          |  FROM d),
          |f AS (
          |  SELECT doc_id, url_domain,
@@ -1824,8 +1826,8 @@ object SparkEntry {
          |g AS (
          |  SELECT doc_id, url_domain,
          |    regexp_replace(regexp_replace(s3,
-         |      '^(http://[^/:?#]+):80([/?#]|$$)', '\\1\\2'),
-         |      '^(https://[^/:?#]+):443([/?#]|$$)', '\\1\\2') AS s4
+         |      '^(http://(?:[^/?#]*@)?[^/:?#]+):80([/?#]|$$)', '\\1\\2'),
+         |      '^(https://(?:[^/?#]*@)?[^/:?#]+):443([/?#]|$$)', '\\1\\2') AS s4
          |  FROM f)
          |SELECT doc_id, url_domain,
          |  CASE WHEN regexp_extract(url_domain, '${ops.UrlOps.registeredDomainPattern}', 1) = ''

@@ -64,8 +64,11 @@ object Contamination {
     * sharing at least one appear). Auditing which benchmarks leak and
     * how hard beats silently dropping when deciding between removal,
     * re-splitting, or benchmark exclusion. Same scale shape as
-    * [[taintedIds]] — the semi-join becomes an inner join + one count
-    * aggregate on (id); the corpus still never self-joins or collects. */
+    * [[taintedIds]]: the corpus gram stream flows STRAIGHT into the
+    * broadcast join — matched grams (a tiny subset) are what reaches
+    * the one count-distinct aggregate, which also dedups a document's
+    * repeats of the same leaked gram. A pre-join `.distinct()` would
+    * instead shuffle every corpus gram just to dedup per-doc repeats. */
   def contaminationReport(
       corpus: DataFrame, eval: DataFrame,
       idCol: String, textCol: String, gramN: Int = 8,
@@ -73,9 +76,8 @@ object Contamination {
     val evalGrams = gramHashes(eval, Seq.empty, textCol, gramN)
       .select("__h__").distinct()
     gramHashes(corpus, Seq(idCol), textCol, gramN)
-      .distinct() // per-doc DISTINCT grams: a repeated gram is one leak
       .join(if (broadcastEval) broadcast(evalGrams) else evalGrams, Seq("__h__"))
       .groupBy(idCol)
-      .agg(count(lit(1)).as("n_shared_grams"))
+      .agg(count_distinct(col("__h__")).as("n_shared_grams"))
   }
 }

@@ -160,13 +160,14 @@ object TextOps {
       g: Column,
       minWords: Int = 50, maxWords: Int = 100000,
       minMeanWord: Double = 3, maxMeanWord: Double = 10,
-      maxSymbolRatio: Double = 0.1, maxBulletFrac: Double = 0.9,
+      maxHashRatio: Double = 0.1, maxEllipsisRatio: Double = 0.1,
+      maxBulletFrac: Double = 0.9,
       maxEllipsisFrac: Double = 0.3, minAlphaWordFrac: Double = 0.8,
       minStopwordHits: Int = 2): Column =
     g.getField("n_words").between(minWords, maxWords) &&
       g.getField("mean_word_len").between(minMeanWord, maxMeanWord) &&
-      g.getField("hash_ratio") <= maxSymbolRatio &&
-      g.getField("ellipsis_ratio") <= maxSymbolRatio &&
+      g.getField("hash_ratio") <= maxHashRatio &&
+      g.getField("ellipsis_ratio") <= maxEllipsisRatio &&
       g.getField("bullet_frac") <= maxBulletFrac &&
       g.getField("ellipsis_frac") <= maxEllipsisFrac &&
       g.getField("alpha_word_frac") >= minAlphaWordFrac &&

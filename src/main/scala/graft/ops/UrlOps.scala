@@ -17,10 +17,14 @@ import org.apache.spark.sql.functions._
 object UrlOps {
 
   /** Lowercased host of an absolute URL: scheme and optional userinfo
-    * stripped, cut at the first `/`, `:`, `?` or `#`. NULL-safe; a
-    * schemeless string yields an empty string (loud, not a guess). */
+    * stripped, cut at the first `/`, `:`, `?` or `#`. The userinfo
+    * group is greedy over non-delimiters, so the LAST `@` of the
+    * authority delimits the host (RFC 3986 — credentials may contain
+    * unencoded `@` in the wild), matching [[normalizeUrl]]'s rule.
+    * NULL-safe; a schemeless string yields an empty string (loud, not
+    * a guess). */
   def extractDomain(u: Column): Column =
-    lower(regexp_extract(u, "^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/@?#]*@)?([^/:?#]+)", 1))
+    lower(regexp_extract(u, "^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/?#]*@)?([^/:?#]+)", 1))
 
   /** Multi-label public suffixes recognized by [[registeredDomain]].
     * Deliberately a SMALL embedded set of the most common two-label
@@ -53,30 +57,41 @@ object UrlOps {
   /** Tracking query parameters stripped by [[normalizeUrl]]. The
     * leading `[?&]` boundary is CAPTURED and re-emitted by the
     * replacement (engine-local: `$1` on Java, `\1` on RE2), so a param
-    * whose name merely CONTAINS a tracking name (`my_gclid=5`) — or a
-    * path segment that happens to look like one — is never touched;
-    * only a whole parameter at a separator is. */
+    * whose name merely CONTAINS a tracking name (`my_gclid=5`) is
+    * never touched; and [[normalizeUrl]] applies this pattern to the
+    * QUERY portion only (from the first `?`), so a path segment that
+    * happens to contain `&gclid=` cannot match — nor can a tracking
+    * value swallow path characters. */
   val trackingParamPattern: String =
     "([?&])(utm_[A-Za-z0-9_]+|gclid|fbclid|msclkid|mc_eid|igshid|ref_src)=[^&#]*"
 
   /** Canonical URL form for dedup:
     *  1. fragment removed;
-    *  2. tracking parameters ([[trackingParamPattern]]) removed (the
-    *     captured separator survives), with separator cleanup
+    *  2. tracking parameters ([[trackingParamPattern]]) removed from
+    *     the QUERY portion only (the part from the first `?` — RFC
+    *     3986's query delimiter; the path is never touched), the
+    *     captured separator survives, then separator cleanup
     *     (`&&`→`&`, `?&`→`?`, trailing `?`/`&` dropped);
     *  3. scheme and HOST:port lowercased — per RFC 3986 only scheme
     *     and host are case-insensitive; userinfo (up to the last `@`
     *     of the authority) and path/query keep their case;
-    *  4. default ports dropped (`http://…:80`, `https://…:443`);
+    *  4. default ports dropped (`http://…:80`, `https://…:443`),
+    *     userinfo-tolerant;
     *  5. trailing slashes of the path dropped.
     * Each step is one regexp_replace/extract — a fused codegen chain,
     * same shape the oracle mirrors. */
   def normalizeUrl(u: Column): Column = {
     val noFrag = regexp_replace(u, "#.*", "")
-    val noTrack0 = regexp_replace(noFrag, trackingParamPattern, "$1")
-    val noTrack1 = regexp_replace(noTrack0, "&&+", "&")
-    val noTrack2 = regexp_replace(noTrack1, "\\?&", "?")
-    val noTrack = regexp_replace(noTrack2, "[?&]+$", "")
+    // query starts at the FIRST '?' (RFC 3986); tracking-param
+    // stripping and separator cleanup see only the query, never the
+    // path (a path '&gclid=' or a value spanning '/' cannot misfire)
+    val base = regexp_replace(noFrag, "\\?.*", "")
+    val query0 = regexp_extract(noFrag, "(\\?.*)", 1)
+    val query1 = regexp_replace(query0, trackingParamPattern, "$1")
+    val query2 = regexp_replace(query1, "&&+", "&")
+    val query3 = regexp_replace(query2, "^\\?&", "?")
+    val query = regexp_replace(query3, "[?&]+$", "")
+    val noTrack = concat(base, query)
     val scheme = regexp_extract(noTrack, "^([A-Za-z][A-Za-z0-9+.-]*://)", 1)
     val auth = regexp_extract(noTrack, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1)
     // greedy .* -> the LAST @ delimits userinfo from host (RFC 3986)
@@ -84,8 +99,12 @@ object UrlOps {
     val hostPort = regexp_replace(auth, "^.*@", "")
     val rest = regexp_replace(noTrack, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*", "")
     val lowerAuth = concat(lower(scheme), userinfo, lower(hostPort), rest)
-    val noPort80 = regexp_replace(lowerAuth, "^(http://[^/:?#]+):80([/?#]|$)", "$1$2")
-    val noPort = regexp_replace(noPort80, "^(https://[^/:?#]+):443([/?#]|$)", "$1$2")
+    // optional userinfo before the host (mirrors extractDomain): a
+    // ':' INSIDE credentials must not stop the default-port match
+    val noPort80 = regexp_replace(lowerAuth,
+      "^(http://(?:[^/?#]*@)?[^/:?#]+):80([/?#]|$)", "$1$2")
+    val noPort = regexp_replace(noPort80,
+      "^(https://(?:[^/?#]*@)?[^/:?#]+):443([/?#]|$)", "$1$2")
     regexp_replace(noPort, "/+$", "")
   }
 }

@@ -222,7 +222,7 @@ class OpsSpec extends AnyFunSuite {
     assert(kept.contains(0L) && !kept.contains(1L))
   }
 
-  test("Dedup.semanticNearDups/semDedup: planted pairs found, scored exactly once") {
+  test("Dedup.semanticNearDups/semDedup: planted pairs found, each pair emitted once") {
     spark.catalog.clearCache()
     val rnd = new scala.util.Random(13)
     val base = Seq.fill(16)(rnd.nextGaussian().toFloat)

@@ -25,6 +25,9 @@ class UrlOpsSpec extends AnyFunSuite {
     assert(one(UrlOps.extractDomain, "ftp://files.example.net") == "files.example.net")
     assert(one(UrlOps.extractDomain, "https://example.com?q=1") == "example.com")
     assert(one(UrlOps.extractDomain, "not a url") == "") // loud empty, not a guess
+    // the LAST @ delimits the host (unencoded @ in credentials) —
+    // same rule as normalizeUrl
+    assert(one(UrlOps.extractDomain, "http://a@b@ex.com/x") == "ex.com")
   }
 
   test("registeredDomain: plain TLD, multi-label suffix, single label") {
@@ -60,6 +63,15 @@ class UrlOpsSpec extends AnyFunSuite {
     // userinfo is case-SENSITIVE per RFC 3986 — only scheme+host fold
     assert(one(UrlOps.normalizeUrl, "HTTPS://UserA@Ex.COM/x") ==
       "https://UserA@ex.com/x")
+    // tracking strip is QUERY-scoped: an '&gclid=' inside the path
+    // neither matches nor swallows the real query string
+    assert(one(UrlOps.normalizeUrl, "https://ex.com/a&gclid=1/page?q=1") ==
+      "https://ex.com/a&gclid=1/page?q=1")
+    // default-port strip tolerates a ':' inside credentials
+    assert(one(UrlOps.normalizeUrl, "http://user:pw@ex.com:80/x") ==
+      "http://user:pw@ex.com/x")
+    assert(one(UrlOps.normalizeUrl, "https://user:pw@ex.com:443/x") ==
+      "https://user:pw@ex.com/x")
   }
 
   test("normalizeUrl as a dedup key: variants of one page collapse") {
