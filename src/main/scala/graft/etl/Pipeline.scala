@@ -1198,14 +1198,19 @@ final class Pipeline private (
       graft.ops.Dedup.crossCorpusDedup(_, reference, idCol, textCol,
         shingleN, numHashes, bands, threshold)))
 
-  /** Keep only rows passing the Gopher quality rules at the published
-    * thresholds ([[graft.ops.TextOps.gopherSignals]] /
-    * [[graft.ops.TextOps.gopherPass]]). The signals struct is computed
-    * once as a real column, then dropped. */
-  def filterGopher(textCol: String): Pipeline =
+  /** Keep only rows passing the Gopher quality rules
+    * ([[graft.ops.TextOps.gopherSignals]] /
+    * [[graft.ops.TextOps.gopherPass]]) — published thresholds by
+    * default; the two most corpus-sensitive knobs (minimum words,
+    * required-stopword hits) are exposed because non-English or
+    * synthetic corpora routinely need them retuned. The signals
+    * struct is computed once as a real column, then dropped. */
+  def filterGopher(
+      textCol: String, minWords: Int = 50, minStopwordHits: Int = 2): Pipeline =
     add(MapStep("filterGopher", df =>
       df.withColumn("__g__", graft.ops.TextOps.gopherSignals(col(textCol)))
-        .filter(graft.ops.TextOps.gopherPass(col("__g__")))
+        .filter(graft.ops.TextOps.gopherPass(col("__g__"),
+          minWords = minWords, minStopwordHits = minStopwordHits))
         .drop("__g__")))
 
   /** SemDeDup-style semantic near-dedup over an embedding column

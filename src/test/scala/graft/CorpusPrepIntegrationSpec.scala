@@ -82,4 +82,45 @@ class CorpusPrepIntegrationSpec extends AnyFunSuite {
     assert(chunks.filter(col("n_chunk_tokens") > 128).count() == 0)
     assert(chunks.select("doc_id").distinct().count() == va.count())
   }
+
+  test("the web-corpus front half composes: URLs, quality gate, mixing, shuffle, report") {
+    val docs = Tables.load(spark, dir, "documents")
+    // synthesize a crawl URL per doc (the corpus has none), then run
+    // the acquisition-side chain: canonical URL key → exact URL dedup →
+    // Gopher gate → language mixing → reproducible shuffle
+    val withUrl = docs.withColumn("url",
+      concat(lit("HTTPS://Site"), (col("doc_id") % 40).cast("string"),
+        lit(".Example.COM/p/"), (col("doc_id") % 250).cast("string"),
+        lit("?utm_source=crawl&session="), col("doc_id").cast("string")))
+    val out = etl.Pipeline.of("web", withUrl)
+      .withUrlColumns("url")
+      .addStep("urlDedup")(_.dropDuplicates("url_norm")) // URL-level exact dedup
+      // the synthetic corpus is word-salad: no doc reaches 50 words
+      // AND 2 English stopwords, so retune the corpus-sensitive knobs
+      // (the structural rules — symbols, bullets, alpha words — stay)
+      .filterGopher("text", minWords = 20, minStopwordHits = 0)
+      .sampleByStratum("doc_id", "lang",
+        Seq("en" -> 1.0, "zh" -> 1.0), defaultFraction = 0.5, salt = ":web")
+      .shuffleByHash("doc_id", ":order")
+      .toDF
+      .localCheckpoint(true)
+    val n = out.count()
+    assert(n > 0 && n < docs.count())
+    // url_norm is a working dedup key: session params survive (they
+    // are not tracking params), so distinct (doc%40, doc%250) pairs
+    // survive URL dedup; every survivor passed the quality gate
+    assert(out.select("url_norm").distinct().count() == n)
+    assert(out.filter(!ops.TextOps.gopherPass(
+      ops.TextOps.gopherSignals(col("text")),
+      minWords = 20, minStopwordHits = 0)).count() == 0)
+    // en/zh kept whole by the mixture (subset only via gopher/url)
+    // and the shuffle is a permutation of the survivors
+    val ids = out.select("doc_id").collect().map(_.getLong(0)).toSeq
+    assert(ids.distinct.size == ids.size)
+    // report over the survivors: grand total row matches the count
+    val rep = ops.Report.corpusReport(out, "text", Seq("lang"))
+      .filter(col("gid") === 1).head()
+    assert(rep.getAs[Long]("n_docs") == n)
+    assert(rep.getAs[Double]("dup_rate") >= 0.0)
+  }
 }
