@@ -7,7 +7,7 @@ import org.apache.spark.sql.types.{ByteType, DecimalType, IntegerType, LongType,
   * through a LONG-typed buffer or graph node: a non-integral column
   * would either fail late at runtime (ANSI cast) or silently come back
   * NULL (non-ANSI) — both worse than a plan-build-time error. */
-private[ops] object ColumnChecks {
+private[graft] object ColumnChecks {
 
   /** Accepts the integral types plus scale-0 decimals (the common
     * parquet BIGINT-surrogate encoding — exact through cast to long for

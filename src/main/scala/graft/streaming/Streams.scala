@@ -149,6 +149,116 @@ object Streams {
       .dropDuplicatesWithinWatermark("__fp__")
       .drop("__fp__")
 
+  /** One banded arrival entering [[minhashNearDupPairs]]'s state op. */
+  case class BandedDoc(
+      band: Int, bucket: Int, id: Long, ts: java.sql.Timestamp, sig: Seq[Long])
+  /** One (band, bucket) occupant held in streaming LSH state. */
+  case class BucketMember(id: Long, tsMs: Long, sig: Seq[Long])
+  /** A detected streaming near-dup: `id2` arrived after — and
+    * near-duplicates — `id1` (drop id2 to dedup greedily). */
+  case class StreamDupPair(
+      id1: Long, id2: Long, est_jaccard: Double, ts: java.sql.Timestamp)
+
+  /** Streaming MinHash near-duplicate DETECTION: the unbounded-input
+    * analogue of [[graft.ops.Dedup.minhashNearDups]] (screen-only
+    * form). Each arriving document is banded exactly like the batch
+    * path (same native [[graft.functions.MinHashSig]] signatures, same
+    * slice hashing), and per-(band, bucket) state remembers up to
+    * `maxBucket` prior occupants; a new arrival whose signature agrees
+    * with a remembered one at >= `threshold` emits the pair once, with
+    * the PRIOR document as `id1` (greedy first-arrival-wins — a stream
+    * has no total id order to prefer).
+    *
+    * Bounded state, exactly-once pairs, ONE stateful operator:
+    *  - state per bucket is a capped member list (`maxBucket`, the
+    *    same non-discriminative-bucket rationale as [[graft.ops.LshBlocking]]),
+    *    members older than `stateHorizonMs` are pruned per trigger,
+    *    and idle buckets are reclaimed whole by the event-time timeout
+    *    once the watermark passes their last activity + horizon;
+    *  - a pair colliding in SEVERAL bands would be emitted once per
+    *    band, and deduping downstream would chain a second stateful
+    *    operator (unsupported after flatMapGroupsWithState) — instead
+    *    each bucket emits only when ITS band is the first band on
+    *    which the two signatures' slices are equal, a pure function of
+    *    the two signatures both sides already hold, so exactly one
+    *    bucket elects itself per pair. (A pair meeting only through a
+    *    32-bit slice-hash collision — no band slice actually equal —
+    *    is not emitted: ~2^-32, the same odds the batch banding
+    *    already accepts.)
+    */
+  def minhashNearDupPairs(
+      docs: DataFrame, idCol: String, textCol: String, tsCol: String,
+      watermarkDelay: String, shingleN: Int = 3, numHashes: Int = 64,
+      bands: Int = 16, threshold: Double = 0.8, maxBucket: Int = 200,
+      stateHorizonMs: Long = 3600L * 1000): Dataset[StreamDupPair] = {
+    require(numHashes % bands == 0, "numHashes must be divisible by bands")
+    val r = numHashes / bands
+    graft.ops.ColumnChecks.requireIntegral(docs, idCol, "minhashNearDupPairs",
+      "Streaming LSH state carries ids as LONG. Map string/UUID ids to a " +
+        "surrogate long first (e.g. xxhash64).")
+    import docs.sparkSession.implicits._
+
+    def sliceEq(a: Seq[Long], b: Seq[Long], band: Int): Boolean = {
+      var i = band * r
+      val end = i + r
+      while (i < end) { if (a(i) != b(i)) return false; i += 1 }
+      true
+    }
+    def firstMatchingBand(a: Seq[Long], b: Seq[Long]): Int = {
+      var band = 0
+      while (band < bands) { if (sliceEq(a, b, band)) return band; band += 1 }
+      -1
+    }
+    def agreement(a: Seq[Long], b: Seq[Long]): Double = {
+      var i = 0; var eq = 0
+      while (i < numHashes) { if (a(i) == b(i)) eq += 1; i += 1 }
+      eq.toDouble / numHashes
+    }
+
+    val banded = docs
+      .select(col(idCol).cast("long").as("id"), col(tsCol).as("ts"),
+        graft.functions.exprs.minhash_sig(
+          graft.ops.TextOps.shingles(col(textCol), shingleN), numHashes).as("sig"))
+      .withWatermark("ts", watermarkDelay)
+      .select(col("id"), col("ts"), col("sig"),
+        explode(transform(sequence(lit(0), lit(bands - 1)),
+          b => struct(b.as("band"),
+            hash(slice(col("sig"), b * r + 1, lit(r))).as("bucket")))).as("bb"))
+      .select(col("bb.band").as("band"), col("bb.bucket").as("bucket"),
+        col("id"), col("ts"), col("sig"))
+      .as[BandedDoc]
+
+    banded
+      .groupByKey(d => (d.band, d.bucket))
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (key: (Int, Int), rows: Iterator[BandedDoc],
+         state: GroupState[List[BucketMember]]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val band = key._1
+            val arrivals = rows.toIndexedSeq.sortBy(d => (d.ts.getTime, d.id))
+            val maxTs = arrivals.map(_.ts.getTime).max
+            var members = state.getOption.getOrElse(Nil)
+              .filter(_.tsMs >= maxTs - stateHorizonMs)
+            val out = Seq.newBuilder[StreamDupPair]
+            arrivals.foreach { d =>
+              members.foreach { m =>
+                if (m.id != d.id) {
+                  val est = agreement(m.sig, d.sig)
+                  if (est >= threshold && firstMatchingBand(m.sig, d.sig) == band)
+                    out += StreamDupPair(m.id, d.id, est, d.ts)
+                }
+              }
+              if (members.size < maxBucket)
+                members = BucketMember(d.id, d.ts.getTime, d.sig) :: members
+            }
+            state.update(members)
+            state.setTimeoutTimestamp(maxTs + stateHorizonMs)
+            out.result().iterator
+          }
+      }
+  }
+
   /** Run a streaming DataFrame to a named in-memory table and process
     * everything currently available (synchronous test/dev harness). */
   def runToMemory(df: DataFrame, name: String, outputMode: OutputMode = OutputMode.Append()): Unit = {

@@ -131,6 +131,51 @@ class StreamsSpec extends AnyFunSuite {
     assert(streamed == batch)
   }
 
+  test("streaming minhash near-dup pairs match the batch screen across triggers, emitted once") {
+    val dup = "the quick brown fox jumps over the lazy dog near the river bank today"
+    val near = dup.replace("today", "tonight")
+    val batch1 = Seq(
+      (0L, dup, "2026-01-01 10:00:00"),
+      (3L, "completely different text about database engines and query optimization",
+        "2026-01-01 10:00:01"))
+    val batch2 = Seq(
+      (1L, dup, "2026-01-01 10:00:02"),
+      (2L, near, "2026-01-01 10:00:03"),
+      (4L, "yet another unrelated document discussing spark partitions and shuffles",
+        "2026-01-01 10:00:04"))
+    def toDf(s: Seq[(Long, String, String)]) =
+      s.toDF("doc_id", "text", "tss")
+        .withColumn("ts", to_timestamp(col("tss"))).drop("tss")
+    val dir = Files.createTempDirectory("graft-stream-lsh").toString
+    // two separate files + maxFilesPerTrigger=1 -> the pair spans TWO
+    // triggers, so detection must come from the keyed state, not from
+    // within-batch comparison (file ingestion order is unspecified —
+    // assertions are on unordered pairs)
+    toDf(batch1).repartition(1).write.mode("append").parquet(dir)
+    toDf(batch2).repartition(1).write.mode("append").parquet(dir)
+    val stream = spark.readStream.schema(toDf(batch1).schema)
+      .option("maxFilesPerTrigger", 1).parquet(dir)
+    val pairs = Streams.minhashNearDupPairs(stream, "doc_id", "text", "ts",
+      watermarkDelay = "1 hour", shingleN = 2, numHashes = 64, bands = 32,
+      threshold = 0.5)
+    Streams.runToMemory(pairs.toDF(), "lsh_pairs")
+    val got = spark.table("lsh_pairs").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val keys = got.map(p => (math.min(p._1, p._2), math.max(p._1, p._2))).toSeq
+    // exactly one emission per pair despite 32 banding collisions
+    assert(keys.distinct.length == keys.length, s"duplicate emissions: ${got.toSeq}")
+    // pair set AND estimates equal the batch screen on the same corpus
+    val all = toDf(batch1).unionByName(toDf(batch2))
+    val expected = graft.ops.Dedup.minhashNearDups(all, "doc_id", "text",
+      shingleN = 2, numHashes = 64, bands = 32, threshold = 0.5, exactVerify = false)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(keys.toSet == expected.keySet, s"got ${keys.toSet} vs ${expected.keySet}")
+    got.foreach { case (a, b, est) =>
+      assert(est == expected((math.min(a, b), math.max(a, b))))
+    }
+    assert(expected.keySet.contains((0L, 1L))) // the cross-trigger exact dup
+  }
+
   test("dedupExact drops later copies of the same fingerprint, keeps distinct docs") {
     val dir = Files.createTempDirectory("graft-stream3").toString
     val docs = Seq(
