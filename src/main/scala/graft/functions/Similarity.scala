@@ -166,6 +166,17 @@ object SimilarityUtil {
     if (n == 0) 0.0 else eq.toDouble / n
   }
 
+  /** Seq overload for JVM-side callers (the streaming LSH state op) —
+    * ONE estimator definition shared with the `sig_agreement`
+    * expression, so the two paths cannot drift. */
+  def agreement(a: Seq[Long], b: Seq[Long]): Double = {
+    val n = math.min(a.length, b.length)
+    var eq = 0
+    var i = 0
+    while (i < n) { if (a(i) == b(i)) eq += 1; i += 1 }
+    if (n == 0) 0.0 else eq.toDouble / n
+  }
+
   def hamming(a: ArrayData, b: ArrayData): Int = {
     val n = math.min(a.numElements(), b.numElements())
     var d = 0

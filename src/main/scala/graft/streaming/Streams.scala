@@ -154,6 +154,11 @@ object Streams {
       band: Int, bucket: Int, id: Long, ts: java.sql.Timestamp, sig: Seq[Long])
   /** One (band, bucket) occupant held in streaming LSH state. */
   case class BucketMember(id: Long, tsMs: Long, sig: Seq[Long])
+  /** Per-bucket streaming LSH state: occupants plus the saturation
+    * latch (a bucket that ever exceeded `maxBucket` distinct docs is
+    * non-discriminative — its members are freed and it goes silent
+    * until the timeout reclaims it, mirroring the batch bucket drop). */
+  case class BucketState(members: List[BucketMember], saturated: Boolean)
   /** A detected streaming near-dup: `id2` arrived after — and
     * near-duplicates — `id1` (drop id2 to dedup greedily). */
   case class StreamDupPair(
@@ -170,11 +175,16 @@ object Streams {
     * has no total id order to prefer).
     *
     * Bounded state, exactly-once pairs, ONE stateful operator:
-    *  - state per bucket is a capped member list (`maxBucket`, the
-    *    same non-discriminative-bucket rationale as [[graft.ops.LshBlocking]]),
-    *    members older than `stateHorizonMs` are pruned per trigger,
-    *    and idle buckets are reclaimed whole by the event-time timeout
-    *    once the watermark passes their last activity + horizon;
+    *  - state per bucket is a member list with a SATURATION latch: the
+    *    arrival of the (`maxBucket`+1)-th distinct doc marks the
+    *    bucket non-discriminative (the batch path drops such buckets —
+    *    [[graft.ops.LshBlocking]]), frees its members, and silences it
+    *    until the event-time timeout reclaims it. Members older than
+    *    `stateHorizonMs` (relative to the bucket's NEWEST activity —
+    *    late rows can neither prune fresh members nor move the timeout
+    *    backwards) are pruned per trigger;
+    *  - a redelivered id (at-least-once sources) is ignored: its pairs
+    *    were emitted on first arrival and it is not stored twice;
     *  - a pair colliding in SEVERAL bands would be emitted once per
     *    band, and deduping downstream would chain a second stateful
     *    operator (unsupported after flatMapGroupsWithState) — instead
@@ -185,6 +195,15 @@ object Streams {
     *    32-bit slice-hash collision — no band slice actually equal —
     *    is not emitted: ~2^-32, the same odds the batch banding
     *    already accepts.)
+    *
+    * Recall relative to the batch screen is exact below the caps (the
+    * spec pins it) and diverges exactly where both paths approximate:
+    * pairs whose first-matching band's bucket saturated or aged out
+    * are lost even if a later band still holds both sides (batch
+    * analogously loses pairs in over-cap buckets), and pairs already
+    * emitted before a bucket saturates are not retracted (batch drops
+    * the whole bucket retroactively). LSH recall is statistical on
+    * both paths; the divergence lives in the same regime.
     */
   def minhashNearDupPairs(
       docs: DataFrame, idCol: String, textCol: String, tsCol: String,
@@ -209,11 +228,6 @@ object Streams {
       while (band < bands) { if (sliceEq(a, b, band)) return band; band += 1 }
       -1
     }
-    def agreement(a: Seq[Long], b: Seq[Long]): Double = {
-      var i = 0; var eq = 0
-      while (i < numHashes) { if (a(i) == b(i)) eq += 1; i += 1 }
-      eq.toDouble / numHashes
-    }
 
     val banded = docs
       .select(col(idCol).cast("long").as("id"), col(tsCol).as("ts"),
@@ -228,32 +242,46 @@ object Streams {
         col("id"), col("ts"), col("sig"))
       .as[BandedDoc]
 
+    // the same banding arithmetic as LshBlocking.bandRows; the
+    // StreamsSpec batch-equality test is the drift tripwire for both
+    // this projection and the shared agreement estimator
     banded
       .groupByKey(d => (d.band, d.bucket))
       .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
         (key: (Int, Int), rows: Iterator[BandedDoc],
-         state: GroupState[List[BucketMember]]) =>
+         state: GroupState[BucketState]) =>
           if (state.hasTimedOut) { state.remove(); Iterator.empty }
           else {
             val band = key._1
             val arrivals = rows.toIndexedSeq.sortBy(d => (d.ts.getTime, d.id))
-            val maxTs = arrivals.map(_.ts.getTime).max
-            var members = state.getOption.getOrElse(Nil)
-              .filter(_.tsMs >= maxTs - stateHorizonMs)
+            val prev = state.getOption.getOrElse(BucketState(Nil, saturated = false))
+            // horizon reference: the newest activity this bucket has
+            // EVER seen — a late-but-in-watermark row must neither
+            // prune fresh members nor move the timeout backwards
+            val newestMs = (arrivals.map(_.ts.getTime) ++ prev.members.map(_.tsMs)).max
+            var members = prev.members.filter(_.tsMs >= newestMs - stateHorizonMs)
+            var saturated = prev.saturated
             val out = Seq.newBuilder[StreamDupPair]
             arrivals.foreach { d =>
-              members.foreach { m =>
-                if (m.id != d.id) {
-                  val est = agreement(m.sig, d.sig)
-                  if (est >= threshold && firstMatchingBand(m.sig, d.sig) == band)
-                    out += StreamDupPair(m.id, d.id, est, d.ts)
+              // a saturated bucket is silent; a redelivered id already
+              // emitted its pairs and is not stored twice
+              if (!saturated && !members.exists(_.id == d.id)) {
+                if (members.size >= maxBucket) {
+                  saturated = true
+                  members = Nil
+                } else {
+                  members.foreach { m =>
+                    val est = graft.functions.SimilarityUtil.agreement(m.sig, d.sig)
+                    if (est >= threshold && firstMatchingBand(m.sig, d.sig) == band)
+                      out += StreamDupPair(m.id, d.id, est, d.ts)
+                  }
+                  members = BucketMember(d.id, d.ts.getTime, d.sig) :: members
                 }
               }
-              if (members.size < maxBucket)
-                members = BucketMember(d.id, d.ts.getTime, d.sig) :: members
             }
-            state.update(members)
-            state.setTimeoutTimestamp(maxTs + stateHorizonMs)
+            state.update(BucketState(members, saturated))
+            state.setTimeoutTimestamp(
+              math.max(newestMs + stateHorizonMs, state.getCurrentWatermarkMs() + 1))
             out.result().iterator
           }
       }

@@ -88,10 +88,14 @@ class CorpusPrepIntegrationSpec extends AnyFunSuite {
     // synthesize a crawl URL per doc (the corpus has none), then run
     // the acquisition-side chain: canonical URL key → exact URL dedup →
     // Gopher gate → language mixing → reproducible shuffle
+    // url key = (doc_id % 40, doc_id % 50): by CRT distinct ids 200
+    // apart share a canonical URL, so the url-dedup step has real
+    // collisions to collapse (a per-doc-unique param would make it a
+    // no-op and the later assertions vacuous)
     val withUrl = docs.withColumn("url",
       concat(lit("HTTPS://Site"), (col("doc_id") % 40).cast("string"),
-        lit(".Example.COM/p/"), (col("doc_id") % 250).cast("string"),
-        lit("?utm_source=crawl&session="), col("doc_id").cast("string")))
+        lit(".Example.COM/p/"), (col("doc_id") % 50).cast("string"),
+        lit("?utm_source=crawl")))
     val out = etl.Pipeline.of("web", withUrl)
       .withUrlColumns("url")
       .addStep("urlDedup")(_.dropDuplicates("url_norm")) // URL-level exact dedup
@@ -106,9 +110,12 @@ class CorpusPrepIntegrationSpec extends AnyFunSuite {
       .localCheckpoint(true)
     val n = out.count()
     assert(n > 0 && n < docs.count())
-    // url_norm is a working dedup key: session params survive (they
-    // are not tracking params), so distinct (doc%40, doc%250) pairs
-    // survive URL dedup; every survivor passed the quality gate
+    // the URL dedup actually collapsed something: at most 200 distinct
+    // canonical URLs exist for the 500 docs (lcm(40, 50) = 200)
+    val urlDeduped = withUrl
+      .withColumn("un", ops.UrlOps.normalizeUrl(col("url")))
+      .select("un").distinct().count()
+    assert(urlDeduped <= 200 && urlDeduped < docs.count())
     assert(out.select("url_norm").distinct().count() == n)
     assert(out.filter(!ops.TextOps.gopherPass(
       ops.TextOps.gopherSignals(col("text")),

@@ -142,7 +142,10 @@ class StreamsSpec extends AnyFunSuite {
       (1L, dup, "2026-01-01 10:00:02"),
       (2L, near, "2026-01-01 10:00:03"),
       (4L, "yet another unrelated document discussing spark partitions and shuffles",
-        "2026-01-01 10:00:04"))
+        "2026-01-01 10:00:04"),
+      // redelivery of doc 0 (at-least-once source): must neither
+      // re-emit its pairs nor pair with itself
+      (0L, dup, "2026-01-01 10:00:05"))
     def toDf(s: Seq[(Long, String, String)]) =
       s.toDF("doc_id", "text", "tss")
         .withColumn("ts", to_timestamp(col("tss"))).drop("tss")
@@ -174,6 +177,28 @@ class StreamsSpec extends AnyFunSuite {
       assert(est == expected((math.min(a, b), math.max(a, b))))
     }
     assert(expected.keySet.contains((0L, 1L))) // the cross-trigger exact dup
+    assert(!keys.contains((0L, 0L)), "redelivered doc paired with itself")
+  }
+
+  test("streaming LSH bucket saturates like the batch cap: silent past maxBucket") {
+    val dup = "identical boilerplate text repeated across many crawled documents today"
+    val rows = (0L until 5L).map(i => (i, dup, s"2026-01-01 10:00:0$i"))
+    def toDf(s: Seq[(Long, String, String)]) =
+      s.toDF("doc_id", "text", "tss")
+        .withColumn("ts", to_timestamp(col("tss"))).drop("tss")
+    val dir = Files.createTempDirectory("graft-stream-lsh-sat").toString
+    toDf(rows).repartition(1).write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream.schema(toDf(rows).schema).parquet(dir)
+    val pairs = Streams.minhashNearDupPairs(stream, "doc_id", "text", "ts",
+      watermarkDelay = "1 hour", shingleN = 2, numHashes = 64, bands = 32,
+      threshold = 0.5, maxBucket = 2)
+    Streams.runToMemory(pairs.toDF(), "lsh_sat")
+    val got = spark.table("lsh_sat").collect().map(r => (r.getLong(0), r.getLong(1)))
+    // pairs only among the first maxBucket arrivals; the bucket then
+    // latches saturated and emits nothing for docs 2..4 (the batch
+    // path drops the whole over-cap bucket — streaming cannot retract
+    // the one pair already emitted, but must go silent)
+    assert(got.toSet == Set((0L, 1L)), s"got ${got.toSeq}")
   }
 
   test("dedupExact drops later copies of the same fingerprint, keeps distinct docs") {
