@@ -743,6 +743,16 @@ object SparkEntry {
         .orderBy("doc_id")
     },
 
+    "q_dedup_spans" -> { (s, dir) =>
+      // ExactSubstr dedup (Lee et al. 2022): duplicated 8-token spans
+      // survive in exactly one (smallest id, pos) occurrence; the
+      // rewritten text itself is under the hash compare
+      ops.Dedup.removeDuplicatedSpans(
+        t(s, dir, "documents"), "doc_id", "text", k = 8)
+        .select("doc_id", "text", "removed_tokens")
+        .orderBy("doc_id")
+    },
+
     "q_sample_split" -> { (s, dir) =>
       // rerun-stable train/val/test assignment from md5(key || salt) —
       // binary-exact weights so the hex cuts are reproducible literals
@@ -1535,6 +1545,48 @@ object SparkEntry {
         |SELECT doc_id FROM documents
         |WHERE doc_id % 20 <> 0 AND doc_id NOT IN (SELECT doc_id FROM bad)
         |ORDER BY doc_id""".stripMargin,
+
+    // ExactSubstr span dedup: positional 8-grams (filter-nonempty
+    // split on the explicit ws class = the native tokenizer), keeper =
+    // min(doc_id * 2^20 + pos), covered tokens dropped, text rebuilt
+    // only for touched docs — byte-identical to the Spark rewrite
+    "q_dedup_spans" ->
+      """WITH tok AS (
+        |  SELECT doc_id, text,
+        |    list_filter(regexp_split_to_array(text, '[ \t\n\x0b\f\r]+'),
+        |                x -> x <> '') AS tk
+        |  FROM documents),
+        |occ AS (
+        |  SELECT doc_id, unnest(
+        |    CASE WHEN len(tk) >= 8
+        |         THEN list_transform(range(0, len(tk) - 7),
+        |                i -> {'pos': i, 'g': array_to_string(
+        |                        list_transform(tk[i + 1:i + 8], x -> lower(x)), ' ')})
+        |         ELSE [] END) AS o
+        |  FROM tok),
+        |o2 AS (SELECT doc_id, o.pos AS pos, o.g AS g FROM occ),
+        |dup AS (SELECT g, min(doc_id * 1048576 + pos) AS keep
+        |        FROM o2 GROUP BY g HAVING count(*) > 1),
+        |rem AS (SELECT o.doc_id, o.pos AS s, o.pos + 7 AS e
+        |        FROM o2 o JOIN dup d USING (g)
+        |        WHERE o.doc_id * 1048576 + o.pos <> d.keep),
+        |ptok AS (SELECT doc_id, unnest(range(0, len(tk))) AS idx FROM tok),
+        |kept AS (SELECT p.doc_id, p.idx FROM ptok p
+        |         WHERE NOT EXISTS (SELECT 1 FROM rem r
+        |                           WHERE r.doc_id = p.doc_id
+        |                             AND p.idx BETWEEN r.s AND r.e)),
+        |agg AS (SELECT k.doc_id,
+        |               string_agg(t.tk[k.idx + 1], ' ' ORDER BY k.idx) AS text2,
+        |               count(*) AS nk
+        |        FROM kept k JOIN tok t USING (doc_id) GROUP BY k.doc_id),
+        |remdocs AS (SELECT DISTINCT doc_id FROM rem)
+        |SELECT t.doc_id,
+        |  CASE WHEN t.doc_id IN (SELECT doc_id FROM remdocs)
+        |       THEN coalesce(a.text2, '') ELSE t.text END AS text,
+        |  CASE WHEN t.doc_id IN (SELECT doc_id FROM remdocs)
+        |       THEN len(t.tk) - coalesce(a.nk, 0) ELSE 0 END AS removed_tokens
+        |FROM tok t LEFT JOIN agg a USING (doc_id)
+        |ORDER BY t.doc_id""".stripMargin,
 
     // the hex cut literals come from the SAME library function the
     // Spark side uses (Sampling.hexThreshold) — one source of truth

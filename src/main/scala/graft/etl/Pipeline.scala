@@ -1133,6 +1133,12 @@ final class Pipeline private (
       graft.ops.Dedup.clusterDedup(df, idCol,
         graft.ops.Dedup.sharedShingleEdges(df, idCol, textCol, shingleN))))
 
+  /** Remove duplicated `k`-token spans, keeping one global occurrence
+    * ([[graft.ops.Dedup.removeDuplicatedSpans]] — ExactSubstr). */
+  def dedupSpans(idCol: String, textCol: String, k: Int = 20): Pipeline =
+    add(MapStep("dedupSpans",
+      graft.ops.Dedup.removeDuplicatedSpans(_, idCol, textCol, k)))
+
   /** Drop rows sharing a `gramN`-token gram with `eval`
     * ([[graft.ops.Contamination.decontaminate]]). */
   def decontaminate(

@@ -158,6 +158,11 @@ object exprs {
   def word_ngram_hashes(text: Column, n: Int, shortFallback: Boolean): Column =
     Bridge.toColumn(WordNgramHashes(Bridge.toExpression(text), n, shortFallback))
 
+  /** Positional word n-gram hashes of a string column (see
+    * [[WordNgramHashSeq]]). */
+  def word_ngram_hash_seq(text: Column, n: Int): Column =
+    Bridge.toColumn(WordNgramHashSeq(Bridge.toExpression(text), n))
+
   /** Unicode NFC normalization (see [[NfcNormalize]]). */
   def nfc_normalize(text: Column): Column =
     Bridge.toColumn(NfcNormalize(Bridge.toExpression(text)))

@@ -72,13 +72,14 @@ object NgramHashesUtil {
   private def isWs(b: Byte): Boolean =
     b == ' ' || b == '\t' || b == '\n' || b == '\r' || b == 0x0b || b == 0x0c
 
-  def compute(text: UTF8String, n: Int, shortFallback: Boolean): ArrayData = {
+  /** One pass over the lowercased bytes: the XXH64 hash of each
+    * whitespace-delimited token, plus the token count (the array may
+    * be longer than the count — geometric growth). */
+  private def tokenHashes(text: UTF8String): (Array[Long], Int) = {
     val lower = text.toLowerCase
     val base = lower.getBaseObject
     val off = lower.getBaseOffset
     val nb = lower.numBytes()
-
-    // one pass: hash each whitespace-delimited token's bytes
     var hashes = new Array[Long](16)
     var nTok = 0
     var i = 0
@@ -96,14 +97,20 @@ object NgramHashesUtil {
         nTok += 1
       }
     }
+    (hashes, nTok)
+  }
 
-    def window(from: Int, len: Int): Long = {
-      var g = ChainSeed
-      var k = from
-      val end = from + len
-      while (k < end) { g = XXH64.hashLong(hashes(k), g); k += 1 }
-      g
-    }
+  private def windowHash(hashes: Array[Long], from: Int, len: Int): Long = {
+    var g = ChainSeed
+    var k = from
+    val end = from + len
+    while (k < end) { g = XXH64.hashLong(hashes(k), g); k += 1 }
+    g
+  }
+
+  def compute(text: UTF8String, n: Int, shortFallback: Boolean): ArrayData = {
+    val (hashes, nTok) = tokenHashes(text)
+    def window(from: Int, len: Int): Long = windowHash(hashes, from, len)
 
     if (nTok < n) {
       if (!shortFallback) return new GenericArrayData(Array.emptyLongArray)
@@ -124,4 +131,54 @@ object NgramHashesUtil {
     }
     new GenericArrayData(java.util.Arrays.copyOf(out, m))
   }
+
+  /** ALL window hashes in token order (index i = the gram starting at
+    * token i) — no distinct, no short fallback: a text with fewer than
+    * `n` tokens has no position that starts a gram, so it yields an
+    * empty array. The positional form [[WordNgramHashSeq]] needs
+    * occurrence identity, not set identity. */
+  def computeSeq(text: UTF8String, n: Int): ArrayData = {
+    val (hashes, nTok) = tokenHashes(text)
+    if (nTok < n) return new GenericArrayData(Array.emptyLongArray)
+    val out = new Array[Long](nTok - n + 1)
+    var w = 0
+    while (w <= nTok - n) { out(w) = windowHash(hashes, w, n); w += 1 }
+    new GenericArrayData(out)
+  }
+}
+
+/** POSITIONAL 64-bit hashes of the word n-grams of a string, in one
+  * native pass: element i is the chained hash of tokens [i, i+n) —
+  * so `posexplode` over a materialized column of this expression
+  * yields (token position, gram hash) occurrence rows. Same
+  * tokenization, lowercasing, and chained-hash identity as
+  * [[WordNgramHashes]] (one `tokenHashes` pass shared by both), so
+  * positional consumers ([[graft.ops.Dedup.removeDuplicatedSpans]])
+  * agree with the set-identity consumers on what a gram IS.
+  *
+  * Strict short-text semantics only: fewer than `n` tokens means no
+  * position starts a gram (the distinct form's `shortFallback` exists
+  * for whole-doc set membership, which has no positional analogue). */
+case class WordNgramHashSeq(child: Expression, n: Int)
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case StringType => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"word_ngram_hash_seq expects string, got ${other.simpleString}")
+    }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "word_ngram_hash_seq"
+
+  override protected def nullSafeEval(input: Any): Any =
+    NgramHashesUtil.computeSeq(input.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.NgramHashesUtil$$.MODULE$$.computeSeq($c, $n)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
 }

@@ -603,4 +603,120 @@ object Dedup {
     val losers = pairs.select(col("id2").as(idCol)).distinct()
     df.join(losers, Seq(idCol), "left_anti")
   }
+
+  /** SUBSTRING-level exact dedup (Lee et al. 2022, "Deduplicating
+    * Training Data Makes Language Models Better", the ExactSubstr
+    * variant): every occurrence of a duplicated token `k`-gram is
+    * removed from the corpus EXCEPT one globally elected keeper — the
+    * occurrence with the smallest (id, position) — and overlapping
+    * removed grams merge into one span, so a long passage pasted into
+    * many documents survives in exactly one of them and vanishes,
+    * whole, from the rest. Document-level dedup ([[exact]],
+    * [[minhashDedup]]) cannot see these: two mostly-different pages
+    * sharing one boilerplate paragraph are not near-dups.
+    *
+    * Output = every row of `df`, with `textCol` rewritten (kept tokens
+    * joined by single spaces) for documents that lost a span, ORIGINAL
+    * text untouched otherwise, plus a `removed_tokens` count. Gram
+    * identity is the lowercased chained token-hash of
+    * [[graft.functions.WordNgramHashSeq]] — the same tokenization and
+    * identity as [[graft.ops.Contamination]]'s set-form grams.
+    * Intra-document repeats count: a gram occurring twice in ONE
+    * document is duplicated, and its second occurrence is removed.
+    *
+    * Scale shape (the suffix-array original is a single-machine
+    * algorithm; this is the distributed equi-join re-expression):
+    *  - one native pass per document builds the positional gram-hash
+    *    array BELOW the generator (no per-output-row re-evaluation);
+    *  - occurrences shuffle ONCE on the gram hash: a hash-aggregate
+    *    (partial combine) finds duplicated grams and elects keepers,
+    *    and the occurrence side reuses the same exchange for the
+    *    join back (ReuseExchange) — never all-pairs;
+    *  - removal starts collapse per document (second shuffle, on id)
+    *    and merge into disjoint spans inside one `aggregate` HOF over
+    *    the sorted starts — no per-document window sort;
+    *  - the rebuild is a pure projection: `filter` with positional
+    *    index against the merged spans (cost O(tokens × spans) per
+    *    document; spans are merged precisely to keep that small).
+    *
+    * Keeper election encodes (id, pos) as `id * posEncode + pos`, the
+    * engine-portable total order (a DuckDB oracle can replicate it);
+    * a document with more than `posEncode` grams fails loudly rather
+    * than electing a wrong keeper, and ids must fit below
+    * Long.MaxValue / posEncode (~8.8e12 at the default 2^20). */
+  def removeDuplicatedSpans(
+      df: DataFrame, idCol: String, textCol: String, k: Int = 20,
+      posEncode: Long = 1L << 20): DataFrame = {
+    require(k >= 1, s"removeDuplicatedSpans: k must be >= 1, got $k")
+    requireIntegralId(df, idCol, "removeDuplicatedSpans")
+    val ivsType = "array<struct<s:bigint,e:bigint>>"
+
+    val grams = df
+      .select(col(idCol).cast("long").as("__id"),
+        graft.functions.exprs.word_ngram_hash_seq(col(textCol).cast("string"), k)
+          .as("__grams"))
+      // the encoding's correctness bound, enforced where it would break
+      .select(col("__id"),
+        when(size(col("__grams")).cast("long") <= lit(posEncode), col("__grams"))
+          .otherwise(raise_error(format_string(
+            "removeDuplicatedSpans: document %s has more than " +
+              s"$posEncode grams; raise posEncode", col("__id"))))
+          .as("__grams"))
+    // OUTER posexplode on purpose: the non-outer form makes Catalyst
+    // infer a `size(__grams) > 0` filter and substitute it down into
+    // the scan, re-running the native gram pass per row below the
+    // projection that was meant to materialize it once (plan-audited).
+    // The null rows of empty-gram docs are dropped right above the
+    // generator instead — that filter can't sink below its own source.
+    val occ = grams.select(col("__id"),
+      posexplode_outer(col("__grams")).as(Seq("__pos", "__g")))
+      .filter(col("__g").isNotNull)
+    val enc = col("__id") * lit(posEncode) + col("__pos")
+
+    val dup = occ.groupBy("__g")
+      .agg(count(lit(1)).as("__cnt"), min(enc).as("__keep"))
+      .filter(col("__cnt") > 1)
+    val starts = occ.join(dup, "__g")
+      .filter(enc =!= col("__keep"))
+      .groupBy("__id")
+      .agg(sort_array(collect_list(col("__pos"))).as("__starts"))
+
+    // merge sorted fixed-width starts into disjoint spans: each start s
+    // covers [s, s+k-1]; sorted order means the running span's end only
+    // ever grows, so one fold suffices (no window, no second sort)
+    val init = struct(array().cast(ivsType).as("done"),
+      lit(-1L).as("cs"), lit(-1L).as("ce"))
+    def closed(acc: Column) =
+      concat(acc("done"), array(struct(acc("cs").as("s"), acc("ce").as("e"))))
+    val spans = starts.select(col("__id"),
+      aggregate(col("__starts"), init,
+        (acc, s0) => {
+          val s = s0.cast("bigint")
+          val e = s + lit((k - 1).toLong)
+          when(acc("cs") < 0L,
+            struct(acc("done").as("done"), s.as("cs"), e.as("ce")))
+            .when(s <= acc("ce") + 1L,
+              struct(acc("done").as("done"), acc("cs").as("cs"), e.as("ce")))
+            .otherwise(struct(closed(acc).as("done"), s.as("cs"), e.as("ce")))
+        },
+        acc => when(acc("cs") < 0L, acc("done")).otherwise(closed(acc)))
+        .as("__ivs"))
+
+    val joined = df.withColumn("__id", col(idCol).cast("long"))
+      .join(spans, Seq("__id"), "left")
+    val toks = filter(
+      split(col(textCol).cast("string"), "[ \\t\\n\\u000B\\f\\r]+"),
+      t => t =!= "")
+    val kept = filter(toks, (t, i) =>
+      !exists(col("__ivs"), iv =>
+        i.cast("bigint") >= iv("s") && i.cast("bigint") <= iv("e")))
+    val touched = col("__ivs").isNotNull
+    val outCols = df.columns.map {
+      case c if c == textCol =>
+        when(touched, array_join(kept, " ")).otherwise(col(textCol)).as(textCol)
+      case c => col(c)
+    } :+ when(touched, (size(toks) - size(kept)).cast("bigint"))
+      .otherwise(lit(0L)).as("removed_tokens")
+    joined.select(outCols.toIndexedSeq: _*)
+  }
 }

@@ -74,6 +74,25 @@ class PlanAuditSpec extends AnyFunSuite {
       s"eval grams not broadcast:\n$s")
   }
 
+  test("q_dedup_spans stays equi-join shaped; the gram pass never sinks into the scan") {
+    val s = planString(executed(SparkEntry.queries("q_dedup_spans")(spark, dir)))
+    // occurrence-level census: hash joins only — a nested loop here
+    // would be O(occurrences^2) at corpus scale
+    assert(!s.contains("CartesianProduct"), s"cartesian product in:\n$s")
+    assert(!s.contains("BroadcastNestedLoopJoin"), s"nested-loop join in:\n$s")
+    // the native positional-gram pass must run in the projection that
+    // materializes it, ONCE per occurrence subtree — the non-outer
+    // posexplode regression puts an inferred size() filter (and the
+    // whole gram pass with it) into the scan's data filters
+    val scanLines = s.linesIterator.filter(_.contains("FileScan")).toSeq
+    assert(scanLines.nonEmpty, s"no parquet scan in:\n$s")
+    scanLines.foreach(l => assert(!l.contains("word_ngram_hash_seq"),
+      s"gram pass re-evaluated inside the scan filter: $l"))
+    // span merging happens in one fold over collected starts — never a
+    // per-document window sort over the corpus
+    assert(!s.contains("Window"), s"window operator in:\n$s")
+  }
+
   test("sharedShingleEdges plans as equi-join + capped aggregate") {
     // audit the LAZY form — the gate query materializes the edge set
     // eagerly, so its final executed plan no longer contains the build
