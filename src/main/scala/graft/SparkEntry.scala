@@ -753,6 +753,18 @@ object SparkEntry {
         .orderBy("doc_id")
     },
 
+    "q_decontaminate_filter" -> { (s, dir) =>
+      // the STATELESS decontamination form (collected + broadcast eval
+      // grams, native binary-search membership): same verdicts as
+      // q_decontaminate, so the same oracle pins both paths
+      val docs = t(s, dir, "documents")
+      ops.Contamination.decontaminateFilter(
+        docs.filter(col("doc_id") % 20 =!= 0),
+        docs.filter(col("doc_id") % 20 === 0), "doc_id", "text")
+        .select("doc_id")
+        .orderBy("doc_id")
+    },
+
     "q_sample_split" -> { (s, dir) =>
       // rerun-stable train/val/test assignment from md5(key || salt) —
       // binary-exact weights so the hex cuts are reproducible literals
@@ -1528,6 +1540,27 @@ object SparkEntry {
     // strict 8-token grams (short docs yield NONE — they cannot be
     // contaminated), semi-join against the eval slice's grams
     "q_decontaminate" ->
+      """WITH norm AS (
+        |  SELECT doc_id, trim(regexp_replace(lower(trim(text)), '[ \t\n\x0b\f\r]+', ' ', 'g')) AS s
+        |  FROM documents),
+        |tok AS (SELECT doc_id, string_split(s, ' ') AS tk FROM norm),
+        |grams AS (
+        |  SELECT doc_id, unnest(
+        |    CASE WHEN len(tk) >= 8
+        |         THEN list_distinct(list_transform(range(0, len(tk) - 7),
+        |                i -> array_to_string(tk[i + 1:i + 8], ' ')))
+        |         ELSE [] END) AS g
+        |  FROM tok),
+        |ev AS (SELECT DISTINCT g FROM grams WHERE doc_id % 20 = 0),
+        |bad AS (SELECT DISTINCT gr.doc_id FROM grams gr JOIN ev USING (g)
+        |        WHERE gr.doc_id % 20 <> 0)
+        |SELECT doc_id FROM documents
+        |WHERE doc_id % 20 <> 0 AND doc_id NOT IN (SELECT doc_id FROM bad)
+        |ORDER BY doc_id""".stripMargin,
+
+    // the stateless filter form makes the SAME verdicts — one oracle
+    // (q_decontaminate's), two independent Spark paths pinned to it
+    "q_decontaminate_filter" ->
       """WITH norm AS (
         |  SELECT doc_id, trim(regexp_replace(lower(trim(text)), '[ \t\n\x0b\f\r]+', ' ', 'g')) AS s
         |  FROM documents),

@@ -163,6 +163,13 @@ object exprs {
   def word_ngram_hash_seq(text: Column, n: Int): Column =
     Bridge.toColumn(WordNgramHashSeq(Bridge.toExpression(text), n))
 
+  /** Any gram of an array<long> column in a sorted broadcast set (see
+    * [[GramSetOverlap]]). */
+  def gram_set_overlap(
+      grams: Column,
+      setBc: org.apache.spark.broadcast.Broadcast[Array[Long]]): Column =
+    Bridge.toColumn(GramSetOverlap(Bridge.toExpression(grams), setBc))
+
   /** Unicode NFC normalization (see [[NfcNormalize]]). */
   def nfc_normalize(text: Column): Column =
     Bridge.toColumn(NfcNormalize(Bridge.toExpression(text)))

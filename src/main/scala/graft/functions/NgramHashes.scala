@@ -147,6 +147,55 @@ object NgramHashesUtil {
   }
 }
 
+/** True iff ANY element of an array<long> gram column is in a sorted
+  * broadcast set — the per-row membership test behind the stateless
+  * (streaming-capable) decontamination filter
+  * ([[graft.ops.Contamination.decontaminateFilter]]). The set rides an
+  * executor-shared `Broadcast` (one copy per executor, resolved lazily
+  * at eval — NOT a plan literal, which would serialize the whole set
+  * into every task), and membership is a binary search per gram. */
+case class GramSetOverlap(
+    child: Expression,
+    setBc: org.apache.spark.broadcast.Broadcast[Array[Long]])
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"gram_set_overlap expects array<bigint>, got ${other.simpleString}")
+    }
+  override def dataType: DataType = BooleanType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "gram_set_overlap"
+
+  override protected def nullSafeEval(input: Any): Any =
+    GramSetUtil.overlaps(input.asInstanceOf[ArrayData], setBc.value)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val bcRef = ctx.addReferenceObj("evalGramsBc", setBc,
+      "org.apache.spark.broadcast.Broadcast")
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.GramSetUtil$$.MODULE$$.overlaps($c, (long[]) $bcRef.value())")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object GramSetUtil {
+  /** Any element of `arr` present in ASCENDING-sorted `set`? */
+  def overlaps(arr: ArrayData, set: Array[Long]): Boolean = {
+    val n = arr.numElements()
+    var i = 0
+    while (i < n) {
+      if (java.util.Arrays.binarySearch(set, arr.getLong(i)) >= 0) return true
+      i += 1
+    }
+    false
+  }
+}
+
 /** POSITIONAL 64-bit hashes of the word n-grams of a string, in one
   * native pass: element i is the chained hash of tokens [i, i+n) —
   * so `posexplode` over a materialized column of this expression

@@ -59,6 +59,46 @@ object Contamination {
     corpus.join(taintedIds(corpus, eval, idCol, textCol, gramN, broadcastEval),
       Seq(idCol), "left_anti")
 
+  /** STATELESS decontamination: the same verdict as [[decontaminate]],
+    * computed as a pure per-row filter — the eval gram set is collected
+    * ONCE (eval sets are benchmark-sized; `maxEvalGrams` fails loudly
+    * if that assumption breaks), sorted, broadcast, and each corpus
+    * document tests its own grams against it with a native
+    * binary-search expression ([[graft.functions.GramSetOverlap]]).
+    *
+    * Use it where the join form cannot go or costs more than it earns:
+    *  - STREAMING corpora: the join form needs a per-id aggregate and a
+    *    stream-stream anti-join (unsupported in append mode); this form
+    *    is stateless, so `corpus` may be a streaming DataFrame —
+    *    spec-pinned batch/stream parity;
+    *  - batch corpora where two joins + an id shuffle beat their
+    *    keep: the filter fuses into the scan stage, shuffles nothing,
+    *    and keeps every original column untouched.
+    *
+    * Verdict parity with [[decontaminate]] is exact: same native gram
+    * hashing, same strict short-doc semantics (fewer than `gramN`
+    * tokens → no grams → never tainted), and null-text documents are
+    * kept on both paths. */
+  def decontaminateFilter(
+      corpus: DataFrame, eval: DataFrame,
+      idCol: String, textCol: String, gramN: Int = 8,
+      maxEvalGrams: Int = 50 * 1000 * 1000): DataFrame = {
+    val evalGrams = gramHashes(eval, Seq.empty, textCol, gramN)
+      .select("__h__").distinct()
+      .limit(maxEvalGrams + 1)
+      .collect().map(_.getLong(0))
+    require(evalGrams.length <= maxEvalGrams,
+      s"decontaminateFilter: eval side exceeds $maxEvalGrams distinct grams — " +
+        "that is not a benchmark-sized eval set; use decontaminate (the join form)")
+    java.util.Arrays.sort(evalGrams)
+    val bc = corpus.sparkSession.sparkContext.broadcast(evalGrams)
+    val grams = graft.functions.exprs.word_ngram_hashes(
+      col(textCol), gramN, shortFallback = false)
+    // null text has no grams: coalesce keeps it, matching the join form
+    corpus.filter(
+      coalesce(!graft.functions.exprs.gram_set_overlap(grams, bc), lit(true)))
+  }
+
   /** Contamination REPORT instead of removal: every corpus document
     * with the number of DISTINCT eval grams it shares (only documents
     * sharing at least one appear). Auditing which benchmarks leak and

@@ -85,6 +85,28 @@ class ContaminationSpec extends AnyFunSuite {
     assert(kept.select("doc_id").collect().map(_.getLong(0)).toSet == Set(1L, 2L, 3L))
   }
 
+  test("decontaminateFilter: same verdicts as the join form, null text kept") {
+    val kept = Contamination.decontaminateFilter(corpus, evalDf, "doc_id", "text")
+    assert(kept.columns.toSeq == Seq("doc_id", "text"))
+    assert(kept.select("doc_id").collect().map(_.getLong(0)).toSet == Set(1L, 2L, 3L))
+    // a null-text doc has no grams — kept on both paths
+    val withNull = corpus.unionAll(
+      Seq((9L, Option.empty[String])).toDF("doc_id", "text"))
+    val f = Contamination.decontaminateFilter(withNull, evalDf, "doc_id", "text")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val j = Contamination.decontaminate(withNull, evalDf, "doc_id", "text")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(f == j && f.contains(9L))
+  }
+
+  test("decontaminateFilter fails loudly past the eval gram bound") {
+    val e = intercept[IllegalArgumentException] {
+      Contamination.decontaminateFilter(corpus, evalDf, "doc_id", "text",
+        maxEvalGrams = 1)
+    }
+    assert(e.getMessage.contains("join form"))
+  }
+
   test("contaminationReport counts distinct shared grams per tainted doc only") {
     val report = Contamination.contaminationReport(corpus, evalDf, "doc_id", "text")
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap

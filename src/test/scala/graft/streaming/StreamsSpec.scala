@@ -77,6 +77,26 @@ class StreamsSpec extends AnyFunSuite {
     assert(streamed == batch)
   }
 
+  test("streaming decontaminateFilter equals the batch join-form decontaminate") {
+    val docs = graft.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+      .select("doc_id", "text")
+    val evalDf = docs.filter(col("doc_id") % 20 === 0)
+    val corpus = docs.filter(col("doc_id") % 20 =!= 0)
+    val dir = Files.createTempDirectory("graft-stream-decon").toString
+    corpus.write.mode("overwrite").parquet(dir)
+
+    // one test, two parities: the stateless filter form must equal the
+    // join form in batch, and streaming it must change nothing
+    val streamed = graft.ops.Contamination.decontaminateFilter(
+      Streams.parquetStream(spark, dir, corpus.schema), evalDf, "doc_id", "text")
+    Streams.runToMemory(streamed, "decon_stream")
+    val s = spark.table("decon_stream").select("doc_id").collect().map(_.getLong(0)).toSet
+    val b = graft.ops.Contamination.decontaminate(corpus, evalDf, "doc_id", "text")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(s.nonEmpty && s.size < corpus.count())
+    assert(s == b)
+  }
+
   test("chunking, cleaning and redaction are streaming-identical") {
     // chunkDocuments is projection + generate and cleanText/redactPii
     // are pure column chains — all must stream without modification
