@@ -765,6 +765,20 @@ object SparkEntry {
         .orderBy("doc_id")
     },
 
+    "q_lm_score" -> { (s, dir) =>
+      // CCNet-style perplexity axis: stupid-backoff trigram LM trained
+      // on the doc_id % 10 == 0 slice, every other doc scored per
+      // token — emitted per position (rounded like q_tfidf), so the
+      // compare has no cross-engine double aggregation at all
+      val docs = t(s, dir, "documents")
+      val model = ops.LmScore.train(docs.filter(col("doc_id") % 10 === 0), "text")
+      ops.LmScore.scoreTokens(
+        docs.filter(col("doc_id") % 10 =!= 0), "doc_id", "text", model)
+        .select(col("doc_id"), col("pos").cast("long").as("pos"),
+          round(col("logp"), 6).as("logp"))
+        .orderBy("doc_id", "pos")
+    },
+
     "q_sample_split" -> { (s, dir) =>
       // rerun-stable train/val/test assignment from md5(key || salt) —
       // binary-exact weights so the hex cuts are reproducible literals
@@ -1578,6 +1592,58 @@ object SparkEntry {
         |SELECT doc_id FROM documents
         |WHERE doc_id % 20 <> 0 AND doc_id NOT IN (SELECT doc_id FROM bad)
         |ORDER BY doc_id""".stripMargin,
+
+    // stupid-backoff trigram scoring, replicated branch-for-branch:
+    // counts from string grams (engine-side hash identities agree
+    // modulo 64-bit collisions), alpha powers written as the same
+    // IEEE products the Scala side computes, log10 rounded to 6
+    // decimals exactly like q_tfidf's ln
+    "q_lm_score" ->
+      """WITH tok AS (
+        |  SELECT doc_id, list_transform(
+        |    list_filter(regexp_split_to_array(text, '[ \t\n\x0b\f\r]+'),
+        |                x -> x <> ''), x -> lower(x)) AS tk
+        |  FROM documents),
+        |train AS (SELECT tk FROM tok WHERE doc_id % 10 = 0),
+        |uni AS (SELECT unnest(tk) AS g FROM train),
+        |c1 AS (SELECT g, count(*) AS c FROM uni GROUP BY g),
+        |tot AS (SELECT count(*) AS t FROM uni),
+        |voc AS (SELECT count(*) AS v FROM c1),
+        |big AS (SELECT unnest(list_transform(range(0, len(tk) - 1),
+        |          i -> array_to_string(tk[i + 1:i + 2], ' '))) AS g FROM train),
+        |c2 AS (SELECT g, count(*) AS c FROM big GROUP BY g),
+        |tri AS (SELECT unnest(list_transform(range(0, len(tk) - 2),
+        |          i -> array_to_string(tk[i + 1:i + 3], ' '))) AS g FROM train),
+        |c3 AS (SELECT g, count(*) AS c FROM tri GROUP BY g),
+        |pos AS (SELECT doc_id, tk, unnest(range(0, len(tk))) AS i
+        |        FROM tok WHERE doc_id % 10 <> 0),
+        |feat AS (SELECT doc_id, i, tk[i + 1] AS w,
+        |    CASE WHEN i >= 1 THEN tk[i] END AS pw,
+        |    CASE WHEN i >= 1 THEN tk[i] || ' ' || tk[i + 1] END AS bg,
+        |    CASE WHEN i >= 2 THEN tk[i - 1] || ' ' || tk[i] END AS ctx2,
+        |    CASE WHEN i >= 2 THEN tk[i - 1] || ' ' || tk[i] || ' ' || tk[i + 1] END AS tg
+        |  FROM pos),
+        |j AS (SELECT f.doc_id, f.i,
+        |    coalesce(cu.c, 0) AS cw, coalesce(cp.c, 0) AS cpw,
+        |    coalesce(cb.c, 0) AS cbi, coalesce(ct3.c, 0) AS ctri,
+        |    coalesce(cc.c, 0) AS cctx
+        |  FROM feat f
+        |  LEFT JOIN c1 cu ON cu.g = f.w
+        |  LEFT JOIN c1 cp ON cp.g = f.pw
+        |  LEFT JOIN c2 cb ON cb.g = f.bg
+        |  LEFT JOIN c3 ct3 ON ct3.g = f.tg
+        |  LEFT JOIN c2 cc ON cc.g = f.ctx2)
+        |SELECT doc_id, i AS pos,
+        |  round(log10(CASE
+        |    WHEN i >= 2 AND ctri > 0 AND cctx > 0 THEN ctri / cctx
+        |    WHEN i >= 2 AND cbi > 0 AND cpw > 0 THEN 0.4 * (cbi / cpw)
+        |    WHEN i >= 2 THEN (0.4 * 0.4) * ((cw + 1) / (t + v))
+        |    WHEN i = 1 AND cbi > 0 AND cpw > 0 THEN cbi / cpw
+        |    WHEN i = 1 THEN 0.4 * ((cw + 1) / (t + v))
+        |    ELSE (cw + 1) / (t + v)
+        |  END), 6) AS logp
+        |FROM j, tot, voc
+        |ORDER BY doc_id, pos""".stripMargin,
 
     // ExactSubstr span dedup: positional 8-grams (filter-nonempty
     // split on the explicit ws class = the native tokenizer), keeper =

@@ -1146,6 +1146,22 @@ final class Pipeline private (
     add(MapStep("decontaminate",
       graft.ops.Contamination.decontaminate(_, eval, idCol, textCol, gramN)))
 
+  /** Drop rows sharing a `gramN`-token gram with `eval`, stateless
+    * form — streaming-capable, broadcast gram set
+    * ([[graft.ops.Contamination.decontaminateFilter]]). */
+  def decontaminateByFilter(
+      eval: DataFrame, idCol: String, textCol: String, gramN: Int = 8): Pipeline =
+    add(MapStep("decontaminateByFilter",
+      graft.ops.Contamination.decontaminateFilter(_, eval, idCol, textCol, gramN)))
+
+  /** Append the mean per-token log10 stupid-backoff LM score
+    * ([[graft.ops.LmScore.withLmScore]] — the CCNet perplexity axis). */
+  def withLmScore(
+      textCol: String,
+      model: org.apache.spark.broadcast.Broadcast[graft.functions.LmModel],
+      as: String = "lm_logprob"): Pipeline =
+    add(MapStep("lmScore", graft.ops.LmScore.withLmScore(_, textCol, model, as)))
+
   /** Reproducible corpus shuffle
     * ([[graft.ops.Sampling.shuffleByHash]]). */
   def shuffleByHash(keyCol: String, salt: String, local: Boolean = false): Pipeline =

@@ -170,6 +170,13 @@ object exprs {
       setBc: org.apache.spark.broadcast.Broadcast[Array[Long]]): Column =
     Bridge.toColumn(GramSetOverlap(Bridge.toExpression(grams), setBc))
 
+  /** Per-token log10 stupid-backoff LM scores of a string column (see
+    * [[LmTokenScores]]). */
+  def lm_token_scores(
+      text: Column,
+      modelBc: org.apache.spark.broadcast.Broadcast[LmModel]): Column =
+    Bridge.toColumn(LmTokenScores(Bridge.toExpression(text), modelBc))
+
   /** Unicode NFC normalization (see [[NfcNormalize]]). */
   def nfc_normalize(text: Column): Column =
     Bridge.toColumn(NfcNormalize(Bridge.toExpression(text)))

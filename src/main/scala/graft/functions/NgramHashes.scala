@@ -75,7 +75,7 @@ object NgramHashesUtil {
   /** One pass over the lowercased bytes: the XXH64 hash of each
     * whitespace-delimited token, plus the token count (the array may
     * be longer than the count — geometric growth). */
-  private def tokenHashes(text: UTF8String): (Array[Long], Int) = {
+  private[functions] def tokenHashes(text: UTF8String): (Array[Long], Int) = {
     val lower = text.toLowerCase
     val base = lower.getBaseObject
     val off = lower.getBaseOffset
@@ -100,7 +100,7 @@ object NgramHashesUtil {
     (hashes, nTok)
   }
 
-  private def windowHash(hashes: Array[Long], from: Int, len: Int): Long = {
+  private[functions] def windowHash(hashes: Array[Long], from: Int, len: Int): Long = {
     var g = ChainSeed
     var k = from
     val end = from + len

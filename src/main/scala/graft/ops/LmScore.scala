@@ -1,0 +1,90 @@
+package graft.ops
+
+import org.apache.spark.broadcast.Broadcast
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame}
+
+import graft.functions.LmModel
+
+/** CCNet-style perplexity quality filtering (Wenzek et al. 2020 train
+  * a small LM on a high-quality corpus and score the crawl; the LLaMA
+  * and RedPajama pipelines kept the stage): a stupid-backoff trigram
+  * model ([[graft.functions.LmModel]] — Brants et al. 2007) trained on
+  * a MODEL-SIZED reference corpus, applied to an unbounded one.
+  *
+  * Scale shape: training is three hash-aggregations over the reference
+  * corpus (native one-pass gram hashing, map-side partial counts); the
+  * tables are collected ONCE behind a loud bound — the reference
+  * corpus is Wikipedia-sized by design, the 100 TB side is the SCORED
+  * corpus — sorted into primitive arrays and broadcast. Scoring is a
+  * stateless per-row native pass (three binary searches per token), so
+  * it fuses into the scan stage, shuffles nothing, and runs unchanged
+  * on a streaming corpus. */
+object LmScore {
+
+  /** Train a stupid-backoff trigram model. `minCount` prunes lookup
+    * entries below the threshold (their lookups then back off);
+    * `totalTokens`/`vocabSize` are measured BEFORE pruning, on the
+    * full reference corpus. Fails loudly when any count table exceeds
+    * `maxEntries` — that is not a model-sized reference corpus. */
+  def train(
+      df: DataFrame, textCol: String, alpha: Double = 0.4,
+      minCount: Long = 1L, maxEntries: Int = 50 * 1000 * 1000): Broadcast[LmModel] = {
+    def countsOf(n: Int): DataFrame = df
+      // explode_outer + null filter: the non-outer form's inferred
+      // size() filter would sink the native gram pass into the scan
+      // (same regression plan-audited on q_dedup_spans)
+      .select(graft.functions.exprs.word_ngram_hash_seq(
+        col(textCol).cast("string"), n).as("__grams"))
+      .select(explode_outer(col("__grams")).as("__h"))
+      .filter(col("__h").isNotNull)
+      .groupBy("__h").agg(count(lit(1)).as("__c"))
+
+    val uniCounts = countsOf(1)
+    val Array(totalTokens, vocabSize) = uniCounts
+      .agg(coalesce(sum("__c"), lit(0L)), count(lit(1)))
+      .collect()(0).toSeq.map(_.asInstanceOf[Long]).toArray
+
+    def collectSorted(cdf: DataFrame, order: String): (Array[Long], Array[Long]) = {
+      val rows = cdf.filter(col("__c") >= minCount)
+        .limit(maxEntries + 1).collect()
+      require(rows.length <= maxEntries,
+        s"LmScore.train: $order count table exceeds $maxEntries entries — " +
+          "train on a model-sized reference corpus (or raise minCount/maxEntries)")
+      val pairs = rows.map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+      (pairs.map(_._1), pairs.map(_._2))
+    }
+    val (u1, c1) = collectSorted(uniCounts, "unigram")
+    val (u2, c2) = collectSorted(countsOf(2), "bigram")
+    val (u3, c3) = collectSorted(countsOf(3), "trigram")
+    df.sparkSession.sparkContext.broadcast(
+      LmModel(u1, c1, u2, c2, u3, c3, totalTokens, vocabSize, alpha))
+  }
+
+  /** Per-token log10 scores as a column (array, one entry per token). */
+  def tokenScores(textCol: Column, model: Broadcast[LmModel]): Column =
+    graft.functions.exprs.lm_token_scores(textCol, model)
+
+  /** One row per (document, token position) with the token's log10
+    * stupid-backoff score — the exploded, oracle-comparable form. The
+    * score array is materialized below the generator, and the OUTER
+    * explode + null filter keeps the native pass out of the scan. */
+  def scoreTokens(
+      df: DataFrame, idCol: String, textCol: String,
+      model: Broadcast[LmModel]): DataFrame = df
+    .select(col(idCol), tokenScores(col(textCol).cast("string"), model).as("__sc"))
+    .select(col(idCol), posexplode_outer(col("__sc")).as(Seq("pos", "logp")))
+    .filter(col("logp").isNotNull)
+
+  /** Mean per-token log10 score appended per document (null for
+    * documents with no tokens — nothing to score). The standard
+    * quality gate keeps documents above a score cut. */
+  def withLmScore(
+      df: DataFrame, textCol: String, model: Broadcast[LmModel],
+      as: String = "lm_logprob"): DataFrame = {
+    val sc = tokenScores(col(textCol).cast("string"), model)
+    df.withColumn(as,
+      when(size(sc) > 0, aggregate(sc, lit(0.0d), _ + _) / size(sc))
+        .otherwise(lit(null).cast("double")))
+  }
+}

@@ -97,6 +97,25 @@ class StreamsSpec extends AnyFunSuite {
     assert(s == b)
   }
 
+  test("LM scoring is streaming-identical (stateless broadcast model)") {
+    val docs = graft.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+      .select("doc_id", "text")
+    val model = graft.ops.LmScore.train(
+      docs.filter(col("doc_id") % 10 === 0), "text")
+    val corpus = docs.filter(col("doc_id") % 10 =!= 0)
+    val dir = Files.createTempDirectory("graft-stream-lm").toString
+    corpus.write.mode("overwrite").parquet(dir)
+
+    Streams.runToMemory(graft.ops.LmScore.withLmScore(
+      Streams.parquetStream(spark, dir, corpus.schema), "text", model), "lm_stream")
+    val s = spark.table("lm_stream").select("doc_id", "lm_logprob").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val b = graft.ops.LmScore.withLmScore(corpus, "text", model)
+      .select("doc_id", "lm_logprob").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(s.nonEmpty && s == b)
+  }
+
   test("chunking, cleaning and redaction are streaming-identical") {
     // chunkDocuments is projection + generate and cleanText/redactPii
     // are pure column chains — all must stream without modification
