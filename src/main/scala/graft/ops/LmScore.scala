@@ -61,6 +61,41 @@ object LmScore {
       LmModel(u1, c1, u2, c2, u3, c3, totalTokens, vocabSize, alpha))
   }
 
+  /** Persist a trained model as one small parquet table — a real
+    * pipeline trains on the reference corpus once and scores many
+    * runs. Layout: (`order` 1|2|3, `key`, `cnt`) count rows plus one
+    * `order = 0` metadata row carrying (totalTokens, vocabSize) in
+    * (key, cnt) and alpha in `alpha` (null elsewhere). */
+  def saveModel(spark: org.apache.spark.sql.SparkSession,
+      model: Broadcast[LmModel], path: String): Unit = {
+    import spark.implicits._
+    val m = model.value
+    def rows(order: Int, ks: Array[Long], cs: Array[Long]) =
+      ks.indices.map(i => (order, ks(i), cs(i), Option.empty[Double]))
+    val all = rows(1, m.uniKeys, m.uniCounts) ++
+      rows(2, m.biKeys, m.biCounts) ++ rows(3, m.triKeys, m.triCounts) :+
+      ((0, m.totalTokens, m.vocabSize, Some(m.alpha)))
+    all.toDF("order", "key", "cnt", "alpha")
+      .repartition(1).write.mode("overwrite").parquet(path)
+  }
+
+  /** Load a model persisted by [[saveModel]] and broadcast it. */
+  def loadModel(spark: org.apache.spark.sql.SparkSession,
+      path: String): Broadcast[LmModel] = {
+    val rows = spark.read.parquet(path)
+      .select("order", "key", "cnt", "alpha").collect()
+    def sorted(order: Int): (Array[Long], Array[Long]) = {
+      val pairs = rows.filter(_.getInt(0) == order)
+        .map(r => (r.getLong(1), r.getLong(2))).sortBy(_._1)
+      (pairs.map(_._1), pairs.map(_._2))
+    }
+    val meta = rows.find(_.getInt(0) == 0).getOrElse(
+      sys.error(s"LmScore.loadModel: no metadata row in $path"))
+    val (u1, c1) = sorted(1); val (u2, c2) = sorted(2); val (u3, c3) = sorted(3)
+    spark.sparkContext.broadcast(LmModel(u1, c1, u2, c2, u3, c3,
+      meta.getLong(1), meta.getLong(2), meta.getDouble(3)))
+  }
+
   /** Per-token log10 scores as a column (array, one entry per token). */
   def tokenScores(textCol: Column, model: Broadcast[LmModel]): Column =
     graft.functions.exprs.lm_token_scores(textCol, model)

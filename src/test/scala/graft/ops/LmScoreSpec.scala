@@ -66,6 +66,18 @@ class LmScoreSpec extends AnyFunSuite {
     assert(all.length == 10 && all.forall(java.lang.Double.isFinite))
   }
 
+  test("a saved and reloaded model scores identically") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-lm-model").toString + "/m"
+    LmScore.saveModel(spark, model, dir)
+    val reloaded = LmScore.loadModel(spark, dir)
+    val docs = Seq((1L, "a b c d"), (2L, "zz a b qq")).toDF("doc_id", "text")
+    val orig = LmScore.scoreTokens(docs, "doc_id", "text", model)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2))).toSet
+    val re = LmScore.scoreTokens(docs, "doc_id", "text", reloaded)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2))).toSet
+    assert(orig == re && orig.nonEmpty)
+  }
+
   test("train fails loudly past the count-table bound") {
     val e = intercept[IllegalArgumentException] {
       LmScore.train(Seq((0L, "a b c d e f g h")).toDF("doc_id", "text"),
