@@ -655,9 +655,14 @@ object Dedup {
       .select(col(idCol).cast("long").as("__id"),
         graft.functions.exprs.word_ngram_hash_seq(col(textCol).cast("string"), k)
           .as("__grams"))
-      // the encoding's correctness bound, enforced where it would break
+      // the encoding's correctness bound, enforced where it would
+      // break. The isNull arm is load-bearing: under ANSI mode a null
+      // `when` condition is not false, so without it a null-text row
+      // (null grams) would fall into the raise_error branch and kill
+      // the job with a spurious over-bound error.
       .select(col("__id"),
-        when(size(col("__grams")).cast("long") <= lit(posEncode), col("__grams"))
+        when(col("__grams").isNull
+          || size(col("__grams")).cast("long") <= lit(posEncode), col("__grams"))
           .otherwise(raise_error(format_string(
             "removeDuplicatedSpans: document %s has more than " +
               s"$posEncode grams; raise posEncode", col("__id"))))

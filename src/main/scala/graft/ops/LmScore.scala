@@ -40,25 +40,34 @@ object LmScore {
       .filter(col("__h").isNotNull)
       .groupBy("__h").agg(count(lit(1)).as("__c"))
 
+    // two actions read the unigram counts (the T/V aggregate and the
+    // table collect) — cache so the reference corpus is tokenized and
+    // aggregated once, not twice
     val uniCounts = countsOf(1)
-    val Array(totalTokens, vocabSize) = uniCounts
-      .agg(coalesce(sum("__c"), lit(0L)), count(lit(1)))
-      .collect()(0).toSeq.map(_.asInstanceOf[Long]).toArray
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val Array(totalTokens, vocabSize) = uniCounts
+        .agg(coalesce(sum("__c"), lit(0L)), count(lit(1)))
+        .collect()(0).toSeq.map(_.asInstanceOf[Long]).toArray
+      require(totalTokens > 0L,
+        "LmScore.train: the reference corpus has no tokens — every score " +
+          "would be log10(1/0); train on a non-empty corpus")
 
-    def collectSorted(cdf: DataFrame, order: String): (Array[Long], Array[Long]) = {
-      val rows = cdf.filter(col("__c") >= minCount)
-        .limit(maxEntries + 1).collect()
-      require(rows.length <= maxEntries,
-        s"LmScore.train: $order count table exceeds $maxEntries entries — " +
-          "train on a model-sized reference corpus (or raise minCount/maxEntries)")
-      val pairs = rows.map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
-      (pairs.map(_._1), pairs.map(_._2))
-    }
-    val (u1, c1) = collectSorted(uniCounts, "unigram")
-    val (u2, c2) = collectSorted(countsOf(2), "bigram")
-    val (u3, c3) = collectSorted(countsOf(3), "trigram")
-    df.sparkSession.sparkContext.broadcast(
-      LmModel(u1, c1, u2, c2, u3, c3, totalTokens, vocabSize, alpha))
+      def collectSorted(cdf: DataFrame, order: String): (Array[Long], Array[Long]) = {
+        val rows = cdf.filter(col("__c") >= minCount)
+          .limit(maxEntries + 1).collect()
+        require(rows.length <= maxEntries,
+          s"LmScore.train: $order count table exceeds $maxEntries entries — " +
+            "train on a model-sized reference corpus (or raise minCount/maxEntries)")
+        val pairs = rows.map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+        (pairs.map(_._1), pairs.map(_._2))
+      }
+      val (u1, c1) = collectSorted(uniCounts, "unigram")
+      val (u2, c2) = collectSorted(countsOf(2), "bigram")
+      val (u3, c3) = collectSorted(countsOf(3), "trigram")
+      df.sparkSession.sparkContext.broadcast(
+        LmModel(u1, c1, u2, c2, u3, c3, totalTokens, vocabSize, alpha))
+    } finally uniCounts.unpersist(false)
   }
 
   /** Persist a trained model as one small parquet table — a real
@@ -69,14 +78,28 @@ object LmScore {
   def saveModel(spark: org.apache.spark.sql.SparkSession,
       model: Broadcast[LmModel], path: String): Unit = {
     import spark.implicits._
+    // rows materialize EXECUTOR-side out of the existing broadcast via
+    // range+map — a driver-local Seq of boxed tuples would copy a
+    // bound-sized model (~150M entries) at ~10x its primitive
+    // footprint through the driver heap and a LocalRelation
+    def orderRows(order: Int, n: Int) =
+      spark.range(0, n.toLong).map { i =>
+        val m = model.value
+        val (ks, cs) = order match {
+          case 1 => (m.uniKeys, m.uniCounts)
+          case 2 => (m.biKeys, m.biCounts)
+          case _ => (m.triKeys, m.triCounts)
+        }
+        (order, ks(i.toInt), cs(i.toInt), Option.empty[Double])
+      }
     val m = model.value
-    def rows(order: Int, ks: Array[Long], cs: Array[Long]) =
-      ks.indices.map(i => (order, ks(i), cs(i), Option.empty[Double]))
-    val all = rows(1, m.uniKeys, m.uniCounts) ++
-      rows(2, m.biKeys, m.biCounts) ++ rows(3, m.triKeys, m.triCounts) :+
-      ((0, m.totalTokens, m.vocabSize, Some(m.alpha)))
-    all.toDF("order", "key", "cnt", "alpha")
-      .repartition(1).write.mode("overwrite").parquet(path)
+    val meta = Seq((0, m.totalTokens, m.vocabSize, Option(m.alpha))).toDS()
+    orderRows(1, m.uniKeys.length)
+      .unionAll(orderRows(2, m.biKeys.length))
+      .unionAll(orderRows(3, m.triKeys.length))
+      .unionAll(meta)
+      .toDF("order", "key", "cnt", "alpha")
+      .write.mode("overwrite").parquet(path)
   }
 
   /** Load a model persisted by [[saveModel]] and broadcast it. */

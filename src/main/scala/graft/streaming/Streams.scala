@@ -157,8 +157,13 @@ object Streams {
   /** Per-bucket streaming LSH state: occupants plus the saturation
     * latch (a bucket that ever exceeded `maxBucket` distinct docs is
     * non-discriminative — its members are freed and it goes silent
-    * until the timeout reclaims it, mirroring the batch bucket drop). */
-  case class BucketState(members: List[BucketMember], saturated: Boolean)
+    * until the timeout reclaims it, mirroring the batch bucket drop).
+    * `newestMs` is persisted SEPARATELY from the members: a saturated
+    * bucket has none, and a skipped redelivery stores none, yet the
+    * horizon and timeout must still never move backwards on a late
+    * row — max(members.tsMs) alone would forget both cases. */
+  case class BucketState(
+      members: List[BucketMember], saturated: Boolean, newestMs: Long)
   /** A detected streaming near-dup: `id2` arrived after — and
     * near-duplicates — `id1` (drop id2 to dedup greedily). */
   case class StreamDupPair(
@@ -215,6 +220,22 @@ object Streams {
     graft.ops.ColumnChecks.requireIntegral(docs, idCol, "minhashNearDupPairs",
       "Streaming LSH state carries ids as LONG. Map string/UUID ids to a " +
         "surrogate long first (e.g. xxhash64).")
+    // the exactly-once-pairs contract needs state to outlive lateness:
+    // a row may arrive watermarkDelay late, and if its bucket has
+    // already horizon-pruned the row's first delivery, a redelivery
+    // would pair (and emit) again — so the horizon must cover the
+    // whole lateness window
+    val delayIv = org.apache.spark.sql.catalyst.util.IntervalUtils
+      .safeStringToInterval(
+        org.apache.spark.unsafe.types.UTF8String.fromString(watermarkDelay))
+    require(delayIv != null && delayIv.months == 0,
+      s"minhashNearDupPairs: cannot parse watermarkDelay '$watermarkDelay' " +
+        "(month-based delays are not comparable to the state horizon)")
+    val delayMs = delayIv.days * 86400000L + delayIv.microseconds / 1000L
+    require(stateHorizonMs >= delayMs,
+      s"minhashNearDupPairs: stateHorizonMs ($stateHorizonMs) must cover the " +
+        s"watermark delay '$watermarkDelay' ($delayMs ms) — a redelivered row " +
+        "older than the horizon would re-emit its pairs")
     import docs.sparkSession.implicits._
 
     def sliceEq(a: Seq[Long], b: Seq[Long], band: Int): Boolean = {
@@ -254,11 +275,14 @@ object Streams {
           else {
             val band = key._1
             val arrivals = rows.toIndexedSeq.sortBy(d => (d.ts.getTime, d.id))
-            val prev = state.getOption.getOrElse(BucketState(Nil, saturated = false))
+            val prev = state.getOption
+              .getOrElse(BucketState(Nil, saturated = false, Long.MinValue))
             // horizon reference: the newest activity this bucket has
-            // EVER seen — a late-but-in-watermark row must neither
-            // prune fresh members nor move the timeout backwards
-            val newestMs = (arrivals.map(_.ts.getTime) ++ prev.members.map(_.tsMs)).max
+            // EVER seen (persisted — members alone forget it when the
+            // bucket saturates or an arrival is a skipped redelivery) —
+            // a late-but-in-watermark row must neither prune fresh
+            // members nor move the timeout backwards
+            val newestMs = (arrivals.map(_.ts.getTime) :+ prev.newestMs).max
             var members = prev.members.filter(_.tsMs >= newestMs - stateHorizonMs)
             var saturated = prev.saturated
             val out = Seq.newBuilder[StreamDupPair]
@@ -279,7 +303,7 @@ object Streams {
                 }
               }
             }
-            state.update(BucketState(members, saturated))
+            state.update(BucketState(members, saturated, newestMs))
             state.setTimeoutTimestamp(
               math.max(newestMs + stateHorizonMs, state.getCurrentWatermarkMs() + 1))
             out.result().iterator

@@ -86,6 +86,13 @@ class LmScoreSpec extends AnyFunSuite {
     assert(e.getMessage.contains("model-sized"))
   }
 
+  test("train fails loudly on a token-less reference corpus") {
+    val e = intercept[IllegalArgumentException] {
+      LmScore.train(Seq((0L, "   "), (1L, "")).toDF("doc_id", "text"), "text")
+    }
+    assert(e.getMessage.contains("no tokens"))
+  }
+
   test("minCount prunes lookups but keeps the pre-prune T and V") {
     val pruned = LmScore.train(
       Seq((0L, "a b a b c")).toDF("doc_id", "text"), "text", minCount = 2L)

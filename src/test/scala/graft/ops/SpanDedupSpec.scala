@@ -64,6 +64,15 @@ class SpanDedupSpec extends AnyFunSuite {
     assert(out(2L) == ("under k", 0L)) // < k tokens: no gram, never touched
   }
 
+  test("a null-text document survives untouched (no spurious bound error)") {
+    val out = Dedup.removeDuplicatedSpans(
+      Seq((0L, "a b c d"), (1L, "x a b c y"), (2L, null.asInstanceOf[String]))
+        .toDF("doc_id", "text"), "doc_id", "text", 3)
+      .collect().map(r => r.getLong(0) -> (Option(r.getString(1)), r.getLong(2))).toMap
+    assert(out(2L) == (None, 0L))
+    assert(out(1L) == (Some("x y"), 3L)) // the real dedup still happened
+  }
+
   test("a fully duplicated document empties to zero tokens") {
     val out = run(Seq(0L -> "a b c d", 1L -> "a b c d"), k = 3)
     assert(out(0L) == ("a b c d", 0L))

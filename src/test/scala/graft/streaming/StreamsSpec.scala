@@ -240,6 +240,52 @@ class StreamsSpec extends AnyFunSuite {
     assert(got.toSet == Set((0L, 1L)), s"got ${got.toSeq}")
   }
 
+  test("a late row cannot regress a saturated bucket's timeout and resurrect it") {
+    val dup = "identical boilerplate text repeated across many crawled documents today"
+    def toDf(s: Seq[(Long, String, String)]) =
+      s.toDF("doc_id", "text", "tss")
+        .withColumn("ts", to_timestamp(col("tss"))).drop("tss")
+    val dir = Files.createTempDirectory("graft-stream-lsh-late").toString
+    // trigger sequence (maxFilesPerTrigger=1, files ordered by mtime):
+    //  1. three dups at 10:00 -> (0,1) emitted, bucket saturates
+    //  2. a LATE dup (09:05, inside the 1h watermark) plus a fresh
+    //     unrelated row at 11:10 that pushes the watermark to 10:10 —
+    //     before the fix, the late row dragged the saturated bucket's
+    //     timeout back to 10:05 (< watermark)
+    //  3. an unrelated watermark-advancer with no data for the bucket —
+    //     the regressed timeout would fire HERE and erase the latch
+    //  4. two dups at 10:30 — a resurrected bucket would pair them
+    val batches = Seq(
+      Seq((0L, dup, "2026-01-01 10:00:00"), (1L, dup, "2026-01-01 10:00:01"),
+        (2L, dup, "2026-01-01 10:00:02")),
+      Seq((3L, dup, "2026-01-01 09:05:00"),
+        (4L, "an unrelated document about spark shuffles", "2026-01-01 11:10:00")),
+      Seq((5L, "another unrelated document about joins", "2026-01-01 11:20:00")),
+      Seq((6L, dup, "2026-01-01 10:30:00"), (7L, dup, "2026-01-01 10:30:01")))
+    batches.foreach { b =>
+      toDf(b).repartition(1).write.mode("append").parquet(dir)
+      Thread.sleep(1100) // distinct mtimes -> deterministic trigger order
+    }
+    val stream = spark.readStream.schema(toDf(batches.head).schema)
+      .option("maxFilesPerTrigger", 1).parquet(dir)
+    val pairs = Streams.minhashNearDupPairs(stream, "doc_id", "text", "ts",
+      watermarkDelay = "1 hour", shingleN = 2, numHashes = 64, bands = 32,
+      threshold = 0.5, maxBucket = 2)
+    Streams.runToMemory(pairs.toDF(), "lsh_late")
+    val got = spark.table("lsh_late").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.toSet == Set((0L, 1L)), s"saturated bucket resurrected: ${got.toSeq}")
+  }
+
+  test("the state horizon must cover the watermark delay (loud contract)") {
+    val df = Seq((0L, "a", "2026-01-01 10:00:00")).toDF("doc_id", "text", "tss")
+      .withColumn("ts", to_timestamp(col("tss"))).drop("tss")
+    val e = intercept[IllegalArgumentException] {
+      Streams.minhashNearDupPairs(df, "doc_id", "text", "ts",
+        watermarkDelay = "2 hours", stateHorizonMs = 3600L * 1000)
+    }
+    assert(e.getMessage.contains("must cover the watermark delay"))
+  }
+
   test("dedupExact drops later copies of the same fingerprint, keeps distinct docs") {
     val dir = Files.createTempDirectory("graft-stream3").toString
     val docs = Seq(
