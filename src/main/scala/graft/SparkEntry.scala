@@ -779,6 +779,21 @@ object SparkEntry {
         .orderBy("doc_id", "pos")
     },
 
+    "q_nb_score" -> { (s, dir) =>
+      // supervised quality axis: closed-form NB trained on the
+      // doc_id % 10 == 0 slice labeled by the lang column (a
+      // mechanism gate — the synthetic text is label-independent),
+      // per-token log odds emitted per position like q_lm_score
+      val docs = t(s, dir, "documents")
+      val model = ops.NbClassifier.train(
+        docs.filter(col("doc_id") % 10 === 0), "text", col("lang") === "en")
+      ops.NbClassifier.scoreTokens(
+        docs.filter(col("doc_id") % 10 =!= 0), "doc_id", "text", model)
+        .select(col("doc_id"), col("pos").cast("long").as("pos"),
+          round(col("log_odds"), 6).as("log_odds"))
+        .orderBy("doc_id", "pos")
+    },
+
     "q_sample_split" -> { (s, dir) =>
       // rerun-stable train/val/test assignment from md5(key || salt) —
       // binary-exact weights so the hex cuts are reproducible literals
@@ -1643,6 +1658,35 @@ object SparkEntry {
         |    ELSE (cw + 1) / (t + v)
         |  END), 6) AS logp
         |FROM j, tot, voc
+        |ORDER BY doc_id, pos""".stripMargin,
+
+    // closed-form multinomial NB, Laplace-smoothed over the shared
+    // vocabulary; per-token log odds as the two-log difference the
+    // Scala expression computes, totals cast back to BIGINT (DuckDB
+    // sums BIGINT into HUGEINT)
+    "q_nb_score" ->
+      """WITH tok AS (
+        |  SELECT doc_id, lang, list_transform(
+        |    list_filter(regexp_split_to_array(text, '[ \t\n\x0b\f\r]+'),
+        |                x -> x <> ''), x -> lower(x)) AS tk
+        |  FROM documents),
+        |tr AS (SELECT (lang = 'en') AS y, unnest(tk) AS g
+        |       FROM tok WHERE doc_id % 10 = 0),
+        |c AS (SELECT g, sum(CASE WHEN y THEN 1 ELSE 0 END) AS cp,
+        |             sum(CASE WHEN y THEN 0 ELSE 1 END) AS cn
+        |      FROM tr GROUP BY g),
+        |tots AS (SELECT cast(sum(cp) AS BIGINT) AS np,
+        |                cast(sum(cn) AS BIGINT) AS nn,
+        |                count(*) AS v FROM c),
+        |pos AS (SELECT doc_id, tk, unnest(range(0, len(tk))) AS i
+        |        FROM tok WHERE doc_id % 10 <> 0),
+        |j AS (SELECT p.doc_id, p.i,
+        |        cast(coalesce(c.cp, 0) AS BIGINT) AS cp,
+        |        cast(coalesce(c.cn, 0) AS BIGINT) AS cn
+        |      FROM pos p LEFT JOIN c ON c.g = p.tk[p.i + 1])
+        |SELECT doc_id, i AS pos,
+        |  round(log10((cp + 1) / (np + v)) - log10((cn + 1) / (nn + v)), 6) AS log_odds
+        |FROM j, tots
         |ORDER BY doc_id, pos""".stripMargin,
 
     // ExactSubstr span dedup: positional 8-grams (filter-nonempty

@@ -1162,6 +1162,15 @@ final class Pipeline private (
       as: String = "lm_logprob"): Pipeline =
     add(MapStep("lmScore", graft.ops.LmScore.withLmScore(_, textCol, model, as)))
 
+  /** Append the Naive Bayes document score and verdict
+    * ([[graft.ops.NbClassifier.withNbScore]] — the supervised
+    * quality-classifier axis). */
+  def withNbScore(
+      textCol: String,
+      model: org.apache.spark.broadcast.Broadcast[graft.functions.NbModel],
+      as: String = "nb_score"): Pipeline =
+    add(MapStep("nbScore", graft.ops.NbClassifier.withNbScore(_, textCol, model, as)))
+
   /** Reproducible corpus shuffle
     * ([[graft.ops.Sampling.shuffleByHash]]). */
   def shuffleByHash(keyCol: String, salt: String, local: Boolean = false): Pipeline =

@@ -177,6 +177,13 @@ object exprs {
       modelBc: org.apache.spark.broadcast.Broadcast[LmModel]): Column =
     Bridge.toColumn(LmTokenScores(Bridge.toExpression(text), modelBc))
 
+  /** Per-token log10 Naive Bayes odds of a string column (see
+    * [[NbTokenLogOdds]]). */
+  def nb_token_log_odds(
+      text: Column,
+      modelBc: org.apache.spark.broadcast.Broadcast[NbModel]): Column =
+    Bridge.toColumn(NbTokenLogOdds(Bridge.toExpression(text), modelBc))
+
   /** Unicode NFC normalization (see [[NfcNormalize]]). */
   def nfc_normalize(text: Column): Column =
     Bridge.toColumn(NfcNormalize(Bridge.toExpression(text)))

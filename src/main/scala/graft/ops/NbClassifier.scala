@@ -1,0 +1,80 @@
+package graft.ops
+
+import org.apache.spark.broadcast.Broadcast
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame}
+
+import graft.functions.NbModel
+
+/** Supervised corpus quality classification: closed-form multinomial
+  * Naive Bayes over whitespace tokens (see [[graft.functions.NbModel]]
+  * for the role, the formula, and why closed form beats SGD here).
+  *
+  * Scale shape mirrors [[LmScore]]: training is ONE (token, label)
+  * aggregation over a model-sized labeled slice, collected behind a
+  * loud bound and broadcast as primitive sorted arrays; scoring is a
+  * stateless native pass that fuses into the scan, shuffles nothing,
+  * and runs unchanged on streaming corpora. */
+object NbClassifier {
+
+  /** Train on `labelCol` (boolean: true = positive class). Fails
+    * loudly when the vocabulary exceeds `maxEntries` or either class
+    * has no documents (priors and odds would be degenerate). */
+  def train(
+      df: DataFrame, textCol: String, labelCol: Column,
+      maxEntries: Int = 50 * 1000 * 1000): Broadcast[NbModel] = {
+    val byTok = df
+      .select(labelCol.cast("boolean").as("__y"),
+        graft.functions.exprs.word_ngram_hash_seq(
+          col(textCol).cast("string"), 1).as("__grams"))
+      // explode_outer + null filter: keep the native pass out of the
+      // scan filters (see removeDuplicatedSpans' plan audit)
+      .select(col("__y"), explode_outer(col("__grams")).as("__h"))
+      .filter(col("__h").isNotNull)
+      .groupBy("__h")
+      .agg(sum(when(col("__y"), 1L).otherwise(0L)).as("__cp"),
+        sum(when(col("__y"), 0L).otherwise(1L)).as("__cn"))
+
+    val rows = byTok.limit(maxEntries + 1).collect()
+    require(rows.length <= maxEntries,
+      s"NbClassifier.train: vocabulary exceeds $maxEntries tokens — " +
+        "train on a model-sized labeled slice (or raise maxEntries)")
+    val sorted = rows.map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    val docCounts = df.groupBy(labelCol.cast("boolean").as("__y")).count()
+      .collect().map(r => r.getBoolean(0) -> r.getLong(1)).toMap
+    val (docsPos, docsNeg) = (docCounts.getOrElse(true, 0L), docCounts.getOrElse(false, 0L))
+    require(docsPos > 0L && docsNeg > 0L,
+      s"NbClassifier.train: both classes need documents (positive=$docsPos, " +
+        s"negative=$docsNeg) — priors and odds are degenerate otherwise")
+    df.sparkSession.sparkContext.broadcast(NbModel(
+      sorted.map(_._1), sorted.map(_._2), sorted.map(_._3),
+      nPos = sorted.map(_._2).sum, nNeg = sorted.map(_._3).sum,
+      vocab = sorted.length.toLong, docsPos = docsPos, docsNeg = docsNeg))
+  }
+
+  /** Per-token log10 odds as an array column. */
+  def tokenLogOdds(textCol: Column, model: Broadcast[NbModel]): Column =
+    graft.functions.exprs.nb_token_log_odds(textCol, model)
+
+  /** One row per (document, token position) with the token's log10
+    * odds — the exploded, oracle-comparable form. */
+  def scoreTokens(
+      df: DataFrame, idCol: String, textCol: String,
+      model: Broadcast[NbModel]): DataFrame = df
+    .select(col(idCol), tokenLogOdds(col(textCol).cast("string"), model).as("__lo"))
+    .select(col(idCol), posexplode_outer(col("__lo")).as(Seq("pos", "log_odds")))
+    .filter(col("log_odds").isNotNull)
+
+  /** Document score = prior log-odds + Σ per-token log-odds, and the
+    * `>` 0 verdict. Token-less documents carry the bare prior. */
+  def withNbScore(
+      df: DataFrame, textCol: String, model: Broadcast[NbModel],
+      as: String = "nb_score"): DataFrame = {
+    val m = model.value
+    val prior = math.log10(m.docsPos.toDouble / m.docsNeg.toDouble)
+    val lo = tokenLogOdds(col(textCol).cast("string"), model)
+    df.withColumn(as, lit(prior) + aggregate(lo, lit(0.0d), _ + _))
+      .withColumn(s"${as}_positive", col(as) > 0d)
+  }
+}
