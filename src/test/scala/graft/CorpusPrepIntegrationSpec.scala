@@ -130,4 +130,43 @@ class CorpusPrepIntegrationSpec extends AnyFunSuite {
     assert(rep.getAs[Long]("n_docs") == n)
     assert(rep.getAs[Double]("dup_rate") >= 0.0)
   }
+
+  test("span dedup, filter decontamination, and LM/NB scoring compose") {
+    val docs = Tables.load(spark, dir, "documents")
+    val eval = docs.filter(col("doc_id") % 20 === 0)
+    val lm = ops.LmScore.train(docs.filter(col("doc_id") % 10 === 0), "text")
+    // distill the Gopher heuristic into a classifier — train NB on the
+    // heuristic's own labels over half the corpus (a real pattern:
+    // bootstrap a quality classifier from rules)
+    val gopherLabel = ops.TextOps.gopherPass(
+      ops.TextOps.gopherSignals(col("text")), minWords = 20, minStopwordHits = 0)
+    val nb = ops.NbClassifier.train(
+      docs.filter(col("doc_id") % 2 === 0), "text", gopherLabel)
+
+    val out = etl.Pipeline.of("r7", docs.filter(col("doc_id") % 20 =!= 0))
+      .dedupSpans("doc_id", "text", k = 8)
+      .decontaminateByFilter(eval, "doc_id", "text")
+      .withLmScore("text", lm)
+      .withNbScore("text", nb)
+      .toDF.localCheckpoint(true)
+
+    val n = out.count()
+    assert(n > 0 && n <= docs.filter(col("doc_id") % 20 =!= 0).count())
+    // decontamination holds ON THE REWRITTEN TEXT (the filter ran
+    // after span removal): the join-form verdict finds nothing
+    assert(ops.Contamination.taintedIds(out, eval, "doc_id", "text").count() == 0)
+    // span dedup actually removed something corpus-wide
+    assert(out.agg(sum(col("removed_tokens"))).head().getLong(0) > 0)
+    // both quality axes scored every doc that still has tokens — "has
+    // tokens" by the NATIVE tokenization the scorers use (span removal
+    // can leave a doc empty, where the reference tokenCount quirk —
+    // and even split-of-normalized — still count one empty token but
+    // the LM contract is null — see LmScore.withLmScore)
+    val withToks = out.filter(
+      size(graft.functions.exprs.word_ngram_hash_seq(
+        col("text").cast("string"), 1)) > 0)
+    assert(withToks.filter(col("lm_logprob").isNull).count() == 0)
+    assert(withToks.filter(col("nb_score").isNull
+      || isnan(col("nb_score")) || isnan(col("lm_logprob"))).count() == 0)
+  }
 }

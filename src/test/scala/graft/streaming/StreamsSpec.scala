@@ -97,22 +97,27 @@ class StreamsSpec extends AnyFunSuite {
     assert(s == b)
   }
 
-  test("LM scoring is streaming-identical (stateless broadcast model)") {
+  test("LM and NB scoring are streaming-identical (stateless broadcast models)") {
     val docs = graft.Tables.load(spark, "/root/testdata/sf0.001", "documents")
       .select("doc_id", "text")
     val model = graft.ops.LmScore.train(
       docs.filter(col("doc_id") % 10 === 0), "text")
+    val nb = graft.ops.NbClassifier.train(
+      docs.filter(col("doc_id") % 10 === 0), "text", col("doc_id") % 20 === 0)
     val corpus = docs.filter(col("doc_id") % 10 =!= 0)
     val dir = Files.createTempDirectory("graft-stream-lm").toString
     corpus.write.mode("overwrite").parquet(dir)
 
-    Streams.runToMemory(graft.ops.LmScore.withLmScore(
-      Streams.parquetStream(spark, dir, corpus.schema), "text", model), "lm_stream")
-    val s = spark.table("lm_stream").select("doc_id", "lm_logprob").collect()
-      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
-    val b = graft.ops.LmScore.withLmScore(corpus, "text", model)
-      .select("doc_id", "lm_logprob").collect()
-      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    def score(df: org.apache.spark.sql.DataFrame) =
+      graft.ops.NbClassifier.withNbScore(
+        graft.ops.LmScore.withLmScore(df, "text", model), "text", nb)
+    Streams.runToMemory(
+      score(Streams.parquetStream(spark, dir, corpus.schema)), "lm_stream")
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id", "lm_logprob", "nb_score", "nb_score_positive").collect()
+        .map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2), r.getBoolean(3))).toMap
+    val s = key(spark.table("lm_stream"))
+    val b = key(score(corpus))
     assert(s.nonEmpty && s == b)
   }
 
