@@ -765,6 +765,19 @@ object SparkEntry {
         .orderBy("doc_id")
     },
 
+    "q_decontaminate_bloom" -> { (s, dir) =>
+      // Bloom-prefiltered decontamination: bloom error is one-sided,
+      // flagged docs are re-verified exactly, so the q_decontaminate
+      // oracle pins this third path too — the one that still works
+      // when the eval gram set outgrows an exact broadcast array
+      val docs = t(s, dir, "documents")
+      ops.Contamination.decontaminateBloom(
+        docs.filter(col("doc_id") % 20 =!= 0),
+        docs.filter(col("doc_id") % 20 === 0), "doc_id", "text")
+        .select("doc_id")
+        .orderBy("doc_id")
+    },
+
     "q_lm_score" -> { (s, dir) =>
       // CCNet-style perplexity axis: stupid-backoff trigram LM trained
       // on the doc_id % 10 == 0 slice, every other doc scored per
@@ -1590,6 +1603,28 @@ object SparkEntry {
     // the stateless filter form makes the SAME verdicts — one oracle
     // (q_decontaminate's), two independent Spark paths pinned to it
     "q_decontaminate_filter" ->
+      """WITH norm AS (
+        |  SELECT doc_id, trim(regexp_replace(lower(trim(text)), '[ \t\n\x0b\f\r]+', ' ', 'g')) AS s
+        |  FROM documents),
+        |tok AS (SELECT doc_id, string_split(s, ' ') AS tk FROM norm),
+        |grams AS (
+        |  SELECT doc_id, unnest(
+        |    CASE WHEN len(tk) >= 8
+        |         THEN list_distinct(list_transform(range(0, len(tk) - 7),
+        |                i -> array_to_string(tk[i + 1:i + 8], ' ')))
+        |         ELSE [] END) AS g
+        |  FROM tok),
+        |ev AS (SELECT DISTINCT g FROM grams WHERE doc_id % 20 = 0),
+        |bad AS (SELECT DISTINCT gr.doc_id FROM grams gr JOIN ev USING (g)
+        |        WHERE gr.doc_id % 20 <> 0)
+        |SELECT doc_id FROM documents
+        |WHERE doc_id % 20 <> 0 AND doc_id NOT IN (SELECT doc_id FROM bad)
+        |ORDER BY doc_id""".stripMargin,
+
+    // the Bloom-prefiltered form also makes the SAME verdicts (exact
+    // verify behind a one-sided prefilter) — three Spark paths, one
+    // oracle
+    "q_decontaminate_bloom" ->
       """WITH norm AS (
         |  SELECT doc_id, trim(regexp_replace(lower(trim(text)), '[ \t\n\x0b\f\r]+', ' ', 'g')) AS s
         |  FROM documents),

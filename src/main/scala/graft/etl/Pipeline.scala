@@ -1154,6 +1154,16 @@ final class Pipeline private (
     add(MapStep("decontaminateByFilter",
       graft.ops.Contamination.decontaminateFilter(_, eval, idCol, textCol, gramN)))
 
+  /** Drop rows sharing a `gramN`-token gram with `eval`, Bloom
+    * form — exact verdicts behind a constant-space prefilter, for
+    * eval sets too large to collect
+    * ([[graft.ops.Contamination.decontaminateBloom]]). */
+  def decontaminateByBloom(
+      eval: DataFrame, idCol: String, textCol: String,
+      gramN: Int = 8, fpp: Double = 0.01): Pipeline =
+    add(MapStep("decontaminateByBloom",
+      graft.ops.Contamination.decontaminateBloom(_, eval, idCol, textCol, gramN, fpp)))
+
   /** Append the mean per-token log10 stupid-backoff LM score
     * ([[graft.ops.LmScore.withLmScore]] — the CCNet perplexity axis). */
   def withLmScore(

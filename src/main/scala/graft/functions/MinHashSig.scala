@@ -170,6 +170,14 @@ object exprs {
       setBc: org.apache.spark.broadcast.Broadcast[Array[Long]]): Column =
     Bridge.toColumn(GramSetOverlap(Bridge.toExpression(grams), setBc))
 
+  /** Any gram of an array<long> column possibly in a broadcast Bloom
+    * filter (see [[GramBloomOverlap]]). */
+  def gram_bloom_overlap(
+      grams: Column,
+      bloomBc: org.apache.spark.broadcast.Broadcast[
+        org.apache.spark.util.sketch.BloomFilter]): Column =
+    Bridge.toColumn(GramBloomOverlap(Bridge.toExpression(grams), bloomBc))
+
   /** Per-token log10 stupid-backoff LM scores of a string column (see
     * [[LmTokenScores]]). */
   def lm_token_scores(

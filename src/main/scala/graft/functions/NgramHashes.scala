@@ -184,6 +184,21 @@ case class GramSetOverlap(
 }
 
 object GramSetUtil {
+
+  /** Any element of `arr` possibly present in `bloom`? (One-sided:
+    * false is definitive, true may be a false positive.) */
+  def bloomOverlaps(
+      arr: ArrayData,
+      bloom: org.apache.spark.util.sketch.BloomFilter): Boolean = {
+    val n = arr.numElements()
+    var i = 0
+    while (i < n) {
+      if (bloom.mightContainLong(arr.getLong(i))) return true
+      i += 1
+    }
+    false
+  }
+
   /** Any element of `arr` present in ASCENDING-sorted `set`? */
   def overlaps(arr: ArrayData, set: Array[Long]): Boolean = {
     val n = arr.numElements()
@@ -227,6 +242,50 @@ case class WordNgramHashSeq(child: Expression, n: Int)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c =>
       s"graft.functions.NgramHashesUtil$$.MODULE$$.computeSeq($c, $n)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** True iff ANY element of an array<long> gram column MIGHT be in a
+  * broadcast Bloom filter — the constant-space analogue of
+  * [[GramSetOverlap]] for eval/blocklist gram sets too large to
+  * collect exactly (the sorted-array form costs 8 bytes per gram on
+  * the driver AND every executor; the Bloom filter costs ~1.2 bytes
+  * per gram at 1% false-positive rate, lifting the practical bound
+  * from ~50M grams to the low billions). One-sided error only: a
+  * false NEVER means a shared gram exists (no false negatives), so
+  * [[graft.ops.Contamination.decontaminateBloom]] gets exact results
+  * by verifying only the `true` rows. The filter is Spark's own
+  * `org.apache.spark.util.sketch.BloomFilter` (fixed seeds —
+  * rerun-deterministic), built distributed by `df.stat.bloomFilter`
+  * and broadcast once per executor. */
+case class GramBloomOverlap(
+    child: Expression,
+    bloomBc: org.apache.spark.broadcast.Broadcast[
+      org.apache.spark.util.sketch.BloomFilter])
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"gram_bloom_overlap expects array<bigint>, got ${other.simpleString}")
+    }
+  override def dataType: DataType = BooleanType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "gram_bloom_overlap"
+
+  override protected def nullSafeEval(input: Any): Any =
+    GramSetUtil.bloomOverlaps(input.asInstanceOf[ArrayData], bloomBc.value)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val bcRef = ctx.addReferenceObj("bloomBc", bloomBc,
+      "org.apache.spark.broadcast.Broadcast")
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.GramSetUtil$$.MODULE$$.bloomOverlaps($c, " +
+        s"(org.apache.spark.util.sketch.BloomFilter) $bcRef.value())")
+  }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)

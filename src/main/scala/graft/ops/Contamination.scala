@@ -99,6 +99,69 @@ object Contamination {
       coalesce(!graft.functions.exprs.gram_set_overlap(grams, bc), lit(true)))
   }
 
+  /** Bloom-prefiltered decontamination — the same EXACT verdict as
+    * [[decontaminate]], built for eval/blocklist gram sets too large
+    * for [[decontaminateFilter]]'s exact broadcast array (8 bytes per
+    * gram caps that path around ~50M grams; a Bloom filter at `fpp`
+    * (default 1%) costs ~1.2 bytes per gram, lifting the bound to the
+    * low billions — e.g. a full blocklist corpus, not just a
+    * benchmark suite).
+    *
+    * Shape: build the filter DISTRIBUTED over the eval gram hashes
+    * (`DataFrameStatFunctions.bloomFilter` — a treeAggregate, never a
+    * driver-side set), broadcast it once per executor, and probe each
+    * corpus document's grams with the native one-pass
+    * [[graft.functions.GramBloomOverlap]]. Bloom error is one-sided —
+    * no false negatives — so documents the probe clears are PROVEN
+    * clean; only the `maybe` documents (true contamination + ~fpp of
+    * the corpus) re-enter the exact [[taintedIds]] semi-join. At 100
+    * TB that cuts the gram stream reaching the shuffle/broadcast join
+    * by ~99% while keeping the output bit-identical to the join form
+    * (gate-checked under the same oracle as `q_decontaminate`).
+    *
+    * `approximate = true` skips the verify and drops every `maybe`
+    * document: verdicts become one-sided (all tainted documents are
+    * dropped, plus ~`fpp` of clean ones), but the operator is then a
+    * pure stateless filter — streaming-capable like
+    * [[decontaminateFilter]], with constant memory at any eval size. */
+  def decontaminateBloom(
+      corpus: DataFrame, eval: DataFrame,
+      idCol: String, textCol: String, gramN: Int = 8,
+      fpp: Double = 0.01, approximate: Boolean = false,
+      broadcastEval: Boolean = true): DataFrame = {
+    require(fpp > 0 && fpp < 1, s"decontaminateBloom: fpp must be in (0,1), got $fpp")
+    val evalGrams = gramHashes(eval, Seq.empty, textCol, gramN)
+      .select("__h__").distinct()
+    // the count and the filter build are two passes over the EVAL side
+    // only (benchmark/blocklist-sized, and the second pass is what
+    // sizes the bits honestly — a guessed capacity either wastes
+    // executor memory or silently degrades fpp)
+    val nGrams = evalGrams.count()
+    // a gram-less eval side taints nothing — and Spark's bloomFilter
+    // aggregate NPEs on zero rows (null buffer into readFrom)
+    if (nGrams == 0) return corpus
+    val bloom = evalGrams.stat.bloomFilter("__h__", nGrams, fpp)
+    val bc = corpus.sparkSession.sparkContext.broadcast(bloom)
+    val grams = graft.functions.exprs.word_ngram_hashes(
+      col(textCol), gramN, shortFallback = false)
+    // null text has no grams: coalesce keeps it, matching the join form
+    val maybe = coalesce(
+      graft.functions.exprs.gram_bloom_overlap(grams, bc), lit(false))
+    if (approximate) corpus.filter(!maybe)
+    else {
+      // exact: only bloom-flagged documents' grams reach the join;
+      // the tainted id set is contamination-sized, so the final
+      // anti-join broadcasts. For an eval side past broadcast size —
+      // the very case this operator exists for — pass
+      // `broadcastEval = false`: the verify then shuffles BOTH sides
+      // on the gram hash, but the corpus side is already cut to the
+      // bloom survivors, so the big side of that shuffle is eval
+      val tainted = taintedIds(
+        corpus.filter(maybe), eval, idCol, textCol, gramN, broadcastEval)
+      corpus.join(broadcast(tainted), Seq(idCol), "left_anti")
+    }
+  }
+
   /** Contamination REPORT instead of removal: every corpus document
     * with the number of DISTINCT eval grams it shares (only documents
     * sharing at least one appear). Auditing which benchmarks leak and

@@ -74,6 +74,21 @@ class PlanAuditSpec extends AnyFunSuite {
       s"eval grams not broadcast:\n$s")
   }
 
+  test("q_decontaminate_bloom verifies behind the prefilter — no pair enumeration, anti-join broadcast") {
+    val s = planString(executed(SparkEntry.queries("q_decontaminate_bloom")(spark, dir)))
+    assert(!s.contains("CartesianProduct"), s"cartesian product in:\n$s")
+    assert(!s.contains("BroadcastNestedLoopJoin"), s"nested-loop join in:\n$s")
+    // the bloom probe must gate the verify: the semi-join's corpus side
+    // carries the gram_bloom_overlap filter, so only flagged docs'
+    // grams are exploded into it
+    assert(s.contains("gram_bloom_overlap"), s"bloom prefilter missing from plan:\n$s")
+    assert(s.linesIterator.exists(l => l.contains("BroadcastHashJoin") && l.contains("LeftSemi")),
+      s"eval grams not broadcast in verify:\n$s")
+    // the contamination-sized tainted set folds back via broadcast anti
+    assert(s.linesIterator.exists(l => l.contains("BroadcastHashJoin") && l.contains("LeftAnti")),
+      s"tainted ids not broadcast in anti-join:\n$s")
+  }
+
   test("q_dedup_spans stays equi-join shaped; the gram pass never sinks into the scan") {
     val s = planString(executed(SparkEntry.queries("q_dedup_spans")(spark, dir)))
     // occurrence-level census: hash joins only — a nested loop here

@@ -107,6 +107,47 @@ class ContaminationSpec extends AnyFunSuite {
     assert(e.getMessage.contains("join form"))
   }
 
+  test("decontaminateBloom: exact verdicts equal the join form, null text kept") {
+    val withNull = corpus.unionAll(
+      Seq((9L, Option.empty[String])).toDF("doc_id", "text"))
+    val b = Contamination.decontaminateBloom(withNull, evalDf, "doc_id", "text")
+    assert(b.columns.toSeq == Seq("doc_id", "text"))
+    val bIds = b.select("doc_id").collect().map(_.getLong(0)).toSet
+    val jIds = Contamination.decontaminate(withNull, evalDf, "doc_id", "text")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(bIds == jIds && bIds.contains(9L))
+    // an empty eval side builds an empty filter and taints nothing
+    val none = Contamination.decontaminateBloom(
+      corpus, evalDf.filter("doc_id < 0"), "doc_id", "text")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(none == Set(0L, 1L, 2L, 3L, 4L))
+  }
+
+  test("decontaminateBloom: approximate form never keeps a tainted doc") {
+    // one-sided error: kept ⊆ exactly-clean, and every truly tainted
+    // doc is gone (a bloom false positive may ALSO drop a clean doc,
+    // never the reverse)
+    val approx = Contamination.decontaminateBloom(
+      corpus, evalDf, "doc_id", "text", approximate = true)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val clean = Contamination.decontaminate(corpus, evalDf, "doc_id", "text")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(approx.subsetOf(clean))
+    assert(approx.intersect(Set(0L, 4L)).isEmpty)
+  }
+
+  test("decontaminateBloom == decontaminate on the real corpus") {
+    import org.apache.spark.sql.functions.col
+    val docs = graft.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val evalS = docs.filter(col("doc_id") % 20 === 0)
+    val corp = docs.filter(col("doc_id") % 20 =!= 0)
+    val b = Contamination.decontaminateBloom(corp, evalS, "doc_id", "text")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val j = Contamination.decontaminate(corp, evalS, "doc_id", "text")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(b == j && b.nonEmpty)
+  }
+
   test("contaminationReport counts distinct shared grams per tainted doc only") {
     val report = Contamination.contaminationReport(corpus, evalDf, "doc_id", "text")
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
