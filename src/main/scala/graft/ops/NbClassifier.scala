@@ -53,6 +53,42 @@ object NbClassifier {
       vocab = sorted.length.toLong, docsPos = docsPos, docsNeg = docsNeg))
   }
 
+  /** Persist a trained model as ONE parquet table (train once on the
+    * labeled slice, score any later corpus without re-reading the
+    * label source — the [[LmScore.saveModel]] pattern). Layout:
+    * `ord = 1` vocabulary rows (key, cp, cn); one `ord = 0` metadata
+    * row carrying (docsPos, docsNeg) in (key, cp) — nPos/nNeg/vocab
+    * are re-derived from the vocabulary rows on load. Rows
+    * materialize EXECUTOR-side out of the existing broadcast via
+    * range+map, not a driver-local LocalRelation. */
+  def saveModel(spark: org.apache.spark.sql.SparkSession,
+      model: Broadcast[NbModel], path: String): Unit = {
+    import spark.implicits._
+    val vocabRows = spark.range(0, model.value.keys.length.toLong).map { i =>
+      val m = model.value
+      (1, m.keys(i.toInt), m.pos(i.toInt), m.neg(i.toInt))
+    }
+    val m = model.value
+    val meta = Seq((0, m.docsPos, m.docsNeg, 0L)).toDS()
+    vocabRows.unionAll(meta).toDF("ord", "key", "cp", "cn")
+      .write.mode("overwrite").parquet(path)
+  }
+
+  /** Load a model persisted by [[saveModel]] and broadcast it. */
+  def loadModel(spark: org.apache.spark.sql.SparkSession,
+      path: String): Broadcast[NbModel] = {
+    val rows = spark.read.parquet(path).select("ord", "key", "cp", "cn").collect()
+    val vocab = rows.filter(_.getInt(0) == 1)
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3))).sortBy(_._1)
+    val meta = rows.find(_.getInt(0) == 0).getOrElse(
+      sys.error(s"NbClassifier.loadModel: no metadata row in $path"))
+    spark.sparkContext.broadcast(NbModel(
+      vocab.map(_._1), vocab.map(_._2), vocab.map(_._3),
+      nPos = vocab.map(_._2).sum, nNeg = vocab.map(_._3).sum,
+      vocab = vocab.length.toLong,
+      docsPos = meta.getLong(1), docsNeg = meta.getLong(2)))
+  }
+
   /** Per-token log10 odds as an array column. */
   def tokenLogOdds(textCol: Column, model: Broadcast[NbModel]): Column =
     graft.functions.exprs.nb_token_log_odds(textCol, model)

@@ -58,6 +58,24 @@ class NbClassifierSpec extends AnyFunSuite {
       + (math.log10(2.0 / 12) - math.log10(1.0 / 12)))
   }
 
+  test("a saved and reloaded model scores identically") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-nb-model").toString + "/m"
+    NbClassifier.saveModel(spark, model, dir)
+    val reloaded = NbClassifier.loadModel(spark, dir)
+    // full equality of the broadcast payload (nPos/nNeg/vocab are
+    // re-derived on load — they must come back exactly)
+    val (a, b) = (model.value, reloaded.value)
+    assert(a.keys.sameElements(b.keys) && a.pos.sameElements(b.pos)
+      && a.neg.sameElements(b.neg))
+    assert((a.nPos, a.nNeg, a.vocab, a.docsPos, a.docsNeg)
+      == (b.nPos, b.nNeg, b.vocab, b.docsPos, b.docsNeg))
+    val docs = Seq((1L, "good spam zz"), (2L, "buy buy now")).toDF("doc_id", "text")
+    def key(m: org.apache.spark.broadcast.Broadcast[graft.functions.NbModel]) =
+      NbClassifier.withNbScore(docs, "text", m)
+        .collect().map(r => (r.getLong(0), r.getDouble(2), r.getBoolean(3))).toSet
+    assert(key(model) == key(reloaded) && key(model).nonEmpty)
+  }
+
   test("training fails loudly on a single-class corpus or an over-bound vocab") {
     val oneClass = Seq((true, "a b"), (true, "c")).toDF("y", "text")
     val e1 = intercept[IllegalArgumentException] {
