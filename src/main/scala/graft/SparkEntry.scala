@@ -949,6 +949,20 @@ object SparkEntry {
         .orderBy("doc_id")
     },
 
+    "q_sample_budget" -> { (s, dir) =>
+      // token-BUDGET mixture ("take N tokens per source" — how
+      // training mixtures are actually specified): per-lang char
+      // budgets, documents taken in engine-portable hash order until
+      // the budget is crossed; en/de cut mid-stratum, zh's budget
+      // exceeds the stratum (keep-all), es/fr have none (dropped).
+      // cum_before is emitted so the oracle pins the running totals
+      ops.Sampling.sampleByTokenBudget(
+        t(s, dir, "documents"), col("doc_id"), "lang", "n_chars",
+        Seq("en" -> 30000L, "de" -> 8000L, "zh" -> 40000L), ":tb7")
+        .select("doc_id", "lang", "cum_before")
+        .orderBy("doc_id")
+    },
+
     "q_dedup_cross" -> { (s, dir) =>
       // cross-corpus dedup (new crawl vs existing training set):
       // doc_id % 10 == 0 stands in for the already-shipped reference;
@@ -1995,6 +2009,28 @@ object SparkEntry {
          |            WHEN 'zh' THEN 'g'
          |            ELSE '${ops.Sampling.hexThreshold(0.125)}' END
          |ORDER BY doc_id""".stripMargin,
+
+    // the per-stratum exclusive prefix sum over (md5-prefix, doc_id)
+    // order — DuckDB computes it with the textbook one-window-per-
+    // stratum form the Spark side deliberately avoids; values must
+    // still agree bit-for-bit
+    "q_sample_budget" ->
+      """WITH h AS (
+        |  SELECT doc_id, lang, n_chars,
+        |         substr(md5(cast(doc_id AS VARCHAR) || ':tb7'), 1, 12) AS hx
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, lang,
+        |         cast(coalesce(sum(n_chars) OVER (
+        |           PARTITION BY lang ORDER BY hx, doc_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+        |           AS cum_before
+        |  FROM h)
+        |SELECT doc_id, lang, cum_before FROM c
+        |WHERE cum_before < CASE lang WHEN 'en' THEN 30000
+        |                             WHEN 'de' THEN 8000
+        |                             WHEN 'zh' THEN 40000 END
+        |ORDER BY doc_id""".stripMargin,
 
     // exact char-5-gram jaccard >= 0.8 pairs BETWEEN the corpus slice
     // and the reference slice (same shingle/normalize shape and

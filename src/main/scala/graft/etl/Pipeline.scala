@@ -1287,6 +1287,16 @@ final class Pipeline private (
     add(MapStep("sampleByStratum",
       graft.ops.Sampling.sampleByStratum(_, col(keyCol), col(stratumCol),
         fractions, defaultFraction, salt)))
+
+  /** Token-budget mixture — take `budgets(stratum)` weight per stratum
+    * in deterministic hash order
+    * ([[graft.ops.Sampling.sampleByTokenBudget]]). */
+  def sampleByTokenBudget(
+      keyCol: String, stratumCol: String, weightCol: String,
+      budgets: Seq[(String, Long)], salt: String): Pipeline =
+    add(MapStep("sampleByTokenBudget",
+      graft.ops.Sampling.sampleByTokenBudget(_, col(keyCol), stratumCol,
+        weightCol, budgets, salt)))
 }
 
 /** gratum SortConfig (SortConfig.groovy:8-13) — see [[Pipeline.sortWith]]. */

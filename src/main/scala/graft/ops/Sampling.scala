@@ -91,6 +91,87 @@ object Sampling {
     df.filter(hashPrefix(key, salt) < cut)
   }
 
+  /** Token-BUDGET mixture (the way training mixtures are actually
+    * specified: "take 30B tokens of web, 5B of code", not keep
+    * fractions): per stratum, documents are taken in the deterministic
+    * (hash, key) order of [[shuffleByHash]] until the running
+    * `weightCol` total reaches the stratum's budget. The document that
+    * CROSSES the budget is kept (the filter is on the exclusive
+    * prefix sum `cum_before`), so any positive budget takes at least
+    * one document and realized tokens overshoot by at most one
+    * document. Strata without a budget are dropped — a mixture spec
+    * lists what ships. Rerun-stable and engine-portable like every
+    * sampler here; `cum_before` is emitted for auditability.
+    *
+    * Scale shape: the textbook per-stratum running total
+    * (`sum OVER (PARTITION BY stratum ORDER BY hash)`) makes each
+    * stratum ONE window partition — and a real mixture has a stratum
+    * holding most of the corpus. Instead, the leading `bucketHexDigits`
+    * of the decision hash split every stratum into 16^digits
+    * hash-ordered buckets ([[graft.ops.Packing.globalCumsum]]'s
+    * order-aligned-bucket trick, keyed per stratum): per-bucket sums
+    * collect to the driver (bounded, guarded), exclusive offsets
+    * broadcast back, and the windows run per (stratum, bucket) — many
+    * small ordered partitions, never one per stratum. The input plan
+    * executes twice (bucket-sum pass + output pass), so it must be
+    * deterministic — localCheckpoint a non-deterministic source first.
+    *
+    * `key` must be non-null (it has no hash position); NULL weights
+    * count as 0, like SQL SUM. */
+  def sampleByTokenBudget(
+      df: DataFrame, key: Column, stratumCol: String, weightCol: String,
+      budgets: Seq[(String, Long)], salt: String,
+      bucketHexDigits: Int = 2): DataFrame = {
+    require(budgets.nonEmpty, "need at least one stratum budget")
+    require(budgets.forall(_._2 > 0), "budgets must be positive token counts")
+    require(bucketHexDigits >= 1 && bucketHexDigits < Digits,
+      s"bucketHexDigits must be in [1, $Digits); got $bucketHexDigits")
+    Seq("__tbh__", "__tbb__", "__tboff__", "cum_before").foreach(c =>
+      require(!df.columns.contains(c), s"input already has a column named $c"))
+
+    val budget = budgets.foldRight(lit(null).cast("long")) {
+      case ((label, b), els) => when(col(stratumCol) === label, lit(b)).otherwise(els)
+    }
+    val weight = coalesce(col(weightCol).cast("long"), lit(0L))
+    // budget-less strata leave before any aggregation work
+    val hashed = df.filter(budget.isNotNull)
+      .withColumn("__tbh__", hashPrefix(key, salt))
+      .withColumn("__tbb__", substring(col("__tbh__"), 1, bucketHexDigits))
+
+    val maxDriverRows = 4000000
+    val sums = hashed.groupBy(stratumCol, "__tbb__")
+      .agg(sum(weight).as("__s__"))
+      .orderBy(stratumCol, "__tbb__")
+      .limit(maxDriverRows + 1)
+      .collect()
+    require(sums.length <= maxDriverRows,
+      s"more than $maxDriverRows (stratum, bucket) cells — lower bucketHexDigits")
+    // exclusive running offset per stratum, buckets in hash order
+    var prev: Any = null
+    var acc = 0L
+    val offsets = sums.map { r =>
+      val (st, b, s) = (r.get(0), r.getString(1), r.getLong(2))
+      if (st != prev) { prev = st; acc = 0L }
+      val o = (String.valueOf(st), b, acc); acc += s; o
+    }
+    val spark = df.sparkSession
+    import spark.implicits._
+    val offsetDf = broadcast(offsets.toSeq
+      .toDF("__tbst__", "__tbob__", "__tboff__"))
+
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(stratumCol), col("__tbb__"))
+      .orderBy(col("__tbh__"), key)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    hashed
+      .join(offsetDf, hashed(stratumCol).cast("string") === col("__tbst__")
+        && hashed("__tbb__") === col("__tbob__"))
+      .withColumn("cum_before",
+        col("__tboff__") + coalesce(sum(weight).over(w), lit(0L)))
+      .filter(col("cum_before") < budget)
+      .drop("__tbh__", "__tbb__", "__tbob__", "__tboff__", "__tbst__")
+  }
+
   /** Deterministic corpus shuffle: a TOTAL order by the same
     * engine-portable (key, salt) hash as [[sampleByHash]] —
     * reproducible training-order randomization. Rerun it and get the

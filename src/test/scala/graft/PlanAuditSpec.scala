@@ -144,6 +144,18 @@ class PlanAuditSpec extends AnyFunSuite {
       assert(l.contains("__b__"), s"unpartitioned (global) window: $l"))
   }
 
+  test("q_sample_budget's prefix sum windows are (stratum, bucket)-partitioned, never per-stratum") {
+    val s = planString(executed(SparkEntry.queries("q_sample_budget")(spark, dir)))
+    // one window partition per stratum would hold most of a real
+    // mixture's corpus in one task; every window must also carry the
+    // hash bucket, and the offsets must fold back via broadcast
+    val windows = s.linesIterator.filter(_.contains("windowspecdefinition")).toSeq
+    assert(windows.nonEmpty, s"no window in plan:\n$s")
+    windows.foreach(l =>
+      assert(l.contains("__tbb__"), s"window not bucket-partitioned: $l"))
+    assert(s.contains("BroadcastHashJoin"), s"offsets not broadcast:\n$s")
+  }
+
   test("q_chunk plans as pure projection + generate — no shuffle at all") {
     val df = ops.TextOps.chunkDocuments(
       spark.read.parquet(s"$dir/documents.parquet"), "doc_id", "text",

@@ -99,6 +99,69 @@ class SamplingSpec extends AnyFunSuite {
       Sampling.sampleByStratum(df, col("k"), col("lang"), Seq.empty, 0.1, ":m"))
   }
 
+  test("sampleByTokenBudget: equals the naive per-stratum window at every bucket width") {
+    // real corpus, lang strata, n_chars as the weight — the bucketed
+    // prefix sum must be bit-equal to the textbook one-window-per-
+    // stratum form it replaces
+    val docs = graft.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val budgets = Seq("en" -> 40000L, "de" -> 15000L, "zh" -> 5000L)
+    val salt = ":tb-spec"
+    def naive: Map[Long, Long] = {
+      val hx = Sampling.hashPrefix(col("doc_id"), salt)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("lang").orderBy(hx, col("doc_id"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+      val budget = budgets.foldRight(lit(null).cast("long")) {
+        case ((l, b), els) => when(col("lang") === l, lit(b)).otherwise(els)
+      }
+      docs.withColumn("cum_before",
+          coalesce(sum(coalesce(col("n_chars").cast("long"), lit(0L))).over(w), lit(0L)))
+        .filter(col("cum_before") < budget)
+        .select("doc_id", "cum_before")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    }
+    val expected = naive
+    assert(expected.nonEmpty)
+    for (digits <- Seq(1, 2, 3)) {
+      val got = Sampling.sampleByTokenBudget(
+        docs, col("doc_id"), "lang", "n_chars", budgets, salt,
+        bucketHexDigits = digits)
+        .select("doc_id", "cum_before")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == expected, s"bucketHexDigits=$digits diverged")
+    }
+  }
+
+  test("sampleByTokenBudget: crossing doc kept, unlisted strata dropped, null weight = 0") {
+    val df = Seq(
+      ("a", 1L, 100L), ("a", 2L, 100L), ("a", 3L, 100L),
+      ("b", 10L, 7L), ("c", 20L, 5L)
+    ).toDF("s", "k", "tok")
+      .unionAll(Seq(("a", 4L, Option.empty[Long])).toDF("s", "k", "tok"))
+    // budget 1 token: the hash-first doc of stratum a crosses it and
+    // is kept alone... unless the null-weight doc hashes first (it
+    // contributes 0 and keeps cum_before at 0 for the next doc too)
+    val kept = Sampling.sampleByTokenBudget(
+      df, col("k"), "s", "tok", Seq("a" -> 1L), ":t")
+      .select("s", "k").collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(kept.forall(_._1 == "a"))  // b and c have no budget
+    // exactly: every doc with cum_before < 1, i.e. the hash-order
+    // prefix of zero-weight docs plus the first weighted one
+    val order = df.filter(col("s") === "a")
+      .withColumn("h", Sampling.hashPrefix(col("k"), ":t"))
+      .orderBy("h", "k").select("k", "tok").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1)))
+    val expect = scala.collection.mutable.ArrayBuffer[Long]()
+    var acc = 0L
+    for ((k, t) <- order) { if (acc < 1L) expect += k; acc += t }
+    assert(kept.map(_._2).sorted.toSeq == expect.sorted.toSeq)
+    // a generous budget keeps the whole stratum
+    val all = Sampling.sampleByTokenBudget(
+      df, col("k"), "s", "tok", Seq("b" -> 1000L), ":t")
+      .select("k").collect().map(_.getLong(0)).toSet
+    assert(all == Set(10L))
+  }
+
   test("shuffleByHash: a reproducible permutation; local variant adds no exchange") {
     val df = keys
     val p1 = Sampling.shuffleByHash(df, col("k"), ":sh").collect().map(_.getLong(0)).toSeq
