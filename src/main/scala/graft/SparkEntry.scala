@@ -949,6 +949,18 @@ object SparkEntry {
         .orderBy("doc_id")
     },
 
+    "q_dedup_cross_exact" -> { (s, dir) =>
+      // EXACT cross-corpus dedup behind the bloom prefilter: the
+      // reference slice (doc_id % 7 == 0) trivially duplicates itself
+      // inside the full-table corpus, so exactly that slice must go —
+      // verdicts exact because flagged docs re-verify by fingerprint
+      val docs = t(s, dir, "documents")
+      ops.Dedup.exactCrossDedup(
+        docs, docs.filter(col("doc_id") % 7 === 0), "doc_id", "text")
+        .select("doc_id")
+        .orderBy("doc_id")
+    },
+
     "q_sample_budget" -> { (s, dir) =>
       // token-BUDGET mixture ("take N tokens per source" — how
       // training mixtures are actually specified): per-lang char
@@ -2009,6 +2021,17 @@ object SparkEntry {
          |            WHEN 'zh' THEN 'g'
          |            ELSE '${ops.Sampling.hexThreshold(0.125)}' END
          |ORDER BY doc_id""".stripMargin,
+
+    // exact fingerprint anti-membership — the bloom prefilter must not
+    // change verdicts, so the oracle knows nothing about it
+    "q_dedup_cross_exact" ->
+      """WITH n AS (
+        |  SELECT doc_id,
+        |         md5(regexp_replace(lower(trim(text)), '[ \t\n\x0b\f\r]+', ' ', 'g')) AS fp
+        |  FROM documents),
+        |r AS (SELECT DISTINCT fp FROM n WHERE doc_id % 7 = 0)
+        |SELECT doc_id FROM n ANTI JOIN r USING (fp)
+        |ORDER BY doc_id""".stripMargin,
 
     // the per-stratum exclusive prefix sum over (md5-prefix, doc_id)
     // order — DuckDB computes it with the textbook one-window-per-

@@ -1239,6 +1239,15 @@ final class Pipeline private (
       graft.ops.Dedup.crossCorpusDedup(_, reference, idCol, textCol,
         shingleN, numHashes, bands, threshold)))
 
+  /** Drop rows whose normalized text EXACTLY appears in `reference`
+    * ([[graft.ops.Dedup.exactCrossDedup]] — bloom-prefiltered
+    * incremental-crawl dedup; [[dedupAgainst]] is the near-dup form). */
+  def dedupExactAgainst(
+      reference: DataFrame, idCol: String, textCol: String,
+      fpp: Double = 0.01): Pipeline =
+    add(MapStep("dedupExactAgainst",
+      graft.ops.Dedup.exactCrossDedup(_, reference, idCol, textCol, fpp)))
+
   /** Keep only rows passing the Gopher quality rules
     * ([[graft.ops.TextOps.gopherSignals]] /
     * [[graft.ops.TextOps.gopherPass]]) — published thresholds by

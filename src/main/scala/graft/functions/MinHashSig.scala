@@ -178,6 +178,14 @@ object exprs {
         org.apache.spark.util.sketch.BloomFilter]): Column =
     Bridge.toColumn(GramBloomOverlap(Bridge.toExpression(grams), bloomBc))
 
+  /** Single 64-bit key possibly in a broadcast Bloom filter (see
+    * [[LongBloomContains]]). */
+  def bloom_might_contain(
+      key: Column,
+      bloomBc: org.apache.spark.broadcast.Broadcast[
+        org.apache.spark.util.sketch.BloomFilter]): Column =
+    Bridge.toColumn(LongBloomContains(Bridge.toExpression(key), bloomBc))
+
   /** Per-token log10 stupid-backoff LM scores of a string column (see
     * [[LmTokenScores]]). */
   def lm_token_scores(

@@ -42,6 +42,43 @@ object Dedup {
         struct(col(orderCol).isNull, col(orderCol))).as("__r__"))
       .select("__r__.*")
 
+  /** Drop every corpus document whose normalized-text fingerprint
+    * appears in `reference` — EXACT cross-corpus dedup (an incremental
+    * crawl against the already-shipped training set; the near-dup
+    * analogue is [[crossCorpusDedup]]). Built for reference sets of
+    * billions of fingerprints: a Bloom filter over the reference
+    * fingerprint hashes is built DISTRIBUTED and broadcast (~1.2 bytes
+    * per fingerprint at `fpp` 1%), each corpus document probes it with
+    * one codegen'd scalar test, and — bloom error being one-sided —
+    * only flagged documents re-enter the exact fingerprint semi-join,
+    * so verdicts are exact while the join input shrinks to true
+    * duplicates + ~`fpp` of the corpus. `broadcastReference = false`
+    * shuffles the verify instead — for a reference too big even for
+    * its distinct-fingerprint frame to broadcast; the corpus side of
+    * that shuffle is already bloom-cut. Null-text documents have no
+    * fingerprint and are always kept. */
+  def exactCrossDedup(
+      corpus: DataFrame, reference: DataFrame, idCol: String, textCol: String,
+      fpp: Double = 0.01, broadcastReference: Boolean = true): DataFrame = {
+    require(fpp > 0 && fpp < 1, s"exactCrossDedup: fpp must be in (0,1), got $fpp")
+    val refFps = reference
+      .select(TextOps.fingerprint(col(textCol)).as("__fp__"))
+      .filter(col("__fp__").isNotNull).distinct()
+    val nFps = refFps.count()
+    if (nFps == 0) return corpus
+    val bloom = refFps.select(xxhash64(col("__fp__")).as("__h__"))
+      .stat.bloomFilter("__h__", nFps, fpp)
+    val bc = corpus.sparkSession.sparkContext.broadcast(bloom)
+    val maybe = coalesce(graft.functions.exprs.bloom_might_contain(
+      xxhash64(TextOps.fingerprint(col(textCol))), bc), lit(false))
+    val dupIds = corpus.filter(maybe)
+      .select(col(idCol), TextOps.fingerprint(col(textCol)).as("__fp__"))
+      .join(if (broadcastReference) broadcast(refFps) else refFps,
+        Seq("__fp__"), "left_semi")
+      .select(idCol).distinct()
+    corpus.join(broadcast(dupIds), Seq(idCol), "left_anti")
+  }
+
   /** MinHash signature column (array<long> of `numHashes` minima over
     * shingle hashes). Seeded by hash index — deterministic everywhere.
     *

@@ -83,6 +83,29 @@ class OpsSpec extends AnyFunSuite {
     assert(kept.forall(r => r.getString(1) != null)) // no fabricated all-null row
   }
 
+  test("Dedup.exactCrossDedup drops fingerprint matches only, keeps null text, honors empty reference") {
+    val corpus = Seq(
+      (1L, Option("Alpha  beta\tgamma")),     // normalization variant of ref — dropped
+      (2L, Option("alpha beta gamma")),       // exact ref text — dropped
+      (3L, Option("unrelated document")),     // clean
+      (4L, Option.empty[String])              // null text — always kept
+    ).toDF("doc_id", "text")
+    val reference = Seq((100L, "alpha beta gamma"), (101L, "other ref")).toDF("doc_id", "text")
+    val kept = Dedup.exactCrossDedup(corpus, reference, "doc_id", "text")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(3L, 4L))
+    // empty reference: everything survives
+    val all = Dedup.exactCrossDedup(
+      corpus, reference.filter($"doc_id" < 0), "doc_id", "text")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(all == Set(1L, 2L, 3L, 4L))
+    // the shuffled-verify path makes the same verdicts
+    val shuffled = Dedup.exactCrossDedup(
+      corpus, reference, "doc_id", "text", broadcastReference = false)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(shuffled == kept)
+  }
+
   test("Dedup.minhashNearDups finds exact and near dups, not unrelated") {
     val pairs = Dedup.minhashNearDups(docs, "doc_id", "text",
       shingleN = 2, numHashes = 64, bands = 32, threshold = 0.5)

@@ -97,6 +97,32 @@ class StreamsSpec extends AnyFunSuite {
     assert(s == b)
   }
 
+  test("streaming approximate decontaminateBloom equals its batch form and never keeps a tainted doc") {
+    val docs = graft.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+      .select("doc_id", "text")
+    val evalDf = docs.filter(col("doc_id") % 20 === 0)
+    val corpus = docs.filter(col("doc_id") % 20 =!= 0)
+    val dir = Files.createTempDirectory("graft-stream-bloom").toString
+    corpus.write.mode("overwrite").parquet(dir)
+
+    // the approximate form is a pure stateless filter (the bloom is
+    // built from the BATCH eval side before the stream starts), so it
+    // streams unchanged; one-sided error means it may drop extra
+    // clean docs but must agree with itself and never keep contamination
+    val streamed = graft.ops.Contamination.decontaminateBloom(
+      Streams.parquetStream(spark, dir, corpus.schema), evalDf,
+      "doc_id", "text", approximate = true)
+    Streams.runToMemory(streamed, "bloom_stream")
+    val s = spark.table("bloom_stream").select("doc_id").collect().map(_.getLong(0)).toSet
+    val b = graft.ops.Contamination.decontaminateBloom(
+      corpus, evalDf, "doc_id", "text", approximate = true)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val exact = graft.ops.Contamination.decontaminate(corpus, evalDf, "doc_id", "text")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(s.nonEmpty && s == b)
+    assert(s.subsetOf(exact))
+  }
+
   test("LM and NB scoring are streaming-identical (stateless broadcast models)") {
     val docs = graft.Tables.load(spark, "/root/testdata/sf0.001", "documents")
       .select("doc_id", "text")
