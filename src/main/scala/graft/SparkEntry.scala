@@ -949,6 +949,17 @@ object SparkEntry {
         .orderBy("doc_id")
     },
 
+    "q_quality_bucket" -> { (s, dir) =>
+      // CCNet head/middle/tail: per-lang tercile cutoffs, labels by
+      // comparison. exact=true so DuckDB's quantile_cont reproduces
+      // the cutoffs bit-for-bit (proven by q_quantiles); the corpus
+      // path is the GK-sketch default, spec-pinned for monotonicity
+      ops.Sketches.bucketByQuantile(
+        t(s, dir, "documents"), "n_chars", Some("lang"), exact = true)
+        .select("doc_id", "lang", "bucket")
+        .orderBy("doc_id")
+    },
+
     "q_dedup_cross_exact" -> { (s, dir) =>
       // EXACT cross-corpus dedup behind the bloom prefilter: the
       // reference slice (doc_id % 7 == 0) trivially duplicates itself
@@ -2021,6 +2032,22 @@ object SparkEntry {
          |            WHEN 'zh' THEN 'g'
          |            ELSE '${ops.Sampling.hexThreshold(0.125)}' END
          |ORDER BY doc_id""".stripMargin,
+
+    // per-stratum interpolated terciles: Spark exact percentile and
+    // DuckDB quantile_cont share the interpolation formula over the
+    // same doubles (q_quantiles pins that), so the labels agree
+    "q_quality_bucket" ->
+      """WITH c AS (
+        |  SELECT lang,
+        |         quantile_cont(n_chars, 1.0/3) AS q0,
+        |         quantile_cont(n_chars, 2.0/3) AS q1
+        |  FROM documents GROUP BY lang)
+        |SELECT doc_id, lang,
+        |       CASE WHEN n_chars <= q0 THEN 'head'
+        |            WHEN n_chars <= q1 THEN 'middle'
+        |            ELSE 'tail' END AS bucket
+        |FROM documents JOIN c USING (lang)
+        |ORDER BY doc_id""".stripMargin,
 
     // exact fingerprint anti-membership — the bloom prefilter must not
     // change verdicts, so the oracle knows nothing about it

@@ -1115,6 +1115,16 @@ final class Pipeline private (
   def withLangId(textCol: String, as: String = "lang_pred"): Pipeline =
     add(MapStep("langId", _.withColumn(as, graft.ops.TextOps.langId(col(textCol)))))
 
+  /** Label rows head/middle/tail by per-stratum score quantiles —
+    * CCNet bucketing ([[graft.ops.Sketches.bucketByQuantile]]). */
+  def withQualityBucket(
+      scoreCol: String, stratumCol: Option[String] = None,
+      cuts: Seq[Double] = Seq(1.0 / 3, 2.0 / 3),
+      labels: Seq[String] = Seq("head", "middle", "tail"),
+      as: String = "bucket"): Pipeline =
+    add(MapStep("qualityBucket",
+      graft.ops.Sketches.bucketByQuantile(_, scoreCol, stratumCol, cuts, labels, as)))
+
   /** Append the whitespace token count ([[graft.ops.TextOps.tokenCount]]). */
   def withTokenCount(textCol: String, as: String = "n_tokens"): Pipeline =
     add(MapStep("tokenCount", _.withColumn(as, graft.ops.TextOps.tokenCount(col(textCol)))))

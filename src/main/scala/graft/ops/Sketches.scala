@@ -49,4 +49,55 @@ object Sketches {
     df.groupBy(c.as("value")).agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("value").asc)
       .limit(k)
+
+  /** CCNet-style quantile bucketing (Wenzek et al. 2020 split web text
+    * into head/middle/tail by per-language perplexity terciles): label
+    * each row by where `scoreCol` falls in its stratum's score
+    * distribution. `cuts` are ascending probabilities (default
+    * terciles); `labels` has one more entry; rows in the k-th
+    * inter-cut interval get `labels(k)` (score <= cutoff → earlier
+    * label, so `head` = LOW scores — pass a reversed `labels` for
+    * higher-is-better scores). NULL scores get a NULL label.
+    *
+    * Scale shape: cutoffs come from ONE mergeable aggregation pass —
+    * Greenwald-Khanna `approx_percentile` (bounded sketch state,
+    * map-side combine) by default, the exact `percentile` only when
+    * `exact = true` (it materializes each stratum's values in its
+    * aggregation buffer — validation/gate scale, and what the DuckDB
+    * oracle can replicate bit-for-bit). Per-stratum cutoff rows are
+    * stratum-count-sized: they broadcast back and labeling is a pure
+    * projection; the corpus is read twice but never shuffled. With
+    * `stratumCol = None` the single global cutoff row cross-joins
+    * (one row broadcast — the tf-idf corpus-N shape). */
+  def bucketByQuantile(
+      df: DataFrame, scoreCol: String, stratumCol: Option[String],
+      cuts: Seq[Double] = Seq(1.0 / 3, 2.0 / 3),
+      labels: Seq[String] = Seq("head", "middle", "tail"),
+      as: String = "bucket",
+      exact: Boolean = false, accuracy: Int = 10000): DataFrame = {
+    require(cuts.nonEmpty && cuts == cuts.sorted && cuts.forall(p => p > 0 && p < 1),
+      s"cuts must be ascending probabilities in (0,1); got $cuts")
+    require(labels.size == cuts.size + 1,
+      s"need ${cuts.size + 1} labels for ${cuts.size} cuts; got ${labels.size}")
+    require(!df.columns.contains(as), s"input already has a column named $as")
+    val cutCols = cuts.zipWithIndex.map { case (p, i) =>
+      (if (exact) percentile(col(scoreCol), lit(p))
+       else percentile_approx(col(scoreCol), lit(p), lit(accuracy)))
+        .as(s"__q$i")
+    }
+    val cutoffs = stratumCol match {
+      case Some(st) => df.groupBy(col(st)).agg(cutCols.head, cutCols.tail: _*)
+      case None => df.agg(cutCols.head, cutCols.tail: _*)
+    }
+    val joined = stratumCol match {
+      case Some(st) => df.join(broadcast(cutoffs), Seq(st), "left")
+      case None => df.crossJoin(broadcast(cutoffs))
+    }
+    val inner = cuts.indices.foldRight(lit(labels.last): Column) { (i, els) =>
+      when(col(scoreCol) <= col(s"__q$i"), lit(labels(i))).otherwise(els)
+    }
+    joined.withColumn(as,
+        when(col(scoreCol).isNull, lit(null).cast("string")).otherwise(inner))
+      .drop(cuts.indices.map(i => s"__q$i"): _*)
+  }
 }

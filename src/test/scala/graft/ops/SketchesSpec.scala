@@ -44,6 +44,46 @@ class SketchesSpec extends AnyFunSuite {
     }
   }
 
+  test("bucketByQuantile: exact terciles label hand-computed data; nulls stay null") {
+    val df = Seq(
+      ("a", 1L, Option(10.0)), ("a", 2L, Option(20.0)), ("a", 3L, Option(30.0)),
+      ("a", 4L, Option(40.0)), ("a", 5L, Option(50.0)), ("a", 6L, Option(60.0)),
+      ("a", 7L, Option.empty[Double]),
+      // stratum b shifted by 100: its own cutoffs, not a's
+      ("b", 8L, Option(110.0)), ("b", 9L, Option(120.0)), ("b", 10L, Option(130.0))
+    ).toDF("s", "k", "score")
+    val out = Sketches.bucketByQuantile(df, "score", Some("s"), exact = true)
+      .select("k", "bucket").collect()
+      .map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    // stratum a: q1/3 of (10..60) = 26.67, q2/3 = 43.33
+    assert(out(1L).contains("head") && out(2L).contains("head"))
+    assert(out(3L).contains("middle") && out(4L).contains("middle"))
+    assert(out(5L).contains("tail") && out(6L).contains("tail"))
+    assert(out(7L).isEmpty)
+    // stratum b is judged against its own distribution
+    assert(out(8L).contains("head") && out(10L).contains("tail"))
+  }
+
+  test("bucketByQuantile: approx labels are monotone in score within a stratum") {
+    val out = Sketches.bucketByQuantile(docs, "n_chars", Some("lang"))
+      .select("lang", "n_chars", "bucket").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2)))
+    val rank = Map("head" -> 0, "middle" -> 1, "tail" -> 2)
+    out.groupBy(_._1).foreach { case (_, rows) =>
+      assert(rows.map(r => rank(r._3)).toSet.size >= 2) // cutoffs actually split
+      rows.sortBy(_._2).foldLeft(0) { (prev, r) =>
+        val b = rank(r._3)
+        assert(b >= prev, s"label regressed in score order: $r"); b
+      }
+    }
+    // global (no stratum): one cutoff row, same monotonicity
+    val g = Sketches.bucketByQuantile(docs, "n_chars", None)
+      .select("n_chars", "bucket").collect().map(r => (r.getLong(0), r.getString(1)))
+    g.sortBy(_._1).foldLeft(0) { (prev, r) =>
+      val b = rank(r._2); assert(b >= prev); b
+    }
+  }
+
   test("topValues equals the exact frequency ranking") {
     val got = Sketches.topValues(events, $"event_type", 3)
       .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
