@@ -130,17 +130,24 @@ object Contamination {
       fpp: Double = 0.01, approximate: Boolean = false,
       broadcastEval: Boolean = true): DataFrame = {
     require(fpp > 0 && fpp < 1, s"decontaminateBloom: fpp must be in (0,1), got $fpp")
+    // the eval gram stream is the largest recurring input here (the
+    // count that sizes the bits honestly, the filter build, and — on
+    // the exact path — the verify join all read it), so the distinct
+    // gram frame is cached across the two EAGER uses and released
+    // before returning; the lazy verify join recomputes it once at
+    // the caller's action instead of a third and fourth time
     val evalGrams = gramHashes(eval, Seq.empty, textCol, gramN)
       .select("__h__").distinct()
-    // the count and the filter build are two passes over the EVAL side
-    // only (benchmark/blocklist-sized, and the second pass is what
-    // sizes the bits honestly — a guessed capacity either wastes
-    // executor memory or silently degrades fpp)
-    val nGrams = evalGrams.count()
-    // a gram-less eval side taints nothing — and Spark's bloomFilter
-    // aggregate NPEs on zero rows (null buffer into readFrom)
-    if (nGrams == 0) return corpus
-    val bloom = evalGrams.stat.bloomFilter("__h__", nGrams, fpp)
+    evalGrams.persist()
+    val bloom =
+      try {
+        val nGrams = evalGrams.count()
+        // a gram-less eval side taints nothing — and Spark's
+        // bloomFilter aggregate NPEs on zero rows (null buffer into
+        // readFrom)
+        if (nGrams == 0) return corpus
+        evalGrams.stat.bloomFilter("__h__", nGrams, fpp)
+      } finally evalGrams.unpersist()
     val bc = corpus.sparkSession.sparkContext.broadcast(bloom)
     val grams = graft.functions.exprs.word_ngram_hashes(
       col(textCol), gramN, shortFallback = false)
@@ -149,16 +156,17 @@ object Contamination {
       graft.functions.exprs.gram_bloom_overlap(grams, bc), lit(false))
     if (approximate) corpus.filter(!maybe)
     else {
-      // exact: only bloom-flagged documents' grams reach the join;
-      // the tainted id set is contamination-sized, so the final
-      // anti-join broadcasts. For an eval side past broadcast size —
-      // the very case this operator exists for — pass
-      // `broadcastEval = false`: the verify then shuffles BOTH sides
-      // on the gram hash, but the corpus side is already cut to the
-      // bloom survivors, so the big side of that shuffle is eval
+      // exact: only bloom-flagged documents' grams reach the join.
+      // For an eval side past broadcast size — the very case this
+      // operator exists for — pass `broadcastEval = false`: the
+      // verify then shuffles BOTH sides on the gram hash, but the
+      // corpus side is already cut to the bloom survivors. The final
+      // anti-join is left to the planner: the tainted set is usually
+      // contamination-sized (broadcast), but a blocklist matching a
+      // big corpus fraction must be allowed to shuffle
       val tainted = taintedIds(
         corpus.filter(maybe), eval, idCol, textCol, gramN, broadcastEval)
-      corpus.join(broadcast(tainted), Seq(idCol), "left_anti")
+      corpus.join(tainted, Seq(idCol), "left_anti")
     }
   }
 

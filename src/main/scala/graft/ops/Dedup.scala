@@ -61,13 +61,19 @@ object Dedup {
       corpus: DataFrame, reference: DataFrame, idCol: String, textCol: String,
       fpp: Double = 0.01, broadcastReference: Boolean = true): DataFrame = {
     require(fpp > 0 && fpp < 1, s"exactCrossDedup: fpp must be in (0,1), got $fpp")
+    // cached across the two eager uses (count + bloom build), released
+    // before returning; the lazy verify join recomputes it once
     val refFps = reference
       .select(TextOps.fingerprint(col(textCol)).as("__fp__"))
       .filter(col("__fp__").isNotNull).distinct()
-    val nFps = refFps.count()
-    if (nFps == 0) return corpus
-    val bloom = refFps.select(xxhash64(col("__fp__")).as("__h__"))
-      .stat.bloomFilter("__h__", nFps, fpp)
+    refFps.persist()
+    val bloom =
+      try {
+        val nFps = refFps.count()
+        if (nFps == 0) return corpus
+        refFps.select(xxhash64(col("__fp__")).as("__h__"))
+          .stat.bloomFilter("__h__", nFps, fpp)
+      } finally refFps.unpersist()
     val bc = corpus.sparkSession.sparkContext.broadcast(bloom)
     val maybe = coalesce(graft.functions.exprs.bloom_might_contain(
       xxhash64(TextOps.fingerprint(col(textCol))), bc), lit(false))
@@ -76,7 +82,9 @@ object Dedup {
       .join(if (broadcastReference) broadcast(refFps) else refFps,
         Seq("__fp__"), "left_semi")
       .select(idCol).distinct()
-    corpus.join(broadcast(dupIds), Seq(idCol), "left_anti")
+    // anti-join left to the planner: a recrawl where a large corpus
+    // fraction duplicates the reference makes dupIds un-broadcastable
+    corpus.join(dupIds, Seq(idCol), "left_anti")
   }
 
   /** MinHash signature column (array<long> of `numHashes` minima over

@@ -21,9 +21,73 @@ import org.apache.spark.sql.{Column, DataFrame}
   */
 object Packing {
 
-  /** Above this many buckets the per-bucket offsets stop being driver
-    * material — choose a wider `bucketWidth`. */
+  /** Above this many (partition, bucket) cells the per-bucket offsets
+    * stop being driver material — choose a wider `bucketWidth`. */
   private val maxBuckets = 4000000
+
+  /** The shared order-aligned-bucket exclusive-prefix-sum protocol
+    * behind [[globalCumsum]] (no partitions) and
+    * [[graft.ops.Sampling.sampleByTokenBudget]] (one running total per
+    * stratum): bucket rows by a prefix of their order key, pull ONE
+    * bounded sum row per (partition, bucket) cell to the driver,
+    * fold exclusive offsets (reset at each partition-key change —
+    * cells arrive partition-major), broadcast them back, and window
+    * only within (partition, bucket) — many small ordered partitions,
+    * never one global (or one per-stratum) window.
+    *
+    * `bucket` must order consistently with `orderCols` (a bucket holds
+    * an order-contiguous range), and partition/bucket keys must be
+    * NON-NULL — a NULL there fails loudly: the driver fold would
+    * misplace the null cell AND the equality join would silently drop
+    * its rows while their weight still inflated later offsets. */
+  private[ops] def bucketedCumsum(
+      df: DataFrame, partitionCols: Seq[String], bucket: Column,
+      orderCols: Seq[Column], weight: Column, what: String): DataFrame = {
+    Seq("__b__", "__off__", "cum_before").foreach(c =>
+      require(!df.columns.contains(c), s"input already has a column named $c"))
+    val bucketed = df.withColumn("__b__", bucket)
+    val cellCols = partitionCols :+ "__b__"
+
+    val sums = bucketed.groupBy(cellCols.map(col): _*)
+      .agg(sum(weight).as("__s__"))
+      .orderBy(cellCols.map(col): _*)
+      .limit(maxBuckets + 1)
+      .collect()
+    require(sums.length <= maxBuckets,
+      s"$what: more than $maxBuckets (partition, bucket) cells — widen the bucket")
+    val np = partitionCols.length
+    require(sums.forall(r => (0 to np).forall(!r.isNullAt(_))),
+      s"$what: a partition/order key contains NULL — keys must be non-null " +
+        "(a null key has no position in the running order)")
+
+    var prevKey: Seq[Any] = null
+    var acc = 0L
+    val offsetRows: Seq[org.apache.spark.sql.Row] = sums.toIndexedSeq.map { r =>
+      val pk = (0 until np).map(r.get)
+      if (pk != prevKey) { prevKey = pk; acc = 0L }
+      val row = org.apache.spark.sql.Row.fromSeq(pk ++ Seq(r.get(np), acc))
+      acc += r.getLong(np + 1)
+      row
+    }
+    val spark = df.sparkSession
+    val offSchema = org.apache.spark.sql.types.StructType(
+      partitionCols.map(c => bucketed.schema(c).copy(name = s"__p_$c")) ++ Seq(
+        bucketed.schema("__b__").copy(name = "__ob__"),
+        org.apache.spark.sql.types.StructField(
+          "__off__", org.apache.spark.sql.types.LongType, nullable = false)))
+    val offsetDf = broadcast(spark.createDataFrame(
+      scala.jdk.CollectionConverters.SeqHasAsJava(offsetRows).asJava, offSchema))
+
+    val joinCond = (partitionCols.map(c => bucketed(c) === offsetDf(s"__p_$c")) :+
+      (bucketed("__b__") === offsetDf("__ob__"))).reduce(_ && _)
+    val w = Window.partitionBy(cellCols.map(col): _*).orderBy(orderCols: _*)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    bucketed.join(offsetDf, joinCond)
+      .withColumn("cum_before",
+        col("__off__") + coalesce(sum(weight).over(w), lit(0L)))
+      .drop("__b__", "__off__", "__ob__")
+      .drop(partitionCols.map(c => s"__p_$c"): _*)
+  }
 
   /** Adds `cum_before` = sum of `weightCol` over all rows strictly
     * before this one in `orderCol` order (exclusive prefix sum).
@@ -40,37 +104,11 @@ object Packing {
       df: DataFrame, orderCol: String, weightCol: String,
       bucketWidth: Long = 100000): DataFrame = {
     require(bucketWidth > 0, "bucketWidth must be positive")
-    Seq("__b__", "__off__", "cum_before").foreach(c =>
-      require(!df.columns.contains(c), s"input already has a column named $c"))
-    val weight = coalesce(col(weightCol).cast("long"), lit(0L))
-    val bucketed = df.withColumn("__b__",
-      floor(col(orderCol).cast("long") / bucketWidth))
-
-    // one bounded row per bucket -> exclusive prefix offset per bucket
-    val sums = bucketed.groupBy("__b__")
-      .agg(sum(weight).as("__s__"))
-      .orderBy("__b__")
-      .limit(maxBuckets + 1)
-      .collect()
-    require(sums.length <= maxBuckets,
-      s"more than $maxBuckets buckets at bucketWidth=$bucketWidth — widen the bucket")
-    require(sums.forall(!_.isNullAt(0)),
-      s"globalCumsum: $orderCol contains NULL — order keys must be non-null")
-    var acc = 0L
-    val offsets = sums.map { r =>
-      val o = (r.getLong(0), acc); acc += r.getLong(1); o
-    }
-    val spark = df.sparkSession
-    import spark.implicits._
-    val offsetDf = broadcast(offsets.toSeq.toDF("__b__", "__off__"))
-
-    // within-bucket exclusive cumsum: many SMALL ordered partitions
-    val w = Window.partitionBy("__b__").orderBy(orderCol)
-      .rowsBetween(Window.unboundedPreceding, -1)
-    bucketed.join(offsetDf, Seq("__b__"))
-      .withColumn("cum_before",
-        col("__off__") + coalesce(sum(weight).over(w), lit(0L)))
-      .drop("__b__", "__off__")
+    bucketedCumsum(df, Seq.empty,
+      floor(col(orderCol).cast("long") / bucketWidth),
+      Seq(col(orderCol)),
+      coalesce(col(weightCol).cast("long"), lit(0L)),
+      s"globalCumsum($orderCol)")
   }
 
   /** Adds `shard_id` = `budget`-token chunk index of the document's

@@ -126,50 +126,26 @@ object Sampling {
     require(budgets.forall(_._2 > 0), "budgets must be positive token counts")
     require(bucketHexDigits >= 1 && bucketHexDigits < Digits,
       s"bucketHexDigits must be in [1, $Digits); got $bucketHexDigits")
-    Seq("__tbh__", "__tbb__", "__tboff__", "cum_before").foreach(c =>
-      require(!df.columns.contains(c), s"input already has a column named $c"))
+    require(!df.columns.contains("__tbh__"),
+      "input already has a column named __tbh__")
 
     val budget = budgets.foldRight(lit(null).cast("long")) {
       case ((label, b), els) => when(col(stratumCol) === label, lit(b)).otherwise(els)
     }
-    val weight = coalesce(col(weightCol).cast("long"), lit(0L))
-    // budget-less strata leave before any aggregation work
+    // budget-less strata leave before any aggregation work; the
+    // prefix-sum protocol itself is Packing's (one audited
+    // implementation — including the loud null-key guard: a null key
+    // hashes to a null bucket, which would silently misplace weight)
     val hashed = df.filter(budget.isNotNull)
       .withColumn("__tbh__", hashPrefix(key, salt))
-      .withColumn("__tbb__", substring(col("__tbh__"), 1, bucketHexDigits))
-
-    val maxDriverRows = 4000000
-    val sums = hashed.groupBy(stratumCol, "__tbb__")
-      .agg(sum(weight).as("__s__"))
-      .orderBy(stratumCol, "__tbb__")
-      .limit(maxDriverRows + 1)
-      .collect()
-    require(sums.length <= maxDriverRows,
-      s"more than $maxDriverRows (stratum, bucket) cells — lower bucketHexDigits")
-    // exclusive running offset per stratum, buckets in hash order
-    var prev: Any = null
-    var acc = 0L
-    val offsets = sums.map { r =>
-      val (st, b, s) = (r.get(0), r.getString(1), r.getLong(2))
-      if (st != prev) { prev = st; acc = 0L }
-      val o = (String.valueOf(st), b, acc); acc += s; o
-    }
-    val spark = df.sparkSession
-    import spark.implicits._
-    val offsetDf = broadcast(offsets.toSeq
-      .toDF("__tbst__", "__tbob__", "__tboff__"))
-
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col(stratumCol), col("__tbb__"))
-      .orderBy(col("__tbh__"), key)
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
-    hashed
-      .join(offsetDf, hashed(stratumCol).cast("string") === col("__tbst__")
-        && hashed("__tbb__") === col("__tbob__"))
-      .withColumn("cum_before",
-        col("__tboff__") + coalesce(sum(weight).over(w), lit(0L)))
+    Packing.bucketedCumsum(
+      hashed, Seq(stratumCol),
+      substring(col("__tbh__"), 1, bucketHexDigits),
+      Seq(col("__tbh__"), key),
+      coalesce(col(weightCol).cast("long"), lit(0L)),
+      "sampleByTokenBudget")
       .filter(col("cum_before") < budget)
-      .drop("__tbh__", "__tbb__", "__tbob__", "__tboff__", "__tbst__")
+      .drop("__tbh__")
   }
 
   /** Deterministic corpus shuffle: a TOTAL order by the same

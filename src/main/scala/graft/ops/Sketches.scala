@@ -79,19 +79,23 @@ object Sketches {
       s"cuts must be ascending probabilities in (0,1); got $cuts")
     require(labels.size == cuts.size + 1,
       s"need ${cuts.size + 1} labels for ${cuts.size} cuts; got ${labels.size}")
-    require(!df.columns.contains(as), s"input already has a column named $as")
+    (as +: "__qs" +: cuts.indices.map(i => s"__q$i")).foreach(c =>
+      require(!df.columns.contains(c), s"input already has a column named $c"))
     val cutCols = cuts.zipWithIndex.map { case (p, i) =>
       (if (exact) percentile(col(scoreCol), lit(p))
        else percentile_approx(col(scoreCol), lit(p), lit(accuracy)))
         .as(s"__q$i")
     }
-    val cutoffs = stratumCol match {
-      case Some(st) => df.groupBy(col(st)).agg(cutCols.head, cutCols.tail: _*)
-      case None => df.agg(cutCols.head, cutCols.tail: _*)
-    }
     val joined = stratumCol match {
-      case Some(st) => df.join(broadcast(cutoffs), Seq(st), "left")
-      case None => df.crossJoin(broadcast(cutoffs))
+      case Some(st) =>
+        // null-SAFE stratum match: a null stratum (failed langid is
+        // routine) is its own group and must meet its own cutoff row —
+        // an equality join would null its cutoffs and mislabel every
+        // such row with the last label regardless of score
+        val cutoffs = df.groupBy(col(st).as("__qs"))
+          .agg(cutCols.head, cutCols.tail: _*)
+        df.join(broadcast(cutoffs), col(st) <=> col("__qs"), "left").drop("__qs")
+      case None => df.crossJoin(broadcast(df.agg(cutCols.head, cutCols.tail: _*)))
     }
     val inner = cuts.indices.foldRight(lit(labels.last): Column) { (i, els) =>
       when(col(scoreCol) <= col(s"__q$i"), lit(labels(i))).otherwise(els)

@@ -152,7 +152,7 @@ class PlanAuditSpec extends AnyFunSuite {
     val windows = s.linesIterator.filter(_.contains("windowspecdefinition")).toSeq
     assert(windows.nonEmpty, s"no window in plan:\n$s")
     windows.foreach(l =>
-      assert(l.contains("__tbb__"), s"window not bucket-partitioned: $l"))
+      assert(l.contains("__b__"), s"window not bucket-partitioned: $l"))
     assert(s.contains("BroadcastHashJoin"), s"offsets not broadcast:\n$s")
   }
 

@@ -162,6 +162,19 @@ class SamplingSpec extends AnyFunSuite {
     assert(all == Set(10L))
   }
 
+  test("sampleByTokenBudget: a null key fails loudly instead of corrupting offsets") {
+    // a null key hashes to a null bucket: the driver fold would count
+    // its weight into every later offset while the join dropped the
+    // row — the shared guard in Packing.bucketedCumsum must fire
+    val df = Seq((Option(1L), "a", 10L), (Option.empty[Long], "a", 10L))
+      .toDF("k", "s", "tok")
+    val e = intercept[IllegalArgumentException] {
+      Sampling.sampleByTokenBudget(df, col("k"), "s", "tok", Seq("a" -> 100L), ":t")
+        .count()
+    }
+    assert(e.getMessage.contains("NULL"))
+  }
+
   test("shuffleByHash: a reproducible permutation; local variant adds no exchange") {
     val df = keys
     val p1 = Sampling.shuffleByHash(df, col("k"), ":sh").collect().map(_.getLong(0)).toSeq

@@ -64,6 +64,21 @@ class SketchesSpec extends AnyFunSuite {
     assert(out(8L).contains("head") && out(10L).contains("tail"))
   }
 
+  test("bucketByQuantile: a NULL stratum is its own group, not blanket 'tail'") {
+    // failed langid is routine — null-stratum rows must meet their own
+    // cutoff row through the null-safe join, not fall through to the
+    // last label because an equality join nulled their cutoffs
+    val df = Seq(
+      (Option("a"), 1L, 10.0), (Option("a"), 2L, 20.0), (Option("a"), 3L, 30.0),
+      (Option.empty[String], 4L, 1.0), (Option.empty[String], 5L, 2.0),
+      (Option.empty[String], 6L, 3.0)
+    ).toDF("s", "k", "score")
+    val out = Sketches.bucketByQuantile(df, "score", Some("s"), exact = true)
+      .select("k", "bucket").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(4L) == "head" && out(6L) == "tail", s"got $out")
+  }
+
   test("bucketByQuantile: approx labels are monotone in score within a stratum") {
     val out = Sketches.bucketByQuantile(docs, "n_chars", Some("lang"))
       .select("lang", "n_chars", "bucket").collect()
