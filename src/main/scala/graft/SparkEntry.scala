@@ -479,6 +479,16 @@ object SparkEntry {
         .orderBy("doc_id")
     },
 
+    "q_token_count_bpe" -> { (s, dir) =>
+      // the tokenizer-proxy count (alnum runs + standalone marks):
+      // the pattern is lookaround-free, so the SAME regex runs in
+      // DuckDB's RE2 — whitespace spelled as an explicit class
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        asBig(ops.TextOps.bpeishTokenCount(col("text"))).as("n_bpe_tokens"))
+        .orderBy("doc_id")
+    },
+
     "q_quality" -> { (s, dir) =>
       t(s, dir, "documents").select(
         col("doc_id"),
@@ -1378,6 +1388,12 @@ object SparkEntry {
     // separator class '[ \t\n\x0b\f\r]+': RE2's \s EXCLUDES vertical
     // tab (U+000B) while Java's includes it, so a literal '\s+' here
     // would diverge from the Spark side on any \x0b-bearing text
+    "q_token_count_bpe" ->
+      """SELECT doc_id,
+        |  len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9 \t\n\x0b\f\r]')) AS n_bpe_tokens
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin,
+
     "q_token_count" ->
       """SELECT doc_id, len(regexp_split_to_array(trim(text), '[ \t\n\x0b\f\r]+')) AS n_tokens
         |FROM documents ORDER BY doc_id""".stripMargin,

@@ -14,9 +14,23 @@ object TextOps {
   /** Whitespace tokens of a text column. */
   def tokens(c: Column): Column = split(trim(c), "\\s+")
 
-  /** BPE-ish subword split: word pieces plus punctuation as own tokens. */
+  /** BPE-ish subword split: maximal alphanumeric runs plus every other
+    * non-whitespace character as its own token — the standard cheap
+    * proxy for a trained tokenizer's token count ("don't" → don/'/t;
+    * a CJK character counts as one token). Extraction, not split: the
+    * lookaround-split formulation emits bare-whitespace and empty
+    * tokens around punctuation, and lookarounds don't exist in RE2 —
+    * this pattern runs unchanged on any engine (whitespace spelled as
+    * an explicit class: RE2's \s lacks \x0b, Java's has it). Empty or
+    * whitespace-only text yields no tokens (unlike [[tokens]]' legacy
+    * single-empty-token quirk). */
   def bpeishTokens(c: Column): Column =
-    split(trim(c), "(?<=[^A-Za-z0-9])|(?=[^A-Za-z0-9\\s])|\\s+")
+    regexp_extract_all(c,
+      lit("[A-Za-z0-9]+|[^A-Za-z0-9 \t\n\u000B\f\r]"), lit(0))
+
+  /** BPE-ish token count — the budget/length axis a token-budget
+    * pipeline wants when the real tokenizer is out of reach. */
+  def bpeishTokenCount(c: Column): Column = size(bpeishTokens(c))
 
   def tokenCount(c: Column): Column = size(tokens(c))
 

@@ -59,6 +59,21 @@ class OpsSpec extends AnyFunSuite {
     assert(preds == Map(1 -> "en", 2 -> "es", 3 -> "de", 4 -> "fr"))
   }
 
+  test("TextOps.bpeishTokens: alnum runs + standalone marks, no whitespace or empty tokens") {
+    val d = Seq(
+      (1L, "don't"), (2L, "a. b"), (3L, "   "), (4L, "你好 ab"), (5L, "x2,y")
+    ).toDF("id", "text")
+    val toks = d.select($"id", TextOps.bpeishTokens($"text").as("t"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toList).toMap
+    assert(toks(1L) == List("don", "'", "t"))
+    assert(toks(2L) == List("a", ".", "b")) // the old lookaround split emitted a " " token here
+    assert(toks(3L) == Nil)                 // and a single empty token here
+    assert(toks(4L) == List("你", "好", "ab")) // CJK: one token per char
+    assert(toks(5L) == List("x2", ",", "y"))
+    val n = d.select(TextOps.bpeishTokenCount($"text")).collect().map(_.getInt(0))
+    assert(n.toList == List(3, 3, 0, 3, 3))
+  }
+
   test("TextOps: rollingHash is order-sensitive, fingerprint is not") {
     val d = Seq((1, "alpha beta gamma"), (2, "gamma beta alpha")).toDF("id", "text")
     val rh = d.select(TextOps.rollingHash($"text")).collect().map(_.getLong(0))
