@@ -69,6 +69,26 @@ object Ivf {
     centroids.map(_.toSeq).toSeq
   }
 
+  /** Persist a trained quantizer as one parquet table — at corpus
+    * scale the quantizer is trained ONCE and reused by every indexing
+    * and search job, not re-fit per query. Centroids are bounded
+    * driver material by design (`trainCentroids` returns them), so a
+    * small local frame is the honest shape here. */
+  def saveCentroids(spark: org.apache.spark.sql.SparkSession,
+      centroids: Seq[Seq[Double]], path: String): Unit = {
+    import spark.implicits._
+    centroids.zipWithIndex.map { case (c, i) => (i, c) }
+      .toDF("cell", "vec").write.mode("overwrite").parquet(path)
+  }
+
+  /** Load a quantizer persisted by [[saveCentroids]] (cell order
+    * restored — cell ids must survive the round-trip because an
+    * existing [[index]] references them). */
+  def loadCentroids(spark: org.apache.spark.sql.SparkSession,
+      path: String): Seq[Seq[Double]] =
+    spark.read.parquet(path).orderBy("cell").collect()
+      .map(_.getSeq[Double](1).toSeq).toSeq
+
   /** Nearest-centroid cell id for a (double-array) vector column —
     * codegen'd argmax over the broadcast centroid literals. */
   def cellOf(v: Column, centroids: Seq[Seq[Double]]): Column = {

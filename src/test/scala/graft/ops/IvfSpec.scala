@@ -37,4 +37,19 @@ class IvfSpec extends AnyFunSuite {
     assert(cells.sum == emb.count())
     assert(cells.length > 1) // quantizer actually partitions
   }
+
+  test("a saved and reloaded quantizer is bit-identical (cell ids survive)") {
+    val emb = graft.Tables.load(spark, "/root/testdata/sf0.01", "embeddings")
+    val c = Ivf.trainCentroids(emb, "embedding", nCells = 4)
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf-model").toString + "/q"
+    Ivf.saveCentroids(spark, c, dir)
+    val re = Ivf.loadCentroids(spark, dir)
+    assert(re == c)
+    // an index built before the round-trip matches one built after
+    val a = Ivf.index(emb, "vec_id", "embedding", c)
+      .select("__id__", "__cell__").collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val b = Ivf.index(emb, "vec_id", "embedding", re)
+      .select("__id__", "__cell__").collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(a == b)
+  }
 }
