@@ -217,6 +217,53 @@ class PropertiesSpec extends AnyFunSuite {
     }
   }
 
+  test("bloom decontamination equals the join form on random corpora with messy whitespace") {
+    // texts with tabs/newlines/VT and planted eval overlaps: the bloom
+    // path's verdicts must equal the join form's on every draw
+    val sep: Gen[String] = Gen.oneOf(" ", "  ", "\t", "\n", "", " \r\n")
+    val messyText: Gen[String] = for {
+      n <- Gen.chooseNum(6, 16)
+      ws <- Gen.listOfN(n + 1, sep)
+      toks <- Gen.listOfN(n, word)
+    } yield toks.zip(ws).map { case (t, s) => t + s }.mkString
+    val corpusGen = for {
+      evalTexts <- Gen.listOfN(3, messyText)
+      corpusTexts <- Gen.listOfN(8, messyText)
+      planted <- Gen.someOf(evalTexts)
+    } yield (evalTexts, corpusTexts ++ planted.map(t => s"prefix words $t suffix"))
+    forSamples(corpusGen, 8) { case (evalTexts, corpusTexts) =>
+      val evalDf = evalTexts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      val corpus = corpusTexts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      val joinIds = Contamination.decontaminate(corpus, evalDf, "doc_id", "text")
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      val bloomIds = Contamination.decontaminateBloom(corpus, evalDf, "doc_id", "text")
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(bloomIds == joinIds)
+    }
+  }
+
+  test("exactCrossDedup equals the brute-force fingerprint anti-join on random corpora") {
+    val caseVariant: Gen[String => String] = Gen.oneOf(
+      identity[String] _, (s: String) => s.toUpperCase, (s: String) => s"  $s\t")
+    val gen = for {
+      refTexts <- Gen.listOfN(4, text)
+      cleanTexts <- Gen.listOfN(5, text)
+      dups <- Gen.someOf(refTexts)
+      variants <- Gen.listOfN(dups.size, caseVariant)
+    } yield (refTexts, cleanTexts ++ dups.zip(variants).map { case (t, v) => v(t) })
+    forSamples(gen, 8) { case (refTexts, corpusTexts) =>
+      val reference = refTexts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      val corpus = corpusTexts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      val got = Dedup.exactCrossDedup(corpus, reference, "doc_id", "text")
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      val refFps = reference.select(TextOps.fingerprint($"text").as("fp"))
+      val expect = corpus.withColumn("fp", TextOps.fingerprint($"text"))
+        .join(refFps, Seq("fp"), "left_anti")
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(got == expect)
+    }
+  }
+
   test("exact dedup is idempotent and never increases rows") {
     forSamples(Gen.listOfN(12, text), 5) { texts =>
       {
