@@ -131,6 +131,43 @@ class CorpusPrepIntegrationSpec extends AnyFunSuite {
     assert(rep.getAs[Double]("dup_rate") >= 0.0)
   }
 
+  test("bloom dedup/decontamination, token budgets, and quantile buckets compose") {
+    val docs = Tables.load(spark, dir, "documents")
+    val eval = docs.filter(col("doc_id") % 20 === 0)
+    val shipped = docs.filter(col("doc_id") % 7 === 0)
+
+    val out = etl.Pipeline.of("r7b", docs.filter(col("doc_id") % 20 =!= 0))
+      .dedupExactAgainst(shipped, "doc_id", "text")
+      .decontaminateByBloom(eval, "doc_id", "text")
+      .withQualityBucket("n_chars", stratumCol = Some("lang"))
+      .sampleByTokenBudget("doc_id", "lang", "n_chars",
+        Seq("en" -> 20000L, "de" -> 8000L, "zh" -> 15000L), ":r7b")
+      .toDF.localCheckpoint(true)
+
+    val n = out.count()
+    assert(n > 0)
+    // exact cross dedup: no survivor's fingerprint appears in shipped
+    val survFps = out.select(ops.TextOps.fingerprint(col("text")).as("fp"))
+    val shipFps = shipped.select(ops.TextOps.fingerprint(col("text")).as("fp")).distinct()
+    assert(survFps.join(shipFps, Seq("fp"), "left_semi").count() == 0)
+    // bloom decontamination was exact: the join-form verdict agrees
+    assert(ops.Contamination.taintedIds(out, eval, "doc_id", "text").count() == 0)
+    // only budgeted strata ship, each within budget + one crossing doc
+    val byLang = out.groupBy("lang")
+      .agg(sum(col("n_chars")).as("chars"), max(col("n_chars")).as("mx"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(byLang.keySet.subsetOf(Set("en", "de", "zh")))
+    val budgets = Map("en" -> 20000L, "de" -> 8000L, "zh" -> 15000L)
+    byLang.foreach { case (lang, (chars, mx)) =>
+      assert(chars <= budgets(lang) + mx, s"$lang over budget: $chars")
+    }
+    // buckets are labels over the pre-sampling distribution: all three
+    // (or fewer for tiny strata) appear, never null for non-null lang
+    assert(out.filter(col("bucket").isNull).count() == 0)
+    assert(out.select("bucket").distinct().collect().map(_.getString(0)).toSet
+      .subsetOf(Set("head", "middle", "tail")))
+  }
+
   test("span dedup, filter decontamination, and LM/NB scoring compose") {
     val docs = Tables.load(spark, dir, "documents")
     val eval = docs.filter(col("doc_id") % 20 === 0)
