@@ -43,7 +43,8 @@ object Packing {
   private[ops] def bucketedCumsum(
       df: DataFrame, partitionCols: Seq[String], bucket: Column,
       orderCols: Seq[Column], weight: Column, what: String): DataFrame = {
-    Seq("__b__", "__off__", "cum_before").foreach(c =>
+    (Seq("__b__", "__ob__", "__off__", "cum_before") ++
+      partitionCols.map(c => s"__p_$c")).foreach(c =>
       require(!df.columns.contains(c), s"input already has a column named $c"))
     val bucketed = df.withColumn("__b__", bucket)
     val cellCols = partitionCols :+ "__b__"
@@ -63,9 +64,19 @@ object Packing {
     var prevKey: Seq[Any] = null
     var acc = 0L
     val offsetRows: Seq[org.apache.spark.sql.Row] = sums.toIndexedSeq.map { r =>
-      val pk = (0 until np).map(r.get)
+      // VALUE equality for the partition-change test: a collected
+      // BinaryType cell is an Array[Byte], whose Seq equality is
+      // reference-based — without the wrap, every cell would look like
+      // a new partition and silently zero every offset
+      val raw = (0 until np).map(r.get)
+      val pk = raw.map {
+        case a: Array[Byte] => a.toSeq
+        case x => x
+      }
       if (pk != prevKey) { prevKey = pk; acc = 0L }
-      val row = org.apache.spark.sql.Row.fromSeq(pk ++ Seq(r.get(np), acc))
+      // the Row carries the RAW values — createDataFrame needs
+      // Array[Byte] for BinaryType, the wrap is comparison-only
+      val row = org.apache.spark.sql.Row.fromSeq(raw ++ Seq(r.get(np), acc))
       acc += r.getLong(np + 1)
       row
     }

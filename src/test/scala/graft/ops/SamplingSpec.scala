@@ -162,6 +162,21 @@ class SamplingSpec extends AnyFunSuite {
     assert(all == Set(10L))
   }
 
+  test("sampleByTokenBudget: a binary stratum column gets correct offsets (value equality)") {
+    // collected BinaryType cells are Array[Byte] — reference equality
+    // in the driver fold would reset the offset at EVERY bucket and
+    // silently over-fill the budget; wrap-for-comparison must fix it
+    val df = spark.range(0, 200).toDF("k")
+      .withColumn("s", org.apache.spark.sql.functions.lit("x".getBytes))
+      .withColumn("tok", lit(10L))
+    // budget 500 = 50 docs; bucketHexDigits=1 → 16 buckets, so a
+    // reset-per-bucket bug would keep ~16x too many docs
+    val kept = Sampling.sampleByTokenBudget(
+      df, col("k"), "s", "tok",
+      Seq("x" -> 500L), ":bin", bucketHexDigits = 1)
+    assert(kept.count() == 50)
+  }
+
   test("sampleByTokenBudget: a null key fails loudly instead of corrupting offsets") {
     // a null key hashes to a null bucket: the driver fold would count
     // its weight into every later offset while the join dropped the
