@@ -59,12 +59,28 @@ object Dedup {
     * fingerprint and are always kept. */
   def exactCrossDedup(
       corpus: DataFrame, reference: DataFrame, idCol: String, textCol: String,
+      fpp: Double = 0.01, broadcastReference: Boolean = true): DataFrame =
+    exactCrossDedupByFingerprint(corpus,
+      reference.select(TextOps.fingerprint(col(textCol)).as("__cat_fp__")),
+      "__cat_fp__", idCol, textCol, fpp, broadcastReference)
+
+  /** [[exactCrossDedup]] against a persisted fingerprint CATALOG — the
+    * incremental form a real pipeline runs: each shipped batch appends
+    * `fingerprints(df, textCol)` to a catalog table, and the next
+    * crawl dedups against the catalog without ever re-reading shipped
+    * TEXT (fingerprints are ~32 bytes/doc; the corpus they summarize
+    * is not). Same bloom-prefilter + exact-verify shape and the same
+    * verdicts as the text form. */
+  def exactCrossDedupByFingerprint(
+      corpus: DataFrame, catalog: DataFrame, catalogFpCol: String,
+      idCol: String, textCol: String,
       fpp: Double = 0.01, broadcastReference: Boolean = true): DataFrame = {
-    require(fpp > 0 && fpp < 1, s"exactCrossDedup: fpp must be in (0,1), got $fpp")
+    require(fpp > 0 && fpp < 1,
+      s"exactCrossDedup: fpp must be in (0,1), got $fpp")
     // cached across the two eager uses (count + bloom build), released
     // before returning; the lazy verify join recomputes it once
-    val refFps = reference
-      .select(TextOps.fingerprint(col(textCol)).as("__fp__"))
+    val refFps = catalog
+      .select(col(catalogFpCol).cast("string").as("__fp__"))
       .filter(col("__fp__").isNotNull).distinct()
     refFps.persist()
     val bloom =
@@ -86,6 +102,13 @@ object Dedup {
     // fraction duplicates the reference makes dupIds un-broadcastable
     corpus.join(dupIds, Seq(idCol), "left_anti")
   }
+
+  /** The fingerprint projection to APPEND to a shipped-set catalog
+    * after each batch — the persistent state [[exactCrossDedupByFingerprint]]
+    * dedups the next crawl against. */
+  def fingerprints(df: DataFrame, textCol: String): DataFrame =
+    df.select(TextOps.fingerprint(col(textCol)).as("fingerprint"))
+      .filter(col("fingerprint").isNotNull).distinct()
 
   /** MinHash signature column (array<long> of `numHashes` minima over
     * shingle hashes). Seeded by hash index — deterministic everywhere.

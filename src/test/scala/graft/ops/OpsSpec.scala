@@ -119,6 +119,14 @@ class OpsSpec extends AnyFunSuite {
       corpus, reference, "doc_id", "text", broadcastReference = false)
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(shuffled == kept)
+    // the catalog form (persisted fingerprints instead of reference
+    // text) makes the same verdicts through a save/load round-trip
+    val catDir = java.nio.file.Files.createTempDirectory("graft-fp-cat").toString + "/c"
+    Dedup.fingerprints(reference, "text").write.parquet(catDir)
+    val viaCatalog = Dedup.exactCrossDedupByFingerprint(
+      corpus, spark.read.parquet(catDir), "fingerprint", "doc_id", "text")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(viaCatalog == kept)
   }
 
   test("Dedup.minhashNearDups finds exact and near dups, not unrelated") {
