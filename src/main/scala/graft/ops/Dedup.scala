@@ -74,7 +74,8 @@ object Dedup {
   def exactCrossDedupByFingerprint(
       corpus: DataFrame, catalog: DataFrame, catalogFpCol: String,
       idCol: String, textCol: String,
-      fpp: Double = 0.01, broadcastReference: Boolean = true): DataFrame = {
+      fpp: Double = 0.01, broadcastReference: Boolean = true,
+      approximate: Boolean = false): DataFrame = {
     require(fpp > 0 && fpp < 1,
       s"exactCrossDedup: fpp must be in (0,1), got $fpp")
     // cached across the two eager uses (count + bloom build), released
@@ -93,6 +94,11 @@ object Dedup {
     val bc = corpus.sparkSession.sparkContext.broadcast(bloom)
     val maybe = coalesce(graft.functions.exprs.bloom_might_contain(
       xxhash64(TextOps.fingerprint(col(textCol))), bc), lit(false))
+    // approximate = bloom-only: a pure stateless filter, so a
+    // STREAMING ingest can dedup against the shipped catalog on the
+    // stream (one-sided: every true duplicate drops, plus ~fpp of
+    // clean docs — the decontaminateBloom trade, same reasoning)
+    if (approximate) return corpus.filter(!maybe)
     val dupIds = corpus.filter(maybe)
       .select(col(idCol), TextOps.fingerprint(col(textCol)).as("__fp__"))
       .join(if (broadcastReference) broadcast(refFps) else refFps,

@@ -123,6 +123,26 @@ class StreamsSpec extends AnyFunSuite {
     assert(s.subsetOf(exact))
   }
 
+  test("streaming approximate catalog dedup equals its batch form, never keeps a true dup") {
+    val docs = graft.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+      .select("doc_id", "text")
+    val shipped = docs.filter(col("doc_id") % 7 === 0)
+    val catalog = graft.ops.Dedup.fingerprints(shipped, "text")
+    val dir = Files.createTempDirectory("graft-stream-cat").toString
+    docs.write.mode("overwrite").parquet(dir)
+
+    def dedup(df: org.apache.spark.sql.DataFrame) =
+      graft.ops.Dedup.exactCrossDedupByFingerprint(
+        df, catalog, "fingerprint", "doc_id", "text", approximate = true)
+    Streams.runToMemory(
+      dedup(Streams.parquetStream(spark, dir, docs.schema)), "cat_stream")
+    val s = spark.table("cat_stream").select("doc_id").collect().map(_.getLong(0)).toSet
+    val b = dedup(docs).select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(s.nonEmpty && s == b)
+    // one-sided: every shipped doc (a true duplicate of itself) is gone
+    assert(s.forall(_ % 7 != 0))
+  }
+
   test("LM and NB scoring are streaming-identical (stateless broadcast models)") {
     val docs = graft.Tables.load(spark, "/root/testdata/sf0.001", "documents")
       .select("doc_id", "text")
