@@ -107,6 +107,32 @@ class ScaleOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("bloom decontamination and catalog dedup survive with broadcast disabled") {
+    // the review removed forced broadcast() on the fold-back joins so
+    // blocklist-scale tainted/dup sets can shuffle; this pins that the
+    // shuffle path (the big-data regime) still makes exact verdicts
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val docs = graft.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+        .select("doc_id", "text")
+      val evalDf = docs.filter(col("doc_id") % 20 === 0)
+      val corpus = docs.filter(col("doc_id") % 20 =!= 0)
+      val b = Contamination.decontaminateBloom(
+        corpus, evalDf, "doc_id", "text", broadcastEval = false)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      val j = Contamination.decontaminate(
+        corpus, evalDf, "doc_id", "text", broadcastEval = false)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(b == j && b.nonEmpty)
+      val shipped = docs.filter(col("doc_id") % 7 === 0)
+      val kept = Dedup.exactCrossDedup(
+        docs, shipped, "doc_id", "text", broadcastReference = false)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(kept.nonEmpty && kept.forall(_ % 7 != 0))
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+  }
+
   test("Bucketing.coLocatedJoin plans with zero shuffle exchanges") {
     val facts = (1 to 1000).map(i => (i.toLong % 50, i)).toDF("k", "v")
     val dims = (0L to 49L).map(k => (k, s"dim$k")).toDF("k", "name")
