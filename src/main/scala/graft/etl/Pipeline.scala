@@ -1249,6 +1249,19 @@ final class Pipeline private (
       graft.ops.Dedup.crossCorpusDedup(_, reference, idCol, textCol,
         shingleN, numHashes, bands, threshold)))
 
+  /** Drop rows near-duplicating any entry of a persisted signature
+    * catalog ([[graft.ops.Dedup.crossCorpusDedupBySignatures]] —
+    * screen-level verdicts; pair with
+    * [[graft.ops.Dedup.signatureCatalog]]). */
+  def dedupAgainstSignatures(
+      catalog: DataFrame, catalogIdCol: String, catalogSigCol: String,
+      idCol: String, textCol: String,
+      shingleN: Int = 3, numHashes: Int = 64, bands: Int = 16,
+      threshold: Double = 0.8): Pipeline =
+    add(MapStep("dedupAgainstSignatures",
+      graft.ops.Dedup.crossCorpusDedupBySignatures(_, catalog, catalogIdCol,
+        catalogSigCol, idCol, textCol, shingleN, numHashes, bands, threshold)))
+
   /** Drop rows whose normalized text EXACTLY appears in `reference`
     * ([[graft.ops.Dedup.exactCrossDedup]] — bloom-prefiltered
     * incremental-crawl dedup; [[dedupAgainst]] is the near-dup form). */

@@ -285,6 +285,68 @@ object Dedup {
     * is never self-joined, and a reference that is small relative to
     * the corpus adds one broadcast-sized banding side, not a shuffle of
     * the corpus. */
+  /** (id, native minhash signature) under internal names — shared by
+    * the text-fed cross paths and the catalog projection. */
+  private def nativeSigs(
+      df: DataFrame, idCol: String, textCol: String,
+      shingleN: Int, numHashes: Int, charShingles: Boolean): DataFrame =
+    spreadByKey(df, idCol, textCol)
+      .select(col("__id__"),
+        (if (charShingles)
+          graft.functions.exprs.minhash_char_sig(
+            TextOps.normalized(col("__t__")), shingleN, numHashes)
+        else
+          graft.functions.exprs.minhash_sig(
+            TextOps.shingles(col("__t__"), shingleN), numHashes)).as("__sig__"))
+
+  /** The signature-catalog projection to persist after shipping a
+    * batch: (id, minhash signature) under the native hash family —
+    * the NEAR-dup analogue of [[fingerprints]]. Store it instead of
+    * (or alongside) shipped text; [[crossCorpusDedupBySignatures]]
+    * dedups the next crawl against the catalog without re-reading, or
+    * even retaining, the shipped corpus text (a 64-hash signature is
+    * ~512 bytes/doc; the text is not). Signatures only compare within
+    * one family and shape — record (charShingles, shingleN, numHashes)
+    * with the table and reuse identical values on the corpus side. */
+  def signatureCatalog(
+      df: DataFrame, idCol: String, textCol: String,
+      shingleN: Int = 3, numHashes: Int = 64,
+      charShingles: Boolean = false): DataFrame =
+    nativeSigs(df, idCol, textCol, shingleN, numHashes, charShingles)
+      .select(col("__id__").as("id"), col("__sig__").as("sig"))
+
+  /** Drop every corpus document that near-duplicates ANY entry of a
+    * PERSISTED signature catalog ([[signatureCatalog]]). Verdicts are
+    * screen-level — signature agreement ≥ `threshold` — because the
+    * catalog carries no text to exact-verify against; the estimator's
+    * standard error is ~sqrt(j(1-j)/numHashes), so tighten with more
+    * hashes if the threshold band matters. Same capped cross-side-only
+    * banding as [[crossCorpusNearDups]]: the corpus is never
+    * self-joined, and the catalog side reads (id, sig) only. */
+  def crossCorpusDedupBySignatures(
+      corpus: DataFrame, catalog: DataFrame,
+      catalogIdCol: String, catalogSigCol: String,
+      idCol: String, textCol: String,
+      shingleN: Int = 3, numHashes: Int = 64, bands: Int = 16,
+      threshold: Double = 0.8, maxBucket: Int = 200,
+      charShingles: Boolean = false): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must be divisible by bands")
+    val r = numHashes / bands
+    val screened = LshBlocking.crossCandidatePairs(
+      nativeSigs(corpus, idCol, textCol, shingleN, numHashes, charShingles),
+      catalog.select(col(catalogIdCol).as("__id__"),
+        col(catalogSigCol).as("__sig__")),
+      bands, r, maxBucket,
+      // the banding dedups cross-band repeats on (id1, id2) after the
+      // screen — both ids must survive the projection
+      screen = _.withColumn("est_jaccard",
+          graft.functions.similarityExprs.sig_agreement(col("p1"), col("p2")))
+        .filter(col("est_jaccard") >= threshold)
+        .select(col("id1"), col("id2")))
+    corpus.join(screened.select(col("id1").as(idCol)).distinct(),
+      Seq(idCol), "left_anti")
+  }
+
   def crossCorpusNearDups(
       corpus: DataFrame, reference: DataFrame, idCol: String, textCol: String,
       shingleN: Int = 3, numHashes: Int = 64, bands: Int = 16,
@@ -293,17 +355,10 @@ object Dedup {
       charShingles: Boolean = false): DataFrame = {
     require(numHashes % bands == 0, "numHashes must be divisible by bands")
     val r = numHashes / bands
-    def sigsOf(df: DataFrame): DataFrame =
-      spreadByKey(df, idCol, textCol)
-        .select(col("__id__"),
-          (if (charShingles)
-            graft.functions.exprs.minhash_char_sig(
-              TextOps.normalized(col("__t__")), shingleN, numHashes)
-          else
-            graft.functions.exprs.minhash_sig(
-              TextOps.shingles(col("__t__"), shingleN), numHashes)).as("__sig__"))
     val screened = LshBlocking.crossCandidatePairs(
-      sigsOf(corpus), sigsOf(reference), bands, r, maxBucket,
+      nativeSigs(corpus, idCol, textCol, shingleN, numHashes, charShingles),
+      nativeSigs(reference, idCol, textCol, shingleN, numHashes, charShingles),
+      bands, r, maxBucket,
       screen = _.withColumn("est_jaccard",
           graft.functions.similarityExprs.sig_agreement(col("p1"), col("p2")))
         .filter(col("est_jaccard") >= threshold * 0.5)

@@ -129,6 +129,31 @@ class OpsSpec extends AnyFunSuite {
     assert(viaCatalog == kept)
   }
 
+  test("Dedup.crossCorpusDedupBySignatures matches the text screen through a parquet catalog") {
+    val docs = graft.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+      .select("doc_id", "text")
+    val shipped = docs.filter($"doc_id" % 10 === 0)
+    val crawl = docs.filter($"doc_id" % 10 =!= 0)
+    val dir = java.nio.file.Files.createTempDirectory("graft-sig-cat").toString + "/c"
+    Dedup.signatureCatalog(shipped, "doc_id", "text",
+      shingleN = 5, numHashes = 64, charShingles = true)
+      .write.parquet(dir)
+    val viaCatalog = Dedup.crossCorpusDedupBySignatures(
+      crawl, spark.read.parquet(dir), "id", "sig", "doc_id", "text",
+      shingleN = 5, numHashes = 64, threshold = 0.8, charShingles = true)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // same verdicts as the in-memory screen-only text form
+    val hits = Dedup.crossCorpusNearDups(
+      crawl, shipped, "doc_id", "text",
+      shingleN = 5, numHashes = 64, threshold = 0.8,
+      exactVerify = false, charShingles = true)
+      .select("id1").collect().map(_.getLong(0)).toSet
+    val direct = crawl.select("doc_id").collect().map(_.getLong(0)).toSet -- hits
+    assert(viaCatalog == direct)
+    // the corpus has planted cross-slice near-dups, so something dropped
+    assert(viaCatalog.size < crawl.count())
+  }
+
   test("Dedup.minhashNearDups finds exact and near dups, not unrelated") {
     val pairs = Dedup.minhashNearDups(docs, "doc_id", "text",
       shingleN = 2, numHashes = 64, bands = 32, threshold = 0.5)
