@@ -1045,6 +1045,22 @@ object SparkEntry {
         .orderBy("doc_id")
     },
 
+    "q_domain_stats" -> { (s, dir) =>
+      // domain-reputation axis: pooled per-registered-domain stats
+      // joined back to every doc (C4 host filtering). Same URL
+      // synthesis as q_url_normalize → 7 domains; the mean is the
+      // single exact division weight/docs, computed identically on
+      // both engines
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("n_chars"),
+        concat(lit("HTTPS://WWW.Example"), (col("doc_id") % 7).cast("string"),
+          lit(".CO.UK:443/Path/"), col("doc_id").cast("string")).as("url"))
+      ops.UrlOps.withDomainStats(docs, "url", "n_chars")
+        .select(col("doc_id"), col("domain_registered"),
+          col("domain_docs"), col("domain_weight"),
+          (col("domain_weight") / col("domain_docs")).as("domain_mean_chars"))
+        .orderBy("doc_id")
+    },
+
     "q_report" -> { (s, dir) =>
       // corpus health report: doc/token/char volume + exact-dup rate
       // per (source, lang) with subtotals and grand total, in ONE
@@ -2129,6 +2145,34 @@ object SparkEntry {
     // from UrlOps — one source of truth); only the replacement syntax
     // is engine-local (RE2 \1 vs Java $1). DuckDB needs the 'g' flag
     // for replace-all where more than one match is possible
+    // pooled per-domain stats joined back; the host/registered-domain
+    // regexes are the shared pattern constants, the mean one division
+    "q_domain_stats" ->
+      s"""WITH u AS (
+         |  SELECT doc_id, n_chars,
+         |    'HTTPS://WWW.Example' || (doc_id % 7) || '.CO.UK:443/Path/' || doc_id AS url
+         |  FROM documents),
+         |d AS (
+         |  SELECT doc_id, n_chars,
+         |    lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/?#]*@)?([^/:?#]+)', 1)) AS host
+         |  FROM u),
+         |r AS (
+         |  SELECT doc_id, n_chars,
+         |    CASE WHEN regexp_extract(host, '${ops.UrlOps.registeredDomainPattern}', 1) = ''
+         |         THEN host
+         |         ELSE regexp_extract(host, '${ops.UrlOps.registeredDomainPattern}', 1)
+         |    END AS domain_registered
+         |  FROM d),
+         |s AS (
+         |  SELECT domain_registered,
+         |         count(*) AS domain_docs,
+         |         cast(sum(n_chars) AS BIGINT) AS domain_weight
+         |  FROM r GROUP BY domain_registered)
+         |SELECT r.doc_id, r.domain_registered, s.domain_docs, s.domain_weight,
+         |       s.domain_weight / s.domain_docs AS domain_mean_chars
+         |FROM r JOIN s USING (domain_registered)
+         |ORDER BY r.doc_id""".stripMargin,
+
     "q_url_normalize" ->
       s"""WITH u AS (
          |  SELECT doc_id,

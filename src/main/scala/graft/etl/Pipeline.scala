@@ -1115,6 +1115,13 @@ final class Pipeline private (
   def withLangId(textCol: String, as: String = "lang_pred"): Pipeline =
     add(MapStep("langId", _.withColumn(as, graft.ops.TextOps.langId(col(textCol)))))
 
+  /** Append pooled per-registered-domain statistics — the
+    * domain-reputation axis ([[graft.ops.UrlOps.withDomainStats]]). */
+  def withDomainStats(
+      urlCol: String, weightCol: String, prefix: String = "domain_"): Pipeline =
+    add(MapStep("domainStats",
+      graft.ops.UrlOps.withDomainStats(_, urlCol, weightCol, prefix)))
+
   /** Label rows head/middle/tail by per-stratum score quantiles —
     * CCNet bucketing ([[graft.ops.Sketches.bucketByQuantile]]). */
   def withQualityBucket(

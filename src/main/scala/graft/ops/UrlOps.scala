@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** URL canonicalization for web-corpus pipelines — the standard FIRST
@@ -106,5 +106,36 @@ object UrlOps {
     val noPort = regexp_replace(noPort80,
       "^(https://(?:[^/?#]*@)?[^/:?#]+):443([/?#]|$)", "$1$2")
     regexp_replace(noPort, "/+$", "")
+  }
+
+  /** Per-registered-domain pooled statistics joined back to every
+    * row — the domain-reputation axis: C4-style host filtering and
+    * blocklist curation judge a document by its DOMAIN's pooled
+    * behavior (document count, total/mean weight), not the document
+    * alone. Appends `<prefix>registered`, `<prefix>docs`,
+    * `<prefix>weight` (sum of `weightCol`, nulls = 0) — derive means
+    * downstream as the single exact division `weight / docs` (the
+    * engine-portable form).
+    *
+    * Scale shape: one hash aggregate keyed on the registered domain
+    * (map-side partial combine), then an equi-join back on the same
+    * key. The stats side is domain-cardinality-sized — tens of
+    * millions at web scale, so it is NOT broadcast by hint; the
+    * planner still may when it fits. A null/invalid URL row keeps its
+    * own null domain and null stats (left join). */
+  def withDomainStats(
+      df: DataFrame, urlCol: String, weightCol: String,
+      prefix: String = "domain_"): DataFrame = {
+    Seq("registered", "docs", "weight").foreach(c =>
+      require(!df.columns.contains(s"$prefix$c"),
+        s"input already has a column named $prefix$c"))
+    val dom = registeredDomain(extractDomain(col(urlCol)))
+    val weight = coalesce(col(weightCol).cast("long"), lit(0L))
+    val stats = df
+      .select(dom.as(s"${prefix}registered"), weight.as("__w__"))
+      .groupBy(s"${prefix}registered")
+      .agg(count(lit(1)).as(s"${prefix}docs"), sum(col("__w__")).as(s"${prefix}weight"))
+    df.withColumn(s"${prefix}registered", dom)
+      .join(stats, Seq(s"${prefix}registered"), "left")
   }
 }

@@ -83,4 +83,22 @@ class UrlOpsSpec extends AnyFunSuite {
     val keys = variants.map(one(UrlOps.normalizeUrl, _)).toSet
     assert(keys == Set("https://ex.com/page"), s"got $keys")
   }
+
+  test("withDomainStats pools per registered domain; null URL keeps null stats") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Option("https://a.ex.com/x"), 10L),
+      (2L, Option("http://b.ex.com/y"), 20L),     // same registered domain ex.com
+      (3L, Option("https://other.org/z"), 5L),
+      (4L, Option.empty[String], 7L)              // null URL
+    ).toDF("id", "url", "w")
+    val out = UrlOps.withDomainStats(df, "url", "w")
+      .select("id", "domain_registered", "domain_docs", "domain_weight")
+      .collect().map(r => r.getLong(0) ->
+        (Option(r.getString(1)), Option(r.get(2)), Option(r.get(3)))).toMap
+    assert(out(1L) == (Some("ex.com"), Some(2L), Some(30L)))
+    assert(out(2L) == (Some("ex.com"), Some(2L), Some(30L)))
+    assert(out(3L) == (Some("other.org"), Some(1L), Some(5L)))
+    assert(out(4L)._1.isEmpty && out(4L)._2.isEmpty && out(4L)._3.isEmpty)
+  }
 }
