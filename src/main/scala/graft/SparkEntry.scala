@@ -2145,8 +2145,8 @@ object SparkEntry {
     // from UrlOps — one source of truth); only the replacement syntax
     // is engine-local (RE2 \1 vs Java $1). DuckDB needs the 'g' flag
     // for replace-all where more than one match is possible
-    // pooled per-domain stats joined back; the host/registered-domain
-    // regexes are the shared pattern constants, the mean one division
+    // pooled per-domain stats joined back; BOTH regexes interpolate the
+    // shared UrlOps pattern constants, the mean is one division
     "q_domain_stats" ->
       s"""WITH u AS (
          |  SELECT doc_id, n_chars,
@@ -2154,7 +2154,7 @@ object SparkEntry {
          |  FROM documents),
          |d AS (
          |  SELECT doc_id, n_chars,
-         |    lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/?#]*@)?([^/:?#]+)', 1)) AS host
+         |    lower(regexp_extract(url, '${ops.UrlOps.hostPattern}', 1)) AS host
          |  FROM u),
          |r AS (
          |  SELECT doc_id, n_chars,
@@ -2181,7 +2181,7 @@ object SparkEntry {
          |  FROM documents),
          |d AS (
          |  SELECT doc_id,
-         |    lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/?#]*@)?([^/:?#]+)', 1)) AS url_domain,
+         |    lower(regexp_extract(url, '${ops.UrlOps.hostPattern}', 1)) AS url_domain,
          |    regexp_replace(url, '#.*', '') AS s1
          |  FROM u),
          |e AS (

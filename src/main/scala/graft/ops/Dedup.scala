@@ -78,10 +78,18 @@ object Dedup {
       approximate: Boolean = false): DataFrame = {
     require(fpp > 0 && fpp < 1,
       s"exactCrossDedup: fpp must be in (0,1), got $fpp")
+    // a BINARY catalog column would cast to mojibake strings and
+    // silently match nothing — fingerprints are md5 hex STRINGS
+    // ([[fingerprints]]); fail loudly on anything else
+    require(catalog.schema(catalogFpCol).dataType ==
+      org.apache.spark.sql.types.StringType,
+      s"exactCrossDedupByFingerprint: catalog column $catalogFpCol is " +
+        s"${catalog.schema(catalogFpCol).dataType.simpleString}, expected " +
+        "string (the md5 hex form fingerprints() writes)")
     // cached across the two eager uses (count + bloom build), released
     // before returning; the lazy verify join recomputes it once
     val refFps = catalog
-      .select(col(catalogFpCol).cast("string").as("__fp__"))
+      .select(col(catalogFpCol).as("__fp__"))
       .filter(col("__fp__").isNotNull).distinct()
     refFps.persist()
     val bloom =
@@ -275,16 +283,6 @@ object Dedup {
         .hint("shuffle_hash")
   }
 
-  /** Cross-corpus near-duplicate pairs: every (corpus `id1`, reference
-    * `id2`, jaccard >= threshold) — the "does my new crawl overlap the
-    * existing training set" primitive, also the scale path for deduping
-    * against data already shipped in a previous training run. Same
-    * signature family, banding, screening, and exact-verify discipline
-    * as [[minhashNearDups]], but candidates come from CROSS-side bucket
-    * collisions only ([[LshBlocking.crossCandidatePairs]]): the corpus
-    * is never self-joined, and a reference that is small relative to
-    * the corpus adds one broadcast-sized banding side, not a shuffle of
-    * the corpus. */
   /** (id, native minhash signature) under internal names — shared by
     * the text-fed cross paths and the catalog projection. */
   private def nativeSigs(
@@ -312,7 +310,12 @@ object Dedup {
       df: DataFrame, idCol: String, textCol: String,
       shingleN: Int = 3, numHashes: Int = 64,
       charShingles: Boolean = false): DataFrame =
-    nativeSigs(df, idCol, textCol, shingleN, numHashes, charShingles)
+    // a null-text doc degenerates to the empty-text shingle and would
+    // sit in the catalog FOREVER, near-dup-matching every empty doc of
+    // every future crawl — content-less entries are excluded, like
+    // [[fingerprints]] excludes null fingerprints
+    nativeSigs(df.filter(col(textCol).isNotNull), idCol, textCol,
+      shingleN, numHashes, charShingles)
       .select(col("__id__").as("id"), col("__sig__").as("sig"))
 
   /** Drop every corpus document that near-duplicates ANY entry of a
@@ -332,6 +335,19 @@ object Dedup {
       charShingles: Boolean = false): DataFrame = {
     require(numHashes % bands == 0, "numHashes must be divisible by bands")
     val r = numHashes / bands
+    // a catalog written with a different signature width would not
+    // error anywhere downstream — bands would just stop colliding and
+    // the dedup silently finds (almost) nothing. Probe one row and
+    // fail loudly instead; shingleN/charShingles remain the caller's
+    // contract to match (scaladoc) — width is the cheap detectable half
+    catalog.select(size(col(catalogSigCol))).limit(1).collect()
+      .foreach { r0 =>
+        require(r0.getInt(0) == numHashes,
+          s"crossCorpusDedupBySignatures: catalog signatures have " +
+            s"${r0.getInt(0)} hashes but numHashes = $numHashes — the " +
+            "catalog must be built and queried with the same " +
+            "(charShingles, shingleN, numHashes)")
+      }
     val screened = LshBlocking.crossCandidatePairs(
       nativeSigs(corpus, idCol, textCol, shingleN, numHashes, charShingles),
       catalog.select(col(catalogIdCol).as("__id__"),
@@ -347,6 +363,16 @@ object Dedup {
       Seq(idCol), "left_anti")
   }
 
+  /** Cross-corpus near-duplicate pairs: every (corpus `id1`, reference
+    * `id2`, jaccard >= threshold) — the "does my new crawl overlap the
+    * existing training set" primitive, also the scale path for deduping
+    * against data already shipped in a previous training run. Same
+    * signature family, banding, screening, and exact-verify discipline
+    * as [[minhashNearDups]], but candidates come from CROSS-side bucket
+    * collisions only ([[LshBlocking.crossCandidatePairs]]): the corpus
+    * is never self-joined, and a reference that is small relative to
+    * the corpus adds one broadcast-sized banding side, not a shuffle of
+    * the corpus. */
   def crossCorpusNearDups(
       corpus: DataFrame, reference: DataFrame, idCol: String, textCol: String,
       shingleN: Int = 3, numHashes: Int = 64, bands: Int = 16,

@@ -16,6 +16,13 @@ import org.apache.spark.sql.functions._
   */
 object UrlOps {
 
+  /** The host-extraction regex behind [[extractDomain]]. Public for
+    * the same one-source-of-truth reason as
+    * [[registeredDomainPattern]]: the DuckDB oracles embed this exact
+    * string. */
+  val hostPattern: String =
+    "^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/?#]*@)?([^/:?#]+)"
+
   /** Lowercased host of an absolute URL: scheme and optional userinfo
     * stripped, cut at the first `/`, `:`, `?` or `#`. The userinfo
     * group is greedy over non-delimiters, so the LAST `@` of the
@@ -24,7 +31,7 @@ object UrlOps {
     * NULL-safe; a schemeless string yields an empty string (loud, not
     * a guess). */
   def extractDomain(u: Column): Column =
-    lower(regexp_extract(u, "^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/?#]*@)?([^/:?#]+)", 1))
+    lower(regexp_extract(u, hostPattern, 1))
 
   /** Multi-label public suffixes recognized by [[registeredDomain]].
     * Deliberately a SMALL embedded set of the most common two-label
@@ -121,18 +128,23 @@ object UrlOps {
     * (map-side partial combine), then an equi-join back on the same
     * key. The stats side is domain-cardinality-sized — tens of
     * millions at web scale, so it is NOT broadcast by hint; the
-    * planner still may when it fits. A null/invalid URL row keeps its
-    * own null domain and null stats (left join). */
+    * planner still may when it fits. A null OR unparseable URL row
+    * keeps null domain and null stats: [[extractDomain]]'s
+    * empty-string miss is mapped to null here, so the corpus's
+    * malformed URLs never pool into one giant pseudo-domain that a
+    * downstream domain filter would judge together. */
   def withDomainStats(
       df: DataFrame, urlCol: String, weightCol: String,
       prefix: String = "domain_"): DataFrame = {
     Seq("registered", "docs", "weight").foreach(c =>
       require(!df.columns.contains(s"$prefix$c"),
         s"input already has a column named $prefix$c"))
-    val dom = registeredDomain(extractDomain(col(urlCol)))
+    val raw = registeredDomain(extractDomain(col(urlCol)))
+    val dom = when(raw === "", lit(null).cast("string")).otherwise(raw)
     val weight = coalesce(col(weightCol).cast("long"), lit(0L))
     val stats = df
       .select(dom.as(s"${prefix}registered"), weight.as("__w__"))
+      .filter(col(s"${prefix}registered").isNotNull)
       .groupBy(s"${prefix}registered")
       .agg(count(lit(1)).as(s"${prefix}docs"), sum(col("__w__")).as(s"${prefix}weight"))
     df.withColumn(s"${prefix}registered", dom)

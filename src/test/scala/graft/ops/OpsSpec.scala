@@ -154,6 +154,27 @@ class OpsSpec extends AnyFunSuite {
     assert(viaCatalog.size < crawl.count())
   }
 
+  test("catalog misuse fails loudly: wrong signature width, binary fingerprints, null sigs filtered") {
+    val docs = Seq((1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, Option.empty[String].orNull: String)).toDF("doc_id", "text")
+    // null-text docs write no dead catalog rows
+    val cat = Dedup.signatureCatalog(docs, "doc_id", "text", numHashes = 32)
+    assert(cat.count() == 1)
+    // width mismatch = silent under-dedup without the guard
+    val e = intercept[IllegalArgumentException] {
+      Dedup.crossCorpusDedupBySignatures(
+        docs, cat, "id", "sig", "doc_id", "text", numHashes = 64)
+    }
+    assert(e.getMessage.contains("numHashes"))
+    // a binary fingerprint catalog would hash mojibake and match nothing
+    val binCat = Seq(Tuple1("a" * 32)).toDF("fp")
+      .select(unhex($"fp").as("fp"))
+    val e2 = intercept[IllegalArgumentException] {
+      Dedup.exactCrossDedupByFingerprint(docs, binCat, "fp", "doc_id", "text")
+    }
+    assert(e2.getMessage.contains("expected"))
+  }
+
   test("Dedup.minhashNearDups finds exact and near dups, not unrelated") {
     val pairs = Dedup.minhashNearDups(docs, "doc_id", "text",
       shingleN = 2, numHashes = 64, bands = 32, threshold = 0.5)

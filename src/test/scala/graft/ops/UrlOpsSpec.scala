@@ -84,13 +84,15 @@ class UrlOpsSpec extends AnyFunSuite {
     assert(keys == Set("https://ex.com/page"), s"got $keys")
   }
 
-  test("withDomainStats pools per registered domain; null URL keeps null stats") {
+  test("withDomainStats pools per registered domain; null AND malformed URLs keep null stats") {
     import spark.implicits._
     val df = Seq(
       (1L, Option("https://a.ex.com/x"), 10L),
       (2L, Option("http://b.ex.com/y"), 20L),     // same registered domain ex.com
       (3L, Option("https://other.org/z"), 5L),
-      (4L, Option.empty[String], 7L)              // null URL
+      (4L, Option.empty[String], 7L),             // null URL
+      (5L, Option("not a url"), 9L),              // schemeless: extractDomain misses
+      (6L, Option("also/not?one"), 11L)           // must NOT pool with row 5
     ).toDF("id", "url", "w")
     val out = UrlOps.withDomainStats(df, "url", "w")
       .select("id", "domain_registered", "domain_docs", "domain_weight")
@@ -99,6 +101,11 @@ class UrlOpsSpec extends AnyFunSuite {
     assert(out(1L) == (Some("ex.com"), Some(2L), Some(30L)))
     assert(out(2L) == (Some("ex.com"), Some(2L), Some(30L)))
     assert(out(3L) == (Some("other.org"), Some(1L), Some(5L)))
-    assert(out(4L)._1.isEmpty && out(4L)._2.isEmpty && out(4L)._3.isEmpty)
+    // a malformed URL is not a domain: no empty-string pseudo-domain
+    // pooling every junk row of the corpus into one giant "site"
+    Seq(4L, 5L, 6L).foreach { id =>
+      assert(out(id)._1.isEmpty && out(id)._2.isEmpty && out(id)._3.isEmpty,
+        s"row $id should carry null stats: ${out(id)}")
+    }
   }
 }
