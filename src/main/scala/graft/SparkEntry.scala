@@ -1045,6 +1045,25 @@ object SparkEntry {
         .orderBy("doc_id")
     },
 
+    "q_prep_mix" -> { (s, dir) =>
+      // the ROUND's new verbs as ONE verb-chained pipeline under ONE
+      // oracle: bloom decontamination (exact verdicts), per-lang
+      // tercile labels over the POST-decontamination distribution,
+      // then per-lang char budgets in hash order — the gate checks the
+      // composition (column contracts, operand ordering), not just
+      // the pieces
+      val docs = t(s, dir, "documents")
+      val eval = docs.filter(col("doc_id") % 20 === 0)
+      etl.Pipeline.of("prep_mix", docs.filter(col("doc_id") % 20 =!= 0))
+        .decontaminateByBloom(eval, "doc_id", "text")
+        .withQualityBucket("n_chars", Some("lang"), exact = true)
+        .sampleByTokenBudget("doc_id", "lang", "n_chars",
+          Seq("en" -> 25000L, "de" -> 7000L, "zh" -> 15000L), ":pm")
+        .toDF
+        .select("doc_id", "lang", "bucket", "cum_before")
+        .orderBy("doc_id")
+    },
+
     "q_domain_stats" -> { (s, dir) =>
       // domain-reputation axis: pooled per-registered-domain stats
       // joined back to every doc (C4 host filtering). Same URL
@@ -2145,6 +2164,55 @@ object SparkEntry {
     // from UrlOps — one source of truth); only the replacement syntax
     // is engine-local (RE2 \1 vs Java $1). DuckDB needs the 'g' flag
     // for replace-all where more than one match is possible
+    // the composed chain: decontamination verdicts from the gram CTEs,
+    // terciles and budgets computed over the POST-decontamination rows
+    // (pipeline order), budgets in the same (md5-prefix, doc_id) order
+    "q_prep_mix" ->
+      """WITH norm AS (
+        |  SELECT doc_id, trim(regexp_replace(lower(trim(text)), '[ \t\n\x0b\f\r]+', ' ', 'g')) AS s
+        |  FROM documents),
+        |tok AS (SELECT doc_id, string_split(s, ' ') AS tk FROM norm),
+        |grams AS (
+        |  SELECT doc_id, unnest(
+        |    CASE WHEN len(tk) >= 8
+        |         THEN list_distinct(list_transform(range(0, len(tk) - 7),
+        |                i -> array_to_string(tk[i + 1:i + 8], ' ')))
+        |         ELSE [] END) AS g
+        |  FROM tok),
+        |ev AS (SELECT DISTINCT g FROM grams WHERE doc_id % 20 = 0),
+        |bad AS (SELECT DISTINCT gr.doc_id FROM grams gr JOIN ev USING (g)
+        |        WHERE gr.doc_id % 20 <> 0),
+        |clean AS (
+        |  SELECT doc_id, lang, n_chars FROM documents
+        |  WHERE doc_id % 20 <> 0 AND doc_id NOT IN (SELECT doc_id FROM bad)),
+        |c AS (
+        |  SELECT lang,
+        |         quantile_cont(n_chars, 1.0/3) AS q0,
+        |         quantile_cont(n_chars, 2.0/3) AS q1
+        |  FROM clean GROUP BY lang),
+        |lab AS (
+        |  SELECT clean.doc_id, clean.lang, clean.n_chars,
+        |         CASE WHEN n_chars <= q0 THEN 'head'
+        |              WHEN n_chars <= q1 THEN 'middle'
+        |              ELSE 'tail' END AS bucket
+        |  FROM clean JOIN c USING (lang)),
+        |h AS (
+        |  SELECT doc_id, lang, bucket, n_chars,
+        |         substr(md5(cast(doc_id AS VARCHAR) || ':pm'), 1, 12) AS hx
+        |  FROM lab),
+        |cum AS (
+        |  SELECT doc_id, lang, bucket,
+        |         cast(coalesce(sum(n_chars) OVER (
+        |           PARTITION BY lang ORDER BY hx, doc_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+        |           AS cum_before
+        |  FROM h)
+        |SELECT doc_id, lang, bucket, cum_before FROM cum
+        |WHERE cum_before < CASE lang WHEN 'en' THEN 25000
+        |                             WHEN 'de' THEN 7000
+        |                             WHEN 'zh' THEN 15000 END
+        |ORDER BY doc_id""".stripMargin,
+
     // pooled per-domain stats joined back; BOTH regexes interpolate the
     // shared UrlOps pattern constants, the mean is one division
     "q_domain_stats" ->

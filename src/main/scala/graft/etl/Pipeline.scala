@@ -1128,9 +1128,10 @@ final class Pipeline private (
       scoreCol: String, stratumCol: Option[String] = None,
       cuts: Seq[Double] = Seq(1.0 / 3, 2.0 / 3),
       labels: Seq[String] = Seq("head", "middle", "tail"),
-      as: String = "bucket"): Pipeline =
+      as: String = "bucket", exact: Boolean = false): Pipeline =
     add(MapStep("qualityBucket",
-      graft.ops.Sketches.bucketByQuantile(_, scoreCol, stratumCol, cuts, labels, as)))
+      graft.ops.Sketches.bucketByQuantile(_, scoreCol, stratumCol, cuts, labels, as,
+        exact = exact)))
 
   /** Append the whitespace token count ([[graft.ops.TextOps.tokenCount]]). */
   def withTokenCount(textCol: String, as: String = "n_tokens"): Pipeline =
