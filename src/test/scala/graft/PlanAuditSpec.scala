@@ -156,6 +156,17 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(s.contains("BroadcastHashJoin"), s"offsets not broadcast:\n$s")
   }
 
+  test("q_domain_stats prunes the scan and never enumerates pairs") {
+    val s = planString(executed(SparkEntry.queries("q_domain_stats")(spark, dir)))
+    assert(!s.contains("CartesianProduct") && !s.contains("BroadcastNestedLoopJoin"),
+      s"pair enumeration in:\n$s")
+    val scanLine = s.linesIterator.find(l => l.contains("FileScan") || l.contains("Scan parquet"))
+      .getOrElse(fail(s"no parquet scan in plan:\n$s"))
+    // the url is synthesized from doc_id; only doc_id and the weight
+    // column should be read
+    assert(!scanLine.contains("text"), s"text read by scan: $scanLine")
+  }
+
   test("q_chunk plans as pure projection + generate — no shuffle at all") {
     val df = ops.TextOps.chunkDocuments(
       spark.read.parquet(s"$dir/documents.parquet"), "doc_id", "text",
