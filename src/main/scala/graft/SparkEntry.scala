@@ -2277,7 +2277,7 @@ object SparkEntry {
          |  CASE WHEN regexp_extract(url_domain, '${ops.UrlOps.registeredDomainPattern}', 1) = ''
          |       THEN url_domain
          |       ELSE regexp_extract(url_domain, '${ops.UrlOps.registeredDomainPattern}', 1) END AS url_registered,
-         |  regexp_replace(s4, '/+$$', '') AS url_norm
+         |  regexp_replace(s4, '^([^?]*?)/+$$', '\\1') AS url_norm
          |FROM g ORDER BY doc_id""".stripMargin,
 
     // same gid construction as q_cube; HUGEINT sums cast to BIGINT;

@@ -100,8 +100,15 @@ object Dedup {
           .stat.bloomFilter("__h__", nFps, fpp)
       } finally refFps.unpersist()
     val bc = corpus.sparkSession.sparkContext.broadcast(bloom)
-    val maybe = coalesce(graft.functions.exprs.bloom_might_contain(
-      xxhash64(TextOps.fingerprint(col(textCol))), bc), lit(false))
+    // probe gated on the fingerprint: xxhash64(NULL) yields the seed,
+    // not NULL, so an ungated probe would give every null-text doc the
+    // same constant key and one bloom false positive on it would drop
+    // them all — violating "null-text documents are always kept"
+    val probeFp = TextOps.fingerprint(col(textCol))
+    val maybe = coalesce(
+      when(probeFp.isNotNull,
+        graft.functions.exprs.bloom_might_contain(xxhash64(probeFp), bc)),
+      lit(false))
     // approximate = bloom-only: a pure stateless filter, so a
     // STREAMING ingest can dedup against the shipped catalog on the
     // stream (one-sided: every true duplicate drops, plus ~fpp of
@@ -797,8 +804,10 @@ object Dedup {
     * Keeper election encodes (id, pos) as `id * posEncode + pos`, the
     * engine-portable total order (a DuckDB oracle can replicate it);
     * a document with more than `posEncode` grams fails loudly rather
-    * than electing a wrong keeper, and ids must fit below
-    * Long.MaxValue / posEncode (~8.8e12 at the default 2^20). */
+    * than electing a wrong keeper, and an id outside
+    * ±Long.MaxValue / posEncode (~8.8e12 at the default 2^20) fails
+    * loudly too — both bounds are enforced in-plan, not just
+    * documented. */
   def removeDuplicatedSpans(
       df: DataFrame, idCol: String, textCol: String, k: Int = 20,
       posEncode: Long = 1L << 20): DataFrame = {
@@ -815,7 +824,19 @@ object Dedup {
       // `when` condition is not false, so without it a null-text row
       // (null grams) would fall into the raise_error branch and kill
       // the job with a spurious over-bound error.
-      .select(col("__id"),
+      .select(
+        // the other half of the encoding bound, enforced like the
+        // gram bound: an id with |id| > Long.MaxValue/posEncode
+        // overflows `id * posEncode + pos` and silently elects wrong
+        // keepers. Same isNull arm, same ANSI reasoning as below.
+        when(col("__id").isNull
+          || abs(col("__id")) <= lit(Long.MaxValue / posEncode), col("__id"))
+          .otherwise(raise_error(format_string(
+            "removeDuplicatedSpans: id %s overflows the (id,pos) " +
+              s"encoding (|id| must be <= ${Long.MaxValue / posEncode} " +
+              s"at posEncode=$posEncode); lower posEncode or remap ids",
+            col("__id"))))
+          .as("__id"),
         when(col("__grams").isNull
           || size(col("__grams")).cast("long") <= lit(posEncode), col("__grams"))
           .otherwise(raise_error(format_string(

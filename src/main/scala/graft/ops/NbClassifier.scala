@@ -18,11 +18,24 @@ import graft.functions.NbModel
 object NbClassifier {
 
   /** Train on `labelCol` (boolean: true = positive class). Fails
-    * loudly when the vocabulary exceeds `maxEntries` or either class
-    * has no documents (priors and odds would be degenerate). */
+    * loudly when any label is NULL, when the vocabulary exceeds
+    * `maxEntries`, or when either class has no documents (priors and
+    * odds would be degenerate). */
   def train(
       df: DataFrame, textCol: String, labelCol: Column,
       maxEntries: Int = 50 * 1000 * 1000): Broadcast[NbModel] = {
+    // label audit FIRST (one tiny groupBy, reused for the priors): a
+    // NULL label would silently count into the negative class in the
+    // token aggregate and then NPE late on the null docCounts group —
+    // fail loudly naming the column instead
+    val docCountRows =
+      df.groupBy(labelCol.cast("boolean").as("__y")).count().collect()
+    docCountRows.find(_.isNullAt(0)).foreach { r =>
+      throw new IllegalArgumentException(
+        s"NbClassifier.train: ${r.getLong(1)} rows have a NULL label " +
+          s"($labelCol) after boolean cast — labels must be true/false; " +
+          "filter or impute them before training")
+    }
     val byTok = df
       .select(labelCol.cast("boolean").as("__y"),
         graft.functions.exprs.word_ngram_hash_seq(
@@ -41,8 +54,7 @@ object NbClassifier {
         "train on a model-sized labeled slice (or raise maxEntries)")
     val sorted = rows.map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
       .sortBy(_._1)
-    val docCounts = df.groupBy(labelCol.cast("boolean").as("__y")).count()
-      .collect().map(r => r.getBoolean(0) -> r.getLong(1)).toMap
+    val docCounts = docCountRows.map(r => r.getBoolean(0) -> r.getLong(1)).toMap
     val (docsPos, docsNeg) = (docCounts.getOrElse(true, 0L), docCounts.getOrElse(false, 0L))
     require(docsPos > 0L && docsNeg > 0L,
       s"NbClassifier.train: both classes need documents (positive=$docsPos, " +

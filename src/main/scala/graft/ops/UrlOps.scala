@@ -84,7 +84,9 @@ object UrlOps {
     *     of the authority) and path/query keep their case;
     *  4. default ports dropped (`http://…:80`, `https://…:443`),
     *     userinfo-tolerant;
-    *  5. trailing slashes of the path dropped.
+    *  5. trailing slashes dropped — only for query-less URLs (a URL
+    *     with a query ends in the query string, and a `/` there is
+    *     query DATA, e.g. `?next=/home/`, never a path slash).
     * Each step is one regexp_replace/extract — a fused codegen chain,
     * same shape the oracle mirrors. */
   def normalizeUrl(u: Column): Column = {
@@ -112,7 +114,11 @@ object UrlOps {
       "^(http://(?:[^/?#]*@)?[^/:?#]+):80([/?#]|$)", "$1$2")
     val noPort = regexp_replace(noPort80,
       "^(https://(?:[^/?#]*@)?[^/:?#]+):443([/?#]|$)", "$1$2")
-    regexp_replace(noPort, "/+$", "")
+    // trailing-slash strip anchored to query-less URLs: `[^?]*` can
+    // only span the whole string when no '?' exists, so a trailing
+    // slash inside a QUERY VALUE (`?next=/home/`) is never touched —
+    // with a query present the URL ends in the query, not the path
+    regexp_replace(noPort, "^([^?]*?)/+$", "$1")
   }
 
   /** Per-registered-domain pooled statistics joined back to every

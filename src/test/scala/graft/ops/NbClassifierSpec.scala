@@ -87,6 +87,14 @@ class NbClassifierSpec extends AnyFunSuite {
         "text", col("y"), maxEntries = 2)
     }
     assert(e2.getMessage.contains("model-sized"))
+    // a NULL label must fail loudly naming the column, not silently
+    // count into the negative class and NPE later (r7 advice)
+    val withNull = Seq((Option(true), "a b"), (Option(false), "c d"),
+      (Option.empty[Boolean], "e f")).toDF("y", "text")
+    val e3 = intercept[IllegalArgumentException] {
+      NbClassifier.train(withNull, "text", col("y"))
+    }
+    assert(e3.getMessage.contains("NULL label"))
   }
 
   test("the classifier separates held-out documents with distinct vocabularies") {

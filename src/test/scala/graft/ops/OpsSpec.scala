@@ -129,6 +129,27 @@ class OpsSpec extends AnyFunSuite {
     assert(viaCatalog == kept)
   }
 
+  test("exactCrossDedupByFingerprint approximate mode keeps null-text docs through a bloom false positive") {
+    // xxhash64(NULL) returns the SEED (42), not NULL — so every
+    // null-text doc probes the same constant key, and a single bloom
+    // false positive on it would drop them all if the probe weren't
+    // gated on the fingerprint (r7 advice regression). Saturate a tiny
+    // bloom so key 42 IS a false positive, then assert null rows live.
+    val catFps = (0 until 200).map(i => Tuple1(s"catfp$i")).toDF("fp")
+    val bloom = catFps.select(xxhash64(col("fp")).as("__h__"))
+      .stat.bloomFilter("__h__", 200, 0.9)
+    assume(bloom.mightContainLong(42L),
+      "test precondition: the saturated bloom must FP on the null probe key")
+    val corpus = Seq(
+      (1L, Option.empty[String]), (2L, Option.empty[String]),
+      (3L, Option("clean document text"))).toDF("doc_id", "text")
+    val kept = Dedup.exactCrossDedupByFingerprint(
+      corpus, catFps, "fp", "doc_id", "text", fpp = 0.9, approximate = true)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(Set(1L, 2L).subsetOf(kept),
+      s"null-text docs must always be kept, got $kept")
+  }
+
   test("Dedup.crossCorpusDedupBySignatures matches the text screen through a parquet catalog") {
     val docs = graft.Tables.load(spark, "/root/testdata/sf0.001", "documents")
       .select("doc_id", "text")

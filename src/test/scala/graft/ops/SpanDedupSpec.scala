@@ -128,5 +128,19 @@ class SpanDedupSpec extends AnyFunSuite {
     }
     assert(e2.getMessage.contains("raise posEncode")
       || e2.getCause != null && e2.getCause.getMessage.contains("raise posEncode"))
+
+    // an id outside ±Long.MaxValue/posEncode would overflow the
+    // (id,pos) encoding and silently elect wrong keepers — enforced
+    // loudly like the gram bound (r7 advice)
+    val hugeId = Seq((Long.MaxValue, "a b c d"), (1L, "a b c d")).toDF("doc_id", "text")
+    val e3 = intercept[Exception] {
+      Dedup.removeDuplicatedSpans(hugeId, "doc_id", "text", k = 3).collect()
+    }
+    assert(e3.getMessage.contains("overflows the (id,pos)")
+      || e3.getCause != null && e3.getCause.getMessage.contains("overflows the (id,pos)"))
+
+    // in-bound ids (including negative) still work
+    val ok = Seq((-5L, "p q r s"), (6L, "p q r s")).toDF("doc_id", "text")
+    assert(Dedup.removeDuplicatedSpans(ok, "doc_id", "text", k = 3).count() == 2)
   }
 }

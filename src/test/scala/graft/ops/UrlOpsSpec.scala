@@ -72,6 +72,16 @@ class UrlOpsSpec extends AnyFunSuite {
       "http://user:pw@ex.com/x")
     assert(one(UrlOps.normalizeUrl, "https://user:pw@ex.com:443/x") ==
       "https://user:pw@ex.com/x")
+    // trailing-slash strip is QUERY-AWARE: a '/' ending a query VALUE
+    // is data, not a path slash — it survives (r7 advice regression)
+    assert(one(UrlOps.normalizeUrl, "https://ex.com/p?next=/home/") ==
+      "https://ex.com/p?next=/home/")
+    // with a query present nothing is stripped, including the path's
+    // own trailing slash before the '?' (documented scope)
+    assert(one(UrlOps.normalizeUrl, "https://ex.com/a/?q=1") ==
+      "https://ex.com/a/?q=1")
+    // all-slash pathological input still collapses in the no-query arm
+    assert(one(UrlOps.normalizeUrl, "https://ex.com///") == "https://ex.com")
   }
 
   test("normalizeUrl as a dedup key: variants of one page collapse") {
