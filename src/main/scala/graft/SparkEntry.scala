@@ -552,6 +552,16 @@ object SparkEntry {
         .orderBy("id1", "id2")
     },
 
+    "q_dedup_ngram_blocked" -> { (s, dir) =>
+      // the corpus-scale path for the SAME contract: LSH screen +
+      // exact verify, gated against the identical all-pairs oracle —
+      // proof the blocked form returns the same pair set here
+      ops.Dedup.ngramJaccardPairsBlocked(
+        t(s, dir, "documents").filter(col("doc_id") < 250), "doc_id", "text",
+        shingleN = 5, threshold = 0.8)
+        .orderBy("id1", "id2")
+    },
+
     "q_dedup_embedding" -> { (s, dir) =>
       // exact all-pairs cosine dedup (recall 1.0) — oracle-checkable
       // because CosineSim is bit-identical to DuckDB's sequential list
@@ -1140,6 +1150,30 @@ object SparkEntry {
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
+  /** Shared by q_dedup_ngram (exact all-pairs) and
+    * q_dedup_ngram_blocked (LSH screen + exact verify): one oracle,
+    * two plans — the gate proves the scale path changes nothing. */
+  private val ngramJaccardOracle: String =
+    """WITH norm AS (
+      |  SELECT doc_id, regexp_replace(lower(trim(text)), '[ \t\n\x0b\f\r]+', ' ', 'g') AS s
+      |  FROM documents WHERE doc_id < 250),
+      |sh AS (
+      |  SELECT doc_id,
+      |    CASE WHEN length(s) >= 5
+      |         THEN list_distinct(list_transform(range(0, length(s) - 4), i -> substr(s, i + 1, 5)))
+      |         ELSE [s] END AS shset
+      |  FROM norm),
+      |sz AS (SELECT doc_id, shset, len(shset) AS n FROM sh),
+      |scored AS (
+      |  SELECT a.doc_id AS id1, b.doc_id AS id2,
+      |    cast(len(list_intersect(a.shset, b.shset)) AS DOUBLE)
+      |      / len(list_distinct(a.shset || b.shset)) AS jaccard
+      |  FROM sz a JOIN sz b
+      |    ON a.doc_id < b.doc_id
+      |   AND least(a.n, b.n) >= cast(0.8 AS DOUBLE) * greatest(a.n, b.n) - 1e-9)
+      |SELECT id1, id2, jaccard FROM scored WHERE jaccard >= 0.8
+      |ORDER BY id1, id2""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
@@ -1508,26 +1542,10 @@ object SparkEntry {
         |     sqrt(list_sum(list_transform(range(1, len(c.e) + 1), i -> c.e[i] * c.e[i])))) > 0.3
         |ORDER BY query_id, neighbor_id""".stripMargin,
 
-    "q_dedup_ngram" ->
-      """WITH norm AS (
-        |  SELECT doc_id, regexp_replace(lower(trim(text)), '[ \t\n\x0b\f\r]+', ' ', 'g') AS s
-        |  FROM documents WHERE doc_id < 250),
-        |sh AS (
-        |  SELECT doc_id,
-        |    CASE WHEN length(s) >= 5
-        |         THEN list_distinct(list_transform(range(0, length(s) - 4), i -> substr(s, i + 1, 5)))
-        |         ELSE [s] END AS shset
-        |  FROM norm),
-        |sz AS (SELECT doc_id, shset, len(shset) AS n FROM sh),
-        |scored AS (
-        |  SELECT a.doc_id AS id1, b.doc_id AS id2,
-        |    cast(len(list_intersect(a.shset, b.shset)) AS DOUBLE)
-        |      / len(list_distinct(a.shset || b.shset)) AS jaccard
-        |  FROM sz a JOIN sz b
-        |    ON a.doc_id < b.doc_id
-        |   AND least(a.n, b.n) >= cast(0.8 AS DOUBLE) * greatest(a.n, b.n) - 1e-9)
-        |SELECT id1, id2, jaccard FROM scored WHERE jaccard >= 0.8
-        |ORDER BY id1, id2""".stripMargin,
+    "q_dedup_ngram" -> ngramJaccardOracle,
+    // the blocked (LSH-screen + exact-verify) path must return the
+    // IDENTICAL pair set — same oracle by construction
+    "q_dedup_ngram_blocked" -> ngramJaccardOracle,
 
     "q_dedup_embedding" ->
       """WITH v AS (SELECT vec_id,

@@ -552,6 +552,26 @@ object Dedup {
       .select(col("id1"), col("id2"), jac.as("jaccard"))
   }
 
+  /** Corpus-scale sibling of [[ngramJaccardPairs]]: LSH-screen (MinHash
+    * banding over the SAME char-shingle identity — [[TextOps.charShingles]]
+    * normalization and short-string fallback included) then exact-Jaccard
+    * verify over surviving candidates only. Every emitted pair genuinely
+    * has jaccard >= threshold (precision 1.0; the exact set similarity
+    * decides, the signatures only screen); recall per true pair is
+    * 1 - (1 - t^r)^bands — at the defaults (r = numHashes/bands = 2,
+    * bands = 64) a threshold-0.8 pair is missed with probability
+    * ~1e-29, i.e. the pair set equals the all-pairs answer in practice
+    * (gated: q_dedup_ngram_blocked shares q_dedup_ngram's oracle).
+    * Cost is one signature pass + banded equi-joins instead of the
+    * all-pairs enumeration — the 100 TB path. */
+  def ngramJaccardPairsBlocked(
+      df: DataFrame, idCol: String, textCol: String,
+      shingleN: Int, threshold: Double,
+      numHashes: Int = 128, bands: Int = 64,
+      maxBucket: Int = 1000): DataFrame =
+    minhashNearDups(df, idCol, textCol, shingleN, numHashes, bands,
+      threshold, maxBucket, exactVerify = true, charShingles = true)
+
   /** Duplicate-graph edges: one (id1, id2) row per document pair that
     * shares at least one word `shingleN`-gram — the cheap equi-join
     * relation used to build duplicate CLUSTERS (feed the result to

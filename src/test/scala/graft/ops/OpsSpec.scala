@@ -279,6 +279,25 @@ class OpsSpec extends AnyFunSuite {
     assert(got.exists { case (a1, b1, _) => a1 == 0L && b1 == 1L }) // exact dup pair
   }
 
+  test("Dedup.ngramJaccardPairsBlocked returns the identical pair set to the all-pairs form") {
+    // the 100 TB path (LSH screen + exact verify) vs the exact
+    // enumeration, over the real sf0.001 documents table UNSCOPED —
+    // stronger than the gate's doc_id < 250 slice
+    val corpus = graft.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+      .select("doc_id", "text")
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), math.round(r.getDouble(2) * 1e9))
+    val allPairs = Dedup.ngramJaccardPairs(
+      corpus, "doc_id", "text", shingleN = 5, threshold = 0.8)
+      .collect().map(key).toSet
+    val blocked = Dedup.ngramJaccardPairsBlocked(
+      corpus, "doc_id", "text", shingleN = 5, threshold = 0.8)
+      .collect().map(key).toSet
+    assert(blocked == allPairs,
+      s"missing=${allPairs -- blocked} extra=${blocked -- allPairs}")
+    assert(allPairs.nonEmpty) // the corpus must actually exercise this
+  }
+
   test("Dedup.ngramJaccard: identical=1, disjoint=0") {
     val d = Seq(("abcdef", "abcdef", "zzzzzz")).toDF("a", "b", "c")
     val r = d.select(
