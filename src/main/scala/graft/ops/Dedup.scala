@@ -148,11 +148,13 @@ object Dedup {
     * computation use [[minhashSignatures]], whose explode+aggregate
     * shape stays inside whole-stage codegen (~100x faster per row and
     * parallel regardless of input file layout). */
-  def minhashSignature(textCol: Column, shingleN: Int, numHashes: Int): Column = {
-    val sh = TextOps.shingles(textCol, shingleN)
-    transform(sequence(lit(0), lit(numHashes - 1)),
-      j => array_min(transform(sh, s => xxhash64(s, j))))
-  }
+  def minhashSignature(textCol: Column, shingleN: Int, numHashes: Int): Column =
+    // shingle array once-bound: an unbound reference re-shingles the
+    // document per hash index (TextOps.once scaladoc)
+    TextOps.once(TextOps.shingles(textCol, shingleN)) { sh =>
+      transform(sequence(lit(0), lit(numHashes - 1)),
+        j => array_min(transform(sh, s => xxhash64(s, j))))
+    }
 
   /** Corpus-scale MinHash signatures: one row (id, __sig__) per input
     * row, via the native [[graft.functions.MinHashSig]] expression — a
@@ -471,13 +473,14 @@ object Dedup {
     * independent per-bit token hash (xxhash64(token, i)) — equivalent
     * strength to slicing one 64-bit hash, and the bit-array form avoids
     * variable shifts and slices directly into bands. */
-  def simhashSignature(textCol: Column, bits: Int = 64): Column = {
-    val toks = TextOps.tokens(TextOps.normalized(textCol))
-    transform(sequence(lit(0), lit(bits - 1)), i =>
-      when(aggregate(toks, lit(0L),
-        (acc, t) => acc + when(pmod(xxhash64(t, i), lit(2)) === 1, lit(1L)).otherwise(lit(-1L))) >= 0,
-        lit(1)).otherwise(lit(0)))
-  }
+  def simhashSignature(textCol: Column, bits: Int = 64): Column =
+    // token array once-bound: unbound it re-tokenizes per bit (64x)
+    TextOps.once(TextOps.tokens(TextOps.normalized(textCol))) { toks =>
+      transform(sequence(lit(0), lit(bits - 1)), i =>
+        when(aggregate(toks, lit(0L),
+          (acc, t) => acc + when(pmod(xxhash64(t, i), lit(2)) === 1, lit(1L)).otherwise(lit(-1L))) >= 0,
+          lit(1)).otherwise(lit(0)))
+    }
 
   /** Corpus-scale SimHash signatures via the native
     * [[graft.functions.SimHashSig]] expression — one hash per token,

@@ -114,6 +114,21 @@ object TextOps {
   def normalized(c: Column): Column =
     regexp_replace(lower(trim(c)), "\\s+", " ")
 
+  /** Evaluates `value` ONCE and hands it to `f` as a bound lambda
+    * variable. Interpreted higher-order functions re-evaluate every
+    * non-lambda subexpression referenced in the lambda body PER
+    * ELEMENT (Catalyst does no common-subexpression elimination inside
+    * lambda bodies, and HOFs never enter codegen). A token array
+    * referenced inside its own transform() therefore re-tokenizes the
+    * whole document once per output shingle — O(tokens²) per row. On
+    * gate-sized documents (~200 tokens) that hid as a constant factor;
+    * the hostile-inputs sweep measured 16+ executor-minutes on ONE
+    * 1.2 MB document, which at crawl scale is a hung job. Routing the
+    * value through a single-element transform rebinds it as a
+    * NamedLambdaVariable: evaluated once, O(1) to read per element. */
+  private[ops] def once(value: Column)(f: Column => Column): Column =
+    element_at(transform(array(value), f), 1)
+
   /** The Gopher quality-rule stopwords (Rae et al. 2021, "Scaling
     * Language Models: ...", appendix A — a document must contain at
     * least two of these to pass the rule set). */
@@ -198,14 +213,16 @@ object TextOps {
     aggregate(tokens(normalized(c)), lit(0L), (acc, t) => xxhash64(t, acc))
 
   /** Word n-gram shingles; short texts yield the whole text as the one
-    * shingle so every document has a non-empty shingle set. */
-  def shingles(c: Column, n: Int): Column = {
-    val tk = tokens(normalized(c))
-    when(size(tk) >= n,
-      transform(sequence(lit(0), size(tk) - n),
-        i => concat_ws(" ", slice(tk, i + 1, lit(n)))))
-      .otherwise(array(concat_ws(" ", tk)))
-  }
+    * shingle so every document has a non-empty shingle set. The token
+    * array is [[once]]-bound: referencing it directly inside the
+    * transform lambda would re-tokenize the document per shingle. */
+  def shingles(c: Column, n: Int): Column =
+    once(tokens(normalized(c))) { tk =>
+      when(size(tk) >= n,
+        transform(sequence(lit(0), size(tk) - n),
+          i => concat_ws(" ", slice(tk, i + 1, lit(n)))))
+        .otherwise(array(concat_ws(" ", tk)))
+    }
 
   /** Fraction of duplicated word n-grams in the document (0 = no
     * repetition, →1 = the same phrase over and over) — the standard
@@ -404,20 +421,22 @@ object TextOps {
     * shorter than the n-gram cannot contain one, whereas the
     * [[shingles]] fallback would let two unrelated short snippets
     * "overlap" on their whole text. */
-  def strictShingles(c: Column, n: Int): Column = {
-    val tk = tokens(normalized(c))
-    when(size(tk) >= n,
-      transform(sequence(lit(0), size(tk) - n),
-        i => concat_ws(" ", slice(tk, i + 1, lit(n)))))
-      .otherwise(array().cast("array<string>"))
-  }
+  def strictShingles(c: Column, n: Int): Column =
+    once(tokens(normalized(c))) { tk =>
+      when(size(tk) >= n,
+        transform(sequence(lit(0), size(tk) - n),
+          i => concat_ws(" ", slice(tk, i + 1, lit(n)))))
+        .otherwise(array().cast("array<string>"))
+    }
 
-  /** Character n-gram shingles. */
-  def charShingles(c: Column, n: Int): Column = {
-    val s = normalized(c)
-    when(length(s) >= n,
-      transform(sequence(lit(0), length(s) - n),
-        i => s.substr(i + 1, lit(n))))
-      .otherwise(array(s))
-  }
+  /** Character n-gram shingles. [[once]]-bound like [[shingles]] —
+    * worse here unbound: the per-position substr would re-normalize
+    * the whole string per CHARACTER, O(chars²) per row. */
+  def charShingles(c: Column, n: Int): Column =
+    once(normalized(c)) { s =>
+      when(length(s) >= n,
+        transform(sequence(lit(0), length(s) - n),
+          i => s.substr(i + 1, lit(n))))
+        .otherwise(array(s))
+    }
 }

@@ -12,28 +12,54 @@ import org.apache.spark.sql.types.{AbstractDataType, DataType}
   * conversion utilities are `private[sql]`; this object lives inside the
   * sql namespace to expose exactly the two conversions a third-party
   * expression library needs (the standard extension-library pattern).
+  *
+  * VERSION PIN: every entry here touches `private[sql]` / `private[spark]`
+  * API that Spark may change without deprecation. Developed and tested
+  * against Spark 4.1.x only (see [[TestedSparkVersion]]); on any other
+  * minor line the first use fails loudly with the version mismatch
+  * instead of surfacing as a subtle `MethodNotFoundError` mid-query.
+  * BridgeSpec exercises every entry, so a jar upgrade breaks in `sbt
+  * test`, not in production. When bumping Spark: re-run BridgeSpec,
+  * re-check `ExpressionUtils.{expression,column}`, `classic.Dataset.ofRows`,
+  * `classic.Dataset#queryExecution`, and `Observation.getOrEmpty` still
+  * exist with these signatures, then update [[TestedSparkVersion]].
   */
 object Bridge {
-  def toExpression(c: Column): Expression = ExpressionUtils.expression(c)
-  def toColumn(e: Expression): Column = ExpressionUtils.column(e)
+
+  /** The Spark minor line this bridge's private-API surface was
+    * verified against. */
+  val TestedSparkVersion = "4.1"
+
+  private lazy val versionChecked: Unit = {
+    val v = org.apache.spark.SPARK_VERSION
+    require(v.startsWith(TestedSparkVersion + ".") || v == TestedSparkVersion,
+      s"graftbridge.Bridge was verified against Spark $TestedSparkVersion.x " +
+        s"but this is Spark $v — the private[sql] API it touches may have " +
+        "moved. Re-run BridgeSpec against the new jars and update " +
+        "Bridge.TestedSparkVersion before using native graft expressions.")
+  }
+
+  private def checked[A](a: => A): A = { versionChecked; a }
+  def toExpression(c: Column): Expression = checked(ExpressionUtils.expression(c))
+  def toColumn(e: Expression): Column = checked(ExpressionUtils.column(e))
 
   /** AbstractDataType is private[sql]; expose an input-type spec helper
     * so graft expressions can declare ExpectsInputTypes. */
-  def abstractType(dt: DataType): AbstractDataType = dt
+  def abstractType(dt: DataType): AbstractDataType = checked(dt)
 
   /** Analyzed logical plan of a DataFrame (for building custom logical
     * nodes over resolved children — `queryExecution` lives on the
     * classic Dataset in Spark 4). */
-  def analyzed(df: DataFrame): LogicalPlan =
-    df.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]].queryExecution.analyzed
+  def analyzed(df: DataFrame): LogicalPlan = checked(
+    df.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]].queryExecution.analyzed)
 
   /** DataFrame over a custom logical plan (`Dataset.ofRows` is
     * private[sql]). */
-  def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
+  def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame = checked(
     org.apache.spark.sql.classic.Dataset.ofRows(
-      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan))
 
   /** Non-blocking observation read (`Observation.getOrEmpty` is
     * private[spark]): empty map until the metrics event arrives. */
-  def observedMetrics(obs: Observation): Map[String, Any] = obs.getOrEmpty
+  def observedMetrics(obs: Observation): Map[String, Any] = checked(obs.getOrEmpty)
 }
