@@ -4,17 +4,18 @@ import org.apache.spark.sql.SparkSession
 /** Benchmark main: runs every SparkEntry query at the scale factor in
   * SPARK_GRAFT_SF_DIR and prints one JSON line.
   *
-  * Methodology: each query executes three times. The first (cold)
-  * execution is dominated by one-time whole-stage-codegen compilation
-  * of that query's plan shapes; the reported steady-state number is the
-  * MINIMUM of the two subsequent runs — the noise-robust statistic.
-  * Two rounds in a row the single-second-run number mis-signaled
-  * (driver-machine contention inflated individual runs up to ~10x while
-  * a quiet re-run of the same tree measured 1-2s); a best-of-2 steady
-  * minimum cannot be poisoned by one contended run, while still
-  * measuring a fully-warmed execution (min over repeated runs of a
-  * deterministic query converges to the true cost from above — it can
-  * only over-report contention, never under-report work).
+  * Methodology: three INTERLEAVED sweeps over the whole query set. Sweep
+  * 1 (cold) is dominated by one-time whole-stage-codegen compilation of
+  * each query's plan shapes; the reported steady-state number is the
+  * MINIMUM of each query's sweep-2 and sweep-3 runs. Interleaving is the
+  * r8 lesson: back-to-back repeats of ONE query all land inside the same
+  * contention window, so min-of-2 defended against a contended RUN but
+  * not a contended MINUTE (BENCH_r08 showed 4-13x "regressions" that
+  * re-measured at 1-2x on a quiet machine). With full sweeps between a
+  * query's repeats (~30s apart at sf0.1), a contention burst must span
+  * the whole bench to poison both samples; min over the two sweeps then
+  * converges to the true cost from above — it can only over-report
+  * contention, never under-report work.
   *
   * The JSON line reports steady-state per query (`queries`) plus scalar
   * totals for both; per-query cold times go to stderr only. The line is
@@ -39,26 +40,37 @@ object Bench {
     // warm the session (executor threads, parquet footer reads, codegen
     // of a trivial plan) so the first timed query isn't charged startup
     Tables.names.foreach(n => Tables.load(spark, sfDir, n).count())
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      def once(): (Double, Long) = {
-        val t0 = System.nanoTime()
-        val n = try { fn(spark, sfDir).count() } catch { case e: Throwable =>
+
+    val names = SparkEntry.queries.keys.toSeq.sorted
+    def once(name: String): (Double, Long) = {
+      val t0 = System.nanoTime()
+      val n = try { SparkEntry.queries(name)(spark, sfDir).count() }
+        catch { case e: Throwable =>
           System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); -1L }
-        ((System.nanoTime() - t0) / 1e9, n)
-      }
-      val (cold, n1) = once()
-      val (s1, n2) = once()
-      val (s2, n3) = once()
+      ((System.nanoTime() - t0) / 1e9, n)
+    }
+    def sweep(label: String): Map[String, (Double, Long)] = {
+      val m = names.map(n => n -> once(n)).toMap
+      System.err.println(f"[bench] sweep $label done: total=${m.valuesIterator.map(_._1).sum}%.1fs")
+      m
+    }
+    val cold = sweep("1/cold")
+    val s1 = sweep("2/steady")
+    val s2 = sweep("3/steady")
+
+    val results = names.map { name =>
+      val runs = Seq(s1(name), s2(name))
       // min over SUCCESSFUL runs only: a fast-throwing failed run must
       // not under-report the steady cost it never paid
-      val ok = Seq((s1, n2), (s2, n3)).filter(_._2 >= 0)
-      val steady = if (ok.nonEmpty) ok.map(_._1).min else math.max(s1, s2)
+      val ok = runs.filter(_._2 >= 0)
+      val steady = if (ok.nonEmpty) ok.map(_._1).min else runs.map(_._1).max
+      val counts = Seq(cold(name), s1(name), s2(name)).map(_._2)
       System.err.println(
-        f"[bench] $name%-24s cold=$cold%7.2fs steady=$steady%7.2fs (runs $s1%.2f/$s2%.2f) rows=$n3")
-      val counts = Seq(n1, n2, n3)
+        f"[bench] $name%-24s cold=${cold(name)._1}%7.2fs steady=$steady%7.2fs " +
+          f"(sweeps ${s1(name)._1}%.2f/${s2(name)._1}%.2f) rows=${counts.last}")
       if (counts.distinct.size != 1) // a run failed or row counts diverged: flag, keep the bench alive
         System.err.println(s"[bench] WARNING $name row counts differ across runs: ${counts.mkString("/")}")
-      (name, cold, steady, counts.exists(_ < 0) || counts.distinct.size != 1)
+      (name, cold(name)._1, steady, counts.exists(_ < 0) || counts.distinct.size != 1)
     }
     // Locale.ROOT: a comma decimal separator would corrupt the JSON
     def r3(v: Double): String =
@@ -68,7 +80,7 @@ object Bench {
     val total = results.map(_._3).sum
     val totalCold = results.map(_._2).sum
     val failed = results.filter(_._4).map("\"" + _._1 + "\"").mkString("[", ",", "]")
-    val line = s"""{"metric":"total","value":${r3(total)},"unit":"sec","timing":"steady-state (min of runs 2-3); per-query cold on stderr","total_cold":${r3(totalCold)},"failed":$failed,"sf":"$sfDir","queries":$steadyObj}"""
+    val line = s"""{"metric":"total","value":${r3(total)},"unit":"sec","timing":"steady-state (min across interleaved sweeps 2-3); per-query cold on stderr","total_cold":${r3(totalCold)},"failed":$failed,"sf":"$sfDir","queries":$steadyObj}"""
     try java.nio.file.Files.writeString(java.nio.file.Path.of("BENCH_LOCAL.json"), line + "\n")
     catch { case e: Exception => System.err.println(s"[bench] BENCH_LOCAL.json write failed: $e") }
     println(line)

@@ -115,11 +115,11 @@ object SparkEntry {
       // (Streams.sessionAgg, batch path — the watermark node is
       // eliminated on bounded input); oracle = gaps-and-islands SQL.
       // session_window.end is last event + gap (exclusive), so the last
-      // event time is recovered by subtracting the gap.
-      // `ts div 1000`, NOT `/ 1000`: the nanos are ~1.7e18, beyond
-      // double's 53-bit mantissa — float division corrupts microseconds
-      val ev = t(s, dir, "events").select(
-        timestamp_micros(expr("ts div 1000")).as("ts"),
+      // event time is recovered by subtracting the gap. Tables.eventTime
+      // adapts to the physical ts type (nanos-long vs timestamp[us]).
+      val raw = t(s, dir, "events")
+      val ev = raw.select(
+        Tables.eventTime(raw).as("ts"),
         col("user_id"), col("value"))
       graft.streaming.Streams.sessionAgg(ev, "ts", "0 seconds", "4 hours",
         Seq("user_id"))(

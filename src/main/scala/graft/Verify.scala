@@ -23,15 +23,17 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries
+    val ran = SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only.contains(name) }
-      .foreach { case (name, fn) =>
-        try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-          .parquet(s"$outDir/$name")
-        catch { case e: Throwable =>
-          System.err.println(s"[verify] $name failed: ${e.getMessage}")
-        }
+      .toSeq.sortBy(_._1)
+    val failed = ran.flatMap { case (name, fn) =>
+      try { fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+        .parquet(s"$outDir/$name"); None }
+      catch { case e: Throwable =>
+        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        Some(name -> String.valueOf(e.getMessage))
       }
+    }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.
@@ -48,6 +50,19 @@ object Verify {
       .filter { case (k, _) => only.isEmpty || only.contains(k) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // Manifest of what was DECLARED vs what CRASHED, so downstream checks
+    // (tools/selfcheck.py) can fail loudly when a query silently falls
+    // out of the artifact — r8 shipped 89 correctness rows for 90
+    // declared queries and nothing noticed until the judge did.
+    val manifest = s"""{"declared": ${ran.map(r => q(r._1)).mkString("[", ",", "]")}, """ +
+      s""""failed": ${failed.map { case (k, m) => s"${q(k)}: ${q(m)}" }.mkString("{", ",", "}")}}"""
+    Files.writeString(Paths.get(s"$outDir/_manifest.json"), manifest)
+    // Exit 0 even on per-query failure: the driver's artifact for the 89
+    // surviving queries is worth more than a clean rc. The loud gates are
+    // the manifest consumers: tools/selfcheck.py (exits non-zero on any
+    // declared-but-missing query) and GateQueriesSpec (sbt test).
+    if (failed.nonEmpty)
+      System.err.println(s"[verify] ${failed.size} quer${if (failed.size == 1) "y" else "ies"} FAILED: ${failed.map(_._1).mkString(", ")}")
     spark.stop()
   }
 }

@@ -47,24 +47,32 @@ object TextOps {
       lit(target.length * 2 - target.trim.length)
   }
 
+  /** Total ratio: NULL when the denominator is zero (empty text),
+    * never a DIVIDE_BY_ZERO — Spark 4 runs ANSI by default, where a
+    * bare x/0 THROWS, so one empty document would kill a whole corpus
+    * pass. DuckDB's x/0 is NULL, so the guard is also exact oracle
+    * parity (the oracle SQL divides unguarded and gets NULL). */
+  private def ratio(num: Column, den: Column): Column =
+    when(den > 0, num / den)
+
   /** Ratio of alphabetic chars (single int/int division — deterministic
     * across engines). */
   def alphaRatio(c: Column): Column =
-    length(regexp_replace(c, "[^A-Za-z]", "")) / length(c)
+    ratio(length(regexp_replace(c, "[^A-Za-z]", "")), length(c))
 
   def digitRatio(c: Column): Column =
-    length(regexp_replace(c, "[^0-9]", "")) / length(c)
+    ratio(length(regexp_replace(c, "[^0-9]", "")), length(c))
 
   def punctRatio(c: Column): Column =
-    length(regexp_replace(c, "[^.,;:!?'\"()-]", "")) / length(c)
+    ratio(length(regexp_replace(c, "[^.,;:!?'\"()-]", "")), length(c))
 
   /** Mean token length. */
   def avgTokenLen(c: Column): Column =
-    length(regexp_replace(c, "\\s+", "")) / tokenCount(c)
+    ratio(length(regexp_replace(c, "\\s+", "")), tokenCount(c))
 
   /** Stopword ratio against a dictionary (token-level membership). */
   def stopwordRatio(c: Column, stopwords: Seq[String]): Column =
-    size(filter(tokens(lower(c)), t => t.isin(stopwords: _*))) / tokenCount(c)
+    ratio(size(filter(tokens(lower(c)), t => t.isin(stopwords: _*))), tokenCount(c))
 
   /** Composite quality features struct for corpus filtering. */
   def qualityFeatures(c: Column, stopwords: Seq[String] = englishStopwords): Column =
@@ -429,14 +437,24 @@ object TextOps {
         .otherwise(array().cast("array<string>"))
     }
 
-  /** Character n-gram shingles. [[once]]-bound like [[shingles]] —
-    * worse here unbound: the per-position substr would re-normalize
-    * the whole string per CHARACTER, O(chars²) per row. */
+  /** Character n-gram shingles, enumerated by ONE linear regex pass:
+    * `(?s)(?=(.{n})).` captures the n chars starting at every position
+    * (the lookahead captures without consuming; the final `.` advances
+    * one codepoint), yielding exactly the positions 0..len-n substring
+    * enumeration. NOT per-position `substr`: `UTF8String.substring`
+    * seeks its start codepoint by scanning from byte 0, so the
+    * transform-over-positions formulation is O(chars²) PER ROW — the
+    * hostile-inputs sweep measured 12+ executor-minutes on one 1.2 MB
+    * document (r8's `once` fix removed the re-normalization quadratic
+    * but not this seek quadratic). `(?s)` so line separators
+    * (U+0085/U+2028/U+2029 survive [[normalized]], whose \s excludes
+    * them) still match `.` — same identity as the substring version.
+    * [[once]]-bound so interpreted contexts don't re-normalize per
+    * reference. */
   def charShingles(c: Column, n: Int): Column =
     once(normalized(c)) { s =>
       when(length(s) >= n,
-        transform(sequence(lit(0), length(s) - n),
-          i => s.substr(i + 1, lit(n))))
+        regexp_extract_all(s, lit(s"(?s)(?=(.{$n}))."), lit(1)))
         .otherwise(array(s))
     }
 }

@@ -44,8 +44,16 @@ object Bridge {
   def toColumn(e: Expression): Column = checked(ExpressionUtils.column(e))
 
   /** AbstractDataType is private[sql]; expose an input-type spec helper
-    * so graft expressions can declare ExpectsInputTypes. */
-  def abstractType(dt: DataType): AbstractDataType = checked(dt)
+    * so graft expressions can declare ExpectsInputTypes. A pure upcast
+    * (DataType <: AbstractDataType), source-compatible by construction —
+    * deliberately NOT routed through the version gate so it stays safe
+    * to call from expression-class initializers. */
+  def abstractType(dt: DataType): AbstractDataType = dt
+
+  /** `AbstractDataType.acceptsType` is private[sql]; exposed so specs
+    * outside the sql namespace can probe an input-type spec. */
+  def accepts(at: AbstractDataType, dt: DataType): Boolean =
+    checked(at.acceptsType(dt))
 
   /** Analyzed logical plan of a DataFrame (for building custom logical
     * nodes over resolved children — `queryExecution` lives on the
@@ -59,7 +67,16 @@ object Bridge {
     org.apache.spark.sql.classic.Dataset.ofRows(
       spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan))
 
-  /** Non-blocking observation read (`Observation.getOrEmpty` is
-    * private[spark]): empty map until the metrics event arrives. */
-  def observedMetrics(obs: Observation): Map[String, Any] = checked(obs.getOrEmpty)
+  /** Non-blocking observation read: empty map until the metrics event
+    * arrives. Reads `Observation.future` (private[sql]) directly —
+    * 4.1.2's own `getOrEmpty` substitutes `Row.empty` before completion
+    * and then dereferences its null schema, NPEing on every
+    * pre-completion read; and `getRowOrEmpty` blocks up to 100 ms. */
+  def observedMetrics(obs: Observation): Map[String, Any] = checked {
+    obs.future.value match {
+      case Some(scala.util.Success(row)) if row.schema != null =>
+        row.schema.fieldNames.zip(row.toSeq).toMap
+      case _ => Map.empty
+    }
+  }
 }

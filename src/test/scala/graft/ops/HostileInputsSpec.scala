@@ -99,7 +99,7 @@ class HostileInputsSpec extends AnyFunSuite {
       if (!r.isNullAt(1)) {
         assert(r.getString(1) == r.getString(2),
           s"cleanText not idempotent on id=${r.getLong(0)}")
-        assert(!r.getString(1).exists(ch => ch < ' ' && ch != '￿'),
+        assert(!r.getString(1).exists(_ < ' '),
           s"control char survived cleanText on id=${r.getLong(0)}")
       } else assert(r.isNullAt(2) && r.isNullAt(3))
     }
@@ -363,5 +363,101 @@ class HostileInputsSpec extends AnyFunSuite {
     val pairs = Dedup.minhashNearDups(hostile, "id", "text",
       shingleN = 3, numHashes = 32, bands = 8, threshold = 0.8)
     assert(pairs.count() >= 0L) // no-throw is the assertion
+  }
+
+  // ---------------------------------------------------------------
+  // Round-8 paths: blocked n-gram Jaccard, catalogs, sessionAgg
+  // ---------------------------------------------------------------
+
+  // hostile plus a planted near-dup pair the screens must find
+  private lazy val hostileWithDups: DataFrame = hostile.union(Seq(
+    (20L, "the quick brown fox jumps over the lazy dog again and again"),
+    (21L, "the quick brown fox jumps over the lazy dog again and again")
+  ).toDF("id", "text"))
+
+  test("ngramJaccardPairsBlocked: hostile corpus no-throw; subset of all-pairs; planted dup found") {
+    def norm(df: DataFrame): Set[(Long, Long)] =
+      df.select("id1", "id2").collect()
+        .map(r => (math.min(r.getLong(0), r.getLong(1)),
+          math.max(r.getLong(0), r.getLong(1)))).toSet
+    val blocked = norm(Dedup.ngramJaccardPairsBlocked(
+      hostileWithDups, "id", "text", shingleN = 3, threshold = 0.8))
+    val allPairs = norm(Dedup.ngramJaccardPairs(
+      hostileWithDups, "id", "text", shingleN = 3, threshold = 0.8))
+    // exact verify on screened candidates: can only MISS, never invent
+    assert(blocked.subsetOf(allPairs),
+      s"blocked path invented pairs: ${blocked -- allPairs}")
+    assert(blocked.contains((20L, 21L)), "planted exact duplicate missed")
+  }
+
+  test("fingerprint catalog: hostile self-dedup keeps only null-text docs; non-string catalog fails loudly") {
+    val catalog = Dedup.fingerprints(hostile, "text")
+    // every non-null text fingerprint is in the catalog, so self-dedup
+    // keeps exactly the null-text doc (null fingerprints always kept)
+    val kept = Dedup.exactCrossDedupByFingerprint(
+      hostile, catalog, "fingerprint", "id", "text").collect()
+    assert(kept.map(_.getLong(0)).toSet == Set(1L),
+      "only the null-text doc survives self-catalog dedup")
+    // a binary catalog column would silently match nothing — loud fail
+    val bad = catalog.select(unbase64(base64(col("fingerprint").cast("binary"))).as("fingerprint"))
+    val e = intercept[IllegalArgumentException] {
+      Dedup.exactCrossDedupByFingerprint(hostile, bad, "fingerprint", "id", "text")
+    }
+    assert(e.getMessage.contains("expected"), s"wrong error: ${e.getMessage}")
+  }
+
+  test("signature catalog: hostile self-dedup no-throw; null text never enters the catalog; width mismatch fails loudly") {
+    val catalog = Dedup.signatureCatalog(hostileWithDups, "id", "text",
+      shingleN = 3, numHashes = 64, charShingles = true)
+    assert(catalog.count() == 13L, "null-text doc must not enter the catalog")
+    val kept = Dedup.crossCorpusDedupBySignatures(
+      hostileWithDups, catalog, "id", "sig", "id", "text",
+      shingleN = 3, numHashes = 64, bands = 16, threshold = 0.8,
+      charShingles = true).collect()
+    // every cataloged doc matches its own signature (agreement 1.0);
+    // the null-text doc has no catalog entry and must survive
+    assert(kept.map(_.getLong(0)).contains(1L), "null-text doc must survive")
+    assert(!kept.map(_.getLong(0)).contains(20L), "cataloged doc must be dropped")
+    // a catalog built at a different signature width must fail loudly,
+    // not silently stop colliding
+    val narrow = Dedup.signatureCatalog(hostileWithDups, "id", "text",
+      shingleN = 3, numHashes = 32, charShingles = true)
+    val e = intercept[IllegalArgumentException] {
+      Dedup.crossCorpusDedupBySignatures(
+        hostileWithDups, narrow, "id", "sig", "id", "text",
+        shingleN = 3, numHashes = 64, bands = 16, threshold = 0.8,
+        charShingles = true)
+    }
+    assert(e.getMessage.contains("numHashes"), s"wrong error: ${e.getMessage}")
+  }
+
+  test("sessionAgg: hostile event times (null ts, epoch zero, far future, duplicates, disorder) never throw") {
+    import java.sql.Timestamp
+    val events = Seq(
+      (1L, Timestamp.valueOf("2026-01-01 10:00:00"), 1.0),
+      (1L, Timestamp.valueOf("2026-01-01 10:00:00"), 2.0),  // duplicate ts
+      (1L, Timestamp.valueOf("2026-01-01 09:00:00"), 3.0),  // out of order
+      (2L, new Timestamp(0L), 4.0),                          // epoch zero
+      (2L, Timestamp.valueOf("9999-12-31 23:59:59"), 5.0),   // far future
+      (3L, null, 6.0)                                        // null event time
+    ).toDF("user_id", "ts", "value")
+    val out = graft.streaming.Streams.sessionAgg(
+      events, "ts", "0 seconds", "30 minutes", Seq("user_id"))(
+      count(lit(1)).as("n"), sum(col("value")).as("s"))
+      .select(col("user_id"), col("session_window.start").as("st"),
+        col("session_window.end").as("en"), col("n"))
+      .collect()
+    // null-ts rows have no session window and drop out of the grouping;
+    // every emitted session is well-formed
+    assert(!out.exists(_.getLong(0) == 3L), "null-ts row must not form a session")
+    out.foreach { r =>
+      assert(!r.isNullAt(1) && !r.isNullAt(2), s"null session bound: $r")
+      assert(!r.getTimestamp(1).after(r.getTimestamp(2)), s"start after end: $r")
+      assert(r.getLong(3) >= 1L, s"empty session: $r")
+    }
+    // user 1: 09:00 and the two 10:00 events gap > 30min apart -> 2 sessions
+    assert(out.count(_.getLong(0) == 1L) == 2)
+    // user 2's two events are millennia apart -> 2 sessions, no overflow
+    assert(out.count(_.getLong(0) == 2L) == 2)
   }
 }

@@ -329,4 +329,36 @@ class PropertiesSpec extends AnyFunSuite {
       assert(again == kept)
     }
   }
+
+  test("charShingles (linear regex) == the per-position substring enumeration") {
+    // the regex formulation exists purely for complexity (substr seeks
+    // its start codepoint from byte 0 → O(chars²)/row); identity must
+    // be bit-equal, including astral chars, line separators (which \s
+    // does NOT collapse and plain `.` does NOT match), and controls
+    val piece: Gen[String] = Gen.oneOf(
+      "a", "b", "c", " ", "  ", "\t", "\n", "😀", "𝕊", " ", " ",
+      "", "…", "ß", "#", ".", "xyz")
+    val uniText: Gen[String] =
+      Gen.chooseNum(0, 24).flatMap(k => Gen.listOfN(k, piece)).map(_.mkString)
+    forSamples(Gen.listOfN(24, uniText), 6) { texts =>
+      (2 to 4).foreach { n =>
+        // old formulation, inline: transform over positions + substr
+        import graft.ops.TextOps.{normalized, once}
+        def substrShingles(c: org.apache.spark.sql.Column) =
+          once(normalized(c)) { s =>
+            when(length(s) >= n,
+              transform(sequence(lit(0), length(s) - n),
+                i => s.substr(i + 1, lit(n))))
+              .otherwise(array(s))
+          }
+        val rows = texts.toDF("t").select(
+          TextOps.charShingles($"t", n).as("fast"),
+          substrShingles($"t").as("ref")).collect()
+        rows.foreach { r =>
+          assert(r.getSeq[String](0) == r.getSeq[String](1),
+            s"shingle identity diverged (n=$n): ${r.getSeq[String](0).take(5)} vs ${r.getSeq[String](1).take(5)}")
+        }
+      }
+    }
+  }
 }

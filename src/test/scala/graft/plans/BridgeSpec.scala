@@ -38,7 +38,7 @@ class BridgeSpec extends AnyFunSuite {
 
   test("abstractType wraps a DataType as an input-type spec") {
     val at = Bridge.abstractType(org.apache.spark.sql.types.LongType)
-    assert(at.acceptsType(org.apache.spark.sql.types.LongType))
+    assert(Bridge.accepts(at, org.apache.spark.sql.types.LongType))
   }
 
   test("analyzed + ofRows round-trip a DataFrame through its logical plan") {

@@ -22,9 +22,11 @@ class StreamsSpec extends AnyFunSuite {
   import spark.implicits._
 
   test("windowedAgg over a file stream matches the batch computation") {
-    // stage the events table (ts nanos-long -> timestamp) as a stream dir
-    val events = graft.Tables.load(spark, "/root/testdata/sf0.001", "events")
-      .select(timestamp_micros(expr("ts div 1000")).as("ts"),
+    // stage the events table (ts in whatever physical type the testdata
+    // generation wrote — Tables.eventTime adapts) as a stream dir
+    val eventsRaw = graft.Tables.load(spark, "/root/testdata/sf0.001", "events")
+    val events = eventsRaw
+      .select(graft.Tables.eventTime(eventsRaw).as("ts"),
         col("event_type"), col("value"))
     val dir = Files.createTempDirectory("graft-stream").toString
     events.write.mode("overwrite").parquet(dir)

@@ -106,7 +106,30 @@ def main(sf_dir, out_dir):
                 n = pq.read_table(path).num_rows
                 print(f"INFO {d}: no oracle, {n} rows (driver records rows-only)")
             except Exception as e:
-                print(f"INFO {d}: no oracle, unreadable: {e}")
+                print(f"FAIL {d}: no oracle, unreadable: {e}")
+                n_fail += 1
+    # r8 lesson: a crashing query silently fell out of the artifact (89
+    # correctness rows for 90 declared queries). Verify now writes a
+    # manifest of declared/failed; every declared query must have a
+    # readable parquet output here, oracle or not.
+    manifest_path = os.path.join(out_dir, "_manifest.json")
+    if os.path.exists(manifest_path):
+        with open(manifest_path) as f:
+            manifest = json.load(f)
+        for name, msg in sorted(manifest.get("failed", {}).items()):
+            print(f"FAIL {name}: Verify recorded a crash: {msg}")
+            n_fail += 1
+        for name in manifest.get("declared", []):
+            if name in manifest.get("failed", {}):
+                continue
+            path = os.path.join(out_dir, name)
+            if not os.path.isdir(path):
+                print(f"FAIL {name}: declared in SparkEntry.queries but no output dir")
+                n_fail += 1
+    else:
+        print("WARN no _manifest.json — cannot check declared-vs-produced "
+              "(stale Verify build?)")
+        n_fail += 1
     print(f"== {n_pass} pass / {n_fail} fail ==")
     return 1 if n_fail else 0
 
