@@ -25,14 +25,33 @@ case class CosineSim(left: Expression, right: Expression) extends BinaryExpressi
     }
   override def dataType: DataType = DoubleType
   override def nullIntolerant: Boolean = true
+  // NULL (not NaN) when the cosine is undefined — a zero-norm vector
+  // (failed encoder output) or NaN components. The naive dot/norms
+  // division gives NaN, and Spark orders NaN ABOVE every double: one
+  // zero embedding in a 100 TB corpus would rank FIRST in every
+  // `ORDER BY cosine DESC` top-k while silently passing every spec on
+  // clean data. NULL instead sorts last under the DESC default,
+  // fails `>= threshold` filters, and matches what the DuckDB oracle's
+  // own x/0 yields — degenerate vectors drop out of similarity results
+  // identically on both engines.
+  override def nullable: Boolean = true
   override def prettyName: String = "cosine_sim"
 
-  override protected def nullSafeEval(a: Any, b: Any): Any =
-    SimilarityUtil.cosine(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val c = SimilarityUtil.cosine(
+      a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    if (java.lang.Double.isNaN(c)) null else c
+  }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, (a, b) =>
-      s"graft.functions.SimilarityUtil$$.MODULE$$.cosine($a, $b)")
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"""
+         |${ev.value} = graft.functions.SimilarityUtil$$.MODULE$$.cosine($a, $b);
+         |if (java.lang.Double.isNaN(${ev.value})) {
+         |  ${ev.isNull} = true;
+         |  ${ev.value} = 0.0;
+         |}
+       """.stripMargin)
 
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(left = l, right = r)

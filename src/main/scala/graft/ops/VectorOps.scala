@@ -35,7 +35,12 @@ object VectorOps {
     graft.functions.similarityExprs.cosine_sim(a, b)
 
   /** The pure-built-in cosine (interpreted higher-order fold) — kept
-    * for reference and cross-checking against the native expression. */
+    * for reference and cross-checking against the native expression.
+    * DIVERGES from [[cosine]] on degenerate input: a zero-norm vector
+    * yields NaN here (bare double 0/0) but NULL from the native
+    * expression — NaN sorts ABOVE every double in Spark, which is
+    * exactly the silent top-k corruption the native NULL exists to
+    * prevent; don't rank by this form. */
   def cosineHof(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
   /** Brute-force top-k cosine neighbors for each query vector.

@@ -431,6 +431,46 @@ class HostileInputsSpec extends AnyFunSuite {
     assert(e.getMessage.contains("numHashes"), s"wrong error: ${e.getMessage}")
   }
 
+  test("zero-norm embeddings: NULL cosine, never rank first, drop from thresholds, IVF no-throw") {
+    // a failed encoder emits zero vectors; the naive dot/norms division
+    // gives NaN, which Spark sorts ABOVE every double — one such vector
+    // would top every ORDER BY cosine DESC top-k in a 100 TB corpus
+    val vecs = Seq(
+      (1L, Seq(1.0, 0.0, 0.0)),
+      (2L, Seq(0.9, 0.1, 0.0)),
+      (3L, Seq(0.0, 0.0, 0.0)),              // zero norm
+      (4L, Seq(Double.NaN, 1.0, 0.0))        // NaN component
+    ).toDF("id", "vec")
+    val c = vecs.select(col("id"),
+      VectorOps.cosine(col("vec"), typedLit(Seq(1.0, 0.0, 0.0))).as("cos")).collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    assert(c(1L).contains(1.0))
+    assert(c(3L).isEmpty, "zero-norm cosine must be NULL, not NaN")
+    assert(c(4L).isEmpty, "NaN-component cosine must be NULL")
+    // top-k: degenerate vectors never outrank a real neighbor
+    val knn = VectorOps.bruteForceTopK(vecs, vecs.filter(col("id") === 1L),
+      "id", "vec", k = 3).orderBy("rank").collect()
+    assert(knn.head.getLong(knn.head.fieldIndex("neighbor_id")) == 2L,
+      s"real neighbor must rank first, got ${knn.toSeq}")
+    // threshold form: degenerate vectors drop out entirely
+    val thr = VectorOps.cosineThreshold(vecs, vecs.filter(col("id") === 1L),
+      "id", "vec", threshold = 0.5).collect()
+    assert(thr.map(_.getLong(thr.head.fieldIndex("neighbor_id"))).toSet == Set(2L))
+    // IVF assignment and search tolerate the zero vector
+    val cents = Seq(Seq(1.0, 0.0, 0.0), Seq(0.0, 1.0, 0.0))
+    val idx = Ivf.index(vecs, "id", "vec", cents)
+    assert(idx.count() == 4L, "every vector (incl. zero) gets a cell")
+    val hits = Ivf.search(idx, vecs.filter(col("id") === 1L), "id", "vec",
+      cents, k = 2, nProbe = 2).orderBy("rank").collect()
+    // the zero vector may appear (NULL cosine, ranked last) but must
+    // never outrank a real neighbor
+    assert(hits.nonEmpty)
+    val first = hits.head
+    assert(first.getLong(first.fieldIndex("neighbor_id")) == 2L &&
+      !first.isNullAt(first.fieldIndex("cosine")),
+      s"degenerate vector outranked a real neighbor: ${hits.toSeq}")
+  }
+
   test("sessionAgg: hostile event times (null ts, epoch zero, far future, duplicates, disorder) never throw") {
     import java.sql.Timestamp
     val events = Seq(
