@@ -731,7 +731,14 @@ object Dedup {
       df: DataFrame, idCol: String, vecCol: String,
       threshold: Double = 0.95, nCells: Int = 16, replication: Int = 2,
       maxCell: Int = 10000, seed: Long = 42L): DataFrame = {
-    val centroids = Ivf.trainCentroids(df, vecCol, nCells, seed = seed)
+    // empty corpus (no non-null vectors) → no near-dups, not a
+    // quantizer-training failure: the first fully-filtering upstream
+    // step must not kill the dedup pass
+    val centroidsOpt = Ivf.trainCentroidsOpt(df, vecCol, nCells, seed = seed)
+    if (centroidsOpt.isEmpty)
+      return df.select(col(idCol).as("id1"), col(idCol).as("id2"),
+        lit(0.0).as("cosine")).where(lit(false))
+    val centroids = centroidsOpt.get
     // persisted: referenced by the cell-size aggregate and both pair
     // sides; materialized (localCheckpoint) before the finally-unpersist
     // so the returned frame never recomputes the assignment

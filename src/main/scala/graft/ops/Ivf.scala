@@ -29,16 +29,35 @@ object Ivf {
   def trainCentroids(
       df: DataFrame, vecCol: String, nCells: Int,
       sampleSize: Int = 2000, iterations: Int = 8, seed: Long = 42L): Seq[Seq[Double]] = {
+    val cs = trainCentroidsOpt(df, vecCol, nCells, sampleSize, iterations, seed)
+    require(cs.isDefined,
+      "empty training sample — the corpus has no non-null vectors; a " +
+        "quantizer cannot be trained on nothing (callers that want " +
+        "empty-in/empty-out semantics use trainCentroidsOpt)")
+    cs.get
+  }
+
+  /** [[trainCentroids]] that returns None instead of failing when the
+    * corpus has no non-null vectors — for operators whose natural
+    * empty-corpus answer is an empty result ([[topK]],
+    * [[graft.ops.Dedup.semanticNearDups]]): the first fully-filtering
+    * upstream step must not kill the job at quantizer training. */
+  def trainCentroidsOpt(
+      df: DataFrame, vecCol: String, nCells: Int,
+      sampleSize: Int = 2000, iterations: Int = 8,
+      seed: Long = 42L): Option[Seq[Seq[Double]]] = {
     val total = df.count()
     val fraction = if (total == 0) 1.0 else math.min(1.0, sampleSize * 1.2 / total.toDouble)
     // no limit() after the sample: limit takes rows in scan order, so
     // it would keep the FIRST ~sampleSize sampled rows and the corpus
     // tail could never train the quantizer; the fraction already bounds
-    // the driver collect at ~1.2x sampleSize
+    // the driver collect at ~1.2x sampleSize. Null vectors carry no
+    // geometry: filtered here, or the collect-side toArray NPEs.
     val sample = df.select(VectorOps.asDouble(col(vecCol)).as("v"))
+      .filter(col("v").isNotNull)
       .sample(withReplacement = false, fraction, seed)
       .collect().map(_.getSeq[Double](0).toArray)
-    require(sample.nonEmpty, "empty training sample")
+    if (sample.isEmpty) return None
     def normalize(v: Array[Double]): Array[Double] = {
       val n = math.sqrt(v.map(x => x * x).sum)
       if (n == 0) v else v.map(_ / n)
@@ -66,7 +85,7 @@ object Ivf {
         if (counts(c) == 0) centroids(c) else normalize(sums(c))
       }.toArray
     }
-    centroids.map(_.toSeq).toSeq
+    Some(centroids.map(_.toSeq).toSeq)
   }
 
   /** Persist a trained quantizer as one parquet table — at corpus
@@ -158,12 +177,18 @@ object Ivf {
       .select(col("query_id"), col("__id__").as("neighbor_id"), col("cosine"), col("rank"))
   }
 
-  /** Convenience: train + index + search in one call. */
+  /** Convenience: train + index + search in one call. An empty corpus
+    * (no non-null vectors) has no neighbors: empty result, not a
+    * quantizer-training failure. */
   def topK(
       corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
-      k: Int, nCells: Int = 16, nProbe: Int = 4, replication: Int = 2): DataFrame = {
-    val centroids = trainCentroids(corpus, vecCol, nCells)
-    search(index(corpus, idCol, vecCol, centroids, replication), queries, idCol, vecCol,
-      centroids, k, nProbe)
-  }
+      k: Int, nCells: Int = 16, nProbe: Int = 4, replication: Int = 2): DataFrame =
+    trainCentroidsOpt(corpus, vecCol, nCells) match {
+      case Some(centroids) =>
+        search(index(corpus, idCol, vecCol, centroids, replication), queries,
+          idCol, vecCol, centroids, k, nProbe)
+      case None =>
+        queries.select(col(idCol).as("query_id"), col(idCol).as("neighbor_id"),
+          lit(0.0).as("cosine"), lit(1).as("rank")).where(lit(false))
+    }
 }

@@ -153,7 +153,15 @@ object VectorOps {
       seed: Long = 42L): DataFrame = {
     require(nPlanes % rowsPerBand == 0, "nPlanes must be divisible by rowsPerBand")
     val nBands = nPlanes / rowsPerBand
-    val dim = df.select(size(col(vecCol))).head().getInt(0)
+    // hyperplane dimensionality probed from the first NON-NULL vector;
+    // a corpus with none (empty, or every vector null) has no
+    // neighbors — empty result, not a head-of-empty crash
+    val dimRow = df.select(size(col(vecCol)).as("__d__"))
+      .filter(col("__d__").isNotNull).head(1)
+    if (dimRow.isEmpty)
+      return df.select(col(idCol).as("id1"), col(idCol).as("id2"),
+        lit(0.0).as("cosine")).where(lit(false))
+    val dim = dimRow(0).getInt(0)
     val planes = hyperplanes(nPlanes, dim, seed)
 
     val sigs = lshSignatures(df, idCol, vecCol, planes)
