@@ -679,6 +679,29 @@ object SparkEntry {
         .orderBy("doc_id")
     },
 
+    "q_multimodal_dims" -> { (s, dir) =>
+      // header-level media parsing (Multimodal.mediaDims) under the
+      // oracle: assemble a spec-valid PNG header per doc with
+      // doc_id-derived dimensions (hex → unhex builds the big-endian
+      // u32 fields columnar), parse it back with the REAL byte-walk
+      // parser, and let DuckDB compute the expected dims arithmetically
+      // — any parser drift breaks the hash compare
+      val w = (col("doc_id") % 1000 + 1).cast("int")
+      val h = (col("doc_id") % 777 + 1).cast("int")
+      def be32(c: Column) = unhex(lpad(hex(c), 8, "0"))
+      val payload = concat(
+        lit(Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a,
+          0, 0, 0, 13)),
+        lit("IHDR".getBytes("US-ASCII")),
+        be32(w), be32(h),
+        lit(Array[Byte](8, 2, 0, 0, 0)))
+      val dims = ops.Multimodal.mediaDims(payload)
+      t(s, dir, "documents")
+        .select(col("doc_id"), dims.getField("width").as("width"),
+          dims.getField("height").as("height"))
+        .orderBy("doc_id")
+    },
+
     // ---------------- I/O round-trips (§2.9/§2.10 under the hard gate)
     // Each drives a sink + matching source end-to-end and hands the
     // re-read data to the oracle compare: the oracle sees the ORIGINAL
@@ -1599,6 +1622,12 @@ object SparkEntry {
       """SELECT doc_id, 'application/octet-stream' AS mime,
         |  octet_length(encode(text)) AS size_bytes,
         |  md5(text) AS content_md5
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_multimodal_dims" ->
+      """SELECT doc_id,
+        |  cast(doc_id % 1000 + 1 AS INT) AS width,
+        |  cast(doc_id % 777 + 1 AS INT) AS height
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     // I/O round-trips: the oracle reads the ORIGINAL table — the Spark

@@ -1,0 +1,137 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.types._
+
+/** Header-level media dimensions from a binary payload — REAL parsing
+  * (pure byte arithmetic, no codec library): PNG IHDR, GIF screen
+  * descriptor, BMP info header, JPEG SOF segment walk, WAV fmt chunk.
+  * Returns struct(width, height, sample_rate, channels) with NULL
+  * fields where the format has no such notion, and a NULL struct for
+  * anything unrecognized, truncated, or malformed — never a throw:
+  * payload bytes at crawl scale are hostile by default.
+  *
+  * This is the pre-decode filter a 100 TB image/audio pipeline runs
+  * FIRST: resolution/sample-rate gating drops payloads before the
+  * expensive decode stage ([[graft.ops.Multimodal.decodeFeaturesStub]])
+  * ever sees them. Codegen'd single pass over the leading bytes.
+  */
+case class MediaDims(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case BinaryType => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"media_dims expects binary, got ${other.simpleString}")
+    }
+
+  override def dataType: DataType = MediaDimsUtil.schema
+  override def nullable: Boolean = true
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "media_dims"
+
+  override protected def nullSafeEval(input: Any): Any =
+    MediaDimsUtil.parse(input.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"""
+         |${ev.value} = graft.functions.MediaDimsUtil$$.MODULE$$.parse($c);
+         |${ev.isNull} = (${ev.value} == null);
+       """.stripMargin)
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object MediaDimsUtil {
+
+  val schema: StructType = StructType(Seq(
+    StructField("width", IntegerType),
+    StructField("height", IntegerType),
+    StructField("sample_rate", IntegerType),
+    StructField("channels", IntegerType)))
+
+  private def u8(b: Array[Byte], i: Int): Int = b(i) & 0xff
+  private def be16(b: Array[Byte], i: Int): Int = (u8(b, i) << 8) | u8(b, i + 1)
+  private def le16(b: Array[Byte], i: Int): Int = u8(b, i) | (u8(b, i + 1) << 8)
+  private def be32(b: Array[Byte], i: Int): Long =
+    (u8(b, i).toLong << 24) | (u8(b, i + 1) << 16) | (u8(b, i + 2) << 8) | u8(b, i + 3)
+  private def le32(b: Array[Byte], i: Int): Long =
+    u8(b, i).toLong | (u8(b, i + 1).toLong << 8) | (u8(b, i + 2).toLong << 16) | (u8(b, i + 3).toLong << 24)
+
+  private def dims(w: Long, h: Long): InternalRow =
+    // a "dimension" past Int.MaxValue is a malformed header, not an image
+    if (w <= 0 || h <= 0 || w > Int.MaxValue || h > Int.MaxValue) null
+    else InternalRow(w.toInt, h.toInt, null, null)
+
+  /** Null on anything unrecognized/truncated/malformed — never throws. */
+  def parse(b: Array[Byte]): InternalRow = {
+    if (b == null || b.length < 10) return null // GIF's descriptor is the shortest parseable header
+    // PNG: 89 50 4E 47 0D 0A 1A 0A, IHDR length+type at 8, w/h BE32 at 16/20
+    if (b.length >= 24 && u8(b, 0) == 0x89 && b(1) == 'P' && b(2) == 'N' && b(3) == 'G' &&
+      b(12) == 'I' && b(13) == 'H' && b(14) == 'D' && b(15) == 'R')
+      return dims(be32(b, 16), be32(b, 20))
+    // GIF87a/89a: logical screen w/h LE16 at 6/8
+    if (b(0) == 'G' && b(1) == 'I' && b(2) == 'F' && b(3) == '8' &&
+      (b(4) == '7' || b(4) == '9') && b(5) == 'a')
+      return dims(le16(b, 6), le16(b, 8))
+    // BMP: "BM", BITMAPINFOHEADER (size >= 40): w/h signed LE32 at 18/22
+    // (height may be negative = top-down; magnitude is the dimension)
+    if (b.length >= 26 && b(0) == 'B' && b(1) == 'M' && le32(b, 14) >= 40) {
+      val w = le32(b, 18).toInt // reinterpret as signed
+      val h = le32(b, 22).toInt
+      return dims(w.toLong, math.abs(h.toLong))
+    }
+    // WAV: RIFF....WAVE, then chunk walk for "fmt " (channels LE16 at
+    // data+2, sample rate LE32 at data+4)
+    if (b.length >= 12 && b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F' &&
+      b(8) == 'W' && b(9) == 'A' && b(10) == 'V' && b(11) == 'E') {
+      var off = 12
+      var guard = 0
+      while (off + 8 <= b.length && guard < 64) {
+        val size = le32(b, off + 4)
+        if (b(off) == 'f' && b(off + 1) == 'm' && b(off + 2) == 't' && b(off + 3) == ' ') {
+          if (size < 16 || off + 8 + 8 > b.length) return null
+          val channels = le16(b, off + 10)
+          val rate = le32(b, off + 12)
+          if (channels <= 0 || rate <= 0 || rate > Int.MaxValue) return null
+          return InternalRow(null, null, rate.toInt, channels)
+        }
+        if (size < 0 || size > Int.MaxValue - 9) return null
+        off += 8 + size.toInt + (size.toInt & 1) // chunks are word-aligned
+        guard += 1
+      }
+      return null
+    }
+    // JPEG: FF D8, then segment walk to the first frame header (SOF0-15
+    // except DHT/JPG/DAC markers C4/C8/CC): h BE16 at seg+5, w at seg+7
+    if (u8(b, 0) == 0xff && u8(b, 1) == 0xd8) {
+      var off = 2
+      var guard = 0
+      while (off + 4 <= b.length && guard < 1024) {
+        if (u8(b, off) != 0xff) return null // lost marker sync
+        val marker = u8(b, off + 1)
+        if (marker == 0xff) { off += 1 } // fill byte
+        else if (marker == 0xd8 || (marker >= 0xd0 && marker <= 0xd7)) { off += 2 }
+        else if (marker == 0xd9 || marker == 0xda) return null // EOI/SOS before SOF
+        else {
+          val len = be16(b, off + 2)
+          if (len < 2) return null
+          if (marker >= 0xc0 && marker <= 0xcf &&
+            marker != 0xc4 && marker != 0xc8 && marker != 0xcc) {
+            if (off + 9 > b.length) return null
+            return dims(be16(b, off + 7), be16(b, off + 5))
+          }
+          off += 2 + len
+        }
+        guard += 1
+      }
+      return null
+    }
+    null
+  }
+}

@@ -203,4 +203,9 @@ object exprs {
   /** Unicode NFC normalization (see [[NfcNormalize]]). */
   def nfc_normalize(text: Column): Column =
     Bridge.toColumn(NfcNormalize(Bridge.toExpression(text)))
+
+  /** Header-level media dimensions of a binary column (see
+    * [[MediaDims]]). */
+  def media_dims(payload: Column): Column =
+    Bridge.toColumn(MediaDims(Bridge.toExpression(payload)))
 }

@@ -36,6 +36,15 @@ object Multimodal {
       octet_length(col(payloadCol)).cast(LongType).as("size_bytes"),
       md5(col(payloadCol)).as("content_md5")))
 
+  /** Header-level dimensions/rate — REAL parsing (PNG/GIF/BMP/JPEG
+    * headers, WAV fmt chunk; pure byte arithmetic, codegen'd native
+    * expression, no codec library): the pre-decode resolution /
+    * sample-rate gate a pipeline runs BEFORE paying for
+    * [[decodeFeaturesStub]]'s real decoder at corpus scale. NULL struct
+    * for unrecognized/truncated/malformed payloads — never a throw. */
+  def mediaDims(payload: Column): Column =
+    graft.functions.exprs.media_dims(payload)
+
   val featureSchema: ArrayType = ArrayType(FloatType, containsNull = false)
 
   /** Decode + feature-extract over binary payloads, batched per

@@ -1,0 +1,103 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Golden-bytes parity for the header-level media parser: handcrafted
+  * minimal-but-valid headers per format (the same bytes any spec-
+  * compliant encoder writes), plus truncation/malformation/fuzz — the
+  * expression must return exact dimensions on valid headers and NULL
+  * (never a throw) on everything else. */
+class MediaDimsSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[2]")
+    .appName("graft-media-dims")
+    .config("spark.sql.shuffle.partitions", "2")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  import spark.implicits._
+
+  private def b(xs: Int*): Array[Byte] = xs.map(_.toByte).toArray
+
+  private def png(w: Int, h: Int): Array[Byte] =
+    b(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a,  // signature
+      0, 0, 0, 13) ++ "IHDR".getBytes ++              // IHDR length + type
+      b(w >>> 24, (w >>> 16) & 0xff, (w >>> 8) & 0xff, w & 0xff,
+        h >>> 24, (h >>> 16) & 0xff, (h >>> 8) & 0xff, h & 0xff,
+        8, 2, 0, 0, 0)                                 // bit depth etc.
+
+  private def gif(w: Int, h: Int): Array[Byte] =
+    "GIF89a".getBytes ++ b(w & 0xff, w >>> 8, h & 0xff, h >>> 8, 0, 0, 0)
+
+  private def bmp(w: Int, h: Int): Array[Byte] =
+    "BM".getBytes ++ b(0, 0, 0, 0, 0, 0, 0, 0, 54, 0, 0, 0,  // size/resv/offset
+      40, 0, 0, 0,                                            // BITMAPINFOHEADER
+      w & 0xff, (w >>> 8) & 0xff, (w >>> 16) & 0xff, (w >>> 24) & 0xff,
+      h & 0xff, (h >>> 8) & 0xff, (h >>> 16) & 0xff, (h >>> 24) & 0xff,
+      1, 0, 24, 0)
+
+  private def jpeg(w: Int, h: Int): Array[Byte] =
+    b(0xff, 0xd8,                    // SOI
+      0xff, 0xe0, 0, 16) ++ "JFIF".getBytes ++ b(0, 1, 1, 0, 0, 1, 0, 1, 0, 0) ++ // APP0
+      b(0xff, 0xc4, 0, 4, 0, 0,      // DHT (must be skipped, not read as SOF)
+        0xff, 0xc0, 0, 17, 8,        // SOF0, precision
+        h >>> 8, h & 0xff, w >>> 8, w & 0xff, 3, 0, 0x11, 0, 1, 0x11, 1, 2, 0x11, 1)
+
+  private def wav(rate: Int, channels: Int): Array[Byte] =
+    "RIFF".getBytes ++ b(36, 0, 0, 0) ++ "WAVE".getBytes ++
+      "JUNK".getBytes ++ b(4, 0, 0, 0, 0, 0, 0, 0) ++  // a chunk to walk over
+      "fmt ".getBytes ++ b(16, 0, 0, 0, 1, 0, channels, 0,
+        rate & 0xff, (rate >>> 8) & 0xff, (rate >>> 16) & 0xff, rate >>> 24,
+        0, 0, 0, 0, 0, 0, 0, 0)
+
+  private def parse(payloads: Seq[Array[Byte]]) =
+    payloads.toDF("p").select(exprs.media_dims($"p").as("d"))
+      .select($"d.width", $"d.height", $"d.sample_rate", $"d.channels").collect()
+
+  test("valid headers parse to exact dimensions per format") {
+    val rows = parse(Seq(
+      png(1920, 1080), gif(320, 200), bmp(640, 480), jpeg(4032, 3024),
+      wav(44100, 2)))
+    def d(i: Int) = (0 to 3).map(j => if (rows(i).isNullAt(j)) None else Some(rows(i).getInt(j)))
+    assert(d(0) == Seq(Some(1920), Some(1080), None, None))
+    assert(d(1) == Seq(Some(320), Some(200), None, None))
+    assert(d(2) == Seq(Some(640), Some(480), None, None))
+    assert(d(3) == Seq(Some(4032), Some(3024), None, None))
+    assert(d(4) == Seq(None, None, Some(44100), Some(2)))
+  }
+
+  test("top-down BMP (negative height) reports the magnitude") {
+    val neg = bmp(16, -32 & 0xffffffff) // height -32 as unsigned LE32
+    val r = parse(Seq(neg)).head
+    assert(r.getInt(0) == 16 && r.getInt(1) == 32)
+  }
+
+  test("truncated, malformed, and fuzzed payloads yield NULL, never throw") {
+    val cases: Seq[Array[Byte]] = Seq(
+      Array.empty[Byte],
+      png(8, 8).take(20),                  // truncated IHDR
+      jpeg(10, 10).take(9),                // truncated before SOF
+      b(0xff, 0xd8, 0xff, 0xda, 0, 2),     // SOS before any SOF
+      b(0xff, 0xd8, 0x00, 0x01, 2, 3),     // lost marker sync
+      wav(44100, 2).take(14),              // truncated chunk header
+      "RIFFxxxxWAVE".getBytes,             // no fmt chunk
+      gif(5, 5).take(7),                   // truncated screen descriptor...
+      "GIF85a::::::".getBytes,             // bad version
+      Array.fill(64)(0x5a.toByte),         // junk
+      png(0, 10),                          // zero dimension = malformed
+      null)
+    val rows = cases.toDF("p").select(exprs.media_dims($"p").as("d")).collect()
+    rows.zipWithIndex.foreach { case (r, i) =>
+      assert(r.isNullAt(0), s"case $i should parse to NULL")
+    }
+  }
+
+  test("gif truncated to 10 bytes still has its descriptor — parses") {
+    // 10 bytes covers w/h: the parser needs only the leading fields
+    val r = parse(Seq(gif(7, 9).take(10))).head
+    assert(r.getInt(0) == 7 && r.getInt(1) == 9)
+  }
+}
