@@ -1303,6 +1303,20 @@ final class Pipeline private (
     add(MapStep("dedupSemantic",
       graft.ops.Dedup.semDedup(_, idCol, vecCol, threshold, nCells, replication)))
 
+  /** Attach the typed media metadata struct for a binary payload
+    * column ([[graft.ops.Multimodal.withMediaMeta]]: MIME sniff, size,
+    * content hash). */
+  def withMediaMeta(payloadCol: String, metaCol: String = "media_meta"): Pipeline =
+    add(MapStep("mediaMeta",
+      graft.ops.Multimodal.withMediaMeta(_, payloadCol, metaCol)))
+
+  /** Append header-level media dimensions/sample-rate
+    * ([[graft.ops.Multimodal.mediaDims]]) — the pre-decode
+    * resolution gate; NULL struct on non-media payloads. */
+  def withMediaDims(payloadCol: String, dimsCol: String = "media_dims"): Pipeline =
+    add(MapStep("mediaDims", df => df
+      .withColumn(dimsCol, graft.ops.Multimodal.mediaDims(col(payloadCol)))))
+
   /** Append canonical URL, host, and registered-domain columns
     * ([[graft.ops.UrlOps]] — the standard web-corpus dedup key). */
   def withUrlColumns(urlCol: String): Pipeline =

@@ -629,6 +629,20 @@ class PipelineSpec extends AnyFunSuite {
     assert(r.getString(2) == "ex.co.uk")
   }
 
+  test("withMediaMeta / withMediaDims attach typed media structs") {
+    val png = Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a,
+      0, 0, 0, 13) ++ "IHDR".getBytes ++
+      Array[Byte](0, 0, 0, 2, 0, 0, 0, 3, 8, 2, 0, 0, 0)
+    val out = Pipeline.of("media", Seq((1L, png)).toDF("id", "payload"))
+      .withMediaMeta("payload")
+      .withMediaDims("payload")
+      .toDF
+    val r = out.select(col("media_meta.mime"), col("media_dims.width"),
+      col("media_dims.height")).head()
+    assert(r.getString(0) == "image/png")
+    assert(r.getInt(1) == 2 && r.getInt(2) == 3)
+  }
+
   test("stepTimings covers every step; sinks get their own timing") {
     val dir = java.nio.file.Files.createTempDirectory("graft-timing").toString
     val stat = Pipeline.of(people)
