@@ -101,7 +101,11 @@ object MediaDimsUtil {
           if (channels <= 0 || rate <= 0 || rate > Int.MaxValue) return null
           return InternalRow(null, null, rate.toInt, channels)
         }
-        if (size < 0 || size > Int.MaxValue - 9) return null
+        // a chunk size beyond the remaining payload is truncation or a
+        // crafted header — and the bound also keeps the Int offset
+        // arithmetic overflow-free (a size near Int.MaxValue would wrap
+        // `off` negative and index out of bounds: never-throw contract)
+        if (size < 0 || size > b.length - off - 8) return null
         off += 8 + size.toInt + (size.toInt & 1) // chunks are word-aligned
         guard += 1
       }
@@ -120,7 +124,10 @@ object MediaDimsUtil {
         else if (marker == 0xd9 || marker == 0xda) return null // EOI/SOS before SOF
         else {
           val len = be16(b, off + 2)
-          if (len < 2) return null
+          // len < 2 is malformed (it counts itself); a segment past the
+          // payload end is truncation — both NULL, and the bound keeps
+          // `off += 2 + len` overflow-free near Int.MaxValue payloads
+          if (len < 2 || len > b.length - off - 2) return null
           if (marker >= 0xc0 && marker <= 0xcf &&
             marker != 0xc4 && marker != 0xc8 && marker != 0xcc) {
             if (off + 9 > b.length) return null

@@ -46,15 +46,21 @@ object Ivf {
       df: DataFrame, vecCol: String, nCells: Int,
       sampleSize: Int = 2000, iterations: Int = 8,
       seed: Long = 42L): Option[Seq[Seq[Double]]] = {
-    val total = df.count()
+    // the fraction must be computed over the SAME population the sample
+    // draws from — the NON-NULL vectors (null vectors carry no geometry
+    // and would NPE the collect-side toArray). Counting the raw frame
+    // instead silently shrinks the expected sample by the null rate: a
+    // corpus where a failed extraction batch left 0.01% non-null
+    // vectors would draw an expected 0.24 rows and "train" on nothing.
+    val nonNull = df.select(VectorOps.asDouble(col(vecCol)).as("v"))
+      .filter(col("v").isNotNull)
+    val total = nonNull.count()
     val fraction = if (total == 0) 1.0 else math.min(1.0, sampleSize * 1.2 / total.toDouble)
     // no limit() after the sample: limit takes rows in scan order, so
     // it would keep the FIRST ~sampleSize sampled rows and the corpus
     // tail could never train the quantizer; the fraction already bounds
-    // the driver collect at ~1.2x sampleSize. Null vectors carry no
-    // geometry: filtered here, or the collect-side toArray NPEs.
-    val sample = df.select(VectorOps.asDouble(col(vecCol)).as("v"))
-      .filter(col("v").isNotNull)
+    // the driver collect at ~1.2x sampleSize
+    val sample = nonNull
       .sample(withReplacement = false, fraction, seed)
       .collect().map(_.getSeq[Double](0).toArray)
     if (sample.isEmpty) return None

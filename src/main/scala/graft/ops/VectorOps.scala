@@ -37,10 +37,10 @@ object VectorOps {
   /** The pure-built-in cosine (interpreted higher-order fold) — kept
     * for reference and cross-checking against the native expression.
     * DIVERGES from [[cosine]] on degenerate input: a zero-norm vector
-    * yields NaN here (bare double 0/0) but NULL from the native
-    * expression — NaN sorts ABOVE every double in Spark, which is
-    * exactly the silent top-k corruption the native NULL exists to
-    * prevent; don't rank by this form. */
+    * makes the division x/0, which THROWS under Spark 4's ANSI default
+    * (NULL in legacy mode), and NaN components propagate NaN — which
+    * sorts ABOVE every double in Spark's ordering. The native
+    * expression returns NULL for both. Don't rank by this form. */
   def cosineHof(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
   /** Brute-force top-k cosine neighbors for each query vector.

@@ -95,6 +95,18 @@ class MediaDimsSpec extends AnyFunSuite {
     }
   }
 
+  test("crafted chunk/segment sizes near Int.MaxValue yield NULL, never an index crash") {
+    // WAV chunk whose declared size would wrap the Int offset negative
+    val hugeWav = "RIFF".getBytes ++ b(36, 0, 0, 0) ++ "WAVE".getBytes ++
+      "JUNK".getBytes ++ b(0xee, 0xff, 0xff, 0x7f)  // size = 0x7FFFFFEE
+    // JPEG APP1 whose declared length runs past the payload end (the
+    // common truncated-prefix-fetch shape)
+    val truncJpeg = b(0xff, 0xd8, 0xff, 0xe1, 0xff, 0xfe) ++ Array.fill(40)(0.toByte)
+    val rows = Seq(hugeWav, truncJpeg).toDF("p")
+      .select(exprs.media_dims($"p").as("d")).collect()
+    rows.foreach(r => assert(r.isNullAt(0)))
+  }
+
   test("gif truncated to 10 bytes still has its descriptor — parses") {
     // 10 bytes covers w/h: the parser needs only the leading fields
     val r = parse(Seq(gif(7, 9).take(10))).head

@@ -27,6 +27,21 @@ class IvfSpec extends AnyFunSuite {
     assert(ivf.size == brute.size) // k results per query either way
   }
 
+  test("a mostly-null corpus still trains on its non-null vectors (fraction over the sampled population)") {
+    // 10k rows, 40 non-null: the sample fraction must be computed over
+    // the 40 (fraction 1.0), not the 10k (expected sample ~0.01 rows →
+    // silent empty-result wrong answer from topK/semanticNearDups)
+    val rows = (0L until 10000L).map { i =>
+      (i, if (i % 250 == 0) Seq(math.cos(i / 250.0), math.sin(i / 250.0)) else null)
+    }
+    val df = rows.toDF("id", "vec")
+    val cs = Ivf.trainCentroidsOpt(df, "vec", nCells = 4)
+    assert(cs.isDefined, "40 non-null vectors must train a quantizer")
+    val hits = Ivf.topK(df, df.filter($"id" === 0L), "id", "vec", k = 3,
+      nCells = 4, nProbe = 4).collect()
+    assert(hits.nonEmpty, "neighbors of a real vector must be found")
+  }
+
   test("cell assignment is deterministic and centroids are stable") {
     val emb = graft.Tables.load(spark, "/root/testdata/sf0.01", "embeddings")
     val c1 = Ivf.trainCentroids(emb, "embedding", nCells = 4)
