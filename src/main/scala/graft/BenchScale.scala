@@ -34,7 +34,12 @@ object BenchScale {
     "q_dedup_minhash",
     "q_dedup_ngram_blocked",
     "q_decontaminate_bloom",
-    "q_prep_mix")
+    "q_prep_mix",
+    // r8-verdict watch items: the iterative-CC path and the chunking
+    // generator — a slope near 1 here is the direct answer to "would
+    // this survive a 100× scale-up"
+    "q_dedup_cluster",
+    "q_chunk")
 
   def main(args: Array[String]): Unit = {
     val sfDirs = Seq(
