@@ -14,13 +14,27 @@ object GraftFunctions {
       "minhash_sig(array<string>[, numHashes literal]) expects 1 or 2 arguments")
   }
 
-  private val minhashInfo = new ExpressionInfo(
-    classOf[MinHashSig].getName, "minhash_sig")
+  private def buildMediaDims(args: Seq[Expression]): Expression = args match {
+    case Seq(child) => MediaDims(child)
+    case _ => throw new IllegalArgumentException(
+      "media_dims(binary) expects exactly 1 argument")
+  }
+
+  /** (name, info, builder) for every SQL-registered expression — one
+    * list feeding both the live-session registrar and the
+    * SparkSessionExtensions injection so they cannot drift apart. */
+  private[functions] val registry: Seq[(String, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    ("minhash_sig", new ExpressionInfo(classOf[MinHashSig].getName, "minhash_sig"),
+      buildMinHash _),
+    ("media_dims", new ExpressionInfo(classOf[MediaDims].getName, "media_dims"),
+      buildMediaDims _))
 
   /** Register on a live session (tests, notebooks). */
   def registerAll(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.registerFunction(
-      FunctionIdentifier("minhash_sig"), minhashInfo, buildMinHash _)
+    registry.foreach { case (name, info, builder) =>
+      spark.sessionState.functionRegistry.registerFunction(
+        FunctionIdentifier(name), info, builder)
+    }
 }
 
 /** `spark.sql.extensions=graft.functions.GraftExtensions` — the
@@ -28,13 +42,7 @@ object GraftFunctions {
   * pattern) for deployments. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   def apply(e: SparkSessionExtensions): Unit =
-    e.injectFunction((
-      FunctionIdentifier("minhash_sig"),
-      new ExpressionInfo(classOf[MinHashSig].getName, "minhash_sig"),
-      (args: Seq[Expression]) => args match {
-        case Seq(child) => MinHashSig(child, 64)
-        case Seq(child, Literal(n: Int, _)) => MinHashSig(child, n)
-        case other => throw new IllegalArgumentException(
-          s"minhash_sig expects 1-2 args, got ${other.size}")
-      }))
+    GraftFunctions.registry.foreach { case (name, info, builder) =>
+      e.injectFunction((FunctionIdentifier(name), info, builder))
+    }
 }

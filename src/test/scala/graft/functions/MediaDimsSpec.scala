@@ -112,4 +112,29 @@ class MediaDimsSpec extends AnyFunSuite {
     val r = parse(Seq(gif(7, 9).take(10))).head
     assert(r.getInt(0) == 7 && r.getInt(1) == 9)
   }
+
+  test("random-bytes fuzz: 2000 arrays incl. magic-prefixed tails never throw") {
+    val rnd = new scala.util.Random(42)
+    val magics = Seq(
+      b(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a), "GIF89a".getBytes,
+      "BM".getBytes, b(0xff, 0xd8), "RIFF".getBytes, Array.empty[Byte])
+    val payloads = (0 until 2000).map { i =>
+      val tail = Array.fill(rnd.nextInt(64))(rnd.nextInt(256).toByte)
+      magics(i % magics.size) ++ tail
+    }
+    // direct driver-side loop: exercises the interpreted eval path too
+    payloads.foreach(p => MediaDimsUtil.parse(p))
+    val n = payloads.toDF("p").select(exprs.media_dims($"p").as("d")).count()
+    assert(n == 2000)
+  }
+
+  test("media_dims is SQL-registered (registerAll + GraftExtensions share one registry)") {
+    GraftFunctions.registerAll(spark)
+    val r = Seq(Tuple1(png(12, 34))).toDF("p")
+      .createOrReplaceTempView("media_dims_probe")
+    val row = spark.sql(
+      "SELECT media_dims(p).width AS w, media_dims(p).height AS h FROM media_dims_probe")
+      .head()
+    assert(row.getInt(0) == 12 && row.getInt(1) == 34)
+  }
 }
