@@ -732,6 +732,19 @@ object SparkEntry {
         .orderBy("n_nationkey")
     },
 
+    "q_orc_roundtrip" -> { (s, dir) =>
+      // columnar-format fidelity through the verb surface: ORC write
+      // (Pipeline.save format passthrough) → Sources.orc read; typed
+      // schema incl. the timestamp column must survive bit-for-bit
+      val out = java.nio.file.Files.createTempDirectory("graft-gate-orc")
+        .resolve("orders_orc").toString
+      Pipeline.of("orders", t(s, dir, "orders")).save(out, format = "orc").go()
+      sources.Sources.orc(s, out).toDF
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+          col("o_totalprice"), col("o_orderdate"), col("o_orderpriority"))
+        .orderBy("o_orderkey")
+    },
+
     "q_pgp_roundtrip" -> { (s, dir) =>
       val (pub, sec) = pgpGateKeys
       val docs = t(s, dir, "documents").filter(col("doc_id") < 50)
@@ -1623,6 +1636,11 @@ object SparkEntry {
         |  octet_length(encode(text)) AS size_bytes,
         |  md5(text) AS content_md5
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_orc_roundtrip" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+        |  o_orderdate, o_orderpriority
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
 
     "q_multimodal_dims" ->
       """SELECT doc_id,

@@ -131,4 +131,22 @@ class SourcesSpec extends AnyFunSuite {
     val b = Sources.collection(spark, Seq(Map("id" -> 2, "extra" -> "x")))
     assert(Sources.concat(a, b).toDF.count() == 2)
   }
+
+  test("orc and parquet sources round-trip typed schemas through Pipeline.save") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-columnar").toString
+    val df = Seq[(Long, String, java.sql.Timestamp)](
+      (1L, "a", java.sql.Timestamp.valueOf("2026-01-02 03:04:05")),
+      (2L, null, null)).toDF("id", "s", "ts")
+    graft.etl.Pipeline.of("t", df).save(s"$dir/o", format = "orc").go()
+    graft.etl.Pipeline.of("t", df).save(s"$dir/p", format = "parquet").go()
+    Seq(Sources.orc(spark, s"$dir/o"), Sources.parquet(spark, s"$dir/p")).foreach { src =>
+      val back = src.toDF.orderBy("id")
+      // names+types must survive; nullability is always true off a file
+      assert(back.schema.map(f => (f.name, f.dataType)) ==
+        df.schema.map(f => (f.name, f.dataType)), s"schema drift: ${back.schema}")
+      assert(back.collect().map(_.toString).toSeq ==
+        df.orderBy("id").collect().map(_.toString).toSeq)
+    }
+  }
 }
