@@ -26,7 +26,12 @@ object Dedup {
   private[ops] def spreadByKey(df: DataFrame, idCol: String, valCol: String): DataFrame =
     df.select(col(idCol).as("__id__"), col(valCol).as("__t__"))
       .groupBy("__id__")
-      .agg(first(col("__t__")).as("__t__"))
+      // min, not first: ids are unique by contract (identical result,
+      // same one-pass hash agg), but a crawler re-emitting an id must
+      // not make every downstream dedup verdict partition-order-
+      // dependent — min picks a deterministic winner (and, unlike
+      // first, skips nulls when a non-null duplicate exists)
+      .agg(min(col("__t__")).as("__t__"))
 
   /** Exact dedup on normalized-text fingerprint: keeps the row with the
     * smallest `orderCol` per fingerprint (deterministic winner).

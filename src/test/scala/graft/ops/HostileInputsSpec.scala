@@ -431,6 +431,24 @@ class HostileInputsSpec extends AnyFunSuite {
     assert(e.getMessage.contains("numHashes"), s"wrong error: ${e.getMessage}")
   }
 
+  test("duplicate ids: dedup screens pick a deterministic representative (spreadByKey min, not first)") {
+    // a crawler re-emitting an id with different text must not make
+    // dedup verdicts depend on partition order
+    val dups = Seq(
+      (1L, "zz completely different text about zebras and zoos"),
+      (1L, "aa the quick brown fox jumps over the lazy dog"),
+      (2L, "aa the quick brown fox jumps over the lazy dog"))
+    def run(partitions: Int): Set[(Long, Long)] =
+      Dedup.ngramJaccardPairs(
+        spark.createDataFrame(dups).toDF("id", "text").repartition(partitions),
+        "id", "text", shingleN = 3, threshold = 0.8)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val p1 = run(1)
+    assert(p1 == run(7), "verdicts must not depend on partitioning")
+    // min picks the 'aa…' text for id 1, which near-dups id 2 exactly
+    assert(p1 == Set((1L, 2L)))
+  }
+
   test("zero-norm embeddings: NULL cosine, never rank first, drop from thresholds, IVF no-throw") {
     // a failed encoder emits zero vectors; the naive dot/norms division
     // gives NaN, which Spark sorts ABOVE every double — one such vector
