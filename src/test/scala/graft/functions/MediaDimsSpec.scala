@@ -113,6 +113,32 @@ class MediaDimsSpec extends AnyFunSuite {
     assert(r.getInt(0) == 7 && r.getInt(1) == 9)
   }
 
+  test("randomized dimensions parse exactly across the format boundary values") {
+    val rnd = new scala.util.Random(7)
+    (0 until 50).foreach { _ =>
+      // JPEG/GIF fields are u16 (boundary 65535); PNG/BMP are 32-bit
+      val w16 = 1 + rnd.nextInt(65535); val h16 = 1 + rnd.nextInt(65535)
+      val w32 = 1 + rnd.nextInt(1 << 24); val h32 = 1 + rnd.nextInt(1 << 24)
+      val rows = parse(Seq(png(w32, h32), gif(w16, h16), bmp(w32, h32), jpeg(w16, h16)))
+      assert(rows(0).getInt(0) == w32 && rows(0).getInt(1) == h32, s"png $w32 x $h32")
+      assert(rows(1).getInt(0) == w16 && rows(1).getInt(1) == h16, s"gif $w16 x $h16")
+      assert(rows(2).getInt(0) == w32 && rows(2).getInt(1) == h32, s"bmp $w32 x $h32")
+      assert(rows(3).getInt(0) == w16 && rows(3).getInt(1) == h16, s"jpeg $w16 x $h16")
+    }
+    // u16 boundary explicitly
+    val r = parse(Seq(jpeg(65535, 65535), gif(65535, 65535)))
+    assert(r(0).getInt(0) == 65535 && r(1).getInt(1) == 65535)
+  }
+
+  test("progressive JPEG (SOF2 frame header) parses after skipped APP0/DHT segments") {
+    val prog = b(0xff, 0xd8,                                 // SOI
+      0xff, 0xe0, 0, 4, 0, 0,                                // APP0 len 4
+      0xff, 0xc4, 0, 4, 0, 0,                                // DHT skipped
+      0xff, 0xc2, 0, 11, 8, 1, 0x00, 2, 0x80, 1, 0x11, 0, 1) // SOF2: h=256 w=640
+    val r = parse(Seq(prog)).head
+    assert(r.getInt(0) == 640 && r.getInt(1) == 256, s"got $r")
+  }
+
   test("random-bytes fuzz: 2000 arrays incl. magic-prefixed tails never throw") {
     val rnd = new scala.util.Random(42)
     val magics = Seq(
