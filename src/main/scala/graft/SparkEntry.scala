@@ -736,8 +736,12 @@ object SparkEntry {
       // columnar-format fidelity through the verb surface: ORC write
       // (Pipeline.save format passthrough) → Sources.orc read; typed
       // schema incl. the timestamp column must survive bit-for-bit
-      val out = java.nio.file.Files.createTempDirectory("graft-gate-orc")
-        .resolve("orders_orc").toString
+      // fixed per-(JVM, sf) path, NOT a fresh createTempDirectory: the
+      // bench re-runs every query in sweeps and three spec suites run
+      // it per sf — fresh dirs would leak an orders-sized ORC copy per
+      // execution. Overwrite mode makes reuse safe; the sf hash keeps
+      // concurrent suites on different corpora apart.
+      val out = s"${System.getProperty("java.io.tmpdir")}/graft-gate-orc-${Integer.toHexString(dir.hashCode)}/orders_orc"
       Pipeline.of("orders", t(s, dir, "orders")).save(out, format = "orc").go()
       sources.Sources.orc(s, out).toDF
         .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),

@@ -124,15 +124,19 @@ object MediaDimsUtil {
         else if (marker == 0xd9 || marker == 0xda) return null // EOI/SOS before SOF
         else {
           val len = be16(b, off + 2)
-          // len < 2 is malformed (it counts itself); a segment past the
-          // payload end is truncation — both NULL, and the bound keeps
-          // `off += 2 + len` overflow-free near Int.MaxValue payloads
-          if (len < 2 || len > b.length - off - 2) return null
+          if (len < 2) return null // malformed: len counts itself
           if (marker >= 0xc0 && marker <= 0xcf &&
             marker != 0xc4 && marker != 0xc8 && marker != 0xcc) {
+            // a prefix-fetched payload may cut INSIDE the SOF segment;
+            // the dims bytes at off+5..off+8 are all the frame header
+            // this parser needs, so only bound those
             if (off + 9 > b.length) return null
             return dims(be16(b, off + 7), be16(b, off + 5))
           }
+          // skipped segments must lie within the payload: past-the-end
+          // is truncation (no SOF reachable) → NULL, and the bound
+          // keeps `off += 2 + len` overflow-free near Int.MaxValue
+          if (len > b.length - off - 2) return null
           off += 2 + len
         }
         guard += 1

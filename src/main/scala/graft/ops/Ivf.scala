@@ -24,8 +24,10 @@ object Ivf {
     * The sample is a seeded uniform `df.sample` over the WHOLE corpus —
     * never `limit(n)`, which takes the first rows of the first file and
     * at scale trains the quantizer on one shard's distribution (skewed
-    * cells, collapsed recall). The preceding count() is metadata-only
-    * on parquet. */
+    * cells, collapsed recall). The preceding count() scans only the
+    * vector column's null mask (pruned columnar read) — it must count
+    * the NON-NULL population the sample draws from, so it cannot be
+    * the metadata-only row count. */
   def trainCentroids(
       df: DataFrame, vecCol: String, nCells: Int,
       sampleSize: Int = 2000, iterations: Int = 8, seed: Long = 42L): Seq[Seq[Double]] = {
@@ -52,9 +54,12 @@ object Ivf {
     // instead silently shrinks the expected sample by the null rate: a
     // corpus where a failed extraction batch left 0.01% non-null
     // vectors would draw an expected 0.24 rows and "train" on nothing.
+    // count WITHOUT the per-element double cast (nullness is decided
+    // before the transform, so the counts are identical and the scan
+    // reads just the column's null mask)
+    val total = df.filter(col(vecCol).isNotNull).count()
     val nonNull = df.select(VectorOps.asDouble(col(vecCol)).as("v"))
       .filter(col("v").isNotNull)
-    val total = nonNull.count()
     val fraction = if (total == 0) 1.0 else math.min(1.0, sampleSize * 1.2 / total.toDouble)
     // no limit() after the sample: limit takes rows in scan order, so
     // it would keep the FIRST ~sampleSize sampled rows and the corpus
@@ -144,7 +149,11 @@ object Ivf {
     * exact-distance work it prunes. */
   def index(df: DataFrame, idCol: String, vecCol: String,
       centroids: Seq[Seq[Double]], replication: Int = 1): DataFrame = {
-    val base = df.select(
+    // null vectors carry no geometry: indexing them would tie-break
+    // them all into one cell and let them pad search rankings with
+    // NULL-cosine "neighbors" — they are not findable, so they don't
+    // enter the index (mirrors trainCentroidsOpt)
+    val base = df.filter(col(vecCol).isNotNull).select(
       col(idCol).as("__id__"),
       VectorOps.asDouble(col(vecCol)).as("__v__"))
     if (replication <= 1)
@@ -162,7 +171,7 @@ object Ivf {
       idCol: String, vecCol: String,
       centroids: Seq[Seq[Double]], k: Int, nProbe: Int): DataFrame = {
     val q = broadcast(
-      queries.select(
+      queries.filter(col(vecCol).isNotNull).select(
         col(idCol).as("query_id"),
         VectorOps.asDouble(col(vecCol)).as("__qv__"))
         .withColumn("__probe__", explode(probeCells(col("__qv__"), centroids, nProbe))))
@@ -176,6 +185,10 @@ object Ivf {
       .dropDuplicates("query_id", "__id__")
       .withColumn("cosine",
         graft.functions.similarityExprs.cosine_sim(col("__qv__"), col("__v__")))
+      // undefined similarity (zero-norm / NaN-component vectors) is
+      // not a search result: filtered BEFORE ranking so degenerate
+      // rows never occupy a top-k slot
+      .filter(col("cosine").isNotNull)
     val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("__id__").asc)
     scored
       .withColumn("rank", row_number().over(w))

@@ -63,6 +63,10 @@ object VectorOps {
       .crossJoin(q)
       .filter(col("neighbor_id") =!= col("query_id"))
       .withColumn("cosine", cosine(col("__qv__"), col("__cv__")))
+      // undefined similarity (null/zero-norm/NaN vectors) is not a
+      // result: filtered BEFORE ranking so degenerate corpus rows
+      // never occupy a top-k slot
+      .filter(col("cosine").isNotNull)
     val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id").asc)
     scored
       .withColumn("rank", row_number().over(w))

@@ -114,9 +114,6 @@ object Sources {
       spark.createDataFrame(spark.sparkContext.parallelize(data, 1), schema))
   }
 
-  /** gratum `FileSystemSource.files` (FileSystemSource.groovy:20-99):
-    * recursive binary file rows {path, modificationTime, length,
-    * content}. Regex filter via `pathGlobFilter`. */
   /** Columnar-format sources (beyond the reference's file families —
     * a Spark-native pipeline's tables live in parquet/ORC). Typed
     * schema travels with the file; no asInt/asDate re-typing needed. */
@@ -126,6 +123,9 @@ object Sources {
   def orc(spark: SparkSession, path: String): Pipeline =
     graft.etl.Pipeline.of(path, spark.read.orc(path))
 
+  /** gratum `FileSystemSource.files` (FileSystemSource.groovy:20-99):
+    * recursive binary file rows {path, modificationTime, length,
+    * content}. Regex filter via `pathGlobFilter`. */
   def binaryFiles(spark: SparkSession, dir: String, glob: String = "*"): Pipeline =
     Pipeline.of(s"files($dir)",
       spark.read.format("binaryFile")

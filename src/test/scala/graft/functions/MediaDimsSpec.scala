@@ -107,6 +107,15 @@ class MediaDimsSpec extends AnyFunSuite {
     rows.foreach(r => assert(r.isNullAt(0)))
   }
 
+  test("jpeg prefix-fetched mid-SOF still parses once the dims bytes are present") {
+    // a crawl that fetches only the first N bytes can cut INSIDE the
+    // SOF segment; dims live at SOF+5..SOF+8 and that is all we need
+    val full = jpeg(800, 600)
+    val cut = full.take(full.length - 6) // drop the SOF component tail
+    val r = parse(Seq(cut)).head
+    assert(r.getInt(0) == 800 && r.getInt(1) == 600, s"got $r")
+  }
+
   test("gif truncated to 10 bytes still has its descriptor — parses") {
     // 10 bytes covers w/h: the parser needs only the leading fields
     val r = parse(Seq(gif(7, 9).take(10))).head

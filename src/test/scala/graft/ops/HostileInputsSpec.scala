@@ -465,28 +465,29 @@ class HostileInputsSpec extends AnyFunSuite {
     assert(c(1L).contains(1.0))
     assert(c(3L).isEmpty, "zero-norm cosine must be NULL, not NaN")
     assert(c(4L).isEmpty, "NaN-component cosine must be NULL")
-    // top-k: degenerate vectors never outrank a real neighbor
+    // top-k: degenerate vectors are not results at all — they must not
+    // occupy ranks (k=3 with one real neighbor returns ONE row)
     val knn = VectorOps.bruteForceTopK(vecs, vecs.filter(col("id") === 1L),
       "id", "vec", k = 3).orderBy("rank").collect()
-    assert(knn.head.getLong(knn.head.fieldIndex("neighbor_id")) == 2L,
-      s"real neighbor must rank first, got ${knn.toSeq}")
+    assert(knn.map(_.getLong(knn.head.fieldIndex("neighbor_id"))).toSeq == Seq(2L),
+      s"only the real neighbor is a result, got ${knn.toSeq}")
     // threshold form: degenerate vectors drop out entirely
     val thr = VectorOps.cosineThreshold(vecs, vecs.filter(col("id") === 1L),
       "id", "vec", threshold = 0.5).collect()
     assert(thr.map(_.getLong(thr.head.fieldIndex("neighbor_id"))).toSet == Set(2L))
-    // IVF assignment and search tolerate the zero vector
+    // IVF: null vectors never enter the index (they are not findable);
+    // zero-norm vectors index (they have bytes) but never rank
     val cents = Seq(Seq(1.0, 0.0, 0.0), Seq(0.0, 1.0, 0.0))
-    val idx = Ivf.index(vecs, "id", "vec", cents)
-    assert(idx.count() == 4L, "every vector (incl. zero) gets a cell")
+    val idx = Ivf.index(vecs.union(Seq((5L, null.asInstanceOf[Seq[Double]]))
+      .toDF("id", "vec")), "id", "vec", cents)
+    assert(idx.count() == 4L, "non-null vectors index; the null row does not")
     val hits = Ivf.search(idx, vecs.filter(col("id") === 1L), "id", "vec",
       cents, k = 2, nProbe = 2).orderBy("rank").collect()
-    // the zero vector may appear (NULL cosine, ranked last) but must
-    // never outrank a real neighbor
-    assert(hits.nonEmpty)
-    val first = hits.head
-    assert(first.getLong(first.fieldIndex("neighbor_id")) == 2L &&
-      !first.isNullAt(first.fieldIndex("cosine")),
-      s"degenerate vector outranked a real neighbor: ${hits.toSeq}")
+    // degenerate vectors are excluded from the index and from ranking:
+    // the only result is the real neighbor, with a defined cosine
+    assert(hits.map(r => r.getLong(r.fieldIndex("neighbor_id"))).toSeq == Seq(2L),
+      s"only the real neighbor is a result: ${hits.toSeq}")
+    assert(!hits.head.isNullAt(hits.head.fieldIndex("cosine")))
   }
 
   test("sessionAgg: hostile event times (null ts, epoch zero, far future, duplicates, disorder) never throw") {
