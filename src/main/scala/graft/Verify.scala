@@ -64,5 +64,9 @@ object Verify {
     if (failed.nonEmpty)
       System.err.println(s"[verify] ${failed.size} quer${if (failed.size == 1) "y" else "ies"} FAILED: ${failed.map(_._1).mkString(", ")}")
     spark.stop()
+    // Opt-in strict mode for callers WITHOUT the selfcheck/manifest
+    // path: any declared-query failure → non-zero exit.
+    if (failed.nonEmpty && sys.env.get("GRAFT_VERIFY_STRICT").exists(v => v == "1" || v.equalsIgnoreCase("true")))
+      sys.exit(1)
   }
 }

@@ -120,7 +120,9 @@ object MediaDimsUtil {
         if (u8(b, off) != 0xff) return null // lost marker sync
         val marker = u8(b, off + 1)
         if (marker == 0xff) { off += 1 } // fill byte
-        else if (marker == 0xd8 || (marker >= 0xd0 && marker <= 0xd7)) { off += 2 }
+        else if (marker == 0x00) return null // stuffed byte: lost sync
+        else if (marker == 0xd8 || marker == 0x01 || // TEM is standalone like RSTn
+          (marker >= 0xd0 && marker <= 0xd7)) { off += 2 }
         else if (marker == 0xd9 || marker == 0xda) return null // EOI/SOS before SOF
         else {
           val len = be16(b, off + 2)
@@ -129,8 +131,10 @@ object MediaDimsUtil {
             marker != 0xc4 && marker != 0xc8 && marker != 0xcc) {
             // a prefix-fetched payload may cut INSIDE the SOF segment;
             // the dims bytes at off+5..off+8 are all the frame header
-            // this parser needs, so only bound those
-            if (off + 9 > b.length) return null
+            // this parser needs, so only bound those — but the declared
+            // segment length must still COVER them (len >= 7), else the
+            // "dims" would be the next segment's bytes, not the frame's
+            if (len < 7 || off + 9 > b.length) return null
             return dims(be16(b, off + 7), be16(b, off + 5))
           }
           // skipped segments must lie within the payload: past-the-end

@@ -207,7 +207,12 @@ object Ivf {
         search(index(corpus, idCol, vecCol, centroids, replication), queries,
           idCol, vecCol, centroids, k, nProbe)
       case None =>
-        queries.select(col(idCol).as("query_id"), col(idCol).as("neighbor_id"),
-          lit(0.0).as("cosine"), lit(1).as("rank")).where(lit(false))
+        // neighbor_id's type must come from the CORPUS id column (as in
+        // the non-empty branch) — queries' id may differ in type, and a
+        // schema that flips with emptiness breaks downstream unions
+        queries.select(col(idCol).as("query_id"))
+          .crossJoin(corpus.select(col(idCol).as("neighbor_id")))
+          .select(col("query_id"), col("neighbor_id"),
+            lit(0.0).as("cosine"), lit(1).as("rank")).where(lit(false))
     }
 }
