@@ -542,6 +542,42 @@ object SparkEntry {
         .orderBy("id1", "id2")
     },
 
+    "q_dedup_minhash_exact" -> { (s, dir) =>
+      // the minhash family at COLLAPSED parameters: same 64-hash
+      // char-5-gram signature pipeline as q_dedup_minhash, but banded
+      // at r=1 (64 one-hash bands), where a threshold-0.8 pair misses
+      // the candidate screen with probability (1-j)^64 <= 1e-45 — the
+      // emitted pair set equals the exact all-pairs answer, so the
+      // all-pairs char-5-gram Jaccard oracle (shared with
+      // q_dedup_ngram) verifies the WHOLE path: shingling,
+      // normalization, signatures, banding, bucket machinery, exact
+      // verify. Scoped like q_dedup_ngram to keep DuckDB's list ops
+      // cheap; bucket cap effectively off — 1-hash buckets on a
+      // 250-doc corpus are small, and the exact sibling must not drop
+      // candidates the oracle keeps.
+      ops.Dedup.minhashNearDups(
+        t(s, dir, "documents").filter(col("doc_id") < 250), "doc_id", "text",
+        shingleN = 5, numHashes = 64, bands = 64, threshold = 0.8,
+        maxBucket = 100000, charShingles = true)
+        .orderBy("id1", "id2")
+    },
+
+    "q_dedup_simhash_exact" -> { (s, dir) =>
+      // the simhash family under the CROSS-ENGINE md5-parity hash
+      // (Dedup.simhashSignatureMd5): DuckDB recomputes the identical
+      // 32-bit signatures from text and the exact all-pairs Hamming via
+      // bit_count(xor(...)), so signature math, banded blocking (exact
+      // by pigeonhole: 16 bands > maxHamming=8) and hamming_dist are
+      // all oracle-verified — the xxhash-based production family
+      // (q_dedup_simhash) shares every line but the per-token hash.
+      val docs = t(s, dir, "documents").filter(col("doc_id") < 150)
+      val sigs = docs.select(col("doc_id").as("__id__"),
+        ops.Dedup.simhashSignatureMd5(col("text"), 32).as("__sig__"))
+      ops.Dedup.simhashPairsFromSigs(sigs, bands = 16, rowsPerBand = 2,
+        maxHamming = 8, maxBucket = 100000)
+        .orderBy("id1", "id2")
+    },
+
     "q_dedup_ngram" -> { (s, dir) =>
       // EXACT all-pairs n-gram Jaccard with the lossless size-ratio
       // prune; scoped to doc_id < 250 so the DuckDB oracle's list ops
@@ -601,6 +637,34 @@ object SparkEntry {
       // hyperplanes), driver records rows-only
       ops.VectorOps.lshNeighbors(t(s, dir, "embeddings"), "vec_id", "embedding",
         nPlanes = 16, rowsPerBand = 4, threshold = 0.25)
+        .orderBy("id1", "id2")
+    },
+
+    "q_simsearch_ivf_exact" -> { (s, dir) =>
+      // IVF at nProbe = nCells: every query probes every cell, the
+      // quantizer prunes nothing, and the result EQUALS brute-force
+      // top-k — so the same DuckDB oracle as q_simsearch_knn verifies
+      // the whole IVF path (training, cell assignment, probe join,
+      // pair dedup, ranking). replication=1: multi-assignment adds
+      // nothing when every cell is probed anyway.
+      val emb = t(s, dir, "embeddings")
+      ops.Ivf.topK(emb, emb.filter(col("vec_id") < 5), "vec_id", "embedding",
+        k = 5, nCells = 16, nProbe = 16, replication = 1)
+        .orderBy("query_id", "rank")
+    },
+
+    "q_simsearch_lsh_exact" -> { (s, dir) =>
+      // sign-LSH at COLLAPSED parameters: 16 one-bit bands — a pair
+      // at the 0.25 cosine threshold disagrees on any single
+      // hyperplane with p ~ 0.42, so it misses all 16 bands with
+      // probability ~1e-6, and on this fixed corpus + seed the
+      // emitted set deterministically equals the exact all-pairs
+      // threshold answer (precision is exact by construction: the
+      // exact cosine decides every emitted pair). Bucket cap off —
+      // one-bit buckets hold ~half the corpus by design here; the
+      // production-shape variant (q_simsearch_lsh) keeps the caps.
+      ops.VectorOps.lshNeighbors(t(s, dir, "embeddings"), "vec_id", "embedding",
+        nPlanes = 16, rowsPerBand = 1, threshold = 0.25, maxBucket = 100000)
         .orderBy("id1", "id2")
     },
 
@@ -1078,6 +1142,19 @@ object SparkEntry {
       ops.Dedup.semanticNearDups(
         t(s, dir, "embeddings"), "vec_id", "embedding",
         threshold = 0.4, nCells = 8, replication = 2)
+        .orderBy("id1", "id2")
+    },
+
+    "q_dedup_semantic_exact" -> { (s, dir) =>
+      // SemDeDup at replication = nCells: every vector lands in every
+      // cell, the cell bound prunes nothing, and the pair set EQUALS
+      // the exact all-pairs cosine >= 0.4 answer — the equivalence
+      // RowsOnlyInvariantSpec pins, promoted to a DuckDB oracle that
+      // verifies quantizer plumbing, per-cell pairing, threshold
+      // screen and cross-cell dedup end to end.
+      ops.Dedup.semanticNearDups(
+        t(s, dir, "embeddings"), "vec_id", "embedding",
+        threshold = 0.4, nCells = 4, replication = 4)
         .orderBy("id1", "id2")
     },
 
@@ -1612,6 +1689,83 @@ object SparkEntry {
     // the blocked (LSH-screen + exact-verify) path must return the
     // IDENTICAL pair set — same oracle by construction
     "q_dedup_ngram_blocked" -> ngramJaccardOracle,
+    // minhash at 64 one-hash bands: candidate recall 1 - (1-j)^64
+    // (~1e-45 miss at j=0.8) and exact-Jaccard verify — same all-pairs
+    // answer, same oracle
+    "q_dedup_minhash_exact" -> ngramJaccardOracle,
+
+    // IVF at nProbe = nCells prunes nothing == brute-force top-k: the
+    // q_simsearch_knn oracle verbatim
+    "q_simsearch_ivf_exact" ->
+      """WITH v AS (SELECT vec_id,
+        |    list_transform(embedding, x -> cast(x AS DOUBLE)) AS e FROM embeddings),
+        |s AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    list_sum(list_transform(range(1, len(q.e) + 1), i -> q.e[i] * c.e[i])) /
+        |    (sqrt(list_sum(list_transform(range(1, len(q.e) + 1), i -> q.e[i] * q.e[i]))) *
+        |     sqrt(list_sum(list_transform(range(1, len(c.e) + 1), i -> c.e[i] * c.e[i])))) AS cosine
+        |  FROM v q, v c WHERE q.vec_id < 5 AND c.vec_id <> q.vec_id)
+        |SELECT query_id, neighbor_id, cosine, rank FROM (
+        |  SELECT *, cast(row_number() OVER (
+        |    PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS INTEGER) AS rank
+        |  FROM s) WHERE rank <= 5
+        |ORDER BY query_id, rank""".stripMargin,
+
+    // sign-LSH at 16 one-bit bands == exact all-pairs threshold (the
+    // exact cosine decides every emitted pair; candidate miss ~1e-6
+    // per near-threshold pair, zero on this corpus + seed)
+    "q_simsearch_lsh_exact" ->
+      """WITH v AS (SELECT vec_id,
+        |    list_transform(embedding, x -> cast(x AS DOUBLE)) AS e FROM embeddings)
+        |SELECT a.vec_id AS id1, b.vec_id AS id2,
+        |    list_sum(list_transform(range(1, len(a.e) + 1), i -> a.e[i] * b.e[i])) /
+        |    (sqrt(list_sum(list_transform(range(1, len(a.e) + 1), i -> a.e[i] * a.e[i]))) *
+        |     sqrt(list_sum(list_transform(range(1, len(b.e) + 1), i -> b.e[i] * b.e[i])))) AS cosine
+        |FROM v a, v b
+        |WHERE a.vec_id < b.vec_id
+        |  AND list_sum(list_transform(range(1, len(a.e) + 1), i -> a.e[i] * b.e[i])) /
+        |    (sqrt(list_sum(list_transform(range(1, len(a.e) + 1), i -> a.e[i] * a.e[i]))) *
+        |     sqrt(list_sum(list_transform(range(1, len(b.e) + 1), i -> b.e[i] * b.e[i])))) > 0.25
+        |ORDER BY id1, id2""".stripMargin,
+
+    // SemDeDup at replication = nCells == exact all-pairs cosine >= 0.4
+    "q_dedup_semantic_exact" ->
+      """WITH v AS (SELECT vec_id,
+        |    list_transform(embedding, x -> cast(x AS DOUBLE)) AS e FROM embeddings)
+        |SELECT a.vec_id AS id1, b.vec_id AS id2,
+        |    list_sum(list_transform(range(1, len(a.e) + 1), i -> a.e[i] * b.e[i])) /
+        |    (sqrt(list_sum(list_transform(range(1, len(a.e) + 1), i -> a.e[i] * a.e[i]))) *
+        |     sqrt(list_sum(list_transform(range(1, len(b.e) + 1), i -> b.e[i] * b.e[i])))) AS cosine
+        |FROM v a, v b
+        |WHERE a.vec_id < b.vec_id
+        |  AND list_sum(list_transform(range(1, len(a.e) + 1), i -> a.e[i] * b.e[i])) /
+        |    (sqrt(list_sum(list_transform(range(1, len(a.e) + 1), i -> a.e[i] * a.e[i]))) *
+        |     sqrt(list_sum(list_transform(range(1, len(b.e) + 1), i -> b.e[i] * b.e[i])))) >= 0.4
+        |ORDER BY id1, id2""".stripMargin,
+
+    // md5-parity simhash recomputed from text: signature = 32 sign
+    // bits of per-(token, bit) md5 parity votes, pairs by exact
+    // Hamming via bit_count(xor(packed signatures)) — mirrors
+    // Dedup.simhashSignatureMd5 + simhashPairsFromSigs (banding exact
+    // by pigeonhole at 16 bands > maxHamming 8)
+    "q_dedup_simhash_exact" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '[ \t\n\x0b\f\r]+')) AS t
+        |  FROM documents WHERE doc_id < 150),
+        |votes AS (
+        |  SELECT doc_id, b.b AS bit,
+        |    sum(CASE WHEN strpos('13579bdf', substr(md5(t || ':' || b.b), 32, 1)) > 0
+        |             THEN 1 ELSE -1 END) AS s
+        |  FROM toks, range(0, 32) b(b)
+        |  GROUP BY doc_id, b.b),
+        |sig AS (
+        |  SELECT doc_id,
+        |    sum(CASE WHEN s >= 0 THEN cast(power(2, bit) AS BIGINT) ELSE 0 END) AS sig
+        |  FROM votes GROUP BY doc_id)
+        |SELECT a.doc_id AS id1, b.doc_id AS id2,
+        |  cast(bit_count(xor(a.sig, b.sig)) AS INTEGER) AS hamming
+        |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.sig, b.sig)) <= 8
+        |ORDER BY id1, id2""".stripMargin,
 
     "q_dedup_embedding" ->
       """WITH v AS (SELECT vec_id,

@@ -504,14 +504,51 @@ object Dedup {
       bits: Int = 64, bands: Int = 8, maxHamming: Int = 3,
       maxBucket: Int = 200): DataFrame = {
     require(bits % bands == 0)
-    val r = bits / bands
-    val sigs = simhashSignatures(df, idCol, textCol, bits)
+    simhashPairsFromSigs(simhashSignatures(df, idCol, textCol, bits),
+      bands, bits / bands, maxHamming, maxBucket)
+  }
 
-    LshBlocking.candidatePairs(sigs, bands, r, maxBucket,
+  /** Banded blocking + Hamming screen over a prebuilt (__id__, __sig__
+    * bit-array) frame — the back half of [[simhashNearDups]], exposed
+    * so alternative signature hash families (e.g.
+    * [[simhashSignatureMd5]]) run the identical blocking machinery.
+    * When `bands > maxHamming`, recall is exact by pigeonhole: a pair
+    * within `maxHamming` differing bits can corrupt at most
+    * `maxHamming` bands, leaving one identical band to collide on. */
+  def simhashPairsFromSigs(
+      sigs: DataFrame, bands: Int, rowsPerBand: Int,
+      maxHamming: Int, maxBucket: Int): DataFrame =
+    LshBlocking.candidatePairs(sigs, bands, rowsPerBand, maxBucket,
       screen = _.withColumn("hamming",
           graft.functions.similarityExprs.hamming_dist(col("p1"), col("p2")))
         .filter(col("hamming") <= maxHamming)
         .select(col("id1"), col("id2"), col("hamming")))
+
+  /** SimHash signature under an md5-parity per-(token, bit) hash — the
+    * CROSS-ENGINE-REPLICABLE hash family: any engine with md5 (DuckDB,
+    * Trino, Postgres) recomputes the identical signature from text, so
+    * banded simhash output can be verified end-to-end by an external
+    * SQL oracle (gate query q_dedup_simhash_exact). Same ±1 majority
+    * math as [[simhashSignature]]; only the per-token bit source
+    * differs (parity of md5(token ':' bitIndex)'s last hex digit vs
+    * xxhash64(token, bitIndex) mod 2). Tokenization is the plain
+    * whitespace split of lower(trim(text)) — deliberately expressed
+    * with stock SQL functions, not [[TextOps]] internals, so the
+    * oracle-side mirror is regexp_split_to_array + md5 verbatim.
+    * ~bits md5 calls per token: a verification-corpus tool, not the
+    * 100 TB path (that is [[simhashSignatures]]' one-hash-per-token
+    * native expression). */
+  def simhashSignatureMd5(textCol: Column, bits: Int): Column = {
+    val toks = split(lower(trim(textCol)), "[ \t\n\u000b\f\r]+")
+    TextOps.once(toks) { tk =>
+      transform(sequence(lit(0), lit(bits - 1)), i =>
+        when(aggregate(tk, lit(0L),
+          (acc, t) => acc + when(
+            substring(md5(concat(t, lit(":"), i.cast("string"))), 32, 1)
+              .isin("1", "3", "5", "7", "9", "b", "d", "f"), lit(1L))
+            .otherwise(lit(-1L))) >= 0,
+          lit(1)).otherwise(lit(0)))
+    }
   }
 
   /** n-gram Jaccard similarity of two text columns (character n-grams).
