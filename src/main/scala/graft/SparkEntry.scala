@@ -766,6 +766,77 @@ object SparkEntry {
         .orderBy("doc_id")
     },
 
+    "q_multimodal_decode" -> { (s, dir) =>
+      // REAL decoding under the oracle: assemble a spec-valid 16-bit
+      // PCM WAV (even doc_ids) or an 8-bit grayscale PNG whose IDAT is
+      // a STORED deflate block (odd doc_ids) — both columnar, fields
+      // hex→unhex from doc_id arithmetic — run them through
+      // Multimodal.decodeFeatures (Inflater, unfilter, PCM walk), and
+      // emit stats DuckDB recomputes arithmetically: decoder drift
+      // breaks the hash. sum_sq re-derives the integer Σ sample² from
+      // the double rms exactly (error << 0.5 ulp of the integer), so
+      // the RMS check is bit-exact, not rounding-tolerant.
+      def b2(v: Column) = lpad(hex(v), 2, "0")
+      def le16(v: Column) = concat(b2(pmod(v, lit(256))),
+        b2(floor(v / 256).cast(LongType)))
+      def be32(c: Column) = unhex(lpad(hex(c), 8, "0"))
+      def ascii(t: String) = lit(t.getBytes("US-ASCII"))
+
+      // --- WAV: mono 16-bit PCM @8000 Hz, n alternating samples v1 v2
+      val v1 = pmod(col("doc_id") * 37, lit(32768L))
+      val v2 = pmod(col("doc_id") * 91, lit(32768L))
+      val n = pmod(col("doc_id"), lit(6L)) + 2 // 2..7 samples
+      val sampleHex = aggregate(sequence(lit(0L), n - 1), lit(""),
+        (acc, k) => concat(acc, le16(when(pmod(k, lit(2L)) === 0, v1).otherwise(v2))))
+      val dataSize = n * 2
+      val wav = concat(
+        ascii("RIFF"), unhex(concat(le16(dataSize + 36), lit("0000"))),
+        ascii("WAVE"), ascii("fmt "),
+        lit(Array[Byte](16, 0, 0, 0, /*PCM*/ 1, 0, /*mono*/ 1, 0,
+          /*8000 LE*/ 0x40, 0x1f, 0, 0, /*byteRate 16000*/ 0x80.toByte, 0x3e, 0, 0,
+          /*blockAlign*/ 2, 0, /*bits*/ 16, 0)),
+        ascii("data"), unhex(concat(le16(dataSize), lit("0000"))),
+        unhex(sampleHex))
+
+      // --- PNG: w×1 grayscale, pixels (doc_id + 17x) % 256, IDAT =
+      // zlib header + stored block (Inflater(nowrap) needs no adler)
+      val w = pmod(col("doc_id"), lit(4L)) + 1 // 1..4 px
+      val pxHex = aggregate(sequence(lit(0L), w - 1), lit(""),
+        (acc, x) => concat(acc, b2(pmod(col("doc_id") + x * 17, lit(256L)))))
+      val rawLen = w + 1 // filter byte + pixels
+      val png = concat(
+        lit(Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a,
+          0, 0, 0, 13)),
+        ascii("IHDR"), be32(w), be32(lit(1L)),
+        lit(Array[Byte](8, 0, 0, 0, 0, /*IHDR crc (unchecked)*/ 0, 0, 0, 0)),
+        be32(rawLen + 7), ascii("IDAT"),
+        lit(Array[Byte](0x78, 0x01, /*stored, final*/ 0x01)),
+        unhex(concat(le16(rawLen), le16(lit(65535L) - rawLen))),
+        unhex(concat(lit("00"), pxHex)), // filter 0 + scanline
+        lit(Array[Byte](0, 0, 0, 0)), // IDAT crc (unchecked)
+        lit(Array[Byte](0, 0, 0, 0, 'I', 'E', 'N', 'D', 0, 0, 0, 0)))
+
+      val withPayload = t(s, dir, "documents")
+        .select(col("doc_id"),
+          when(pmod(col("doc_id"), lit(2L)) === 0, wav).otherwise(png).as("payload"))
+      val d = col("decoded")
+      ops.Multimodal.decodeFeatures(withPayload, "payload")
+        .select(col("doc_id"), d.getField("kind").as("kind"),
+          d.getField("sample_rate").as("sample_rate"),
+          d.getField("channels").as("channels"),
+          d.getField("n_frames").as("n_frames"),
+          d.getField("duration_s").as("duration_s"),
+          d.getField("peak").as("peak"),
+          round(d.getField("rms") * d.getField("rms") * d.getField("n_frames")
+            * lit(32768.0 * 32768.0), 0).cast(LongType).as("sum_sq"),
+          d.getField("width").as("width"),
+          d.getField("height").as("height"),
+          d.getField("mean_px").as("mean_px"),
+          d.getField("min_px").as("min_px"),
+          d.getField("max_px").as("max_px"))
+        .orderBy("doc_id")
+    },
+
     // ---------------- I/O round-trips (§2.9/§2.10 under the hard gate)
     // Each drives a sink + matching source end-to-end and hands the
     // re-read data to the oracle compare: the oracle sees the ORIGINAL
@@ -1831,6 +1902,38 @@ object SparkEntry {
         |  cast(doc_id % 1000 + 1 AS INT) AS width,
         |  cast(doc_id % 777 + 1 AS INT) AS height
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // recompute every decoded stat arithmetically from the same
+    // doc_id-derived payload definitions the gate assembles: WAV rms
+    // via the exact integer sum of squares, PNG stats via the pixel
+    // value list — any drift in Inflater plumbing, unfiltering, PCM
+    // normalization or stats math breaks the hash compare
+    "q_multimodal_decode" ->
+      """WITH wav AS (
+        |  SELECT doc_id, doc_id % 6 + 2 AS n,
+        |    (doc_id * 37) % 32768 AS v1, (doc_id * 91) % 32768 AS v2
+        |  FROM documents WHERE doc_id % 2 = 0),
+        |png AS (
+        |  SELECT doc_id, doc_id % 4 + 1 AS w,
+        |    list_transform(range(0, doc_id % 4 + 1), x -> (doc_id + 17 * x) % 256) AS px
+        |  FROM documents WHERE doc_id % 2 = 1)
+        |SELECT doc_id, 'wav' AS kind,
+        |  8000 AS sample_rate, 1 AS channels, n AS n_frames,
+        |  cast(n AS DOUBLE) / 8000 AS duration_s,
+        |  cast(greatest(v1, v2) AS DOUBLE) / 32768 AS peak,
+        |  (n - n // 2) * v1 * v1 + (n // 2) * v2 * v2 AS sum_sq,
+        |  cast(NULL AS INTEGER) AS width, cast(NULL AS INTEGER) AS height,
+        |  cast(NULL AS DOUBLE) AS mean_px,
+        |  cast(NULL AS INTEGER) AS min_px, cast(NULL AS INTEGER) AS max_px
+        |FROM wav
+        |UNION ALL
+        |SELECT doc_id, 'png', cast(NULL AS INTEGER), 1, cast(NULL AS BIGINT),
+        |  cast(NULL AS DOUBLE), cast(NULL AS DOUBLE), cast(NULL AS BIGINT),
+        |  cast(w AS INTEGER), 1,
+        |  cast(list_sum(px) AS DOUBLE) / w,
+        |  cast(list_min(px) AS INTEGER), cast(list_max(px) AS INTEGER)
+        |FROM png
+        |ORDER BY doc_id""".stripMargin,
 
     // I/O round-trips: the oracle reads the ORIGINAL table — the Spark
     // side must reproduce it bit-for-bit through sink + source.

@@ -1,0 +1,231 @@
+package graft.ops
+
+/** Pure-JDK media DECODERS (not just header parsers — see
+  * [[graft.functions.MediaDims]] for the pre-decode header gate):
+  * WAV PCM → sample statistics, PNG → Inflater + per-scanline
+  * unfilter → pixel statistics. No codec libraries: WAV PCM is plain
+  * byte arithmetic and PNG's pixel data is zlib (`java.util.zip
+  * .Inflater`) under five fixed filter predictors, so both formats are
+  * decodable with the JDK alone. Formats that genuinely need codec
+  * libraries (JPEG entropy decode, GIF LZW, MP3/MP4) return None —
+  * the plumbing ([[Multimodal.decodeFeatures]]) treats undecodable as
+  * NULL, never a throw.
+  *
+  * Hostile-input contract (same as MediaDims): every read is
+  * bounds-checked, every size field distrusted, truncation and
+  * malformed structure → None. Reference behavior: gratum reads media
+  * only as opaque streams (ref `FileSystemSource.groovy`); decoding is
+  * part of the beyond-reference multimodal brief.
+  */
+object MediaDecode {
+
+  /** WAV PCM sample statistics. `peak`/`rms` are over samples
+    * normalized to [-1, 1); `durationS` counts frames (all channels
+    * advance together). */
+  final case class WavStats(
+      sampleRate: Int, channels: Int, bitsPerSample: Int,
+      nFrames: Long, durationS: Double, peak: Double, rms: Double)
+
+  /** PNG pixel statistics over the UNFILTERED bytes of every channel
+    * (depth-8 gray / RGB / gray+alpha / RGBA). */
+  final case class PngStats(
+      width: Int, height: Int, channels: Int,
+      meanPx: Double, minPx: Int, maxPx: Int)
+
+  private def u8(b: Array[Byte], i: Int): Int = b(i) & 0xff
+  private def le16(b: Array[Byte], i: Int): Int = u8(b, i) | (u8(b, i + 1) << 8)
+  private def le32(b: Array[Byte], i: Int): Long =
+    (u8(b, i) | (u8(b, i + 1) << 8) | (u8(b, i + 2) << 16)).toLong |
+      (u8(b, i + 3).toLong << 24)
+  private def be32(b: Array[Byte], i: Int): Long =
+    (u8(b, i + 3) | (u8(b, i + 2) << 8) | (u8(b, i + 1) << 16)).toLong |
+      (u8(b, i).toLong << 24)
+
+  /** Decode a RIFF/WAVE PCM payload (integer PCM, 8/16/24/32-bit).
+    * None on anything else: non-PCM formats, missing/short chunks, a
+    * data chunk whose declared size overruns the payload (truncation),
+    * or zero frames. */
+  def wavStats(b: Array[Byte]): Option[WavStats] = {
+    if (b == null || b.length < 44) return None
+    if (!(b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F' &&
+        b(8) == 'W' && b(9) == 'A' && b(10) == 'V' && b(11) == 'E')) return None
+    var off = 12
+    var fmt: Option[(Int, Int, Int)] = None // (channels, rate, bits)
+    var data: Option[(Int, Int)] = None // (offset, size)
+    var guard = 0
+    while (off + 8 <= b.length && guard < 4096 && (fmt.isEmpty || data.isEmpty)) {
+      val id = new String(b, off, 4, java.nio.charset.StandardCharsets.US_ASCII)
+      val size = le32(b, off + 4)
+      // distrust the size field: beyond-payload = truncated/crafted
+      if (size < 0 || size > b.length - off - 8) return None
+      if (id == "fmt ") {
+        if (size < 16) return None
+        val audioFormat = le16(b, off + 8)
+        if (audioFormat != 1) return None // integer PCM only
+        val channels = le16(b, off + 10)
+        val rate = le32(b, off + 12)
+        val bits = le16(b, off + 22)
+        if (channels <= 0 || rate <= 0 || rate > Int.MaxValue) return None
+        if (bits != 8 && bits != 16 && bits != 24 && bits != 32) return None
+        fmt = Some((channels, rate.toInt, bits))
+      } else if (id == "data") {
+        data = Some((off + 8, size.toInt))
+      }
+      off += 8 + size.toInt + (size.toInt & 1) // chunks are word-aligned
+      guard += 1
+    }
+    (fmt, data) match {
+      case (Some((channels, rate, bits)), Some((dOff, dSize))) =>
+        val bytesPer = bits / 8
+        val frameBytes = bytesPer * channels
+        val nFrames = dSize.toLong / frameBytes
+        val nSamples = nFrames * channels
+        if (nFrames == 0L) return None
+        var peak = 0.0
+        var sumSq = 0.0
+        val scale = bits match {
+          case 8  => 128.0
+          case 16 => 32768.0
+          case 24 => 8388608.0
+          case _  => 2147483648.0
+        }
+        val end = dOff + (nSamples * bytesPer).toInt
+        var p = dOff
+        while (p < end) {
+          val raw: Double = bits match {
+            case 8  => (u8(b, p) - 128).toDouble // 8-bit WAV is unsigned
+            case 16 => le16(b, p).toShort.toDouble
+            case 24 =>
+              val v = u8(b, p) | (u8(b, p + 1) << 8) | (u8(b, p + 2) << 16)
+              ((v << 8) >> 8).toDouble // sign-extend 24 bits
+            case _ => le32(b, p).toInt.toDouble
+          }
+          val norm = raw / scale
+          val a = math.abs(norm)
+          if (a > peak) peak = a
+          sumSq += norm * norm
+          p += bytesPer
+        }
+        Some(WavStats(rate, channels, bits, nFrames,
+          nFrames.toDouble / rate, peak, math.sqrt(sumSq / nSamples)))
+      case _ => None
+    }
+  }
+
+  private val pngChannels = Map(0 -> 1, 2 -> 3, 4 -> 2, 6 -> 4)
+
+  /** Decode a PNG payload: IHDR → concatenated IDAT zlib stream →
+    * Inflater → per-scanline unfilter (None/Sub/Up/Average/Paeth) →
+    * statistics over the raw channel bytes. Depth-8, non-interlaced,
+    * non-palette only (palette/16-bit/interlace → None — they need no
+    * codec library either, but are not worth the surface until a
+    * corpus needs them). Chunk CRCs are NOT verified: corruption
+    * surfaces as an inflate/size failure (→ None), and a stats pass
+    * has no integrity contract to uphold. The zlib container is read
+    * with Inflater(nowrap) after validating the 2-byte header, so the
+    * trailing adler32 is not required — a prefix-fetched payload cut
+    * after the last IDAT's data still decodes. */
+  def pngStats(b: Array[Byte]): Option[PngStats] = {
+    if (b == null || b.length < 8 + 25) return None
+    val sig = Array[Int](0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a)
+    var k = 0
+    while (k < 8) { if (u8(b, k) != sig(k)) return None; k += 1 }
+    // IHDR must be first (spec) — 13-byte payload
+    if (be32(b, 8) != 13L || !chunkTypeIs(b, 12, "IHDR")) return None
+    val width = be32(b, 16)
+    val height = be32(b, 20)
+    val bitDepth = u8(b, 24)
+    val colorType = u8(b, 25)
+    val interlace = u8(b, 28)
+    if (width <= 0 || height <= 0 || width > Int.MaxValue || height > Int.MaxValue)
+      return None
+    if (bitDepth != 8 || interlace != 0) return None
+    val channels = pngChannels.getOrElse(colorType, return None)
+    // bound the decode buffer: a crafted IHDR declaring a huge image
+    // must not allocate gigabytes before inflate fails — cap at 64 MiB
+    val rowBytes = 1L + width * channels
+    val rawSize = rowBytes * height
+    if (rawSize > 64L * 1024 * 1024) return None
+
+    // walk chunks, concatenating IDAT payloads
+    val zlib = new java.io.ByteArrayOutputStream()
+    var off = 33 // 8 sig + 25 IHDR chunk
+    var guard = 0
+    var done = false
+    while (!done && off + 8 <= b.length && guard < 65536) {
+      val len = be32(b, off)
+      if (len < 0 || len > b.length - off - 8) return None // truncated chunk
+      if (chunkTypeIs(b, off + 4, "IDAT")) zlib.write(b, off + 8, len.toInt)
+      else if (chunkTypeIs(b, off + 4, "IEND")) done = true
+      off += 12 + len.toInt // len + type + data + crc
+      guard += 1
+    }
+    val z = zlib.toByteArray
+    if (z.length < 3) return None
+    if ((z(0) & 0x0f) != 8) return None // CM must be deflate
+    if ((z(1) & 0x20) != 0) return None // FDICT unsupported
+    val inf = new java.util.zip.Inflater(true)
+    val raw = new Array[Byte](rawSize.toInt)
+    try {
+      inf.setInput(z, 2, z.length - 2)
+      var got = 0
+      while (got < raw.length && !inf.finished()) {
+        val n = inf.inflate(raw, got, raw.length - got)
+        if (n == 0 && inf.needsInput()) return None // short stream
+        got += n
+      }
+      if (got < raw.length) return None
+    } catch {
+      case _: java.util.zip.DataFormatException => return None
+    } finally inf.end()
+
+    // unfilter scanlines in place into pixel bytes
+    val w = width.toInt; val h = height.toInt
+    val stride = w * channels
+    val px = new Array[Int](stride * h)
+    var y = 0
+    while (y < h) {
+      val rowOff = (y * (stride + 1)).toInt
+      val filter = u8(raw, rowOff)
+      if (filter > 4) return None
+      var x = 0
+      while (x < stride) {
+        val cur = u8(raw, rowOff + 1 + x)
+        val left = if (x >= channels) px(y * stride + x - channels) else 0
+        val up = if (y > 0) px((y - 1) * stride + x) else 0
+        val upLeft = if (y > 0 && x >= channels) px((y - 1) * stride + x - channels) else 0
+        val recon = filter match {
+          case 0 => cur
+          case 1 => cur + left
+          case 2 => cur + up
+          case 3 => cur + ((left + up) >> 1)
+          case 4 => cur + paeth(left, up, upLeft)
+        }
+        px(y * stride + x) = recon & 0xff
+        x += 1
+      }
+      y += 1
+    }
+    var sum = 0L; var min = 255; var max = 0
+    var i = 0
+    while (i < px.length) {
+      val v = px(i)
+      sum += v
+      if (v < min) min = v
+      if (v > max) max = v
+      i += 1
+    }
+    Some(PngStats(w, h, channels, sum.toDouble / px.length, min, max))
+  }
+
+  private def chunkTypeIs(b: Array[Byte], off: Int, t: String): Boolean =
+    off + 4 <= b.length &&
+      b(off) == t.charAt(0) && b(off + 1) == t.charAt(1) &&
+      b(off + 2) == t.charAt(2) && b(off + 3) == t.charAt(3)
+
+  private def paeth(a: Int, bb: Int, c: Int): Int = {
+    val p = a + bb - c
+    val pa = math.abs(p - a); val pb = math.abs(p - bb); val pc = math.abs(p - c)
+    if (pa <= pb && pa <= pc) a else if (pb <= pc) bb else c
+  }
+}

@@ -8,11 +8,12 @@ import org.apache.spark.sql.{Column, DataFrame, Row}
   * pipelines: opaque `binary` payload columns + typed metadata structs,
   * with decode/feature-extraction as partition-batched functions.
   *
-  * The Spark-side plumbing (schema, batching, partition sizing) is real
-  * and tested; the actual media decoding is STUBBED with a deterministic
-  * fake (no image/audio libraries in this environment) — swap
-  * [[decodeFeaturesStub]]'s body for a real decoder (JNI/FFI) without
-  * touching the plan shape.
+  * The Spark-side plumbing (schema, batching, partition sizing) is
+  * real and tested. Decoding itself is REAL for WAV PCM and PNG
+  * ([[MediaDecode]], pure JDK — [[decodeFeatures]]); formats that
+  * need codec libraries this environment lacks (JPEG/GIF/MP3/MP4)
+  * remain behind the deterministic [[decodeFeaturesStub]] — swap its
+  * body for a real decoder (JNI/FFI) without touching the plan shape.
   */
 object Multimodal {
 
@@ -47,14 +48,72 @@ object Multimodal {
 
   val featureSchema: ArrayType = ArrayType(FloatType, containsNull = false)
 
+  /** Schema of [[decodeFeatures]]' output struct: one union row per
+    * payload — `kind` discriminates, the other fields are NULL when
+    * they don't apply (wav fields for png rows and vice versa), and
+    * the whole struct is NULL for undecodable payloads. */
+  val decodedSchema: StructType = StructType(Seq(
+    StructField("kind", StringType),
+    StructField("sample_rate", IntegerType), // wav
+    StructField("channels", IntegerType),    // wav / png channel count
+    StructField("n_frames", LongType),       // wav
+    StructField("duration_s", DoubleType),   // wav
+    StructField("peak", DoubleType),         // wav
+    StructField("rms", DoubleType),          // wav
+    StructField("width", IntegerType),       // png
+    StructField("height", IntegerType),      // png
+    StructField("mean_px", DoubleType),      // png
+    StructField("min_px", IntegerType),      // png
+    StructField("max_px", IntegerType)))     // png
+
+  /** REAL decode + feature-extract over binary payloads, batched per
+    * partition: WAV PCM → sample stats (RMS / peak / duration) and
+    * PNG → Inflater + unfilter → pixel stats, both pure JDK
+    * ([[MediaDecode]]); formats that genuinely need codec libraries
+    * (JPEG entropy decode, GIF LZW, MP3/MP4) yield a NULL struct —
+    * never a throw. Dispatch is by magic bytes, not a MIME column, so
+    * a mislabeled payload decodes by what it IS.
+    *
+    * mapPartitions, not a per-row UDF, deliberately: decoder state
+    * (here just buffers; in a JNI/FFI decoder, library handles and
+    * model weights) amortizes per partition, and the iterator
+    * discipline keeps batch memory bounded — the same plumbing
+    * [[decodeFeaturesStub]] pioneered, now carrying real decoders
+    * (oracle-gated end to end by q_multimodal_decode).
+    */
+  def decodeFeatures(
+      df: DataFrame, payloadCol: String,
+      outCol: String = "decoded"): DataFrame = {
+    val schema = StructType(df.schema.fields :+ StructField(outCol, decodedSchema))
+    val payloadIdx = df.schema.fieldIndex(payloadCol)
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    df.mapPartitions { rows =>
+      rows.map { row =>
+        val bytes = row.getAs[Array[Byte]](payloadIdx)
+        val decoded: Row =
+          MediaDecode.wavStats(bytes).map(w =>
+            Row("wav", w.sampleRate, w.channels, w.nFrames, w.durationS,
+              w.peak, w.rms, null, null, null, null, null))
+          .orElse(MediaDecode.pngStats(bytes).map(p =>
+            Row("png", null, p.channels, null, null, null, null,
+              p.width, p.height, p.meanPx, p.minPx, p.maxPx)))
+          .orNull
+        Row.fromSeq(row.toSeq :+ decoded)
+      }
+    }(enc)
+  }
+
   /** Decode + feature-extract over binary payloads, batched per
     * partition (the shape a real image/audio decoder needs: amortized
     * library init per partition, bounded batch memory).
     *
-    * STUB: emits a deterministic fake feature vector derived from the
+    * STUB for the formats [[decodeFeatures]] cannot decode pure-JDK
+    * (JPEG/GIF/MP3/MP4 need codec libraries this environment lacks):
+    * emits a deterministic fake feature vector derived from the
     * payload bytes. Replace the `fakeFeatures` body with the real
     * decoder; everything else (schema, partitioning, iterator
-    * discipline) is production plumbing.
+    * discipline) is production plumbing — WAV and PNG are REAL in
+    * [[decodeFeatures]].
     */
   def decodeFeaturesStub(
       df: DataFrame, payloadCol: String, dim: Int = 16,

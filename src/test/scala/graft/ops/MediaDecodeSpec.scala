@@ -1,0 +1,187 @@
+package graft.ops
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Byte-level verification of the pure-JDK decoders: WAV PCM stats
+  * against hand-computed references at every supported bit depth, PNG
+  * pixel stats against encoder round-trips built with the JDK's own
+  * Deflater — REAL compressed streams with every filter predictor
+  * (0–4), not just the stored-block shape the gate query assembles —
+  * plus truncation / malformation / fuzz (None, never a throw). The
+  * end-to-end Spark plumbing is gated by q_multimodal_decode. */
+class MediaDecodeSpec extends AnyFunSuite {
+
+  private def b(xs: Int*): Array[Byte] = xs.map(_.toByte).toArray
+
+  // ---------- WAV builders ----------
+
+  private def le16(v: Int) = b(v & 0xff, (v >>> 8) & 0xff)
+  private def le32(v: Int) =
+    b(v & 0xff, (v >>> 8) & 0xff, (v >>> 16) & 0xff, (v >>> 24) & 0xff)
+
+  private def wav(rate: Int, channels: Int, bits: Int, data: Array[Byte],
+      audioFormat: Int = 1): Array[Byte] = {
+    val blockAlign = channels * bits / 8
+    "RIFF".getBytes ++ le32(36 + data.length) ++ "WAVE".getBytes ++
+      "fmt ".getBytes ++ le32(16) ++ le16(audioFormat) ++ le16(channels) ++
+      le32(rate) ++ le32(rate * blockAlign) ++ le16(blockAlign) ++ le16(bits) ++
+      "data".getBytes ++ le32(data.length) ++ data
+  }
+
+  test("wav 16-bit mono: exact rms/peak/duration") {
+    // samples +16384 (=0.5), -16384: peak 0.5, rms 0.5, 2 frames @ 8000
+    val data = le16(16384) ++ le16(-16384 & 0xffff)
+    val s = MediaDecode.wavStats(wav(8000, 1, 16, data)).get
+    assert(s.sampleRate == 8000 && s.channels == 1 && s.bitsPerSample == 16)
+    assert(s.nFrames == 2L)
+    assert(s.durationS == 2.0 / 8000)
+    assert(s.peak == 0.5)
+    assert(s.rms == 0.5)
+  }
+
+  test("wav 8-bit unsigned: 128 is silence, 0/255 near full-scale") {
+    val s = MediaDecode.wavStats(wav(44100, 1, 8, b(128, 128, 128, 128))).get
+    assert(s.peak == 0.0 && s.rms == 0.0)
+    val loud = MediaDecode.wavStats(wav(44100, 1, 8, b(0, 255))).get
+    assert(loud.peak == 1.0) // (0-128)/128 = -1
+    assert(math.abs(loud.rms - math.sqrt((1.0 + (127.0 / 128) * (127.0 / 128)) / 2)) < 1e-15)
+  }
+
+  test("wav 24-bit sign extension and 32-bit scale") {
+    // 24-bit sample 0x800000 = -8388608 → norm -1.0
+    val s24 = MediaDecode.wavStats(wav(48000, 1, 24, b(0, 0, 0x80))).get
+    assert(s24.peak == 1.0 && s24.rms == 1.0)
+    // 32-bit sample Int.MinValue → -1.0
+    val s32 = MediaDecode.wavStats(wav(48000, 1, 32, le32(Int.MinValue))).get
+    assert(s32.peak == 1.0)
+  }
+
+  test("wav stereo: frames count channel groups, rms spans all samples") {
+    // L=0.5, R=0 per frame, 3 frames
+    val frame = le16(16384) ++ le16(0)
+    val s = MediaDecode.wavStats(wav(16000, 2, 16, frame ++ frame ++ frame)).get
+    assert(s.nFrames == 3L && s.channels == 2)
+    assert(s.durationS == 3.0 / 16000)
+    assert(s.rms == math.sqrt(0.25 / 2)) // half the samples at 0.5, half 0
+  }
+
+  test("wav hostile: non-PCM, truncated data, oversized chunk, zero frames → None") {
+    assert(MediaDecode.wavStats(wav(8000, 1, 16, le16(1), audioFormat = 3)).isEmpty) // float PCM
+    val good = wav(8000, 1, 16, le16(1) ++ le16(2))
+    assert(MediaDecode.wavStats(good.dropRight(3)).isEmpty) // data chunk overruns payload
+    assert(MediaDecode.wavStats(wav(8000, 1, 16, Array.emptyByteArray)).isEmpty) // 0 frames
+    val crafted = good.clone()
+    crafted(40) = 0xff.toByte; crafted(41) = 0xff.toByte // data size lies huge
+    crafted(42) = 0xff.toByte; crafted(43) = 0x7f.toByte
+    assert(MediaDecode.wavStats(crafted).isEmpty)
+    assert(MediaDecode.wavStats(null).isEmpty)
+    assert(MediaDecode.wavStats("RIFFxxxxWAVE".getBytes).isEmpty)
+  }
+
+  // ---------- PNG builders (real Deflater stream) ----------
+
+  private def be32(v: Int) =
+    b(v >>> 24, (v >>> 16) & 0xff, (v >>> 8) & 0xff, v & 0xff)
+
+  private def chunk(typ: String, data: Array[Byte]): Array[Byte] = {
+    val crc = new java.util.zip.CRC32()
+    crc.update(typ.getBytes); crc.update(data)
+    be32(data.length) ++ typ.getBytes ++ data ++ be32(crc.getValue.toInt)
+  }
+
+  /** Spec-valid PNG (correct CRCs and adler) from raw scanlines
+    * (each: filter byte + w*channels filtered bytes). */
+  private def png(w: Int, h: Int, colorType: Int, scanlines: Array[Byte]): Array[Byte] = {
+    val d = new java.util.zip.Deflater()
+    d.setInput(scanlines); d.finish()
+    val buf = new Array[Byte](scanlines.length + 64)
+    val n = d.deflate(buf)
+    d.end()
+    b(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a) ++
+      chunk("IHDR", be32(w) ++ be32(h) ++ b(8, colorType, 0, 0, 0)) ++
+      chunk("IDAT", buf.take(n)) ++
+      chunk("IEND", Array.emptyByteArray)
+  }
+
+  test("png gray, filter 0: exact stats") {
+    val s = MediaDecode.pngStats(png(3, 2, 0, b(0, 10, 20, 30, 0, 40, 50, 60))).get
+    assert(s.width == 3 && s.height == 2 && s.channels == 1)
+    assert(s.minPx == 10 && s.maxPx == 60)
+    assert(s.meanPx == 210.0 / 6)
+  }
+
+  test("png filters 1-4 reconstruct: Sub, Up, Average, Paeth") {
+    // 2x2 gray, pixels row0=(100, 103), row1=(110, 117)
+    // row0 Sub: filter 1, bytes (100, 3); row1 Paeth: filter 4
+    // paeth(left, up, upleft): for x=0: paeth(0,100,0)=100 → byte 10
+    // for x=1: left=110, up=103, upleft=100 → p=113, pa=3,pb=10,pc=13 → a=110 → byte 7
+    val s = MediaDecode.pngStats(png(2, 2, 0, b(1, 100, 3, 4, 10, 7))).get
+    assert(s.minPx == 100 && s.maxPx == 117)
+    assert(s.meanPx == (100 + 103 + 110 + 117) / 4.0)
+    // Up (2) and Average (3): row1 from row0=(8, 16)
+    // Up: byte = cur-up → (2, 4) gives (10, 20); Avg: x=0 avg(0,8)=4, x=1 avg(12,16)=14
+    val s2 = MediaDecode.pngStats(png(2, 3, 0,
+      b(0, 8, 16, 2, 2, 4, 3, 6, 0))).get
+    // row2 Average: x=0: cur 6 + (0+10)/2 = 11; x=1: cur 0 + (11+20)/2 = 15
+    assert(s2.minPx == 8 && s2.maxPx == 20)
+    assert(s2.meanPx == (8 + 16 + 10 + 20 + 11 + 15) / 6.0)
+  }
+
+  test("png rgb and rgba channel counts") {
+    val rgb = MediaDecode.pngStats(png(2, 1, 2, b(0, 1, 2, 3, 4, 5, 6))).get
+    assert(rgb.channels == 3 && rgb.meanPx == 21.0 / 6 && rgb.maxPx == 6)
+    val rgba = MediaDecode.pngStats(png(1, 1, 6, b(0, 9, 8, 7, 255))).get
+    assert(rgba.channels == 4 && rgba.maxPx == 255 && rgba.minPx == 7)
+  }
+
+  test("png multiple IDAT chunks concatenate") {
+    val full = png(3, 1, 0, b(0, 5, 6, 7))
+    // split the single IDAT into two: rebuild chunks around the zlib bytes
+    val sig = full.take(8); val ihdr = full.slice(8, 8 + 25)
+    val idatLen = ((full(33) & 0xff) << 24) | ((full(34) & 0xff) << 16) |
+      ((full(35) & 0xff) << 8) | (full(36) & 0xff)
+    val z = full.slice(41, 41 + idatLen)
+    val split = sig ++ ihdr ++ chunk("IDAT", z.take(3)) ++
+      chunk("IDAT", z.drop(3)) ++ chunk("IEND", Array.emptyByteArray)
+    val s = MediaDecode.pngStats(split).get
+    assert(s.meanPx == 6.0 && s.minPx == 5 && s.maxPx == 7)
+  }
+
+  test("png hostile: palette, 16-bit, interlaced, truncated IDAT, bad filter, giant IHDR → None") {
+    assert(MediaDecode.pngStats(png(1, 1, 3, b(0, 0))).isEmpty) // palette color type
+    val p16 = png(1, 1, 0, b(0, 0))
+    p16(24 /*bit depth*/ ) = 16
+    assert(MediaDecode.pngStats(p16).isEmpty)
+    val inter = png(1, 1, 0, b(0, 0))
+    inter(28 /*interlace*/ ) = 1
+    assert(MediaDecode.pngStats(inter).isEmpty)
+    val good = png(4, 4, 0, Array.tabulate(20)(i => if (i % 5 == 0) 0 else i).map(_.toByte))
+    assert(MediaDecode.pngStats(good.dropRight(20)).isEmpty) // truncated mid-IDAT
+    assert(MediaDecode.pngStats(png(2, 1, 0, b(9, 1, 2))).isEmpty) // filter type 9
+    val giant = png(1, 1, 0, b(0, 0))
+    giant(16) = 0x7f; giant(17) = 0xff.toByte // width 2^31-ish → decode bound
+    assert(MediaDecode.pngStats(giant).isEmpty)
+    assert(MediaDecode.pngStats(null).isEmpty)
+  }
+
+  test("fuzz: 2000 random/truncated payloads never throw") {
+    val rnd = new scala.util.Random(42)
+    val seeds = Seq(
+      wav(8000, 2, 16, le16(5) ++ le16(6)),
+      png(3, 3, 2, Array.tabulate(30)(i => if (i % 10 == 0) 0 else i).map(_.toByte)))
+    (0 until 2000).foreach { i =>
+      val payload =
+        if (i % 2 == 0) { // mutated valid payload
+          val base = seeds(rnd.nextInt(seeds.length)).clone()
+          (0 until 1 + rnd.nextInt(4)).foreach { _ =>
+            base(rnd.nextInt(base.length)) = rnd.nextInt(256).toByte
+          }
+          base.take(1 + rnd.nextInt(base.length))
+        } else { // pure noise
+          val a = new Array[Byte](rnd.nextInt(64)); rnd.nextBytes(a); a
+        }
+      MediaDecode.wavStats(payload) // must not throw
+      MediaDecode.pngStats(payload)
+    }
+  }
+}
