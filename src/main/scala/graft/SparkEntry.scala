@@ -135,6 +135,36 @@ object SparkEntry {
         .orderBy("user_id", "session_start")
     },
 
+    "q_stream_dedup" -> { (s, dir) =>
+      // the streaming ENGINE end-to-end under the oracle: documents as
+      // a bounded file stream → watermark + dropDuplicatesWithinWatermark
+      // state op (Streams.dedupExact, the unbounded-corpus exact-dedup
+      // path) → memory sink, drained synchronously. Which physical row
+      // survives a duplicate group depends on arrival order (a stream
+      // has no total order), so the gate emits the survivor-INVARIANT
+      // projection — the recomputed text fingerprint — and the batch
+      // oracle is the distinct-fingerprint set: exactly one row per
+      // duplicate group proves state-op parity with Dedup.exact.
+      val schema = Tables.load(s, dir, "documents").schema
+      def stream = s.readStream.schema(schema)
+        // glob, not the literal file path: the streaming file source
+        // derives basePath from the glob's parent and requires it to
+        // be a directory
+        .parquet(s"$dir/documents*.parquet")
+      // the corpus has no exact duplicates — re-emit a slice (the
+      // at-least-once-delivery shape) so the state op provably
+      // COLLAPSES: the oracle's row count only matches if every
+      // re-delivered document is deduplicated away
+      val arrivals = stream.union(stream.filter(col("doc_id") % 10 === 0))
+        .withColumn("__ts__",
+          lit(java.sql.Timestamp.valueOf("2026-01-01 00:00:00")))
+      val deduped = graft.streaming.Streams.dedupExact(
+        arrivals, "text", "__ts__", "10 seconds")
+      graft.streaming.Streams.runBounded(deduped)
+        .select(ops.TextOps.fingerprint(col("text")).as("fingerprint"))
+        .orderBy("fingerprint")
+    },
+
     // ------------------------------------------------------ filters (§2.3)
     "q_filter_map" -> { (s, dir) =>
       p(s, dir, "orders")
@@ -1755,6 +1785,12 @@ object SparkEntry {
         |    (sqrt(list_sum(list_transform(range(1, len(q.e) + 1), i -> q.e[i] * q.e[i]))) *
         |     sqrt(list_sum(list_transform(range(1, len(c.e) + 1), i -> c.e[i] * c.e[i])))) > 0.3
         |ORDER BY query_id, neighbor_id""".stripMargin,
+
+    // streaming exact-dedup parity: the distinct-fingerprint set is
+    // arrival-order-invariant, so the state op must reproduce it
+    "q_stream_dedup" ->
+      """SELECT DISTINCT md5(regexp_replace(lower(trim(text)), '[ \t\n\x0b\f\r]+', ' ', 'g')) AS fingerprint
+        |FROM documents ORDER BY fingerprint""".stripMargin,
 
     "q_dedup_ngram" -> ngramJaccardOracle,
     // the blocked (LSH-screen + exact-verify) path must return the

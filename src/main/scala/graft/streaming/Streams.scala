@@ -321,4 +321,17 @@ object Streams {
     q.processAllAvailable()
     q.stop()
   }
+
+  private val boundedRunSeq = new java.util.concurrent.atomic.AtomicLong()
+
+  /** Drain a BOUNDED stream synchronously and hand back its output as
+    * a batch DataFrame: memory sink under a fresh per-run name (a
+    * repeated caller — bench sweeps re-executing a gate query — must
+    * not append into a previous run's table). The harness for running
+    * a streaming pipeline under a batch-parity oracle. */
+  def runBounded(df: DataFrame, outputMode: OutputMode = OutputMode.Append()): DataFrame = {
+    val name = s"graft_bounded_run_${boundedRunSeq.incrementAndGet()}"
+    runToMemory(df, name, outputMode)
+    df.sparkSession.table(name)
+  }
 }
