@@ -1,0 +1,268 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.{CatalystTypeConverters, InternalRow}
+import org.apache.spark.sql.catalyst.expressions.Literal
+import org.apache.spark.sql.types.{ArrayType, BinaryType, DoubleType, LongType, StringType}
+import org.apache.spark.sql.functions.{col, lit, typedLit}
+import org.apache.spark.sql.graftbridge.Bridge
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Randomized interpreted-vs-codegen equivalence sweep over EVERY
+  * native graft expression — the generic closure of the per-expression
+  * fuzz MediaDimsSpec pioneered. For each expression, the same random
+  * inputs are evaluated twice: through a real plan with whole-stage
+  * codegen (fallback DISABLED, so a doGenCode failure is an error, not
+  * a silent interpreted rerun) and through the interpreted
+  * `Expression.eval` path over literal children. Any divergence —
+  * null propagation, UTF8String/ArrayData conversion, drift between
+  * eval and the generated Java (e.g. CosineSim's NaN→NULL logic is
+  * IMPLEMENTED TWICE) — fails with the offending input printed.
+  *
+  * Inputs deliberately include the hostile shapes: nulls, empties,
+  * whitespace variety, combining characters (NFC-relevant), astral
+  * code points (UTF-8 offset stress), zero/NaN vectors, and mutated
+  * media headers. */
+class ExprFuzzSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-expr-fuzz")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.codegen.fallback", "false") // codegen failure = test failure
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  import spark.implicits._
+
+  private val rnd = new scala.util.Random(20260814L)
+
+  // ---------- generators ----------
+
+  private val charPool: IndexedSeq[String] =
+    ('a' to 'z').map(_.toString) ++ Seq("é", "ß", "中", "é", "é",
+      "😀" /* astral: 😀 */, "0", "9", "_")
+  private val wsPool = IndexedSeq(" ", "\t", "\n", "  ", " \r\n ")
+
+  private def randWord(): String =
+    (0 until 1 + rnd.nextInt(7)).map(_ => charPool(rnd.nextInt(charPool.length))).mkString
+
+  private def randText(): String = {
+    if (rnd.nextInt(20) == 0) return ""
+    val words = (0 until rnd.nextInt(12)).map(_ => randWord())
+    val sep = wsPool(rnd.nextInt(wsPool.length))
+    val core = words.mkString(sep)
+    (if (rnd.nextBoolean()) " " else "") + core + (if (rnd.nextInt(4) == 0) "\t" else "")
+  }
+
+  private def randTexts(n: Int): Seq[String] =
+    Seq(null, "", " ", "a") ++ (0 until n).map(_ => randText())
+
+  private def randTokens(): Seq[String] =
+    (0 until rnd.nextInt(10)).map(_ => randWord())
+
+  private def randVec(dim: Int): Seq[Double] = {
+    val kind = rnd.nextInt(10)
+    if (kind == 0) Seq.fill(dim)(0.0) // zero-norm → undefined cosine
+    else if (kind == 1) (0 until dim).map(i => if (i == 0) Double.NaN else rnd.nextGaussian())
+    else (0 until dim).map(_ => rnd.nextGaussian())
+  }
+
+  // ---------- the harness ----------
+
+  private def deepEq(a: Any, b: Any): Boolean = (a, b) match {
+    case (null, null) => true
+    case (x: Double, y: Double) => (x.isNaN && y.isNaN) || x == y
+    case (x: Float, y: Float) => (x.isNaN && y.isNaN) || x == y
+    case (x: Seq[_], y: Seq[_]) =>
+      x.length == y.length && x.lazyZip(y).forall(deepEq)
+    case (x: Row, y: Row) => deepEq(x.toSeq, y.toSeq)
+    case _ => a == b
+  }
+
+  /** Resolve a literal-rooted Column into a catalyst Expression via the
+    * ANALYZED (not optimized — constant folding would itself eval) plan
+    * of a one-row projection, then strip the alias. Spark 4 Columns
+    * wrap ColumnNodes that are unevaluable until analysis. */
+  private def analyzedExpr(c: Column): org.apache.spark.sql.catalyst.expressions.Expression = {
+    import org.apache.spark.sql.catalyst.plans.logical.Project
+    Bridge.analyzed(spark.range(1).select(c.as("r"))) match {
+      case p: Project => p.projectList.head.asInstanceOf[
+        org.apache.spark.sql.catalyst.expressions.Alias].child
+      case other => fail(s"expected Project, got $other")
+    }
+  }
+
+  /** codegen = plan over a data column; interpreted = eval over literal
+    * children. One comparison per input. */
+  private def sweep1(name: String, df: DataFrame, lits: Seq[Column],
+      exprOf: Column => Column): Unit = {
+    val fromCodegen = df.select(exprOf(col("x")).as("r")).collect().map(_.get(0))
+    assert(fromCodegen.length == lits.length)
+    lits.lazyZip(fromCodegen).zipWithIndex.foreach { case ((l, cg), i) =>
+      val e = analyzedExpr(exprOf(l))
+      val interp = CatalystTypeConverters.convertToScala(e.eval(InternalRow.empty), e.dataType)
+      assert(deepEq(interp, cg),
+        s"$name #$i: interpreted=$interp codegen=$cg")
+    }
+  }
+
+  private def sweep2(name: String, df: DataFrame,
+      lits: Seq[(Column, Column)], exprOf: (Column, Column) => Column): Unit = {
+    val fromCodegen = df.select(exprOf(col("x"), col("y")).as("r")).collect().map(_.get(0))
+    assert(fromCodegen.length == lits.length)
+    lits.lazyZip(fromCodegen).zipWithIndex.foreach { case (((lx, ly), cg), i) =>
+      val e = analyzedExpr(exprOf(lx, ly))
+      val interp = CatalystTypeConverters.convertToScala(e.eval(InternalRow.empty), e.dataType)
+      assert(deepEq(interp, cg),
+        s"$name #$i: interpreted=$interp codegen=$cg")
+    }
+  }
+
+  /** A typed NULL as a catalyst Literal — the Column-API cast form
+    * (`lit(null).cast(...)`) reaches eval as an unevaluable
+    * ColumnNodeExpression wrapper. */
+  private def nullLit(dt: org.apache.spark.sql.types.DataType): Column =
+    Bridge.toColumn(Literal.create(null, dt))
+  private def strLit(v: String): Column =
+    if (v == null) nullLit(StringType) else lit(v)
+  private def strsLit(v: Seq[String]): Column =
+    if (v == null) nullLit(ArrayType(StringType)) else typedLit(v)
+
+  // ---------- string-input expressions ----------
+
+  test("string expressions: minhash_char_sig / word ngrams / nfc / lm / nb") {
+    val texts = randTexts(300)
+    val df = texts.toDF("x")
+    val lits = texts.map(strLit)
+    sweep1("minhash_char_sig(5,64)", df, lits, exprs.minhash_char_sig(_, 5, 64))
+    sweep1("minhash_char_sig(2,8)", df, lits, exprs.minhash_char_sig(_, 2, 8))
+    sweep1("word_ngram_hashes(3,fb)", df, lits, exprs.word_ngram_hashes(_, 3, shortFallback = true))
+    sweep1("word_ngram_hashes(2,nofb)", df, lits, exprs.word_ngram_hashes(_, 2, shortFallback = false))
+    sweep1("word_ngram_hash_seq(3)", df, lits, exprs.word_ngram_hash_seq(_, 3))
+    sweep1("nfc_normalize", df, lits, exprs.nfc_normalize)
+
+    val docs = Seq.fill(30)(randText()).toDF("text")
+    val lm = graft.ops.LmScore.train(docs, "text")
+    sweep1("lm_token_scores", df, lits, exprs.lm_token_scores(_, lm))
+    val nb = graft.ops.NbClassifier.train(
+      docs.withColumn("y", (org.apache.spark.sql.functions.length(col("text")) % 2) === 0),
+      "text", col("y"))
+    sweep1("nb_token_log_odds", df, lits, exprs.nb_token_log_odds(_, nb))
+  }
+
+  // ---------- array<string> expressions ----------
+
+  test("array<string> expressions: minhash_sig / simhash_sig / jaccard_sim") {
+    val arrays: Seq[Seq[String]] =
+      Seq(null, Seq.empty[String], Seq("")) ++ (0 until 200).map(_ => randTokens())
+    val df = arrays.toDF("x")
+    val lits = arrays.map(strsLit)
+    sweep1("minhash_sig(64)", df, lits, exprs.minhash_sig(_, 64))
+    sweep1("minhash_sig(1)", df, lits, exprs.minhash_sig(_, 1))
+    sweep1("simhash_sig(64)", df, lits, simhashExprs.simhash_sig(_, 64))
+    sweep1("simhash_sig(8)", df, lits, simhashExprs.simhash_sig(_, 8))
+
+    val pairs = (0 until 150).map { i =>
+      val a = if (i == 0) null else randTokens()
+      val b = if (i == 1) null
+        else if (i % 5 == 0 && a != null) rnd.shuffle(a) // permutation: set-equal
+        else randTokens()
+      (a, b)
+    }
+    val pdf = pairs.toDF("x", "y")
+    sweep2("jaccard_sim", pdf, pairs.map(p => (strsLit(p._1), strsLit(p._2))),
+      similarityExprs.jaccard_sim)
+  }
+
+  // ---------- numeric-array expressions ----------
+
+  test("vector expressions: cosine_sim / sign_lsh_sig / sig_agreement / hamming_dist") {
+    val dim = 8
+    val vecPairs = Seq((null: Seq[Double], randVec(dim))) ++
+      (0 until 200).map(_ => (randVec(dim), randVec(dim)))
+    val vdf = vecPairs.toDF("x", "y")
+    def vecLit(v: Seq[Double]): Column =
+      if (v == null) nullLit(ArrayType(DoubleType)) else typedLit(v)
+    sweep2("cosine_sim", vdf, vecPairs.map(p => (vecLit(p._1), vecLit(p._2))),
+      similarityExprs.cosine_sim)
+
+    val planes: Seq[Seq[Double]] = (0 until 6).map(_ => (0 until dim).map(_ => rnd.nextGaussian()))
+    val vecs = vecPairs.map(_._2)
+    sweep1("sign_lsh_sig", vecs.toDF("x"), vecs.map(vecLit),
+      similarityExprs.sign_lsh_sig(_, typedLit(planes)))
+
+    val sigPairs: Seq[(Seq[Long], Seq[Long])] = (0 until 200).map { _ =>
+      val n = 1 + rnd.nextInt(16)
+      val a = Seq.fill(n)(rnd.nextLong() % 4) // small range → real agreement
+      val b = Seq.fill(n)(rnd.nextLong() % 4)
+      (a, b)
+    } :+ ((Seq.empty[Long], Seq.empty[Long]))
+    sweep2("sig_agreement", sigPairs.toDF("x", "y"),
+      sigPairs.map(p => (typedLit(p._1), typedLit(p._2))),
+      similarityExprs.sig_agreement)
+
+    val bitPairs: Seq[(Seq[Int], Seq[Int])] = (0 until 200).map { _ =>
+      val n = 1 + rnd.nextInt(64)
+      (Seq.fill(n)(rnd.nextInt(2)), Seq.fill(n)(rnd.nextInt(2)))
+    }
+    sweep2("hamming_dist", bitPairs.toDF("x", "y"),
+      bitPairs.map(p => (typedLit(p._1), typedLit(p._2))),
+      similarityExprs.hamming_dist)
+  }
+
+  // ---------- broadcast-backed expressions ----------
+
+  test("broadcast expressions: gram_set_overlap / gram_bloom_overlap / bloom_might_contain") {
+    val sc = spark.sparkContext
+    val member = (0 until 500).map(_ => rnd.nextLong()).toArray
+    val setBc = sc.broadcast(member.sorted)
+    val bloom = org.apache.spark.util.sketch.BloomFilter.create(member.length, 0.01)
+    member.foreach(bloom.putLong)
+    val bloomBc = sc.broadcast(bloom)
+
+    // half the gram arrays contain a true member, half are random misses
+    val grams: Seq[Seq[Long]] = Seq(null, Seq.empty[Long]) ++ (0 until 200).map { i =>
+      val base = Seq.fill(1 + rnd.nextInt(8))(rnd.nextLong())
+      if (i % 2 == 0) base :+ member(rnd.nextInt(member.length)) else base
+    }
+    val gdf = grams.toDF("x")
+    def glit(v: Seq[Long]): Column =
+      if (v == null) nullLit(ArrayType(LongType)) else typedLit(v)
+    sweep1("gram_set_overlap", gdf, grams.map(glit), exprs.gram_set_overlap(_, setBc))
+    sweep1("gram_bloom_overlap", gdf, grams.map(glit), exprs.gram_bloom_overlap(_, bloomBc))
+
+    val keys: Seq[java.lang.Long] = (0 until 200).map { i =>
+      java.lang.Long.valueOf(
+        if (i % 2 == 0) member(rnd.nextInt(member.length)) else rnd.nextLong())
+    }
+    sweep1("bloom_might_contain", keys.map(Option(_).map(_.longValue)).toDF("x"),
+      keys.map(k => lit(k.longValue)), exprs.bloom_might_contain(_, bloomBc))
+  }
+
+  // ---------- binary expressions ----------
+
+  test("media_dims: mutated headers interpreted == codegen") {
+    def b(xs: Int*): Array[Byte] = xs.map(_.toByte).toArray
+    val seeds = Seq(
+      b(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a, 0, 0, 0, 13) ++
+        "IHDR".getBytes ++ b(0, 0, 1, 0, 0, 0, 0, 200, 8, 2, 0, 0, 0),
+      "GIF89a".getBytes ++ b(64, 0, 32, 0, 0, 0, 0),
+      "RIFF".getBytes ++ b(36, 0, 0, 0) ++ "WAVE".getBytes ++ "fmt ".getBytes ++
+        b(16, 0, 0, 0, 1, 0, 2, 0, 0x44, 0xac, 0, 0, 0, 0, 0, 0, 4, 0, 16, 0),
+      b(0xff, 0xd8, 0xff, 0xc0, 0, 17, 8, 0, 100, 0, 50, 3, 0, 0x11, 0, 1, 0x11, 1, 2, 0x11, 1))
+    val payloads: Seq[Array[Byte]] = Seq(null, Array.emptyByteArray) ++
+      (0 until 400).map { i =>
+        if (i % 3 == 0) { val a = new Array[Byte](rnd.nextInt(48)); rnd.nextBytes(a); a }
+        else {
+          val base = seeds(rnd.nextInt(seeds.length)).clone()
+          (0 until rnd.nextInt(4)).foreach(_ => base(rnd.nextInt(base.length)) = rnd.nextInt(256).toByte)
+          base.take(1 + rnd.nextInt(base.length))
+        }
+      }
+    val df = payloads.toDF("x")
+    sweep1("media_dims", df,
+      payloads.map(p => if (p == null) nullLit(BinaryType) else lit(p)),
+      exprs.media_dims)
+  }
+}
