@@ -344,6 +344,24 @@ object SparkEntry {
         .orderBy("n_name", "r_name")
     },
 
+    "q_bucketed_join" -> { (s, dir) =>
+      // the amortized-shuffle join (§ fact-table pattern): orders and
+      // customer pre-bucketed on the join key (Bucketing.writeBucketed,
+      // once per (JVM, sf)) join with ZERO exchange on either side —
+      // the layout the engine would maintain for a repeatedly-joined
+      // 100 TB fact table. hint("merge") pins the sort-merge path so
+      // the gate exercises bucketed-scan co-location rather than a
+      // broadcast plan that would bypass it at this sf (the no-shuffle
+      // property itself is asserted in PlanAuditSpec).
+      val (ordersTable, customerTable) = bucketedGateTables(s, dir)
+      s.table(ordersTable).hint("merge")
+        .join(s.table(customerTable), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_orders"),
+          cents(sum(dec2(col("o_totalprice")))).as("revenue_cents"))
+        .orderBy("c_mktsegment")
+    },
+
     "q_intersect" -> { (s, dir) =>
       // marker semantics: flag customers that have orders, no filtering
       p(s, dir, "customer")
@@ -916,6 +934,21 @@ object SparkEntry {
         .orderBy("o_orderkey")
     },
 
+    "q_avro_roundtrip" -> { (s, dir) =>
+      // row-format fidelity through the interchange surface: Avro
+      // container write (graft's own avro-core sink) → splittable
+      // AvroKeyInputFormat read — long/string/double/timestamp must
+      // survive bit-for-bit through the logical-type mapping. Path
+      // keyed per (pid, sf) for the same reuse/isolation reasons as
+      // q_orc_roundtrip above.
+      val out = s"${System.getProperty("java.io.tmpdir")}/graft-gate-avro-${ProcessHandle.current().pid()}-${Integer.toHexString(dir.hashCode)}/orders_avro"
+      sources.Avro.write(t(s, dir, "orders"), out)
+      sources.Avro.read(s, out)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+          col("o_totalprice"), col("o_orderdate"), col("o_orderpriority"))
+        .orderBy("o_orderkey")
+    },
+
     "q_pgp_roundtrip" -> { (s, dir) =>
       val (pub, sec) = pgpGateKeys
       val docs = t(s, dir, "documents").filter(col("doc_id") < 50)
@@ -1367,6 +1400,28 @@ object SparkEntry {
         t(s, dir, "documents").filter(col("doc_id") % 10 === 0), "text",
         col("lang") === "en"))
 
+  /** q_bucketed_join's pre-bucketed catalog tables, written once per
+    * (SparkContext, sf) — the bucketing pattern's whole point is that
+    * the layout cost is paid once and every later join is
+    * exchange-free, so the gate query must only pay the join. External
+    * tables under tmp, names keyed by (pid, sf-hash) so concurrent
+    * JVMs on the same sf neither collide in the catalog (it's
+    * per-session anyway) nor overwrite each other's files. */
+  private val bucketedGateSetup =
+    new scala.collection.concurrent.TrieMap[(String, String), (String, String)]()
+  private def bucketedGateTables(s: SparkSession, dir: String): (String, String) =
+    bucketedGateSetup.getOrElseUpdate((s.sparkContext.applicationId, dir), {
+      val tag = s"${ProcessHandle.current().pid()}_${Integer.toHexString(dir.hashCode)}"
+      val base = s"${System.getProperty("java.io.tmpdir")}/graft-gate-bucketed-$tag"
+      val ot = s"graft_gate_orders_$tag"
+      val ct = s"graft_gate_customer_$tag"
+      ops.Bucketing.writeBucketed(t(s, dir, "orders"), ot,
+        Seq("o_custkey"), numBuckets = 8, path = Some(s"$base/orders"))
+      ops.Bucketing.writeBucketed(t(s, dir, "customer"), ct,
+        Seq("c_custkey"), numBuckets = 8, path = Some(s"$base/customer"))
+      (ot, ct)
+    })
+
   /** One throwaway RSA keypair per JVM for the PGP round-trip gate
     * query, generated with the system gpg (the same interop anchor the
     * PgpSpec uses). */
@@ -1582,6 +1637,14 @@ object SparkEntry {
         |JOIN region ON n_regionkey = r_regionkey
         |GROUP BY n_name, r_name
         |ORDER BY n_name, r_name""".stripMargin,
+
+    // the bucketed layout must not change the answer: plain join oracle
+    "q_bucketed_join" ->
+      """SELECT c_mktsegment, count(*) AS n_orders,
+        |  cast(cast(sum(cast(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(28,2)) * 100 AS BIGINT) AS revenue_cents
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment
+        |ORDER BY c_mktsegment""".stripMargin,
 
     "q_intersect" ->
       """SELECT c_custkey,
@@ -1929,6 +1992,13 @@ object SparkEntry {
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     "q_orc_roundtrip" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+        |  o_orderdate, o_orderpriority
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    // same fidelity contract as q_orc_roundtrip, through the Avro
+    // logical-type mapping instead of the ORC one
+    "q_avro_roundtrip" ->
       """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
         |  o_orderdate, o_orderpriority
         |FROM orders ORDER BY o_orderkey""".stripMargin,

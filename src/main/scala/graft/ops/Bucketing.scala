@@ -23,16 +23,21 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 object Bucketing {
 
   /** Write `df` into the session catalog as parquet bucketed (and
-    * in-bucket sorted) by `keys` into `numBuckets` files per partition. */
+    * in-bucket sorted) by `keys` into `numBuckets` files per partition.
+    * `path = Some(dir)` makes it an EXTERNAL table at that location
+    * (catalog metadata only in the session, files wherever the caller
+    * owns storage); None uses the session warehouse. */
   def writeBucketed(
       df: DataFrame, table: String,
-      keys: Seq[String], numBuckets: Int): Unit =
-    df.write
+      keys: Seq[String], numBuckets: Int,
+      path: Option[String] = None): Unit = {
+    val w = df.write
       .mode(SaveMode.Overwrite)
       .format("parquet")
       .bucketBy(numBuckets, keys.head, keys.tail: _*)
       .sortBy(keys.head, keys.tail: _*)
-      .saveAsTable(table)
+    path.fold(w)(p => w.option("path", p)).saveAsTable(table)
+  }
 
   /** Read a bucketed table back with its bucket layout. */
   def table(spark: SparkSession, name: String): DataFrame = spark.table(name)

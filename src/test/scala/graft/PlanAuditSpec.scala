@@ -258,6 +258,43 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("q_bucketed_join joins with zero exchanges below the sort-merge join") {
+    // the gate query's whole point: both scan sides report the bucketed
+    // HashPartitioning, so the SMJ consumes them exchange-free — the
+    // only shuffles in the plan belong to the aggregation/sort ABOVE
+    // the join. A regression here (bucket spec lost, mismatched
+    // numBuckets, a planner change disabling bucketed scans) would
+    // re-shuffle the 100 TB fact table on every join.
+    def unwrap(x: SparkPlan): SparkPlan = x match {
+      case a: AdaptiveSparkPlanExec => unwrap(a.executedPlan)
+      case other => other
+    }
+    def findSmj(x: SparkPlan): Option[SparkPlan] = {
+      val cur = x match {
+        case a: AdaptiveSparkPlanExec => return findSmj(a.executedPlan)
+        case q: QueryStageExec => return findSmj(q.plan)
+        case other => other
+      }
+      if (cur.nodeName.contains("SortMergeJoin")) Some(cur)
+      else cur.children.flatMap(findSmj).headOption
+    }
+    def countShuffles(x: SparkPlan): Int = x match {
+      case a: AdaptiveSparkPlanExec => countShuffles(a.executedPlan)
+      case q: QueryStageExec => countShuffles(q.plan)
+      case s: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike =>
+        1 + s.children.map(countShuffles).sum
+      case other => other.children.map(countShuffles).sum
+    }
+    val df = SparkEntry.queries("q_bucketed_join")(spark, dir)
+    df.collect()
+    val plan = unwrap(df.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]]
+      .queryExecution.executedPlan)
+    val smj = findSmj(plan).getOrElse(
+      fail(s"no SortMergeJoin in q_bucketed_join plan:\n${planString(plan)}"))
+    assert(countShuffles(smj) == 0,
+      s"bucketed join subtree contains a shuffle:\n${planString(smj)}")
+  }
+
   test("q_session plans one grouping shuffle with partial session aggregation") {
     val s = planString(executed(SparkEntry.queries("q_session")(spark, dir)))
     // sort-merge session aggregation: partial HashAggregate below ONE
