@@ -344,6 +344,22 @@ object SparkEntry {
         .orderBy("n_name", "r_name")
     },
 
+    "q_zorder" -> { (s, dir) =>
+      // the Z-order LAYOUT key (Layout.zorderBy's ordering column):
+      // two bucketized dimensions interleaved by the native ZOrderKey
+      // expression; DuckDB recomputes every bit arithmetically
+      // (generated shift/mask terms), so interleave drift = hash
+      // mismatch. Dimensions chosen co-prime so the key space is
+      // actually 2-D, not a diagonal.
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          (col("doc_id") % 512).as("zx"),
+          ((col("doc_id") * 7919) % 512).as("zy"))
+        .withColumn("zkey",
+          ops.Layout.zorderKey(9, col("zx"), col("zy")))
+        .orderBy("doc_id")
+    },
+
     "q_bucketed_join" -> { (s, dir) =>
       // the amortized-shuffle join (§ fact-table pattern): orders and
       // customer pre-bucketed on the join key (Bucketing.writeBucketed,
@@ -1637,6 +1653,21 @@ object SparkEntry {
         |JOIN region ON n_regionkey = r_regionkey
         |GROUP BY n_name, r_name
         |ORDER BY n_name, r_name""".stripMargin,
+
+    // generated bit-arithmetic recompute of the Morton interleave:
+    // bit i of each dimension lands at result bit i*2+d
+    "q_zorder" -> {
+      // every term fully parenthesized: DuckDB's bitwise operators all
+      // share one precedence level and left-associate, so a bare
+      // `a << k | b` cascades the shifts
+      val terms = (0 until 9).flatMap { i =>
+        Seq(s"(((zx >> $i) & 1) << ${2 * i})", s"(((zy >> $i) & 1) << ${2 * i + 1})")
+      }.mkString(" | ")
+      s"""WITH d AS (SELECT doc_id, doc_id % 512 AS zx, (doc_id * 7919) % 512 AS zy
+         |  FROM documents)
+         |SELECT doc_id, zx, zy, cast($terms AS BIGINT) AS zkey
+         |FROM d ORDER BY doc_id""".stripMargin
+    },
 
     // the bucketed layout must not change the answer: plain join oracle
     "q_bucketed_join" ->

@@ -20,6 +20,12 @@ object GraftFunctions {
       "media_dims(binary) expects exactly 1 argument")
   }
 
+  private def buildZOrder(args: Seq[Expression]): Expression = args match {
+    case Literal(bits: Int, _) +: dims if dims.size >= 2 => ZOrderKey(dims, bits)
+    case _ => throw new IllegalArgumentException(
+      "zorder_key(bits literal, dim1 bigint, dim2 bigint, ...) expects a literal bit width and 2..6 dimensions")
+  }
+
   /** (name, info, builder) for every SQL-registered expression — one
     * list feeding both the live-session registrar and the
     * SparkSessionExtensions injection so they cannot drift apart. */
@@ -27,7 +33,9 @@ object GraftFunctions {
     ("minhash_sig", new ExpressionInfo(classOf[MinHashSig].getName, "minhash_sig"),
       buildMinHash _),
     ("media_dims", new ExpressionInfo(classOf[MediaDims].getName, "media_dims"),
-      buildMediaDims _))
+      buildMediaDims _),
+    ("zorder_key", new ExpressionInfo(classOf[ZOrderKey].getName, "zorder_key"),
+      buildZOrder _))
 
   /** Register on a live session (tests, notebooks). */
   def registerAll(spark: SparkSession): Unit =

@@ -240,6 +240,27 @@ class ExprFuzzSpec extends AnyFunSuite {
       keys.map(k => lit(k.longValue)), exprs.bloom_might_contain(_, bloomBc))
   }
 
+  // ---------- long expressions ----------
+
+  test("zorder_key: random dimensions interpreted == codegen") {
+    val pairs: Seq[(java.lang.Long, java.lang.Long)] =
+      Seq((null: java.lang.Long, 5L: java.lang.Long)) ++
+        (0 until 300).map { i =>
+          def v() = i % 7 match {
+            case 0 => Long.box(rnd.nextLong())          // out of range: mask path
+            case 1 => Long.box(-1L - rnd.nextInt(1000)) // negative
+            case _ => Long.box(rnd.nextInt(1 << 12).toLong)
+          }
+          (v(), v())
+        }
+    val df = pairs.toDF("x", "y")
+    def llit(v: java.lang.Long): Column =
+      if (v == null) nullLit(LongType) else lit(v.longValue)
+    for (bits <- Seq(1, 9, 31))
+      sweep2(s"zorder_key($bits)", df, pairs.map(p => (llit(p._1), llit(p._2))),
+        (a, b) => zorderExprs.zorder_key(bits, a, b))
+  }
+
   // ---------- binary expressions ----------
 
   test("media_dims: mutated headers interpreted == codegen") {
