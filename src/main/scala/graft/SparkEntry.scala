@@ -135,6 +135,37 @@ object SparkEntry {
         .orderBy("user_id", "session_start")
     },
 
+    "q_stream_window" -> { (s, dir) =>
+      // the canonical streaming groupBy under the oracle: events as a
+      // bounded file stream → watermark + tumbling event-time window
+      // aggregation (Streams.windowedAgg) in APPEND mode → memory sink.
+      // Append only emits a window once the watermark passes its end,
+      // and a bounded stream's watermark freezes at max-event-time, so
+      // a FAR-FUTURE SENTINEL row (event_id 0 re-timestamped to 2099)
+      // pushes the final no-data micro-batch's watermark past every
+      // real window — without it the tail hour would sit in state
+      // forever and the batch oracle could never match. The sentinel's
+      // own window is the one row the filter below drops.
+      val batchSchema = Tables.load(s, dir, "events").schema
+      def raw = s.readStream.schema(batchSchema)
+        .parquet(s"$dir/events*.parquet")
+      def evOf(df: DataFrame): DataFrame =
+        df.select(Tables.eventTime(df).as("ts"), col("event_type"), col("value"))
+      val sentinel = evOf(raw.filter(col("event_id") === 0))
+        .withColumn("ts", lit(java.sql.Timestamp.valueOf("2099-01-01 00:00:00")))
+      val agg = graft.streaming.Streams.windowedAgg(
+        evOf(raw).union(sentinel), "ts", "0 seconds", "1 hour", "1 hour",
+        Seq("event_type"))(
+        count(lit(1)).as("n_events"),
+        cents(sum(col("value").cast(dec))).as("sum_value_cents"))
+      graft.streaming.Streams.runBounded(agg)
+        .filter(col("window.start") <
+          lit(java.sql.Timestamp.valueOf("2098-01-01 00:00:00")))
+        .select(col("window.start").cast("timestamp_ntz").as("hour_start"),
+          col("event_type"), col("n_events"), col("sum_value_cents"))
+        .orderBy("hour_start", "event_type")
+    },
+
     "q_stream_dedup" -> { (s, dir) =>
       // the streaming ENGINE end-to-end under the oracle: documents as
       // a bounded file stream → watermark + dropDuplicatesWithinWatermark
@@ -1879,6 +1910,17 @@ object SparkEntry {
         |    (sqrt(list_sum(list_transform(range(1, len(q.e) + 1), i -> q.e[i] * q.e[i]))) *
         |     sqrt(list_sum(list_transform(range(1, len(c.e) + 1), i -> c.e[i] * c.e[i])))) > 0.3
         |ORDER BY query_id, neighbor_id""".stripMargin,
+
+    // streaming tumbling-window parity: epoch-aligned hour buckets ==
+    // date_trunc('hour'); the sentinel window is filtered on the Spark
+    // side, so the batch recompute sees only real events
+    "q_stream_window" ->
+      """SELECT date_trunc('hour', ts) AS hour_start, event_type,
+        |  count(*) AS n_events,
+        |  cast(cast(sum(cast(value AS DECIMAL(18,2))) AS DECIMAL(28,2)) * 100 AS BIGINT) AS sum_value_cents
+        |FROM events
+        |GROUP BY 1, 2
+        |ORDER BY 1, 2""".stripMargin,
 
     // streaming exact-dedup parity: the distinct-fingerprint set is
     // arrival-order-invariant, so the state op must reproduce it

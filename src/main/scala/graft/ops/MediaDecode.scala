@@ -171,7 +171,10 @@ object MediaDecode {
       var got = 0
       while (got < raw.length && !inf.finished()) {
         val n = inf.inflate(raw, got, raw.length - got)
-        if (n == 0 && inf.needsInput()) return None // short stream
+        // any zero-progress state (short stream, or the pathological
+        // needs-dictionary answer FDICT=0 should preclude) → None
+        // rather than risking a spin on crafted bytes
+        if (n == 0) return None
         got += n
       }
       if (got < raw.length) return None
