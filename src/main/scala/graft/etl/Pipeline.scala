@@ -1317,6 +1317,34 @@ final class Pipeline private (
     add(MapStep("mediaDims", df => df
       .withColumn(dimsCol, graft.ops.Multimodal.mediaDims(col(payloadCol)))))
 
+  /** Re-layout the flow into `nPartitions` Z-ordered ranges over the
+    * given dimensions ([[graft.ops.Layout.zorderBy]]) — write the
+    * result with any sink and min/max stats prune scans on ANY keyed
+    * dimension. Bucketize skewed dims (modulo / quantile rank) first. */
+  def zorderBy(nPartitions: Int, bits: Int, dims: org.apache.spark.sql.Column*): Pipeline =
+    add(MapStep("zorderBy",
+      graft.ops.Layout.zorderBy(_, nPartitions, bits, dims: _*)))
+
+  /** Write the flow as Avro container files (one per partition,
+    * [[graft.sources.Avro.write]]) and keep flowing — the interchange
+    * sink for downstream consumers that speak Avro, symmetric with
+    * [[graft.sources.Avro.source]]. */
+  def saveAvro(dir: String): Pipeline =
+    add(SinkStep(s"saveAvro($dir)", df => {
+      graft.sources.Avro.write(df, dir)
+      Map("file" -> dir, "filename" -> dir)
+    }))
+
+  /** Persist the flow as a bucketed (co-located) catalog table
+    * ([[graft.ops.Bucketing.writeBucketed]]) — later equi-joins on
+    * `keys` against same-bucketed tables plan with zero exchanges. */
+  def saveBucketed(table: String, keys: Seq[String], numBuckets: Int,
+      path: Option[String] = None): Pipeline =
+    add(SinkStep(s"saveBucketed($table)", df => {
+      graft.ops.Bucketing.writeBucketed(df, table, keys, numBuckets, path)
+      Map("file" -> table, "filename" -> table)
+    }))
+
   /** Append canonical URL, host, and registered-domain columns
     * ([[graft.ops.UrlOps]] — the standard web-corpus dedup key). */
   def withUrlColumns(urlCol: String): Pipeline =

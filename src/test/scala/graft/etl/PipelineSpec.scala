@@ -643,6 +643,27 @@ class PipelineSpec extends AnyFunSuite {
     assert(r.getInt(1) == 2 && r.getInt(2) == 3)
   }
 
+  test("zorderBy / saveAvro / saveBucketed verbs flow through the chain") {
+    val pts = (for (x <- 0L until 16L; y <- 0L until 16L) yield (x, y)).toDF("x", "y")
+    // zorderBy is a pure re-layout: same rows, laid out z-ordered
+    val laid = Pipeline.of("pts", pts).zorderBy(4, 4, col("x"), col("y")).toDF
+    assert(laid.count() == 256)
+    assert(laid.columns.toSeq == Seq("x", "y"))
+
+    val dir = java.nio.file.Files.createTempDirectory("graft-verb-avro").toString
+    val stat = Pipeline.of("pts", pts).saveAvro(s"$dir/pts").go()
+    assert(stat.loaded == 256)
+    assert(graft.sources.Avro.read(spark, s"$dir/pts").count() == 256)
+
+    val tbl = s"graft_verb_bucketed_${ProcessHandle.current().pid()}"
+    try {
+      Pipeline.of("pts", pts)
+        .saveBucketed(tbl, Seq("x"), numBuckets = 4, path = Some(s"$dir/bucketed"))
+        .go()
+      assert(spark.table(tbl).count() == 256)
+    } finally spark.sql(s"DROP TABLE IF EXISTS $tbl")
+  }
+
   test("stepTimings covers every step; sinks get their own timing") {
     val dir = java.nio.file.Files.createTempDirectory("graft-timing").toString
     val stat = Pipeline.of(people)
