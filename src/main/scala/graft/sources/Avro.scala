@@ -10,10 +10,7 @@ import scala.jdk.CollectionConverters._
 import org.apache.avro.{LogicalTypes, Schema => ASchema, SchemaBuilder}
 import org.apache.avro.file.{DataFileStream, DataFileWriter}
 import org.apache.avro.generic.{GenericData, GenericDatumReader, GenericDatumWriter, GenericRecord}
-import org.apache.avro.mapred.AvroKey
-import org.apache.avro.mapreduce.AvroKeyInputFormat
-import org.apache.hadoop.fs.{FileSystem, Path => HPath}
-import org.apache.hadoop.io.NullWritable
+import org.apache.hadoop.fs.{Path => HPath}
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.types._
 
@@ -22,11 +19,12 @@ import org.apache.spark.sql.types._
   *
   * Avro is the interchange format a 100 TB ingest actually receives
   * (Kafka topics, upstream exports), so the engine reads it SPLITTABLE:
-  * the source goes through `AvroKeyInputFormat` (newAPIHadoopFile), and
-  * Avro container blocks are delimited by sync markers, so one 10 GB
-  * file fans out across tasks at HDFS-split granularity — per-file
-  * parallelism is the floor, not the ceiling. The sink writes one
-  * container file per partition (the writer side of the same layout).
+  * the read path is a DataSource V2 ([[AvroDataSource]]) that plans
+  * `maxPartitionBytes` ranges per file and `sync()`s to container block
+  * boundaries, so one 10 GB file fans out across tasks — per-file
+  * parallelism is the floor, not the ceiling — and pushes column
+  * pruning into the Avro reader schema. The sink writes one container
+  * file per partition (the writer side of the same layout).
   *
   * Schema mapping (both directions):
   *   boolean/int/long/float/double/string/bytes <-> the obvious Spark
@@ -47,34 +45,11 @@ object Avro {
   // ------------------------------------------------------------ read
 
   /** Read an Avro container file (or directory/glob of them) as a
-    * DataFrame. Splittable via AvroKeyInputFormat; the writer schema of
-    * the first file found is the reader schema for all of them. */
-  def read(spark: SparkSession, path: String): DataFrame = {
-    val avroSchema = readWriterSchema(spark, path)
-    val sparkSchema = toSparkType(avroSchema, "<root>") match {
-      case s: StructType => s
-      case other => throw new IllegalArgumentException(
-        s"Avro root schema must be a record, got $other")
-    }
-    val schemaJson = avroSchema.toString
-    val conf = new org.apache.hadoop.conf.Configuration(
-      spark.sparkContext.hadoopConfiguration)
-    // reader schema pinned to the driver-probed writer schema so every
-    // file in the glob decodes to ONE row shape
-    conf.set("avro.schema.input.key", schemaJson)
-    val rdd = spark.sparkContext
-      .newAPIHadoopFile(path, classOf[AvroKeyInputFormat[GenericRecord]],
-        classOf[AvroKey[GenericRecord]], classOf[NullWritable], conf)
-      // the input format REUSES the AvroKey container: convert to Row
-      // inside the same iterator step, never buffer raw keys
-      .mapPartitions { it =>
-        val aschema = new ASchema.Parser().parse(schemaJson)
-        it.map { case (k, _) =>
-          fromAvro(k.datum(), sparkSchema, aschema).asInstanceOf[Row]
-        }
-      }
-    spark.createDataFrame(rdd, sparkSchema)
-  }
+    * DataFrame through the [[AvroDataSource]] V2 path: driver-planned
+    * sync-marker splits (one big file fans out across tasks) and
+    * column pruning pushed into the Avro reader schema. */
+  def read(spark: SparkSession, path: String): DataFrame =
+    spark.read.format(classOf[AvroDataSource].getName).load(path)
 
   /** `read` wrapped as a Pipeline source (gratum-style entry). */
   def source(spark: SparkSession, path: String): graft.etl.Pipeline =
@@ -82,7 +57,7 @@ object Avro {
 
   /** Driver-side schema probe: open the first container file under
     * `path` and return its writer schema. */
-  private def readWriterSchema(spark: SparkSession, path: String): ASchema = {
+  private[sources] def probeWriterSchema(spark: SparkSession, path: String): ASchema = {
     val conf = spark.sparkContext.hadoopConfiguration
     val p = new HPath(path)
     val fs = p.getFileSystem(conf)
@@ -238,6 +213,11 @@ object Avro {
   }
 
   // ------------------------------------- value conversion: read side
+
+  /** A decoded record -> external Row shaped by `st` (fields looked up
+    * by name — `st` may be a pruned subset of the record's fields). */
+  private[sources] def recordToRow(rec: GenericRecord, st: StructType, as: ASchema): Row =
+    fromAvro(rec, st, as).asInstanceOf[Row]
 
   /** Avro runtime value -> Spark external value for `createDataFrame`.
     * Schema-aware: a timestamp-MILLIS writer stores millis on the wire

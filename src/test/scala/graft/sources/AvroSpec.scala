@@ -160,6 +160,61 @@ class AvroSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](Avro.write(df, tmpDir("badtype")))
   }
 
+  test("column pruning reaches the Avro reader schema and the plan") {
+    import spark.implicits._
+    val df = (1L to 5000L).toDF("id")
+      .withColumn("wide1", concat(lit("w"), col("id")))
+      .withColumn("wide2", concat(lit("x"), col("id")))
+      .withColumn("keep", col("id") * 2)
+    val dir = tmpDir("prune")
+    Avro.write(df, dir)
+    val projected = Avro.read(spark, dir).select("keep")
+    // plan-level: the scan's ReadSchema must mention ONLY the kept column
+    val plan = projected.queryExecution.executedPlan.toString
+    assert(plan.contains("ReadSchema: struct<keep:bigint>"),
+      s"scan not pruned:\n$plan")
+    assert(!plan.contains("wide1"), s"pruned column still in scan:\n$plan")
+    // value-level: pruned read decodes correctly
+    assert(projected.agg(sum("keep")).head.getLong(0) == 5000L * 5001L)
+    // reader-schema level: the avro-side projection drops the field
+    val writer = Avro.probeWriterSchema(spark, dir)
+    val pruned = AvroV2.pruneAvroSchema(writer, Seq("keep"))
+    assert(pruned.getFields.size == 1 && pruned.getField("keep") != null)
+  }
+
+  test("one big container file splits across many input partitions") {
+    import spark.implicits._
+    // high-entropy payload: md5 hex defeats the container's deflate so
+    // the single file stays well above one split
+    val df = (1L to 200000L).toDF("id")
+      .withColumn("pad", concat(md5(col("id").cast("string")),
+        md5(concat(lit("s"), col("id")))))
+      .coalesce(1) // ONE container file
+    val dir = tmpDir("split")
+    Avro.write(df, dir)
+    val files = new java.io.File(dir).listFiles.filter(_.getName.endsWith(".avro"))
+    assert(files.length == 1)
+    val prev = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    try {
+      spark.conf.set("spark.sql.files.maxPartitionBytes", (1L << 20).toString)
+      val back = Avro.read(spark, dir)
+      assert(files.head.length > (1L << 20),
+        s"fixture file too small to split: ${files.head.length}")
+      assert(back.rdd.getNumPartitions > 1,
+        s"single file did not split: ${back.rdd.getNumPartitions} partitions")
+      // every row decodes exactly once across the splits
+      assert(back.count() == 200000L)
+      assert(back.agg(sum("id")).head.getLong(0) == 200000L * 200001L / 2)
+    } finally spark.conf.set("spark.sql.files.maxPartitionBytes", prev)
+  }
+
+  test("the service-registered short name loads") {
+    import spark.implicits._
+    val dir = tmpDir("shortname")
+    Avro.write((1L to 10L).toDF("id"), dir)
+    assert(spark.read.format("graft-avro").load(dir).count() == 10L)
+  }
+
   test("gate-table roundtrip: orders through avro equals the parquet original") {
     val orders = graft.Tables.load(spark, "/root/testdata/sf0.001", "orders")
     val dir = tmpDir("orders")
