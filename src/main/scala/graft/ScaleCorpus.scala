@@ -44,6 +44,12 @@ object ScaleCorpus {
       case Seq(s, o, r) => (s, o, r.toInt)
       case _ => sys.error("usage: ScaleCorpus <srcSfDir> <outDir> [replicas]")
     }
+    // 26 distinct alphabet rotations exist; replica 27 would reuse the
+    // identity rotation and plant byte-identical clone groups — exactly
+    // the wrong-corpus failure mode this tool exists to avoid
+    require(replicas >= 1 && replicas <= 26,
+      s"replicas must be in [1, 26] (got $replicas): only 26 distinct " +
+        "alphabet rotations preserve cross-replica shingle disjointness")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

@@ -141,17 +141,21 @@ object SparkEntry {
       // aggregation (Streams.windowedAgg) in APPEND mode → memory sink.
       // Append only emits a window once the watermark passes its end,
       // and a bounded stream's watermark freezes at max-event-time, so
-      // a FAR-FUTURE SENTINEL row (event_id 0 re-timestamped to 2099)
-      // pushes the final no-data micro-batch's watermark past every
-      // real window — without it the tail hour would sit in state
-      // forever and the batch oracle could never match. The sentinel's
-      // own window is the one row the filter below drops.
-      val batchSchema = Tables.load(s, dir, "events").schema
+      // a FAR-FUTURE SENTINEL row (the MIN-event_id row re-timestamped
+      // to 2099 — probed from the batch table, so no fixed id value is
+      // assumed) pushes the final no-data micro-batch's watermark past
+      // every real window — without it the tail hour would sit in
+      // state forever and the batch oracle could never match. The
+      // sentinel's own window is the one row the filter below drops.
+      val batch = Tables.load(s, dir, "events")
+      val batchSchema = batch.schema
+      val minIdRow = batch.agg(min(col("event_id"))).head()
+      val minId: Any = if (minIdRow.isNullAt(0)) 0L else minIdRow.get(0)
       def raw = s.readStream.schema(batchSchema)
         .parquet(s"$dir/events*.parquet")
       def evOf(df: DataFrame): DataFrame =
         df.select(Tables.eventTime(df).as("ts"), col("event_type"), col("value"))
-      val sentinel = evOf(raw.filter(col("event_id") === 0))
+      val sentinel = evOf(raw.filter(col("event_id") === minId))
         .withColumn("ts", lit(java.sql.Timestamp.valueOf("2099-01-01 00:00:00")))
       val agg = graft.streaming.Streams.windowedAgg(
         evOf(raw).union(sentinel), "ts", "0 seconds", "1 hour", "1 hour",

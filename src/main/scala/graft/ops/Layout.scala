@@ -52,6 +52,7 @@ object Layout {
     * with a point predicate must touch. Compare a layout against a
     * single-column sort to see what z-ordering buys. */
   def boundingBoxes(df: DataFrame, dims: Seq[String]): DataFrame = {
+    require(dims.nonEmpty, "boundingBoxes needs at least one dimension")
     val withPid = df.withColumn("__pid__", spark_partition_id())
     val aggs = dims.flatMap(d =>
       Seq(min(col(d)).as(s"min_$d"), max(col(d)).as(s"max_$d")))

@@ -56,23 +56,15 @@ object Avro {
     graft.etl.Pipeline.of(s"avro($path)", read(spark, path))
 
   /** Driver-side schema probe: open the first container file under
-    * `path` and return its writer schema. */
-  private[sources] def probeWriterSchema(spark: SparkSession, path: String): ASchema = {
-    val conf = spark.sparkContext.hadoopConfiguration
-    val p = new HPath(path)
-    val fs = p.getFileSystem(conf)
-    val first = {
-      val matched = Option(fs.globStatus(p)).map(_.toSeq).getOrElse(Seq.empty)
-      val expanded = matched.flatMap { st =>
-        if (st.isDirectory)
-          fs.listStatus(st.getPath).toSeq.filter(f =>
-            f.isFile && f.getPath.getName.endsWith(".avro"))
-        else Seq(st)
-      }.filter(_.getLen > 0)
-      expanded.sortBy(_.getPath.toString).headOption.getOrElse(
-        throw new IllegalArgumentException(s"No avro files under $path"))
-    }
-    val in = fs.open(first.getPath)
+    * `path` and return its writer schema (shared discovery with the
+    * V2 scan's split planning — [[AvroV2.listAvroFiles]]). */
+  private[sources] def probeWriterSchema(spark: SparkSession, path: String): ASchema =
+    AvroV2.probeWriterSchema(spark, Seq(path))
+
+  /** Writer schema of ONE container file. */
+  private[sources] def readWriterSchema(spark: SparkSession, file: HPath): ASchema = {
+    val fs = file.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val in = fs.open(file)
     try {
       val stream = new DataFileStream[GenericRecord](
         in, new GenericDatumReader[GenericRecord]())
@@ -83,7 +75,12 @@ object Avro {
   // ------------------------------------------------------------ write
 
   /** Write `df` as Avro container files, one `part-NNNNN.avro` per
-    * partition under `dir` (deflate-compressed — pure JDK codec). */
+    * partition under `dir` (deflate-compressed — pure JDK codec).
+    * Directory-overwrite semantics (like `df.write.mode("overwrite")`):
+    * an existing `dir` is deleted first — per-file overwrite alone
+    * would leave stale `part-NNNNN.avro` files behind whenever a
+    * re-write has fewer partitions, and a later read would silently
+    * union them in. */
   def write(df: DataFrame, dir: String): Unit = {
     val sparkSchema = df.schema
     val avroJson = toAvroSchema(sparkSchema, "topLevelRecord").toString
@@ -91,6 +88,11 @@ object Avro {
       new org.apache.hadoop.conf.Configuration(
         df.sparkSession.sparkContext.hadoopConfiguration))
     val out = dir
+    val dirPath = new HPath(out)
+    val dfs = dirPath.getFileSystem(
+      df.sparkSession.sparkContext.hadoopConfiguration)
+    if (dfs.exists(dirPath)) dfs.delete(dirPath, true)
+    dfs.mkdirs(dirPath)
     df.rdd.mapPartitionsWithIndex { (idx, rows) =>
       val schema = new ASchema.Parser().parse(avroJson)
       val fs = new HPath(out).getFileSystem(hconf.value)
@@ -229,7 +231,12 @@ object Avro {
       case (null, _) => null
       case (r: GenericRecord, st: StructType) =>
         Row.fromSeq(st.fields.toSeq.map { f =>
-          fromAvro(r.get(f.name), f.dataType, sch.getField(f.name).schema)
+          // schema evolution: a requested field the writer never wrote
+          // (user-supplied read schema wider than the file) reads as
+          // NULL, the same contract as Spark's built-in sources
+          val af = sch.getField(f.name)
+          if (af == null) null
+          else fromAvro(r.get(f.name), f.dataType, af.schema)
         })
       case (s, StringType) => s.toString // Utf8 / enum symbol / String
       case (i: java.lang.Integer, DateType) =>

@@ -8,7 +8,7 @@ import org.apache.avro.{Schema => ASchema}
 import org.apache.avro.file.DataFileReader
 import org.apache.avro.generic.{GenericDatumReader, GenericRecord}
 import org.apache.avro.mapred.FsInput
-import org.apache.hadoop.fs.Path
+import org.apache.hadoop.fs.{FileStatus, Path}
 import org.apache.spark.SerializableWritable
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.{CatalystTypeConverters, InternalRow}
@@ -32,36 +32,71 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   *    unreferenced columns are skipped by Avro's resolver during
   *    decode, never materialized — `.explain` shows the pruned
   *    ReadSchema like any built-in source.
+  *  - **Schema evolution**: a user-supplied read schema wider than the
+  *    writer schema reads the unknown fields as NULL (the built-in
+  *    source contract), never an executor-side error.
   *
   * Usage: `spark.read.format("graft-avro").load(dir)` (service-
-  * registered short name) or [[Avro.read]].
+  * registered short name), `.load(dirA, dirB)` (multi-path), or
+  * [[Avro.read]].
   */
 class AvroDataSource extends TableProvider with DataSourceRegister {
   override def shortName(): String = "graft-avro"
   override def supportsExternalMetadata(): Boolean = true
 
-  private def pathOf(options: CaseInsensitiveStringMap): String = {
-    val p = Option(options.get("path")).orElse(Option(options.get("paths")))
-    p.getOrElse(throw new IllegalArgumentException(
-      "graft-avro requires a path: spark.read.format(\"graft-avro\").load(dir)"))
-  }
-
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
-    AvroV2.sparkSchemaOf(
-      AvroV2.probeWriterSchema(SparkSession.active, pathOf(options)))
+    AvroV2.sparkSchemaOf(AvroV2.probeWriterSchema(
+      SparkSession.active, AvroV2.pathsOf(options)))
 
   override def getTable(
       schema: StructType, partitioning: Array[Transform],
-      properties: JMap[String, String]): Table = {
-    val path = Option(properties.get("path")).getOrElse(
-      pathOf(new CaseInsensitiveStringMap(properties)))
-    new AvroTable(path, schema)
-  }
+      properties: JMap[String, String]): Table =
+    new AvroTable(
+      AvroV2.pathsOf(new CaseInsensitiveStringMap(properties)), schema)
 }
 
 private[sources] object AvroV2 {
-  def probeWriterSchema(spark: SparkSession, path: String): ASchema =
-    Avro.probeWriterSchema(spark, path)
+
+  /** The path set behind a DSv2 options map: `load(p)` stores `path`,
+    * `load(p1, p2, ...)` stores `paths` as a JSON-encoded string
+    * array (Spark's DataFrameReader contract). */
+  def pathsOf(options: CaseInsensitiveStringMap): Seq[String] = {
+    val single = Option(options.get("path")).toSeq
+    val multi = Option(options.get("paths")).map { js =>
+      new com.fasterxml.jackson.databind.ObjectMapper()
+        .readValue(js, classOf[Array[String]]).toSeq
+    }.getOrElse(Seq.empty)
+    val all = (single ++ multi).distinct
+    if (all.isEmpty) throw new IllegalArgumentException(
+      "graft-avro requires a path: spark.read.format(\"graft-avro\").load(dir)")
+    all
+  }
+
+  /** Shared driver-side discovery for split planning AND the schema
+    * probe: glob each path, expand directories one level, keep
+    * non-empty `*.avro` files, in stable (sorted) order. */
+  def listAvroFiles(spark: SparkSession, paths: Seq[String]): Seq[FileStatus] = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    paths.flatMap { path =>
+      val p = new Path(path)
+      val fs = p.getFileSystem(conf)
+      val matched = Option(fs.globStatus(p)).map(_.toSeq).getOrElse(Seq.empty)
+      matched.flatMap { st =>
+        if (st.isDirectory)
+          fs.listStatus(st.getPath).toSeq.filter(f =>
+            f.isFile && f.getPath.getName.endsWith(".avro"))
+        else Seq(st)
+      }.filter(_.getLen > 0)
+    }.sortBy(_.getPath.toString)
+  }
+
+  /** Writer schema of the first container file under `paths`. */
+  def probeWriterSchema(spark: SparkSession, paths: Seq[String]): ASchema = {
+    val first = listAvroFiles(spark, paths).headOption.getOrElse(
+      throw new IllegalArgumentException(
+        s"No avro files under ${paths.mkString(", ")}"))
+    Avro.readWriterSchema(spark, first.getPath)
+  }
 
   def sparkSchemaOf(a: ASchema): StructType =
     Avro.toSparkType(a, "<root>") match {
@@ -72,7 +107,9 @@ private[sources] object AvroV2 {
 
   /** Reader-side projection: the writer record narrowed to `keep`
     * top-level fields (writer order, original branch schemas) — Avro's
-    * resolver then SKIPS the dropped fields during decode. */
+    * resolver then SKIPS the dropped fields during decode. Requested
+    * fields the writer lacks are dropped here and NULL-filled during
+    * row assembly (schema evolution). */
   def pruneAvroSchema(writer: ASchema, keep: Seq[String]): ASchema = {
     val keepSet = keep.toSet
     val fields = writer.getFields.asScala.toSeq
@@ -83,46 +120,43 @@ private[sources] object AvroV2 {
   }
 }
 
-private[sources] class AvroTable(path: String, tableSchema: StructType)
+private[sources] class AvroTable(paths: Seq[String], tableSchema: StructType)
     extends Table with SupportsRead {
-  override def name(): String = s"graft-avro($path)"
+  // one driver-side probe per table, shared by every scan of it (the
+  // scan previously re-opened the first container on each execution)
+  private lazy val writerJson: String =
+    AvroV2.probeWriterSchema(SparkSession.active, paths).toString
+  override def name(): String = s"graft-avro(${paths.mkString(",")})"
   override def schema(): StructType = tableSchema
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.Set.of(TableCapability.BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new AvroScanBuilder(path, tableSchema)
+    new AvroScanBuilder(paths, tableSchema, writerJson)
 }
 
-private[sources] class AvroScanBuilder(path: String, full: StructType)
+private[sources] class AvroScanBuilder(
+    paths: Seq[String], full: StructType, writerJson: String)
     extends ScanBuilder with SupportsPushDownRequiredColumns {
   private var required: StructType = full
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
-  override def build(): Scan = new AvroScan(path, required)
+  override def build(): Scan = new AvroScan(paths, required, writerJson)
 }
 
 private[sources] case class AvroRange(
     file: String, start: Long, length: Long) extends InputPartition
 
-private[sources] class AvroScan(path: String, required: StructType)
+private[sources] class AvroScan(
+    paths: Seq[String], required: StructType, writerJson: String)
     extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
-    s"graft-avro $path ReadSchema: ${required.simpleString}"
+    s"graft-avro ${paths.mkString(",")} ReadSchema: ${required.simpleString}"
 
   override def planInputPartitions(): Array[InputPartition] = {
     val spark = SparkSession.active
-    val conf = spark.sparkContext.hadoopConfiguration
-    val p = new Path(path)
-    val fs = p.getFileSystem(conf)
-    val matched = Option(fs.globStatus(p)).map(_.toSeq).getOrElse(Seq.empty)
-    val files = matched.flatMap { st =>
-      if (st.isDirectory)
-        fs.listStatus(st.getPath).toSeq.filter(f =>
-          f.isFile && f.getPath.getName.endsWith(".avro"))
-      else Seq(st)
-    }.filter(_.getLen > 0).sortBy(_.getPath.toString)
+    val files = AvroV2.listAvroFiles(spark, paths)
     val splitBytes = math.max(1L << 20,
       spark.sessionState.conf.filesMaxPartitionBytes)
     files.flatMap { f =>
@@ -137,7 +171,6 @@ private[sources] class AvroScan(path: String, required: StructType)
     val spark = SparkSession.active
     // the TABLE-level writer schema anchors per-split reader projection;
     // per-file variation resolves through Avro schema resolution
-    val writerJson = AvroV2.probeWriterSchema(spark, path).toString
     val conf = new SerializableWritable(
       new org.apache.hadoop.conf.Configuration(
         spark.sparkContext.hadoopConfiguration))

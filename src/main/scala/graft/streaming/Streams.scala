@@ -327,11 +327,20 @@ object Streams {
   /** Drain a BOUNDED stream synchronously and hand back its output as
     * a batch DataFrame: memory sink under a fresh per-run name (a
     * repeated caller — bench sweeps re-executing a gate query — must
-    * not append into a previous run's table). The harness for running
-    * a streaming pipeline under a batch-parity oracle. */
+    * not append into a previous run's table). The sink's rows are
+    * copied into a self-contained local DataFrame and the temp view
+    * dropped immediately, so repeated runs do NOT accumulate full
+    * result copies on the driver (bounded streams are driver-sized by
+    * contract — the memory sink already held the rows there). The
+    * harness for running a streaming pipeline under a batch-parity
+    * oracle. */
   def runBounded(df: DataFrame, outputMode: OutputMode = OutputMode.Append()): DataFrame = {
     val name = s"graft_bounded_run_${boundedRunSeq.incrementAndGet()}"
     runToMemory(df, name, outputMode)
-    df.sparkSession.table(name)
+    val spark = df.sparkSession
+    val sunk = spark.table(name)
+    val out = spark.createDataFrame(sunk.collectAsList(), sunk.schema)
+    spark.catalog.dropTempView(name)
+    out
   }
 }

@@ -215,6 +215,44 @@ class AvroSpec extends AnyFunSuite {
     assert(spark.read.format("graft-avro").load(dir).count() == 10L)
   }
 
+  test("re-write with fewer partitions leaves no stale part files behind") {
+    import spark.implicits._
+    val dir = tmpDir("overwrite")
+    Avro.write((1L to 100L).toDF("id").repartition(8), dir)
+    assert(Avro.read(spark, dir).count() == 100L)
+    // fewer partitions on the second write: per-file overwrite would
+    // leave part-00004..00007 from the first write to be unioned in
+    Avro.write((1L to 40L).toDF("id").repartition(4), dir)
+    val back = Avro.read(spark, dir)
+    assert(back.count() == 40L)
+    assert(back.agg(max("id")).head.getLong(0) == 40L)
+  }
+
+  test("user-supplied schema wider than the writer reads unknown fields as null") {
+    import spark.implicits._
+    val dir = tmpDir("evolve")
+    Avro.write(Seq((1L, "a"), (2L, "b")).toDF("id", "s"), dir)
+    val wider = StructType(Seq(
+      StructField("id", LongType),
+      StructField("s", StringType),
+      StructField("added", DoubleType))) // never written
+    val got = spark.read.format("graft-avro").schema(wider).load(dir)
+      .orderBy("id").collect()
+    assert(got.map(r => (r.getLong(0), r.getString(1))).toSeq ==
+      Seq((1L, "a"), (2L, "b")))
+    assert(got.forall(_.isNullAt(2)))
+  }
+
+  test("multi-path load reads every listed directory") {
+    import spark.implicits._
+    val dirA = tmpDir("multiA"); val dirB = tmpDir("multiB")
+    Avro.write((1L to 5L).toDF("id"), dirA)
+    Avro.write((6L to 9L).toDF("id"), dirB)
+    val got = spark.read.format("graft-avro").load(dirA, dirB)
+    assert(got.count() == 9L)
+    assert(got.agg(sum("id")).head.getLong(0) == 45L)
+  }
+
   test("gate-table roundtrip: orders through avro equals the parquet original") {
     val orders = graft.Tables.load(spark, "/root/testdata/sf0.001", "orders")
     val dir = tmpDir("orders")

@@ -360,6 +360,25 @@ class StreamsSpec extends AnyFunSuite {
     assert((kept - 3L).subsetOf(Set(1L, 2L, 4L))) // one of the three copies
   }
 
+  test("runBounded returns a self-contained frame and drops its temp view") {
+    val dir = Files.createTempDirectory("graft-bounded").toString
+    val docs = Seq((1L, "alpha"), (2L, "beta"), (1L, "alpha"))
+      .toDF("doc_id", "text")
+    docs.write.mode("overwrite").parquet(dir)
+    val before = spark.catalog.listTables()
+      .filter(col("name").startsWith("graft_bounded_run_")).count()
+    val out = Streams.runBounded(
+      Streams.parquetStream(spark, dir, docs.schema), OutputMode.Append())
+    assert(out.count() == 3L)
+    // result usable, but no view accumulated (repeated bench sweeps
+    // must not grow driver memory by one full result copy per run)
+    val after = spark.catalog.listTables()
+      .filter(col("name").startsWith("graft_bounded_run_")).count()
+    assert(after == before)
+    assert(out.select("doc_id").orderBy("doc_id").collect().map(_.getLong(0)).toSeq
+      == Seq(1L, 1L, 2L))
+  }
+
   test("gapSessions (flatMapGroupsWithState) matches the native session_window in batch") {
     // events for two keys with deliberate >gap silences; files split so
     // maxFilesPerTrigger=1 forces multiple triggers and the advancing
