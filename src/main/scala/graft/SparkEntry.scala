@@ -936,6 +936,89 @@ object SparkEntry {
         .orderBy("doc_id")
     },
 
+    "q_multimodal_decode_img" -> { (s, dir) =>
+      // the javax.imageio decode path under the oracle: assemble a
+      // spec-valid 24-bit BMP (even doc_ids) or an indexed GIF whose
+      // LZW stream is fixed-width 9-bit literal codes after one clear
+      // code (odd doc_ids) — both columnar, bytes hex→unhex from
+      // doc_id arithmetic, byte layouts independent of the decoder —
+      // run them through Multimodal.decodeFeatures (ImageIO: BMP
+      // reader, real LZW for the GIF, palette resolution) and emit
+      // pixel stats DuckDB recomputes arithmetically: codec or
+      // palette-resolution drift breaks the hash.
+      def b2(v: Column) = lpad(hex(v), 2, "0")
+      def le16h(v: Column) = concat(b2(pmod(v, lit(256))),
+        b2(floor(v / 256).cast(LongType)))
+      def ascii(t: String) = lit(t.getBytes("US-ASCII"))
+      val w = pmod(col("doc_id"), lit(4L)) + 1 // 1..4 px, one row
+
+      // --- BMP: 24-bit BI_RGB, rows padded to 4 bytes, stored B,G,R
+      val rowSize = floor((w * 3 + 3) / 4).cast(LongType) * 4
+      val bmpPxHex = aggregate(sequence(lit(0L), w - 1), lit(""),
+        (acc, x) => concat(acc,
+          b2(pmod(col("doc_id") + x * 17, lit(256L))),
+          b2(pmod(col("doc_id") * 2 + x * 31, lit(256L))),
+          b2(pmod(col("doc_id") * 3 + x * 7, lit(256L)))))
+      val bmp = concat(
+        ascii("BM"), unhex(concat(le16h(rowSize + 54), lit("0000"))),
+        lit(Array[Byte](0, 0, 0, 0, /*offset*/ 54, 0, 0, 0,
+          /*info size*/ 40, 0, 0, 0)),
+        unhex(concat(le16h(w), lit("0000"))), // width
+        lit(Array[Byte](1, 0, 0, 0, /*planes*/ 1, 0, /*bpp*/ 24, 0,
+          /*BI_RGB*/ 0, 0, 0, 0)),
+        unhex(concat(le16h(rowSize), lit("0000"))),
+        lit(Array[Byte](0x13, 0x0B, 0, 0, 0x13, 0x0B, 0, 0,
+          0, 0, 0, 0, 0, 0, 0, 0)),
+        unhex(concat(bmpPxHex, repeat(lit("00"), (rowSize - w * 3).cast("int")))))
+
+      // --- GIF: 256-color global palette (i, 2i%256, 3i%256), one
+      // clear code then fixed-width 9-bit literal pixel codes packed
+      // LSB-first (the classic uncompressed-GIF trick — the table
+      // never grows past 9 bits on <=4 px, so a REAL LZW decoder must
+      // still resolve palette + code stream to read it)
+      val palette = lit(Array.tabulate(768) { i =>
+        (((i % 3 + 1) * (i / 3)) % 256).toByte
+      })
+      val packed = aggregate(sequence(lit(0L), w + 1),
+        struct(lit(0L).as("v"), lit(1L).as("m")),
+        (acc, i) => struct(
+          (acc.getField("v") +
+            when(i === 0, lit(256L)).when(i === w + 1, lit(257L))
+              .otherwise(pmod(col("doc_id") + (i - 1) * 17, lit(256L)))
+              * acc.getField("m")).as("v"),
+          (acc.getField("m") * 512).as("m"))).getField("v")
+      val nBytes = floor((w * 9 + 25) / 8).cast(LongType)
+      val lzwHex = aggregate(sequence(lit(1L), nBytes),
+        struct(lit("").as("hex"), packed.as("rem")),
+        (acc, _) => struct(
+          concat(acc.getField("hex"),
+            b2(acc.getField("rem").bitwiseAND(lit(255L)))).as("hex"),
+          shiftrightunsigned(acc.getField("rem"), 8).as("rem")))
+        .getField("hex")
+      val gif = concat(
+        ascii("GIF89a"), unhex(le16h(w)),
+        lit(Array[Byte](1, 0, /*global 256*/ 0xF7.toByte, 0, 0)),
+        palette,
+        lit(Array[Byte](0x2C, 0, 0, 0, 0)), unhex(le16h(w)),
+        lit(Array[Byte](1, 0, /*flags*/ 0, /*min code*/ 8)),
+        unhex(b2(nBytes)), unhex(lzwHex),
+        lit(Array[Byte](0, 0x3B)))
+
+      val withPayload = t(s, dir, "documents")
+        .select(col("doc_id"),
+          when(pmod(col("doc_id"), lit(2L)) === 0, bmp).otherwise(gif).as("payload"))
+      val d = col("decoded")
+      ops.Multimodal.decodeFeatures(withPayload, "payload")
+        .select(col("doc_id"), d.getField("kind").as("kind"),
+          d.getField("width").as("width"),
+          d.getField("height").as("height"),
+          d.getField("channels").as("channels"),
+          d.getField("mean_px").as("mean_px"),
+          d.getField("min_px").as("min_px"),
+          d.getField("max_px").as("max_px"))
+        .orderBy("doc_id")
+    },
+
     // ---------------- I/O round-trips (§2.9/§2.10 under the hard gate)
     // Each drives a sink + matching source end-to-end and hands the
     // re-read data to the oracle compare: the oracle sees the ORIGINAL
@@ -2116,6 +2199,36 @@ object SparkEntry {
         |  cast(list_sum(px) AS DOUBLE) / w,
         |  cast(list_min(px) AS INTEGER), cast(list_max(px) AS INTEGER)
         |FROM png
+        |ORDER BY doc_id""".stripMargin,
+
+    // recompute the BMP/GIF pixel stats from the same doc_id
+    // arithmetic the gate assembles the payload bytes from (BMP
+    // channels laid out B,G,R; GIF pixels are palette indices p with
+    // palette entry (p, 2p%256, 3p%256))
+    "q_multimodal_decode_img" ->
+      """WITH bmp AS (
+        |  SELECT doc_id, doc_id % 4 + 1 AS w,
+        |    flatten(list_transform(range(0, doc_id % 4 + 1), x ->
+        |      [(doc_id + 17*x) % 256, (2*doc_id + 31*x) % 256, (3*doc_id + 7*x) % 256])) AS vals
+        |  FROM documents WHERE doc_id % 2 = 0),
+        |gif AS (
+        |  SELECT doc_id, doc_id % 4 + 1 AS w,
+        |    flatten(list_transform(range(0, doc_id % 4 + 1), x ->
+        |      [(doc_id + 17*x) % 256,
+        |       (2*((doc_id + 17*x) % 256)) % 256,
+        |       (3*((doc_id + 17*x) % 256)) % 256])) AS vals
+        |  FROM documents WHERE doc_id % 2 = 1)
+        |SELECT doc_id, 'bmp' AS kind, cast(w AS INTEGER) AS width,
+        |  1 AS height, 3 AS channels,
+        |  cast(list_sum(vals) AS DOUBLE) / (3*w) AS mean_px,
+        |  cast(list_min(vals) AS INTEGER) AS min_px,
+        |  cast(list_max(vals) AS INTEGER) AS max_px
+        |FROM bmp
+        |UNION ALL
+        |SELECT doc_id, 'gif', cast(w AS INTEGER), 1, 3,
+        |  cast(list_sum(vals) AS DOUBLE) / (3*w),
+        |  cast(list_min(vals) AS INTEGER), cast(list_max(vals) AS INTEGER)
+        |FROM gif
         |ORDER BY doc_id""".stripMargin,
 
     // I/O round-trips: the oracle reads the ORIGINAL table — the Spark

@@ -3,12 +3,12 @@ package graft.ops
 /** Pure-JDK media DECODERS (not just header parsers — see
   * [[graft.functions.MediaDims]] for the pre-decode header gate):
   * WAV PCM → sample statistics, PNG → Inflater + per-scanline
-  * unfilter → pixel statistics. No codec libraries: WAV PCM is plain
-  * byte arithmetic and PNG's pixel data is zlib (`java.util.zip
-  * .Inflater`) under five fixed filter predictors, so both formats are
-  * decodable with the JDK alone. Formats that genuinely need codec
-  * libraries (JPEG entropy decode, GIF LZW, MP3/MP4) return None —
-  * the plumbing ([[Multimodal.decodeFeatures]]) treats undecodable as
+  * unfilter → pixel statistics, and JPEG/GIF/BMP (plus the PNG
+  * variants the hand-rolled path declines: palette, 16-bit,
+  * interlaced) → pixel statistics through `javax.imageio` — the
+  * JDK's own codecs, still zero external libraries. Only genuinely
+  * codec-library formats (MP3/MP4 demux+decode) return None — the
+  * plumbing ([[Multimodal.decodeFeatures]]) treats undecodable as
   * NULL, never a throw.
   *
   * Hostile-input contract (same as MediaDims): every read is
@@ -219,6 +219,71 @@ object MediaDecode {
       i += 1
     }
     Some(PngStats(w, h, channels, sum.toDouble / px.length, min, max))
+  }
+
+  /** Image pixel statistics for the ImageIO-backed formats. `channels`
+    * is the color model's component count (3 for RGB/indexed, 4 with
+    * alpha); `meanPx`/`minPx`/`maxPx` are over the RESOLVED R, G, B
+    * values of every pixel (palette looked up, alpha ignored) so an
+    * indexed GIF and the 24-bit BMP of the same image agree. */
+  final case class ImageStats(
+      kind: String, width: Int, height: Int, channels: Int,
+      meanPx: Double, minPx: Int, maxPx: Int)
+
+  private def imageKind(b: Array[Byte]): String =
+    if (b.length >= 6 && b(0) == 'G' && b(1) == 'I' && b(2) == 'F' &&
+      b(3) == '8' && (b(4) == '7' || b(4) == '9') && b(5) == 'a') "gif"
+    else if (b.length >= 2 && b(0) == 'B' && b(1) == 'M') "bmp"
+    else if (b.length >= 3 && u8(b, 0) == 0xff && u8(b, 1) == 0xd8 &&
+      u8(b, 2) == 0xff) "jpeg"
+    else if (b.length >= 8 && u8(b, 0) == 0x89 && b(1) == 'P') "png"
+    else null
+
+  // ImageIO statics, once per JVM: no disk spill on executors (the
+  // default cache writes temp files per read) and no display probe
+  private lazy val imageIoReady: Boolean = {
+    if (System.getProperty("java.awt.headless") == null)
+      System.setProperty("java.awt.headless", "true")
+    javax.imageio.ImageIO.setUseCache(false)
+    true
+  }
+
+  /** Decode an image payload through the JDK's own codecs
+    * (`javax.imageio`: JPEG, GIF, BMP, PNG) and return pixel
+    * statistics. None for unrecognized magic bytes, malformed or
+    * truncated payloads, or images past the 16M-pixel decode bound (a
+    * crafted header must not allocate gigabytes). Never throws. */
+  def imageStats(b: Array[Byte]): Option[ImageStats] = {
+    if (b == null || b.length < 8) return None
+    val kind = imageKind(b)
+    if (kind == null || !imageIoReady) return None
+    try {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(b))
+      if (img == null) return None
+      val w = img.getWidth; val h = img.getHeight
+      if (w <= 0 || h <= 0 || w.toLong * h > 16L * 1024 * 1024) return None
+      val channels = img.getColorModel.getNumComponents
+      var sum = 0L; var mn = 255; var mx = 0
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val rgb = img.getRGB(x, y)
+          var shift = 16
+          while (shift >= 0) {
+            val v = (rgb >> shift) & 0xff
+            sum += v
+            if (v < mn) mn = v
+            if (v > mx) mx = v
+            shift -= 8
+          }
+          x += 1
+        }
+        y += 1
+      }
+      Some(ImageStats(kind, w, h, channels,
+        sum.toDouble / (3L * w * h), mn, mx))
+    } catch { case scala.util.control.NonFatal(_) => None }
   }
 
   private def chunkTypeIs(b: Array[Byte], off: Int, t: String): Boolean =

@@ -9,11 +9,13 @@ import org.apache.spark.sql.{Column, DataFrame, Row}
   * with decode/feature-extraction as partition-batched functions.
   *
   * The Spark-side plumbing (schema, batching, partition sizing) is
-  * real and tested. Decoding itself is REAL for WAV PCM and PNG
-  * ([[MediaDecode]], pure JDK — [[decodeFeatures]]); formats that
-  * need codec libraries this environment lacks (JPEG/GIF/MP3/MP4)
-  * remain behind the deterministic [[decodeFeaturesStub]] — swap its
-  * body for a real decoder (JNI/FFI) without touching the plan shape.
+  * real and tested. Decoding itself is REAL for WAV PCM, PNG, JPEG,
+  * GIF and BMP ([[MediaDecode]], pure JDK: hand-rolled PCM/Inflater
+  * walks plus the JDK's own `javax.imageio` codecs —
+  * [[decodeFeatures]]); only formats that need codec libraries this
+  * environment lacks (MP3/MP4) remain behind the deterministic
+  * [[decodeFeaturesStub]] — swap its body for a real decoder
+  * (JNI/FFI) without touching the plan shape.
   */
 object Multimodal {
 
@@ -67,12 +69,14 @@ object Multimodal {
     StructField("max_px", IntegerType)))     // png
 
   /** REAL decode + feature-extract over binary payloads, batched per
-    * partition: WAV PCM → sample stats (RMS / peak / duration) and
-    * PNG → Inflater + unfilter → pixel stats, both pure JDK
-    * ([[MediaDecode]]); formats that genuinely need codec libraries
-    * (JPEG entropy decode, GIF LZW, MP3/MP4) yield a NULL struct —
-    * never a throw. Dispatch is by magic bytes, not a MIME column, so
-    * a mislabeled payload decodes by what it IS.
+    * partition: WAV PCM → sample stats (RMS / peak / duration),
+    * depth-8 PNG → Inflater + unfilter → pixel stats, and
+    * JPEG/GIF/BMP (plus palette/16-bit/interlaced PNG) → pixel stats
+    * through the JDK's own `javax.imageio` codecs — all pure JDK
+    * ([[MediaDecode]]); only genuinely codec-library formats
+    * (MP3/MP4) yield a NULL struct — never a throw. Dispatch is by
+    * magic bytes, not a MIME column, so a mislabeled payload decodes
+    * by what it IS.
     *
     * mapPartitions, not a per-row UDF, deliberately: decoder state
     * (here just buffers; in a JNI/FFI decoder, library handles and
@@ -97,6 +101,9 @@ object Multimodal {
           .orElse(MediaDecode.pngStats(bytes).map(p =>
             Row("png", null, p.channels, null, null, null, null,
               p.width, p.height, p.meanPx, p.minPx, p.maxPx)))
+          .orElse(MediaDecode.imageStats(bytes).map(p =>
+            Row(p.kind, null, p.channels, null, null, null, null,
+              p.width, p.height, p.meanPx, p.minPx, p.maxPx)))
           .orNull
         Row.fromSeq(row.toSeq :+ decoded)
       }
@@ -108,11 +115,11 @@ object Multimodal {
     * library init per partition, bounded batch memory).
     *
     * STUB for the formats [[decodeFeatures]] cannot decode pure-JDK
-    * (JPEG/GIF/MP3/MP4 need codec libraries this environment lacks):
-    * emits a deterministic fake feature vector derived from the
-    * payload bytes. Replace the `fakeFeatures` body with the real
-    * decoder; everything else (schema, partitioning, iterator
-    * discipline) is production plumbing — WAV and PNG are REAL in
+    * (MP3/MP4 need codec libraries this environment lacks): emits a
+    * deterministic fake feature vector derived from the payload
+    * bytes. Replace the `fakeFeatures` body with the real decoder;
+    * everything else (schema, partitioning, iterator discipline) is
+    * production plumbing — WAV, PNG, JPEG, GIF and BMP are REAL in
     * [[decodeFeatures]].
     */
   def decodeFeaturesStub(

@@ -184,4 +184,134 @@ class MediaDecodeSpec extends AnyFunSuite {
       MediaDecode.pngStats(payload)
     }
   }
+
+  // ---------- ImageIO-backed image stats ----------
+
+  private def encode(img: java.awt.image.BufferedImage, fmt: String): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, fmt, bos), s"JDK cannot encode $fmt")
+    bos.toByteArray
+  }
+
+  private def rgbImage(w: Int, h: Int): java.awt.image.BufferedImage = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w)
+      img.setRGB(x, y, ((x * 40) % 256 << 16) | ((y * 50) % 256 << 8) | 77)
+    img
+  }
+
+  /** Hand-assembled GIF89a: 256-entry palette `i -> (i, 2i%256,
+    * 3i%256)`, pixel indices LZW-coded as fixed-width 9-bit literal
+    * codes with a clear code before every 250 literals (the classic
+    * uncompressed-GIF trick — a real LZW decoder still has to resolve
+    * the code stream). Built by hand because the JDK GIF WRITER
+    * corrupts some image sizes (5x3, 16x4 observed); the READER —
+    * which is the only side this engine ships — is fine. */
+  private def handGif(w: Int, h: Int, px: (Int, Int) => Int): Array[Byte] = {
+    val o = new java.io.ByteArrayOutputStream()
+    o.write("GIF89a".getBytes("US-ASCII"))
+    o.write(w & 0xff); o.write(w >> 8); o.write(h & 0xff); o.write(h >> 8)
+    o.write(0xF7); o.write(0); o.write(0)
+    for (i <- 0 until 256) { o.write(i); o.write((2 * i) & 0xff); o.write((3 * i) & 0xff) }
+    o.write(0x2C); o.write(0); o.write(0); o.write(0); o.write(0)
+    o.write(w & 0xff); o.write(w >> 8); o.write(h & 0xff); o.write(h >> 8)
+    o.write(0); o.write(8) // no local table; LZW min code size 8
+    val codes = scala.collection.mutable.ArrayBuffer[Int]()
+    var sinceClear = Int.MaxValue
+    for (y <- 0 until h; x <- 0 until w) {
+      if (sinceClear >= 250) { codes += 256; sinceClear = 0 }
+      codes += px(x, y); sinceClear += 1
+    }
+    codes += 257
+    val data = new java.io.ByteArrayOutputStream()
+    var bitBuf = 0L; var nBits = 0
+    codes.foreach { c =>
+      bitBuf |= c.toLong << nBits; nBits += 9
+      while (nBits >= 8) { data.write((bitBuf & 0xff).toInt); bitBuf >>>= 8; nBits -= 8 }
+    }
+    if (nBits > 0) data.write((bitBuf & 0xff).toInt)
+    val bytes = data.toByteArray
+    var off = 0
+    while (off < bytes.length) { // 255-byte sub-blocks
+      val n = math.min(255, bytes.length - off)
+      o.write(n); o.write(bytes, off, n); off += n
+    }
+    o.write(0); o.write(0x3B)
+    o.toByteArray
+  }
+
+  test("imageStats: hand-built multi-row GIF decodes palette-exact through real LZW") {
+    val w = 19; val h = 17 // 323 px: forces a mid-stream clear code
+    def pix(x: Int, y: Int) = (x * 13 + y * 41) % 256
+    var sum = 0L; var mn = 255; var mx = 0
+    for (y <- 0 until h; x <- 0 until w; c <- 1 to 3) {
+      val v = (c * pix(x, y)) % 256
+      sum += v; mn = math.min(mn, v); mx = math.max(mx, v)
+    }
+    val st = MediaDecode.imageStats(handGif(w, h, pix))
+      .getOrElse(fail("hand gif did not decode"))
+    assert(st.kind == "gif" && st.width == w && st.height == h && st.channels == 3)
+    assert(st.meanPx == sum.toDouble / (3 * w * h))
+    assert(st.minPx == mn && st.maxPx == mx)
+  }
+
+  test("imageStats: BMP round-trip is stat-exact (24-bit lossless)") {
+    val img = rgbImage(5, 3)
+    var sum = 0L; var mn = 255; var mx = 0
+    for (y <- 0 until 3; x <- 0 until 5; s <- Seq(16, 8, 0)) {
+      val v = (img.getRGB(x, y) >> s) & 0xff
+      sum += v; mn = math.min(mn, v); mx = math.max(mx, v)
+    }
+    val st = MediaDecode.imageStats(encode(img, "bmp"))
+      .getOrElse(fail("bmp did not decode"))
+    assert(st.kind == "bmp")
+    assert(st.width == 5 && st.height == 3)
+    assert(st.meanPx == sum.toDouble / 45)
+    assert(st.minPx == mn && st.maxPx == mx)
+  }
+
+  test("imageStats: JPEG decodes; uniform image stays near its color (lossy codec)") {
+    val img = new java.awt.image.BufferedImage(
+      8, 8, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 8; x <- 0 until 8) img.setRGB(x, y, 0x808080)
+    val st = MediaDecode.imageStats(encode(img, "jpg"))
+      .getOrElse(fail("jpeg did not decode"))
+    assert(st.kind == "jpeg" && st.width == 8 && st.height == 8)
+    assert(math.abs(st.meanPx - 128.0) < 2.0) // DCT round-trip error only
+    assert(st.minPx >= 120 && st.maxPx <= 136)
+  }
+
+  test("imageStats: palette PNG falls through the hand-rolled decoder to ImageIO") {
+    // an indexed PNG (the JDK writes TYPE_BYTE_INDEXED as palette)
+    val img = new java.awt.image.BufferedImage(
+      4, 2, java.awt.image.BufferedImage.TYPE_BYTE_INDEXED)
+    for (y <- 0 until 2; x <- 0 until 4) img.setRGB(x, y, 0xFF0000)
+    val bytes = encode(img, "png")
+    assert(MediaDecode.pngStats(bytes).isEmpty) // hand path declines palette
+    val st = MediaDecode.imageStats(bytes).getOrElse(fail("palette png did not decode"))
+    assert(st.kind == "png" && st.width == 4 && st.height == 2)
+    // indexed red: nearest palette entry may not be exactly FF0000
+    assert(st.maxPx >= 200 && st.minPx <= 60)
+  }
+
+  test("imageStats hostile: noise, truncation, non-image magic, huge declared dims → None") {
+    assert(MediaDecode.imageStats(null).isEmpty)
+    assert(MediaDecode.imageStats(Array.emptyByteArray).isEmpty)
+    assert(MediaDecode.imageStats("not an image at all".getBytes).isEmpty)
+    val gif = encode(rgbImage(5, 3), "gif")
+    assert(MediaDecode.imageStats(gif.take(gif.length / 2)).isEmpty)
+    val bmp = encode(rgbImage(5, 3), "bmp")
+    assert(MediaDecode.imageStats(bmp.take(20)).isEmpty)
+    // wav payloads belong to wavStats, not the image path
+    assert(MediaDecode.imageStats(wav(8000, 1, 16, le16(5))).isEmpty)
+    val rnd = new scala.util.Random(7)
+    (0 until 500).foreach { i =>
+      val base = (if (i % 2 == 0) gif else bmp).clone()
+      (0 until 1 + rnd.nextInt(4)).foreach { _ =>
+        base(rnd.nextInt(base.length)) = rnd.nextInt(256).toByte
+      }
+      MediaDecode.imageStats(base.take(1 + rnd.nextInt(base.length))) // must not throw
+    }
+  }
 }
