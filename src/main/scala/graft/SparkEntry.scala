@@ -936,6 +936,47 @@ object SparkEntry {
         .orderBy("doc_id")
     },
 
+    "q_multimodal_decode_ulaw" -> { (s, dir) =>
+      // G.711 telephony decode under the oracle: assemble spec-valid
+      // mu-law (even doc_ids) / A-law (odd) WAVs columnar — sample
+      // bytes from doc_id arithmetic — decode through
+      // Multimodal.decodeFeatures, and have DuckDB expand the SAME
+      // bytes through the CCITT closed forms independently: expansion
+      // drift breaks the hash. sum_sq re-derives the integer
+      // sum-of-squares from rms bit-exactly (same trick as
+      // q_multimodal_decode).
+      def b2(v: Column) = lpad(hex(v), 2, "0")
+      def le16h(v: Column) = concat(b2(pmod(v, lit(256))),
+        b2(floor(v / 256).cast(LongType)))
+      def ascii(t: String) = lit(t.getBytes("US-ASCII"))
+      val n = pmod(col("doc_id"), lit(6L)) + 2 // 2..7 samples, mono
+      val byteHex = aggregate(sequence(lit(0L), n - 1), lit(""),
+        (acc, k) => concat(acc, b2(pmod(col("doc_id") * 53 + k * 97, lit(256L)))))
+      def wavOf(fmtCode: Int) = concat(
+        ascii("RIFF"), unhex(concat(le16h(n + 36), lit("0000"))),
+        ascii("WAVE"), ascii("fmt "),
+        lit(Array[Byte](16, 0, 0, 0, fmtCode.toByte, 0, /*mono*/ 1, 0,
+          /*8000 LE*/ 0x40, 0x1f, 0, 0, /*byteRate 8000*/ 0x40, 0x1f, 0, 0,
+          /*blockAlign*/ 1, 0, /*bits*/ 8, 0)),
+        ascii("data"), unhex(concat(le16h(n), lit("0000"))),
+        unhex(byteHex))
+      val withPayload = t(s, dir, "documents")
+        .select(col("doc_id"),
+          when(pmod(col("doc_id"), lit(2L)) === 0, wavOf(7))
+            .otherwise(wavOf(6)).as("payload"))
+      val d = col("decoded")
+      ops.Multimodal.decodeFeatures(withPayload, "payload")
+        .select(col("doc_id"), d.getField("kind").as("kind"),
+          d.getField("sample_rate").as("sample_rate"),
+          d.getField("channels").as("channels"),
+          d.getField("n_frames").as("n_frames"),
+          d.getField("duration_s").as("duration_s"),
+          d.getField("peak").as("peak"),
+          round(d.getField("rms") * d.getField("rms") * d.getField("n_frames")
+            * lit(32768.0 * 32768.0), 0).cast(LongType).as("sum_sq"))
+        .orderBy("doc_id")
+    },
+
     "q_multimodal_decode_img" -> { (s, dir) =>
       // the javax.imageio decode path under the oracle: assemble a
       // spec-valid 24-bit BMP (even doc_ids) or an indexed GIF whose
@@ -2199,6 +2240,42 @@ object SparkEntry {
         |  cast(list_sum(px) AS DOUBLE) / w,
         |  cast(list_min(px) AS INTEGER), cast(list_max(px) AS INTEGER)
         |FROM png
+        |ORDER BY doc_id""".stripMargin,
+
+    // expand the same sample bytes through the G.711 closed forms
+    // (mu-law: complement, 3-bit mantissa shift by segment, bias 132;
+    // A-law: 0x55 toggle, 4-bit mantissa, segment shift, sign bit SET
+    // is positive) and recompute peak / sum-of-squares
+    "q_multimodal_decode_ulaw" ->
+      """WITH src AS (
+        |  SELECT doc_id, doc_id % 6 + 2 AS n,
+        |    list_transform(range(0, doc_id % 6 + 2), k -> (doc_id*53 + k*97) % 256) AS bytes
+        |  FROM documents),
+        |expanded AS (
+        |  SELECT doc_id, n,
+        |    CASE WHEN doc_id % 2 = 0 THEN
+        |      list_transform(bytes, v ->
+        |        CASE WHEN (255 - v) >= 128
+        |          THEN 132 - ((((255 - v) & 15) * 8 + 132) << (((255 - v) & 112) // 16))
+        |          ELSE ((((255 - v) & 15) * 8 + 132) << (((255 - v) & 112) // 16)) - 132 END)
+        |    ELSE
+        |      list_transform(bytes, v ->
+        |        CASE WHEN (xor(v, 85) & 128) = 128 THEN
+        |          CASE WHEN ((xor(v, 85) & 112) // 16) = 0
+        |            THEN ((xor(v, 85) & 15) * 16) + 8
+        |            ELSE (((xor(v, 85) & 15) * 16) + 264) << (((xor(v, 85) & 112) // 16) - 1) END
+        |        ELSE -(
+        |          CASE WHEN ((xor(v, 85) & 112) // 16) = 0
+        |            THEN ((xor(v, 85) & 15) * 16) + 8
+        |            ELSE (((xor(v, 85) & 15) * 16) + 264) << (((xor(v, 85) & 112) // 16) - 1) END)
+        |        END)
+        |    END AS s
+        |  FROM src)
+        |SELECT doc_id, 'wav' AS kind, 8000 AS sample_rate, 1 AS channels,
+        |  n AS n_frames, cast(n AS DOUBLE) / 8000 AS duration_s,
+        |  cast(list_max(list_transform(s, x -> abs(x))) AS DOUBLE) / 32768 AS peak,
+        |  cast(list_sum(list_transform(s, x -> x*x)) AS BIGINT) AS sum_sq
+        |FROM expanded
         |ORDER BY doc_id""".stripMargin,
 
     // recompute the BMP/GIF pixel stats from the same doc_id

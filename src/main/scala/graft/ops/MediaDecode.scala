@@ -42,15 +42,20 @@ object MediaDecode {
       (u8(b, i).toLong << 24)
 
   /** Decode a RIFF/WAVE PCM payload (integer PCM, 8/16/24/32-bit).
-    * None on anything else: non-PCM formats, missing/short chunks, a
-    * data chunk whose declared size overruns the payload (truncation),
-    * or zero frames. */
+    * Also decodes the other pure-arithmetic WAVE encodings a crawl
+    * actually contains: IEEE float (format 3, 32/64-bit — non-finite
+    * samples → None, a corrupt stream must not poison the stats) and
+    * G.711 A-law / µ-law telephony audio (formats 6/7, the CCITT
+    * reference expansion tables as closed-form byte arithmetic).
+    * None on anything else: compressed formats, missing/short chunks,
+    * a data chunk whose declared size overruns the payload
+    * (truncation), or zero frames. */
   def wavStats(b: Array[Byte]): Option[WavStats] = {
     if (b == null || b.length < 44) return None
     if (!(b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F' &&
         b(8) == 'W' && b(9) == 'A' && b(10) == 'V' && b(11) == 'E')) return None
     var off = 12
-    var fmt: Option[(Int, Int, Int)] = None // (channels, rate, bits)
+    var fmt: Option[(Int, Int, Int, Int)] = None // (format, channels, rate, bits)
     var data: Option[(Int, Int)] = None // (offset, size)
     var guard = 0
     while (off + 8 <= b.length && guard < 4096 && (fmt.isEmpty || data.isEmpty)) {
@@ -61,13 +66,18 @@ object MediaDecode {
       if (id == "fmt ") {
         if (size < 16) return None
         val audioFormat = le16(b, off + 8)
-        if (audioFormat != 1) return None // integer PCM only
         val channels = le16(b, off + 10)
         val rate = le32(b, off + 12)
         val bits = le16(b, off + 22)
         if (channels <= 0 || rate <= 0 || rate > Int.MaxValue) return None
-        if (bits != 8 && bits != 16 && bits != 24 && bits != 32) return None
-        fmt = Some((channels, rate.toInt, bits))
+        val bitsOk = audioFormat match {
+          case 1 => bits == 8 || bits == 16 || bits == 24 || bits == 32
+          case 3 => bits == 32 || bits == 64 // IEEE float/double
+          case 6 | 7 => bits == 8 // G.711 A-law / mu-law
+          case _ => false
+        }
+        if (!bitsOk) return None
+        fmt = Some((audioFormat, channels, rate.toInt, bits))
       } else if (id == "data") {
         data = Some((off + 8, size.toInt))
       }
@@ -75,7 +85,7 @@ object MediaDecode {
       guard += 1
     }
     (fmt, data) match {
-      case (Some((channels, rate, bits)), Some((dOff, dSize))) =>
+      case (Some((format, channels, rate, bits)), Some((dOff, dSize))) =>
         val bytesPer = bits / 8
         val frameBytes = bytesPer * channels
         val nFrames = dSize.toLong / frameBytes
@@ -92,15 +102,27 @@ object MediaDecode {
         val end = dOff + (nSamples * bytesPer).toInt
         var p = dOff
         while (p < end) {
-          val raw: Double = bits match {
-            case 8  => (u8(b, p) - 128).toDouble // 8-bit WAV is unsigned
-            case 16 => le16(b, p).toShort.toDouble
-            case 24 =>
-              val v = u8(b, p) | (u8(b, p + 1) << 8) | (u8(b, p + 2) << 16)
-              ((v << 8) >> 8).toDouble // sign-extend 24 bits
-            case _ => le32(b, p).toInt.toDouble
+          val norm: Double = format match {
+            case 1 =>
+              val raw: Double = bits match {
+                case 8  => (u8(b, p) - 128).toDouble // 8-bit WAV is unsigned
+                case 16 => le16(b, p).toShort.toDouble
+                case 24 =>
+                  val v = u8(b, p) | (u8(b, p + 1) << 8) | (u8(b, p + 2) << 16)
+                  ((v << 8) >> 8).toDouble // sign-extend 24 bits
+                case _ => le32(b, p).toInt.toDouble
+              }
+              raw / scale
+            case 3 =>
+              val f =
+                if (bits == 32) java.lang.Float.intBitsToFloat(le32(b, p).toInt).toDouble
+                else java.lang.Double.longBitsToDouble(
+                  le32(b, p) | (le32(b, p + 4) << 32))
+              if (!java.lang.Double.isFinite(f)) return None
+              f // already normalized; legal floats may exceed |1.0|
+            case 6 => alawToLinear(u8(b, p)) / 32768.0
+            case _ => ulawToLinear(u8(b, p)) / 32768.0
           }
-          val norm = raw / scale
           val a = math.abs(norm)
           if (a > peak) peak = a
           sumSq += norm * norm
@@ -110,6 +132,26 @@ object MediaDecode {
           nFrames.toDouble / rate, peak, math.sqrt(sumSq / nSamples)))
       case _ => None
     }
+  }
+
+  /** G.711 µ-law byte → linear 16-bit sample (CCITT reference
+    * expansion, closed form). */
+  def ulawToLinear(v: Int): Int = {
+    val u = ~v & 0xff
+    val t = (((u & 0x0f) << 3) + 0x84) << ((u & 0x70) >> 4)
+    if ((u & 0x80) != 0) 0x84 - t else t - 0x84
+  }
+
+  /** G.711 A-law byte → linear 16-bit sample (CCITT reference
+    * expansion; sign bit SET is positive after the 0x55 toggle). */
+  def alawToLinear(v: Int): Int = {
+    val a = v ^ 0x55
+    val seg = (a & 0x70) >> 4
+    val t0 = (a & 0x0f) << 4
+    val t =
+      if (seg == 0) t0 + 8
+      else (t0 + 0x108) << (seg - 1)
+    if ((a & 0x80) != 0) t else -t
   }
 
   private val pngChannels = Map(0 -> 1, 2 -> 3, 4 -> 2, 6 -> 4)

@@ -65,8 +65,59 @@ class MediaDecodeSpec extends AnyFunSuite {
     assert(s.rms == math.sqrt(0.25 / 2)) // half the samples at 0.5, half 0
   }
 
+  test("wav IEEE float (format 3): samples pass through unscaled; non-finite → None") {
+    def f32(v: Float) = le32(java.lang.Float.floatToIntBits(v))
+    val data = f32(0.5f) ++ f32(-0.25f) ++ f32(0.0f) ++ f32(1.25f) // |s|>1 is legal
+    val st = MediaDecode.wavStats(wav(48000, 1, 32, data, audioFormat = 3))
+      .getOrElse(fail("float wav did not decode"))
+    assert(st.nFrames == 4 && st.bitsPerSample == 32)
+    assert(st.peak == 1.25)
+    assert(st.rms == math.sqrt((0.25 + 0.0625 + 0.0 + 1.5625) / 4))
+    // doubles (64-bit float) decode too
+    def f64(v: Double) = {
+      val bits = java.lang.Double.doubleToLongBits(v)
+      le32(bits.toInt) ++ le32((bits >>> 32).toInt)
+    }
+    val st64 = MediaDecode.wavStats(
+      wav(8000, 1, 64, f64(0.5) ++ f64(-0.5), audioFormat = 3))
+      .getOrElse(fail("double wav did not decode"))
+    assert(st64.peak == 0.5 && st64.rms == 0.5)
+    // a NaN sample poisons nothing: the whole payload is rejected
+    assert(MediaDecode.wavStats(
+      wav(8000, 1, 32, f32(0.5f) ++ f32(Float.NaN), audioFormat = 3)).isEmpty)
+    assert(MediaDecode.wavStats(
+      wav(8000, 1, 32, f32(Float.PositiveInfinity), audioFormat = 3)).isEmpty)
+  }
+
+  test("wav G.711 mu-law and A-law expand through the CCITT reference tables") {
+    // mu-law: 0xFF and 0x7F encode silence; 0x00 is max negative
+    assert(MediaDecode.ulawToLinear(0xFF) == 0)
+    assert(MediaDecode.ulawToLinear(0x7F) == 0)
+    assert(MediaDecode.ulawToLinear(0x00) == -32124)
+    assert(MediaDecode.ulawToLinear(0x80) == 32124)
+    // A-law: 0x55 -> -8, 0xD5 -> +8, 0x2A -> -32256 (max magnitude)
+    assert(MediaDecode.alawToLinear(0x55) == -8)
+    assert(MediaDecode.alawToLinear(0xD5) == 8)
+    assert(MediaDecode.alawToLinear(0x2A) == -32256)
+    assert(MediaDecode.alawToLinear(0xAA) == 32256)
+    // end-to-end: stats equal the hand-expanded samples
+    val bytes = b(0x00, 0xFF, 0x9A, 0x42)
+    val exp = Seq(0x00, 0xFF, 0x9A, 0x42).map(MediaDecode.ulawToLinear)
+    val st = MediaDecode.wavStats(wav(8000, 1, 8, bytes, audioFormat = 7))
+      .getOrElse(fail("mu-law wav did not decode"))
+    assert(st.nFrames == 4 && st.bitsPerSample == 8)
+    assert(st.peak == exp.map(v => math.abs(v / 32768.0)).max)
+    assert(st.rms == math.sqrt(exp.map(v => (v / 32768.0) * (v / 32768.0)).sum / 4))
+    val stA = MediaDecode.wavStats(wav(8000, 1, 8, bytes, audioFormat = 6))
+      .getOrElse(fail("A-law wav did not decode"))
+    val expA = Seq(0x00, 0xFF, 0x9A, 0x42).map(MediaDecode.alawToLinear)
+    assert(stA.peak == expA.map(v => math.abs(v / 32768.0)).max)
+  }
+
   test("wav hostile: non-PCM, truncated data, oversized chunk, zero frames → None") {
-    assert(MediaDecode.wavStats(wav(8000, 1, 16, le16(1), audioFormat = 3)).isEmpty) // float PCM
+    assert(MediaDecode.wavStats(wav(8000, 1, 16, le16(1), audioFormat = 2)).isEmpty) // ADPCM
+    assert(MediaDecode.wavStats(wav(8000, 1, 16, le16(1), audioFormat = 3)).isEmpty) // float must be 32/64-bit
+    assert(MediaDecode.wavStats(wav(8000, 1, 16, le16(1), audioFormat = 7)).isEmpty) // mu-law must be 8-bit
     val good = wav(8000, 1, 16, le16(1) ++ le16(2))
     assert(MediaDecode.wavStats(good.dropRight(3)).isEmpty) // data chunk overruns payload
     assert(MediaDecode.wavStats(wav(8000, 1, 16, Array.emptyByteArray)).isEmpty) // 0 frames
