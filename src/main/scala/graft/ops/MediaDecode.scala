@@ -293,14 +293,29 @@ object MediaDecode {
   /** Decode an image payload through the JDK's own codecs
     * (`javax.imageio`: JPEG, GIF, BMP, PNG) and return pixel
     * statistics. None for unrecognized magic bytes, malformed or
-    * truncated payloads, or images past the 16M-pixel decode bound (a
-    * crafted header must not allocate gigabytes). Never throws. */
+    * truncated payloads, or images past the 16M-pixel decode bound —
+    * checked against the reader's LAZY header dims BEFORE any pixel
+    * decode, so a crafted tiny payload declaring 20000x20000 never
+    * allocates the gigabytes (the decompression-bomb shape a crawled
+    * corpus will contain). Never throws. */
   def imageStats(b: Array[Byte]): Option[ImageStats] = {
     if (b == null || b.length < 8) return None
     val kind = imageKind(b)
     if (kind == null || !imageIoReady) return None
     try {
-      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(b))
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(b))
+      val readers = javax.imageio.ImageIO.getImageReaders(iis)
+      if (!readers.hasNext) { iis.close(); return None }
+      val reader = readers.next()
+      val img =
+        try {
+          reader.setInput(iis, true, true)
+          // header-only dims — the bound gates the pixel allocation
+          val hw = reader.getWidth(0); val hh = reader.getHeight(0)
+          if (hw <= 0 || hh <= 0 || hw.toLong * hh > 16L * 1024 * 1024) return None
+          reader.read(0)
+        } finally { reader.dispose(); iis.close() }
       if (img == null) return None
       val w = img.getWidth; val h = img.getHeight
       if (w <= 0 || h <= 0 || w.toLong * h > 16L * 1024 * 1024) return None

@@ -350,6 +350,33 @@ class MediaDecodeSpec extends AnyFunSuite {
     assert(MediaDecode.imageStats(null).isEmpty)
     assert(MediaDecode.imageStats(Array.emptyByteArray).isEmpty)
     assert(MediaDecode.imageStats("not an image at all".getBytes).isEmpty)
+    // decompression bomb: a FEW-KB payload whose header declares a
+    // ~1.6 GB image — the header-dims bound must reject it BEFORE the
+    // pixel buffer is allocated (an OOM here is a test failure)
+    val bombPng = {
+      val zipped = {
+        val d = new java.util.zip.Deflater()
+        d.setInput(new Array[Byte](64 * 1024)); d.finish()
+        val out = new Array[Byte](4096)
+        val n = d.deflate(out); d.end(); out.take(n)
+      }
+      val crc = new Array[Byte](4)
+      def be32b(v: Int) = b(v >>> 24, (v >>> 16) & 0xff, (v >>> 8) & 0xff, v & 0xff)
+      b(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a) ++
+        be32b(13) ++ "IHDR".getBytes ++
+        be32b(24000) ++ be32b(24000) ++ b(8, 6, 0, 0, 0) ++ crc ++
+        be32b(zipped.length) ++ "IDAT".getBytes ++ zipped ++ crc ++
+        be32b(0) ++ "IEND".getBytes ++ crc
+    }
+    assert(bombPng.length < 8192)
+    assert(MediaDecode.imageStats(bombPng).isEmpty) // 576M px > 16M bound
+    val bombGif = handGif(5, 1, (x, _) => x)
+    // image-descriptor dims live after the 13-byte header, 768-byte
+    // palette, and the descriptor's 5 lead bytes (0x2C + left + top)
+    val idOff = 13 + 768 + 5
+    bombGif(idOff) = 0xff.toByte; bombGif(idOff + 1) = 0x7f.toByte     // w=32767
+    bombGif(idOff + 2) = 0xff.toByte; bombGif(idOff + 3) = 0x7f.toByte // h=32767
+    assert(MediaDecode.imageStats(bombGif).isEmpty)
     val gif = encode(rgbImage(5, 3), "gif")
     assert(MediaDecode.imageStats(gif.take(gif.length / 2)).isEmpty)
     val bmp = encode(rgbImage(5, 3), "bmp")
