@@ -1124,6 +1124,79 @@ object SparkEntry {
         .orderBy("o_orderkey")
     },
 
+    "q_jsonl_roundtrip" -> { (s, dir) =>
+      // single-file JSONL sink (reference JsonSink object-per-line
+      // mode, nulls kept) → JsonSource.jsonl re-read; path keyed per
+      // (pid, sf) like the other roundtrip gates
+      val out = s"${System.getProperty("java.io.tmpdir")}/graft-gate-jsonl-${ProcessHandle.current().pid()}-${Integer.toHexString(dir.hashCode)}/nation.jsonl"
+      new sinks.JsonFileSink(out, jsonObjectPerLine = true).write(t(s, dir, "nation"))
+      val back = sources.Sources.jsonl(s, out).toDF
+      val shape = StructType(Seq(
+        StructField("n_nationkey", LongType), StructField("n_name", StringType),
+        StructField("n_regionkey", LongType)))
+      // an EMPTY corpus writes an empty file, which infers an empty
+      // schema — empty-in ⇒ empty-out with the declared shape
+      if (!back.columns.contains("n_nationkey"))
+        s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row], shape)
+      else back
+        .select(col("n_nationkey").cast(LongType).as("n_nationkey"),
+          col("n_name"),
+          col("n_regionkey").cast(LongType).as("n_regionkey"))
+        .orderBy("n_nationkey")
+    },
+
+    "q_jdbc_roundtrip" -> { (s, dir) =>
+      // the JDBC family under the hard gate: load nation into embedded
+      // Derby (in-memory, per-(JVM, sf) database name — gate-scale; a
+      // cluster points the SAME code path at a real database), read it
+      // back through Sources.jdbc, reproduce the original bit-for-bit.
+      // Spark's JDBC writer QUOTES identifiers (case-preserving), so
+      // the read query quotes them too — unquoted names would uppercase
+      // under Derby's resolution and miss the table.
+      val url = s"jdbc:derby:memory:graftgate_${ProcessHandle.current().pid()}_${Integer.toHexString(dir.hashCode)};create=true"
+      val driver = "org.apache.derby.jdbc.EmbeddedDriver"
+      t(s, dir, "nation")
+        .select("n_nationkey", "n_name", "n_regionkey")
+        .write.mode("overwrite").format("jdbc")
+        .option("url", url).option("dbtable", "\"nation_gate\"")
+        .option("driver", driver).save()
+      sources.Sources.jdbc(s, url,
+        """SELECT "n_nationkey", "n_name", "n_regionkey" FROM "nation_gate"""",
+        options = Map("driver" -> driver)).toDF
+        .select(col("n_nationkey").cast(LongType).as("n_nationkey"),
+          col("n_name"),
+          col("n_regionkey").cast(LongType).as("n_regionkey"))
+        .orderBy("n_nationkey")
+    },
+
+    "q_zip_roundtrip" -> { (s, dir) =>
+      // ZipSource under the hard gate: pack nation into a zip (one
+      // entry per row: name = n_nationkey, bytes = n_name), extract
+      // through the executor-side entry iterator, and have the oracle
+      // recompute names/sizes/content from the original table. The
+      // 25-row build is driver-side by contract (nation is fixed-size).
+      val zdir = s"${System.getProperty("java.io.tmpdir")}/graft-gate-zip-${ProcessHandle.current().pid()}-${Integer.toHexString(dir.hashCode)}"
+      val rows = t(s, dir, "nation")
+        .select("n_nationkey", "n_name").collect()
+      require(rows.length <= 1000, "zip gate expects the fixed-size nation table")
+      new java.io.File(zdir).mkdirs()
+      val zf = new java.io.File(zdir, "nation.zip")
+      val zos = new java.util.zip.ZipOutputStream(
+        new java.io.FileOutputStream(zf))
+      try rows.sortBy(_.getAs[Number]("n_nationkey").longValue).foreach { r =>
+        zos.putNextEntry(new java.util.zip.ZipEntry(
+          r.getAs[Number]("n_nationkey").longValue.toString))
+        // a NULL name packs as zero bytes (degenerate-corpus sweeps)
+        zos.write(Option(r.getString(1)).getOrElse("").getBytes("UTF-8"))
+        zos.closeEntry()
+      } finally zos.close()
+      sources.Sources.zipEntries(s, zdir, "*.zip").toDF
+        .select(col("entry").cast(LongType).as("n_nationkey"),
+          decode(col("content"), "UTF-8").as("n_name"),
+          col("size").as("name_bytes"))
+        .orderBy("n_nationkey")
+    },
+
     "q_pgp_roundtrip" -> { (s, dir) =>
       val (pub, sec) = pgpGateKeys
       val docs = t(s, dir, "documents").filter(col("doc_id") < 50)
@@ -2318,6 +2391,23 @@ object SparkEntry {
     "q_csv_roundtrip" ->
       """SELECT cast(n_nationkey AS BIGINT) AS n_nationkey, n_name,
         |  cast(n_regionkey AS BIGINT) AS n_regionkey
+        |FROM nation ORDER BY n_nationkey""".stripMargin,
+
+    "q_jsonl_roundtrip" ->
+      """SELECT cast(n_nationkey AS BIGINT) AS n_nationkey, n_name,
+        |  cast(n_regionkey AS BIGINT) AS n_regionkey
+        |FROM nation ORDER BY n_nationkey""".stripMargin,
+
+    "q_jdbc_roundtrip" ->
+      """SELECT cast(n_nationkey AS BIGINT) AS n_nationkey, n_name,
+        |  cast(n_regionkey AS BIGINT) AS n_regionkey
+        |FROM nation ORDER BY n_nationkey""".stripMargin,
+
+    // the zip's entry names, sizes and bytes must reproduce the
+    // original rows exactly
+    "q_zip_roundtrip" ->
+      """SELECT cast(n_nationkey AS BIGINT) AS n_nationkey, n_name,
+        |  octet_length(encode(n_name)) AS name_bytes
         |FROM nation ORDER BY n_nationkey""".stripMargin,
 
     "q_pgp_roundtrip" ->
