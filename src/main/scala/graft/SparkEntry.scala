@@ -1197,6 +1197,41 @@ object SparkEntry {
         .orderBy("n_nationkey")
     },
 
+    "q_http_roundtrip" -> { (s, dir) =>
+      // the HTTP family under the hard gate: serve nation as CSV from
+      // an in-process server (loopback, ephemeral port), fetch + parse
+      // through Http.getCsvRows (quote-aware record split, csv-over-
+      // Dataset — no driver temp file), reproduce the original
+      // bit-for-bit. getCsvRows fetches EAGERLY on the driver, so the
+      // server stops before the frame is returned.
+      val rows = t(s, dir, "nation")
+        .select("n_nationkey", "n_name", "n_regionkey").collect()
+      require(rows.length <= 1000, "http gate expects the fixed-size nation table")
+      def cell(v: Any): String = Option(v).map(_.toString).getOrElse("")
+      val body = ("n_nationkey,n_name,n_regionkey" +:
+        rows.sortBy(_.getAs[Number](0).longValue).toSeq
+          .map(r => s"${cell(r.get(0))},${cell(r.get(1))},${cell(r.get(2))}"))
+        .mkString("\n")
+      val server = com.sun.net.httpserver.HttpServer.create(
+        new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+      try {
+        server.createContext("/nation.csv",
+          (ex: com.sun.net.httpserver.HttpExchange) => {
+            val b = body.getBytes("UTF-8")
+            ex.sendResponseHeaders(200, b.length)
+            ex.getResponseBody.write(b)
+            ex.close()
+          })
+        server.start()
+        val url = s"http://127.0.0.1:${server.getAddress.getPort}/nation.csv"
+        sources.Http.getCsvRows(s, url).toDF
+          .select(col("n_nationkey").cast(LongType).as("n_nationkey"),
+            col("n_name"),
+            col("n_regionkey").cast(LongType).as("n_regionkey"))
+          .orderBy("n_nationkey")
+      } finally server.stop(0)
+    },
+
     "q_pgp_roundtrip" -> { (s, dir) =>
       val (pub, sec) = pgpGateKeys
       val docs = t(s, dir, "documents").filter(col("doc_id") < 50)
@@ -2399,6 +2434,11 @@ object SparkEntry {
         |FROM nation ORDER BY n_nationkey""".stripMargin,
 
     "q_jdbc_roundtrip" ->
+      """SELECT cast(n_nationkey AS BIGINT) AS n_nationkey, n_name,
+        |  cast(n_regionkey AS BIGINT) AS n_regionkey
+        |FROM nation ORDER BY n_nationkey""".stripMargin,
+
+    "q_http_roundtrip" ->
       """SELECT cast(n_nationkey AS BIGINT) AS n_nationkey, n_name,
         |  cast(n_regionkey AS BIGINT) AS n_regionkey
         |FROM nation ORDER BY n_nationkey""".stripMargin,
