@@ -58,6 +58,16 @@ object SparkEntry {
     (c.cast(DecimalType(28, 4)) * 10000).cast(LongType) // scale-4 operand
   private def asBig(c: Column): Column = c.cast(LongType)
 
+  // hex-assembly helpers shared by the payload-assembling media gates
+  // (q_multimodal_dims/_decode/_decode_img/_decode_ulaw): byte as two
+  // hex chars, little-endian u16 as hex, big-endian u32 as bytes,
+  // ASCII tag bytes
+  private def b2(v: Column): Column = lpad(hex(v), 2, "0")
+  private def le16h(v: Column): Column =
+    concat(b2(pmod(v, lit(256))), b2(floor(v / 256).cast(LongType)))
+  private def be32(c: Column): Column = unhex(lpad(hex(c), 8, "0"))
+  private def ascii(t: String): Column = lit(t.getBytes("US-ASCII"))
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     queries("q1_agg")(spark, "/root/testdata/sf0.001")
@@ -851,7 +861,6 @@ object SparkEntry {
       // — any parser drift breaks the hash compare
       val w = (col("doc_id") % 1000 + 1).cast("int")
       val h = (col("doc_id") % 777 + 1).cast("int")
-      def be32(c: Column) = unhex(lpad(hex(c), 8, "0"))
       val payload = concat(
         lit(Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a,
           0, 0, 0, 13)),
@@ -875,26 +884,21 @@ object SparkEntry {
       // breaks the hash. sum_sq re-derives the integer Σ sample² from
       // the double rms exactly (error << 0.5 ulp of the integer), so
       // the RMS check is bit-exact, not rounding-tolerant.
-      def b2(v: Column) = lpad(hex(v), 2, "0")
-      def le16(v: Column) = concat(b2(pmod(v, lit(256))),
-        b2(floor(v / 256).cast(LongType)))
-      def be32(c: Column) = unhex(lpad(hex(c), 8, "0"))
-      def ascii(t: String) = lit(t.getBytes("US-ASCII"))
 
       // --- WAV: mono 16-bit PCM @8000 Hz, n alternating samples v1 v2
       val v1 = pmod(col("doc_id") * 37, lit(32768L))
       val v2 = pmod(col("doc_id") * 91, lit(32768L))
       val n = pmod(col("doc_id"), lit(6L)) + 2 // 2..7 samples
       val sampleHex = aggregate(sequence(lit(0L), n - 1), lit(""),
-        (acc, k) => concat(acc, le16(when(pmod(k, lit(2L)) === 0, v1).otherwise(v2))))
+        (acc, k) => concat(acc, le16h(when(pmod(k, lit(2L)) === 0, v1).otherwise(v2))))
       val dataSize = n * 2
       val wav = concat(
-        ascii("RIFF"), unhex(concat(le16(dataSize + 36), lit("0000"))),
+        ascii("RIFF"), unhex(concat(le16h(dataSize + 36), lit("0000"))),
         ascii("WAVE"), ascii("fmt "),
         lit(Array[Byte](16, 0, 0, 0, /*PCM*/ 1, 0, /*mono*/ 1, 0,
           /*8000 LE*/ 0x40, 0x1f, 0, 0, /*byteRate 16000*/ 0x80.toByte, 0x3e, 0, 0,
           /*blockAlign*/ 2, 0, /*bits*/ 16, 0)),
-        ascii("data"), unhex(concat(le16(dataSize), lit("0000"))),
+        ascii("data"), unhex(concat(le16h(dataSize), lit("0000"))),
         unhex(sampleHex))
 
       // --- PNG: w×1 grayscale, pixels (doc_id + 17x) % 256, IDAT =
@@ -910,7 +914,7 @@ object SparkEntry {
         lit(Array[Byte](8, 0, 0, 0, 0, /*IHDR crc (unchecked)*/ 0, 0, 0, 0)),
         be32(rawLen + 7), ascii("IDAT"),
         lit(Array[Byte](0x78, 0x01, /*stored, final*/ 0x01)),
-        unhex(concat(le16(rawLen), le16(lit(65535L) - rawLen))),
+        unhex(concat(le16h(rawLen), le16h(lit(65535L) - rawLen))),
         unhex(concat(lit("00"), pxHex)), // filter 0 + scanline
         lit(Array[Byte](0, 0, 0, 0)), // IDAT crc (unchecked)
         lit(Array[Byte](0, 0, 0, 0, 'I', 'E', 'N', 'D', 0, 0, 0, 0)))
@@ -945,10 +949,6 @@ object SparkEntry {
       // drift breaks the hash. sum_sq re-derives the integer
       // sum-of-squares from rms bit-exactly (same trick as
       // q_multimodal_decode).
-      def b2(v: Column) = lpad(hex(v), 2, "0")
-      def le16h(v: Column) = concat(b2(pmod(v, lit(256))),
-        b2(floor(v / 256).cast(LongType)))
-      def ascii(t: String) = lit(t.getBytes("US-ASCII"))
       val n = pmod(col("doc_id"), lit(6L)) + 2 // 2..7 samples, mono
       val byteHex = aggregate(sequence(lit(0L), n - 1), lit(""),
         (acc, k) => concat(acc, b2(pmod(col("doc_id") * 53 + k * 97, lit(256L)))))
@@ -987,10 +987,6 @@ object SparkEntry {
       // reader, real LZW for the GIF, palette resolution) and emit
       // pixel stats DuckDB recomputes arithmetically: codec or
       // palette-resolution drift breaks the hash.
-      def b2(v: Column) = lpad(hex(v), 2, "0")
-      def le16h(v: Column) = concat(b2(pmod(v, lit(256))),
-        b2(floor(v / 256).cast(LongType)))
-      def ascii(t: String) = lit(t.getBytes("US-ASCII"))
       val w = pmod(col("doc_id"), lit(4L)) + 1 // 1..4 px, one row
 
       // --- BMP: 24-bit BI_RGB, rows padded to 4 bytes, stored B,G,R
@@ -1176,8 +1172,12 @@ object SparkEntry {
       // recompute names/sizes/content from the original table. The
       // 25-row build is driver-side by contract (nation is fixed-size).
       val zdir = s"${System.getProperty("java.io.tmpdir")}/graft-gate-zip-${ProcessHandle.current().pid()}-${Integer.toHexString(dir.hashCode)}"
+      // NULL-name rows are excluded on BOTH sides (a zip entry cannot
+      // carry "null bytes"; the oracle filters symmetrically) — only
+      // degenerate-corpus sweeps ever contain them
       val rows = t(s, dir, "nation")
-        .select("n_nationkey", "n_name").collect()
+        .select("n_nationkey", "n_name")
+        .filter(col("n_name").isNotNull).collect()
       require(rows.length <= 1000, "zip gate expects the fixed-size nation table")
       new java.io.File(zdir).mkdirs()
       val zf = new java.io.File(zdir, "nation.zip")
@@ -1186,8 +1186,7 @@ object SparkEntry {
       try rows.sortBy(_.getAs[Number]("n_nationkey").longValue).foreach { r =>
         zos.putNextEntry(new java.util.zip.ZipEntry(
           r.getAs[Number]("n_nationkey").longValue.toString))
-        // a NULL name packs as zero bytes (degenerate-corpus sweeps)
-        zos.write(Option(r.getString(1)).getOrElse("").getBytes("UTF-8"))
+        zos.write(r.getString(1).getBytes("UTF-8"))
         zos.closeEntry()
       } finally zos.close()
       sources.Sources.zipEntries(s, zdir, "*.zip").toDF
@@ -1207,7 +1206,12 @@ object SparkEntry {
       val rows = t(s, dir, "nation")
         .select("n_nationkey", "n_name", "n_regionkey").collect()
       require(rows.length <= 1000, "http gate expects the fixed-size nation table")
-      def cell(v: Any): String = Option(v).map(_.toString).getOrElse("")
+      // RFC-4180 on the write side too: quote every non-null field and
+      // self-escape quotes, so a separator/newline/quote in a value
+      // cannot corrupt the record split the reader performs
+      def cell(v: Any): String = Option(v)
+        .map(x => "\"" + x.toString.replace("\"", "\"\"") + "\"")
+        .getOrElse("")
       val body = ("n_nationkey,n_name,n_regionkey" +:
         rows.sortBy(_.getAs[Number](0).longValue).toSeq
           .map(r => s"${cell(r.get(0))},${cell(r.get(1))},${cell(r.get(2))}"))
@@ -2444,11 +2448,12 @@ object SparkEntry {
         |FROM nation ORDER BY n_nationkey""".stripMargin,
 
     // the zip's entry names, sizes and bytes must reproduce the
-    // original rows exactly
+    // original rows exactly (NULL-name rows excluded on both sides)
     "q_zip_roundtrip" ->
       """SELECT cast(n_nationkey AS BIGINT) AS n_nationkey, n_name,
         |  octet_length(encode(n_name)) AS name_bytes
-        |FROM nation ORDER BY n_nationkey""".stripMargin,
+        |FROM nation WHERE n_name IS NOT NULL
+        |ORDER BY n_nationkey""".stripMargin,
 
     "q_pgp_roundtrip" ->
       """SELECT doc_id, md5(text) AS payload_md5

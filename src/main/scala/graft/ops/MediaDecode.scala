@@ -128,6 +128,11 @@ object MediaDecode {
           sumSq += norm * norm
           p += bytesPer
         }
+        // finite-huge float samples (legal IEEE, absurd audio) can
+        // overflow the sum of squares — a corrupt stream must reject,
+        // not emit Infinity stats
+        if (!java.lang.Double.isFinite(sumSq) || !java.lang.Double.isFinite(peak))
+          return None
         Some(WavStats(rate, channels, bits, nFrames,
           nFrames.toDouble / rate, peak, math.sqrt(sumSq / nSamples)))
       case _ => None
@@ -340,7 +345,15 @@ object MediaDecode {
       }
       Some(ImageStats(kind, w, h, channels,
         sum.toDouble / (3L * w * h), mn, mx))
-    } catch { case scala.util.control.NonFatal(_) => None }
+    } catch {
+      // beyond NonFatal: a broken ImageIO SPI registration throws
+      // ServiceConfigurationError and a missing native codec lib
+      // throws UnsatisfiedLinkError — for a decode probe both mean
+      // "undecodable here", not "kill the task"
+      case scala.util.control.NonFatal(_) => None
+      case _: java.util.ServiceConfigurationError => None
+      case _: LinkageError => None
+    }
   }
 
   private def chunkTypeIs(b: Array[Byte], off: Int, t: String): Boolean =

@@ -87,6 +87,9 @@ class MediaDecodeSpec extends AnyFunSuite {
       wav(8000, 1, 32, f32(0.5f) ++ f32(Float.NaN), audioFormat = 3)).isEmpty)
     assert(MediaDecode.wavStats(
       wav(8000, 1, 32, f32(Float.PositiveInfinity), audioFormat = 3)).isEmpty)
+    // finite-huge doubles whose squares overflow are corrupt too
+    assert(MediaDecode.wavStats(
+      wav(8000, 1, 64, f64(1e300) ++ f64(0.5), audioFormat = 3)).isEmpty)
   }
 
   test("wav G.711 mu-law and A-law expand through the CCITT reference tables") {
