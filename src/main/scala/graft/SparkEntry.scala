@@ -940,6 +940,47 @@ object SparkEntry {
         .orderBy("doc_id")
     },
 
+    "q_multimodal_mp4" -> { (s, dir) =>
+      // container-level MP4 metadata under the oracle: assemble a
+      // spec-valid ISO-BMFF box tree columnar (ftyp + moov[mvhd v0 +
+      // video trak/tkhd (+ audio trak on odd ids)]) with
+      // doc_id-derived timescale/duration/dims, walk it back with the
+      // native box parser, and let DuckDB recompute the metadata
+      // arithmetically — box-layout or fixed-point drift breaks the
+      // hash. mvhd box = 108 bytes (payload 100), trak = 100 (tkhd
+      // 92, payload 84), so moov = 216 (one trak) or 316 (two).
+      val ts = pmod(col("doc_id"), lit(900L)) + 100
+      val dur = pmod(col("doc_id"), lit(100000L)) + 1
+      val w = pmod(col("doc_id"), lit(1920L)) + 1
+      val h = pmod(col("doc_id"), lit(1080L)) + 1
+      val odd = pmod(col("doc_id"), lit(2L)) === 1
+      val ftypB = concat(be32(lit(16L)), ascii("ftyp"),
+        ascii("isom"), be32(lit(0x200L)))
+      val mvhdB = concat(be32(lit(108L)), ascii("mvhd"),
+        lit(new Array[Byte](12)), // v0, flags, ctime, mtime
+        be32(ts), be32(dur), lit(new Array[Byte](80)))
+      def trakOf(wc: Column, hc: Column) = concat(
+        be32(lit(100L)), ascii("trak"),
+        be32(lit(92L)), ascii("tkhd"),
+        lit(new Array[Byte](76)), // v0, flags, then 72 reserved/matrix
+        be32(wc * 65536), be32(hc * 65536)) // 16.16 fixed point
+      val moovB = concat(
+        be32(when(odd, lit(316L)).otherwise(lit(216L))), ascii("moov"),
+        mvhdB, trakOf(w, h),
+        when(odd, trakOf(lit(0L), lit(0L))).otherwise(lit(Array.emptyByteArray)))
+      val withPayload = t(s, dir, "documents")
+        .select(col("doc_id"), concat(ftypB, moovB).as("payload"))
+      val m = ops.Multimodal.mp4Meta(col("payload"))
+      withPayload.select(col("doc_id"),
+        m.getField("major_brand").as("major_brand"),
+        m.getField("duration_s").as("duration_s"),
+        m.getField("timescale").as("timescale"),
+        m.getField("n_tracks").as("n_tracks"),
+        m.getField("width").as("width"),
+        m.getField("height").as("height"))
+        .orderBy("doc_id")
+    },
+
     "q_multimodal_decode_ulaw" -> { (s, dir) =>
       // G.711 telephony decode under the oracle: assemble spec-valid
       // mu-law (even doc_ids) / A-law (odd) WAVs columnar — sample
@@ -2353,6 +2394,17 @@ object SparkEntry {
         |  cast(list_min(px) AS INTEGER), cast(list_max(px) AS INTEGER)
         |FROM png
         |ORDER BY doc_id""".stripMargin,
+
+    // recompute the MP4 metadata from the same doc_id arithmetic the
+    // gate assembles the box tree from
+    "q_multimodal_mp4" ->
+      """SELECT doc_id, 'isom' AS major_brand,
+        |  cast(doc_id % 100000 + 1 AS DOUBLE) / (doc_id % 900 + 100) AS duration_s,
+        |  cast(doc_id % 900 + 100 AS INT) AS timescale,
+        |  cast(1 + doc_id % 2 AS INT) AS n_tracks,
+        |  cast(doc_id % 1920 + 1 AS INT) AS width,
+        |  cast(doc_id % 1080 + 1 AS INT) AS height
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     // expand the same sample bytes through the G.711 closed forms
     // (mu-law: complement, 3-bit mantissa shift by segment, bias 132;

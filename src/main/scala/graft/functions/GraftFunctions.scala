@@ -20,6 +20,12 @@ object GraftFunctions {
       "media_dims(binary) expects exactly 1 argument")
   }
 
+  private def buildMp4Meta(args: Seq[Expression]): Expression = args match {
+    case Seq(child) => Mp4Meta(child)
+    case _ => throw new IllegalArgumentException(
+      "mp4_meta(binary) expects exactly 1 argument")
+  }
+
   private def buildZOrder(args: Seq[Expression]): Expression = args match {
     case Literal(bits: Int, _) +: dims if dims.size >= 2 => ZOrderKey(dims, bits)
     case _ => throw new IllegalArgumentException(
@@ -34,6 +40,8 @@ object GraftFunctions {
       buildMinHash _),
     ("media_dims", new ExpressionInfo(classOf[MediaDims].getName, "media_dims"),
       buildMediaDims _),
+    ("mp4_meta", new ExpressionInfo(classOf[Mp4Meta].getName, "mp4_meta"),
+      buildMp4Meta _),
     ("zorder_key", new ExpressionInfo(classOf[ZOrderKey].getName, "zorder_key"),
       buildZOrder _))
 

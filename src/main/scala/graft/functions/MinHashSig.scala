@@ -208,4 +208,9 @@ object exprs {
     * [[MediaDims]]). */
   def media_dims(payload: Column): Column =
     Bridge.toColumn(MediaDims(Bridge.toExpression(payload)))
+
+  /** Container-level MP4 metadata of a binary column (see
+    * [[Mp4Meta]]). */
+  def mp4_meta(payload: Column): Column =
+    Bridge.toColumn(Mp4Meta(Bridge.toExpression(payload)))
 }

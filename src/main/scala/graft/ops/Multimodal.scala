@@ -48,6 +48,15 @@ object Multimodal {
   def mediaDims(payload: Column): Column =
     graft.functions.exprs.media_dims(payload)
 
+  /** Container-level MP4/ISO-BMFF metadata — REAL box-walk parsing
+    * (`ftyp` brand, `mvhd` timescale/duration, `tkhd` track count +
+    * presentation dims; native codegen'd expression, no demuxer
+    * library): the pre-decode gate a video pipeline runs before any
+    * frame extraction. NULL struct for non-MP4/malformed payloads —
+    * never a throw. */
+  def mp4Meta(payload: Column): Column =
+    graft.functions.exprs.mp4_meta(payload)
+
   val featureSchema: ArrayType = ArrayType(FloatType, containsNull = false)
 
   /** Schema of [[decodeFeatures]]' output struct: one union row per

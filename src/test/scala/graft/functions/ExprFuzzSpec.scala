@@ -286,4 +286,31 @@ class ExprFuzzSpec extends AnyFunSuite {
       payloads.map(p => if (p == null) nullLit(BinaryType) else lit(p)),
       exprs.media_dims)
   }
+
+  test("mp4_meta: interpreted == codegen over valid/mutated/random box trees") {
+    def be32(v: Long): Array[Byte] = Array(
+      (v >>> 24).toByte, (v >>> 16).toByte, (v >>> 8).toByte, v.toByte)
+    def box(t: String, p: Array[Byte]): Array[Byte] =
+      be32(p.length + 8L) ++ t.getBytes("US-ASCII") ++ p
+    val seed = box("ftyp", "isom".getBytes ++ be32(0x200) ++ "isom".getBytes) ++
+      box("moov",
+        box("mvhd", Array[Byte](0, 0, 0, 0) ++ be32(0) ++ be32(0) ++
+          be32(1000) ++ be32(7500) ++ new Array[Byte](80)) ++
+        box("trak", box("tkhd", new Array[Byte](76) ++
+          be32(1920L << 16) ++ be32(1080L << 16))))
+    val payloads: Seq[Array[Byte]] = Seq(null, Array.emptyByteArray, seed) ++
+      (0 until 400).map { i =>
+        if (i % 3 == 0) { val a = new Array[Byte](rnd.nextInt(64)); rnd.nextBytes(a); a }
+        else {
+          val base = seed.clone()
+          (0 until 1 + rnd.nextInt(4)).foreach(_ =>
+            base(rnd.nextInt(base.length)) = rnd.nextInt(256).toByte)
+          base.take(1 + rnd.nextInt(base.length))
+        }
+      }
+    val df = payloads.toDF("x")
+    sweep1("mp4_meta", df,
+      payloads.map(p => if (p == null) nullLit(BinaryType) else lit(p)),
+      exprs.mp4_meta)
+  }
 }

@@ -1,0 +1,140 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Golden-bytes parity for the MP4/ISO-BMFF box walk: handcrafted
+  * minimal-but-valid containers (the same box layout any compliant
+  * muxer writes) across mvhd/tkhd versions 0 and 1 and the 64-bit
+  * largesize form, plus truncation/size-lies/fuzz — exact metadata on
+  * valid containers, NULL (never a throw) on everything else. */
+class Mp4MetaSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[2]")
+    .appName("graft-mp4-meta")
+    .config("spark.sql.shuffle.partitions", "2")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  import spark.implicits._
+
+  private def b(xs: Int*): Array[Byte] = xs.map(_.toByte).toArray
+  private def be32(v: Long): Array[Byte] =
+    b((v >>> 24).toInt & 0xff, (v >>> 16).toInt & 0xff, (v >>> 8).toInt & 0xff, v.toInt & 0xff)
+  private def be64(v: Long): Array[Byte] = be32(v >>> 32) ++ be32(v & 0xFFFFFFFFL)
+
+  private def box(tpe: String, payload: Array[Byte]): Array[Byte] =
+    be32(payload.length + 8L) ++ tpe.getBytes("US-ASCII") ++ payload
+
+  private def ftyp(brand: String = "isom"): Array[Byte] =
+    box("ftyp", brand.getBytes("US-ASCII") ++ be32(0x200) ++ "isom".getBytes)
+
+  private def mvhd0(timescale: Long, duration: Long): Array[Byte] =
+    box("mvhd", b(0, 0, 0, 0) ++ be32(0) ++ be32(0) ++
+      be32(timescale) ++ be32(duration) ++ new Array[Byte](80))
+
+  private def mvhd1(timescale: Long, duration: Long): Array[Byte] =
+    box("mvhd", b(1, 0, 0, 0) ++ be64(0) ++ be64(0) ++
+      be32(timescale) ++ be64(duration) ++ new Array[Byte](80))
+
+  private def tkhd0(w: Int, h: Int): Array[Byte] =
+    box("tkhd", b(0, 0, 0, 0) ++ new Array[Byte](72) ++
+      be32(w.toLong << 16) ++ be32(h.toLong << 16))
+
+  private def tkhd1(w: Int, h: Int): Array[Byte] =
+    box("tkhd", b(1, 0, 0, 0) ++ new Array[Byte](84) ++
+      be32(w.toLong << 16) ++ be32(h.toLong << 16))
+
+  private def trak(tkhd: Array[Byte]): Array[Byte] = box("trak", tkhd)
+
+  private def mp4(boxes: Array[Byte]*): Array[Byte] = boxes.reduce(_ ++ _)
+
+  private def parse(bytes: Array[Byte]) = Mp4MetaUtil.parse(bytes)
+
+  test("v0 container: brand, duration, track count, video dims") {
+    val m = mp4(ftyp(), box("moov",
+      mvhd0(1000, 7500) ++ trak(tkhd0(1920, 1080)) ++ trak(tkhd0(0, 0))))
+    val r = parse(m)
+    assert(r != null)
+    assert(r.getUTF8String(0).toString == "isom")
+    assert(r.getDouble(1) == 7.5)
+    assert(r.getInt(2) == 1000)
+    assert(r.getInt(3) == 2) // video + audio trak
+    assert(r.getInt(4) == 1920 && r.getInt(5) == 1080)
+  }
+
+  test("v1 mvhd/tkhd (64-bit times) parse identically") {
+    val m = mp4(ftyp("mp42"), box("moov",
+      mvhd1(90000, 123456789L) ++ trak(tkhd1(640, 360))))
+    val r = parse(m)
+    assert(r != null)
+    assert(r.getUTF8String(0).toString == "mp42")
+    assert(r.getDouble(1) == 123456789L.toDouble / 90000)
+    assert(r.getInt(3) == 1)
+    assert(r.getInt(4) == 640 && r.getInt(5) == 360)
+  }
+
+  test("largesize (size==1 + 64-bit) and unknown boxes are walked, audio-only has NULL dims") {
+    val inner = mvhd0(600, 1200) ++ trak(tkhd0(0, 0))
+    val largeMoov = be32(1) ++ "moov".getBytes ++ be64(inner.length + 16L) ++ inner
+    val m = mp4(ftyp(), box("free", new Array[Byte](11)), largeMoov,
+      box("mdat", b(1, 2, 3)))
+    val r = parse(m)
+    assert(r != null)
+    assert(r.getDouble(1) == 2.0)
+    assert(r.getInt(3) == 1)
+    assert(r.isNullAt(4) && r.isNullAt(5)) // no video track
+  }
+
+  test("hostile: truncation, size lies, missing mvhd, non-mp4, absurd fields → NULL") {
+    val good = mp4(ftyp(), box("moov", mvhd0(1000, 5000) ++ trak(tkhd0(64, 48))))
+    assert(parse(good) != null)
+    assert(parse(null) == null)
+    assert(parse(Array.emptyByteArray) == null)
+    assert(parse("not an mp4 at all......".getBytes) == null)
+    assert(parse(good.take(20)) == null) // truncated mid-ftyp payload is fine; mid-moov:
+    assert(parse(good.dropRight(10)) == null) // moov size now overruns payload
+    val lyingSize = good.clone()
+    lyingSize(0) = 0x7f // ftyp size lies huge
+    assert(parse(lyingSize) == null)
+    assert(parse(mp4(ftyp())) == null) // no moov/mvhd
+    assert(parse(mp4(ftyp(), box("moov", mvhd0(0, 5000)))) == null) // timescale 0
+    assert(parse(mp4(ftyp(), box("moov",
+      mvhd0(1000, 5000).updated(8, 9.toByte)))) == null) // mvhd version 9
+  }
+
+  test("fuzz: 1500 mutated/truncated/random payloads never throw") {
+    val rnd = new scala.util.Random(1234)
+    val seeds = Seq(
+      mp4(ftyp(), box("moov", mvhd0(1000, 7500) ++ trak(tkhd0(1920, 1080)))),
+      mp4(ftyp("mp42"), box("moov", mvhd1(90000, 42L) ++ trak(tkhd1(640, 360)))))
+    (0 until 1500).foreach { i =>
+      val payload =
+        if (i % 3 == 0) { val a = new Array[Byte](rnd.nextInt(96)); rnd.nextBytes(a); a }
+        else {
+          val base = seeds(rnd.nextInt(seeds.length)).clone()
+          (0 until 1 + rnd.nextInt(5)).foreach(_ =>
+            base(rnd.nextInt(base.length)) = rnd.nextInt(256).toByte)
+          base.take(1 + rnd.nextInt(base.length))
+        }
+      parse(payload) // must not throw
+    }
+  }
+
+  test("SQL registration and Column form agree (interpreted == codegen'd plan)") {
+    GraftFunctions.registerAll(spark)
+    val m = mp4(ftyp(), box("moov", mvhd0(1000, 2500) ++ trak(tkhd0(320, 240))))
+    val df = Seq(Tuple1(m)).toDF("payload")
+    val viaCol = df.select(exprs.mp4_meta(col("payload")).as("m"))
+      .selectExpr("m.major_brand", "m.duration_s", "m.n_tracks", "m.width").head()
+    val viaSql = df.createOrReplaceTempView("t_mp4")
+    val r2 = spark.sql(
+      "SELECT mp4_meta(payload).duration_s, mp4_meta(payload).height FROM t_mp4").head()
+    assert(viaCol.getString(0) == "isom")
+    assert(viaCol.getDouble(1) == 2.5 && r2.getDouble(0) == 2.5)
+    assert(viaCol.getInt(2) == 1 && viaCol.getInt(3) == 320)
+    assert(r2.getInt(1) == 240)
+  }
+}
