@@ -981,6 +981,57 @@ object SparkEntry {
         .orderBy("doc_id")
     },
 
+    "q_multimodal_mp4_samples" -> { (s, dir) =>
+      // the sample-table walk under the oracle: assemble a spec-valid
+      // stbl columnar — per-sample stsz sizes, TWO chunks mapped by
+      // stsc runs, stco offsets, stss on every third doc (absent =
+      // all keyframes) — lay it out with the native parser, and have
+      // DuckDB recompute every byte offset as chunk base + prefix-sum
+      // of the earlier sizes in the chunk: any drift in the
+      // run/chunk/offset bookkeeping breaks the hash.
+      val c1 = pmod(col("doc_id"), lit(3L)) + 1 // chunk-1 samples, 1..3
+      val c2 = pmod(col("doc_id"), lit(4L)) + 1 // chunk-2 samples, 1..4
+      val n = c1 + c2
+      val o1 = lit(4096L) + pmod(col("doc_id"), lit(1000L))
+      val o2 = o1 + 100000L
+      val hasStss = pmod(col("doc_id"), lit(3L)) === 0
+      def sizeK(k: Column) = pmod(col("doc_id") + k * 13, lit(200L)) + 1
+      val sizesHex = aggregate(sequence(lit(1L), n), lit(""),
+        (acc, k) => concat(acc, lpad(hex(sizeK(k)), 8, "0")))
+      val stszB = concat(be32(n * 4 + 20), ascii("stsz"),
+        lit(new Array[Byte](4)), be32(lit(0L)), be32(n), unhex(sizesHex))
+      val stscB = concat(be32(lit(40L)), ascii("stsc"),
+        lit(new Array[Byte](4)), be32(lit(2L)),
+        be32(lit(1L)), be32(c1), be32(lit(1L)),
+        be32(lit(2L)), be32(c2), be32(lit(1L)))
+      val stcoB = concat(be32(lit(24L)), ascii("stco"),
+        lit(new Array[Byte](4)), be32(lit(2L)), be32(o1), be32(o2))
+      val stssB = when(hasStss,
+        concat(be32(lit(24L)), ascii("stss"), lit(new Array[Byte](4)),
+          be32(lit(2L)), be32(lit(1L)), be32(c1 + 1)))
+        .otherwise(lit(Array.emptyByteArray))
+      val stblPayload = (n * 4 + 20) + 40 + 24 +
+        when(hasStss, lit(24L)).otherwise(lit(0L))
+      val stblB = concat(be32(stblPayload + 8), ascii("stbl"),
+        stszB, stscB, stcoB, stssB)
+      val minfB = concat(be32(stblPayload + 16), ascii("minf"), stblB)
+      val mdiaB = concat(be32(stblPayload + 24), ascii("mdia"), minfB)
+      val trakB = concat(be32(stblPayload + 32), ascii("trak"), mdiaB)
+      val moovB = concat(be32(stblPayload + 40), ascii("moov"), trakB)
+      val ftypB = concat(be32(lit(16L)), ascii("ftyp"),
+        ascii("isom"), be32(lit(0x200L)))
+      t(s, dir, "documents")
+        .select(col("doc_id"), concat(ftypB, moovB).as("payload"))
+        .select(col("doc_id"),
+          explode(ops.Multimodal.mp4Samples(col("payload"))).as("smp"))
+        .select(col("doc_id"),
+          col("smp.sample_index").as("sample_index"),
+          col("smp.offset").as("offset"),
+          col("smp.size").as("size"),
+          col("smp.keyframe").as("keyframe"))
+        .orderBy("doc_id", "sample_index")
+    },
+
     "q_multimodal_decode_ulaw" -> { (s, dir) =>
       // G.711 telephony decode under the oracle: assemble spec-valid
       // mu-law (even doc_ids) / A-law (odd) WAVs columnar — sample
@@ -2405,6 +2456,30 @@ object SparkEntry {
         |  cast(doc_id % 1920 + 1 AS INT) AS width,
         |  cast(doc_id % 1080 + 1 AS INT) AS height
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // recompute every sample's byte offset as chunk base + prefix sum
+    // of the earlier sizes in its chunk (1-based list slices; an empty
+    // slice sums to NULL -> 0)
+    "q_multimodal_mp4_samples" ->
+      """WITH src AS (
+        |  SELECT doc_id,
+        |    doc_id % 3 + 1 AS c1,
+        |    4096 + doc_id % 1000 AS o1,
+        |    104096 + doc_id % 1000 AS o2,
+        |    list_transform(range(1, doc_id % 3 + doc_id % 4 + 3),
+        |      k -> (doc_id + 13*k) % 200 + 1) AS sizes
+        |  FROM documents),
+        |ex AS (
+        |  SELECT doc_id, c1, o1, o2, sizes,
+        |    unnest(range(1, len(sizes) + 1)) AS k
+        |  FROM src)
+        |SELECT doc_id, cast(k AS INT) AS sample_index,
+        |  cast(CASE WHEN k <= c1 THEN o1 + coalesce(list_sum(sizes[1:k-1]), 0)
+        |       ELSE o2 + coalesce(list_sum(sizes[c1+1:k-1]), 0) END AS BIGINT) AS offset,
+        |  cast(sizes[k] AS INT) AS size,
+        |  CASE WHEN doc_id % 3 = 0 THEN (k = 1 OR k = c1 + 1) ELSE true END AS keyframe
+        |FROM ex
+        |ORDER BY doc_id, sample_index""".stripMargin,
 
     // expand the same sample bytes through the G.711 closed forms
     // (mu-law: complement, 3-bit mantissa shift by segment, bias 132;

@@ -26,6 +26,12 @@ object GraftFunctions {
       "mp4_meta(binary) expects exactly 1 argument")
   }
 
+  private def buildMp4Samples(args: Seq[Expression]): Expression = args match {
+    case Seq(child) => Mp4Samples(child)
+    case _ => throw new IllegalArgumentException(
+      "mp4_samples(binary) expects exactly 1 argument")
+  }
+
   private def buildZOrder(args: Seq[Expression]): Expression = args match {
     case Literal(bits: Int, _) +: dims if dims.size >= 2 => ZOrderKey(dims, bits)
     case _ => throw new IllegalArgumentException(
@@ -42,6 +48,8 @@ object GraftFunctions {
       buildMediaDims _),
     ("mp4_meta", new ExpressionInfo(classOf[Mp4Meta].getName, "mp4_meta"),
       buildMp4Meta _),
+    ("mp4_samples", new ExpressionInfo(classOf[Mp4Samples].getName, "mp4_samples"),
+      buildMp4Samples _),
     ("zorder_key", new ExpressionInfo(classOf[ZOrderKey].getName, "zorder_key"),
       buildZOrder _))
 

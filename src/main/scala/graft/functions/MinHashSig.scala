@@ -213,4 +213,8 @@ object exprs {
     * [[Mp4Meta]]). */
   def mp4_meta(payload: Column): Column =
     Bridge.toColumn(Mp4Meta(Bridge.toExpression(payload)))
+
+  /** Per-sample MP4 layout of a binary column (see [[Mp4Samples]]). */
+  def mp4_samples(payload: Column): Column =
+    Bridge.toColumn(Mp4Samples(Bridge.toExpression(payload)))
 }

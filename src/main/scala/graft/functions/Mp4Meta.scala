@@ -52,7 +52,52 @@ case class Mp4Meta(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Per-sample layout of an MP4's FIRST sampled track — REAL sample-
+  * table parsing (`stbl`: `stsz` sizes, `stsc` sample-to-chunk runs,
+  * `stco`/`co64` chunk offsets, `stss` sync samples), the demuxer-free
+  * frame sampler a video pipeline uses to fetch keyframes by byte
+  * range without decoding: returns array<struct(sample_index, offset,
+  * size, keyframe)> with 1-based indices and absolute file offsets
+  * (chunk offset + sum of earlier sample sizes in the chunk). A
+  * missing `stss` means every sample is a sync sample (ISO 14496-12).
+  * NULL for non-MP4, malformed/truncated tables, counts that lie
+  * about their box size, or inconsistent chunk maps — never a throw. */
+case class Mp4Samples(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case BinaryType => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"mp4_samples expects binary, got ${other.simpleString}")
+    }
+
+  override def dataType: DataType = Mp4MetaUtil.samplesSchema
+  override def nullable: Boolean = true
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "mp4_samples"
+
+  override protected def nullSafeEval(input: Any): Any =
+    Mp4MetaUtil.parseSamples(input.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"""
+         |${ev.value} = graft.functions.Mp4MetaUtil$$.MODULE$$.parseSamples($c);
+         |${ev.isNull} = (${ev.value} == null);
+       """.stripMargin)
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object Mp4MetaUtil {
+
+  val samplesSchema: ArrayType = ArrayType(StructType(Seq(
+    StructField("sample_index", IntegerType, nullable = false),
+    StructField("offset", LongType, nullable = false),
+    StructField("size", IntegerType, nullable = false),
+    StructField("keyframe", BooleanType, nullable = false))),
+    containsNull = false)
 
   val schema: StructType = StructType(Seq(
     StructField("major_brand", StringType),
@@ -180,5 +225,136 @@ object Mp4MetaUtil {
       nTracks,
       if (width > 0) width.toInt else null,
       if (height > 0) height.toInt else null)
+  }
+
+  // hostile bound: a crafted stsz declaring 2^31 samples must not
+  // allocate gigabytes of layout rows
+  private val MaxSamples = 65536
+
+  /** Walk to the first trak's stbl and lay out every sample. Null on
+    * anything malformed — never throws. */
+  def parseSamples(b: Array[Byte]): org.apache.spark.sql.catalyst.util.GenericArrayData = {
+    if (b == null || b.length < 16) return null
+    if (!fourcc(b, 4, "ftyp")) return null
+
+    // locate moov → first trak → mdia → minf → stbl by descending
+    // through the container chain (each step: first matching child)
+    def findChild(t: String, from: Int, end: Int): (Int, Int) = {
+      var off = from
+      var guard = 0
+      while (off + 8 <= end && guard < 4096) {
+        guard += 1
+        val bd = boxBounds(b, off, end)
+        if (bd == null) return null
+        if (fourcc(b, off + 4, t)) return bd
+        off = bd._2
+      }
+      null
+    }
+    val moov = findChild("moov", 0, b.length)
+    if (moov == null) return null
+    val trak = findChild("trak", moov._1, moov._2)
+    if (trak == null) return null
+    val mdia = findChild("mdia", trak._1, trak._2)
+    if (mdia == null) return null
+    val minf = findChild("minf", mdia._1, mdia._2)
+    if (minf == null) return null
+    val stbl = findChild("stbl", minf._1, minf._2)
+    if (stbl == null) return null
+
+    // full-box payload cursor: ver/flags(4) then entry_count(4); the
+    // declared count is distrusted against the box's actual size
+    def entries(bd: (Int, Int), entryBytes: Int): (Int, Int) = {
+      val (p, e) = bd
+      if (p + 8 > e) return null
+      val n = be32(b, p + 4)
+      if (n < 0 || n > MaxSamples) return null
+      if (p + 8 + n * entryBytes.toLong > e) return null // count lies
+      (p + 8, n.toInt)
+    }
+
+    // stsz: fixed sample_size or per-sample table
+    val stsz = findChild("stsz", stbl._1, stbl._2)
+    if (stsz == null) return null
+    val (szP, szE) = stsz
+    if (szP + 12 > szE) return null
+    val fixedSize = be32(b, szP + 4)
+    val sampleCount = be32(b, szP + 8)
+    if (sampleCount < 0 || sampleCount > MaxSamples) return null
+    if (fixedSize < 0 || fixedSize > Int.MaxValue) return null
+    if (fixedSize == 0 && szP + 12 + sampleCount * 4 > szE) return null
+    val n = sampleCount.toInt
+    def sizeOf(i: Int): Long = // 0-based
+      if (fixedSize != 0) fixedSize else be32(b, szP + 12 + i * 4)
+
+    // stco / co64 chunk offsets
+    val stco = findChild("stco", stbl._1, stbl._2)
+    val co64 = if (stco == null) findChild("co64", stbl._1, stbl._2) else null
+    if (stco == null && co64 == null) return null
+    val chunkBytes = if (stco != null) 4 else 8
+    val co = entries(if (stco != null) stco else co64, chunkBytes)
+    if (co == null) return null
+    val (coP, nChunks) = co
+    def chunkOffset(c: Int): Long = // 0-based
+      if (chunkBytes == 4) be32(b, coP + c * 4) else be64(b, coP + c * 8)
+
+    // stsc runs: (first_chunk 1-based, samples_per_chunk, desc_index)
+    val stsc = findChild("stsc", stbl._1, stbl._2)
+    if (stsc == null) return null
+    val sc = entries(stsc, 12)
+    if (sc == null) return null
+    val (scP, nRuns) = sc
+    if (nRuns == 0 && n > 0) return null
+
+    // stss sync table (absent = every sample is a keyframe)
+    val stss = findChild("stss", stbl._1, stbl._2)
+    val sync: java.util.HashSet[Int] =
+      if (stss == null) null
+      else {
+        val ss = entries(stss, 4)
+        if (ss == null) return null
+        val (ssP, nSync) = ss
+        val set = new java.util.HashSet[Int](nSync * 2)
+        var i = 0
+        while (i < nSync) { set.add(be32(b, ssP + i * 4).toInt); i += 1 }
+        set
+      }
+
+    // lay out samples chunk by chunk through the stsc runs
+    val out = new Array[Any](n)
+    var sample = 0 // 0-based
+    var run = 0
+    var chunk = 0 // 0-based current chunk
+    while (sample < n) {
+      if (run >= nRuns) return null
+      val firstChunk = be32(b, scP + run * 12).toInt - 1
+      val perChunk = be32(b, scP + run * 12 + 4)
+      if (firstChunk < 0 || firstChunk >= nChunks || perChunk <= 0 ||
+        perChunk > MaxSamples) return null
+      val runEnd = // last chunk (exclusive) this run covers
+        if (run + 1 < nRuns) be32(b, scP + (run + 1) * 12).toInt - 1 else nChunks
+      if (runEnd <= firstChunk || runEnd > nChunks) return null
+      if (chunk < firstChunk) chunk = firstChunk
+      while (chunk < runEnd && sample < n) {
+        val base = chunkOffset(chunk)
+        var within = 0L
+        var k = 0
+        while (k < perChunk && sample < n) {
+          val sz = sizeOf(sample)
+          if (sz < 0 || sz > Int.MaxValue) return null
+          out(sample) = InternalRow(
+            sample + 1,
+            base + within,
+            sz.toInt,
+            sync == null || sync.contains(sample + 1))
+          within += sz
+          sample += 1
+          k += 1
+        }
+        chunk += 1
+      }
+      run += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
   }
 }

@@ -57,6 +57,15 @@ object Multimodal {
   def mp4Meta(payload: Column): Column =
     graft.functions.exprs.mp4_meta(payload)
 
+  /** REAL frame/sample sampling for MP4 payloads: per-sample byte
+    * ranges + keyframe flags from the sample tables (stsz/stsc/stco/
+    * co64/stss — no decoding, no demuxer library), the layout a
+    * pipeline uses to range-fetch keyframes. Supersedes
+    * [[frameSampleStub]] for MP4; the stub remains only as the
+    * byte-stride fallback for container-less payloads. */
+  def mp4Samples(payload: Column): Column =
+    graft.functions.exprs.mp4_samples(payload)
+
   val featureSchema: ArrayType = ArrayType(FloatType, containsNull = false)
 
   /** Schema of [[decodeFeatures]]' output struct: one union row per

@@ -313,4 +313,34 @@ class ExprFuzzSpec extends AnyFunSuite {
       payloads.map(p => if (p == null) nullLit(BinaryType) else lit(p)),
       exprs.mp4_meta)
   }
+
+  test("mp4_samples: interpreted == codegen over valid/mutated sample tables") {
+    def be32(v: Long): Array[Byte] = Array(
+      (v >>> 24).toByte, (v >>> 16).toByte, (v >>> 8).toByte, v.toByte)
+    def box(t: String, p: Array[Byte]): Array[Byte] =
+      be32(p.length + 8L) ++ t.getBytes("US-ASCII") ++ p
+    def fbox(t: String, p: Array[Byte]): Array[Byte] =
+      box(t, Array[Byte](0, 0, 0, 0) ++ p)
+    val stbl =
+      fbox("stsz", be32(0) ++ be32(3) ++ be32(10) ++ be32(20) ++ be32(30)) ++
+      fbox("stsc", be32(1) ++ be32(1) ++ be32(3) ++ be32(1)) ++
+      fbox("stco", be32(1) ++ be32(1000)) ++
+      fbox("stss", be32(1) ++ be32(2))
+    val seed = box("ftyp", "isom".getBytes ++ be32(0x200) ++ "isom".getBytes) ++
+      box("moov", box("trak", box("mdia", box("minf", box("stbl", stbl)))))
+    val payloads: Seq[Array[Byte]] = Seq(null, Array.emptyByteArray, seed) ++
+      (0 until 300).map { i =>
+        if (i % 3 == 0) { val a = new Array[Byte](rnd.nextInt(64)); rnd.nextBytes(a); a }
+        else {
+          val base = seed.clone()
+          (0 until 1 + rnd.nextInt(4)).foreach(_ =>
+            base(rnd.nextInt(base.length)) = rnd.nextInt(256).toByte)
+          base.take(1 + rnd.nextInt(base.length))
+        }
+      }
+    val df = payloads.toDF("x")
+    sweep1("mp4_samples", df,
+      payloads.map(p => if (p == null) nullLit(BinaryType) else lit(p)),
+      exprs.mp4_samples)
+  }
 }

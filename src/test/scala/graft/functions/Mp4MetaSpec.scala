@@ -123,6 +123,91 @@ class Mp4MetaSpec extends AnyFunSuite {
     }
   }
 
+  // ---------- sample tables (mp4_samples) ----------
+
+  private def fbox(t: String, payload: Array[Byte], ver: Int = 0): Array[Byte] =
+    box(t, b(ver, 0, 0, 0) ++ payload)
+
+  private def stsz(sizes: Seq[Long], fixed: Long = 0): Array[Byte] =
+    fbox("stsz", be32(fixed) ++ be32(sizes.length.toLong) ++
+      (if (fixed == 0) sizes.flatMap(be32(_)).toArray else Array.emptyByteArray))
+
+  private def stsc(runs: Seq[(Long, Long)]): Array[Byte] =
+    fbox("stsc", be32(runs.length.toLong) ++
+      runs.flatMap { case (fc, spc) => be32(fc) ++ be32(spc) ++ be32(1) }.toArray)
+
+  private def stco(offs: Seq[Long]): Array[Byte] =
+    fbox("stco", be32(offs.length.toLong) ++ offs.flatMap(be32(_)).toArray)
+
+  private def co64(offs: Seq[Long]): Array[Byte] =
+    fbox("co64", be32(offs.length.toLong) ++ offs.flatMap(be64).toArray)
+
+  private def stss(samples: Seq[Long]): Array[Byte] =
+    fbox("stss", be32(samples.length.toLong) ++ samples.flatMap(be32(_)).toArray)
+
+  private def sampledMp4(stbl: Array[Byte]): Array[Byte] =
+    mp4(ftyp(), box("moov", mvhd0(1000, 5000) ++
+      box("trak", tkhd0(64, 48) ++ box("mdia", box("minf", box("stbl", stbl))))))
+
+  private def rows(bytes: Array[Byte]): Seq[(Int, Long, Int, Boolean)] = {
+    val a = Mp4MetaUtil.parseSamples(bytes)
+    assert(a != null, "expected a sample layout")
+    (0 until a.numElements()).map { i =>
+      val r = a.getStruct(i, 4)
+      (r.getInt(0), r.getLong(1), r.getInt(2), r.getBoolean(3))
+    }
+  }
+
+  test("mp4_samples: one chunk, per-sample sizes, stss keyframes") {
+    val m = sampledMp4(
+      stsz(Seq(10, 20, 30)) ++ stsc(Seq((1L, 3L))) ++ stco(Seq(1000)) ++
+        stss(Seq(1, 3)))
+    assert(rows(m) == Seq(
+      (1, 1000L, 10, true), (2, 1010L, 20, false), (3, 1030L, 30, true)))
+  }
+
+  test("mp4_samples: stsc runs across chunks; missing stss = all keyframes") {
+    // 5 samples: chunk1 holds 2 (run (1,2)), chunks 2..3 hold 3 and
+    // then the remaining 0-padded run (run (2,3))
+    val m = sampledMp4(
+      stsz(Seq(5, 6, 7, 8, 9)) ++ stsc(Seq((1L, 2L), (2L, 3L))) ++
+        stco(Seq(100, 2000)))
+    assert(rows(m) == Seq(
+      (1, 100L, 5, true), (2, 105L, 6, true),
+      (3, 2000L, 7, true), (4, 2007L, 8, true), (5, 2015L, 9, true)))
+  }
+
+  test("mp4_samples: fixed sample size and 64-bit chunk offsets") {
+    val big = 0x1_0000_0000L + 64 // needs co64
+    val m = sampledMp4(
+      stsz(Seq(0, 0), fixed = 16) ++ stsc(Seq((1L, 2L))) ++ co64(Seq(big)))
+    assert(rows(m) == Seq((1, big, 16, true), (2, big + 16, 16, true)))
+  }
+
+  test("mp4_samples hostile: lying counts, missing boxes, short runs → NULL; fuzz never throws") {
+    val good = sampledMp4(
+      stsz(Seq(10, 20)) ++ stsc(Seq((1L, 2L))) ++ stco(Seq(500)))
+    assert(Mp4MetaUtil.parseSamples(good) != null)
+    assert(Mp4MetaUtil.parseSamples(null) == null)
+    // stsz count lies past its box
+    val lying = sampledMp4(
+      fbox("stsz", be32(0) ++ be32(1000)) ++ stsc(Seq((1L, 2L))) ++ stco(Seq(500)))
+    assert(Mp4MetaUtil.parseSamples(lying) == null)
+    // no stco/co64
+    assert(Mp4MetaUtil.parseSamples(
+      sampledMp4(stsz(Seq(10)) ++ stsc(Seq((1L, 1L))))) == null)
+    // stsc runs cover no samples
+    assert(Mp4MetaUtil.parseSamples(
+      sampledMp4(stsz(Seq(10)) ++ fbox("stsc", be32(0)) ++ stco(Seq(1)))) == null)
+    val rnd = new scala.util.Random(77)
+    (0 until 800).foreach { i =>
+      val base = good.clone()
+      (0 until 1 + rnd.nextInt(5)).foreach(_ =>
+        base(rnd.nextInt(base.length)) = rnd.nextInt(256).toByte)
+      Mp4MetaUtil.parseSamples(base.take(1 + rnd.nextInt(base.length))) // no throw
+    }
+  }
+
   test("SQL registration and Column form agree (interpreted == codegen'd plan)") {
     GraftFunctions.registerAll(spark)
     val m = mp4(ftyp(), box("moov", mvhd0(1000, 2500) ++ trak(tkhd0(320, 240))))
