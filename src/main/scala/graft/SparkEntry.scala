@@ -981,6 +981,53 @@ object SparkEntry {
         .orderBy("doc_id")
     },
 
+    "q_multimodal_mp3" -> { (s, dir) =>
+      // the MP3 frame walk under the oracle: assemble spec-valid
+      // MPEG-1 Layer III streams columnar behind an ID3v2 tag — frame
+      // headers from doc_id arithmetic, each frame body zero-padded to
+      // the EXACT length the bitrate/samplerate tables dictate
+      // (144000*kbps/rate + padding) — walk them back with the native
+      // parser, and have DuckDB recompute bitrate/rate/duration/vbr
+      // from the same arithmetic plus its own copy of the tables: any
+      // table or frame-length drift desyncs the walk and breaks the
+      // hash. Even doc_ids are CBR mono, odd are VBR stereo.
+      val n = pmod(col("doc_id"), lit(5L)) + 2 // 2..6 frames
+      val srIdx = pmod(col("doc_id"), lit(3L))
+      val rate = element_at(
+        typedLit(Seq(44100L, 48000L, 32000L)), (srIdx + 1).cast("int"))
+      val brTable = typedLit(Seq(32L, 40L, 48L, 56L, 64L, 80L, 96L,
+        112L, 128L, 160L, 192L, 224L, 256L, 320L))
+      val even = pmod(col("doc_id"), lit(2L)) === 0
+      def brIdxK(k: Column) = when(even, pmod(col("doc_id"), lit(14L)) + 1)
+        .otherwise(pmod(col("doc_id") + k, lit(14L)) + 1)
+      def frameHex(k: Column) = {
+        val idx = brIdxK(k)
+        val kbps = element_at(brTable, idx.cast("int"))
+        val pad = pmod(k, lit(2L))
+        val flen = floor(lit(144000L) * kbps / rate).cast(LongType) + pad
+        concat(lit("fffb"), b2(idx * 16 + srIdx * 4 + pad * 2),
+          b2(when(even, lit(192L)).otherwise(lit(0L))), // mono | stereo
+          repeat(lit("00"), (flen - 4).cast("int")))
+      }
+      val framesHex = aggregate(sequence(lit(1L), n), lit(""),
+        (acc, k) => concat(acc, frameHex(k)))
+      val id3 = lit("ID3".getBytes ++ Array[Byte](4, 0, 0, 0, 0, 0, 10) ++
+        new Array[Byte](10))
+      val m = ops.Multimodal.mp3Meta(col("payload"))
+      t(s, dir, "documents")
+        .select(col("doc_id"), concat(id3, unhex(framesHex)).as("payload"))
+        .select(col("doc_id"),
+          m.getField("mpeg_version").as("mpeg_version"),
+          m.getField("layer").as("layer"),
+          m.getField("bitrate_kbps").as("bitrate_kbps"),
+          m.getField("sample_rate").as("sample_rate"),
+          m.getField("channels").as("channels"),
+          m.getField("n_frames").as("n_frames"),
+          m.getField("duration_s").as("duration_s"),
+          m.getField("vbr").as("vbr"))
+        .orderBy("doc_id")
+    },
+
     "q_multimodal_mp4_samples" -> { (s, dir) =>
       // the sample-table walk under the oracle: assemble a spec-valid
       // stbl columnar — per-sample stsz sizes, TWO chunks mapped by
@@ -2455,6 +2502,22 @@ object SparkEntry {
         |  cast(1 + doc_id % 2 AS INT) AS n_tracks,
         |  cast(doc_id % 1920 + 1 AS INT) AS width,
         |  cast(doc_id % 1080 + 1 AS INT) AS height
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // recompute the MP3 stream metadata from the same doc_id
+    // arithmetic plus an independent copy of the MPEG-1 Layer III
+    // bitrate table
+    "q_multimodal_mp3" ->
+      """SELECT doc_id, '1' AS mpeg_version, 3 AS layer,
+        |  cast(list_value(32,40,48,56,64,80,96,112,128,160,192,224,256,320)[
+        |    CASE WHEN doc_id % 2 = 0 THEN doc_id % 14 + 1
+        |         ELSE (doc_id + 1) % 14 + 1 END] AS INT) AS bitrate_kbps,
+        |  cast(list_value(44100,48000,32000)[doc_id % 3 + 1] AS INT) AS sample_rate,
+        |  cast(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 2 END AS INT) AS channels,
+        |  cast(doc_id % 5 + 2 AS INT) AS n_frames,
+        |  cast((doc_id % 5 + 2) * 1152 AS DOUBLE) /
+        |    list_value(44100,48000,32000)[doc_id % 3 + 1] AS duration_s,
+        |  doc_id % 2 = 1 AS vbr
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     // recompute every sample's byte offset as chunk base + prefix sum

@@ -32,6 +32,12 @@ object GraftFunctions {
       "mp4_samples(binary) expects exactly 1 argument")
   }
 
+  private def buildMp3Meta(args: Seq[Expression]): Expression = args match {
+    case Seq(child) => Mp3Meta(child)
+    case _ => throw new IllegalArgumentException(
+      "mp3_meta(binary) expects exactly 1 argument")
+  }
+
   private def buildZOrder(args: Seq[Expression]): Expression = args match {
     case Literal(bits: Int, _) +: dims if dims.size >= 2 => ZOrderKey(dims, bits)
     case _ => throw new IllegalArgumentException(
@@ -50,6 +56,8 @@ object GraftFunctions {
       buildMp4Meta _),
     ("mp4_samples", new ExpressionInfo(classOf[Mp4Samples].getName, "mp4_samples"),
       buildMp4Samples _),
+    ("mp3_meta", new ExpressionInfo(classOf[Mp3Meta].getName, "mp3_meta"),
+      buildMp3Meta _),
     ("zorder_key", new ExpressionInfo(classOf[ZOrderKey].getName, "zorder_key"),
       buildZOrder _))
 

@@ -217,4 +217,8 @@ object exprs {
   /** Per-sample MP4 layout of a binary column (see [[Mp4Samples]]). */
   def mp4_samples(payload: Column): Column =
     Bridge.toColumn(Mp4Samples(Bridge.toExpression(payload)))
+
+  /** Stream-level MP3 metadata of a binary column (see [[Mp3Meta]]). */
+  def mp3_meta(payload: Column): Column =
+    Bridge.toColumn(Mp3Meta(Bridge.toExpression(payload)))
 }

@@ -66,6 +66,14 @@ object Multimodal {
   def mp4Samples(payload: Column): Column =
     graft.functions.exprs.mp4_samples(payload)
 
+  /** Stream-level MP3 metadata — REAL frame-header walking (ID3v2
+    * skip, sync scan, the standard bitrate/sample-rate tables,
+    * per-frame lengths → frame count, duration, VBR flag; native
+    * codegen'd expression, no codec library): the audio-corpus triage
+    * gate. NULL for non-MP3/malformed payloads — never a throw. */
+  def mp3Meta(payload: Column): Column =
+    graft.functions.exprs.mp3_meta(payload)
+
   val featureSchema: ArrayType = ArrayType(FloatType, containsNull = false)
 
   /** Schema of [[decodeFeatures]]' output struct: one union row per

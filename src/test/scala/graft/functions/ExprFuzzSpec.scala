@@ -343,4 +343,26 @@ class ExprFuzzSpec extends AnyFunSuite {
       payloads.map(p => if (p == null) nullLit(BinaryType) else lit(p)),
       exprs.mp4_samples)
   }
+
+  test("mp3_meta: interpreted == codegen over valid/mutated frame streams") {
+    // MPEG1 Layer III, 128 kbps @ 44100, two frames
+    val hdr = Array(0xff.toByte, 0xfb.toByte, 0x90.toByte, 0xc0.toByte)
+    val oneFrame = hdr ++ new Array[Byte](417)
+    val seed = "ID3".getBytes ++ Array[Byte](4, 0, 0, 0, 0, 0, 10) ++
+      new Array[Byte](10) ++ oneFrame ++ oneFrame
+    val payloads: Seq[Array[Byte]] = Seq(null, Array.emptyByteArray, seed) ++
+      (0 until 300).map { i =>
+        if (i % 3 == 0) { val a = new Array[Byte](rnd.nextInt(64)); rnd.nextBytes(a); a }
+        else {
+          val base = seed.clone()
+          (0 until 1 + rnd.nextInt(4)).foreach(_ =>
+            base(rnd.nextInt(base.length)) = rnd.nextInt(256).toByte)
+          base.take(1 + rnd.nextInt(base.length))
+        }
+      }
+    val df = payloads.toDF("x")
+    sweep1("mp3_meta", df,
+      payloads.map(p => if (p == null) nullLit(BinaryType) else lit(p)),
+      exprs.mp3_meta)
+  }
 }
