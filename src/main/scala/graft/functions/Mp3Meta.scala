@@ -92,11 +92,13 @@ object Mp3MetaUtil {
   def parse(b: Array[Byte]): InternalRow = {
     if (b == null || b.length < 4) return null
     var off = 0
-    // ID3v2: "ID3" ver(2) flags(1) syncsafe size(4)
+    // ID3v2: "ID3" ver(2) flags(1) syncsafe size(4); the v2.4 footer
+    // flag (0x10) adds a 10-byte footer NOT counted in the size
     if (b.length >= 10 && b(0) == 'I' && b(1) == 'D' && b(2) == '3') {
       val size = ((u8(b, 6) & 0x7f) << 21) | ((u8(b, 7) & 0x7f) << 14) |
         ((u8(b, 8) & 0x7f) << 7) | (u8(b, 9) & 0x7f)
-      val skip = 10L + size
+      val footer = if ((u8(b, 5) & 0x10) != 0) 10 else 0
+      val skip = 10L + size + footer
       if (skip > b.length - 4) return null
       off = skip.toInt
     }

@@ -151,8 +151,11 @@ object Mp4MetaUtil {
 
     var off = 0
     var guard = 0
-    while (off + 8 <= b.length && guard < 4096) {
+    while (off + 8 <= b.length) {
       guard += 1
+      // a crafted payload with thousands of tiny boxes must reject,
+      // not silently truncate the walk (n_tracks would undercount)
+      if (guard > 4096) return null
       val bounds = boxBounds(b, off, b.length)
       if (bounds == null) return null
       val (payload, boxEnd) = bounds
@@ -163,8 +166,9 @@ object Mp4MetaUtil {
         // walk moov children
         var c = payload
         var cg = 0
-        while (c + 8 <= boxEnd && cg < 4096) {
+        while (c + 8 <= boxEnd) {
           cg += 1
+          if (cg > 4096) return null
           val cb = boxBounds(b, c, boxEnd)
           if (cb == null) return null
           val (cp, ce) = cb
@@ -188,8 +192,9 @@ object Mp4MetaUtil {
             // find tkhd among trak children
             var t = cp
             var tg = 0
-            while (t + 8 <= ce && tg < 4096) {
+            while (t + 8 <= ce) {
               tg += 1
+              if (tg > 4096) return null
               val tb = boxBounds(b, t, ce)
               if (tb == null) return null
               val (tp, te) = tb
@@ -202,11 +207,13 @@ object Mp4MetaUtil {
                   else return null
                 if (hOff + 4 > te) return null
                 // 16.16 fixed point presentation size; audio tracks
-                // carry 0x0 — keep the max over tracks (the video one)
+                // carry 0x0 — keep the PAIR from the largest-area
+                // track (independent per-field maxima would fabricate
+                // a resolution no track has when two video tracks
+                // differ in aspect)
                 val w = be32(b, wOff) >> 16
                 val h = be32(b, hOff) >> 16
-                if (w > width) width = w
-                if (h > height) height = h
+                if (w * h > width * height) { width = w; height = h }
               }
               t = te
             }
@@ -253,13 +260,20 @@ object Mp4MetaUtil {
     }
     val moov = findChild("moov", 0, b.length)
     if (moov == null) return null
-    val trak = findChild("trak", moov._1, moov._2)
-    if (trak == null) return null
-    val mdia = findChild("mdia", trak._1, trak._2)
-    if (mdia == null) return null
-    val minf = findChild("minf", mdia._1, mdia._2)
-    if (minf == null) return null
-    val stbl = findChild("stbl", minf._1, minf._2)
+    // first SAMPLED track: a metadata-only lead trak (no mdia/minf/
+    // stbl chain) must not mask a valid sampled track behind it
+    var stbl: (Int, Int) = null
+    var tOff = moov._1
+    var tGuard = 0
+    while (stbl == null && tGuard < 64) {
+      tGuard += 1
+      val trak = findChild("trak", tOff, moov._2)
+      if (trak == null) return null
+      val mdia = findChild("mdia", trak._1, trak._2)
+      val minf = if (mdia == null) null else findChild("minf", mdia._1, mdia._2)
+      val found = if (minf == null) null else findChild("stbl", minf._1, minf._2)
+      if (found != null) stbl = found else tOff = trak._2
+    }
     if (stbl == null) return null
 
     // full-box payload cursor: ver/flags(4) then entry_count(4); the

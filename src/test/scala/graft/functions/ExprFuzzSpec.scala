@@ -287,11 +287,15 @@ class ExprFuzzSpec extends AnyFunSuite {
       exprs.media_dims)
   }
 
+  // shared byte-assembly helpers for the container-format fuzz seeds
+  private def be32(v: Long): Array[Byte] = Array(
+    (v >>> 24).toByte, (v >>> 16).toByte, (v >>> 8).toByte, v.toByte)
+  private def box(t: String, p: Array[Byte]): Array[Byte] =
+    be32(p.length + 8L) ++ t.getBytes("US-ASCII") ++ p
+  private def fbox(t: String, p: Array[Byte]): Array[Byte] =
+    box(t, Array[Byte](0, 0, 0, 0) ++ p)
+
   test("mp4_meta: interpreted == codegen over valid/mutated/random box trees") {
-    def be32(v: Long): Array[Byte] = Array(
-      (v >>> 24).toByte, (v >>> 16).toByte, (v >>> 8).toByte, v.toByte)
-    def box(t: String, p: Array[Byte]): Array[Byte] =
-      be32(p.length + 8L) ++ t.getBytes("US-ASCII") ++ p
     val seed = box("ftyp", "isom".getBytes ++ be32(0x200) ++ "isom".getBytes) ++
       box("moov",
         box("mvhd", Array[Byte](0, 0, 0, 0) ++ be32(0) ++ be32(0) ++
@@ -315,12 +319,6 @@ class ExprFuzzSpec extends AnyFunSuite {
   }
 
   test("mp4_samples: interpreted == codegen over valid/mutated sample tables") {
-    def be32(v: Long): Array[Byte] = Array(
-      (v >>> 24).toByte, (v >>> 16).toByte, (v >>> 8).toByte, v.toByte)
-    def box(t: String, p: Array[Byte]): Array[Byte] =
-      be32(p.length + 8L) ++ t.getBytes("US-ASCII") ++ p
-    def fbox(t: String, p: Array[Byte]): Array[Byte] =
-      box(t, Array[Byte](0, 0, 0, 0) ++ p)
     val stbl =
       fbox("stsz", be32(0) ++ be32(3) ++ be32(10) ++ be32(20) ++ be32(30)) ++
       fbox("stsc", be32(1) ++ be32(1) ++ be32(3) ++ be32(1)) ++
@@ -347,7 +345,7 @@ class ExprFuzzSpec extends AnyFunSuite {
   test("mp3_meta: interpreted == codegen over valid/mutated frame streams") {
     // MPEG1 Layer III, 128 kbps @ 44100, two frames
     val hdr = Array(0xff.toByte, 0xfb.toByte, 0x90.toByte, 0xc0.toByte)
-    val oneFrame = hdr ++ new Array[Byte](417)
+    val oneFrame = hdr ++ new Array[Byte](413) // 417-byte frame INCLUDING header
     val seed = "ID3".getBytes ++ Array[Byte](4, 0, 0, 0, 0, 0, 10) ++
       new Array[Byte](10) ++ oneFrame ++ oneFrame
     val payloads: Seq[Array[Byte]] = Seq(null, Array.emptyByteArray, seed) ++
