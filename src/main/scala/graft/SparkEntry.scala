@@ -854,23 +854,37 @@ object SparkEntry {
 
     "q_multimodal_dims" -> { (s, dir) =>
       // header-level media parsing (Multimodal.mediaDims) under the
-      // oracle: assemble a spec-valid PNG header per doc with
-      // doc_id-derived dimensions (hex → unhex builds the big-endian
-      // u32 fields columnar), parse it back with the REAL byte-walk
-      // parser, and let DuckDB compute the expected dims arithmetically
-      // — any parser drift breaks the hash compare
+      // oracle: assemble a spec-valid PNG header (even doc_ids) or a
+      // FLAC STREAMINFO block (odd — 20-bit packed sample rate, 3-bit
+      // channels) per doc with doc_id-derived fields, parse back with
+      // the REAL byte-walk parser, and let DuckDB compute the
+      // expected values arithmetically — any parser drift breaks the
+      // hash compare
       val w = (col("doc_id") % 1000 + 1).cast("int")
       val h = (col("doc_id") % 777 + 1).cast("int")
-      val payload = concat(
+      val png = concat(
         lit(Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a,
           0, 0, 0, 13)),
         lit("IHDR".getBytes("US-ASCII")),
         be32(w), be32(h),
         lit(Array[Byte](8, 2, 0, 0, 0)))
+      val fRate = pmod(col("doc_id"), lit(90000L)) + 8000 // < 2^20
+      val fCh = pmod(col("doc_id"), lit(8L)) + 1
+      val flac = concat(
+        ascii("fLaC"), lit(Array[Byte](0x80.toByte, 0, 0, 34)),
+        lit(new Array[Byte](10)), // block/frame size fields
+        unhex(concat(
+          b2(floor(fRate / 4096).cast(LongType)),
+          b2(pmod(floor(fRate / 16).cast(LongType), lit(256L))),
+          b2(pmod(fRate, lit(16L)) * 16 + (fCh - 1) * 2))),
+        lit(new Array[Byte](21)))
+      val payload = when(pmod(col("doc_id"), lit(2L)) === 0, png).otherwise(flac)
       val dims = ops.Multimodal.mediaDims(payload)
       t(s, dir, "documents")
         .select(col("doc_id"), dims.getField("width").as("width"),
-          dims.getField("height").as("height"))
+          dims.getField("height").as("height"),
+          dims.getField("sample_rate").as("sample_rate"),
+          dims.getField("channels").as("channels"))
         .orderBy("doc_id")
     },
 
@@ -1333,6 +1347,49 @@ object SparkEntry {
           decode(col("content"), "UTF-8").as("n_name"),
           col("size").as("name_bytes"))
         .orderBy("n_nationkey")
+    },
+
+    "q_tar_roundtrip" -> { (s, dir) =>
+      // ArchivedSource (commons-compress auto-detection) under the
+      // hard gate, on a DIFFERENT archive family than q_zip_roundtrip:
+      // nation packed one-entry-per-row into a tar, extracted through
+      // the executor-side detected-format iterator, oracle recomputes
+      // names/sizes/bytes. NULL-name rows excluded on both sides like
+      // the zip gate.
+      val tdir = s"${System.getProperty("java.io.tmpdir")}/graft-gate-tar-${ProcessHandle.current().pid()}-${Integer.toHexString(dir.hashCode)}"
+      val rows = t(s, dir, "nation")
+        .select("n_nationkey", "n_name")
+        .filter(col("n_name").isNotNull).collect()
+      require(rows.length <= 1000, "tar gate expects the fixed-size nation table")
+      if (rows.isEmpty) {
+        // an EMPTY tar is two zero blocks with no stream signature —
+        // commons-compress detection rightly rejects it, so the
+        // degenerate corpus short-circuits to empty-in ⇒ empty-out
+        s.createDataFrame(
+          s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          StructType(Seq(StructField("n_nationkey", LongType),
+            StructField("n_name", StringType),
+            StructField("name_bytes", LongType))))
+      } else {
+        new java.io.File(tdir).mkdirs()
+        val tf = new java.io.File(tdir, "nation.tar")
+        val tos = new org.apache.commons.compress.archivers.tar.TarArchiveOutputStream(
+          new java.io.FileOutputStream(tf))
+        try rows.sortBy(_.getAs[Number]("n_nationkey").longValue).foreach { r =>
+          val bytes = r.getString(1).getBytes("UTF-8")
+          val e = new org.apache.commons.compress.archivers.tar.TarArchiveEntry(
+            r.getAs[Number]("n_nationkey").longValue.toString)
+          e.setSize(bytes.length.toLong)
+          tos.putArchiveEntry(e)
+          tos.write(bytes)
+          tos.closeArchiveEntry()
+        } finally tos.close()
+        sources.Sources.archiveEntries(s, tdir, "*.tar").toDF
+          .select(col("entry").cast(LongType).as("n_nationkey"),
+            decode(col("content"), "UTF-8").as("n_name"),
+            col("size").as("name_bytes"))
+          .orderBy("n_nationkey")
+      }
     },
 
     "q_http_roundtrip" -> { (s, dir) =>
@@ -2457,8 +2514,10 @@ object SparkEntry {
 
     "q_multimodal_dims" ->
       """SELECT doc_id,
-        |  cast(doc_id % 1000 + 1 AS INT) AS width,
-        |  cast(doc_id % 777 + 1 AS INT) AS height
+        |  CASE WHEN doc_id % 2 = 0 THEN cast(doc_id % 1000 + 1 AS INT) END AS width,
+        |  CASE WHEN doc_id % 2 = 0 THEN cast(doc_id % 777 + 1 AS INT) END AS height,
+        |  CASE WHEN doc_id % 2 = 1 THEN cast(doc_id % 90000 + 8000 AS INT) END AS sample_rate,
+        |  CASE WHEN doc_id % 2 = 1 THEN cast(doc_id % 8 + 1 AS INT) END AS channels
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     // recompute every decoded stat arithmetically from the same
@@ -2640,6 +2699,13 @@ object SparkEntry {
     // the zip's entry names, sizes and bytes must reproduce the
     // original rows exactly (NULL-name rows excluded on both sides)
     "q_zip_roundtrip" ->
+      """SELECT cast(n_nationkey AS BIGINT) AS n_nationkey, n_name,
+        |  octet_length(encode(n_name)) AS name_bytes
+        |FROM nation WHERE n_name IS NOT NULL
+        |ORDER BY n_nationkey""".stripMargin,
+
+    // same contract through the commons-compress detected-format path
+    "q_tar_roundtrip" ->
       """SELECT cast(n_nationkey AS BIGINT) AS n_nationkey, n_name,
         |  octet_length(encode(n_name)) AS name_bytes
         |FROM nation WHERE n_name IS NOT NULL

@@ -8,7 +8,8 @@ import org.apache.spark.sql.types._
 
 /** Header-level media dimensions from a binary payload — REAL parsing
   * (pure byte arithmetic, no codec library): PNG IHDR, GIF screen
-  * descriptor, BMP info header, JPEG SOF segment walk, WAV fmt chunk.
+  * descriptor, BMP info header, JPEG SOF segment walk, WAV fmt chunk,
+  * FLAC STREAMINFO.
   * Returns struct(width, height, sample_rate, channels) with NULL
   * fields where the format has no such notion, and a NULL struct for
   * anything unrecognized, truncated, or malformed — never a throw:
@@ -85,6 +86,19 @@ object MediaDimsUtil {
       val w = le32(b, 18).toInt // reinterpret as signed
       val h = le32(b, 22).toInt
       return dims(w.toLong, math.abs(h.toLong))
+    }
+    // FLAC: "fLaC" then metadata blocks; STREAMINFO (type 0, 34-byte
+    // payload) is mandatory-first per spec — sample rate is 20 bits
+    // at payload+10, channels-1 the next 3 bits
+    if (b.length >= 4 + 4 + 21 && b(0) == 'f' && b(1) == 'L' &&
+      b(2) == 'a' && b(3) == 'C') {
+      if ((u8(b, 4) & 0x7f) != 0) return null // STREAMINFO must be first
+      val blockLen = (u8(b, 5) << 16) | (u8(b, 6) << 8) | u8(b, 7)
+      if (blockLen != 34) return null
+      val rate = (u8(b, 18) << 12) | (u8(b, 19) << 4) | (u8(b, 20) >> 4)
+      val channels = ((u8(b, 20) >> 1) & 7) + 1
+      if (rate <= 0) return null // 0 is invalid per spec
+      return InternalRow(null, null, rate, channels)
     }
     // WAV: RIFF....WAVE, then chunk walk for "fmt " (channels LE16 at
     // data+2, sample rate LE32 at data+4)

@@ -27,6 +27,7 @@ object Multimodal {
       .when(prefix.startsWith("89504e47"), lit("image/png"))
       .when(prefix.startsWith("47494638"), lit("image/gif"))
       .when(prefix.startsWith("52494646"), lit("audio/wav")) // RIFF
+      .when(prefix.startsWith("664c6143"), lit("audio/flac")) // fLaC
       .when(substring(prefix, 9, 8) === "66747970", lit("video/mp4")) // ....ftyp
       .when(prefix.startsWith("494433"), lit("audio/mpeg")) // ID3
       .otherwise(lit("application/octet-stream"))

@@ -148,11 +148,35 @@ class MediaDimsSpec extends AnyFunSuite {
     assert(r.getInt(0) == 640 && r.getInt(1) == 256, s"got $r")
   }
 
+  test("flac STREAMINFO: sample rate (20 bits) and channels (3 bits)") {
+    // 44100 Hz stereo: rate<<12 layout — bytes 18..20 carry
+    // rrrrrrrr rrrrrrrr rrrrcccb (c = channels-1, b = bps-1 high bit)
+    def flac(rate: Int, channels: Int): Array[Byte] =
+      "fLaC".getBytes ++ b(0x80, 0, 0, 34) ++ // last-block STREAMINFO, len 34
+        b(0x10, 0, 0x10, 0, 0, 0, 0, 0, 0, 0) ++ // block/frame sizes
+        b(rate >>> 12, (rate >>> 4) & 0xff,
+          ((rate & 0xf) << 4) | ((channels - 1) << 1)) ++
+        new Array[Byte](21) // bps low bits, total samples, md5
+    val r = parse(Seq(flac(44100, 2))).head
+    assert(r.isNullAt(0) && r.isNullAt(1))
+    assert(r.getInt(2) == 44100 && r.getInt(3) == 2)
+    val mono = parse(Seq(flac(8000, 1))).head
+    assert(mono.getInt(2) == 8000 && mono.getInt(3) == 1)
+    // hostile: wrong first block type, wrong length, zero rate, truncated
+    val wrongType = flac(44100, 2); wrongType(4) = 0x84.toByte
+    assert(MediaDimsUtil.parse(wrongType) == null)
+    val wrongLen = flac(44100, 2); wrongLen(7) = 20
+    assert(MediaDimsUtil.parse(wrongLen) == null)
+    assert(MediaDimsUtil.parse(flac(0, 2)) == null)
+    assert(MediaDimsUtil.parse(flac(44100, 2).take(15)) == null)
+  }
+
   test("random-bytes fuzz: 2000 arrays incl. magic-prefixed tails never throw") {
     val rnd = new scala.util.Random(42)
     val magics = Seq(
       b(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a), "GIF89a".getBytes,
-      "BM".getBytes, b(0xff, 0xd8), "RIFF".getBytes, Array.empty[Byte])
+      "BM".getBytes, b(0xff, 0xd8), "RIFF".getBytes, "fLaC".getBytes,
+      Array.empty[Byte])
     val payloads = (0 until 2000).map { i =>
       val tail = Array.fill(rnd.nextInt(64))(rnd.nextInt(256).toByte)
       magics(i % magics.size) ++ tail
