@@ -854,12 +854,13 @@ object SparkEntry {
 
     "q_multimodal_dims" -> { (s, dir) =>
       // header-level media parsing (Multimodal.mediaDims) under the
-      // oracle: assemble a spec-valid PNG header (even doc_ids) or a
-      // FLAC STREAMINFO block (odd — 20-bit packed sample rate, 3-bit
-      // channels) per doc with doc_id-derived fields, parse back with
-      // the REAL byte-walk parser, and let DuckDB compute the
-      // expected values arithmetically — any parser drift breaks the
-      // hash compare
+      // oracle: assemble a spec-valid PNG header (even doc_ids), a
+      // FLAC STREAMINFO block (doc_id%4==1 — 20-bit packed sample
+      // rate, 3-bit channels) or a WebP VP8L header (doc_id%4==3 —
+      // (w-1)|(h-1)<<14 packed LE32) per doc with doc_id-derived
+      // fields, parse back with the REAL byte-walk parser, and let
+      // DuckDB compute the expected values arithmetically — any
+      // parser or bit-packing drift breaks the hash compare
       val w = (col("doc_id") % 1000 + 1).cast("int")
       val h = (col("doc_id") % 777 + 1).cast("int")
       val png = concat(
@@ -878,7 +879,18 @@ object SparkEntry {
           b2(pmod(floor(fRate / 16).cast(LongType), lit(256L))),
           b2(pmod(fRate, lit(16L)) * 16 + (fCh - 1) * 2))),
         lit(new Array[Byte](21)))
-      val payload = when(pmod(col("doc_id"), lit(2L)) === 0, png).otherwise(flac)
+      val packed = (w.cast(LongType) - 1) + (h.cast(LongType) - 1) * 16384
+      val webp = concat(
+        ascii("RIFF"), lit(Array[Byte](17, 0, 0, 0)), ascii("WEBP"),
+        ascii("VP8L"), lit(Array[Byte](5, 0, 0, 0, 0x2f)),
+        unhex(concat(
+          b2(pmod(packed, lit(256L))),
+          b2(pmod(floor(packed / 256).cast(LongType), lit(256L))),
+          b2(pmod(floor(packed / 65536).cast(LongType), lit(256L))),
+          b2(floor(packed / 16777216).cast(LongType)))))
+      val payload = when(pmod(col("doc_id"), lit(2L)) === 0, png)
+        .when(pmod(col("doc_id"), lit(4L)) === 1, flac)
+        .otherwise(webp)
       val dims = ops.Multimodal.mediaDims(payload)
       t(s, dir, "documents")
         .select(col("doc_id"), dims.getField("width").as("width"),
@@ -2514,10 +2526,10 @@ object SparkEntry {
 
     "q_multimodal_dims" ->
       """SELECT doc_id,
-        |  CASE WHEN doc_id % 2 = 0 THEN cast(doc_id % 1000 + 1 AS INT) END AS width,
-        |  CASE WHEN doc_id % 2 = 0 THEN cast(doc_id % 777 + 1 AS INT) END AS height,
-        |  CASE WHEN doc_id % 2 = 1 THEN cast(doc_id % 90000 + 8000 AS INT) END AS sample_rate,
-        |  CASE WHEN doc_id % 2 = 1 THEN cast(doc_id % 8 + 1 AS INT) END AS channels
+        |  CASE WHEN doc_id % 4 <> 1 THEN cast(doc_id % 1000 + 1 AS INT) END AS width,
+        |  CASE WHEN doc_id % 4 <> 1 THEN cast(doc_id % 777 + 1 AS INT) END AS height,
+        |  CASE WHEN doc_id % 4 = 1 THEN cast(doc_id % 90000 + 8000 AS INT) END AS sample_rate,
+        |  CASE WHEN doc_id % 4 = 1 THEN cast(doc_id % 8 + 1 AS INT) END AS channels
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     // recompute every decoded stat arithmetically from the same

@@ -9,7 +9,7 @@ import org.apache.spark.sql.types._
 /** Header-level media dimensions from a binary payload — REAL parsing
   * (pure byte arithmetic, no codec library): PNG IHDR, GIF screen
   * descriptor, BMP info header, JPEG SOF segment walk, WAV fmt chunk,
-  * FLAC STREAMINFO.
+  * FLAC STREAMINFO, WebP VP8/VP8L/VP8X.
   * Returns struct(width, height, sample_rate, channels) with NULL
   * fields where the format has no such notion, and a NULL struct for
   * anything unrecognized, truncated, or malformed — never a throw:
@@ -99,6 +99,33 @@ object MediaDimsUtil {
       val channels = ((u8(b, 20) >> 1) & 7) + 1
       if (rate <= 0) return null // 0 is invalid per spec
       return InternalRow(null, null, rate, channels)
+    }
+    // WebP: RIFF....WEBP, then one of three first-chunk formats —
+    // "VP8 " lossy (sync 9d 01 2a, 14-bit LE dims), "VP8L" lossless
+    // (0x2f signature, width-1/height-1 packed 14+14 bits LE), "VP8X"
+    // extended (24-bit LE canvas dims minus one)
+    if (b.length >= 20 && b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F' &&
+      b(8) == 'W' && b(9) == 'E' && b(10) == 'B' && b(11) == 'P') {
+      val sz = le32(b, 16)
+      if (sz < 0 || sz > b.length - 20) return null // chunk size distrusted
+      if (b(12) == 'V' && b(13) == 'P' && b(14) == '8' && b(15) == ' ') {
+        // frame tag (3) + sync (3) + w/h LE16 (14 bits each)
+        if (sz < 10 || b.length < 30) return null
+        if (u8(b, 23) != 0x9d || u8(b, 24) != 0x01 || u8(b, 25) != 0x2a) return null
+        return dims((le16(b, 26) & 0x3fff).toLong, (le16(b, 28) & 0x3fff).toLong)
+      }
+      if (b(12) == 'V' && b(13) == 'P' && b(14) == '8' && b(15) == 'L') {
+        if (sz < 5 || b.length < 25 || u8(b, 20) != 0x2f) return null
+        val packed = le32(b, 21)
+        return dims((packed & 0x3fff) + 1, ((packed >> 14) & 0x3fff) + 1)
+      }
+      if (b(12) == 'V' && b(13) == 'P' && b(14) == '8' && b(15) == 'X') {
+        if (sz < 10 || b.length < 30) return null
+        val w = (u8(b, 24) | (u8(b, 25) << 8) | (u8(b, 26) << 16)).toLong + 1
+        val h = (u8(b, 27) | (u8(b, 28) << 8) | (u8(b, 29) << 16)).toLong + 1
+        return dims(w, h)
+      }
+      return null
     }
     // WAV: RIFF....WAVE, then chunk walk for "fmt " (channels LE16 at
     // data+2, sample rate LE32 at data+4)

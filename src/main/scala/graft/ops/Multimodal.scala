@@ -22,11 +22,15 @@ object Multimodal {
   /** Magic-byte MIME sniffing over the first payload bytes — pure
     * columnar expression (codegen'd), no UDF. */
   def sniffMime(payload: Column): Column = {
-    val prefix = lower(hex(substring(payload, 1, 8)))
+    val prefix = lower(hex(substring(payload, 1, 12)))
     when(prefix.startsWith("ffd8ff"), lit("image/jpeg"))
       .when(prefix.startsWith("89504e47"), lit("image/png"))
       .when(prefix.startsWith("47494638"), lit("image/gif"))
-      .when(prefix.startsWith("52494646"), lit("audio/wav")) // RIFF
+      // RIFF containers disambiguate on the form tag at bytes 9-12:
+      // a blanket RIFF -> wav would misclassify every WebP in a crawl
+      .when(prefix.startsWith("52494646") &&
+        substring(prefix, 17, 8) === "57454250", lit("image/webp")) // WEBP
+      .when(prefix.startsWith("52494646"), lit("audio/wav")) // RIFF....WAVE
       .when(prefix.startsWith("664c6143"), lit("audio/flac")) // fLaC
       .when(substring(prefix, 9, 8) === "66747970", lit("video/mp4")) // ....ftyp
       .when(prefix.startsWith("494433"), lit("audio/mpeg")) // ID3

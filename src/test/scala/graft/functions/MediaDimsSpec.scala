@@ -171,6 +171,35 @@ class MediaDimsSpec extends AnyFunSuite {
     assert(MediaDimsUtil.parse(flac(44100, 2).take(15)) == null)
   }
 
+  test("webp VP8 / VP8L / VP8X dims; RIFF container distrusted") {
+    def le32b(v: Int) = b(v & 0xff, (v >>> 8) & 0xff, (v >>> 16) & 0xff, (v >>> 24) & 0xff)
+    def webp(chunk: String, payload: Array[Byte]): Array[Byte] =
+      "RIFF".getBytes ++ le32b(12 + payload.length) ++ "WEBP".getBytes ++
+        chunk.getBytes ++ le32b(payload.length) ++ payload
+    // VP8 lossy: 3-byte frame tag, sync 9d 01 2a, 14-bit LE dims
+    val vp8 = webp("VP8 ", b(0x30, 0x01, 0x00, 0x9d, 0x01, 0x2a,
+      0x40, 0x01, /*w=320*/ 0xf0, 0x00 /*h=240*/))
+    val r8 = parse(Seq(vp8)).head
+    assert(r8.getInt(0) == 320 && r8.getInt(1) == 240)
+    // VP8L lossless: 0x2f then (w-1) | (h-1)<<14 packed LE32
+    val packed = (1919 | (1079 << 14))
+    val vp8l = webp("VP8L", b(0x2f) ++ le32b(packed))
+    val rl = parse(Seq(vp8l)).head
+    assert(rl.getInt(0) == 1920 && rl.getInt(1) == 1080)
+    // VP8X extended: flags+reserved then 24-bit LE canvas dims minus 1
+    val vp8x = webp("VP8X", b(0x02, 0, 0, 0,
+      0xff, 0x0f, 0x00, /*w=4096*/ 0xff, 0x07, 0x00 /*h=2048*/))
+    val rx = parse(Seq(vp8x)).head
+    assert(rx.getInt(0) == 4096 && rx.getInt(1) == 2048)
+    // hostile: bad sync, lying chunk size, unknown first chunk, truncation
+    val badSync = vp8.clone(); badSync(23) = 0x00
+    assert(MediaDimsUtil.parse(badSync) == null)
+    val lying = vp8.clone(); lying(16) = 0x7f
+    assert(MediaDimsUtil.parse(lying) == null)
+    assert(MediaDimsUtil.parse(webp("ALPH", b(1, 2, 3, 4, 5, 6, 7, 8, 9, 10))) == null)
+    assert(MediaDimsUtil.parse(vp8l.take(22)) == null)
+  }
+
   test("random-bytes fuzz: 2000 arrays incl. magic-prefixed tails never throw") {
     val rnd = new scala.util.Random(42)
     val magics = Seq(
