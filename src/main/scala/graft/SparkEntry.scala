@@ -1331,77 +1331,37 @@ object SparkEntry {
     },
 
     "q_zip_roundtrip" -> { (s, dir) =>
-      // ZipSource under the hard gate: pack nation into a zip (one
-      // entry per row: name = n_nationkey, bytes = n_name), extract
-      // through the executor-side entry iterator, and have the oracle
-      // recompute names/sizes/content from the original table. The
-      // 25-row build is driver-side by contract (nation is fixed-size).
-      val zdir = s"${System.getProperty("java.io.tmpdir")}/graft-gate-zip-${ProcessHandle.current().pid()}-${Integer.toHexString(dir.hashCode)}"
-      // NULL-name rows are excluded on BOTH sides (a zip entry cannot
-      // carry "null bytes"; the oracle filters symmetrically) — only
-      // degenerate-corpus sweeps ever contain them
-      val rows = t(s, dir, "nation")
-        .select("n_nationkey", "n_name")
-        .filter(col("n_name").isNotNull).collect()
-      require(rows.length <= 1000, "zip gate expects the fixed-size nation table")
-      new java.io.File(zdir).mkdirs()
-      val zf = new java.io.File(zdir, "nation.zip")
-      val zos = new java.util.zip.ZipOutputStream(
-        new java.io.FileOutputStream(zf))
-      try rows.sortBy(_.getAs[Number]("n_nationkey").longValue).foreach { r =>
-        zos.putNextEntry(new java.util.zip.ZipEntry(
-          r.getAs[Number]("n_nationkey").longValue.toString))
-        zos.write(r.getString(1).getBytes("UTF-8"))
-        zos.closeEntry()
-      } finally zos.close()
-      sources.Sources.zipEntries(s, zdir, "*.zip").toDF
-        .select(col("entry").cast(LongType).as("n_nationkey"),
-          decode(col("content"), "UTF-8").as("n_name"),
-          col("size").as("name_bytes"))
-        .orderBy("n_nationkey")
+      // ZipSource under the hard gate (shared shape: archiveGate):
+      // nation packed one-entry-per-row, extracted through the
+      // executor-side entry iterator, oracle recomputes
+      // names/sizes/content from the original table
+      archiveGate(s, dir, "zip", emptyShortCircuit = false) { (f, entries) =>
+        val zos = new java.util.zip.ZipOutputStream(new java.io.FileOutputStream(f))
+        try entries.foreach { case (id, bytes) =>
+          zos.putNextEntry(new java.util.zip.ZipEntry(id.toString))
+          zos.write(bytes)
+          zos.closeEntry()
+        } finally zos.close()
+      }(adir => sources.Sources.zipEntries(s, adir, "*.zip").toDF)
     },
 
     "q_tar_roundtrip" -> { (s, dir) =>
       // ArchivedSource (commons-compress auto-detection) under the
-      // hard gate, on a DIFFERENT archive family than q_zip_roundtrip:
-      // nation packed one-entry-per-row into a tar, extracted through
-      // the executor-side detected-format iterator, oracle recomputes
-      // names/sizes/bytes. NULL-name rows excluded on both sides like
-      // the zip gate.
-      val tdir = s"${System.getProperty("java.io.tmpdir")}/graft-gate-tar-${ProcessHandle.current().pid()}-${Integer.toHexString(dir.hashCode)}"
-      val rows = t(s, dir, "nation")
-        .select("n_nationkey", "n_name")
-        .filter(col("n_name").isNotNull).collect()
-      require(rows.length <= 1000, "tar gate expects the fixed-size nation table")
-      if (rows.isEmpty) {
-        // an EMPTY tar is two zero blocks with no stream signature —
-        // commons-compress detection rightly rejects it, so the
-        // degenerate corpus short-circuits to empty-in ⇒ empty-out
-        s.createDataFrame(
-          s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-          StructType(Seq(StructField("n_nationkey", LongType),
-            StructField("n_name", StringType),
-            StructField("name_bytes", LongType))))
-      } else {
-        new java.io.File(tdir).mkdirs()
-        val tf = new java.io.File(tdir, "nation.tar")
+      // hard gate, on a DIFFERENT archive family than q_zip_roundtrip.
+      // An EMPTY tar is two zero blocks with no stream signature —
+      // detection rightly rejects it, so the degenerate corpus
+      // short-circuits to empty-in => empty-out.
+      archiveGate(s, dir, "tar", emptyShortCircuit = true) { (f, entries) =>
         val tos = new org.apache.commons.compress.archivers.tar.TarArchiveOutputStream(
-          new java.io.FileOutputStream(tf))
-        try rows.sortBy(_.getAs[Number]("n_nationkey").longValue).foreach { r =>
-          val bytes = r.getString(1).getBytes("UTF-8")
-          val e = new org.apache.commons.compress.archivers.tar.TarArchiveEntry(
-            r.getAs[Number]("n_nationkey").longValue.toString)
+          new java.io.FileOutputStream(f))
+        try entries.foreach { case (id, bytes) =>
+          val e = new org.apache.commons.compress.archivers.tar.TarArchiveEntry(id.toString)
           e.setSize(bytes.length.toLong)
           tos.putArchiveEntry(e)
           tos.write(bytes)
           tos.closeArchiveEntry()
         } finally tos.close()
-        sources.Sources.archiveEntries(s, tdir, "*.tar").toDF
-          .select(col("entry").cast(LongType).as("n_nationkey"),
-            decode(col("content"), "UTF-8").as("n_name"),
-            col("size").as("name_bytes"))
-          .orderBy("n_nationkey")
-      }
+      }(adir => sources.Sources.archiveEntries(s, adir, "*.tar").toDF)
     },
 
     "q_http_roundtrip" -> { (s, dir) =>
@@ -1920,6 +1880,45 @@ object SparkEntry {
   /** One throwaway RSA keypair per JVM for the PGP round-trip gate
     * query, generated with the system gpg (the same interop anchor the
     * PgpSpec uses). */
+  private val archiveGateShape = StructType(Seq(
+    StructField("n_nationkey", LongType), StructField("n_name", StringType),
+    StructField("name_bytes", LongType)))
+
+  /** Shared pack-extract shape of the archive round-trip gates
+    * (q_zip_roundtrip / q_tar_roundtrip): nation rows — NULL names
+    * excluded on BOTH sides, matching the oracle filter — packed one
+    * entry per row (name = n_nationkey, bytes = n_name) into a
+    * per-(pid, sf) file, re-read through `extract`, and projected to
+    * the gate shape. The <=1000-row build is driver-side by contract
+    * (nation is fixed-size). `emptyShortCircuit` is for families
+    * whose EMPTY archive has no detectable stream signature (tar). */
+  private def archiveGate(
+      s: SparkSession, dir: String, tag: String, emptyShortCircuit: Boolean)(
+      pack: (java.io.File, Seq[(Long, Array[Byte])]) => Unit)(
+      extract: String => DataFrame): DataFrame = {
+    val adir = s"${System.getProperty("java.io.tmpdir")}/graft-gate-$tag-${ProcessHandle.current().pid()}-${Integer.toHexString(dir.hashCode)}"
+    val rows = t(s, dir, "nation")
+      .select("n_nationkey", "n_name")
+      .filter(col("n_name").isNotNull).collect()
+    require(rows.length <= 1000, s"$tag gate expects the fixed-size nation table")
+    if (rows.isEmpty && emptyShortCircuit) {
+      s.createDataFrame(
+        s.sparkContext.emptyRDD[org.apache.spark.sql.Row], archiveGateShape)
+    } else {
+      new java.io.File(adir).mkdirs()
+      val entries = rows.toSeq
+        .sortBy(_.getAs[Number]("n_nationkey").longValue)
+        .map(r => (r.getAs[Number]("n_nationkey").longValue,
+          r.getString(1).getBytes("UTF-8")))
+      pack(new java.io.File(adir, s"nation.$tag"), entries)
+      extract(adir)
+        .select(col("entry").cast(LongType).as("n_nationkey"),
+          decode(col("content"), "UTF-8").as("n_name"),
+          col("size").as("name_bytes"))
+        .orderBy("n_nationkey")
+    }
+  }
+
   private lazy val pgpGateKeys: (Array[Byte], Array[Byte]) = {
     val home = java.nio.file.Files.createTempDirectory("graft-gate-gnupg")
     def gpg(args: String*): Array[Byte] = {

@@ -26,11 +26,16 @@ object Multimodal {
     when(prefix.startsWith("ffd8ff"), lit("image/jpeg"))
       .when(prefix.startsWith("89504e47"), lit("image/png"))
       .when(prefix.startsWith("47494638"), lit("image/gif"))
-      // RIFF containers disambiguate on the form tag at bytes 9-12:
-      // a blanket RIFF -> wav would misclassify every WebP in a crawl
+      // RIFF containers disambiguate on the form tag at bytes 9-12 —
+      // a blanket RIFF -> wav would misclassify every WebP/AVI in a
+      // crawl; an unrecognized or truncated form falls through to
+      // octet-stream
       .when(prefix.startsWith("52494646") &&
         substring(prefix, 17, 8) === "57454250", lit("image/webp")) // WEBP
-      .when(prefix.startsWith("52494646"), lit("audio/wav")) // RIFF....WAVE
+      .when(prefix.startsWith("52494646") &&
+        substring(prefix, 17, 8) === "57415645", lit("audio/wav")) // WAVE
+      .when(prefix.startsWith("52494646") &&
+        substring(prefix, 17, 8) === "41564920", lit("video/x-msvideo")) // AVI
       .when(prefix.startsWith("664c6143"), lit("audio/flac")) // fLaC
       .when(substring(prefix, 9, 8) === "66747970", lit("video/mp4")) // ....ftyp
       .when(prefix.startsWith("494433"), lit("audio/mpeg")) // ID3
@@ -45,11 +50,12 @@ object Multimodal {
       md5(col(payloadCol)).as("content_md5")))
 
   /** Header-level dimensions/rate — REAL parsing (PNG/GIF/BMP/JPEG
-    * headers, WAV fmt chunk; pure byte arithmetic, codegen'd native
-    * expression, no codec library): the pre-decode resolution /
-    * sample-rate gate a pipeline runs BEFORE paying for
-    * [[decodeFeaturesStub]]'s real decoder at corpus scale. NULL struct
-    * for unrecognized/truncated/malformed payloads — never a throw. */
+    * headers, WAV fmt chunk, FLAC STREAMINFO, WebP VP8/VP8L/VP8X;
+    * pure byte arithmetic, codegen'd native expression, no codec
+    * library): the pre-decode resolution / sample-rate gate a
+    * pipeline runs BEFORE paying for the real decoder at corpus
+    * scale. NULL struct for unrecognized/truncated/malformed
+    * payloads — never a throw. */
   def mediaDims(payload: Column): Column =
     graft.functions.exprs.media_dims(payload)
 

@@ -205,6 +205,11 @@ class MediaDimsSpec extends AnyFunSuite {
     val magics = Seq(
       b(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a), "GIF89a".getBytes,
       "BM".getBytes, b(0xff, 0xd8), "RIFF".getBytes, "fLaC".getBytes,
+      // the WebP branch's dense index arithmetic needs the form tag
+      // present (a bare RIFF magic forms WEBP with probability 2^-32)
+      "RIFF".getBytes ++ b(0, 0, 0, 0) ++ "WEBP".getBytes,
+      "RIFF".getBytes ++ b(0, 0, 0, 0) ++ "WEBPVP8 ".getBytes,
+      "RIFF".getBytes ++ b(0, 0, 0, 0) ++ "WEBPVP8L".getBytes,
       Array.empty[Byte])
     val payloads = (0 until 2000).map { i =>
       val tail = Array.fill(rnd.nextInt(64))(rnd.nextInt(256).toByte)

@@ -485,6 +485,19 @@ class OpsSpec extends AnyFunSuite {
     assert(rows.contains((1L, "image/jpeg", 9L)))
     assert(rows.contains((2L, "image/png", 9L)))
 
+    // RIFF containers disambiguate on the form tag: WEBP/WAVE/AVI are
+    // distinct and an unrecognized/truncated form is NOT audio/wav
+    def riff(form: String) = "RIFF".getBytes ++ Array[Byte](0, 0, 0, 0) ++ form.getBytes
+    val riffs = Seq((1L, riff("WEBP")), (2L, riff("WAVE")), (3L, riff("AVI ")),
+      (4L, riff("ACON")), (5L, "RIFF".getBytes ++ Array[Byte](0, 0))).toDF("id", "payload")
+    val mimes = riffs.select($"id", Multimodal.sniffMime($"payload").as("m"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(mimes(1L) == "image/webp")
+    assert(mimes(2L) == "audio/wav")
+    assert(mimes(3L) == "video/x-msvideo")
+    assert(mimes(4L) == "application/octet-stream")
+    assert(mimes(5L) == "application/octet-stream")
+
     val feats = Multimodal.decodeFeaturesStub(d, "payload", dim = 8)
     assert(feats.schema("features").dataType == Multimodal.featureSchema)
     val f = feats.select($"features").collect().map(_.getSeq[Float](0))
