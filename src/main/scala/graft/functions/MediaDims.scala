@@ -9,7 +9,7 @@ import org.apache.spark.sql.types._
 /** Header-level media dimensions from a binary payload — REAL parsing
   * (pure byte arithmetic, no codec library): PNG IHDR, GIF screen
   * descriptor, BMP info header, JPEG SOF segment walk, WAV fmt chunk,
-  * FLAC STREAMINFO, WebP VP8/VP8L/VP8X.
+  * FLAC STREAMINFO, WebP VP8/VP8L/VP8X, TIFF IFD (both endians).
   * Returns struct(width, height, sample_rate, channels) with NULL
   * fields where the format has no such notion, and a NULL struct for
   * anything unrecognized, truncated, or malformed — never a throw:
@@ -86,6 +86,41 @@ object MediaDimsUtil {
       val w = le32(b, 18).toInt // reinterpret as signed
       val h = le32(b, 22).toInt
       return dims(w.toLong, math.abs(h.toLong))
+    }
+    // TIFF: II*\0 (little-endian) or MM\0* (big-endian), then the
+    // first IFD walked for ImageWidth (tag 256) / ImageLength (257) —
+    // SHORT and LONG value types, value left-justified in the 4-byte
+    // field; IFD offset and entry count distrusted
+    if (b.length >= 8 &&
+      ((b(0) == 'I' && b(1) == 'I' && u8(b, 2) == 0x2a && u8(b, 3) == 0) ||
+        (b(0) == 'M' && b(1) == 'M' && u8(b, 2) == 0 && u8(b, 3) == 0x2a))) {
+      val littleEndian = b(0) == 'I'
+      def r16(i: Int): Int = if (littleEndian) le16(b, i) else be16(b, i)
+      def r32(i: Int): Long = if (littleEndian) le32(b, i) else be32(b, i)
+      val ifd = r32(4)
+      if (ifd < 8 || ifd > b.length - 2) return null
+      val i0 = ifd.toInt
+      val n = r16(i0)
+      if (n <= 0 || n > 4096) return null
+      if (i0 + 2 + n * 12 > b.length) return null
+      var w = -1L
+      var h = -1L
+      var e = 0
+      while (e < n) {
+        val off = i0 + 2 + e * 12
+        val tag = r16(off)
+        if (tag == 256 || tag == 257) {
+          if (r32(off + 4) != 1L) return null // count must be 1
+          val v = r16(off + 2) match {
+            case 3 => r16(off + 8).toLong // SHORT, left-justified
+            case 4 => r32(off + 8) // LONG
+            case _ => return null
+          }
+          if (tag == 256) w = v else h = v
+        }
+        e += 1
+      }
+      return dims(w, h) // -1 when a tag is absent → null via the bound
     }
     // FLAC: "fLaC" then metadata blocks; STREAMINFO (type 0, 34-byte
     // payload) is mandatory-first per spec — sample rate is 20 bits

@@ -37,6 +37,8 @@ object Multimodal {
       .when(prefix.startsWith("52494646") &&
         substring(prefix, 17, 8) === "41564920", lit("video/x-msvideo")) // AVI
       .when(prefix.startsWith("664c6143"), lit("audio/flac")) // fLaC
+      .when(prefix.startsWith("49492a00") ||
+        prefix.startsWith("4d4d002a"), lit("image/tiff")) // II*\0 | MM\0*
       .when(substring(prefix, 9, 8) === "66747970", lit("video/mp4")) // ....ftyp
       .when(prefix.startsWith("494433"), lit("audio/mpeg")) // ID3
       .otherwise(lit("application/octet-stream"))

@@ -200,6 +200,38 @@ class MediaDimsSpec extends AnyFunSuite {
     assert(MediaDimsUtil.parse(vp8l.take(22)) == null)
   }
 
+  test("tiff IFD dims: both endians, SHORT and LONG types, hostile tables") {
+    def tiff(le: Boolean, w: Int, h: Int, shortType: Boolean): Array[Byte] = {
+      def p16(v: Int) = if (le) b(v & 0xff, v >>> 8) else b(v >>> 8, v & 0xff)
+      def p32(v: Int) =
+        if (le) b(v & 0xff, (v >>> 8) & 0xff, (v >>> 16) & 0xff, v >>> 24)
+        else b(v >>> 24, (v >>> 16) & 0xff, (v >>> 8) & 0xff, v & 0xff)
+      def entry(tag: Int, v: Int) =
+        if (shortType) p16(tag) ++ p16(3) ++ p32(1) ++ p16(v) ++ p16(0)
+        else p16(tag) ++ p16(4) ++ p32(1) ++ p32(v)
+      (if (le) "II".getBytes ++ b(0x2a, 0) else "MM".getBytes ++ b(0, 0x2a)) ++
+        p32(8) ++ // IFD at offset 8
+        p16(2) ++ entry(256, w) ++ entry(257, h) ++ p32(0)
+    }
+    for (le <- Seq(true, false); st <- Seq(true, false)) {
+      val r = parse(Seq(tiff(le, 1234, 987, st))).head
+      assert(r.getInt(0) == 1234 && r.getInt(1) == 987,
+        s"le=$le short=$st got $r")
+    }
+    // hostile: lying IFD offset, zero/huge entry count, truncated
+    // entries, missing height tag, unsupported RATIONAL type
+    val good = tiff(le = true, 10, 20, shortType = true)
+    val lyingIfd = good.clone(); lyingIfd(4) = 0x7f
+    assert(MediaDimsUtil.parse(lyingIfd) == null)
+    val zeroCount = good.clone(); zeroCount(8) = 0
+    assert(MediaDimsUtil.parse(zeroCount) == null)
+    assert(MediaDimsUtil.parse(good.dropRight(10)) == null)
+    val noHeight = good.clone(); noHeight(10 + 12) = 99 // retag 257 -> junk
+    assert(MediaDimsUtil.parse(noHeight) == null)
+    val rational = good.clone(); rational(12) = 5 // type RATIONAL
+    assert(MediaDimsUtil.parse(rational) == null)
+  }
+
   test("random-bytes fuzz: 2000 arrays incl. magic-prefixed tails never throw") {
     val rnd = new scala.util.Random(42)
     val magics = Seq(
@@ -210,6 +242,7 @@ class MediaDimsSpec extends AnyFunSuite {
       "RIFF".getBytes ++ b(0, 0, 0, 0) ++ "WEBP".getBytes,
       "RIFF".getBytes ++ b(0, 0, 0, 0) ++ "WEBPVP8 ".getBytes,
       "RIFF".getBytes ++ b(0, 0, 0, 0) ++ "WEBPVP8L".getBytes,
+      "II".getBytes ++ b(0x2a, 0), "MM".getBytes ++ b(0, 0x2a),
       Array.empty[Byte])
     val payloads = (0 until 2000).map { i =>
       val tail = Array.fill(rnd.nextInt(64))(rnd.nextInt(256).toByte)
