@@ -2,34 +2,58 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 
-/** TWO-decade scaling measurement: the [[BenchScale]] methodology
+/** Multi-decade scaling measurement: the [[BenchScale]] methodology
   * (cold warm-up run, steady = min of two repeats, per-query log-log
-  * slope) over THREE corpus sizes — sf0.01 → sf0.1 → an sf1-equivalent
-  * synthesized by [[ScaleCorpus]] — so each family shows two
-  * consecutive decade slopes. One decade cannot separate fixed
-  * overhead from the asymptote (BENCH_SCALE's q_chunk slope −0.053 is
-  * a measurement-window artifact, not evidence); the SECOND decade is
-  * where a superlinear term would surface: slope_mid_hi well above
-  * slope_lo_mid AND above ~1 flags quadratic work that small corpora
-  * hide.
+  * slope) over FOUR corpus sizes — sf0.01 → sf0.1 → an sf1-equivalent
+  * (10 replicas) → an sf2.6-equivalent (26 replicas, [[ScaleCorpus]]'s
+  * rotation ceiling) — so each family shows two consecutive decade
+  * slopes, and the worst families a third ~0.4-decade confirmation
+  * point. One decade cannot separate fixed overhead from the
+  * asymptote; the SECOND decade is where a superlinear term surfaces;
+  * the THIRD point confirms (or falsifies) the decade-2 trend.
+  *
+  * Beyond timings, the artifact carries an ATTRIBUTION section
+  * ([[graft.ops.ScaleStats]]): per-stage candidate-pair and
+  * bucket/cell-occupancy counts for the two similarity-dedup
+  * flagships, measured at mid/hi/xhi. Attribution from round 11's
+  * first run (the reason q_dedup_semantic_auto exists):
+  *  - semantic at fixed nCells=8: candidate pairs 0.999M → 100.0M for
+  *    a 10× corpus — exact quadratic cell fill (Σ n_c² with n_c ∝ n);
+  *    the auto-sized sibling pins occupancy and returns to linear.
+  *  - minhash: every stage linear (pairs 1816 → 19238, screen
+  *    survivors 278 → 2659, zero capped buckets) — its slope rise is
+  *    fixed overhead amortizing toward slope 1.0, benign.
   *
   * Covers the heavy dedup set plus the ANN / pack / exact-dedup
   * families (documents + embeddings only — the tables ScaleCorpus
   * replicates). Output: one JSON line to stdout and
-  * BENCH_SCALE_r10.json in the working directory.
+  * BENCH_SCALE_r11.json in the working directory.
   *
-  * Usage: BenchScaleTwoDecades [loDir midDir hiDir]  (defaults:
-  * /root/testdata/sf0.01, /root/testdata/sf0.1, /tmp/graft-sf1)
+  * Usage: BenchScaleTwoDecades [loDir midDir hiDir xhiDir]  (defaults:
+  * /root/testdata/sf0.01, /root/testdata/sf0.1, /tmp/graft-sf1,
+  * /tmp/graft-sf26)
   */
 object BenchScaleTwoDecades {
 
   val queries: Seq[String] = BenchScale.heavyQueries ++ Seq(
-    "q_dedup_exact", "q_dedup_semantic", "q_simsearch_ivf",
-    "q_simsearch_lsh", "q_pack")
+    "q_dedup_exact", "q_dedup_semantic", "q_dedup_semantic_auto",
+    "q_simsearch_ivf", "q_simsearch_lsh", "q_pack")
+
+  /** Worst families by mid→hi slope in BENCH_SCALE_r10 (+ the cluster
+    * path and the auto-sized semantic): these also run the xhi point. */
+  val xhiQueries: Seq[String] = Seq(
+    "q_dedup_semantic", "q_dedup_semantic_auto", "q_dedup_minhash",
+    "q_dedup_cross", "q_dedup_minhash_cluster", "q_dedup_cluster",
+    "q_prep_mix")
+
+  /** xhi is 26 replicas vs hi's 10: 0.415 decades. */
+  private val xhiDecades = math.log10(26.0 / 10.0)
 
   def main(args: Array[String]): Unit = {
-    val dirs = if (args.length == 3) args.toSeq
-      else Seq("/root/testdata/sf0.01", "/root/testdata/sf0.1", "/tmp/graft-sf1")
+    val dirs = if (args.length == 4) args.toSeq
+      else Seq("/root/testdata/sf0.01", "/root/testdata/sf0.1",
+        "/tmp/graft-sf1", "/tmp/graft-sf26")
+    val Seq(loDir, midDir, hiDir, xhiDir) = dirs
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -45,9 +69,10 @@ object BenchScaleTwoDecades {
 
     val times = scala.collection.mutable.Map.empty[(String, String), Double]
     dirs.foreach { dir =>
+      val qs = if (dir == xhiDir) xhiQueries else queries
       Seq("documents", "embeddings").foreach(n =>
         Tables.load(spark, dir, n).count())
-      queries.foreach { name =>
+      qs.foreach { name =>
         def once(): Double = {
           val t0 = System.nanoTime()
           qmap(name)(spark, dir).count()
@@ -65,21 +90,47 @@ object BenchScaleTwoDecades {
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     def slope(lo: Double, hi: Double): Double = math.log10(hi / math.max(lo, 1e-3))
 
+    // per-stage attribution for the two flagship similarity families
+    // (mid/hi/xhi): candidate-pair populations are the cost driver,
+    // and their growth rate attributes each family's timing slope
+    def jmap(m: Map[String, Long]): String =
+      m.toSeq.sortBy(_._1).map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
+    val attribution = Seq(midDir, hiDir, xhiDir).map { dir =>
+      val docs = Tables.load(spark, dir, "documents")
+      val emb = Tables.load(spark, dir, "embeddings")
+      val mh = ops.ScaleStats.minhash(docs, "doc_id", "text",
+        shingleN = 5, numHashes = 64, bands = 8, threshold = 0.8,
+        maxBucket = 200, charShingles = true)
+      val se = ops.ScaleStats.semantic(emb, "vec_id", "embedding",
+        threshold = 0.4, nCells = 8, replication = 2)
+      val n = emb.filter(org.apache.spark.sql.functions.col("embedding").isNotNull).count()
+      val autoCells = math.max(2L, (n * 2 + 511) / 512).toInt
+      val seAuto = ops.ScaleStats.semantic(emb, "vec_id", "embedding",
+        threshold = 0.4, nCells = autoCells, replication = 2)
+      System.err.println(s"[bench-scale2] attribution $dir done")
+      s""""$dir":{"minhash":${jmap(mh)},"semantic_fixed8":${jmap(se)},""" +
+        s""""semantic_auto":${jmap(seAuto + ("n_cells" -> autoCells.toLong))}}"""
+    }.mkString("{", ",", "}")
+
     val entries = queries.map { name =>
-      val Seq(lo, mid, hi) = dirs.map(d => times((name, d)))
+      val Seq(lo, mid, hi) = Seq(loDir, midDir, hiDir).map(d => times((name, d)))
       val reliable = lo >= 1e-3 && mid >= 1e-3
+      val xhiPart = times.get((name, xhiDir)).map { x =>
+        s""","t_xhi_sec":${r3(x)},"slope_hi_xhi":${r3(slope(hi, x) / xhiDecades)}"""
+      }.getOrElse("")
       s""""$name":{"t_sec":[${r3(lo)},${r3(mid)},${r3(hi)}],""" +
         s""""slope_lo_mid":${r3(slope(lo, mid))},"slope_mid_hi":${r3(slope(mid, hi))},""" +
-        s""""slope_two_decade":${r3(slope(lo, hi) / 2)},"reliable":$reliable}"""
+        s""""slope_two_decade":${r3(slope(lo, hi) / 2)},"reliable":$reliable$xhiPart}"""
     }
-    val worst = queries.maxBy(n => slope(times((n, dirs(1))), times((n, dirs(2)))))
-    val worstSlope = slope(times((worst, dirs(1))), times((worst, dirs(2))))
+    val worst = queries.maxBy(n => slope(times((n, midDir)), times((n, hiDir))))
+    val worstSlope = slope(times((worst, midDir)), times((worst, hiDir)))
     val line = s"""{"metric":"max_second_decade_slope","value":${r3(worstSlope)},""" +
       s""""unit":"log10(t_hi/t_mid) per decade of rows","worst_query":"$worst",""" +
       s""""sf_dirs":${dirs.map(d => s""""$d"""").mkString("[", ",", "]")},""" +
-      s""""synthetic_hi":true,"queries":{${entries.mkString(",")}}}"""
+      s""""synthetic_hi":true,"xhi_replicas":26,"queries":{${entries.mkString(",")}},""" +
+      s""""attribution":$attribution}"""
     try java.nio.file.Files.writeString(
-      java.nio.file.Path.of("BENCH_SCALE_r10.json"), line + "\n")
+      java.nio.file.Path.of("BENCH_SCALE_r11.json"), line + "\n")
     catch { case e: Exception => System.err.println(s"[bench-scale2] write failed: $e") }
     println(line)
     spark.stop()

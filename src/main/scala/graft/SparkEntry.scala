@@ -210,6 +210,54 @@ object SparkEntry {
         .orderBy("fingerprint")
     },
 
+    "q_stream_minhash" -> { (s, dir) =>
+      // the streaming LSH state op (Streams.minhashNearDupPairs) under
+      // the oracle: documents (doc_id < 250, the exact-sibling scope)
+      // as a bounded file stream → banded minhash flatMapGroupsWithState
+      // at COLLAPSED parameters — r=1 banding (64 one-hash bands, a
+      // true j>=0.8 pair misses every bucket with prob (1-j)^64 <=
+      // 1e-45) and a slack screen (threshold 0.5 ≈ the batch op's
+      // t/2 margin; P(est < 0.5 | j >= 0.8) <= ~1e-9, deterministic
+      // per corpus — xxhash signatures are pure functions of the text)
+      // — so the streamed candidate set provably contains every true
+      // pair. A re-emitted slice (at-least-once shape) proves the
+      // redelivery latch: a duplicated id re-pairing would double rows.
+      // The gate then exact-verifies the streamed candidates batch-side
+      // (same word-3-gram family as the signatures) and emits
+      // (id1, id2, jaccard >= 0.8) — equal to DuckDB's independent
+      // all-pairs word-3-gram Jaccard iff streaming banding, screen,
+      // election, and redelivery semantics all hold.
+      val batch = Tables.load(s, dir, "documents")
+      val schema = batch.schema
+      def stream = s.readStream.schema(schema)
+        .parquet(s"$dir/documents*.parquet")
+      val slice = stream.filter(col("doc_id") < 250)
+      val arrivals = slice.union(slice.filter(col("doc_id") % 10 === 0))
+        .withColumn("__ts__",
+          lit(java.sql.Timestamp.valueOf("2026-01-01 00:00:00")))
+      val streamed = graft.streaming.Streams.minhashNearDupPairs(
+        arrivals, "doc_id", "text", "__ts__", "10 seconds",
+        shingleN = 3, numHashes = 64, bands = 64, threshold = 0.5,
+        maxBucket = 100000)
+      // arrival order decides which side of a pair streamed first —
+      // canonicalize to id1 < id2 (the survivor-invariant projection)
+      val canon = graft.streaming.Streams.runBounded(streamed.toDF())
+        .select(least(col("id1"), col("id2")).as("id1"),
+          greatest(col("id1"), col("id2")).as("id2"))
+        .distinct()
+      val sets = batch.filter(col("doc_id") < 250)
+        .select(col("doc_id"),
+          array_distinct(ops.TextOps.shingles(col("text"), 3)).as("__sh__"))
+      canon
+        .join(sets.select(col("doc_id").as("id1"), col("__sh__").as("sh1")), Seq("id1"))
+        .join(sets.select(col("doc_id").as("id2"), col("__sh__").as("sh2")), Seq("id2"))
+        .withColumn("jaccard",
+          graft.functions.similarityExprs.jaccard_sim(col("sh1"), col("sh2")))
+        .filter(col("jaccard") >= 0.8)
+        .select("id1", "id2", "jaccard")
+        .orderBy("id1", "id2")
+    },
+
     // ------------------------------------------------------ filters (§2.3)
     "q_filter_map" -> { (s, dir) =>
       p(s, dir, "orders")
@@ -525,16 +573,28 @@ object SparkEntry {
     },
 
     "q_setops" -> { (s, dir) =>
-      // §2.7 supersets: customers without orders via EXCEPT, plus
-      // UNION-DISTINCT and INTERSECT cardinalities as one summary row
+      // §2.7 supersets: EXCEPT / UNION-DISTINCT / INTERSECT
+      // cardinalities as one summary row, computed in ONE LAZY PLAN —
+      // the three verb outputs are tagged, unioned, and counted by a
+      // single conditional aggregate, so the gate runs as one job
+      // (the previous shape drove three .count() actions from the
+      // driver: three jobs for one row). The set-op verbs stay
+      // in-plan on purpose — q_setops is §2.7's oracle row. At
+      // corpus scale the same three numbers come from one full-outer
+      // join on distinct keys with presence flags (one scan per
+      // side); the gate keeps the operators themselves under test.
       val custKeys = p(s, dir, "customer").clip("c_custkey")
       val orderCust = p(s, dir, "orders")
         .renameFields("o_custkey" -> "c_custkey").clip("c_custkey")
-      val noOrders = custKeys.exceptRows(orderCust).toDF.count()
-      val union = custKeys.concatDistinct(orderCust).toDF.count()
-      val both = custKeys.intersectRows(orderCust).toDF.count()
-      import s.implicits._
-      Seq((noOrders, union, both)).toDF("n_no_orders", "n_union", "n_intersect")
+      def tag(pl: graft.etl.Pipeline, op: String): DataFrame =
+        pl.toDF.select(lit(op).as("__op__"))
+      tag(custKeys.exceptRows(orderCust), "e")
+        .unionAll(tag(custKeys.concatDistinct(orderCust), "u"))
+        .unionAll(tag(custKeys.intersectRows(orderCust), "i"))
+        .agg(
+          count(when(col("__op__") === "e", 1)).as("n_no_orders"),
+          count(when(col("__op__") === "u", 1)).as("n_union"),
+          count(when(col("__op__") === "i", 1)).as("n_intersect"))
     },
 
     "q_topvalues" -> { (s, dir) =>
@@ -1272,9 +1332,10 @@ object SparkEntry {
 
     "q_avro_roundtrip" -> { (s, dir) =>
       // row-format fidelity through the interchange surface: Avro
-      // container write (graft's own avro-core sink) → splittable
-      // AvroKeyInputFormat read — long/string/double/timestamp must
-      // survive bit-for-bit through the logical-type mapping. Path
+      // container write (graft's own avro-core sink, staged commit) →
+      // the graft-avro DataSource V2 scan (driver-planned splits,
+      // per-file reader projection) — long/string/double/timestamp
+      // must survive bit-for-bit through the logical-type mapping. Path
       // keyed per (pid, sf) for the same reuse/isolation reasons as
       // q_orc_roundtrip above.
       val out = s"${System.getProperty("java.io.tmpdir")}/graft-gate-avro-${ProcessHandle.current().pid()}-${Integer.toHexString(dir.hashCode)}/orders_avro"
@@ -1744,6 +1805,24 @@ object SparkEntry {
       ops.Dedup.semanticNearDups(
         t(s, dir, "embeddings"), "vec_id", "embedding",
         threshold = 0.4, nCells = 4, replication = 4)
+        .orderBy("id1", "id2")
+    },
+
+    "q_dedup_semantic_auto" -> { (s, dir) =>
+      // SemDeDup with the quantizer SIZED TO THE CORPUS — the 100 TB
+      // form: nCells = ceil(n*replication/targetCell) pins expected
+      // cell occupancy, so within-cell pair work grows linearly with
+      // the corpus instead of the n²/nCells of any fixed cell count
+      // (BENCH_SCALE_r11 attribution: fixed nCells=8 pays 100× the
+      // candidate pairs per 10× corpus). Rows-only like its fixed
+      // sibling (seeded quantizer has no DuckDB counterpart);
+      // RowsOnlyInvariantSpec re-verifies every emitted cosine exactly.
+      // targetCell=512 keeps this corpus in the same cell regime as
+      // q_dedup_semantic at sf0.1 (2000 vecs × 2 / 512 → 8 cells) so
+      // the two variants stay comparable at the gate sf.
+      ops.Dedup.semanticNearDupsAuto(
+        t(s, dir, "embeddings"), "vec_id", "embedding",
+        threshold = 0.4, targetCell = 512, replication = 2)
         .orderBy("id1", "id2")
     },
 
@@ -2374,6 +2453,34 @@ object SparkEntry {
     "q_stream_dedup" ->
       """SELECT DISTINCT md5(regexp_replace(lower(trim(text)), '[ \t\n\x0b\f\r]+', ' ', 'g')) AS fingerprint
         |FROM documents ORDER BY fingerprint""".stripMargin,
+
+    // streaming minhash parity: at r=1 banding + slack screen the
+    // streamed-candidate ∩ exact-verify set equals the all-pairs
+    // WORD-3-gram Jaccard answer (the streaming op's shingle family —
+    // TextOps.shingles: whitespace-normalized tokens, short texts
+    // collapse to one whole-text shingle), recomputed independently
+    "q_stream_minhash" ->
+      """WITH norm AS (
+        |  SELECT doc_id, regexp_replace(lower(trim(text)), '[ \t\n\x0b\f\r]+', ' ', 'g') AS s
+        |  FROM documents WHERE doc_id < 250),
+        |tk AS (SELECT doc_id, string_split(s, ' ') AS toks FROM norm),
+        |sh AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(toks) >= 3
+        |         THEN list_distinct(list_transform(range(0, len(toks) - 2),
+        |                i -> array_to_string(toks[i + 1:i + 3], ' ')))
+        |         ELSE [array_to_string(toks, ' ')] END AS shset
+        |  FROM tk),
+        |sz AS (SELECT doc_id, shset, len(shset) AS n FROM sh),
+        |scored AS (
+        |  SELECT a.doc_id AS id1, b.doc_id AS id2,
+        |    cast(len(list_intersect(a.shset, b.shset)) AS DOUBLE)
+        |      / len(list_distinct(a.shset || b.shset)) AS jaccard
+        |  FROM sz a JOIN sz b
+        |    ON a.doc_id < b.doc_id
+        |   AND least(a.n, b.n) >= cast(0.8 AS DOUBLE) * greatest(a.n, b.n) - 1e-9)
+        |SELECT id1, id2, jaccard FROM scored WHERE jaccard >= 0.8
+        |ORDER BY id1, id2""".stripMargin,
 
     "q_dedup_ngram" -> ngramJaccardOracle,
     // the blocked (LSH-screen + exact-verify) path must return the

@@ -351,11 +351,17 @@ object Mp4MetaUtil {
       if (chunk < firstChunk) chunk = firstChunk
       while (chunk < runEnd && sample < n) {
         val base = chunkOffset(chunk)
+        // distrust the chunk map like every other table here: a co64
+        // entry with the top bit set reads as a negative Long, and a
+        // size run overflowing past Long.MaxValue would emit absurd
+        // absolute offsets — inconsistent container ⇒ NULL, not rows
+        if (base < 0) return null
         var within = 0L
         var k = 0
         while (k < perChunk && sample < n) {
           val sz = sizeOf(sample)
           if (sz < 0 || sz > Int.MaxValue) return null
+          if (base + within < 0) return null // offset overflow
           out(sample) = InternalRow(
             sample + 1,
             base + within,

@@ -299,7 +299,7 @@ object Dedup {
 
   /** (id, native minhash signature) under internal names — shared by
     * the text-fed cross paths and the catalog projection. */
-  private def nativeSigs(
+  private[ops] def nativeSigs(
       df: DataFrame, idCol: String, textCol: String,
       shingleN: Int, numHashes: Int, charShingles: Boolean): DataFrame =
     spreadByKey(df, idCol, textCol)
@@ -775,8 +775,12 @@ object Dedup {
       maxCell: Int = 10000, seed: Long = 42L): DataFrame = {
     // empty corpus (no non-null vectors) → no near-dups, not a
     // quantizer-training failure: the first fully-filtering upstream
-    // step must not kill the dedup pass
-    val centroidsOpt = Ivf.trainCentroidsOpt(df, vecCol, nCells, seed = seed)
+    // step must not kill the dedup pass.
+    // sample grows with the cell count (≥ ~5 points per cell, else
+    // k-means seeds cells from nothing); at the small nCells of the
+    // fixed-parameter calls the max() leaves the classic 2000 intact
+    val centroidsOpt = Ivf.trainCentroidsOpt(df, vecCol, nCells,
+      sampleSize = math.max(2000, 5 * nCells), seed = seed)
     if (centroidsOpt.isEmpty)
       return df.select(col(idCol).as("id1"), col(idCol).as("id2"),
         lit(0.0).as("cosine")).where(lit(false))
@@ -809,6 +813,46 @@ object Dedup {
         .dropDuplicates("id1", "id2")
         .localCheckpoint(true)
     } finally indexed.unpersist(false)
+  }
+
+  /** Cells the driver-sample quantizer can honestly train: the sample
+    * holds ≥ ~5 points per cell under the 100k driver-collect bound.
+    * Past this, one quantizer is the wrong tool — shard-train (train a
+    * quantizer per corpus shard, assign two-level) instead of letting
+    * cells fill toward the quadratic regime. */
+  private val maxAutoCells = 20000
+
+  /** [[semanticNearDups]] with the quantizer SIZED TO THE CORPUS —
+    * the 100 TB form. Fixed `nCells` does not scale: within-cell pair
+    * work is Σ n_c² ≈ n²·replication²/nCells, so a 10× corpus under
+    * unchanged cells pays 100× the cosine evaluations (measured on the
+    * sf0.1 → sf1-equivalent corpus: 0.999M → 100.0M candidate pairs at
+    * nCells=8 — BENCH_SCALE_r11's attribution section). Sizing
+    * `nCells = ⌈n·replication / targetCell⌉` pins expected occupancy
+    * at `targetCell`, making pair work ≈ n·replication·targetCell —
+    * LINEAR in the corpus — at the price of one null-mask count() and
+    * a quantizer train whose sample scales with the cell count
+    * (5·nCells, driver-bounded; corpora needing more than
+    * [[maxAutoCells]] cells fail loudly toward shard-training rather
+    * than silently under-partitioning). Recall trade is the standard
+    * IVF one: more, smaller cells split more boundary pairs —
+    * `replication` is the countermeasure and is factored into the
+    * sizing so raising it does not re-inflate occupancy. */
+  def semanticNearDupsAuto(
+      df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double = 0.95, targetCell: Int = 512, replication: Int = 2,
+      maxCell: Int = 10000, seed: Long = 42L): DataFrame = {
+    require(targetCell >= 2,
+      s"semanticNearDupsAuto: targetCell must be >= 2, got $targetCell")
+    val n = df.filter(col(vecCol).isNotNull).count()
+    val nCells = math.max(2L,
+      (n * math.max(replication, 1) + targetCell - 1) / targetCell)
+    require(nCells <= maxAutoCells,
+      s"semanticNearDupsAuto: $n vectors at targetCell=$targetCell need " +
+        s"$nCells cells — beyond the $maxAutoCells a driver-sample " +
+        "quantizer can train; shard the corpus and train per shard")
+    semanticNearDups(df, idCol, vecCol, threshold, nCells.toInt,
+      replication, maxCell, seed)
   }
 
   /** SemDeDup removal: keep-smallest-id per [[semanticNearDups]] pair

@@ -33,7 +33,7 @@ object LshBlocking {
 
   /** (id, payload, band, bucket) rows: one per (input row, band), the
     * bucket being a hash of that band's signature slice. */
-  private def bandRows(
+  private[ops] def bandRows(
       sigs: DataFrame, bands: Int, rowsPerBand: Int, carry: String): DataFrame =
     sigs.select(
       col("__id__"), col(carry).as("__p__"),

@@ -122,32 +122,28 @@ private[sources] object AvroV2 {
 
 private[sources] class AvroTable(paths: Seq[String], tableSchema: StructType)
     extends Table with SupportsRead {
-  // one driver-side probe per table, shared by every scan of it (the
-  // scan previously re-opened the first container on each execution)
-  private lazy val writerJson: String =
-    AvroV2.probeWriterSchema(SparkSession.active, paths).toString
   override def name(): String = s"graft-avro(${paths.mkString(",")})"
   override def schema(): StructType = tableSchema
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.Set.of(TableCapability.BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new AvroScanBuilder(paths, tableSchema, writerJson)
+    new AvroScanBuilder(paths, tableSchema)
 }
 
 private[sources] class AvroScanBuilder(
-    paths: Seq[String], full: StructType, writerJson: String)
+    paths: Seq[String], full: StructType)
     extends ScanBuilder with SupportsPushDownRequiredColumns {
   private var required: StructType = full
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
-  override def build(): Scan = new AvroScan(paths, required, writerJson)
+  override def build(): Scan = new AvroScan(paths, required)
 }
 
 private[sources] case class AvroRange(
     file: String, start: Long, length: Long) extends InputPartition
 
 private[sources] class AvroScan(
-    paths: Seq[String], required: StructType, writerJson: String)
+    paths: Seq[String], required: StructType)
     extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
@@ -169,36 +165,44 @@ private[sources] class AvroScan(
 
   override def createReaderFactory(): PartitionReaderFactory = {
     val spark = SparkSession.active
-    // the TABLE-level writer schema anchors per-split reader projection;
-    // per-file variation resolves through Avro schema resolution
+    // reader projection is resolved PER FILE against that file's own
+    // writer schema (AvroRangeReader): a heterogeneous-writer
+    // directory reads fields absent from some files as NULL (the
+    // evolution contract) instead of failing Avro resolution against
+    // another file's writer schema
     val conf = new SerializableWritable(
       new org.apache.hadoop.conf.Configuration(
         spark.sparkContext.hadoopConfiguration))
-    new AvroReaderFactory(writerJson, required, conf)
+    new AvroReaderFactory(required, conf)
   }
 }
 
 private[sources] class AvroReaderFactory(
-    writerJson: String, required: StructType,
+    required: StructType,
     conf: SerializableWritable[org.apache.hadoop.conf.Configuration])
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val r = partition.asInstanceOf[AvroRange]
-    new AvroRangeReader(r, writerJson, required, conf.value)
+    new AvroRangeReader(r, required, conf.value)
   }
 }
 
 private[sources] class AvroRangeReader(
-    range: AvroRange, writerJson: String, required: StructType,
+    range: AvroRange, required: StructType,
     conf: org.apache.hadoop.conf.Configuration)
     extends PartitionReader[InternalRow] {
 
-  private val readerSchema = AvroV2.pruneAvroSchema(
-    new ASchema.Parser().parse(writerJson), required.fieldNames.toSeq)
+  // set when the file opens: the required fields narrowed to THIS
+  // file's writer schema — required fields the file lacks are dropped
+  // here and NULL-filled by recordToRow (schema evolution per file,
+  // not per the first file probed at planning time)
+  private var readerSchema: ASchema = _
   private val reader = {
     val in = new FsInput(new Path(range.file), conf)
-    val r = DataFileReader.openReader(
-      in, new GenericDatumReader[GenericRecord](null, readerSchema))
+    val datumReader = new GenericDatumReader[GenericRecord]()
+    val r = DataFileReader.openReader(in, datumReader)
+    readerSchema = AvroV2.pruneAvroSchema(r.getSchema, required.fieldNames.toSeq)
+    datumReader.setExpected(readerSchema)
     r.sync(range.start) // first block boundary at/after the range start
     r
   }

@@ -59,6 +59,48 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(broadcasts >= 3, s"expected >=3 broadcast joins (customer/nation/region), got $broadcasts:\n$s")
   }
 
+  test("q_setops folds the three set-op counts into one job") {
+    // the r10-verdict plan-hygiene fix: building the query frame must
+    // run ZERO actions (the old shape drove three .count() actions
+    // from the driver during construction), and the whole summary row
+    // must come from ONE SQL execution (AQE may split one action into
+    // several scheduler jobs — the SQL-execution count is the "three
+    // entries in the SQL UI" the verdict flagged)
+    val sc = spark.sparkContext
+    val jobs = new java.util.concurrent.atomic.AtomicInteger()
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onOtherEvent(
+          e: org.apache.spark.scheduler.SparkListenerEvent): Unit = e match {
+        case _: org.apache.spark.sql.execution.ui.SparkListenerSQLExecutionStart =>
+          jobs.incrementAndGet()
+        case _ => ()
+      }
+    }
+    sc.addSparkListener(listener)
+    // listener events arrive asynchronously — poll until the count
+    // stops moving (two consecutive quiet reads) before asserting
+    def settled(): Int = {
+      var prev = -1
+      var cur = jobs.get()
+      var spins = 0
+      while (cur != prev && spins < 100) {
+        prev = cur; Thread.sleep(100); cur = jobs.get(); spins += 1
+      }
+      cur
+    }
+    try {
+      val df = SparkEntry.queries("q_setops")(spark, dir)
+      assert(settled() == 0,
+        s"q_setops ran ${jobs.get()} SQL executions during plan " +
+          "CONSTRUCTION — the frame must be lazy")
+      val row = df.collect().head
+      assert(settled() == 1,
+        s"q_setops ran ${jobs.get()} SQL executions for one summary row")
+      // sanity: the single plan still computes all three cardinalities
+      assert(row.getLong(1) >= row.getLong(2)) // union >= intersect
+    } finally sc.removeSparkListener(listener)
+  }
+
   test("q_decontaminate joins stay hash-based — no pair enumeration anywhere") {
     val s = planString(executed(SparkEntry.queries("q_decontaminate")(spark, dir)))
     // the corpus side must reach the eval grams via semi-join and fold

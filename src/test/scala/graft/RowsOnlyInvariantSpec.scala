@@ -111,6 +111,37 @@ class RowsOnlyInvariantSpec extends AnyFunSuite {
       s"missing ${exact -- full}, extra ${full -- exact}")
   }
 
+  test("q_dedup_semantic_auto: emitted cosines exact and >= threshold; sizing math pins occupancy") {
+    val out = SparkEntry.queries("q_dedup_semantic_auto")(spark, dir)
+    val rows = out
+      .join(emb.select(col("vec_id").as("id1"), col("v").as("v1")), Seq("id1"))
+      .join(emb.select(col("vec_id").as("id2"), col("v").as("v2")), Seq("id2"))
+      .select(col("id1"), col("id2"), col("cosine"),
+        ops.VectorOps.cosine(col("v1"), col("v2")).as("exact"))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Double]("exact") >= 0.4,
+        s"pair (${r.get(0)}, ${r.get(1)}) exact cosine ${r.getAs[Double]("exact")} < 0.4")
+      assert(r.getAs[Double]("cosine") == r.getAs[Double]("exact"),
+        s"pair (${r.get(0)}, ${r.get(1)}) emitted ${r.getAs[Double]("cosine")} != exact")
+    }
+    // the sizing contract itself: at targetCell=t the chosen cell count
+    // equals ceil(n*replication/t), so expected occupancy stays ~t no
+    // matter the corpus — verified against a by-hand call at that count
+    val n = Tables.load(spark, dir, "embeddings")
+      .filter(col("embedding").isNotNull).count()
+    val nCells = math.max(2L, (n * 2 + 511) / 512).toInt
+    val byHand = ops.Dedup.semanticNearDups(
+      Tables.load(spark, dir, "embeddings"), "vec_id", "embedding",
+      threshold = 0.4, nCells = nCells, replication = 2)
+      .select("id1", "id2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val auto = out.select("id1", "id2").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(auto == byHand,
+      s"auto sizing != by-hand nCells=$nCells: missing ${byHand -- auto}, extra ${auto -- byHand}")
+  }
+
   test("q_simsearch_ivf: emitted cosines are exact, ranks dense in score order") {
     val out = SparkEntry.queries("q_simsearch_ivf")(spark, dir)
     val rows = out
