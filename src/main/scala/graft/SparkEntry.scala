@@ -67,6 +67,10 @@ object SparkEntry {
     concat(b2(pmod(v, lit(256))), b2(floor(v / 256).cast(LongType)))
   private def be32(c: Column): Column = unhex(lpad(hex(c), 8, "0"))
   private def ascii(t: String): Column = lit(t.getBytes("US-ASCII"))
+  /** Little-endian unsigned integer of `bytes` bytes as hex chars. */
+  private def leh(v: Column, bytes: Int): Column =
+    concat((0 until bytes).map(i =>
+      b2(pmod(shiftright(v.cast(LongType), 8 * i), lit(256L)))): _*)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
@@ -1163,6 +1167,117 @@ object SparkEntry {
           col("smp.size").as("size"),
           col("smp.keyframe").as("keyframe"))
         .orderBy("doc_id", "sample_index")
+    },
+
+    "q_multimodal_ogg" -> { (s, dir) =>
+      // the Ogg page walk under the oracle: assemble spec-valid
+      // single-stream Ogg files columnar — a BOS page carrying a full
+      // Vorbis (even doc_ids) or Opus (odd) identification header and
+      // an EOS data page whose granule position comes from doc_id
+      // arithmetic — walk them back with the native parser, and have
+      // DuckDB recompute codec/channels/rate/pre-skip/duration from
+      // the same arithmetic: any drift in the lacing walk, the id
+      // header offsets, or the granule clock (Vorbis: sample rate;
+      // Opus: fixed 48 kHz minus pre-skip) breaks the hash.
+      val isOpus = pmod(col("doc_id"), lit(2L)) === 1
+      val ch = pmod(col("doc_id"), lit(3L)) + 1
+      val rate = element_at(
+        typedLit(Seq(8000L, 22050L, 44100L, 48000L)),
+        (pmod(col("doc_id"), lit(4L)) + 1).cast("int"))
+      val preSkip = pmod(col("doc_id"), lit(900L)) + 100
+      val granule = pmod(col("doc_id"), lit(50000L)) * 7 + 48000
+      val serial = pmod(col("doc_id"), lit(1000000L))
+      // vorbis id header: \x01"vorbis" ver=0 ch rate(LE) 3x bitrate
+      // blocksizes framing — 30 bytes
+      val vorbisId = concat(lit("01766f72626973"), lit("00000000"),
+        b2(ch), leh(rate, 4), lit("00" * 12), lit("b8"), lit("01"))
+      // opus id header: "OpusHead" ver=1 ch preskip(LE16) rate(LE32)
+      // gain mapping — 19 bytes
+      val opusId = concat(lit("4f70757348656164"), lit("01"),
+        b2(ch), leh(preSkip, 2), leh(rate, 4), lit("0000"), lit("00"))
+      def page(hdrType: String, gran: Column, seq: Long, lace: Column,
+          payloadHex: Column) =
+        concat(lit("4f67675300"), lit(hdrType), leh(gran, 8),
+          leh(serial, 4), leh(lit(seq), 4), lit("00000000"),
+          lit("01"), b2(lace), payloadHex)
+      val hex0 = page("02", lit(0L), 0L,
+        when(isOpus, lit(19L)).otherwise(lit(30L)),
+        when(isOpus, opusId).otherwise(vorbisId))
+      val hex1 = page("04", granule, 1L, lit(20L), lit("00" * 20))
+      val m = ops.Multimodal.oggMeta(col("payload"))
+      t(s, dir, "documents")
+        .select(col("doc_id"), unhex(concat(hex0, hex1)).as("payload"))
+        .select(col("doc_id"),
+          m.getField("codec").as("codec"),
+          m.getField("channels").as("channels"),
+          m.getField("sample_rate").as("sample_rate"),
+          m.getField("pre_skip").as("pre_skip"),
+          m.getField("n_pages").as("n_pages"),
+          m.getField("last_granule").as("last_granule"),
+          m.getField("duration_s").as("duration_s"))
+        .orderBy("doc_id")
+    },
+
+    "q_multimodal_mkv" -> { (s, dir) =>
+      // the EBML walk under the oracle: assemble spec-valid Matroska/
+      // WebM columnar — EBML header with DocType, Segment holding
+      // Info (TimestampScale + float32 Duration from a fixed table of
+      // exactly-representable values, bit patterns precomputed at
+      // plan build), Tracks with one video and one audio TrackEntry,
+      // and a junk Cluster that the walker must SKIP BY SIZE — parse
+      // back with the native expression while DuckDB recomputes every
+      // field from the same arithmetic: any drift in vint decoding,
+      // nesting bookkeeping, uint/float reads, or the duration
+      // closed form (raw * timescale / 1e9) breaks the hash.
+      val even = pmod(col("doc_id"), lit(2L)) === 0
+      val durMs = Seq(1000L, 1500L, 2000L, 3000L, 4500L, 6000L, 30000L, 90000L)
+      val durHex = durMs.map(v => f"${java.lang.Float.floatToIntBits(v.toFloat)}%08x")
+      val rates = Seq(8000L, 16000L, 24000L, 44100L, 48000L)
+      val rateHex = rates.map(v => f"${java.lang.Float.floatToIntBits(v.toFloat)}%08x")
+      val durIdx = (pmod(col("doc_id"), lit(8L)) + 1).cast("int")
+      val rateIdx = (pmod(col("doc_id"), lit(5L)) + 1).cast("int")
+      val w = pmod(col("doc_id"), lit(1280L)) + 16
+      val h = pmod(col("doc_id"), lit(720L)) + 16
+      val ch = pmod(col("doc_id"), lit(2L)) + 1
+      // EBML header: DocType "matroska" (even) / "webm" (odd)
+      val dtHex = when(even, lit("6d6174726f736b61")).otherwise(lit("7765626d"))
+      val dtLen = when(even, lit(8L)).otherwise(lit(4L))
+      val ebmlHdr = concat(lit("1a45dfa3"), b2(dtLen + 0x83L),
+        lit("4282"), b2(dtLen + 0x80L), dtHex)
+      // Info (19 bytes): TimestampScale 1e6, Duration float32
+      val infoB = concat(lit("1549a9668e"), lit("2ad7b1830f4240"),
+        lit("448984"), element_at(typedLit(durHex), durIdx))
+      // video TrackEntry (22 bytes): type 1, codec V_VP8/V_AV1,
+      // Video{PixelWidth, PixelHeight} as be16
+      val vCodec = when(even, lit("565f565038")).otherwise(lit("565f415631"))
+      val videoTe = concat(lit("ae94"), lit("838101"), lit("8685"), vCodec,
+        lit("e088"), lit("b082"), lpad(hex(w), 4, "0"),
+        lit("ba82"), lpad(hex(h), 4, "0"))
+      // audio TrackEntry (24 bytes): type 2, codec A_FLAC/A_OPUS,
+      // Audio{SamplingFrequency float32, Channels}
+      val aCodec = when(even, lit("415f464c4143")).otherwise(lit("415f4f505553"))
+      val audioTe = concat(lit("ae96"), lit("838102"), lit("8686"), aCodec,
+        lit("e189"), lit("b584"), element_at(typedLit(rateHex), rateIdx),
+        lit("9f81"), b2(ch))
+      val tracksB = concat(lit("1654ae6bae"), videoTe, audioTe)
+      val clusterB = lit("1f43b67584deadbeef") // must be skipped by size
+      val segment = concat(lit("18538067cf"), infoB, tracksB, clusterB)
+      val m = ops.Multimodal.mkvMeta(col("payload"))
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          unhex(concat(ebmlHdr, segment)).as("payload"))
+        .select(col("doc_id"),
+          m.getField("doc_type").as("doc_type"),
+          m.getField("timescale_ns").as("timescale_ns"),
+          m.getField("duration_s").as("duration_s"),
+          m.getField("n_tracks").as("n_tracks"),
+          m.getField("video_codec").as("video_codec"),
+          m.getField("width").as("width"),
+          m.getField("height").as("height"),
+          m.getField("audio_codec").as("audio_codec"),
+          m.getField("audio_rate").as("audio_rate"),
+          m.getField("audio_channels").as("audio_channels"))
+        .orderBy("doc_id")
     },
 
     "q_multimodal_decode_ulaw" -> { (s, dir) =>
@@ -2695,6 +2810,42 @@ object SparkEntry {
         |  cast((doc_id % 5 + 2) * 1152 AS DOUBLE) /
         |    list_value(44100,48000,32000)[doc_id % 3 + 1] AS duration_s,
         |  doc_id % 2 = 1 AS vbr
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // recompute codec/channels/rate/pre-skip/granule from the same
+    // doc_id arithmetic the Spark side assembled into the pages; the
+    // duration mirrors the parser's closed forms (Vorbis:
+    // granule / sample_rate; Opus: (granule - pre_skip) / 48000)
+    "q_multimodal_ogg" ->
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 2 = 1 THEN 'opus' ELSE 'vorbis' END AS codec,
+        |  cast(doc_id % 3 + 1 AS INT) AS channels,
+        |  cast(list_value(8000,22050,44100,48000)[doc_id % 4 + 1] AS INT) AS sample_rate,
+        |  cast(CASE WHEN doc_id % 2 = 1 THEN doc_id % 900 + 100 ELSE 0 END AS INT) AS pre_skip,
+        |  cast(2 AS INT) AS n_pages,
+        |  cast((doc_id % 50000) * 7 + 48000 AS BIGINT) AS last_granule,
+        |  CASE WHEN doc_id % 2 = 1
+        |    THEN cast((doc_id % 50000) * 7 + 48000 - (doc_id % 900 + 100) AS DOUBLE) / 48000.0
+        |    ELSE cast((doc_id % 50000) * 7 + 48000 AS DOUBLE)
+        |      / list_value(8000,22050,44100,48000)[doc_id % 4 + 1] END AS duration_s
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // recompute every EBML field from the assembly arithmetic; the
+    // duration mirrors the parser's closed form raw * timescale / 1e9
+    // (raw from the same exactly-float32-representable table)
+    "q_multimodal_mkv" ->
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 2 = 0 THEN 'matroska' ELSE 'webm' END AS doc_type,
+        |  cast(1000000 AS BIGINT) AS timescale_ns,
+        |  cast(list_value(1000,1500,2000,3000,4500,6000,30000,90000)[doc_id % 8 + 1]
+        |    AS DOUBLE) * 1000000 / 1e9 AS duration_s,
+        |  cast(2 AS INT) AS n_tracks,
+        |  CASE WHEN doc_id % 2 = 0 THEN 'V_VP8' ELSE 'V_AV1' END AS video_codec,
+        |  cast(doc_id % 1280 + 16 AS INT) AS width,
+        |  cast(doc_id % 720 + 16 AS INT) AS height,
+        |  CASE WHEN doc_id % 2 = 0 THEN 'A_FLAC' ELSE 'A_OPUS' END AS audio_codec,
+        |  cast(list_value(8000,16000,24000,44100,48000)[doc_id % 5 + 1] AS DOUBLE) AS audio_rate,
+        |  cast(doc_id % 2 + 1 AS INT) AS audio_channels
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     // recompute every sample's byte offset as chunk base + prefix sum

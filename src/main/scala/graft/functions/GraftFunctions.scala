@@ -38,6 +38,18 @@ object GraftFunctions {
       "mp3_meta(binary) expects exactly 1 argument")
   }
 
+  private def buildOggMeta(args: Seq[Expression]): Expression = args match {
+    case Seq(child) => OggMeta(child)
+    case _ => throw new IllegalArgumentException(
+      "ogg_meta(binary) expects exactly 1 argument")
+  }
+
+  private def buildMkvMeta(args: Seq[Expression]): Expression = args match {
+    case Seq(child) => MkvMeta(child)
+    case _ => throw new IllegalArgumentException(
+      "mkv_meta(binary) expects exactly 1 argument")
+  }
+
   private def buildZOrder(args: Seq[Expression]): Expression = args match {
     case Literal(bits: Int, _) +: dims if dims.size >= 2 => ZOrderKey(dims, bits)
     case _ => throw new IllegalArgumentException(
@@ -58,6 +70,10 @@ object GraftFunctions {
       buildMp4Samples _),
     ("mp3_meta", new ExpressionInfo(classOf[Mp3Meta].getName, "mp3_meta"),
       buildMp3Meta _),
+    ("ogg_meta", new ExpressionInfo(classOf[OggMeta].getName, "ogg_meta"),
+      buildOggMeta _),
+    ("mkv_meta", new ExpressionInfo(classOf[MkvMeta].getName, "mkv_meta"),
+      buildMkvMeta _),
     ("zorder_key", new ExpressionInfo(classOf[ZOrderKey].getName, "zorder_key"),
       buildZOrder _))
 

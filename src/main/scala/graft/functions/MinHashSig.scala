@@ -221,4 +221,13 @@ object exprs {
   /** Stream-level MP3 metadata of a binary column (see [[Mp3Meta]]). */
   def mp3_meta(payload: Column): Column =
     Bridge.toColumn(Mp3Meta(Bridge.toExpression(payload)))
+
+  /** Container-level Ogg metadata of a binary column (see [[OggMeta]]). */
+  def ogg_meta(payload: Column): Column =
+    Bridge.toColumn(OggMeta(Bridge.toExpression(payload)))
+
+  /** Container-level Matroska/WebM metadata of a binary column (see
+    * [[MkvMeta]]). */
+  def mkv_meta(payload: Column): Column =
+    Bridge.toColumn(MkvMeta(Bridge.toExpression(payload)))
 }

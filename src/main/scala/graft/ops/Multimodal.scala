@@ -41,6 +41,8 @@ object Multimodal {
         prefix.startsWith("4d4d002a"), lit("image/tiff")) // II*\0 | MM\0*
       .when(substring(prefix, 9, 8) === "66747970", lit("video/mp4")) // ....ftyp
       .when(prefix.startsWith("494433"), lit("audio/mpeg")) // ID3
+      .when(prefix.startsWith("4f676753"), lit("audio/ogg")) // OggS
+      .when(prefix.startsWith("1a45dfa3"), lit("video/x-matroska")) // EBML
       .otherwise(lit("application/octet-stream"))
   }
 
@@ -86,6 +88,23 @@ object Multimodal {
     * gate. NULL for non-MP3/malformed payloads — never a throw. */
   def mp3Meta(payload: Column): Column =
     graft.functions.exprs.mp3_meta(payload)
+
+  /** Container-level Ogg metadata — REAL page walking (capture
+    * pattern, lacing sums, granule positions, Vorbis/Opus id headers
+    * → codec/channels/rate/duration; native codegen'd expression, no
+    * codec library): the Ogg-side audio triage gate. NULL for
+    * non-Ogg/malformed payloads — never a throw. */
+  def oggMeta(payload: Column): Column =
+    graft.functions.exprs.ogg_meta(payload)
+
+  /** Container-level Matroska/WebM metadata — REAL EBML walking
+    * (DocType, segment Info timescale/duration, track entries →
+    * codec ids, dims, audio rate/channels; clusters skipped by size;
+    * native codegen'd expression, no demuxer library): the
+    * video-corpus triage gate. NULL for non-EBML/malformed payloads —
+    * never a throw. */
+  def mkvMeta(payload: Column): Column =
+    graft.functions.exprs.mkv_meta(payload)
 
   val featureSchema: ArrayType = ArrayType(FloatType, containsNull = false)
 

@@ -49,8 +49,16 @@ private[graft] object XlsParser {
     require(bytes.length >= 512 &&
       buf.getLong(0) == 0xE11AB1A1E011CFD0L, // D0CF11E0A1B11AE1 little-endian
       "not a CFB compound file (bad magic)")
-    val sectorSize = 1 << buf.getShort(30)
-    val miniSectorSize = 1 << buf.getShort(32)
+    // distrust every header field before using it as shift/offset
+    // arithmetic (hostile-bytes contract: a corrupt container must
+    // reject with a typed error, never an index/negative-size throw)
+    val sectorShift = buf.getShort(30).toInt
+    val miniShift = buf.getShort(32).toInt
+    require(sectorShift >= 7 && sectorShift <= 20 &&
+      miniShift >= 2 && miniShift <= sectorShift,
+      s"corrupt CFB header: sector shifts $sectorShift/$miniShift")
+    val sectorSize = 1 << sectorShift
+    val miniSectorSize = 1 << miniShift
     val firstDirSector = buf.getInt(48) & 0xFFFFFFFFL
     val miniCutoff = buf.getInt(56)
     val firstMiniFat = buf.getInt(60) & 0xFFFFFFFFL
@@ -59,7 +67,16 @@ private[graft] object XlsParser {
 
     def sector(n: Long): Array[Byte] = {
       val off = (n + 1) * sectorSize
-      java.util.Arrays.copyOfRange(bytes, off.toInt, (off + sectorSize).toInt)
+      if (off < 0 || off >= bytes.length)
+        throw new IllegalArgumentException(
+          s"truncated CFB container: sector $n beyond ${bytes.length} bytes")
+      // a truncated final sector zero-pads (streams bound their own
+      // lengths; FAT/directory reads of the pad read END_OF_CHAIN-free
+      // zeros and terminate)
+      val out = new Array[Byte](sectorSize)
+      val n0 = math.min(sectorSize.toLong, bytes.length - off).toInt
+      System.arraycopy(bytes, off.toInt, out, 0, n0)
+      out
     }
     // FAT sector list: 109 header DIFAT entries + chained DIFAT sectors
     val fatSectors = {
@@ -90,6 +107,9 @@ private[graft] object XlsParser {
       var cur = start
       var guard = bytes.length / 64 + 16 // any valid chain is shorter
       while (cur < EndOfChain - 1 && guard > 0) {
+        if (cur < 0 || cur >= fat.length)
+          throw new IllegalArgumentException(
+            s"corrupt CFB FAT: chain sector $cur outside the ${fat.length}-entry FAT")
         out += cur; cur = fat(cur.toInt); guard -= 1
       }
       out.result()
@@ -105,8 +125,8 @@ private[graft] object XlsParser {
     val entries = (0 until dir.length / 128).map { i =>
       val e = le(java.util.Arrays.copyOfRange(dir, i * 128, i * 128 + 128))
       val nameLen = e.getShort(64) & 0xFFFF
-      val name =
-        if (nameLen < 2) ""
+      val name = // spec caps names at 64 bytes; a bigger value is corruption
+        if (nameLen < 2 || nameLen > 64) ""
         else new String(dir, i * 128, nameLen - 2, java.nio.charset.StandardCharsets.UTF_16LE)
       Entry(name, dir(i * 128 + 66) & 0xFF, e.getInt(116) & 0xFFFFFFFFL, e.getLong(120))
     }
@@ -127,9 +147,15 @@ private[graft] object XlsParser {
       var cur = target.start
       var guard = miniStream.length / miniSectorSize + 16
       while (cur < EndOfChain - 1 && guard > 0) {
-        val off = cur.toInt * miniSectorSize
+        if (cur < 0 || cur >= miniFat.length)
+          throw new IllegalArgumentException(
+            s"corrupt CFB mini-FAT: chain sector $cur outside ${miniFat.length} entries")
+        val off = cur.toInt.toLong * miniSectorSize
+        if (off >= miniStream.length)
+          throw new IllegalArgumentException(
+            s"corrupt CFB mini-stream: sector $cur beyond ${miniStream.length} bytes")
         out ++= java.util.Arrays.copyOfRange(
-          miniStream, off, math.min(off + miniSectorSize, miniStream.length))
+          miniStream, off.toInt, math.min(off.toInt + miniSectorSize, miniStream.length))
         cur = miniFat(cur.toInt); guard -= 1
       }
       val data = out.result().toArray

@@ -363,4 +363,67 @@ class ExprFuzzSpec extends AnyFunSuite {
       payloads.map(p => if (p == null) nullLit(BinaryType) else lit(p)),
       exprs.mp3_meta)
   }
+
+  private def le(v: Long, n: Int): Array[Byte] =
+    (0 until n).map(i => ((v >> (8 * i)) & 0xff).toByte).toArray
+
+  test("ogg_meta: interpreted == codegen over valid/mutated page streams") {
+    def page(hdrType: Int, granule: Long, seq: Long, payload: Array[Byte]) =
+      "OggS".getBytes ++ Array[Byte](0, hdrType.toByte) ++ le(granule, 8) ++
+        le(42, 4) ++ le(seq, 4) ++ le(0, 4) ++
+        Array[Byte](1, payload.length.toByte) ++ payload
+    val vorbisId = Array[Byte](1) ++ "vorbis".getBytes ++ le(0, 4) ++
+      Array[Byte](2) ++ le(44100, 4) ++ new Array[Byte](12) ++
+      Array(0xb8.toByte, 1.toByte)
+    val seed = page(2, 0, 0, vorbisId) ++ page(4, 88200, 1, new Array[Byte](20))
+    val payloads: Seq[Array[Byte]] = Seq(null, Array.emptyByteArray, seed) ++
+      (0 until 300).map { i =>
+        if (i % 3 == 0) { val a = new Array[Byte](rnd.nextInt(64)); rnd.nextBytes(a); a }
+        else {
+          val base = seed.clone()
+          (0 until 1 + rnd.nextInt(4)).foreach(_ =>
+            base(rnd.nextInt(base.length)) = rnd.nextInt(256).toByte)
+          base.take(1 + rnd.nextInt(base.length))
+        }
+      }
+    val df = payloads.toDF("x")
+    sweep1("ogg_meta", df,
+      payloads.map(p => if (p == null) nullLit(BinaryType) else lit(p)),
+      exprs.ogg_meta)
+  }
+
+  test("mkv_meta: interpreted == codegen over valid/mutated EBML trees") {
+    def hxb(s: String): Array[Byte] =
+      s.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+    def el(idHex: String, content: Array[Byte]): Array[Byte] =
+      hxb(idHex) ++ Array((0x80 | content.length).toByte) ++ content
+    def beb(v: Long, n: Int): Array[Byte] =
+      (0 until n).map(i => ((v >> (8 * (n - 1 - i))) & 0xff).toByte).toArray
+    val seed = el("1a45dfa3", el("4282", "matroska".getBytes)) ++
+      el("18538067",
+        el("1549a966", el("2ad7b1", beb(1000000L, 3)) ++
+          el("4489", beb(java.lang.Float.floatToIntBits(90000f).toLong & 0xffffffffL, 4))) ++
+        el("1654ae6b",
+          el("ae", el("83", Array[Byte](1)) ++ el("86", "V_VP9".getBytes) ++
+            el("e0", el("b0", beb(1920, 2)) ++ el("ba", beb(1080, 2)))) ++
+          el("ae", el("83", Array[Byte](2)) ++ el("86", "A_OPUS".getBytes) ++
+            el("e1", el("b5",
+              beb(java.lang.Float.floatToIntBits(48000f).toLong & 0xffffffffL, 4)) ++
+              el("9f", Array[Byte](2))))) ++
+        el("1f43b675", hxb("deadbeef")))
+    val payloads: Seq[Array[Byte]] = Seq(null, Array.emptyByteArray, seed) ++
+      (0 until 300).map { i =>
+        if (i % 3 == 0) { val a = new Array[Byte](rnd.nextInt(64)); rnd.nextBytes(a); a }
+        else {
+          val base = seed.clone()
+          (0 until 1 + rnd.nextInt(4)).foreach(_ =>
+            base(rnd.nextInt(base.length)) = rnd.nextInt(256).toByte)
+          base.take(1 + rnd.nextInt(base.length))
+        }
+      }
+    val df = payloads.toDF("x")
+    sweep1("mkv_meta", df,
+      payloads.map(p => if (p == null) nullLit(BinaryType) else lit(p)),
+      exprs.mkv_meta)
+  }
 }

@@ -498,6 +498,16 @@ class OpsSpec extends AnyFunSuite {
     assert(mimes(4L) == "application/octet-stream")
     assert(mimes(5L) == "application/octet-stream")
 
+    // container magics: Ogg capture pattern and the EBML signature
+    val conts = Seq(
+      (1L, "OggS".getBytes ++ new Array[Byte](8)),
+      (2L, Array(0x1a.toByte, 0x45.toByte, 0xdf.toByte, 0xa3.toByte) ++
+        new Array[Byte](8))).toDF("id", "payload")
+    val cm = conts.select($"id", Multimodal.sniffMime($"payload").as("m"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(cm(1L) == "audio/ogg")
+    assert(cm(2L) == "video/x-matroska")
+
     val feats = Multimodal.decodeFeaturesStub(d, "payload", dim = 8)
     assert(feats.schema("features").dataType == Multimodal.featureSchema)
     val f = feats.select($"features").collect().map(_.getSeq[Float](0))
