@@ -253,6 +253,44 @@ class AvroSpec extends AnyFunSuite {
     assert(got.agg(sum("id")).head.getLong(0) == 45L)
   }
 
+  test("failed write job leaves the previous data intact (staged commit)") {
+    import spark.implicits._
+    val dir = tmpDir("commit")
+    Avro.write((1L to 50L).toDF("id"), dir)
+    // a job that fails AFTER some tasks have written: the old
+    // delete-then-write shape had already destroyed the previous data
+    // by this point; the staged commit must leave it untouched
+    val doomed = (1L to 100L).toDF("id").repartition(4)
+      .select(when($"id" === 77L,
+        raise_error(lit("injected task failure"))).otherwise($"id").as("id"))
+    intercept[Exception] { Avro.write(doomed, dir) }
+    val back = Avro.read(spark, dir)
+    assert(back.count() == 50L, "previous data lost by a failed overwrite")
+    assert(back.agg(max("id")).head.getLong(0) == 50L)
+    // and no staging/old dirs left beside the target
+    val parent = new java.io.File(dir).getParentFile
+    val leftovers = parent.listFiles().map(_.getName)
+      .filter(n => n.contains("-graft-staging-") || n.contains("-graft-old-"))
+    assert(leftovers.isEmpty, s"staging leftovers: ${leftovers.mkString(", ")}")
+  }
+
+  test("heterogeneous writer schemas in one directory NULL-fill per file") {
+    import spark.implicits._
+    val dir = tmpDir("hetero")
+    // file A: (id, s); file B written later WITHOUT s and no default —
+    // resolving B against A's writer schema used to throw executor-side
+    Avro.write(Seq((1L, "a"), (2L, "b")).toDF("id", "s"), s"$dir/a")
+    Avro.write(Seq(3L, 4L).toDF("id"), s"$dir/b")
+    val union = StructType(Seq(
+      StructField("id", LongType), StructField("s", StringType)))
+    val got = spark.read.format("graft-avro").schema(union)
+      .load(s"$dir/a", s"$dir/b").orderBy("id").collect()
+    assert(got.map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L, 4L))
+    assert(got.take(2).map(_.getString(1)).toSeq == Seq("a", "b"))
+    assert(got.drop(2).forall(_.isNullAt(1)),
+      "rows from the s-less file must read s as NULL, not fail resolution")
+  }
+
   test("gate-table roundtrip: orders through avro equals the parquet original") {
     val orders = graft.Tables.load(spark, "/root/testdata/sf0.001", "orders")
     val dir = tmpDir("orders")
