@@ -1521,6 +1521,45 @@ object SparkEntry {
       }(adir => sources.Sources.zipEntries(s, adir, "*.zip").toDF)
     },
 
+    "q_zip_lenient" -> { (s, dir) =>
+      // the crawl-grade corruption policy under the hard gate: pack
+      // nation into a zip, then bit-flip the LAST entry's deflate
+      // data (its CRC/stream breaks; every earlier entry still
+      // decodes), and extract with lenient=true — the source must
+      // keep EXACTLY the decodable prefix, which the oracle
+      // recomputes as nation minus the max key. Strict mode on the
+      // same bytes fails typed (CorruptArchiveSpec pins that); this
+      // gate pins that lenient keeps no more and no less than what
+      // was decodable.
+      archiveGate(s, dir, "zipl", emptyShortCircuit = false) { (f, entries) =>
+        val zos = new java.util.zip.ZipOutputStream(new java.io.FileOutputStream(f))
+        try entries.foreach { case (id, bytes) =>
+          zos.putNextEntry(new java.util.zip.ZipEntry(id.toString))
+          zos.write(bytes)
+          zos.closeEntry()
+        } finally zos.close()
+        if (entries.nonEmpty) {
+          val bytes = java.nio.file.Files.readAllBytes(f.toPath)
+          // last local header (PK\x03\x04) = the max-key entry (the
+          // packer writes in key order); its data starts after the
+          // 30-byte header + name + extra field
+          var i = bytes.length - 4
+          var hdr = -1
+          while (i >= 0 && hdr < 0) {
+            if (bytes(i) == 'P' && bytes(i + 1) == 'K' &&
+              bytes(i + 2) == 3 && bytes(i + 3) == 4) hdr = i
+            i -= 1
+          }
+          val nameLen = (bytes(hdr + 26) & 0xff) | ((bytes(hdr + 27) & 0xff) << 8)
+          val extraLen = (bytes(hdr + 28) & 0xff) | ((bytes(hdr + 29) & 0xff) << 8)
+          val data = hdr + 30 + nameLen + extraLen
+          (data until math.min(data + 4, bytes.length)).foreach(j =>
+            bytes(j) = (bytes(j) ^ 0x5a).toByte)
+          java.nio.file.Files.write(f.toPath, bytes)
+        }
+      }(adir => sources.Sources.zipEntries(s, adir, "*.zipl", lenient = true).toDF)
+    },
+
     "q_tar_roundtrip" -> { (s, dir) =>
       // ArchivedSource (commons-compress auto-detection) under the
       // hard gate, on a DIFFERENT archive family than q_zip_roundtrip.
@@ -2971,6 +3010,16 @@ object SparkEntry {
       """SELECT cast(n_nationkey AS BIGINT) AS n_nationkey, n_name,
         |  octet_length(encode(n_name)) AS name_bytes
         |FROM nation WHERE n_name IS NOT NULL
+        |ORDER BY n_nationkey""".stripMargin,
+
+    // lenient extraction of the bit-flipped archive keeps exactly the
+    // decodable prefix: every clean entry, minus the corrupted last
+    // (max-key) one
+    "q_zip_lenient" ->
+      """SELECT cast(n_nationkey AS BIGINT) AS n_nationkey, n_name,
+        |  octet_length(encode(n_name)) AS name_bytes
+        |FROM nation WHERE n_name IS NOT NULL
+        |  AND n_nationkey <> (SELECT max(n_nationkey) FROM nation WHERE n_name IS NOT NULL)
         |ORDER BY n_nationkey""".stripMargin,
 
     // same contract through the commons-compress detected-format path

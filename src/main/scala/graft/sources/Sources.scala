@@ -139,14 +139,53 @@ object Sources {
     StructField("size", LongType),
     StructField("content", BinaryType)))
 
+  /** Lazy (name, content) iterator over one archive's entries with the
+    * crawl-grade corruption policy applied: `lenient = false` lets the
+    * underlying format exception propagate (typed: ZipException /
+    * ArchiveException / IOException — a deliberate-ingest contract
+    * where one bad file SHOULD fail the load, the reference behavior);
+    * `lenient = true` stops that archive's iteration at the first
+    * corrupt entry, KEEPING entries already decoded — at 100 TB one
+    * truncated archive in a million must not kill the job. Corruption
+    * mid-entry (truncated deflate stream) is caught the same way as
+    * corruption between entries. */
+  private def entryIter(
+      fetch: () => (String, Array[Byte]), lenient: Boolean): Iterator[(String, Array[Byte])] =
+    new Iterator[(String, Array[Byte])] {
+      private var nextVal: (String, Array[Byte]) = _
+      private var done = false
+      // NOTE: the producer must not be named `next` — inside this
+      // anonymous class the Iterator's own next() shadows an outer
+      // parameter of that name, and advance() would recurse into
+      // itself (found as a StackOverflowError by CorruptArchiveSpec)
+      private def advance(): Unit =
+        if (!done && nextVal == null) {
+          try { nextVal = fetch(); if (nextVal == null) done = true }
+          catch {
+            case _: java.io.IOException if lenient => done = true
+            case _: org.apache.commons.compress.archivers.ArchiveException
+              if lenient => done = true
+          }
+        }
+      override def hasNext: Boolean = { advance(); !done }
+      override def next(): (String, Array[Byte]) = {
+        advance()
+        if (done) throw new NoSuchElementException
+        val v = nextVal; nextVal = null; v
+      }
+    }
+
   /** gratum `ZipSource.unzip` (ZipSource.groovy:11-39): one row per zip
     * entry. Executor-side extraction over binaryFile rows — each
     * archive is processed where its bytes land, no driver funnel.
     * Memory bound: one whole archive per task (inherent to Spark's
     * binaryFile format, capped by
     * `spark.sql.sources.binaryFile.maxLength`) plus ONE entry at a
-    * time — the entry iterator is lazy, entries are never collected. */
-  def zipEntries(spark: SparkSession, dir: String, glob: String = "*.zip"): Pipeline = {
+    * time — the entry iterator is lazy, entries are never collected.
+    * `lenient` applies the crawl-grade corruption policy of
+    * [[entryIter]] (default strict — the reference contract). */
+  def zipEntries(spark: SparkSession, dir: String, glob: String = "*.zip",
+      lenient: Boolean = false): Pipeline = {
     val files = spark.read.format("binaryFile")
       .option("pathGlobFilter", glob).option("recursiveFileLookup", true).load(dir)
     val pathIdx = files.schema.fieldIndex("path")
@@ -155,20 +194,25 @@ object Sources {
       val path = row.getString(pathIdx)
       val bytes = row.getAs[Array[Byte]](contentIdx)
       val zin = new java.util.zip.ZipInputStream(new ByteArrayInputStream(bytes))
-      Iterator.continually(zin.getNextEntry).takeWhile(_ != null)
-        .filterNot(_.isDirectory)
-        .map { e =>
-          val content = zin.readAllBytes()
-          Row(path, e.getName, content.length.toLong, content)
-        }
+      entryIter(() => {
+        var e = zin.getNextEntry
+        while (e != null && e.isDirectory) e = zin.getNextEntry
+        if (e == null) null else (e.getName, zin.readAllBytes())
+      }, lenient).map { case (name, content) =>
+        Row(path, name, content.length.toLong, content)
+      }
     }(org.apache.spark.sql.Encoders.row(entrySchema))
     Pipeline.of(s"unzip($dir)", df)
   }
 
   /** gratum `ArchivedSource.unarchive` (ArchivedSource.groovy:53-105):
     * any commons-compress-detectable archive format (zip/tar/ar/...),
-    * one row per entry, auto-detected per file on the executor. */
-  def archiveEntries(spark: SparkSession, dir: String, glob: String = "*"): Pipeline = {
+    * one row per entry, auto-detected per file on the executor.
+    * `lenient` additionally skips files whose FORMAT cannot be
+    * detected at all (a misnamed or garbage file in the glob),
+    * besides the per-entry policy of [[entryIter]]. */
+  def archiveEntries(spark: SparkSession, dir: String, glob: String = "*",
+      lenient: Boolean = false): Pipeline = {
     val files = spark.read.format("binaryFile")
       .option("pathGlobFilter", glob).option("recursiveFileLookup", true).load(dir)
     val pathIdx = files.schema.fieldIndex("path")
@@ -177,15 +221,24 @@ object Sources {
       val path = row.getString(pathIdx)
       val bytes = row.getAs[Array[Byte]](contentIdx)
       import org.apache.commons.compress.archivers.{ArchiveEntry, ArchiveInputStream, ArchiveStreamFactory}
-      val in: ArchiveInputStream[_ <: ArchiveEntry] = new ArchiveStreamFactory()
-        .createArchiveInputStream(
-          new java.io.BufferedInputStream(new ByteArrayInputStream(bytes)))
-      Iterator.continually(in.getNextEntry).takeWhile(_ != null)
-        .filterNot(_.isDirectory)
-        .map { e =>
-          val content = in.readAllBytes()
-          Row(path, e.getName, content.length.toLong, content)
+      val opened: Option[ArchiveInputStream[_ <: ArchiveEntry]] =
+        try Some(new ArchiveStreamFactory().createArchiveInputStream(
+          new java.io.BufferedInputStream(new ByteArrayInputStream(bytes))))
+        catch {
+          case e: org.apache.commons.compress.archivers.ArchiveException =>
+            if (lenient) None else throw e
         }
+      opened match {
+        case None => Iterator.empty
+        case Some(in) =>
+          entryIter(() => {
+            var e: ArchiveEntry = in.getNextEntry
+            while (e != null && e.isDirectory) e = in.getNextEntry
+            if (e == null) null else (e.getName, in.readAllBytes())
+          }, lenient).map { case (name, content) =>
+            Row(path, name, content.length.toLong, content)
+          }
+      }
     }(org.apache.spark.sql.Encoders.row(entrySchema))
     Pipeline.of(s"unarchive($dir)", df)
   }
