@@ -184,6 +184,43 @@ object SparkEntry {
         .orderBy("hour_start", "event_type")
     },
 
+    "q_stream_session" -> { (s, dir) =>
+      // the session-window state op on its STREAMING path under the
+      // oracle (q_session gates the batch path; this drives the same
+      // sessionAgg through a bounded file stream → watermark +
+      // session_window in APPEND mode → memory sink). Sessions only
+      // emit once the watermark passes their close; the 2099 sentinel
+      // (min-event_id row re-timestamped — q_stream_window's trick)
+      // pushes the final no-data micro-batch's watermark past every
+      // real session, and the sentinel's own session is the one row
+      // the filter drops. Oracle: the q_session gaps-and-islands SQL
+      // verbatim — the stream must reproduce the batch answer.
+      val batch = Tables.load(s, dir, "events")
+      val batchSchema = batch.schema
+      val minIdRow = batch.agg(min(col("event_id"))).head()
+      val minId: Any = if (minIdRow.isNullAt(0)) 0L else minIdRow.get(0)
+      def raw = s.readStream.schema(batchSchema)
+        .parquet(s"$dir/events*.parquet")
+      def evOf(df: DataFrame): DataFrame =
+        df.select(Tables.eventTime(df).as("ts"), col("user_id"), col("value"))
+      val sentinel = evOf(raw.filter(col("event_id") === minId))
+        .withColumn("ts", lit(java.sql.Timestamp.valueOf("2099-01-01 00:00:00")))
+      val agg = graft.streaming.Streams.sessionAgg(
+        evOf(raw).union(sentinel), "ts", "0 seconds", "4 hours",
+        Seq("user_id"))(
+        count(lit(1)).as("n"),
+        cents(sum(col("value").cast(dec))).as("sum_value_cents"))
+      graft.streaming.Streams.runBounded(agg)
+        .filter(col("session_window.start") <
+          lit(java.sql.Timestamp.valueOf("2098-01-01 00:00:00")))
+        .select(col("user_id"),
+          col("session_window.start").cast("timestamp_ntz").as("session_start"),
+          (col("session_window.end") - expr("INTERVAL 4 HOURS"))
+            .cast("timestamp_ntz").as("session_end"),
+          col("n"), col("sum_value_cents"))
+        .orderBy("user_id", "session_start")
+    },
+
     "q_stream_dedup" -> { (s, dir) =>
       // the streaming ENGINE end-to-end under the oracle: documents as
       // a bounded file stream → watermark + dropDuplicatesWithinWatermark
@@ -2235,6 +2272,26 @@ object SparkEntry {
         |SELECT user_id, window_id, count(*) AS n, min(event_type) AS event_type
         |FROM sess GROUP BY user_id, window_id
         |ORDER BY user_id, window_id""".stripMargin,
+
+    // the streaming session path must reproduce the batch
+    // gaps-and-islands answer — q_session's oracle verbatim
+    "q_stream_session" ->
+      """WITH marked AS (
+        |  SELECT user_id, ts, value,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR ts - lag(ts) OVER w >= INTERVAL 4 HOUR THEN 1 ELSE 0 END AS c
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+        |), sess AS (
+        |  SELECT user_id, ts, value,
+        |    sum(c) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM marked)
+        |SELECT user_id,
+        |  min(ts) AS session_start,
+        |  max(ts) AS session_end,
+        |  count(*) AS n,
+        |  cast(cast(sum(cast(value AS DECIMAL(18,2))) AS DECIMAL(28,2)) * 100 AS BIGINT) AS sum_value_cents
+        |FROM sess GROUP BY user_id, sid
+        |ORDER BY user_id, session_start""".stripMargin,
 
     "q_session" ->
       """WITH marked AS (

@@ -52,6 +52,39 @@ class StreamsSpec extends AnyFunSuite {
     assert(s.size >= b.size / 2)
   }
 
+  test("checkpointed file-sink query resumes exactly-once across restarts") {
+    // the durability half of the streaming engine: the checkpoint's
+    // offset/commit logs must make a RESTARTED query process only the
+    // files that arrived since the last commit — no replay of already
+    // sunk data, no gap. This is what lets a 100 TB ingest survive a
+    // driver loss without deduplicating its own output afterwards.
+    val src = Files.createTempDirectory("graft-ckpt-src").toString
+    val out = Files.createTempDirectory("graft-ckpt-out").toString
+    val ckpt = Files.createTempDirectory("graft-ckpt-log").toString
+    def run(): Unit = {
+      val q = spark.readStream
+        .schema("id LONG")
+        .parquet(s"$src/*.parquet")
+        .withColumn("doubled", col("id") * 2)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .start()
+      q.processAllAvailable()
+      q.stop()
+    }
+    (1L to 50L).toDF("id").coalesce(1).write.parquet(s"$src/batch1.parquet")
+    run()
+    (51L to 80L).toDF("id").coalesce(1).write.parquet(s"$src/batch2.parquet")
+    run() // restart: must pick up ONLY batch2
+    run() // restart with no new data: must add nothing
+    val got = spark.read.parquet(out).select("id", "doubled").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.length == 80, s"expected exactly-once 80 rows, got ${got.length}")
+    assert(got.map(_._1).sorted.toSeq == (1L to 80L))
+    assert(got.forall { case (i, d) => d == i * 2 })
+  }
+
   test("stateless corpus ops (repetition/sampling/langid) are streaming-identical") {
     // the text-quality and consistent-sampling family is pure
     // projection/filter — it must produce EXACTLY the batch result
