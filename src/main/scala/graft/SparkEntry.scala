@@ -553,6 +553,22 @@ object SparkEntry {
         .orderBy("event_id")
     },
 
+    "q_filldown_global" -> { (s, dir) =>
+      // the GLOBALLY-ordered fill (ops.OrderedFill: deterministic
+      // quantile buckets, per-bucket windows, driver-scanned carry —
+      // never a one-partition global window) must equal DuckDB's
+      // single-order window fill. Same sparse column as q_filldown
+      // but NO partition key: fills cross users and bucket
+      // boundaries, so the cross-bucket carry is on the hook.
+      p(s, dir, "events")
+        .addField("sparse_type",
+          when(col("value") < 30, lit(null).cast(StringType)).otherwise(col("event_type")))
+        .fillDownOrdered("event_id", Seq("sparse_type"))
+        .clip("event_id", "user_id", "sparse_type")
+        .toDF
+        .orderBy("event_id")
+    },
+
     "q_json" -> { (s, dir) =>
       // nested-value access (gratum JSON rows): extract props.k
       p(s, dir, "events")
@@ -2467,6 +2483,19 @@ object SparkEntry {
         |  SELECT doc_id, unnest(string_split(text, ' ')) AS token
         |  FROM documents WHERE doc_id < 50)
         |ORDER BY doc_id, token""".stripMargin,
+
+    // the bucketed two-pass global fill must equal the one-window
+    // sequential answer
+    "q_filldown_global" ->
+      """WITH sparse AS (
+        |  SELECT event_id, user_id,
+        |    CASE WHEN value < 30 THEN NULL ELSE event_type END AS sparse_type
+        |  FROM events)
+        |SELECT event_id, user_id,
+        |  coalesce(sparse_type,
+        |    last_value(sparse_type IGNORE NULLS) OVER (
+        |      ORDER BY event_id ROWS UNBOUNDED PRECEDING)) AS sparse_type
+        |FROM sparse ORDER BY event_id""".stripMargin,
 
     "q_filldown" ->
       """WITH sparse AS (

@@ -970,6 +970,16 @@ final class Pipeline private (
       }
     }))
 
+  /** gratum `fillDownBy` over ONE GLOBAL ORDER — the reference's
+    * whole-stream sequential fill, previously only available here
+    * scoped to partition groups. Delegates to
+    * [[graft.ops.OrderedFill.fillDown]]: quantile-bucketed two-pass
+    * prefix scan (per-bucket windows + driver-scanned carry), never a
+    * single-partition global window. */
+  def fillDownOrdered(orderCol: String, columns: Seq[String]): Pipeline =
+    add(MapStep(s"fillDownOrdered($orderCol)",
+      graft.ops.OrderedFill.fillDown(_, orderCol, columns)))
+
   // ---------------------------------------------------------- aggregation
 
   /** Relational face of gratum `groupBy` (Pipeline.groovy:537-566):
@@ -1407,14 +1417,7 @@ object Pipeline {
     * truthy) — blank-vs-empty is a distinction the reference's own CSV
     * sources erase, and filling blanks is what users expect. */
   private[etl] def falsy(df: DataFrame, c: String): Column =
-    df.schema(c).dataType match {
-      case StringType     => col(c).isNull || trim(col(c)) === ""
-      case _: NumericType => col(c).isNull || col(c) === 0
-      case BooleanType    => col(c).isNull || !col(c)
-      case _: ArrayType   => col(c).isNull || size(col(c)) === 0
-      case _: MapType     => col(c).isNull || size(col(c)) === 0
-      case _              => col(c).isNull
-    }
+    graft.ops.OrderedFill.falsy(df, c) // one definition — cannot drift
 }
 
 /** gratum SortOrder (SortOrder.groovy:3-6). */
