@@ -1333,6 +1333,96 @@ object SparkEntry {
         .orderBy("doc_id")
     },
 
+    "q_multimodal_triage" -> { (s, dir) =>
+      // the ONE-CALL mixed-modality triage under the oracle: each doc
+      // gets one of FOUR container families by doc_id % 4 — MP3 frame
+      // stream, Ogg Vorbis, Matroska, RIFF WAV — assembled columnar
+      // from k = doc_id/4 arithmetic (decoupled from the family
+      // selector so every field still varies within a family), then
+      // ONE Multimodal.triage call must sniff each payload, route it
+      // to the right native parser, and normalize the answer; DuckDB
+      // recomputes all eight fields per family. Wrong dispatch, a
+      // field mapped from the wrong parser, or any parser drift
+      // breaks the hash.
+      val fam = pmod(col("doc_id"), lit(4L))
+      val k = floor(col("doc_id") / 4).cast(LongType)
+      // fam 0 — MP3: MPEG1 Layer III, one stereo frame
+      val mpRate = element_at(typedLit(Seq(44100L, 48000L, 32000L)),
+        (pmod(k, lit(3L)) + 1).cast("int"))
+      val brIdx = pmod(k, lit(14L)) + 1
+      val kbps = element_at(typedLit(Seq(32L, 40L, 48L, 56L, 64L, 80L, 96L,
+        112L, 128L, 160L, 192L, 224L, 256L, 320L)), brIdx.cast("int"))
+      val flen = floor(lit(144000L) * kbps / mpRate).cast(LongType)
+      val mp3Hex = concat(lit("fffb"),
+        b2(brIdx * 16 + pmod(k, lit(3L)) * 4), lit("00"),
+        repeat(lit("00"), (flen - 4).cast("int")))
+      // fam 1 — Ogg Vorbis: BOS id page + EOS data page
+      val oggCh = pmod(k, lit(3L)) + 1
+      val oggRate = element_at(typedLit(Seq(8000L, 22050L, 44100L, 48000L)),
+        (pmod(k, lit(4L)) + 1).cast("int"))
+      val granule = pmod(k, lit(50000L)) * 7 + 48000
+      val vorbisId = concat(lit("01766f72626973"), lit("00000000"),
+        b2(oggCh), leh(oggRate, 4), lit("00" * 12), lit("b8"), lit("01"))
+      def oggPage(hdrType: String, gran: Column, seq: Long, lace: Column,
+          payloadHex: Column) =
+        concat(lit("4f67675300"), lit(hdrType), leh(gran, 8),
+          leh(pmod(col("doc_id"), lit(1000000L)), 4), leh(lit(seq), 4),
+          lit("00000000"), lit("01"), b2(lace), payloadHex)
+      val oggHex = concat(
+        oggPage("02", lit(0L), 0L, lit(30L), vorbisId),
+        oggPage("04", granule, 1L, lit(20L), lit("00" * 20)))
+      // fam 2 — Matroska (same element layout as q_multimodal_mkv)
+      val durMs = Seq(1000L, 1500L, 2000L, 3000L, 4500L, 6000L, 30000L, 90000L)
+      val durHex = durMs.map(v => f"${java.lang.Float.floatToIntBits(v.toFloat)}%08x")
+      val rates = Seq(8000L, 16000L, 24000L, 44100L, 48000L)
+      val rateHex = rates.map(v => f"${java.lang.Float.floatToIntBits(v.toFloat)}%08x")
+      val even = pmod(k, lit(2L)) === 0
+      val w = pmod(k, lit(1280L)) + 16
+      val h = pmod(k, lit(720L)) + 16
+      val mkvCh = pmod(k, lit(2L)) + 1
+      val vCodec = when(even, lit("565f565038")).otherwise(lit("565f415631"))
+      val aCodec = when(even, lit("415f464c4143")).otherwise(lit("415f4f505553"))
+      val mkvHex = concat(
+        lit("1a45dfa38b4282886d6174726f736b61"), // header, DocType matroska
+        lit("18538067cf"),
+        lit("1549a9668e"), lit("2ad7b1830f4240"),
+        lit("448984"), element_at(typedLit(durHex), (pmod(k, lit(8L)) + 1).cast("int")),
+        lit("1654ae6bae"),
+        lit("ae94"), lit("838101"), lit("8685"), vCodec,
+        lit("e088"), lit("b082"), lpad(hex(w), 4, "0"),
+        lit("ba82"), lpad(hex(h), 4, "0"),
+        lit("ae96"), lit("838102"), lit("8686"), aCodec,
+        lit("e189"), lit("b584"),
+        element_at(typedLit(rateHex), (pmod(k, lit(5L)) + 1).cast("int")),
+        lit("9f81"), b2(mkvCh),
+        lit("1f43b67584deadbeef"))
+      // fam 3 — RIFF WAV: PCM u8 mono, k-varied rate and length
+      val wavRate = element_at(typedLit(Seq(8000L, 11025L, 16000L, 22050L)),
+        (pmod(k, lit(4L)) + 1).cast("int"))
+      val nSamp = pmod(k, lit(6L)) + 2
+      val wavHex = concat(
+        lit("52494646"), leh(nSamp + 36, 4), lit("57415645"),
+        lit("666d7420"), leh(lit(16L), 4), leh(lit(1L), 2), leh(lit(1L), 2),
+        leh(wavRate, 4), leh(wavRate, 4), leh(lit(1L), 2), leh(lit(8L), 2),
+        lit("64617461"), leh(nSamp, 4), repeat(lit("00"), nSamp.cast("int")))
+      val payload = unhex(
+        when(fam === 0, mp3Hex).when(fam === 1, oggHex)
+          .when(fam === 2, mkvHex).otherwise(wavHex))
+      val tr = ops.Multimodal.triage(col("payload"))
+      t(s, dir, "documents")
+        .select(col("doc_id"), payload.as("payload"))
+        .select(col("doc_id"),
+          tr.getField("mime").as("mime"),
+          tr.getField("kind").as("kind"),
+          tr.getField("codec").as("codec"),
+          tr.getField("width").as("width"),
+          tr.getField("height").as("height"),
+          tr.getField("sample_rate").as("sample_rate"),
+          tr.getField("channels").as("channels"),
+          tr.getField("duration_s").as("duration_s"))
+        .orderBy("doc_id")
+    },
+
     "q_multimodal_decode_ulaw" -> { (s, dir) =>
       // G.711 telephony decode under the oracle: assemble spec-valid
       // mu-law (even doc_ids) / A-law (odd) WAVs columnar — sample
@@ -2996,6 +3086,35 @@ object SparkEntry {
         |  CASE WHEN doc_id % 3 = 0 THEN (k = 1 OR k = c1 + 1) ELSE true END AS keyframe
         |FROM ex
         |ORDER BY doc_id, sample_index""".stripMargin,
+
+    // recompute all eight normalized triage fields per container
+    // family from the same k = doc_id/4 arithmetic; durations mirror
+    // each parser's closed form
+    "q_multimodal_triage" ->
+      """WITH src AS (SELECT doc_id, doc_id % 4 AS fam, doc_id // 4 AS k FROM documents)
+        |SELECT doc_id,
+        |  CASE fam WHEN 0 THEN 'audio/mpeg' WHEN 1 THEN 'audio/ogg'
+        |           WHEN 2 THEN 'video/x-matroska' ELSE 'audio/wav' END AS mime,
+        |  CASE WHEN fam = 2 THEN 'video' ELSE 'audio' END AS kind,
+        |  CASE fam WHEN 0 THEN 'mpeg1-layer3' WHEN 1 THEN 'vorbis'
+        |           WHEN 2 THEN (CASE WHEN k % 2 = 0 THEN 'V_VP8' ELSE 'V_AV1' END)
+        |           ELSE NULL END AS codec,
+        |  CASE WHEN fam = 2 THEN cast(k % 1280 + 16 AS INT) END AS width,
+        |  CASE WHEN fam = 2 THEN cast(k % 720 + 16 AS INT) END AS height,
+        |  cast(CASE fam WHEN 0 THEN list_value(44100,48000,32000)[k % 3 + 1]
+        |           WHEN 1 THEN list_value(8000,22050,44100,48000)[k % 4 + 1]
+        |           WHEN 2 THEN list_value(8000,16000,24000,44100,48000)[k % 5 + 1]
+        |           ELSE list_value(8000,11025,16000,22050)[k % 4 + 1] END AS INT) AS sample_rate,
+        |  cast(CASE fam WHEN 0 THEN 2 WHEN 1 THEN k % 3 + 1
+        |           WHEN 2 THEN k % 2 + 1 ELSE 1 END AS INT) AS channels,
+        |  CASE fam
+        |    WHEN 0 THEN cast(1152 AS DOUBLE) / list_value(44100,48000,32000)[k % 3 + 1]
+        |    WHEN 1 THEN cast((k % 50000) * 7 + 48000 AS DOUBLE)
+        |      / list_value(8000,22050,44100,48000)[k % 4 + 1]
+        |    WHEN 2 THEN cast(list_value(1000,1500,2000,3000,4500,6000,30000,90000)[k % 8 + 1]
+        |      AS DOUBLE) * 1000000 / 1e9
+        |    ELSE NULL END AS duration_s
+        |FROM src ORDER BY doc_id""".stripMargin,
 
     // expand the same sample bytes through the G.711 closed forms
     // (mu-law: complement, 3-bit mantissa shift by segment, bias 132;

@@ -867,6 +867,18 @@ object Dedup {
     df.join(losers, Seq(idCol), "left_anti")
   }
 
+  /** [[semDedup]] with the corpus-sized quantizer of
+    * [[semanticNearDupsAuto]] — the 100 TB removal form. */
+  def semDedupAuto(
+      df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double = 0.95, targetCell: Int = 512, replication: Int = 2,
+      seed: Long = 42L): DataFrame = {
+    val losers = semanticNearDupsAuto(df, idCol, vecCol, threshold,
+      targetCell, replication, seed = seed)
+      .select(col("id2").as(idCol)).distinct()
+    df.join(losers, Seq(idCol), "left_anti")
+  }
+
   /** Greedy embedding near-dup removal, keep-smallest-id (same loser
     * rule as [[minhashDedup]]): drops every row appearing as the larger
     * id of a qualifying pair. `exact=true` routes pair generation

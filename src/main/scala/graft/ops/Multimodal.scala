@@ -41,6 +41,12 @@ object Multimodal {
         prefix.startsWith("4d4d002a"), lit("image/tiff")) // II*\0 | MM\0*
       .when(substring(prefix, 9, 8) === "66747970", lit("video/mp4")) // ....ftyp
       .when(prefix.startsWith("494433"), lit("audio/mpeg")) // ID3
+      // bare MPEG-audio frame sync (11 set bits): ff + high-3-bits-set
+      // second byte — ID3-less streams are common in a crawl. Checked
+      // AFTER every specific magic; the ambiguity (any binary opening
+      // ff ex/fx) is the standard sniffing trade.
+      .when(prefix.startsWith("ff") &&
+        substring(prefix, 3, 1).isin("e", "f"), lit("audio/mpeg"))
       .when(prefix.startsWith("4f676753"), lit("audio/ogg")) // OggS
       .when(prefix.startsWith("1a45dfa3"), lit("video/x-matroska")) // EBML
       .otherwise(lit("application/octet-stream"))
@@ -105,6 +111,68 @@ object Multimodal {
     * never a throw. */
   def mkvMeta(payload: Column): Column =
     graft.functions.exprs.mkv_meta(payload)
+
+  /** ONE-CALL crawl triage: sniff the container and dispatch to the
+    * right native parser, normalized into a single struct —
+    * `(mime, kind, codec, width, height, sample_rate, channels,
+    * duration_s)` — so a pipeline filters/buckets a mixed-modality
+    * payload column without format-specific branching. Pure columnar
+    * composition of [[sniffMime]] + the codegen'd parsers; fields that
+    * don't apply (or that the format doesn't carry) are NULL, and a
+    * malformed payload of a recognized magic yields NULL parser fields
+    * under each parser's never-throw contract. Kinds: image / audio /
+    * video / unknown. */
+  def triage(payload: Column): Column = {
+    val mime = sniffMime(payload)
+    val dims = mediaDims(payload)
+    val mp3 = mp3Meta(payload)
+    val mp4 = mp4Meta(payload)
+    val ogg = oggMeta(payload)
+    val mkv = mkvMeta(payload)
+    val nullI = lit(null).cast(IntegerType)
+    val nullD = lit(null).cast(DoubleType)
+    val nullS = lit(null).cast(StringType)
+    val isImage = mime.startsWith("image/")
+    val isWavish = mime.isin("audio/wav", "audio/flac")
+    struct(
+      mime.as("mime"),
+      when(isImage, lit("image"))
+        .when(mime.startsWith("audio/"), lit("audio"))
+        .when(mime.startsWith("video/"), lit("video"))
+        .otherwise(lit("unknown")).as("kind"),
+      when(mime === "audio/mpeg",
+          concat(lit("mpeg"), mp3.getField("mpeg_version"),
+            lit("-layer"), mp3.getField("layer")))
+        .when(mime === "audio/ogg", ogg.getField("codec"))
+        .when(mime === "video/x-matroska",
+          coalesce(mkv.getField("video_codec"), mkv.getField("audio_codec")))
+        .when(mime === "video/mp4", mp4.getField("major_brand"))
+        .otherwise(nullS).as("codec"),
+      when(isImage, dims.getField("width"))
+        .when(mime === "video/x-matroska", mkv.getField("width"))
+        .when(mime === "video/mp4", mp4.getField("width"))
+        .otherwise(nullI).as("width"),
+      when(isImage, dims.getField("height"))
+        .when(mime === "video/x-matroska", mkv.getField("height"))
+        .when(mime === "video/mp4", mp4.getField("height"))
+        .otherwise(nullI).as("height"),
+      when(isWavish, dims.getField("sample_rate"))
+        .when(mime === "audio/mpeg", mp3.getField("sample_rate"))
+        .when(mime === "audio/ogg", ogg.getField("sample_rate"))
+        .when(mime === "video/x-matroska",
+          mkv.getField("audio_rate").cast(IntegerType))
+        .otherwise(nullI).as("sample_rate"),
+      when(isWavish, dims.getField("channels"))
+        .when(mime === "audio/mpeg", mp3.getField("channels"))
+        .when(mime === "audio/ogg", ogg.getField("channels"))
+        .when(mime === "video/x-matroska", mkv.getField("audio_channels"))
+        .otherwise(nullI).as("channels"),
+      when(mime === "audio/mpeg", mp3.getField("duration_s"))
+        .when(mime === "audio/ogg", ogg.getField("duration_s"))
+        .when(mime === "video/x-matroska", mkv.getField("duration_s"))
+        .when(mime === "video/mp4", mp4.getField("duration_s"))
+        .otherwise(nullD).as("duration_s"))
+  }
 
   val featureSchema: ArrayType = ArrayType(FloatType, containsNull = false)
 

@@ -377,6 +377,18 @@ class OpsSpec extends AnyFunSuite {
       .select("vec_id").collect().map(_.getLong(0)).toSet
     assert(kept.contains(0L) && !kept.contains(1L))
     assert(kept.contains(2L) && !kept.contains(3L))
+    // the auto-sized form (40 vecs * 2 / 20 -> 4 cells: the same
+    // quantizer regime) drops the same planted losers
+    val keptAuto = Dedup.semDedupAuto(vecs, "vec_id", "embedding",
+      threshold = 0.9, targetCell = 20, replication = 2)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(keptAuto.contains(0L) && !keptAuto.contains(1L))
+    assert(keptAuto.contains(2L) && !keptAuto.contains(3L))
+    // the sizing guard fails loudly past the driver-trainable bound
+    intercept[IllegalArgumentException] {
+      Dedup.semanticNearDupsAuto(vecs, "vec_id", "embedding",
+        threshold = 0.9, targetCell = 2, replication = 1000000)
+    }
     // no cached frames left behind
     assert(spark.sharedState.cacheManager.isEmpty,
       "semanticNearDups must unpersist the indexed frame before returning")
