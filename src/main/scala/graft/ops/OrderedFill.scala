@@ -70,8 +70,14 @@ object OrderedFill {
       s"fillDownOrdered: order column $orderCol is ${ordType.simpleString}; " +
         "a numeric/date/timestamp total order is required for range bucketing")
 
-    val p = if (buckets > 0) buckets
-      else math.max(1, df.sparkSession.sparkContext.defaultParallelism)
+    // bucket-count cap: the per-row bucket assignment scans the split
+    // array (O(P) per row) and the carry decode is a P-arm when-chain
+    // per column — both are priced per bucket, while pass-2's window
+    // parallelism saturates long before P=256 on any real cluster.
+    // An uncapped defaultParallelism (tens of thousands on a big
+    // cluster) would move the cost from the shuffle to every row.
+    val p = math.min(256, if (buckets > 0) buckets
+      else math.max(1, df.sparkSession.sparkContext.defaultParallelism))
     val withOrd = df.withColumn("__ofd_ord__", col(orderCol).cast(DoubleType))
     val splits =
       if (p <= 1) Array.empty[Double]
