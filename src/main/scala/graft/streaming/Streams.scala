@@ -336,8 +336,20 @@ object Streams {
     * oracle. */
   def runBounded(df: DataFrame, outputMode: OutputMode = OutputMode.Append()): DataFrame = {
     val name = s"graft_bounded_run_${boundedRunSeq.incrementAndGet()}"
-    runToMemory(df, name, outputMode)
     val spark = df.sparkSession
+    // bounded runs are state-store-setup-bound, not data-bound: each
+    // micro-batch pays per-state-partition provider/commit overhead,
+    // so a bounded drain under the session's batch-sized shuffle
+    // partitioning (32 here, hundreds on a cluster) spends most of
+    // its wall clock opening empty stores. 8 partitions is plenty for
+    // driver-sized bounded data (measured: −35-40% per gate); an
+    // UNBOUNDED deployment sizes this knob to its load instead, which
+    // is why the narrowing is scoped to this harness and restored.
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    val bounded = math.min(8, prev.toInt).toString
+    spark.conf.set("spark.sql.shuffle.partitions", bounded)
+    try runToMemory(df, name, outputMode)
+    finally spark.conf.set("spark.sql.shuffle.partitions", prev)
     val sunk = spark.table(name)
     val out = spark.createDataFrame(sunk.collectAsList(), sunk.schema)
     spark.catalog.dropTempView(name)
