@@ -18,6 +18,14 @@ class MkvMetaSpec extends AnyFunSuite {
     hx(idHex) ++ Array((0x80 | content.length).toByte) ++ content
   }
 
+  /** Element with a 2-byte size encoding — also exercises multi-byte
+    * vint size decoding. */
+  private def elBig(idHex: String, content: Array[Byte]): Array[Byte] = {
+    require(content.length < 16000)
+    hx(idHex) ++ Array((0x40 | (content.length >> 8)).toByte,
+      (content.length & 0xff).toByte) ++ content
+  }
+
   private def be(v: Long, n: Int): Array[Byte] =
     (0 until n).map(i => ((v >> (8 * (n - 1 - i))) & 0xff).toByte).toArray
 
@@ -109,6 +117,44 @@ class MkvMetaSpec extends AnyFunSuite {
     val noDur = MkvMetaUtil.parse(header("webm") ++
       el("18538067", el("1549a966", el("2ad7b1", be(1000000L, 3)))))
     assert(noDur != null && noDur.isNullAt(2))
+  }
+
+  test("randomized roundtrip: 300 generated valid trees parse back exactly") {
+    val rnd = new scala.util.Random(77L)
+    val codecsV = Seq("V_VP8", "V_VP9", "V_AV1", "V_MPEG4/ISO/AVC")
+    val codecsA = Seq("A_OPUS", "A_VORBIS", "A_FLAC", "A_AAC")
+    (0 until 300).foreach { i =>
+      val webm = rnd.nextBoolean()
+      val ts = 100000L + rnd.nextInt(5000000)
+      // float32-exact integer durations
+      val dur = (1 + rnd.nextInt(1 << 22)).toFloat
+      val vC = codecsV(rnd.nextInt(4))
+      val aC = codecsA(rnd.nextInt(4))
+      val w0 = 16 + rnd.nextInt(4000); val h0 = 16 + rnd.nextInt(3000)
+      val rate = Seq(8000f, 16000f, 22050f, 44100f, 48000f, 96000f)(rnd.nextInt(6))
+      val ch = 1 + rnd.nextInt(8)
+      val audioFirst = rnd.nextBoolean()
+      val tracks =
+        if (audioFirst) audioTrack(aC, rate, ch) ++ videoTrack(vC, w0, h0)
+        else videoTrack(vC, w0, h0) ++ audioTrack(aC, rate, ch)
+      val clusters = (0 until rnd.nextInt(3)).map { _ =>
+        val junk = new Array[Byte](rnd.nextInt(100)); rnd.nextBytes(junk)
+        el("1f43b675", junk)
+      }
+      val seg = elBig("18538067",
+        info(ts, f32(dur)) ++ el("1654ae6b", tracks) ++
+          clusters.foldLeft(Array.emptyByteArray)(_ ++ _))
+      val r = MkvMetaUtil.parse(header(if (webm) "webm" else "matroska") ++ seg)
+      assert(r != null, s"case $i: parse returned null")
+      assert(r.getUTF8String(0).toString == (if (webm) "webm" else "matroska"))
+      assert(r.getLong(1) == ts, s"case $i timescale")
+      assert(r.getDouble(2) == dur.toDouble * ts / 1e9, s"case $i duration")
+      assert(r.getInt(3) == 2, s"case $i tracks")
+      assert(r.getUTF8String(4).toString == vC, s"case $i vcodec")
+      assert(r.getInt(5) == w0 && r.getInt(6) == h0, s"case $i dims")
+      assert(r.getUTF8String(7).toString == aC, s"case $i acodec")
+      assert(r.getDouble(8) == rate.toDouble && r.getInt(9) == ch, s"case $i audio")
+    }
   }
 
   test("hostile inputs: null / short / non-ebml / bit-flips never throw") {

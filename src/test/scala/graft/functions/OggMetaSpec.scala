@@ -95,6 +95,38 @@ class OggMetaSpec extends AnyFunSuite {
       truncated.getLong(5) == 96000L)
   }
 
+  test("randomized roundtrip: 300 generated valid streams parse back exactly") {
+    val rnd = new scala.util.Random(99L)
+    (0 until 300).foreach { i =>
+      val opus = rnd.nextBoolean()
+      val ch = 1 + rnd.nextInt(8)
+      val rate = Seq(8000L, 11025L, 16000L, 22050L, 24000L, 44100L, 48000L, 96000L)(rnd.nextInt(8))
+      val preSkip = rnd.nextInt(4000)
+      val serial = rnd.nextInt(1 << 30).toLong
+      val granule = rnd.nextInt(1 << 30).toLong + preSkip
+      val nDataPages = 1 + rnd.nextInt(5)
+      val id = if (opus) opusId(ch, preSkip, rate) else vorbisId(ch, rate)
+      val pages = page(2, 0, serial, 0, Seq(id)) +:
+        (1 to nDataPages).map { p =>
+          val segs = (0 until 1 + rnd.nextInt(3)).map(_ => new Array[Byte](rnd.nextInt(200)))
+          // monotone granules; only the final page carries the last one
+          val g = if (p == nDataPages) granule else granule * p / (nDataPages + 1)
+          page(if (p == nDataPages) 4 else 0, g, serial, p.toLong, segs)
+        }
+      val r = OggMetaUtil.parse(pages.reduce(_ ++ _))
+      assert(r != null, s"case $i: parse returned null")
+      assert(r.getUTF8String(0).toString == (if (opus) "opus" else "vorbis"), s"case $i codec")
+      assert(r.getInt(1) == ch, s"case $i channels")
+      assert(r.getInt(2) == rate.toInt, s"case $i rate")
+      assert(r.getInt(3) == (if (opus) preSkip else 0), s"case $i preskip")
+      assert(r.getInt(4) == 1 + nDataPages, s"case $i pages")
+      assert(r.getLong(5) == granule, s"case $i granule")
+      val expectedDur = if (opus) (granule - preSkip).toDouble / 48000.0
+        else granule.toDouble / rate
+      assert(r.getDouble(6) == expectedDur, s"case $i duration")
+    }
+  }
+
   test("hostile inputs: null / short / non-ogg / bit-flips never throw") {
     assert(OggMetaUtil.parse(null) == null)
     assert(OggMetaUtil.parse(Array.emptyByteArray) == null)
