@@ -40,9 +40,15 @@ object BenchScaleTwoDecades {
     "q_simsearch_ivf", "q_simsearch_lsh", "q_pack")
 
   /** Worst families by mid→hi slope in BENCH_SCALE_r10 (+ the cluster
-    * path and the auto-sized semantic): these also run the xhi point. */
+    * path and the auto-sized semantic): these also run the xhi point.
+    * q_dedup_semantic (fixed nCells=8) deliberately does NOT run xhi:
+    * at 26 replicas every cell exceeds maxCell and the operator now
+    * FAILS LOUDLY (under-sized-quantizer guard) instead of returning
+    * zero pairs — the attribution section still records its cell
+    * occupancy there via ScaleStats, which measures without running
+    * the guarded pair stage. */
   val xhiQueries: Seq[String] = Seq(
-    "q_dedup_semantic", "q_dedup_semantic_auto", "q_dedup_minhash",
+    "q_dedup_semantic_auto", "q_dedup_minhash",
     "q_dedup_cross", "q_dedup_minhash_cluster", "q_dedup_cluster",
     "q_prep_mix")
 

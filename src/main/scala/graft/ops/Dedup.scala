@@ -791,6 +791,24 @@ object Dedup {
     val indexed = Ivf.index(df, idCol, vecCol, centroids, replication)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
+      // the cap drops non-discriminative cells — a legitimate skew
+      // trade for SOME cells, a silent wrong answer when it hits ALL
+      // of them (an under-sized quantizer on a grown corpus returns
+      // zero pairs while looking healthy — measured at 26x scale:
+      // every cell past maxCell, 676M candidate pairs shed, 0 rows).
+      // That configuration fails loudly instead; one tiny aggregate
+      // on the already-persisted index pays for the guard.
+      val health = indexed.groupBy("__cell__").agg(count(lit(1)).as("__n__"))
+        .agg(count(lit(1)).as("cells"),
+          sum(when(col("__n__").between(2, maxCell), 1).otherwise(0)).as("pairable"),
+          sum(when(col("__n__") > maxCell, 1).otherwise(0)).as("capped"))
+        .head()
+      if (health.getLong(0) > 0 && health.getLong(1) == 0 && health.getLong(2) > 0)
+        throw new IllegalStateException(
+          s"semanticNearDups: every populated cell exceeds maxCell=$maxCell " +
+            s"(${health.getLong(2)} of ${health.getLong(0)} cells capped) — the " +
+            s"quantizer is under-sized for this corpus at nCells=$nCells; raise " +
+            "nCells (or use semanticNearDupsAuto, which sizes it to the corpus)")
       val good = indexed.groupBy("__cell__").agg(count(lit(1)).as("__n__"))
         .filter(col("__n__").between(2, maxCell))
         .select("__cell__")

@@ -389,6 +389,13 @@ class OpsSpec extends AnyFunSuite {
       Dedup.semanticNearDupsAuto(vecs, "vec_id", "embedding",
         threshold = 0.9, targetCell = 2, replication = 1000000)
     }
+    // the under-sized-quantizer guard: every cell over the cap must
+    // fail loudly, not silently return zero pairs
+    val boom = intercept[IllegalStateException] {
+      Dedup.semanticNearDups(vecs, "vec_id", "embedding",
+        threshold = 0.9, nCells = 2, replication = 1, maxCell = 3)
+    }
+    assert(boom.getMessage.contains("under-sized"))
     // no cached frames left behind
     assert(spark.sharedState.cacheManager.isEmpty,
       "semanticNearDups must unpersist the indexed frame before returning")
