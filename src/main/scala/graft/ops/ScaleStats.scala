@@ -107,9 +107,15 @@ object ScaleStats {
       val assignments = indexed.count()
       val occ = bucketAccounting(
         indexed.select(lit(0).as("band"), col("__cell__").as("bucket")), maxCell)
-      val emitted = Dedup.semanticNearDups(df, idCol, vecCol, threshold,
-        nCells, replication, maxCell, seed).count()
+      // the measurement tool must still record the all-capped regime
+      // the operator itself refuses to run (the refusal IS the
+      // datapoint): guard trips are recorded, not propagated
+      val (emitted, guardTripped) =
+        try (Dedup.semanticNearDups(df, idCol, vecCol, threshold,
+          nCells, replication, maxCell, seed).count(), 0L)
+        catch { case _: IllegalStateException => (0L, 1L) }
       Map("rows" -> assignments / math.max(replication, 1),
+        "guard_tripped" -> guardTripped,
         "assignments" -> assignments,
         "cells" -> occ("buckets"),
         "max_cell" -> occ("max_bucket"),
