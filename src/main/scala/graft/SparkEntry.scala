@@ -2047,6 +2047,25 @@ object SparkEntry {
         .orderBy("doc_id")
     },
 
+    "q_dedup_catalog" -> { (s, dir) =>
+      // the INCREMENTAL-CRAWL path under the oracle: the shipped
+      // batch's fingerprint CATALOG (Dedup.fingerprints — the ~32 B/doc
+      // projection a real pipeline persists instead of shipped text)
+      // dedups the next crawl via exactCrossDedupByFingerprint
+      // (bloom prefilter + exact fingerprint re-verify). Catalog =
+      // the doc_id % 9 == 0 slice; the corpus is the FULL table, so
+      // that slice trivially duplicates the catalog and must drop
+      // (the q_dedup_cross_exact trick — the drop path is provably
+      // exercised), verdicts exact.
+      val docs = t(s, dir, "documents")
+      val catalog = ops.Dedup.fingerprints(
+        docs.filter(col("doc_id") % 9 === 0), "text")
+      ops.Dedup.exactCrossDedupByFingerprint(
+        docs, catalog, "fingerprint", "doc_id", "text")
+        .select("doc_id")
+        .orderBy("doc_id")
+    },
+
     "q_sample_budget" -> { (s, dir) =>
       // token-BUDGET mixture ("take N tokens per source" — how
       // training mixtures are actually specified): per-lang char
@@ -3741,6 +3760,20 @@ object SparkEntry {
 
     // exact fingerprint anti-membership — the bloom prefilter must not
     // change verdicts, so the oracle knows nothing about it
+    // incremental-crawl catalog dedup: drop every corpus doc whose
+    // normalized-text fingerprint appears in the shipped slice's
+    // catalog (the slice itself included); null fingerprints are
+    // always kept
+    "q_dedup_catalog" ->
+      """WITH fp AS (
+        |  SELECT doc_id,
+        |    md5(regexp_replace(lower(trim(text)), '[ \t\n\x0b\f\r]+', ' ', 'g')) AS f
+        |  FROM documents)
+        |SELECT c.doc_id FROM fp c
+        |WHERE c.f IS NULL OR c.f NOT IN (
+        |    SELECT f FROM fp WHERE doc_id % 9 = 0 AND f IS NOT NULL)
+        |ORDER BY c.doc_id""".stripMargin,
+
     "q_dedup_cross_exact" ->
       """WITH n AS (
         |  SELECT doc_id,
