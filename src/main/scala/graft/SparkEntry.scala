@@ -1335,17 +1335,18 @@ object SparkEntry {
 
     "q_multimodal_triage" -> { (s, dir) =>
       // the ONE-CALL mixed-modality triage under the oracle: each doc
-      // gets one of FOUR container families by doc_id % 4 — MP3 frame
-      // stream, Ogg Vorbis, Matroska, RIFF WAV — assembled columnar
-      // from k = doc_id/4 arithmetic (decoupled from the family
+      // gets one of SIX container families by doc_id % 6 — MP3 frame
+      // stream, Ogg Vorbis, Matroska, RIFF WAV, ISO-BMFF MP4, and a
+      // 24-bit BMP — assembled columnar
+      // from k = doc_id/6 arithmetic (decoupled from the family
       // selector so every field still varies within a family), then
       // ONE Multimodal.triage call must sniff each payload, route it
       // to the right native parser, and normalize the answer; DuckDB
       // recomputes all eight fields per family. Wrong dispatch, a
       // field mapped from the wrong parser, or any parser drift
       // breaks the hash.
-      val fam = pmod(col("doc_id"), lit(4L))
-      val k = floor(col("doc_id") / 4).cast(LongType)
+      val fam = pmod(col("doc_id"), lit(6L))
+      val k = floor(col("doc_id") / 6).cast(LongType)
       // fam 0 — MP3: MPEG1 Layer III, one stereo frame
       val mpRate = element_at(typedLit(Seq(44100L, 48000L, 32000L)),
         (pmod(k, lit(3L)) + 1).cast("int"))
@@ -1405,9 +1406,34 @@ object SparkEntry {
         lit("666d7420"), leh(lit(16L), 4), leh(lit(1L), 2), leh(lit(1L), 2),
         leh(wavRate, 4), leh(wavRate, 4), leh(lit(1L), 2), leh(lit(8L), 2),
         lit("64617461"), leh(nSamp, 4), repeat(lit("00"), nSamp.cast("int")))
+      // fam 4 — MP4: ftyp(isom) + moov[mvhd(ts, dur) + one video trak]
+      val mpTs = pmod(k, lit(900L)) + 100
+      val mpDur = pmod(k, lit(100000L)) + 1
+      val mpW = pmod(k, lit(1920L)) + 1
+      val mpH = pmod(k, lit(1080L)) + 1
+      def be32h(v: Column) = lpad(hex(v), 8, "0")
+      val mp4Hex = concat(
+        lit("0000001066747970"), lit("69736f6d"), lit("00000200"),
+        lit("000000d8"), lit("6d6f6f76"),
+        lit("0000006c"), lit("6d766864"), lit("00" * 12),
+        be32h(mpTs), be32h(mpDur), lit("00" * 80),
+        lit("00000064"), lit("7472616b"),
+        lit("0000005c"), lit("746b6864"), lit("00" * 76),
+        be32h(mpW * 65536), be32h(mpH * 65536))
+      // fam 5 — BMP: 24-bit BI_RGB, one row, k-varied width
+      val bmpW = pmod(k, lit(100L)) + 1
+      val bmpRow = floor((bmpW * 3 + 3) / 4).cast(LongType) * 4
+      val bmpHex = concat(
+        lit("424d"), leh(bmpRow + 54, 4), lit("00000000"),
+        leh(lit(54L), 4), leh(lit(40L), 4),
+        leh(bmpW, 4), leh(lit(1L), 4), leh(lit(1L), 2), leh(lit(24L), 2),
+        leh(lit(0L), 4), leh(bmpRow, 4),
+        lit("130b0000130b0000"), lit("00000000"), lit("00000000"),
+        repeat(lit("00"), bmpRow.cast("int")))
       val payload = unhex(
         when(fam === 0, mp3Hex).when(fam === 1, oggHex)
-          .when(fam === 2, mkvHex).otherwise(wavHex))
+          .when(fam === 2, mkvHex).when(fam === 3, wavHex)
+          .when(fam === 4, mp4Hex).otherwise(bmpHex))
       val tr = ops.Multimodal.triage(col("payload"))
       t(s, dir, "documents")
         .select(col("doc_id"), payload.as("payload"))
@@ -3110,28 +3136,37 @@ object SparkEntry {
     // family from the same k = doc_id/4 arithmetic; durations mirror
     // each parser's closed form
     "q_multimodal_triage" ->
-      """WITH src AS (SELECT doc_id, doc_id % 4 AS fam, doc_id // 4 AS k FROM documents)
+      """WITH src AS (SELECT doc_id, doc_id % 6 AS fam, doc_id // 6 AS k FROM documents)
         |SELECT doc_id,
         |  CASE fam WHEN 0 THEN 'audio/mpeg' WHEN 1 THEN 'audio/ogg'
-        |           WHEN 2 THEN 'video/x-matroska' ELSE 'audio/wav' END AS mime,
-        |  CASE WHEN fam = 2 THEN 'video' ELSE 'audio' END AS kind,
+        |           WHEN 2 THEN 'video/x-matroska' WHEN 3 THEN 'audio/wav'
+        |           WHEN 4 THEN 'video/mp4' ELSE 'image/bmp' END AS mime,
+        |  CASE WHEN fam IN (2, 4) THEN 'video'
+        |       WHEN fam = 5 THEN 'image' ELSE 'audio' END AS kind,
         |  CASE fam WHEN 0 THEN 'mpeg1-layer3' WHEN 1 THEN 'vorbis'
         |           WHEN 2 THEN (CASE WHEN k % 2 = 0 THEN 'V_VP8' ELSE 'V_AV1' END)
+        |           WHEN 4 THEN 'isom'
         |           ELSE NULL END AS codec,
-        |  CASE WHEN fam = 2 THEN cast(k % 1280 + 16 AS INT) END AS width,
-        |  CASE WHEN fam = 2 THEN cast(k % 720 + 16 AS INT) END AS height,
+        |  CASE fam WHEN 2 THEN cast(k % 1280 + 16 AS INT)
+        |           WHEN 4 THEN cast(k % 1920 + 1 AS INT)
+        |           WHEN 5 THEN cast(k % 100 + 1 AS INT) END AS width,
+        |  CASE fam WHEN 2 THEN cast(k % 720 + 16 AS INT)
+        |           WHEN 4 THEN cast(k % 1080 + 1 AS INT)
+        |           WHEN 5 THEN cast(1 AS INT) END AS height,
         |  cast(CASE fam WHEN 0 THEN list_value(44100,48000,32000)[k % 3 + 1]
         |           WHEN 1 THEN list_value(8000,22050,44100,48000)[k % 4 + 1]
         |           WHEN 2 THEN list_value(8000,16000,24000,44100,48000)[k % 5 + 1]
-        |           ELSE list_value(8000,11025,16000,22050)[k % 4 + 1] END AS INT) AS sample_rate,
+        |           WHEN 3 THEN list_value(8000,11025,16000,22050)[k % 4 + 1]
+        |           ELSE NULL END AS INT) AS sample_rate,
         |  cast(CASE fam WHEN 0 THEN 2 WHEN 1 THEN k % 3 + 1
-        |           WHEN 2 THEN k % 2 + 1 ELSE 1 END AS INT) AS channels,
+        |           WHEN 2 THEN k % 2 + 1 WHEN 3 THEN 1 ELSE NULL END AS INT) AS channels,
         |  CASE fam
         |    WHEN 0 THEN cast(1152 AS DOUBLE) / list_value(44100,48000,32000)[k % 3 + 1]
         |    WHEN 1 THEN cast((k % 50000) * 7 + 48000 AS DOUBLE)
         |      / list_value(8000,22050,44100,48000)[k % 4 + 1]
         |    WHEN 2 THEN cast(list_value(1000,1500,2000,3000,4500,6000,30000,90000)[k % 8 + 1]
         |      AS DOUBLE) * 1000000 / 1e9
+        |    WHEN 4 THEN cast(k % 100000 + 1 AS DOUBLE) / (k % 900 + 100)
         |    ELSE NULL END AS duration_s
         |FROM src ORDER BY doc_id""".stripMargin,
 

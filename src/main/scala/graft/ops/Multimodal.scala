@@ -39,6 +39,7 @@ object Multimodal {
       .when(prefix.startsWith("664c6143"), lit("audio/flac")) // fLaC
       .when(prefix.startsWith("49492a00") ||
         prefix.startsWith("4d4d002a"), lit("image/tiff")) // II*\0 | MM\0*
+      .when(prefix.startsWith("424d"), lit("image/bmp")) // BM
       .when(substring(prefix, 9, 8) === "66747970", lit("video/mp4")) // ....ftyp
       .when(prefix.startsWith("494433"), lit("audio/mpeg")) // ID3
       // bare MPEG-audio frame sync (11 set bits): ff + high-3-bits-set
