@@ -1675,6 +1675,23 @@ object SparkEntry {
         .orderBy("n_nationkey")
     },
 
+    "q_tfrecord_roundtrip" -> { (s, dir) =>
+      // the training-shard EXPORT surface under the hard gate: nation
+      // through the pure-JDK TFRecord/tf.Example sink (hand-encoded
+      // protobuf wire format, masked-CRC32C framing, staged commit)
+      // and back through the one-file-per-task source — every value
+      // must survive bit-for-bit. Path keyed per (pid, sf) like the
+      // other interchange gates.
+      val out = s"${System.getProperty("java.io.tmpdir")}/graft-gate-tfr-${ProcessHandle.current().pid()}-${Integer.toHexString(dir.hashCode)}/nation_tfr"
+      sources.TfRecord.write(
+        t(s, dir, "nation").select("n_nationkey", "n_name", "n_regionkey"), out)
+      sources.TfRecord.read(s, out, StructType(Seq(
+        StructField("n_nationkey", LongType),
+        StructField("n_name", StringType),
+        StructField("n_regionkey", LongType))))
+        .orderBy("n_nationkey")
+    },
+
     "q_zip_roundtrip" -> { (s, dir) =>
       // ZipSource under the hard gate (shared shape: archiveGate):
       // nation packed one-entry-per-row, extracted through the
@@ -3265,6 +3282,12 @@ object SparkEntry {
 
     // the zip's entry names, sizes and bytes must reproduce the
     // original rows exactly (NULL-name rows excluded on both sides)
+    // tf.Example shard export must reproduce the original table
+    "q_tfrecord_roundtrip" ->
+      """SELECT cast(n_nationkey AS BIGINT) AS n_nationkey, n_name,
+        |  cast(n_regionkey AS BIGINT) AS n_regionkey
+        |FROM nation ORDER BY n_nationkey""".stripMargin,
+
     "q_zip_roundtrip" ->
       """SELECT cast(n_nationkey AS BIGINT) AS n_nationkey, n_name,
         |  octet_length(encode(n_name)) AS name_bytes

@@ -77,92 +77,21 @@ object Avro {
   /** Write `df` as Avro container files, one `part-NNNNN.avro` per
     * partition under `dir` (deflate-compressed — pure JDK codec).
     * Directory-overwrite semantics (like `df.write.mode("overwrite")`)
-    * under a STAGED COMMIT (the FileCommitProtocol shape, sized to one
-    * output dir):
-    *  - each task attempt streams into an attempt-unique temp file in
-    *    a job-unique staging dir, then renames it to the staged final
-    *    name on task success — first committer wins, so a speculative
-    *    or zombie sibling attempt can never interleave bytes into a
-    *    file a reader will see (a torn Avro container);
-    *  - the PREVIOUS dir contents survive until every partition has
-    *    committed: only then is the old dir swapped out (rename away,
-    *    rename staging in, delete old) — a job failure at any earlier
-    *    point leaves the existing data untouched and only the staging
-    *    dir to clean (done in the failure path below). The old
-    *    delete-then-write shape lost the previous data the moment a
-    *    doomed job started.
-    * Staging lives beside `dir` (same parent, same filesystem) so the
-    * commit renames are metadata moves, never copies. */
+    * under the shared staged commit ([[StagedCommit]]): a failed job
+    * leaves the previous data untouched, and no speculative attempt
+    * can tear a container. */
   def write(df: DataFrame, dir: String): Unit = {
-    val sparkSchema = df.schema
-    val avroJson = toAvroSchema(sparkSchema, "topLevelRecord").toString
-    val hconf = new org.apache.spark.SerializableWritable(
-      new org.apache.hadoop.conf.Configuration(
-        df.sparkSession.sparkContext.hadoopConfiguration))
-    val dfs = new HPath(dir).getFileSystem(
-      df.sparkSession.sparkContext.hadoopConfiguration)
-    val target = dfs.makeQualified(new HPath(dir))
-    val jobId = java.util.UUID.randomUUID().toString
-    val staging = new HPath(target.getParent,
-      s".${target.getName}-graft-staging-$jobId")
-    val stagingStr = staging.toString
-    dfs.mkdirs(staging)
-    try {
-      df.rdd.mapPartitionsWithIndex { (idx, rows) =>
-        val schema = new ASchema.Parser().parse(avroJson)
-        val fs = new HPath(stagingStr).getFileSystem(hconf.value)
-        val attempt = Option(org.apache.spark.TaskContext.get())
-          .map(_.taskAttemptId()).getOrElse(0L)
-        val tmp = new HPath(stagingStr, f"part-$idx%05d.avro.attempt-$attempt")
-        val writer = new DataFileWriter[GenericRecord](
-          new GenericDatumWriter[GenericRecord](schema))
-        writer.setCodec(org.apache.avro.file.CodecFactory.deflateCodec(6))
-        val os = fs.create(tmp, true)
-        var n = 0L
-        try {
-          writer.create(schema, os)
-          rows.foreach { r =>
-            writer.append(toAvro(r, schema).asInstanceOf[GenericRecord])
-            n += 1
-          }
-        } finally writer.close() // closes os
-        // task commit: first attempt to rename into the staged final
-        // name wins; a losing (speculative/retried) attempt discards
-        // its temp — its bytes never reach a reader-visible path
-        val committed = new HPath(stagingStr, f"part-$idx%05d.avro")
-        if (!fs.rename(tmp, committed)) {
-          if (!fs.exists(committed))
-            throw new java.io.IOException(
-              s"Avro.write: cannot commit $tmp -> $committed")
-          fs.delete(tmp, false)
-        }
-        Iterator.single(n)
-      }.count() // run the job; throws on job failure
-      // job commit: drop any orphaned attempt temps (a task retried
-      // after its first attempt died mid-write), then swap the staged
-      // dir into place — the previous data is renamed aside first and
-      // restored if the swap's second half fails
-      dfs.listStatus(staging).foreach { st =>
-        if (st.getPath.getName.contains(".avro.attempt-"))
-          dfs.delete(st.getPath, false)
-      }
-      val old = new HPath(target.getParent, s".${target.getName}-graft-old-$jobId")
-      val hadOld = dfs.exists(target)
-      if (hadOld && !dfs.rename(target, old))
-        throw new java.io.IOException(
-          s"Avro.write: cannot move previous $target aside for commit")
-      if (!dfs.rename(staging, target)) {
-        if (hadOld) dfs.rename(old, target) // restore the previous data
-        throw new java.io.IOException(
-          s"Avro.write: cannot commit staging dir to $target")
-      }
-      if (hadOld) dfs.delete(old, true)
-    } catch {
-      case e: Throwable =>
-        // the previous dir is intact (or restored); staging is ours
-        try dfs.delete(staging, true)
-        catch { case _: Exception => () }
-        throw e
+    val avroJson = toAvroSchema(df.schema, "topLevelRecord").toString
+    StagedCommit.write(df, dir, ".avro") { (_, rows, os) =>
+      val schema = new ASchema.Parser().parse(avroJson)
+      val writer = new DataFileWriter[GenericRecord](
+        new GenericDatumWriter[GenericRecord](schema))
+      writer.setCodec(org.apache.avro.file.CodecFactory.deflateCodec(6))
+      try {
+        writer.create(schema, os)
+        rows.foreach(r =>
+          writer.append(toAvro(r, schema).asInstanceOf[GenericRecord]))
+      } finally writer.close() // closes os
     }
   }
 

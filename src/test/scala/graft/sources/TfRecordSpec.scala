@@ -1,0 +1,165 @@
+package graft.sources
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.{Row, SparkSession}
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** TFRecord/tf.Example source+sink: framing golden bytes (the public
+  * TensorFlow constants — any TFRecord reader must accept our files),
+  * full-type roundtrip, absent-feature NULLs, the documented
+  * double→float32 narrowing, corruption policy (strict typed /
+  * lenient prefix), and loud type rejects. */
+class TfRecordSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-tfrecord-test")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def tmp(tag: String): String =
+    Files.createTempDirectory(s"graft-tfr-$tag").toString
+
+  test("framing golden bytes: length, masked CRC32C, payload CRC") {
+    // TF's own worked constants: crc32c("") masked = 0xa282ead8 + rot(0)
+    val framed = TfRecord.frame(Array.emptyByteArray)
+    assert(framed.length == 16)
+    // length field: 0 as u64le
+    assert(framed.take(8).forall(_ == 0))
+    // independently computed masked crcs
+    def masked(bytes: Array[Byte]): Int = {
+      val c = new java.util.zip.CRC32C(); c.update(bytes, 0, bytes.length)
+      val crc = c.getValue.toInt
+      ((crc >>> 15) | (crc << 17)) + 0xa282ead8
+    }
+    val lenCrc = java.nio.ByteBuffer.wrap(framed, 8, 4)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN).getInt
+    assert(lenCrc == masked(new Array[Byte](8)))
+    val dataCrc = java.nio.ByteBuffer.wrap(framed, 12, 4)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN).getInt
+    assert(dataCrc == masked(Array.emptyByteArray))
+    // deframe inverts frame for arbitrary payloads
+    val rnd = new scala.util.Random(5L)
+    val payloads = (0 until 50).map { _ =>
+      val a = new Array[Byte](rnd.nextInt(500)); rnd.nextBytes(a); a
+    }
+    val file = payloads.toArray.flatMap(TfRecord.frame)
+    val back = TfRecord.deframe(file, lenient = false)
+    assert(back.size == 50)
+    back.zip(payloads).foreach { case (a, b) => assert(a.sameElements(b)) }
+  }
+
+  test("full-type roundtrip incl. arrays; absent features read as NULL") {
+    val schema = StructType(Seq(
+      StructField("s", StringType),
+      StructField("bin", BinaryType),
+      StructField("l", LongType),
+      StructField("i", IntegerType),
+      StructField("b", BooleanType),
+      StructField("f", FloatType),
+      StructField("arr_s", ArrayType(StringType)),
+      StructField("arr_l", ArrayType(LongType)),
+      StructField("arr_f", ArrayType(FloatType))))
+    val rows = Seq(
+      Row("héllo", Array[Byte](1, 2, -3), Long.MaxValue, -42, true, 1.5f,
+        Seq("a", "", "ccc"), Seq(-1L, 0L, Long.MinValue), Seq(0.25f, -2f)),
+      // every field null: no features written, all read back NULL
+      Row(null, null, null, null, null, null, null, null, null))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 2), schema)
+    val dir = tmp("roundtrip")
+    TfRecord.write(df, dir)
+    val back = TfRecord.read(spark, dir, schema).collect()
+      .sortBy(r => if (r.isNullAt(2)) Long.MinValue else r.getLong(2))
+    assert(back.length == 2)
+    val n = back(0) // the all-null row sorts first
+    assert((0 until 9).forall(n.isNullAt))
+    val v = back(1)
+    assert(v.getString(0) == "héllo")
+    assert(v.getAs[Array[Byte]](1).toSeq == Seq[Byte](1, 2, -3))
+    assert(v.getLong(2) == Long.MaxValue)
+    assert(v.getInt(3) == -42 && v.getBoolean(4) && v.getFloat(5) == 1.5f)
+    assert(v.getSeq[String](6) == Seq("a", "", "ccc"))
+    assert(v.getSeq[Long](7) == Seq(-1L, 0L, Long.MinValue))
+    assert(v.getSeq[Float](8) == Seq(0.25f, -2f))
+  }
+
+  test("double narrows to float32 (tf.Example has no double list) — documented") {
+    import spark.implicits._
+    val dir = tmp("double")
+    TfRecord.write(Seq((1L, 0.1)).toDF("id", "d"), dir)
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("d", DoubleType)))
+    val got = TfRecord.read(spark, dir, schema).collect().head.getDouble(1)
+    assert(got == 0.1f.toDouble) // exactly the float32 narrowing, not 0.1
+  }
+
+  test("corruption: strict fails typed; lenient keeps the decoded prefix") {
+    import spark.implicits._
+    val dir = tmp("corrupt")
+    TfRecord.write((1L to 20L).toDF("id").coalesce(1), dir)
+    val file = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".tfrecord")).head
+    val bytes = Files.readAllBytes(file.toPath)
+    bytes(bytes.length - 6) = (bytes(bytes.length - 6) ^ 0x5a).toByte
+    Files.write(file.toPath, bytes)
+    // drop the Hadoop local-FS checksum sidecar: the test corrupts the
+    // DATA path (TFRecord's own CRCs), not the transport layer
+    Files.deleteIfExists(Paths.get(dir, s".${file.getName}.crc"))
+    val schema = StructType(Seq(StructField("id", LongType)))
+    val strict = intercept[Exception] {
+      TfRecord.read(spark, dir, schema).count()
+    }
+    def causes(t: Throwable) =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(10).toSeq
+    assert(causes(strict).exists(_.isInstanceOf[java.io.IOException]))
+    val kept = TfRecord.read(spark, dir, schema, lenient = true)
+      .collect().map(_.getLong(0)).sorted
+    assert(kept.length == 19, s"lenient must keep the 19 clean records, got ${kept.length}")
+  }
+
+  test("loud rejects: unsupported column type; kind mismatch on read") {
+    import spark.implicits._
+    val bad = Seq((1L, java.sql.Timestamp.valueOf("2026-01-01 00:00:00")))
+      .toDF("id", "ts")
+    intercept[IllegalArgumentException] { TfRecord.write(bad, tmp("rej")) }
+    val dir = tmp("mismatch")
+    TfRecord.write(Seq((1L, "text")).toDF("id", "s"), dir)
+    val wrong = StructType(Seq(
+      StructField("id", LongType), StructField("s", LongType))) // s is bytes
+    val e = intercept[Exception] { TfRecord.read(spark, dir, wrong).count() }
+    assert(Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+      .take(10).exists(t =>
+        t.getMessage != null && t.getMessage.contains("read schema")))
+  }
+
+  test("multi-partition write: one shard per partition, all rows back") {
+    import spark.implicits._
+    val dir = tmp("shards")
+    TfRecord.write((1L to 100L).toDF("id").repartition(8), dir)
+    val shards = new java.io.File(dir).listFiles()
+      .count(_.getName.endsWith(".tfrecord"))
+    assert(shards == 8)
+    val schema = StructType(Seq(StructField("id", LongType)))
+    val back = TfRecord.read(spark, dir, schema).collect().map(_.getLong(0))
+    assert(back.sorted.toSeq == (1L to 100L))
+  }
+
+  test("failed write keeps previous data (shared staged commit)") {
+    import spark.implicits._
+    val dir = tmp("commit")
+    TfRecord.write((1L to 10L).toDF("id"), dir)
+    val doomed = (1L to 50L).toDF("id").repartition(2)
+      .select(org.apache.spark.sql.functions.when(
+        org.apache.spark.sql.functions.col("id") === 33L,
+        org.apache.spark.sql.functions.raise_error(
+          org.apache.spark.sql.functions.lit("boom")))
+        .otherwise(org.apache.spark.sql.functions.col("id")).as("id"))
+    intercept[Exception] { TfRecord.write(doomed, dir) }
+    val schema = StructType(Seq(StructField("id", LongType)))
+    assert(TfRecord.read(spark, dir, schema).count() == 10L)
+  }
+}
