@@ -1345,6 +1345,16 @@ final class Pipeline private (
       Map("file" -> dir, "filename" -> dir)
     }))
 
+  /** TFRecord/tf.Example shard sink ([[graft.sources.TfRecord.write]])
+    * — the dataloader-facing export of a prepared corpus; symmetric
+    * with [[graft.sources.TfRecord.source]]. Shard count = the flow's
+    * partitioning. */
+  def saveTfRecord(dir: String, gzip: Boolean = false): Pipeline =
+    add(SinkStep(s"saveTfRecord($dir)", df => {
+      graft.sources.TfRecord.write(df, dir, gzip)
+      Map("file" -> dir, "filename" -> dir)
+    }))
+
   /** Persist the flow as a bucketed (co-located) catalog table
     * ([[graft.ops.Bucketing.writeBucketed]]) — later equi-joins on
     * `keys` against same-bucketed tables plan with zero exchanges. */

@@ -356,9 +356,11 @@ object TfRecord {
   // ------------------------------------------------------------ API
 
   /** Write `df` as TFRecord shards of tf.Example rows, one
-    * `part-NNNNN.tfrecord` per partition under `dir`, staged commit.
-    * Shard count = `df`'s partitioning (repartition upstream). */
-  def write(df: DataFrame, dir: String): Unit = {
+    * `part-NNNNN.tfrecord[.gz]` per partition under `dir`, staged
+    * commit. Shard count = `df`'s partitioning (repartition
+    * upstream). `gzip` writes whole-file-gzipped shards — the
+    * `tf.data.TFRecordDataset(compression_type="GZIP")` convention. */
+  def write(df: DataFrame, dir: String, gzip: Boolean = false): Unit = {
     val schema = df.schema
     // reject unsupported columns at PLAN time, not per executor row
     schema.fields.foreach { f =>
@@ -372,10 +374,12 @@ object TfRecord {
             s"${f.name} — tf.Example holds bytes/int64/float lists")
       }
     }
-    StagedCommit.write(df, dir, ".tfrecord") { (_, rows, os) =>
-      val buf = new java.io.BufferedOutputStream(os, 1 << 16)
-      try rows.foreach(r => buf.write(frame(encodeExample(r, schema))))
-      finally buf.close()
+    val ext = if (gzip) ".tfrecord.gz" else ".tfrecord"
+    StagedCommit.write(df, dir, ext) { (_, rows, os) =>
+      val raw = if (gzip) new java.util.zip.GZIPOutputStream(os, 1 << 16)
+        else new java.io.BufferedOutputStream(os, 1 << 16)
+      try rows.foreach(r => raw.write(frame(encodeExample(r, schema))))
+      finally raw.close()
     }
   }
 
@@ -387,11 +391,19 @@ object TfRecord {
   def read(spark: SparkSession, dir: String, schema: StructType,
       lenient: Boolean = false): DataFrame = {
     val files = spark.read.format("binaryFile")
-      .option("pathGlobFilter", "*.tfrecord")
+      .option("pathGlobFilter", "*.tfrecord*")
       .option("recursiveFileLookup", true).load(dir)
+    val pathIdx = files.schema.fieldIndex("path")
     val contentIdx = files.schema.fieldIndex("content")
     files.flatMap { fileRow =>
-      val bytes = fileRow.getAs[Array[Byte]](contentIdx)
+      val raw = fileRow.getAs[Array[Byte]](contentIdx)
+      val bytes =
+        if (!fileRow.getString(pathIdx).endsWith(".gz")) raw
+        else {
+          val in = new java.util.zip.GZIPInputStream(
+            new java.io.ByteArrayInputStream(raw), 1 << 16)
+          try in.readAllBytes() finally in.close()
+        }
       deframe(bytes, lenient).iterator.map { payload =>
         val features = decodeExample(payload)
         Row.fromSeq(schema.fields.toIndexedSeq.map(f =>

@@ -148,6 +148,28 @@ class TfRecordSpec extends AnyFunSuite {
     assert(back.sorted.toSeq == (1L to 100L))
   }
 
+  test("gzip shards roundtrip and mix with plain shards in one dir") {
+    import spark.implicits._
+    val dir = tmp("gzip")
+    TfRecord.write((1L to 30L).toDF("id").repartition(2), dir, gzip = true)
+    val names = new java.io.File(dir).listFiles().map(_.getName)
+    assert(names.count(_.endsWith(".tfrecord.gz")) == 2, names.mkString(", "))
+    val schema = StructType(Seq(StructField("id", LongType)))
+    assert(TfRecord.read(spark, dir, schema).collect()
+      .map(_.getLong(0)).sorted.toSeq == (1L to 30L))
+    // a dir mixing plain and gz shards reads as one table
+    val mixed = tmp("mixed")
+    TfRecord.write((1L to 10L).toDF("id").coalesce(1), mixed)
+    val extra = TfRecord.frame(TfRecord.encodeExample(
+      Row(11L), StructType(Seq(StructField("id", LongType)))))
+    val gz = new java.io.ByteArrayOutputStream()
+    val go = new java.util.zip.GZIPOutputStream(gz)
+    go.write(extra); go.close()
+    Files.write(Paths.get(mixed, "more.tfrecord.gz"), gz.toByteArray)
+    assert(TfRecord.read(spark, mixed, schema).collect()
+      .map(_.getLong(0)).sorted.toSeq == (1L to 11L))
+  }
+
   test("failed write keeps previous data (shared staged commit)") {
     import spark.implicits._
     val dir = tmp("commit")
