@@ -148,6 +148,30 @@ class TfRecordSpec extends AnyFunSuite {
     assert(back.sorted.toSeq == (1L to 100L))
   }
 
+  test("fuzz: garbage payloads and frames only ever fail typed") {
+    // a CRC-valid frame can still carry arbitrary bytes (an attacker,
+    // or a non-Example TFRecord file) — the proto decoder must reject
+    // with IOException, never an index/negative-size/match error; and
+    // deframe on random bytes must reject typed or return cleanly
+    val rnd = new scala.util.Random(20260814L)
+    (0 until 1000).foreach { i =>
+      val a = new Array[Byte](rnd.nextInt(300)); rnd.nextBytes(a)
+      try { TfRecord.decodeExample(a); () }
+      catch {
+        case _: java.io.IOException => ()
+        case t: Throwable => fail(
+          s"decodeExample case $i: uncontrolled ${t.getClass.getName}: ${t.getMessage}")
+      }
+      try { TfRecord.deframe(a, lenient = false); () }
+      catch {
+        case _: java.io.IOException => ()
+        case t: Throwable => fail(
+          s"deframe case $i: uncontrolled ${t.getClass.getName}: ${t.getMessage}")
+      }
+      assert(TfRecord.deframe(a, lenient = true) != null) // never throws
+    }
+  }
+
   test("gzip shards roundtrip and mix with plain shards in one dir") {
     import spark.implicits._
     val dir = tmp("gzip")
