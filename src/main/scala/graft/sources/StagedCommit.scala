@@ -48,7 +48,11 @@ private[sources] object StagedCommit {
           .map(_.taskAttemptId()).getOrElse(0L)
         val tmp = new HPath(stagingStr, f"part-$idx%05d$ext.attempt-$attempt")
         val os = fs.create(tmp, true)
-        writePartition(idx, rows, os)
+        // the writer owns (and closes) the stream on success; on ITS
+        // failure the descriptor must still be released before the
+        // task reports the error (double-close is harmless)
+        try writePartition(idx, rows, os)
+        finally { try os.close() catch { case _: Exception => () } }
         // task commit: first attempt to rename into the staged final
         // name wins; a losing (speculative/retried) attempt discards
         // its temp — its bytes never reach a reader-visible path
