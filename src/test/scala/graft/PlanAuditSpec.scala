@@ -131,6 +131,18 @@ class PlanAuditSpec extends AnyFunSuite {
       s"tainted ids not broadcast in anti-join:\n$s")
   }
 
+  test("q_dedup_catalog verifies behind the bloom prefilter with hash joins only") {
+    val s = planString(executed(SparkEntry.queries("q_dedup_catalog")(spark, dir)))
+    assert(!s.contains("CartesianProduct"), s"cartesian product in:\n$s")
+    assert(!s.contains("BroadcastNestedLoopJoin"), s"nested-loop join in:\n$s")
+    // the catalog probe must be the codegen'd bloom scalar, gating the
+    // exact fingerprint semi-join so only flagged docs reach it
+    assert(s.contains("bloom_might_contain"), s"bloom prefilter missing from plan:\n$s")
+    assert(s.linesIterator.exists(l => l.contains("BroadcastHashJoin") && l.contains("LeftSemi")),
+      s"catalog fingerprints not broadcast in verify:\n$s")
+    assert(s.contains("LeftAnti"), s"no anti-join fold-back in:\n$s")
+  }
+
   test("q_dedup_spans stays equi-join shaped; the gram pass never sinks into the scan") {
     val s = planString(executed(SparkEntry.queries("q_dedup_spans")(spark, dir)))
     // occurrence-level census: hash joins only — a nested loop here
