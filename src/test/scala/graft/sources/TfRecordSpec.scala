@@ -148,6 +148,39 @@ class TfRecordSpec extends AnyFunSuite {
     assert(back.sorted.toSeq == (1L to 100L))
   }
 
+  test("cross-implementation: the stdlib-python decoder reads our bytes exactly") {
+    // tools/tfrecord_check.py was written from the PUBLIC specs and
+    // shares no code with the Scala encoder/decoder — a wire-format
+    // deviation our own reader happens to mirror (wrong field number,
+    // unmasked CRC, wrong endianness) would roundtrip in-JVM but
+    // disagree here
+    import spark.implicits._
+    val dir = tmp("crossimpl")
+    TfRecord.write(Seq(
+      (1L, "alpha", Seq(10L, -20L, 0L), 1.5f),
+      (2L, "béta", Seq(Long.MaxValue), -0.25f)).toDF("id", "s", "ls", "f")
+      .coalesce(1), dir)
+    val file = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".tfrecord")).head
+    val p = new ProcessBuilder("python3", "tools/tfrecord_check.py",
+      file.getAbsolutePath).start()
+    p.getOutputStream.close()
+    val out = new String(p.getInputStream.readAllBytes, "UTF-8")
+    val err = new String(p.getErrorStream.readAllBytes, "UTF-8")
+    assert(p.waitFor() == 0, s"python decoder failed: $err")
+    val lines = out.trim.split("\n")
+    assert(lines.length == 2, s"expected 2 records, got:\n$out")
+    // line 1: {"f": float 1.5, "id": int64 [1], "ls": [10,-20,0], "s": bytes ["alpha"]}
+    assert(lines(0).contains(""""id": {"kind": "int64", "values": [1]}"""), lines(0))
+    assert(lines(0).contains(""""s": {"kind": "bytes", "values": ["alpha"]}"""), lines(0))
+    assert(lines(0).contains(""""ls": {"kind": "int64", "values": [10, -20, 0]}"""), lines(0))
+    assert(lines(0).contains(""""f": {"kind": "float", "values": [1.5]}"""), lines(0))
+    assert(lines(1).contains(""""s": {"kind": "bytes", "values": ["béta"]}"""), lines(1))
+    assert(lines(1).contains(
+      s""""ls": {"kind": "int64", "values": [${Long.MaxValue}]}"""), lines(1))
+    assert(lines(1).contains(""""f": {"kind": "float", "values": [-0.25]}"""), lines(1))
+  }
+
   test("fuzz: garbage payloads and frames only ever fail typed") {
     // a CRC-valid frame can still carry arbitrary bytes (an attacker,
     // or a non-Example TFRecord file) — the proto decoder must reject

@@ -1,0 +1,165 @@
+#!/usr/bin/env python3
+"""Independent TFRecord/tf.Example decoder — stdlib only, written from
+the PUBLIC specs (TFRecord framing; protobuf wire format; the
+tf.Example message layout), sharing no code with the Scala
+implementation. Used by TfRecordSpec as the cross-implementation
+oracle: if graft's encoder deviates from the public wire format in any
+way its own decoder happens to mirror, this decoder disagrees and the
+spec fails.
+
+Usage: tfrecord_check.py <file.tfrecord>
+Prints one JSON object per record: {feature: {"kind": k, "values": [...]}}
+(bytes values are printed as UTF-8 strings — test fixtures are text).
+"""
+import json
+import struct
+import sys
+
+
+def crc32c(data: bytes) -> int:
+    # bitwise CRC32C (Castagnoli, reflected poly 0x82F63B78)
+    crc = 0xFFFFFFFF
+    for b in data:
+        crc ^= b
+        for _ in range(8):
+            if crc & 1:
+                crc = (crc >> 1) ^ 0x82F63B78
+            else:
+                crc >>= 1
+    return crc ^ 0xFFFFFFFF
+
+
+def masked(c: int) -> int:
+    return (((c >> 15) | (c << 17)) + 0xA282EAD8) & 0xFFFFFFFF
+
+
+def read_varint(b: bytes, off: int):
+    shift, v = 0, 0
+    while True:
+        x = b[off]
+        off += 1
+        v |= (x & 0x7F) << shift
+        if not x & 0x80:
+            return v, off
+        shift += 7
+        if shift > 63:
+            raise ValueError("varint overflow")
+
+
+def parse_feature(b: bytes):
+    off, end = 0, len(b)
+    while off < end:
+        tag, off = read_varint(b, off)
+        field, wt = tag >> 3, tag & 7
+        if field == 1 and wt == 2:  # BytesList
+            ln, off = read_varint(b, off)
+            bl, off = b[off:off + ln], off + ln
+        elif field == 2 and wt == 2:  # FloatList
+            ln, off = read_varint(b, off)
+            bl, off = b[off:off + ln], off + ln
+            vals, o2 = [], 0
+            while o2 < len(bl):
+                t2, o2 = read_varint(bl, o2)
+                f2, w2 = t2 >> 3, t2 & 7
+                if f2 == 1 and w2 == 2:  # packed
+                    l2, o2 = read_varint(bl, o2)
+                    vals += [struct.unpack("<f", bl[o2 + i:o2 + i + 4])[0]
+                             for i in range(0, l2, 4)]
+                    o2 += l2
+                elif f2 == 1 and w2 == 5:
+                    vals.append(struct.unpack("<f", bl[o2:o2 + 4])[0])
+                    o2 += 4
+                else:
+                    raise ValueError("unexpected FloatList field")
+            return {"kind": "float", "values": vals}
+        elif field == 3 and wt == 2:  # Int64List
+            ln, off = read_varint(b, off)
+            bl, off = b[off:off + ln], off + ln
+            vals, o2 = [], 0
+            while o2 < len(bl):
+                t2, o2 = read_varint(bl, o2)
+                f2, w2 = t2 >> 3, t2 & 7
+                if f2 == 1 and w2 == 2:  # packed varints
+                    l2, o2 = read_varint(bl, o2)
+                    stop = o2 + l2
+                    while o2 < stop:
+                        v, o2 = read_varint(bl, o2)
+                        # int64 two's complement
+                        vals.append(v - (1 << 64) if v >= (1 << 63) else v)
+                elif f2 == 1 and w2 == 0:
+                    v, o2 = read_varint(bl, o2)
+                    vals.append(v - (1 << 64) if v >= (1 << 63) else v)
+                else:
+                    raise ValueError("unexpected Int64List field")
+            return {"kind": "int64", "values": vals}
+        else:
+            raise ValueError(f"unexpected Feature field {field} wt {wt}")
+        # bytes list: decode inner repeated bytes
+        vals, o2 = [], 0
+        while o2 < len(bl):
+            t2, o2 = read_varint(bl, o2)
+            f2, w2 = t2 >> 3, t2 & 7
+            if f2 == 1 and w2 == 2:
+                l2, o2 = read_varint(bl, o2)
+                vals.append(bl[o2:o2 + l2].decode("utf-8"))
+                o2 += l2
+            else:
+                raise ValueError("unexpected BytesList field")
+        return {"kind": "bytes", "values": vals}
+    raise ValueError("empty Feature")
+
+
+def parse_example(payload: bytes):
+    out = {}
+    off, end = 0, len(payload)
+    while off < end:
+        tag, off = read_varint(payload, off)
+        field, wt = tag >> 3, tag & 7
+        if field != 1 or wt != 2:
+            raise ValueError(f"unexpected Example field {field}")
+        ln, off = read_varint(payload, off)
+        feats, off = payload[off:off + ln], off + ln
+        o2 = 0
+        while o2 < len(feats):
+            t2, o2 = read_varint(feats, o2)
+            f2, w2 = t2 >> 3, t2 & 7
+            if f2 != 1 or w2 != 2:
+                raise ValueError("unexpected Features field")
+            l2, o2 = read_varint(feats, o2)
+            entry, o2 = feats[o2:o2 + l2], o2 + l2
+            key, feat, o3 = None, None, 0
+            while o3 < len(entry):
+                t3, o3 = read_varint(entry, o3)
+                f3, w3 = t3 >> 3, t3 & 7
+                if w3 != 2:
+                    raise ValueError("unexpected map-entry wire type")
+                l3, o3 = read_varint(entry, o3)
+                body, o3 = entry[o3:o3 + l3], o3 + l3
+                if f3 == 1:
+                    key = body.decode("utf-8")
+                elif f3 == 2:
+                    feat = parse_feature(body)
+            if key is None or feat is None:
+                raise ValueError("incomplete map entry")
+            out[key] = feat
+    return out
+
+
+def main(path: str) -> None:
+    data = open(path, "rb").read()
+    off = 0
+    while off < len(data):
+        (length,) = struct.unpack("<Q", data[off:off + 8])
+        (lcrc,) = struct.unpack("<I", data[off + 8:off + 12])
+        assert lcrc == masked(crc32c(data[off:off + 8])), "length CRC"
+        payload = data[off + 12:off + 12 + length]
+        (pcrc,) = struct.unpack(
+            "<I", data[off + 12 + length:off + 16 + length])
+        assert pcrc == masked(crc32c(payload)), "payload CRC"
+        print(json.dumps(parse_example(payload), sort_keys=True,
+                         ensure_ascii=False))
+        off += 16 + length
+
+
+if __name__ == "__main__":
+    main(sys.argv[1])
