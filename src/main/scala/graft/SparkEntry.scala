@@ -1675,6 +1675,33 @@ object SparkEntry {
         .orderBy("n_nationkey")
     },
 
+    "q_warc_roundtrip" -> { (s, dir) =>
+      // the crawl INGEST surface under the hard gate: nation packed as
+      // one spec-valid WARC response record per row (version line,
+      // CRLF headers, Content-Length block holding an HTTP/1.1
+      // message), read back through the pure-JDK Warc source — record
+      // framing, header parsing, and the HTTP header/body split all on
+      // the hook; the oracle recomputes names/sizes from the table.
+      archiveGate(s, dir, "warc", emptyShortCircuit = false) { (f, entries) =>
+        val os = new java.io.FileOutputStream(f)
+        try entries.foreach { case (id, bytes) =>
+          val http = ("HTTP/1.1 200 OK\r\nContent-Type: text/plain\r\n\r\n")
+            .getBytes("ISO-8859-1") ++ bytes
+          val head = s"WARC/1.0\r\nWARC-Type: response\r\n" +
+            s"WARC-Target-URI: http://gate.test/$id\r\n" +
+            s"WARC-Date: 2026-01-01T00:00:00Z\r\n" +
+            s"Content-Type: application/http; msgtype=response\r\n" +
+            s"Content-Length: ${http.length}\r\n\r\n"
+          os.write(head.getBytes("ISO-8859-1"))
+          os.write(http)
+          os.write("\r\n\r\n".getBytes("ISO-8859-1"))
+        } finally os.close()
+      }(adir => sources.Warc.read(s, adir)
+        .select(element_at(split(col("target_uri"), "/"), -1).as("entry"),
+          col("http_body").as("content"),
+          octet_length(col("http_body")).cast(LongType).as("size")))
+    },
+
     "q_tfrecord_roundtrip" -> { (s, dir) =>
       // the training-shard EXPORT surface under the hard gate: nation
       // through the pure-JDK TFRecord/tf.Example sink (hand-encoded
@@ -3282,6 +3309,13 @@ object SparkEntry {
 
     // the zip's entry names, sizes and bytes must reproduce the
     // original rows exactly (NULL-name rows excluded on both sides)
+    // WARC ingest must recover every response body bit-for-bit
+    "q_warc_roundtrip" ->
+      """SELECT cast(n_nationkey AS BIGINT) AS n_nationkey, n_name,
+        |  octet_length(encode(n_name)) AS name_bytes
+        |FROM nation WHERE n_name IS NOT NULL
+        |ORDER BY n_nationkey""".stripMargin,
+
     // tf.Example shard export must reproduce the original table
     "q_tfrecord_roundtrip" ->
       """SELECT cast(n_nationkey AS BIGINT) AS n_nationkey, n_name,
