@@ -24,6 +24,62 @@ class CorpusPrepIntegrationSpec extends AnyFunSuite {
 
   private val dir = "/root/testdata/sf0.01"
 
+  test("crawl to shards: WARC ingest → prep → TFRecord export round-trips") {
+    // the FULL boundary-to-boundary flow (round 11): documents packed
+    // as a WARC crawl (one HTTP response per doc), ingested through
+    // the Warc source, deduplicated + fingerprinted with the corpus
+    // verbs, exported as TFRecord/tf.Example shards, and read back —
+    // every surviving doc's text and fingerprint must round-trip.
+    val docs = Tables.load(spark, dir, "documents")
+      .filter(col("doc_id") < 200 && col("text").isNotNull)
+    val rows = docs.select("doc_id", "text").collect()
+    val crawlDir = java.nio.file.Files
+      .createTempDirectory("graft-crawl2shards").toString
+    val os = new java.io.FileOutputStream(s"$crawlDir/crawl.warc")
+    try rows.foreach { r =>
+      val body = r.getString(1).getBytes("UTF-8")
+      val http = "HTTP/1.1 200 OK\r\nContent-Type: text/plain\r\n\r\n"
+        .getBytes("ISO-8859-1") ++ body
+      val head = s"WARC/1.0\r\nWARC-Type: response\r\n" +
+        s"WARC-Target-URI: http://crawl.test/${r.getLong(0)}\r\n" +
+        s"WARC-Date: 2026-01-01T00:00:00Z\r\n" +
+        s"Content-Type: application/http; msgtype=response\r\n" +
+        s"Content-Length: ${http.length}\r\n\r\n"
+      os.write(head.getBytes("ISO-8859-1")); os.write(http)
+      os.write("\r\n\r\n".getBytes("ISO-8859-1"))
+    } finally os.close()
+
+    val shardDir = java.nio.file.Files
+      .createTempDirectory("graft-crawl2shards-out").toString
+    sources.Warc.source(spark, crawlDir)
+      .addField("doc_id",
+        element_at(split(col("target_uri"), "/"), -1).cast("long"))
+      .addField("text", decode(col("http_body"), "UTF-8"))
+      .clip("doc_id", "text")
+      .dedupExact("text", orderCol = "doc_id")
+      .addField("fingerprint", ops.TextOps.fingerprint(col("text")))
+      .saveTfRecord(shardDir)
+      .go()
+
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("fingerprint",
+        org.apache.spark.sql.types.StringType)))
+    val back = sources.TfRecord.read(spark, shardDir, schema).collect()
+    // the slice has no exact duplicates: every doc survives, and every
+    // text + recomputed fingerprint round-trips bit-for-bit
+    assert(back.length == rows.length)
+    val orig = rows.map(r => r.getLong(0) -> r.getString(1)).toMap
+    back.foreach { r =>
+      assert(orig(r.getLong(0)) == r.getString(1),
+        s"text mismatch for doc ${r.getLong(0)}")
+      assert(r.getString(2) != null && r.getString(2).length == 32)
+    }
+  }
+
   test("the full corpus-prep chain composes and preserves its invariants") {
     val docs = Tables.load(spark, dir, "documents")
     val eval = docs.filter(col("doc_id") % 20 === 0)
