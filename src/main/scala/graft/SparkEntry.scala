@@ -1679,10 +1679,12 @@ object SparkEntry {
       // the crawl INGEST surface under the hard gate: nation packed as
       // one spec-valid WARC response record per row (version line,
       // CRLF headers, Content-Length block holding an HTTP/1.1
-      // message), read back through the pure-JDK Warc source — record
-      // framing, header parsing, and the HTTP header/body split all on
-      // the hook; the oracle recomputes names/sizes from the table.
-      archiveGate(s, dir, "warc", emptyShortCircuit = false) { (f, entries) =>
+      // message), each record ITS OWN GZIP MEMBER (the Common Crawl
+      // .warc.gz convention — multi-member decoding is under the
+      // oracle too), read back through the pure-JDK Warc source —
+      // framing, header parsing, and the HTTP header/body split all
+      // on the hook; the oracle recomputes names/sizes from the table.
+      archiveGate(s, dir, "warc.gz", emptyShortCircuit = false) { (f, entries) =>
         val os = new java.io.FileOutputStream(f)
         try entries.foreach { case (id, bytes) =>
           val http = ("HTTP/1.1 200 OK\r\nContent-Type: text/plain\r\n\r\n")
@@ -1692,9 +1694,14 @@ object SparkEntry {
             s"WARC-Date: 2026-01-01T00:00:00Z\r\n" +
             s"Content-Type: application/http; msgtype=response\r\n" +
             s"Content-Length: ${http.length}\r\n\r\n"
-          os.write(head.getBytes("ISO-8859-1"))
-          os.write(http)
-          os.write("\r\n\r\n".getBytes("ISO-8859-1"))
+          val member = new java.util.zip.GZIPOutputStream(os) {
+            // leave the underlying stream open for the next member
+            override def close(): Unit = { finish(); flush() }
+          }
+          member.write(head.getBytes("ISO-8859-1"))
+          member.write(http)
+          member.write("\r\n\r\n".getBytes("ISO-8859-1"))
+          member.close()
         } finally os.close()
       }(adir => sources.Warc.read(s, adir)
         .select(element_at(split(col("target_uri"), "/"), -1).as("entry"),
