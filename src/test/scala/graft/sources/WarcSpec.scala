@@ -79,6 +79,29 @@ class WarcSpec extends AnyFunSuite {
     assert(bodies.toSeq == Seq("alpha", "bravo"))
   }
 
+  test("WET (conversion records): extracted-text payloads read as raw blocks") {
+    // Common Crawl's WET files are the same framing with
+    // WARC-Type: conversion and a text/plain block — the generic
+    // record reader must surface them with the block as payload and
+    // no HTTP split
+    val dir = Files.createTempDirectory("graft-warc-wet").toString
+    val wet = "Extracted text.\nSecond line.".getBytes("UTF-8")
+    val head = ("WARC/1.0\r\nWARC-Type: conversion\r\n" +
+      "WARC-Target-URI: http://wet.test/page\r\n" +
+      "WARC-Date: 2026-02-03T04:05:06Z\r\n" +
+      "Content-Type: text/plain\r\n" +
+      s"Content-Length: ${wet.length}\r\n\r\n").getBytes("ISO-8859-1")
+    Files.write(Paths.get(dir, "crawl.warc"),
+      head ++ wet ++ "\r\n\r\n".getBytes("ISO-8859-1"))
+    val r = Warc.read(spark, dir).collect().head
+    assert(r.getString(1) == "conversion")
+    assert(r.getString(2) == "http://wet.test/page")
+    assert(r.getString(4) == "text/plain")
+    assert(new String(r.getAs[Array[Byte]](6), "UTF-8") ==
+      "Extracted text.\nSecond line.")
+    assert(r.isNullAt(7) && r.isNullAt(8)) // no HTTP split for WET
+  }
+
   test("corruption: strict fails typed; lenient keeps the decoded prefix") {
     val dir = Files.createTempDirectory("graft-warc-corrupt").toString
     val good = record("response", Some("http://c.test/1"), httpBlock("200 OK", "keep"))
