@@ -296,9 +296,14 @@ object TfRecord {
     out
   }
 
-  /** Serialized tf.Example → (feature name → value). */
+  /** Serialized tf.Example → (feature name → value). `wanted = null`
+    * decodes everything; a non-null set decodes ONLY those features —
+    * a shard often carries many features per record, and a 2-column
+    * read must not pay for the other 28 (the entry's value bytes are
+    * sliced but never parsed). */
   private[sources] def decodeExample(
-      payload: Array[Byte]): Map[String, FeatureValue] = {
+      payload: Array[Byte],
+      wanted: java.util.Set[String] = null): Map[String, FeatureValue] = {
     val out = Map.newBuilder[String, FeatureValue]
     val ex = new PbReader(payload, 0, payload.length)
     while (ex.hasMore) {
@@ -310,14 +315,16 @@ object TfRecord {
           if (f2 == 1 && w2 == 2) { // map entry
             val entry = fs.sub()
             var key: String = null
-            var value: FeatureValue = null
+            var valueReader: PbReader = null
             while (entry.hasMore) {
               val (f3, w3) = entry.readTag()
               if (f3 == 1 && w3 == 2) key = new String(entry.slice(), "UTF-8")
-              else if (f3 == 2 && w3 == 2) value = decodeFeature(entry.sub())
+              else if (f3 == 2 && w3 == 2) valueReader = entry.sub()
               else entry.skip(w3)
             }
-            if (key != null && value != null) out += key -> value
+            if (key != null && valueReader != null &&
+              (wanted == null || wanted.contains(key)))
+              out += key -> decodeFeature(valueReader)
           } else fs.skip(w2)
         }
       } else ex.skip(wt)
@@ -404,8 +411,10 @@ object TfRecord {
             new java.io.ByteArrayInputStream(raw), 1 << 16)
           try in.readAllBytes() finally in.close()
         }
+      val wanted = new java.util.HashSet[String]()
+      schema.fieldNames.foreach(wanted.add)
       deframe(bytes, lenient).iterator.map { payload =>
-        val features = decodeExample(payload)
+        val features = decodeExample(payload, wanted)
         Row.fromSeq(schema.fields.toIndexedSeq.map(f =>
           toCell(features.get(f.name), f.dataType, f.name)))
       }

@@ -61,7 +61,8 @@ object Warc {
     if (!version.startsWith("WARC/")) throw new java.io.IOException(
       s"warc: expected a WARC/ version line at byte $off, got '${version.take(20)}'")
     var cur = vEnd + 2
-    val headers = Map.newBuilder[String, String]
+    val headers = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    var lastKey: String = null
     var done = false
     while (!done) {
       val lineEnd = indexOfCrlf(b, cur)
@@ -70,15 +71,21 @@ object Warc {
       if (lineEnd == cur) { done = true; cur += 2 } // blank line
       else {
         val line = new String(b, cur, lineEnd - cur, "ISO-8859-1")
-        val colon = line.indexOf(':')
-        if (colon <= 0) throw new java.io.IOException(
-          s"warc: malformed header '${line.take(40)}' at byte $cur")
-        headers += line.substring(0, colon).trim.toLowerCase ->
-          line.substring(colon + 1).trim
+        if ((line.charAt(0) == ' ' || line.charAt(0) == '\t') && lastKey != null) {
+          // RFC-style LWS folding: a continuation line extends the
+          // previous header's value (long URIs fold in the wild)
+          headers(lastKey) = headers(lastKey) + " " + line.trim
+        } else {
+          val colon = line.indexOf(':')
+          if (colon <= 0) throw new java.io.IOException(
+            s"warc: malformed header '${line.take(40)}' at byte $cur")
+          lastKey = line.substring(0, colon).trim.toLowerCase
+          headers += lastKey -> line.substring(colon + 1).trim
+        }
         cur = lineEnd + 2
       }
     }
-    (headers.result(), cur)
+    (headers.toMap, cur)
   }
 
   /** Split an HTTP message block into (status, body); None for

@@ -136,6 +136,25 @@ class TfRecordSpec extends AnyFunSuite {
         t.getMessage != null && t.getMessage.contains("read schema")))
   }
 
+  test("projected reads skip unrequested features — even undecodable ones") {
+    import spark.implicits._
+    // a record carrying a feature whose VALUE bytes are garbage: a
+    // projection that doesn't ask for it must read clean (the value is
+    // sliced, never parsed); asking for everything fails typed
+    val base = TfRecord.encodeExample(Row(7L),
+      StructType(Seq(StructField("id", LongType))))
+    val junkVal = Array[Byte](0x1a, 0x03, 0x0a, 0xFF.toByte, 0xFF.toByte) // truncated varint
+    val entry = Array[Byte](0x0a, 4) ++ "junk".getBytes ++
+      Array[Byte](0x12, junkVal.length.toByte) ++ junkVal
+    val features2 = Array[Byte](0x0a, entry.length.toByte) ++ entry
+    val payload = base ++ Array[Byte](0x0a, features2.length.toByte) ++ features2
+    val dir = tmp("lazy")
+    Files.write(Paths.get(dir, "part-00000.tfrecord"), TfRecord.frame(payload))
+    val idOnly = StructType(Seq(StructField("id", LongType)))
+    assert(TfRecord.read(spark, dir, idOnly).collect().head.getLong(0) == 7L)
+    intercept[java.io.IOException] { TfRecord.decodeExample(payload) }
+  }
+
   test("multi-partition write: one shard per partition, all rows back") {
     import spark.implicits._
     val dir = tmp("shards")

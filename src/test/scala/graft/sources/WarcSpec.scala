@@ -102,6 +102,20 @@ class WarcSpec extends AnyFunSuite {
     assert(r.isNullAt(7) && r.isNullAt(8)) // no HTTP split for WET
   }
 
+  test("folded (LWS continuation) headers extend the previous value") {
+    val dir = Files.createTempDirectory("graft-warc-fold").toString
+    val block = "body".getBytes
+    val head = ("WARC/1.0\r\nWARC-Type: response\r\n" +
+      "WARC-Target-URI: http://fold.test/very\r\n" +
+      "\t/long/path\r\n" + // folded continuation of the URI
+      s"Content-Length: ${block.length}\r\n\r\n").getBytes("ISO-8859-1")
+    Files.write(Paths.get(dir, "crawl.warc"),
+      head ++ block ++ "\r\n\r\n".getBytes("ISO-8859-1"))
+    val r = Warc.read(spark, dir).collect().head
+    assert(r.getString(2) == "http://fold.test/very /long/path")
+    assert(new String(r.getAs[Array[Byte]](6)) == "body")
+  }
+
   test("corruption: strict fails typed; lenient keeps the decoded prefix") {
     val dir = Files.createTempDirectory("graft-warc-corrupt").toString
     val good = record("response", Some("http://c.test/1"), httpBlock("200 OK", "keep"))
