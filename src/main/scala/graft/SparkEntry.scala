@@ -251,6 +251,53 @@ object SparkEntry {
         .orderBy("fingerprint")
     },
 
+    "q_stream_gapsessions" -> { (s, dir) =>
+      // the CUSTOM-STATE session op (Streams.gapSessions,
+      // flatMapGroupsWithState with event-time timeout — the
+      // escape-hatch sibling of the native session_window, which is
+      // already gated on both its batch and stream paths) end-to-end
+      // under the oracle: events as a bounded file stream, 4-hour
+      // gap, far-future sentinel advancing the final watermark so
+      // every open session's timeout fires. gapSessions merges at
+      // EXACTLY the gap (t <= end + gap), so the oracle's new-session
+      // predicate is STRICTLY-greater — boundary ties agree by
+      // construction. Sums emit as rounded cents: the accumulator
+      // folds doubles in event order and the true sums are exact
+      // cent multiples, so rounding is exact.
+      import s.implicits._
+      val batch = Tables.load(s, dir, "events")
+      val batchSchema = batch.schema
+      val minIdRow = batch.agg(min(col("event_id"))).head()
+      val minId: Any = if (minIdRow.isNullAt(0)) 0L else minIdRow.get(0)
+      def raw = s.readStream.schema(batchSchema)
+        .parquet(s"$dir/events*.parquet")
+      // SessionEvent's key/value are primitive fields: a null-payload
+      // row (the failed-extraction corpus) must not NPE the encoder —
+      // no event TIME means no sessionizable event (dropped, mirrored
+      // in the oracle); a null VALUE contributes 0 to the sum, which
+      // equals the oracle's NULL-skipping SUM
+      def evOf(df: DataFrame): DataFrame =
+        df.select(col("user_id").cast(LongType).as("key"),
+          Tables.eventTime(df).as("ts"),
+          coalesce(col("value").cast("double"), lit(0.0)).as("value"))
+          .filter(col("ts").isNotNull && col("key").isNotNull)
+      val sentinel = evOf(raw.filter(col("event_id") === minId))
+        .withColumn("ts", lit(java.sql.Timestamp.valueOf("2099-01-01 00:00:00")))
+      val sessions = graft.streaming.Streams.gapSessions(
+        evOf(raw).union(sentinel)
+          .as[graft.streaming.Streams.SessionEvent],
+        gapMs = 4L * 3600 * 1000, watermarkDelay = "0 seconds")
+      graft.streaming.Streams.runBounded(sessions.toDF())
+        .filter(col("start") <
+          lit(java.sql.Timestamp.valueOf("2098-01-01 00:00:00")))
+        .select(col("key").as("user_id"),
+          col("start").cast("timestamp_ntz").as("session_start"),
+          col("end").cast("timestamp_ntz").as("session_end"),
+          col("count").as("n"),
+          round(col("sum") * 100, 0).cast(LongType).as("sum_value_cents"))
+        .orderBy("user_id", "session_start")
+    },
+
     "q_stream_minhash" -> { (s, dir) =>
       // the streaming LSH state op (Streams.minhashNearDupPairs) under
       // the oracle: documents (doc_id < 250, the exact-sibling scope)
@@ -2474,6 +2521,28 @@ object SparkEntry {
         |SELECT user_id, window_id, count(*) AS n, min(event_type) AS event_type
         |FROM sess GROUP BY user_id, window_id
         |ORDER BY user_id, window_id""".stripMargin,
+
+    // the custom-state session op must reproduce the gaps-and-islands
+    // answer; strictly-greater gap predicate (gapSessions merges at
+    // exactly the gap), user_id cast to the state op's long key type
+    "q_stream_gapsessions" ->
+      """WITH marked AS (
+        |  SELECT user_id, ts, value,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR ts - lag(ts) OVER w > INTERVAL 4 HOUR THEN 1 ELSE 0 END AS c
+        |  FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+        |), sess AS (
+        |  SELECT user_id, ts, value,
+        |    sum(c) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM marked)
+        |SELECT cast(user_id AS BIGINT) AS user_id,
+        |  min(ts) AS session_start,
+        |  max(ts) AS session_end,
+        |  count(*) AS n,
+        |  cast(cast(sum(cast(value AS DECIMAL(18,2))) AS DECIMAL(28,2)) * 100 AS BIGINT) AS sum_value_cents
+        |FROM sess GROUP BY user_id, sid
+        |ORDER BY user_id, session_start""".stripMargin,
 
     // the streaming session path must reproduce the batch
     // gaps-and-islands answer — q_session's oracle verbatim

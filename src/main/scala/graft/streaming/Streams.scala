@@ -71,8 +71,21 @@ object Streams {
 
   /** One event entering [[gapSessions]]. */
   case class SessionEvent(key: Long, ts: java.sql.Timestamp, value: Double)
-  /** Open-session accumulator held in state (millis bounds). */
+  /** Open-session accumulator held in state (MICROSECOND bounds —
+    * `Timestamp.getTime` is millis and silently truncated event
+    * times, shifting session boundaries and emitted bounds for
+    * micro-precision streams; found by the q_stream_gapsessions
+    * oracle). */
   case class OpenSession(start: Long, end: Long, count: Long, sum: Double)
+
+  private def tsMicros(t: java.sql.Timestamp): Long =
+    math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
+
+  private def microsTs(us: Long): java.sql.Timestamp = {
+    val t = new java.sql.Timestamp(math.floorDiv(us, 1000000L) * 1000L)
+    t.setNanos((math.floorMod(us, 1000000L) * 1000L).toInt)
+    t
+  }
   /** A closed (emitted) session. */
   case class ClosedSession(
       key: Long, start: java.sql.Timestamp, end: java.sql.Timestamp,
@@ -100,21 +113,21 @@ object Streams {
       .groupByKey(_.key)
       .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
         (key: Long, rows: Iterator[SessionEvent], state: GroupState[OpenSession]) =>
+          val gapUs = gapMs * 1000L
           def close(s: OpenSession) = ClosedSession(
-            key, new java.sql.Timestamp(s.start), new java.sql.Timestamp(s.end),
-            s.count, s.sum)
+            key, microsTs(s.start), microsTs(s.end), s.count, s.sum)
           if (state.hasTimedOut) {
             val s = state.get
             state.remove()
             Iterator.single(close(s))
           } else {
-            val sorted = rows.toIndexedSeq.sortBy(_.ts.getTime)
+            val sorted = rows.toIndexedSeq.sortBy(e => tsMicros(e.ts))
             val out = Seq.newBuilder[ClosedSession]
             var cur = state.getOption
             sorted.foreach { e =>
-              val t = e.ts.getTime
+              val t = tsMicros(e.ts)
               cur = cur match {
-                case Some(s) if t <= s.end + gapMs =>
+                case Some(s) if t <= s.end + gapUs =>
                   Some(OpenSession(math.min(s.start, t), math.max(s.end, t),
                     s.count + 1, s.sum + e.value))
                 case Some(s) =>
@@ -126,7 +139,8 @@ object Streams {
             }
             cur.foreach { s =>
               state.update(s)
-              state.setTimeoutTimestamp(s.end + gapMs)
+              // timeout clock is MILLIS (the GroupState contract)
+              state.setTimeoutTimestamp(s.end / 1000L + gapMs)
             }
             out.result().iterator
           }
