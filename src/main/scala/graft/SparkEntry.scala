@@ -1756,6 +1756,63 @@ object SparkEntry {
           octet_length(col("http_body")).cast(LongType).as("size")))
     },
 
+    "q_warc_linkage" -> { (s, dir) =>
+      // WARC capture-event linkage under the hard gate: each nation
+      // row becomes an interleaved request+response pair sharing a
+      // capture event, the POINTER DIRECTION ALTERNATING by key
+      // parity (even keys: the request's WARC-Concurrent-To names the
+      // response — the Common Crawl convention; odd keys: the
+      // response points at the request — ISO 28500 allows either).
+      // Warc.linkRequests must correlate every pair through its
+      // capture-group equi-join regardless of direction; the oracle
+      // recomputes the joined row (response body, request URI key,
+      // request block size, request record id) from the table alone.
+      val adir = s"${System.getProperty("java.io.tmpdir")}/graft-gate-warclink-${ProcessHandle.current().pid()}-${Integer.toHexString(dir.hashCode)}"
+      val rows = t(s, dir, "nation")
+        .select("n_nationkey", "n_name")
+        .filter(col("n_name").isNotNull).collect()
+      require(rows.length <= 1000, "warc linkage gate expects the fixed-size nation table")
+      new java.io.File(adir).mkdirs()
+      val os = new java.io.FileOutputStream(new java.io.File(adir, "crawl.warc"))
+      try rows.sortBy(_.getAs[Number]("n_nationkey").longValue).foreach { r =>
+        val id = r.getAs[Number]("n_nationkey").longValue
+        val name = r.getString(1)
+        def rec(typ: String, rid: String, conc: Option[String],
+            block: Array[Byte]): Array[Byte] = {
+          val head = new StringBuilder
+          head ++= "WARC/1.0\r\n"
+          head ++= s"WARC-Type: $typ\r\n"
+          head ++= s"WARC-Record-ID: <urn:uuid:gate-$rid>\r\n"
+          conc.foreach(c => head ++= s"WARC-Concurrent-To: <urn:uuid:gate-$c>\r\n")
+          head ++= s"WARC-Target-URI: http://gate.test/$id\r\n"
+          head ++= "WARC-Date: 2026-01-01T00:00:00Z\r\n"
+          head ++= s"Content-Length: ${block.length}\r\n\r\n"
+          head.toString.getBytes("ISO-8859-1") ++ block ++
+            "\r\n\r\n".getBytes("ISO-8859-1")
+        }
+        val reqBlock =
+          s"GET /$id HTTP/1.1\r\nHost: gate.test\r\n\r\n".getBytes("ISO-8859-1")
+        val respBlock =
+          "HTTP/1.1 200 OK\r\nContent-Type: text/plain\r\n\r\n"
+            .getBytes("ISO-8859-1") ++ name.getBytes("UTF-8")
+        val even = id % 2 == 0
+        os.write(rec("request", s"req-$id",
+          if (even) Some(s"resp-$id") else None, reqBlock))
+        os.write(rec("response", s"resp-$id",
+          if (even) None else Some(s"req-$id"), respBlock))
+      } finally os.close()
+      sources.Warc.linkRequests(sources.Warc.read(s, adir))
+        .select(
+          element_at(split(col("target_uri"), "/"), -1)
+            .cast(LongType).as("n_nationkey"),
+          decode(col("http_body"), "UTF-8").as("n_name"),
+          element_at(split(col("req_target_uri"), "/"), -1)
+            .cast(LongType).as("req_key"),
+          octet_length(col("req_payload")).cast(LongType).as("req_bytes"),
+          col("req_record_id"))
+        .orderBy("n_nationkey")
+    },
+
     "q_tfrecord_roundtrip" -> { (s, dir) =>
       // the training-shard EXPORT surface under the hard gate: nation
       // through the pure-JDK TFRecord/tf.Example sink (hand-encoded
@@ -3389,6 +3446,17 @@ object SparkEntry {
     "q_warc_roundtrip" ->
       """SELECT cast(n_nationkey AS BIGINT) AS n_nationkey, n_name,
         |  octet_length(encode(n_name)) AS name_bytes
+        |FROM nation WHERE n_name IS NOT NULL
+        |ORDER BY n_nationkey""".stripMargin,
+
+    // request<->response correlation: the oracle rebuilds the joined
+    // row arithmetically — request block "GET /<id> HTTP/1.1\r\n
+    // Host: gate.test\r\n\r\n" is 35 bytes + the key's digits
+    "q_warc_linkage" ->
+      """SELECT cast(n_nationkey AS BIGINT) AS n_nationkey, n_name,
+        |  cast(n_nationkey AS BIGINT) AS req_key,
+        |  35 + length(cast(n_nationkey AS VARCHAR)) AS req_bytes,
+        |  'urn:uuid:gate-req-' || cast(n_nationkey AS VARCHAR) AS req_record_id
         |FROM nation WHERE n_name IS NOT NULL
         |ORDER BY n_nationkey""".stripMargin,
 

@@ -122,7 +122,9 @@ object OggMetaUtil {
           le32(b, body + 7) == 0L) {
           val ch = u8(b, body + 11)
           val r = le32(b, body + 12)
-          if (ch > 0 && r > 0) {
+          // rate is unsigned le32; a value past Int.MaxValue is no
+          // real audio rate and would overflow the int output column
+          if (ch > 0 && r > 0 && r <= Int.MaxValue) {
             codec = UTF8String.fromString("vorbis")
             channels = ch; rate = r; preSkip = 0; haveAudio = true
           }
@@ -162,7 +164,9 @@ object OggMetaUtil {
     InternalRow(
       codec,
       if (haveAudio) channels else null,
-      if (haveAudio) rate.toInt else null,
+      // OpusHead's input rate is informational and may hold any le32;
+      // past Int.MaxValue it can't be represented — NULL, not negative
+      if (haveAudio && rate <= Int.MaxValue) rate.toInt else null,
       if (haveAudio) preSkip else null,
       nPages,
       if (haveGranule) lastGranule else null,

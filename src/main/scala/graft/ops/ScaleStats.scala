@@ -41,13 +41,16 @@ object ScaleStats {
         sum(when(col("n") > maxBucket, col("n") * (col("n") - 1))
           .otherwise(lit(0L)) / 2).cast("long").as("capped_pairs"))
       .head()
+    // an empty banding frame (empty/all-null corpus) makes every
+    // aggregate but count() NULL — report zeroed counters, don't NPE
+    def at(i: Int): Long = if (row.isNullAt(i)) 0L else row.getLong(i)
     Map(
-      "buckets" -> row.getLong(0),
-      "max_bucket" -> row.getLong(1),
-      "pairable_buckets" -> row.getLong(2),
-      "capped_buckets" -> row.getLong(3),
-      "candidate_pairs" -> row.getLong(4),
-      "capped_pairs" -> row.getLong(5))
+      "buckets" -> at(0),
+      "max_bucket" -> at(1),
+      "pairable_buckets" -> at(2),
+      "capped_buckets" -> at(3),
+      "candidate_pairs" -> at(4),
+      "capped_pairs" -> at(5))
   }
 
   /** Stage accounting for [[Dedup.minhashNearDups]] at the given

@@ -57,7 +57,14 @@ private[sources] object StagedCommit {
         // name wins; a losing (speculative/retried) attempt discards
         // its temp — its bytes never reach a reader-visible path
         val committed = new HPath(stagingStr, f"part-$idx%05d$ext")
-        if (!fs.rename(tmp, committed)) {
+        // RawLocalFileSystem.rename delegates to POSIX renameTo, which
+        // OVERWRITES an existing destination — so "rename fails when
+        // committed exists" cannot carry first-committer-wins there.
+        // Probe first (small TOCTOU window; with deterministic
+        // partition output a same-instant double-commit is content-
+        // identical, so the window is benign).
+        if (fs.exists(committed)) fs.delete(tmp, false)
+        else if (!fs.rename(tmp, committed)) {
           if (!fs.exists(committed))
             throw new java.io.IOException(
               s"StagedCommit: cannot commit $tmp -> $committed")

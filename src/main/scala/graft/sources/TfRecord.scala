@@ -335,6 +335,9 @@ object TfRecord {
   private def toCell(
       fv: Option[FeatureValue], dt: DataType, name: String): Any = fv match {
     case None => null
+    // a present-but-empty Feature (no bytes/float/int64 kind set) decodes
+    // to null — treat it as an absent feature, not a kind mismatch
+    case Some(null) => null
     case Some(v) => (dt, v) match {
       case (StringType, BytesValues(bs)) =>
         bs.headOption.map(new String(_, "UTF-8")).orNull

@@ -1,6 +1,7 @@
 package graft.sources
 
 import org.apache.spark.sql.types._
+import org.apache.spark.sql.functions.{coalesce, col}
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 
 import graft.etl.Pipeline
@@ -39,7 +40,23 @@ object Warc {
     StructField("content_length", LongType),
     StructField("payload", BinaryType),
     StructField("http_status", IntegerType),
-    StructField("http_body", BinaryType)))
+    StructField("http_body", BinaryType),
+    // capture-event linkage (ISO 28500 §5.4/5.7): WARC-Record-ID names
+    // this record, WARC-Concurrent-To names a sibling record of the
+    // same capture (a request record points at its response, or vice
+    // versa). Both surfaced with the angle-bracket URI wrapper
+    // stripped so they equi-join directly.
+    StructField("record_id", StringType),
+    StructField("concurrent_to", StringType)))
+
+  /** `<urn:uuid:...>` → `urn:uuid:...` (the WARC header value wraps
+    * the URI in angle brackets). */
+  private def unwrapUri(v: String): String = {
+    val t = v.trim
+    if (t.length >= 2 && t.charAt(0) == '<' && t.charAt(t.length - 1) == '>')
+      t.substring(1, t.length - 1)
+    else t
+  }
 
   private def indexOfCrlf(b: Array[Byte], from: Int): Int = {
     var i = from
@@ -111,25 +128,93 @@ object Warc {
     None // unreachable
   }
 
+  /** Inflate ONE gzip member starting at `off`; returns (offset past
+    * the member's trailer, decompressed bytes). Typed IOException on
+    * a malformed header, torn deflate stream, or CRC/ISIZE mismatch.
+    * Hand-walked (not GZIPInputStream) because the JDK reader treats
+    * a garbage next-member header as clean EOF — silently truncating
+    * a multi-member `.warc.gz` — and never reports how much input it
+    * consumed. */
+  private def inflateMember(
+      raw: Array[Byte], off: Int): (Int, Array[Byte]) = {
+    def fail(msg: String) =
+      throw new java.io.IOException(s"warc: gzip member at byte $off: $msg")
+    if (raw.length - off < 18) fail("truncated header") // 10 hdr + 8 trailer
+    if ((raw(off) & 0xff) != 0x1f || (raw(off + 1) & 0xff) != 0x8b)
+      fail("bad magic")
+    if ((raw(off + 2) & 0xff) != 8) fail(s"unknown method ${raw(off + 2) & 0xff}")
+    val flg = raw(off + 3) & 0xff
+    if ((flg & 0xe0) != 0) fail(s"reserved FLG bits set ($flg)")
+    var cur = off + 10 // past MTIME/XFL/OS
+    if ((flg & 4) != 0) { // FEXTRA
+      if (raw.length - cur < 2) fail("truncated FEXTRA")
+      val xlen = (raw(cur) & 0xff) | ((raw(cur + 1) & 0xff) << 8)
+      cur += 2 + xlen
+      if (cur > raw.length) fail("FEXTRA overruns the file")
+    }
+    var fields = ((flg >> 3) & 1) + ((flg >> 4) & 1) // FNAME, FCOMMENT
+    while (fields > 0) { // each is a NUL-terminated latin-1 string
+      while (cur < raw.length && raw(cur) != 0) cur += 1
+      if (cur >= raw.length) fail("unterminated FNAME/FCOMMENT")
+      cur += 1; fields -= 1
+    }
+    if ((flg & 2) != 0) cur += 2 // FHCRC
+    if (cur >= raw.length) fail("truncated header fields")
+    val inf = new java.util.zip.Inflater(true)
+    val out = new java.io.ByteArrayOutputStream(1 << 16)
+    val crc = new java.util.zip.CRC32
+    val buf = new Array[Byte](1 << 16)
+    try {
+      inf.setInput(raw, cur, raw.length - cur)
+      while (!inf.finished()) {
+        val n =
+          try inf.inflate(buf)
+          catch { case e: java.util.zip.DataFormatException =>
+            fail(s"corrupt deflate stream (${e.getMessage})") }
+        if (n > 0) { out.write(buf, 0, n); crc.update(buf, 0, n) }
+        else if (inf.needsInput() || inf.needsDictionary())
+          fail("truncated deflate stream")
+      }
+      val trailer = cur + inf.getBytesRead.toInt
+      if (raw.length - trailer < 8) fail("truncated trailer")
+      def le32(p: Int): Long =
+        (raw(p) & 0xffL) | ((raw(p + 1) & 0xffL) << 8) |
+          ((raw(p + 2) & 0xffL) << 16) | ((raw(p + 3) & 0xffL) << 24)
+      if (le32(trailer) != crc.getValue) fail("CRC32 mismatch")
+      if (le32(trailer + 4) != (out.size() & 0xffffffffL)) fail("ISIZE mismatch")
+      (trailer + 8, out.toByteArray)
+    } finally inf.end()
+  }
+
+  /** Concatenated-member gunzip under the crawl corruption policy:
+    * strict fails typed on ANY malformed/torn member or trailing
+    * garbage (nothing silently truncates); lenient keeps the
+    * fully-decoded prefix members. */
+  private[sources] def gunzipMembers(
+      raw: Array[Byte], lenient: Boolean): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(raw.length * 3)
+    var off = 0
+    try {
+      while (off < raw.length) {
+        val (next, bytes) = inflateMember(raw, off)
+        out.write(bytes)
+        off = next
+      }
+    } catch {
+      case e: java.io.IOException => if (!lenient) throw e
+    }
+    out.toByteArray
+  }
+
   /** Decode one (possibly multi-member-gzipped) WARC file's records.
     * Strict: typed IOException on a malformed record; lenient: stop
     * there keeping the records already decoded. */
   private[sources] def parseFile(
       path: String, raw: Array[Byte], lenient: Boolean): Seq[Row] = {
     val bytes =
-      if (raw.length >= 2 && (raw(0) & 0xff) == 0x1f && (raw(1) & 0xff) == 0x8b) {
-        // the gzip layer obeys the same corruption policy as the
-        // records: a torn member fails typed, or yields nothing
-        // under lenient (member boundaries are unrecoverable)
-        try {
-          val in = new java.util.zip.GZIPInputStream(
-            new java.io.ByteArrayInputStream(raw), 1 << 16)
-          try in.readAllBytes() finally in.close()
-        } catch {
-          case e: java.io.IOException =>
-            if (lenient) return Seq.empty else throw e
-        }
-      } else raw
+      if (raw.length >= 2 && (raw(0) & 0xff) == 0x1f && (raw(1) & 0xff) == 0x8b)
+        gunzipMembers(raw, lenient)
+      else raw
     val out = Seq.newBuilder[Row]
     var off = 0
     try {
@@ -159,7 +244,9 @@ object Warc {
           len,
           block,
           http.map(h => Int.box(h._1)).orNull,
-          http.map(_._2).orNull)
+          http.map(_._2).orNull,
+          headers.get("warc-record-id").map(unwrapUri).orNull,
+          headers.get("warc-concurrent-to").map(unwrapUri).orNull)
         off = blockStart + len.toInt
       }
     } catch {
@@ -187,4 +274,30 @@ object Warc {
   def source(spark: SparkSession, dir: String,
       lenient: Boolean = false): Pipeline =
     Pipeline.of(s"warc($dir)", read(spark, dir, lenient))
+
+  /** Correlate each `response` record with the request (or other
+    * `linkType`) record of the SAME capture event — the join real
+    * crawl filtering needs ("keep responses whose request had header
+    * X"). ISO 28500 lets EITHER sibling carry `WARC-Concurrent-To`
+    * naming the other, so the join key is the capture group
+    * `coalesce(concurrent_to, record_id)`: whichever record points,
+    * both sides resolve to the pointed-at record's id, and the
+    * linkage becomes ONE equi-join (shuffles on the capture key —
+    * no inequality/cross shape, safe at crawl scale). Left join:
+    * responses without a captured request keep NULL `req_*` columns.
+    * Multiple linked `linkType` records (rare, spec-legal) multiply
+    * the response row, like any join. */
+  def linkRequests(
+      warc: DataFrame, linkType: String = "request"): DataFrame = {
+    val grp = coalesce(col("concurrent_to"), col("record_id"))
+    val resp = warc.filter(col("record_type") === "response")
+      .withColumn("__capture__", grp)
+    val req = warc.filter(col("record_type") === linkType)
+      .select(grp.as("__capture__"),
+        col("record_id").as("req_record_id"),
+        col("target_uri").as("req_target_uri"),
+        col("content_type").as("req_content_type"),
+        col("payload").as("req_payload"))
+    resp.join(req, Seq("__capture__"), "left").drop("__capture__")
+  }
 }

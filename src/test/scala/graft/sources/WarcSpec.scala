@@ -132,6 +132,163 @@ class WarcSpec extends AnyFunSuite {
       new String(kept.head.getAs[Array[Byte]](8), "UTF-8") == "keep")
   }
 
+  test("warc.gz: garbage BETWEEN members fails strict typed, lenient keeps prefix members") {
+    // the JDK's GZIPInputStream treats a garbage next-member header as
+    // clean EOF — the hand-walked member decoder must instead fail
+    // typed (strict) or keep exactly the fully-decoded prefix (lenient)
+    def gz(b: Array[Byte]): Array[Byte] = {
+      val bos = new ByteArrayOutputStream()
+      val g = new java.util.zip.GZIPOutputStream(bos)
+      g.write(b); g.close()
+      bos.toByteArray
+    }
+    val m1 = gz(record("response", Some("http://g.test/1"), httpBlock("200 OK", "one")))
+    val m2 = gz(record("response", Some("http://g.test/2"), httpBlock("200 OK", "two")))
+    val junk = Array.tabulate[Byte](16)(i => (i * 37 + 5).toByte) // not 1f 8b
+    val torn = m1 ++ junk ++ m2
+    val e = intercept[java.io.IOException] { Warc.parseFile("t", torn, lenient = false) }
+    assert(e.getMessage.contains("gzip member"))
+    val kept = Warc.parseFile("t", torn, lenient = true)
+    assert(kept.length == 1 &&
+      new String(kept.head.getAs[Array[Byte]](8), "UTF-8") == "one")
+    // a TRUNCATED second member: same policy
+    val trunc = m1 ++ m2.take(m2.length - 5)
+    intercept[java.io.IOException] { Warc.parseFile("t", trunc, lenient = false) }
+    assert(Warc.parseFile("t", trunc, lenient = true).length == 1)
+    // a bit-flip INSIDE a member's deflate data: CRC or stream breaks
+    val flipped = (m1 ++ m2).clone()
+    flipped(m1.length + 14) = (flipped(m1.length + 14) ^ 0x55).toByte
+    intercept[java.io.IOException] { Warc.parseFile("t", flipped, lenient = false) }
+    assert(Warc.parseFile("t", flipped, lenient = true).length == 1)
+  }
+
+  test("linkRequests correlates request/response pairs in EITHER pointer direction") {
+    val dir = Files.createTempDirectory("graft-warc-link").toString
+    def rec(typ: String, rid: String, conc: Option[String], uri: String,
+        block: Array[Byte]): Array[Byte] = {
+      val head = new StringBuilder
+      head ++= s"WARC/1.0\r\nWARC-Type: $typ\r\n"
+      head ++= s"WARC-Record-ID: <urn:uuid:$rid>\r\n"
+      conc.foreach(c => head ++= s"WARC-Concurrent-To: <urn:uuid:$c>\r\n")
+      head ++= s"WARC-Target-URI: $uri\r\nContent-Length: ${block.length}\r\n\r\n"
+      head.toString.getBytes("ISO-8859-1") ++ block ++ "\r\n\r\n".getBytes("ISO-8859-1")
+    }
+    val bytes =
+      // capture 1: request points at response (Common Crawl direction)
+      rec("request", "r1-req", Some("r1-resp"), "http://l.test/1", "GET1".getBytes) ++
+      rec("response", "r1-resp", None, "http://l.test/1", httpBlock("200 OK", "one")) ++
+      // capture 2: response points at request (the other legal direction)
+      rec("response", "r2-resp", Some("r2-req"), "http://l.test/2", httpBlock("200 OK", "two")) ++
+      rec("request", "r2-req", None, "http://l.test/2", "GET2".getBytes) ++
+      // response with NO captured request: left join keeps it, req_* NULL
+      rec("response", "r3-resp", None, "http://l.test/3", httpBlock("200 OK", "three"))
+    Files.write(Paths.get(dir, "crawl.warc"), bytes)
+    val warc = Warc.read(spark, dir)
+    // record_id / concurrent_to surfaced with brackets stripped
+    val ids = warc.collect().map(r => (r.getString(9), Option(r.getString(10)))).toMap
+    assert(ids.contains("urn:uuid:r1-req") &&
+      ids("urn:uuid:r1-req").contains("urn:uuid:r1-resp"))
+    val linked = Warc.linkRequests(warc).collect()
+      .sortBy(r => r.getString(2))
+    assert(linked.length == 3)
+    assert(new String(linked(0).getAs[Array[Byte]]("http_body"), "UTF-8") == "one")
+    assert(linked(0).getAs[String]("req_record_id") == "urn:uuid:r1-req")
+    assert(new String(linked(0).getAs[Array[Byte]]("req_payload")) == "GET1")
+    assert(linked(1).getAs[String]("req_record_id") == "urn:uuid:r2-req")
+    assert(new String(linked(1).getAs[Array[Byte]]("req_payload")) == "GET2")
+    assert(linked(2).isNullAt(linked(2).fieldIndex("req_record_id")))
+    assert(linked(2).isNullAt(linked(2).fieldIndex("req_payload")))
+  }
+
+  test("property: 300 random multi-record WARCs roundtrip; truncations keep a typed prefix") {
+    // the Ogg/EBML-style generator treatment for WARC: random header
+    // sets, LWS folding, record types incl. WET conversion, random
+    // binary blocks, random gzip member grouping; every generated file
+    // must parse back EXACTLY, and every truncation must fail typed
+    // (strict) or keep a clean record prefix (lenient)
+    val rnd = new scala.util.Random(20260812L)
+    def gz(b: Array[Byte]): Array[Byte] = {
+      val bos = new ByteArrayOutputStream()
+      val g = new java.util.zip.GZIPOutputStream(bos)
+      g.write(b); g.close()
+      bos.toByteArray
+    }
+    (0 until 300).foreach { i =>
+      val nRec = 1 + rnd.nextInt(6)
+      val recs = (0 until nRec).map { j =>
+        val typ = Seq("response", "request", "conversion",
+          "metadata", "warcinfo")(rnd.nextInt(5))
+        val uriParts =
+          if (rnd.nextInt(4) == 0) None
+          else Some((s"http://p$i.test/$j", if (rnd.nextInt(3) == 0)
+            Some("seg" * (1 + rnd.nextInt(3))) else None))
+        val body = new Array[Byte](rnd.nextInt(200)); rnd.nextBytes(body)
+        val block = if (typ == "response" && rnd.nextBoolean())
+          "HTTP/1.1 200 OK\r\nX-A: b\r\n\r\n".getBytes("ISO-8859-1") ++ body
+          else body
+        val head = new StringBuilder
+        head ++= "WARC/1.0\r\n"
+        head ++= s"WARC-Type: $typ\r\n"
+        uriParts.foreach { case (base, fold) =>
+          fold match {
+            case Some(tail) => // LWS-folded URI: continuation line
+              head ++= s"WARC-Target-URI: $base\r\n ${tail}\r\n"
+            case None => head ++= s"WARC-Target-URI: $base\r\n"
+          }
+        }
+        (0 until rnd.nextInt(3)).foreach(k =>
+          head ++= s"X-Custom-$k: v${rnd.nextInt(1000)}\r\n")
+        head ++= s"Content-Length: ${block.length}\r\n\r\n"
+        val expectUri = uriParts.map { case (b, f) =>
+          f.map(t => s"$b $t").getOrElse(b) }
+        val bytes = head.toString.getBytes("ISO-8859-1") ++ block ++
+          (if (rnd.nextInt(8) == 0 && j == nRec - 1) Array.emptyByteArray
+           else "\r\n\r\n".getBytes("ISO-8859-1"))
+        (typ, expectUri, block, bytes)
+      }
+      val plain = recs.flatMap(_._4).toArray
+      // random gzip member grouping: consecutive record runs per member
+      val full =
+        if (rnd.nextBoolean()) plain
+        else {
+          val out = new ByteArrayOutputStream()
+          var k = 0
+          while (k < nRec) {
+            val take = 1 + rnd.nextInt(nRec - k)
+            out.write(gz(recs.slice(k, k + take).flatMap(_._4).toArray))
+            k += take
+          }
+          out.toByteArray
+        }
+      val rows = Warc.parseFile(s"p$i", full, lenient = false)
+      assert(rows.length == nRec, s"case $i: ${rows.length} != $nRec records")
+      rows.zip(recs).foreach { case (row, (typ, uri, block, _)) =>
+        assert(row.getString(1) == typ, s"case $i type")
+        assert(Option(row.getString(2)) == uri, s"case $i uri")
+        assert(java.util.Arrays.equals(row.getAs[Array[Byte]](6), block),
+          s"case $i payload")
+      }
+      // truncation at a random point: strict fails typed or parses a
+      // prefix; lenient always yields a clean record prefix
+      if (full.length > 0) {
+        val trunc = full.take(rnd.nextInt(full.length))
+        try { Warc.parseFile(s"p$i", trunc, lenient = false); () }
+        catch {
+          case _: java.io.IOException => ()
+          case t: Throwable =>
+            fail(s"case $i: uncontrolled ${t.getClass.getName}: ${t.getMessage}")
+        }
+        val kept = Warc.parseFile(s"p$i", trunc, lenient = true)
+        assert(kept.length <= nRec, s"case $i: lenient invented records")
+        kept.zipWithIndex.foreach { case (row, k) =>
+          assert(row.getString(1) == recs(k)._1 &&
+            java.util.Arrays.equals(row.getAs[Array[Byte]](6), recs(k)._3),
+            s"case $i: lenient row $k is not the expected prefix record")
+        }
+      }
+    }
+  }
+
   test("hostile fuzz: mutations and garbage fail typed or parse, never unclean") {
     val seed = record("response", Some("http://d.test/1"),
       httpBlock("200 OK", "x" * 50)) ++
