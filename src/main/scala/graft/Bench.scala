@@ -84,6 +84,11 @@ object Bench {
     try java.nio.file.Files.writeString(java.nio.file.Path.of("BENCH_LOCAL.json"), line + "\n")
     catch { case e: Exception => System.err.println(s"[bench] BENCH_LOCAL.json write failed: $e") }
     println(line)
+    // the driver records only the TAIL of stdout; with 125 queries the
+    // full line's head can fall off the capture (BENCH_r11 recorded
+    // "parsed": null). The LAST line is therefore a compact summary
+    // that always fits and always parses on its own.
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","n":${results.length},"total_cold":${r3(totalCold)},"failed":$failed,"sf":"$sfDir","note":"summary line; full per-query map in the previous line and BENCH_LOCAL.json"}""")
     spark.stop()
   }
 }

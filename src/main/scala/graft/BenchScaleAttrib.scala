@@ -34,10 +34,13 @@ object BenchScaleAttrib {
         shingleN = 5, numHashes = 64, bands = 8, threshold = 0.8,
         maxBucket = 200, charShingles = true)
       println(s"""{"dir":"$dir","family":"minhash","stages":${j(mh)}}""")
-      // q_dedup_semantic parameters
+      // q_dedup_semantic_fixed parameters (the pinned diagnostic)
       val se = ops.ScaleStats.semantic(emb, "vec_id", "embedding",
         threshold = 0.4, nCells = 8, replication = 2)
-      println(s"""{"dir":"$dir","family":"semantic","stages":${j(se)}}""")
+      println(s"""{"dir":"$dir","family":"semantic_fixed","stages":${j(se)}}""")
+      // q_dedup_cluster parameters
+      val cl = ops.ScaleStats.cluster(docs, "doc_id", "text", shingleN = 8)
+      println(s"""{"dir":"$dir","family":"cluster","stages":${j(cl)}}""")
     }
     spark.stop()
   }

@@ -14,20 +14,28 @@ import org.apache.spark.sql.SparkSession
   *
   * Beyond timings, the artifact carries an ATTRIBUTION section
   * ([[graft.ops.ScaleStats]]): per-stage candidate-pair and
-  * bucket/cell-occupancy counts for the two similarity-dedup
-  * flagships, measured at mid/hi/xhi. Attribution from round 11's
-  * first run (the reason q_dedup_semantic_auto exists):
+  * bucket/cell-occupancy counts for the similarity-dedup flagships,
+  * measured at mid/hi/xhi; at xhi additionally the cluster family's
+  * CC round structure and the auto-semantic train-vs-pair timing
+  * split. Attribution from round 11's first run (the reason the
+  * corpus-sized quantizer is now the DEFAULT semantic path):
   *  - semantic at fixed nCells=8: candidate pairs 0.999M → 100.0M for
   *    a 10× corpus — exact quadratic cell fill (Σ n_c² with n_c ∝ n);
-  *    the auto-sized sibling pins occupancy and returns to linear.
+  *    the auto-sized default pins occupancy and returns to linear.
   *  - minhash: every stage linear (pairs 1816 → 19238, screen
   *    survivors 278 → 2659, zero capped buckets) — its slope rise is
   *    fixed overhead amortizing toward slope 1.0, benign.
   *
+  * The headline is SPLIT: `worst_production` covers the shipping
+  * paths; `worst_diagnostic` isolates the deliberately-pinned
+  * fixed-quantizer row (q_dedup_semantic_fixed), whose quadratic
+  * regime is the measured thing the production default avoids — a
+  * dashboard should quote the production number.
+  *
   * Covers the heavy dedup set plus the ANN / pack / exact-dedup
   * families (documents + embeddings only — the tables ScaleCorpus
   * replicates). Output: one JSON line to stdout and
-  * BENCH_SCALE_r11.json in the working directory.
+  * BENCH_SCALE_r12.json in the working directory.
   *
   * Usage: BenchScaleTwoDecades [loDir midDir hiDir xhiDir]  (defaults:
   * /root/testdata/sf0.01, /root/testdata/sf0.1, /tmp/graft-sf1,
@@ -35,20 +43,24 @@ import org.apache.spark.sql.SparkSession
   */
 object BenchScaleTwoDecades {
 
+  /** The deliberately-pinned diagnostic rows, reported under
+    * `worst_diagnostic` and excluded from the production headline. */
+  val diagnosticQueries: Set[String] = Set("q_dedup_semantic_fixed")
+
   val queries: Seq[String] = BenchScale.heavyQueries ++ Seq(
-    "q_dedup_exact", "q_dedup_semantic", "q_dedup_semantic_auto",
+    "q_dedup_exact", "q_dedup_semantic", "q_dedup_semantic_fixed",
     "q_simsearch_ivf", "q_simsearch_lsh", "q_pack")
 
   /** Worst families by mid→hi slope in BENCH_SCALE_r10 (+ the cluster
-    * path and the auto-sized semantic): these also run the xhi point.
-    * q_dedup_semantic (fixed nCells=8) deliberately does NOT run xhi:
-    * at 26 replicas every cell exceeds maxCell and the operator now
-    * FAILS LOUDLY (under-sized-quantizer guard) instead of returning
-    * zero pairs — the attribution section still records its cell
-    * occupancy there via ScaleStats, which measures without running
-    * the guarded pair stage. */
+    * path and the default corpus-sized semantic): these also run the
+    * xhi point. q_dedup_semantic_fixed (nCells=8) deliberately does
+    * NOT run xhi: at 26 replicas every cell exceeds maxCell and the
+    * operator FAILS LOUDLY (under-sized-quantizer guard) instead of
+    * returning zero pairs — the attribution section still records its
+    * cell occupancy there via ScaleStats, which measures without
+    * running the guarded pair stage. */
   val xhiQueries: Seq[String] = Seq(
-    "q_dedup_semantic_auto", "q_dedup_minhash",
+    "q_dedup_semantic", "q_dedup_minhash",
     "q_dedup_cross", "q_dedup_minhash_cluster", "q_dedup_cluster",
     "q_prep_mix")
 
@@ -113,9 +125,25 @@ object BenchScaleTwoDecades {
       val autoCells = math.max(2L, (n * 2 + 511) / 512).toInt
       val seAuto = ops.ScaleStats.semantic(emb, "vec_id", "embedding",
         threshold = 0.4, nCells = autoCells, replication = 2)
+      // the two steeper hi→xhi families get the deeper treatment at
+      // the LAST two points (r11 verdict #6): the cluster family's
+      // per-stage volumes + CC round structure (default path, AND the
+      // distributed path forced so its round shape is on record), and
+      // the auto-semantic train-vs-pair timing split
+      val deep =
+        if (dir == midDir) ""
+        else {
+          val cl = ops.ScaleStats.cluster(docs, "doc_id", "text", shingleN = 8)
+          val clDist = ops.ScaleStats.cluster(docs, "doc_id", "text",
+            shingleN = 8, maxDriverEdges = 0)
+          val ph = ops.ScaleStats.semanticPhases(emb, "vec_id", "embedding",
+            threshold = 0.4, targetCell = 512, replication = 2)
+          s""","cluster":${jmap(cl)},"cluster_distributed":${jmap(clDist)},""" +
+            s""""semantic_auto_phases":${jmap(ph)}"""
+        }
       System.err.println(s"[bench-scale2] attribution $dir done")
       s""""$dir":{"minhash":${jmap(mh)},"semantic_fixed8":${jmap(se)},""" +
-        s""""semantic_auto":${jmap(seAuto + ("n_cells" -> autoCells.toLong))}}"""
+        s""""semantic_auto":${jmap(seAuto + ("n_cells" -> autoCells.toLong))}$deep}"""
     }.mkString("{", ",", "}")
 
     val entries = queries.map { name =>
@@ -128,15 +156,27 @@ object BenchScaleTwoDecades {
         s""""slope_lo_mid":${r3(slope(lo, mid))},"slope_mid_hi":${r3(slope(mid, hi))},""" +
         s""""slope_two_decade":${r3(slope(lo, hi) / 2)},"reliable":$reliable$xhiPart}"""
     }
-    val worst = queries.maxBy(n => slope(times((n, midDir)), times((n, hiDir))))
-    val worstSlope = slope(times((worst, midDir)), times((worst, hiDir)))
-    val line = s"""{"metric":"max_second_decade_slope","value":${r3(worstSlope)},""" +
-      s""""unit":"log10(t_hi/t_mid) per decade of rows","worst_query":"$worst",""" +
+    // SPLIT headline (r11 verdict #2): the number a dashboard quotes
+    // is the worst PRODUCTION slope; the deliberately-pinned
+    // diagnostic row (fixed-quantizer semantic — the quadratic regime
+    // the default avoids) is reported apart so it cannot masquerade
+    // as a shipping-path regression
+    def worstOf(qs: Seq[String]): (String, Double) = {
+      val w = qs.maxBy(n => slope(times((n, midDir)), times((n, hiDir))))
+      (w, slope(times((w, midDir)), times((w, hiDir))))
+    }
+    val (wProd, wProdSlope) = worstOf(queries.filterNot(diagnosticQueries))
+    val (wDiag, wDiagSlope) = worstOf(queries.filter(diagnosticQueries))
+    val line = s"""{"metric":"max_second_decade_slope_production","value":${r3(wProdSlope)},""" +
+      s""""unit":"log10(t_hi/t_mid) per decade of rows","worst_query":"$wProd",""" +
+      s""""worst_production":{"query":"$wProd","slope_mid_hi":${r3(wProdSlope)}},""" +
+      s""""worst_diagnostic":{"query":"$wDiag","slope_mid_hi":${r3(wDiagSlope)},""" +
+      s""""note":"deliberately-pinned fixed-nCells quantizer — the measured-quadratic regime the default (corpus-sized) path avoids"},""" +
       s""""sf_dirs":${dirs.map(d => s""""$d"""").mkString("[", ",", "]")},""" +
       s""""synthetic_hi":true,"xhi_replicas":26,"queries":{${entries.mkString(",")}},""" +
       s""""attribution":$attribution}"""
     try java.nio.file.Files.writeString(
-      java.nio.file.Path.of("BENCH_SCALE_r11.json"), line + "\n")
+      java.nio.file.Path.of("BENCH_SCALE_r12.json"), line + "\n")
     catch { case e: Exception => System.err.println(s"[bench-scale2] write failed: $e") }
     println(line)
     spark.stop()

@@ -1306,12 +1306,13 @@ final class Pipeline private (
 
   /** SemDeDup-style semantic near-dedup over an embedding column
     * ([[graft.ops.Dedup.semDedup]] — kmeans cells bound the pairwise
-    * cosine work). */
+    * cosine work; corpus-sized quantizer, the scale-safe default —
+    * `targetCell` pins expected cell occupancy). */
   def dedupSemantic(
       idCol: String, vecCol: String, threshold: Double = 0.95,
-      nCells: Int = 16, replication: Int = 2): Pipeline =
+      targetCell: Int = 512, replication: Int = 2): Pipeline =
     add(MapStep("dedupSemantic",
-      graft.ops.Dedup.semDedup(_, idCol, vecCol, threshold, nCells, replication)))
+      graft.ops.Dedup.semDedup(_, idCol, vecCol, threshold, targetCell, replication)))
 
   /** Attach the typed media metadata struct for a binary payload
     * column ([[graft.ops.Multimodal.withMediaMeta]]: MIME sniff, size,

@@ -768,8 +768,16 @@ object Dedup {
     * Cells larger than `maxCell` are dropped before pairing — the same
     * cap discipline as [[LshBlocking]]: a cell that big means the
     * quantizer is under-sized for the corpus (raise nCells) and it
-    * would contribute O(maxCell²) pairs of near-zero discrimination. */
-  def semanticNearDups(
+    * would contribute O(maxCell²) pairs of near-zero discrimination.
+    *
+    * EXPERT / DIAGNOSTIC FORM: a fixed cell count is the
+    * measured-quadratic regime (within-cell pair work Σ n_c² grows as
+    * n²/nCells — BENCH_SCALE_r11 attribution: 0.999M → 100M candidate
+    * pairs per 10× corpus at nCells=8). Unless you are pinning the
+    * quantizer deliberately (scale diagnostics, the replication=nCells
+    * exact-equivalence trick), call [[semanticNearDups]], which sizes
+    * the quantizer to the corpus and stays linear. */
+  def semanticNearDupsFixedCells(
       df: DataFrame, idCol: String, vecCol: String,
       threshold: Double = 0.95, nCells: Int = 16, replication: Int = 2,
       maxCell: Int = 10000, seed: Long = 42L): DataFrame = {
@@ -808,7 +816,7 @@ object Dedup {
           s"semanticNearDups: every populated cell exceeds maxCell=$maxCell " +
             s"(${health.getLong(2)} of ${health.getLong(0)} cells capped) — the " +
             s"quantizer is under-sized for this corpus at nCells=$nCells; raise " +
-            "nCells (or use semanticNearDupsAuto, which sizes it to the corpus)")
+            "nCells (or use semanticNearDups, which sizes it to the corpus)")
       val good = indexed.groupBy("__cell__").agg(count(lit(1)).as("__n__"))
         .filter(col("__n__").between(2, maxCell))
         .select("__cell__")
@@ -840,8 +848,10 @@ object Dedup {
     * cells fill toward the quadratic regime. */
   private val maxAutoCells = 20000
 
-  /** [[semanticNearDups]] with the quantizer SIZED TO THE CORPUS —
-    * the 100 TB form. Fixed `nCells` does not scale: within-cell pair
+  /** SemDeDup-style semantic near-duplicate pairs with the quantizer
+    * SIZED TO THE CORPUS — the DEFAULT and the 100 TB form (semantics
+    * and plan shape in [[semanticNearDupsFixedCells]], which this
+    * delegates to). A fixed `nCells` does not scale: within-cell pair
     * work is Σ n_c² ≈ n²·replication²/nCells, so a 10× corpus under
     * unchanged cells pays 100× the cosine evaluations (measured on the
     * sf0.1 → sf1-equivalent corpus: 0.999M → 100.0M candidate pairs at
@@ -856,46 +866,66 @@ object Dedup {
     * IVF one: more, smaller cells split more boundary pairs —
     * `replication` is the countermeasure and is factored into the
     * sizing so raising it does not re-inflate occupancy. */
-  def semanticNearDupsAuto(
+  def semanticNearDups(
       df: DataFrame, idCol: String, vecCol: String,
       threshold: Double = 0.95, targetCell: Int = 512, replication: Int = 2,
       maxCell: Int = 10000, seed: Long = 42L): DataFrame = {
     require(targetCell >= 2,
-      s"semanticNearDupsAuto: targetCell must be >= 2, got $targetCell")
+      s"semanticNearDups: targetCell must be >= 2, got $targetCell")
     val n = df.filter(col(vecCol).isNotNull).count()
     val nCells = math.max(2L,
       (n * math.max(replication, 1) + targetCell - 1) / targetCell)
     require(nCells <= maxAutoCells,
-      s"semanticNearDupsAuto: $n vectors at targetCell=$targetCell need " +
+      s"semanticNearDups: $n vectors at targetCell=$targetCell need " +
         s"$nCells cells — beyond the $maxAutoCells a driver-sample " +
         "quantizer can train; shard the corpus and train per shard")
-    semanticNearDups(df, idCol, vecCol, threshold, nCells.toInt,
+    semanticNearDupsFixedCells(df, idCol, vecCol, threshold, nCells.toInt,
       replication, maxCell, seed)
   }
 
-  /** SemDeDup removal: keep-smallest-id per [[semanticNearDups]] pair
-    * (greedy, same loser rule as [[minhashDedup]]). */
-  def semDedup(
+  /** Alias of [[semanticNearDups]] (the corpus-sized quantizer became
+    * the default in round 12; this name is kept for callers written
+    * against the earlier API). */
+  def semanticNearDupsAuto(
       df: DataFrame, idCol: String, vecCol: String,
-      threshold: Double = 0.95, nCells: Int = 16, replication: Int = 2,
-      seed: Long = 42L): DataFrame = {
-    val losers = semanticNearDups(df, idCol, vecCol, threshold, nCells,
-      replication, seed = seed)
-      .select(col("id2").as(idCol)).distinct()
-    df.join(losers, Seq(idCol), "left_anti")
-  }
+      threshold: Double = 0.95, targetCell: Int = 512, replication: Int = 2,
+      maxCell: Int = 10000, seed: Long = 42L): DataFrame =
+    semanticNearDups(df, idCol, vecCol, threshold, targetCell,
+      replication, maxCell, seed)
 
-  /** [[semDedup]] with the corpus-sized quantizer of
-    * [[semanticNearDupsAuto]] — the 100 TB removal form. */
-  def semDedupAuto(
+  /** SemDeDup removal: keep-smallest-id per [[semanticNearDups]] pair
+    * (greedy, same loser rule as [[minhashDedup]]); corpus-sized
+    * quantizer — the 100 TB removal form and the default. */
+  def semDedup(
       df: DataFrame, idCol: String, vecCol: String,
       threshold: Double = 0.95, targetCell: Int = 512, replication: Int = 2,
       seed: Long = 42L): DataFrame = {
-    val losers = semanticNearDupsAuto(df, idCol, vecCol, threshold,
+    val losers = semanticNearDups(df, idCol, vecCol, threshold,
       targetCell, replication, seed = seed)
       .select(col("id2").as(idCol)).distinct()
     df.join(losers, Seq(idCol), "left_anti")
   }
+
+  /** [[semDedup]] over [[semanticNearDupsFixedCells]] — the expert /
+    * diagnostic removal form (fixed cell count; see the scale warning
+    * there). */
+  def semDedupFixedCells(
+      df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double = 0.95, nCells: Int = 16, replication: Int = 2,
+      seed: Long = 42L): DataFrame = {
+    val losers = semanticNearDupsFixedCells(df, idCol, vecCol, threshold,
+      nCells, replication, seed = seed)
+      .select(col("id2").as(idCol)).distinct()
+    df.join(losers, Seq(idCol), "left_anti")
+  }
+
+  /** Alias of [[semDedup]] (the corpus-sized quantizer became the
+    * default in round 12). */
+  def semDedupAuto(
+      df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double = 0.95, targetCell: Int = 512, replication: Int = 2,
+      seed: Long = 42L): DataFrame =
+    semDedup(df, idCol, vecCol, threshold, targetCell, replication, seed)
 
   /** Greedy embedding near-dup removal, keep-smallest-id (same loser
     * rule as [[minhashDedup]]): drops every row appearing as the larger

@@ -40,9 +40,16 @@ object Graph {
     * answer, exactly). Larger graphs take the star-contraction loop —
     * the price of the driver shortcut is one count we need anyway.
     */
+  /** `roundEdgeCounts` (optional measurement hook, [[ScaleStats]]):
+    * when non-null, each DISTRIBUTED star-contraction round appends its
+    * post-round edge count — iteration count and per-iteration volume
+    * become attributable from one run. Stays empty on the driver
+    * union-find path (no rounds there — that emptiness IS the signal
+    * that the driver shortcut ran). */
   def connectedComponents(
       edges: DataFrame, srcCol: String, dstCol: String,
-      maxIter: Int = 50, maxDriverEdges: Int = 4000000): DataFrame = {
+      maxIter: Int = 50, maxDriverEdges: Int = 4000000,
+      roundEdgeCounts: scala.collection.mutable.Buffer[Long] = null): DataFrame = {
 
     // normalize: distinct undirected edges, self-loops dropped, kept as
     // (larger, smaller) so the first small-star sees every edge
@@ -198,6 +205,7 @@ object Graph {
     while (!converged && it < maxIter) {
       val next = smallStar(largeStar(e)).localCheckpoint(true)
       val nfp = fingerprint(next)
+      if (roundEdgeCounts != null) roundEdgeCounts += nfp._1
       converged = nfp == fp
       fp = nfp
       e = next

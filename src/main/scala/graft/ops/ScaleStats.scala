@@ -92,7 +92,8 @@ object ScaleStats {
     } finally sigs.unpersist(false)
   }
 
-  /** Stage accounting for [[Dedup.semanticNearDups]]: vectors → cell
+  /** Stage accounting for [[Dedup.semanticNearDupsFixedCells]] (the
+    * deliberately-pinned quantizer — the diagnostic regime): vectors → cell
     * assignments → cell occupancy (the within-cell pair population IS
     * this family's cost) → emitted pairs. */
   def semantic(
@@ -114,7 +115,7 @@ object ScaleStats {
       // the operator itself refuses to run (the refusal IS the
       // datapoint): guard trips are recorded, not propagated
       val (emitted, guardTripped) =
-        try (Dedup.semanticNearDups(df, idCol, vecCol, threshold,
+        try (Dedup.semanticNearDupsFixedCells(df, idCol, vecCol, threshold,
           nCells, replication, maxCell, seed).count(), 0L)
         catch { case _: IllegalStateException => (0L, 1L) }
       Map("rows" -> assignments / math.max(replication, 1),
@@ -128,5 +129,86 @@ object ScaleStats {
         "capped_pairs" -> occ("capped_pairs"),
         "emitted_pairs" -> emitted)
     } finally indexed.unpersist(false)
+  }
+
+  /** Phase-timing split for the auto-sized semantic family: quantizer
+    * TRAINING (null-mask count + driver sample + k-means) timed apart
+    * from the FULL operator, so a timing slope is attributable to one
+    * phase — if `train_millis` stays a small, flat fraction of
+    * `full_op_millis`, the pair stage (whose candidate-pair count
+    * [[semantic]] records) carries the growth, not the quantizer.
+    * Times in milliseconds (the one Map whose values are durations —
+    * it answers a WHERE-does-the-time-go question the pure counts
+    * cannot). */
+  def semanticPhases(
+      df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, targetCell: Int = 512, replication: Int = 2,
+      maxCell: Int = 10000, seed: Long = 42L): Map[String, Long] = {
+    val n = df.filter(col(vecCol).isNotNull).count()
+    val nCells = math.max(2L,
+      (n * math.max(replication, 1) + targetCell - 1) / targetCell).toInt
+    val t0 = System.nanoTime()
+    val centroidsOpt = Ivf.trainCentroidsOpt(df, vecCol, nCells,
+      sampleSize = math.max(2000, 5 * nCells), seed = seed)
+    val trainMs = (System.nanoTime() - t0) / 1000000
+    if (centroidsOpt.isEmpty) return Map("rows" -> 0L)
+    val t1 = System.nanoTime()
+    val emitted = Dedup.semanticNearDupsFixedCells(df, idCol, vecCol,
+      threshold, nCells, replication, maxCell, seed).count()
+    val fullMs = (System.nanoTime() - t1) / 1000000
+    // the full op re-trains internally, so pair-stage time ≈
+    // full_op_millis − train_millis (train measured on its own above)
+    Map("rows" -> n, "n_cells" -> nCells.toLong,
+      "train_millis" -> trainMs, "full_op_millis" -> fullMs,
+      "emitted_pairs" -> emitted)
+  }
+
+  /** Stage accounting for the cluster-dedup family
+    * ([[Dedup.sharedShingleEdges]] → [[Graph.connectedComponents]]):
+    * gram explode volume, gram-frequency cap occupancy, edge count,
+    * and the CC loop's SHAPE — per-round edge counts when the
+    * distributed star-contraction path runs (`cc_rounds` = 0 means
+    * the bounded driver union-find shortcut took it — itself the
+    * answer to "is CC iterating more?"). `maxDriverEdges = 0` forces
+    * the distributed path to expose its round structure at corpora
+    * the shortcut would otherwise absorb. */
+  def cluster(
+      df: DataFrame, idCol: String, textCol: String,
+      shingleN: Int = 8, maxDocsPerGram: Int = 1000,
+      maxDriverEdges: Int = 4000000): Map[String, Long] = {
+    val grams = Dedup.spreadByKey(df, idCol, textCol)
+      .select(col("__id__"),
+        explode(graft.functions.exprs.word_ngram_hashes(
+          col("__t__"), shingleN, shortFallback = true)).as("__h__"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val gramRows = grams.count()
+      val freq = grams.groupBy("__h__").agg(count(lit(1)).as("__n__"))
+        .agg(count(lit(1)).as("grams"),
+          sum(when(col("__n__").between(2, maxDocsPerGram), lit(1))
+            .otherwise(lit(0))).as("pairable"),
+          sum(when(col("__n__") > maxDocsPerGram, lit(1))
+            .otherwise(lit(0))).as("capped"),
+          max(col("__n__")).as("max_docs"))
+        .head()
+      def at(i: Int): Long = if (freq.isNullAt(i)) 0L else freq.getLong(i)
+      val edges = Dedup.sharedShingleEdges(df, idCol, textCol,
+        shingleN, maxDocsPerGram)
+      val edgeCount = edges.count()
+      val rounds = scala.collection.mutable.ArrayBuffer.empty[Long]
+      val comp = Graph.connectedComponents(edges, "id1", "id2",
+        maxDriverEdges = maxDriverEdges, roundEdgeCounts = rounds)
+      val ccNodes = comp.count()
+      Map("gram_rows" -> gramRows,
+        "distinct_grams" -> at(0),
+        "pairable_grams" -> at(1),
+        "capped_grams" -> at(2),
+        "max_gram_docs" -> at(3),
+        "edges" -> edgeCount,
+        "cc_nodes" -> ccNodes,
+        "cc_rounds" -> rounds.length.toLong,
+        "cc_max_round_edges" -> (if (rounds.isEmpty) 0L else rounds.max),
+        "cc_final_edges" -> (if (rounds.isEmpty) 0L else rounds.last))
+    } finally grams.unpersist(false)
   }
 }

@@ -291,7 +291,7 @@ class PlanAuditSpec extends AnyFunSuite {
         docs.filter(org.apache.spark.sql.functions.col("doc_id") % 10 === 0),
         "doc_id", "text", shingleN = 5, numHashes = 64, bands = 8,
         threshold = 0.8, charShingles = true).count()
-      graft.ops.Dedup.semanticNearDups(
+      graft.ops.Dedup.semanticNearDupsFixedCells(
         Tables.load(spark, dir, "embeddings"), "vec_id", "embedding",
         threshold = 0.4, nCells = 4, replication = 2).count()
       // listener delivery is async: wait until the captured set has

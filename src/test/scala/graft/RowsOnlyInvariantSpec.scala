@@ -83,8 +83,8 @@ class RowsOnlyInvariantSpec extends AnyFunSuite {
     }
   }
 
-  test("q_dedup_semantic: emitted cosines exact and >= threshold; full replication == exact all-pairs") {
-    val out = SparkEntry.queries("q_dedup_semantic")(spark, dir)
+  test("q_dedup_semantic_fixed: emitted cosines exact and >= threshold; full replication == exact all-pairs") {
+    val out = SparkEntry.queries("q_dedup_semantic_fixed")(spark, dir)
     val rows = out
       .join(emb.select(col("vec_id").as("id1"), col("v").as("v1")), Seq("id1"))
       .join(emb.select(col("vec_id").as("id2"), col("v").as("v2")), Seq("id2"))
@@ -100,7 +100,7 @@ class RowsOnlyInvariantSpec extends AnyFunSuite {
     }
     // replication = nCells multi-assigns every vector to every cell, so
     // the cell bound prunes nothing: must equal the exact all-pairs set
-    val full = ops.Dedup.semanticNearDups(
+    val full = ops.Dedup.semanticNearDupsFixedCells(
       Tables.load(spark, dir, "embeddings"), "vec_id", "embedding",
       threshold = 0.4, nCells = 4, replication = 4)
       .select("id1", "id2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
@@ -111,8 +111,8 @@ class RowsOnlyInvariantSpec extends AnyFunSuite {
       s"missing ${exact -- full}, extra ${full -- exact}")
   }
 
-  test("q_dedup_semantic_auto: emitted cosines exact and >= threshold; sizing math pins occupancy") {
-    val out = SparkEntry.queries("q_dedup_semantic_auto")(spark, dir)
+  test("q_dedup_semantic (default corpus-sized path): emitted cosines exact and >= threshold; sizing math pins occupancy") {
+    val out = SparkEntry.queries("q_dedup_semantic")(spark, dir)
     val rows = out
       .join(emb.select(col("vec_id").as("id1"), col("v").as("v1")), Seq("id1"))
       .join(emb.select(col("vec_id").as("id2"), col("v").as("v2")), Seq("id2"))
@@ -132,7 +132,7 @@ class RowsOnlyInvariantSpec extends AnyFunSuite {
     val n = Tables.load(spark, dir, "embeddings")
       .filter(col("embedding").isNotNull).count()
     val nCells = math.max(2L, (n * 2 + 511) / 512).toInt
-    val byHand = ops.Dedup.semanticNearDups(
+    val byHand = ops.Dedup.semanticNearDupsFixedCells(
       Tables.load(spark, dir, "embeddings"), "vec_id", "embedding",
       threshold = 0.4, nCells = nCells, replication = 2)
       .select("id1", "id2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet

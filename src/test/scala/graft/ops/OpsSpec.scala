@@ -363,7 +363,7 @@ class OpsSpec extends AnyFunSuite {
     val noise = (4L until 40L).map(i => (i, Seq.fill(16)(rnd.nextGaussian().toFloat)))
     val vecs = ((0L, base) +: (1L, near) +: (2L, base2) +: (3L, base2) +: noise)
       .toDF("vec_id", "embedding")
-    val pairs = Dedup.semanticNearDups(vecs, "vec_id", "embedding",
+    val pairs = Dedup.semanticNearDupsFixedCells(vecs, "vec_id", "embedding",
       threshold = 0.9, nCells = 4, replication = 2)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
     // identical vectors always share their nearest cell; the perturbed
@@ -372,13 +372,14 @@ class OpsSpec extends AnyFunSuite {
     assert(pairs.exists { case (a, b, c) => a == 2L && b == 3L && c >= 0.999 })
     // replication met pairs in up to 2 shared cells — each emitted once
     assert(pairs.map(p => (p._1, p._2)).distinct.length == pairs.length)
-    val kept = Dedup.semDedup(vecs, "vec_id", "embedding",
+    val kept = Dedup.semDedupFixedCells(vecs, "vec_id", "embedding",
       threshold = 0.9, nCells = 4, replication = 2)
       .select("vec_id").collect().map(_.getLong(0)).toSet
     assert(kept.contains(0L) && !kept.contains(1L))
     assert(kept.contains(2L) && !kept.contains(3L))
-    // the auto-sized form (40 vecs * 2 / 20 -> 4 cells: the same
-    // quantizer regime) drops the same planted losers
+    // the DEFAULT (corpus-sized, 40 vecs * 2 / 20 -> 4 cells: the
+    // same quantizer regime) drops the same planted losers; the
+    // semDedupAuto alias must keep working
     val keptAuto = Dedup.semDedupAuto(vecs, "vec_id", "embedding",
       threshold = 0.9, targetCell = 20, replication = 2)
       .select("vec_id").collect().map(_.getLong(0)).toSet
@@ -392,7 +393,7 @@ class OpsSpec extends AnyFunSuite {
     // the under-sized-quantizer guard: every cell over the cap must
     // fail loudly, not silently return zero pairs
     val boom = intercept[IllegalStateException] {
-      Dedup.semanticNearDups(vecs, "vec_id", "embedding",
+      Dedup.semanticNearDupsFixedCells(vecs, "vec_id", "embedding",
         threshold = 0.9, nCells = 2, replication = 1, maxCell = 3)
     }
     assert(boom.getMessage.contains("under-sized"))
