@@ -147,15 +147,27 @@ object ScaleStats {
     val n = df.filter(col(vecCol).isNotNull).count()
     val nCells = math.max(2L,
       (n * math.max(replication, 1) + targetCell - 1) / targetCell).toInt
-    val t0 = System.nanoTime()
-    val centroidsOpt = Ivf.trainCentroidsOpt(df, vecCol, nCells,
-      sampleSize = math.max(2000, 5 * nCells), seed = seed)
-    val trainMs = (System.nanoTime() - t0) / 1000000
+    // min of two runs per phase (the Bench steady-state discipline):
+    // the first execution of a phase's plan shapes pays one-time
+    // codegen/scan costs that would be misread as quantizer cost —
+    // measured 3460ms cold vs ~600ms warm at the 26-replica point
+    def steadyMs(f: => Unit): Long = {
+      def once(): Long = {
+        val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1000000
+      }
+      once(); math.min(once(), once())
+    }
+    var centroidsOpt: Option[Seq[Seq[Double]]] = None
+    val trainMs = steadyMs {
+      centroidsOpt = Ivf.trainCentroidsOpt(df, vecCol, nCells,
+        sampleSize = math.max(2000, 5 * nCells), seed = seed)
+    }
     if (centroidsOpt.isEmpty) return Map("rows" -> 0L)
-    val t1 = System.nanoTime()
-    val emitted = Dedup.semanticNearDupsFixedCells(df, idCol, vecCol,
-      threshold, nCells, replication, maxCell, seed).count()
-    val fullMs = (System.nanoTime() - t1) / 1000000
+    var emitted = 0L
+    val fullMs = steadyMs {
+      emitted = Dedup.semanticNearDupsFixedCells(df, idCol, vecCol,
+        threshold, nCells, replication, maxCell, seed).count()
+    }
     // the full op re-trains internally, so pair-stage time ≈
     // full_op_millis − train_millis (train measured on its own above)
     Map("rows" -> n, "n_cells" -> nCells.toLong,

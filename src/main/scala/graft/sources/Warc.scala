@@ -192,7 +192,10 @@ object Warc {
     * fully-decoded prefix members. */
   private[sources] def gunzipMembers(
       raw: Array[Byte], lenient: Boolean): Array[Byte] = {
-    val out = new java.io.ByteArrayOutputStream(raw.length * 3)
+    // grows on demand — a fixed raw.length-proportional capacity would
+    // overflow Int on GB-scale members and triple peak memory
+    val out = new java.io.ByteArrayOutputStream(
+      math.min(raw.length.toLong, 1L << 20).toInt)
     var off = 0
     try {
       while (off < raw.length) {

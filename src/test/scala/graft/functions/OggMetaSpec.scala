@@ -127,6 +127,27 @@ class OggMetaSpec extends AnyFunSuite {
     }
   }
 
+  test("unsigned rate past Int.MaxValue: vorbis rejected, opus NULLs sample_rate") {
+    // rate is an unsigned le32 — a hostile 0xFFFFFFFF must not appear
+    // as a NEGATIVE sample_rate (nor mint a bogus vorbis duration)
+    val v = OggMetaUtil.parse(
+      page(2, 0, 7, 0, Seq(vorbisId(2, 0xFFFFFFFFL))) ++
+        page(4, 48000, 7, 1, Seq(new Array[Byte](3))))
+    assert(v != null)
+    // no real audio id → unknown codec, audio fields null, pages counted
+    assert(v.isNullAt(1) && v.isNullAt(2) && v.isNullAt(6))
+    assert(v.getInt(4) == 2)
+    // opus: the id header's input rate is informational — audio stands,
+    // sample_rate NULL, duration still on the fixed 48 kHz clock
+    val o = OggMetaUtil.parse(
+      page(2, 0, 7, 0, Seq(opusId(2, 312, 0xFFFFFFFFL))) ++
+        page(4, 48312, 7, 1, Seq(new Array[Byte](3))))
+    assert(o != null)
+    assert(o.getUTF8String(0).toString == "opus")
+    assert(o.getInt(1) == 2 && o.isNullAt(2))
+    assert(o.getDouble(6) == (48312 - 312).toDouble / 48000.0)
+  }
+
   test("hostile inputs: null / short / non-ogg / bit-flips never throw") {
     assert(OggMetaUtil.parse(null) == null)
     assert(OggMetaUtil.parse(Array.emptyByteArray) == null)

@@ -121,6 +121,27 @@ class TfRecordSpec extends AnyFunSuite {
     assert(kept.length == 19, s"lenient must keep the 19 clean records, got ${kept.length}")
   }
 
+  test("present-but-empty Feature (no kind set) reads as NULL, not a kind-mismatch NPE") {
+    // a hostile/foreign shard can hold `feature { key: "a" value {} }`
+    // — a Feature message with NO bytes/float/int64 kind. Our writer
+    // never emits this, so hand-assemble the wire bytes: Example >
+    // features(field 1) > map entry { key(field 1) = "a",
+    // value(field 2) = empty Feature }
+    val entry = Array[Byte](0x0a, 0x01, 'a', 0x12, 0x00) // key "a", empty value
+    val features = Array[Byte](0x0a, entry.length.toByte) ++ entry
+    val example = Array[Byte](0x0a, features.length.toByte) ++ features
+    val dir = tmp("emptyfeat")
+    Files.write(Paths.get(dir, "part-00000.tfrecord"), TfRecord.frame(example))
+    val out = TfRecord.read(spark, dir,
+      StructType(Seq(StructField("a", StringType)))).collect()
+    assert(out.length == 1 && out.head.isNullAt(0),
+      s"empty-kind feature must read as NULL, got ${out.toSeq}")
+    // same under an array-typed ask
+    val outArr = TfRecord.read(spark, dir,
+      StructType(Seq(StructField("a", ArrayType(LongType))))).collect()
+    assert(outArr.length == 1 && outArr.head.isNullAt(0))
+  }
+
   test("loud rejects: unsupported column type; kind mismatch on read") {
     import spark.implicits._
     val bad = Seq((1L, java.sql.Timestamp.valueOf("2026-01-01 00:00:00")))
