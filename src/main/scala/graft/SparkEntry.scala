@@ -896,6 +896,47 @@ object SparkEntry {
         .orderBy("query_id", "neighbor_id")
     },
 
+    "q_simsearch_quant" -> { (s, dir) =>
+      // int8-quantized brute-force ANN fully under the oracle: fit the
+      // corpus-wide symmetric scale (max|x|/127 — one aggregate),
+      // encode embeddings to array<tinyint> (4x less scan bandwidth
+      // than float32: the 100 TB memory story), then score the codes
+      // DIRECTLY against full-precision queries (cosine is
+      // scale-invariant, so cosine_sim_i8 never dequantizes). Every
+      // step is portable IEEE arithmetic — max/abs, divide,
+      // floor-half-up, clamp — so DuckDB independently recomputes
+      // fit + encode + score + rank, not just "rows look right".
+      val emb = t(s, dir, "embeddings")
+      ops.Quantize.fitScaleI8(emb, "embedding") match {
+        case None => // degenerate corpus (empty / all-null): typed empty result
+          emb.select(col("vec_id").as("query_id"), col("vec_id").as("neighbor_id"),
+            lit(0.0).as("cosine"), lit(0).as("rank")).where(lit(false))
+        case Some(scale) =>
+          val codes = ops.Quantize.quantizeI8(emb, "vec_id", "embedding", scale)
+          ops.Quantize.topKI8(codes, emb.filter(col("vec_id") < 5),
+            "vec_id", "qvec", "embedding", k = 5)
+            .orderBy("query_id", "rank")
+      }
+    },
+
+    "q_project_rp" -> { (s, dir) =>
+      // Johnson-Lindenstrauss sign projection 64 -> 16 dims: the
+      // +-1 plane matrix is derived from md5("rp:j:i") — portable to
+      // ANY engine — so the oracle regenerates the exact matrix and
+      // all 16 sequential dot products in SQL. One codegen'd
+      // plane_project pass per row, no shuffle, no stored model.
+      // exploded to scalar rows for the hash (list columns disagree
+      // cross-engine on arrow child-field naming); the generator
+      // re-evaluating plane_project per output row is irrelevant at
+      // gate scale — production consumers keep the array column
+      val emb = t(s, dir, "embeddings")
+      ops.VectorOps.randomProject(
+        emb.filter(col("vec_id") < 300), "vec_id", "embedding",
+        outDim = 16, tag = "rp")
+        .select(col("vec_id"), posexplode(col("proj")).as(Seq("dim", "y")))
+        .orderBy("vec_id", "dim")
+    },
+
     "q_simsearch_ivf" -> { (s, dir) =>
       // IVF coarse-quantized ANN: kmeans cells + nProbe probing; no SQL
       // oracle (kmeans training), driver records rows-only
@@ -2260,6 +2301,51 @@ object SparkEntry {
         .orderBy("doc_id")
     },
 
+    "q_dedup_catalog_update" -> { (s, dir) =>
+      // the catalog WRITE half of the incremental-crawl loop under the
+      // oracle: batch 1 (doc_id % 3 == 0) ships and seeds the
+      // fingerprint catalog; batch 2 dedups against it
+      // (exactCrossDedupByFingerprint) and only its SURVIVORS'
+      // fingerprints merge back in (updateFingerprintCatalog). Output
+      // is the merged catalog itself — DuckDB recomputes fingerprints,
+      // survivors, and the distinct union independently, so a drift in
+      // EITHER half of the loop breaks the hash.
+      val docs = t(s, dir, "documents")
+      val batch1 = docs.filter(col("doc_id") % 3 === 0)
+      val batch2 = docs.filter(col("doc_id") % 3 =!= 0)
+      val cat1 = ops.Dedup.fingerprints(batch1, "text")
+      val kept2 = ops.Dedup.exactCrossDedupByFingerprint(
+        batch2, cat1, "fingerprint", "doc_id", "text")
+      ops.Dedup.updateFingerprintCatalog(cat1, "fingerprint", kept2, "text")
+        .orderBy("fingerprint")
+    },
+
+    "q_fix_mojibake" -> { (s, dir) =>
+      // ftfy-style mojibake repair under the oracle, four arms rotated
+      // by doc_id % 4: (0) UTF-8-read-as-cp1252 artifacts repaired,
+      // (1) DOUBLE mojibake repaired in two passes, (2) legitimate
+      // accented text untouched (a bare é is an unterminated UTF-8
+      // lead byte — the reinterpretation test fails), (3) pure ASCII
+      // untouched on the zero-allocation fast path. The mangled
+      // fixtures are computed at plan build by the real cp1252
+      // decoder; the oracle just states the expected CLEAN strings —
+      // if repair drifts on any arm, the hash breaks. The per-doc
+      // ASCII suffix keeps every row distinct under the hash.
+      val cp1252 = java.nio.charset.Charset.forName("windows-1252")
+      def mangle(clean: String) =
+        new String(clean.getBytes(java.nio.charset.StandardCharsets.UTF_8), cp1252)
+      val clean0 = "Beyoncé sang “Halo” — it’s naïve"
+      val clean2 = "café déjà vu"
+      val arms = Seq(mangle(clean0), mangle(mangle(clean0)), clean2, "plain ascii text")
+      t(s, dir, "documents").filter(col("doc_id") < 400)
+        .select(col("doc_id"),
+          ops.TextOps.fixMojibake(
+            concat(
+              element_at(typedLit(arms), (pmod(col("doc_id"), lit(4)) + 1).cast("int")),
+              lit(" #"), col("doc_id").cast("string"))).as("fixed"))
+        .orderBy("doc_id")
+    },
+
     "q_sample_budget" -> { (s, dir) =>
       // token-BUDGET mixture ("take N tokens per source" — how
       // training mixtures are actually specified): per-lang char
@@ -3009,6 +3095,44 @@ object SparkEntry {
         |    (sqrt(list_sum(list_transform(range(1, len(q.e) + 1), i -> q.e[i] * q.e[i]))) *
         |     sqrt(list_sum(list_transform(range(1, len(c.e) + 1), i -> c.e[i] * c.e[i])))) > 0.3
         |ORDER BY query_id, neighbor_id""".stripMargin,
+
+    // the full int8 pipeline recomputed: corpus scale (max|x|/127),
+    // floor-half-up clamp encode, ADC cosine over the integer codes,
+    // rank — the quantizer is DEFINED as floor(x/s + 0.5) because both
+    // engines' round() disagree on negative halves while floor and
+    // IEEE division are bit-identical everywhere
+    "q_simsearch_quant" ->
+      """WITH v AS (SELECT vec_id,
+        |    list_transform(embedding, x -> cast(x AS DOUBLE)) AS e FROM embeddings),
+        |sc AS (SELECT max(list_max(list_transform(e, x -> abs(x)))) / 127.0 AS s FROM v),
+        |c8 AS (SELECT vec_id,
+        |    list_transform(e, x -> greatest(-127.0, least(127.0, floor(x / s + 0.5)))) AS c
+        |  FROM v, sc),
+        |sp AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    list_sum(list_transform(range(1, len(q.e) + 1), i -> q.e[i] * c.c[i])) /
+        |    (sqrt(list_sum(list_transform(range(1, len(q.e) + 1), i -> q.e[i] * q.e[i]))) *
+        |     sqrt(list_sum(list_transform(range(1, len(c.c) + 1), i -> c.c[i] * c.c[i])))) AS cosine
+        |  FROM v q, c8 c WHERE q.vec_id < 5 AND c.vec_id <> q.vec_id)
+        |SELECT query_id, neighbor_id, cosine, rank FROM (
+        |  SELECT *, cast(row_number() OVER (
+        |    PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS INTEGER) AS rank
+        |  FROM sp WHERE cosine IS NOT NULL) WHERE rank <= 5
+        |ORDER BY query_id, rank""".stripMargin,
+
+    // the md5-sign plane matrix regenerated in SQL: sign(j,i) = +1 iff
+    // the first hex digit of md5('rp:j:i') is 0-7; 16 sequential dots
+    // per row scaled by 1/sqrt(16) = 0.25 (exact in IEEE)
+    "q_project_rp" ->
+      """WITH v AS (SELECT vec_id,
+        |    list_transform(embedding, x -> cast(x AS DOUBLE)) AS e
+        |  FROM embeddings WHERE vec_id < 300)
+        |SELECT vec_id, cast(j AS INT) AS dim,
+        |  0.25 * list_sum(list_transform(range(1, len(e) + 1), i ->
+        |    e[i] * (CASE WHEN substr(md5('rp:' || cast(j AS VARCHAR) || ':' ||
+        |                              cast(i - 1 AS VARCHAR)), 1, 1)
+        |                 BETWEEN '0' AND '7' THEN 1.0 ELSE -1.0 END))) AS y
+        |FROM v, range(0, 16) t(j)
+        |ORDER BY vec_id, dim""".stripMargin,
 
     // streaming tumbling-window parity: epoch-aligned hour buckets ==
     // date_trunc('hour'); the sentinel window is filtered on the Spark
@@ -4030,6 +4154,35 @@ object SparkEntry {
         |WHERE c.f IS NULL OR c.f NOT IN (
         |    SELECT f FROM fp WHERE doc_id % 9 = 0 AND f IS NOT NULL)
         |ORDER BY c.doc_id""".stripMargin,
+
+    // both halves of the incremental loop recomputed: batch-1 catalog,
+    // batch-2 survivors (null-fingerprint docs always survive but
+    // contribute nothing to the catalog), distinct union
+    "q_dedup_catalog_update" ->
+      """WITH fp AS (
+        |  SELECT doc_id,
+        |    md5(regexp_replace(lower(trim(text)), '[ \t\n\x0b\f\r]+', ' ', 'g')) AS f
+        |  FROM documents),
+        |cat1 AS (SELECT DISTINCT f FROM fp WHERE doc_id % 3 = 0 AND f IS NOT NULL),
+        |kept2 AS (SELECT f FROM fp WHERE doc_id % 3 <> 0
+        |            AND (f IS NULL OR f NOT IN (SELECT f FROM cat1)))
+        |SELECT f AS fingerprint FROM (
+        |  SELECT f FROM cat1 UNION SELECT f FROM kept2 WHERE f IS NOT NULL)
+        |ORDER BY fingerprint""".stripMargin,
+
+    // the oracle states only the expected CLEAN strings — the mangled
+    // inputs exist solely on the Spark side (built by the real cp1252
+    // decoder at plan build), so any repair drift breaks the hash.
+    // The arm-0/arm-1 apostrophe is U+2019, not ASCII ' — no escaping
+    "q_fix_mojibake" ->
+      """SELECT doc_id,
+        |  (CASE doc_id % 4
+        |     WHEN 0 THEN 'Beyoncé sang “Halo” — it’s naïve'
+        |     WHEN 1 THEN 'Beyoncé sang “Halo” — it’s naïve'
+        |     WHEN 2 THEN 'café déjà vu'
+        |     ELSE 'plain ascii text' END) || ' #' || cast(doc_id AS VARCHAR) AS fixed
+        |FROM documents WHERE doc_id < 400
+        |ORDER BY doc_id""".stripMargin,
 
     "q_dedup_cross_exact" ->
       """WITH n AS (

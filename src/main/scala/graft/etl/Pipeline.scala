@@ -1153,6 +1153,15 @@ final class Pipeline private (
     add(MapStep("repetitionRatio",
       _.withColumn(as, graft.ops.TextOps.repetitionRatio(col(textCol), n))))
 
+  /** Repair UTF-8-as-windows-1252 mojibake in place
+    * ([[graft.ops.TextOps.fixMojibake]] — ftfy-style reinterpretation
+    * test; clean text passes through unchanged). Run before
+    * [[dedupExact]]/fingerprinting: "café" and its mangled
+    * twin must collapse to one document. */
+  def fixMojibake(textCol: String): Pipeline =
+    add(MapStep("fixMojibake",
+      _.withColumn(textCol, graft.ops.TextOps.fixMojibake(col(textCol)))))
+
   /** TRANSITIVE near-dedup: shared-`shingleN`-gram edges → connected
     * components → keep the smallest `idCol` per duplicate cluster
     * ([[graft.ops.Dedup.sharedShingleEdges]] + [[graft.ops.Dedup.clusterDedup]]). */

@@ -50,6 +50,36 @@ object GraftFunctions {
       "mkv_meta(binary) expects exactly 1 argument")
   }
 
+  private def buildFixMojibake(args: Seq[Expression]): Expression = args match {
+    case Seq(child) => FixMojibake(child)
+    case _ => throw new IllegalArgumentException(
+      "fix_mojibake(string) expects exactly 1 argument")
+  }
+
+  private def buildVecMaxAbs(args: Seq[Expression]): Expression = args match {
+    case Seq(child) => VecMaxAbs(child)
+    case _ => throw new IllegalArgumentException(
+      "vec_max_abs(array<double>) expects exactly 1 argument")
+  }
+
+  private def buildQuantizeI8(args: Seq[Expression]): Expression = args match {
+    case Seq(v, s) => QuantizeI8(v, s)
+    case _ => throw new IllegalArgumentException(
+      "quantize_i8(array<double>, scale double) expects exactly 2 arguments")
+  }
+
+  private def buildCosineSimI8(args: Seq[Expression]): Expression = args match {
+    case Seq(q, c) => CosineSimI8(q, c)
+    case _ => throw new IllegalArgumentException(
+      "cosine_sim_i8(array<double>, array<tinyint>) expects exactly 2 arguments")
+  }
+
+  private def buildPlaneProject(args: Seq[Expression]): Expression = args match {
+    case Seq(v, p, f) => PlaneProject(v, p, f)
+    case _ => throw new IllegalArgumentException(
+      "plane_project(array<double>, array<array<double>>, factor double) expects exactly 3 arguments")
+  }
+
   private def buildZOrder(args: Seq[Expression]): Expression = args match {
     case Literal(bits: Int, _) +: dims if dims.size >= 2 => ZOrderKey(dims, bits)
     case _ => throw new IllegalArgumentException(
@@ -75,7 +105,17 @@ object GraftFunctions {
     ("mkv_meta", new ExpressionInfo(classOf[MkvMeta].getName, "mkv_meta"),
       buildMkvMeta _),
     ("zorder_key", new ExpressionInfo(classOf[ZOrderKey].getName, "zorder_key"),
-      buildZOrder _))
+      buildZOrder _),
+    ("fix_mojibake", new ExpressionInfo(classOf[FixMojibake].getName, "fix_mojibake"),
+      buildFixMojibake _),
+    ("vec_max_abs", new ExpressionInfo(classOf[VecMaxAbs].getName, "vec_max_abs"),
+      buildVecMaxAbs _),
+    ("quantize_i8", new ExpressionInfo(classOf[QuantizeI8].getName, "quantize_i8"),
+      buildQuantizeI8 _),
+    ("cosine_sim_i8", new ExpressionInfo(classOf[CosineSimI8].getName, "cosine_sim_i8"),
+      buildCosineSimI8 _),
+    ("plane_project", new ExpressionInfo(classOf[PlaneProject].getName, "plane_project"),
+      buildPlaneProject _))
 
   /** Register on a live session (tests, notebooks). */
   def registerAll(spark: SparkSession): Unit =

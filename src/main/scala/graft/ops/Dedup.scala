@@ -136,6 +136,29 @@ object Dedup {
     df.select(TextOps.fingerprint(col(textCol)).as("fingerprint"))
       .filter(col("fingerprint").isNotNull).distinct()
 
+  /** The catalog WRITE half of the incremental-crawl loop: the merged
+    * catalog after shipping `shipped` — existing entries plus the
+    * shipped batch's fingerprints, distinct. Run it on the survivors of
+    * [[exactCrossDedupByFingerprint]] each batch and the catalog stays
+    * the exact fingerprint set of everything ever shipped, without the
+    * shipped text ever being re-read (and union+distinct is one
+    * hash aggregation on the ~32 B/doc projection — no wide shuffle).
+    * Same column-type guard as the read half: a binary catalog column
+    * would silently match nothing forever. */
+  def updateFingerprintCatalog(
+      catalog: DataFrame, catalogFpCol: String,
+      shipped: DataFrame, textCol: String): DataFrame = {
+    require(catalog.schema(catalogFpCol).dataType ==
+      org.apache.spark.sql.types.StringType,
+      s"updateFingerprintCatalog: catalog column $catalogFpCol is " +
+        s"${catalog.schema(catalogFpCol).dataType.simpleString}, expected " +
+        "string (the md5 hex form fingerprints() writes)")
+    catalog.select(col(catalogFpCol).as("fingerprint"))
+      .filter(col("fingerprint").isNotNull)
+      .union(fingerprints(shipped, textCol))
+      .distinct()
+  }
+
   /** MinHash signature column (array<long> of `numHashes` minima over
     * shingle hashes). Seeded by hash index — deterministic everywhere.
     *

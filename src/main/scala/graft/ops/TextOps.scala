@@ -403,6 +403,17 @@ object TextOps {
     trim(regexp_replace(stripped, " +", " "))
   }
 
+  /** Mojibake repair ([[graft.functions.FixMojibake]] — ftfy-style):
+    * UTF-8 text that was mis-decoded as windows-1252/latin-1 upstream
+    * ("cafÃ©", â€™-class artifacts) is detected by the
+    * reinterpretation test and restored; clean text — including
+    * legitimate accented text — passes through unchanged, ASCII on a
+    * zero-allocation fast path. Chain BEFORE [[cleanText]]: repair
+    * wants the artifacts intact, and cleanText strips the C1 controls
+    * some artifact bytes decode to. */
+  def fixMojibake(c: Column): Column =
+    graft.functions.mojibakeExprs.fix_mojibake(c)
+
   /** Engine-portable PII patterns: deliberately plain regex (no
     * lookaround, no backrefs) so the same pattern string runs
     * identically on Java regex and RE2-family engines — redaction must

@@ -89,6 +89,50 @@ object VectorOps {
       .select("query_id", "neighbor_id", "cosine")
   }
 
+  /** Engine-portable +-1 sign: +1 iff the first hex digit of
+    * md5("tag:j:i") is 0-7 (the hash's high bit). md5 exists in every
+    * engine, so an oracle can regenerate the exact projection matrix
+    * from the tag alone — no seeded PRNG to replicate. */
+  private[ops] def md5Sign(tag: String, j: Int, i: Int): Double = {
+    val h = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$tag:$j:$i".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    if (((h(0) >> 4) & 0xF) < 8) 1.0 else -1.0
+  }
+
+  /** Johnson-Lindenstrauss random projection with +-1 sign planes
+    * (Achlioptas 2001: database-friendly random projections — sign
+    * matrices preserve pairwise distances like Gaussians do):
+    * out_j = (1/sqrt(outDim)) * sum_i sign(j,i) * v_i.
+    *
+    * The scale story: projecting 64-dim embeddings to 16 dims cuts
+    * every downstream vector scan — SemDeDup cells, LSH signatures,
+    * brute-force verify — to a quarter of the bandwidth while
+    * approximately preserving cosine geometry. The sign matrix is
+    * derived from md5("tag:j:i"), so the projection is reproducible
+    * ANYWHERE (the q_project_rp oracle recomputes it in SQL), and the
+    * kernel is one codegen'd pass per row ([[graft.functions.PlaneProject]]),
+    * no shuffle, no stored model.
+    *
+    * Output: (idCol, `proj` array<double> of length outDim); null
+    * vectors project to null. */
+  def randomProject(
+      df: DataFrame, idCol: String, vecCol: String,
+      outDim: Int, tag: String = "rp"): DataFrame = {
+    require(outDim > 0, s"randomProject: outDim must be positive, got $outDim")
+    val dimRow = df.select(size(col(vecCol)).as("__d__"))
+      .filter(col("__d__").isNotNull).head(1)
+    if (dimRow.isEmpty)
+      return df.select(col(idCol), lit(null).cast("array<double>").as("proj"))
+        .where(lit(false))
+    val dim = dimRow(0).getInt(0)
+    val planes: Seq[Seq[Double]] =
+      (0 until outDim).map(j => (0 until dim).map(i => md5Sign(tag, j, i)))
+    val factor = 1.0 / math.sqrt(outDim.toDouble)
+    df.select(col(idCol),
+      graft.functions.quantExprs.plane_project(
+        asDouble(col(vecCol)), typedLit(planes), lit(factor)).as("proj"))
+  }
+
   /** Deterministic random hyperplanes for sign-LSH, from a fixed seed. */
   def hyperplanes(nPlanes: Int, dim: Int, seed: Long = 42L): Seq[Seq[Double]] = {
     val rnd = new scala.util.Random(seed)

@@ -59,6 +59,31 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(broadcasts >= 3, s"expected >=3 broadcast joins (customer/nation/region), got $broadcasts:\n$s")
   }
 
+  test("q_simsearch_quant: queries broadcast, one corpus scan, no pre-rank shuffle of codes") {
+    // the int8 scan path: scan -> BroadcastNestedLoopJoin (queries are
+    // the broadcast side by construction) -> window on the tiny
+    // query-id key space. A SortMergeJoin or a shuffle of the code
+    // table before scoring would mean the 100 TB scan shape regressed.
+    val s = planString(executed(SparkEntry.queries("q_simsearch_quant")(spark, dir)))
+    assert(s.contains("BroadcastNestedLoopJoin"),
+      s"expected broadcast NLJ of the query side:\n$s")
+    assert(!s.contains("SortMergeJoin"), s"unexpected sort-merge join:\n$s")
+    assert(!s.contains("CartesianProduct"), s"unbroadcast cartesian:\n$s")
+  }
+
+  test("q_project_rp: projection is a pure pruned-scan projection — no shuffle below the sort") {
+    val s = planString(executed(SparkEntry.queries("q_project_rp")(spark, dir)))
+    // exactly the one exchange feeding the global ORDER BY; the
+    // plane_project pass itself must not induce any other shuffle
+    val exchanges = s.linesIterator.count(l =>
+      l.contains("Exchange") && !l.contains("ReusedExchange"))
+    assert(exchanges <= 1, s"projection should add no shuffle beyond the sort:\n$s")
+    val scanLine = s.linesIterator.find(l => l.contains("FileScan") || l.contains("Scan parquet"))
+      .getOrElse(fail(s"no parquet scan in plan:\n$s"))
+    assert(scanLine.contains("embedding") && scanLine.contains("vec_id"),
+      s"scan must read only (vec_id, embedding): $scanLine")
+  }
+
   test("q_setops folds the three set-op counts into one job") {
     // the r10-verdict plan-hygiene fix: building the query frame must
     // run ZERO actions (the old shape drove three .count() actions

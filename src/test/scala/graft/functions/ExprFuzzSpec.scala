@@ -74,7 +74,11 @@ class ExprFuzzSpec extends AnyFunSuite {
     case (null, null) => true
     case (x: Double, y: Double) => (x.isNaN && y.isNaN) || x == y
     case (x: Float, y: Float) => (x.isNaN && y.isNaN) || x == y
-    case (x: Seq[_], y: Seq[_]) =>
+    // collection.Seq, NOT the default (immutable.Seq) alias: the
+    // codegen path hands back mutable.ArraySeq, which would fall
+    // through to `==` — elementwise, so a NaN-bearing double array
+    // would spuriously fail (NaN != NaN)
+    case (x: scala.collection.Seq[_], y: scala.collection.Seq[_]) =>
       x.length == y.length && x.lazyZip(y).forall(deepEq)
     case (x: Row, y: Row) => deepEq(x.toSeq, y.toSeq)
     case _ => a == b
@@ -209,6 +213,57 @@ class ExprFuzzSpec extends AnyFunSuite {
     sweep2("hamming_dist", bitPairs.toDF("x", "y"),
       bitPairs.map(p => (typedLit(p._1), typedLit(p._2))),
       similarityExprs.hamming_dist)
+  }
+
+  // ---------- quantization / projection expressions ----------
+
+  test("quantization expressions: vec_max_abs / quantize_i8 / cosine_sim_i8 / plane_project") {
+    val dim = 8
+    def hostileVec(): Seq[Double] = rnd.nextInt(12) match {
+      case 0 => Seq.empty[Double]
+      case 1 => Seq.fill(dim)(0.0)
+      case 2 => (0 until dim).map(i => if (i == 3) Double.NaN else rnd.nextGaussian())
+      case 3 => (0 until dim).map(i => if (i == 0) Double.PositiveInfinity else rnd.nextGaussian())
+      case 4 => Seq.fill(dim)(Double.NaN)
+      case _ => (0 until dim).map(_ => rnd.nextGaussian() * math.pow(10, rnd.nextInt(7) - 3))
+    }
+    val vecs: Seq[Seq[Double]] = Seq(null) ++ (0 until 200).map(_ => hostileVec())
+    def vecLit(v: Seq[Double]): Column =
+      if (v == null) nullLit(ArrayType(DoubleType)) else typedLit(v)
+    sweep1("vec_max_abs", vecs.toDF("x"), vecs.map(vecLit), quantExprs.vec_max_abs)
+
+    val scales = Seq(0.0, -1.0, Double.NaN, Double.PositiveInfinity, 1e-9, 0.02, 3.7)
+    val vsPairs: Seq[(Seq[Double], Double)] =
+      vecs.filter(_ != null).map(v => (v, scales(rnd.nextInt(scales.length))))
+    sweep2("quantize_i8", vsPairs.toDF("x", "y"),
+      vsPairs.map(p => (vecLit(p._1), lit(p._2))), quantExprs.quantize_i8)
+
+    val qcPairs: Seq[(Seq[Double], Seq[Byte])] = (0 until 200).map { i =>
+      val q = if (i == 0) Seq.fill(dim)(0.0) else (0 until dim).map(_ => rnd.nextGaussian())
+      val c = if (i == 1) Seq.fill(dim)(0.toByte)
+        else (0 until dim).map(_ => (rnd.nextInt(255) - 127).toByte)
+      (q, c)
+    }
+    sweep2("cosine_sim_i8", qcPairs.toDF("x", "y"),
+      qcPairs.map(p => (typedLit(p._1), typedLit(p._2))), quantExprs.cosine_sim_i8)
+
+    val planes: Seq[Seq[Double]] =
+      (0 until 5).map(_ => (0 until dim).map(_ => if (rnd.nextBoolean()) 1.0 else -1.0))
+    sweep1("plane_project", vecs.toDF("x"), vecs.map(vecLit),
+      quantExprs.plane_project(_, typedLit(planes), lit(1.0 / math.sqrt(5.0))))
+  }
+
+  // ---------- mojibake repair ----------
+
+  test("fix_mojibake: interpreted == codegen over artifact-heavy strings") {
+    val mojiPool: IndexedSeq[String] = ('a' to 'f').map(_.toString) ++
+      Seq("Ã", "©", "â", "€", "™", "œ", "”", "“", "¯", "é", "ß", "中", "😀", " ", "Â")
+    def mojiText(): String =
+      (0 until rnd.nextInt(16)).map(_ => mojiPool(rnd.nextInt(mojiPool.length))).mkString
+    val texts: Seq[String] = Seq(null, "", "Ã©", "cafÃ©", "café",
+      "ÃÂ©" /* double-mangle shape */) ++ (0 until 300).map(_ => mojiText())
+    sweep1("fix_mojibake", texts.toDF("x"), texts.map(strLit),
+      mojibakeExprs.fix_mojibake)
   }
 
   // ---------- broadcast-backed expressions ----------

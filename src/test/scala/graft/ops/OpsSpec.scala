@@ -150,6 +150,33 @@ class OpsSpec extends AnyFunSuite {
       s"null-text docs must always be kept, got $kept")
   }
 
+  test("updateFingerprintCatalog: the incremental loop converges to the full corpus fingerprint set") {
+    val docs = Seq(
+      (1L, "alpha beta"), (2L, "gamma delta"), (3L, "ALPHA   beta" /* dup of 1 after normalization */),
+      (4L, "epsilon"), (5L, Option.empty[String].orNull: String)).toDF("doc_id", "text")
+    val batch1 = docs.filter($"doc_id" <= 2)
+    val batch2 = docs.filter($"doc_id" > 2)
+    val cat1 = Dedup.fingerprints(batch1, "text")
+    val kept2 = Dedup.exactCrossDedupByFingerprint(
+      batch2, cat1, "fingerprint", "doc_id", "text")
+    // doc 3 duplicates doc 1 across batches and drops; the null doc survives
+    assert(kept2.select("doc_id").collect().map(_.getLong(0)).toSet == Set(4L, 5L))
+    val cat2 = Dedup.updateFingerprintCatalog(cat1, "fingerprint", kept2, "text")
+    // merged catalog == fingerprints of everything shipped (null text contributes none)
+    val direct = Dedup.fingerprints(docs.filter($"doc_id" =!= 3L), "text")
+    assert(cat2.collect().map(_.getString(0)).toSet ==
+      direct.collect().map(_.getString(0)).toSet)
+    // idempotent: merging the same survivors again changes nothing
+    val cat3 = Dedup.updateFingerprintCatalog(cat2, "fingerprint", kept2, "text")
+    assert(cat3.count() == cat2.count())
+    // same typed-column guard as the read half
+    val binCat = Seq(Tuple1("a" * 32)).toDF("fp").select(unhex($"fp").as("fp"))
+    val e = intercept[IllegalArgumentException] {
+      Dedup.updateFingerprintCatalog(binCat, "fp", kept2, "text")
+    }
+    assert(e.getMessage.contains("expected"))
+  }
+
   test("Dedup.crossCorpusDedupBySignatures matches the text screen through a parquet catalog") {
     val docs = graft.Tables.load(spark, "/root/testdata/sf0.001", "documents")
       .select("doc_id", "text")
