@@ -278,6 +278,35 @@ object Warc {
       lenient: Boolean = false): Pipeline =
     Pipeline.of(s"warc($dir)", read(spark, dir, lenient))
 
+  /** Streaming form of [[read]] — the live-crawl drop-directory shape:
+    * `*.warc` / `*.warc.gz` files appearing under `dir` stream through
+    * the SAME parser with the same row schema, each file processed
+    * exactly once (the file-stream source's offset log; checkpoint the
+    * query for restarts). Parallelism unit remains the file, and the
+    * downstream stateless prep verbs (triage, quality, mojibake
+    * repair, decontaminateByFilter/Bloom approximate) chain unchanged
+    * — continuous crawl ingest without a second code path. */
+  def readStream(spark: SparkSession, dir: String,
+      lenient: Boolean = false): DataFrame = {
+    // the binaryFile format's fixed schema, stated explicitly: file
+    // stream sources require a user schema at plan time
+    val binarySchema = StructType(Seq(
+      StructField("path", StringType),
+      StructField("modificationTime", TimestampType),
+      StructField("length", LongType),
+      StructField("content", BinaryType)))
+    val files = spark.readStream.format("binaryFile")
+      .schema(binarySchema)
+      .option("pathGlobFilter", "*.warc*")
+      .option("recursiveFileLookup", true).load(dir)
+    val pathIdx = files.schema.fieldIndex("path")
+    val contentIdx = files.schema.fieldIndex("content")
+    files.flatMap { row =>
+      parseFile(row.getString(pathIdx),
+        row.getAs[Array[Byte]](contentIdx), lenient).iterator
+    }(org.apache.spark.sql.Encoders.row(schema))
+  }
+
   /** Correlate each `response` record with the request (or other
     * `linkType`) record of the SAME capture event — the join real
     * crawl filtering needs ("keep responses whose request had header

@@ -80,6 +80,47 @@ class CorpusPrepIntegrationSpec extends AnyFunSuite {
     }
   }
 
+  test("incremental crawl loop: mojibake repair makes mangled re-crawls drop against the catalog") {
+    // crawl 2 re-serves some crawl-1 pages MOJIBAKE-MANGLED (a
+    // mis-decoding proxy in the serving path — the real-world case
+    // where byte-level exact dedup silently misses a duplicate).
+    // fixMojibake runs BEFORE the catalog dedup, so the mangled
+    // re-crawls fingerprint back to their shipped twins and drop;
+    // the survivors update the catalog (the WRITE half).
+    import spark.implicits._
+    val cp1252 = java.nio.charset.Charset.forName("windows-1252")
+    def mangle(s: String) = new String(s.getBytes("UTF-8"), cp1252)
+    val crawl1 = Seq(
+      (1L, "the café on rue Saint-André"),
+      (2L, "naïve résumé review — déjà vu"),
+      (3L, "plain ascii document")).toDF("doc_id", "text")
+    val crawl2 = Seq(
+      (11L, mangle("the café on rue Saint-André")), // mangled re-crawl of 1
+      (12L, mangle("naïve résumé review — déjà vu")), // mangled re-crawl of 2
+      (13L, "plain ascii document"), // exact re-crawl of 3
+      (14L, "a genuinely new café page")).toDF("doc_id", "text")
+
+    val cat1 = ops.Dedup.fingerprints(crawl1, "text")
+    val repaired = etl.Pipeline.of("crawl2", crawl2)
+      .fixMojibake("text")
+      .toDF
+    val kept = ops.Dedup.exactCrossDedupByFingerprint(
+      repaired, cat1, "fingerprint", "doc_id", "text")
+    assert(kept.select("doc_id").collect().map(_.getLong(0)).toSet == Set(14L),
+      "mangled and exact re-crawls must all drop after repair")
+    // WITHOUT repair, the mangled twins sail through — the repair is
+    // load-bearing, not cosmetic
+    val keptNoRepair = ops.Dedup.exactCrossDedupByFingerprint(
+      crawl2, cat1, "fingerprint", "doc_id", "text")
+    assert(keptNoRepair.count() == 3)
+    // the WRITE half: merged catalog covers both batches' content
+    val cat2 = ops.Dedup.updateFingerprintCatalog(cat1, "fingerprint", kept, "text")
+    val expected = ops.Dedup.fingerprints(
+      crawl1.union(Seq((14L, "a genuinely new café page")).toDF("doc_id", "text")), "text")
+    assert(cat2.collect().map(_.getString(0)).toSet ==
+      expected.collect().map(_.getString(0)).toSet)
+  }
+
   test("the full corpus-prep chain composes and preserves its invariants") {
     val docs = Tables.load(spark, dir, "documents")
     val eval = docs.filter(col("doc_id") % 20 === 0)

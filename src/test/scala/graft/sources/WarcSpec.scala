@@ -79,6 +79,42 @@ class WarcSpec extends AnyFunSuite {
     assert(bodies.toSeq == Seq("alpha", "bravo"))
   }
 
+  test("readStream: streamed records == batch records, with a stateless prep verb chained") {
+    // the live-crawl drop-directory shape: the SAME parser behind the
+    // file-stream source, each file once, stateless prep chaining
+    // unchanged (here: response filter + body decode + mojibake repair)
+    val dir = Files.createTempDirectory("graft-warc-stream").toString
+    def gz(b: Array[Byte]): Array[Byte] = {
+      val bos = new ByteArrayOutputStream()
+      val g = new java.util.zip.GZIPOutputStream(bos)
+      g.write(b); g.close()
+      bos.toByteArray
+    }
+    val mangled = new String(
+      "café".getBytes("UTF-8"), java.nio.charset.Charset.forName("windows-1252"))
+    Files.write(Paths.get(dir, "a.warc"),
+      record("warcinfo", None, "software: graft-test\r\n".getBytes) ++
+      record("response", Some("http://s.test/1"), httpBlock("200 OK", s"$mangled one")))
+    Files.write(Paths.get(dir, "b.warc.gz"),
+      gz(record("response", Some("http://s.test/2"), httpBlock("200 OK", "two"))) ++
+      gz(record("response", Some("http://s.test/3"), httpBlock("404 Not Found", "three"))))
+
+    import org.apache.spark.sql.functions._
+    def prep(df: org.apache.spark.sql.DataFrame) = df
+      .filter(col("record_type") === "response" && col("http_status") === 200)
+      .select(col("target_uri"),
+        graft.ops.TextOps.fixMojibake(
+          col("http_body").cast("string")).as("text"))
+    val streamed = graft.streaming.Streams.runBounded(
+      prep(Warc.readStream(spark, dir)))
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    val batch = prep(Warc.read(spark, dir))
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(streamed == batch)
+    assert(streamed == Set(
+      ("http://s.test/1", "café one"), ("http://s.test/2", "two")))
+  }
+
   test("WET (conversion records): extracted-text payloads read as raw blocks") {
     // Common Crawl's WET files are the same framing with
     // WARC-Type: conversion and a text/plain block — the generic
