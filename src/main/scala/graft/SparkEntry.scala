@@ -2329,7 +2329,9 @@ object SparkEntry {
       // pair counts (sentence multiplicities are equal, so the merge
       // ORDER is invariant to the replication factor — and to sf),
       // ties resolved by the documented lexicographic rule; the oracle
-      // states the resulting token streams. Any drift in the trainer's
+      // states the resulting per-arm token streams as a VALUES table
+      // (derived by an independent from-the-paper reimplementation,
+      // not by running this engine). Any drift in the trainer's
       // selection rule, the incremental pair updates, or the encoder's
       // greedy lowest-rank application breaks the hash. BpeSpec
       // additionally pins the incremental trainer == a naive
@@ -4223,6 +4225,27 @@ object SparkEntry {
         |     ELSE 'plain ascii text' END) || ' #' || cast(doc_id AS VARCHAR) AS fixed
         |FROM documents WHERE doc_id < 400
         |ORDER BY doc_id""".stripMargin,
+
+    // the oracle STATES the expected token stream per fixture arm as
+    // constants (derived independently from Sennrich's algorithm with
+    // the documented count-desc/lex-asc tie-break over the fixed
+    // 3-sentence corpus — 10 merges: t</w>, at</w>, th, n</w>, cat</w>,
+    // e</w>, the</w>, thi, hat</w>, on</w>) and replays them over every
+    // doc_id < 300; any drift in trainer or encoder breaks the hash
+    "q_bpe_encode" ->
+      """WITH toks(arm, pos, token) AS (VALUES
+        |  (0, 0, 'the</w>'), (0, 1, 'thi'), (0, 2, 'n</w>'), (0, 3, 'cat</w>'),
+        |  (0, 4, 's'), (0, 5, 'at</w>'), (0, 6, 'on</w>'), (0, 7, 'the</w>'),
+        |  (0, 8, 'm'), (0, 9, 'at</w>'), (1, 0, 'the</w>'), (1, 1, 'thi'),
+        |  (1, 2, 'n</w>'), (1, 3, 'hat</w>'), (1, 4, 'f'), (1, 5, 'i'),
+        |  (1, 6, 't</w>'), (1, 7, 'th'), (1, 8, 'at</w>'), (1, 9, 'cat</w>'),
+        |  (2, 0, 'thi'), (2, 1, 's'), (2, 2, '</w>'), (2, 3, 'f'),
+        |  (2, 4, 'at</w>'), (2, 5, 'cat</w>'), (2, 6, 's'), (2, 7, 'at</w>'),
+        |  (2, 8, 'on</w>'), (2, 9, 'th'), (2, 10, 'at</w>'), (2, 11, 'hat</w>'))
+        |SELECT d.doc_id, CAST(t.pos AS INTEGER) AS pos, t.token
+        |FROM documents d JOIN toks t ON t.arm = d.doc_id % 3
+        |WHERE d.doc_id < 300
+        |ORDER BY doc_id, pos""".stripMargin,
 
     "q_dedup_cross_exact" ->
       """WITH n AS (
