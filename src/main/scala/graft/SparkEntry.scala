@@ -2336,12 +2336,7 @@ object SparkEntry {
       // greedy lowest-rank application breaks the hash. BpeSpec
       // additionally pins the incremental trainer == a naive
       // recount-from-scratch reference on 120 random corpora.
-      val model = bpeGateModel.computeIfAbsent("m", _ =>
-        ops.Bpe.train(
-          s.range(300).select(element_at(typedLit(bpeGateArms),
-            ((col("id") % 3) + 1).cast("int")).as("text")),
-          "text", numMerges = 10, minPairCount = 2))
-      val bc = ops.Bpe.broadcastModel(s, model)
+      val bc = bpeGateBc(s)
       t(s, dir, "documents").filter(col("doc_id") < 300)
         .select(col("doc_id"),
           posexplode(ops.Bpe.tokens(
@@ -2389,6 +2384,45 @@ object SparkEntry {
         Seq("en" -> 30000L, "de" -> 8000L, "zh" -> 40000L), ":tb7")
         .select("doc_id", "lang", "cum_before")
         .orderBy("doc_id")
+    },
+
+    "q_sample_budget_bpe" -> { (s, dir) =>
+      // the REAL tokenizer as the budget unit — the load-bearing
+      // consequence of having one: training mixtures are specified in
+      // TOKENS, and the char/regex proxies drift from the real count
+      // on non-English text. The fixed 3-sentence BPE model from
+      // q_bpe_encode is trained in-query (memoized) and
+      // Bpe.withTokenCount weights the per-lang budgets; the oracle
+      // re-derives EVERY per-word token count from the stated merges
+      // by running the merge loop in SQL (recursive CTE over distinct
+      // words, separator-joined replace — exactly the greedy encoder
+      // for this model, whose merge ranks are creation-monotone), then
+      // replays the prefix-sum cut. en/de cut mid-stratum, zh's budget
+      // exceeds the stratum (keep-all), es/fr have none (dropped).
+      val docs = ops.Bpe.withTokenCount(
+        t(s, dir, "documents"), "text", "n_bpe_tokens", bpeGateBc(s))
+      ops.Sampling.sampleByTokenBudget(
+        docs, col("doc_id"), "lang", "n_bpe_tokens",
+        Seq("en" -> 25000L, "de" -> 6000L, "zh" -> 30000L), ":tbbpe13")
+        .select("doc_id", "lang", "n_bpe_tokens", "cum_before")
+        .orderBy("doc_id")
+    },
+
+    "q_pack_bpe" -> { (s, dir) =>
+      // packed pretraining shards budgeted in REAL BPE tokens (same
+      // concat-and-chunk arithmetic as q_shards, real-tokenizer unit):
+      // Bpe.withTokenCount is the weight, 1000-token shards, per-shard
+      // doc-order concatenation md5-compared. The oracle recomputes
+      // the token counts from the stated merges (the
+      // q_sample_budget_bpe recursive CTE), the global prefix sum, and
+      // the shard grouping independently.
+      val docs = ops.Bpe.withTokenCount(
+        t(s, dir, "documents"), "text", "n_bpe_tokens", bpeGateBc(s))
+      ops.Packing.buildShards(docs, "doc_id", "text", "n_bpe_tokens",
+        budget = 1000, sep = "\n", bucketWidth = 100)
+        .select(col("shard_id"), col("n_docs"),
+          col("n_tokens").as("shard_tokens"), md5(col("shard_text")).as("shard_md5"))
+        .orderBy("shard_id")
     },
 
     "q_dedup_cross" -> { (s, dir) =>
@@ -2564,6 +2598,80 @@ object SparkEntry {
     "this fat cat sat on that hat")
   private val bpeGateModel =
     new java.util.concurrent.ConcurrentHashMap[String, graft.functions.BpeModel]()
+
+  /** The q_bpe_encode model's merge list, STATED (independently
+    * derived from the algorithm's documented tie-break over the fixed
+    * corpus — the same constants the q_bpe_encode oracle's token
+    * streams encode), for the oracle-side token-count recomputation of
+    * the real-tokenizer budget gates. */
+  private val bpeOracleMerges: Seq[(String, String)] = Seq(
+    "t" -> "</w>", "a" -> "t</w>", "t" -> "h", "n" -> "</w>",
+    "c" -> "at</w>", "e" -> "</w>", "th" -> "e</w>", "th" -> "i",
+    "h" -> "at</w>", "o" -> "n</w>")
+
+  /** DuckDB CTE fragment ending in `doctok(doc_id, n_bpe)`:
+    * per-document REAL BPE token counts recomputed from
+    * [[bpeOracleMerges]] alone (requires a preceding `WITH RECURSIVE`).
+    * Encoding runs as a recursive CTE over the DISTINCT words: symbols
+    * are joined with chr(1) separators (a word containing chr(1) would
+    * make the oracle diverge loudly — the hash compare catches it) and
+    * each step applies ONE global `replace` of the lowest-rank pair
+    * present. replace()'s left-to-right non-overlapping scan equals the
+    * greedy encoder's in-pass merge for pairs with left != right (all
+    * ten are), and this model's ranks are creation-monotone (every
+    * pair a merge can create has a higher rank than the merge), so
+    * iterating to fixpoint is EXACTLY the greedy lowest-rank
+    * algorithm. */
+  private val bpeOracleDocTokCte: String = {
+    def pat(l: String, r: String) = s"chr(1)||'$l'||chr(1)||'$r'||chr(1)"
+    def rep(l: String, r: String) = s"chr(1)||'$l$r'||chr(1)"
+    val any = bpeOracleMerges
+      .map { case (l, r) => s"contains(s, ${pat(l, r)})" }
+      .mkString("\n        OR ")
+    val arms = bpeOracleMerges
+      .map { case (l, r) =>
+        s"WHEN contains(s, ${pat(l, r)}) THEN replace(s, ${pat(l, r)}, ${rep(l, r)})" }
+      .mkString("\n      ")
+    val ws = """'[ \t\n\x0b\f\r]+'"""
+    val init = """chr(1) || regexp_replace(word, '(.)', '\1' || chr(1), 'g') || '</w>' || chr(1)"""
+    s"""dw AS (
+  SELECT DISTINCT unnest(regexp_split_to_array(trim(text), $ws)) AS word
+  FROM documents WHERE text IS NOT NULL),
+dwne AS (SELECT word FROM dw WHERE length(word) > 0),
+enc AS (
+  SELECT word, $init AS s
+  FROM dwne
+  UNION ALL
+  SELECT word,
+    CASE
+      $arms
+      ELSE s END AS s
+  FROM enc
+  WHERE $any),
+wtok AS (
+  SELECT word, length(s) - length(replace(s, chr(1), '')) - 1 AS n_tok
+  FROM enc
+  WHERE NOT ($any)),
+inst AS (
+  SELECT doc_id, unnest(regexp_split_to_array(trim(text), $ws)) AS word
+  FROM documents WHERE text IS NOT NULL),
+doctok AS (
+  SELECT d.doc_id,
+    CASE WHEN d.text IS NULL THEN NULL
+         ELSE cast(coalesce(t.n, 0) AS INTEGER) END AS n_bpe
+  FROM documents d LEFT JOIN (
+    SELECT i.doc_id, sum(w.n_tok) AS n
+    FROM inst i JOIN wtok w USING (word)
+    GROUP BY i.doc_id) t USING (doc_id))"""
+  }
+
+  private def bpeGateBc(s: SparkSession) =
+    ops.Bpe.broadcastModel(s,
+      bpeGateModel.computeIfAbsent("m", _ =>
+        ops.Bpe.train(
+          s.range(300).select(element_at(typedLit(bpeGateArms),
+            ((col("id") % 3) + 1).cast("int")).as("text")),
+          "text", numMerges = 10, minPairCount = 2)))
 
   private val nbGateModels =
     new scala.collection.concurrent.TrieMap[(String, String),
@@ -4277,6 +4385,50 @@ object SparkEntry {
         |                             WHEN 'de' THEN 8000
         |                             WHEN 'zh' THEN 40000 END
         |ORDER BY doc_id""".stripMargin,
+
+    // the real-tokenizer budget cut: per-word BPE token counts are
+    // recomputed from the STATED merges by the recursive-CTE encoder
+    // (see bpeOracleDocTokCte), then the same per-stratum exclusive
+    // prefix sum and budget filter as q_sample_budget
+    "q_sample_budget_bpe" ->
+      s"""WITH RECURSIVE
+$bpeOracleDocTokCte,
+h AS (
+  SELECT dt.doc_id, d.lang, dt.n_bpe,
+    substr(md5(cast(dt.doc_id AS VARCHAR) || ':tbbpe13'), 1, 12) AS hx
+  FROM doctok dt JOIN documents d USING (doc_id)),
+c AS (
+  SELECT doc_id, lang, n_bpe,
+    cast(coalesce(sum(n_bpe) OVER (
+      PARTITION BY lang ORDER BY hx, doc_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before
+  FROM h)
+SELECT doc_id, lang, n_bpe AS n_bpe_tokens, cum_before FROM c
+WHERE cum_before < CASE lang WHEN 'en' THEN 25000
+                             WHEN 'de' THEN 6000
+                             WHEN 'zh' THEN 30000 END
+ORDER BY doc_id""",
+
+    // shards budgeted in real BPE tokens: the recursive-CTE token
+    // counts feed the q_shards prefix-sum + grouping arithmetic
+    "q_pack_bpe" ->
+      s"""WITH RECURSIVE
+$bpeOracleDocTokCte,
+tok AS (
+  SELECT d.doc_id, d.text, cast(coalesce(dt.n_bpe, 0) AS BIGINT) AS n_tokens
+  FROM documents d JOIN doctok dt USING (doc_id)),
+c AS (
+  SELECT doc_id, text, n_tokens,
+    cast(coalesce(sum(n_tokens) OVER (
+      ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      AS BIGINT) AS cum_before
+  FROM tok)
+SELECT cast(cum_before // 1000 AS BIGINT) AS shard_id,
+  count(*) AS n_docs,
+  cast(sum(n_tokens) AS BIGINT) AS shard_tokens,
+  md5(string_agg(text, chr(10) ORDER BY doc_id)) AS shard_md5
+FROM c GROUP BY 1
+ORDER BY shard_id""",
 
     // exact char-5-gram jaccard >= 0.8 pairs BETWEEN the corpus slice
     // and the reference slice (same shingle/normalize shape and

@@ -157,6 +157,23 @@ object Bpe {
   def tokenCount(c: Column, modelBc: Broadcast[BpeModel]): Column =
     size(tokens(c, modelBc))
 
+  /** Adds the REAL-tokenizer token count of `textCol` as `outCol` —
+    * the budget-unit wiring for
+    * [[graft.ops.Sampling.sampleByTokenBudget]],
+    * [[graft.ops.Packing.assignShards]]/[[graft.ops.Packing.buildShards]]
+    * and any other weight-column consumer: training mixtures and shard
+    * budgets are specified in TOKENS, and the char/regex proxies drift
+    * from the real count on non-English text.
+    *
+    * Scale note: the prefix-sum ops execute their input plan twice
+    * (bucket-sum pass + output pass). `tokenCount` is deterministic,
+    * so that is CORRECT — but at corpus scale encoding twice is wasted
+    * work; `localCheckpoint` (or persist) the frame this returns
+    * before feeding a budgeting op if the encode cost matters. */
+  def withTokenCount(df: DataFrame, textCol: String, outCol: String,
+      modelBc: Broadcast[BpeModel]): DataFrame =
+    df.withColumn(outCol, tokenCount(col(textCol), modelBc))
+
   /** One-table model persistence, LmScore-convention: (rank, left,
     * right), executor-side materialization. */
   def saveModel(spark: SparkSession, m: BpeModel, path: String): Unit = {

@@ -123,7 +123,9 @@ object Packing {
   }
 
   /** Adds `shard_id` = `budget`-token chunk index of the document's
-    * first token under concat-and-chunk packing in `orderCol` order. */
+    * first token under concat-and-chunk packing in `orderCol` order.
+    * For budgets in REAL tokenizer tokens, weight with
+    * [[graft.ops.Bpe.withTokenCount]]. */
   def assignShards(
       df: DataFrame, orderCol: String, weightCol: String,
       budget: Long, bucketWidth: Long = 100000): DataFrame = {

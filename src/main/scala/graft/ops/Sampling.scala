@@ -95,7 +95,9 @@ object Sampling {
     * specified: "take 30B tokens of web, 5B of code", not keep
     * fractions): per stratum, documents are taken in the deterministic
     * (hash, key) order of [[shuffleByHash]] until the running
-    * `weightCol` total reaches the stratum's budget. The document that
+    * `weightCol` total reaches the stratum's budget. For budgets in
+    * REAL tokenizer tokens (not a char/regex proxy), weight with
+    * [[graft.ops.Bpe.withTokenCount]]. The document that
     * CROSSES the budget is kept (the filter is on the exclusive
     * prefix sum `cum_before`), so any positive budget takes at least
     * one document and realized tokens overshoot by at most one

@@ -138,6 +138,23 @@ class BpeSpec extends AnyFunSuite {
     assert(rows(1).isNullAt(0))
   }
 
+  test("withTokenCount wires the real count as a weight column usable by the budget ops") {
+    val corpus = (1 to 50).map(_ => "alpha beta alpha").toDF("text")
+    val m = Bpe.train(corpus, "text", numMerges = 30, minPairCount = 2)
+    val bc = Bpe.broadcastModel(spark, m)
+    val df = Seq((1L, "alpha beta"), (2L, "zq alpha")).toDF("id", "text")
+    val counted = Bpe.withTokenCount(df, "text", "n_tok", bc)
+    // "alpha beta" = 2 fully-learned tokens; "zq" is unseen (cp split)
+    val byId = counted.collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
+    assert(byId(1L) == 2)
+    assert(byId(2L) >= 2 && byId(2L) <= 4)
+    // the column is a drop-in weight for the prefix-sum budgeters
+    val packed = Packing.assignShards(counted, "id", "n_tok", budget = 3)
+      .select("id", "shard_id").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(packed(1L) == 0L)
+    assert(packed(2L) == (if (byId(1L) >= 3) 1L else 0L))
+  }
+
   test("training on the real documents table is deterministic and compresses") {
     val docs = graft.Tables.load(spark, "/root/testdata/sf0.001", "documents")
     val m1 = Bpe.train(docs, "text", numMerges = 200, maxWords = 50000)
