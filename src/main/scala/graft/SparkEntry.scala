@@ -298,6 +298,60 @@ object SparkEntry {
         .orderBy("user_id", "session_start")
     },
 
+    "q_stream_warc" -> { (s, dir) =>
+      // the streaming WARC ingest path end-to-end under the oracle
+      // (the one engine path that was spec-pinned but not gate-rowed):
+      // nation rows become MOJIBAKE-MANGLED response bodies spread
+      // across three .warc drop files, Warc.readStream parses them
+      // through the same parser as batch, the stateless prep verbs
+      // chain on the stream unchanged (response filter + fixMojibake),
+      // and the bounded drain must reproduce the CLEAN text the oracle
+      // states from the table alone — streamed parse, linkage of
+      // chunks to files, and repair all under one hash.
+      val adir = s"${System.getProperty("java.io.tmpdir")}/graft-gate-warcstream-${ProcessHandle.current().pid()}-${Integer.toHexString(dir.hashCode)}"
+      val rows = t(s, dir, "nation")
+        .select("n_nationkey", "n_name")
+        .filter(col("n_name").isNotNull).collect()
+      require(rows.length <= 1000, "warc stream gate expects the fixed-size nation table")
+      new java.io.File(adir).mkdirs()
+      val cp1252 = java.nio.charset.Charset.forName("windows-1252")
+      val utf8 = java.nio.charset.StandardCharsets.UTF_8
+      def mangle(clean: String) = new String(clean.getBytes(utf8), cp1252)
+      rows.sortBy(_.getAs[Number]("n_nationkey").longValue).zipWithIndex
+        .groupBy(_._2 % 3).foreach { case (part, group) =>
+          val os = new java.io.FileOutputStream(
+            new java.io.File(adir, s"crawl-$part.warc"))
+          try group.foreach { case (r, _) =>
+            val id = r.getAs[Number]("n_nationkey").longValue
+            // the crawl stored the clean UTF-8 text through a cp1252
+            // mis-decode (the q_fix_mojibake arm-0 shape); the repair
+            // on the stream must restore it
+            val body = mangle(s"${r.getString(1)} café — naïve")
+            val block =
+              "HTTP/1.1 200 OK\r\nContent-Type: text/plain\r\n\r\n"
+                .getBytes("ISO-8859-1") ++ body.getBytes(utf8)
+            val head = new StringBuilder
+            head ++= "WARC/1.0\r\n"
+            head ++= "WARC-Type: response\r\n"
+            head ++= s"WARC-Record-ID: <urn:uuid:gate-stream-$id>\r\n"
+            head ++= s"WARC-Target-URI: http://gate.test/$id\r\n"
+            head ++= "WARC-Date: 2026-01-01T00:00:00Z\r\n"
+            head ++= s"Content-Length: ${block.length}\r\n\r\n"
+            os.write(head.toString.getBytes("ISO-8859-1"))
+            os.write(block)
+            os.write("\r\n\r\n".getBytes("ISO-8859-1"))
+          } finally os.close()
+        }
+      val streamed = sources.Warc.readStream(s, adir)
+        .filter(col("record_type") === "response")
+        .select(
+          element_at(split(col("target_uri"), "/"), -1)
+            .cast(LongType).as("n_nationkey"),
+          ops.TextOps.fixMojibake(decode(col("http_body"), "UTF-8")).as("body"))
+      graft.streaming.Streams.runBounded(streamed)
+        .orderBy("n_nationkey")
+    },
+
     "q_stream_minhash" -> { (s, dir) =>
       // the streaming LSH state op (Streams.minhashNearDupPairs) under
       // the oracle: documents (doc_id < 250, the exact-sibling scope)
@@ -1813,12 +1867,13 @@ object SparkEntry {
     "q_warc_linkage" -> { (s, dir) =>
       // WARC capture-event linkage under the hard gate: each nation
       // row becomes an interleaved request+response pair sharing a
-      // capture event, the POINTER DIRECTION ALTERNATING by key
-      // parity (even keys: the request's WARC-Concurrent-To names the
-      // response — the Common Crawl convention; odd keys: the
-      // response points at the request — ISO 28500 allows either).
+      // capture event, the POINTER DIRECTION ROTATING by key mod 3
+      // (0: the request's WARC-Concurrent-To names the response — the
+      // Common Crawl convention; 1: the response points at the
+      // request; 2: BOTH point at each other — all ISO 28500-legal).
       // Warc.linkRequests must correlate every pair through its
-      // capture-group equi-join regardless of direction; the oracle
+      // key-set-intersection join regardless of direction, and the
+      // mutual arm's double match must collapse to one row; the oracle
       // recomputes the joined row (response body, request URI key,
       // request block size, request record id) from the table alone.
       val adir = s"${System.getProperty("java.io.tmpdir")}/graft-gate-warclink-${ProcessHandle.current().pid()}-${Integer.toHexString(dir.hashCode)}"
@@ -1849,11 +1904,11 @@ object SparkEntry {
         val respBlock =
           "HTTP/1.1 200 OK\r\nContent-Type: text/plain\r\n\r\n"
             .getBytes("ISO-8859-1") ++ name.getBytes("UTF-8")
-        val even = id % 2 == 0
+        val arm = id % 3
         os.write(rec("request", s"req-$id",
-          if (even) Some(s"resp-$id") else None, reqBlock))
+          if (arm != 1) Some(s"resp-$id") else None, reqBlock))
         os.write(rec("response", s"resp-$id",
-          if (even) None else Some(s"req-$id"), respBlock))
+          if (arm != 0) Some(s"req-$id") else None, respBlock))
       } finally os.close()
       sources.Warc.linkRequests(sources.Warc.read(s, adir))
         .select(
@@ -3746,6 +3801,16 @@ doctok AS (
 
     // request<->response correlation: the oracle rebuilds the joined
     // row arithmetically — request block "GET /<id> HTTP/1.1\r\n
+    // the oracle states only the expected CLEAN strings — the mangled
+    // bytes exist solely in the drop files (built by the real cp1252
+    // mis-decode at fixture build), so any drift in the streamed
+    // parse or the repair breaks the hash
+    "q_stream_warc" ->
+      """SELECT cast(n_nationkey AS BIGINT) AS n_nationkey,
+        |  n_name || ' café — naïve' AS body
+        |FROM nation WHERE n_name IS NOT NULL
+        |ORDER BY n_nationkey""".stripMargin,
+
     // Host: gate.test\r\n\r\n" is 35 bytes + the key's digits
     "q_warc_linkage" ->
       """SELECT cast(n_nationkey AS BIGINT) AS n_nationkey, n_name,

@@ -1,7 +1,7 @@
 package graft.sources
 
 import org.apache.spark.sql.types._
-import org.apache.spark.sql.functions.{coalesce, col}
+import org.apache.spark.sql.functions.{array, array_distinct, col, explode, when}
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 
 import graft.etl.Pipeline
@@ -311,25 +311,37 @@ object Warc {
     * `linkType`) record of the SAME capture event — the join real
     * crawl filtering needs ("keep responses whose request had header
     * X"). ISO 28500 lets EITHER sibling carry `WARC-Concurrent-To`
-    * naming the other, so the join key is the capture group
-    * `coalesce(concurrent_to, record_id)`: whichever record points,
-    * both sides resolve to the pointed-at record's id, and the
-    * linkage becomes ONE equi-join (shuffles on the capture key —
-    * no inequality/cross shape, safe at crawl scale). Left join:
-    * responses without a captured request keep NULL `req_*` columns.
-    * Multiple linked `linkType` records (rare, spec-legal) multiply
-    * the response row, like any join. */
+    * naming the other — or BOTH carry it, pointing at each other — so
+    * no single join key exists: a record's capture-key SET is
+    * {record_id, concurrent_to}, and two records share a capture
+    * event iff their sets intersect. Membership is resolved SLIM
+    * (ids only): each side explodes its 1-2 keys, the intersection is
+    * one equi-join on the exploded key, and a mutual pointer's double
+    * match collapses via distinct on the id pair (record ids are
+    * spec-unique). Requests are the small side of a crawl
+    * (header-only blocks), so the slim pairs are enriched with the
+    * request columns first and the fat response rows shuffle ONCE, on
+    * their own record_id. Left join: responses without a captured
+    * request keep NULL `req_*` columns. Multiple linked `linkType`
+    * records (rare, spec-legal) still multiply the response row, like
+    * any join. */
   def linkRequests(
       warc: DataFrame, linkType: String = "request"): DataFrame = {
-    val grp = coalesce(col("concurrent_to"), col("record_id"))
+    def keys = array_distinct(when(col("concurrent_to").isNotNull,
+        array(col("record_id"), col("concurrent_to")))
+      .otherwise(array(col("record_id"))))
     val resp = warc.filter(col("record_type") === "response")
-      .withColumn("__capture__", grp)
     val req = warc.filter(col("record_type") === linkType)
-      .select(grp.as("__capture__"),
-        col("record_id").as("req_record_id"),
-        col("target_uri").as("req_target_uri"),
-        col("content_type").as("req_content_type"),
-        col("payload").as("req_payload"))
-    resp.join(req, Seq("__capture__"), "left").drop("__capture__")
+    val pairs = resp.select(col("record_id"), explode(keys).as("__capture__"))
+      .join(req.select(col("record_id").as("req_record_id"),
+        explode(keys).as("__capture__")), Seq("__capture__"))
+      .select("record_id", "req_record_id").distinct()
+    val reqCols = req.select(col("record_id").as("req_record_id"),
+      col("target_uri").as("req_target_uri"),
+      col("content_type").as("req_content_type"),
+      col("payload").as("req_payload"))
+    val enriched = pairs.join(reqCols, Seq("req_record_id"))
+    resp.join(enriched, Seq("record_id"), "left")
+      .select((warc.columns ++ reqCols.columns).map(col).toIndexedSeq: _*)
   }
 }

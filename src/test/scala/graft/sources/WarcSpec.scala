@@ -217,7 +217,12 @@ class WarcSpec extends AnyFunSuite {
       rec("response", "r2-resp", Some("r2-req"), "http://l.test/2", httpBlock("200 OK", "two")) ++
       rec("request", "r2-req", None, "http://l.test/2", "GET2".getBytes) ++
       // response with NO captured request: left join keeps it, req_* NULL
-      rec("response", "r3-resp", None, "http://l.test/3", httpBlock("200 OK", "three"))
+      rec("response", "r3-resp", None, "http://l.test/3", httpBlock("200 OK", "three")) ++
+      // capture 4: MUTUAL pointers — BOTH records carry
+      // WARC-Concurrent-To naming the other (ISO 28500-legal); the
+      // key-set intersection matches twice and must collapse to ONE row
+      rec("request", "r4-req", Some("r4-resp"), "http://l.test/4", "GET4".getBytes) ++
+      rec("response", "r4-resp", Some("r4-req"), "http://l.test/4", httpBlock("200 OK", "four"))
     Files.write(Paths.get(dir, "crawl.warc"), bytes)
     val warc = Warc.read(spark, dir)
     // record_id / concurrent_to surfaced with brackets stripped
@@ -226,7 +231,7 @@ class WarcSpec extends AnyFunSuite {
       ids("urn:uuid:r1-req").contains("urn:uuid:r1-resp"))
     val linked = Warc.linkRequests(warc).collect()
       .sortBy(r => r.getString(2))
-    assert(linked.length == 3)
+    assert(linked.length == 4)
     assert(new String(linked(0).getAs[Array[Byte]]("http_body"), "UTF-8") == "one")
     assert(linked(0).getAs[String]("req_record_id") == "urn:uuid:r1-req")
     assert(new String(linked(0).getAs[Array[Byte]]("req_payload")) == "GET1")
@@ -234,6 +239,8 @@ class WarcSpec extends AnyFunSuite {
     assert(new String(linked(1).getAs[Array[Byte]]("req_payload")) == "GET2")
     assert(linked(2).isNullAt(linked(2).fieldIndex("req_record_id")))
     assert(linked(2).isNullAt(linked(2).fieldIndex("req_payload")))
+    assert(linked(3).getAs[String]("req_record_id") == "urn:uuid:r4-req")
+    assert(new String(linked(3).getAs[Array[Byte]]("req_payload")) == "GET4")
   }
 
   test("property: 300 random multi-record WARCs roundtrip; truncations keep a typed prefix") {
