@@ -2514,7 +2514,8 @@ object SparkEntry {
       // thresholds at 0.4)
       ops.Dedup.semanticNearDups(
         t(s, dir, "embeddings"), "vec_id", "embedding",
-        threshold = 0.4, targetCell = 512, replication = 2)
+        threshold = 0.4,
+        ops.Dedup.SemDedupParams(targetCell = 512, replication = 2))
         .orderBy("id1", "id2")
     },
 

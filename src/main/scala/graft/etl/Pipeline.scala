@@ -1316,12 +1316,16 @@ final class Pipeline private (
   /** SemDeDup-style semantic near-dedup over an embedding column
     * ([[graft.ops.Dedup.semDedup]] — kmeans cells bound the pairwise
     * cosine work; corpus-sized quantizer, the scale-safe default —
-    * `targetCell` pins expected cell occupancy). */
+    * `params.targetCell` pins expected cell occupancy; the options
+    * type exists so calls written against the old fixed-`nCells`
+    * positional slot fail to compile instead of silently
+    * re-interpreting). */
   def dedupSemantic(
       idCol: String, vecCol: String, threshold: Double = 0.95,
-      targetCell: Int = 512, replication: Int = 2): Pipeline =
+      params: graft.ops.Dedup.SemDedupParams =
+        graft.ops.Dedup.SemDedupParams()): Pipeline =
     add(MapStep("dedupSemantic",
-      graft.ops.Dedup.semDedup(_, idCol, vecCol, threshold, targetCell, replication)))
+      graft.ops.Dedup.semDedup(_, idCol, vecCol, threshold, params)))
 
   /** Attach the typed media metadata struct for a binary payload
     * column ([[graft.ops.Multimodal.withMediaMeta]]: MIME sniff, size,

@@ -871,6 +871,18 @@ object Dedup {
     * cells fill toward the quadratic regime. */
   private val maxAutoCells = 20000
 
+  /** Tuning knobs of the corpus-sized SemDeDup entry points
+    * ([[semanticNearDups]]/[[semDedup]]), as a dedicated options type
+    * ON PURPOSE: those entry points' 5th positional slot used to mean
+    * `nCells` (the fixed-cell form, now
+    * [[semanticNearDupsFixedCells]]), so a same-typed bare Int there
+    * would let code written against the old API silently re-interpret
+    * a cell count as a target occupancy. With the options type, stale
+    * positional calls fail to COMPILE instead. */
+  final case class SemDedupParams(
+      targetCell: Int = 512, replication: Int = 2,
+      maxCell: Int = 10000, seed: Long = 42L)
+
   /** SemDeDup-style semantic near-duplicate pairs with the quantizer
     * SIZED TO THE CORPUS — the DEFAULT and the 100 TB form (semantics
     * and plan shape in [[semanticNearDupsFixedCells]], which this
@@ -891,40 +903,41 @@ object Dedup {
     * sizing so raising it does not re-inflate occupancy. */
   def semanticNearDups(
       df: DataFrame, idCol: String, vecCol: String,
-      threshold: Double = 0.95, targetCell: Int = 512, replication: Int = 2,
-      maxCell: Int = 10000, seed: Long = 42L): DataFrame = {
-    require(targetCell >= 2,
-      s"semanticNearDups: targetCell must be >= 2, got $targetCell")
+      threshold: Double = 0.95,
+      params: SemDedupParams = SemDedupParams()): DataFrame = {
+    require(params.targetCell >= 2,
+      s"semanticNearDups: targetCell must be >= 2, got ${params.targetCell}")
     val n = df.filter(col(vecCol).isNotNull).count()
     val nCells = math.max(2L,
-      (n * math.max(replication, 1) + targetCell - 1) / targetCell)
+      (n * math.max(params.replication, 1) + params.targetCell - 1) /
+        params.targetCell)
     require(nCells <= maxAutoCells,
-      s"semanticNearDups: $n vectors at targetCell=$targetCell need " +
+      s"semanticNearDups: $n vectors at targetCell=${params.targetCell} need " +
         s"$nCells cells — beyond the $maxAutoCells a driver-sample " +
         "quantizer can train; shard the corpus and train per shard")
     semanticNearDupsFixedCells(df, idCol, vecCol, threshold, nCells.toInt,
-      replication, maxCell, seed)
+      params.replication, params.maxCell, params.seed)
   }
 
   /** Alias of [[semanticNearDups]] (the corpus-sized quantizer became
     * the default in round 12; this name is kept for callers written
-    * against the earlier API). */
+    * against the earlier API — its flat signature has ALWAYS meant
+    * `targetCell` in the 5th slot, so positional use is safe here). */
   def semanticNearDupsAuto(
       df: DataFrame, idCol: String, vecCol: String,
       threshold: Double = 0.95, targetCell: Int = 512, replication: Int = 2,
       maxCell: Int = 10000, seed: Long = 42L): DataFrame =
-    semanticNearDups(df, idCol, vecCol, threshold, targetCell,
-      replication, maxCell, seed)
+    semanticNearDups(df, idCol, vecCol, threshold,
+      SemDedupParams(targetCell, replication, maxCell, seed))
 
   /** SemDeDup removal: keep-smallest-id per [[semanticNearDups]] pair
     * (greedy, same loser rule as [[minhashDedup]]); corpus-sized
     * quantizer — the 100 TB removal form and the default. */
   def semDedup(
       df: DataFrame, idCol: String, vecCol: String,
-      threshold: Double = 0.95, targetCell: Int = 512, replication: Int = 2,
-      seed: Long = 42L): DataFrame = {
-    val losers = semanticNearDups(df, idCol, vecCol, threshold,
-      targetCell, replication, seed = seed)
+      threshold: Double = 0.95,
+      params: SemDedupParams = SemDedupParams()): DataFrame = {
+    val losers = semanticNearDups(df, idCol, vecCol, threshold, params)
       .select(col("id2").as(idCol)).distinct()
     df.join(losers, Seq(idCol), "left_anti")
   }
@@ -943,12 +956,15 @@ object Dedup {
   }
 
   /** Alias of [[semDedup]] (the corpus-sized quantizer became the
-    * default in round 12). */
+    * default in round 12; flat signature — see
+    * [[semanticNearDupsAuto]] on why positional use is safe here). */
   def semDedupAuto(
       df: DataFrame, idCol: String, vecCol: String,
       threshold: Double = 0.95, targetCell: Int = 512, replication: Int = 2,
       seed: Long = 42L): DataFrame =
-    semDedup(df, idCol, vecCol, threshold, targetCell, replication, seed)
+    semDedup(df, idCol, vecCol, threshold,
+      SemDedupParams(targetCell = targetCell, replication = replication,
+        seed = seed))
 
   /** Greedy embedding near-dup removal, keep-smallest-id (same loser
     * rule as [[minhashDedup]]): drops every row appearing as the larger
