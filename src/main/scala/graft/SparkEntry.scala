@@ -1487,95 +1487,106 @@ object SparkEntry {
       // recomputes all eight fields per family. Wrong dispatch, a
       // field mapped from the wrong parser, or any parser drift
       // breaks the hash.
-      val fam = pmod(col("doc_id"), lit(6L))
-      val k = floor(col("doc_id") / 6).cast(LongType)
-      // fam 0 — MP3: MPEG1 Layer III, one stereo frame
-      val mpRate = element_at(typedLit(Seq(44100L, 48000L, 32000L)),
-        (pmod(k, lit(3L)) + 1).cast("int"))
-      val brIdx = pmod(k, lit(14L)) + 1
-      val kbps = element_at(typedLit(Seq(32L, 40L, 48L, 56L, 64L, 80L, 96L,
-        112L, 128L, 160L, 192L, 224L, 256L, 320L)), brIdx.cast("int"))
-      val flen = floor(lit(144000L) * kbps / mpRate).cast(LongType)
-      val mp3Hex = concat(lit("fffb"),
-        b2(brIdx * 16 + pmod(k, lit(3L)) * 4), lit("00"),
-        repeat(lit("00"), (flen - 4).cast("int")))
-      // fam 1 — Ogg Vorbis: BOS id page + EOS data page
-      val oggCh = pmod(k, lit(3L)) + 1
-      val oggRate = element_at(typedLit(Seq(8000L, 22050L, 44100L, 48000L)),
-        (pmod(k, lit(4L)) + 1).cast("int"))
-      val granule = pmod(k, lit(50000L)) * 7 + 48000
-      val vorbisId = concat(lit("01766f72626973"), lit("00000000"),
-        b2(oggCh), leh(oggRate, 4), lit("00" * 12), lit("b8"), lit("01"))
-      def oggPage(hdrType: String, gran: Column, seq: Long, lace: Column,
-          payloadHex: Column) =
-        concat(lit("4f67675300"), lit(hdrType), leh(gran, 8),
-          leh(pmod(col("doc_id"), lit(1000000L)), 4), leh(lit(seq), 4),
-          lit("00000000"), lit("01"), b2(lace), payloadHex)
-      val oggHex = concat(
-        oggPage("02", lit(0L), 0L, lit(30L), vorbisId),
-        oggPage("04", granule, 1L, lit(20L), lit("00" * 20)))
-      // fam 2 — Matroska (same element layout as q_multimodal_mkv)
-      val durMs = Seq(1000L, 1500L, 2000L, 3000L, 4500L, 6000L, 30000L, 90000L)
-      val durHex = durMs.map(v => f"${java.lang.Float.floatToIntBits(v.toFloat)}%08x")
-      val rates = Seq(8000L, 16000L, 24000L, 44100L, 48000L)
-      val rateHex = rates.map(v => f"${java.lang.Float.floatToIntBits(v.toFloat)}%08x")
-      val even = pmod(k, lit(2L)) === 0
-      val w = pmod(k, lit(1280L)) + 16
-      val h = pmod(k, lit(720L)) + 16
-      val mkvCh = pmod(k, lit(2L)) + 1
-      val vCodec = when(even, lit("565f565038")).otherwise(lit("565f415631"))
-      val aCodec = when(even, lit("415f464c4143")).otherwise(lit("415f4f505553"))
-      val mkvHex = concat(
-        lit("1a45dfa38b4282886d6174726f736b61"), // header, DocType matroska
-        lit("18538067cf"),
-        lit("1549a9668e"), lit("2ad7b1830f4240"),
-        lit("448984"), element_at(typedLit(durHex), (pmod(k, lit(8L)) + 1).cast("int")),
-        lit("1654ae6bae"),
-        lit("ae94"), lit("838101"), lit("8685"), vCodec,
-        lit("e088"), lit("b082"), lpad(hex(w), 4, "0"),
-        lit("ba82"), lpad(hex(h), 4, "0"),
-        lit("ae96"), lit("838102"), lit("8686"), aCodec,
-        lit("e189"), lit("b584"),
-        element_at(typedLit(rateHex), (pmod(k, lit(5L)) + 1).cast("int")),
-        lit("9f81"), b2(mkvCh),
-        lit("1f43b67584deadbeef"))
-      // fam 3 — RIFF WAV: PCM u8 mono, k-varied rate and length
-      val wavRate = element_at(typedLit(Seq(8000L, 11025L, 16000L, 22050L)),
-        (pmod(k, lit(4L)) + 1).cast("int"))
-      val nSamp = pmod(k, lit(6L)) + 2
-      val wavHex = concat(
-        lit("52494646"), leh(nSamp + 36, 4), lit("57415645"),
-        lit("666d7420"), leh(lit(16L), 4), leh(lit(1L), 2), leh(lit(1L), 2),
-        leh(wavRate, 4), leh(wavRate, 4), leh(lit(1L), 2), leh(lit(8L), 2),
-        lit("64617461"), leh(nSamp, 4), repeat(lit("00"), nSamp.cast("int")))
-      // fam 4 — MP4: ftyp(isom) + moov[mvhd(ts, dur) + one video trak]
-      val mpTs = pmod(k, lit(900L)) + 100
-      val mpDur = pmod(k, lit(100000L)) + 1
-      val mpW = pmod(k, lit(1920L)) + 1
-      val mpH = pmod(k, lit(1080L)) + 1
-      def be32h(v: Column) = lpad(hex(v), 8, "0")
-      val mp4Hex = concat(
-        lit("0000001066747970"), lit("69736f6d"), lit("00000200"),
-        lit("000000d8"), lit("6d6f6f76"),
-        lit("0000006c"), lit("6d766864"), lit("00" * 12),
-        be32h(mpTs), be32h(mpDur), lit("00" * 80),
-        lit("00000064"), lit("7472616b"),
-        lit("0000005c"), lit("746b6864"), lit("00" * 76),
-        be32h(mpW * 65536), be32h(mpH * 65536))
-      // fam 5 — BMP: 24-bit BI_RGB, one row, k-varied width
-      val bmpW = pmod(k, lit(100L)) + 1
-      val bmpRow = floor((bmpW * 3 + 3) / 4).cast(LongType) * 4
-      val bmpHex = concat(
-        lit("424d"), leh(bmpRow + 54, 4), lit("00000000"),
-        leh(lit(54L), 4), leh(lit(40L), 4),
-        leh(bmpW, 4), leh(lit(1L), 4), leh(lit(1L), 2), leh(lit(24L), 2),
-        leh(lit(0L), 4), leh(bmpRow, 4),
-        lit("130b0000130b0000"), lit("00000000"), lit("00000000"),
-        repeat(lit("00"), bmpRow.cast("int")))
-      val payload = unhex(
-        when(fam === 0, mp3Hex).when(fam === 1, oggHex)
-          .when(fam === 2, mkvHex).when(fam === 3, wavHex)
-          .when(fam === 4, mp4Hex).otherwise(bmpHex))
+      // the fixture expression tree below (six container families of
+      // hex assembly) is only needed to STAGE the corpus. Profiled at
+      // sf0.1 (warm, local[32]): building these Column trees cost
+      // ~0.9 s of DRIVER time on every run vs ~0.75 s for the whole
+      // staged read+triage+sort+collect execution (of which the triage
+      // expression itself is ~0.04 s — an 8-field agg over the staged
+      // corpus runs 0.37 s vs 0.34 s for the bare read), so
+      // construction happens ONCE, inside the staging guard, and
+      // re-runs pay only the execution half.
+      def payload: Column = {
+        val fam = pmod(col("doc_id"), lit(6L))
+        val k = floor(col("doc_id") / 6).cast(LongType)
+        // fam 0 — MP3: MPEG1 Layer III, one stereo frame
+        val mpRate = element_at(typedLit(Seq(44100L, 48000L, 32000L)),
+          (pmod(k, lit(3L)) + 1).cast("int"))
+        val brIdx = pmod(k, lit(14L)) + 1
+        val kbps = element_at(typedLit(Seq(32L, 40L, 48L, 56L, 64L, 80L, 96L,
+          112L, 128L, 160L, 192L, 224L, 256L, 320L)), brIdx.cast("int"))
+        val flen = floor(lit(144000L) * kbps / mpRate).cast(LongType)
+        val mp3Hex = concat(lit("fffb"),
+          b2(brIdx * 16 + pmod(k, lit(3L)) * 4), lit("00"),
+          repeat(lit("00"), (flen - 4).cast("int")))
+        // fam 1 — Ogg Vorbis: BOS id page + EOS data page
+        val oggCh = pmod(k, lit(3L)) + 1
+        val oggRate = element_at(typedLit(Seq(8000L, 22050L, 44100L, 48000L)),
+          (pmod(k, lit(4L)) + 1).cast("int"))
+        val granule = pmod(k, lit(50000L)) * 7 + 48000
+        val vorbisId = concat(lit("01766f72626973"), lit("00000000"),
+          b2(oggCh), leh(oggRate, 4), lit("00" * 12), lit("b8"), lit("01"))
+        def oggPage(hdrType: String, gran: Column, seq: Long, lace: Column,
+            payloadHex: Column) =
+          concat(lit("4f67675300"), lit(hdrType), leh(gran, 8),
+            leh(pmod(col("doc_id"), lit(1000000L)), 4), leh(lit(seq), 4),
+            lit("00000000"), lit("01"), b2(lace), payloadHex)
+        val oggHex = concat(
+          oggPage("02", lit(0L), 0L, lit(30L), vorbisId),
+          oggPage("04", granule, 1L, lit(20L), lit("00" * 20)))
+        // fam 2 — Matroska (same element layout as q_multimodal_mkv)
+        val durMs = Seq(1000L, 1500L, 2000L, 3000L, 4500L, 6000L, 30000L, 90000L)
+        val durHex = durMs.map(v => f"${java.lang.Float.floatToIntBits(v.toFloat)}%08x")
+        val rates = Seq(8000L, 16000L, 24000L, 44100L, 48000L)
+        val rateHex = rates.map(v => f"${java.lang.Float.floatToIntBits(v.toFloat)}%08x")
+        val even = pmod(k, lit(2L)) === 0
+        val w = pmod(k, lit(1280L)) + 16
+        val h = pmod(k, lit(720L)) + 16
+        val mkvCh = pmod(k, lit(2L)) + 1
+        val vCodec = when(even, lit("565f565038")).otherwise(lit("565f415631"))
+        val aCodec = when(even, lit("415f464c4143")).otherwise(lit("415f4f505553"))
+        val mkvHex = concat(
+          lit("1a45dfa38b4282886d6174726f736b61"), // header, DocType matroska
+          lit("18538067cf"),
+          lit("1549a9668e"), lit("2ad7b1830f4240"),
+          lit("448984"), element_at(typedLit(durHex), (pmod(k, lit(8L)) + 1).cast("int")),
+          lit("1654ae6bae"),
+          lit("ae94"), lit("838101"), lit("8685"), vCodec,
+          lit("e088"), lit("b082"), lpad(hex(w), 4, "0"),
+          lit("ba82"), lpad(hex(h), 4, "0"),
+          lit("ae96"), lit("838102"), lit("8686"), aCodec,
+          lit("e189"), lit("b584"),
+          element_at(typedLit(rateHex), (pmod(k, lit(5L)) + 1).cast("int")),
+          lit("9f81"), b2(mkvCh),
+          lit("1f43b67584deadbeef"))
+        // fam 3 — RIFF WAV: PCM u8 mono, k-varied rate and length
+        val wavRate = element_at(typedLit(Seq(8000L, 11025L, 16000L, 22050L)),
+          (pmod(k, lit(4L)) + 1).cast("int"))
+        val nSamp = pmod(k, lit(6L)) + 2
+        val wavHex = concat(
+          lit("52494646"), leh(nSamp + 36, 4), lit("57415645"),
+          lit("666d7420"), leh(lit(16L), 4), leh(lit(1L), 2), leh(lit(1L), 2),
+          leh(wavRate, 4), leh(wavRate, 4), leh(lit(1L), 2), leh(lit(8L), 2),
+          lit("64617461"), leh(nSamp, 4), repeat(lit("00"), nSamp.cast("int")))
+        // fam 4 — MP4: ftyp(isom) + moov[mvhd(ts, dur) + one video trak]
+        val mpTs = pmod(k, lit(900L)) + 100
+        val mpDur = pmod(k, lit(100000L)) + 1
+        val mpW = pmod(k, lit(1920L)) + 1
+        val mpH = pmod(k, lit(1080L)) + 1
+        def be32h(v: Column) = lpad(hex(v), 8, "0")
+        val mp4Hex = concat(
+          lit("0000001066747970"), lit("69736f6d"), lit("00000200"),
+          lit("000000d8"), lit("6d6f6f76"),
+          lit("0000006c"), lit("6d766864"), lit("00" * 12),
+          be32h(mpTs), be32h(mpDur), lit("00" * 80),
+          lit("00000064"), lit("7472616b"),
+          lit("0000005c"), lit("746b6864"), lit("00" * 76),
+          be32h(mpW * 65536), be32h(mpH * 65536))
+        // fam 5 — BMP: 24-bit BI_RGB, one row, k-varied width
+        val bmpW = pmod(k, lit(100L)) + 1
+        val bmpRow = floor((bmpW * 3 + 3) / 4).cast(LongType) * 4
+        val bmpHex = concat(
+          lit("424d"), leh(bmpRow + 54, 4), lit("00000000"),
+          leh(lit(54L), 4), leh(lit(40L), 4),
+          leh(bmpW, 4), leh(lit(1L), 4), leh(lit(1L), 2), leh(lit(24L), 2),
+          leh(lit(0L), 4), leh(bmpRow, 4),
+          lit("130b0000130b0000"), lit("00000000"), lit("00000000"),
+          repeat(lit("00"), bmpRow.cast("int")))
+        unhex(
+          when(fam === 0, mp3Hex).when(fam === 1, oggHex)
+            .when(fam === 2, mkvHex).when(fam === 3, wavHex)
+            .when(fam === 4, mp4Hex).otherwise(bmpHex))
+      }
       // the six-family fixture corpus is assembled ONCE into a
       // per-(pid, sf) staging parquet and re-read on every run: the
       // benched/timed work is the triage DISPATCH + PARSE (the
@@ -1590,18 +1601,24 @@ object SparkEntry {
           .write.mode("overwrite").parquet(staged)
         java.lang.Boolean.TRUE
       })
+      // ONE copy of the (large) triage expression tree, projected as a
+      // struct below the sort and field-extracted above it: eight
+      // getField copies of the tree cost ~0.5 s of driver-side
+      // analysis per run (measured; the executed plan was already
+      // CSE'd to one evaluation either way)
       val tr = ops.Multimodal.triage(col("payload"))
       s.read.parquet(staged)
-        .select(col("doc_id"),
-          tr.getField("mime").as("mime"),
-          tr.getField("kind").as("kind"),
-          tr.getField("codec").as("codec"),
-          tr.getField("width").as("width"),
-          tr.getField("height").as("height"),
-          tr.getField("sample_rate").as("sample_rate"),
-          tr.getField("channels").as("channels"),
-          tr.getField("duration_s").as("duration_s"))
+        .select(col("doc_id"), tr.as("__t__"))
         .orderBy("doc_id")
+        .select(col("doc_id"),
+          col("__t__.mime").as("mime"),
+          col("__t__.kind").as("kind"),
+          col("__t__.codec").as("codec"),
+          col("__t__.width").as("width"),
+          col("__t__.height").as("height"),
+          col("__t__.sample_rate").as("sample_rate"),
+          col("__t__.channels").as("channels"),
+          col("__t__.duration_s").as("duration_s"))
     },
 
     "q_multimodal_decode_ulaw" -> { (s, dir) =>
