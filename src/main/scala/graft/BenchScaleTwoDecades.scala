@@ -35,7 +35,7 @@ import org.apache.spark.sql.SparkSession
   * Covers the heavy dedup set plus the ANN / pack / exact-dedup
   * families (documents + embeddings only — the tables ScaleCorpus
   * replicates). Output: one JSON line to stdout and
-  * BENCH_SCALE_r12.json in the working directory.
+  * BENCH_SCALE_r13.json in the working directory.
   *
   * Usage: BenchScaleTwoDecades [loDir midDir hiDir xhiDir]  (defaults:
   * /root/testdata/sf0.01, /root/testdata/sf0.1, /tmp/graft-sf1,
@@ -49,7 +49,20 @@ object BenchScaleTwoDecades {
 
   val queries: Seq[String] = BenchScale.heavyQueries ++ Seq(
     "q_dedup_exact", "q_dedup_semantic", "q_dedup_semantic_fixed",
-    "q_simsearch_ivf", "q_simsearch_lsh", "q_pack")
+    "q_simsearch_ivf", "q_simsearch_lsh", "q_pack",
+    "q_simsearch_quant", "q_project_rp_full")
+
+  /** Scale-only run shapes that are not gate queries: the gate form of
+    * q_project_rp caps at 300 vectors (the oracle's brute-force
+    * scope), which would measure filter pruning, not the operator —
+    * the scale row projects the FULL corpus (one codegen'd pass,
+    * expect flat-to-linear, like q_simsearch_quant's full-corpus
+    * fit+encode+score, which runs as its gate form unchanged). */
+  val extraThunks: Map[String, (SparkSession, String) => org.apache.spark.sql.DataFrame] =
+    Map("q_project_rp_full" -> ((s, dir) =>
+      ops.VectorOps.randomProject(
+        Tables.load(s, dir, "embeddings"), "vec_id", "embedding",
+        outDim = 16, tag = "rp")))
 
   /** Worst families by mid→hi slope in BENCH_SCALE_r10 (+ the cluster
     * path and the default corpus-sized semantic): these also run the
@@ -62,7 +75,7 @@ object BenchScaleTwoDecades {
   val xhiQueries: Seq[String] = Seq(
     "q_dedup_semantic", "q_dedup_minhash",
     "q_dedup_cross", "q_dedup_minhash_cluster", "q_dedup_cluster",
-    "q_prep_mix")
+    "q_prep_mix", "q_simsearch_quant", "q_project_rp_full")
 
   /** xhi is 26 replicas vs hi's 10: 0.415 decades. */
   private val xhiDecades = math.log10(26.0 / 10.0)
@@ -81,7 +94,7 @@ object BenchScaleTwoDecades {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    val qmap = SparkEntry.queries
+    val qmap = SparkEntry.queries ++ extraThunks
     val missing = queries.filterNot(qmap.contains)
     require(missing.isEmpty, s"BenchScaleTwoDecades: unknown queries $missing")
 
@@ -176,7 +189,7 @@ object BenchScaleTwoDecades {
       s""""synthetic_hi":true,"xhi_replicas":26,"queries":{${entries.mkString(",")}},""" +
       s""""attribution":$attribution}"""
     try java.nio.file.Files.writeString(
-      java.nio.file.Path.of("BENCH_SCALE_r12.json"), line + "\n")
+      java.nio.file.Path.of("BENCH_SCALE_r13.json"), line + "\n")
     catch { case e: Exception => System.err.println(s"[bench-scale2] write failed: $e") }
     println(line)
     spark.stop()
