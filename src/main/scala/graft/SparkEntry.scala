@@ -2480,6 +2480,35 @@ object SparkEntry {
         .orderBy("doc_id")
     },
 
+    "q_bpe_roundtrip" -> { (s, dir) =>
+      // encode → decode closes the loop on real corpus text: Bpe.decode
+      // of the real tokenizer's stream must equal the
+      // whitespace-NORMALIZED text, which the oracle states with one
+      // regexp — encoder losslessness (every character lands in some
+      // token, in order) and the detokenizer proven together.
+      val bc = bpeGateBc(s)
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          ops.Bpe.decode(ops.Bpe.tokens(col("text"), bc)).as("detok"))
+        .orderBy("doc_id")
+    },
+
+    "q_mixture_audit" -> { (s, dir) =>
+      // the launch-time audit verb over a token-budget cut: per-lang
+      // kept docs, realized weight, budget, utilization, and the
+      // overshoot contract (realized < budget + largest kept weight)
+      // restated as data. The oracle replays the cut AND the audit
+      // independently, so a drift in either breaks the hash.
+      val budgets = Seq("en" -> 30000L, "de" -> 8000L, "zh" -> 40000L)
+      val cut = ops.Sampling.sampleByTokenBudget(
+        t(s, dir, "documents"), col("doc_id"), "lang", "n_chars",
+        budgets, ":tb7")
+      ops.Sampling.mixtureAudit(cut, "lang", "n_chars", budgets)
+        .select("lang", "n_docs", "realized", "budget",
+          "utilization", "within_one_doc")
+        .orderBy("lang")
+    },
+
     "q_pack_bpe" -> { (s, dir) =>
       // packed pretraining shards budgeted in REAL BPE tokens (same
       // concat-and-chunk arithmetic as q_shards, real-tokenizer unit):
@@ -4491,6 +4520,47 @@ WHERE cum_before < CASE lang WHEN 'en' THEN 25000
                              WHEN 'de' THEN 6000
                              WHEN 'zh' THEN 30000 END
 ORDER BY doc_id""",
+
+    // decode(tokens(text)) must equal the whitespace-normalized text —
+    // the oracle states it with one regexp
+    "q_bpe_roundtrip" ->
+      """SELECT doc_id,
+        |  trim(regexp_replace(text, '[ \t\n\x0b\f\r]+', ' ', 'g')) AS detok
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // the oracle replays the budget cut (the q_sample_budget CTE) and
+    // the per-stratum audit arithmetic independently
+    "q_mixture_audit" ->
+      """WITH h AS (
+        |  SELECT doc_id, lang, n_chars,
+        |         substr(md5(cast(doc_id AS VARCHAR) || ':tb7'), 1, 12) AS hx
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, lang, n_chars,
+        |         cast(coalesce(sum(n_chars) OVER (
+        |           PARTITION BY lang ORDER BY hx, doc_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+        |           AS cum_before
+        |  FROM h),
+        |kept AS (
+        |  SELECT lang, cast(coalesce(n_chars, 0) AS BIGINT) AS w FROM c
+        |  WHERE cum_before < CASE lang WHEN 'en' THEN 30000
+        |                               WHEN 'de' THEN 8000
+        |                               WHEN 'zh' THEN 40000 END)
+        |SELECT lang, count(*) AS n_docs,
+        |  cast(sum(w) AS BIGINT) AS realized,
+        |  CASE lang WHEN 'en' THEN cast(30000 AS BIGINT)
+        |            WHEN 'de' THEN cast(8000 AS BIGINT)
+        |            ELSE cast(40000 AS BIGINT) END AS budget,
+        |  cast(sum(w) AS DOUBLE) / (CASE lang WHEN 'en' THEN 30000
+        |                                      WHEN 'de' THEN 8000
+        |                                      ELSE 40000 END) AS utilization,
+        |  cast(sum(w) AS BIGINT) < (CASE lang WHEN 'en' THEN 30000
+        |                                      WHEN 'de' THEN 8000
+        |                                      ELSE 40000 END) + max(w)
+        |    AS within_one_doc
+        |FROM kept GROUP BY lang
+        |ORDER BY lang""".stripMargin,
 
     // shards budgeted in real BPE tokens: the recursive-CTE token
     // counts feed the q_shards prefix-sum + grouping arithmetic

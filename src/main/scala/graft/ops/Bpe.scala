@@ -174,6 +174,22 @@ object Bpe {
       modelBc: Broadcast[BpeModel]): DataFrame =
     df.withColumn(outCol, tokenCount(col(textCol), modelBc))
 
+  /** Inverse of [[tokens]] (detokenize — the inspection/debug verb a
+    * tokenized corpus needs): concatenate the token strings and split
+    * on the end-of-word markers. Reconstructs the
+    * whitespace-NORMALIZED text (single spaces — the whitespace run
+    * class is not invertible past that). Pure Column arithmetic, no
+    * shuffle. A word whose raw characters spell out the marker
+    * re-splits there — inherent to any in-band marker scheme; corpora
+    * where that matters should pre-escape the marker text. */
+  def decode(toks: Column): Column =
+    array_join(
+      filter(
+        split(array_join(toks, ""),
+          java.util.regex.Pattern.quote(graft.functions.BpeUtil.EndOfWord)),
+        x => length(x) > 0),
+      " ")
+
   /** One-table model persistence, LmScore-convention: (rank, left,
     * right), executor-side materialization. */
   def saveModel(spark: SparkSession, m: BpeModel, path: String): Unit = {

@@ -150,6 +150,35 @@ object Sampling {
       .drop("__tbh__")
   }
 
+  /** Mixture AUDIT — the check a training launch runs over a
+    * [[sampleByTokenBudget]] cut before shipping it: per-stratum kept
+    * documents, realized weight, the budget it was cut against,
+    * utilization, and `within_one_doc` — the op's overshoot contract
+    * (the exclusive-prefix filter keeps exactly the crossing document,
+    * so realized < budget + the largest kept weight) restated as data,
+    * so a drifted cut is visible in the audit table, not just in a
+    * test. ONE hash aggregate over the cut; strata absent from
+    * `budgets` audit with NULL budget/utilization (they should not
+    * appear in a faithful cut at all). */
+  def mixtureAudit(
+      sampled: DataFrame, stratumCol: String, weightCol: String,
+      budgets: Seq[(String, Long)]): DataFrame = {
+    val budget = budgets.foldRight(lit(null).cast("long")) {
+      case ((label, b), els) => when(col(stratumCol) === label, lit(b)).otherwise(els)
+    }
+    val w = coalesce(col(weightCol).cast("long"), lit(0L))
+    sampled.groupBy(col(stratumCol))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(w).as("realized"),
+        max(w).as("__maxw__"))
+      .withColumn("budget", budget)
+      .withColumn("utilization",
+        col("realized").cast("double") / col("budget").cast("double"))
+      .withColumn("within_one_doc",
+        col("realized") < col("budget") + col("__maxw__"))
+      .drop("__maxw__")
+  }
+
   /** Deterministic corpus shuffle: a TOTAL order by the same
     * engine-portable (key, salt) hash as [[sampleByHash]] —
     * reproducible training-order randomization. Rerun it and get the

@@ -138,6 +138,18 @@ class BpeSpec extends AnyFunSuite {
     assert(rows(1).isNullAt(0))
   }
 
+  test("decode inverts tokens up to whitespace normalization") {
+    val corpus = Seq("the cat sat on the mat", "the thin cat").toDF("text")
+    val m = Bpe.train(corpus, "text", numMerges = 20, minPairCount = 2)
+    val bc = Bpe.broadcastModel(spark, m)
+    val rows = Seq("the  cat\tsat ", "", "  ", null: String).toDF("text")
+      .select(Bpe.decode(Bpe.tokens(col("text"), bc))).collect()
+    assert(rows(0).getString(0) == "the cat sat")
+    assert(rows(1).getString(0) == "")
+    assert(rows(2).getString(0) == "")
+    assert(rows(3).isNullAt(0))
+  }
+
   test("withTokenCount wires the real count as a weight column usable by the budget ops") {
     val corpus = (1 to 50).map(_ => "alpha beta alpha").toDF("text")
     val m = Bpe.train(corpus, "text", numMerges = 30, minPairCount = 2)

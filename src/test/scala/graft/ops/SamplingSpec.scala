@@ -162,6 +162,27 @@ class SamplingSpec extends AnyFunSuite {
     assert(all == Set(10L))
   }
 
+  test("mixtureAudit: realized/budget/contract per stratum over a cut") {
+    val df = Seq(
+      ("a", 1L, 100L), ("a", 2L, 100L), ("a", 3L, 100L),
+      ("b", 10L, 7L)).toDF("s", "k", "tok")
+    val budgets = Seq("a" -> 150L, "b" -> 1000L)
+    val cut = Sampling.sampleByTokenBudget(df, col("k"), "s", "tok", budgets, ":t")
+    val audit = Sampling.mixtureAudit(cut, "s", "tok", budgets)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4), r.getBoolean(5)))).toMap
+    // a: 150-token budget over 100-token docs keeps exactly two (the
+    // second crosses); realized 200, utilization 4/3, within one doc
+    assert(audit("a") == ((2L, 200L, 150L, 200.0 / 150.0, true)))
+    // b: budget exceeds the stratum — keep-all, utilization < 1
+    assert(audit("b") == ((1L, 7L, 1000L, 7.0 / 1000.0, true)))
+    // a stratum absent from the budget list audits with NULL budget
+    val foreign = Sampling.mixtureAudit(
+      Seq(("z", 1L, 5L)).toDF("s", "k", "tok"), "s", "tok", budgets)
+      .collect().head
+    assert(foreign.isNullAt(3) && foreign.isNullAt(4) && foreign.isNullAt(5))
+  }
+
   test("sampleByTokenBudget: a binary stratum column gets correct offsets (value equality)") {
     // collected BinaryType cells are Array[Byte] — reference equality
     // in the driver fold would reset the offset at EVERY bucket and
