@@ -2480,6 +2480,20 @@ object SparkEntry {
         .orderBy("doc_id")
     },
 
+    "q_chunk_bpe" -> { (s, dir) =>
+      // context-window chunking in REAL tokenizer tokens — the third
+      // budget-unit consumer (after sampling and packing): greedy
+      // word-fill to ≤24 BPE tokens per chunk under the q_bpe_encode
+      // model. The oracle re-derives every per-word token count from
+      // the stated merges (the recursive-CTE encoder) and replays the
+      // greedy fold as a second recursion over word positions — chunk
+      // boundaries, texts, and token sums all under the hash.
+      val bc = bpeGateBc(s)
+      ops.Bpe.chunkByTokenCount(t(s, dir, "documents"), "doc_id", "text",
+        maxTokens = 24, bc)
+        .orderBy("doc_id", "chunk_id")
+    },
+
     "q_bpe_roundtrip" -> { (s, dir) =>
       // encode → decode closes the loop on real corpus text: Bpe.decode
       // of the real tokenizer's stream must equal the
@@ -4520,6 +4534,43 @@ WHERE cum_before < CASE lang WHEN 'en' THEN 25000
                              WHEN 'de' THEN 6000
                              WHEN 'zh' THEN 30000 END
 ORDER BY doc_id""",
+
+    // the greedy word-fill replayed as a second recursion over word
+    // positions, with per-word costs from the stated-merges encoder
+    "q_chunk_bpe" ->
+      (s"""WITH RECURSIVE
+$bpeOracleDocTokCte,""" + """
+wraw AS (
+  SELECT doc_id,
+    unnest(list_transform(range(1, len(arr) + 1),
+      i -> struct_pack(pos0 := i, word := arr[i])), recursive := true)
+  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '[ \t\n\x0b\f\r]+') AS arr
+        FROM documents WHERE text IS NOT NULL)),
+wnum AS (
+  SELECT doc_id, word,
+    row_number() OVER (PARTITION BY doc_id ORDER BY pos0) AS pos
+  FROM wraw WHERE length(word) > 0),
+wcost AS (SELECT w.doc_id, w.pos, w.word, t.n_tok FROM wnum w JOIN wtok t USING (word)),
+greedy AS (
+  SELECT doc_id, pos, word, n_tok, 0 AS chunk, n_tok AS used
+  FROM wcost WHERE pos = 1
+  UNION ALL
+  SELECT w.doc_id, w.pos, w.word, w.n_tok,
+    CASE WHEN g.used > 0 AND g.used + w.n_tok > 24 THEN g.chunk + 1 ELSE g.chunk END,
+    CASE WHEN g.used > 0 AND g.used + w.n_tok > 24 THEN w.n_tok ELSE g.used + w.n_tok END
+  FROM greedy g JOIN wcost w ON w.doc_id = g.doc_id AND w.pos = g.pos + 1),
+chunks AS (
+  SELECT doc_id, chunk AS chunk_id,
+    string_agg(word, ' ' ORDER BY pos) AS chunk_text,
+    cast(sum(n_tok) AS INTEGER) AS n_chunk_tokens
+  FROM greedy GROUP BY doc_id, chunk),
+empties AS (
+  SELECT d.doc_id, 0 AS chunk_id, '' AS chunk_text, 0 AS n_chunk_tokens
+  FROM documents d WHERE d.text IS NOT NULL
+    AND d.doc_id NOT IN (SELECT DISTINCT doc_id FROM chunks))
+SELECT doc_id, cast(chunk_id AS INTEGER) AS chunk_id, chunk_text, n_chunk_tokens
+FROM (SELECT * FROM chunks UNION ALL SELECT * FROM empties)
+ORDER BY doc_id, chunk_id"""),
 
     // decode(tokens(text)) must equal the whitespace-normalized text —
     // the oracle states it with one regexp

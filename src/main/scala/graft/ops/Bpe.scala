@@ -174,6 +174,19 @@ object Bpe {
       modelBc: Broadcast[BpeModel]): DataFrame =
     df.withColumn(outCol, tokenCount(col(textCol), modelBc))
 
+  /** Context-window chunking in REAL tokenizer tokens — the third
+    * budget-unit consumer after [[graft.ops.Sampling.sampleByTokenBudget]]
+    * and [[graft.ops.Packing]] ([[graft.ops.TextOps.chunkDocumentsByCost]]
+    * with the model's per-word token count as the cost): greedy
+    * word-fill to at most `maxTokens` BPE tokens per chunk, so chunk
+    * sizes line up with what a context window actually holds instead
+    * of a whitespace proxy. */
+  def chunkByTokenCount(
+      df: DataFrame, idCol: String, textCol: String, maxTokens: Int,
+      modelBc: Broadcast[BpeModel]): DataFrame =
+    graft.ops.TextOps.chunkDocumentsByCost(df, idCol, textCol, maxTokens,
+      w => tokenCount(w, modelBc))
+
   /** Inverse of [[tokens]] (detokenize — the inspection/debug verb a
     * tokenized corpus needs): concatenate the token strings and split
     * on the end-of-word markers. Reconstructs the

@@ -138,6 +138,48 @@ class BpeSpec extends AnyFunSuite {
     assert(rows(1).isNullAt(0))
   }
 
+  test("chunkByTokenCount: greedy fill, oversized word alone, chunks rebuild the text") {
+    val corpus = (1 to 50).map(_ => "aa bb aa").toDF("text")
+    val m = Bpe.train(corpus, "text", numMerges = 30, minPairCount = 2)
+    val bc = Bpe.broadcastModel(spark, m)
+    // learned words cost 1 token; unseen "zqxj" costs cp+1 = 5
+    val df = Seq(
+      (1L, "aa bb aa bb aa"),          // 5x cost-1 -> budget 2: [2,2,1]
+      (2L, "aa zqxj aa"),              // 1 + 5 + 1 -> 5-budget: [aa], [zqxj], [aa]? greedy: aa(1), zqxj would make 6>5 -> new chunk (5), aa would make 6>5 -> new chunk
+      (3L, null.asInstanceOf[String])) // NULL text -> no chunks
+      .toDF("id", "text")
+    val chunks = Bpe.chunkByTokenCount(df, "id", "text", maxTokens = 2, bc)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getInt(3)))
+    val doc1 = chunks.filter(_._1 == 1L).sortBy(_._2)
+    assert(doc1.map(c => (c._3, c._4)).toSeq ==
+      Seq(("aa bb", 2), ("aa bb", 2), ("aa", 1)))
+    assert(chunks.forall(_._1 != 3L))
+    // budget 5: the oversized-ish middle word still lands alone
+    val doc2 = Bpe.chunkByTokenCount(df.filter(col("id") === 2L), "id", "text",
+      maxTokens = 5, bc).collect().map(r => (r.getInt(1), r.getString(2), r.getInt(3)))
+      .sortBy(_._1)
+    assert(doc2.map(c => (c._2, c._3)).toSeq ==
+      Seq(("aa", 1), ("zqxj", 5), ("aa", 1)))
+    // invariants on real data: chunk texts rebuild the normalized doc,
+    // chunk costs sum to the doc's total token count
+    val docs = graft.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+      .filter(col("doc_id") < 50)
+    val ch = Bpe.chunkByTokenCount(docs, "doc_id", "text", maxTokens = 24, bc)
+    val rebuilt = ch.groupBy("doc_id")
+      .agg(concat_ws(" ", transform(
+        array_sort(collect_list(struct(col("chunk_id"), col("chunk_text")))),
+        s => s.getField("chunk_text"))).as("re"),
+        sum("n_chunk_tokens").as("tot"))
+    val joined = docs.select(col("doc_id"),
+      regexp_replace(trim(col("text")), "\\s+", " ").as("norm"),
+      Bpe.tokenCount(col("text"), bc).as("n"))
+      .join(rebuilt, "doc_id").collect()
+    joined.foreach { r =>
+      assert(r.getAs[String]("re") == r.getAs[String]("norm"))
+      assert(r.getAs[Long]("tot") == r.getAs[Int]("n").toLong)
+    }
+  }
+
   test("decode inverts tokens up to whitespace normalization") {
     val corpus = Seq("the cat sat on the mat", "the thin cat").toDF("text")
     val m = Bpe.train(corpus, "text", numMerges = 20, minPairCount = 2)
