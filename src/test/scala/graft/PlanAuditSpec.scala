@@ -261,6 +261,43 @@ class PlanAuditSpec extends AnyFunSuite {
       s"generator child re-evaluates the chunk transform per output row: $genLine")
   }
 
+  test("chunkByTokenCount plans as pure projection + generate — no shuffle at all") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val m = ops.Bpe.train(docs.limit(50), "text", numMerges = 10, minPairCount = 2)
+    val bc = ops.Bpe.broadcastModel(spark, m)
+    val df = ops.Bpe.chunkByTokenCount(docs, "doc_id", "text",
+      maxTokens = 24, bc) // audit the op, not the gate's ORDER BY
+    val s = planString(executed(df))
+    assert(s.contains("Generate"), s"no generate in plan:\n$s")
+    assert(!s.contains("Exchange"), s"chunking must not shuffle:\n$s")
+    val genLine = s.linesIterator.find(_.trim.startsWith("Generate"))
+      .getOrElse(fail(s"no Generate line:\n$s"))
+    assert(!genLine.contains("transform("),
+      s"generator child re-evaluates the chunk build per output row: $genLine")
+  }
+
+  test("q_sample_budget_bpe keeps the bucket-partitioned windows under the real-token weight") {
+    val s = planString(executed(SparkEntry.queries("q_sample_budget_bpe")(spark, dir)))
+    val windows = s.linesIterator.filter(_.contains("windowspecdefinition")).toSeq
+    assert(windows.nonEmpty, s"no window in plan:\n$s")
+    windows.foreach(l =>
+      assert(l.contains("__b__"), s"window not bucket-partitioned: $l"))
+    assert(s.contains("BroadcastHashJoin"), s"offsets not broadcast:\n$s")
+  }
+
+  test("q_warc_linkage stays equi-join shaped — no nested loop, no cartesian") {
+    val s = planString(executed(SparkEntry.queries("q_warc_linkage")(spark, dir)))
+    assert(!s.contains("BroadcastNestedLoopJoin") && !s.contains("CartesianProduct"),
+      s"linkage must stay hash/merge-joined:\n$s")
+    // the key-set explode runs on SLIM id projections, never on the
+    // payload-carrying rows: no Generate may carry the payload column
+    val genLines = s.linesIterator.filter(_.trim.startsWith("Generate")).toSeq
+    assert(genLines.nonEmpty, s"expected the key-set explode:\n$s")
+    genLines.foreach(l =>
+      assert(!l.contains("payload"),
+        s"key-set explode carries fat payload rows: $l"))
+  }
+
   test("q_boilerplate joins stay hash-based with doc-bounded aggregation") {
     val s = planString(executed(SparkEntry.queries("q_boilerplate")(spark, dir)))
     // line-frequency count and per-doc rebuild are hash aggregates;

@@ -78,6 +78,51 @@ class BpeSpec extends AnyFunSuite {
     }
   }
 
+  test("encoder == naive greedy reference on random texts under random trained models") {
+    // the hot encoder (two-level rank map, LRU cache, in-place merge
+    // loop) against a from-the-definition reference implemented with
+    // none of its machinery: the lowest-rank pair present is found by
+    // scanning the rank-ordered merge LIST, and its occurrences merge
+    // left-to-right non-overlapping via an immutable fold
+    def naiveEncode(word: String, m: BpeModel): Seq[String] = {
+      var syms = BpeUtil.initialSymbols(word).toSeq
+      var done = false
+      while (!done && syms.length > 1) {
+        val present = syms.zip(syms.tail).toSet
+        m.merges.find(present.contains) match {
+          case None => done = true
+          case Some((l, r)) =>
+            val out = scala.collection.mutable.ListBuffer.empty[String]
+            var i = 0
+            while (i < syms.length) {
+              if (i < syms.length - 1 && syms(i) == l && syms(i + 1) == r) {
+                out += l + r; i += 2
+              } else { out += syms(i); i += 1 }
+            }
+            syms = out.toSeq
+        }
+      }
+      syms
+    }
+    val word: Gen[String] = for {
+      n <- Gen.chooseNum(1, 8)
+      cs <- Gen.listOfN(n, Gen.oneOf("a", "b", "c", "d", "é"))
+    } yield cs.mkString
+    val corpusGen: Gen[Seq[(String, Long)]] = for {
+      n <- Gen.chooseNum(2, 20)
+      ws <- Gen.listOfN(n, word)
+      cs <- Gen.listOfN(n, Gen.chooseNum(1L, 30L))
+    } yield ws.distinct.zip(cs)
+    forSamples(Gen.zip(corpusGen, Gen.listOfN(20, word)), 150) { case (dict, texts) =>
+      val m = Bpe.trainFromWordCounts(dict, numMerges = 15, minPairCount = 2)
+      texts.foreach { w =>
+        val fast = BpeUtil.encodeWord(w, m).toSeq
+        val ref = naiveEncode(w, m)
+        assert(fast == ref, s"word=$w merges=${m.merges.toSeq}\nfast=$fast\nref=$ref")
+      }
+    }
+  }
+
   test("encode round-trips the text: tokens minus markers rebuild every word") {
     val corpus = Seq(
       "the cat sat on the mat", "the thin cat", "on and on and on",
