@@ -2480,6 +2480,24 @@ object SparkEntry {
         .orderBy("doc_id")
     },
 
+    "q_sample_temperature" -> { (s, dir) =>
+      // temperature mixture reweighting (sampling probability ∝
+      // stratum_size^0.5 — the multilingual-mixture standard) under
+      // the oracle: one stratum-count aggregate derives the per-lang
+      // keep fractions f = min(1, ((T·√n)/Σ√n)/n), then the scan-time
+      // hash cut. alpha=0.5 routes through correctly-rounded sqrt and
+      // the threshold floor(f·16^12) multiplies by a power of two
+      // (exact in binary FP), so DuckDB recomputes counts → weights →
+      // the label-ordered Σ → fractions → thresholds → the kept set
+      // BIT-identically. T=400 pushes one stratum past f≥1, so the
+      // keep-all branch is exercised too.
+      ops.Sampling.sampleByTemperature(
+        t(s, dir, "documents"), col("doc_id"), "lang",
+        targetDocs = 400, alpha = 0.5, salt = ":tmp13")
+        .select("doc_id", "lang")
+        .orderBy("doc_id")
+    },
+
     "q_chunk_bpe" -> { (s, dir) =>
       // context-window chunking in REAL tokenizer tokens — the third
       // budget-unit consumer (after sampling and packing): greedy
@@ -4534,6 +4552,32 @@ WHERE cum_before < CASE lang WHEN 'en' THEN 25000
                              WHEN 'de' THEN 6000
                              WHEN 'zh' THEN 30000 END
 ORDER BY doc_id""",
+
+    // counts → sqrt weights → the LABEL-ORDERED Σ (nested adds in
+    // de/en/es/fr/zh order — float addition order is part of the
+    // determinism contract) → fractions → floor(f·16^12) thresholds →
+    // the kept set, all recomputed independently
+    "q_sample_temperature" ->
+      """WITH n AS (
+        |  SELECT lang, count(*) AS c FROM documents
+        |  WHERE lang IS NOT NULL GROUP BY lang),
+        |w AS (SELECT lang, c, sqrt(cast(c AS DOUBLE)) AS wt FROM n),
+        |tot AS (SELECT
+        |  ((((coalesce(max(CASE WHEN lang='de' THEN wt END), 0.0)
+        |    + coalesce(max(CASE WHEN lang='en' THEN wt END), 0.0))
+        |    + coalesce(max(CASE WHEN lang='es' THEN wt END), 0.0))
+        |    + coalesce(max(CASE WHEN lang='fr' THEN wt END), 0.0))
+        |    + coalesce(max(CASE WHEN lang='zh' THEN wt END), 0.0)) AS s
+        |  FROM w),
+        |f AS (SELECT lang, ((400.0 * wt) / s) / cast(c AS DOUBLE) AS f FROM w, tot),
+        |thr AS (SELECT lang,
+        |  CASE WHEN f >= 1.0 THEN 'g'
+        |       ELSE lpad(lower(to_hex(cast(floor(f * 281474976710656.0) AS BIGINT))), 12, '0') END AS t
+        |  FROM f)
+        |SELECT d.doc_id, d.lang
+        |FROM documents d JOIN thr USING (lang)
+        |WHERE substr(md5(cast(d.doc_id AS VARCHAR) || ':tmp13'), 1, 12) < thr.t
+        |ORDER BY d.doc_id""".stripMargin,
 
     // the greedy word-fill replayed as a second recursion over word
     // positions, with per-word costs from the stated-merges encoder

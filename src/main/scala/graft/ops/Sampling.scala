@@ -150,6 +150,64 @@ object Sampling {
       .drop("__tbh__")
   }
 
+  /** Temperature reweighting fractions (the multilingual-mixture
+    * standard: sampling probability ∝ stratum_size^alpha; alpha < 1
+    * upweights small strata): per-stratum keep fractions for an
+    * expected `targetDocs`-document draw,
+    * `f_s = min(1, ((T · n_s^alpha) / Σ n^alpha) / n_s)`.
+    *
+    * Determinism contract (what puts the op under the DuckDB gate):
+    * strata fold into Σ in LABEL order; alpha = 0.5 routes through
+    * `sqrt` and alpha = 1.0 through the identity — both
+    * correctly-rounded IEEE, so with the stated operation order the
+    * fractions are bit-identical on any IEEE engine, and the hash
+    * thresholds `floor(f · 16^12)` are exact because 16^12 is a power
+    * of two (a binary-FP multiply by it is exact). Other alphas go
+    * through `pow` — libm, engine-approximate — fine for production
+    * mixing, not for a cross-engine hash gate. */
+  def temperatureFractions(
+      counts: Seq[(String, Long)], targetDocs: Long,
+      alpha: Double): Seq[(String, Double)] = {
+    require(targetDocs > 0, s"targetDocs must be positive, got $targetDocs")
+    require(alpha > 0, s"alpha must be positive, got $alpha")
+    require(counts.forall(_._2 > 0), "stratum counts must be positive")
+    val sorted = counts.sortBy(_._1)
+    def w(n: Long): Double =
+      if (alpha == 0.5) math.sqrt(n.toDouble)
+      else if (alpha == 1.0) n.toDouble
+      else math.pow(n.toDouble, alpha)
+    val sigma = sorted.foldLeft(0.0) { case (acc, (_, n)) => acc + w(n) }
+    sorted.map { case (s, n) =>
+      s -> math.min(1.0, ((targetDocs.toDouble * w(n)) / sigma) / n.toDouble)
+    }
+  }
+
+  /** Temperature mixture sampling in one call: ONE small aggregate
+    * (stratum cardinality — driver-bounded, loud past `maxStrata`)
+    * computes [[temperatureFractions]], then the [[sampleByStratum]]
+    * scan-time cut — the corpus itself is never shuffled. Rows with a
+    * NULL stratum are dropped (no label, no share — the
+    * [[sampleByTokenBudget]] budget-less rule); an empty corpus
+    * passes through empty. */
+  def sampleByTemperature(
+      df: DataFrame, key: Column, stratumCol: String, targetDocs: Long,
+      alpha: Double, salt: String, maxStrata: Int = 100000): DataFrame = {
+    require(maxStrata > 0, "maxStrata must be positive")
+    val rows = df.filter(col(stratumCol).isNotNull)
+      .groupBy(col(stratumCol)).count()
+      .orderBy(col(stratumCol)).limit(maxStrata + 1).collect()
+    require(rows.length <= maxStrata,
+      s"sampleByTemperature: more than $maxStrata strata — the fraction " +
+        "table is driver-held; pre-bucket the stratum column")
+    if (rows.isEmpty) df.filter(col(stratumCol).isNotNull)
+    else {
+      val counts = rows.map(r => (r.get(0).toString, r.getLong(1))).toSeq
+      sampleByStratum(df, key, col(stratumCol),
+        temperatureFractions(counts, targetDocs, alpha),
+        defaultFraction = 0.0, salt)
+    }
+  }
+
   /** Mixture AUDIT — the check a training launch runs over a
     * [[sampleByTokenBudget]] cut before shipping it: per-stratum kept
     * documents, realized weight, the budget it was cut against,

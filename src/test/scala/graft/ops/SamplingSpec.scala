@@ -162,6 +162,45 @@ class SamplingSpec extends AnyFunSuite {
     assert(all == Set(10L))
   }
 
+  test("temperatureFractions: formula, clamp, label-order determinism; sampler drops null strata") {
+    // alpha=1 is proportional: every stratum keeps T/total
+    val prop = Sampling.temperatureFractions(
+      Seq("a" -> 300L, "b" -> 100L), targetDocs = 100, alpha = 1.0).toMap
+    assert(math.abs(prop("a") - 0.25) < 1e-12 && math.abs(prop("b") - 0.25) < 1e-12)
+    // alpha=0.5 upweights the small stratum; formula hand-checked
+    val t = Sampling.temperatureFractions(
+      Seq("a" -> 400L, "b" -> 100L), targetDocs = 100, alpha = 0.5).toMap
+    val sigma = math.sqrt(400.0) + math.sqrt(100.0) // label order a, b
+    assert(t("a") == ((100.0 * 20.0) / sigma) / 400.0)
+    assert(t("b") == ((100.0 * 10.0) / sigma) / 100.0)
+    assert(t("b") > t("a"))
+    // tiny stratum clamps at keep-all
+    val c = Sampling.temperatureFractions(
+      Seq("a" -> 10000L, "b" -> 2L), targetDocs = 5000, alpha = 0.5).toMap
+    assert(c("b") == 1.0)
+    // the one-call sampler: null strata dropped, kept set is the
+    // per-stratum hash cut at the computed fractions
+    val df = (1 to 200).map(i => (i.toLong, if (i % 5 == 0) null else if (i % 2 == 0) "x" else "y"))
+      .toDF("k", "s")
+    val kept = Sampling.sampleByTemperature(df, col("k"), "s",
+      targetDocs = 100, alpha = 0.5, salt = ":tt")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(kept.forall(_._2 != null))
+    val counts = df.filter(col("s").isNotNull).groupBy("s").count()
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val fr = Sampling.temperatureFractions(counts, 100, 0.5).toMap
+    val expect = df.filter(col("s").isNotNull)
+      .withColumn("h", Sampling.hashPrefix(col("k"), ":tt"))
+      .collect().filter { r =>
+        val f = fr(r.getString(1))
+        f >= 1.0 || r.getString(2) < Sampling.hexThreshold(f)
+      }.map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(kept.toSet == expect)
+    // empty corpus passes through empty, no throw
+    assert(Sampling.sampleByTemperature(df.filter(lit(false)), col("k"), "s",
+      100, 0.5, ":tt").count() == 0)
+  }
+
   test("mixtureAudit: realized/budget/contract per stratum over a cut") {
     val df = Seq(
       ("a", 1L, 100L), ("a", 2L, 100L), ("a", 3L, 100L),
