@@ -1413,6 +1413,42 @@ final class Pipeline private (
     add(MapStep("sampleByTokenBudget",
       graft.ops.Sampling.sampleByTokenBudget(_, col(keyCol), stratumCol,
         weightCol, budgets, salt)))
+
+  /** Temperature mixture sampling — keep fractions ∝ stratum_size^alpha
+    * toward an expected `targetDocs`-document draw
+    * ([[graft.ops.Sampling.sampleByTemperature]]). */
+  def sampleByTemperature(
+      keyCol: String, stratumCol: String, targetDocs: Long,
+      alpha: Double, salt: String): Pipeline =
+    add(MapStep("sampleByTemperature",
+      graft.ops.Sampling.sampleByTemperature(_, col(keyCol), stratumCol,
+        targetDocs, alpha, salt)))
+
+  /** Audit a token-budget cut against its budgets
+    * ([[graft.ops.Sampling.mixtureAudit]]). */
+  def mixtureAudit(
+      stratumCol: String, weightCol: String,
+      budgets: Seq[(String, Long)]): Pipeline =
+    add(MapStep("mixtureAudit",
+      graft.ops.Sampling.mixtureAudit(_, stratumCol, weightCol, budgets)))
+
+  /** Explode each document into chunks of ≤ `maxTokens` REAL tokenizer
+    * tokens ([[graft.ops.Bpe.chunkByTokenCount]] — greedy word-fill
+    * under a broadcast BPE model). */
+  def chunkByTokenCount(
+      idCol: String, textCol: String, maxTokens: Int,
+      modelBc: org.apache.spark.broadcast.Broadcast[graft.functions.BpeModel]): Pipeline =
+    add(MapStep("chunkByTokenCount",
+      graft.ops.Bpe.chunkByTokenCount(_, idCol, textCol, maxTokens, modelBc)))
+
+  /** Append the REAL tokenizer's token count of `textCol`
+    * ([[graft.ops.Bpe.withTokenCount]] — the budget unit for
+    * [[sampleByTokenBudget]]/[[packShards]]/[[buildShards]]). */
+  def withBpeTokenCount(
+      textCol: String, as: String,
+      modelBc: org.apache.spark.broadcast.Broadcast[graft.functions.BpeModel]): Pipeline =
+    add(MapStep("withBpeTokenCount",
+      graft.ops.Bpe.withTokenCount(_, textCol, as, modelBc)))
 }
 
 /** gratum SortConfig (SortConfig.groovy:8-13) — see [[Pipeline.sortWith]]. */

@@ -664,6 +664,36 @@ class PipelineSpec extends AnyFunSuite {
     } finally spark.sql(s"DROP TABLE IF EXISTS $tbl")
   }
 
+  test("round-13 mixture/tokenizer verbs flow through the chain == direct op calls") {
+    val docs = graft.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+      .filter(col("doc_id") < 100)
+    val m = graft.ops.Bpe.train(docs, "text", numMerges = 10, minPairCount = 2)
+    val bc = graft.ops.Bpe.broadcastModel(spark, m)
+    // temperature sampling verb == op
+    val viaVerb = Pipeline.of("docs", docs)
+      .sampleByTemperature("doc_id", "lang", targetDocs = 50, alpha = 0.5, salt = ":pv")
+      .toDF.select("doc_id").collect().map(_.getLong(0)).toSet
+    val viaOp = graft.ops.Sampling.sampleByTemperature(
+      docs, col("doc_id"), "lang", 50, 0.5, ":pv")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(viaVerb == viaOp && viaVerb.nonEmpty)
+    // BPE count + budget + audit chained
+    val audited = Pipeline.of("docs", docs)
+      .withBpeTokenCount("text", "n_bpe", bc)
+      .sampleByTokenBudget("doc_id", "lang", "n_bpe",
+        Seq("en" -> 2000L), ":pv2")
+      .mixtureAudit("lang", "n_bpe", Seq("en" -> 2000L))
+      .toDF.collect()
+    assert(audited.length == 1 && audited.head.getString(0) == "en")
+    assert(audited.head.getBoolean(audited.head.fieldIndex("within_one_doc")))
+    // real-token chunking verb == op
+    val chVerb = Pipeline.of("docs", docs)
+      .chunkByTokenCount("doc_id", "text", maxTokens = 30, bc)
+      .toDF.count()
+    val chOp = graft.ops.Bpe.chunkByTokenCount(docs, "doc_id", "text", 30, bc).count()
+    assert(chVerb == chOp && chVerb > 0)
+  }
+
   test("stepTimings covers every step; sinks get their own timing") {
     val dir = java.nio.file.Files.createTempDirectory("graft-timing").toString
     val stat = Pipeline.of(people)
