@@ -2480,6 +2480,21 @@ object SparkEntry {
         .orderBy("doc_id")
     },
 
+    "q_mixture_order" -> { (s, dir) =>
+      // stride-scheduled mixture interleaving under the oracle: the
+      // training ORDER for an en:de:zh = 4:1:2 mixture. Per-stratum
+      // hash-order ranks via the bucketed prefix-sum protocol,
+      // priority = (rank+1)/weight — rank+1 is double-exact and the
+      // division one IEEE op, so DuckDB recomputes every priority
+      // bit-identically from its own window ranks; es/fr are unlisted
+      // and must be dropped.
+      ops.Sampling.interleaveByWeight(
+        t(s, dir, "documents"), col("doc_id"), "lang",
+        Seq("en" -> 4.0, "de" -> 1.0, "zh" -> 2.0), ":mix13")
+        .select("doc_id", "lang", "mix_priority")
+        .orderBy("doc_id")
+    },
+
     "q_sample_temperature" -> { (s, dir) =>
       // temperature mixture reweighting (sampling probability ∝
       // stratum_size^0.5 — the multilingual-mixture standard) under
@@ -4552,6 +4567,24 @@ WHERE cum_before < CASE lang WHEN 'en' THEN 25000
                              WHEN 'de' THEN 6000
                              WHEN 'zh' THEN 30000 END
 ORDER BY doc_id""",
+
+    // per-stratum ranks in (md5-prefix, key) order, then one exact
+    // division per row — the textbook window form of the bucketed
+    // protocol the Spark side deliberately avoids
+    "q_mixture_order" ->
+      """WITH h AS (
+        |  SELECT doc_id, lang,
+        |         substr(md5(cast(doc_id AS VARCHAR) || ':mix13'), 1, 12) AS hx
+        |  FROM documents WHERE lang IN ('en', 'de', 'zh')),
+        |r AS (
+        |  SELECT doc_id, lang,
+        |         row_number() OVER (PARTITION BY lang ORDER BY hx, doc_id) AS rk
+        |  FROM h)
+        |SELECT doc_id, lang,
+        |  cast(rk AS DOUBLE) / (CASE lang WHEN 'en' THEN 4.0
+        |                                  WHEN 'de' THEN 1.0
+        |                                  ELSE 2.0 END) AS mix_priority
+        |FROM r ORDER BY doc_id""".stripMargin,
 
     // counts → sqrt weights → the LABEL-ORDERED Σ (nested adds in
     // de/en/es/fr/zh order — float addition order is part of the

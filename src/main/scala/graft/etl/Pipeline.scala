@@ -1424,6 +1424,15 @@ final class Pipeline private (
       graft.ops.Sampling.sampleByTemperature(_, col(keyCol), stratumCol,
         targetDocs, alpha, salt)))
 
+  /** Append the stride-scheduled training-order priority for a
+    * weighted mixture ([[graft.ops.Sampling.interleaveByWeight]]). */
+  def interleaveByWeight(
+      keyCol: String, stratumCol: String,
+      weights: Seq[(String, Double)], salt: String): Pipeline =
+    add(MapStep("interleaveByWeight",
+      graft.ops.Sampling.interleaveByWeight(_, col(keyCol), stratumCol,
+        weights, salt)))
+
   /** Audit a token-budget cut against its budgets
     * ([[graft.ops.Sampling.mixtureAudit]]). */
   def mixtureAudit(

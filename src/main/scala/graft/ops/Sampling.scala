@@ -208,6 +208,46 @@ object Sampling {
     }
   }
 
+  /** Deterministic proportional interleaving (stride scheduling — the
+    * order a data loader feeds a mixture to training): appends
+    * `mix_priority = (per-stratum rank + 1) / weight`, where the rank
+    * runs in the deterministic [[shuffleByHash]] (hash, key) order;
+    * sorting by (`mix_priority`, stratum, key) yields a total order in
+    * which each listed stratum appears with long-run frequency ∝ its
+    * weight — stratum s's k-th document sits at virtual time k/w_s, so
+    * any prefix holds each stratum's share in ratio of the weights
+    * (±1 document). Unlisted strata are dropped (a mixture lists what
+    * ships). Scale shape: the rank is the bucketed exclusive
+    * prefix-sum protocol at weight 1 ([[graft.ops.Packing]]'s — per
+    * (stratum, bucket) windows, never one window per stratum), the
+    * division a codegen'd projection; the SORT is the consumer's
+    * (usually per-shard after [[graft.ops.Packing.assignShards]], or a
+    * global range sort when a single serial order is really wanted).
+    * Rank + 1 is exact in a double (< 2^53) and the division is one
+    * correctly-rounded IEEE op — engine-portable, hash-gateable. */
+  def interleaveByWeight(
+      df: DataFrame, key: Column, stratumCol: String,
+      weights: Seq[(String, Double)], salt: String,
+      bucketHexDigits: Int = 2): DataFrame = {
+    require(weights.nonEmpty, "need at least one stratum weight")
+    require(weights.forall(_._2 > 0), "weights must be positive")
+    require(!df.columns.contains("__tbh__"),
+      "input already has a column named __tbh__")
+    val listed = df.filter(col(stratumCol).isin(weights.map(_._1): _*))
+      .withColumn("__tbh__", hashPrefix(key, salt))
+    val ranked = Packing.bucketedCumsum(
+      listed, Seq(stratumCol),
+      substring(col("__tbh__"), 1, bucketHexDigits),
+      Seq(col("__tbh__"), key),
+      lit(1L), "interleaveByWeight")
+    val wExpr = weights.foldRight(lit(null).cast("double")) {
+      case ((label, w), els) => when(col(stratumCol) === label, lit(w)).otherwise(els)
+    }
+    ranked
+      .withColumn("mix_priority", (col("cum_before") + 1).cast("double") / wExpr)
+      .drop("__tbh__", "cum_before")
+  }
+
   /** Mixture AUDIT — the check a training launch runs over a
     * [[sampleByTokenBudget]] cut before shipping it: per-stratum kept
     * documents, realized weight, the budget it was cut against,

@@ -285,6 +285,15 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(s.contains("BroadcastHashJoin"), s"offsets not broadcast:\n$s")
   }
 
+  test("q_mixture_order ranks via (stratum, bucket) windows with broadcast offsets") {
+    val s = planString(executed(SparkEntry.queries("q_mixture_order")(spark, dir)))
+    val windows = s.linesIterator.filter(_.contains("windowspecdefinition")).toSeq
+    assert(windows.nonEmpty, s"no window in plan:\n$s")
+    windows.foreach(l =>
+      assert(l.contains("__b__"), s"window not bucket-partitioned: $l"))
+    assert(s.contains("BroadcastHashJoin"), s"offsets not broadcast:\n$s")
+  }
+
   test("q_warc_linkage stays equi-join shaped — no nested loop, no cartesian") {
     val s = planString(executed(SparkEntry.queries("q_warc_linkage")(spark, dir)))
     assert(!s.contains("BroadcastNestedLoopJoin") && !s.contains("CartesianProduct"),

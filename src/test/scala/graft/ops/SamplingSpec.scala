@@ -162,6 +162,40 @@ class SamplingSpec extends AnyFunSuite {
     assert(all == Set(10L))
   }
 
+  test("interleaveByWeight: priorities == naive window form; prefixes hold the weight ratio") {
+    val df = (1 to 300).map(i =>
+      (i.toLong, if (i % 3 == 0) "a" else if (i % 3 == 1) "b" else "drop"))
+      .toDF("k", "s")
+    val weights = Seq("a" -> 3.0, "b" -> 1.0)
+    val got = Sampling.interleaveByWeight(df, col("k"), "s", weights, ":il")
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        r.getDouble(r.fieldIndex("mix_priority"))))
+    // unlisted stratum dropped
+    assert(got.forall(_._2 != "drop") && got.length == 200)
+    // naive reference: rank in (hash, key) order per stratum / weight
+    val wmap = weights.toMap
+    val ranks = df.filter(col("s") =!= "drop")
+      .withColumn("h", Sampling.hashPrefix(col("k"), ":il"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+      .groupBy(_._2).toSeq.flatMap { case (_, rows) =>
+        rows.sortBy(r => (r._3, r._1)).zipWithIndex
+          .map { case ((k, st, _), i) =>
+            (k, (i + 1).toDouble / wmap(st)) }.toSeq
+      }.toMap
+    got.foreach { case (k, _, p) => assert(p == ranks(k), s"k=$k") }
+    // the interleave property: in priority order, every prefix holds
+    // the strata within one stride of the 3:1 weight ratio
+    val ordered = got.sortBy(t => (t._3, t._2, t._1))
+    var na = 0; var nb = 0
+    ordered.foreach { case (_, s, _) =>
+      if (s == "a") na += 1 else nb += 1
+      // stratum b's k-th doc has priority k; a's 3k-th has priority k:
+      // after any prefix, na is within a stride (3) of 3*nb
+      assert(na <= 3 * (nb + 1) && 3 * nb <= 3 * (na + 3), s"prefix drifted: na=$na nb=$nb")
+    }
+    assert(na == 100 && nb == 100)
+  }
+
   test("temperatureFractions: formula, clamp, label-order determinism; sampler drops null strata") {
     // alpha=1 is proportional: every stratum keeps T/total
     val prop = Sampling.temperatureFractions(
