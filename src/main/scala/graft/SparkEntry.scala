@@ -2278,6 +2278,24 @@ object SparkEntry {
         .orderBy("shard_id")
     },
 
+    "q_shards_boundaries" -> { (s, dir) =>
+      // packed shards WITH the boundary table training needs (the
+      // block-diagonal attention-mask / position-reset offsets): same
+      // 512-token arithmetic as q_shards plus doc_offsets = exclusive
+      // prefix sums of member weights in shard order, exploded to
+      // scalar rows for the hash. DuckDB recomputes the offsets with
+      // the textbook per-shard window the Spark side's fold avoids.
+      val docs = t(s, dir, "documents")
+        .withColumn("n_tokens", ops.TextOps.tokenCount(col("text")).cast(LongType))
+      ops.Packing.buildShardsWithBoundaries(docs, "doc_id", "text", "n_tokens",
+        budget = 512, sep = "\n", bucketWidth = 100)
+        .select(col("shard_id"), col("n_docs"),
+          col("n_tokens").as("shard_tokens"),
+          md5(col("shard_text")).as("shard_md5"),
+          posexplode(col("doc_offsets")).as(Seq("pos", "doc_offset")))
+        .orderBy("shard_id", "pos")
+    },
+
     "q_boilerplate" -> { (s, dir) =>
       // CCNet/RefinedWeb-style boilerplate-line removal: both engines
       // append the same shared footer line to every doc (plus the
@@ -4330,6 +4348,38 @@ doctok AS (
         |  md5(string_agg(text, chr(10) ORDER BY doc_id)) AS shard_md5
         |FROM c GROUP BY 1
         |ORDER BY shard_id""".stripMargin,
+
+    // the q_shards arithmetic + the textbook per-shard window for the
+    // boundary offsets
+    "q_shards_boundaries" ->
+      """WITH tok AS (
+        |  SELECT doc_id, text,
+        |    cast(len(regexp_split_to_array(trim(text), '[ \t\n\x0b\f\r]+')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, text, n_tokens,
+        |    cast(coalesce(sum(n_tokens) OVER (
+        |      ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS BIGINT) AS cum_before
+        |  FROM tok),
+        |sh AS (
+        |  SELECT doc_id, text, n_tokens,
+        |    cast(cum_before // 512 AS BIGINT) AS shard_id
+        |  FROM c),
+        |agg AS (
+        |  SELECT shard_id, count(*) AS n_docs,
+        |    cast(sum(n_tokens) AS BIGINT) AS shard_tokens,
+        |    md5(string_agg(text, chr(10) ORDER BY doc_id)) AS shard_md5
+        |  FROM sh GROUP BY 1),
+        |off AS (
+        |  SELECT shard_id,
+        |    cast(row_number() OVER (PARTITION BY shard_id ORDER BY doc_id) - 1 AS INTEGER) AS pos,
+        |    cast(coalesce(sum(n_tokens) OVER (PARTITION BY shard_id ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS doc_offset
+        |  FROM sh)
+        |SELECT a.shard_id, a.n_docs, a.shard_tokens, a.shard_md5, o.pos, o.doc_offset
+        |FROM agg a JOIN off o USING (shard_id)
+        |ORDER BY shard_id, pos""".stripMargin,
 
     // same synthetic footer appended, then: explode lines with
     // position, count DISTINCT docs per normalized line (blank lines

@@ -1265,6 +1265,15 @@ final class Pipeline private (
     add(MapStep("buildShards",
       graft.ops.Packing.buildShards(_, orderCol, textCol, weightCol, budget, sep)))
 
+  /** [[buildShards]] plus the per-shard doc-boundary offsets packed
+    * training needs ([[graft.ops.Packing.buildShardsWithBoundaries]]). */
+  def buildShardsWithBoundaries(
+      orderCol: String, textCol: String, weightCol: String,
+      budget: Long, sep: String = "\n"): Pipeline =
+    add(MapStep("buildShardsWithBoundaries",
+      graft.ops.Packing.buildShardsWithBoundaries(_, orderCol, textCol,
+        weightCol, budget, sep)))
+
   /** Drop rows near-duplicating ANY document of `reference`
     * ([[graft.ops.Dedup.crossCorpusDedup]] — dedupe a new crawl
     * against the previous training set). */

@@ -161,4 +161,35 @@ object Packing {
         concat_ws(sep,
           transform(array_sort(collect_list(struct(col(orderCol), col(textCol)))),
             s => s.getField(textCol))).as("shard_text"))
+
+  /** [[buildShards]] plus the per-shard BOUNDARY TABLE packed training
+    * actually needs: `doc_offsets(i)` = sum of the weights of documents
+    * 0..i-1 in shard order — the token offset at which the shard's
+    * i-th document starts, i.e. the block-diagonal attention-mask /
+    * position-id-reset boundaries for the packed sequence (offsets
+    * count WEIGHT units only; a separator-token cost, if any, belongs
+    * in the upstream weights). Same single hash aggregate as
+    * [[buildShards]]; the offsets are an `aggregate` fold over the
+    * already-sorted member structs — budget-bounded arrays, no extra
+    * shuffle, no window. */
+  def buildShardsWithBoundaries(
+      df: DataFrame, orderCol: String, textCol: String, weightCol: String,
+      budget: Long, sep: String = "\n", bucketWidth: Long = 100000): DataFrame =
+    assignShards(df, orderCol, weightCol, budget, bucketWidth)
+      .withColumn("__wl__", coalesce(col(weightCol).cast("long"), lit(0L)))
+      .groupBy("shard_id")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("__wl__")).as("n_tokens"),
+        array_sort(collect_list(struct(col(orderCol), col(textCol).as("__t__"),
+          col("__wl__")))).as("__m__"))
+      .select(col("shard_id"), col("n_docs"), col("n_tokens"),
+        concat_ws(sep, transform(col("__m__"), s => s.getField("__t__")))
+          .as("shard_text"),
+        aggregate(col("__m__"),
+          struct(typedLit(Array.empty[Long]).as("offs"), lit(0L).as("run")),
+          (acc, d) => struct(
+            concat(acc.getField("offs"), array(acc.getField("run"))).as("offs"),
+            (acc.getField("run") + d.getField("__wl__")).as("run")))
+          .getField("offs").as("doc_offsets"))
 }

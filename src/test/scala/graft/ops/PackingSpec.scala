@@ -84,6 +84,33 @@ class PackingSpec extends AnyFunSuite {
       "eleven"))
   }
 
+  test("buildShardsWithBoundaries: offsets are exclusive prefix sums in shard order") {
+    val docs = Seq(
+      (1L, "one two three", 3L), (2L, "four five", 2L), (3L, "six", 1L),
+      (4L, "seven eight nine ten", 4L), (5L, "eleven", 1L))
+      .toDF("id", "text", "w")
+    // budget 5: shards 0=[1,2] 1=[3,4] 2=[5]
+    val out = Packing.buildShardsWithBoundaries(
+      docs, "id", "text", "w", budget = 5, sep = " ", bucketWidth = 2)
+      .orderBy("shard_id").collect()
+    // buildShards columns preserved (plus doc_offsets)
+    assert(out.map(_.getLong(0)).toSeq == Seq(0L, 1L, 2L))
+    assert(out.map(_.getLong(1)).toSeq == Seq(2L, 2L, 1L))
+    assert(out.map(_.getLong(2)).toSeq == Seq(5L, 5L, 1L))
+    assert(out.map(_.getString(3)).toSeq == Seq(
+      "one two three four five", "six seven eight nine ten", "eleven"))
+    // the boundary table: doc i starts at the sum of its predecessors
+    assert(out.map(_.getSeq[Long](4).toSeq).toSeq ==
+      Seq(Seq(0L, 3L), Seq(0L, 1L), Seq(0L)))
+    // a NULL weight contributes 0 to later offsets (SQL-SUM rule)
+    val withNull = Seq((1L, "a", Some(2L)), (2L, "b", None), (3L, "c", Some(1L)))
+      .toDF("id", "text", "w")
+    val one = Packing.buildShardsWithBoundaries(
+      withNull, "id", "text", "w", budget = 100, bucketWidth = 2)
+      .collect().head
+    assert(one.getSeq[Long](4).toSeq == Seq(0L, 2L, 2L))
+  }
+
   test("null weights count as zero; null order keys fail loudly") {
     val withNullW = Seq((1L, Some(5L)), (2L, None), (3L, Some(2L)))
       .toDF("id", "w")
