@@ -266,6 +266,23 @@ class ExprFuzzSpec extends AnyFunSuite {
       mojibakeExprs.fix_mojibake)
   }
 
+  test("bpe_tokens: interpreted == codegen over hostile text under a random model") {
+    val corpus = (0 until 40).map(_ => randText()).toDF("text")
+    val model = graft.ops.Bpe.train(corpus, "text", numMerges = 25, minPairCount = 2)
+    val bc = spark.sparkContext.broadcast(model)
+    // hostile pool: marker-spelling chars, NUL, surrogates-as-emoji,
+    // isolated combining marks, long repeats, every whitespace class
+    val pool: IndexedSeq[String] = ('a' to 'e').map(_.toString) ++
+      Seq("<", "/", "w", ">", "\u0000", "😀", "́", "中", "é",
+        " ", "\t", "\n", "\u000B", "\f", "\r", "aaaaaaaaaaaaaaaa")
+    def hostile(): String =
+      (0 until rnd.nextInt(24)).map(_ => pool(rnd.nextInt(pool.length))).mkString
+    val texts: Seq[String] = Seq(null, "", " \t\n ", "</w>", "a</w>b",
+      "\u0000", "a" * 500) ++ (0 until 300).map(_ => hostile())
+    sweep1("bpe_tokens", texts.toDF("x"), texts.map(strLit),
+      c => bpeExprs.bpe_tokens(c, bc))
+  }
+
   // ---------- broadcast-backed expressions ----------
 
   test("broadcast expressions: gram_set_overlap / gram_bloom_overlap / bloom_might_contain") {
