@@ -2513,6 +2513,31 @@ object SparkEntry {
         .orderBy("doc_id")
     },
 
+    "q_bpe_extend" -> { (s, dir) =>
+      // model CONTINUATION under the oracle: a 4-merge model trained
+      // on the fixture corpus is extended by 6 more merges
+      // (Bpe.extendModel resumes from the training-order symbol
+      // state), and the continued model's streams must equal the
+      // STATED 10-merge streams — whole-training and continued
+      // training indistinguishable under the same oracle. BpeSpec
+      // additionally pins continue(train(c,n),c,k) == train(c,n+k)
+      // across 120 random (dict, n, k).
+      val corpus = s.range(300).select(element_at(typedLit(bpeGateArms),
+        ((col("id") % 3) + 1).cast("int")).as("text"))
+      val extended = bpeGateModel.computeIfAbsent("ext", _ => {
+        val base = ops.Bpe.train(corpus, "text", numMerges = 4, minPairCount = 2)
+        ops.Bpe.extendModel(base, corpus, "text", extraMerges = 6)
+      })
+      val bc = ops.Bpe.broadcastModel(s, extended)
+      t(s, dir, "documents").filter(col("doc_id") < 300)
+        .select(col("doc_id"),
+          posexplode(ops.Bpe.tokens(
+            element_at(typedLit(bpeGateArms),
+              (pmod(col("doc_id"), lit(3)) + 1).cast("int")), bc))
+            .as(Seq("pos", "token")))
+        .orderBy("doc_id", "pos")
+    },
+
     "q_sample_temperature" -> { (s, dir) =>
       // temperature mixture reweighting (sampling probability ∝
       // stratum_size^0.5 — the multilingual-mixture standard) under
@@ -2831,6 +2856,25 @@ doctok AS (
     FROM inst i JOIN wtok w USING (word)
     GROUP BY i.doc_id) t USING (doc_id))"""
   }
+
+  /** The stated per-arm token streams of the fixture corpus under its
+    * 10-merge model (independently derived) — shared by q_bpe_encode
+    * and q_bpe_extend (whole-training vs continued-training must be
+    * indistinguishable under the same oracle). */
+  private val bpeEncodeStreamsOracle: String =
+    """WITH toks(arm, pos, token) AS (VALUES
+      |  (0, 0, 'the</w>'), (0, 1, 'thi'), (0, 2, 'n</w>'), (0, 3, 'cat</w>'),
+      |  (0, 4, 's'), (0, 5, 'at</w>'), (0, 6, 'on</w>'), (0, 7, 'the</w>'),
+      |  (0, 8, 'm'), (0, 9, 'at</w>'), (1, 0, 'the</w>'), (1, 1, 'thi'),
+      |  (1, 2, 'n</w>'), (1, 3, 'hat</w>'), (1, 4, 'f'), (1, 5, 'i'),
+      |  (1, 6, 't</w>'), (1, 7, 'th'), (1, 8, 'at</w>'), (1, 9, 'cat</w>'),
+      |  (2, 0, 'thi'), (2, 1, 's'), (2, 2, '</w>'), (2, 3, 'f'),
+      |  (2, 4, 'at</w>'), (2, 5, 'cat</w>'), (2, 6, 's'), (2, 7, 'at</w>'),
+      |  (2, 8, 'on</w>'), (2, 9, 'th'), (2, 10, 'at</w>'), (2, 11, 'hat</w>'))
+      |SELECT d.doc_id, CAST(t.pos AS INTEGER) AS pos, t.token
+      |FROM documents d JOIN toks t ON t.arm = d.doc_id % 3
+      |WHERE d.doc_id < 300
+      |ORDER BY doc_id, pos""".stripMargin
 
   private def bpeGateBc(s: SparkSession) =
     ops.Bpe.broadcastModel(s,
@@ -4549,20 +4593,11 @@ doctok AS (
     // 3-sentence corpus — 10 merges: t</w>, at</w>, th, n</w>, cat</w>,
     // e</w>, the</w>, thi, hat</w>, on</w>) and replays them over every
     // doc_id < 300; any drift in trainer or encoder breaks the hash
-    "q_bpe_encode" ->
-      """WITH toks(arm, pos, token) AS (VALUES
-        |  (0, 0, 'the</w>'), (0, 1, 'thi'), (0, 2, 'n</w>'), (0, 3, 'cat</w>'),
-        |  (0, 4, 's'), (0, 5, 'at</w>'), (0, 6, 'on</w>'), (0, 7, 'the</w>'),
-        |  (0, 8, 'm'), (0, 9, 'at</w>'), (1, 0, 'the</w>'), (1, 1, 'thi'),
-        |  (1, 2, 'n</w>'), (1, 3, 'hat</w>'), (1, 4, 'f'), (1, 5, 'i'),
-        |  (1, 6, 't</w>'), (1, 7, 'th'), (1, 8, 'at</w>'), (1, 9, 'cat</w>'),
-        |  (2, 0, 'thi'), (2, 1, 's'), (2, 2, '</w>'), (2, 3, 'f'),
-        |  (2, 4, 'at</w>'), (2, 5, 'cat</w>'), (2, 6, 's'), (2, 7, 'at</w>'),
-        |  (2, 8, 'on</w>'), (2, 9, 'th'), (2, 10, 'at</w>'), (2, 11, 'hat</w>'))
-        |SELECT d.doc_id, CAST(t.pos AS INTEGER) AS pos, t.token
-        |FROM documents d JOIN toks t ON t.arm = d.doc_id % 3
-        |WHERE d.doc_id < 300
-        |ORDER BY doc_id, pos""".stripMargin,
+    "q_bpe_encode" -> bpeEncodeStreamsOracle,
+
+    // SAME stated streams: a 4-merge model continued by 6 more merges
+    // must be indistinguishable from the 10-merge whole-training model
+    "q_bpe_extend" -> bpeEncodeStreamsOracle,
 
     "q_dedup_cross_exact" ->
       """WITH n AS (

@@ -51,11 +51,56 @@ object Bpe {
     * the words containing the merged pair. */
   def trainFromWordCounts(
       counts: Seq[(String, Long)], numMerges: Int,
+      minPairCount: Long = 2L): BpeModel =
+    continueFromWordCounts(BpeModel(Array.empty), counts, numMerges, minPairCount)
+
+  /** Apply a model's merges to one word IN TRAINING ORDER (merge 0
+    * everywhere, then merge 1, ...) — reproduces the training-time
+    * symbol state by construction, which is what model CONTINUATION
+    * must resume from. (The greedy encoder converges to the same state
+    * for models whose ranks are creation-monotone — every trained
+    * model in practice — but continuation must not depend on that.) */
+  private def applyMergesInOrder(word: String, m: BpeModel): Array[String] = {
+    var syms = BpeUtil.initialSymbols(word)
+    var r = 0
+    while (r < m.merges.length) {
+      val (l, rr) = m.merges(r)
+      var contains = false
+      var i = 0
+      while (!contains && i < syms.length - 1) {
+        contains = syms(i) == l && syms(i + 1) == rr; i += 1
+      }
+      if (contains) {
+        val out = new scala.collection.mutable.ArrayBuffer[String](syms.length)
+        i = 0
+        while (i < syms.length) {
+          if (i < syms.length - 1 && syms(i) == l && syms(i + 1) == rr) {
+            out += l + rr; i += 2
+          } else { out += syms(i); i += 1 }
+        }
+        syms = out.toArray
+      }
+      r += 1
+    }
+    syms
+  }
+
+  /** CONTINUE training an existing model over a (word, count)
+    * dictionary: the dictionary is first brought to the model's
+    * training-time symbol state (merges applied in training order),
+    * then the merge loop learns up to `extraMerges` more. On the same
+    * dictionary, `continue(train(c, n), c, k) == train(c, n+k)`
+    * unconditionally (BpeSpec pins it); on a NEW corpus this is
+    * domain-adaptation vocabulary growth without retraining from
+    * scratch. The returned model carries old merges ++ new merges. */
+  def continueFromWordCounts(
+      model: BpeModel, counts: Seq[(String, Long)], extraMerges: Int,
       minPairCount: Long = 2L): BpeModel = {
+    val numMerges = extraMerges
     require(numMerges >= 0, s"numMerges must be >= 0, got $numMerges")
     require(minPairCount >= 1, s"minPairCount must be >= 1, got $minPairCount")
     val words: Array[Array[String]] =
-      counts.map(c => BpeUtil.initialSymbols(c._1)).toArray
+      counts.map(c => applyMergesInOrder(c._1, model)).toArray
     val wordCount: Array[Long] = counts.map(_._2).toArray
 
     val pairCounts = new java.util.HashMap[(String, String), Long]()
@@ -134,8 +179,16 @@ object Bpe {
         pairWords.remove(best)
       }
     }
-    BpeModel(merges.toArray)
+    BpeModel(model.merges ++ merges)
   }
+
+  /** [[continueFromWordCounts]] over a text column: one dictionary
+    * aggregation + the resumed driver merge loop. */
+  def extendModel(
+      model: BpeModel, df: DataFrame, textCol: String, extraMerges: Int,
+      maxWords: Int = 1000000, minPairCount: Long = 2L): BpeModel =
+    continueFromWordCounts(model, wordCounts(df, textCol, maxWords),
+      extraMerges, minPairCount)
 
   /** Train on a text column: dictionary aggregation + driver merge
     * loop. The corpus is read ONCE. */

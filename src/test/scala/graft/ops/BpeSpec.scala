@@ -78,6 +78,26 @@ class BpeSpec extends AnyFunSuite {
     }
   }
 
+  test("model continuation: continue(train(c, n), c, k) == train(c, n+k) on random corpora") {
+    val word: Gen[String] = for {
+      n <- Gen.chooseNum(1, 6)
+      cs <- Gen.listOfN(n, Gen.oneOf("a", "b", "c", "é"))
+    } yield cs.mkString
+    val dict: Gen[Seq[(String, Long)]] = for {
+      n <- Gen.chooseNum(1, 25)
+      ws <- Gen.listOfN(n, word)
+      cs <- Gen.listOfN(n, Gen.chooseNum(1L, 40L))
+    } yield ws.distinct.zip(cs)
+    forSamples(Gen.zip(dict, Gen.chooseNum(0, 12), Gen.chooseNum(0, 12)), 120) {
+      case (d, n, k) =>
+        val whole = Bpe.trainFromWordCounts(d, numMerges = n + k, minPairCount = 2)
+        val base = Bpe.trainFromWordCounts(d, numMerges = n, minPairCount = 2)
+        val resumed = Bpe.continueFromWordCounts(base, d, extraMerges = k, minPairCount = 2)
+        assert(resumed.merges.toSeq == whole.merges.toSeq,
+          s"dict=$d n=$n k=$k\nresumed=${resumed.merges.toSeq}\nwhole=${whole.merges.toSeq}")
+    }
+  }
+
   test("encoder == naive greedy reference on random texts under random trained models") {
     // the hot encoder (two-level rank map, LRU cache, in-place merge
     // loop) against a from-the-definition reference implemented with
