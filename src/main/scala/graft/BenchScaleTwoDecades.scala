@@ -50,7 +50,13 @@ object BenchScaleTwoDecades {
   val queries: Seq[String] = BenchScale.heavyQueries ++ Seq(
     "q_dedup_exact", "q_dedup_semantic", "q_dedup_semantic_fixed",
     "q_simsearch_ivf", "q_simsearch_lsh", "q_pack",
-    "q_simsearch_quant", "q_project_rp_full")
+    "q_simsearch_quant", "q_project_rp_full",
+    // round-13 full-corpus families: real-token budgeting/packing/
+    // chunking (BPE encode is the per-row cost), the two mixture ops
+    // (prefix-sum + scan shapes), and boundary-table packing — all
+    // expected ~linear
+    "q_sample_budget_bpe", "q_pack_bpe", "q_chunk_bpe",
+    "q_sample_temperature", "q_mixture_order", "q_shards_boundaries")
 
   /** Scale-only run shapes that are not gate queries: the gate form of
     * q_project_rp caps at 300 vectors (the oracle's brute-force
