@@ -79,8 +79,16 @@ object Bench {
     // land outside the burst. Min-of-sweeps then discards the poisoned
     // ones. Thresholds: cold/steady > 2.5 (quiet ~1.4, r12-contended
     // 3.5), external 1-min load > cpus/4 at start.
-    val coldTotal0 = names.map(cold(_)._1).sum
-    val steadyTotal0 = names.map(n => math.min(s1(n)._1, s2(n)._1)).sum
+    // SUCCESSFUL runs only: a fast-throwing failed query contributes a
+    // near-zero steady time that would inflate the cold/steady ratio and
+    // trigger (or mask) the extra sweep on failure noise, not load
+    val okNames = names.filter(n =>
+      cold(n)._2 >= 0 && (s1(n)._2 >= 0 || s2(n)._2 >= 0))
+    val coldTotal0 = okNames.map(cold(_)._1).sum
+    val steadyTotal0 = okNames.map { n =>
+      val ok = Seq(s1(n), s2(n)).filter(_._2 >= 0)
+      ok.map(_._1).min
+    }.sum
     val contendedSuspect =
       coldTotal0 / math.max(steadyTotal0, 1e-3) > 2.5 ||
         loadBefore > cpus.toDouble / 4

@@ -2588,8 +2588,13 @@ object SparkEntry {
       // kept docs, realized weight, budget, utilization, and the
       // overshoot contract (realized < budget + largest kept weight)
       // restated as data. The oracle replays the cut AND the audit
-      // independently, so a drift in either breaks the hash.
-      val budgets = Seq("en" -> 30000L, "de" -> 8000L, "zh" -> 40000L)
+      // independently, so a drift in either breaks the hash. The 'xx'
+      // budget has NO corpus stratum — the audit must still emit its
+      // row (n_docs 0, realized 0, utilization 0): "budgeted stratum
+      // missing from the cut" is a launch-blocking fact the table must
+      // state, not silently omit.
+      val budgets = Seq("en" -> 30000L, "de" -> 8000L, "zh" -> 40000L,
+        "xx" -> 5000L)
       val cut = ops.Sampling.sampleByTokenBudget(
         t(s, dir, "documents"), col("doc_id"), "lang", "n_chars",
         budgets, ":tb7")
@@ -4759,20 +4764,22 @@ ORDER BY doc_id, chunk_id"""),
         |  SELECT lang, cast(coalesce(n_chars, 0) AS BIGINT) AS w FROM c
         |  WHERE cum_before < CASE lang WHEN 'en' THEN 30000
         |                               WHEN 'de' THEN 8000
-        |                               WHEN 'zh' THEN 40000 END)
-        |SELECT lang, count(*) AS n_docs,
-        |  cast(sum(w) AS BIGINT) AS realized,
-        |  CASE lang WHEN 'en' THEN cast(30000 AS BIGINT)
-        |            WHEN 'de' THEN cast(8000 AS BIGINT)
-        |            ELSE cast(40000 AS BIGINT) END AS budget,
-        |  cast(sum(w) AS DOUBLE) / (CASE lang WHEN 'en' THEN 30000
-        |                                      WHEN 'de' THEN 8000
-        |                                      ELSE 40000 END) AS utilization,
-        |  cast(sum(w) AS BIGINT) < (CASE lang WHEN 'en' THEN 30000
-        |                                      WHEN 'de' THEN 8000
-        |                                      ELSE 40000 END) + max(w)
+        |                               WHEN 'zh' THEN 40000 END),
+        |agg AS (
+        |  SELECT lang, count(*) AS n_docs,
+        |    cast(sum(w) AS BIGINT) AS realized, max(w) AS maxw
+        |  FROM kept GROUP BY lang),
+        |b(lang, budget) AS (VALUES
+        |  ('en', cast(30000 AS BIGINT)), ('de', cast(8000 AS BIGINT)),
+        |  ('zh', cast(40000 AS BIGINT)), ('xx', cast(5000 AS BIGINT)))
+        |SELECT lang,
+        |  cast(coalesce(a.n_docs, 0) AS BIGINT) AS n_docs,
+        |  cast(coalesce(a.realized, 0) AS BIGINT) AS realized,
+        |  b.budget AS budget,
+        |  cast(coalesce(a.realized, 0) AS DOUBLE) / b.budget AS utilization,
+        |  coalesce(a.realized, 0) < b.budget + coalesce(a.maxw, 0)
         |    AS within_one_doc
-        |FROM kept GROUP BY lang
+        |FROM agg a FULL OUTER JOIN b USING (lang)
         |ORDER BY lang""".stripMargin,
 
     // shards budgeted in real BPE tokens: the recursive-CTE token

@@ -29,7 +29,13 @@ case class BpeModel(merges: Array[(String, String)]) extends Serializable {
         inner = new java.util.HashMap[String, Integer](4)
         m.put(merges(i)._1, inner)
       }
-      inner.put(merges(i)._2, i)
+      // keep the LOWEST rank for a duplicate (left, right) pair: a
+      // continued model ([[graft.ops.Bpe.continueFromWordCounts]]) can
+      // re-learn a pair whose compound is recreatable via an alternate
+      // split on the new corpus, and the greedy encoder must keep
+      // honoring the ORIGINAL (lower) priority — put() would shadow it
+      // with the later rank and diverge from the training-order state
+      inner.putIfAbsent(merges(i)._2, i)
       i += 1
     }
     m

@@ -1,0 +1,82 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graftbridge.Bridge
+import org.apache.spark.sql.types._
+
+object ChunkUtil {
+
+  /** Greedy word-fill chunk boundaries over a per-word cost array:
+    * returns the 1-based word indices at which each chunk STARTS. A
+    * word overflows — and starts a new chunk — iff the current chunk
+    * already holds something and adding the word would push it past
+    * `maxTokens`; an oversized word therefore still lands somewhere
+    * (alone), and chunk 0 always starts at word 1. Empty costs →
+    * empty starts (the caller's empty-document rule applies).
+    *
+    * ONE imperative pass, O(words) time and O(chunks) output — this
+    * is the accumulator a Catalyst `aggregate` fold cannot express
+    * linearly (an array-append accumulator re-copies per step:
+    * O(words²) element copies for the per-word-ids form the r13 gate
+    * shipped, a task-killing straggler on a single multi-MB crawl
+    * document). */
+  def starts(costs: ArrayData, maxTokens: Int): ArrayData = {
+    val n = costs.numElements()
+    if (n == 0) return new GenericArrayData(Array.empty[Any])
+    val buf = new scala.collection.mutable.ArrayBuilder.ofInt
+    buf.sizeHint(8)
+    buf += 1
+    // Long running total: int costs can legitimately be large and the
+    // greedy comparison must not wrap
+    var used = 0L
+    var i = 0
+    while (i < n) {
+      if (costs.isNullAt(i))
+        throw new IllegalArgumentException(
+          s"greedy_chunk_starts: cost at word ${i + 1} is NULL — per-word " +
+            "costs must be non-null (a null cost has no greedy placement)")
+      val c = costs.getInt(i).toLong
+      if (used > 0 && used + c > maxTokens) { buf += i + 1; used = c }
+      else used += c
+      i += 1
+    }
+    new GenericArrayData(buf.result().map(Int.box: Int => Any))
+  }
+}
+
+/** 1-based chunk-start word indices of a per-word cost array under a
+  * greedy word-fill to `maxTokens` — the sequential scan underneath
+  * [[graft.ops.TextOps.chunkDocumentsByCost]], as a native one-pass
+  * expression (stateless, streams unchanged). */
+case class GreedyChunkStarts(child: Expression, maxTokens: Int)
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case ArrayType(IntegerType, _) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"greedy_chunk_starts expects array<int>, got ${other.simpleString}")
+    }
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "greedy_chunk_starts"
+
+  override protected def nullSafeEval(input: Any): Any =
+    ChunkUtil.starts(input.asInstanceOf[ArrayData], maxTokens)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.ChunkUtil$$.MODULE$$.starts($c, $maxTokens)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object chunkExprs {
+  def greedy_chunk_starts(costs: Column, maxTokens: Int): Column =
+    Bridge.toColumn(GreedyChunkStarts(Bridge.toExpression(costs), maxTokens))
+}

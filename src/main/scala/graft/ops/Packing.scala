@@ -174,7 +174,11 @@ object Packing {
     * shuffle, no window. */
   def buildShardsWithBoundaries(
       df: DataFrame, orderCol: String, textCol: String, weightCol: String,
-      budget: Long, sep: String = "\n", bucketWidth: Long = 100000): DataFrame =
+      budget: Long, sep: String = "\n", bucketWidth: Long = 100000): DataFrame = {
+    // internal-name collision guard (the bucketedCumsum discipline): an
+    // input already carrying one of these would be silently overwritten
+    Seq("__wl__", "__m__").foreach(c =>
+      require(!df.columns.contains(c), s"input already has a column named $c"))
     assignShards(df, orderCol, weightCol, budget, bucketWidth)
       .withColumn("__wl__", coalesce(col(weightCol).cast("long"), lit(0L)))
       .groupBy("shard_id")
@@ -192,4 +196,5 @@ object Packing {
             concat(acc.getField("offs"), array(acc.getField("run"))).as("offs"),
             (acc.getField("run") + d.getField("__wl__")).as("run")))
           .getField("offs").as("doc_offsets"))
+  }
 }

@@ -257,7 +257,12 @@ object Sampling {
     * so a drifted cut is visible in the audit table, not just in a
     * test. ONE hash aggregate over the cut; strata absent from
     * `budgets` audit with NULL budget/utilization (they should not
-    * appear in a faithful cut at all). */
+    * appear in a faithful cut at all), and — the other direction —
+    * every BUDGETED stratum gets a row even when the cut kept nothing
+    * from it (n_docs 0, realized 0, utilization 0): "stratum missing
+    * from the cut" must be visible in the table, not silently absent
+    * from it. An empty stratum trivially satisfies the overshoot
+    * contract (0 < budget + 0). */
   def mixtureAudit(
       sampled: DataFrame, stratumCol: String, weightCol: String,
       budgets: Seq[(String, Long)]): DataFrame = {
@@ -265,10 +270,20 @@ object Sampling {
       case ((label, b), els) => when(col(stratumCol) === label, lit(b)).otherwise(els)
     }
     val w = coalesce(col(weightCol).cast("long"), lit(0L))
+    val spark = sampled.sparkSession
+    import spark.implicits._
+    // one row per budgeted stratum, typed to the cut's stratum column so
+    // the outer join unifies (a numeric stratum vs string labels fails
+    // in analysis, loudly — budgets are labels of the same type)
+    val budgeted = broadcast(budgets.map(_._1).toDF("__bl__")
+      .select(col("__bl__").cast(sampled.schema(stratumCol).dataType)
+        .as(stratumCol)))
     sampled.groupBy(col(stratumCol))
       .agg(count(lit(1)).as("n_docs"),
         sum(w).as("realized"),
         max(w).as("__maxw__"))
+      .join(budgeted, Seq(stratumCol), "full_outer")
+      .na.fill(0L, Seq("n_docs", "realized", "__maxw__"))
       .withColumn("budget", budget)
       .withColumn("utilization",
         col("realized").cast("double") / col("budget").cast("double"))

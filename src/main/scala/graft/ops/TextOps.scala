@@ -404,16 +404,22 @@ object TextOps {
     * no words yields ONE empty chunk (matching [[chunkDocuments]]'s
     * ≤-budget-is-one-chunk rule); a NULL text yields NO chunks.
     *
-    * Scale shape: everything is per-row higher-order Column
-    * arithmetic — `aggregate` folds the greedy state left-to-right
-    * over the word-cost array, no UDFs, no shuffle. Per-doc work is
-    * O(words · chunks); chunks per doc is total_cost/maxTokens, small
-    * by construction. The word/cost/assignment arrays are bound as
-    * lambda variables via [[once]]: chained projections COLLAPSE, and
-    * an attribute referenced k times in the collapsed projection would
-    * re-evaluate its whole defining expression — including the
-    * per-word cost pass — k times per row (measured: ~50x slower on
-    * the gate corpus before the rebinding). */
+    * Scale shape: per-row Column arithmetic, no UDFs, no shuffle —
+    * per-doc work is O(words): the greedy scan is ONE native pass
+    * ([[graft.functions.GreedyChunkStarts]] — a Catalyst `aggregate`
+    * fold cannot hold the boundary list linearly: an array-append
+    * accumulator re-copies per step, O(words²) element copies, which
+    * a single multi-MB crawl document turns into a task-killing
+    * straggler; ChunkFoldScaleSpec pins the linear wall-time), and
+    * the rebuild slices CONTIGUOUS word ranges per chunk. The
+    * word/cost/starts arrays are bound as lambda variables via
+    * [[once]]: chained projections COLLAPSE, and an attribute
+    * referenced k times in the collapsed projection would re-evaluate
+    * its whole defining expression — including the per-word cost
+    * pass — k times per row (measured: ~50x slower on the gate corpus
+    * before the rebinding). The per-word cost is kept per-word on
+    * purpose — a split-the-full-stream-at-markers shortcut miscounts
+    * words whose raw characters spell the marker. */
   def chunkDocumentsByCost(
       df: org.apache.spark.sql.DataFrame, idCol: String, textCol: String,
       maxTokens: Int, costOf: Column => Column): org.apache.spark.sql.DataFrame = {
@@ -422,47 +428,26 @@ object TextOps {
       split(trim(col(textCol)), "[ \t\n\u000B\f\r]+"), w => length(w) > 0)
     val chunksExpr = once(wordsExpr) { words =>
       once(transform(words, w => costOf(w).cast("int"))) { costs =>
-        // greedy fold: (used, chunk, per-word chunk ids). A word
-        // overflows iff the chunk already holds something and adding
-        // it would exceed the budget — so an oversized word still
-        // lands somewhere (alone).
-        once(aggregate(costs,
-          struct(lit(0).as("used"), lit(0).as("chunk"),
-            typedLit(Array.empty[Int]).as("ids")),
-          (acc, c) => {
-            val overflow = acc.getField("used") > 0 &&
-              acc.getField("used") + c > lit(maxTokens)
-            val chunk = when(overflow, acc.getField("chunk") + 1)
-              .otherwise(acc.getField("chunk"))
-            struct(
-              when(overflow, c).otherwise(acc.getField("used") + c).as("used"),
-              chunk.as("chunk"),
-              concat(acc.getField("ids"), array(chunk)).as("ids"))
-          }).getField("ids")) { ids =>
-          // chunks are CONTIGUOUS word ranges (the fold never reopens
-          // one), so the rebuild slices instead of filtering: O(words)
-          // per doc total, not O(words · chunks) — measured ~30% off
-          // the gate (3.1 -> 2.1 s steady at sf0.1; the rest is the
-          // per-word cost expression, kept per-word on purpose — a
-          // split-the-full-stream-at-markers shortcut miscounts words
-          // whose raw characters spell the marker)
-          once(when(size(words) === 0, typedLit(Array.empty[Int]))
-            .otherwise(filter(sequence(lit(1), size(words)), i =>
-              when(i === 1, lit(true))
-                .otherwise(element_at(ids, i) =!= element_at(ids, i - 1))))) { starts =>
-            when(size(words) === 0,
-              array(struct(lit("").as("chunk_text"), lit(0).as("n_chunk_tokens"))))
-              .otherwise(transform(sequence(lit(0), size(starts) - 1), c => {
-                val start = element_at(starts, c + 1)
-                val end = when(c + 1 < size(starts), element_at(starts, c + 2) - 1)
-                  .otherwise(size(words))
-                val len = (end - start + 1).cast("int")
-                struct(
-                  concat_ws(" ", slice(words, start, len)).as("chunk_text"),
-                  aggregate(slice(costs, start, len),
-                    lit(0), (a, x) => a + x).as("n_chunk_tokens"))
-              }))
-          }
+        // the greedy scan: 1-based chunk-start indices in one native
+        // O(words) pass with an O(chunks) accumulator. A word
+        // overflows — starting a new chunk — iff the chunk already
+        // holds something and adding it would exceed the budget, so an
+        // oversized word still lands somewhere (alone). Chunks are
+        // CONTIGUOUS word ranges, so the rebuild slices per chunk.
+        once(graft.functions.chunkExprs.greedy_chunk_starts(
+          costs, maxTokens)) { starts =>
+          when(size(words) === 0,
+            array(struct(lit("").as("chunk_text"), lit(0).as("n_chunk_tokens"))))
+            .otherwise(transform(sequence(lit(0), size(starts) - 1), c => {
+              val start = element_at(starts, c + 1)
+              val end = when(c + 1 < size(starts), element_at(starts, c + 2) - 1)
+                .otherwise(size(words))
+              val len = (end - start + 1).cast("int")
+              struct(
+                concat_ws(" ", slice(words, start, len)).as("chunk_text"),
+                aggregate(slice(costs, start, len),
+                  lit(0), (a, x) => a + x).as("n_chunk_tokens"))
+            }))
         }
       }
     }

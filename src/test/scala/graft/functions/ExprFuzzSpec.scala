@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.catalyst.{CatalystTypeConverters, InternalRow}
 import org.apache.spark.sql.catalyst.expressions.Literal
-import org.apache.spark.sql.types.{ArrayType, BinaryType, DoubleType, LongType, StringType}
+import org.apache.spark.sql.types.{ArrayType, BinaryType, DoubleType, IntegerType, LongType, StringType}
 import org.apache.spark.sql.functions.{col, lit, typedLit}
 import org.apache.spark.sql.graftbridge.Bridge
 import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
@@ -281,6 +281,25 @@ class ExprFuzzSpec extends AnyFunSuite {
       "\u0000", "a" * 500) ++ (0 until 300).map(_ => hostile())
     sweep1("bpe_tokens", texts.toDF("x"), texts.map(strLit),
       c => bpeExprs.bpe_tokens(c, bc))
+  }
+
+  test("greedy_chunk_starts: interpreted == codegen over random cost arrays") {
+    val arrays: Seq[Seq[Int]] = Seq(null, Seq.empty[Int], Seq(0), Seq(100)) ++
+      (0 until 300).map { i =>
+        val n = rnd.nextInt(40)
+        (0 until n).map(_ => i % 5 match {
+          case 0 => 0                      // zero-cost runs
+          case 1 => 1 + rnd.nextInt(3)     // dense small
+          case 2 => 50 + rnd.nextInt(100)  // every word oversized
+          case _ => rnd.nextInt(12)
+        })
+      }
+    def alit(v: Seq[Int]): Column =
+      if (v == null) nullLit(ArrayType(IntegerType)) else typedLit(v)
+    Seq(1, 7, 24).foreach { max =>
+      sweep1(s"greedy_chunk_starts(max=$max)", arrays.toDF("x"), arrays.map(alit),
+        c => chunkExprs.greedy_chunk_starts(c, max))
+    }
   }
 
   // ---------- broadcast-backed expressions ----------

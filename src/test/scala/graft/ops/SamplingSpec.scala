@@ -249,11 +249,22 @@ class SamplingSpec extends AnyFunSuite {
     assert(audit("a") == ((2L, 200L, 150L, 200.0 / 150.0, true)))
     // b: budget exceeds the stratum — keep-all, utilization < 1
     assert(audit("b") == ((1L, 7L, 1000L, 7.0 / 1000.0, true)))
-    // a stratum absent from the budget list audits with NULL budget
-    val foreign = Sampling.mixtureAudit(
+    // a stratum absent from the budget list audits with NULL budget;
+    // budgeted strata with ZERO kept documents still get a row (n_docs
+    // 0, realized 0, utilization 0) — "stratum missing from the cut"
+    // must be visible in the table, not silently absent from it
+    val rows = Sampling.mixtureAudit(
       Seq(("z", 1L, 5L)).toDF("s", "k", "tok"), "s", "tok", budgets)
-      .collect().head
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(rows.keySet == Set("a", "b", "z"))
+    val foreign = rows("z")
     assert(foreign.isNullAt(3) && foreign.isNullAt(4) && foreign.isNullAt(5))
+    Seq("a", "b").foreach { s =>
+      val r = rows(s)
+      assert(r.getLong(1) == 0L && r.getLong(2) == 0L)   // n_docs, realized
+      assert(r.getLong(3) == Map(budgets: _*)(s))        // budget
+      assert(r.getDouble(4) == 0.0 && r.getBoolean(5))   // utilization, contract
+    }
   }
 
   test("sampleByTokenBudget: a binary stratum column gets correct offsets (value equality)") {
