@@ -35,7 +35,7 @@ import org.apache.spark.sql.SparkSession
   * Covers the heavy dedup set plus the ANN / pack / exact-dedup
   * families (documents + embeddings only — the tables ScaleCorpus
   * replicates). Output: one JSON line to stdout and
-  * BENCH_SCALE_r13.json in the working directory.
+  * BENCH_SCALE_r14.json in the working directory.
   *
   * Usage: BenchScaleTwoDecades [loDir midDir hiDir xhiDir]  (defaults:
   * /root/testdata/sf0.01, /root/testdata/sf0.1, /tmp/graft-sf1,
@@ -56,7 +56,11 @@ object BenchScaleTwoDecades {
     // (prefix-sum + scan shapes), and boundary-table packing — all
     // expected ~linear
     "q_sample_budget_bpe", "q_pack_bpe", "q_chunk_bpe",
-    "q_sample_temperature", "q_mixture_order", "q_shards_boundaries")
+    "q_sample_temperature", "q_mixture_order", "q_shards_boundaries",
+    // round-14 families: encode-only THROUGHPUT (fixed model, whole
+    // corpus — a tokenizer regression must show as a slope, not an
+    // anecdote) and the full text→ids→fixed-length-sequences pipeline
+    "q_bpe_encode_full", "q_pack_ids_full")
 
   /** Scale-only run shapes that are not gate queries: the gate form of
     * q_project_rp caps at 300 vectors (the oracle's brute-force
@@ -65,10 +69,28 @@ object BenchScaleTwoDecades {
     * expect flat-to-linear, like q_simsearch_quant's full-corpus
     * fit+encode+score, which runs as its gate form unchanged). */
   val extraThunks: Map[String, (SparkSession, String) => org.apache.spark.sql.DataFrame] =
-    Map("q_project_rp_full" -> ((s, dir) =>
-      ops.VectorOps.randomProject(
-        Tables.load(s, dir, "embeddings"), "vec_id", "embedding",
-        outDim = 16, tag = "rp")))
+    Map(
+      "q_project_rp_full" -> ((s, dir) =>
+        ops.VectorOps.randomProject(
+          Tables.load(s, dir, "embeddings"), "vec_id", "embedding",
+          outDim = 16, tag = "rp")),
+      // encode-only throughput: the fixed gate model over the FULL
+      // corpus, reduced to one total so column pruning cannot skip the
+      // encode (a bare select(...).count() would) — the row's time IS
+      // tokens/sec up to the corpus token total, expected ~linear
+      "q_bpe_encode_full" -> ((s, dir) =>
+        Tables.load(s, dir, "documents")
+          .agg(org.apache.spark.sql.functions.sum(
+            ops.Bpe.tokenCount(org.apache.spark.sql.functions.col("text"),
+              SparkEntry.bpeGateBc(s))).as("total_tokens"))),
+      // the full tensor pipeline at corpus scale: encode to ids +
+      // bucketed prefix sum + piece explode + one groupBy into
+      // 1024-id fixed-length sequences
+      "q_pack_ids_full" -> ((s, dir) =>
+        ops.Packing.packTokenIds(
+          ops.Bpe.withTokenIds(Tables.load(s, dir, "documents"),
+            "text", "__ids__", SparkEntry.bpeGateBc(s)),
+          "doc_id", "__ids__", seqLen = 1024, padId = 0)))
 
   /** Worst families by mid→hi slope in BENCH_SCALE_r10 (+ the cluster
     * path and the default corpus-sized semantic): these also run the
@@ -81,7 +103,8 @@ object BenchScaleTwoDecades {
   val xhiQueries: Seq[String] = Seq(
     "q_dedup_semantic", "q_dedup_minhash",
     "q_dedup_cross", "q_dedup_minhash_cluster", "q_dedup_cluster",
-    "q_prep_mix", "q_simsearch_quant", "q_project_rp_full")
+    "q_prep_mix", "q_simsearch_quant", "q_project_rp_full",
+    "q_bpe_encode_full", "q_pack_ids_full")
 
   /** xhi is 26 replicas vs hi's 10: 0.415 decades. */
   private val xhiDecades = math.log10(26.0 / 10.0)
@@ -157,8 +180,16 @@ object BenchScaleTwoDecades {
             shingleN = 8, maxDriverEdges = 0)
           val ph = ops.ScaleStats.semanticPhases(emb, "vec_id", "embedding",
             threshold = 0.4, targetCell = 512, replication = 2)
+          // the r13 hi→xhi watch item (cross 0.629): per-stage pair
+          // volumes + screen-vs-verify timing split at the q_dedup_cross
+          // parameters, so the slope attributes to a stage
+          val crossCol = org.apache.spark.sql.functions.col("doc_id")
+          val cr = ops.ScaleStats.cross(
+            docs.filter(crossCol % 10 =!= 0), docs.filter(crossCol % 10 === 0),
+            "doc_id", "text", shingleN = 5, numHashes = 64, bands = 8,
+            threshold = 0.8, maxBucket = 200, charShingles = true)
           s""","cluster":${jmap(cl)},"cluster_distributed":${jmap(clDist)},""" +
-            s""""semantic_auto_phases":${jmap(ph)}"""
+            s""""semantic_auto_phases":${jmap(ph)},"cross":${jmap(cr)}"""
         }
       System.err.println(s"[bench-scale2] attribution $dir done")
       s""""$dir":{"minhash":${jmap(mh)},"semantic_fixed8":${jmap(se)},""" +
@@ -195,7 +226,7 @@ object BenchScaleTwoDecades {
       s""""synthetic_hi":true,"xhi_replicas":26,"queries":{${entries.mkString(",")}},""" +
       s""""attribution":$attribution}"""
     try java.nio.file.Files.writeString(
-      java.nio.file.Path.of("BENCH_SCALE_r13.json"), line + "\n")
+      java.nio.file.Path.of("BENCH_SCALE_r14.json"), line + "\n")
     catch { case e: Exception => System.err.println(s"[bench-scale2] write failed: $e") }
     println(line)
     spark.stop()

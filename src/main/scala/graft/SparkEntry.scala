@@ -2556,6 +2556,19 @@ object SparkEntry {
         .orderBy("doc_id")
     },
 
+    "q_sample_temperature_a25" -> { (s, dir) =>
+      // the NON-sqrt alpha branch under the hash: alpha = 0.25 routes
+      // through sqrt∘sqrt — two correctly-rounded IEEE ops, still
+      // engine-portable — so the harder-temperature mixture (flatter
+      // weights, small strata boosted more) is gated bit-exactly too,
+      // not just the 0.5 special case.
+      ops.Sampling.sampleByTemperature(
+        t(s, dir, "documents"), col("doc_id"), "lang",
+        targetDocs = 400, alpha = 0.25, salt = ":tmp14a")
+        .select("doc_id", "lang")
+        .orderBy("doc_id")
+    },
+
     "q_chunk_bpe" -> { (s, dir) =>
       // context-window chunking in REAL tokenizer tokens — the third
       // budget-unit consumer (after sampling and packing): greedy
@@ -2619,6 +2632,76 @@ object SparkEntry {
         .select(col("shard_id"), col("n_docs"),
           col("n_tokens").as("shard_tokens"), md5(col("shard_text")).as("shard_md5"))
         .orderBy("shard_id")
+    },
+
+    "q_bpe_ids" -> { (s, dir) =>
+      // encode-to-IDS under the oracle: the same fixture arms as
+      // q_bpe_encode, but the output is the token-ID stream a data
+      // loader reads — every id re-derived by the oracle as the STATED
+      // token streams joined against the STATED vocabulary (pad 0,
+      // unk 1, alphabet sorted, compounds in merge order; BpeSpec pins
+      // the trainer derives exactly that list). Any drift in the
+      // vocab derivation or the id mapping breaks the hash.
+      val bc = bpeGateBc(s)
+      t(s, dir, "documents").filter(col("doc_id") < 300)
+        .select(col("doc_id"),
+          posexplode(ops.Bpe.ids(
+            element_at(typedLit(bpeGateArms),
+              (pmod(col("doc_id"), lit(3)) + 1).cast("int")), bc))
+            .as(Seq("pos", "token_id")))
+        .orderBy("doc_id", "pos")
+    },
+
+    "q_pack_ids" -> { (s, dir) =>
+      // FIXED-LENGTH packed token-ID sequences over REAL corpus text —
+      // the tensor a trainer's data loader actually reads: encode each
+      // doc to ids under the fixture model (real text, so unknown code
+      // points exercise the unk id), GPT-style concat-and-chunk at 32
+      // ids/sequence (docs split across boundaries, corpus tail
+      // padded), per-sequence doc-boundary offsets for the
+      // block-diagonal attention mask. The oracle re-derives every
+      // token SYMBOL from the stated merges (recursive-CTE encoder),
+      // maps through the stated vocab, and replays the global
+      // position arithmetic — ids, pads, piece counts, and boundary
+      // offsets all under the hash.
+      val bc = bpeGateBc(s)
+      val docs = ops.Bpe.withTokenIds(
+        t(s, dir, "documents").filter(col("doc_id") < 300), "text", "ids", bc)
+      ops.Packing.packTokenIds(docs, "doc_id", "ids",
+        seqLen = 32, padId = 0, bucketWidth = 100)
+        .select(col("seq_id"), col("n_docs"), col("n_pad"),
+          concat_ws(",", transform(col("doc_offsets"), x => x.cast("string")))
+            .as("offsets_csv"),
+          posexplode(col("input_ids")).as(Seq("pos", "token_id")))
+        .orderBy("seq_id", "pos")
+    },
+
+    "q_pack_ids_tfrecord" -> { (s, dir) =>
+      // the packed-sequence EXPORT loop closed: the q_pack_ids tensor
+      // written through the TFRecord/tf.Example sink and read back —
+      // and the read-back rows must STILL match the q_pack_ids oracle
+      // (same SQL), so sequence ids, every token id, boundary offsets,
+      // and pad counts survive the int64-list wire format bit-for-bit.
+      val bc = bpeGateBc(s)
+      val out = s"${System.getProperty("java.io.tmpdir")}/graft-gate-packids-" +
+        s"${ProcessHandle.current().pid()}-${Integer.toHexString(dir.hashCode)}/seqs_tfr"
+      val docs = ops.Bpe.withTokenIds(
+        t(s, dir, "documents").filter(col("doc_id") < 300), "text", "ids", bc)
+      val seqs = ops.Packing.packTokenIds(docs, "doc_id", "ids",
+        seqLen = 32, padId = 0, bucketWidth = 100)
+      sources.TfRecord.write(
+        seqs.select("seq_id", "input_ids", "doc_offsets", "n_docs", "n_pad"), out)
+      sources.TfRecord.read(s, out, StructType(Seq(
+        StructField("seq_id", LongType),
+        StructField("input_ids", ArrayType(IntegerType)),
+        StructField("doc_offsets", ArrayType(IntegerType)),
+        StructField("n_docs", IntegerType),
+        StructField("n_pad", IntegerType))))
+        .select(col("seq_id"), col("n_docs"), col("n_pad"),
+          concat_ws(",", transform(col("doc_offsets"), x => x.cast("string")))
+            .as("offsets_csv"),
+          posexplode(col("input_ids")).as(Seq("pos", "token_id")))
+        .orderBy("seq_id", "pos")
     },
 
     "q_dedup_cross" -> { (s, dir) =>
@@ -2863,25 +2946,127 @@ doctok AS (
   }
 
   /** The stated per-arm token streams of the fixture corpus under its
-    * 10-merge model (independently derived) — shared by q_bpe_encode
-    * and q_bpe_extend (whole-training vs continued-training must be
-    * indistinguishable under the same oracle). */
-  private val bpeEncodeStreamsOracle: String =
-    """WITH toks(arm, pos, token) AS (VALUES
-      |  (0, 0, 'the</w>'), (0, 1, 'thi'), (0, 2, 'n</w>'), (0, 3, 'cat</w>'),
+    * 10-merge model (independently derived) — the VALUES rows shared
+    * by q_bpe_encode/q_bpe_extend (streams) and q_bpe_ids (streams
+    * joined to the stated vocab). */
+  private val bpeOracleStreamValues: String =
+    """  (0, 0, 'the</w>'), (0, 1, 'thi'), (0, 2, 'n</w>'), (0, 3, 'cat</w>'),
       |  (0, 4, 's'), (0, 5, 'at</w>'), (0, 6, 'on</w>'), (0, 7, 'the</w>'),
       |  (0, 8, 'm'), (0, 9, 'at</w>'), (1, 0, 'the</w>'), (1, 1, 'thi'),
       |  (1, 2, 'n</w>'), (1, 3, 'hat</w>'), (1, 4, 'f'), (1, 5, 'i'),
       |  (1, 6, 't</w>'), (1, 7, 'th'), (1, 8, 'at</w>'), (1, 9, 'cat</w>'),
       |  (2, 0, 'thi'), (2, 1, 's'), (2, 2, '</w>'), (2, 3, 'f'),
       |  (2, 4, 'at</w>'), (2, 5, 'cat</w>'), (2, 6, 's'), (2, 7, 'at</w>'),
-      |  (2, 8, 'on</w>'), (2, 9, 'th'), (2, 10, 'at</w>'), (2, 11, 'hat</w>'))
-      |SELECT d.doc_id, CAST(t.pos AS INTEGER) AS pos, t.token
-      |FROM documents d JOIN toks t ON t.arm = d.doc_id % 3
-      |WHERE d.doc_id < 300
-      |ORDER BY doc_id, pos""".stripMargin
+      |  (2, 8, 'on</w>'), (2, 9, 'th'), (2, 10, 'at</w>'), (2, 11, 'hat</w>')""".stripMargin
 
-  private def bpeGateBc(s: SparkSession) =
+  /** The fixture model's derived VOCABULARY, STATED by the documented
+    * derivation rule (pad 0, unk 1, alphabet sorted ascending,
+    * compound symbols in merge order — [[graft.functions.BpeModel.vocab]]):
+    * the fixture corpus's alphabet is its 11 distinct letters + the
+    * end-of-word marker, and the compounds are [[bpeOracleMerges]]
+    * concatenated. BpeSpec pins this exact list against the trainer. */
+  private val bpeOracleVocab: Seq[String] = Seq(
+    "<pad>", "<unk>", "</w>", "a", "c", "e", "f", "h", "i", "m", "n", "o",
+    "s", "t",
+    "t</w>", "at</w>", "th", "n</w>", "cat</w>", "e</w>", "the</w>", "thi",
+    "hat</w>", "on</w>")
+
+  /** DuckDB CTE fragment `vocab(tok, id)` stating [[bpeOracleVocab]]. */
+  private val bpeOracleVocabCte: String =
+    "vocab(tok, id) AS (VALUES " + bpeOracleVocab.zipWithIndex
+      .map { case (t, i) => s"('$t', $i)" }.mkString(", ") + ")"
+
+  private val bpeEncodeStreamsOracle: String =
+    s"""WITH toks(arm, pos, token) AS (VALUES
+       |$bpeOracleStreamValues)
+       |SELECT d.doc_id, CAST(t.pos AS INTEGER) AS pos, t.token
+       |FROM documents d JOIN toks t ON t.arm = d.doc_id % 3
+       |WHERE d.doc_id < 300
+       |ORDER BY doc_id, pos""".stripMargin
+
+  /** Full q_pack_ids / q_pack_ids_tfrecord oracle: re-derives every
+    * token SYMBOL stream from the stated merges (the recursive-CTE
+    * encoder of [[bpeOracleDocTokCte]], but keeping the symbols, not
+    * just their count), maps each symbol through the STATED vocab
+    * (unknown → 1), replays the global concat-and-chunk position
+    * arithmetic at 32 ids/sequence (gpos = corpus-order token index;
+    * seq = gpos div 32; a piece boundary is a doc start or a sequence
+    * edge), and emits the packed rows with pad fill — every id, pad,
+    * piece count, and boundary offset under the hash. */
+  private val bpePackIdsOracle: String = {
+    def pat(l: String, r: String) = s"chr(1)||'$l'||chr(1)||'$r'||chr(1)"
+    def rep(l: String, r: String) = s"chr(1)||'$l$r'||chr(1)"
+    val any = bpeOracleMerges
+      .map { case (l, r) => s"contains(s, ${pat(l, r)})" }
+      .mkString("\n      OR ")
+    val arms = bpeOracleMerges
+      .map { case (l, r) =>
+        s"WHEN contains(s, ${pat(l, r)}) THEN replace(s, ${pat(l, r)}, ${rep(l, r)})" }
+      .mkString("\n      ")
+    val ws = """'[ \t\n\x0b\f\r]+'"""
+    val init = """chr(1) || regexp_replace(word, '(.)', '\1' || chr(1), 'g') || '</w>' || chr(1)"""
+    s"""WITH RECURSIVE
+docs300 AS (
+  SELECT doc_id, text FROM documents WHERE text IS NOT NULL AND doc_id < 300),
+dw AS (
+  SELECT DISTINCT unnest(regexp_split_to_array(trim(text), $ws)) AS word
+  FROM docs300),
+dwne AS (SELECT word FROM dw WHERE length(word) > 0),
+enc AS (
+  SELECT word, $init AS s
+  FROM dwne
+  UNION ALL
+  SELECT word,
+    CASE
+      $arms
+      ELSE s END AS s
+  FROM enc
+  WHERE $any),
+wsyms AS (
+  SELECT word, list_filter(string_split(s, chr(1)), x -> length(x) > 0) AS syms
+  FROM enc
+  WHERE NOT ($any)),
+docw AS (
+  SELECT doc_id, unnest(words) AS word,
+    unnest(range(1, len(words) + 1)) AS wpos
+  FROM (SELECT doc_id,
+          list_filter(regexp_split_to_array(trim(text), $ws),
+                      x -> length(x) > 0) AS words
+        FROM docs300)),
+tok AS (
+  SELECT d.doc_id, d.wpos, unnest(w.syms) AS sym,
+    unnest(range(1, len(w.syms) + 1)) AS spos
+  FROM docw d JOIN wsyms w USING (word)),
+$bpeOracleVocabCte,
+ids AS (
+  SELECT coalesce(v.id, 1) AS tid,
+    row_number() OVER (ORDER BY t.doc_id, t.wpos, t.spos) - 1 AS gpos,
+    (t.wpos = 1 AND t.spos = 1) AS is_doc_start
+  FROM tok t LEFT JOIN vocab v ON v.tok = t.sym),
+seqmeta AS (
+  SELECT gpos // 32 AS seq_id, count(*) AS n_tok,
+    sum(CASE WHEN gpos % 32 = 0 OR is_doc_start THEN 1 ELSE 0 END) AS n_docs,
+    string_agg(CASE WHEN gpos % 32 = 0 OR is_doc_start
+                    THEN cast(gpos % 32 AS VARCHAR) END, ',' ORDER BY gpos)
+      AS offsets_csv
+  FROM ids GROUP BY 1),
+realrows AS (
+  SELECT gpos // 32 AS seq_id, cast(gpos % 32 AS INTEGER) AS pos,
+    cast(tid AS INTEGER) AS token_id
+  FROM ids),
+padrows AS (
+  SELECT seq_id, cast(p AS INTEGER) AS pos, cast(0 AS INTEGER) AS token_id
+  FROM (SELECT seq_id, unnest(range(n_tok, 32)) AS p FROM seqmeta)),
+allrows AS (
+  SELECT * FROM realrows UNION ALL SELECT * FROM padrows)
+SELECT a.seq_id, cast(m.n_docs AS INTEGER) AS n_docs,
+  cast(32 - m.n_tok AS INTEGER) AS n_pad, m.offsets_csv,
+  a.pos, a.token_id
+FROM allrows a JOIN seqmeta m USING (seq_id)
+ORDER BY seq_id, pos"""
+  }
+
+  private[graft] def bpeGateBc(s: SparkSession) =
     ops.Bpe.broadcastModel(s,
       bpeGateModel.computeIfAbsent("m", _ =>
         ops.Bpe.train(
@@ -4600,6 +4785,25 @@ doctok AS (
     // doc_id < 300; any drift in trainer or encoder breaks the hash
     "q_bpe_encode" -> bpeEncodeStreamsOracle,
 
+    // the stated streams joined against the stated vocabulary: the id
+    // of every fixture token re-derived from constants alone
+    "q_bpe_ids" ->
+      s"""WITH toks(arm, pos, token) AS (VALUES
+         |$bpeOracleStreamValues),
+         |$bpeOracleVocabCte
+         |SELECT d.doc_id, CAST(t.pos AS INTEGER) AS pos,
+         |  CAST(v.id AS INTEGER) AS token_id
+         |FROM documents d
+         |JOIN toks t ON t.arm = d.doc_id % 3
+         |JOIN vocab v ON v.tok = t.token
+         |WHERE d.doc_id < 300
+         |ORDER BY doc_id, pos""".stripMargin,
+
+    "q_pack_ids" -> bpePackIdsOracle,
+    // the TFRecord roundtrip must be IDENTITY: read-back rows match
+    // the same packed-sequence oracle
+    "q_pack_ids_tfrecord" -> bpePackIdsOracle,
+
     // SAME stated streams: a 4-merge model continued by 6 more merges
     // must be indistinguishable from the 10-merge whole-training model
     "q_bpe_extend" -> bpeEncodeStreamsOracle,
@@ -4700,6 +4904,30 @@ ORDER BY doc_id""",
         |SELECT d.doc_id, d.lang
         |FROM documents d JOIN thr USING (lang)
         |WHERE substr(md5(cast(d.doc_id AS VARCHAR) || ':tmp13'), 1, 12) < thr.t
+        |ORDER BY d.doc_id""".stripMargin,
+
+    // same replay at alpha = 0.25: weights are sqrt(sqrt(c)) — the
+    // stated two-op route both engines compute identically
+    "q_sample_temperature_a25" ->
+      """WITH n AS (
+        |  SELECT lang, count(*) AS c FROM documents
+        |  WHERE lang IS NOT NULL GROUP BY lang),
+        |w AS (SELECT lang, c, sqrt(sqrt(cast(c AS DOUBLE))) AS wt FROM n),
+        |tot AS (SELECT
+        |  ((((coalesce(max(CASE WHEN lang='de' THEN wt END), 0.0)
+        |    + coalesce(max(CASE WHEN lang='en' THEN wt END), 0.0))
+        |    + coalesce(max(CASE WHEN lang='es' THEN wt END), 0.0))
+        |    + coalesce(max(CASE WHEN lang='fr' THEN wt END), 0.0))
+        |    + coalesce(max(CASE WHEN lang='zh' THEN wt END), 0.0)) AS s
+        |  FROM w),
+        |f AS (SELECT lang, ((400.0 * wt) / s) / cast(c AS DOUBLE) AS f FROM w, tot),
+        |thr AS (SELECT lang,
+        |  CASE WHEN f >= 1.0 THEN 'g'
+        |       ELSE lpad(lower(to_hex(cast(floor(f * 281474976710656.0) AS BIGINT))), 12, '0') END AS t
+        |  FROM f)
+        |SELECT d.doc_id, d.lang
+        |FROM documents d JOIN thr USING (lang)
+        |WHERE substr(md5(cast(d.doc_id AS VARCHAR) || ':tmp14a'), 1, 12) < thr.t
         |ORDER BY d.doc_id""".stripMargin,
 
     // the greedy word-fill replayed as a second recursion over word

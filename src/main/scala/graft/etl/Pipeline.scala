@@ -1274,6 +1274,16 @@ final class Pipeline private (
       graft.ops.Packing.buildShardsWithBoundaries(_, orderCol, textCol,
         weightCol, budget, sep)))
 
+  /** FIXED-LENGTH packed token-ID sequences — the tensor a data loader
+    * reads ([[graft.ops.Packing.packTokenIds]]: GPT-style
+    * concat-and-chunk over an `array<int>` ids column, documents split
+    * across sequence boundaries, pad only at the corpus tail,
+    * `doc_offsets` = within-sequence attention-reset boundaries). */
+  def packTokenIds(
+      orderCol: String, idsCol: String, seqLen: Int, padId: Int = 0): Pipeline =
+    add(MapStep("packTokenIds",
+      graft.ops.Packing.packTokenIds(_, orderCol, idsCol, seqLen, padId)))
+
   /** Drop rows near-duplicating ANY document of `reference`
     * ([[graft.ops.Dedup.crossCorpusDedup]] — dedupe a new crawl
     * against the previous training set). */
@@ -1467,6 +1477,15 @@ final class Pipeline private (
       modelBc: org.apache.spark.broadcast.Broadcast[graft.functions.BpeModel]): Pipeline =
     add(MapStep("withBpeTokenCount",
       graft.ops.Bpe.withTokenCount(_, textCol, as, modelBc)))
+
+  /** Append the REAL tokenizer's token-ID array of `textCol`
+    * ([[graft.ops.Bpe.withTokenIds]] — encode-to-ids under the model's
+    * derived vocabulary; feed [[packTokenIds]]). */
+  def withBpeTokenIds(
+      textCol: String, as: String,
+      modelBc: org.apache.spark.broadcast.Broadcast[graft.functions.BpeModel]): Pipeline =
+    add(MapStep("withBpeTokenIds",
+      graft.ops.Bpe.withTokenIds(_, textCol, as, modelBc)))
 }
 
 /** gratum SortConfig (SortConfig.groovy:8-13) — see [[Pipeline.sortWith]]. */

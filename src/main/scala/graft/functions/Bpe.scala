@@ -13,8 +13,17 @@ import org.apache.spark.unsafe.types.UTF8String
   * [[graft.ops.Bpe.train]] (Sennrich et al. 2016). Symbols are Unicode
   * code points with a `</w>` end-of-word marker; rank = merge priority
   * (lower merges first). The ranks map and the per-thread word cache
-  * are rebuilt lazily on each executor after broadcast. */
-case class BpeModel(merges: Array[(String, String)]) extends Serializable {
+  * are rebuilt lazily on each executor after broadcast.
+  *
+  * `alphabet` is the model's BASE symbol set (the distinct initial
+  * symbols — code points + the end-of-word marker — of the training
+  * dictionary), carried so the model defines a complete token
+  * VOCABULARY without the corpus: see [[vocab]]. Models from before
+  * the alphabet existed (or built by hand) may carry an empty one —
+  * every symbol then encodes to [[BpeModel.UnkId]]. */
+case class BpeModel(
+    merges: Array[(String, String)],
+    alphabet: Array[String] = Array.empty) extends Serializable {
 
   /** Two-level pair->rank map: keyed (left, right) so pairs whose
     * symbols may contain ANY code point stay unambiguous (one
@@ -41,6 +50,36 @@ case class BpeModel(merges: Array[(String, String)]) extends Serializable {
     m
   }
 
+  /** The model's token vocabulary, DERIVED (stated order, so an
+    * external system can reproduce the ids from the model table
+    * alone): id 0 = `<pad>`, id 1 = `<unk>`, then the alphabet in
+    * ascending (String) order, then one compound symbol per merge in
+    * MERGE order — first occurrence wins when a compound collides
+    * (two merge paths can create the same string, and text that
+    * literally spells the end-of-word marker can merge into it); the
+    * duplicate simply never gets a second id. A symbol outside the
+    * vocabulary encodes to [[BpeModel.UnkId]] — with a full alphabet
+    * that means "code point unseen at training time", the standard
+    * char-level-UNK convention. */
+  @transient lazy val vocab: Array[String] = {
+    val out = new scala.collection.mutable.ArrayBuffer[String](
+      2 + alphabet.length + merges.length)
+    val seen = new java.util.HashSet[String]()
+    def add(s: String): Unit = if (seen.add(s)) out += s
+    add(BpeModel.PadToken); add(BpeModel.UnkToken)
+    alphabet.sorted.foreach(add)
+    merges.foreach { case (l, r) => add(l + r) }
+    out.toArray
+  }
+
+  /** symbol -> vocab id, for the hot encode loop. */
+  @transient lazy val vocabIds: java.util.HashMap[String, Integer] = {
+    val m = new java.util.HashMap[String, Integer](vocab.length * 2)
+    var i = 0
+    while (i < vocab.length) { m.put(vocab(i), i); i += 1 }
+    m
+  }
+
   /** Per-thread LRU word cache: natural text is Zipfian, so most words
     * repeat — cache the encoded form per distinct word (bounded). */
   @transient lazy val cache: ThreadLocal[java.util.LinkedHashMap[String, Array[String]]] =
@@ -49,6 +88,16 @@ case class BpeModel(merges: Array[(String, String)]) extends Serializable {
         override def removeEldestEntry(
             e: java.util.Map.Entry[String, Array[String]]): Boolean = size() > 10000
       })
+}
+
+object BpeModel {
+  /** Reserved vocab slots: the pad id fills fixed-length packed
+    * sequences ([[graft.ops.Packing.packTokenIds]]); the unk id is
+    * every symbol the vocabulary does not hold. */
+  val PadId = 0
+  val UnkId = 1
+  val PadToken = "<pad>"
+  val UnkToken = "<unk>"
 }
 
 object BpeUtil {
@@ -126,6 +175,34 @@ object BpeUtil {
     }
     new GenericArrayData(out.toArray[Any])
   }
+
+  /** [[tokens]] mapped through the model's [[BpeModel.vocab]]: the
+    * token-ID stream a trainer's data loader consumes. Same split,
+    * same greedy encode (and the same per-thread word cache — the
+    * cache holds symbol arrays; the id lookup is one hash get per
+    * token); symbols outside the vocabulary become [[BpeModel.UnkId]].
+    * ids(text) and tokens(text) are index-aligned by construction. */
+  def tokenIds(text: UTF8String, m: BpeModel): ArrayData = {
+    val s = text.toString
+    val out = new scala.collection.mutable.ArrayBuilder.ofInt
+    var i = 0
+    val n = s.length
+    while (i < n) {
+      while (i < n && isWs(s.charAt(i))) i += 1
+      val start = i
+      while (i < n && !isWs(s.charAt(i))) i += 1
+      if (i > start) {
+        val toks = encodeWord(s.substring(start, i), m)
+        var k = 0
+        while (k < toks.length) {
+          val id = m.vocabIds.get(toks(k))
+          out += (if (id == null) BpeModel.UnkId else id.intValue())
+          k += 1
+        }
+      }
+    }
+    new GenericArrayData(out.result().map(Int.box: Int => Any))
+  }
 }
 
 /** BPE tokens of a string column under a broadcast [[BpeModel]] — one
@@ -162,8 +239,46 @@ case class BpeTokens(
     copy(child = newChild)
 }
 
+/** BPE token IDS of a string column under a broadcast [[BpeModel]] —
+  * [[BpeTokens]]' id sibling: the same whitespace split and greedy
+  * encode, each token mapped through the model's derived vocabulary
+  * ([[BpeModel.vocab]]; unknown symbols → [[BpeModel.UnkId]]). This is
+  * the stream a training data loader actually reads. */
+case class BpeIds(
+    child: Expression,
+    modelBc: org.apache.spark.broadcast.Broadcast[BpeModel])
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case StringType => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"bpe_ids expects string, got ${other.simpleString}")
+    }
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "bpe_ids"
+
+  override protected def nullSafeEval(input: Any): Any =
+    BpeUtil.tokenIds(input.asInstanceOf[UTF8String], modelBc.value)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val bcRef = ctx.addReferenceObj("bpeModelBc", modelBc,
+      "org.apache.spark.broadcast.Broadcast")
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.BpeUtil$$.MODULE$$.tokenIds($c, " +
+        s"(graft.functions.BpeModel) $bcRef.value())")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object bpeExprs {
   def bpe_tokens(c: Column,
       modelBc: org.apache.spark.broadcast.Broadcast[BpeModel]): Column =
     Bridge.toColumn(BpeTokens(Bridge.toExpression(c), modelBc))
+  def bpe_ids(c: Column,
+      modelBc: org.apache.spark.broadcast.Broadcast[BpeModel]): Column =
+    Bridge.toColumn(BpeIds(Bridge.toExpression(c), modelBc))
 }

@@ -76,7 +76,55 @@ case class GreedyChunkStarts(child: Expression, maxTokens: Int)
     copy(child = newChild)
 }
 
+object PrefixUtil {
+  /** Exclusive prefix sums of a long array: out(i) = Σ in(0..i-1),
+    * out(0) = 0. NULL elements count as 0 (the SQL SUM convention the
+    * callers' weight columns already follow). One O(n) pass — the
+    * scan a Catalyst `aggregate` fold can only hold with an
+    * array-append accumulator (O(n²) element copies). */
+  def exclusive(in: ArrayData): ArrayData = {
+    val n = in.numElements()
+    val out = new Array[Any](n)
+    var acc = 0L
+    var i = 0
+    while (i < n) {
+      out(i) = Long.box(acc)
+      if (!in.isNullAt(i)) acc += in.getLong(i)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
+/** Exclusive prefix sums of an `array<bigint>` — the per-group
+  * boundary-offset scan under
+  * [[graft.ops.Packing.buildShardsWithBoundaries]]. */
+case class ExclusivePrefixSums(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"exclusive_prefix_sums expects array<bigint>, got ${other.simpleString}")
+    }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "exclusive_prefix_sums"
+
+  override protected def nullSafeEval(input: Any): Any =
+    PrefixUtil.exclusive(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.PrefixUtil$$.MODULE$$.exclusive($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object chunkExprs {
   def greedy_chunk_starts(costs: Column, maxTokens: Int): Column =
     Bridge.toColumn(GreedyChunkStarts(Bridge.toExpression(costs), maxTokens))
+  def exclusive_prefix_sums(weights: Column): Column =
+    Bridge.toColumn(ExclusivePrefixSums(Bridge.toExpression(weights)))
 }

@@ -99,6 +99,15 @@ object Bpe {
     val numMerges = extraMerges
     require(numMerges >= 0, s"numMerges must be >= 0, got $numMerges")
     require(minPairCount >= 1, s"minPairCount must be >= 1, got $minPairCount")
+    // the model's base-symbol ALPHABET (vocab derivation input): union
+    // of the existing model's alphabet and this dictionary's initial
+    // symbols, sorted — so continuation GROWS the vocabulary and
+    // train(c, n) == continue(train(c, k), c, n-k) holds for the
+    // alphabet too (same corpus -> same symbol set)
+    val alphaSet = new scala.collection.mutable.HashSet[String]()
+    model.alphabet.foreach(alphaSet += _)
+    counts.foreach(c => BpeUtil.initialSymbols(c._1).foreach(alphaSet += _))
+    val alphabet = alphaSet.toArray.sorted
     val words: Array[Array[String]] =
       counts.map(c => applyMergesInOrder(c._1, model)).toArray
     val wordCount: Array[Long] = counts.map(_._2).toArray
@@ -179,7 +188,7 @@ object Bpe {
         pairWords.remove(best)
       }
     }
-    BpeModel(model.merges ++ merges)
+    BpeModel(model.merges ++ merges, alphabet)
   }
 
   /** [[continueFromWordCounts]] over a text column: one dictionary
@@ -209,6 +218,29 @@ object Bpe {
     * step should use once a tokenizer exists). */
   def tokenCount(c: Column, modelBc: Broadcast[BpeModel]): Column =
     size(tokens(c, modelBc))
+
+  /** BPE token IDS of `c` (array<int>) under the model's derived
+    * vocabulary ([[graft.functions.BpeModel.vocab]]: pad 0, unk 1,
+    * alphabet sorted, compounds in merge order) — index-aligned with
+    * [[tokens]], unknown symbols → unk. This is the integer stream a
+    * trainer's data loader reads; pack it with
+    * [[graft.ops.Packing.packTokenIds]]. */
+  def ids(c: Column, modelBc: Broadcast[BpeModel]): Column =
+    bpeExprs.bpe_ids(c, modelBc)
+
+  /** Adds the token-ID array of `textCol` as `outCol` — the encode
+    * step of the text → ids → fixed-length-sequences pipeline. */
+  def withTokenIds(df: DataFrame, textCol: String, outCol: String,
+      modelBc: Broadcast[BpeModel]): DataFrame =
+    df.withColumn(outCol, ids(col(textCol), modelBc))
+
+  /** The model's vocabulary as a (id, token) DataFrame — the artifact
+    * shipped next to packed shards so ids are decodable without the
+    * model object. */
+  def vocabTable(spark: SparkSession, m: BpeModel): DataFrame = {
+    import spark.implicits._
+    m.vocab.zipWithIndex.map { case (t, i) => (i, t) }.toSeq.toDF("id", "token")
+  }
 
   /** Adds the REAL-tokenizer token count of `textCol` as `outCol` —
     * the budget-unit wiring for
@@ -257,26 +289,39 @@ object Bpe {
       " ")
 
   /** One-table model persistence, LmScore-convention: (rank, left,
-    * right), executor-side materialization. */
+    * right), executor-side materialization. Merges at rank 0..n-1;
+    * the alphabet rides the SAME table at rank -(i+1) with left = the
+    * symbol and right NULL (so a model file is still one table and a
+    * pre-alphabet file still loads — as an empty-alphabet model). */
   def saveModel(spark: SparkSession, m: BpeModel, path: String): Unit = {
     import spark.implicits._
     val merges = m.merges
-    spark.sparkContext.parallelize(merges.indices, 1)
-      .map(i => (i, merges(i)._1, merges(i)._2))
+    val alphabet = m.alphabet
+    val rows: Seq[(Int, String, String)] =
+      merges.indices.map(i => (i, merges(i)._1, merges(i)._2)) ++
+        alphabet.indices.map(i => (-(i + 1), alphabet(i), null: String))
+    spark.sparkContext.parallelize(rows, 1)
       .toDF("rank", "left", "right")
       .write.mode("overwrite").parquet(path)
   }
 
   def loadModel(spark: SparkSession, path: String): BpeModel = {
-    val rows = spark.read.parquet(path)
+    val all = spark.read.parquet(path)
       .select("rank", "left", "right")
-      .collect().sortBy(_.getInt(0))
+      .collect()
+    val rows = all.filter(_.getInt(0) >= 0).sortBy(_.getInt(0))
     val merges = rows.map(r => (r.getString(1), r.getString(2)))
     rows.zipWithIndex.foreach { case (r, i) =>
       require(r.getInt(0) == i,
         s"Bpe.loadModel: rank column is not dense at $i (got ${r.getInt(0)}) — " +
           "not a saveModel table")
     }
-    BpeModel(merges)
+    val arows = all.filter(_.getInt(0) < 0).sortBy(-_.getInt(0))
+    arows.zipWithIndex.foreach { case (r, i) =>
+      require(r.getInt(0) == -(i + 1),
+        s"Bpe.loadModel: alphabet rank is not dense at ${-(i + 1)} " +
+          s"(got ${r.getInt(0)}) — not a saveModel table")
+    }
+    BpeModel(merges, arows.map(_.getString(1)))
   }
 }

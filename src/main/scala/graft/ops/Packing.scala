@@ -169,9 +169,11 @@ object Packing {
     * position-id-reset boundaries for the packed sequence (offsets
     * count WEIGHT units only; a separator-token cost, if any, belongs
     * in the upstream weights). Same single hash aggregate as
-    * [[buildShards]]; the offsets are an `aggregate` fold over the
-    * already-sorted member structs — budget-bounded arrays, no extra
-    * shuffle, no window. */
+    * [[buildShards]]; the offsets are one native O(members) scan
+    * ([[graft.functions.ExclusivePrefixSums]]) over the already-sorted
+    * member weights — no extra shuffle, no window, and no
+    * array-append fold accumulator (which would re-copy per member:
+    * quadratic when a shard holds many zero-weight docs). */
   def buildShardsWithBoundaries(
       df: DataFrame, orderCol: String, textCol: String, weightCol: String,
       budget: Long, sep: String = "\n", bucketWidth: Long = 100000): DataFrame = {
@@ -190,11 +192,83 @@ object Packing {
       .select(col("shard_id"), col("n_docs"), col("n_tokens"),
         concat_ws(sep, transform(col("__m__"), s => s.getField("__t__")))
           .as("shard_text"),
-        aggregate(col("__m__"),
-          struct(typedLit(Array.empty[Long]).as("offs"), lit(0L).as("run")),
-          (acc, d) => struct(
-            concat(acc.getField("offs"), array(acc.getField("run"))).as("offs"),
-            (acc.getField("run") + d.getField("__wl__")).as("run")))
-          .getField("offs").as("doc_offsets"))
+        graft.functions.chunkExprs.exclusive_prefix_sums(
+          transform(col("__m__"), d => d.getField("__wl__")))
+          .as("doc_offsets"))
+  }
+
+  /** FIXED-LENGTH packed training sequences — the tensor a data
+    * loader actually reads: documents' token-ID arrays (`idsCol`,
+    * `array<int>`, e.g. [[graft.ops.Bpe.withTokenIds]]) are
+    * conceptually concatenated in `orderCol` order and cut every
+    * `seqLen` ids (GPT-style concat-and-chunk, documents SPLIT across
+    * sequence boundaries — nothing is wasted); only the final
+    * sequence is padded, with `padId`, to exactly `seqLen`. Returns
+    * one row per sequence:
+    *   - `seq_id`        — 0-based sequence index in corpus order
+    *   - `input_ids`     — `array<int>`, length exactly `seqLen`
+    *   - `doc_offsets`   — within-sequence start position of every
+    *     document PIECE in the sequence (first element always 0) —
+    *     the block-diagonal attention-mask / position-reset
+    *     boundaries, the same offsets-in-weight-units convention as
+    *     [[buildShardsWithBoundaries]] (a piece continuing from the
+    *     previous sequence is a boundary too: attention cannot cross
+    *     a sequence edge)
+    *   - `n_docs`        — number of pieces (= size of doc_offsets)
+    *   - `n_pad`         — trailing pad count (0 except the last
+    *     sequence)
+    * Documents with NULL or empty ids contribute nothing (a
+    * zero-token document has no place in a token tensor — filter or
+    * default upstream if that matters).
+    *
+    * Scale shape: the exclusive prefix sum is [[globalCumsum]]'s
+    * order-aligned-bucket protocol (never one global window); each
+    * document then EXPLODES into at most ceil(w/seqLen)+1
+    * (sequence, piece) slices — pure per-row arithmetic — and one
+    * groupBy(seq_id) assembles sequences whose per-group state is
+    * seqLen-BOUNDED by construction (array_sort over ≤seqLen pieces,
+    * flatten to exactly seqLen ids). One shuffle of the id payload,
+    * which is the inherent movement: ids must regroup from document
+    * order to sequence order. */
+  def packTokenIds(
+      df: DataFrame, orderCol: String, idsCol: String,
+      seqLen: Int, padId: Int = 0, bucketWidth: Long = 100000): DataFrame = {
+    require(seqLen >= 1, s"seqLen must be >= 1, got $seqLen")
+    Seq("__w__", "__seq__", "__piece__").foreach(c =>
+      require(!df.columns.contains(c), s"input already has a column named $c"))
+    val withW = df
+      .withColumn("__w__", coalesce(size(col(idsCol)).cast("long"), lit(0L)))
+      .filter(col("__w__") > 0)
+    val cum = globalCumsum(withW, orderCol, "__w__", bucketWidth)
+    val L = lit(seqLen.toLong)
+    val pieces = cum
+      // sequences this doc overlaps: first token at cum_before, last at
+      // cum_before + w - 1
+      .withColumn("__seq__", explode(sequence(
+        expr("cum_before div " + seqLen),
+        expr(s"(cum_before + __w__ - 1) div $seqLen"))))
+      .withColumn("__piece__", {
+        val gStart = greatest(col("__seq__") * L, col("cum_before"))
+        val gEnd = least((col("__seq__") + 1) * L, col("cum_before") + col("__w__"))
+        struct(
+          (gStart - col("__seq__") * L).cast("int").as("off"),
+          slice(col(idsCol), (gStart - col("cum_before") + 1).cast("int"),
+            (gEnd - gStart).cast("int")).as("ids"))
+      })
+      .select(col("__seq__").as("seq_id"), col("__piece__"))
+    pieces.groupBy("seq_id")
+      .agg(array_sort(collect_list(col("__piece__"))).as("__m__"))
+      .select(
+        col("seq_id"),
+        flatten(transform(col("__m__"), p => p.getField("ids"))).as("__ids__"),
+        transform(col("__m__"), p => p.getField("off")).as("doc_offsets"),
+        size(col("__m__")).as("n_docs"))
+      .select(
+        col("seq_id"),
+        concat(col("__ids__"),
+          array_repeat(lit(padId), lit(seqLen) - size(col("__ids__"))))
+          .as("input_ids"),
+        col("doc_offsets"), col("n_docs"),
+        (lit(seqLen) - size(col("__ids__"))).as("n_pad"))
   }
 }

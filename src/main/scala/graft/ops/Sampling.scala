@@ -158,13 +158,15 @@ object Sampling {
     *
     * Determinism contract (what puts the op under the DuckDB gate):
     * strata fold into Σ in LABEL order; alpha = 0.5 routes through
-    * `sqrt` and alpha = 1.0 through the identity — both
-    * correctly-rounded IEEE, so with the stated operation order the
-    * fractions are bit-identical on any IEEE engine, and the hash
-    * thresholds `floor(f · 16^12)` are exact because 16^12 is a power
-    * of two (a binary-FP multiply by it is exact). Other alphas go
-    * through `pow` — libm, engine-approximate — fine for production
-    * mixing, not for a cross-engine hash gate. */
+    * `sqrt`, alpha = 0.25 through `sqrt ∘ sqrt` (two correctly-rounded
+    * ops, still engine-portable), and alpha = 1.0 through the
+    * identity — all correctly-rounded IEEE, so with the stated
+    * operation order the fractions are bit-identical on any IEEE
+    * engine, and the hash thresholds `floor(f · 16^12)` are exact
+    * because 16^12 is a power of two (a binary-FP multiply by it is
+    * exact). Other alphas go through `pow` — libm,
+    * engine-approximate — fine for production mixing, not for a
+    * cross-engine hash gate. */
   def temperatureFractions(
       counts: Seq[(String, Long)], targetDocs: Long,
       alpha: Double): Seq[(String, Double)] = {
@@ -174,6 +176,7 @@ object Sampling {
     val sorted = counts.sortBy(_._1)
     def w(n: Long): Double =
       if (alpha == 0.5) math.sqrt(n.toDouble)
+      else if (alpha == 0.25) math.sqrt(math.sqrt(n.toDouble))
       else if (alpha == 1.0) n.toDouble
       else math.pow(n.toDouble, alpha)
     val sigma = sorted.foldLeft(0.0) { case (acc, (_, n)) => acc + w(n) }

@@ -175,6 +175,97 @@ object ScaleStats {
       "emitted_pairs" -> emitted)
   }
 
+  /** Stage accounting + phase-timing split for the CROSS-corpus dedup
+    * family ([[Dedup.crossCorpusNearDups]] — the q_dedup_cross path):
+    * side sizes → cross-bucket occupancy (a bucket contributes
+    * corpus-side × reference-side pairs, counted arithmetically from
+    * the tagged-union aggregate, never enumerated) → screen survivors
+    * → exact-verify candidate ids → verified pairs, plus
+    * `screen_millis` (signatures + banding + margin screen, the
+    * candidate stage alone) vs `full_op_millis` (the whole operator,
+    * screen + shingle-set joins + exact jaccard) so a timing slope at
+    * a new corpus point attributes to candidate growth or to the
+    * verify join, not to "the query". */
+  def cross(
+      corpus: DataFrame, reference: DataFrame, idCol: String, textCol: String,
+      shingleN: Int, numHashes: Int, bands: Int,
+      threshold: Double, maxBucket: Int,
+      charShingles: Boolean): Map[String, Long] = {
+    require(numHashes % bands == 0)
+    val r = numHashes / bands
+    val sa = Dedup.nativeSigs(corpus, idCol, textCol, shingleN, numHashes, charShingles)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sb = Dedup.nativeSigs(reference, idCol, textCol, shingleN, numHashes, charShingles)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val nA = sa.count()
+      val nB = sb.count()
+      // the operator's own tagged-union occupancy shape: n = both
+      // sides, nb = reference side; cross-pairable needs members on
+      // BOTH sides; pairs per bucket = (n - nb) * nb
+      val occRow = LshBlocking.bandRows(sa, bands, r, "__sig__")
+        .withColumn("__s__", lit(0))
+        .unionByName(LshBlocking.bandRows(sb, bands, r, "__sig__")
+          .withColumn("__s__", lit(1)))
+        .groupBy("band", "bucket")
+        .agg(count(lit(1)).as("n"), sum(col("__s__")).as("nb"))
+        .agg(
+          count(lit(1)).as("buckets"),
+          max(col("n")).as("max_bucket"),
+          sum(when(col("nb") >= 1 && col("nb") < col("n") &&
+            col("n") <= maxBucket, lit(1)).otherwise(lit(0)))
+            .as("pairable_buckets"),
+          sum(when(col("nb") >= 1 && col("nb") < col("n") &&
+            col("n") > maxBucket, lit(1)).otherwise(lit(0)))
+            .as("capped_buckets"),
+          sum(when(col("nb") >= 1 && col("nb") < col("n") &&
+            col("n") <= maxBucket, (col("n") - col("nb")) * col("nb"))
+            .otherwise(lit(0L))).cast("long").as("candidate_pairs"),
+          sum(when(col("nb") >= 1 && col("nb") < col("n") &&
+            col("n") > maxBucket, (col("n") - col("nb")) * col("nb"))
+            .otherwise(lit(0L))).cast("long").as("capped_pairs"))
+        .head()
+      def at(i: Int): Long = if (occRow.isNullAt(i)) 0L else occRow.getLong(i)
+      def steadyMs(f: => Unit): Long = {
+        def once(): Long = {
+          val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1000000
+        }
+        once(); math.min(once(), once())
+      }
+      var screenSurvivors = 0L
+      val screenMs = steadyMs {
+        screenSurvivors = LshBlocking.crossCandidatePairs(sa, sb, bands, r,
+          maxBucket,
+          screen = _.withColumn("est_jaccard",
+              graft.functions.similarityExprs.sig_agreement(col("p1"), col("p2")))
+            .filter(col("est_jaccard") >= threshold * 0.5)
+            .select(col("id1"), col("id2"), col("est_jaccard"))).count()
+      }
+      var verified = 0L
+      val fullMs = steadyMs {
+        verified = Dedup.crossCorpusNearDups(corpus, reference, idCol, textCol,
+          shingleN, numHashes, bands, threshold, maxBucket,
+          exactVerify = true, charShingles = charShingles).count()
+      }
+      Map("corpus_rows" -> nA,
+        "reference_rows" -> nB,
+        "band_rows" -> (nA + nB) * bands,
+        "buckets" -> at(0),
+        "max_bucket" -> at(1),
+        "pairable_buckets" -> at(2),
+        "capped_buckets" -> at(3),
+        "candidate_pairs" -> at(4),
+        "capped_pairs" -> at(5),
+        "screen_survivors" -> screenSurvivors,
+        "verified_pairs" -> verified,
+        "screen_millis" -> screenMs,
+        "full_op_millis" -> fullMs)
+    } finally {
+      sa.unpersist(false)
+      sb.unpersist(false)
+    }
+  }
+
   /** Stage accounting for the cluster-dedup family
     * ([[Dedup.sharedShingleEdges]] → [[Graph.connectedComponents]]):
     * gram explode volume, gram-frequency cap occupancy, edge count,

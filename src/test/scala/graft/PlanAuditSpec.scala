@@ -276,6 +276,30 @@ class PlanAuditSpec extends AnyFunSuite {
       s"generator child re-evaluates the chunk build per output row: $genLine")
   }
 
+  test("packTokenIds: ONE payload shuffle (the seq regroup), bucket-partitioned cumsum windows, no pair joins") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val m = ops.Bpe.train(docs.limit(50), "text", numMerges = 10, minPairCount = 2)
+    val bc = ops.Bpe.broadcastModel(spark, m)
+    val df = ops.Packing.packTokenIds(
+      ops.Bpe.withTokenIds(docs, "text", "__tids__", bc),
+      "doc_id", "__tids__", seqLen = 256, padId = 0)
+    val s = planString(executed(df))
+    // the prefix-sum window must stay per-bucket (never one global
+    // ordered partition) with the offsets broadcast back
+    val windows = s.linesIterator.filter(_.contains("windowspecdefinition")).toSeq
+    assert(windows.nonEmpty, s"no window in plan:\n$s")
+    windows.foreach(l =>
+      assert(l.contains("__b__"), s"window not bucket-partitioned: $l"))
+    assert(s.contains("BroadcastHashJoin"), s"offsets not broadcast:\n$s")
+    assert(!s.contains("CartesianProduct") && !s.contains("BroadcastNestedLoopJoin"),
+      s"pair enumeration in:\n$s")
+    // id payload movement: the window partitioning + the groupBy(seq_id)
+    // regroup — hash exchanges only, and no more than those two shapes
+    val exchanges = s.linesIterator.filter(_.trim.startsWith("Exchange")).toSeq
+    assert(exchanges.nonEmpty && exchanges.forall(_.contains("hashpartitioning")),
+      s"unexpected exchange shape (range/single-partition would be the global-window bottleneck):\n$s")
+  }
+
   test("q_sample_budget_bpe keeps the bucket-partitioned windows under the real-token weight") {
     val s = planString(executed(SparkEntry.queries("q_sample_budget_bpe")(spark, dir)))
     val windows = s.linesIterator.filter(_.contains("windowspecdefinition")).toSeq

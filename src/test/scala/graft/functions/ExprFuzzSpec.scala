@@ -281,6 +281,8 @@ class ExprFuzzSpec extends AnyFunSuite {
       "\u0000", "a" * 500) ++ (0 until 300).map(_ => hostile())
     sweep1("bpe_tokens", texts.toDF("x"), texts.map(strLit),
       c => bpeExprs.bpe_tokens(c, bc))
+    sweep1("bpe_ids", texts.toDF("x"), texts.map(strLit),
+      c => bpeExprs.bpe_ids(c, bc))
   }
 
   test("greedy_chunk_starts: interpreted == codegen over random cost arrays") {
@@ -300,6 +302,17 @@ class ExprFuzzSpec extends AnyFunSuite {
       sweep1(s"greedy_chunk_starts(max=$max)", arrays.toDF("x"), arrays.map(alit),
         c => chunkExprs.greedy_chunk_starts(c, max))
     }
+  }
+
+  test("exclusive_prefix_sums: interpreted == codegen over random weight arrays") {
+    val arrays: Seq[Seq[Long]] = Seq(null, Seq.empty[Long], Seq(0L), Seq(7L)) ++
+      (0 until 200).map { _ =>
+        (0 until rnd.nextInt(30)).map(_ => rnd.nextInt(1000).toLong)
+      }
+    def alit(v: Seq[Long]): Column =
+      if (v == null) nullLit(ArrayType(LongType)) else typedLit(v)
+    sweep1("exclusive_prefix_sums", arrays.toDF("x"), arrays.map(alit),
+      chunkExprs.exclusive_prefix_sums)
   }
 
   // ---------- broadcast-backed expressions ----------

@@ -185,10 +185,85 @@ class BpeSpec extends AnyFunSuite {
     Bpe.saveModel(spark, m, dir)
     val back = Bpe.loadModel(spark, dir)
     assert(back.merges.toSeq == m.merges.toSeq)
+    assert(back.alphabet.toSeq == m.alphabet.toSeq)
+    assert(back.vocab.toSeq == m.vocab.toSeq)
     val bad = java.nio.file.Files.createTempDirectory("graft-bpe-bad").toString + "/m"
     Seq((5, "a", "b")).toDF("rank", "left", "right").write.parquet(bad)
     val e = intercept[IllegalArgumentException] { Bpe.loadModel(spark, bad) }
     assert(e.getMessage.contains("rank"))
+    // a pre-alphabet model table (merge rows only) still loads — as an
+    // empty-alphabet model
+    val old = java.nio.file.Files.createTempDirectory("graft-bpe-old").toString + "/m"
+    Seq((0, "a", "b"), (1, "ab", "c")).toDF("rank", "left", "right").write.parquet(old)
+    val legacy = Bpe.loadModel(spark, old)
+    assert(legacy.merges.toSeq == Seq(("a", "b"), ("ab", "c")))
+    assert(legacy.alphabet.isEmpty)
+  }
+
+  test("vocab derivation is the stated order: pad, unk, alphabet sorted, compounds in merge order") {
+    // the q_bpe_encode fixture corpus — this assertion IS the gate
+    // oracle's vocab VALUES table, derived by hand from the stated rule
+    val arms = Seq(
+      "the thin cat sat on the mat",
+      "the thin hat fit that cat",
+      "this fat cat sat on that hat")
+    val corpus = (0 until 300).map(i => arms(i % 3)).toDF("text")
+    val m = Bpe.train(corpus, "text", numMerges = 10, minPairCount = 2)
+    assert(m.alphabet.toSeq == Seq(
+      BpeUtil.EndOfWord, "a", "c", "e", "f", "h", "i", "m", "n", "o", "s", "t"))
+    assert(m.vocab.toSeq == Seq(
+      "<pad>", "<unk>", "</w>", "a", "c", "e", "f", "h", "i", "m", "n", "o",
+      "s", "t",
+      "t</w>", "at</w>", "th", "n</w>", "cat</w>", "e</w>", "the</w>", "thi",
+      "hat</w>", "on</w>"))
+    // ids are index-aligned with tokens; unseen code points -> unk(1)
+    val bc = Bpe.broadcastModel(spark, m)
+    val r = Seq("the thin cat", "xyz the").toDF("text")
+      .select(Bpe.tokens(col("text"), bc).as("t"), Bpe.ids(col("text"), bc).as("i"))
+      .collect()
+    assert(r(0).getSeq[String](0) == Seq("the</w>", "thi", "n</w>", "cat</w>"))
+    assert(r(0).getSeq[Int](1) == Seq(20, 21, 17, 18))
+    // "xyz" under this model: x, y, z unseen -> unk unk unk, then </w>=2
+    assert(r(1).getSeq[Int](1) == Seq(1, 1, 1, 2, 20))
+  }
+
+  test("ids == tokens mapped through the vocab on random models and hostile text") {
+    val word: Gen[String] = for {
+      n <- Gen.chooseNum(1, 6)
+      cs <- Gen.listOfN(n, Gen.oneOf("a", "b", "c", "é", "中", "<", "/", "w", ">"))
+    } yield cs.mkString
+    val dictGen: Gen[Seq[(String, Long)]] = for {
+      n <- Gen.chooseNum(2, 20)
+      ws <- Gen.listOfN(n, word)
+      cs <- Gen.listOfN(n, Gen.chooseNum(1L, 30L))
+    } yield ws.distinct.zip(cs)
+    forSamples(Gen.zip(dictGen, Gen.listOfN(12, word)), 80) { case (dict, texts) =>
+      val m = Bpe.trainFromWordCounts(dict, numMerges = 10, minPairCount = 2)
+      val bc = Bpe.broadcastModel(spark, m)
+      val rows = texts.toDF("text")
+        .select(Bpe.tokens(col("text"), bc), Bpe.ids(col("text"), bc)).collect()
+      rows.foreach { r =>
+        val expect = r.getSeq[String](0).map(t =>
+          Option(m.vocabIds.get(t)).map(_.intValue())
+            .getOrElse(graft.functions.BpeModel.UnkId))
+        assert(r.getSeq[Int](1) == expect)
+      }
+    }
+  }
+
+  test("continuation grows the alphabet; duplicate merge pairs keep the original rank") {
+    val base = Bpe.trainFromWordCounts(Seq(("aab", 10L)), numMerges = 2, minPairCount = 2)
+    val grown = Bpe.continueFromWordCounts(base, Seq(("ccd", 5L), ("ccd x", 1L)),
+      extraMerges = 1, minPairCount = 2)
+    assert(base.alphabet.toSeq == Seq("</w>", "a", "b"))
+    Seq("c", "d", "x").foreach(s => assert(grown.alphabet.contains(s)))
+    assert(grown.alphabet.toSeq == grown.alphabet.toSeq.sorted)
+    // a hand-built model with a duplicate pair: the encoder must honor
+    // the FIRST (lowest) rank — "xabc" merges (a,b)@0 before (b,c)@1
+    val dup = graft.functions.BpeModel(
+      Array(("a", "b"), ("b", "c"), ("a", "b")), Array("a", "b", "c", "x", "</w>"))
+    assert(BpeUtil.encodeWord("xabc", dup).toSeq ==
+      Seq("x", "ab", "c", BpeUtil.EndOfWord))
   }
 
   test("degenerate corpora: empty corpus trains an empty model; encoding with it is the cp split") {

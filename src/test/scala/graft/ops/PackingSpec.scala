@@ -123,4 +123,50 @@ class PackingSpec extends AnyFunSuite {
       Packing.globalCumsum(withNullId, "id", "w", 2))
     assert(e.getMessage.contains("NULL"))
   }
+
+  test("packTokenIds: concat-and-chunk into fixed-length sequences with pad and boundaries") {
+    val docs = Seq(
+      (1L, Seq(1, 2, 3)), (2L, Seq(4, 5)), (3L, Seq(6)))
+      .toDF("id", "ids")
+    val seqs = Packing.packTokenIds(docs, "id", "ids", seqLen = 4, padId = 0)
+      .orderBy("seq_id").collect()
+    assert(seqs.length == 2)
+    // seq 0: doc1 whole (off 0) + doc2's first id (off 3)
+    assert(seqs(0).getSeq[Int](1) == Seq(1, 2, 3, 4))
+    assert(seqs(0).getSeq[Int](2) == Seq(0, 3))
+    assert(seqs(0).getAs[Int]("n_docs") == 2 && seqs(0).getAs[Int]("n_pad") == 0)
+    // seq 1: doc2 continuation (off 0 — attention can't cross the seq
+    // edge, so the continuation is a boundary) + doc3 (off 1) + 2 pads
+    assert(seqs(1).getSeq[Int](1) == Seq(5, 6, 0, 0))
+    assert(seqs(1).getSeq[Int](2) == Seq(0, 1))
+    assert(seqs(1).getAs[Int]("n_docs") == 2 && seqs(1).getAs[Int]("n_pad") == 2)
+  }
+
+  test("packTokenIds: a doc spanning many sequences; empty/null ids contribute nothing") {
+    val docs = Seq(
+      (1L, Some(Seq(1, 2, 3, 4, 5, 6, 7, 8, 9, 10))),
+      (2L, Some(Seq.empty[Int])),
+      (3L, None: Option[Seq[Int]]),
+      (4L, Some(Seq(11)))).toDF("id", "ids")
+    val seqs = Packing.packTokenIds(docs, "id", "ids", seqLen = 4, padId = -1)
+      .orderBy("seq_id").collect()
+    assert(seqs.length == 3)
+    assert(seqs.map(_.getSeq[Int](1)).toSeq ==
+      Seq(Seq(1, 2, 3, 4), Seq(5, 6, 7, 8), Seq(9, 10, 11, -1)))
+    // mid-doc continuations are single-boundary sequences; doc 4 starts
+    // at off 2 of the last sequence
+    assert(seqs.map(_.getSeq[Int](2)).toSeq == Seq(Seq(0), Seq(0), Seq(0, 2)))
+    assert(seqs.map(_.getAs[Int]("n_pad")).toSeq == Seq(0, 0, 1))
+    // token conservation: all real ids appear once, in order
+    val real = seqs.flatMap(r => r.getSeq[Int](1).filter(_ != -1))
+    assert(real.toSeq == (1 to 11))
+  }
+
+  test("packTokenIds: argument validation and internal-name guards") {
+    val docs = Seq((1L, Seq(1))).toDF("id", "ids")
+    intercept[IllegalArgumentException](
+      Packing.packTokenIds(docs, "id", "ids", seqLen = 0))
+    intercept[IllegalArgumentException](
+      Packing.packTokenIds(docs.withColumn("__w__", lit(1)), "id", "ids", 4))
+  }
 }
