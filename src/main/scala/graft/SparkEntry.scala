@@ -2652,6 +2652,33 @@ object SparkEntry {
         .orderBy("doc_id", "pos")
     },
 
+    "q_bpe_vocab" -> { (s, dir) =>
+      // the vocabulary ARTIFACT under the hash: the (id, token) table a
+      // packed-shard consumer ships next to the tensors
+      // (Bpe.vocabTable), derived by the stated rule — the oracle IS
+      // the stated vocab VALUES, so any drift in alphabet collection,
+      // sorting, special-slot order, or compound dedup breaks the hash.
+      ops.Bpe.vocabTable(s, bpeGateBc(s).value).orderBy("id")
+    },
+
+    "q_bpe_ids_roundtrip" -> { (s, dir) =>
+      // ids are DECODABLE without the model's merge ranks: ids →
+      // tokens by plain vocab lookup (the shipped vocabTable is the
+      // codebook) → Bpe.decode. Over the fixture arms every token is
+      // in-vocab, so the roundtrip must reproduce the arm text
+      // exactly — which also pins that in-alphabet text never leaks
+      // an unk into the tensor.
+      val bc = bpeGateBc(s)
+      val vocab = bc.value.vocab.toSeq
+      val arm = element_at(typedLit(bpeGateArms),
+        (pmod(col("doc_id"), lit(3)) + 1).cast("int"))
+      t(s, dir, "documents").filter(col("doc_id") < 300)
+        .select(col("doc_id"),
+          ops.Bpe.decode(transform(ops.Bpe.ids(arm, bc),
+            id => element_at(typedLit(vocab), id + 1))).as("detok"))
+        .orderBy("doc_id")
+    },
+
     "q_pack_ids" -> { (s, dir) =>
       // FIXED-LENGTH packed token-ID sequences over REAL corpus text —
       // the tensor a trainer's data loader actually reads: encode each
@@ -4798,6 +4825,24 @@ ORDER BY seq_id, pos"""
          |JOIN vocab v ON v.tok = t.token
          |WHERE d.doc_id < 300
          |ORDER BY doc_id, pos""".stripMargin,
+
+    // the artifact equals the stated derivation, row for row
+    "q_bpe_vocab" ->
+      s"""WITH $bpeOracleVocabCte
+         |SELECT CAST(id AS INTEGER) AS id, tok AS token
+         |FROM vocab ORDER BY id""".stripMargin,
+
+    // decode(vocab[ids]) must reproduce the (already-normalized) arm
+    // text — stated directly; no engine arithmetic to echo
+    "q_bpe_ids_roundtrip" ->
+      """WITH arms(arm, txt) AS (VALUES
+        |  (0, 'the thin cat sat on the mat'),
+        |  (1, 'the thin hat fit that cat'),
+        |  (2, 'this fat cat sat on that hat'))
+        |SELECT d.doc_id, a.txt AS detok
+        |FROM documents d JOIN arms a ON a.arm = d.doc_id % 3
+        |WHERE d.doc_id < 300
+        |ORDER BY doc_id""".stripMargin,
 
     "q_pack_ids" -> bpePackIdsOracle,
     // the TFRecord roundtrip must be IDENTITY: read-back rows match

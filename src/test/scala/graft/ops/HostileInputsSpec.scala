@@ -282,6 +282,38 @@ class HostileInputsSpec extends AnyFunSuite {
     assert(totalDocs == 12L, s"every doc lands in a shard: $totalDocs")
   }
 
+  test("bpe ids + packTokenIds: hostile corpus encodes and packs without throwing; tensor invariants hold") {
+    // model trained on a tiny clean corpus, applied to the hostile one:
+    // multi-MB docs, controls, surrogates, markers — everything must
+    // encode (unk for unseen code points) and pack into exact-length
+    // sequences with conserved token totals
+    val m = Bpe.train(Seq("the cat sat", "the thin cat").toDF("text"),
+      "text", numMerges = 8, minPairCount = 2)
+    val bc = Bpe.broadcastModel(spark, m)
+    val withIds = Bpe.withTokenIds(hostile, "text", "ids", bc)
+    val rows = withIds.select(col("id"), col("ids")).collect()
+    assert(rows.length == 12)
+    assert(rows.find(_.getLong(0) == 1L).get.isNullAt(1))  // null text -> null ids
+    assert(rows.find(_.getLong(0) == 2L).get.getSeq[Int](1).isEmpty)  // empty text
+    val vocabSize = m.vocab.length
+    rows.filter(!_.isNullAt(1)).foreach(r =>
+      r.getSeq[Int](1).foreach(id => assert(id >= 0 && id < vocabSize)))
+    val totalIds = rows.filter(!_.isNullAt(1)).map(_.getSeq[Int](1).length.toLong).sum
+    val L = 4096
+    val seqs = Packing.packTokenIds(withIds, "id", "ids", seqLen = L, padId = 0)
+      .orderBy("seq_id").collect()
+    assert(seqs.length == ((totalIds + L - 1) / L).toInt)
+    seqs.foreach(r => assert(r.getSeq[Int](1).length == L, "fixed length broken"))
+    val pads = seqs.map(_.getAs[Int]("n_pad").toLong).sum
+    assert(seqs.length * L.toLong - pads == totalIds, "token conservation broken")
+    // boundary table sane: offsets strictly increasing, first is 0
+    seqs.foreach { r =>
+      val offs = r.getSeq[Int](2)
+      assert(offs.nonEmpty && offs.head == 0 && offs == offs.sorted && offs.distinct == offs)
+      assert(offs.last < L)
+    }
+  }
+
   // ---------------------------------------------------------------
   // URL operators
   // ---------------------------------------------------------------

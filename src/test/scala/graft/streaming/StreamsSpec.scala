@@ -227,6 +227,33 @@ class StreamsSpec extends AnyFunSuite {
     assert(streamed == batch)
   }
 
+  test("BPE encode-to-ids and token counting are streaming-identical (stateless broadcast model)") {
+    // the tensor pipeline's encode step must run unchanged on a
+    // stream: bpe_ids/bpe_tokens are stateless expressions under a
+    // broadcast model, so streamed rows carry exactly the batch ids
+    val docs = graft.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+      .select("doc_id", "text")
+    val model = graft.ops.Bpe.train(
+      docs.filter(col("doc_id") % 10 === 0), "text", numMerges = 12)
+    val bc = graft.ops.Bpe.broadcastModel(spark, model)
+    val corpus = docs.filter(col("doc_id") % 10 =!= 0)
+    val dir = Files.createTempDirectory("graft-stream-bpeids").toString
+    corpus.write.mode("overwrite").parquet(dir)
+    def enc(df: org.apache.spark.sql.DataFrame) =
+      graft.ops.Bpe.withTokenIds(
+        graft.ops.Bpe.withTokenCount(df, "text", "n_tok", bc), "text", "ids", bc)
+    Streams.runToMemory(
+      enc(Streams.parquetStream(spark, dir, corpus.schema)), "bpe_ids_stream")
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id", "n_tok", "ids").collect()
+        .map(r => r.getLong(0) -> (r.getInt(1), r.getSeq[Int](2))).toMap
+    val s = key(spark.table("bpe_ids_stream"))
+    val b = key(enc(corpus))
+    assert(s.nonEmpty && s == b)
+    // counts and ids agree with each other too
+    s.values.foreach { case (n, ids) => assert(ids.length == n) }
+  }
+
   test("gopher rules, URL canonicalization and mixture sampling are streaming-identical") {
     // all three are pure projection/filter chains — the quality gate,
     // the web-corpus dedup key, and the data-mixing decision must
