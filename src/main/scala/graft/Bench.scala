@@ -38,8 +38,27 @@ object Bench {
       .split(" ")(0).toDouble
     catch { case _: Exception => -1.0 }
 
+  /** Fixed single-thread CPU anchor: 2e8 xorshift steps, min of two
+    * JIT-warmed runs. Round 14 measured a UNIFORM ~1.37× slowdown vs
+    * BENCH_r13 across untouched pure-JDK queries — machine-speed
+    * drift, but only provable by per-query forensics; this anchor
+    * makes the next such comparison one division (same code, same
+    * anchor → anchor ratio ≈ machine ratio). */
+  private def cpuAnchorMs(): Double = {
+    def once(): Double = {
+      val t0 = System.nanoTime()
+      var x = 0x9E3779B97F4A7C15L
+      var i = 0
+      while (i < 200000000) { x ^= x << 13; x ^= x >>> 7; x ^= x << 17; i += 1 }
+      if (x == 42L) System.err.println("") // defeat dead-code elimination
+      (System.nanoTime() - t0) / 1e6
+    }
+    once(); math.min(once(), once())
+  }
+
   def main(args: Array[String]): Unit = {
     val loadBefore = loadAvg1()
+    val anchorMs = cpuAnchorMs()
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
@@ -124,6 +143,7 @@ object Bench {
     val loadAfter = loadAvg1()
     val loadPart =
       s""""load_avg_before":${r3(loadBefore)},"load_avg_after":${r3(loadAfter)},""" +
+        s""""cpu_anchor_ms":${r3(anchorMs)},""" +
         s""""cold_steady_ratio":${r3(totalCold / math.max(total, 1e-3))},""" +
         s""""contended_suspect":$contendedSuspect,"extra_sweeps":${s3.size},"""
     val line = s"""{"metric":"total","value":${r3(total)},"unit":"sec","timing":"steady-state (min across interleaved sweeps 2-3${if (s3.nonEmpty) "+extra" else ""}); per-query cold on stderr","total_cold":${r3(totalCold)},"failed":$failed,$loadPart"sf":"$sfDir","queries":$steadyObj}"""

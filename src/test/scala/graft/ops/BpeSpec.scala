@@ -264,6 +264,12 @@ class BpeSpec extends AnyFunSuite {
       Array(("a", "b"), ("b", "c"), ("a", "b")), Array("a", "b", "c", "x", "</w>"))
     assert(BpeUtil.encodeWord("xabc", dup).toSeq ==
       Seq("x", "ab", "c", BpeUtil.EndOfWord))
+    // vocab dedup: the duplicate compound gets ONE id (first wins) and
+    // every vocab entry is unique
+    assert(dup.vocab.count(_ == "ab") == 1)
+    assert(dup.vocab.toSeq.distinct == dup.vocab.toSeq)
+    assert(dup.vocab.toSeq ==
+      Seq("<pad>", "<unk>", "</w>", "a", "b", "c", "x", "ab", "bc"))
   }
 
   test("degenerate corpora: empty corpus trains an empty model; encoding with it is the cp split") {
