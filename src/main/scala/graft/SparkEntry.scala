@@ -2703,6 +2703,28 @@ object SparkEntry {
         .orderBy("seq_id", "pos")
     },
 
+    "q_pack_labels" -> { (s, dir) =>
+      // the FULL training-example shape: packed input_ids + causal-LM
+      // labels — label(i) = input_ids(i+1) with -100 (the loss-ignore
+      // convention) past the real tokens and across document
+      // boundaries (predicting over the attention reset would leak).
+      // The oracle re-derives every label from its own packed rows
+      // with a lead() window over the global token order.
+      val bc = bpeGateBc(s)
+      val docs = ops.Bpe.withTokenIds(
+        t(s, dir, "documents").filter(col("doc_id") < 300), "text", "ids", bc)
+      val seqs = ops.Packing.packTokenIds(docs, "doc_id", "ids",
+        seqLen = 32, padId = 0, bucketWidth = 100)
+      ops.Packing.withCausalLabels(seqs)
+        .select(col("seq_id"),
+          posexplode(arrays_zip(col("input_ids"), col("labels")))
+            .as(Seq("pos", "__z__")))
+        .select(col("seq_id"), col("pos"),
+          col("__z__.input_ids").as("token_id"),
+          col("__z__.labels").as("label"))
+        .orderBy("seq_id", "pos")
+    },
+
     "q_pack_ids_tfrecord" -> { (s, dir) =>
       // the packed-sequence EXPORT loop closed: the q_pack_ids tensor
       // written through the TFRecord/tf.Example sink and read back —
@@ -3020,7 +3042,7 @@ doctok AS (
     * seq = gpos div 32; a piece boundary is a doc start or a sequence
     * edge), and emits the packed rows with pad fill — every id, pad,
     * piece count, and boundary offset under the hash. */
-  private val bpePackIdsOracle: String = {
+  private val (bpePackIdsOracle: String, bpePackLabelsOracle: String) = {
     def pat(l: String, r: String) = s"chr(1)||'$l'||chr(1)||'$r'||chr(1)"
     def rep(l: String, r: String) = s"chr(1)||'$l$r'||chr(1)"
     val any = bpeOracleMerges
@@ -3032,7 +3054,7 @@ doctok AS (
       .mkString("\n      ")
     val ws = """'[ \t\n\x0b\f\r]+'"""
     val init = """chr(1) || regexp_replace(word, '(.)', '\1' || chr(1), 'g') || '</w>' || chr(1)"""
-    s"""WITH RECURSIVE
+    val prefix = s"""WITH RECURSIVE
 docs300 AS (
   SELECT doc_id, text FROM documents WHERE text IS NOT NULL AND doc_id < 300),
 dw AS (
@@ -3085,12 +3107,35 @@ padrows AS (
   SELECT seq_id, cast(p AS INTEGER) AS pos, cast(0 AS INTEGER) AS token_id
   FROM (SELECT seq_id, unnest(range(n_tok, 32)) AS p FROM seqmeta)),
 allrows AS (
-  SELECT * FROM realrows UNION ALL SELECT * FROM padrows)
+  SELECT * FROM realrows UNION ALL SELECT * FROM padrows)"""
+    val idsSelect = """
 SELECT a.seq_id, cast(m.n_docs AS INTEGER) AS n_docs,
   cast(32 - m.n_tok AS INTEGER) AS n_pad, m.offsets_csv,
   a.pos, a.token_id
 FROM allrows a JOIN seqmeta m USING (seq_id)
 ORDER BY seq_id, pos"""
+    // labels from the packed rows themselves: next token in global
+    // order, -100 past the real tokens (lead NULL), across a sequence
+    // edge ((gpos+1) % 32 = 0), or when the next token starts a new
+    // document — exactly the Spark-side ignore rule restated
+    val labelsSelect = """,
+lab AS (
+  SELECT gpos // 32 AS seq_id, cast(gpos % 32 AS INTEGER) AS pos,
+    cast(tid AS INTEGER) AS token_id,
+    cast(CASE WHEN lead(tid) OVER (ORDER BY gpos) IS NULL
+              OR (gpos + 1) % 32 = 0
+              OR lead(is_doc_start) OVER (ORDER BY gpos)
+         THEN -100 ELSE lead(tid) OVER (ORDER BY gpos) END AS INTEGER)
+      AS label
+  FROM ids),
+padlab AS (
+  SELECT seq_id, cast(p AS INTEGER) AS pos, cast(0 AS INTEGER) AS token_id,
+    cast(-100 AS INTEGER) AS label
+  FROM (SELECT seq_id, unnest(range(n_tok, 32)) AS p FROM seqmeta))
+SELECT seq_id, pos, token_id, label FROM lab
+UNION ALL SELECT seq_id, pos, token_id, label FROM padlab
+ORDER BY seq_id, pos"""
+    (prefix + idsSelect, prefix + labelsSelect)
   }
 
   private[graft] def bpeGateBc(s: SparkSession) =
@@ -4845,6 +4890,9 @@ ORDER BY seq_id, pos"""
         |ORDER BY doc_id""".stripMargin,
 
     "q_pack_ids" -> bpePackIdsOracle,
+    // the training-example labels re-derived from the oracle's own
+    // packed rows (lead() over the global token order)
+    "q_pack_labels" -> bpePackLabelsOracle,
     // the TFRecord roundtrip must be IDENTITY: read-back rows match
     // the same packed-sequence oracle
     "q_pack_ids_tfrecord" -> bpePackIdsOracle,

@@ -1284,6 +1284,13 @@ final class Pipeline private (
     add(MapStep("packTokenIds",
       graft.ops.Packing.packTokenIds(_, orderCol, idsCol, seqLen, padId)))
 
+  /** Append causal-LM `labels` to packed sequences
+    * ([[graft.ops.Packing.withCausalLabels]] — next-token ids with the
+    * loss-ignore value past real tokens and across doc boundaries). */
+  def withCausalLabels(ignoreId: Int = -100): Pipeline =
+    add(MapStep("withCausalLabels",
+      graft.ops.Packing.withCausalLabels(_, ignoreId)))
+
   /** Drop rows near-duplicating ANY document of `reference`
     * ([[graft.ops.Dedup.crossCorpusDedup]] — dedupe a new crawl
     * against the previous training set). */

@@ -271,4 +271,24 @@ object Packing {
         col("doc_offsets"), col("n_docs"),
         (lit(seqLen) - size(col("__ids__"))).as("n_pad"))
   }
+
+  /** Causal-LM `labels` for [[packTokenIds]] output — the last column
+    * of the standard training-example shape: label(i) =
+    * input_ids(i+1) (next-token prediction), with `ignoreId` wherever
+    * the next position must NOT be predicted — past the real tokens
+    * (pads and the sequence end) and across a document boundary
+    * (position i+1 in `doc_offsets`: the next token starts a
+    * different document piece, and predicting across the attention
+    * reset would leak). Pure per-row Column arithmetic, no shuffle;
+    * -100 is the usual loss-ignore convention. */
+  def withCausalLabels(seqs: DataFrame, ignoreId: Int = -100): DataFrame = {
+    require(!seqs.columns.contains("labels"),
+      "input already has a column named labels")
+    val n = size(col("input_ids")) - col("n_pad")
+    seqs.withColumn("labels",
+      transform(sequence(lit(0), size(col("input_ids")) - 1), i =>
+        when(i + 1 >= n || array_contains(col("doc_offsets"), i + 1),
+          lit(ignoreId))
+          .otherwise(element_at(col("input_ids"), i + 2))))
+  }
 }

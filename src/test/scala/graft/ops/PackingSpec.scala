@@ -162,6 +162,62 @@ class PackingSpec extends AnyFunSuite {
     assert(real.toSeq == (1 to 11))
   }
 
+  test("withCausalLabels: next-token ids with ignore past pads, ends, and doc boundaries") {
+    val docs = Seq(
+      (1L, Seq(1, 2, 3)), (2L, Seq(4, 5)), (3L, Seq(6)))
+      .toDF("id", "ids")
+    val seqs = Packing.withCausalLabels(
+      Packing.packTokenIds(docs, "id", "ids", seqLen = 4, padId = 0))
+      .orderBy("seq_id").collect()
+    // seq 0 = [1,2,3,4], boundaries [0,3]: labels = [2, 3, -100 (next
+    // starts doc2), -100 (sequence end)]
+    assert(seqs(0).getSeq[Int](seqs(0).fieldIndex("labels")) == Seq(2, 3, -100, -100))
+    // seq 1 = [5,6,0,0], boundaries [0,1]: labels = [-100 (next starts
+    // doc3), -100 (next is pad), -100, -100]
+    assert(seqs(1).getSeq[Int](seqs(1).fieldIndex("labels")) == Seq(-100, -100, -100, -100))
+    // a doc spanning a boundary keeps predicting within itself
+    val one = Packing.withCausalLabels(
+      Packing.packTokenIds(Seq((1L, List(1, 2, 3, 4, 5, 6))).toDF("id", "ids"),
+        "id", "ids", seqLen = 4, padId = 0)).orderBy("seq_id").collect()
+    assert(one(0).getSeq[Int](one(0).fieldIndex("labels")) == Seq(2, 3, 4, -100))
+    assert(one(1).getSeq[Int](one(1).fieldIndex("labels")) == Seq(6, -100, -100, -100))
+  }
+
+  test("packTokenIds == naive concat-and-chunk reference on random corpora (seeded)") {
+    val rnd = new scala.util.Random(1414L)
+    (0 until 25).foreach { trial =>
+      val nDocs = 1 + rnd.nextInt(12)
+      val L = 1 + rnd.nextInt(9)
+      val docs = (0 until nDocs).map { i =>
+        (i.toLong, (0 until rnd.nextInt(3 * L)).map(_ => rnd.nextInt(1000)))
+      }
+      // naive reference: concat in id order, chunk every L, pad last;
+      // boundaries = within-seq starts of every slice
+      val flat = docs.sortBy(_._1).flatMap(_._2)
+      val nSeq = (flat.length + L - 1) / L
+      val expIds = (0 until nSeq).map(q =>
+        flat.slice(q * L, (q + 1) * L).padTo(L, -7))
+      val starts = docs.sortBy(_._1).filter(_._2.nonEmpty)
+        .scanLeft(0)((acc, d) => acc + d._2.length).dropRight(1)
+      val expOffs = (0 until nSeq).map { q =>
+        val inSeq = starts.filter(s => s >= q * L && s < math.min((q + 1) * L, flat.length))
+          .map(_ - q * L)
+        (if (q * L < flat.length && !inSeq.contains(0) &&
+          starts.exists(_ < q * L)) Seq(0) else Seq.empty) ++ inSeq
+      }.map(_.sorted)
+      val got = Packing.packTokenIds(docs.toDF("id", "ids"), "id", "ids",
+        seqLen = L, padId = -7, bucketWidth = 1 + rnd.nextInt(4))
+        .orderBy("seq_id").collect()
+      assert(got.length == nSeq, s"trial $trial: ${got.length} != $nSeq")
+      got.zipWithIndex.foreach { case (r, q) =>
+        assert(r.getSeq[Int](1) == expIds(q), s"trial $trial seq $q ids")
+        assert(r.getSeq[Int](2) == expOffs(q), s"trial $trial seq $q offsets " +
+          s"(got ${r.getSeq[Int](2)}, want ${expOffs(q)})")
+        assert(r.getAs[Int]("n_docs") == expOffs(q).length)
+      }
+    }
+  }
+
   test("packTokenIds: argument validation and internal-name guards") {
     val docs = Seq((1L, Seq(1))).toDF("id", "ids")
     intercept[IllegalArgumentException](
