@@ -122,9 +122,71 @@ case class ExclusivePrefixSums(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+object LabelUtil {
+  /** Causal-LM labels for one packed sequence: label(i) = ids(i+1),
+    * except `ignoreId` where the next position is past the real
+    * tokens (i+1 >= n, n = |ids| − nPad — covers pads and the
+    * sequence end) or starts a new document piece (i+1 ∈ offsets).
+    * `offsets` must be sorted ascending (packTokenIds' contract) —
+    * one merged walk, O(|ids| + |offsets|), no per-position scan. */
+  def causal(ids: ArrayData, offsets: ArrayData, nPad: Int,
+      ignoreId: Int): ArrayData = {
+    val L = ids.numElements()
+    val n = L - nPad
+    val out = new Array[Any](L)
+    val m = offsets.numElements()
+    var oi = 0
+    var i = 0
+    while (i < L) {
+      val next = i + 1
+      while (oi < m && !offsets.isNullAt(oi) && offsets.getInt(oi) < next) oi += 1
+      val isBoundary = oi < m && !offsets.isNullAt(oi) && offsets.getInt(oi) == next
+      out(i) =
+        if (next >= n || isBoundary) Int.box(ignoreId)
+        else Int.box(ids.getInt(next))
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
+/** Causal-LM labels over (input_ids, doc_offsets, n_pad) — see
+  * [[graft.ops.Packing.withCausalLabels]]. */
+case class CausalLabels(
+    first: Expression, second: Expression, third: Expression, ignoreId: Int)
+    extends org.apache.spark.sql.catalyst.expressions.TernaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (first.dataType, second.dataType, third.dataType) match {
+      case (ArrayType(IntegerType, _), ArrayType(IntegerType, _), IntegerType) =>
+        TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"causal_labels expects (array<int>, array<int>, int), got $other")
+    }
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "causal_labels"
+
+  override protected def nullSafeEval(ids: Any, offs: Any, pad: Any): Any =
+    LabelUtil.causal(ids.asInstanceOf[ArrayData], offs.asInstanceOf[ArrayData],
+      pad.asInstanceOf[Int], ignoreId)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b, c) =>
+      s"graft.functions.LabelUtil$$.MODULE$$.causal($a, $b, $c, $ignoreId)")
+
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression, newThird: Expression): Expression =
+    copy(first = newFirst, second = newSecond, third = newThird)
+}
+
 object chunkExprs {
   def greedy_chunk_starts(costs: Column, maxTokens: Int): Column =
     Bridge.toColumn(GreedyChunkStarts(Bridge.toExpression(costs), maxTokens))
   def exclusive_prefix_sums(weights: Column): Column =
     Bridge.toColumn(ExclusivePrefixSums(Bridge.toExpression(weights)))
+  def causal_labels(ids: Column, offsets: Column, nPad: Column,
+      ignoreId: Int): Column =
+    Bridge.toColumn(CausalLabels(Bridge.toExpression(ids),
+      Bridge.toExpression(offsets), Bridge.toExpression(nPad), ignoreId))
 }

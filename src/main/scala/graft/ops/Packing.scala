@@ -279,16 +279,16 @@ object Packing {
     * (pads and the sequence end) and across a document boundary
     * (position i+1 in `doc_offsets`: the next token starts a
     * different document piece, and predicting across the attention
-    * reset would leak). Pure per-row Column arithmetic, no shuffle;
-    * -100 is the usual loss-ignore convention. */
+    * reset would leak). One native O(seqLen + pieces) pass per row
+    * ([[graft.functions.CausalLabels]] — a per-position
+    * `array_contains` over the offsets would be O(seqLen · pieces),
+    * the same per-row hazard class as the r13 chunk fold), no
+    * shuffle; -100 is the usual loss-ignore convention. */
   def withCausalLabels(seqs: DataFrame, ignoreId: Int = -100): DataFrame = {
     require(!seqs.columns.contains("labels"),
       "input already has a column named labels")
-    val n = size(col("input_ids")) - col("n_pad")
     seqs.withColumn("labels",
-      transform(sequence(lit(0), size(col("input_ids")) - 1), i =>
-        when(i + 1 >= n || array_contains(col("doc_offsets"), i + 1),
-          lit(ignoreId))
-          .otherwise(element_at(col("input_ids"), i + 2))))
+      graft.functions.chunkExprs.causal_labels(
+        col("input_ids"), col("doc_offsets"), col("n_pad"), ignoreId))
   }
 }

@@ -304,6 +304,38 @@ class ExprFuzzSpec extends AnyFunSuite {
     }
   }
 
+  private def sweep3(name: String, df: DataFrame,
+      lits: Seq[(Column, Column, Column)],
+      exprOf: (Column, Column, Column) => Column): Unit = {
+    val fromCodegen = df.select(exprOf(col("x"), col("y"), col("z")).as("r"))
+      .collect().map(_.get(0))
+    assert(fromCodegen.length == lits.length)
+    lits.lazyZip(fromCodegen).zipWithIndex.foreach { case (((lx, ly, lz), cg), i) =>
+      val e = analyzedExpr(exprOf(lx, ly, lz))
+      val interp = CatalystTypeConverters.convertToScala(e.eval(InternalRow.empty), e.dataType)
+      assert(deepEq(interp, cg),
+        s"$name #$i: interpreted=$interp codegen=$cg")
+    }
+  }
+
+  test("causal_labels: interpreted == codegen over random packed rows") {
+    // coherent (input_ids, sorted offsets incl 0, n_pad) triples
+    val rows: Seq[(Seq[Int], Seq[Int], Int)] = (0 until 250).map { _ =>
+      val L = 1 + rnd.nextInt(24)
+      val nPad = rnd.nextInt(L + 1)
+      val n = L - nPad
+      val ids = (0 until L).map(_ => rnd.nextInt(500))
+      val offs =
+        if (n == 0) Seq.empty[Int]
+        else 0 +: (1 until n).filter(_ => rnd.nextBoolean()).toList
+      (ids, offs.sorted, nPad)
+    }
+    val df = rows.toDF("x", "y", "z")
+    val lits = rows.map { case (a, b, c) => (typedLit(a), typedLit(b), lit(c)) }
+    sweep3("causal_labels", df, lits,
+      (a, b, c) => chunkExprs.causal_labels(a, b, c, -100))
+  }
+
   test("exclusive_prefix_sums: interpreted == codegen over random weight arrays") {
     val arrays: Seq[Seq[Long]] = Seq(null, Seq.empty[Long], Seq(0L), Seq(7L)) ++
       (0 until 200).map { _ =>

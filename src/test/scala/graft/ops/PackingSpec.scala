@@ -218,6 +218,27 @@ class PackingSpec extends AnyFunSuite {
     }
   }
 
+  test("withCausalLabels == scala reference on random packed corpora (seeded)") {
+    val rnd = new scala.util.Random(2828L)
+    (0 until 15).foreach { trial =>
+      val L = 1 + rnd.nextInt(10)
+      val docs = (0 until 1 + rnd.nextInt(10)).map(i =>
+        (i.toLong, (0 until rnd.nextInt(3 * L)).map(_ => rnd.nextInt(900))))
+      val rows = Packing.withCausalLabels(
+        Packing.packTokenIds(docs.toDF("id", "ids"), "id", "ids", L, padId = -7))
+        .collect()
+      rows.foreach { r =>
+        val ids = r.getSeq[Int](r.fieldIndex("input_ids"))
+        val offs = r.getSeq[Int](r.fieldIndex("doc_offsets")).toSet
+        val n = ids.length - r.getAs[Int]("n_pad")
+        val expect = ids.indices.map(i =>
+          if (i + 1 >= n || offs.contains(i + 1)) -100 else ids(i + 1))
+        assert(r.getSeq[Int](r.fieldIndex("labels")) == expect,
+          s"trial $trial seq ${r.get(0)}")
+      }
+    }
+  }
+
   test("packTokenIds: argument validation and internal-name guards") {
     val docs = Seq((1L, Seq(1))).toDF("id", "ids")
     intercept[IllegalArgumentException](
