@@ -2703,6 +2703,38 @@ object SparkEntry {
         .orderBy("seq_id", "pos")
     },
 
+    "q_sample_temperature_tokens" -> { (s, dir) =>
+      // temperature over TOKEN MASS, not documents — how mixtures are
+      // rebalanced once a tokenizer exists (a stratum of few huge docs
+      // and one of many tiny docs are the same training mass): per-lang
+      // totals of n_chars stand in as the mass, f = min(1,
+      // (T·√tok)/Σ/tok), doc-level hash cut. The oracle recomputes
+      // totals → weights → label-ordered Σ → fractions → thresholds →
+      // the kept set bit-identically.
+      ops.Sampling.sampleByTokenTemperature(
+        t(s, dir, "documents"), col("doc_id"), "lang", "n_chars",
+        targetTokens = 60000, alpha = 0.5, salt = ":ttk14")
+        .select("doc_id", "lang")
+        .orderBy("doc_id")
+    },
+
+    "q_pack_audit" -> { (s, dir) =>
+      // the tensor-set audit verb: one row restating the packed set's
+      // invariants as data — capacity vs real tokens, pad accounting,
+      // piece stats, and the pad contract (pads only in the final
+      // sequence). The oracle replays the whole pack AND the audit
+      // from its own rows, so a drifted packer breaks the hash here
+      // even if per-row gates are green.
+      val bc = bpeGateBc(s)
+      val docs = ops.Bpe.withTokenIds(
+        t(s, dir, "documents").filter(col("doc_id") < 300), "text", "ids", bc)
+      ops.Packing.packAudit(
+        ops.Packing.packTokenIds(docs, "doc_id", "ids",
+          seqLen = 32, padId = 0, bucketWidth = 100))
+        .select("n_seqs", "capacity", "real_tokens", "pad_tokens", "max_pad",
+          "n_pieces", "max_pieces", "pads_within_one_seq", "pad_fraction")
+    },
+
     "q_pack_labels" -> { (s, dir) =>
       // the FULL training-example shape: packed input_ids + causal-LM
       // labels — label(i) = input_ids(i+1) with -100 (the loss-ignore
@@ -3042,7 +3074,8 @@ doctok AS (
     * seq = gpos div 32; a piece boundary is a doc start or a sequence
     * edge), and emits the packed rows with pad fill — every id, pad,
     * piece count, and boundary offset under the hash. */
-  private val (bpePackIdsOracle: String, bpePackLabelsOracle: String) = {
+  private val (bpePackIdsOracle: String, bpePackLabelsOracle: String,
+      bpePackAuditOracle: String) = {
     def pat(l: String, r: String) = s"chr(1)||'$l'||chr(1)||'$r'||chr(1)"
     def rep(l: String, r: String) = s"chr(1)||'$l$r'||chr(1)"
     val any = bpeOracleMerges
@@ -3135,7 +3168,19 @@ padlab AS (
 SELECT seq_id, pos, token_id, label FROM lab
 UNION ALL SELECT seq_id, pos, token_id, label FROM padlab
 ORDER BY seq_id, pos"""
-    (prefix + idsSelect, prefix + labelsSelect)
+    // the pack audit replayed from the oracle's own per-sequence rows
+    val auditSelect = """
+SELECT cast(count(*) AS BIGINT) AS n_seqs,
+  cast(32 * count(*) AS BIGINT) AS capacity,
+  cast(sum(n_tok) AS BIGINT) AS real_tokens,
+  cast(sum(32 - n_tok) AS BIGINT) AS pad_tokens,
+  cast(max(32 - n_tok) AS INTEGER) AS max_pad,
+  cast(sum(n_docs) AS BIGINT) AS n_pieces,
+  cast(max(n_docs) AS INTEGER) AS max_pieces,
+  sum(CASE WHEN n_tok < 32 THEN 1 ELSE 0 END) <= 1 AS pads_within_one_seq,
+  cast(sum(32 - n_tok) AS DOUBLE) / (32 * count(*)) AS pad_fraction
+FROM seqmeta"""
+    (prefix + idsSelect, prefix + labelsSelect, prefix + auditSelect)
   }
 
   private[graft] def bpeGateBc(s: SparkSession) =
@@ -4893,6 +4938,32 @@ ORDER BY seq_id, pos"""
     // the training-example labels re-derived from the oracle's own
     // packed rows (lead() over the global token order)
     "q_pack_labels" -> bpePackLabelsOracle,
+    // the tensor-set audit replayed from the oracle's packed rows
+    "q_pack_audit" -> bpePackAuditOracle,
+
+    // token-MASS temperature: per-lang n_chars totals -> sqrt weights
+    // -> the label-ordered Σ -> fractions -> thresholds -> kept set
+    "q_sample_temperature_tokens" ->
+      """WITH n AS (
+        |  SELECT lang, cast(coalesce(sum(n_chars), 0) AS BIGINT) AS t
+        |  FROM documents WHERE lang IS NOT NULL GROUP BY lang),
+        |w AS (SELECT lang, t, sqrt(cast(t AS DOUBLE)) AS wt FROM n WHERE t > 0),
+        |tot AS (SELECT
+        |  ((((coalesce(max(CASE WHEN lang='de' THEN wt END), 0.0)
+        |    + coalesce(max(CASE WHEN lang='en' THEN wt END), 0.0))
+        |    + coalesce(max(CASE WHEN lang='es' THEN wt END), 0.0))
+        |    + coalesce(max(CASE WHEN lang='fr' THEN wt END), 0.0))
+        |    + coalesce(max(CASE WHEN lang='zh' THEN wt END), 0.0)) AS s
+        |  FROM w),
+        |f AS (SELECT lang, ((60000.0 * wt) / s) / cast(t AS DOUBLE) AS f FROM w, tot),
+        |thr AS (SELECT lang,
+        |  CASE WHEN f >= 1.0 THEN 'g'
+        |       ELSE lpad(lower(to_hex(cast(floor(f * 281474976710656.0) AS BIGINT))), 12, '0') END AS t
+        |  FROM f)
+        |SELECT d.doc_id, d.lang
+        |FROM documents d JOIN thr USING (lang)
+        |WHERE substr(md5(cast(d.doc_id AS VARCHAR) || ':ttk14'), 1, 12) < thr.t
+        |ORDER BY d.doc_id""".stripMargin,
     // the TFRecord roundtrip must be IDENTITY: read-back rows match
     // the same packed-sequence oracle
     "q_pack_ids_tfrecord" -> bpePackIdsOracle,

@@ -284,6 +284,28 @@ object Packing {
     * `array_contains` over the offsets would be O(seqLen · pieces),
     * the same per-row hazard class as the r13 chunk fold), no
     * shuffle; -100 is the usual loss-ignore convention. */
+  /** Launch-time AUDIT over [[packTokenIds]] output — the check a
+    * training run makes before shipping a tensor set, as data (the
+    * [[graft.ops.Sampling.mixtureAudit]] discipline): sequence count,
+    * token capacity vs real tokens, pad accounting, piece (document
+    * fragment) stats, and `pads_within_one_seq` — packTokenIds' pad
+    * contract (pad exists ONLY in the final sequence) restated as a
+    * column, so a drifted packer is visible in the audit table. ONE
+    * aggregate, one row. */
+  def packAudit(seqs: DataFrame): DataFrame =
+    seqs.agg(
+      count(lit(1)).as("n_seqs"),
+      sum(size(col("input_ids")).cast("long")).as("capacity"),
+      sum((size(col("input_ids")) - col("n_pad")).cast("long")).as("real_tokens"),
+      sum(col("n_pad").cast("long")).as("pad_tokens"),
+      max(col("n_pad")).as("max_pad"),
+      sum(col("n_docs").cast("long")).as("n_pieces"),
+      max(col("n_docs")).as("max_pieces"),
+      (sum(when(col("n_pad") > 0, lit(1L)).otherwise(lit(0L))) <= 1L)
+        .as("pads_within_one_seq"))
+      .withColumn("pad_fraction",
+        col("pad_tokens").cast("double") / col("capacity").cast("double"))
+
   def withCausalLabels(seqs: DataFrame, ignoreId: Int = -100): DataFrame = {
     require(!seqs.columns.contains("labels"),
       "input already has a column named labels")

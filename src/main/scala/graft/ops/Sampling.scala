@@ -211,6 +211,44 @@ object Sampling {
     }
   }
 
+  /** [[sampleByTemperature]] with the stratum SIZE measured in a
+    * weight column's units instead of documents — temperature over
+    * TOKEN MASS, which is how multilingual mixtures are actually
+    * rebalanced once a tokenizer exists (a stratum of few huge docs
+    * and one of many tiny docs are the same training mass, and
+    * doc-count temperature misweights them): keep fraction
+    * f_s = min(1, (T·w(tok_s)/Σ)/tok_s) with tok_s = Σ weight over
+    * the stratum and T = `targetTokens`, so the realized token mass
+    * is ≈ T·w(tok_s)/Σ per stratum in expectation under the
+    * doc-level hash cut. Same determinism contract as
+    * [[temperatureFractions]] (exact long sums feed it; alpha 0.5 /
+    * 0.25 / 1.0 engine-portable). NULL weights count 0; NULL strata
+    * drop. */
+  def sampleByTokenTemperature(
+      df: DataFrame, key: Column, stratumCol: String, weightCol: String,
+      targetTokens: Long, alpha: Double, salt: String,
+      maxStrata: Int = 100000): DataFrame = {
+    require(maxStrata > 0, "maxStrata must be positive")
+    val rows = df.filter(col(stratumCol).isNotNull)
+      .groupBy(col(stratumCol))
+      .agg(sum(coalesce(col(weightCol).cast("long"), lit(0L))).as("__t__"))
+      .orderBy(col(stratumCol)).limit(maxStrata + 1).collect()
+    require(rows.length <= maxStrata,
+      s"sampleByTokenTemperature: more than $maxStrata strata — the fraction " +
+        "table is driver-held; pre-bucket the stratum column")
+    if (rows.isEmpty) df.filter(col(stratumCol).isNotNull)
+    else {
+      val totals = rows.map(r => (r.get(0).toString, r.getLong(1)))
+        .filter(_._2 > 0).toSeq
+      require(totals.nonEmpty,
+        "sampleByTokenTemperature: every stratum has zero total weight — " +
+          "nothing to apportion")
+      sampleByStratum(df, key, col(stratumCol),
+        temperatureFractions(totals, targetTokens, alpha),
+        defaultFraction = 0.0, salt)
+    }
+  }
+
   /** Deterministic proportional interleaving (stride scheduling — the
     * order a data loader feeds a mixture to training): appends
     * `mix_priority = (per-stratum rank + 1) / weight`, where the rank

@@ -235,6 +235,36 @@ class SamplingSpec extends AnyFunSuite {
       100, 0.5, ":tt").count() == 0)
   }
 
+  test("sampleByTokenTemperature: token-mass fractions, zero-mass strata dropped, loud on all-zero") {
+    // two strata with EQUAL doc counts but 9:1 token mass — doc-count
+    // temperature would cut them identically; token-mass must not
+    val df = (0 until 40).map { i =>
+      val s = if (i % 2 == 0) "big" else "small"
+      (s, i.toLong, if (s == "big") 900L else 100L)
+    }.toDF("s", "k", "tok")
+    val kept = Sampling.sampleByTokenTemperature(
+      df, col("k"), "s", "tok", targetTokens = 10000, alpha = 0.5, salt = ":tk")
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    // replay: totals big=18000, small=2000; fractions from the shared
+    // formula over token mass
+    val fr = Sampling.temperatureFractions(
+      Seq("big" -> 18000L, "small" -> 2000L), 10000, 0.5).toMap
+    val expect = df.withColumn("h", Sampling.hashPrefix(col("k"), ":tk"))
+      .collect().filter { r =>
+        val f = fr(r.getString(0))
+        f >= 1.0 || r.getString(3) < Sampling.hexThreshold(f)
+      }.map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(kept.toSet == expect)
+    // a zero-mass stratum takes no share (dropped from the cut)
+    val withZero = df.union(Seq(("empty", 999L, 0L)).toDF("s", "k", "tok"))
+    assert(!Sampling.sampleByTokenTemperature(withZero, col("k"), "s", "tok",
+      10000, 0.5, ":tk").collect().map(_.getString(0)).contains("empty"))
+    // all-zero mass fails loudly, not silently-empty
+    val zeros = Seq(("a", 1L, 0L)).toDF("s", "k", "tok")
+    intercept[IllegalArgumentException](
+      Sampling.sampleByTokenTemperature(zeros, col("k"), "s", "tok", 10, 0.5, ":tk"))
+  }
+
   test("mixtureAudit: realized/budget/contract per stratum over a cut") {
     val df = Seq(
       ("a", 1L, 100L), ("a", 2L, 100L), ("a", 3L, 100L),
