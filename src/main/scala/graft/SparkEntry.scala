@@ -2703,6 +2703,26 @@ object SparkEntry {
         .orderBy("seq_id", "pos")
     },
 
+    "q_sample_oversample" -> { (s, dir) =>
+      // the EPOCH side of a temperature mixture: clamped sampling can
+      // only keep ≤ 1 copy, but a boosted small stratum (m > 1) must
+      // REPLICATE — floor(m) sure copies + one fractional copy decided
+      // by the (key, '#', copy) hash, each tagged with its epoch
+      // index. T=600 over ~500 docs puts small langs at m ≈ 1.4-1.7
+      // and en at m < 1, so sure-replication, fractional-copy, and
+      // sub-1 regimes are all under the hash. The oracle recomputes
+      // counts → unclamped multiplicities → floor/frac thresholds →
+      // the exact copy set.
+      val counts = t(s, dir, "documents").filter(col("lang").isNotNull)
+        .groupBy(col("lang")).count().orderBy(col("lang")).collect()
+        .map(r => (r.getString(0), r.getLong(1))).toSeq
+      val mult = ops.Sampling.temperatureMultiplicities(counts, 600, alpha = 0.5)
+      ops.Sampling.oversampleByMultiplicity(
+        t(s, dir, "documents"), col("doc_id"), "lang", mult, ":ov14")
+        .select("doc_id", "lang", "copy")
+        .orderBy("doc_id", "copy")
+    },
+
     "q_sample_temperature_tokens" -> { (s, dir) =>
       // temperature over TOKEN MASS, not documents — how mixtures are
       // rebalanced once a tokenizer exists (a stratum of few huge docs
@@ -4940,6 +4960,34 @@ FROM seqmeta"""
     "q_pack_labels" -> bpePackLabelsOracle,
     // the tensor-set audit replayed from the oracle's packed rows
     "q_pack_audit" -> bpePackAuditOracle,
+
+    // counts -> UNCLAMPED multiplicities -> floor/frac thresholds ->
+    // the exact copy set (sure copies by range fan-out, fractional
+    // copy by the (doc, '#', copy) hash)
+    "q_sample_oversample" ->
+      """WITH n AS (
+        |  SELECT lang, count(*) AS c FROM documents
+        |  WHERE lang IS NOT NULL GROUP BY lang),
+        |w AS (SELECT lang, c, sqrt(cast(c AS DOUBLE)) AS wt FROM n),
+        |tot AS (SELECT
+        |  ((((coalesce(max(CASE WHEN lang='de' THEN wt END), 0.0)
+        |    + coalesce(max(CASE WHEN lang='en' THEN wt END), 0.0))
+        |    + coalesce(max(CASE WHEN lang='es' THEN wt END), 0.0))
+        |    + coalesce(max(CASE WHEN lang='fr' THEN wt END), 0.0))
+        |    + coalesce(max(CASE WHEN lang='zh' THEN wt END), 0.0)) AS s
+        |  FROM w),
+        |m AS (SELECT lang, c, ((600.0 * wt) / s) / cast(c AS DOUBLE) AS m FROM w, tot),
+        |mm AS (SELECT lang, cast(floor(m) AS INTEGER) AS nfull,
+        |  lpad(lower(to_hex(cast(floor((m - floor(m)) * 281474976710656.0) AS BIGINT))), 12, '0') AS thr
+        |  FROM m),
+        |copies AS (SELECT unnest(range(1024)) AS copy)
+        |SELECT d.doc_id, d.lang, cast(c.copy AS INTEGER) AS copy
+        |FROM documents d
+        |JOIN mm USING (lang)
+        |JOIN copies c ON c.copy <= mm.nfull
+        |WHERE c.copy < mm.nfull
+        |   OR substr(md5(cast(d.doc_id AS VARCHAR) || '#' || cast(c.copy AS VARCHAR) || ':ov14'), 1, 12) < mm.thr
+        |ORDER BY doc_id, copy""".stripMargin,
 
     // token-MASS temperature: per-lang n_chars totals -> sqrt weights
     // -> the label-ordered Σ -> fractions -> thresholds -> kept set

@@ -1450,6 +1450,31 @@ final class Pipeline private (
       graft.ops.Sampling.sampleByTemperature(_, col(keyCol), stratumCol,
         targetDocs, alpha, salt)))
 
+  /** [[sampleByTemperature]] with stratum size measured in a weight
+    * column's units — temperature over TOKEN MASS
+    * ([[graft.ops.Sampling.sampleByTokenTemperature]]). */
+  def sampleByTokenTemperature(
+      keyCol: String, stratumCol: String, weightCol: String,
+      targetTokens: Long, alpha: Double, salt: String): Pipeline =
+    add(MapStep("sampleByTokenTemperature",
+      graft.ops.Sampling.sampleByTokenTemperature(_, col(keyCol), stratumCol,
+        weightCol, targetTokens, alpha, salt)))
+
+  /** Deterministic fractional OVERSAMPLING — epoch-style replication
+    * of boosted strata ([[graft.ops.Sampling.oversampleByMultiplicity]];
+    * appends the `copy` epoch index). */
+  def oversampleByMultiplicity(
+      keyCol: String, stratumCol: String,
+      multiplicities: Seq[(String, Double)], salt: String): Pipeline =
+    add(MapStep("oversampleByMultiplicity",
+      graft.ops.Sampling.oversampleByMultiplicity(_, col(keyCol), stratumCol,
+        multiplicities, salt)))
+
+  /** Audit packed sequences before shipping
+    * ([[graft.ops.Packing.packAudit]]). */
+  def packAudit(): Pipeline =
+    add(MapStep("packAudit", graft.ops.Packing.packAudit(_)))
+
   /** Append the stride-scheduled training-order priority for a
     * weighted mixture ([[graft.ops.Sampling.interleaveByWeight]]). */
   def interleaveByWeight(

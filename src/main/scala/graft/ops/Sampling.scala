@@ -211,6 +211,67 @@ object Sampling {
     }
   }
 
+  /** UNCLAMPED per-stratum temperature multiplicities m_s =
+    * ((targetDocs · n_s^alpha)/Σ)/n_s — [[temperatureFractions]]
+    * without the min(1, ·): a boosted small stratum gets m > 1,
+    * which [[oversampleByMultiplicity]] realizes as fractional
+    * REPLICATION (epochs) instead of throwing the boost away. Same
+    * determinism contract (label-ordered Σ, sqrt-family alphas). */
+  def temperatureMultiplicities(
+      counts: Seq[(String, Long)], targetDocs: Long,
+      alpha: Double): Seq[(String, Double)] = {
+    require(targetDocs > 0, s"targetDocs must be positive, got $targetDocs")
+    require(alpha > 0, s"alpha must be positive, got $alpha")
+    require(counts.forall(_._2 > 0), "stratum counts must be positive")
+    val sorted = counts.sortBy(_._1)
+    def w(n: Long): Double =
+      if (alpha == 0.5) math.sqrt(n.toDouble)
+      else if (alpha == 0.25) math.sqrt(math.sqrt(n.toDouble))
+      else if (alpha == 1.0) n.toDouble
+      else math.pow(n.toDouble, alpha)
+    val sigma = sorted.foldLeft(0.0) { case (acc, (_, n)) => acc + w(n) }
+    sorted.map { case (s, n) =>
+      s -> ((targetDocs.toDouble * w(n)) / sigma) / n.toDouble
+    }
+  }
+
+  /** Deterministic fractional OVERSAMPLING — the epoch side of a
+    * training mixture ([[sampleByStratum]] can only keep ≤ 1 copy;
+    * UniMax/low-resource-language mixtures REPLICATE boosted strata):
+    * every row of stratum s appears floor(m_s) times for sure, plus
+    * one more copy iff the engine-portable hash of (key, '#', copy)
+    * clears the frac(m_s) threshold — so the expected multiplicity is
+    * exactly m_s, membership is rerun- and engine-stable, and each
+    * copy is tagged with its `copy` index (the epoch id a curriculum
+    * or dedup step can key on). Unlisted strata are dropped (a
+    * mixture lists what ships). Scale shape: one codegen'd
+    * explode(sequence(0, floor(m))) + a narrow filter — per-row fan-out
+    * of at most ceil(m), no aggregation, no shuffle. */
+  def oversampleByMultiplicity(
+      df: DataFrame, key: Column, stratumCol: String,
+      multiplicities: Seq[(String, Double)], salt: String): DataFrame = {
+    require(multiplicities.nonEmpty, "need at least one stratum multiplicity")
+    require(multiplicities.forall(_._2 > 0), "multiplicities must be positive")
+    require(!df.columns.contains("copy"),
+      "input already has a column named copy")
+    val mExpr = multiplicities.foldRight(lit(null).cast("double")) {
+      case ((l, m), els) => when(col(stratumCol) === l, lit(m)).otherwise(els)
+    }
+    // per-stratum fractional thresholds, computed driver-side so the
+    // floor(frac · 16^12) arithmetic is the shared exact form
+    val thrExpr = multiplicities.foldRight(lit(null).cast("string")) {
+      case ((l, m), els) =>
+        when(col(stratumCol) === l,
+          lit(hexThreshold(m - math.floor(m)))).otherwise(els)
+    }
+    val nFull = floor(mExpr).cast("int")
+    df.filter(col(stratumCol).isin(multiplicities.map(_._1): _*))
+      .withColumn("copy", explode(sequence(lit(0), nFull)))
+      .filter(col("copy") < nFull ||
+        hashPrefix(concat(key.cast("string"), lit("#"), col("copy").cast("string")),
+          salt) < thrExpr)
+  }
+
   /** [[sampleByTemperature]] with the stratum SIZE measured in a
     * weight column's units instead of documents — temperature over
     * TOKEN MASS, which is how multilingual mixtures are actually

@@ -235,6 +235,45 @@ class SamplingSpec extends AnyFunSuite {
       100, 0.5, ":tt").count() == 0)
   }
 
+  test("oversampleByMultiplicity: sure copies + hash-decided fractional copy; expected multiplicity exact") {
+    val df = (0 until 200).map(i => (if (i % 4 == 0) "hi" else "lo", i.toLong))
+      .toDF("s", "k")
+    val mult = Seq("hi" -> 2.5, "lo" -> 0.4)
+    val out = Sampling.oversampleByMultiplicity(df, col("k"), "s", mult, ":ov")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2)))
+    // every hi doc appears with copies 0 and 1 for sure; copy 2 iff the
+    // (key#2) hash clears the 0.5 threshold — replay it
+    val hiDocs = (0 until 200).filter(_ % 4 == 0).map(_.toLong)
+    hiDocs.foreach { k =>
+      assert(out.contains(("hi", k, 0)) && out.contains(("hi", k, 1)))
+    }
+    val thrHalf = Sampling.hexThreshold(0.5)
+    val expectThird = hiDocs.filter { k =>
+      val h = df.sparkSession.range(1).select(
+        Sampling.hashPrefix(concat(lit(k.toString), lit("#2")), ":ov")).head().getString(0)
+      h < thrHalf
+    }.toSet
+    assert(out.filter(r => r._1 == "hi" && r._3 == 2).map(_._2).toSet == expectThird)
+    // lo docs: copy 0 only, kept iff hash(key#0) < 0.4 threshold
+    val thr04 = Sampling.hexThreshold(0.4)
+    val loKept = out.filter(_._1 == "lo")
+    assert(loKept.forall(_._3 == 0))
+    val expectLo = (0 until 200).filterNot(_ % 4 == 0).map(_.toLong).filter { k =>
+      val h = df.sparkSession.range(1).select(
+        Sampling.hashPrefix(concat(lit(k.toString), lit("#0")), ":ov")).head().getString(0)
+      h < thr04
+    }.toSet
+    assert(loKept.map(_._2).toSet == expectLo)
+    // an exactly-integral multiplicity never emits the extra copy
+    val exact = Sampling.oversampleByMultiplicity(df, col("k"), "s",
+      Seq("hi" -> 2.0), ":ov").collect()
+    assert(exact.length == hiDocs.length * 2)
+    // unclamped multiplicities: m > 1 for the boosted stratum
+    val m = Sampling.temperatureMultiplicities(
+      Seq("a" -> 1000L, "b" -> 10L), targetDocs = 500, alpha = 0.5).toMap
+    assert(m("b") > 1.0 && m("a") < 1.0)
+  }
+
   test("sampleByTokenTemperature: token-mass fractions, zero-mass strata dropped, loud on all-zero") {
     // two strata with EQUAL doc counts but 9:1 token mass — doc-count
     // temperature would cut them identically; token-mass must not
