@@ -1028,7 +1028,6 @@ object Dedup {
       posEncode: Long = 1L << 20): DataFrame = {
     require(k >= 1, s"removeDuplicatedSpans: k must be >= 1, got $k")
     requireIntegralId(df, idCol, "removeDuplicatedSpans")
-    val ivsType = "array<struct<s:bigint,e:bigint>>"
 
     val grams = df
       .select(col(idCol).cast("long").as("__id"),
@@ -1078,24 +1077,13 @@ object Dedup {
       .agg(sort_array(collect_list(col("__pos"))).as("__starts"))
 
     // merge sorted fixed-width starts into disjoint spans: each start s
-    // covers [s, s+k-1]; sorted order means the running span's end only
-    // ever grows, so one fold suffices (no window, no second sort)
-    val init = struct(array().cast(ivsType).as("done"),
-      lit(-1L).as("cs"), lit(-1L).as("ce"))
-    def closed(acc: Column) =
-      concat(acc("done"), array(struct(acc("cs").as("s"), acc("ce").as("e"))))
+    // covers [s, s+k-1]; sorted order makes the merge ONE native
+    // O(starts) pass ([[graft.functions.MergeSpanStarts]] — an
+    // aggregate-fold's array-append accumulator would re-copy the
+    // span list per closed span, O(spans²) element copies on a
+    // many-span hostile document)
     val spans = starts.select(col("__id"),
-      aggregate(col("__starts"), init,
-        (acc, s0) => {
-          val s = s0.cast("bigint")
-          val e = s + lit((k - 1).toLong)
-          when(acc("cs") < 0L,
-            struct(acc("done").as("done"), s.as("cs"), e.as("ce")))
-            .when(s <= acc("ce") + 1L,
-              struct(acc("done").as("done"), acc("cs").as("cs"), e.as("ce")))
-            .otherwise(struct(closed(acc).as("done"), s.as("cs"), e.as("ce")))
-        },
-        acc => when(acc("cs") < 0L, acc("done")).otherwise(closed(acc)))
+      graft.functions.spanExprs.merge_span_starts(col("__starts"), k)
         .as("__ivs"))
 
     val joined = df.withColumn("__id", col(idCol).cast("long"))
@@ -1103,9 +1091,10 @@ object Dedup {
     val toks = filter(
       split(col(textCol).cast("string"), "[ \\t\\n\\u000B\\f\\r]+"),
       t => t =!= "")
-    val kept = filter(toks, (t, i) =>
-      !exists(col("__ivs"), iv =>
-        i.cast("bigint") >= iv("s") && i.cast("bigint") <= iv("e")))
+    // one merged walk over (tokens, sorted disjoint spans): O(tokens +
+    // spans) per doc — an exists() per token is O(tokens · spans), a
+    // straggler on a multi-MB doc with many removed spans
+    val kept = graft.functions.spanExprs.tokens_outside_spans(toks, col("__ivs"))
     val touched = col("__ivs").isNotNull
     val outCols = df.columns.map {
       case c if c == textCol =>

@@ -336,6 +336,37 @@ class ExprFuzzSpec extends AnyFunSuite {
       (a, b, c) => chunkExprs.causal_labels(a, b, c, -100))
   }
 
+  test("merge_span_starts / tokens_outside_spans: interpreted == codegen over random span sets") {
+    val startArrays: Seq[Seq[Int]] = Seq(null, Seq.empty[Int], Seq(0), Seq(5)) ++
+      (0 until 200).map { _ =>
+        (0 until rnd.nextInt(20)).map(_ => rnd.nextInt(60)).sorted.distinct
+      }
+    def slit(v: Seq[Int]): Column =
+      if (v == null) nullLit(ArrayType(IntegerType)) else typedLit(v)
+    Seq(1, 3, 8).foreach { k =>
+      sweep1(s"merge_span_starts(k=$k)", startArrays.toDF("x"), startArrays.map(slit),
+        c => spanExprs.merge_span_starts(c, k))
+    }
+    // tokens + sorted disjoint spans (built by the scala twin of merge)
+    val pairs: Seq[(Seq[String], Seq[(Long, Long)])] = (0 until 200).map { _ =>
+      val n = rnd.nextInt(30)
+      val toks = (0 until n).map(i => s"t$i")
+      val starts = (0 until rnd.nextInt(6)).map(_ => rnd.nextInt(math.max(n, 1))).sorted
+      val ivs = starts.foldLeft(List.empty[(Long, Long)]) { (acc, s) =>
+        val e = s.toLong + 2
+        acc match {
+          case (cs, ce) :: tail if s <= ce + 1 => (cs, math.max(ce, e)) :: tail
+          case _ => (s.toLong, e) :: acc
+        }
+      }.reverse
+      (toks, ivs)
+    }
+    val df = pairs.toDF("x", "y")
+    sweep2("tokens_outside_spans", df,
+      pairs.map { case (t, s) => (typedLit(t), typedLit(s)) },
+      (t, s) => spanExprs.tokens_outside_spans(t, s))
+  }
+
   test("exclusive_prefix_sums: interpreted == codegen over random weight arrays") {
     val arrays: Seq[Seq[Long]] = Seq(null, Seq.empty[Long], Seq(0L), Seq(7L)) ++
       (0 until 200).map { _ =>
