@@ -2703,6 +2703,19 @@ object SparkEntry {
         .orderBy("seq_id", "pos")
     },
 
+    "q_sample_soft" -> { (s, dir) =>
+      // SOFT quality filtering under the hash: per-doc keep probability
+      // p = min(1, n_chars/500) — short docs keep a proportional share
+      // instead of being cut at a threshold, docs ≥ 500 chars keep
+      // unconditionally, and a NULL score keeps nothing. The oracle
+      // derives every per-row floor(p·16^12) threshold itself.
+      ops.Sampling.sampleByProbability(
+        t(s, dir, "documents"), col("doc_id"),
+        col("n_chars").cast("double") / 500.0, ":soft14")
+        .select("doc_id", "lang", "n_chars")
+        .orderBy("doc_id")
+    },
+
     "q_sample_oversample" -> { (s, dir) =>
       // the EPOCH side of a temperature mixture: clamped sampling can
       // only keep ≤ 1 copy, but a boosted small stratum (m > 1) must
@@ -4960,6 +4973,24 @@ FROM seqmeta"""
     "q_pack_labels" -> bpePackLabelsOracle,
     // the tensor-set audit replayed from the oracle's packed rows
     "q_pack_audit" -> bpePackAuditOracle,
+
+    // per-row p = min(1, n_chars/500) -> floor(p·16^12) hex threshold
+    // -> the kept set, all re-derived row by row
+    "q_sample_soft" ->
+      """WITH p AS (
+        |  SELECT doc_id, lang, n_chars,
+        |    least(greatest(cast(n_chars AS DOUBLE) / 500.0, 0.0), 1.0) AS pr
+        |  FROM documents),
+        |t AS (
+        |  SELECT doc_id, lang, n_chars,
+        |    CASE WHEN pr IS NULL THEN NULL
+        |         WHEN pr >= 1.0 THEN 'g'
+        |         ELSE lpad(lower(to_hex(cast(floor(pr * 281474976710656.0) AS BIGINT))), 12, '0') END AS thr
+        |  FROM p)
+        |SELECT doc_id, lang, n_chars
+        |FROM t
+        |WHERE substr(md5(cast(doc_id AS VARCHAR) || ':soft14'), 1, 12) < thr
+        |ORDER BY doc_id""".stripMargin,
 
     // counts -> UNCLAMPED multiplicities -> floor/frac thresholds ->
     // the exact copy set (sure copies by range fan-out, fractional

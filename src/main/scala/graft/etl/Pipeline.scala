@@ -1460,6 +1460,14 @@ final class Pipeline private (
       graft.ops.Sampling.sampleByTokenTemperature(_, col(keyCol), stratumCol,
         weightCol, targetTokens, alpha, salt)))
 
+  /** Soft quality filtering — keep each row with probability
+    * `probCol` clamped to [0, 1], decided by the engine-portable
+    * (key, salt) hash ([[graft.ops.Sampling.sampleByProbability]]). */
+  def sampleByProbability(
+      keyCol: String, probCol: Column, salt: String): Pipeline =
+    add(MapStep("sampleByProbability",
+      graft.ops.Sampling.sampleByProbability(_, col(keyCol), probCol, salt)))
+
   /** Deterministic fractional OVERSAMPLING — epoch-style replication
     * of boosted strata ([[graft.ops.Sampling.oversampleByMultiplicity]];
     * appends the `copy` epoch index). */

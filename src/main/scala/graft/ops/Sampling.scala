@@ -211,6 +211,25 @@ object Sampling {
     }
   }
 
+  /** Per-ROW keep probability — SOFT quality filtering (down-weight
+    * by score instead of a hard cutoff, the French-CC/CCNet trick for
+    * keeping some tail mass): keep iff hash(key) < p · 16^12, where
+    * p = `probCol` clamped to [0, 1] (p of NULL drops the row — no
+    * score, no draw; p ≥ 1 keeps unconditionally). Deterministic,
+    * rerun- and engine-stable, and exactly replayable: the per-row
+    * threshold is floor(p · 16^12) rendered as 12 lowercase hex
+    * digits in-plan — a multiply by 2^48 is exact in binary FP, so
+    * any IEEE engine derives the identical threshold. One narrow
+    * codegen'd filter, no shuffle. */
+  def sampleByProbability(
+      df: DataFrame, key: Column, probCol: Column, salt: String): DataFrame = {
+    val p = least(greatest(probCol.cast("double"), lit(0.0)), lit(1.0))
+    val thr = when(p >= 1.0, lit("g"))
+      .otherwise(lpad(lower(hex(floor(p * lit(281474976710656.0))
+        .cast("long"))), 12, "0"))
+    df.filter(hashPrefix(key, salt) < thr)
+  }
+
   /** UNCLAMPED per-stratum temperature multiplicities m_s =
     * ((targetDocs · n_s^alpha)/Σ)/n_s — [[temperatureFractions]]
     * without the min(1, ·): a boosted small stratum gets m > 1,

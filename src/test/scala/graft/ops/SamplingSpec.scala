@@ -235,6 +235,30 @@ class SamplingSpec extends AnyFunSuite {
       100, 0.5, ":tt").count() == 0)
   }
 
+  test("sampleByProbability: per-row thresholds replayed; p>=1 keeps all; null p drops") {
+    val df = Seq(
+      (1L, Some(0.0)), (2L, Some(0.25)), (3L, Some(0.5)), (4L, Some(0.999)),
+      (5L, Some(1.0)), (6L, Some(7.5)), (7L, Some(-2.0)), (8L, None: Option[Double]))
+      .toDF("k", "p")
+    val kept = Sampling.sampleByProbability(df, col("k"), col("p"), ":sp")
+      .collect().map(_.getLong(0)).toSet
+    // replay row by row with the driver-side exact threshold
+    val expect = Seq(
+      1L -> 0.0, 2L -> 0.25, 3L -> 0.5, 4L -> 0.999, 5L -> 1.0,
+      6L -> 1.0, 7L -> 0.0).filter { case (k, p) =>
+      val h = df.sparkSession.range(1)
+        .select(Sampling.hashPrefix(lit(k.toString), ":sp")).head().getString(0)
+      p >= 1.0 || h < Sampling.hexThreshold(p)
+    }.map(_._1).toSet
+    assert(kept == expect)
+    assert(!kept.contains(8L) && !kept.contains(1L) && !kept.contains(7L))
+    assert(kept.contains(5L) && kept.contains(6L))
+    // law of large numbers smoke: p=0.3 over 4000 keys keeps ~30%
+    val many = spark.range(4000).toDF("k").withColumn("p", lit(0.3))
+    val n = Sampling.sampleByProbability(many, col("k"), col("p"), ":sp").count()
+    assert(n > 1000 && n < 1400, s"kept $n of 4000 at p=0.3")
+  }
+
   test("oversampleByMultiplicity: sure copies + hash-decided fractional copy; expected multiplicity exact") {
     val df = (0 until 200).map(i => (if (i % 4 == 0) "hi" else "lo", i.toLong))
       .toDF("s", "k")
