@@ -2726,9 +2726,14 @@ object SparkEntry {
       // sub-1 regimes are all under the hash. The oracle recomputes
       // counts → unclamped multiplicities → floor/frac thresholds →
       // the exact copy set.
-      val counts = t(s, dir, "documents").filter(col("lang").isNotNull)
-        .groupBy(col("lang")).count().orderBy(col("lang")).collect()
-        .map(r => (r.getString(0), r.getLong(1))).toSeq
+      // bounded driver collect: lang has 5 values; the limit turns a
+      // surprise high-cardinality stratum into a wrong-but-bounded
+      // fetch the count mismatch below catches loudly
+      val rows = t(s, dir, "documents").filter(col("lang").isNotNull)
+        .groupBy(col("lang")).count().orderBy(col("lang")).limit(101).collect()
+      require(rows.length <= 100,
+        "q_sample_oversample: stratum cardinality exceeds the gate's bound")
+      val counts = rows.map(r => (r.getString(0), r.getLong(1))).toSeq
       val mult = ops.Sampling.temperatureMultiplicities(counts, 600, alpha = 0.5)
       ops.Sampling.oversampleByMultiplicity(
         t(s, dir, "documents"), col("doc_id"), "lang", mult, ":ov14")
