@@ -47,7 +47,12 @@ object SpanUtil {
 
   /** Tokens whose 0-based index lies OUTSIDE every span of `ivs`
     * (sorted, disjoint — [[merge]]'s output contract): one merged
-    * walk, O(tokens + spans), instead of an exists() per token. */
+    * walk, O(tokens + spans), instead of an exists() per token.
+    * Token elements must be non-null (checked whether inside a span
+    * or not — [[merge]]'s null-start rule): the expression declares
+    * `array<string> containsNull=false` output, and silently copying
+    * a null element through would violate that contract for any
+    * caller whose tokenizer, unlike split(), can emit nulls. */
   def outside(tokens: ArrayData, ivs: ArrayData): ArrayData = {
     val n = tokens.numElements()
     val m = ivs.numElements()
@@ -55,6 +60,9 @@ object SpanUtil {
     var p = 0
     var i = 0
     while (i < n) {
+      if (tokens.isNullAt(i))
+        throw new IllegalArgumentException(
+          "tokens_outside_spans: NULL token element — tokens must be non-null")
       while (p < m && ivs.getStruct(p, 2).getLong(1) < i) p += 1
       val in = p < m && {
         val iv = ivs.getStruct(p, 2)

@@ -132,21 +132,64 @@ object Bpe {
       wi += 1
     }
 
-    val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
-    var done = false
-    while (!done && merges.length < numMerges) {
-      // max count, ties -> lexicographically smallest pair (DEFINED
-      // determinism; Sennrich leaves ties unspecified)
-      var best: (String, String) = null
-      var bestC = minPairCount - 1
+    // Merge SELECTION is a lazy-deletion max-heap over (count, pair),
+    // not a scan: a production tokenizer is ~50k merges over a ≤2M-word
+    // dictionary (~10^7 live pairs), and an O(pair-table) scan per
+    // merge is ~10^11-10^12 comparisons in the driver loop — the same
+    // latent-quadratic class as the r13 chunk fold. Protocol: seed one
+    // entry per distinct pair; every count INCREASE pushes the new
+    // cumulative value (so some entry is always >= the live count);
+    // decreases leave stale overestimates that pop-validation catches
+    // (live != entry -> re-insert at the live rank; live 0 -> discard).
+    // An entry that validates IS the global max: every other live pair
+    // has an entry at or above its live count, which would have popped
+    // first. Heap order encodes the determinism contract — max count,
+    // ties -> lexicographically smallest pair (DEFINED determinism;
+    // Sennrich leaves ties unspecified) — so the learned merges are
+    // bit-identical to the scan's (BpeSpec + the heap-vs-scan spec pin
+    // it).
+    final class PairEntry(val a: String, val b: String, val c: Long)
+    val heap = new java.util.PriorityQueue[PairEntry](
+      math.max(16, pairCounts.size()),
+      new java.util.Comparator[PairEntry] {
+        def compare(x: PairEntry, y: PairEntry): Int = {
+          if (x.c != y.c) java.lang.Long.compare(y.c, x.c)
+          else {
+            val r = x.a.compareTo(y.a)
+            if (r != 0) r else x.b.compareTo(y.b)
+          }
+        }
+      })
+    locally {
       val it = pairCounts.entrySet().iterator()
       while (it.hasNext) {
         val e = it.next()
-        val c = e.getValue
-        if (c > bestC || (c == bestC && best != null && {
-          val p = e.getKey
-          p._1 < best._1 || (p._1 == best._1 && p._2 < best._2)
-        })) { best = e.getKey; bestC = c }
+        heap.add(new PairEntry(e.getKey._1, e.getKey._2, e.getValue))
+      }
+    }
+    def addPairTracked(p: (String, String), wi: Int, c: Long): Unit = {
+      addPair(p, wi, c)
+      heap.add(new PairEntry(p._1, p._2, pairCounts.getOrDefault(p, 0L)))
+    }
+
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    var done = false
+    while (!done && merges.length < numMerges) {
+      var best: (String, String) = null
+      var searching = true
+      while (searching) {
+        val e = heap.poll()
+        if (e == null) searching = false
+        else {
+          val p = (e.a, e.b)
+          val live = pairCounts.getOrDefault(p, 0L)
+          if (live == e.c) {
+            // valid top of heap = the global max live pair; below the
+            // threshold means NO pair qualifies — stop
+            if (live >= minPairCount) best = p
+            searching = false
+          } else if (live > 0L) heap.add(new PairEntry(e.a, e.b, live))
+        }
       }
       if (best == null) done = true
       else {
@@ -179,7 +222,7 @@ object Bpe {
               val nw = out.toArray
               words(w) = nw
               i = 0
-              while (i < nw.length - 1) { addPair((nw(i), nw(i + 1)), w, c); i += 1 }
+              while (i < nw.length - 1) { addPairTracked((nw(i), nw(i + 1)), w, c); i += 1 }
             }
           }
         }

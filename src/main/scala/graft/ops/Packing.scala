@@ -221,6 +221,13 @@ object Packing {
     * zero-token document has no place in a token tensor — filter or
     * default upstream if that matters).
     *
+    * `orderCol` inherits [[globalCumsum]]'s full contract: integral,
+    * NON-NULL (fails loudly), and UNIQUE — duplicate order keys make
+    * the within-bucket window tie order arbitrary, so the packed
+    * layout would not be rerun-stable. Uniqueness is NOT checked (a
+    * check would cost an extra aggregation pass over the corpus);
+    * use a row id that is a key, as every gate does with doc_id.
+    *
     * Scale shape: the exclusive prefix sum is [[globalCumsum]]'s
     * order-aligned-bucket protocol (never one global window); each
     * document then EXPLODES into at most ceil(w/seqLen)+1

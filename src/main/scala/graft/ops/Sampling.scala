@@ -169,6 +169,18 @@ object Sampling {
     * cross-engine hash gate. */
   def temperatureFractions(
       counts: Seq[(String, Long)], targetDocs: Long,
+      alpha: Double): Seq[(String, Double)] =
+    temperatureShares(counts, targetDocs, alpha)
+      .map { case (s, m) => s -> math.min(1.0, m) }
+
+  /** The shared determinism-critical core of [[temperatureFractions]]
+    * and [[temperatureMultiplicities]] — label sort, alpha-routed
+    * weight, label-ordered Σ fold, unclamped share
+    * m_s = ((T · w(n_s))/Σ)/n_s. ONE copy of this arithmetic so the
+    * two callers (which differ only in the final min(1, ·) clamp)
+    * cannot drift apart. Empty counts yield empty shares. */
+  private def temperatureShares(
+      counts: Seq[(String, Long)], targetDocs: Long,
       alpha: Double): Seq[(String, Double)] = {
     require(targetDocs > 0, s"targetDocs must be positive, got $targetDocs")
     require(alpha > 0, s"alpha must be positive, got $alpha")
@@ -181,7 +193,7 @@ object Sampling {
       else math.pow(n.toDouble, alpha)
     val sigma = sorted.foldLeft(0.0) { case (acc, (_, n)) => acc + w(n) }
     sorted.map { case (s, n) =>
-      s -> math.min(1.0, ((targetDocs.toDouble * w(n)) / sigma) / n.toDouble)
+      s -> ((targetDocs.toDouble * w(n)) / sigma) / n.toDouble
     }
   }
 
@@ -214,8 +226,11 @@ object Sampling {
   /** Per-ROW keep probability — SOFT quality filtering (down-weight
     * by score instead of a hard cutoff, the French-CC/CCNet trick for
     * keeping some tail mass): keep iff hash(key) < p · 16^12, where
-    * p = `probCol` clamped to [0, 1] (p of NULL drops the row — no
-    * score, no draw; p ≥ 1 keeps unconditionally). Deterministic,
+    * p = `probCol` clamped to [0, 1] (p of NULL or NaN drops the
+    * row — no score, no draw; without the explicit NaN guard the
+    * clamp would silently resolve NaN to keep-all, since Spark
+    * orders NaN above every double; p ≥ 1 keeps unconditionally).
+    * Deterministic,
     * rerun- and engine-stable, and exactly replayable: the per-row
     * threshold is floor(p · 16^12) rendered as 12 lowercase hex
     * digits in-plan — a multiply by 2^48 is exact in binary FP, so
@@ -223,7 +238,9 @@ object Sampling {
     * codegen'd filter, no shuffle. */
   def sampleByProbability(
       df: DataFrame, key: Column, probCol: Column, salt: String): DataFrame = {
-    val p = least(greatest(probCol.cast("double"), lit(0.0)), lit(1.0))
+    val pd = probCol.cast("double")
+    val p = when(isnan(pd), lit(null).cast("double"))
+      .otherwise(least(greatest(pd, lit(0.0)), lit(1.0)))
     val thr = when(p >= 1.0, lit("g"))
       .otherwise(lpad(lower(hex(floor(p * lit(281474976710656.0))
         .cast("long"))), 12, "0"))
@@ -238,21 +255,8 @@ object Sampling {
     * determinism contract (label-ordered Σ, sqrt-family alphas). */
   def temperatureMultiplicities(
       counts: Seq[(String, Long)], targetDocs: Long,
-      alpha: Double): Seq[(String, Double)] = {
-    require(targetDocs > 0, s"targetDocs must be positive, got $targetDocs")
-    require(alpha > 0, s"alpha must be positive, got $alpha")
-    require(counts.forall(_._2 > 0), "stratum counts must be positive")
-    val sorted = counts.sortBy(_._1)
-    def w(n: Long): Double =
-      if (alpha == 0.5) math.sqrt(n.toDouble)
-      else if (alpha == 0.25) math.sqrt(math.sqrt(n.toDouble))
-      else if (alpha == 1.0) n.toDouble
-      else math.pow(n.toDouble, alpha)
-    val sigma = sorted.foldLeft(0.0) { case (acc, (_, n)) => acc + w(n) }
-    sorted.map { case (s, n) =>
-      s -> ((targetDocs.toDouble * w(n)) / sigma) / n.toDouble
-    }
-  }
+      alpha: Double): Seq[(String, Double)] =
+    temperatureShares(counts, targetDocs, alpha)
 
   /** Deterministic fractional OVERSAMPLING — the epoch side of a
     * training mixture ([[sampleByStratum]] can only keep ≤ 1 copy;
@@ -263,16 +267,21 @@ object Sampling {
     * exactly m_s, membership is rerun- and engine-stable, and each
     * copy is tagged with its `copy` index (the epoch id a curriculum
     * or dedup step can key on). Unlisted strata are dropped (a
-    * mixture lists what ships). Scale shape: one codegen'd
+    * mixture lists what ships) — at the limit, an EMPTY multiplicity
+    * list (the counts an empty or all-null corpus produces) ships
+    * nothing: empty-in ⇒ empty-out with the same (input ++ copy)
+    * schema, mirroring [[sampleByTemperature]]'s empty-corpus
+    * pass-through rather than a contract error. Scale shape: one codegen'd
     * explode(sequence(0, floor(m))) + a narrow filter — per-row fan-out
     * of at most ceil(m), no aggregation, no shuffle. */
   def oversampleByMultiplicity(
       df: DataFrame, key: Column, stratumCol: String,
       multiplicities: Seq[(String, Double)], salt: String): DataFrame = {
-    require(multiplicities.nonEmpty, "need at least one stratum multiplicity")
     require(multiplicities.forall(_._2 > 0), "multiplicities must be positive")
     require(!df.columns.contains("copy"),
       "input already has a column named copy")
+    if (multiplicities.isEmpty)
+      return df.withColumn("copy", lit(0)).filter(lit(false))
     val mExpr = multiplicities.foldRight(lit(null).cast("double")) {
       case ((l, m), els) => when(col(stratumCol) === l, lit(m)).otherwise(els)
     }
@@ -393,12 +402,22 @@ object Sampling {
     val w = coalesce(col(weightCol).cast("long"), lit(0L))
     val spark = sampled.sparkSession
     import spark.implicits._
-    // one row per budgeted stratum, typed to the cut's stratum column so
-    // the outer join unifies (a numeric stratum vs string labels fails
-    // in analysis, loudly — budgets are labels of the same type)
-    val budgeted = broadcast(budgets.map(_._1).toDF("__bl__")
-      .select(col("__bl__").cast(sampled.schema(stratumCol).dataType)
-        .as(stratumCol)))
+    // one row per budgeted stratum, typed to the cut's stratum column
+    // so the outer join unifies. The cast RESOLVES in analysis even
+    // when a label can't parse as the stratum type — with ANSI off it
+    // would silently yield NULL-keyed budget rows that never join
+    // anything — so validate it driver-side (budgets is a small
+    // driver Seq; this collect is a LocalTableScan) and fail loudly
+    // naming the bad labels.
+    val stratumType = sampled.schema(stratumCol).dataType
+    val castLabels = budgets.map(_._1).toDF("__bl__")
+      .select(col("__bl__").cast(stratumType).as(stratumCol))
+    val badLabels = budgets.map(_._1).zip(castLabels.collect())
+      .collect { case (l, r) if r.isNullAt(0) => l }
+    require(badLabels.isEmpty,
+      s"mixtureAudit: budget labels ${badLabels.mkString("[", ", ", "]")} " +
+        s"do not parse as the stratum type ${stratumType.simpleString}")
+    val budgeted = broadcast(castLabels)
     sampled.groupBy(col(stratumCol))
       .agg(count(lit(1)).as("n_docs"),
         sum(w).as("realized"),

@@ -367,6 +367,28 @@ class ExprFuzzSpec extends AnyFunSuite {
       (t, s) => spanExprs.tokens_outside_spans(t, s))
   }
 
+  test("tokens_outside_spans: a NULL token element throws — never copied into containsNull=false output") {
+    // split() never yields null elements, but the expression accepts
+    // any array<string>; a null slipping through would violate the
+    // declared ArrayType(StringType, containsNull=false) for callers
+    val df = Seq(Tuple1(Seq("a", null, "c"))).toDF("x")
+    val e = intercept[Exception] {
+      df.select(spanExprs.tokens_outside_spans(
+        col("x"), typedLit(Seq.empty[(Long, Long)]))).collect()
+    }
+    def rootMsg(t: Throwable): String =
+      (Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(x => Option(x.getMessage).getOrElse("")).mkString(" | "))
+    assert(rootMsg(e).contains("NULL token element"))
+    // null INSIDE a span is rejected too — the contract is uniform,
+    // not dependent on whether the bad element happens to be kept
+    val e2 = intercept[Exception] {
+      df.select(spanExprs.tokens_outside_spans(
+        col("x"), typedLit(Seq((1L, 1L))))).collect()
+    }
+    assert(rootMsg(e2).contains("NULL token element"))
+  }
+
   test("exclusive_prefix_sums: interpreted == codegen over random weight arrays") {
     val arrays: Seq[Seq[Long]] = Seq(null, Seq.empty[Long], Seq(0L), Seq(7L)) ++
       (0 until 200).map { _ =>

@@ -1,0 +1,90 @@
+package graft.ops
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The r14 verdict's one perf-weak item, pinned: BPE merge SELECTION
+  * must not scan the whole pair table once per merge. Gate models are
+  * ~10 merges over toy dictionaries — the O(pair-table) scan was
+  * invisible there, but a production tokenizer is ~50k merges over a
+  * ≤2M-word dictionary (~10⁷ live pairs): ~10¹¹-10¹² driver-loop
+  * comparisons, hours, while the incremental delta-update machinery
+  * around it was already linear. Selection is now a lazy-deletion
+  * max-heap over (count, pair) ([[Bpe.continueFromWordCounts]]); this
+  * spec holds the production shape: ~2k merges over a ~100k-word
+  * dictionary in bounded wall-time, with the learned merges still
+  * exactly the defined (max count, lexicographically-smallest-pair
+  * tie-break) sequence. Pure driver code — no SparkSession needed.
+  */
+class BpeTrainScaleSpec extends AnyFunSuite {
+
+  /** Synthetic Zipf-ish dictionary: deterministic pseudo-random words
+    * over a small alphabet (so pairs collide and merges have real
+    * work), count = zipf(rank). */
+  private def dictionary(nWords: Int): Seq[(String, Long)] = {
+    val rnd = new scala.util.Random(4242)
+    val letters = "abcdefgh"
+    (0 until nWords).map { r =>
+      val len = 4 + rnd.nextInt(9)
+      val w = (0 until len).map(_ => letters(rnd.nextInt(letters.length))).mkString
+      // suffix the rank so every entry is a distinct word with its own
+      // count, like a real dictionary cut
+      (w + "x" + r.toString, 1L + (200000L / (r + 1)))
+    }
+  }
+
+  test("2k merges over a 100k-word dictionary complete in bounded wall-time") {
+    val dict = dictionary(100000)
+    val t0 = System.nanoTime()
+    val m = Bpe.trainFromWordCounts(dict, numMerges = 2000, minPairCount = 2)
+    val sec = (System.nanoTime() - t0) / 1e9
+    // learned the full budget (the dictionary has far more than 2k
+    // viable pairs) and did it in seconds, not the scan's minutes+
+    assert(m.merges.length == 2000, s"learned ${m.merges.length} merges")
+    assert(sec < 60.0,
+      f"2k merges over 100k words took $sec%.1f s — merge selection has " +
+        "gone super-linear again (the r14 pair-table-scan regression)")
+    info(f"2000 merges / 100k words in $sec%.2f s")
+  }
+
+  test("heap selection == reference scan selection merge-for-merge (the determinism pin at scale)") {
+    // a reference implementation of the OLD selection rule: full scan,
+    // max count, ties -> lexicographically smallest pair — re-derived
+    // here from the stated contract, run over a dictionary small
+    // enough that the scan is cheap but large enough to hit dense ties
+    val dict = dictionary(3000)
+    def scanTrain(counts: Seq[(String, Long)], numMerges: Int,
+        minPairCount: Long): Seq[(String, String)] = {
+      var words = counts.map(c => graft.functions.BpeUtil.initialSymbols(c._1)).toArray
+      val wc = counts.map(_._2).toArray
+      val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+      var done = false
+      while (!done && merges.length < numMerges) {
+        val pc = new scala.collection.mutable.HashMap[(String, String), Long]()
+        for (wi <- words.indices; i <- 0 until words(wi).length - 1)
+          pc.updateWith((words(wi)(i), words(wi)(i + 1)))(
+            o => Some(o.getOrElse(0L) + wc(wi)))
+        val qualified = pc.filter(_._2 >= minPairCount)
+        if (qualified.isEmpty) done = true
+        else {
+          val best = qualified.toSeq.minBy { case ((a, b), c) => (-c, a, b) }._1
+          merges += best
+          words = words.map { s =>
+            val out = scala.collection.mutable.ArrayBuffer.empty[String]
+            var i = 0
+            while (i < s.length) {
+              if (i < s.length - 1 && s(i) == best._1 && s(i + 1) == best._2) {
+                out += best._1 + best._2; i += 2
+              } else { out += s(i); i += 1 }
+            }
+            out.toArray
+          }
+        }
+      }
+      merges.toSeq
+    }
+    val expect = scanTrain(dict, 300, 2L)
+    val got = Bpe.trainFromWordCounts(dict, numMerges = 300, minPairCount = 2)
+      .merges.toSeq
+    assert(got == expect)
+  }
+}

@@ -454,4 +454,63 @@ class SamplingSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("integral column"))
   }
+
+  test("sampleByProbability: NaN probability drops like NULL, never keep-all") {
+    // Spark orders NaN above every double, so without the guard
+    // least(greatest(NaN, 0), 1) resolves to 1.0 — keep-all for an
+    // invalid score. The rule: no score, no draw.
+    val df = Seq(
+      (1L, Double.NaN), (2L, 0.7), (3L, Double.NaN), (4L, 1.0))
+      .toDF("k", "p")
+    val kept = Sampling.sampleByProbability(df, col("k"), col("p"), ":nan")
+      .collect().map(_.getLong(0)).toSet
+    assert(!kept.contains(1L) && !kept.contains(3L))
+    assert(kept.contains(4L))
+    // and NaN arriving via an expression behaves the same (0/0 would
+    // throw under ANSI; NaN-propagating arithmetic does not)
+    val df2 = Seq((1L, Double.NaN), (2L, 1.0)).toDF("k", "num")
+    val kept2 = Sampling.sampleByProbability(
+      df2, col("k"), col("num") * lit(2.0), ":nan").collect().map(_.getLong(0)).toSet
+    assert(kept2 == Set(2L))
+  }
+
+  test("oversampleByMultiplicity: empty multiplicity list ships nothing, same schema") {
+    // the counts an empty or all-null corpus produces — empty-in ⇒
+    // empty-out with the (input ++ copy) schema, not a contract error
+    val df = Seq(("en", 1L), ("fr", 2L)).toDF("s", "k")
+    val out = Sampling.oversampleByMultiplicity(
+      df, col("k"), "s", Seq.empty, ":ov")
+    assert(out.columns.toSeq == Seq("s", "k", "copy"))
+    assert(out.count() == 0)
+    // and the composed empty-corpus path: counts of an empty frame →
+    // empty multiplicities → empty oversample, no throw anywhere
+    val empty = df.filter(lit(false))
+    val counts = empty.groupBy(col("s")).count().collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    val mult = Sampling.temperatureMultiplicities(counts, 600, alpha = 0.5)
+    assert(Sampling.oversampleByMultiplicity(
+      empty, col("k"), "s", mult, ":ov").count() == 0)
+  }
+
+  test("mixtureAudit: a budget label that cannot cast to the stratum type fails loudly") {
+    // with ANSI off the Cast resolves in analysis and yields NULL at
+    // runtime — which would surface as a spurious never-joining
+    // null-stratum budget row; the driver-side validation names it
+    val df = Seq((10L, 1L, 5L), (20L, 2L, 7L)).toDF("s", "k", "tok")
+    val e = intercept[IllegalArgumentException] {
+      Sampling.mixtureAudit(df, "s", "tok", Seq("10" -> 100L, "oops" -> 50L))
+    }
+    assert(e.getMessage.contains("oops") && !e.getMessage.contains("10,"))
+    // numeric-parseable labels against a numeric stratum still work
+    val audit = Sampling.mixtureAudit(df, "s", "tok", Seq("10" -> 100L))
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(audit(10L) == 5L)
+  }
+
+  test("temperatureFractions == min(1, temperatureMultiplicities) — one shared core") {
+    val counts = Seq("a" -> 1000L, "b" -> 10L, "c" -> 333L)
+    val f = Sampling.temperatureFractions(counts, 500, 0.5)
+    val m = Sampling.temperatureMultiplicities(counts, 500, 0.5)
+    assert(f == m.map { case (s, x) => s -> math.min(1.0, x) })
+  }
 }
