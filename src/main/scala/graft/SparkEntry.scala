@@ -2795,6 +2795,49 @@ object SparkEntry {
         .orderBy("seq_id", "pos")
     },
 
+    "q_pack_ids_eos" -> { (s, dir) =>
+      // the sepId arm: an EOS separator id appended after each
+      // document's ids before the cut — real pretraining inserts an
+      // EOS between documents so the model learns document ends. The
+      // oracle extends its global position arithmetic by exactly +1
+      // per document (one separator row ordered past every real
+      // (wpos, spos)), so every id, pad, piece count, and boundary
+      // offset is still under the hash with the shifted layout.
+      val bc = bpeGateBc(s)
+      val docs = ops.Bpe.withTokenIds(
+        t(s, dir, "documents").filter(col("doc_id") < 300), "text", "ids", bc)
+      ops.Packing.packTokenIds(docs, "doc_id", "ids",
+        seqLen = 32, padId = 0, bucketWidth = 100,
+        sepId = Some(packGateSepId))
+        .select(col("seq_id"), col("n_docs"), col("n_pad"),
+          concat_ws(",", transform(col("doc_offsets"), x => x.cast("string")))
+            .as("offsets_csv"),
+          posexplode(col("input_ids")).as(Seq("pos", "token_id")))
+        .orderBy("seq_id", "pos")
+    },
+
+    "q_pack_labels_eos" -> { (s, dir) =>
+      // labels over the sepId arm — proves the label AT a separator
+      // position is ALWAYS the ignore id: the separator ends its
+      // document, so the next position is a doc boundary (in
+      // doc_offsets), a pad, or a sequence edge — all ignore cases
+      // the oracle re-derives with its lead() over global order.
+      val bc = bpeGateBc(s)
+      val docs = ops.Bpe.withTokenIds(
+        t(s, dir, "documents").filter(col("doc_id") < 300), "text", "ids", bc)
+      val seqs = ops.Packing.packTokenIds(docs, "doc_id", "ids",
+        seqLen = 32, padId = 0, bucketWidth = 100,
+        sepId = Some(packGateSepId))
+      ops.Packing.withCausalLabels(seqs)
+        .select(col("seq_id"),
+          posexplode(arrays_zip(col("input_ids"), col("labels")))
+            .as(Seq("pos", "__z__")))
+        .select(col("seq_id"), col("pos"),
+          col("__z__.input_ids").as("token_id"),
+          col("__z__.labels").as("label"))
+        .orderBy("seq_id", "pos")
+    },
+
     "q_pack_ids_tfrecord" -> { (s, dir) =>
       // the packed-sequence EXPORT loop closed: the q_pack_ids tensor
       // written through the TFRecord/tf.Example sink and read back —
@@ -3111,9 +3154,22 @@ doctok AS (
     * arithmetic at 32 ids/sequence (gpos = corpus-order token index;
     * seq = gpos div 32; a piece boundary is a doc start or a sequence
     * edge), and emits the packed rows with pad fill — every id, pad,
-    * piece count, and boundary offset under the hash. */
+    * piece count, and boundary offset under the hash. The `_eos`
+    * variants replay the sepId arm: one separator row appended after
+    * each non-empty document's tokens (ordered past every real (wpos,
+    * spos)), which shifts the global position arithmetic by +1 per
+    * document — and, in the labels oracle, lands every
+    * separator-position label on the ignore id via the same
+    * next-is-doc-start rule. */
+  /** The gate's document-separator id. The packing op is id-agnostic
+    * (a production vocab reserves a real EOS slot next to pad/unk);
+    * the gate uses a value outside the toy vocab so a separator is
+    * unmistakable in the packed stream. */
+  private val packGateSepId = 999
+
   private val (bpePackIdsOracle: String, bpePackLabelsOracle: String,
-      bpePackAuditOracle: String) = {
+      bpePackAuditOracle: String, bpePackIdsEosOracle: String,
+      bpePackLabelsEosOracle: String) = {
     def pat(l: String, r: String) = s"chr(1)||'$l'||chr(1)||'$r'||chr(1)"
     def rep(l: String, r: String) = s"chr(1)||'$l$r'||chr(1)"
     val any = bpeOracleMerges
@@ -3125,7 +3181,7 @@ doctok AS (
       .mkString("\n      ")
     val ws = """'[ \t\n\x0b\f\r]+'"""
     val init = """chr(1) || regexp_replace(word, '(.)', '\1' || chr(1), 'g') || '</w>' || chr(1)"""
-    val prefix = s"""WITH RECURSIVE
+    def prefix(sepId: Option[Int]) = s"""WITH RECURSIVE
 docs300 AS (
   SELECT doc_id, text FROM documents WHERE text IS NOT NULL AND doc_id < 300),
 dw AS (
@@ -3158,11 +3214,20 @@ tok AS (
     unnest(range(1, len(w.syms) + 1)) AS spos
   FROM docw d JOIN wsyms w USING (word)),
 $bpeOracleVocabCte,
+tokall AS (
+  SELECT doc_id, wpos, spos, sym, 0 AS is_sep FROM tok${sepId.map(_ => """
+  UNION ALL
+  SELECT doc_id, 2147483647 AS wpos, 2147483647 AS spos,
+    NULL AS sym, 1 AS is_sep
+  FROM (SELECT DISTINCT doc_id FROM tok)""").getOrElse("")}),
 ids AS (
-  SELECT coalesce(v.id, 1) AS tid,
-    row_number() OVER (ORDER BY t.doc_id, t.wpos, t.spos) - 1 AS gpos,
-    (t.wpos = 1 AND t.spos = 1) AS is_doc_start
-  FROM tok t LEFT JOIN vocab v ON v.tok = t.sym),
+  SELECT ${sepId.map(sid =>
+    s"CASE WHEN t.is_sep = 1 THEN $sid ELSE coalesce(v.id, 1) END")
+    .getOrElse("coalesce(v.id, 1)")} AS tid,
+    row_number() OVER (ORDER BY t.doc_id, t.wpos, t.spos, t.is_sep) - 1
+      AS gpos,
+    (t.wpos = 1 AND t.spos = 1 AND t.is_sep = 0) AS is_doc_start
+  FROM tokall t LEFT JOIN vocab v ON v.tok = t.sym),
 seqmeta AS (
   SELECT gpos // 32 AS seq_id, count(*) AS n_tok,
     sum(CASE WHEN gpos % 32 = 0 OR is_doc_start THEN 1 ELSE 0 END) AS n_docs,
@@ -3218,7 +3283,10 @@ SELECT cast(count(*) AS BIGINT) AS n_seqs,
   sum(CASE WHEN n_tok < 32 THEN 1 ELSE 0 END) <= 1 AS pads_within_one_seq,
   cast(sum(32 - n_tok) AS DOUBLE) / (32 * count(*)) AS pad_fraction
 FROM seqmeta"""
-    (prefix + idsSelect, prefix + labelsSelect, prefix + auditSelect)
+    (prefix(None) + idsSelect, prefix(None) + labelsSelect,
+      prefix(None) + auditSelect,
+      prefix(Some(packGateSepId)) + idsSelect,
+      prefix(Some(packGateSepId)) + labelsSelect)
   }
 
   private[graft] def bpeGateBc(s: SparkSession) =
@@ -4976,6 +5044,8 @@ FROM seqmeta"""
     // the training-example labels re-derived from the oracle's own
     // packed rows (lead() over the global token order)
     "q_pack_labels" -> bpePackLabelsOracle,
+    "q_pack_ids_eos" -> bpePackIdsEosOracle,
+    "q_pack_labels_eos" -> bpePackLabelsEosOracle,
     // the tensor-set audit replayed from the oracle's packed rows
     "q_pack_audit" -> bpePackAuditOracle,
 

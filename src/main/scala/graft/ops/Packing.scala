@@ -221,6 +221,17 @@ object Packing {
     * zero-token document has no place in a token tensor — filter or
     * default upstream if that matters).
     *
+    * `sepId` (optional) is the EOS/document-separator id: appended
+    * after each non-empty document's ids BEFORE the cut — real
+    * pretraining inserts an EOS between documents so the model learns
+    * document ends ([[buildShards]]' text-`sep` semantics mirrored in
+    * id space). The separator belongs to its document (it ends it):
+    * boundary offsets are unchanged in meaning, every position shifts
+    * by +1 per preceding document, and a causal label AT a separator
+    * position is always the ignore id (the next position is a doc
+    * boundary, a pad, or a sequence edge). Empty/NULL-ids documents
+    * get no separator — they contribute nothing, as stated above.
+    *
     * `orderCol` inherits [[globalCumsum]]'s full contract: integral,
     * NON-NULL (fails loudly), and UNIQUE — duplicate order keys make
     * the within-bucket window tie order arbitrary, so the packed
@@ -239,11 +250,18 @@ object Packing {
     * order to sequence order. */
   def packTokenIds(
       df: DataFrame, orderCol: String, idsCol: String,
-      seqLen: Int, padId: Int = 0, bucketWidth: Long = 100000): DataFrame = {
+      seqLen: Int, padId: Int = 0, bucketWidth: Long = 100000,
+      sepId: Option[Int] = None): DataFrame = {
     require(seqLen >= 1, s"seqLen must be >= 1, got $seqLen")
     Seq("__w__", "__seq__", "__piece__").foreach(c =>
       require(!df.columns.contains(c), s"input already has a column named $c"))
-    val withW = df
+    val base = sepId match {
+      case Some(sid) => df.withColumn(idsCol,
+        when(size(col(idsCol)) > 0,
+          concat(col(idsCol), array(lit(sid)))).otherwise(col(idsCol)))
+      case None => df
+    }
+    val withW = base
       .withColumn("__w__", coalesce(size(col(idsCol)).cast("long"), lit(0L)))
       .filter(col("__w__") > 0)
     val cum = globalCumsum(withW, orderCol, "__w__", bucketWidth)

@@ -218,6 +218,43 @@ class PackingSpec extends AnyFunSuite {
     }
   }
 
+  test("packTokenIds sepId arm == packing with the separator pre-appended; sep labels always ignore") {
+    val rnd = new scala.util.Random(7777L)
+    val SEP = -9
+    (0 until 15).foreach { trial =>
+      val L = 1 + rnd.nextInt(9)
+      val docs = (0 until 1 + rnd.nextInt(12)).map(i =>
+        (i.toLong, (0 until rnd.nextInt(3 * L)).map(_ => rnd.nextInt(1000))))
+      // the separator contract stated directly: sepId packing IS the
+      // packing of docs with one SEP appended to each non-empty ids
+      // array (empty/NULL docs get none — they contribute nothing)
+      val manual = docs.map { case (i, ids) =>
+        (i, if (ids.nonEmpty) ids :+ SEP else ids)
+      }
+      def run(d: Seq[(Long, Seq[Int])], sep: Option[Int]) =
+        Packing.packTokenIds(d.toDF("id", "ids"), "id", "ids", L,
+          padId = -7, bucketWidth = 3, sepId = sep)
+          .orderBy("seq_id").collect().map(r =>
+            (r.getLong(0), r.getSeq[Int](1), r.getSeq[Int](2),
+              r.getAs[Int]("n_docs"), r.getAs[Int]("n_pad"))).toSeq
+      val got = run(docs, Some(SEP))
+      assert(got == run(manual, None), s"trial $trial")
+      // exactly one separator per non-empty doc in the packed stream
+      val seps = got.flatMap(_._2).count(_ == SEP)
+      assert(seps == docs.count(_._2.nonEmpty), s"trial $trial sep count")
+      // a causal label AT a separator position is ALWAYS the ignore id
+      // (next position is a doc boundary, a pad, or a sequence edge)
+      Packing.withCausalLabels(
+        Packing.packTokenIds(docs.toDF("id", "ids"), "id", "ids", L,
+          padId = -7, sepId = Some(SEP))).collect().foreach { r =>
+        val ids = r.getSeq[Int](r.fieldIndex("input_ids"))
+        val labels = r.getSeq[Int](r.fieldIndex("labels"))
+        ids.indices.filter(ids(_) == SEP).foreach(i =>
+          assert(labels(i) == -100, s"trial $trial pos $i"))
+      }
+    }
+  }
+
   test("withCausalLabels == scala reference on random packed corpora (seeded)") {
     val rnd = new scala.util.Random(2828L)
     (0 until 15).foreach { trial =>
