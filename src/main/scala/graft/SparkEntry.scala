@@ -2838,6 +2838,54 @@ object SparkEntry {
         .orderBy("seq_id", "pos")
     },
 
+    "q_train_pipeline" -> { (s, dir) =>
+      // THE full-pipeline integration gate: every stage is
+      // individually green, but the composed column/contract chain
+      // (names, null rules, determinism across the double-executed
+      // prefix-sum input) is only real when ONE query runs the whole
+      // text→tensor path under ONE oracle — prep slice → temperature
+      // mixture (T=150, α=0.5, per-lang hash cut) → BPE token ids →
+      // EOS-separated fixed-length packing → causal-LM labels →
+      // TFRecord write + READ-BACK. The oracle recomputes the mixture
+      // (counts → √-weights → label-ordered Σ → thresholds → kept
+      // set), re-encodes every token from the stated merges, replays
+      // the separator-shifted position arithmetic, and re-derives
+      // every label — all on the read-back rows, so the int64-list
+      // wire format is under the same hash.
+      val bc = bpeGateBc(s)
+      val corpus = t(s, dir, "documents").filter(col("doc_id") < 300)
+      val mixed = ops.Sampling.sampleByTemperature(
+        corpus, col("doc_id"), "lang", targetDocs = 150, alpha = 0.5,
+        salt = ":tp15")
+      val seqs = ops.Packing.withCausalLabels(
+        ops.Packing.packTokenIds(
+          ops.Bpe.withTokenIds(mixed, "text", "ids", bc),
+          "doc_id", "ids", seqLen = 32, padId = 0, bucketWidth = 100,
+          sepId = Some(packGateSepId)))
+      val out = s"${System.getProperty("java.io.tmpdir")}/graft-gate-trainpipe-" +
+        s"${ProcessHandle.current().pid()}-${Integer.toHexString(dir.hashCode)}/seqs_tfr"
+      sources.TfRecord.write(
+        seqs.select("seq_id", "input_ids", "labels", "doc_offsets",
+          "n_docs", "n_pad"), out)
+      sources.TfRecord.read(s, out, StructType(Seq(
+        StructField("seq_id", LongType),
+        StructField("input_ids", ArrayType(IntegerType)),
+        StructField("labels", ArrayType(IntegerType)),
+        StructField("doc_offsets", ArrayType(IntegerType)),
+        StructField("n_docs", IntegerType),
+        StructField("n_pad", IntegerType))))
+        .select(col("seq_id"), col("n_docs"), col("n_pad"),
+          concat_ws(",", transform(col("doc_offsets"), x => x.cast("string")))
+            .as("offsets_csv"),
+          posexplode(arrays_zip(col("input_ids"), col("labels")))
+            .as(Seq("pos", "__z__")))
+        .select(col("seq_id"), col("n_docs"), col("n_pad"),
+          col("offsets_csv"), col("pos"),
+          col("__z__.input_ids").as("token_id"),
+          col("__z__.labels").as("label"))
+        .orderBy("seq_id", "pos")
+    },
+
     "q_pack_ids_tfrecord" -> { (s, dir) =>
       // the packed-sequence EXPORT loop closed: the q_pack_ids tensor
       // written through the TFRecord/tf.Example sink and read back —
@@ -3169,7 +3217,7 @@ doctok AS (
 
   private val (bpePackIdsOracle: String, bpePackLabelsOracle: String,
       bpePackAuditOracle: String, bpePackIdsEosOracle: String,
-      bpePackLabelsEosOracle: String) = {
+      bpePackLabelsEosOracle: String, trainPipelineOracle: String) = {
     def pat(l: String, r: String) = s"chr(1)||'$l'||chr(1)||'$r'||chr(1)"
     def rep(l: String, r: String) = s"chr(1)||'$l$r'||chr(1)"
     val any = bpeOracleMerges
@@ -3181,9 +3229,38 @@ doctok AS (
       .mkString("\n      ")
     val ws = """'[ \t\n\x0b\f\r]+'"""
     val init = """chr(1) || regexp_replace(word, '(.)', '\1' || chr(1), 'g') || '</w>' || chr(1)"""
-    def prefix(sepId: Option[Int]) = s"""WITH RECURSIVE
+    // the corpus CTE is pluggable: the plain pack gates read the raw
+    // doc_id<300 slice; the q_train_pipeline gate swaps in the
+    // temperature-mixture kept set (counts → weights → label-ordered
+    // Σ → thresholds → hash cut, the q_sample_temperature replay) so
+    // the SAME position arithmetic runs over the composed pipeline
+    val rawDocs300 =
+      """docs300 AS (
+  SELECT doc_id, text FROM documents WHERE text IS NOT NULL AND doc_id < 300)"""
+    val mixedDocs300 =
+      """mn AS (
+  SELECT lang, count(*) AS c FROM documents
+  WHERE doc_id < 300 AND lang IS NOT NULL GROUP BY lang),
+mw AS (SELECT lang, c, sqrt(cast(c AS DOUBLE)) AS wt FROM mn),
+mtot AS (SELECT
+  ((((coalesce(max(CASE WHEN lang='de' THEN wt END), 0.0)
+    + coalesce(max(CASE WHEN lang='en' THEN wt END), 0.0))
+    + coalesce(max(CASE WHEN lang='es' THEN wt END), 0.0))
+    + coalesce(max(CASE WHEN lang='fr' THEN wt END), 0.0))
+    + coalesce(max(CASE WHEN lang='zh' THEN wt END), 0.0)) AS s
+  FROM mw),
+mf AS (SELECT lang, ((150.0 * wt) / s) / cast(c AS DOUBLE) AS f FROM mw, mtot),
+mthr AS (SELECT lang,
+  CASE WHEN f >= 1.0 THEN 'g'
+       ELSE lpad(lower(to_hex(cast(floor(f * 281474976710656.0) AS BIGINT))), 12, '0') END AS t
+  FROM mf),
 docs300 AS (
-  SELECT doc_id, text FROM documents WHERE text IS NOT NULL AND doc_id < 300),
+  SELECT d.doc_id, d.text
+  FROM documents d JOIN mthr USING (lang)
+  WHERE d.doc_id < 300 AND d.text IS NOT NULL
+    AND substr(md5(cast(d.doc_id AS VARCHAR) || ':tp15'), 1, 12) < mthr.t)"""
+    def prefix(sepId: Option[Int], docsCte: String = rawDocs300) = s"""WITH RECURSIVE
+$docsCte,
 dw AS (
   SELECT DISTINCT unnest(regexp_split_to_array(trim(text), $ws)) AS word
   FROM docs300),
@@ -3283,10 +3360,35 @@ SELECT cast(count(*) AS BIGINT) AS n_seqs,
   sum(CASE WHEN n_tok < 32 THEN 1 ELSE 0 END) <= 1 AS pads_within_one_seq,
   cast(sum(32 - n_tok) AS DOUBLE) / (32 * count(*)) AS pad_fraction
 FROM seqmeta"""
+    // the integration gate's select: the labels rows JOINED back to
+    // the per-sequence metadata — every column of the training
+    // example (ids, labels, pads, pieces, boundary offsets) in one row
+    val fullSelect = """,
+lab AS (
+  SELECT gpos // 32 AS seq_id, cast(gpos % 32 AS INTEGER) AS pos,
+    cast(tid AS INTEGER) AS token_id,
+    cast(CASE WHEN lead(tid) OVER (ORDER BY gpos) IS NULL
+              OR (gpos + 1) % 32 = 0
+              OR lead(is_doc_start) OVER (ORDER BY gpos)
+         THEN -100 ELSE lead(tid) OVER (ORDER BY gpos) END AS INTEGER)
+      AS label
+  FROM ids),
+padlab AS (
+  SELECT seq_id, cast(p AS INTEGER) AS pos, cast(0 AS INTEGER) AS token_id,
+    cast(-100 AS INTEGER) AS label
+  FROM (SELECT seq_id, unnest(range(n_tok, 32)) AS p FROM seqmeta)),
+alllab AS (
+  SELECT * FROM lab UNION ALL SELECT * FROM padlab)
+SELECT a.seq_id, cast(m.n_docs AS INTEGER) AS n_docs,
+  cast(32 - m.n_tok AS INTEGER) AS n_pad, m.offsets_csv,
+  a.pos, a.token_id, a.label
+FROM alllab a JOIN seqmeta m USING (seq_id)
+ORDER BY seq_id, pos"""
     (prefix(None) + idsSelect, prefix(None) + labelsSelect,
       prefix(None) + auditSelect,
       prefix(Some(packGateSepId)) + idsSelect,
-      prefix(Some(packGateSepId)) + labelsSelect)
+      prefix(Some(packGateSepId)) + labelsSelect,
+      prefix(Some(packGateSepId), mixedDocs300) + fullSelect)
   }
 
   private[graft] def bpeGateBc(s: SparkSession) =
@@ -5046,6 +5148,7 @@ FROM seqmeta"""
     "q_pack_labels" -> bpePackLabelsOracle,
     "q_pack_ids_eos" -> bpePackIdsEosOracle,
     "q_pack_labels_eos" -> bpePackLabelsEosOracle,
+    "q_train_pipeline" -> trainPipelineOracle,
     // the tensor-set audit replayed from the oracle's packed rows
     "q_pack_audit" -> bpePackAuditOracle,
 
