@@ -44,7 +44,7 @@ object Bench {
     * drift, but only provable by per-query forensics; this anchor
     * makes the next such comparison one division (same code, same
     * anchor → anchor ratio ≈ machine ratio). */
-  private def cpuAnchorMs(): Double = {
+  private[graft] def cpuAnchorMs(): Double = {
     def once(): Double = {
       val t0 = System.nanoTime()
       var x = 0x9E3779B97F4A7C15L

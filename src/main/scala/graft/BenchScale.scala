@@ -42,6 +42,7 @@ object BenchScale {
     "q_chunk")
 
   def main(args: Array[String]): Unit = {
+    val anchorMs = Bench.cpuAnchorMs()
     val sfDirs = Seq(
       sys.env.getOrElse("SPARK_GRAFT_SF_LO", "/root/testdata/sf0.01"),
       sys.env.getOrElse("SPARK_GRAFT_SF_HI", "/root/testdata/sf0.1"))
@@ -104,7 +105,7 @@ object BenchScale {
       s""""$name":{"sf_lo_sec":${r3(s.lo)},"sf_hi_sec":${r3(s.hi)},"slope":${r3(s.slope)},"reliable":${s.reliable}}"""
     }
     val worst = heavyQueries.maxBy(slopes(_).slope)
-    val line = s"""{"metric":"max_scaling_slope","value":${r3(slopes(worst).slope)},"unit":"log10(t_hi/t_lo) per decade of rows","worst_query":"$worst","sf_lo":"${sfDirs(0)}","sf_hi":"${sfDirs(1)}","queries":{${entries.mkString(",")}}}"""
+    val line = s"""{"metric":"max_scaling_slope","value":${r3(slopes(worst).slope)},"unit":"log10(t_hi/t_lo) per decade of rows","worst_query":"$worst","sf_lo":"${sfDirs(0)}","sf_hi":"${sfDirs(1)}","cpu_anchor_ms":${r3(anchorMs)},"queries":{${entries.mkString(",")}}}"""
     try java.nio.file.Files.writeString(java.nio.file.Path.of("BENCH_SCALE.json"), line + "\n")
     catch { case e: Exception => System.err.println(s"[bench-scale] write failed: $e") }
     println(line)

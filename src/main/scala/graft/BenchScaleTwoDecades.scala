@@ -35,7 +35,7 @@ import org.apache.spark.sql.SparkSession
   * Covers the heavy dedup set plus the ANN / pack / exact-dedup
   * families (documents + embeddings only — the tables ScaleCorpus
   * replicates). Output: one JSON line to stdout and
-  * BENCH_SCALE_r14.json in the working directory.
+  * BENCH_SCALE_r15.json in the working directory.
   *
   * Usage: BenchScaleTwoDecades [loDir midDir hiDir xhiDir]  (defaults:
   * /root/testdata/sf0.01, /root/testdata/sf0.1, /tmp/graft-sf1,
@@ -114,6 +114,11 @@ object BenchScaleTwoDecades {
       else Seq("/root/testdata/sf0.01", "/root/testdata/sf0.1",
         "/tmp/graft-sf1", "/tmp/graft-sf26")
     val Seq(loDir, midDir, hiDir, xhiDir) = dirs
+    // the scale sweeps are as machine-sensitive as the bench, and the
+    // xhi points are where drift most resembles a slope — same fixed
+    // single-thread anchor as Bench, so a cross-round slope dispute is
+    // one division (r14 verdict #6)
+    val anchorMs = Bench.cpuAnchorMs()
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -167,6 +172,13 @@ object BenchScaleTwoDecades {
       val autoCells = math.max(2L, (n * 2 + 511) / 512).toInt
       val seAuto = ops.ScaleStats.semantic(emb, "vec_id", "embedding",
         threshold = 0.4, nCells = autoCells, replication = 2)
+      // the r14 watch item (q_simsearch_lsh/_exact at the top of the
+      // uniform drift band): band rows / candidate pairs / sig-vs-
+      // verify timing split at the gate's exact parameters, so the
+      // next cross-round ratio is attributable to a stage or to the
+      // anchor
+      val ls = ops.ScaleStats.lsh(emb, "vec_id", "embedding",
+        nPlanes = 16, rowsPerBand = 4, threshold = 0.25)
       // the two steeper hi→xhi families get the deeper treatment at
       // the LAST two points (r11 verdict #6): the cluster family's
       // per-stage volumes + CC round structure (default path, AND the
@@ -192,7 +204,8 @@ object BenchScaleTwoDecades {
             s""""semantic_auto_phases":${jmap(ph)},"cross":${jmap(cr)}"""
         }
       System.err.println(s"[bench-scale2] attribution $dir done")
-      s""""$dir":{"minhash":${jmap(mh)},"semantic_fixed8":${jmap(se)},""" +
+      s""""$dir":{"minhash":${jmap(mh)},"lsh":${jmap(ls)},""" +
+        s""""semantic_fixed8":${jmap(se)},""" +
         s""""semantic_auto":${jmap(seAuto + ("n_cells" -> autoCells.toLong))}$deep}"""
     }.mkString("{", ",", "}")
 
@@ -223,10 +236,11 @@ object BenchScaleTwoDecades {
       s""""worst_diagnostic":{"query":"$wDiag","slope_mid_hi":${r3(wDiagSlope)},""" +
       s""""note":"deliberately-pinned fixed-nCells quantizer — the measured-quadratic regime the default (corpus-sized) path avoids"},""" +
       s""""sf_dirs":${dirs.map(d => s""""$d"""").mkString("[", ",", "]")},""" +
+      s""""cpu_anchor_ms":${r3(anchorMs)},""" +
       s""""synthetic_hi":true,"xhi_replicas":26,"queries":{${entries.mkString(",")}},""" +
       s""""attribution":$attribution}"""
     try java.nio.file.Files.writeString(
-      java.nio.file.Path.of("BENCH_SCALE_r14.json"), line + "\n")
+      java.nio.file.Path.of("BENCH_SCALE_r15.json"), line + "\n")
     catch { case e: Exception => System.err.println(s"[bench-scale2] write failed: $e") }
     println(line)
     spark.stop()

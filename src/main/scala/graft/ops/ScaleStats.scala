@@ -92,6 +92,49 @@ object ScaleStats {
     } finally sigs.unpersist(false)
   }
 
+  /** Stage accounting for [[VectorOps.lshNeighbors]] at the
+    * q_simsearch_lsh parameters: vectors → band rows → bucket
+    * occupancy (within-bucket candidate pairs ARE the verify-join
+    * population) → emitted (cosine > threshold) pairs, plus a
+    * signature-vs-full steady timing split so a timing slope
+    * attributes to the hash stage or the verify join. */
+  def lsh(
+      df: DataFrame, idCol: String, vecCol: String,
+      nPlanes: Int, rowsPerBand: Int, threshold: Double,
+      maxBucket: Int = 200, seed: Long = 42L): Map[String, Long] = {
+    require(nPlanes % rowsPerBand == 0)
+    val nBands = nPlanes / rowsPerBand
+    val dimRow = df.select(size(col(vecCol)).as("__d__"))
+      .filter(col("__d__").isNotNull).head(1)
+    if (dimRow.isEmpty) return Map("rows" -> 0L)
+    val planes = VectorOps.hyperplanes(nPlanes, dimRow(0).getInt(0), seed)
+    def steadyMs(f: => Unit): Long = {
+      def once(): Long = {
+        val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1000000
+      }
+      once(); math.min(once(), once())
+    }
+    val sigs = VectorOps.lshSignatures(df, idCol, vecCol, planes)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val rows = sigs.count()
+      val occ = bucketAccounting(
+        LshBlocking.bandRows(sigs, nBands, rowsPerBand, "__sig__"), maxBucket)
+      val sigMillis = steadyMs(
+        VectorOps.lshSignatures(df, idCol, vecCol, planes).count())
+      var emitted = 0L
+      val fullMillis = steadyMs {
+        emitted = VectorOps.lshNeighbors(df, idCol, vecCol, nPlanes,
+          rowsPerBand, threshold, maxBucket, seed).count()
+      }
+      Map("rows" -> rows,
+        "band_rows" -> rows * nBands,
+        "emitted_pairs" -> emitted,
+        "sig_millis" -> sigMillis,
+        "full_op_millis" -> fullMillis) ++ occ
+    } finally sigs.unpersist(false)
+  }
+
   /** Stage accounting for [[Dedup.semanticNearDupsFixedCells]] (the
     * deliberately-pinned quantizer — the diagnostic regime): vectors → cell
     * assignments → cell occupancy (the within-cell pair population IS
