@@ -2838,6 +2838,28 @@ object SparkEntry {
         .orderBy("seq_id", "pos")
     },
 
+    "q_pack_shards" -> { (s, dir) =>
+      // the tensor set's FILE LAYOUT: packing preserves corpus order,
+      // which a model must not see — rank is the reproducible random
+      // permutation (md5-prefix order over seq_id, ties on the id, a
+      // fresh independent draw per salt), shard_id its 16-row cut.
+      // Scale shape: the rank is an exclusive prefix COUNT through the
+      // order-aligned-bucket protocol (the hash's own leading hex
+      // digits are the bucket), never one global sort. The oracle
+      // re-derives the permutation, every rank, and every shard cut
+      // from its own packed-sequence table.
+      val bc = bpeGateBc(s)
+      val docs = ops.Bpe.withTokenIds(
+        t(s, dir, "documents").filter(col("doc_id") < 300), "text", "ids", bc)
+      val seqs = ops.Packing.packTokenIds(docs, "doc_id", "ids",
+        seqLen = 32, padId = 0, bucketWidth = 100)
+      ops.Packing.assignShuffledShards(seqs, "seq_id", ":ps15",
+        rowsPerShard = 16)
+        .select(col("seq_id"), col("n_docs"), col("n_pad"),
+          col("rank"), col("shard_id"))
+        .orderBy("seq_id")
+    },
+
     "q_train_pipeline" -> { (s, dir) =>
       // THE full-pipeline integration gate: every stage is
       // individually green, but the composed column/contract chain
@@ -3217,7 +3239,8 @@ doctok AS (
 
   private val (bpePackIdsOracle: String, bpePackLabelsOracle: String,
       bpePackAuditOracle: String, bpePackIdsEosOracle: String,
-      bpePackLabelsEosOracle: String, trainPipelineOracle: String) = {
+      bpePackLabelsEosOracle: String, trainPipelineOracle: String,
+      packShardsOracle: String) = {
     def pat(l: String, r: String) = s"chr(1)||'$l'||chr(1)||'$r'||chr(1)"
     def rep(l: String, r: String) = s"chr(1)||'$l$r'||chr(1)"
     val any = bpeOracleMerges
@@ -3384,11 +3407,27 @@ SELECT a.seq_id, cast(m.n_docs AS INTEGER) AS n_docs,
   a.pos, a.token_id, a.label
 FROM alllab a JOIN seqmeta m USING (seq_id)
 ORDER BY seq_id, pos"""
+    // shuffle-and-shard over the packed set: the permutation is the
+    // md5-prefix order over seq_id (ties on the id), rank its 0-based
+    // position, shard the 16-row cut — all re-derived from the
+    // oracle's own seqmeta
+    val shardsSelect = """
+SELECT seq_id, cast(n_docs AS INTEGER) AS n_docs,
+  cast(32 - n_tok AS INTEGER) AS n_pad,
+  row_number() OVER (
+    ORDER BY substr(md5(cast(seq_id AS VARCHAR) || ':ps15'), 1, 12), seq_id)
+    - 1 AS rank,
+  (row_number() OVER (
+    ORDER BY substr(md5(cast(seq_id AS VARCHAR) || ':ps15'), 1, 12), seq_id)
+    - 1) // 16 AS shard_id
+FROM seqmeta
+ORDER BY seq_id"""
     (prefix(None) + idsSelect, prefix(None) + labelsSelect,
       prefix(None) + auditSelect,
       prefix(Some(packGateSepId)) + idsSelect,
       prefix(Some(packGateSepId)) + labelsSelect,
-      prefix(Some(packGateSepId), mixedDocs300) + fullSelect)
+      prefix(Some(packGateSepId), mixedDocs300) + fullSelect,
+      prefix(None) + shardsSelect)
   }
 
   private[graft] def bpeGateBc(s: SparkSession) =
@@ -5149,6 +5188,7 @@ ORDER BY seq_id, pos"""
     "q_pack_ids_eos" -> bpePackIdsEosOracle,
     "q_pack_labels_eos" -> bpePackLabelsEosOracle,
     "q_train_pipeline" -> trainPipelineOracle,
+    "q_pack_shards" -> packShardsOracle,
     // the tensor-set audit replayed from the oracle's packed rows
     "q_pack_audit" -> bpePackAuditOracle,
 

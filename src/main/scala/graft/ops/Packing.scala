@@ -338,4 +338,44 @@ object Packing {
       graft.functions.chunkExprs.causal_labels(
         col("input_ids"), col("doc_offsets"), col("n_pad"), ignoreId))
   }
+
+  /** Deterministic SHUFFLE-AND-SHARD of a packed sequence set — the
+    * file layout a data loader reads: training order must be a
+    * reproducible random permutation (packing preserves corpus order,
+    * which a model must not see), and the permuted set is cut into
+    * `rowsPerShard`-row shard files. Adds to every row:
+    *   - `rank`     — 0-based position in the shuffled order: ascending
+    *     (md5-prefix of (`idCol`, salt), id) — the same engine-portable
+    *     permutation family as [[Sampling.shuffleByHash]], total
+    *     whenever `idCol` is unique (ties break on the id), rerun- and
+    *     engine-stable, and a fresh independent permutation per salt
+    *   - `shard_id` — `rank div rowsPerShard` (integral `div`, the
+    *     [[assignShards]] exactness rule)
+    *
+    * Scale shape: the rank is an exclusive prefix COUNT through
+    * [[bucketedCumsum]]'s order-aligned-bucket protocol — the hash
+    * prefix's own leading `bucketHexDigits` digits are the bucket (a
+    * hex-string bucket orders consistently with the full hash by
+    * construction), so the permutation costs per-bucket window sorts,
+    * never one global sort. 16^2 = 256 buckets at the default; raise
+    * to 3-4 digits (4096/65536 buckets) for billion-sequence sets.
+    * `idCol` must be non-null ([[bucketedCumsum]] fails loudly). A
+    * writer partitions by `shard_id` and sorts by `rank` within each
+    * file. */
+  def assignShuffledShards(
+      df: DataFrame, idCol: String, salt: String, rowsPerShard: Long,
+      bucketHexDigits: Int = 2): DataFrame = {
+    require(rowsPerShard > 0, s"rowsPerShard must be positive, got $rowsPerShard")
+    require(bucketHexDigits >= 1 && bucketHexDigits <= 8,
+      s"bucketHexDigits must be in [1, 8], got $bucketHexDigits")
+    require(!df.columns.contains("__sh__"),
+      "input already has a column named __sh__")
+    val hashed = df.withColumn("__sh__", Sampling.hashPrefix(col(idCol), salt))
+    bucketedCumsum(hashed, Seq.empty,
+      substring(col("__sh__"), 1, bucketHexDigits),
+      Seq(col("__sh__"), col(idCol)), lit(1L), "assignShuffledShards")
+      .withColumn("rank", col("cum_before"))
+      .withColumn("shard_id", expr(s"rank div $rowsPerShard"))
+      .drop("__sh__", "cum_before")
+  }
 }

@@ -255,6 +255,43 @@ class PackingSpec extends AnyFunSuite {
     }
   }
 
+  test("assignShuffledShards: rank == md5-order reference, shard cut exact, bucket-width invariant") {
+    val df = (0L until 500L).map(i => (i, s"p$i")).toDF("id", "payload")
+    val got = Packing.assignShuffledShards(df, "id", ":sh", rowsPerShard = 32)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getAs[Long]("rank"), r.getAs[Long]("shard_id")))).toMap
+    // scala twin of the permutation: ascending (md5(id || salt) 12-hex
+    // prefix, id)
+    val expect = (0L until 500L).sortBy { i =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$i:sh".getBytes("UTF-8"))
+      (md.map("%02x".format(_)).mkString.take(12), i)
+    }.zipWithIndex.map { case (i, r) => i -> ((r.toLong, r.toLong / 32)) }.toMap
+    assert(got == expect)
+    // ranks are a permutation and shards are exactly 32-row cuts
+    assert(got.values.map(_._1).toSeq.sorted == (0L until 500L))
+    // the bucket protocol is an implementation detail: 1 vs 3 hex
+    // digits (16 vs 4096 buckets) give identical ranks
+    val one = Packing.assignShuffledShards(df, "id", ":sh", 32,
+      bucketHexDigits = 1).collect().map(r => r.getLong(0) -> r.getAs[Long]("rank")).toMap
+    val three = Packing.assignShuffledShards(df, "id", ":sh", 32,
+      bucketHexDigits = 3).collect().map(r => r.getLong(0) -> r.getAs[Long]("rank")).toMap
+    assert(one == got.map { case (k, v) => k -> v._1 } && one == three)
+    // a different salt draws an independent permutation (not equal)
+    val other = Packing.assignShuffledShards(df, "id", ":other", 32)
+      .collect().map(r => r.getLong(0) -> r.getAs[Long]("rank")).toMap
+    assert(other != one)
+    // null ids fail loudly (the bucketedCumsum contract)
+    val withNull = Seq((Some(1L), "a"), (None: Option[Long], "b"))
+      .toDF("id", "payload")
+    val e = intercept[IllegalArgumentException](
+      Packing.assignShuffledShards(withNull, "id", ":sh", 2).count())
+    assert(e.getMessage.contains("NULL"))
+    // argument validation
+    intercept[IllegalArgumentException](
+      Packing.assignShuffledShards(df, "id", ":sh", 0))
+  }
+
   test("withCausalLabels == scala reference on random packed corpora (seeded)") {
     val rnd = new scala.util.Random(2828L)
     (0 until 15).foreach { trial =>
