@@ -49,7 +49,13 @@ object BenchScaleTwoDecades {
 
   val queries: Seq[String] = BenchScale.heavyQueries ++ Seq(
     "q_dedup_exact", "q_dedup_semantic", "q_dedup_semantic_fixed",
-    "q_simsearch_ivf", "q_simsearch_lsh", "q_pack",
+    // q_simsearch_lsh (fixed 4-bit bands) ran here through r15's
+    // sweep, which measured it saturating at sf1+ (all 64 buckets
+    // capped, 0 pairs) — the all-capped guard now FAILS that shape
+    // loudly, so the scale row is the corpus-sized plan instead; the
+    // fixed-band gate still runs in the sf0.1 bench and in the
+    // attribution section (where its guard trip is the datapoint)
+    "q_simsearch_ivf", "q_simsearch_lsh_auto", "q_pack",
     "q_simsearch_quant", "q_project_rp_full",
     // round-13 full-corpus families: real-token budgeting/packing/
     // chunking (BPE encode is the per-row cost), the two mixture ops
@@ -83,6 +89,12 @@ object BenchScaleTwoDecades {
           .agg(org.apache.spark.sql.functions.sum(
             ops.Bpe.tokenCount(org.apache.spark.sql.functions.col("text"),
               SparkEntry.bpeGateBc(s))).as("total_tokens"))),
+      // LSH at the corpus-sized band plan (lshPlan re-plans bits and
+      // band count from n at the op's 0.7 design threshold) — the
+      // production shape that cannot saturate by corpus growth
+      "q_simsearch_lsh_auto" -> ((s, dir) =>
+        ops.VectorOps.lshNeighborsAuto(
+          Tables.load(s, dir, "embeddings"), "vec_id", "embedding")),
       // the full tensor pipeline at corpus scale: encode to ids +
       // bucketed prefix sum + piece explode + one groupBy into
       // 1024-id fixed-length sequences
@@ -179,6 +191,13 @@ object BenchScaleTwoDecades {
       // anchor
       val ls = ops.ScaleStats.lsh(emb, "vec_id", "embedding",
         nPlanes = 16, rowsPerBand = 4, threshold = 0.25)
+      // the corpus-sized plan's occupancy next to the fixed shape's:
+      // the fixed 4-bit bands trip the all-capped guard at sf1+, the
+      // planned shape must show pairable buckets and live pairs there
+      val (planPlanes, planRows) = ops.VectorOps.lshPlan(n, 0.7)
+      val lsAuto = ops.ScaleStats.lsh(emb, "vec_id", "embedding",
+        nPlanes = planPlanes, rowsPerBand = planRows, threshold = 0.7) +
+        ("n_planes" -> planPlanes.toLong) + ("rows_per_band" -> planRows.toLong)
       // the two steeper hi→xhi families get the deeper treatment at
       // the LAST two points (r11 verdict #6): the cluster family's
       // per-stage volumes + CC round structure (default path, AND the
@@ -205,6 +224,7 @@ object BenchScaleTwoDecades {
         }
       System.err.println(s"[bench-scale2] attribution $dir done")
       s""""$dir":{"minhash":${jmap(mh)},"lsh":${jmap(ls)},""" +
+        s""""lsh_auto":${jmap(lsAuto)},""" +
         s""""semantic_fixed8":${jmap(se)},""" +
         s""""semantic_auto":${jmap(seAuto + ("n_cells" -> autoCells.toLong))}$deep}"""
     }.mkString("{", ",", "}")

@@ -67,6 +67,34 @@ object LshBlocking {
 
     val banded = bandRows(sigs, bands, rowsPerBand, carry)
 
+    // ALL-capped guard (the semantic family's under-sized-quantizer
+    // discipline, r15): when every multi-member (band, bucket) exceeds
+    // maxBucket, the op would emit ZERO pairs — for a corpus that may
+    // be wall-to-wall duplicates, the worst possible silent answer
+    // (BENCH_SCALE_r15 measured exactly this: 4-bit bands at 20k+
+    // vectors → 64/64 buckets capped, 0 pairs). Fail loudly instead.
+    // An empty or all-singleton banding (capped == 0) is a legitimate
+    // no-pairs corpus and passes through; so does any mix with at
+    // least one pairable bucket (per-bucket capping is the designed
+    // skew bound). One cheap aggregate over the cached signatures.
+    val occ = banded.groupBy("band", "bucket").agg(count(lit(1)).as("__n__"))
+      .agg(
+        sum(when(col("__n__").between(2, maxBucket), lit(1)).otherwise(lit(0)))
+          .as("__pairable__"),
+        sum(when(col("__n__") > maxBucket, lit(1)).otherwise(lit(0)))
+          .as("__capped__"))
+      .head()
+    val pairableBuckets = if (occ.isNullAt(0)) 0L else occ.getLong(0)
+    val cappedBuckets = if (occ.isNullAt(1)) 0L else occ.getLong(1)
+    if (cappedBuckets > 0 && pairableBuckets == 0) {
+      sigs.unpersist(false)
+      throw new IllegalStateException(
+        s"lsh blocking: all $cappedBuckets occupied multi-member buckets " +
+          s"exceed maxBucket=$maxBucket — the banding is too coarse for " +
+          "this corpus and zero pairs would be emitted. Widen the bands " +
+          "(more rows per band; see VectorOps.lshPlan) or raise maxBucket.")
+    }
+
     val goodBuckets = banded
       .groupBy("band", "bucket")
       .agg(count(lit(1)).as("__n__"))

@@ -122,14 +122,20 @@ object ScaleStats {
         LshBlocking.bandRows(sigs, nBands, rowsPerBand, "__sig__"), maxBucket)
       val sigMillis = steadyMs(
         VectorOps.lshSignatures(df, idCol, vecCol, planes).count())
+      // the all-capped regime the operator refuses to run silently is
+      // still a datapoint — record the trip, don't propagate (the
+      // semantic family's guard_tripped discipline)
       var emitted = 0L
+      var guardTripped = 0L
       val fullMillis = steadyMs {
-        emitted = VectorOps.lshNeighbors(df, idCol, vecCol, nPlanes,
+        try emitted = VectorOps.lshNeighbors(df, idCol, vecCol, nPlanes,
           rowsPerBand, threshold, maxBucket, seed).count()
+        catch { case _: IllegalStateException => guardTripped = 1L; emitted = 0L }
       }
       Map("rows" -> rows,
         "band_rows" -> rows * nBands,
         "emitted_pairs" -> emitted,
+        "guard_tripped" -> guardTripped,
         "sig_millis" -> sigMillis,
         "full_op_millis" -> fullMillis) ++ occ
     } finally sigs.unpersist(false)

@@ -219,4 +219,53 @@ object VectorOps {
         .filter(col("cosine") > threshold)
         .select(col("id1"), col("id2"), col("cosine")))
   }
+
+  /** The standard LSH band plan (banding theory applied to sign-LSH):
+    * per-plane agreement probability at cosine threshold t is
+    * p = 1 − acos(t)/π, a band of `b` planes collides with p^b, and
+    * `bands` bands reach recall 1 − (1 − p^b)^bands. `b` is sized so
+    * an expected uniform bucket holds ~`targetBucket` rows
+    * (b = ceil(log2(n / targetBucket)) — the knob fixed banding gets
+    * wrong: BENCH_SCALE_r15 measured 4-bit bands saturating every
+    * bucket at 20k+ vectors, 0 pairs), then `bands` is sized for
+    * `recall` at t and capped at `maxBands` — the cost guard: a LOW
+    * threshold makes p^b tiny and the band count explodes; sign-LSH
+    * is a NEAR-dup instrument, and below ~0.6 the capped plan
+    * honestly under-recalls rather than paying an unbounded
+    * signature. Returns (nPlanes, rowsPerBand). */
+  def lshPlan(n: Long, threshold: Double, targetBucket: Int = 64,
+      recall: Double = 0.9, maxBands: Int = 50): (Int, Int) = {
+    require(n >= 0, s"n must be non-negative, got $n")
+    require(threshold > -1.0 && threshold < 1.0,
+      s"threshold must be in (-1, 1), got $threshold")
+    require(targetBucket >= 2, s"targetBucket must be >= 2, got $targetBucket")
+    require(recall > 0.0 && recall < 1.0, s"recall must be in (0, 1), got $recall")
+    require(maxBands >= 1, s"maxBands must be >= 1, got $maxBands")
+    val b = math.max(1, math.ceil(
+      math.log(math.max(1.0, n.toDouble / targetBucket)) / math.log(2.0)).toInt)
+    val p = 1.0 - math.acos(threshold) / math.Pi
+    val pb = math.pow(p, b)
+    val bands =
+      if (pb >= 1.0) 1
+      else math.min(maxBands, math.max(1,
+        math.ceil(math.log1p(-recall) / math.log1p(-pb)).toInt))
+    (bands * b, b)
+  }
+
+  /** [[lshNeighbors]] with the band plan sized FROM the corpus
+    * ([[lshPlan]]) — the corpus-sized-quantizer discipline applied to
+    * LSH banding: fixed band bits saturate every bucket once the
+    * corpus outgrows ~targetBucket·2^bits rows (and the all-capped
+    * guard now trips loudly); this entry point re-plans with the
+    * corpus, so growth widens the bands instead of saturating them.
+    * ONE count aggregate (a driver scalar), then the planned op. */
+  def lshNeighborsAuto(
+      df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double = 0.7, targetBucket: Int = 64,
+      recall: Double = 0.9, maxBands: Int = 50,
+      maxBucket: Int = 200, seed: Long = 42L): DataFrame = {
+    val n = df.filter(col(vecCol).isNotNull).count()
+    val (nPlanes, rowsPerBand) = lshPlan(n, threshold, targetBucket, recall, maxBands)
+    lshNeighbors(df, idCol, vecCol, nPlanes, rowsPerBand, threshold, maxBucket, seed)
+  }
 }

@@ -1,0 +1,123 @@
+package graft.ops
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The r15 scale sweep's finding, hardened: fixed LSH band bits
+  * saturate every bucket once the corpus outgrows them (measured:
+  * 4-bit bands at 20k+ vectors → 64/64 buckets capped → 0 pairs,
+  * SILENTLY). Two responses under test here: the all-capped guard
+  * (zero-pairs-by-saturation is now a loud contract error, in every
+  * [[LshBlocking.candidatePairs]] family) and the corpus-sized band
+  * plan ([[VectorOps.lshPlan]] / [[VectorOps.lshNeighborsAuto]] —
+  * the corpus-sized-quantizer discipline applied to banding). */
+class LshPlanSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-lsh-plan")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  import spark.implicits._
+
+  test("lshPlan: bits track corpus size, bands reach the recall target, caps hold") {
+    // bits: expected uniform bucket ~targetBucket
+    assert(VectorOps.lshPlan(100, 0.8)._2 == 1)          // 100/64 -> ceil(log2 1.56)=1
+    assert(VectorOps.lshPlan(6400, 0.8)._2 == 7)         // ceil(log2 100)
+    assert(VectorOps.lshPlan(6553600, 0.8)._2 == 17)     // ceil(log2 102400)
+    // monotone in n
+    val bs = Seq(100L, 10000L, 1000000L, 100000000L)
+      .map(VectorOps.lshPlan(_, 0.8)._2)
+    assert(bs == bs.sorted)
+    // recall: when the band count is NOT capped, the plan's recall
+    // formula clears the target
+    Seq(0.7, 0.8, 0.9).foreach { t =>
+      Seq(1000L, 100000L).foreach { n =>
+        val (planes, b) = VectorOps.lshPlan(n, t, recall = 0.9)
+        val bands = planes / b
+        val p = 1.0 - math.acos(t) / math.Pi
+        val r = 1.0 - math.pow(1.0 - math.pow(p, b), bands)
+        if (bands < 50) assert(r >= 0.9, s"t=$t n=$n recall $r")
+      }
+    }
+    // a HIGHER threshold (easier target) never needs more bands
+    val loT = VectorOps.lshPlan(100000, 0.7)
+    val hiT = VectorOps.lshPlan(100000, 0.9)
+    assert(hiT._1 / hiT._2 <= loT._1 / loT._2)
+    // the cost cap engages at weak thresholds instead of exploding
+    val weak = VectorOps.lshPlan(1000000, 0.25, maxBands = 50)
+    assert(weak._1 / weak._2 == 50)
+    // argument validation
+    intercept[IllegalArgumentException](VectorOps.lshPlan(-1, 0.8))
+    intercept[IllegalArgumentException](VectorOps.lshPlan(10, 1.0))
+    intercept[IllegalArgumentException](VectorOps.lshPlan(10, 0.8, recall = 1.0))
+  }
+
+  private def planted(nNoise: Int, seed: Long = 7L) = {
+    // noise vectors plus planted near-dup pairs (small perturbations)
+    val rnd = new scala.util.Random(seed)
+    def vec() = Seq.fill(16)(rnd.nextGaussian())
+    val noise = (0 until nNoise).map(i => (i.toLong, vec()))
+    val planted = (0 until 10).flatMap { j =>
+      val base = vec()
+      val dup = base.map(_ + rnd.nextGaussian() * 0.02)
+      Seq((1000L + 2 * j, base), (1001L + 2 * j, dup))
+    }
+    (noise ++ planted).toDF("vec_id", "embedding")
+  }
+
+  test("lshNeighborsAuto == lshNeighbors at the planned parameters; planted near-dups found") {
+    val df = planted(400)
+    val n = df.count()
+    val (planes, b) = VectorOps.lshPlan(n, 0.9)
+    val auto = VectorOps.lshNeighborsAuto(df, "vec_id", "embedding",
+      threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val manual = VectorOps.lshNeighbors(df, "vec_id", "embedding",
+      nPlanes = planes, rowsPerBand = b, threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(auto == manual)
+    // recall on the planted pairs (cosine ~0.999, far above threshold):
+    // the 0.9-recall plan over 10 pairs must find nearly all
+    val found = (0 until 10).count(j => auto.contains((1000L + 2 * j, 1001L + 2 * j)))
+    assert(found >= 8, s"found only $found of 10 planted near-dup pairs")
+  }
+
+  test("all-capped banding fails loudly instead of silently emitting zero pairs") {
+    // 50 identical vectors: every (band, bucket) holds all 50 — past
+    // maxBucket=10 everywhere, and the pre-guard behavior was an EMPTY
+    // result for a corpus that is wall-to-wall duplicates
+    val clones = (0L until 50L).map(i => (i, Seq(1.0, 2.0, 3.0, 4.0)))
+      .toDF("vec_id", "embedding")
+    val e = intercept[IllegalStateException] {
+      VectorOps.lshNeighbors(clones, "vec_id", "embedding",
+        nPlanes = 8, rowsPerBand = 4, threshold = 0.5, maxBucket = 10).count()
+    }
+    assert(e.getMessage.contains("too coarse"))
+    // same guard through the minhash family (shared candidatePairs)
+    val dupDocs = (0L until 40L)
+      .map(i => (i, "identical boilerplate text repeated across the crawl"))
+      .toDF("id", "text")
+    val e2 = intercept[IllegalStateException] {
+      Dedup.minhashNearDups(dupDocs, "id", "text",
+        shingleN = 3, numHashes = 16, bands = 4, threshold = 0.5,
+        maxBucket = 5).count()
+    }
+    assert(e2.getMessage.contains("too coarse"))
+    // a mixed corpus with at least one pairable bucket passes through
+    // (per-bucket capping is the designed skew bound, not an error)
+    val mixed = planted(100)
+    assert(VectorOps.lshNeighborsAuto(mixed, "vec_id", "embedding",
+      threshold = 0.9).count() >= 0)
+    // empty and all-null corpora are legitimate no-pairs inputs
+    assert(VectorOps.lshNeighbors(clones.filter(lit(false)), "vec_id",
+      "embedding", 8, 4, 0.5).count() == 0)
+    val nulls = Seq((1L, None: Option[Seq[Double]]), (2L, None))
+      .toDF("vec_id", "embedding")
+    assert(VectorOps.lshNeighbors(nulls, "vec_id", "embedding", 8, 4, 0.5)
+      .count() == 0)
+  }
+}
