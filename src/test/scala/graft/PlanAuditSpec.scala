@@ -300,6 +300,25 @@ class PlanAuditSpec extends AnyFunSuite {
       s"unexpected exchange shape (range/single-partition would be the global-window bottleneck):\n$s")
   }
 
+  test("assignShuffledShards: the permutation never plans a global sort — bucket windows + broadcast offsets") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val df = ops.Packing.assignShuffledShards(
+      docs.select("doc_id", "lang"), "doc_id", ":pa", rowsPerShard = 64)
+    val s = planString(executed(df))
+    // the rank is a per-bucket window cumsum (hash-prefix buckets),
+    // never one global ordered partition
+    val windows = s.linesIterator.filter(_.contains("windowspecdefinition")).toSeq
+    assert(windows.nonEmpty, s"no window in plan:\n$s")
+    windows.foreach(l =>
+      assert(l.contains("__b__"), s"window not bucket-partitioned: $l"))
+    assert(s.contains("BroadcastHashJoin"), s"offsets not broadcast:\n$s")
+    // a rangepartitioning exchange would BE the global sort this op
+    // exists to avoid; singlepartition would be the same bottleneck
+    val exchanges = s.linesIterator.filter(_.trim.startsWith("Exchange")).toSeq
+    assert(exchanges.forall(_.contains("hashpartitioning")),
+      s"global-sort-shaped exchange in:\n$s")
+  }
+
   test("q_sample_budget_bpe keeps the bucket-partitioned windows under the real-token weight") {
     val s = planString(executed(SparkEntry.queries("q_sample_budget_bpe")(spark, dir)))
     val windows = s.linesIterator.filter(_.contains("windowspecdefinition")).toSeq
