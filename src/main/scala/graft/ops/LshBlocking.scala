@@ -139,12 +139,34 @@ object LshBlocking {
       // one aggregate over the tagged union yields both side counts:
       // total n and b-side count nb (sum of the 0/1 tag) — keep only
       // buckets with members on BOTH sides, under the combined cap
-      val good = ba.withColumn("__s__", lit(0))
+      val tagged = ba.withColumn("__s__", lit(0))
         .unionByName(bb.withColumn("__s__", lit(1)))
         .groupBy("band", "bucket")
         .agg(count(lit(1)).as("__n__"), sum(col("__s__")).as("__nb__"))
-        .filter(col("__nb__") >= 1 && col("__nb__") < col("__n__") &&
-          col("__n__") <= maxBucket)
+      // the candidatePairs all-capped guard, cross form: only buckets
+      // with members on BOTH sides can pair, so only those count —
+      // when every such bucket exceeds the cap, the op would report
+      // ZERO overlap for a crawl that may be wall-to-wall copies of
+      // the reference. Fail loudly; single-side buckets (no pairs
+      // possible regardless) and mixed bandings pass through.
+      val crossSide = col("__nb__") >= 1 && col("__nb__") < col("__n__")
+      val occ = tagged.agg(
+        sum(when(crossSide && col("__n__") <= maxBucket, lit(1))
+          .otherwise(lit(0))).as("__pairable__"),
+        sum(when(crossSide && col("__n__") > maxBucket, lit(1))
+          .otherwise(lit(0))).as("__capped__"))
+        .head()
+      val pairableBuckets = if (occ.isNullAt(0)) 0L else occ.getLong(0)
+      val cappedBuckets = if (occ.isNullAt(1)) 0L else occ.getLong(1)
+      if (cappedBuckets > 0 && pairableBuckets == 0)
+        throw new IllegalStateException(
+          s"lsh cross blocking: all $cappedBuckets cross-side buckets " +
+            s"exceed maxBucket=$maxBucket — the banding is too coarse for " +
+            "these corpora and zero overlap would be reported. Widen the " +
+            "bands (more rows per band; see VectorOps.lshPlan) or raise " +
+            "maxBucket.")
+      val good = tagged
+        .filter(crossSide && col("__n__") <= maxBucket)
         .select("band", "bucket")
       val raw = ba.join(good, Seq("band", "bucket"), "left_semi")
         .select(col("band"), col("bucket"), col("__id__").as("id1"), col("__p__").as("p1"))

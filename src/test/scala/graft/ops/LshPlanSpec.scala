@@ -120,4 +120,30 @@ class LshPlanSpec extends AnyFunSuite {
     assert(VectorOps.lshNeighbors(nulls, "vec_id", "embedding", 8, 4, 0.5)
       .count() == 0)
   }
+
+  test("cross-corpus all-capped banding fails loudly too (zero-overlap-by-saturation)") {
+    // a crawl that IS the reference, word for word: every cross-side
+    // bucket holds all 30+30 members — past maxBucket=10 everywhere,
+    // and the pre-guard behavior was "zero overlap" for total overlap
+    val text = "identical boilerplate text repeated across the crawl today"
+    val crawl = (0L until 30L).map((_, text)).toDF("id", "text")
+    val ref = (100L until 130L).map((_, text)).toDF("id", "text")
+    val e = intercept[IllegalStateException] {
+      Dedup.crossCorpusNearDups(crawl, ref, "id", "text",
+        shingleN = 3, numHashes = 16, bands = 4, threshold = 0.5,
+        maxBucket = 10).count()
+    }
+    assert(e.getMessage.contains("zero overlap"))
+    // disjoint sides share no bucket: single-side buckets cannot pair
+    // and must NOT trip the guard even when over the cap
+    val refB = (100L until 130L)
+      .map((_, "a completely different reference corpus line")).toDF("id", "text")
+    assert(Dedup.crossCorpusNearDups(crawl, refB, "id", "text",
+      shingleN = 3, numHashes = 16, bands = 4, threshold = 0.5,
+      maxBucket = 10).count() == 0)
+    // an empty side is a legitimate zero-overlap input
+    assert(Dedup.crossCorpusNearDups(crawl.filter(lit(false)), ref, "id", "text",
+      shingleN = 3, numHashes = 16, bands = 4, threshold = 0.5,
+      maxBucket = 10).count() == 0)
+  }
 }
