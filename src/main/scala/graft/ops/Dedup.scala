@@ -688,8 +688,35 @@ object Dedup {
     if (!materialize) pairs(grams)
     else {
       val cached = grams.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      try pairs(cached).localCheckpoint(true)
-      finally cached.unpersist(false)
+      try {
+        // the LshBlocking all-capped discipline, gram form: when every
+        // SHARED gram exceeds maxDocsPerGram and none sits in the
+        // pairable band, the edge set is empty by saturation — a
+        // corpus of N identical documents would cluster as N
+        // singletons and a cluster dedup would remove NOTHING,
+        // silently. Fail loudly; empty and genuinely-unshared corpora
+        // (capped == 0) pass through. Only the materialized
+        // (production) path runs the check — materialize=false returns
+        // a lazy plan for composition/plan audits and a driver action
+        // here would defeat it.
+        val occ = cached.groupBy("__h__").agg(count(lit(1)).as("__n__"))
+          .agg(
+            sum(when(col("__n__").between(2, maxDocsPerGram), lit(1))
+              .otherwise(lit(0))).as("__pairable__"),
+            sum(when(col("__n__") > maxDocsPerGram, lit(1))
+              .otherwise(lit(0))).as("__capped__"))
+          .head()
+        val pairable = if (occ.isNullAt(0)) 0L else occ.getLong(0)
+        val capped = if (occ.isNullAt(1)) 0L else occ.getLong(1)
+        if (capped > 0 && pairable == 0)
+          throw new IllegalStateException(
+            s"sharedShingleEdges: all $capped shared grams exceed " +
+              s"maxDocsPerGram=$maxDocsPerGram — every shared gram is " +
+              "boilerplate-common and ZERO edges would be emitted (a " +
+              "wall-to-wall-duplicate corpus would dedup to nothing). " +
+              "Raise maxDocsPerGram or use a longer shingleN.")
+        pairs(cached).localCheckpoint(true)
+      } finally cached.unpersist(false)
     }
   }
 

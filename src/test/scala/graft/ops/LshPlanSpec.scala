@@ -146,4 +146,33 @@ class LshPlanSpec extends AnyFunSuite {
       shingleN = 3, numHashes = 16, bands = 4, threshold = 0.5,
       maxBucket = 10).count() == 0)
   }
+
+  test("gram-blocked cluster edges: all-capped grams fail loudly (zero-edges-by-saturation)") {
+    // 30 identical docs: every shared gram appears in all 30 — past
+    // maxDocsPerGram=10, and the pre-guard edge set was EMPTY, so a
+    // cluster dedup over a wall-to-wall-duplicate corpus removed
+    // nothing
+    val text = "one two three four five six seven eight nine ten eleven twelve"
+    val clones = (0L until 30L).map((_, text)).toDF("id", "text")
+    val e = intercept[IllegalStateException] {
+      Dedup.sharedShingleEdges(clones, "id", "text",
+        shingleN = 8, maxDocsPerGram = 10)
+    }
+    assert(e.getMessage.contains("maxDocsPerGram"))
+    // a corpus with NO shared grams (capped == 0) legitimately has no
+    // edges and passes through
+    val distinctDocs = (0L until 20L)
+      .map(i => (i, s"wholly distinct document number $i about topic $i"))
+      .toDF("id", "text")
+    assert(Dedup.sharedShingleEdges(distinctDocs, "id", "text",
+      shingleN = 8, maxDocsPerGram = 10).count() == 0)
+    // empty corpus passes through empty
+    assert(Dedup.sharedShingleEdges(clones.filter(lit(false)), "id", "text",
+      shingleN = 8, maxDocsPerGram = 10).count() == 0)
+    // the lazy (composition) form stays lazy — building the plan runs
+    // no guard action and does not throw
+    val lazyPlan = Dedup.sharedShingleEdges(clones, "id", "text",
+      shingleN = 8, maxDocsPerGram = 10, materialize = false)
+    assert(lazyPlan.columns.toSeq == Seq("id1", "id2"))
+  }
 }
