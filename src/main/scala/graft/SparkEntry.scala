@@ -2838,6 +2838,43 @@ object SparkEntry {
         .orderBy("seq_id", "pos")
     },
 
+    "q_pack_epochs" -> { (s, dir) =>
+      // EPOCHS into the tensor: a temperature mixture REPLICATES
+      // boosted strata (q_sample_oversample), and the packed corpus
+      // must carry every copy — each (doc, copy) becomes its own
+      // document under the composite order key doc_id·32 + copy,
+      // which is exactly how a production epoch pipeline satisfies
+      // packTokenIds' orderCol-uniqueness contract (doc_id alone
+      // stops being a key once copies exist). The oracle replays the
+      // copy set (counts → unclamped multiplicities → floor/frac
+      // thresholds), re-encodes every copy's text, and runs the same
+      // position arithmetic over the composite order.
+      val bc = bpeGateBc(s)
+      val docs = t(s, dir, "documents").filter(col("doc_id") < 300)
+      // bounded driver collect (the q_sample_oversample discipline)
+      val rows = docs.filter(col("lang").isNotNull)
+        .groupBy(col("lang")).count().orderBy(col("lang")).limit(101).collect()
+      require(rows.length <= 100,
+        "q_pack_epochs: stratum cardinality exceeds the gate's bound")
+      val counts = rows.map(r => (r.getString(0), r.getLong(1))).toSeq
+      val mult = ops.Sampling.temperatureMultiplicities(counts, 400, alpha = 0.5)
+      // copies index into the 32-wide order stride; T=400 over a
+      // >=hundreds-doc slice keeps m well under it (m <= T/sqrt(n-1))
+      require(mult.forall(_._2 < 32),
+        "q_pack_epochs: a multiplicity reached the packing stride (32)")
+      val epochs = ops.Sampling.oversampleByMultiplicity(
+        docs, col("doc_id"), "lang", mult, ":pe15")
+        .withColumn("order_key", col("doc_id") * 32 + col("copy"))
+      ops.Packing.packTokenIds(
+        ops.Bpe.withTokenIds(epochs, "text", "ids", bc),
+        "order_key", "ids", seqLen = 32, padId = 0, bucketWidth = 100)
+        .select(col("seq_id"), col("n_docs"), col("n_pad"),
+          concat_ws(",", transform(col("doc_offsets"), x => x.cast("string")))
+            .as("offsets_csv"),
+          posexplode(col("input_ids")).as(Seq("pos", "token_id")))
+        .orderBy("seq_id", "pos")
+    },
+
     "q_pack_shards" -> { (s, dir) =>
       // the tensor set's FILE LAYOUT: packing preserves corpus order,
       // which a model must not see — rank is the reproducible random
@@ -3240,7 +3277,7 @@ doctok AS (
   private val (bpePackIdsOracle: String, bpePackLabelsOracle: String,
       bpePackAuditOracle: String, bpePackIdsEosOracle: String,
       bpePackLabelsEosOracle: String, trainPipelineOracle: String,
-      packShardsOracle: String) = {
+      packShardsOracle: String, packEpochsOracle: String) = {
     def pat(l: String, r: String) = s"chr(1)||'$l'||chr(1)||'$r'||chr(1)"
     def rep(l: String, r: String) = s"chr(1)||'$l$r'||chr(1)"
     val any = bpeOracleMerges
@@ -3282,6 +3319,36 @@ docs300 AS (
   FROM documents d JOIN mthr USING (lang)
   WHERE d.doc_id < 300 AND d.text IS NOT NULL
     AND substr(md5(cast(d.doc_id AS VARCHAR) || ':tp15'), 1, 12) < mthr.t)"""
+    // the epochs arm: the q_sample_oversample replay (counts →
+    // unclamped multiplicities → floor/frac thresholds → exact copy
+    // set) restricted to the slice, each kept copy becoming its own
+    // "document" under the composite order key doc_id·32 + copy — so
+    // the SAME position arithmetic packs a replicated mixture
+    val epochsDocs300 =
+      """en0 AS (
+  SELECT lang, count(*) AS c FROM documents
+  WHERE doc_id < 300 AND lang IS NOT NULL GROUP BY lang),
+ew0 AS (SELECT lang, c, sqrt(cast(c AS DOUBLE)) AS wt FROM en0),
+etot AS (SELECT
+  ((((coalesce(max(CASE WHEN lang='de' THEN wt END), 0.0)
+    + coalesce(max(CASE WHEN lang='en' THEN wt END), 0.0))
+    + coalesce(max(CASE WHEN lang='es' THEN wt END), 0.0))
+    + coalesce(max(CASE WHEN lang='fr' THEN wt END), 0.0))
+    + coalesce(max(CASE WHEN lang='zh' THEN wt END), 0.0)) AS s
+  FROM ew0),
+em0 AS (SELECT lang, c, ((400.0 * wt) / s) / cast(c AS DOUBLE) AS m FROM ew0, etot),
+emm AS (SELECT lang, cast(floor(m) AS INTEGER) AS nfull,
+  lpad(lower(to_hex(cast(floor((m - floor(m)) * 281474976710656.0) AS BIGINT))), 12, '0') AS thr
+  FROM em0),
+ecopies AS (SELECT unnest(range(32)) AS copy),
+docs300 AS (
+  SELECT d.doc_id * 32 + c.copy AS doc_id, d.text
+  FROM documents d
+  JOIN emm USING (lang)
+  JOIN ecopies c ON c.copy <= emm.nfull
+  WHERE d.doc_id < 300 AND d.text IS NOT NULL
+    AND (c.copy < emm.nfull
+      OR substr(md5(cast(d.doc_id AS VARCHAR) || '#' || cast(c.copy AS VARCHAR) || ':pe15'), 1, 12) < emm.thr))"""
     def prefix(sepId: Option[Int], docsCte: String = rawDocs300) = s"""WITH RECURSIVE
 $docsCte,
 dw AS (
@@ -3427,7 +3494,8 @@ ORDER BY seq_id"""
       prefix(Some(packGateSepId)) + idsSelect,
       prefix(Some(packGateSepId)) + labelsSelect,
       prefix(Some(packGateSepId), mixedDocs300) + fullSelect,
-      prefix(None) + shardsSelect)
+      prefix(None) + shardsSelect,
+      prefix(None, epochsDocs300) + idsSelect)
   }
 
   private[graft] def bpeGateBc(s: SparkSession) =
@@ -5189,6 +5257,7 @@ ORDER BY seq_id"""
     "q_pack_labels_eos" -> bpePackLabelsEosOracle,
     "q_train_pipeline" -> trainPipelineOracle,
     "q_pack_shards" -> packShardsOracle,
+    "q_pack_epochs" -> packEpochsOracle,
     // the tensor-set audit replayed from the oracle's packed rows
     "q_pack_audit" -> bpePackAuditOracle,
 
