@@ -112,6 +112,46 @@ class StreamsSpec extends AnyFunSuite {
     assert(streamed == batch)
   }
 
+  test("soft sampling and epoch oversampling are streaming-identical (stateless hash decisions)") {
+    // the round-14/15 sampling verbs are pure projection/filter/explode
+    // — per-row decisions from (key, salt) hashes and driver-side
+    // multiplicity literals, no aggregation — so an unbounded source
+    // must yield EXACTLY the batch result. This is the point of the
+    // hash-based design: df.sample could not survive a stream.
+    val docs = graft.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+      .select("doc_id", "lang", "n_chars")
+    val dir = Files.createTempDirectory("graft-stream-sample").toString
+    docs.write.mode("overwrite").parquet(dir)
+    val mult = Seq("en" -> 1.4, "de" -> 2.5, "zh" -> 0.6)
+
+    def soft(df: org.apache.spark.sql.DataFrame) =
+      graft.ops.Sampling.sampleByProbability(
+        df, col("doc_id"), col("n_chars").cast("double") / 500.0, ":ss")
+        .select("doc_id", "lang")
+    def epochs(df: org.apache.spark.sql.DataFrame) =
+      graft.ops.Sampling.oversampleByMultiplicity(
+        df, col("doc_id"), "lang", mult, ":se")
+        .select("doc_id", "copy")
+
+    Streams.runToMemory(
+      soft(Streams.parquetStream(spark, dir, docs.schema)), "soft_stream")
+    Streams.runToMemory(
+      epochs(Streams.parquetStream(spark, dir, docs.schema)), "epoch_stream")
+    val softStreamed = spark.table("soft_stream").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    val softBatch = soft(docs).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(softStreamed.nonEmpty && softStreamed == softBatch)
+    val epochStreamed = spark.table("epoch_stream").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toSet
+    val epochBatch = epochs(docs).collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(epochStreamed.nonEmpty && epochStreamed == epochBatch)
+    // the replication side is real on the stream too: some doc carries
+    // copy >= 1 (de is boosted past 2 sure copies)
+    assert(epochStreamed.exists(_._2 >= 1))
+  }
+
   test("streaming decontaminateFilter equals the batch join-form decontaminate") {
     val docs = graft.Tables.load(spark, "/root/testdata/sf0.001", "documents")
       .select("doc_id", "text")
