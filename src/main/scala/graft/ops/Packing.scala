@@ -238,6 +238,16 @@ object Packing {
     * layout would not be rerun-stable. Uniqueness is NOT checked (a
     * check would cost an extra aggregation pass over the corpus);
     * use a row id that is a key, as every gate does with doc_id.
+    * The input is also EXECUTED TWICE (the [[globalCumsum]] contract:
+    * a pruned (orderCol, size(ids)) pass for the bucket sums, then
+    * the full plan) — when `idsCol` comes from an expensive encoder,
+    * persist the input first: size(ids) forces the encode, so the
+    * pruned pass re-pays it (measured: persist-first is ~30% faster
+    * whole-op at a 2k-merge BPE model on sf0.1, and the gap grows
+    * with tokenizer size — a 50k-merge production encoder is the
+    * dominant stage). The op stays lazy by design (an internal
+    * localCheckpoint would force the tensor through block storage on
+    * its way to a one-pass sink and hide the plan from audits).
     *
     * Scale shape: the exclusive prefix sum is [[globalCumsum]]'s
     * order-aligned-bucket protocol (never one global window); each
