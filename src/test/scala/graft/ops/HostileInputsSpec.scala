@@ -312,6 +312,26 @@ class HostileInputsSpec extends AnyFunSuite {
       assert(offs.nonEmpty && offs.head == 0 && offs == offs.sorted && offs.distinct == offs)
       assert(offs.last < L)
     }
+    // sepId arm over the same hostile corpus: conservation gains
+    // exactly one id per NON-EMPTY doc (null/empty contribute none),
+    // and every separator is present in the packed stream
+    val SEP = -3
+    val nonEmpty = rows.count(r => !r.isNullAt(1) && r.getSeq[Int](1).nonEmpty)
+    val seqsSep = Packing.packTokenIds(withIds, "id", "ids", seqLen = L,
+      padId = 0, sepId = Some(SEP)).orderBy("seq_id").collect()
+    val padsSep = seqsSep.map(_.getAs[Int]("n_pad").toLong).sum
+    assert(seqsSep.length * L.toLong - padsSep == totalIds + nonEmpty,
+      "separator conservation broken")
+    assert(seqsSep.flatMap(_.getSeq[Int](1)).count(_ == SEP) == nonEmpty)
+    // shuffle-and-shard over the hostile packed set: ranks are a
+    // permutation, shards exact 3-row cuts
+    val sharded = Packing.assignShuffledShards(
+      Packing.packTokenIds(withIds, "id", "ids", seqLen = L, padId = 0),
+      "seq_id", ":hs", rowsPerShard = 3).collect()
+    val ranks = sharded.map(_.getAs[Long]("rank")).sorted
+    assert(ranks.toSeq == (0L until sharded.length.toLong))
+    sharded.foreach(r =>
+      assert(r.getAs[Long]("shard_id") == r.getAs[Long]("rank") / 3))
   }
 
   // ---------------------------------------------------------------
