@@ -1280,9 +1280,20 @@ final class Pipeline private (
     * across sequence boundaries, pad only at the corpus tail,
     * `doc_offsets` = within-sequence attention-reset boundaries). */
   def packTokenIds(
-      orderCol: String, idsCol: String, seqLen: Int, padId: Int = 0): Pipeline =
+      orderCol: String, idsCol: String, seqLen: Int, padId: Int = 0,
+      sepId: Option[Int] = None): Pipeline =
     add(MapStep("packTokenIds",
-      graft.ops.Packing.packTokenIds(_, orderCol, idsCol, seqLen, padId)))
+      graft.ops.Packing.packTokenIds(_, orderCol, idsCol, seqLen, padId,
+        sepId = sepId)))
+
+  /** Deterministic shuffle-and-shard of a packed sequence set —
+    * adds `rank` (position in the reproducible md5-prefix permutation)
+    * and `shard_id` (its `rowsPerShard` cut)
+    * ([[graft.ops.Packing.assignShuffledShards]]). */
+  def assignShuffledShards(
+      idCol: String, salt: String, rowsPerShard: Long): Pipeline =
+    add(MapStep("assignShuffledShards",
+      graft.ops.Packing.assignShuffledShards(_, idCol, salt, rowsPerShard)))
 
   /** Append causal-LM `labels` to packed sequences
     * ([[graft.ops.Packing.withCausalLabels]] — next-token ids with the

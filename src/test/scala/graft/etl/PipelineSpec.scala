@@ -694,6 +694,30 @@ class PipelineSpec extends AnyFunSuite {
     assert(chVerb == chOp && chVerb > 0)
   }
 
+  test("round-15 tensor verbs flow through the chain == direct op calls") {
+    val docs = graft.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+      .filter(col("doc_id") < 100)
+    val m = graft.ops.Bpe.train(docs, "text", numMerges = 10, minPairCount = 2)
+    val bc = graft.ops.Bpe.broadcastModel(spark, m)
+    val ids = graft.ops.Bpe.withTokenIds(docs, "text", "ids", bc)
+    // EOS-separated packing + labels + shuffle-and-shard, verb chain
+    // == the same ops composed directly
+    val viaVerb = Pipeline.of("ids", ids)
+      .packTokenIds("doc_id", "ids", seqLen = 32, padId = 0, sepId = Some(99))
+      .withCausalLabels()
+      .assignShuffledShards("seq_id", ":pv15", rowsPerShard = 8)
+      .toDF.select("seq_id", "rank", "shard_id", "n_pad")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3))).toSet
+    val viaOp = graft.ops.Packing.assignShuffledShards(
+      graft.ops.Packing.withCausalLabels(
+        graft.ops.Packing.packTokenIds(ids, "doc_id", "ids", 32, 0,
+          sepId = Some(99))),
+      "seq_id", ":pv15", rowsPerShard = 8)
+      .select("seq_id", "rank", "shard_id", "n_pad")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3))).toSet
+    assert(viaVerb == viaOp && viaVerb.nonEmpty)
+  }
+
   test("stepTimings covers every step; sinks get their own timing") {
     val dir = java.nio.file.Files.createTempDirectory("graft-timing").toString
     val stat = Pipeline.of(people)
