@@ -670,8 +670,11 @@ object Dedup {
     // LshBlocking's, so downstream iteration (connected components)
     // never re-runs the explode. false returns the LAZY plan — for
     // composition into a larger single-action query or plan audits.
-    def pairs(grams: DataFrame): DataFrame = {
-      val goodGrams = grams.groupBy("__h__").agg(count(lit(1)).as("__n__"))
+    def pairs(grams: DataFrame,
+        gramCounts: Option[DataFrame] = None): DataFrame = {
+      val counts = gramCounts.getOrElse(
+        grams.groupBy("__h__").agg(count(lit(1)).as("__n__")))
+      val goodGrams = counts
         .filter(col("__n__").between(2, maxDocsPerGram))
         .select("__h__")
       val keep = grams.join(goodGrams, Seq("__h__"), "left_semi")
@@ -688,6 +691,12 @@ object Dedup {
     if (!materialize) pairs(grams)
     else {
       val cached = grams.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // one PERSISTED gram-frequency aggregate feeds both the guard
+      // and the goodGrams semi-join side (the LshBlocking fusion
+      // discipline — never pay the frequency aggregate twice); one
+      // row per distinct gram, small next to the gram rows themselves
+      val gramCounts = cached.groupBy("__h__").agg(count(lit(1)).as("__n__"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       try {
         // the LshBlocking all-capped discipline, gram form: when every
         // SHARED gram exceeds maxDocsPerGram and none sits in the
@@ -699,12 +708,11 @@ object Dedup {
         // (production) path runs the check — materialize=false returns
         // a lazy plan for composition/plan audits and a driver action
         // here would defeat it.
-        val occ = cached.groupBy("__h__").agg(count(lit(1)).as("__n__"))
-          .agg(
-            sum(when(col("__n__").between(2, maxDocsPerGram), lit(1))
-              .otherwise(lit(0))).as("__pairable__"),
-            sum(when(col("__n__") > maxDocsPerGram, lit(1))
-              .otherwise(lit(0))).as("__capped__"))
+        val occ = gramCounts.agg(
+          sum(when(col("__n__").between(2, maxDocsPerGram), lit(1))
+            .otherwise(lit(0))).as("__pairable__"),
+          sum(when(col("__n__") > maxDocsPerGram, lit(1))
+            .otherwise(lit(0))).as("__capped__"))
           .head()
         val pairable = if (occ.isNullAt(0)) 0L else occ.getLong(0)
         val capped = if (occ.isNullAt(1)) 0L else occ.getLong(1)
@@ -715,8 +723,11 @@ object Dedup {
               "boilerplate-common and ZERO edges would be emitted (a " +
               "wall-to-wall-duplicate corpus would dedup to nothing). " +
               "Raise maxDocsPerGram or use a longer shingleN.")
-        pairs(cached).localCheckpoint(true)
-      } finally cached.unpersist(false)
+        pairs(cached, Some(gramCounts)).localCheckpoint(true)
+      } finally {
+        gramCounts.unpersist(false)
+        cached.unpersist(false)
+      }
     }
   }
 

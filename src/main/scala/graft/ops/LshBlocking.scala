@@ -67,55 +67,63 @@ object LshBlocking {
 
     val banded = bandRows(sigs, bands, rowsPerBand, carry)
 
-    // ALL-capped guard (the semantic family's under-sized-quantizer
-    // discipline, r15): when every multi-member (band, bucket) exceeds
-    // maxBucket, the op would emit ZERO pairs — for a corpus that may
-    // be wall-to-wall duplicates, the worst possible silent answer
-    // (BENCH_SCALE_r15 measured exactly this: 4-bit bands at 20k+
-    // vectors → 64/64 buckets capped, 0 pairs). Fail loudly instead.
-    // An empty or all-singleton banding (capped == 0) is a legitimate
-    // no-pairs corpus and passes through; so does any mix with at
-    // least one pairable bucket (per-bucket capping is the designed
-    // skew bound). One cheap aggregate over the cached signatures.
-    val occ = banded.groupBy("band", "bucket").agg(count(lit(1)).as("__n__"))
-      .agg(
+    // Bucket occupancy is computed ONCE and persisted — it feeds both
+    // the all-capped guard below and the goodBuckets join side (the
+    // aggregate is the banding pass over every (row, band); running
+    // it twice cost the whole family ~10-35% when the guard first
+    // landed). The counts frame is small: one row per occupied
+    // (band, bucket).
+    val bucketCounts = banded.groupBy("band", "bucket")
+      .agg(count(lit(1)).as("__n__"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // ALL-capped guard (the semantic family's under-sized-quantizer
+      // discipline, r15): when every multi-member (band, bucket)
+      // exceeds maxBucket, the op would emit ZERO pairs — for a corpus
+      // that may be wall-to-wall duplicates, the worst possible silent
+      // answer (BENCH_SCALE_r15 measured exactly this: 4-bit bands at
+      // 20k+ vectors → 64/64 buckets capped, 0 pairs). Fail loudly
+      // instead. An empty or all-singleton banding (capped == 0) is a
+      // legitimate no-pairs corpus and passes through; so does any mix
+      // with at least one pairable bucket (per-bucket capping is the
+      // designed skew bound).
+      val occ = bucketCounts.agg(
         sum(when(col("__n__").between(2, maxBucket), lit(1)).otherwise(lit(0)))
           .as("__pairable__"),
         sum(when(col("__n__") > maxBucket, lit(1)).otherwise(lit(0)))
           .as("__capped__"))
-      .head()
-    val pairableBuckets = if (occ.isNullAt(0)) 0L else occ.getLong(0)
-    val cappedBuckets = if (occ.isNullAt(1)) 0L else occ.getLong(1)
-    if (cappedBuckets > 0 && pairableBuckets == 0) {
-      sigs.unpersist(false)
-      throw new IllegalStateException(
-        s"lsh blocking: all $cappedBuckets occupied multi-member buckets " +
-          s"exceed maxBucket=$maxBucket — the banding is too coarse for " +
-          "this corpus and zero pairs would be emitted. Widen the bands " +
-          "(more rows per band; see VectorOps.lshPlan) or raise maxBucket.")
-    }
+        .head()
+      val pairableBuckets = if (occ.isNullAt(0)) 0L else occ.getLong(0)
+      val cappedBuckets = if (occ.isNullAt(1)) 0L else occ.getLong(1)
+      if (cappedBuckets > 0 && pairableBuckets == 0)
+        throw new IllegalStateException(
+          s"lsh blocking: all $cappedBuckets occupied multi-member buckets " +
+            s"exceed maxBucket=$maxBucket — the banding is too coarse for " +
+            "this corpus and zero pairs would be emitted. Widen the bands " +
+            "(more rows per band; see VectorOps.lshPlan) or raise maxBucket.")
 
-    val goodBuckets = banded
-      .groupBy("band", "bucket")
-      .agg(count(lit(1)).as("__n__"))
-      .filter(col("__n__").between(2, maxBucket))
-      .select("band", "bucket")
+      val goodBuckets = bucketCounts
+        .filter(col("__n__").between(2, maxBucket))
+        .select("band", "bucket")
 
-    val filtered = banded.join(goodBuckets, Seq("band", "bucket"), "left_semi")
+      val filtered = banded.join(goodBuckets, Seq("band", "bucket"), "left_semi")
 
-    val raw = filtered
-      .select(col("band"), col("bucket"), col("__id__").as("id1"), col("__p__").as("p1"))
-      .join(
-        filtered.select(col("band"), col("bucket"), col("__id__").as("id2"), col("__p__").as("p2")),
-        Seq("band", "bucket"))
-      .filter(col("id1") < col("id2"))
-      .select(col("id1"), col("id2"), col("p1"), col("p2"))
+      val raw = filtered
+        .select(col("band"), col("bucket"), col("__id__").as("id1"), col("__p__").as("p1"))
+        .join(
+          filtered.select(col("band"), col("bucket"), col("__id__").as("id2"), col("__p__").as("p2")),
+          Seq("band", "bucket"))
+        .filter(col("id1") < col("id2"))
+        .select(col("id1"), col("id2"), col("p1"), col("p2"))
 
-    try
       screen(raw)
         .dropDuplicates("id1", "id2")
         .localCheckpoint(true)
-    finally sigs.unpersist(false) // even when screen/checkpoint throws
+    } finally {
+      // even when the guard/screen/checkpoint throws
+      bucketCounts.unpersist(false)
+      sigs.unpersist(false)
+    }
   }
 
   /** Cross-frame variant: candidate pairs BETWEEN two signature frames
@@ -139,10 +147,14 @@ object LshBlocking {
       // one aggregate over the tagged union yields both side counts:
       // total n and b-side count nb (sum of the 0/1 tag) — keep only
       // buckets with members on BOTH sides, under the combined cap
+      // one PERSISTED occupancy aggregate feeds both the guard and the
+      // good-bucket join side (the candidatePairs fusion discipline —
+      // never pay the banding aggregate twice)
       val tagged = ba.withColumn("__s__", lit(0))
         .unionByName(bb.withColumn("__s__", lit(1)))
         .groupBy("band", "bucket")
         .agg(count(lit(1)).as("__n__"), sum(col("__s__")).as("__nb__"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       // the candidatePairs all-capped guard, cross form: only buckets
       // with members on BOTH sides can pair, so only those count —
       // when every such bucket exceeds the cap, the op would report
@@ -158,13 +170,15 @@ object LshBlocking {
         .head()
       val pairableBuckets = if (occ.isNullAt(0)) 0L else occ.getLong(0)
       val cappedBuckets = if (occ.isNullAt(1)) 0L else occ.getLong(1)
-      if (cappedBuckets > 0 && pairableBuckets == 0)
+      if (cappedBuckets > 0 && pairableBuckets == 0) {
+        tagged.unpersist(false)
         throw new IllegalStateException(
           s"lsh cross blocking: all $cappedBuckets cross-side buckets " +
             s"exceed maxBucket=$maxBucket — the banding is too coarse for " +
             "these corpora and zero overlap would be reported. Widen the " +
             "bands (more rows per band; see VectorOps.lshPlan) or raise " +
             "maxBucket.")
+      }
       val good = tagged
         .filter(crossSide && col("__n__") <= maxBucket)
         .select("band", "bucket")
@@ -175,9 +189,11 @@ object LshBlocking {
             .select(col("band"), col("bucket"), col("__id__").as("id2"), col("__p__").as("p2")),
           Seq("band", "bucket"))
         .select(col("id1"), col("id2"), col("p1"), col("p2"))
-      screen(raw)
-        .dropDuplicates("id1", "id2")
-        .localCheckpoint(true)
+      try
+        screen(raw)
+          .dropDuplicates("id1", "id2")
+          .localCheckpoint(true)
+      finally tagged.unpersist(false)
     } finally {
       sa.unpersist(false)
       sb.unpersist(false)
