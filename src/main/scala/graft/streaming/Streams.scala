@@ -222,7 +222,13 @@ object Streams {
     * analogously loses pairs in over-cap buckets), and pairs already
     * emitted before a bucket saturates are not retracted (batch drops
     * the whole bucket retroactively). LSH recall is statistical on
-    * both paths; the divergence lives in the same regime.
+    * both paths; the divergence lives in the same regime. One
+    * deliberate asymmetry: the batch path fails LOUDLY when EVERY
+    * multi-member bucket is capped (zero-pairs-by-saturation, the r15
+    * guard) — a stream cannot know "every bucket" on an unbounded
+    * input, so here saturation stays a per-bucket latch and a
+    * wall-to-wall-duplicate stream keeps only each bucket's
+    * first-window pairs; watch saturation via the state metrics.
     */
   def minhashNearDupPairs(
       docs: DataFrame, idCol: String, textCol: String, tsCol: String,
