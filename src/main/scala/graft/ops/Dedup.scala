@@ -779,11 +779,18 @@ object Dedup {
     df.join(losers, Seq(idCol), "left_anti")
   }
 
-  /** Embedding-cosine near-duplicate pairs (delegates to sign-LSH). */
+  /** Embedding-cosine near-duplicate pairs — the production entry
+    * point delegates to the CORPUS-SIZED sign-LSH plan
+    * ([[VectorOps.lshNeighborsAuto]]): fixed band bits (the old
+    * 32-plane/8-bit default) saturate every bucket once the corpus
+    * outgrows ~targetBucket·2^bits vectors and now trip the
+    * all-capped guard; the planned shape re-sizes bits and band count
+    * with the corpus and the (high, near-dup) threshold instead.
+    * Explicit banding stays available on [[VectorOps.lshNeighbors]]. */
   def embeddingNearDups(
       df: DataFrame, idCol: String, vecCol: String,
       threshold: Double = 0.95): DataFrame =
-    VectorOps.lshNeighbors(df, idCol, vecCol, threshold = threshold)
+    VectorOps.lshNeighborsAuto(df, idCol, vecCol, threshold = threshold)
 
   /** EXACT embedding-cosine near-duplicate pairs: every (id1 < id2)
     * with cosine >= `threshold`. All-pairs by definition (recall 1.0) —
