@@ -83,6 +83,31 @@ class RowsOnlyInvariantSpec extends AnyFunSuite {
     }
   }
 
+  test("lshNeighborsAuto (the embeddingNearDups production path): subset of exact, recall floor holds") {
+    // the corpus-sized plan (r15): precision is exact BY CONSTRUCTION
+    // (the exact cosine decides every emitted pair — subset must hold
+    // bit-for-bit), and the 0.9-recall plan must actually clear a
+    // recall floor against the exact all-pairs answer on this corpus
+    val t = 0.4
+    val auto = ops.VectorOps.lshNeighborsAuto(
+      Tables.load(spark, dir, "embeddings"), "vec_id", "embedding",
+      threshold = t)
+      .select("id1", "id2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = ops.Dedup.embeddingNearDupsExact(
+      Tables.load(spark, dir, "embeddings"), "vec_id", "embedding", t)
+      .select("id1", "id2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty)
+    assert((auto -- exact).isEmpty,
+      s"auto emitted non-pairs: ${(auto -- exact).take(5)}")
+    // planned recall target is 0.9 AT the threshold; pairs far above
+    // it collide with higher probability, so the realized recall on a
+    // real corpus clears a conservative floor — a regression in the
+    // plan math (bits too wide, bands too few) lands well below it
+    val recall = auto.size.toDouble / exact.size
+    assert(recall >= 0.6, f"auto recall $recall%.3f < 0.6 floor " +
+      s"(${auto.size} of ${exact.size} exact pairs)")
+  }
+
   test("q_dedup_semantic_fixed: emitted cosines exact and >= threshold; full replication == exact all-pairs") {
     val out = SparkEntry.queries("q_dedup_semantic_fixed")(spark, dir)
     val rows = out
