@@ -15,6 +15,8 @@ import org.apache.spark.sql.{Column, DataFrame}
   */
 object Dedup {
 
+  private val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
   /** Spread (id, payload) across the cluster before a heavy per-row
     * projection. A plain `repartition(n)` is NOT enough: Catalyst may
     * eliminate a round-robin exchange that a later shuffle supersedes,
@@ -703,26 +705,50 @@ object Dedup {
         // pairable band, the edge set is empty by saturation — a
         // corpus of N identical documents would cluster as N
         // singletons and a cluster dedup would remove NOTHING,
-        // silently. Fail loudly; empty and genuinely-unshared corpora
-        // (capped == 0) pass through. Only the materialized
-        // (production) path runs the check — materialize=false returns
-        // a lazy plan for composition/plan audits and a driver action
-        // here would defeat it.
+        // silently. Fail loudly — but only when the over-cap grams
+        // carry most of the corpus's gram MASS (occurrences), i.e.
+        // the saturation is corpus-wide. A duplicate-free corpus
+        // whose docs merely share a small common header produces the
+        // same (capped > 0, pairable == 0) shape with a TINY capped
+        // mass — there, empty edges is the CORRECT answer and the op
+        // logs a warning instead of crashing the pipeline (r15 ADVICE:
+        // the unconditional guard turned a previously-correct empty
+        // result into an exception). The mass sums ride the same
+        // aggregate — no extra pass. Empty and genuinely-unshared
+        // corpora (capped == 0) pass through silently. Only the
+        // materialized (production) path runs the check —
+        // materialize=false returns a lazy plan for composition/plan
+        // audits and a driver action here would defeat it.
         val occ = gramCounts.agg(
           sum(when(col("__n__").between(2, maxDocsPerGram), lit(1))
             .otherwise(lit(0))).as("__pairable__"),
           sum(when(col("__n__") > maxDocsPerGram, lit(1))
-            .otherwise(lit(0))).as("__capped__"))
+            .otherwise(lit(0))).as("__capped__"),
+          sum(when(col("__n__") > maxDocsPerGram, col("__n__"))
+            .otherwise(lit(0L))).as("__cappedMass__"),
+          sum(col("__n__")).as("__mass__"))
           .head()
         val pairable = if (occ.isNullAt(0)) 0L else occ.getLong(0)
         val capped = if (occ.isNullAt(1)) 0L else occ.getLong(1)
-        if (capped > 0 && pairable == 0)
-          throw new IllegalStateException(
-            s"sharedShingleEdges: all $capped shared grams exceed " +
-              s"maxDocsPerGram=$maxDocsPerGram — every shared gram is " +
-              "boilerplate-common and ZERO edges would be emitted (a " +
-              "wall-to-wall-duplicate corpus would dedup to nothing). " +
-              "Raise maxDocsPerGram or use a longer shingleN.")
+        val cappedMass = if (occ.isNullAt(2)) 0L else occ.getLong(2)
+        val mass = if (occ.isNullAt(3)) 0L else occ.getLong(3)
+        if (capped > 0 && pairable == 0) {
+          if (cappedMass * 2 >= mass)
+            throw new IllegalStateException(
+              s"sharedShingleEdges: all $capped shared grams exceed " +
+                s"maxDocsPerGram=$maxDocsPerGram and they carry " +
+                s"$cappedMass of $mass gram occurrences — the corpus is " +
+                "saturated and ZERO edges would be emitted (a " +
+                "wall-to-wall-duplicate corpus would dedup to nothing). " +
+                "Raise maxDocsPerGram or use a longer shingleN.")
+          else
+            log.warn(
+              s"sharedShingleEdges: the only shared grams ($capped) all " +
+                s"exceed maxDocsPerGram=$maxDocsPerGram, but they carry " +
+                s"just $cappedMass of $mass gram occurrences — shared " +
+                "boilerplate in an otherwise-unique corpus; emitting the " +
+                "empty edge set.")
+        }
         pairs(cached, Some(gramCounts)).localCheckpoint(true)
       } finally {
         gramCounts.unpersist(false)

@@ -82,25 +82,47 @@ object LshBlocking {
       // exceeds maxBucket, the op would emit ZERO pairs — for a corpus
       // that may be wall-to-wall duplicates, the worst possible silent
       // answer (BENCH_SCALE_r15 measured exactly this: 4-bit bands at
-      // 20k+ vectors → 64/64 buckets capped, 0 pairs). Fail loudly
-      // instead. An empty or all-singleton banding (capped == 0) is a
-      // legitimate no-pairs corpus and passes through; so does any mix
-      // with at least one pairable bucket (per-bucket capping is the
-      // designed skew bound).
+      // 20k+ vectors → 64/64 buckets capped, 0 pairs). Fail loudly —
+      // but only when the capped buckets hold most of the BANDING MASS
+      // (signature rows), i.e. the saturation is corpus-wide (the
+      // under-sized-banding shape: every doc lands in a capped bucket
+      // in every band). A mostly-unique corpus with a few mega-dup
+      // islands shows the same (capped > 0, pairable == 0) counts with
+      // a small capped mass — skipping those islands is the designed
+      // per-bucket skew bound, so the op warns and proceeds to the
+      // empty pair set instead of crashing (r15 ADVICE refinement).
+      // The mass sums ride the same aggregate — no extra pass. An
+      // empty or all-singleton banding (capped == 0) passes through
+      // silently; so does any mix with at least one pairable bucket.
       val occ = bucketCounts.agg(
         sum(when(col("__n__").between(2, maxBucket), lit(1)).otherwise(lit(0)))
           .as("__pairable__"),
         sum(when(col("__n__") > maxBucket, lit(1)).otherwise(lit(0)))
-          .as("__capped__"))
+          .as("__capped__"),
+        sum(when(col("__n__") > maxBucket, col("__n__")).otherwise(lit(0L)))
+          .as("__cappedMass__"),
+        sum(col("__n__")).as("__mass__"))
         .head()
       val pairableBuckets = if (occ.isNullAt(0)) 0L else occ.getLong(0)
       val cappedBuckets = if (occ.isNullAt(1)) 0L else occ.getLong(1)
-      if (cappedBuckets > 0 && pairableBuckets == 0)
-        throw new IllegalStateException(
-          s"lsh blocking: all $cappedBuckets occupied multi-member buckets " +
-            s"exceed maxBucket=$maxBucket — the banding is too coarse for " +
-            "this corpus and zero pairs would be emitted. Widen the bands " +
-            "(more rows per band; see VectorOps.lshPlan) or raise maxBucket.")
+      val cappedMass = if (occ.isNullAt(2)) 0L else occ.getLong(2)
+      val mass = if (occ.isNullAt(3)) 0L else occ.getLong(3)
+      if (cappedBuckets > 0 && pairableBuckets == 0) {
+        if (cappedMass * 2 >= mass)
+          throw new IllegalStateException(
+            s"lsh blocking: all $cappedBuckets occupied multi-member buckets " +
+              s"exceed maxBucket=$maxBucket and hold $cappedMass of $mass " +
+              "banding rows — the banding is too coarse for this corpus " +
+              "and zero pairs would be emitted. Widen the bands (more rows " +
+              "per band; see VectorOps.lshPlan) or raise maxBucket.")
+        else
+          log.warn(
+            s"lsh blocking: the only multi-member buckets ($cappedBuckets) " +
+              s"all exceed maxBucket=$maxBucket, but they hold just " +
+              s"$cappedMass of $mass banding rows — isolated mega-dup " +
+              "islands in an otherwise-unique corpus are being skipped by " +
+              "the bucket cap; emitting the empty pair set.")
+      }
 
       val goodBuckets = bucketCounts
         .filter(col("__n__").between(2, maxBucket))

@@ -50,7 +50,8 @@ object Packing {
     val cellCols = partitionCols :+ "__b__"
 
     val sums = bucketed.groupBy(cellCols.map(col): _*)
-      .agg(sum(weight).as("__s__"))
+      .agg(sum(weight).as("__s__"), count(lit(1)).as("__n__"),
+        count_distinct(orderCols.head, orderCols.tail: _*).as("__d__"))
       .orderBy(cellCols.map(col): _*)
       .limit(maxBuckets + 1)
       .collect()
@@ -60,6 +61,16 @@ object Packing {
     require(sums.forall(r => (0 to np).forall(!r.isNullAt(_))),
       s"$what: a partition/order key contains NULL — keys must be non-null " +
         "(a null key has no position in the running order)")
+    // Duplicate order keys make the within-bucket window tie order
+    // arbitrary — the layout would not be rerun-stable. Duplicates
+    // always share a bucket (same key ⇒ same bucket), so the per-cell
+    // count-vs-distinct comparison is a COMPLETE global uniqueness
+    // check, and it rides the pruned aggregate pass already being
+    // paid — no extra scan of the corpus.
+    require(sums.forall(r => r.getLong(np + 2) == r.getLong(np + 3)),
+      s"$what: duplicate order keys — the running order must be a total " +
+        "order, so the order key must be UNIQUE (use a row id that is a " +
+        "key, or a composite like doc_id*K+copy for oversampled corpora)")
 
     var prevKey: Seq[Any] = null
     var acc = 0L
@@ -102,8 +113,11 @@ object Packing {
 
   /** Adds `cum_before` = sum of `weightCol` over all rows strictly
     * before this one in `orderCol` order (exclusive prefix sum).
-    * `orderCol` must be integral, unique, and NON-NULL (a null order
-    * key fails loudly — it has no position); NULL weights count as 0
+    * `orderCol` must be integral, UNIQUE, and NON-NULL — both checked
+    * loudly (a null key has no position; duplicate keys make the tie
+    * order arbitrary, so the result would not be rerun-stable; the
+    * uniqueness check rides the pruned bucket-sum pass, not an extra
+    * scan); NULL weights count as 0
     * (matching SQL SUM's null-skipping); weights should be
     * non-negative (shard assignment uses truncating division).
     *
@@ -233,11 +247,14 @@ object Packing {
     * get no separator — they contribute nothing, as stated above.
     *
     * `orderCol` inherits [[globalCumsum]]'s full contract: integral,
-    * NON-NULL (fails loudly), and UNIQUE — duplicate order keys make
-    * the within-bucket window tie order arbitrary, so the packed
-    * layout would not be rerun-stable. Uniqueness is NOT checked (a
-    * check would cost an extra aggregation pass over the corpus);
-    * use a row id that is a key, as every gate does with doc_id.
+    * NON-NULL, and UNIQUE — duplicate order keys would make the
+    * within-bucket window tie order arbitrary, so the packed layout
+    * would not be rerun-stable. BOTH are checked loudly (the
+    * uniqueness check rides the pruned bucket-sum aggregate already
+    * being paid — count vs count-distinct per cell, no extra corpus
+    * scan); use a row id that is a key, as every gate does with
+    * doc_id, or a composite key when the corpus is oversampled
+    * (q_pack_epochs' doc_id·K+copy pattern).
     * The input is also EXECUTED TWICE (the [[globalCumsum]] contract:
     * a pruned (orderCol, size(ids)) pass for the bucket sums, then
     * the full plan) — when `idsCol` comes from an expensive encoder,

@@ -124,6 +124,30 @@ class PackingSpec extends AnyFunSuite {
     assert(e.getMessage.contains("NULL"))
   }
 
+  test("duplicate order keys fail loudly (rerun-stability contract)") {
+    // two rows share id=2 — the packed layout's tie order would be
+    // arbitrary; the check must trip in BOTH the cumsum primitive and
+    // the tensor path built on it
+    val dup = Seq((1L, 5L), (2L, 3L), (2L, 7L)).toDF("id", "w")
+    val e = intercept[IllegalArgumentException](
+      Packing.globalCumsum(dup, "id", "w", 100))
+    assert(e.getMessage.contains("UNIQUE"), e.getMessage)
+    val dupDocs = Seq((1L, Seq(1, 2)), (1L, Seq(3))).toDF("id", "ids")
+    val e2 = intercept[IllegalArgumentException](
+      Packing.packTokenIds(dupDocs, "id", "ids", seqLen = 4, padId = 0)
+        .collect())
+    assert(e2.getMessage.contains("UNIQUE"), e2.getMessage)
+    // duplicates in DIFFERENT buckets of the same corpus still trip
+    // (same key ⇒ same bucket, so this needs keys duplicated within
+    // one bucket while other buckets stay clean)
+    val spread = Seq((1L, 1L), (5L, 1L), (5L, 2L), (9L, 1L)).toDF("id", "w")
+    intercept[IllegalArgumentException](
+      Packing.globalCumsum(spread, "id", "w", 2))
+    // and a clean unique corpus still passes untouched
+    val clean = Seq((1L, 5L), (2L, 3L), (3L, 7L)).toDF("id", "w")
+    assert(Packing.globalCumsum(clean, "id", "w", 2).count() == 3)
+  }
+
   test("packTokenIds: concat-and-chunk into fixed-length sequences with pad and boundaries") {
     val docs = Seq(
       (1L, Seq(1, 2, 3)), (2L, Seq(4, 5)), (3L, Seq(6)))
