@@ -31,6 +31,8 @@ import org.apache.spark.sql.{Column, DataFrame}
   */
 object LshBlocking {
 
+  private val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
   /** (id, payload, band, bucket) rows: one per (input row, band), the
     * bucket being a hash of that band's signature slice. */
   private[ops] def bandRows(
