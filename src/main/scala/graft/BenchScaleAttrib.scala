@@ -34,6 +34,12 @@ object BenchScaleAttrib {
         shingleN = 5, numHashes = 64, bands = 8, threshold = 0.8,
         maxBucket = 200, charShingles = true)
       println(s"""{"dir":"$dir","family":"minhash","stages":${j(mh)}}""")
+      // r16 verdict carry-over: attribute q_dedup_minhash's hi→xhi
+      // slope to a stage — sig CPU vs band/screen shuffle vs verify
+      val mhp = ops.ScaleStats.minhashPhases(docs, "doc_id", "text",
+        shingleN = 5, numHashes = 64, bands = 8, threshold = 0.8,
+        maxBucket = 200, charShingles = true)
+      println(s"""{"dir":"$dir","family":"minhash_phases","stages":${j(mhp)}}""")
       // q_dedup_semantic_fixed parameters (the pinned diagnostic)
       val se = ops.ScaleStats.semantic(emb, "vec_id", "embedding",
         threshold = 0.4, nCells = 8, replication = 2)

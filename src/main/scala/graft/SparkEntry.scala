@@ -44,6 +44,28 @@ object SparkEntry {
   private def p(s: SparkSession, dir: String, name: String): Pipeline =
     Pipeline.of(name, Tables.load(s, dir, name))
 
+  // The mixture oracles fold √-weights in LABEL order with the lang set
+  // written out literally (DuckDB SQL cannot fold a dynamic set in
+  // label order, and float addition order is part of the determinism
+  // contract), so a drift in documents.lang would otherwise surface as
+  // an opaque hash mismatch. Pin the set here: the gate fails
+  // self-explanatorily, naming both sets.
+  private val OracleLangs = Set("de", "en", "es", "fr", "zh")
+  private def assertOracleLangs(docs: DataFrame): DataFrame = {
+    val got = docs.select("lang").filter(col("lang").isNotNull)
+      .distinct().limit(OracleLangs.size + 2).collect()
+      .map(_.getString(0)).toSet
+    // an empty / all-null-lang corpus is trivially consistent with any
+    // hardcoded fold (both sides produce zero strata) — the guard
+    // targets a DIFFERENT non-empty set, i.e. real testdata drift
+    require(got.isEmpty || got == OracleLangs,
+      s"documents.lang drifted: the mixture oracle SQL hardcodes " +
+        s"${OracleLangs.toSeq.sorted.mkString("/")} in its label-ordered fold " +
+        s"but the table holds ${got.toSeq.sorted.mkString("/")} — regenerate " +
+        "testdata or update the folds in oracleSql")
+    docs
+  }
+
   private val dec = DecimalType(18, 2)
   private def dec2(c: Column): Column = c.cast(dec)
   // canonical gate-output casts for computed money aggregates (see
@@ -2069,6 +2091,50 @@ object SparkEntry {
       } finally server.stop(0)
     },
 
+    "q_http_post" -> { (s, dir) =>
+      // the verb surface under the hard gate (reference
+      // HttpSource.groovy:82-86): nation POSTed as CSV to a loopback
+      // echo endpoint, the echoed response body parsed back into rows
+      // and oracle-compared. A GET against the same endpoint would
+      // echo an empty body (zero rows), so a verb regression fails the
+      // gate rather than silently passing.
+      val rows = t(s, dir, "nation")
+        .select("n_nationkey", "n_name", "n_regionkey").collect()
+      require(rows.length <= 1000, "http gate expects the fixed-size nation table")
+      def cell(v: Any): String = Option(v)
+        .map(x => "\"" + x.toString.replace("\"", "\"\"") + "\"")
+        .getOrElse("")
+      val body = ("n_nationkey,n_name,n_regionkey" +:
+        rows.sortBy(_.getAs[Number](0).longValue).toSeq
+          .map(r => s"${cell(r.get(0))},${cell(r.get(1))},${cell(r.get(2))}"))
+        .mkString("\n")
+      val server = com.sun.net.httpserver.HttpServer.create(
+        new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+      try {
+        server.createContext("/echo",
+          (ex: com.sun.net.httpserver.HttpExchange) => {
+            val received =
+              if (ex.getRequestMethod == "POST")
+                ex.getRequestBody.readAllBytes()
+              else Array.empty[Byte]
+            ex.getResponseHeaders.set("Content-Type", "text/csv")
+            ex.sendResponseHeaders(200, received.length)
+            ex.getResponseBody.write(received)
+            ex.close()
+          })
+        server.start()
+        val url = s"http://127.0.0.1:${server.getAddress.getPort}/echo"
+        val resp = sources.Http.post(s, url, body, bodyContentType = "text/csv")
+          .toDF.head()
+        require(resp.getAs[Int]("status") == 200, "echo endpoint must answer 200")
+        sources.Http.csvBodyRows(s, resp.getAs[String]("body"))
+          .select(col("n_nationkey").cast(LongType).as("n_nationkey"),
+            col("n_name"),
+            col("n_regionkey").cast(LongType).as("n_regionkey"))
+          .orderBy("n_nationkey")
+      } finally server.stop(0)
+    },
+
     "q_pgp_roundtrip" -> { (s, dir) =>
       val (pub, sec) = pgpGateKeys
       val docs = t(s, dir, "documents").filter(col("doc_id") < 50)
@@ -2550,7 +2616,7 @@ object SparkEntry {
       // BIT-identically. T=400 pushes one stratum past f≥1, so the
       // keep-all branch is exercised too.
       ops.Sampling.sampleByTemperature(
-        t(s, dir, "documents"), col("doc_id"), "lang",
+        assertOracleLangs(t(s, dir, "documents")), col("doc_id"), "lang",
         targetDocs = 400, alpha = 0.5, salt = ":tmp13")
         .select("doc_id", "lang")
         .orderBy("doc_id")
@@ -2563,7 +2629,7 @@ object SparkEntry {
       // weights, small strata boosted more) is gated bit-exactly too,
       // not just the 0.5 special case.
       ops.Sampling.sampleByTemperature(
-        t(s, dir, "documents"), col("doc_id"), "lang",
+        assertOracleLangs(t(s, dir, "documents")), col("doc_id"), "lang",
         targetDocs = 400, alpha = 0.25, salt = ":tmp14a")
         .select("doc_id", "lang")
         .orderBy("doc_id")
@@ -2729,7 +2795,8 @@ object SparkEntry {
       // bounded driver collect: lang has 5 values; the limit turns a
       // surprise high-cardinality stratum into a wrong-but-bounded
       // fetch the count mismatch below catches loudly
-      val rows = t(s, dir, "documents").filter(col("lang").isNotNull)
+      val rows = assertOracleLangs(t(s, dir, "documents"))
+        .filter(col("lang").isNotNull)
         .groupBy(col("lang")).count().orderBy(col("lang")).limit(101).collect()
       require(rows.length <= 100,
         "q_sample_oversample: stratum cardinality exceeds the gate's bound")
@@ -2750,7 +2817,7 @@ object SparkEntry {
       // totals → weights → label-ordered Σ → fractions → thresholds →
       // the kept set bit-identically.
       ops.Sampling.sampleByTokenTemperature(
-        t(s, dir, "documents"), col("doc_id"), "lang", "n_chars",
+        assertOracleLangs(t(s, dir, "documents")), col("doc_id"), "lang", "n_chars",
         targetTokens = 60000, alpha = 0.5, salt = ":ttk14")
         .select("doc_id", "lang")
         .orderBy("doc_id")
@@ -2850,7 +2917,8 @@ object SparkEntry {
       // thresholds), re-encodes every copy's text, and runs the same
       // position arithmetic over the composite order.
       val bc = bpeGateBc(s)
-      val docs = t(s, dir, "documents").filter(col("doc_id") < 300)
+      val docs = assertOracleLangs(t(s, dir, "documents"))
+        .filter(col("doc_id") < 300)
       // bounded driver collect (the q_sample_oversample discipline)
       val rows = docs.filter(col("lang").isNotNull)
         .groupBy(col("lang")).count().orderBy(col("lang")).limit(101).collect()
@@ -2912,7 +2980,8 @@ object SparkEntry {
       // every label — all on the read-back rows, so the int64-list
       // wire format is under the same hash.
       val bc = bpeGateBc(s)
-      val corpus = t(s, dir, "documents").filter(col("doc_id") < 300)
+      val corpus = assertOracleLangs(t(s, dir, "documents"))
+        .filter(col("doc_id") < 300)
       val mixed = ops.Sampling.sampleByTemperature(
         corpus, col("doc_id"), "lang", targetDocs = 150, alpha = 0.5,
         salt = ":tp15")
@@ -3272,7 +3341,7 @@ doctok AS (
     * (a production vocab reserves a real EOS slot next to pad/unk);
     * the gate uses a value outside the toy vocab so a separator is
     * unmistakable in the packed stream. */
-  private val packGateSepId = 999
+  private[graft] val packGateSepId = 999
 
   private val (bpePackIdsOracle: String, bpePackLabelsOracle: String,
       bpePackAuditOracle: String, bpePackIdsEosOracle: String,
@@ -4564,6 +4633,11 @@ ORDER BY seq_id"""
         |FROM nation ORDER BY n_nationkey""".stripMargin,
 
     "q_http_roundtrip" ->
+      """SELECT cast(n_nationkey AS BIGINT) AS n_nationkey, n_name,
+        |  cast(n_regionkey AS BIGINT) AS n_regionkey
+        |FROM nation ORDER BY n_nationkey""".stripMargin,
+
+    "q_http_post" ->
       """SELECT cast(n_nationkey AS BIGINT) AS n_nationkey, n_name,
         |  cast(n_regionkey AS BIGINT) AS n_regionkey
         |FROM nation ORDER BY n_nationkey""".stripMargin,

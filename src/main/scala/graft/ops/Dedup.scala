@@ -713,9 +713,15 @@ object Dedup {
         // mass — there, empty edges is the CORRECT answer and the op
         // logs a warning instead of crashing the pipeline (r15 ADVICE:
         // the unconditional guard turned a previously-correct empty
-        // result into an exception). The mass sums ride the same
-        // aggregate — no extra pass. Empty and genuinely-unshared
-        // corpora (capped == 0) pass through silently. Only the
+        // result into an exception). KNOWN BLIND SPOT of the 50% mass
+        // split: a corpus of genuine near-duplicates whose docs share
+        // UNDER half their gram occurrences (dups padded with unique
+        // IDs/timestamps) warns and emits zero edges — the price of
+        // not crashing every boilerplate-header corpus; raise
+        // maxDocsPerGram if that shape is expected. The mass sums ride
+        // the same aggregate — no extra pass. Empty and
+        // genuinely-unshared corpora (capped == 0) pass through
+        // silently. Only the
         // materialized (production) path runs the check —
         // materialize=false returns a lazy plan for composition/plan
         // audits and a driver action here would defeat it.

@@ -93,6 +93,11 @@ object LshBlocking {
       // a small capped mass — skipping those islands is the designed
       // per-bucket skew bound, so the op warns and proceeds to the
       // empty pair set instead of crashing (r15 ADVICE refinement).
+      // KNOWN BLIND SPOT of the 50% mass split: a corpus of genuine
+      // near-dups whose banding rows are under half the mass (dup
+      // islands in a large unique tail) warns instead of failing —
+      // the cost of not crashing every mostly-unique corpus; raise
+      // maxBucket when mega-dup islands should pair.
       // The mass sums ride the same aggregate — no extra pass. An
       // empty or all-singleton banding (capped == 0) passes through
       // silently; so does any mix with at least one pairable bucket.

@@ -42,16 +42,24 @@ object Packing {
     * its rows while their weight still inflated later offsets. */
   private[ops] def bucketedCumsum(
       df: DataFrame, partitionCols: Seq[String], bucket: Column,
-      orderCols: Seq[Column], weight: Column, what: String): DataFrame = {
+      orderCols: Seq[Column], weight: Column, what: String,
+      requireUniqueOrder: Boolean = true): DataFrame = {
     (Seq("__b__", "__ob__", "__off__", "cum_before") ++
       partitionCols.map(c => s"__p_$c")).foreach(c =>
       require(!df.columns.contains(c), s"input already has a column named $c"))
     val bucketed = df.withColumn("__b__", bucket)
     val cellCols = partitionCols :+ "__b__"
 
+    // The bucket-sum pass carries ONLY sum+count — both combine
+    // map-side, so the shuffle moves one partial row per
+    // (mapPartition, cell), never per corpus row. (A count_distinct
+    // here would be "the same scan" but would defeat the partial
+    // aggregate: mixed distinct forces one shuffled row per distinct
+    // order key ≈ per input row — a corpus-sized shuffle on the pass
+    // shared by every Packing/Sampling caller. Order-key uniqueness
+    // is checked inside the output window instead — see below.)
     val sums = bucketed.groupBy(cellCols.map(col): _*)
-      .agg(sum(weight).as("__s__"), count(lit(1)).as("__n__"),
-        count_distinct(orderCols.head, orderCols.tail: _*).as("__d__"))
+      .agg(sum(weight).as("__s__"), count(lit(1)).as("__n__"))
       .orderBy(cellCols.map(col): _*)
       .limit(maxBuckets + 1)
       .collect()
@@ -61,16 +69,6 @@ object Packing {
     require(sums.forall(r => (0 to np).forall(!r.isNullAt(_))),
       s"$what: a partition/order key contains NULL — keys must be non-null " +
         "(a null key has no position in the running order)")
-    // Duplicate order keys make the within-bucket window tie order
-    // arbitrary — the layout would not be rerun-stable. Duplicates
-    // always share a bucket (same key ⇒ same bucket), so the per-cell
-    // count-vs-distinct comparison is a COMPLETE global uniqueness
-    // check, and it rides the pruned aggregate pass already being
-    // paid — no extra scan of the corpus.
-    require(sums.forall(r => r.getLong(np + 2) == r.getLong(np + 3)),
-      s"$what: duplicate order keys — the running order must be a total " +
-        "order, so the order key must be UNIQUE (use a row id that is a " +
-        "key, or a composite like doc_id*K+copy for oversampled corpora)")
 
     var prevKey: Seq[Any] = null
     var acc = 0L
@@ -104,9 +102,39 @@ object Packing {
       (bucketed("__b__") === offsetDf("__ob__"))).reduce(_ && _)
     val w = Window.partitionBy(cellCols.map(col): _*).orderBy(orderCols: _*)
       .rowsBetween(Window.unboundedPreceding, -1)
+    // Order-key contract enforcement, riding the window sort the
+    // prefix sum already pays (same partition + order spec ⇒ one
+    // Window exec, one sort — zero extra scan or shuffle):
+    //  - NULL order key → no position in the running order;
+    //  - duplicate order key → the within-cell tie order is arbitrary,
+    //    so the layout would not be rerun-stable. Duplicates always
+    //    share a bucket (same key ⇒ same bucket ⇒ same cell), so
+    //    adjacent-after-sort equality is a COMPLETE global uniqueness
+    //    check. Both raise from the executors at execution time
+    //    (fail-loud, distributed — no driver-side distinct pass).
+    // `requireUniqueOrder = false` (the Sampling callers): duplicate
+    // keys there are SELF-ties — the order cols are (hash(key), key),
+    // so two tied rows are copies of the same key whose relative order
+    // cannot change which strata/budget window they fall in, and the
+    // hostile-inputs contract is "tolerate, don't throw". The layout
+    // paths (globalCumsum/packTokenIds/shards) stay strict: their tie
+    // order IS the output.
+    val wLag = Window.partitionBy(cellCols.map(col): _*).orderBy(orderCols: _*)
+    val nullKey = orderCols.map(_.isNull).reduce(_ || _)
+    val dupKey =
+      if (!requireUniqueOrder) lit(false)
+      else orderCols.map(c => lag(c, 1).over(wLag) <=> c).reduce(_ && _)
+    val orderGuard = when(nullKey, raise_error(lit(
+        s"$what: NULL order key — order keys must be NON-NULL " +
+          "(a null key has no position in the running order)")))
+      .when(dupKey, raise_error(lit(
+        s"$what: duplicate order keys — the running order must be a total " +
+          "order, so the order key must be UNIQUE (use a row id that is a " +
+          "key, or a composite like doc_id*K+copy for oversampled corpora)")))
+      .otherwise(lit(0L))
     bucketed.join(offsetDf, joinCond)
       .withColumn("cum_before",
-        col("__off__") + coalesce(sum(weight).over(w), lit(0L)))
+        col("__off__") + coalesce(sum(weight).over(w), lit(0L)) + orderGuard)
       .drop("__b__", "__off__", "__ob__")
       .drop(partitionCols.map(c => s"__p_$c"): _*)
   }
@@ -116,8 +144,8 @@ object Packing {
     * `orderCol` must be integral, UNIQUE, and NON-NULL — both checked
     * loudly (a null key has no position; duplicate keys make the tie
     * order arbitrary, so the result would not be rerun-stable; the
-    * uniqueness check rides the pruned bucket-sum pass, not an extra
-    * scan); NULL weights count as 0
+    * uniqueness check rides the output window's existing sort, not an
+    * extra scan, and raises at execution time); NULL weights count as 0
     * (matching SQL SUM's null-skipping); weights should be
     * non-negative (shard assignment uses truncating division).
     *

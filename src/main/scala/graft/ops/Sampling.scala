@@ -145,7 +145,7 @@ object Sampling {
       substring(col("__tbh__"), 1, bucketHexDigits),
       Seq(col("__tbh__"), key),
       coalesce(col(weightCol).cast("long"), lit(0L)),
-      "sampleByTokenBudget")
+      "sampleByTokenBudget", requireUniqueOrder = false)
       .filter(col("cum_before") < budget)
       .drop("__tbh__")
   }
@@ -369,7 +369,7 @@ object Sampling {
       listed, Seq(stratumCol),
       substring(col("__tbh__"), 1, bucketHexDigits),
       Seq(col("__tbh__"), key),
-      lit(1L), "interleaveByWeight")
+      lit(1L), "interleaveByWeight", requireUniqueOrder = false)
     val wExpr = weights.foldRight(lit(null).cast("double")) {
       case ((label, w), els) => when(col(stratumCol) === label, lit(w)).otherwise(els)
     }

@@ -141,6 +141,59 @@ object ScaleStats {
     } finally sigs.unpersist(false)
   }
 
+  /** Phase-timing split for [[Dedup.minhashNearDups]] at the gate
+    * parameters — the attribution a hi→xhi timing slope needs to name
+    * its stage: `sig_millis` (shingle → minhash signatures, the
+    * per-row CPU stage), `pair_screen_millis` (banding + bucket
+    * grouping + margin screen over PRE-BUILT signatures — the shuffle
+    * stage), `full_op_millis` (the whole operator including the
+    * exact-verify shingle joins). verify ≈ full − sig −
+    * pair_screen (the full op re-runs the first two fused). Each
+    * phase is min-of-two runs after one warm-up (the Bench
+    * steady-state discipline); times in milliseconds. */
+  def minhashPhases(
+      df: DataFrame, idCol: String, textCol: String,
+      shingleN: Int, numHashes: Int, bands: Int,
+      threshold: Double, maxBucket: Int,
+      charShingles: Boolean): Map[String, Long] = {
+    require(numHashes % bands == 0)
+    val r = numHashes / bands
+    def steadyMs(f: => Unit): Long = {
+      def once(): Long = {
+        val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1000000
+      }
+      once(); math.min(once(), once())
+    }
+    val sigMs = steadyMs(
+      Dedup.nativeSigs(df, idCol, textCol, shingleN, numHashes, charShingles)
+        .count())
+    val sigs = Dedup.nativeSigs(df, idCol, textCol, shingleN, numHashes, charShingles)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      sigs.count() // materialize so the pair phase reads the cache
+      var survivors = 0L
+      val pairMs = steadyMs {
+        survivors = LshBlocking.candidatePairs(sigs, bands, r, maxBucket,
+          screen = _.withColumn("est_jaccard",
+              graft.functions.similarityExprs.sig_agreement(col("p1"), col("p2")))
+            .filter(col("est_jaccard") >= threshold * 0.5)
+            .select(col("id1"), col("id2"), col("est_jaccard")))
+          .count()
+      }
+      var verified = 0L
+      val fullMs = steadyMs {
+        verified = Dedup.minhashNearDups(df, idCol, textCol, shingleN,
+          numHashes, bands, threshold, maxBucket, exactVerify = true,
+          charShingles = charShingles).count()
+      }
+      Map("sig_millis" -> sigMs,
+        "pair_screen_millis" -> pairMs,
+        "full_op_millis" -> fullMs,
+        "screen_survivors" -> survivors,
+        "verified_pairs" -> verified)
+    } finally sigs.unpersist(false)
+  }
+
   /** Stage accounting for [[Dedup.semanticNearDupsFixedCells]] (the
     * deliberately-pinned quantizer — the diagnostic regime): vectors → cell
     * assignments → cell occupancy (the within-cell pair population IS

@@ -258,14 +258,26 @@ object VectorOps {
     * corpus outgrows ~targetBucket·2^bits rows (and the all-capped
     * guard now trips loudly); this entry point re-plans with the
     * corpus, so growth widens the bands instead of saturating them.
-    * ONE count aggregate (a driver scalar), then the planned op. */
+    *
+    * The planning count and the signature pass would otherwise each
+    * execute the upstream plan in full, so the input — pruned to the
+    * ONLY two columns this op reads (id + vector; never the corpus
+    * text) — is persisted across both and unpersisted once
+    * [[LshBlocking.candidatePairs]] has materialized the (small)
+    * candidate set internally. One upstream execution total. */
   def lshNeighborsAuto(
       df: DataFrame, idCol: String, vecCol: String,
       threshold: Double = 0.7, targetBucket: Int = 64,
       recall: Double = 0.9, maxBands: Int = 50,
       maxBucket: Int = 200, seed: Long = 42L): DataFrame = {
-    val n = df.filter(col(vecCol).isNotNull).count()
-    val (nPlanes, rowsPerBand) = lshPlan(n, threshold, targetBucket, recall, maxBands)
-    lshNeighbors(df, idCol, vecCol, nPlanes, rowsPerBand, threshold, maxBucket, seed)
+    val pinned = df.select(col(idCol), col(vecCol))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val n = pinned.filter(col(vecCol).isNotNull).count()
+      val (nPlanes, rowsPerBand) =
+        lshPlan(n, threshold, targetBucket, recall, maxBands)
+      lshNeighbors(pinned, idCol, vecCol, nPlanes, rowsPerBand, threshold,
+        maxBucket, seed)
+    } finally pinned.unpersist(blocking = false)
   }
 }

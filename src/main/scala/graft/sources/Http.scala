@@ -48,6 +48,38 @@ object Http {
     StructField("content_type", StringType),
     StructField("body", StringType)))
 
+  /** The reference's verb set (`HttpSource.groovy:76-104`: get, post,
+    * delete, put, head). Anything else is a caller bug — fail loudly
+    * rather than let the JDK client throw a less-specific error. */
+  private val Verbs = Set("GET", "POST", "PUT", "DELETE", "HEAD", "PATCH")
+
+  /** Driver-side single fetch (memoized) as a one-row Pipeline —
+    * any verb. `body` is sent for POST/PUT/PATCH/DELETE (the JDK
+    * client accepts a body on any method; HEAD/GET default to none);
+    * `bodyContentType` sets the request Content-Type when a body is
+    * present. A HEAD response row has `body = ""` (RFC 9110: no
+    * response content) but keeps url/status/content_type. */
+  def request(
+      spark: SparkSession, url: String, verb: String,
+      body: String = null,
+      bodyContentType: String = "application/json",
+      headers: Map[String, String] = Map.empty,
+      query: Map[String, String] = Map.empty,
+      basicAuth: (String, String) = null,
+      bearerToken: String = null,
+      maxRetries: Int = MaxRetries,
+      rejectNon200: Boolean = false): Pipeline = {
+    val v = verb.toUpperCase
+    require(Verbs.contains(v), s"unsupported HTTP verb '$verb' (one of ${Verbs.mkString(", ")})")
+    lazy val row = fetch(url, headers, query, Option(basicAuth),
+      Option(bearerToken), maxRetries, v, Option(body), bodyContentType)
+    val p = Pipeline.of(s"http:$v($url)", {
+      spark.createDataFrame(
+        java.util.List.of(Row(row._1, row._2, row._3, row._4)), responseSchema)
+    })
+    withStatusPolicy(p, rejectNon200)
+  }
+
   /** Driver-side single fetch (memoized) as a one-row Pipeline. */
   def get(
       spark: SparkSession, url: String,
@@ -56,14 +88,60 @@ object Http {
       basicAuth: (String, String) = null,
       bearerToken: String = null,
       maxRetries: Int = MaxRetries,
-      rejectNon200: Boolean = false): Pipeline = {
-    lazy val row = fetch(url, headers, query, Option(basicAuth), Option(bearerToken), maxRetries)
-    val p = Pipeline.of(s"http($url)", {
-      spark.createDataFrame(
-        java.util.List.of(Row(row._1, row._2, row._3, row._4)), responseSchema)
-    })
-    withStatusPolicy(p, rejectNon200)
-  }
+      rejectNon200: Boolean = false): Pipeline =
+    request(spark, url, "GET", null, null, headers, query, basicAuth,
+      bearerToken, maxRetries, rejectNon200)
+
+  /** POST `body` (reference `HttpSource.groovy:82-86`). */
+  def post(
+      spark: SparkSession, url: String, body: String,
+      bodyContentType: String = "application/json",
+      headers: Map[String, String] = Map.empty,
+      query: Map[String, String] = Map.empty,
+      basicAuth: (String, String) = null,
+      bearerToken: String = null,
+      maxRetries: Int = MaxRetries,
+      rejectNon200: Boolean = false): Pipeline =
+    request(spark, url, "POST", body, bodyContentType, headers, query,
+      basicAuth, bearerToken, maxRetries, rejectNon200)
+
+  /** PUT `body` (reference `HttpSource.groovy:94-98`). */
+  def put(
+      spark: SparkSession, url: String, body: String,
+      bodyContentType: String = "application/json",
+      headers: Map[String, String] = Map.empty,
+      query: Map[String, String] = Map.empty,
+      basicAuth: (String, String) = null,
+      bearerToken: String = null,
+      maxRetries: Int = MaxRetries,
+      rejectNon200: Boolean = false): Pipeline =
+    request(spark, url, "PUT", body, bodyContentType, headers, query,
+      basicAuth, bearerToken, maxRetries, rejectNon200)
+
+  /** DELETE (reference `HttpSource.groovy:88-92`). */
+  def delete(
+      spark: SparkSession, url: String,
+      headers: Map[String, String] = Map.empty,
+      query: Map[String, String] = Map.empty,
+      basicAuth: (String, String) = null,
+      bearerToken: String = null,
+      maxRetries: Int = MaxRetries,
+      rejectNon200: Boolean = false): Pipeline =
+    request(spark, url, "DELETE", null, null, headers, query, basicAuth,
+      bearerToken, maxRetries, rejectNon200)
+
+  /** HEAD — status/headers only, empty body column
+    * (reference `HttpSource.groovy:100-104`). */
+  def head(
+      spark: SparkSession, url: String,
+      headers: Map[String, String] = Map.empty,
+      query: Map[String, String] = Map.empty,
+      basicAuth: (String, String) = null,
+      bearerToken: String = null,
+      maxRetries: Int = MaxRetries,
+      rejectNon200: Boolean = false): Pipeline =
+    request(spark, url, "HEAD", null, null, headers, query, basicAuth,
+      bearerToken, maxRetries, rejectNon200)
 
   /** Executor-side fan-out fetch: one row per URL. `parallelism` caps
     * concurrent partitions (and therefore concurrent connections). */
@@ -125,6 +203,15 @@ object Http {
       separator: String = ",",
       csvHeaders: Seq[String] = null): Pipeline = {
     val body = fetch(url, headers, query, Option(basicAuth), Option(bearerToken), maxRetries)._4
+    Pipeline.of(s"httpCsv($url)", csvBodyRows(spark, body, separator, csvHeaders))
+  }
+
+  /** CSV response body → all-string rows ([[getCsvRows]]' parse,
+    * public so a verb response's `body` column can be relationalized
+    * the same way — e.g. a POST whose reply is CSV). */
+  def csvBodyRows(
+      spark: SparkSession, body: String,
+      separator: String = ",", csvHeaders: Seq[String] = null) = {
     import spark.implicits._
     val records = spark.createDataset(csvRecords(body))
     val df = spark.read
@@ -133,8 +220,106 @@ object Http {
       .option("inferSchema", false)
       .option("mode", "PERMISSIVE")
       .csv(records)
-    val named = if (csvHeaders == null) df else df.toDF(csvHeaders: _*)
-    Pipeline.of(s"httpCsv($url)", named)
+    if (csvHeaders == null) df else df.toDF(csvHeaders: _*)
+  }
+
+  /** Fetch + parse an XML response body into rows — the reference's
+    * `xml` parsed column (`OkHttpSource.groovy:229-232`: Content-Type
+    * application/xml or text/xml → XmlSlurper object), relationalized
+    * the way [[getJsonRows]] relationalizes the `json` column: one row
+    * per `rowTag` element via Spark 4's native XML reader over an
+    * in-memory Dataset (no driver temp file; attributes surface as
+    * `_attr` columns, nested elements as struct columns). */
+  def getXmlRows(
+      spark: SparkSession, url: String, rowTag: String,
+      headers: Map[String, String] = Map.empty,
+      query: Map[String, String] = Map.empty,
+      basicAuth: (String, String) = null,
+      bearerToken: String = null,
+      maxRetries: Int = MaxRetries): Pipeline = {
+    val body = fetch(url, headers, query, Option(basicAuth), Option(bearerToken), maxRetries)._4
+    Pipeline.of(s"httpXml($url)", xmlBodyRows(spark, body, rowTag))
+  }
+
+  /** The XML-over-Dataset reader parses each dataset element as ONE
+    * record, so the body is pre-split into per-`rowTag` element
+    * snippets (depth-tracked for nested same-name tags, self-closing
+    * handled) — the XML analog of [[csvRecords]]; no driver temp file. */
+  private def xmlBodyRows(
+      spark: SparkSession, body: String, rowTag: String) = {
+    import spark.implicits._
+    spark.read.option("rowTag", rowTag)
+      .xml(spark.createDataset(xmlRecords(body, rowTag)))
+  }
+
+  /** Extracts every top-level `<tag ...>...</tag>` (or `<tag ... />`)
+    * occurrence from an XML document as its own string. A scanner, not
+    * a parser: tracks nesting depth of `tag` only, which is exactly
+    * what splitting on a row tag needs (comments/CDATA containing a
+    * literal `<tag` are the documented limitation). */
+  private[sources] def xmlRecords(body: String, tag: String): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    val open = s"<$tag"
+    val close = s"</$tag>"
+    var i = 0
+    var start = -1
+    var depth = 0
+    while (i < body.length) {
+      if (body.startsWith(open, i) &&
+          (i + open.length >= body.length ||
+            " \t\r\n>/".indexOf(body.charAt(i + open.length)) >= 0)) {
+        if (depth == 0) start = i
+        // self-closing at this level does not change depth
+        val end = body.indexOf('>', i)
+        val selfClosing = end > 0 && body.charAt(end - 1) == '/'
+        if (selfClosing && depth == 0) { out += body.substring(i, end + 1); start = -1 }
+        else if (!selfClosing) depth += 1
+        i = if (end > 0) end + 1 else body.length
+      } else if (depth > 0 && body.startsWith(close, i)) {
+        depth -= 1
+        i += close.length
+        if (depth == 0 && start >= 0) { out += body.substring(start, i); start = -1 }
+      } else i += 1
+    }
+    out.result()
+  }
+
+  /** Content-type-driven parse dispatch — the reference's switch on
+    * `Content-Type` (`OkHttpSource.groovy:229-238`): JSON → one row
+    * per element ([[getJsonRows]] shape), XML → one row per `rowTag`
+    * ([[getXmlRows]]; `rowTag` required to relationalize), CSV →
+    * [[getCsvRows]] shape, anything else → the single raw
+    * `{url, status, content_type, body}` row. One fetch. */
+  def getRows(
+      spark: SparkSession, url: String,
+      rowTag: String = null,
+      headers: Map[String, String] = Map.empty,
+      query: Map[String, String] = Map.empty,
+      basicAuth: (String, String) = null,
+      bearerToken: String = null,
+      maxRetries: Int = MaxRetries): Pipeline = {
+    val r = fetch(url, headers, query, Option(basicAuth), Option(bearerToken), maxRetries)
+    val (fullUrl, status, contentType, body) = r
+    import spark.implicits._
+    // fetch() already strips "; charset=..." parameters; MIME types
+    // are additionally case-insensitive (RFC 2045 §5.1), so a server
+    // sending "Application/JSON" still hits the JSON branch
+    val mime = Option(contentType).map(_.toLowerCase).orNull
+    mime match {
+      case "application/json" | "text/json" =>
+        val root = spark.read.json(spark.createDataset(Seq(body)))
+        Pipeline.of(s"httpRows($url)", Sources.descend(root, Nil, includeRoot = false))
+      case "application/xml" | "text/xml" =>
+        require(rowTag != null,
+          s"$url returned $contentType — pass rowTag to relationalize XML")
+        Pipeline.of(s"httpRows($url)", xmlBodyRows(spark, body, rowTag))
+      case "text/csv" =>
+        Pipeline.of(s"httpRows($url)", csvBodyRows(spark, body))
+      case _ =>
+        Pipeline.of(s"httpRows($url)", spark.createDataFrame(
+          java.util.List.of(Row(fullUrl, status, contentType, body)),
+          responseSchema))
+    }
   }
 
   /** RFC-4180 record split: newlines inside double-quoted fields stay
@@ -179,7 +364,10 @@ object Http {
       query: Map[String, String],
       basicAuth: Option[(String, String)],
       bearerToken: Option[String],
-      maxRetries: Int): (String, Int, String, String) = {
+      maxRetries: Int,
+      verb: String = "GET",
+      body: Option[String] = None,
+      bodyContentType: String = "application/json"): (String, Int, String, String) = {
     require(maxRetries > 0, "maxRetries must be at least 1 (the first attempt)")
     require(basicAuth.isEmpty || bearerToken.isEmpty,
       "pass either basicAuth or bearerToken, not both (one Authorization header)")
@@ -192,7 +380,11 @@ object Http {
             java.net.URLEncoder.encode(v, StandardCharsets.UTF_8)
         }.mkString("&")
       }
-    val builder = HttpRequest.newBuilder(URI.create(fullUrl)).GET()
+    val publisher = body
+      .map(b => HttpRequest.BodyPublishers.ofString(b, StandardCharsets.UTF_8))
+      .getOrElse(HttpRequest.BodyPublishers.noBody())
+    val builder = HttpRequest.newBuilder(URI.create(fullUrl)).method(verb, publisher)
+    body.foreach(_ => builder.header("Content-Type", bodyContentType))
     headers.foreach { case (k, v) => builder.header(k, v) }
     basicAuth.foreach { case (u, pw) =>
       builder.header("Authorization", "Basic " + Base64.getEncoder

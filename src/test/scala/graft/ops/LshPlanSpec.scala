@@ -175,4 +175,42 @@ class LshPlanSpec extends AnyFunSuite {
       shingleN = 8, maxDocsPerGram = 10, materialize = false)
     assert(lazyPlan.columns.toSeq == Seq("id1", "id2"))
   }
+
+  test("mass-conditioned guard: isolated mega-dup island warns and emits empty, not throw") {
+    // the r16 downgrade's OTHER arm, pinned: (capped > 0, pairable == 0)
+    // but the capped buckets hold a MINORITY of the banding mass — a
+    // mostly-unique corpus with one clone island. The island is larger
+    // than maxBucket (the designed per-bucket skew bound skips it) and
+    // the correct result is the EMPTY pair set with a warning, not an
+    // IllegalStateException. Signatures are constructed directly so the
+    // bucket layout is exact: 12 clones share one bucket per band
+    // (12 > maxBucket=10 ⇒ capped, cappedMass = 24), 30 unique
+    // signatures sit in singleton buckets (mass = 84; 24·2 < 84).
+    val sigs = ((0L until 12L).map(i => (i, Seq(1, 1, 1, 1))) ++
+      (100L until 130L).map(i => (i, Seq(i.toInt, i.toInt + 1, i.toInt + 2, i.toInt + 3))))
+      .toDF("__id__", "__sig__")
+    val pairs = LshBlocking.candidatePairs(sigs, bands = 2, rowsPerBand = 2,
+      maxBucket = 10)
+    assert(pairs.count() == 0)
+
+    // same shape through the gram kernel: every doc shares an 8-word
+    // boilerplate header (one gram in all 30 docs — over
+    // maxDocsPerGram=10) but the bulk of each doc's grams are unique
+    // (cappedMass·2 < mass) — warn + empty edge set, not a crash
+    val header = "standard legal disclaimer header common to every page"
+    val docs = (0L until 30L).map(i =>
+      (i, header + " " + (0 until 20).map(j => s"doc${i}word$j").mkString(" ")))
+      .toDF("id", "text")
+    assert(Dedup.sharedShingleEdges(docs, "id", "text",
+      shingleN = 8, maxDocsPerGram = 10).count() == 0)
+
+    // and the corpus-wide saturation arm still throws (clone corpus:
+    // capped grams carry ~all of the mass)
+    val cloneText = "one two three four five six seven eight nine ten eleven twelve"
+    val clones = (0L until 30L).map((_, cloneText)).toDF("id", "text")
+    intercept[IllegalStateException] {
+      Dedup.sharedShingleEdges(clones, "id", "text",
+        shingleN = 8, maxDocsPerGram = 10)
+    }
+  }
 }

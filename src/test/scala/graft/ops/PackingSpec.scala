@@ -124,28 +124,50 @@ class PackingSpec extends AnyFunSuite {
     assert(e.getMessage.contains("NULL"))
   }
 
+  // The order-key contract raises from the executors at execution
+  // time (the check rides the output window); the message we planted
+  // sits somewhere down the task-failure cause chain.
+  private def execFailureMessage(body: => Unit): String = {
+    val e = intercept[Throwable](body)
+    Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+      .flatMap(t => Option(t.getMessage)).mkString(" | ")
+  }
+
   test("duplicate order keys fail loudly (rerun-stability contract)") {
     // two rows share id=2 — the packed layout's tie order would be
     // arbitrary; the check must trip in BOTH the cumsum primitive and
     // the tensor path built on it
     val dup = Seq((1L, 5L), (2L, 3L), (2L, 7L)).toDF("id", "w")
-    val e = intercept[IllegalArgumentException](
-      Packing.globalCumsum(dup, "id", "w", 100))
-    assert(e.getMessage.contains("UNIQUE"), e.getMessage)
+    val m = execFailureMessage(
+      Packing.globalCumsum(dup, "id", "w", 100).collect())
+    assert(m.contains("UNIQUE"), m)
     val dupDocs = Seq((1L, Seq(1, 2)), (1L, Seq(3))).toDF("id", "ids")
-    val e2 = intercept[IllegalArgumentException](
+    val m2 = execFailureMessage(
       Packing.packTokenIds(dupDocs, "id", "ids", seqLen = 4, padId = 0)
         .collect())
-    assert(e2.getMessage.contains("UNIQUE"), e2.getMessage)
+    assert(m2.contains("UNIQUE"), m2)
     // duplicates in DIFFERENT buckets of the same corpus still trip
     // (same key ⇒ same bucket, so this needs keys duplicated within
     // one bucket while other buckets stay clean)
     val spread = Seq((1L, 1L), (5L, 1L), (5L, 2L), (9L, 1L)).toDF("id", "w")
-    intercept[IllegalArgumentException](
-      Packing.globalCumsum(spread, "id", "w", 2))
+    val m3 = execFailureMessage(
+      Packing.globalCumsum(spread, "id", "w", 2).collect())
+    assert(m3.contains("UNIQUE"), m3)
     // and a clean unique corpus still passes untouched
     val clean = Seq((1L, 5L), (2L, 3L), (3L, 7L)).toDF("id", "w")
     assert(Packing.globalCumsum(clean, "id", "w", 2).count() == 3)
+  }
+
+  test("NULL in a secondary order column fails with the NULL-key message") {
+    // Sampling callers order by (tbh, key) — a NULL in the secondary
+    // column is invisible to the driver-side cell check (the bucket
+    // derives from the primary), so the window guard must name it
+    val in = Seq((1L, Some(10L), 1L), (2L, None, 1L), (3L, Some(30L), 1L))
+      .toDF("a", "b", "w")
+    val m = execFailureMessage(
+      Packing.bucketedCumsum(in, Seq.empty, floor(col("a") / 2),
+        Seq(col("a"), col("b")), col("w"), "spec").collect())
+    assert(m.contains("NULL order key"), m)
   }
 
   test("packTokenIds: concat-and-chunk into fixed-length sequences with pad and boundaries") {

@@ -62,6 +62,26 @@ class HttpSpec extends AnyFunSuite with BeforeAndAfterAll {
         Option(ex.getRequestHeaders.getFirst("Authorization")).getOrElse("none")))
     server.createContext("/query", (ex: HttpExchange) =>
       respond(ex, 200, "text/plain", Option(ex.getRequestURI.getRawQuery).getOrElse("")))
+    // verb echo: "<METHOD>|<request Content-Type>|<request body>";
+    // HEAD answers headers-only (RFC 9110: no response content)
+    server.createContext("/echo-verb", (ex: HttpExchange) => {
+      val m = ex.getRequestMethod
+      if (m == "HEAD") {
+        ex.getResponseHeaders.set("Content-Type", "text/plain")
+        ex.sendResponseHeaders(200, -1)
+        ex.close()
+      } else {
+        val body = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
+        val ct = Option(ex.getRequestHeaders.getFirst("Content-Type")).getOrElse("")
+        respond(ex, 200, "text/plain", s"$m|$ct|$body")
+      }
+    })
+    server.createContext("/cd.xml", (ex: HttpExchange) =>
+      respond(ex, 200, "application/xml",
+        """<catalog>
+          |<cd id="1"><title>Alpha</title><price>9.90</price></cd>
+          |<cd id="2"><title>Beta</title><price>12.50</price></cd>
+          |</catalog>""".stripMargin))
     server.start()
     base = s"http://127.0.0.1:${server.getAddress.getPort}"
   }
@@ -134,5 +154,49 @@ class HttpSpec extends AnyFunSuite with BeforeAndAfterAll {
     val byUrl = df.collect().map(r => r.getAs[String]("url") -> r.getAs[Int]("status")).toMap
     assert(byUrl(s"$base/astros.json") == 200)
     assert(byUrl(s"$base/missing") == 404)
+  }
+
+  test("post/put ship the body with its Content-Type; delete/head carry no body") {
+    // reference verb set, HttpSource.groovy:76-104
+    val posted = Http.post(spark, s"$base/echo-verb", """{"k":1}""")
+      .toDF.head().getAs[String]("body")
+    assert(posted == """POST|application/json|{"k":1}""")
+    val put = Http.put(spark, s"$base/echo-verb", "a=1&b=2",
+      bodyContentType = "application/x-www-form-urlencoded")
+      .toDF.head().getAs[String]("body")
+    assert(put == "PUT|application/x-www-form-urlencoded|a=1&b=2")
+    val del = Http.delete(spark, s"$base/echo-verb").toDF.head().getAs[String]("body")
+    assert(del == "DELETE||")
+    val head = Http.head(spark, s"$base/echo-verb").toDF.head()
+    assert(head.getAs[Int]("status") == 200)
+    assert(head.getAs[String]("content_type") == "text/plain")
+    assert(head.getAs[String]("body") == "")
+    // not a verb → loud, before any request goes out
+    val e = intercept[IllegalArgumentException](
+      Http.request(spark, s"$base/echo-verb", "FROB"))
+    assert(e.getMessage.contains("unsupported HTTP verb"))
+  }
+
+  test("getXmlRows: one row per rowTag element, attributes as _attr columns") {
+    // reference OkHttpSource.groovy:229-232 — xml Content-Type parsed
+    val df = Http.getXmlRows(spark, s"$base/cd.xml", rowTag = "cd").toDF
+    assert(df.count() == 2)
+    val byId = df.collect().map(r =>
+      r.getAs[Long]("_id") -> r.getAs[String]("title")).toMap
+    assert(byId == Map(1L -> "Alpha", 2L -> "Beta"))
+  }
+
+  test("getRows dispatches on response Content-Type (json/xml/csv/raw)") {
+    val json = Http.getRows(spark, s"$base/astros.json").toDF
+    assert(json.columns.contains("people"))
+    val xml = Http.getRows(spark, s"$base/cd.xml", rowTag = "cd").toDF
+    assert(xml.count() == 2)
+    val csv = Http.getRows(spark, s"$base/data.csv").toDF
+    assert(csv.columns.toSeq == Seq("id", "name") && csv.count() == 2)
+    val raw = Http.getRows(spark, s"$base/echo-auth").toDF
+    assert(raw.columns.toSeq == Seq("url", "status", "content_type", "body"))
+    // xml without a rowTag cannot be relationalized — loud
+    val e = intercept[IllegalArgumentException](Http.getRows(spark, s"$base/cd.xml"))
+    assert(e.getMessage.contains("rowTag"))
   }
 }

@@ -145,21 +145,89 @@ def parse_example(payload: bytes):
     return out
 
 
-def main(path: str) -> None:
+def records(path: str):
+    """Deframed tf.Example dicts; every length and payload masked-CRC32C
+    is verified on the way (an AssertionError here is a wire bug)."""
     data = open(path, "rb").read()
     off = 0
     while off < len(data):
         (length,) = struct.unpack("<Q", data[off:off + 8])
         (lcrc,) = struct.unpack("<I", data[off + 8:off + 12])
-        assert lcrc == masked(crc32c(data[off:off + 8])), "length CRC"
+        assert lcrc == masked(crc32c(data[off:off + 8])), f"length CRC at {path}:{off}"
         payload = data[off + 12:off + 12 + length]
         (pcrc,) = struct.unpack(
             "<I", data[off + 12 + length:off + 16 + length])
-        assert pcrc == masked(crc32c(payload)), "payload CRC"
-        print(json.dumps(parse_example(payload), sort_keys=True,
-                         ensure_ascii=False))
+        assert pcrc == masked(crc32c(payload)), f"payload CRC at {path}:{off}"
+        yield parse_example(payload)
         off += 16 + length
 
 
+def main(path: str) -> None:
+    for ex in records(path):
+        print(json.dumps(ex, sort_keys=True, ensure_ascii=False))
+
+
+def selfcheck(expect_jsonl: str, tfr_dir: str) -> None:
+    """Closing-checklist gate (graft.TfrSelfCheck is the producer):
+    decode every shard under tfr_dir with THIS decoder — masked-CRC
+    framing verified record by record — and diff the decoded
+    tf.Examples against the rows the Spark pipeline meant to write.
+    Exit 0 only on an exact match of the full record set."""
+    import os
+    expected = {}
+    with open(expect_jsonl) as f:
+        for line in f:
+            if line.strip():
+                r = json.loads(line)
+                expected[r["seq_id"]] = r
+    assert expected, f"no expected rows in {expect_jsonl}"
+
+    shards = []
+    for root, _, names in os.walk(tfr_dir):
+        shards += [os.path.join(root, n) for n in names
+                   if ".tfrecord" in n]
+    assert shards, f"no .tfrecord shards under {tfr_dir}"
+
+    mismatches, got_n = [], 0
+    seen = set()
+    for shard in shards:
+        for ex in records(shard):
+            got_n += 1
+            sid = ex["seq_id"]["values"][0]
+            if sid in seen:
+                mismatches.append(f"seq_id {sid}: duplicated on the wire")
+                continue
+            seen.add(sid)
+            want = expected.get(sid)
+            if want is None:
+                mismatches.append(f"seq_id {sid}: on the wire but not expected")
+                continue
+            for key in ("input_ids", "labels", "doc_offsets", "n_docs", "n_pad"):
+                feat = ex.get(key)
+                if feat is None or feat["kind"] != "int64":
+                    mismatches.append(f"seq_id {sid}.{key}: missing or non-int64")
+                    continue
+                w = want[key]
+                w = w if isinstance(w, list) else [w]
+                if feat["values"] != w:
+                    mismatches.append(
+                        f"seq_id {sid}.{key}: wire {feat['values']} != expected {w}")
+    for sid in expected:
+        if sid not in seen:
+            mismatches.append(f"seq_id {sid}: expected but absent from the wire")
+
+    if mismatches:
+        for m in mismatches[:20]:
+            print(f"MISMATCH {m}", file=sys.stderr)
+        print(f"tfrecord selfcheck FAILED: {len(mismatches)} mismatches "
+              f"({got_n} wire records, {len(expected)} expected)", file=sys.stderr)
+        sys.exit(1)
+    print(f"tfrecord selfcheck OK: {got_n} records across {len(shards)} shards "
+          "match expected bit-for-bit (CRCs verified)")
+
+
 if __name__ == "__main__":
-    main(sys.argv[1])
+    if sys.argv[1] == "--expect":
+        selfcheck(sys.argv[2], sys.argv[3])
+    else:
+        main(sys.argv[1])
