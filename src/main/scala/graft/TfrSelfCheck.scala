@@ -49,8 +49,10 @@ object TfrSelfCheck {
     // slice packs a few dozen sequences; cap loudly anyway.
     val rows = seqs.orderBy("seq_id").limit(100001).collect()
     require(rows.length <= 100000, "selfcheck corpus unexpectedly large")
+    // Row.getAs returns mutable.ArraySeq for array columns — match the
+    // collection root, not 2.13's immutable-Seq default alias
     def ints(v: Any): String = v match {
-      case s: Seq[_] => s.map(_.toString).mkString("[", ",", "]")
+      case s: scala.collection.Seq[_] => s.map(_.toString).mkString("[", ",", "]")
       case null => "[]"
     }
     val jsonl = rows.map { r =>

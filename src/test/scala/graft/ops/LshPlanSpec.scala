@@ -86,6 +86,27 @@ class LshPlanSpec extends AnyFunSuite {
     assert(found >= 8, s"found only $found of 10 planted near-dup pairs")
   }
 
+  test("lshNeighborsAuto executes its upstream exactly once (the 100 TB encoder tax)") {
+    // embeddingNearDups inherits this path; before the internal
+    // persist, the planning count and the signature pass each ran the
+    // upstream plan in full — with an expensive encoder upstream that
+    // DOUBLED the dominant cost. An accumulator-counting identity UDF
+    // on the vector column observes every upstream execution: the
+    // count must equal the row count, not 2x it. (The result is
+    // consumed too — candidatePairs localCheckpoints, so downstream
+    // reads cannot re-trigger the upstream either.)
+    val acc = spark.sparkContext.longAccumulator("upstream-rows")
+    val observed = udf { (v: Seq[Double]) => acc.add(1L); v }
+    val base = planted(200)
+    val n = base.count()
+    val df = base.withColumn("embedding", observed(col("embedding")))
+    VectorOps.lshNeighborsAuto(df, "vec_id", "embedding", threshold = 0.9)
+      .count()
+    assert(acc.value == n,
+      s"upstream executed ${acc.value}x rows for an n=$n corpus — " +
+        "expected exactly one full pass")
+  }
+
   test("all-capped banding fails loudly instead of silently emitting zero pairs") {
     // 50 identical vectors: every (band, bucket) holds all 50 — past
     // maxBucket=10 everywhere, and the pre-guard behavior was an EMPTY

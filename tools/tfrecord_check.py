@@ -184,8 +184,10 @@ def selfcheck(expect_jsonl: str, tfr_dir: str) -> None:
 
     shards = []
     for root, _, names in os.walk(tfr_dir):
+        # skip Hadoop's hidden .part-*.tfrecord.crc checksum sidecars
         shards += [os.path.join(root, n) for n in names
-                   if ".tfrecord" in n]
+                   if ".tfrecord" in n and not n.startswith(".")
+                   and not n.endswith(".crc")]
     assert shards, f"no .tfrecord shards under {tfr_dir}"
 
     mismatches, got_n = [], 0
