@@ -656,7 +656,10 @@ object Dedup {
   def sharedShingleEdges(
       df: DataFrame, idCol: String, textCol: String,
       shingleN: Int = 8, maxDocsPerGram: Int = 1000,
-      materialize: Boolean = true): DataFrame = {
+      materialize: Boolean = true,
+      saturationMassFraction: Double = 0.5): DataFrame = {
+    require(saturationMassFraction >= 0.0 && saturationMassFraction <= 1.0,
+      s"saturationMassFraction must be in [0, 1], got $saturationMassFraction")
     // same cap machinery as LshBlocking.candidatePairs: the gram
     // frequency is a sort-free COUNT aggregate (never a collected id
     // list — a boilerplate gram must not materialize its doc set
@@ -718,7 +721,9 @@ object Dedup {
         // UNDER half their gram occurrences (dups padded with unique
         // IDs/timestamps) warns and emits zero edges — the price of
         // not crashing every boilerplate-header corpus; raise
-        // maxDocsPerGram if that shape is expected. The mass sums ride
+        // maxDocsPerGram if that shape is expected, or set
+        // saturationMassFraction = 0 to restore the strict fail-loud
+        // guard (any all-capped shape throws). The mass sums ride
         // the same aggregate — no extra pass. Empty and
         // genuinely-unshared corpora (capped == 0) pass through
         // silently. Only the
@@ -739,7 +744,7 @@ object Dedup {
         val cappedMass = if (occ.isNullAt(2)) 0L else occ.getLong(2)
         val mass = if (occ.isNullAt(3)) 0L else occ.getLong(3)
         if (capped > 0 && pairable == 0) {
-          if (cappedMass * 2 >= mass)
+          if (cappedMass >= saturationMassFraction * mass)
             throw new IllegalStateException(
               s"sharedShingleEdges: all $capped shared grams exceed " +
                 s"maxDocsPerGram=$maxDocsPerGram and they carry " +

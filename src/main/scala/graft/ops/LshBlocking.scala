@@ -54,7 +54,10 @@ object LshBlocking {
   def candidatePairs(
       df: DataFrame, bands: Int, rowsPerBand: Int,
       maxBucket: Int, payload: Option[String] = None,
-      screen: DataFrame => DataFrame = identity): DataFrame = {
+      screen: DataFrame => DataFrame = identity,
+      saturationMassFraction: Double = 0.5): DataFrame = {
+    require(saturationMassFraction >= 0.0 && saturationMassFraction <= 1.0,
+      s"saturationMassFraction must be in [0, 1], got $saturationMassFraction")
     val carry = payload.getOrElse("__sig__")
 
     // Persist the INPUT (id, signature[, payload]) rather than the
@@ -97,7 +100,9 @@ object LshBlocking {
       // near-dups whose banding rows are under half the mass (dup
       // islands in a large unique tail) warns instead of failing —
       // the cost of not crashing every mostly-unique corpus; raise
-      // maxBucket when mega-dup islands should pair.
+      // maxBucket when mega-dup islands should pair, or set
+      // saturationMassFraction = 0 to restore the strict fail-loud
+      // guard (any all-capped shape throws).
       // The mass sums ride the same aggregate — no extra pass. An
       // empty or all-singleton banding (capped == 0) passes through
       // silently; so does any mix with at least one pairable bucket.
@@ -115,7 +120,7 @@ object LshBlocking {
       val cappedMass = if (occ.isNullAt(2)) 0L else occ.getLong(2)
       val mass = if (occ.isNullAt(3)) 0L else occ.getLong(3)
       if (cappedBuckets > 0 && pairableBuckets == 0) {
-        if (cappedMass * 2 >= mass)
+        if (cappedMass >= saturationMassFraction * mass)
           throw new IllegalStateException(
             s"lsh blocking: all $cappedBuckets occupied multi-member buckets " +
               s"exceed maxBucket=$maxBucket and hold $cappedMass of $mass " +

@@ -233,5 +233,21 @@ class LshPlanSpec extends AnyFunSuite {
       Dedup.sharedShingleEdges(clones, "id", "text",
         shingleN = 8, maxDocsPerGram = 10)
     }
+
+    // strict pipelines opt back into fail-loud: fraction 0 makes ANY
+    // all-capped shape throw, mega-dup island or not (the r15 guard's
+    // original contract, now a knob instead of gone)
+    intercept[IllegalStateException] {
+      LshBlocking.candidatePairs(sigs, bands = 2, rowsPerBand = 2,
+        maxBucket = 10, saturationMassFraction = 0.0)
+    }
+    intercept[IllegalStateException] {
+      Dedup.sharedShingleEdges(docs, "id", "text",
+        shingleN = 8, maxDocsPerGram = 10, saturationMassFraction = 0.0)
+    }
+    intercept[IllegalArgumentException] {
+      Dedup.sharedShingleEdges(docs, "id", "text",
+        shingleN = 8, maxDocsPerGram = 10, saturationMassFraction = 1.5)
+    }
   }
 }

@@ -158,6 +158,27 @@ class PackingSpec extends AnyFunSuite {
     assert(Packing.globalCumsum(clean, "id", "w", 2).count() == 3)
   }
 
+  test("the order-key guard rides the prefix-sum window: ONE Window exec, ONE sort") {
+    // the shuffle-free claim under audit: the lag-based duplicate
+    // probe shares the prefix sum's (partition, order) spec, so
+    // Catalyst must plan ONE WindowExec over ONE sort — a second
+    // Window or Sort would mean the guard bought its check with an
+    // extra pass over the corpus
+    val clean = Seq((1L, 5L), (2L, 3L), (3L, 7L), (4L, 2L)).toDF("id", "w")
+    val out = Packing.globalCumsum(clean, "id", "w", 2)
+    out.collect()
+    // AQE's toString prints the plan twice (Final + Initial) — count
+    // nodes in the final section only
+    val plan = out.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]]
+      .queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    val windows = plan.linesIterator.count(_.contains("Window ["))
+    val sorts = plan.linesIterator.count(l =>
+      l.contains("Sort [") && !l.contains("SortMergeJoin"))
+    assert(windows == 1, s"expected exactly one Window exec:\n$plan")
+    assert(sorts == 1, s"expected exactly one Sort (the window's):\n$plan")
+  }
+
   test("NULL in a secondary order column fails with the NULL-key message") {
     // Sampling callers order by (tbh, key) — a NULL in the secondary
     // column is invisible to the driver-side cell check (the bucket
