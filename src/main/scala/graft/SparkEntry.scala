@@ -2135,6 +2135,44 @@ object SparkEntry {
       } finally server.stop(0)
     },
 
+    "q_http_postmany" -> { (s, dir) =>
+      // the executor-side per-row POST fan-out under the hard gate:
+      // every nation row POSTs its own name to a loopback echo that
+      // answers POST-only, and the echoed body must land back on ITS
+      // row (requestMany's pass-through columns carry the join). A
+      // verb regression or a row/response mix-up fails the hash gate.
+      // The calls run at EXECUTION time, so the result is eagerly
+      // localCheckpointed before the server stops.
+      val server = com.sun.net.httpserver.HttpServer.create(
+        new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+      try {
+        server.createContext("/echo",
+          (ex: com.sun.net.httpserver.HttpExchange) => {
+            val received =
+              if (ex.getRequestMethod == "POST")
+                ex.getRequestBody.readAllBytes()
+              else Array.empty[Byte]
+            ex.getResponseHeaders.set("Content-Type", "text/plain")
+            ex.sendResponseHeaders(200, received.length)
+            ex.getResponseBody.write(received)
+            ex.close()
+          })
+        server.start()
+        val url = s"http://127.0.0.1:${server.getAddress.getPort}/echo"
+        val reqs = t(s, dir, "nation")
+          .filter(col("n_name").isNotNull)
+          .select(col("n_nationkey"), lit(url).as("__url__"),
+            col("n_name").as("__body__"))
+        sources.Http.postMany(reqs, "__url__", "__body__",
+          bodyContentType = "text/plain", parallelism = 4)
+          .toDF
+          .select(col("n_nationkey").cast(LongType).as("n_nationkey"),
+            col("resp_body").as("n_name"))
+          .localCheckpoint(true)
+          .orderBy("n_nationkey")
+      } finally server.stop(0)
+    },
+
     "q_pgp_roundtrip" -> { (s, dir) =>
       val (pub, sec) = pgpGateKeys
       val docs = t(s, dir, "documents").filter(col("doc_id") < 50)
@@ -4641,6 +4679,11 @@ ORDER BY seq_id"""
       """SELECT cast(n_nationkey AS BIGINT) AS n_nationkey, n_name,
         |  cast(n_regionkey AS BIGINT) AS n_regionkey
         |FROM nation ORDER BY n_nationkey""".stripMargin,
+
+    "q_http_postmany" ->
+      """SELECT cast(n_nationkey AS BIGINT) AS n_nationkey, n_name
+        |FROM nation WHERE n_name IS NOT NULL
+        |ORDER BY n_nationkey""".stripMargin,
 
     // the zip's entry names, sizes and bytes must reproduce the
     // original rows exactly (NULL-name rows excluded on both sides)

@@ -167,6 +167,77 @@ object Http {
     withStatusPolicy(Pipeline.of(s"http(${urls.size} urls)", df), rejectNon200)
   }
 
+  /** Executor-side per-row HTTP call over a DATAFRAME of requests —
+    * the cluster-scale shape of calling an annotation / inference /
+    * enrichment endpoint from a pipeline: the request list is itself a
+    * distributed table ([[getMany]]'s driver-side `Seq[String]` cannot
+    * hold it). Appends `status` / `content_type` / `resp_body` to
+    * every input row (all input columns pass through, so the response
+    * joins its request with no key bookkeeping). A NULL url row passes
+    * through with NULL response columns (no request goes out) — callers
+    * reject or default upstream.
+    *
+    * `bodyCol` (nullable per row) supplies the request body for
+    * POST/PUT/PATCH/DELETE; `bodyContentType` labels it. Concurrency =
+    * `parallelism` tasks (a `coalesce` cap, so an over-partitioned
+    * input cannot open thousands of connections at once); within a
+    * task requests run sequentially over the JVM-shared pooled client,
+    * and the 429 Retry-After loop applies per request. `rejectNon200`
+    * routes error responses to the rejection side-band like every
+    * other Http entry. */
+  def requestMany(
+      df: org.apache.spark.sql.DataFrame, urlCol: String,
+      verb: String = "GET", bodyCol: String = null,
+      bodyContentType: String = "application/json",
+      headers: Map[String, String] = Map.empty,
+      basicAuth: (String, String) = null,
+      bearerToken: String = null,
+      maxRetries: Int = MaxRetries,
+      parallelism: Int = 32,
+      rejectNon200: Boolean = false): Pipeline = {
+    val v = verb.toUpperCase
+    require(Verbs.contains(v), s"unsupported HTTP verb '$verb' (one of ${Verbs.mkString(", ")})")
+    require(parallelism >= 1, s"parallelism must be >= 1, got $parallelism")
+    Seq("status", "content_type", "resp_body").foreach(c =>
+      require(!df.columns.contains(c), s"input already has a column named $c"))
+    val urlIdx = df.schema.fieldIndex(urlCol)
+    val bodyIdx = Option(bodyCol).map(df.schema.fieldIndex)
+    val hdrs = headers
+    val auth = Option(basicAuth)
+    val tok = Option(bearerToken)
+    val retries = maxRetries
+    val bct = bodyContentType
+    val outSchema = df.schema
+      .add("status", IntegerType).add("content_type", StringType)
+      .add("resp_body", StringType)
+    val out = df.coalesce(parallelism).mapPartitions { it =>
+      it.map { r =>
+        if (r.isNullAt(urlIdx))
+          Row.fromSeq(r.toSeq ++ Seq(null, null, null))
+        else {
+          val body = bodyIdx.filterNot(r.isNullAt).map(r.getString)
+          val resp = fetch(r.getString(urlIdx), hdrs, Map.empty, auth,
+            tok, retries, v, body, bct)
+          Row.fromSeq(r.toSeq ++ Seq(resp._2, resp._3, resp._4))
+        }
+      }
+    }(org.apache.spark.sql.Encoders.row(outSchema))
+    withStatusPolicy(Pipeline.of(s"http:$v(rows)", out), rejectNon200)
+  }
+
+  /** [[requestMany]] with verb POST — one POSTed `bodyCol` per row. */
+  def postMany(
+      df: org.apache.spark.sql.DataFrame, urlCol: String, bodyCol: String,
+      bodyContentType: String = "application/json",
+      headers: Map[String, String] = Map.empty,
+      basicAuth: (String, String) = null,
+      bearerToken: String = null,
+      maxRetries: Int = MaxRetries,
+      parallelism: Int = 32,
+      rejectNon200: Boolean = false): Pipeline =
+    requestMany(df, urlCol, "POST", bodyCol, bodyContentType, headers,
+      basicAuth, bearerToken, maxRetries, parallelism, rejectNon200)
+
   /** Fetch + parse a JSON response body into rows (the reference's
     * `json` column, relationalized): top-level arrays become one row
     * per element; `descent`/`includeRoot` behave as in

@@ -177,6 +177,37 @@ class HttpSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(e.getMessage.contains("unsupported HTTP verb"))
   }
 
+  test("requestMany/postMany: per-row executor-side calls, pass-through columns, NULL url") {
+    import spark.implicits._
+    // one POST per row, each with its own body; input columns survive
+    val reqs = Seq((1L, s"$base/echo-verb", """{"id":1}"""),
+      (2L, s"$base/echo-verb", """{"id":2}"""),
+      (3L, null, """{"id":3}"""))
+      .toDF("rid", "url", "payload")
+    val out = Http.postMany(reqs, "url", "payload").toDF
+      .orderBy("rid").collect()
+    assert(out.map(_.getAs[Long]("rid")).toSeq == Seq(1L, 2L, 3L))
+    assert(out(0).getAs[String]("resp_body") == """POST|application/json|{"id":1}""")
+    assert(out(1).getAs[String]("resp_body") == """POST|application/json|{"id":2}""")
+    assert(out(0).getAs[Int]("status") == 200)
+    // a NULL url row flows through with NULL response columns
+    assert(out(2).isNullAt(out(2).fieldIndex("status")) &&
+      out(2).isNullAt(out(2).fieldIndex("resp_body")))
+    // NULL body on a verb that allows one -> body-less request
+    val noBody = Seq((s"$base/echo-verb", null: String)).toDF("url", "payload")
+    assert(Http.requestMany(noBody, "url", "PUT", bodyCol = "payload")
+      .toDF.head().getAs[String]("resp_body") == "PUT||")
+    // rejectNon200 routes error responses to the rejection side-band
+    val mixed = Seq(s"$base/echo-verb", s"$base/missing").toDF("url")
+    val p = Http.requestMany(mixed, "url", rejectNon200 = true)
+    assert(p.toDF.count() == 1)
+    // loud guards: response-column collision, unknown verb
+    val collide = Seq(("u", 1)).toDF("url", "status")
+    intercept[IllegalArgumentException](Http.requestMany(collide, "url"))
+    intercept[IllegalArgumentException](
+      Http.requestMany(mixed, "url", verb = "FROB"))
+  }
+
   test("getXmlRows: one row per rowTag element, attributes as _attr columns") {
     // reference OkHttpSource.groovy:229-232 — xml Content-Type parsed
     val df = Http.getXmlRows(spark, s"$base/cd.xml", rowTag = "cd").toDF
