@@ -184,7 +184,14 @@ object Http {
     * task requests run sequentially over the JVM-shared pooled client,
     * and the 429 Retry-After loop applies per request. `rejectNon200`
     * routes error responses to the rejection side-band like every
-    * other Http entry. */
+    * other Http entry.
+    *
+    * Transport failures (unreachable host, timeout, TLS) are captured
+    * PER ROW — NULL status/content_type/resp_body plus the exception
+    * in the `error` column — never thrown: at fleet scale one dead URL
+    * among millions must not kill the job on its fourth task retry.
+    * `rejectNon200` treats a NULL status as a rejection too, so the
+    * side-band collects both error responses and transport failures. */
   def requestMany(
       df: org.apache.spark.sql.DataFrame, urlCol: String,
       verb: String = "GET", bodyCol: String = null,
@@ -198,7 +205,7 @@ object Http {
     val v = verb.toUpperCase
     require(Verbs.contains(v), s"unsupported HTTP verb '$verb' (one of ${Verbs.mkString(", ")})")
     require(parallelism >= 1, s"parallelism must be >= 1, got $parallelism")
-    Seq("status", "content_type", "resp_body").foreach(c =>
+    Seq("status", "content_type", "resp_body", "error").foreach(c =>
       require(!df.columns.contains(c), s"input already has a column named $c"))
     val urlIdx = df.schema.fieldIndex(urlCol)
     val bodyIdx = Option(bodyCol).map(df.schema.fieldIndex)
@@ -209,20 +216,33 @@ object Http {
     val bct = bodyContentType
     val outSchema = df.schema
       .add("status", IntegerType).add("content_type", StringType)
-      .add("resp_body", StringType)
+      .add("resp_body", StringType).add("error", StringType)
     val out = df.coalesce(parallelism).mapPartitions { it =>
       it.map { r =>
         if (r.isNullAt(urlIdx))
-          Row.fromSeq(r.toSeq ++ Seq(null, null, null))
+          Row.fromSeq(r.toSeq ++ Seq(null, null, null, null))
         else {
           val body = bodyIdx.filterNot(r.isNullAt).map(r.getString)
-          val resp = fetch(r.getString(urlIdx), hdrs, Map.empty, auth,
-            tok, retries, v, body, bct)
-          Row.fromSeq(r.toSeq ++ Seq(resp._2, resp._3, resp._4))
+          try {
+            val resp = fetch(r.getString(urlIdx), hdrs, Map.empty, auth,
+              tok, retries, v, body, bct)
+            Row.fromSeq(r.toSeq ++ Seq(resp._2, resp._3, resp._4, null))
+          } catch {
+            case scala.util.control.NonFatal(e) =>
+              Row.fromSeq(r.toSeq ++ Seq(null, null, null,
+                s"${e.getClass.getSimpleName}: ${e.getMessage}"))
+          }
         }
       }
     }(org.apache.spark.sql.Encoders.row(outSchema))
-    withStatusPolicy(Pipeline.of(s"http:$v(rows)", out), rejectNon200)
+    // NULL-status (transport failure) must reject alongside >399: the
+    // plain <= comparison's NULL would silently DROP instead of reject
+    val p = Pipeline.of(s"http:$v(rows)", out)
+    if (!rejectNon200) p
+    else p.filter("http-status",
+      col("status").isNotNull && col("status") <= 399,
+      RejectionCategory.RUNTIME_ERROR,
+      "Non-2xx/3xx HTTP response or transport failure")
   }
 
   /** [[requestMany]] with verb POST — one POSTed `bodyCol` per row. */

@@ -206,6 +206,19 @@ class HttpSpec extends AnyFunSuite with BeforeAndAfterAll {
     intercept[IllegalArgumentException](Http.requestMany(collide, "url"))
     intercept[IllegalArgumentException](
       Http.requestMany(mixed, "url", verb = "FROB"))
+    // a transport failure (dead endpoint) is captured on ITS row, not
+    // thrown — one unreachable URL among millions must not kill the job
+    val dead = Seq((s"$base/echo-verb", "live"), ("http://127.0.0.1:1/x", "dead"))
+      .toDF("url", "tag")
+    val rows = Http.requestMany(dead, "url").toDF.orderBy("tag").collect()
+    assert(rows(1).getAs[String]("tag") == "live" &&
+      rows(1).getAs[Int]("status") == 200 &&
+      rows(1).isNullAt(rows(1).fieldIndex("error")))
+    assert(rows(0).getAs[String]("tag") == "dead" &&
+      rows(0).isNullAt(rows(0).fieldIndex("status")) &&
+      rows(0).getAs[String]("error").nonEmpty)
+    // rejectNon200 sends transport failures to the side-band too
+    assert(Http.requestMany(dead, "url", rejectNon200 = true).toDF.count() == 1)
   }
 
   test("getXmlRows: one row per rowTag element, attributes as _attr columns") {
@@ -215,6 +228,35 @@ class HttpSpec extends AnyFunSuite with BeforeAndAfterAll {
     val byId = df.collect().map(r =>
       r.getAs[Long]("_id") -> r.getAs[String]("title")).toMap
     assert(byId == Map(1L -> "Alpha", 2L -> "Beta"))
+  }
+
+  test("xmlRecords: depth-tracked rowTag split on generated documents (seeded fuzz)") {
+    // the splitter is a hand-rolled scanner — verify it against 300
+    // generated documents covering nested same-name tags, self-closing
+    // records, attributes, tag-name-prefix decoys (<cdx>), comments and
+    // whitespace filler. Expected output = exactly the record strings
+    // the generator planted, in order.
+    val rnd = new scala.util.Random(42)
+    for (round <- 0 until 300) {
+      val n = rnd.nextInt(6)
+      val recs = (0 until n).map { i =>
+        val attrs = if (rnd.nextBoolean()) s""" id="$i" x="y"""" else ""
+        if (rnd.nextInt(5) == 0) s"<cd$attrs/>"
+        else rnd.nextInt(4) match {
+          case 0 => s"<cd$attrs><title>t$i</title></cd>"
+          case 1 => s"<cd$attrs><cd><title>nested$i</title></cd></cd>"
+          case 2 => s"<cd$attrs>text $i <other>x</other></cd>"
+          case 3 => s"<cd$attrs><cd/><cd><cd>deep</cd></cd></cd>"
+        }
+      }
+      val fillers = Seq("", "\n  ", "<!-- note -->", "<meta>m</meta>",
+        "<cdx>decoy</cdx>", "plain text")
+      def filler() = fillers(rnd.nextInt(fillers.length))
+      val body = "<catalog>" + filler() +
+        recs.map(_ + filler()).mkString + "</catalog>"
+      val got = graft.sources.Http.xmlRecords(body, "cd")
+      assert(got == recs, s"round $round:\n$body\ngot $got\nwant $recs")
+    }
   }
 
   test("getRows dispatches on response Content-Type (json/xml/csv/raw)") {
