@@ -2807,6 +2807,31 @@ object SparkEntry {
         .orderBy("seq_id", "pos")
     },
 
+    "q_pack_whole" -> { (s, dir) =>
+      // WHOLE-document next-fit packing over real corpus text — the
+      // SFT tensor shape: a document NEVER splits across sequences.
+      // Encode doc_id<300 under the fixture model, drop docs over
+      // seqLen (the production filter-then-pack pattern; none trip at
+      // this corpus), pack at 1024 ids/sequence with the per-100-key
+      // bucket restart. The oracle re-derives every token symbol from
+      // the stated merges, replays the next-fit walk as a recursive
+      // CTE (bucket restart included), and re-computes ids, per-doc
+      // offsets, packed doc sets and pads — all under the hash.
+      val bc = bpeGateBc(s)
+      val docs = ops.Bpe.withTokenIds(
+        t(s, dir, "documents").filter(col("doc_id") < 300), "text", "ids", bc)
+        .filter(size(col("ids")).between(1, 1024))
+      ops.Packing.packWholeDocs(docs, "doc_id", "ids",
+        seqLen = 1024, padId = 0, bucketWidth = 100)
+        .select(col("seq_id"), col("n_docs"), col("n_pad"),
+          concat_ws(",", transform(col("doc_ids"), x => x.cast("string")))
+            .as("doc_ids_csv"),
+          concat_ws(",", transform(col("doc_offsets"), x => x.cast("string")))
+            .as("offsets_csv"),
+          posexplode(col("input_ids")).as(Seq("pos", "token_id")))
+        .orderBy("seq_id", "pos")
+    },
+
     "q_sample_soft" -> { (s, dir) =>
       // SOFT quality filtering under the hash: per-doc keep probability
       // p = min(1, n_chars/500) — short docs keep a proportional share
@@ -3603,6 +3628,99 @@ ORDER BY seq_id"""
       prefix(Some(packGateSepId), mixedDocs300) + fullSelect,
       prefix(None) + shardsSelect,
       prefix(None, epochsDocs300) + idsSelect)
+  }
+
+  /** q_pack_whole oracle: the recursive-CTE BPE encoder (same stated
+    * merges/vocab as every pack gate) feeding a RECURSIVE next-fit
+    * walk over doc order — whole-document packing with the per-bucket
+    * (doc_id//100) restart mirrored exactly; a linear recursion over
+    * the ≤300-doc slice, one step per doc. */
+  private val packWholeOracle: String = {
+    def pat(l: String, r: String) = s"chr(1)||'$l'||chr(1)||'$r'||chr(1)"
+    def rep(l: String, r: String) = s"chr(1)||'$l$r'||chr(1)"
+    val any = bpeOracleMerges
+      .map { case (l, r) => s"contains(s, ${pat(l, r)})" }
+      .mkString("\n      OR ")
+    val arms = bpeOracleMerges
+      .map { case (l, r) =>
+        s"WHEN contains(s, ${pat(l, r)}) THEN replace(s, ${pat(l, r)}, ${rep(l, r)})" }
+      .mkString("\n      ")
+    val ws = """'[ \t\n\x0b\f\r]+'"""
+    val init = """chr(1) || regexp_replace(word, '(.)', '\1' || chr(1), 'g') || '</w>' || chr(1)"""
+    s"""WITH RECURSIVE
+docs300 AS (
+  SELECT doc_id, text FROM documents WHERE text IS NOT NULL AND doc_id < 300),
+dw AS (
+  SELECT DISTINCT unnest(regexp_split_to_array(trim(text), $ws)) AS word
+  FROM docs300),
+dwne AS (SELECT word FROM dw WHERE length(word) > 0),
+enc AS (
+  SELECT word, $init AS s
+  FROM dwne
+  UNION ALL
+  SELECT word,
+    CASE
+      $arms
+      ELSE s END AS s
+  FROM enc
+  WHERE $any),
+wsyms AS (
+  SELECT word, list_filter(string_split(s, chr(1)), x -> length(x) > 0) AS syms
+  FROM enc
+  WHERE NOT ($any)),
+docw AS (
+  SELECT doc_id, unnest(words) AS word,
+    unnest(range(1, len(words) + 1)) AS wpos
+  FROM (SELECT doc_id,
+          list_filter(regexp_split_to_array(trim(text), $ws),
+                      x -> length(x) > 0) AS words
+        FROM docs300)),
+tok AS (
+  SELECT d.doc_id, d.wpos, unnest(w.syms) AS sym,
+    unnest(range(1, len(w.syms) + 1)) AS spos
+  FROM docw d JOIN wsyms w USING (word)),
+$bpeOracleVocabCte,
+dtok AS (
+  SELECT t.doc_id, coalesce(v.id, 1) AS tid,
+    row_number() OVER (PARTITION BY t.doc_id ORDER BY t.wpos, t.spos) - 1
+      AS dpos
+  FROM tok t LEFT JOIN vocab v ON v.tok = t.sym),
+dlen AS (SELECT doc_id, count(*) AS len FROM dtok GROUP BY doc_id),
+dkept AS (
+  SELECT doc_id, len, doc_id // 100 AS b,
+    row_number() OVER (ORDER BY doc_id) AS rn
+  FROM dlen WHERE len BETWEEN 1 AND 1024),
+walk AS (
+  SELECT b, rn, doc_id, len, cast(0 AS BIGINT) AS sl, len AS fill
+  FROM dkept WHERE rn = 1
+  UNION ALL
+  SELECT d.b, d.rn, d.doc_id, d.len,
+    CASE WHEN d.b <> w.b THEN 0
+         WHEN w.fill + d.len <= 1024 THEN w.sl ELSE w.sl + 1 END,
+    CASE WHEN d.b <> w.b THEN d.len
+         WHEN w.fill + d.len <= 1024 THEN w.fill + d.len ELSE d.len END
+  FROM walk w JOIN dkept d ON d.rn = w.rn + 1),
+placed AS (
+  SELECT doc_id, len, b * 100 + sl AS seq_id, fill - len AS off
+  FROM walk),
+seqmeta AS (
+  SELECT seq_id, count(*) AS n_docs, cast(sum(len) AS BIGINT) AS n_tok,
+    string_agg(cast(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS doc_ids_csv,
+    string_agg(cast(off AS VARCHAR), ',' ORDER BY doc_id) AS offsets_csv
+  FROM placed GROUP BY seq_id),
+realrows AS (
+  SELECT p.seq_id, cast(p.off + t.dpos AS INTEGER) AS pos,
+    cast(t.tid AS INTEGER) AS token_id
+  FROM placed p JOIN dtok t USING (doc_id)),
+padrows AS (
+  SELECT seq_id, cast(pp AS INTEGER) AS pos, cast(0 AS INTEGER) AS token_id
+  FROM (SELECT seq_id, unnest(range(n_tok, 1024)) AS pp FROM seqmeta)),
+allrows AS (SELECT * FROM realrows UNION ALL SELECT * FROM padrows)
+SELECT a.seq_id, cast(m.n_docs AS INTEGER) AS n_docs,
+  cast(1024 - m.n_tok AS INTEGER) AS n_pad, m.doc_ids_csv, m.offsets_csv,
+  a.pos, a.token_id
+FROM allrows a JOIN seqmeta m USING (seq_id)
+ORDER BY seq_id, pos"""
   }
 
   private[graft] def bpeGateBc(s: SparkSession) =
@@ -5367,6 +5485,7 @@ ORDER BY seq_id"""
         |ORDER BY doc_id""".stripMargin,
 
     "q_pack_ids" -> bpePackIdsOracle,
+    "q_pack_whole" -> packWholeOracle,
     // the training-example labels re-derived from the oracle's own
     // packed rows (lead() over the global token order)
     "q_pack_labels" -> bpePackLabelsOracle,

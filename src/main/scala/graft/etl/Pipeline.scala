@@ -1286,6 +1286,17 @@ final class Pipeline private (
       graft.ops.Packing.packTokenIds(_, orderCol, idsCol, seqLen, padId,
         sepId = sepId)))
 
+  /** WHOLE-document next-fit packing — the SFT tensor shape: a
+    * document never splits across sequences
+    * ([[graft.ops.Packing.packWholeDocs]]; docs longer than seqLen
+    * fail loudly — filter oversized upstream, or use [[packTokenIds]],
+    * the splitting packer). */
+  def packWholeDocs(
+      orderCol: String, idsCol: String, seqLen: Int,
+      padId: Int = 0): Pipeline =
+    add(MapStep("packWholeDocs",
+      graft.ops.Packing.packWholeDocs(_, orderCol, idsCol, seqLen, padId)))
+
   /** Deterministic shuffle-and-shard of a packed sequence set —
     * adds `rank` (position in the reproducible md5-prefix permutation)
     * and `shard_id` (its `rowsPerShard` cut)

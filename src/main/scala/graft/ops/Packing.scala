@@ -352,6 +352,133 @@ object Packing {
         (lit(seqLen) - size(col("__ids__"))).as("n_pad"))
   }
 
+  /** Greedy NEXT-FIT whole-document packing — the SFT-data shape: a
+    * document is NEVER split across sequences (no cross-document
+    * attention contamination, no piece arithmetic). Documents walk in
+    * `orderCol` order; one that does not fit in the current sequence's
+    * remainder starts the next sequence. A doc LONGER than seqLen
+    * cannot be packed whole and fails loudly (filter oversized docs
+    * upstream, or use [[packTokenIds]] — the splitting packer).
+    * Empty / NULL id lists contribute nothing; `orderCol` inherits the
+    * integral / NON-NULL / UNIQUE contract (checked in the fold).
+    *
+    * Scale shape: next-fit is a SEQUENTIAL fold — each placement
+    * depends on the running fill — so it cannot distribute exactly.
+    * The distributed form restarts the fold at every
+    * `bucketWidth`-wide order-key range: buckets pack independently
+    * (hash-partitioned by bucket, sorted within partitions, one
+    * streaming pass — per-task state is ONE sequence buffer), costing
+    * at most one extra partly-padded sequence per bucket — bounded,
+    * rerun-stable, no cross-bucket carry to serialize on.
+    * `seq_id = bucket·bucketWidth + index-within-bucket` (unique and
+    * monotone in pack order since a bucket spans at most bucketWidth
+    * keys; NOT dense across buckets).
+    *
+    * Output: `seq_id`, `input_ids` (padded to seqLen), `doc_ids` (the
+    * packed documents' order keys, in order), `doc_offsets` (each
+    * document's first-token position — [[withCausalLabels]] consumes
+    * them unchanged), `n_docs`, `n_pad`. */
+  def packWholeDocs(
+      df: DataFrame, orderCol: String, idsCol: String,
+      seqLen: Int, padId: Int = 0, bucketWidth: Long = 100000): DataFrame = {
+    require(seqLen >= 1, s"seqLen must be >= 1, got $seqLen")
+    require(bucketWidth >= 1, s"bucketWidth must be >= 1, got $bucketWidth")
+    Seq("__b__", "__k__", "__ids__").foreach(c =>
+      require(!df.columns.contains(c), s"input already has a column named $c"))
+    val what = s"packWholeDocs($orderCol)"
+    val prepared = df
+      .select(
+        floor(col(orderCol).cast("long") / bucketWidth).as("__b__"),
+        col(orderCol).cast("long").as("__k__"),
+        col(idsCol).cast("array<int>").as("__ids__"))
+      .filter(size(col("__ids__")) > 0)
+      .repartition(col("__b__"))
+      .sortWithinPartitions("__b__", "__k__")
+    val sl = seqLen
+    val pad = padId
+    val bw = bucketWidth
+    val outSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("seq_id",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("input_ids",
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.IntegerType), nullable = false),
+      org.apache.spark.sql.types.StructField("doc_ids",
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.LongType), nullable = false),
+      org.apache.spark.sql.types.StructField("doc_offsets",
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.IntegerType), nullable = false),
+      org.apache.spark.sql.types.StructField("n_docs",
+        org.apache.spark.sql.types.IntegerType, nullable = false),
+      org.apache.spark.sql.types.StructField("n_pad",
+        org.apache.spark.sql.types.IntegerType, nullable = false)))
+    val out = prepared.mapPartitions { it =>
+      var started = false
+      var seqBucket = 0L
+      var local = 0L
+      var fill = 0
+      var prevKey = 0L
+      val ids = scala.collection.mutable.ArrayBuffer.empty[Int]
+      val docIds = scala.collection.mutable.ArrayBuffer.empty[Long]
+      val offs = scala.collection.mutable.ArrayBuffer.empty[Int]
+      def flush(): org.apache.spark.sql.Row = {
+        val nPad = sl - fill
+        val row = org.apache.spark.sql.Row(
+          seqBucket * bw + local,
+          (ids.toSeq ++ Seq.fill(nPad)(pad)),
+          docIds.toSeq, offs.toSeq, docIds.length, nPad)
+        ids.clear(); docIds.clear(); offs.clear(); fill = 0
+        row
+      }
+      val main = it.flatMap { r =>
+        if (r.isNullAt(1))
+          throw new IllegalArgumentException(
+            s"$what: NULL order key — order keys must be NON-NULL " +
+              "(a null key has no position in the running order)")
+        val b = r.getLong(0)
+        val k = r.getLong(1)
+        val doc = r.getSeq[Any](2)
+        if (doc.contains(null))
+          throw new IllegalArgumentException(
+            s"$what: ids list for key $k contains NULL elements")
+        val w = doc.length
+        if (w > sl)
+          throw new IllegalArgumentException(
+            s"$what: document $k has $w tokens > seqLen=$sl and cannot " +
+              "be packed whole — filter oversized docs upstream or use " +
+              "packTokenIds (the splitting packer)")
+        if (started && k == prevKey)
+          throw new IllegalArgumentException(
+            s"$what: duplicate order key $k — the running order must be " +
+              "a total order, so the order key must be UNIQUE")
+        val flushed: Option[org.apache.spark.sql.Row] =
+          if (started && (b != seqBucket || fill + w > sl)) {
+            val f = flush()
+            if (b != seqBucket) { seqBucket = b; local = 0L }
+            else local += 1L
+            Some(f)
+          } else {
+            if (!started) { started = true; seqBucket = b; local = 0L }
+            None
+          }
+        offs += fill
+        docIds += k
+        ids ++= doc.iterator.map(_.asInstanceOf[Int])
+        fill += w
+        prevKey = k
+        flushed.iterator
+      }
+      val tail = new scala.collection.AbstractIterator[org.apache.spark.sql.Row] {
+        private var done = false
+        def hasNext: Boolean = !done && started
+        def next(): org.apache.spark.sql.Row = { done = true; flush() }
+      }
+      main ++ tail
+    }(org.apache.spark.sql.Encoders.row(outSchema))
+    out
+  }
+
   /** Causal-LM `labels` for [[packTokenIds]] output — the last column
     * of the standard training-example shape: label(i) =
     * input_ids(i+1) (next-token prediction), with `ignoreId` wherever

@@ -716,6 +716,19 @@ class PipelineSpec extends AnyFunSuite {
       .select("seq_id", "rank", "shard_id", "n_pad")
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3))).toSet
     assert(viaVerb == viaOp && viaVerb.nonEmpty)
+    // whole-doc packing verb == direct op (docs over seqLen filtered
+    // upstream — the production pattern the verb expects)
+    val fit = ids.filter(size(col("ids")).between(1, 64))
+    val wVerb = Pipeline.of("ids", fit)
+      .packWholeDocs("doc_id", "ids", seqLen = 64)
+      .withCausalLabels()
+      .toDF.select("seq_id", "n_docs", "n_pad")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSet
+    val wOp = graft.ops.Packing.withCausalLabels(
+      graft.ops.Packing.packWholeDocs(fit, "doc_id", "ids", 64))
+      .select("seq_id", "n_docs", "n_pad")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSet
+    assert(wVerb == wOp && wVerb.nonEmpty)
   }
 
   test("stepTimings covers every step; sinks get their own timing") {

@@ -191,6 +191,95 @@ class PackingSpec extends AnyFunSuite {
     assert(m.contains("NULL order key"), m)
   }
 
+  test("packWholeDocs: next-fit without splitting — fills, pads, bucket restart, guards") {
+    val docs = Seq(
+      (1L, Seq(1, 2, 3)),  // seq 0: [1,2,3] — next doc (2 ids) won't fit
+      (2L, Seq(4, 5)),     // seq 1: [4,5,
+      (3L, Seq(6)),        //          6,
+      (4L, Seq(7)),        //          7] exact fit
+      (105L, Seq(8, 9))    // bucket 1 restarts the fold: seq 100
+    ).toDF("id", "ids")
+    val out = Packing.packWholeDocs(docs, "id", "ids",
+      seqLen = 4, padId = 0, bucketWidth = 100)
+      .orderBy("seq_id").collect()
+    assert(out.length == 3)
+    def row(i: Int) = (out(i).getLong(0), out(i).getSeq[Int](1),
+      out(i).getSeq[Long](2), out(i).getSeq[Int](3),
+      out(i).getInt(4), out(i).getInt(5))
+    assert(row(0) == ((0L, Seq(1, 2, 3, 0), Seq(1L), Seq(0), 1, 1)))
+    assert(row(1) == ((1L, Seq(4, 5, 6, 7), Seq(2L, 3L, 4L), Seq(0, 2, 3), 3, 0)))
+    assert(row(2) == ((100L, Seq(8, 9, 0, 0), Seq(105L), Seq(0), 1, 2)))
+    // empty/null id lists contribute nothing
+    val withEmpty = docs.unionByName(
+      Seq((5L, Seq.empty[Int]), (6L, null: Seq[Int])).toDF("id", "ids"))
+    assert(Packing.packWholeDocs(withEmpty, "id", "ids", seqLen = 4,
+      bucketWidth = 100).count() == 3)
+    // oversized doc fails loudly (cannot be packed whole)
+    val over = Seq((1L, Seq(1, 2, 3, 4, 5))).toDF("id", "ids")
+    val m = execFailureMessage(
+      Packing.packWholeDocs(over, "id", "ids", seqLen = 4).collect())
+    assert(m.contains("packed whole"), m)
+    // duplicate / NULL order keys fail loudly
+    val dup = Seq((1L, Seq(1)), (1L, Seq(2))).toDF("id", "ids")
+    assert(execFailureMessage(
+      Packing.packWholeDocs(dup, "id", "ids", seqLen = 4).collect())
+      .contains("UNIQUE"))
+    val nul = Seq((Some(1L), Seq(1)), (None, Seq(2))).toDF("id", "ids")
+    assert(execFailureMessage(
+      Packing.packWholeDocs(nul, "id", "ids", seqLen = 4).collect())
+      .contains("NULL order key"))
+    // withCausalLabels composes over the output unchanged
+    val lab = Packing.withCausalLabels(
+      Packing.packWholeDocs(docs, "id", "ids", seqLen = 4, bucketWidth = 100))
+    assert(lab.columns.contains("labels") && lab.count() == 3)
+  }
+
+  test("packWholeDocs == naive next-fit reference on random corpora (seeded)") {
+    val rnd = new scala.util.Random(20260815L)
+    for (round <- 0 until 10) {
+      val seqLen = 4 + rnd.nextInt(12)
+      val bw = 8 + rnd.nextInt(40)
+      val nDocs = 20 + rnd.nextInt(150)
+      // sparse, shuffled keys so bucket boundaries and partitioning
+      // are both exercised; lengths in [1, seqLen]
+      val keys = rnd.shuffle((0 until nDocs * 3).map(_.toLong).toVector)
+        .take(nDocs).sorted
+      val corpus = keys.map(k =>
+        (k, Seq.fill(1 + rnd.nextInt(seqLen))(rnd.nextInt(1000))))
+      val naive = {
+        val out = scala.collection.mutable.ArrayBuffer
+          .empty[(Long, Seq[Int], Seq[Long], Seq[Int], Int, Int)]
+        corpus.groupBy { case (k, _) => math.floorDiv(k, bw) }.toSeq
+          .sortBy(_._1).foreach { case (b, ds) =>
+            var local = 0L
+            var fill = 0
+            var ids = Vector.empty[Int]
+            var dids = Vector.empty[Long]
+            var offs = Vector.empty[Int]
+            def flush(): Unit = if (dids.nonEmpty) {
+              out += ((b * bw + local, ids ++ Seq.fill(seqLen - fill)(0),
+                dids, offs, dids.length, seqLen - fill))
+              local += 1; fill = 0; ids = Vector.empty
+              dids = Vector.empty; offs = Vector.empty
+            }
+            ds.sortBy(_._1).foreach { case (k, d) =>
+              if (fill + d.length > seqLen) flush()
+              offs :+= fill; dids :+= k; ids ++= d; fill += d.length
+            }
+            flush()
+          }
+        out.sortBy(_._1).toSeq
+      }
+      val got = Packing.packWholeDocs(
+        corpus.toDF("id", "ids").repartition(7), "id", "ids",
+        seqLen, padId = 0, bucketWidth = bw)
+        .orderBy("seq_id").collect()
+        .map(r => (r.getLong(0), r.getSeq[Int](1), r.getSeq[Long](2),
+          r.getSeq[Int](3), r.getInt(4), r.getInt(5))).toSeq
+      assert(got == naive, s"round $round seqLen=$seqLen bw=$bw n=$nDocs")
+    }
+  }
+
   test("packTokenIds: concat-and-chunk into fixed-length sequences with pad and boundaries") {
     val docs = Seq(
       (1L, Seq(1, 2, 3)), (2L, Seq(4, 5)), (3L, Seq(6)))
