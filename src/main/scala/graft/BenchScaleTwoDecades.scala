@@ -63,6 +63,10 @@ object BenchScaleTwoDecades {
     // expected ~linear
     "q_sample_budget_bpe", "q_pack_bpe", "q_chunk_bpe",
     "q_sample_temperature", "q_mixture_order", "q_shards_boundaries",
+    // round-17 family: whole-document next-fit packing over the full
+    // corpus (encode + one bucket shuffle + streaming fold — expected
+    // ~linear, the one-exchange plan audited in PackingSpec)
+    "q_pack_whole_full",
     // round-14 families: encode-only THROUGHPUT (fixed model, whole
     // corpus — a tokenizer regression must show as a slope, not an
     // anecdote) and the full text→ids→fixed-length-sequences pipeline
@@ -102,6 +106,17 @@ object BenchScaleTwoDecades {
         ops.Packing.packTokenIds(
           ops.Bpe.withTokenIds(Tables.load(s, dir, "documents"),
             "text", "__ids__", SparkEntry.bpeGateBc(s)),
+          "doc_id", "__ids__", seqLen = 1024, padId = 0)),
+      // whole-document next-fit packing at corpus scale (the SFT
+      // shape): encode + oversize filter + ONE bucket shuffle +
+      // streaming per-bucket fold
+      "q_pack_whole_full" -> ((s, dir) =>
+        ops.Packing.packWholeDocs(
+          ops.Bpe.withTokenIds(Tables.load(s, dir, "documents"),
+            "text", "__ids__", SparkEntry.bpeGateBc(s))
+            .filter(org.apache.spark.sql.functions.size(
+              org.apache.spark.sql.functions.col("__ids__"))
+              .between(1, 1024)),
           "doc_id", "__ids__", seqLen = 1024, padId = 0)))
 
   /** Worst families by mid→hi slope in BENCH_SCALE_r10 (+ the cluster

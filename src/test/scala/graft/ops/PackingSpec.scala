@@ -234,6 +234,25 @@ class PackingSpec extends AnyFunSuite {
     assert(lab.columns.contains("labels") && lab.count() == 3)
   }
 
+  test("packWholeDocs plans ONE exchange: bucket repartition, in-partition sort, streaming fold") {
+    // the scale claim as a plan property — the only data movement is
+    // the hash partition by bucket; the sort is within partitions
+    // (sortWithinPartitions adds no Exchange) and the fold is one
+    // mapPartitions pass
+    val docs = (0L until 50L).map(i => (i, Seq.fill(3)(i.toInt)))
+      .toDF("id", "ids")
+    val out = Packing.packWholeDocs(docs, "id", "ids", seqLen = 8,
+      bucketWidth = 10)
+    out.collect()
+    val plan = out.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]]
+      .queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    val exchanges = plan.linesIterator.count(_.contains("Exchange "))
+    assert(exchanges == 1, s"expected exactly one Exchange:\n$plan")
+    assert(!plan.contains("Exchange rangepartitioning"),
+      s"bucket partitioning must be hash, not a global sort:\n$plan")
+  }
+
   test("packWholeDocs == naive next-fit reference on random corpora (seeded)") {
     val rnd = new scala.util.Random(20260815L)
     for (round <- 0 until 10) {
