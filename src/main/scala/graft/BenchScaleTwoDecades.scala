@@ -111,13 +111,15 @@ object BenchScaleTwoDecades {
       // shape): encode + oversize filter + ONE bucket shuffle +
       // streaming per-bucket fold
       "q_pack_whole_full" -> ((s, dir) =>
+        // the encoded column must not shadow packWholeDocs' internal
+        // __ids__ working name (the op guards it loudly)
         ops.Packing.packWholeDocs(
           ops.Bpe.withTokenIds(Tables.load(s, dir, "documents"),
-            "text", "__ids__", SparkEntry.bpeGateBc(s))
+            "text", "__tok__", SparkEntry.bpeGateBc(s))
             .filter(org.apache.spark.sql.functions.size(
-              org.apache.spark.sql.functions.col("__ids__"))
+              org.apache.spark.sql.functions.col("__tok__"))
               .between(1, 1024)),
-          "doc_id", "__ids__", seqLen = 1024, padId = 0)))
+          "doc_id", "__tok__", seqLen = 1024, padId = 0)))
 
   /** Worst families by mid→hi slope in BENCH_SCALE_r10 (+ the cluster
     * path and the default corpus-sized semantic): these also run the
