@@ -2807,6 +2807,24 @@ object SparkEntry {
         .orderBy("seq_id", "pos")
     },
 
+    "q_bpe_decode" -> { (s, dir) =>
+      // ENCODE→DECODE round trip over real corpus text under the
+      // hash: decodeIds(ids(text)) must rebuild the
+      // whitespace-normalized text with every out-of-vocabulary
+      // symbol replaced by the unk marker (an unknown WORD-FINAL
+      // symbol loses its end-of-word marker and fuses with the next
+      // word — both engines replay that identically). The oracle
+      // re-derives the symbol stream with the recursive-CTE encoder,
+      // substitutes '<unk>' where the stated vocab has no id, and
+      // rebuilds the text with the same end-of-word split.
+      val bc = bpeGateBc(s)
+      t(s, dir, "documents").filter(col("doc_id") < 300)
+        .filter(col("text").isNotNull)
+        .select(col("doc_id").cast(LongType).as("doc_id"),
+          ops.Bpe.decodeIds(ops.Bpe.ids(col("text"), bc), bc).as("decoded"))
+        .orderBy("doc_id")
+    },
+
     "q_pack_whole" -> { (s, dir) =>
       // WHOLE-document next-fit packing over real corpus text — the
       // SFT tensor shape: a document NEVER splits across sequences.
@@ -3721,6 +3739,69 @@ SELECT a.seq_id, cast(m.n_docs AS INTEGER) AS n_docs,
   a.pos, a.token_id
 FROM allrows a JOIN seqmeta m USING (seq_id)
 ORDER BY seq_id, pos"""
+  }
+
+  /** q_bpe_decode oracle: the recursive-CTE encoder's symbol stream
+    * per doc, '<unk>'-substituted where the stated vocab has no id,
+    * concatenated and re-split on the end-of-word markers — the exact
+    * decode walk [[graft.functions.BpeUtil.decodeIds]] performs. */
+  private val bpeDecodeOracle: String = {
+    def pat(l: String, r: String) = s"chr(1)||'$l'||chr(1)||'$r'||chr(1)"
+    def rep(l: String, r: String) = s"chr(1)||'$l$r'||chr(1)"
+    val any = bpeOracleMerges
+      .map { case (l, r) => s"contains(s, ${pat(l, r)})" }
+      .mkString("\n      OR ")
+    val arms = bpeOracleMerges
+      .map { case (l, r) =>
+        s"WHEN contains(s, ${pat(l, r)}) THEN replace(s, ${pat(l, r)}, ${rep(l, r)})" }
+      .mkString("\n      ")
+    val ws = """'[ \t\n\x0b\f\r]+'"""
+    val init = """chr(1) || regexp_replace(word, '(.)', '\1' || chr(1), 'g') || '</w>' || chr(1)"""
+    s"""WITH RECURSIVE
+docs300 AS (
+  SELECT doc_id, text FROM documents WHERE text IS NOT NULL AND doc_id < 300),
+dw AS (
+  SELECT DISTINCT unnest(regexp_split_to_array(trim(text), $ws)) AS word
+  FROM docs300),
+dwne AS (SELECT word FROM dw WHERE length(word) > 0),
+enc AS (
+  SELECT word, $init AS s
+  FROM dwne
+  UNION ALL
+  SELECT word,
+    CASE
+      $arms
+      ELSE s END AS s
+  FROM enc
+  WHERE $any),
+wsyms AS (
+  SELECT word, list_filter(string_split(s, chr(1)), x -> length(x) > 0) AS syms
+  FROM enc
+  WHERE NOT ($any)),
+docw AS (
+  SELECT doc_id, unnest(words) AS word,
+    unnest(range(1, len(words) + 1)) AS wpos
+  FROM (SELECT doc_id,
+          list_filter(regexp_split_to_array(trim(text), $ws),
+                      x -> length(x) > 0) AS words
+        FROM docs300)),
+tok AS (
+  SELECT d.doc_id, d.wpos, unnest(w.syms) AS sym,
+    unnest(range(1, len(w.syms) + 1)) AS spos
+  FROM docw d JOIN wsyms w USING (word)),
+$bpeOracleVocabCte,
+dec AS (
+  SELECT t.doc_id,
+    string_agg(CASE WHEN v.id IS NULL THEN '<unk>' ELSE t.sym END, ''
+               ORDER BY t.wpos, t.spos) AS s
+  FROM tok t LEFT JOIN vocab v ON v.tok = t.sym
+  GROUP BY t.doc_id)
+SELECT cast(d.doc_id AS BIGINT) AS doc_id,
+  coalesce(array_to_string(
+    list_filter(string_split(dc.s, '</w>'), x -> length(x) > 0), ' '), '')
+    AS decoded
+FROM docs300 d LEFT JOIN dec dc USING (doc_id)
+ORDER BY doc_id"""
   }
 
   private[graft] def bpeGateBc(s: SparkSession) =
@@ -5486,6 +5567,7 @@ ORDER BY seq_id, pos"""
 
     "q_pack_ids" -> bpePackIdsOracle,
     "q_pack_whole" -> packWholeOracle,
+    "q_bpe_decode" -> bpeDecodeOracle,
     // the training-example labels re-derived from the oracle's own
     // packed rows (lead() over the global token order)
     "q_pack_labels" -> bpePackLabelsOracle,

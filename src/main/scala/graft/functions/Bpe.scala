@@ -182,6 +182,39 @@ object BpeUtil {
     * cache holds symbol arrays; the id lookup is one hash get per
     * token); symbols outside the vocabulary become [[BpeModel.UnkId]].
     * ids(text) and tokens(text) are index-aligned by construction. */
+  /** ids → text (see [[BpeDecodeIds]] for the contract): vocabulary
+    * lookup per id (out-of-range / NULL → the unk marker, pad dropped),
+    * concatenate, split on the end-of-word markers, single-space join.
+    * Called from generated code — keep the signature stable. */
+  def decodeIds(ids: ArrayData, m: BpeModel): UTF8String = {
+    val vocab = m.vocab
+    val sb = new java.lang.StringBuilder
+    var i = 0
+    val n = ids.numElements()
+    while (i < n) {
+      if (ids.isNullAt(i)) sb.append(BpeModel.UnkToken)
+      else {
+        val id = ids.getInt(i)
+        if (id != BpeModel.PadId) {
+          if (id >= 0 && id < vocab.length) sb.append(vocab(id))
+          else sb.append(BpeModel.UnkToken)
+        }
+      }
+      i += 1
+    }
+    val parts = sb.toString.split(java.util.regex.Pattern.quote(EndOfWord), -1)
+    val out = new java.lang.StringBuilder
+    var k = 0
+    while (k < parts.length) {
+      if (parts(k).nonEmpty) {
+        if (out.length > 0) out.append(' ')
+        out.append(parts(k))
+      }
+      k += 1
+    }
+    UTF8String.fromString(out.toString)
+  }
+
   def tokenIds(text: UTF8String, m: BpeModel): ArrayData = {
     val s = text.toString
     val out = new scala.collection.mutable.ArrayBuilder.ofInt
@@ -274,6 +307,44 @@ case class BpeIds(
     copy(child = newChild)
 }
 
+/** Text back from BPE token IDS under a broadcast [[BpeModel]] —
+  * [[BpeIds]]' inverse up to whitespace normalization and unknown
+  * symbols: each id maps through the model's derived vocabulary
+  * (out-of-range and NULL ids → the unk marker; pad ids are dropped —
+  * they carry no text), the symbols concatenate, and the end-of-word
+  * markers become single spaces. The inspection verb for a SHIPPED
+  * shard: decode a packed row's input_ids to see the text a sequence
+  * actually trains on. */
+case class BpeDecodeIds(
+    child: Expression,
+    modelBc: org.apache.spark.broadcast.Broadcast[BpeModel])
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case ArrayType(IntegerType, _) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"bpe_decode_ids expects array<int>, got ${other.simpleString}")
+    }
+  override def dataType: DataType = StringType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "bpe_decode_ids"
+
+  override protected def nullSafeEval(input: Any): Any =
+    BpeUtil.decodeIds(input.asInstanceOf[ArrayData], modelBc.value)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val bcRef = ctx.addReferenceObj("bpeModelBc", modelBc,
+      "org.apache.spark.broadcast.Broadcast")
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.BpeUtil$$.MODULE$$.decodeIds($c, " +
+        s"(graft.functions.BpeModel) $bcRef.value())")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object bpeExprs {
   def bpe_tokens(c: Column,
       modelBc: org.apache.spark.broadcast.Broadcast[BpeModel]): Column =
@@ -281,4 +352,7 @@ object bpeExprs {
   def bpe_ids(c: Column,
       modelBc: org.apache.spark.broadcast.Broadcast[BpeModel]): Column =
     Bridge.toColumn(BpeIds(Bridge.toExpression(c), modelBc))
+  def bpe_decode_ids(c: Column,
+      modelBc: org.apache.spark.broadcast.Broadcast[BpeModel]): Column =
+    Bridge.toColumn(BpeDecodeIds(Bridge.toExpression(c), modelBc))
 }

@@ -323,6 +323,20 @@ object Bpe {
     * shuffle. A word whose raw characters spell out the marker
     * re-splits there — inherent to any in-band marker scheme; corpora
     * where that matters should pre-escape the marker text. */
+  /** Inverse of [[ids]] up to whitespace normalization and unknown
+    * symbols — the inspection verb for a SHIPPED shard: each id maps
+    * through the model's derived vocabulary (out-of-range/NULL → the
+    * unk marker; PAD ids are dropped — they carry no text), symbols
+    * concatenate, end-of-word markers become single spaces.
+    * `decodeIds(col("input_ids"), bc)` over a packed row shows the
+    * text a sequence actually trains on. Note an unknown symbol that
+    * ENDED a word decodes without its end-of-word marker, so it fuses
+    * with the next word — inherent to unk substitution, identical on
+    * every engine replaying the symbol stream. Native codegen'd
+    * expression, no shuffle. */
+  def decodeIds(c: Column, modelBc: Broadcast[BpeModel]): Column =
+    bpeExprs.bpe_decode_ids(c, modelBc)
+
   def decode(toks: Column): Column =
     array_join(
       filter(

@@ -338,6 +338,39 @@ class BpeSpec extends AnyFunSuite {
     assert(rows(3).isNullAt(0))
   }
 
+  test("decodeIds inverts ids: round trip, unk substitution, pads dropped, hostile ids") {
+    val corpus = Seq("the cat sat on the mat", "the thin cat").toDF("text")
+    val m = Bpe.train(corpus, "text", numMerges = 20, minPairCount = 2)
+    val bc = Bpe.broadcastModel(spark, m)
+    // in-alphabet text round-trips to its whitespace-normalized form
+    val rt = Seq("the  cat\tsat ", "", "  ", null: String).toDF("text")
+      .select(Bpe.decodeIds(Bpe.ids(col("text"), bc), bc)).collect()
+    assert(rt(0).getString(0) == "the cat sat")
+    assert(rt(1).getString(0) == "" && rt(2).getString(0) == "")
+    assert(rt(3).isNullAt(0))
+    // out-of-vocabulary code points decode to the unk marker; an
+    // unknown WORD-FINAL symbol loses its end-of-word marker and the
+    // word fuses with the next (the documented unk-substitution cost)
+    val unk = Seq("the zebra cat").toDF("text")
+      .select(Bpe.decodeIds(Bpe.ids(col("text"), bc), bc)).head().getString(0)
+    assert(unk.startsWith("the ") && unk.contains("<unk>"), unk)
+    // pads are dropped (a packed row decodes to its real text);
+    // out-of-range and NULL ids decode to the unk marker
+    val hostile = Seq(
+      (Seq[Integer](0, 0, 0), ""),
+      (Seq[Integer](9999, -5, null), "<unk><unk><unk>"))
+      .toDF("ids", "want")
+    hostile.select(Bpe.decodeIds(col("ids"), bc).as("got"), col("want"))
+      .collect().foreach(r => assert(r.getString(0) == r.getString(1), r))
+    // a packed sequence decodes to the text it trains on (pads gone)
+    val packed = Packing.packWholeDocs(
+      Bpe.withTokenIds(Seq((1L, "the cat"), (2L, "sat")).toDF("id", "text"),
+        "text", "ids", bc),
+      "id", "ids", seqLen = 64)
+    val dec = packed.select(Bpe.decodeIds(col("input_ids"), bc)).head().getString(0)
+    assert(dec == "the cat sat", dec)
+  }
+
   test("withTokenCount wires the real count as a weight column usable by the budget ops") {
     val corpus = (1 to 50).map(_ => "alpha beta alpha").toDF("text")
     val m = Bpe.train(corpus, "text", numMerges = 30, minPairCount = 2)

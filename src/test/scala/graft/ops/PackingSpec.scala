@@ -260,8 +260,11 @@ class PackingSpec extends AnyFunSuite {
       val bw = 8 + rnd.nextInt(40)
       val nDocs = 20 + rnd.nextInt(150)
       // sparse, shuffled keys so bucket boundaries and partitioning
-      // are both exercised; lengths in [1, seqLen]
-      val keys = rnd.shuffle((0 until nDocs * 3).map(_.toLong).toVector)
+      // are both exercised; alternate rounds shift the key space
+      // NEGATIVE (floor-division bucketing must keep matching the
+      // reference below zero); lengths in [1, seqLen]
+      val shift = if (round % 2 == 0) 0L else -(nDocs * 2L)
+      val keys = rnd.shuffle((0 until nDocs * 3).map(_ + shift).toVector)
         .take(nDocs).sorted
       val corpus = keys.map(k =>
         (k, Seq.fill(1 + rnd.nextInt(seqLen))(rnd.nextInt(1000))))
