@@ -283,6 +283,26 @@ class ExprFuzzSpec extends AnyFunSuite {
       c => bpeExprs.bpe_tokens(c, bc))
     sweep1("bpe_ids", texts.toDF("x"), texts.map(strLit),
       c => bpeExprs.bpe_ids(c, bc))
+    // decode over hostile ID arrays: pads, unk, out-of-range both
+    // signs, extremes, NULL elements, long pad runs
+    val vlen = model.vocab.length
+    val idArrays: Seq[Seq[Integer]] = Seq(null, Seq.empty[Integer],
+      Seq[Integer](0, 0, 0), Seq[Integer](null, 1, -1, Int.MaxValue, Int.MinValue),
+      Seq.fill(200)(Integer.valueOf(0))) ++
+      (0 until 300).map { _ =>
+        (0 until rnd.nextInt(24)).map(_ => rnd.nextInt(6) match {
+          case 0 => Integer.valueOf(0)                      // pad
+          case 1 => Integer.valueOf(1)                      // unk
+          case 2 => Integer.valueOf(vlen + rnd.nextInt(10)) // out of range
+          case 3 => Integer.valueOf(-1 - rnd.nextInt(10))   // negative
+          case 4 => null: Integer                           // null element
+          case _ => Integer.valueOf(rnd.nextInt(vlen))      // real symbol
+        })
+      }
+    def ilit(v: Seq[Integer]): Column =
+      if (v == null) nullLit(ArrayType(IntegerType)) else typedLit(v)
+    sweep1("bpe_decode_ids", idArrays.toDF("x"), idArrays.map(ilit),
+      c => bpeExprs.bpe_decode_ids(c, bc))
   }
 
   test("greedy_chunk_starts: interpreted == codegen over random cost arrays") {
