@@ -2807,6 +2807,45 @@ object SparkEntry {
         .orderBy("seq_id", "pos")
     },
 
+    "q_image_dhash" -> { (s, dir) =>
+      // the IMAGE near-dup signature under the hash: per doc,
+      // assemble a spec-valid 9x8 grayscale PNG whose pixel(x,y) is
+      // doc_id arithmetic (stored-deflate IDAT, decoded by the REAL
+      // Inflater + unfilter + dHash pipeline), and emit the 64-bit
+      // dHash as a bit string DuckDB recomputes arithmetically — any
+      // drift in the PNG walk, the unfilter, the cell grid, or the
+      // bit order breaks the compare. 9x8 makes every cell ONE pixel,
+      // so the oracle needs no area-average replay (the downsample
+      // path is golden-pinned in MediaDecodeSpec). The PAIRING over
+      // these signatures is simhashPairsFromSigs — the banding
+      // machinery q_dedup_simhash_exact already proves end-to-end.
+      val px: (Column, Column) => Column = (x, y) =>
+        pmod(col("doc_id") * 7 + x * 13 + y * 31, lit(256L))
+      val rowHex: Column => Column = y =>
+        concat(lit("00"), aggregate(sequence(lit(0L), lit(8L)), lit(""),
+          (acc, x) => concat(acc, b2(px(x, y)))))
+      val rawHex = aggregate(sequence(lit(0L), lit(7L)), lit(""),
+        (acc, y) => concat(acc, rowHex(y)))
+      val rawLen = lit(80L) // 8 rows x (1 filter byte + 9 pixels)
+      val png = concat(
+        lit(Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a,
+          0, 0, 0, 13)),
+        ascii("IHDR"), be32(lit(9L)), be32(lit(8L)),
+        lit(Array[Byte](8, 0, 0, 0, 0, /*IHDR crc (unchecked)*/ 0, 0, 0, 0)),
+        be32(rawLen + 7), ascii("IDAT"),
+        lit(Array[Byte](0x78, 0x01, /*stored, final*/ 0x01)),
+        unhex(concat(le16h(rawLen), le16h(lit(65535L) - rawLen))),
+        unhex(rawHex),
+        lit(Array[Byte](0, 0, 0, 0)), // IDAT crc (unchecked)
+        lit(Array[Byte](0, 0, 0, 0, 'I', 'E', 'N', 'D', 0, 0, 0, 0)))
+      t(s, dir, "documents").filter(col("doc_id") < 500)
+        .select(col("doc_id"),
+          concat_ws("", transform(
+            graft.functions.imageExprs.png_dhash(png), b => b.cast("string")))
+            .as("dhash"))
+        .orderBy("doc_id")
+    },
+
     "q_bpe_decode" -> { (s, dir) =>
       // ENCODE→DECODE round trip over real corpus text under the
       // hash: decodeIds(ids(text)) must rebuild the
@@ -5568,6 +5607,15 @@ ORDER BY doc_id"""
     "q_pack_ids" -> bpePackIdsOracle,
     "q_pack_whole" -> packWholeOracle,
     "q_bpe_decode" -> bpeDecodeOracle,
+
+    "q_image_dhash" ->
+      """SELECT doc_id,
+        |  string_agg(CASE WHEN (doc_id*7 + x*13 + y*31) % 256 >
+        |                       (doc_id*7 + (x+1)*13 + y*31) % 256
+        |             THEN '1' ELSE '0' END, '' ORDER BY y, x) AS dhash
+        |FROM (SELECT doc_id FROM documents WHERE doc_id < 500) d,
+        |  range(8) tx(x), range(8) ty(y)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // the training-example labels re-derived from the oracle's own
     // packed rows (lead() over the global token order)
     "q_pack_labels" -> bpePackLabelsOracle,

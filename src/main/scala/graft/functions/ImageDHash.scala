@@ -1,0 +1,69 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graftbridge.Bridge
+import org.apache.spark.sql.types._
+
+/** Perceptual difference-hash (dHash) of a PNG payload — the image
+  * near-dup signature (reference scope: the engine's near-dup family
+  * extended to the image modality; the hash itself is the classic
+  * dHash: grayscale → `(hashW+1) x hashH` area-average cell grid →
+  * one bit per horizontally-adjacent cell pair, 1 iff the left cell
+  * is brighter). A re-encoded, slightly-rescaled or noise-perturbed
+  * copy of an image moves few bits, so Hamming distance over these
+  * bits is the image analog of SimHash over text — and the SAME
+  * banded blocking ([[graft.ops.Dedup.simhashPairsFromSigs]]) pairs
+  * them at corpus scale.
+  *
+  * Returns the bit array (`hashW * hashH` ints, row-major) or NULL
+  * for bytes that do not decode as a depth-8 non-interlaced PNG or an
+  * image smaller than the cell grid — hostile payloads never throw.
+  * Decode cost is the full pixel pipeline (Inflater + unfilter); gate
+  * payload size upstream with [[MediaDims]] first.
+  */
+case class ImageDHash(child: Expression, hashW: Int, hashH: Int)
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case BinaryType => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"png_dhash expects binary, got ${other.simpleString}")
+    }
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullable: Boolean = true
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "png_dhash"
+
+  override protected def nullSafeEval(input: Any): Any =
+    ImageDHashUtil.hash(input.asInstanceOf[Array[Byte]], hashW, hashH)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"""
+         |${ev.value} = graft.functions.ImageDHashUtil$$.MODULE$$.hash($c, $hashW, $hashH);
+         |${ev.isNull} = (${ev.value} == null);
+       """.stripMargin)
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object ImageDHashUtil {
+  /** NULL (not a throw) for undecodable bytes — called from generated
+    * code; keep the signature stable. */
+  def hash(b: Array[Byte], hashW: Int, hashH: Int): ArrayData =
+    graft.ops.MediaDecode.pngDHash(b, hashW, hashH)
+      .map(bits => new GenericArrayData(bits.map(Int.box: Int => Any)))
+      .orNull
+}
+
+object imageExprs {
+  def png_dhash(c: Column, hashW: Int = 8, hashH: Int = 8): Column =
+    Bridge.toColumn(ImageDHash(Bridge.toExpression(c), hashW, hashH))
+}

@@ -549,6 +549,29 @@ object Dedup {
         .filter(col("hamming") <= maxHamming)
         .select(col("id1"), col("id2"), col("hamming")))
 
+  /** IMAGE near-dup pairs: perceptual dHash over a PNG payload column
+    * ([[graft.functions.ImageDHash]]) then the EXACT SimHash blocking
+    * machinery — banded blocking + Hamming screen
+    * ([[simhashPairsFromSigs]]; `bands > maxHamming` ⇒ exact recall by
+    * pigeonhole). A re-encoded / noise-perturbed / slightly-rescaled
+    * copy moves few dHash bits, so this is [[simhashNearDups]] with
+    * images in place of text. Undecodable payloads (hostile crawl
+    * bytes, non-PNG, too-small images) drop out silently — they have
+    * no signature; screen them upstream via
+    * [[graft.ops.Multimodal.mediaDims]] when the drop rate matters.
+    * Output: (id1, id2, hamming). */
+  def imageNearDups(
+      df: DataFrame, idCol: String, pngCol: String,
+      hashW: Int = 8, hashH: Int = 8, bands: Int = 8,
+      maxHamming: Int = 5, maxBucket: Int = 200): DataFrame = {
+    val bits = hashW * hashH
+    require(bits % bands == 0, s"hashW*hashH=$bits must be divisible by bands=$bands")
+    val sigs = df.select(col(idCol).as("__id__"),
+      graft.functions.imageExprs.png_dhash(col(pngCol), hashW, hashH).as("__sig__"))
+      .filter(col("__sig__").isNotNull)
+    simhashPairsFromSigs(sigs, bands, bits / bands, maxHamming, maxBucket)
+  }
+
   /** SimHash signature under an md5-parity per-(token, bit) hash — the
     * CROSS-ENGINE-REPLICABLE hash family: any engine with md5 (DuckDB,
     * Trino, Postgres) recomputes the identical signature from text, so

@@ -172,7 +172,28 @@ object MediaDecode {
     * with Inflater(nowrap) after validating the 2-byte header, so the
     * trailing adler32 is not required — a prefix-fetched payload cut
     * after the last IDAT's data still decodes. */
-  def pngStats(b: Array[Byte]): Option[PngStats] = {
+  /** Fully decoded PNG pixel grid (the byte-walk + Inflater +
+    * unfilter pipeline behind [[pngStats]]): `px` is row-major
+    * channel-interleaved, `stride = width * channels`. */
+  final case class PngPixels(
+      width: Int, height: Int, channels: Int, px: Array[Int])
+
+  def pngStats(b: Array[Byte]): Option[PngStats] =
+    pngPixels(b).map { p =>
+      var sum = 0L; var min = 255; var max = 0
+      var i = 0
+      while (i < p.px.length) {
+        val v = p.px(i)
+        sum += v
+        if (v < min) min = v
+        if (v > max) max = v
+        i += 1
+      }
+      PngStats(p.width, p.height, p.channels,
+        sum.toDouble / p.px.length, min, max)
+    }
+
+  def pngPixels(b: Array[Byte]): Option[PngPixels] = {
     if (b == null || b.length < 8 + 25) return None
     val sig = Array[Int](0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a)
     var k = 0
@@ -256,17 +277,66 @@ object MediaDecode {
       }
       y += 1
     }
-    var sum = 0L; var min = 255; var max = 0
-    var i = 0
-    while (i < px.length) {
-      val v = px(i)
-      sum += v
-      if (v < min) min = v
-      if (v > max) max = v
-      i += 1
-    }
-    Some(PngStats(w, h, channels, sum.toDouble / px.length, min, max))
+    Some(PngPixels(w, h, channels, px))
   }
+
+  /** Perceptual difference-hash over a decoded pixel grid:
+    * grayscale (ITU-R BT.601 integer luma `(299R+587G+114B)/1000` for
+    * color, the gray channel for gray/gray+alpha, alpha ignored),
+    * area-average to a `(hashW+1) x hashH` cell grid (exact rational
+    * comparison — no per-cell division rounding), one bit per
+    * horizontally-adjacent cell pair: bit = 1 iff left cell is
+    * BRIGHTER than its right neighbor. Row-major bit order (y outer,
+    * x inner), `hashW * hashH` bits. Returns None when the image is
+    * smaller than the cell grid (an empty cell has no brightness). */
+  def dHashFromPixels(
+      p: PngPixels, hashW: Int, hashH: Int): Option[Array[Int]] = {
+    val gw = hashW + 1
+    if (p.width < gw || p.height < hashH) return None
+    // per-cell brightness sums and pixel counts: cell (cx, cy) covers
+    // [floor(cx*W/gw), floor((cx+1)*W/gw)) x [floor(cy*H/gh), ...)
+    val sums = new Array[Long](gw * hashH)
+    val counts = new Array[Long](gw * hashH)
+    val ch = p.channels
+    var y = 0
+    while (y < p.height) {
+      val cy = (y.toLong * hashH / p.height).toInt
+      var x = 0
+      while (x < p.width) {
+        val cx = (x.toLong * gw / p.width).toInt
+        val base = (y * p.width + x) * ch
+        val lum =
+          if (ch >= 3)
+            (299 * p.px(base) + 587 * p.px(base + 1) + 114 * p.px(base + 2)) / 1000
+          else p.px(base) // gray / gray+alpha: channel 0 is the gray
+        val cell = cy * gw + cx
+        sums(cell) += lum
+        counts(cell) += 1L
+        x += 1
+      }
+      y += 1
+    }
+    val bits = new Array[Int](hashW * hashH)
+    var cy = 0
+    while (cy < hashH) {
+      var cx = 0
+      while (cx < hashW) {
+        val l = cy * gw + cx
+        val r = l + 1
+        // mean(l) > mean(r) without division: cross-multiplied exact
+        bits(cy * hashW + cx) =
+          if (sums(l) * counts(r) > sums(r) * counts(l)) 1 else 0
+        cx += 1
+      }
+      cy += 1
+    }
+    Some(bits)
+  }
+
+  /** [[dHashFromPixels]] over PNG bytes ([[pngPixels]] decode). */
+  def pngDHash(
+      b: Array[Byte], hashW: Int = 8, hashH: Int = 8): Option[Array[Int]] =
+    pngPixels(b).flatMap(dHashFromPixels(_, hashW, hashH))
 
   /** Image pixel statistics for the ImageIO-backed formats. `channels`
     * is the color model's component count (3 for RGB/indexed, 4 with

@@ -1,0 +1,78 @@
+package graft.ops
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Image near-dup pairing: dHash signatures through the SimHash
+  * banding machinery ([[Dedup.imageNearDups]]). The images are
+  * spec-valid PNGs built with a real Deflater; perturbed copies of a
+  * base image must pair (pigeonhole: bands > differing bits), images
+  * from a different base must not. */
+class ImageDedupSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-image-dedup")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  import spark.implicits._
+
+  private def b(xs: Int*): Array[Byte] = xs.map(_.toByte).toArray
+
+  private def be32(v: Int) =
+    b(v >>> 24, (v >>> 16) & 0xff, (v >>> 8) & 0xff, v & 0xff)
+
+  private def chunk(typ: String, data: Array[Byte]): Array[Byte] = {
+    val crc = new java.util.zip.CRC32()
+    crc.update(typ.getBytes); crc.update(data)
+    be32(data.length) ++ typ.getBytes ++ data ++ be32(crc.getValue.toInt)
+  }
+
+  private def grayPng(w: Int, h: Int)(px: (Int, Int) => Int): Array[Byte] = {
+    val scan = (0 until h).flatMap(y =>
+      0.toByte +: (0 until w).map(x => px(x, y).toByte)).toArray
+    val d = new java.util.zip.Deflater()
+    d.setInput(scan); d.finish()
+    val buf = new Array[Byte](scan.length + 64)
+    val n = d.deflate(buf)
+    d.end()
+    b(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a) ++
+      chunk("IHDR", be32(w) ++ be32(h) ++ b(8, 0, 0, 0, 0)) ++
+      chunk("IDAT", buf.take(n)) ++
+      chunk("IEND", Array.emptyByteArray)
+  }
+
+  test("imageNearDups: perturbed copies pair within groups, never across; junk drops out") {
+    // group A: monotone-increasing gradient, k-th variant brightens
+    // ONE pixel — ≤2 dHash bits move per variant, ≤4 between variants
+    def baseA(x: Int, y: Int) = x * 18 + y * 4 + 10  // < 200, no wrap
+    def baseB(x: Int, y: Int) = (8 - x) * 18 + y * 4 + 10 // reversed: ~all bits differ
+    val rows: Seq[(Long, Array[Byte])] =
+      (0 until 4).map(k => (1L + k,
+        grayPng(9, 8)((x, y) => baseA(x, y) + (if (x == k && y == k) 45 else 0)))) ++
+      (0 until 4).map(k => (11L + k,
+        grayPng(9, 8)((x, y) => baseB(x, y) + (if (x == k && y == k) 45 else 0)))) ++
+      Seq((99L, "definitely not a png".getBytes)) // no signature, silent drop
+    val df = rows.toDF("id", "png")
+    val pairs = Dedup.imageNearDups(df, "id", "png", maxHamming = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val withinA = (for (i <- 1L to 4L; j <- 1L to 4L if i < j) yield (i, j)).toSet
+    val withinB = (for (i <- 11L to 14L; j <- 11L to 14L if i < j) yield (i, j)).toSet
+    assert(pairs == withinA ++ withinB, pairs)
+    // hamming column is real and within the screen bound
+    val maxHam = Dedup.imageNearDups(df, "id", "png", maxHamming = 5)
+      .agg(max("hamming")).head().getInt(0)
+    assert(maxHam <= 5)
+    // identical images at distance 0 pair too
+    val clones = Seq((1L, grayPng(9, 8)(baseA)), (2L, grayPng(9, 8)(baseA)))
+      .toDF("id", "png")
+    assert(Dedup.imageNearDups(clones, "id", "png")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet == Set((1L, 2L)))
+    // bands must divide the bit count — loud
+    intercept[IllegalArgumentException](
+      Dedup.imageNearDups(df, "id", "png", bands = 7))
+  }
+}

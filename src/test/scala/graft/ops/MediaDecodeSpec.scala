@@ -295,6 +295,58 @@ class MediaDecodeSpec extends AnyFunSuite {
     o.toByteArray
   }
 
+  // ---------- perceptual dHash ----------
+
+  /** filter-0 scanlines for a w x h gray image from a pixel formula. */
+  private def grayScan(w: Int, h: Int)(px: (Int, Int) => Int): Array[Byte] =
+    (0 until h).flatMap(y =>
+      0.toByte +: (0 until w).map(x => px(x, y).toByte)).toArray
+
+  test("pngDHash: 9x8 gray = direct pixel comparisons, row-major bit order") {
+    def px(x: Int, y: Int) = (x * 40 + y * 5 + 7) % 256 // wraps within a row
+    val bits = MediaDecode.pngDHash(png(9, 8, 0, grayScan(9, 8)(px))).get
+    assert(bits.length == 64)
+    val want = for (y <- 0 until 8; x <- 0 until 8)
+      yield if (px(x, y) > px(x + 1, y)) 1 else 0
+    assert(bits.toSeq == want)
+    // a monotone gradient has wrap points where %256 resets — both
+    // bit values must occur (guards an all-zeros degenerate hash)
+    assert(bits.contains(1) && bits.contains(0))
+  }
+
+  test("pngDHash: area-average downsample — 2x-replicated image hashes identically") {
+    def px(x: Int, y: Int) = (x * 37 + y * 11) % 251
+    val small = MediaDecode.pngDHash(png(9, 8, 0, grayScan(9, 8)(px))).get
+    val big = MediaDecode.pngDHash(
+      png(18, 16, 0, grayScan(18, 16)((x, y) => px(x / 2, y / 2)))).get
+    assert(small.toSeq == big.toSeq)
+  }
+
+  test("pngDHash: RGB luma — r=g=b image hashes like its gray twin; alpha ignored") {
+    def px(x: Int, y: Int) = (x * 13 + y * 29) % 256
+    val gray = MediaDecode.pngDHash(png(9, 8, 0, grayScan(9, 8)(px))).get
+    val rgbScan = (0 until 8).flatMap(y =>
+      0.toByte +: (0 until 9).flatMap { x =>
+        val v = px(x, y).toByte; Seq(v, v, v)
+      }).toArray
+    val rgb = MediaDecode.pngDHash(png(9, 8, 2, rgbScan)).get
+    assert(gray.toSeq == rgb.toSeq)
+    val rgbaScan = (0 until 8).flatMap(y =>
+      0.toByte +: (0 until 9).flatMap { x =>
+        val v = px(x, y).toByte
+        Seq(v, v, v, ((x * 91 + y) % 256).toByte) // noisy alpha, ignored
+      }).toArray
+    val rgba = MediaDecode.pngDHash(png(9, 8, 6, rgbaScan)).get
+    assert(gray.toSeq == rgba.toSeq)
+  }
+
+  test("pngDHash: too-small images and junk bytes → None, never a throw") {
+    // 8x8 is one column short of the 9x8 cell grid
+    assert(MediaDecode.pngDHash(png(8, 8, 0, grayScan(8, 8)((x, y) => x + y))).isEmpty)
+    assert(MediaDecode.pngDHash(Array[Byte](1, 2, 3)).isEmpty)
+    assert(MediaDecode.pngDHash("not a png at all".getBytes).isEmpty)
+  }
+
   test("imageStats: hand-built multi-row GIF decodes palette-exact through real LZW") {
     val w = 19; val h = 17 // 323 px: forces a mid-stream clear code
     def pix(x: Int, y: Int) = (x * 13 + y * 41) % 256
