@@ -1116,6 +1116,16 @@ final class Pipeline private (
     add(MapStep("dedupNearMinhash",
       graft.ops.Dedup.minhashDedup(_, idCol, textCol, shingleN, numHashes, bands, threshold)))
 
+  /** IMAGE near-dup pairs over a PNG payload column
+    * ([[graft.ops.Dedup.imageNearDups]]: perceptual dHash signatures
+    * through the banded Hamming blocking). Replaces the flow with the
+    * (id1, id2, hamming) pair set — feed [[dedupClusters]]-style
+    * downstream logic or an anti-join to drop the copies. */
+  def imageNearDups(
+      idCol: String, pngCol: String, maxHamming: Int = 5): Pipeline =
+    add(MapStep("imageNearDups",
+      graft.ops.Dedup.imageNearDups(_, idCol, pngCol, maxHamming = maxHamming)))
+
   /** Append [[graft.ops.TextOps.qualityFeatures]] as a struct column. */
   def withQualityFeatures(textCol: String, as: String = "quality"): Pipeline =
     add(MapStep("qualityFeatures",

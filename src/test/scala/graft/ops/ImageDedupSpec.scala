@@ -74,5 +74,10 @@ class ImageDedupSpec extends AnyFunSuite {
     // bands must divide the bit count — loud
     intercept[IllegalArgumentException](
       Dedup.imageNearDups(df, "id", "png", bands = 7))
+    // the Pipeline verb routes through the same op
+    val viaVerb = graft.etl.Pipeline.of("imgs", df)
+      .imageNearDups("id", "png")
+      .toDF.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(viaVerb == pairs)
   }
 }
