@@ -2846,6 +2846,36 @@ object SparkEntry {
         .orderBy("doc_id")
     },
 
+    "q_audio_energy_hash" -> { (s, dir) =>
+      // the AUDIO near-dup signature under the hash: per doc, a
+      // spec-valid 16-bit mono PCM WAV of 130 samples from doc_id
+      // arithmetic, decoded by the REAL RIFF walk + sample decode +
+      // energy-envelope hash (65 two-frame windows, one bit per
+      // adjacent loudness comparison, exact integer domain), emitted
+      // as a bit string DuckDB recomputes arithmetically. The PAIRING
+      // over these signatures is the same simhashPairsFromSigs
+      // machinery as q_image_dhash's.
+      val u: Column => Column = k =>
+        pmod(col("doc_id") * 37 + k * k * 11, lit(65536L))
+      val sampleHex = aggregate(sequence(lit(0L), lit(129L)), lit(""),
+        (acc, k) => concat(acc, le16h(u(k))))
+      val dataSize = lit(260L)
+      val wav = concat(
+        ascii("RIFF"), unhex(concat(le16h(dataSize + 36), lit("0000"))),
+        ascii("WAVE"), ascii("fmt "),
+        lit(Array[Byte](16, 0, 0, 0, /*PCM*/ 1, 0, /*mono*/ 1, 0,
+          /*8000 LE*/ 0x40, 0x1f, 0, 0, /*byteRate*/ 0x80.toByte, 0x3e, 0, 0,
+          /*blockAlign*/ 2, 0, /*bits*/ 16, 0)),
+        ascii("data"), unhex(concat(le16h(dataSize), lit("0000"))),
+        unhex(sampleHex))
+      t(s, dir, "documents").filter(col("doc_id") < 500)
+        .select(col("doc_id"),
+          concat_ws("", transform(
+            graft.functions.imageExprs.wav_energy_hash(wav),
+            b => b.cast("string"))).as("ahash"))
+        .orderBy("doc_id")
+    },
+
     "q_bpe_decode" -> { (s, dir) =>
       // ENCODE→DECODE round trip over real corpus text under the
       // hash: decodeIds(ids(text)) must rebuild the
@@ -5607,6 +5637,27 @@ ORDER BY doc_id"""
     "q_pack_ids" -> bpePackIdsOracle,
     "q_pack_whole" -> packWholeOracle,
     "q_bpe_decode" -> bpeDecodeOracle,
+
+    "q_audio_energy_hash" ->
+      """WITH smp AS (
+        |  SELECT doc_id, k,
+        |    CASE WHEN (doc_id*37 + k*k*11) % 65536 >= 32768
+        |         THEN (doc_id*37 + k*k*11) % 65536 - 65536
+        |         ELSE (doc_id*37 + k*k*11) % 65536 END AS s
+        |  FROM (SELECT doc_id FROM documents WHERE doc_id < 500) d,
+        |    range(130) t(k)),
+        |e AS (
+        |  SELECT doc_id, k // 2 AS w, sum(s * s) AS energy
+        |  FROM smp GROUP BY doc_id, k // 2),
+        |e2 AS (
+        |  SELECT doc_id, w, energy,
+        |    lead(energy) OVER (PARTITION BY doc_id ORDER BY w) AS ne
+        |  FROM e)
+        |SELECT doc_id,
+        |  string_agg(CASE WHEN energy > ne THEN '1' ELSE '0' END, ''
+        |             ORDER BY w) AS ahash
+        |FROM e2 WHERE ne IS NOT NULL
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "q_image_dhash" ->
       """SELECT doc_id,

@@ -1126,6 +1126,14 @@ final class Pipeline private (
     add(MapStep("imageNearDups",
       graft.ops.Dedup.imageNearDups(_, idCol, pngCol, maxHamming = maxHamming)))
 
+  /** AUDIO near-dup pairs over a WAV payload column
+    * ([[graft.ops.Dedup.audioNearDups]]: gain-invariant
+    * energy-envelope hash + banded Hamming blocking). */
+  def audioNearDups(
+      idCol: String, wavCol: String, maxHamming: Int = 5): Pipeline =
+    add(MapStep("audioNearDups",
+      graft.ops.Dedup.audioNearDups(_, idCol, wavCol, maxHamming = maxHamming)))
+
   /** Append [[graft.ops.TextOps.qualityFeatures]] as a struct column. */
   def withQualityFeatures(textCol: String, as: String = "quality"): Pipeline =
     add(MapStep("qualityFeatures",

@@ -61,9 +61,50 @@ object ImageDHashUtil {
     graft.ops.MediaDecode.pngDHash(b, hashW, hashH)
       .map(bits => new GenericArrayData(bits.map(Int.box: Int => Any)))
       .orNull
+
+  def audioHash(b: Array[Byte], nBits: Int): ArrayData =
+    graft.ops.MediaDecode.wavEnergyHash(b, nBits)
+      .map(bits => new GenericArrayData(bits.map(Int.box: Int => Any)))
+      .orNull
+}
+
+/** Energy-envelope hash of a WAV payload — [[ImageDHash]]'s audio
+  * sibling ([[graft.ops.MediaDecode.wavEnergyHash]]: nBits+1
+  * equal-share PCM windows, one bit per adjacent-window loudness
+  * comparison; gain-invariant). NULL for undecodable bytes or fewer
+  * frames than windows — hostile payloads never throw. */
+case class AudioEnergyHash(child: Expression, nBits: Int)
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case BinaryType => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"wav_energy_hash expects binary, got ${other.simpleString}")
+    }
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullable: Boolean = true
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "wav_energy_hash"
+
+  override protected def nullSafeEval(input: Any): Any =
+    ImageDHashUtil.audioHash(input.asInstanceOf[Array[Byte]], nBits)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"""
+         |${ev.value} = graft.functions.ImageDHashUtil$$.MODULE$$.audioHash($c, $nBits);
+         |${ev.isNull} = (${ev.value} == null);
+       """.stripMargin)
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
 }
 
 object imageExprs {
   def png_dhash(c: Column, hashW: Int = 8, hashH: Int = 8): Column =
     Bridge.toColumn(ImageDHash(Bridge.toExpression(c), hashW, hashH))
+  def wav_energy_hash(c: Column, nBits: Int = 64): Column =
+    Bridge.toColumn(AudioEnergyHash(Bridge.toExpression(c), nBits))
 }

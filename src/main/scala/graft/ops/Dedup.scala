@@ -572,6 +572,23 @@ object Dedup {
     simhashPairsFromSigs(sigs, bands, bits / bands, maxHamming, maxBucket)
   }
 
+  /** AUDIO near-dup pairs: gain-invariant energy-envelope hash over a
+    * WAV payload column ([[graft.functions.AudioEnergyHash]]) through
+    * the same banded Hamming blocking as [[imageNearDups]] /
+    * [[simhashNearDups]]. A volume-adjusted copy moves ZERO bits; a
+    * re-encoded or lightly-noised copy moves few. Undecodable
+    * payloads drop out silently. Output: (id1, id2, hamming). */
+  def audioNearDups(
+      df: DataFrame, idCol: String, wavCol: String,
+      nBits: Int = 64, bands: Int = 8,
+      maxHamming: Int = 5, maxBucket: Int = 200): DataFrame = {
+    require(nBits % bands == 0, s"nBits=$nBits must be divisible by bands=$bands")
+    val sigs = df.select(col(idCol).as("__id__"),
+      graft.functions.imageExprs.wav_energy_hash(col(wavCol), nBits).as("__sig__"))
+      .filter(col("__sig__").isNotNull)
+    simhashPairsFromSigs(sigs, bands, nBits / bands, maxHamming, maxBucket)
+  }
+
   /** SimHash signature under an md5-parity per-(token, bit) hash — the
     * CROSS-ENGINE-REPLICABLE hash family: any engine with md5 (DuckDB,
     * Trino, Postgres) recomputes the identical signature from text, so

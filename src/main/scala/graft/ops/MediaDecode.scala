@@ -50,7 +50,10 @@ object MediaDecode {
     * None on anything else: compressed formats, missing/short chunks,
     * a data chunk whose declared size overruns the payload
     * (truncation), or zero frames. */
-  def wavStats(b: Array[Byte]): Option[WavStats] = {
+  /** RIFF/WAVE header walk shared by [[wavStats]] and
+    * [[wavEnergyHash]]: (format, channels, rate, bits, dataOff,
+    * dataSize), size fields distrusted. */
+  private def wavHeader(b: Array[Byte]): Option[(Int, Int, Int, Int, Int, Int)] = {
     if (b == null || b.length < 44) return None
     if (!(b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F' &&
         b(8) == 'W' && b(9) == 'A' && b(10) == 'V' && b(11) == 'E')) return None
@@ -84,8 +87,12 @@ object MediaDecode {
       off += 8 + size.toInt + (size.toInt & 1) // chunks are word-aligned
       guard += 1
     }
-    (fmt, data) match {
-      case (Some((format, channels, rate, bits)), Some((dOff, dSize))) =>
+    for (f <- fmt; d <- data) yield (f._1, f._2, f._3, f._4, d._1, d._2)
+  }
+
+  def wavStats(b: Array[Byte]): Option[WavStats] = {
+    wavHeader(b) match {
+      case Some((format, channels, rate, bits, dOff, dSize)) =>
         val bytesPer = bits / 8
         val frameBytes = bytesPer * channels
         val nFrames = dSize.toLong / frameBytes
@@ -137,6 +144,84 @@ object MediaDecode {
           nFrames.toDouble / rate, peak, math.sqrt(sumSq / nSamples)))
       case _ => None
     }
+  }
+
+  /** Energy-envelope hash of a WAV payload — the audio analog of
+    * [[pngDHash]]: the PCM frame axis splits into `nBits + 1`
+    * equal-share windows, per-window energy = Σ sample² over every
+    * channel, one bit per adjacent window pair: 1 iff the EARLIER
+    * window is louder. GAIN-INVARIANT (a volume-adjusted copy scales
+    * every energy by one constant, moving zero bits) and robust to
+    * re-encoding noise — Hamming distance over these bits is the
+    * audio near-dup signal, paired at scale by the same banding as
+    * SimHash/dHash ([[graft.ops.Dedup.audioNearDups]]).
+    *
+    * Exactness: 8/16-bit PCM and G.711 accumulate in the raw INTEGER
+    * domain (Long cannot overflow: sample² ≤ 2^30, data ≤ 2^31
+    * bytes) with cross-multiplied window comparisons — bit-exact,
+    * engine-replayable. 24/32-bit and float formats accumulate in
+    * double (spec-pinned, not oracle-gated). None when the payload is
+    * not a decodable WAV or has fewer frames than windows. */
+  def wavEnergyHash(b: Array[Byte], nBits: Int = 64): Option[Array[Int]] = {
+    val h = wavHeader(b) match { case Some(x) => x; case None => return None }
+    val (format, channels, _, bits, dOff, dSize) = h
+    val bytesPer = bits / 8
+    val frameBytes = bytesPer * channels
+    val nFrames = (dSize / frameBytes).toInt
+    val gw = nBits + 1
+    if (nFrames < gw) return None
+    val intExact = (format == 1 && bits <= 16) || format == 6 || format == 7
+    val sumsL = new Array[Long](gw)
+    val sumsD = new Array[Double](gw)
+    val counts = new Array[Long](gw)
+    var f = 0
+    while (f < nFrames) {
+      val w = (f.toLong * gw / nFrames).toInt
+      var c = 0
+      while (c < channels) {
+        val p = dOff + (f.toLong * channels + c).toInt * bytesPer
+        if (intExact) {
+          val raw: Long = format match {
+            case 1 if bits == 8 => (u8(b, p) - 128).toLong
+            case 1 => le16(b, p).toShort.toLong
+            case 6 => alawToLinear(u8(b, p)).toLong
+            case _ => ulawToLinear(u8(b, p)).toLong
+          }
+          sumsL(w) += raw * raw
+        } else {
+          val v: Double = format match {
+            case 1 if bits == 24 =>
+              val x = u8(b, p) | (u8(b, p + 1) << 8) | (u8(b, p + 2) << 16)
+              ((x << 8) >> 8).toDouble
+            case 1 => le32(b, p).toInt.toDouble
+            case _ =>
+              if (bits == 32) java.lang.Float.intBitsToFloat(le32(b, p).toInt).toDouble
+              else java.lang.Double.longBitsToDouble(
+                le32(b, p) | (le32(b, p + 4) << 32))
+          }
+          if (!java.lang.Double.isFinite(v)) return None
+          sumsD(w) += v * v
+        }
+        c += 1
+      }
+      counts(w) += channels
+      f += 1
+    }
+    val out = new Array[Int](nBits)
+    var i = 0
+    while (i < nBits) {
+      // mean(i) > mean(i+1) without division; window sizes differ by
+      // at most one frame, but cross-multiply anyway — BigInt keeps
+      // the integer path exact (64 comparisons per file, not per
+      // sample, so the cost is noise)
+      val gt =
+        if (intExact)
+          BigInt(sumsL(i)) * counts(i + 1) > BigInt(sumsL(i + 1)) * counts(i)
+        else sumsD(i) * counts(i + 1) > sumsD(i + 1) * counts(i)
+      out(i) = if (gt) 1 else 0
+      i += 1
+    }
+    Some(out)
   }
 
   /** G.711 µ-law byte → linear 16-bit sample (CCITT reference

@@ -80,4 +80,38 @@ class ImageDedupSpec extends AnyFunSuite {
       .toDF.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(viaVerb == pairs)
   }
+
+  private def le16b(v: Int) = b(v & 0xff, (v >> 8) & 0xff)
+  private def le32b(v: Int) = b(v & 0xff, (v >> 8) & 0xff, (v >> 16) & 0xff, (v >> 24) & 0xff)
+
+  private def wav16(samples: Seq[Int]): Array[Byte] = {
+    val data = samples.flatMap(s => Seq((s & 0xff).toByte, ((s >> 8) & 0xff).toByte)).toArray
+    "RIFF".getBytes ++ le32b(36 + data.length) ++ "WAVE".getBytes ++
+      "fmt ".getBytes ++ le32b(16) ++ le16b(1) ++ le16b(1) ++
+      le32b(8000) ++ le32b(16000) ++ le16b(2) ++ le16b(16) ++
+      "data".getBytes ++ le32b(data.length) ++ data
+  }
+
+  test("audioNearDups: gain-scaled and perturbed copies pair; a different envelope does not") {
+    // base envelope: loud/soft alternating blocks of 10 samples
+    def baseA(k: Int) = if ((k / 10) % 2 == 0) 4000 + (k % 7) * 11 else 300 + (k % 5)
+    def baseB(k: Int) = if ((k / 10) % 2 == 1) 4000 + (k % 7) * 11 else 300 + (k % 5)
+    val rows: Seq[(Long, Array[Byte])] = Seq(
+      1L -> wav16((0 until 200).map(baseA)),
+      2L -> wav16((0 until 200).map(k => baseA(k) * 2)),      // exact gain x2
+      3L -> wav16((0 until 200).map(k => baseA(k) + (if (k == 57) 90 else 0))), // tiny blip
+      11L -> wav16((0 until 200).map(baseB)),                 // shifted envelope
+      99L -> "not audio".getBytes)                            // silent drop
+    val pairs = Dedup.audioNearDups(rows.toDF("id", "wav"), "id", "wav",
+      maxHamming = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L), (1L, 3L), (2L, 3L)), pairs)
+    // the exact-gain copy sits at Hamming distance ZERO
+    val zero = Dedup.audioNearDups(rows.toDF("id", "wav"), "id", "wav")
+      .filter(col("id1") === 1L && col("id2") === 2L)
+      .head().getInt(2)
+    assert(zero == 0)
+    intercept[IllegalArgumentException](
+      Dedup.audioNearDups(rows.toDF("id", "wav"), "id", "wav", bands = 7))
+  }
 }

@@ -347,6 +347,45 @@ class MediaDecodeSpec extends AnyFunSuite {
     assert(MediaDecode.pngDHash("not a png at all".getBytes).isEmpty)
   }
 
+  // ---------- audio energy hash ----------
+
+  private def pcm16(samples: Seq[Int]): Array[Byte] =
+    samples.flatMap(s => Seq((s & 0xff).toByte, ((s >> 8) & 0xff).toByte)).toArray
+
+  test("wavEnergyHash: golden window comparisons; gain invariance; None arms") {
+    // 130 mono 16-bit samples → 65 two-frame windows, 64 bits
+    def s(k: Int) = ((k * k * 7 + 13) % 65536) - 32768
+    val samples = (0 until 130).map(s)
+    val bits = MediaDecode.wavEnergyHash(wav(8000, 1, 16, pcm16(samples))).get
+    assert(bits.length == 64)
+    def e(w: Int): Long = {
+      val a = s(2 * w).toLong; val b2 = s(2 * w + 1).toLong
+      a * a + b2 * b2
+    }
+    val want = (0 until 64).map(w => if (e(w) > e(w + 1)) 1 else 0)
+    assert(bits.toSeq == want)
+    assert(bits.contains(0) && bits.contains(1))
+    // GAIN INVARIANCE: halving the volume moves zero bits
+    val half = MediaDecode.wavEnergyHash(
+      wav(8000, 1, 16, pcm16(samples.map(_ / 2)))).get
+    // (integer halving is not an exact scale; allow the few bits where
+    // truncation flips a near-tie, but the envelope must survive)
+    val moved = bits.zip(half).count { case (a, b) => a != b }
+    assert(moved <= 4, s"gain change moved $moved bits")
+    // an EXACT scale (x2 from a half-range base) moves zero bits
+    val base = samples.map(_ / 2)
+    val b1 = MediaDecode.wavEnergyHash(wav(8000, 1, 16, pcm16(base))).get
+    val b2x = MediaDecode.wavEnergyHash(wav(8000, 1, 16, pcm16(base.map(_ * 2)))).get
+    assert(b1.toSeq == b2x.toSeq)
+    // stereo: both channels contribute to the frame window
+    val stereo = (0 until 130).flatMap(k => Seq(s(k), -s(k)))
+    assert(MediaDecode.wavEnergyHash(wav(8000, 2, 16, pcm16(stereo))).isDefined)
+    // too few frames / junk → None
+    assert(MediaDecode.wavEnergyHash(wav(8000, 1, 16, pcm16(Seq.fill(64)(5)))).isEmpty)
+    assert(MediaDecode.wavEnergyHash("RIFFjunk".getBytes).isEmpty)
+    assert(MediaDecode.wavEnergyHash(Array[Byte](1, 2)).isEmpty)
+  }
+
   test("imageStats: hand-built multi-row GIF decodes palette-exact through real LZW") {
     val w = 19; val h = 17 // 323 px: forces a mid-stream clear code
     def pix(x: Int, y: Int) = (x * 13 + y * 41) % 256
