@@ -496,6 +496,49 @@ class ExprFuzzSpec extends AnyFunSuite {
       exprs.media_dims)
   }
 
+  test("png_dhash / wav_energy_hash: mutated media bytes interpreted == codegen") {
+    def b(xs: Int*): Array[Byte] = xs.map(_.toByte).toArray
+    // a VALID 9x8 gray PNG (stored deflate) and a VALID 130-sample WAV
+    // as mutation seeds, so some mutants decode and some fail mid-walk
+    def crcChunk(typ: String, data: Array[Byte]): Array[Byte] = {
+      val crc = new java.util.zip.CRC32()
+      crc.update(typ.getBytes); crc.update(data)
+      val v = crc.getValue
+      be32(data.length.toLong) ++ typ.getBytes ++ data ++ be32(v)
+    }
+    val scan = (0 until 8).flatMap(y =>
+      0.toByte +: (0 until 9).map(x => ((x * 40 + y * 5) % 256).toByte)).toArray
+    val defl = { val d = new java.util.zip.Deflater(); d.setInput(scan); d.finish()
+      val buf = new Array[Byte](256); val n = d.deflate(buf); d.end(); buf.take(n) }
+    val pngSeed = b(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a) ++
+      crcChunk("IHDR", be32(9L) ++ be32(8L) ++ b(8, 0, 0, 0, 0)) ++
+      crcChunk("IDAT", defl) ++ crcChunk("IEND", Array.emptyByteArray)
+    val pcm = (0 until 130).flatMap { k =>
+      val s = (k * k * 7) % 65536 - 32768
+      Seq((s & 0xff).toByte, ((s >> 8) & 0xff).toByte)
+    }.toArray
+    val wavSeed = "RIFF".getBytes ++ b(0x24 + 260, 1, 0, 0) ++ "WAVE".getBytes ++
+      "fmt ".getBytes ++ b(16, 0, 0, 0, 1, 0, 1, 0, 0x40, 0x1f, 0, 0,
+        0x80, 0x3e, 0, 0, 2, 0, 16, 0) ++
+      "data".getBytes ++ b(4, 1, 0, 0) ++ pcm
+    val seeds = Seq(pngSeed, wavSeed)
+    val payloads: Seq[Array[Byte]] = Seq(null, Array.emptyByteArray,
+      pngSeed, wavSeed) ++
+      (0 until 300).map { i =>
+        if (i % 4 == 0) { val a = new Array[Byte](rnd.nextInt(64)); rnd.nextBytes(a); a }
+        else {
+          val base = seeds(rnd.nextInt(seeds.length)).clone()
+          (0 until rnd.nextInt(5)).foreach(_ =>
+            base(rnd.nextInt(base.length)) = rnd.nextInt(256).toByte)
+          if (i % 3 == 0) base.take(1 + rnd.nextInt(base.length)) else base
+        }
+      }
+    val df = payloads.toDF("x")
+    val plits = payloads.map(p => if (p == null) nullLit(BinaryType) else lit(p))
+    sweep1("png_dhash", df, plits, c => imageExprs.png_dhash(c))
+    sweep1("wav_energy_hash", df, plits, c => imageExprs.wav_energy_hash(c))
+  }
+
   // shared byte-assembly helpers for the container-format fuzz seeds
   private def be32(v: Long): Array[Byte] = Array(
     (v >>> 24).toByte, (v >>> 16).toByte, (v >>> 8).toByte, v.toByte)
