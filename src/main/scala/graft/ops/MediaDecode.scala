@@ -408,9 +408,13 @@ object MediaDecode {
       while (cx < hashW) {
         val l = cy * gw + cx
         val r = l + 1
-        // mean(l) > mean(r) without division: cross-multiplied exact
+        // mean(l) > mean(r) without division: cross-multiplied exact.
+        // BigInt, not Long — a gigapixel image with a tiny hash grid
+        // makes 255·n² exceed 2^63 (the wavEnergyHash discipline; 64
+        // comparisons per image, the cost is noise)
         bits(cy * hashW + cx) =
-          if (sums(l) * counts(r) > sums(r) * counts(l)) 1 else 0
+          if (BigInt(sums(l)) * counts(r) > BigInt(sums(r)) * counts(l)) 1
+          else 0
         cx += 1
       }
       cy += 1

@@ -50,7 +50,7 @@ object Packing {
     val bucketed = df.withColumn("__b__", bucket)
     val cellCols = partitionCols :+ "__b__"
 
-    // The bucket-sum pass carries ONLY sum+count — both combine
+    // The bucket-sum pass carries ONLY the weight sum — it combines
     // map-side, so the shuffle moves one partial row per
     // (mapPartition, cell), never per corpus row. (A count_distinct
     // here would be "the same scan" but would defeat the partial
@@ -59,7 +59,7 @@ object Packing {
     // shared by every Packing/Sampling caller. Order-key uniqueness
     // is checked inside the output window instead — see below.)
     val sums = bucketed.groupBy(cellCols.map(col): _*)
-      .agg(sum(weight).as("__s__"), count(lit(1)).as("__n__"))
+      .agg(sum(weight).as("__s__"))
       .orderBy(cellCols.map(col): _*)
       .limit(maxBuckets + 1)
       .collect()
@@ -153,12 +153,25 @@ object Packing {
     * weightCol) pass for the bucket sums, then the full output plan —
     * so it must be DETERMINISTIC (as any reused DataFrame must);
     * localCheckpoint a non-deterministic source first. */
+  /** Exact long floor-division bucket: `floorDiv(key, width)` without
+    * the double rounding of `floor(col / width)` (a key above 2^53
+    * would bucket a few keys off the true boundary — benign for the
+    * cumsum itself, which only needs bucket to be a non-decreasing
+    * function of the key, but FATAL for [[packWholeDocs]]' seq_id
+    * arithmetic, which needs every bucket to span at most
+    * bucketWidth keys). pmod is non-negative, so the subtraction
+    * lands exactly on a multiple of the width and the integral `div`
+    * is exact at every magnitude (the assignShards discipline). */
+  private def floorDivBucket(orderCol: String, bucketWidth: Long): Column =
+    expr(s"(cast($orderCol AS BIGINT) - pmod(cast($orderCol AS BIGINT), " +
+      s"$bucketWidth)) div $bucketWidth")
+
   def globalCumsum(
       df: DataFrame, orderCol: String, weightCol: String,
       bucketWidth: Long = 100000): DataFrame = {
     require(bucketWidth > 0, "bucketWidth must be positive")
     bucketedCumsum(df, Seq.empty,
-      floor(col(orderCol).cast("long") / bucketWidth),
+      floorDivBucket(orderCol, bucketWidth),
       Seq(col(orderCol)),
       coalesce(col(weightCol).cast("long"), lit(0L)),
       s"globalCumsum($orderCol)")
@@ -277,12 +290,12 @@ object Packing {
     * `orderCol` inherits [[globalCumsum]]'s full contract: integral,
     * NON-NULL, and UNIQUE — duplicate order keys would make the
     * within-bucket window tie order arbitrary, so the packed layout
-    * would not be rerun-stable. BOTH are checked loudly (the
-    * uniqueness check rides the pruned bucket-sum aggregate already
-    * being paid — count vs count-distinct per cell, no extra corpus
-    * scan); use a row id that is a key, as every gate does with
-    * doc_id, or a composite key when the corpus is oversampled
-    * (q_pack_epochs' doc_id·K+copy pattern).
+    * would not be rerun-stable. BOTH are checked loudly (a lag probe
+    * riding the output window's existing sort — zero extra scan or
+    * shuffle, raising from the executors at execution time); use a
+    * row id that is a key, as every gate does with doc_id, or a
+    * composite key when the corpus is oversampled (q_pack_epochs'
+    * doc_id·K+copy pattern).
     * The input is also EXECUTED TWICE (the [[globalCumsum]] contract:
     * a pruned (orderCol, size(ids)) pass for the bucket sums, then
     * the full plan) — when `idsCol` comes from an expensive encoder,
@@ -388,7 +401,7 @@ object Packing {
     val what = s"packWholeDocs($orderCol)"
     val prepared = df
       .select(
-        floor(col(orderCol).cast("long") / bucketWidth).as("__b__"),
+        floorDivBucket(orderCol, bucketWidth).as("__b__"),
         col(orderCol).cast("long").as("__k__"),
         col(idsCol).cast("array<int>").as("__ids__"))
       .filter(size(col("__ids__")) > 0)

@@ -217,7 +217,14 @@ object Http {
     val outSchema = df.schema
       .add("status", IntegerType).add("content_type", StringType)
       .add("resp_body", StringType).add("error", StringType)
-    val out = df.coalesce(parallelism).mapPartitions { it =>
+    // repartition, NOT coalesce: coalesce propagates its partition
+    // count up the plan with no shuffle barrier, so it would throttle
+    // an expensive upstream transform to `parallelism` tasks on the
+    // whole cluster. The round-robin exchange moves only the (small)
+    // url/body rows and caps concurrent connections without
+    // strangling upstream parallelism; nothing downstream supersedes
+    // it (mapPartitions follows directly), so Catalyst keeps it.
+    val out = df.repartition(parallelism).mapPartitions { it =>
       it.map { r =>
         if (r.isNullAt(urlIdx))
           Row.fromSeq(r.toSeq ++ Seq(null, null, null, null))
@@ -346,12 +353,27 @@ object Http {
   /** Extracts every top-level `<tag ...>...</tag>` (or `<tag ... />`)
     * occurrence from an XML document as its own string. A scanner, not
     * a parser: tracks nesting depth of `tag` only, which is exactly
-    * what splitting on a row tag needs (comments/CDATA containing a
-    * literal `<tag` are the documented limitation). */
+    * what splitting on a row tag needs. Attribute values are
+    * quote-skipped (a `>` or `/>` inside `attr="a/>b"` is data, not
+    * the tag end); comments/CDATA/element TEXT containing a literal
+    * `<tag` or `</tag>` remain the documented limitation. */
   private[sources] def xmlRecords(body: String, tag: String): Seq[String] = {
     val out = Seq.newBuilder[String]
     val open = s"<$tag"
     val close = s"</$tag>"
+    // index of the open tag's terminating '>', quote-aware
+    def tagEnd(from: Int): Int = {
+      var j = from
+      var quote: Char = 0
+      while (j < body.length) {
+        val ch = body.charAt(j)
+        if (quote != 0) { if (ch == quote) quote = 0 }
+        else if (ch == '"' || ch == '\'') quote = ch
+        else if (ch == '>') return j
+        j += 1
+      }
+      -1
+    }
     var i = 0
     var start = -1
     var depth = 0
@@ -361,7 +383,7 @@ object Http {
             " \t\r\n>/".indexOf(body.charAt(i + open.length)) >= 0)) {
         if (depth == 0) start = i
         // self-closing at this level does not change depth
-        val end = body.indexOf('>', i)
+        val end = tagEnd(i)
         val selfClosing = end > 0 && body.charAt(end - 1) == '/'
         if (selfClosing && depth == 0) { out += body.substring(i, end + 1); start = -1 }
         else if (!selfClosing) depth += 1
@@ -475,7 +497,11 @@ object Http {
       .map(b => HttpRequest.BodyPublishers.ofString(b, StandardCharsets.UTF_8))
       .getOrElse(HttpRequest.BodyPublishers.noBody())
     val builder = HttpRequest.newBuilder(URI.create(fullUrl)).method(verb, publisher)
-    body.foreach(_ => builder.header("Content-Type", bodyContentType))
+    // the default body Content-Type must not FIGHT a caller-supplied
+    // one: builder.header() appends (two conflicting values on the
+    // wire); an explicit headers entry wins, the default fills in
+    if (body.isDefined && !headers.keysIterator.exists(_.equalsIgnoreCase("Content-Type")))
+      builder.header("Content-Type", bodyContentType)
     headers.foreach { case (k, v) => builder.header(k, v) }
     basicAuth.foreach { case (u, pw) =>
       builder.header("Authorization", "Basic " + Base64.getEncoder

@@ -260,10 +260,17 @@ class PackingSpec extends AnyFunSuite {
       val bw = 8 + rnd.nextInt(40)
       val nDocs = 20 + rnd.nextInt(150)
       // sparse, shuffled keys so bucket boundaries and partitioning
-      // are both exercised; alternate rounds shift the key space
-      // NEGATIVE (floor-division bucketing must keep matching the
-      // reference below zero); lengths in [1, seqLen]
-      val shift = if (round % 2 == 0) 0L else -(nDocs * 2L)
+      // are both exercised; rounds rotate the key space NEGATIVE
+      // (floor-division bucketing must keep matching the reference
+      // below zero) and ABOVE 2^53 (where floor(double /) bucketing
+      // would round keys across boundaries and collide seq_ids —
+      // the exact-integer floorDivBucket regression); lengths in
+      // [1, seqLen]
+      val shift = round % 3 match {
+        case 0 => 0L
+        case 1 => -(nDocs * 2L)
+        case _ => (1L << 53) + 12345L
+      }
       val keys = rnd.shuffle((0 until nDocs * 3).map(_ + shift).toVector)
         .take(nDocs).sorted
       val corpus = keys.map(k =>

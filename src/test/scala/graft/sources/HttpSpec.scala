@@ -165,6 +165,12 @@ class HttpSpec extends AnyFunSuite with BeforeAndAfterAll {
       bodyContentType = "application/x-www-form-urlencoded")
       .toDF.head().getAs[String]("body")
     assert(put == "PUT|application/x-www-form-urlencoded|a=1&b=2")
+    // a caller-supplied Content-Type header WINS over the body default
+    // (one value on the wire, not two conflicting ones)
+    val overridden = Http.post(spark, s"$base/echo-verb", "<x/>",
+      headers = Map("Content-Type" -> "text/xml"))
+      .toDF.head().getAs[String]("body")
+    assert(overridden == "POST|text/xml|<x/>")
     val del = Http.delete(spark, s"$base/echo-verb").toDF.head().getAs[String]("body")
     assert(del == "DELETE||")
     val head = Http.head(spark, s"$base/echo-verb").toDF.head()
@@ -257,6 +263,15 @@ class HttpSpec extends AnyFunSuite with BeforeAndAfterAll {
       val got = graft.sources.Http.xmlRecords(body, "cd")
       assert(got == recs, s"round $round:\n$body\ngot $got\nwant $recs")
     }
+    // quote-aware tag ends: '>' and '/>' inside attribute values are
+    // data, not the tag terminator; a close-tag spelling inside an
+    // attribute is skipped with the rest of the open tag
+    assert(graft.sources.Http.xmlRecords(
+      """<r><cd note="a/>b"><t>x</t></cd></r>""", "cd") ==
+      Seq("""<cd note="a/>b"><t>x</t></cd>"""))
+    assert(graft.sources.Http.xmlRecords(
+      """<r><cd a="</cd>">x</cd><cd b='>'/></r>""", "cd") ==
+      Seq("""<cd a="</cd>">x</cd>""", """<cd b='>'/>"""))
   }
 
   test("getRows dispatches on response Content-Type (json/xml/csv/raw)") {
