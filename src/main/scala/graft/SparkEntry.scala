@@ -2846,6 +2846,46 @@ object SparkEntry {
         .orderBy("doc_id")
     },
 
+    "q_video_structure_hash" -> { (s, dir) =>
+      // the VIDEO near-dup signature under the hash: per doc, a
+      // spec-valid MP4 sample table (ftyp + moov/trak/mdia/minf/stbl
+      // with a 130-entry stsz from doc_id arithmetic, one stsc run,
+      // one stco chunk), walked by the REAL stbl parser and reduced
+      // to the 64-bit coded-size envelope (65 two-sample windows, one
+      // bit per adjacent comparison) — DuckDB recomputes the bits
+      // arithmetically, so drift in the box walk, the run/chunk
+      // bookkeeping, the windowing, or the bit order breaks the
+      // compare. The PAIRING over these signatures is the proven
+      // simhashPairsFromSigs machinery.
+      val n = lit(130L)
+      def sizeK(k: Column) = pmod(col("doc_id") + k * 13, lit(200L)) + 1
+      val sizesHex = aggregate(sequence(lit(1L), n), lit(""),
+        (acc, k) => concat(acc, lpad(hex(sizeK(k)), 8, "0")))
+      val stszB = concat(be32(n * 4 + 20), ascii("stsz"),
+        lit(new Array[Byte](4)), be32(lit(0L)), be32(n), unhex(sizesHex))
+      val stscB = concat(be32(lit(28L)), ascii("stsc"),
+        lit(new Array[Byte](4)), be32(lit(1L)),
+        be32(lit(1L)), be32(n), be32(lit(1L)))
+      val stcoB = concat(be32(lit(20L)), ascii("stco"),
+        lit(new Array[Byte](4)), be32(lit(1L)), be32(lit(4096L)))
+      val stblPayload = (n * 4 + 20) + 28 + 20
+      val stblB = concat(be32(stblPayload + 8), ascii("stbl"),
+        stszB, stscB, stcoB)
+      val minfB = concat(be32(stblPayload + 16), ascii("minf"), stblB)
+      val mdiaB = concat(be32(stblPayload + 24), ascii("mdia"), minfB)
+      val trakB = concat(be32(stblPayload + 32), ascii("trak"), mdiaB)
+      val moovB = concat(be32(stblPayload + 40), ascii("moov"), trakB)
+      val ftypB = concat(be32(lit(16L)), ascii("ftyp"),
+        ascii("isom"), be32(lit(0x200L)))
+      t(s, dir, "documents").filter(col("doc_id") < 500)
+        .select(col("doc_id"),
+          concat_ws("", transform(
+            graft.functions.imageExprs.mp4_structure_hash(
+              concat(ftypB, moovB)),
+            b => b.cast("string"))).as("vhash"))
+        .orderBy("doc_id")
+    },
+
     "q_audio_energy_hash" -> { (s, dir) =>
       // the AUDIO near-dup signature under the hash: per doc, a
       // spec-valid 16-bit mono PCM WAV of 130 samples from doc_id
@@ -5637,6 +5677,24 @@ ORDER BY doc_id"""
     "q_pack_ids" -> bpePackIdsOracle,
     "q_pack_whole" -> packWholeOracle,
     "q_bpe_decode" -> bpeDecodeOracle,
+
+    "q_video_structure_hash" ->
+      """WITH sz AS (
+        |  SELECT doc_id, k, (doc_id + k*13) % 200 + 1 AS s
+        |  FROM (SELECT doc_id FROM documents WHERE doc_id < 500) d,
+        |    range(1, 131) t(k)),
+        |e AS (
+        |  SELECT doc_id, (k - 1) // 2 AS w, sum(s) AS tot
+        |  FROM sz GROUP BY doc_id, (k - 1) // 2),
+        |e2 AS (
+        |  SELECT doc_id, w, tot,
+        |    lead(tot) OVER (PARTITION BY doc_id ORDER BY w) AS nt
+        |  FROM e)
+        |SELECT doc_id,
+        |  string_agg(CASE WHEN tot > nt THEN '1' ELSE '0' END, ''
+        |             ORDER BY w) AS vhash
+        |FROM e2 WHERE nt IS NOT NULL
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "q_audio_energy_hash" ->
       """WITH smp AS (

@@ -1134,6 +1134,15 @@ final class Pipeline private (
     add(MapStep("audioNearDups",
       graft.ops.Dedup.audioNearDups(_, idCol, wavCol, maxHamming = maxHamming)))
 
+  /** VIDEO near-dup pairs over an MP4 payload column
+    * ([[graft.ops.Dedup.videoNearDups]]: coded-size-envelope
+    * fingerprint + banded Hamming blocking; re-muxed copies at
+    * Hamming 0, re-encodes need the embedding path). */
+  def videoNearDups(
+      idCol: String, mp4Col: String, maxHamming: Int = 5): Pipeline =
+    add(MapStep("videoNearDups",
+      graft.ops.Dedup.videoNearDups(_, idCol, mp4Col, maxHamming = maxHamming)))
+
   /** Append [[graft.ops.TextOps.qualityFeatures]] as a struct column. */
   def withQualityFeatures(textCol: String, as: String = "quality"): Pipeline =
     add(MapStep("qualityFeatures",

@@ -66,6 +66,11 @@ object ImageDHashUtil {
     graft.ops.MediaDecode.wavEnergyHash(b, nBits)
       .map(bits => new GenericArrayData(bits.map(Int.box: Int => Any)))
       .orNull
+
+  def videoHash(b: Array[Byte], nBits: Int): ArrayData =
+    graft.ops.MediaDecode.mp4StructureHash(b, nBits)
+      .map(bits => new GenericArrayData(bits.map(Int.box: Int => Any)))
+      .orNull
 }
 
 /** Energy-envelope hash of a WAV payload — [[ImageDHash]]'s audio
@@ -102,9 +107,45 @@ case class AudioEnergyHash(child: Expression, nBits: Int)
     copy(child = newChild)
 }
 
+/** Structural fingerprint of an MP4 payload — [[AudioEnergyHash]]'s
+  * video sibling ([[graft.ops.MediaDecode.mp4StructureHash]]: the
+  * per-sample coded-size envelope from the real stbl walk; a re-muxed
+  * copy sits at Hamming 0). NULL for non-MP4 bytes or fewer samples
+  * than windows. */
+case class VideoStructureHash(child: Expression, nBits: Int)
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case BinaryType => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"mp4_structure_hash expects binary, got ${other.simpleString}")
+    }
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullable: Boolean = true
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "mp4_structure_hash"
+
+  override protected def nullSafeEval(input: Any): Any =
+    ImageDHashUtil.videoHash(input.asInstanceOf[Array[Byte]], nBits)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"""
+         |${ev.value} = graft.functions.ImageDHashUtil$$.MODULE$$.videoHash($c, $nBits);
+         |${ev.isNull} = (${ev.value} == null);
+       """.stripMargin)
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object imageExprs {
   def png_dhash(c: Column, hashW: Int = 8, hashH: Int = 8): Column =
     Bridge.toColumn(ImageDHash(Bridge.toExpression(c), hashW, hashH))
   def wav_energy_hash(c: Column, nBits: Int = 64): Column =
     Bridge.toColumn(AudioEnergyHash(Bridge.toExpression(c), nBits))
+  def mp4_structure_hash(c: Column, nBits: Int = 64): Column =
+    Bridge.toColumn(VideoStructureHash(Bridge.toExpression(c), nBits))
 }

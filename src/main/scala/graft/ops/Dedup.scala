@@ -589,6 +589,24 @@ object Dedup {
     simhashPairsFromSigs(sigs, bands, nBits / bands, maxHamming, maxBucket)
   }
 
+  /** VIDEO near-dup pairs: structural fingerprint over an MP4 payload
+    * column ([[graft.functions.VideoStructureHash]] — the per-sample
+    * coded-size envelope from the real sample-table walk; a re-MUXED
+    * copy sits at Hamming 0, a lightly-trimmed one moves few bits;
+    * re-ENCODES need the embedding path) through the same banded
+    * Hamming blocking as the text/image/audio family. Undecodable
+    * payloads drop out silently. Output: (id1, id2, hamming). */
+  def videoNearDups(
+      df: DataFrame, idCol: String, mp4Col: String,
+      nBits: Int = 64, bands: Int = 8,
+      maxHamming: Int = 5, maxBucket: Int = 200): DataFrame = {
+    require(nBits % bands == 0, s"nBits=$nBits must be divisible by bands=$bands")
+    val sigs = df.select(col(idCol).as("__id__"),
+      graft.functions.imageExprs.mp4_structure_hash(col(mp4Col), nBits).as("__sig__"))
+      .filter(col("__sig__").isNotNull)
+    simhashPairsFromSigs(sigs, bands, nBits / bands, maxHamming, maxBucket)
+  }
+
   /** SimHash signature under an md5-parity per-(token, bit) hash — the
     * CROSS-ENGINE-REPLICABLE hash family: any engine with md5 (DuckDB,
     * Trino, Postgres) recomputes the identical signature from text, so

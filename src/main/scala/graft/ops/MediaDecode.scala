@@ -427,6 +427,59 @@ object MediaDecode {
       b: Array[Byte], hashW: Int = 8, hashH: Int = 8): Option[Array[Int]] =
     pngPixels(b).flatMap(dHashFromPixels(_, hashW, hashH))
 
+  /** Shared envelope→bits kernel (the [[wavEnergyHash]] shape over an
+    * arbitrary per-item value sequence): values split into `nBits + 1`
+    * equal-share windows, one bit per adjacent pair — 1 iff the
+    * EARLIER window's mean is greater (BigInt cross-multiplied,
+    * exact). None when there are fewer values than windows. */
+  private[graft] def envelopeBits(
+      values: Array[Long], nBits: Int): Option[Array[Int]] = {
+    val gw = nBits + 1
+    val n = values.length
+    if (n < gw) return None
+    val sums = new Array[Long](gw)
+    val counts = new Array[Long](gw)
+    var i = 0
+    while (i < n) {
+      val w = (i.toLong * gw / n).toInt
+      sums(w) += values(i)
+      counts(w) += 1L
+      i += 1
+    }
+    val out = new Array[Int](nBits)
+    var k = 0
+    while (k < nBits) {
+      out(k) =
+        if (BigInt(sums(k)) * counts(k + 1) > BigInt(sums(k + 1)) * counts(k)) 1
+        else 0
+      k += 1
+    }
+    Some(out)
+  }
+
+  /** Structural fingerprint of an MP4 payload — the VIDEO near-dup
+    * signature: the per-sample coded-size sequence from the REAL
+    * sample-table walk ([[graft.functions.Mp4MetaUtil.parseSamples]]:
+    * stsz/stsc/stco/stss) run through [[envelopeBits]]. Coded frame
+    * sizes track content complexity over time; a re-MUXED or
+    * retagged copy preserves the sample table exactly (Hamming 0)
+    * and a lightly-trimmed copy moves few bits. NOT robust to
+    * re-ENCODING (a different encoder re-costs every frame) — pair
+    * with embedding near-dup when re-encodes must match. None for
+    * non-MP4 bytes or fewer samples than windows. */
+  def mp4StructureHash(b: Array[Byte], nBits: Int = 64): Option[Array[Int]] = {
+    val arr = graft.functions.Mp4MetaUtil.parseSamples(b)
+    if (arr == null) return None
+    val n = arr.numElements()
+    val sizes = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      sizes(i) = arr.getStruct(i, 4).getInt(2).toLong
+      i += 1
+    }
+    envelopeBits(sizes, nBits)
+  }
+
   /** Image pixel statistics for the ImageIO-backed formats. `channels`
     * is the color model's component count (3 for RGB/indexed, 4 with
     * alpha); `meanPx`/`minPx`/`maxPx` are over the RESOLVED R, G, B

@@ -222,4 +222,27 @@ class Mp4MetaSpec extends AnyFunSuite {
     assert(viaCol.getInt(2) == 1 && viaCol.getInt(3) == 320)
     assert(r2.getInt(1) == 240)
   }
+
+  test("mp4StructureHash: coded-size envelope bits; re-mux invariance; None arms") {
+    // 130 samples, one chunk — windows are exactly two samples each
+    def sz(k: Int): Long = (k * k * 7 + 3) % 180 + 1
+    val sizes = (1 to 130).map(sz)
+    val m = sampledMp4(stsz(sizes) ++ stsc(Seq((1L, 130L))) ++ stco(Seq(4096)))
+    val bits = graft.ops.MediaDecode.mp4StructureHash(m).get
+    assert(bits.length == 64)
+    def tot(w: Int) = sz(2 * w + 1) + sz(2 * w + 2)
+    val want = (0 until 64).map(w => if (tot(w) > tot(w + 1)) 1 else 0)
+    assert(bits.toSeq == want)
+    assert(bits.contains(0) && bits.contains(1))
+    // RE-MUX invariance: different chunking and offsets, same sizes ->
+    // identical fingerprint (coded sizes survive a remux exactly)
+    val remuxed = sampledMp4(stsz(sizes) ++
+      stsc(Seq((1L, 65L), (2L, 65L))) ++ stco(Seq(900, 777777)))
+    assert(graft.ops.MediaDecode.mp4StructureHash(remuxed).get.toSeq == bits.toSeq)
+    // fewer samples than windows / junk -> None
+    val small = sampledMp4(stsz(Seq.fill(64)(10L)) ++
+      stsc(Seq((1L, 64L))) ++ stco(Seq(100)))
+    assert(graft.ops.MediaDecode.mp4StructureHash(small).isEmpty)
+    assert(graft.ops.MediaDecode.mp4StructureHash("not an mp4".getBytes).isEmpty)
+  }
 }

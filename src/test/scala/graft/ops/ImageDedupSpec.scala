@@ -114,4 +114,52 @@ class ImageDedupSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](
       Dedup.audioNearDups(rows.toDF("id", "wav"), "id", "wav", bands = 7))
   }
+
+  private def be32b4(v: Long) =
+    b((v >>> 24).toInt, (v >>> 16).toInt & 0xff, (v >>> 8).toInt & 0xff, v.toInt & 0xff)
+  private def mbox(t: String, payload: Array[Byte]): Array[Byte] =
+    be32b4(payload.length + 8L) ++ t.getBytes ++ payload
+  private def fmbox(t: String, payload: Array[Byte]): Array[Byte] =
+    mbox(t, b(0, 0, 0, 0) ++ payload)
+
+  private def mp4Of(sizes: Seq[Long], chunkOffsets: Seq[Long] = Seq(4096L)): Array[Byte] = {
+    val perChunk = sizes.length / chunkOffsets.length
+    val stsz = fmbox("stsz", be32b4(0) ++ be32b4(sizes.length.toLong) ++
+      sizes.flatMap(be32b4).toArray)
+    val stsc = fmbox("stsc", be32b4(chunkOffsets.length.toLong) ++
+      chunkOffsets.indices.flatMap(i =>
+        be32b4(i + 1L) ++ be32b4(perChunk.toLong) ++ be32b4(1L)).toArray)
+    val stco = fmbox("stco", be32b4(chunkOffsets.length.toLong) ++
+      chunkOffsets.flatMap(be32b4).toArray)
+    mbox("ftyp", "isom".getBytes ++ be32b4(0x200L)) ++
+      mbox("moov", mbox("trak", mbox("mdia", mbox("minf",
+        mbox("stbl", stsz ++ stsc ++ stco)))))
+  }
+
+  test("videoNearDups: re-muxed and trimmed copies pair; a different size envelope does not") {
+    def baseA(k: Int): Long = if ((k / 10) % 2 == 0) 3000 + k % 9 else 200 + k % 5
+    def baseB(k: Int): Long = if ((k / 10) % 2 == 1) 3000 + k % 9 else 200 + k % 5
+    val sizesA = (0 until 200).map(baseA)
+    val rows: Seq[(Long, Array[Byte])] = Seq(
+      1L -> mp4Of(sizesA),
+      2L -> mp4Of(sizesA, chunkOffsets = Seq(100L, 999999L)), // re-mux: same sizes
+      3L -> mp4Of(sizesA.updated(57, 3900L)),                 // one re-costed frame
+      11L -> mp4Of((0 until 200).map(baseB)),                 // shifted envelope
+      99L -> "not an mp4".getBytes)                           // silent drop
+    val pairs = Dedup.videoNearDups(rows.toDF("id", "mp4"), "id", "mp4",
+      maxHamming = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L), (1L, 3L), (2L, 3L)), pairs)
+    // the re-muxed copy sits at Hamming distance ZERO
+    val zero = Dedup.videoNearDups(rows.toDF("id", "mp4"), "id", "mp4")
+      .filter(col("id1") === 1L && col("id2") === 2L).head().getInt(2)
+    assert(zero == 0)
+    // the Pipeline verb routes through the same op
+    val viaVerb = graft.etl.Pipeline.of("vids", rows.toDF("id", "mp4"))
+      .videoNearDups("id", "mp4", maxHamming = 6)
+      .toDF.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(viaVerb == pairs)
+    intercept[IllegalArgumentException](
+      Dedup.videoNearDups(rows.toDF("id", "mp4"), "id", "mp4", bands = 7))
+  }
 }
