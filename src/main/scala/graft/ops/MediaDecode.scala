@@ -207,6 +207,17 @@ object MediaDecode {
       counts(w) += channels
       f += 1
     }
+    // hostile-input discipline matching wavStats: per-sample finiteness
+    // is checked above, but legal huge finite floats can still overflow
+    // a window's Σv² to Infinity — a non-finite SUM means the signature
+    // would be garbage, so reject the payload rather than emit it
+    if (!intExact) {
+      var k = 0
+      while (k < gw) {
+        if (!java.lang.Double.isFinite(sumsD(k))) return None
+        k += 1
+      }
+    }
     val out = new Array[Int](nBits)
     var i = 0
     while (i < nBits) {

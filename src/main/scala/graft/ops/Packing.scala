@@ -114,29 +114,55 @@ object Packing {
     //    (fail-loud, distributed — no driver-side distinct pass).
     // `requireUniqueOrder = false` (the Sampling callers): duplicate
     // keys there are SELF-ties — the order cols are (hash(key), key),
-    // so two tied rows are copies of the same key whose relative order
-    // cannot change which strata/budget window they fall in, and the
-    // hostile-inputs contract is "tolerate, don't throw". The layout
-    // paths (globalCumsum/packTokenIds/shards) stay strict: their tie
+    // so two tied rows are copies of the same key, and the
+    // hostile-inputs contract is "tolerate, don't throw" — PROVIDED
+    // the copies carry the same weight: tied rows with DIFFERING
+    // weights make the budget/priority cut rerun-unstable (the
+    // arbitrary tie order decides which weight crosses the budget),
+    // so that case still raises. Copies that differ only in
+    // non-weight payload get their two positions in arbitrary
+    // per-copy assignment — callers that care must make the key
+    // unique (the documented composite-key rule). The layout paths
+    // (globalCumsum/packTokenIds/shards) stay strict: their tie
     // order IS the output.
     val wLag = Window.partitionBy(cellCols.map(col): _*).orderBy(orderCols: _*)
     val nullKey = orderCols.map(_.isNull).reduce(_ || _)
+    val keysTie = orderCols.map(c => lag(c, 1).over(wLag) <=> c).reduce(_ && _)
     val dupKey =
-      if (!requireUniqueOrder) lit(false)
-      else orderCols.map(c => lag(c, 1).over(wLag) <=> c).reduce(_ && _)
+      if (requireUniqueOrder) keysTie
+      else keysTie && !(lag(weight, 1).over(wLag) <=> weight)
+    val dupMsg =
+      if (requireUniqueOrder)
+        s"$what: duplicate order keys — the running order must be a total " +
+          "order, so the order key must be UNIQUE (use a row id that is a " +
+          "key, or a composite like doc_id*K+copy for oversampled corpora)"
+      else
+        s"$what: duplicate order keys with DIFFERING weights — tied rows " +
+          "must be identical copies (same weight), or the arbitrary tie " +
+          "order decides which weight crosses the budget and the cut is " +
+          "not rerun-stable (use a composite key for oversampled corpora)"
+    // The guard travels as its OWN column consumed by a Filter — not
+    // folded into cum_before — so a caller (or a future pruning
+    // change) that drops cum_before before the action cannot silently
+    // skip contract enforcement: a Filter's predicate column survives
+    // pruning by construction, and the optimizer cannot remove a
+    // filter it cannot prove always-true.
     val orderGuard = when(nullKey, raise_error(lit(
         s"$what: NULL order key — order keys must be NON-NULL " +
           "(a null key has no position in the running order)")))
-      .when(dupKey, raise_error(lit(
-        s"$what: duplicate order keys — the running order must be a total " +
-          "order, so the order key must be UNIQUE (use a row id that is a " +
-          "key, or a composite like doc_id*K+copy for oversampled corpora)")))
+      .when(dupKey, raise_error(lit(dupMsg)))
       .otherwise(lit(0L))
+    // ONE select holding both window expressions (the prefix sum and
+    // the lag-based guard): same partition+order spec ⇒ Catalyst
+    // extracts them into ONE Window exec over ONE sort (the
+    // plan-pinned shuffle-free-guard contract)
+    val keep = bucketed.columns.map(bucketed(_))
     bucketed.join(offsetDf, joinCond)
-      .withColumn("cum_before",
-        col("__off__") + coalesce(sum(weight).over(w), lit(0L)) + orderGuard)
-      .drop("__b__", "__off__", "__ob__")
-      .drop(partitionCols.map(c => s"__p_$c"): _*)
+      .select(keep ++ Seq(
+        (col("__off__") + coalesce(sum(weight).over(w), lit(0L))).as("cum_before"),
+        orderGuard.as("__guard__")): _*)
+      .filter(col("__guard__") === 0L)
+      .drop("__b__", "__guard__")
   }
 
   /** Adds `cum_before` = sum of `weightCol` over all rows strictly

@@ -116,10 +116,26 @@ object Pgp {
       pp.toFile.setReadable(true, true); pp.toFile.setWritable(true, true)
     }
     Option(org.apache.spark.TaskContext.get()) match {
-      case Some(tc) => tc.addTaskCompletionListener[Unit](_ => deleteRecursively(home))
-      case None => Runtime.getRuntime.addShutdownHook(new Thread(() => deleteRecursively(home)))
+      case Some(tc) => tc.addTaskCompletionListener[Unit](_ => tearDownHome(home))
+      case None => Runtime.getRuntime.addShutdownHook(new Thread(() => tearDownHome(home)))
     }
     home
+  }
+
+  /** Kill the per-home gpg-agent, then remove the home. gpg auto-spawns
+    * one agent per GNUPGHOME and the agent outlives the gpg process
+    * (holding 2 inotify instances each) — without the kill, repeated
+    * runs exhaust the kernel's per-user inotify-instance limit and
+    * unrelated tools (sbt's file watcher, editors) start failing. */
+  private def tearDownHome(home: Path): Unit = {
+    try {
+      val pb = new ProcessBuilder("gpgconf", "--kill", "gpg-agent")
+      pb.environment().put("GNUPGHOME", home.toString)
+      val p = pb.start()
+      p.getOutputStream.close()
+      if (!p.waitFor(10, java.util.concurrent.TimeUnit.SECONDS)) p.destroyForcibly()
+    } catch { case _: Exception => () } // best-effort; home removal below still runs
+    deleteRecursively(home)
   }
 
   private def deleteRecursively(p: Path): Unit = {

@@ -119,7 +119,14 @@ object Sampling {
     * deterministic — localCheckpoint a non-deterministic source first.
     *
     * `key` must be non-null (it has no hash position); NULL weights
-    * count as 0, like SQL SUM. */
+    * count as 0, like SQL SUM. Duplicate keys are tolerated ONLY as
+    * identical copies: two rows sharing a key must carry the same
+    * weight (differing weights raise from the executors — the
+    * arbitrary tie order would decide which weight crosses the budget,
+    * breaking rerun stability), and copies differing in other payload
+    * columns get kept/dropped in arbitrary per-copy assignment when
+    * the budget lands between them — oversampled corpora should use a
+    * composite key (doc_id*K+copy). */
   def sampleByTokenBudget(
       df: DataFrame, key: Column, stratumCol: String, weightCol: String,
       budgets: Seq[(String, Long)], salt: String,
@@ -354,7 +361,13 @@ object Sampling {
     * (usually per-shard after [[graft.ops.Packing.assignShards]], or a
     * global range sort when a single serial order is really wanted).
     * Rank + 1 is exact in a double (< 2^53) and the division is one
-    * correctly-rounded IEEE op — engine-portable, hash-gateable. */
+    * correctly-rounded IEEE op — engine-portable, hash-gateable.
+    *
+    * Duplicate keys are tolerated only as identical copies: the two
+    * tied rows receive the two adjacent priorities in arbitrary
+    * per-copy assignment, which is invisible for true copies but
+    * rerun-UNSTABLE if the payloads differ — oversampled corpora
+    * should use a composite key (doc_id*K+copy). */
   def interleaveByWeight(
       df: DataFrame, key: Column, stratumCol: String,
       weights: Seq[(String, Double)], salt: String,

@@ -42,6 +42,12 @@ object Http {
 
   val MaxRetries = 5
 
+  /** Longest 429 `Retry-After` honored before the fetch is treated as
+    * a transport failure — the retry loop runs inside executor tasks
+    * via [[requestMany]], so an unbounded server-controlled sleep is
+    * an unbounded task stall. */
+  val MaxRetryAfterSeconds = 60L
+
   private[sources] val responseSchema = StructType(Seq(
     StructField("url", StringType),
     StructField("status", IntegerType),
@@ -182,9 +188,13 @@ object Http {
     * `parallelism` tasks (a `coalesce` cap, so an over-partitioned
     * input cannot open thousands of connections at once); within a
     * task requests run sequentially over the JVM-shared pooled client,
-    * and the 429 Retry-After loop applies per request. `rejectNon200`
-    * routes error responses to the rejection side-band like every
-    * other Http entry.
+    * and the 429 Retry-After loop applies per request (honored sleeps
+    * capped at [[MaxRetryAfterSeconds]]; above the cap the row fails
+    * into `error`). `maxRequestsPerSecond` > 0 adds PROACTIVE pacing —
+    * the global rate split evenly across the `parallelism` tasks — so
+    * an API-bound pipeline stays under its quota instead of bouncing
+    * off the reactive 429 loop. `rejectNon200` routes error responses
+    * to the rejection side-band like every other Http entry.
     *
     * Transport failures (unreachable host, timeout, TLS) are captured
     * PER ROW — NULL status/content_type/resp_body plus the exception
@@ -201,10 +211,13 @@ object Http {
       bearerToken: String = null,
       maxRetries: Int = MaxRetries,
       parallelism: Int = 32,
-      rejectNon200: Boolean = false): Pipeline = {
+      rejectNon200: Boolean = false,
+      maxRequestsPerSecond: Double = 0.0): Pipeline = {
     val v = verb.toUpperCase
     require(Verbs.contains(v), s"unsupported HTTP verb '$verb' (one of ${Verbs.mkString(", ")})")
     require(parallelism >= 1, s"parallelism must be >= 1, got $parallelism")
+    require(!maxRequestsPerSecond.isNaN && maxRequestsPerSecond >= 0.0,
+      s"maxRequestsPerSecond must be >= 0 (0 = unpaced), got $maxRequestsPerSecond")
     Seq("status", "content_type", "resp_body", "error").foreach(c =>
       require(!df.columns.contains(c), s"input already has a column named $c"))
     val urlIdx = df.schema.fieldIndex(urlCol)
@@ -217,6 +230,17 @@ object Http {
     val outSchema = df.schema
       .add("status", IntegerType).add("content_type", StringType)
       .add("resp_body", StringType).add("error", StringType)
+    // PROACTIVE pacing (the 429 loop is reactive — an API-bound
+    // pipeline wants to stay under the quota, not bounce off it):
+    // the global rate divides evenly across the `parallelism` tasks,
+    // each of which paces its sequential requests to one per
+    // `parallelism / maxRps` seconds. Per-task division needs no
+    // cross-executor coordination and is exact when every task has
+    // work (the repartition below round-robins rows, so task loads
+    // differ by at most one row); partial tasks only UNDERshoot.
+    val minIntervalNanos: Long =
+      if (maxRequestsPerSecond <= 0.0) 0L
+      else math.max(1L, (parallelism.toDouble / maxRequestsPerSecond * 1e9).toLong)
     // repartition, NOT coalesce: coalesce propagates its partition
     // count up the plan with no shuffle barrier, so it would throttle
     // an expensive upstream transform to `parallelism` tasks on the
@@ -225,12 +249,21 @@ object Http {
     // strangling upstream parallelism; nothing downstream supersedes
     // it (mapPartitions follows directly), so Catalyst keeps it.
     val out = df.repartition(parallelism).mapPartitions { it =>
+      var nextAllowedAt = 0L // per-task; first request never waits
       it.map { r =>
         if (r.isNullAt(urlIdx))
           Row.fromSeq(r.toSeq ++ Seq(null, null, null, null))
         else {
           val body = bodyIdx.filterNot(r.isNullAt).map(r.getString)
           try {
+            if (minIntervalNanos > 0L) {
+              val now = System.nanoTime()
+              if (now < nextAllowedAt) {
+                val waitNanos = nextAllowedAt - now
+                Thread.sleep(waitNanos / 1000000L, (waitNanos % 1000000L).toInt)
+              }
+              nextAllowedAt = math.max(now, nextAllowedAt) + minIntervalNanos
+            }
             val resp = fetch(r.getString(urlIdx), hdrs, Map.empty, auth,
               tok, retries, v, body, bct)
             Row.fromSeq(r.toSeq ++ Seq(resp._2, resp._3, resp._4, null))
@@ -261,9 +294,11 @@ object Http {
       bearerToken: String = null,
       maxRetries: Int = MaxRetries,
       parallelism: Int = 32,
-      rejectNon200: Boolean = false): Pipeline =
+      rejectNon200: Boolean = false,
+      maxRequestsPerSecond: Double = 0.0): Pipeline =
     requestMany(df, urlCol, "POST", bodyCol, bodyContentType, headers,
-      basicAuth, bearerToken, maxRetries, parallelism, rejectNon200)
+      basicAuth, bearerToken, maxRetries, parallelism, rejectNon200,
+      maxRequestsPerSecond)
 
   /** Fetch + parse a JSON response body into rows (the reference's
     * `json` column, relationalized): top-level arrays become one row
@@ -360,7 +395,7 @@ object Http {
   private[sources] def xmlRecords(body: String, tag: String): Seq[String] = {
     val out = Seq.newBuilder[String]
     val open = s"<$tag"
-    val close = s"</$tag>"
+    val closePrefix = s"</$tag"
     // index of the open tag's terminating '>', quote-aware
     def tagEnd(from: Int): Int = {
       var j = from
@@ -373,6 +408,15 @@ object Http {
         j += 1
       }
       -1
+    }
+    // index AFTER a close tag starting at `from`, or -1 if `from` is
+    // not this tag's close. XML ETag syntax allows whitespace before
+    // the '>' ('</cd >' is legal), so skip it — but nothing else: a
+    // longer name ('</cdx>') must not match
+    def closeEnd(from: Int): Int = {
+      var j = from + closePrefix.length
+      while (j < body.length && " \t\r\n".indexOf(body.charAt(j)) >= 0) j += 1
+      if (j < body.length && body.charAt(j) == '>') j + 1 else -1
     }
     var i = 0
     var start = -1
@@ -388,9 +432,9 @@ object Http {
         if (selfClosing && depth == 0) { out += body.substring(i, end + 1); start = -1 }
         else if (!selfClosing) depth += 1
         i = if (end > 0) end + 1 else body.length
-      } else if (depth > 0 && body.startsWith(close, i)) {
+      } else if (depth > 0 && body.startsWith(closePrefix, i) && closeEnd(i) > 0) {
         depth -= 1
-        i += close.length
+        i = closeEnd(i)
         if (depth == 0 && start >= 0) { out += body.substring(start, i); start = -1 }
       } else i += 1
     }
@@ -522,7 +566,18 @@ object Http {
         // rather than crash the fetch on a non-numeric value.
         val retryAfter = scala.util.Try(
           response.headers.firstValue("Retry-After").orElse("1").toLong).getOrElse(1L)
-        Thread.sleep(retryAfter * 1000L)
+        // honored sleep is CAPPED: requestMany runs this loop inside
+        // executor tasks, where one hostile/misconfigured server
+        // answering 'Retry-After: 86400' would park a task for a day
+        // (× maxRetries) before the row even reached its error
+        // capture. Above the cap → fail the fetch (per-row paths
+        // catch it into the error column; driver paths fail loudly
+        // instead of silently stalling)
+        if (retryAfter > MaxRetryAfterSeconds)
+          throw new RuntimeException(
+            s"HTTP 429 with Retry-After ${retryAfter}s exceeds the " +
+              s"${MaxRetryAfterSeconds}s cap — treating as a transport failure")
+        Thread.sleep(math.max(0L, retryAfter) * 1000L)
       } else done = true
     }
     val ct = response.headers.firstValue("Content-Type").orElse(null)

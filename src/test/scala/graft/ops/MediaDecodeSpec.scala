@@ -384,6 +384,20 @@ class MediaDecodeSpec extends AnyFunSuite {
     assert(MediaDecode.wavEnergyHash(wav(8000, 1, 16, pcm16(Seq.fill(64)(5)))).isEmpty)
     assert(MediaDecode.wavEnergyHash("RIFFjunk".getBytes).isEmpty)
     assert(MediaDecode.wavEnergyHash(Array[Byte](1, 2)).isEmpty)
+    // the double-accumulation path matches wavStats' hostile-input
+    // discipline: per-sample-finite values whose window Σv² overflows
+    // to Infinity reject the payload (no garbage signature)
+    def f64(v: Double) = {
+      val bits = java.lang.Double.doubleToLongBits(v)
+      le32(bits.toInt) ++ le32((bits >>> 32).toInt)
+    }
+    val huge = (0 until 8).flatMap(_ => f64(1e200)).toArray
+    assert(MediaDecode.wavEnergyHash(
+      wav(8000, 1, 64, huge, audioFormat = 3), nBits = 2).isEmpty)
+    // a finite float payload still hashes through the same path
+    val okF = (0 until 8).flatMap(k => f64(k.toDouble)).toArray
+    assert(MediaDecode.wavEnergyHash(
+      wav(8000, 1, 64, okF, audioFormat = 3), nBits = 2).isDefined)
   }
 
   test("imageStats: hand-built multi-row GIF decodes palette-exact through real LZW") {

@@ -158,6 +158,26 @@ class PackingSpec extends AnyFunSuite {
     assert(Packing.globalCumsum(clean, "id", "w", 2).count() == 3)
   }
 
+  test("the order-key guard cannot be pruned away with cum_before") {
+    // the guard travels as a Filter, not inside the cum_before
+    // expression — so a consumer that drops cum_before before the
+    // action still gets contract enforcement
+    val dup = Seq((1L, 5L), (2L, 3L), (2L, 7L)).toDF("id", "w")
+    val m = execFailureMessage(
+      Packing.globalCumsum(dup, "id", "w", 100).drop("cum_before").collect())
+    assert(m.contains("UNIQUE"), m)
+    val nul = Seq((Some(1L), 5L), (None, 3L)).toDF("id", "w")
+    // (the driver-side bucket-sum pass catches the null first — either
+    // guard layer firing is contract-satisfying)
+    val m2 = execFailureMessage(
+      Packing.globalCumsum(nul, "id", "w", 100).drop("cum_before").collect())
+    assert(m2.toLowerCase.contains("non-null"), m2)
+    // a clean corpus loses no rows to the guard filter
+    val clean = Seq((1L, 5L), (2L, 3L), (3L, 7L)).toDF("id", "w")
+    assert(Packing.globalCumsum(clean, "id", "w", 2)
+      .drop("cum_before").count() == 3)
+  }
+
   test("the order-key guard rides the prefix-sum window: ONE Window exec, ONE sort") {
     // the shuffle-free claim under audit: the lag-based duplicate
     // probe shares the prefix sum's (partition, order) spec, so

@@ -388,6 +388,32 @@ class SamplingSpec extends AnyFunSuite {
     assert(e.getMessage.contains("NULL"))
   }
 
+  test("sampleByTokenBudget: identical-copy key ties pass; differing weights raise") {
+    // tied keys are tolerated ONLY as identical copies — two rows
+    // sharing a key with the SAME weight cannot change which weight
+    // crosses the budget, so they pass
+    val same = Seq((1L, "a", 10L), (1L, "a", 10L), (2L, "a", 5L))
+      .toDF("k", "s", "tok")
+    assert(Sampling.sampleByTokenBudget(
+      same, col("k"), "s", "tok", Seq("a" -> 100L), ":t").count() == 3)
+    // differing weights under a tied key make the cut depend on the
+    // arbitrary tie order — fail loudly from the executors
+    val diff = Seq((1L, "a", 10L), (1L, "a", 20L), (2L, "a", 5L))
+      .toDF("k", "s", "tok")
+    val e = intercept[Throwable] {
+      Sampling.sampleByTokenBudget(
+        diff, col("k"), "s", "tok", Seq("a" -> 100L), ":t").count()
+    }
+    val msg = Iterator.iterate(e)(_.getCause).takeWhile(_ != null)
+      .flatMap(t => Option(t.getMessage)).mkString(" | ")
+    assert(msg.contains("DIFFERING weights"), msg)
+    // NULL weights count as 0 on BOTH copies — still identical, passes
+    val nulls = Seq((1L, "a", Option.empty[Long]), (1L, "a", Option.empty[Long]))
+      .toDF("k", "s", "tok")
+    assert(Sampling.sampleByTokenBudget(
+      nulls, col("k"), "s", "tok", Seq("a" -> 100L), ":t").count() == 2)
+  }
+
   test("shuffleByHash: a reproducible permutation; local variant adds no exchange") {
     val df = keys
     val p1 = Sampling.shuffleByHash(df, col("k"), ":sh").collect().map(_.getLong(0)).toSeq

@@ -29,6 +29,8 @@ class HttpSpec extends AnyFunSuite with BeforeAndAfterAll {
   private var server: HttpServer = _
   private var base: String = _
   private val flakyCalls = new AtomicInteger(0)
+  private val negCalls = new AtomicInteger(0)
+  private val stamps = new java.util.concurrent.ConcurrentLinkedQueue[java.lang.Long]()
 
   private def respond(ex: HttpExchange, status: Int, contentType: String,
       body: String, extraHeaders: Map[String, String] = Map.empty): Unit = {
@@ -55,6 +57,20 @@ class HttpSpec extends AnyFunSuite with BeforeAndAfterAll {
       if (flakyCalls.incrementAndGet() <= 2)
         respond(ex, 429, "text/plain", "slow down", Map("Retry-After" -> "0"))
       else respond(ex, 200, "text/plain", "ok"))
+    // hostile throttler: always 429 with an absurd Retry-After — the
+    // honored-sleep cap must fail the fetch, not park the thread
+    server.createContext("/hostile429", (ex: HttpExchange) =>
+      respond(ex, 429, "text/plain", "later",
+        Map("Retry-After" -> "999999999")))
+    server.createContext("/neg429", (ex: HttpExchange) =>
+      if (negCalls.incrementAndGet() <= 1)
+        respond(ex, 429, "text/plain", "later", Map("Retry-After" -> "-5"))
+      else respond(ex, 200, "text/plain", "ok"))
+    // request-arrival stamps for the pacing test
+    server.createContext("/stamp", (ex: HttpExchange) => {
+      stamps.add(System.nanoTime())
+      respond(ex, 200, "text/plain", "ok")
+    })
     server.createContext("/missing", (ex: HttpExchange) =>
       respond(ex, 404, "text/plain", "not here"))
     server.createContext("/echo-auth", (ex: HttpExchange) =>
@@ -124,6 +140,57 @@ class HttpSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r.getAs[Int]("status") == 200)
     assert(r.getAs[String]("body") == "ok")
     assert(flakyCalls.get() == 3) // two 429s then the success
+  }
+
+  test("429 Retry-After above the cap fails fast instead of stalling the thread") {
+    import spark.implicits._
+    // driver path: loud immediate failure (not a 999999999-second park)
+    val t0 = System.nanoTime()
+    val e = intercept[Throwable](Http.get(spark, s"$base/hostile429").toDF.head())
+    val msg = Iterator.iterate(e)(_.getCause).takeWhile(_ != null)
+      .flatMap(t => Option(t.getMessage)).mkString(" | ")
+    assert(msg.contains("exceeds"), msg)
+    assert((System.nanoTime() - t0) / 1e9 < 30.0, "the cap must not sleep")
+    // per-row path: the failure lands in the row's error column — the
+    // task survives, and rejectNon200 routes it to the side-band
+    val rows = Http.requestMany(
+      Seq(s"$base/hostile429").toDF("url"), "url").toDF.collect()
+    assert(rows(0).isNullAt(rows(0).fieldIndex("status")))
+    assert(rows(0).getAs[String]("error").contains("exceeds"))
+    assert(Http.requestMany(Seq(s"$base/hostile429").toDF("url"), "url",
+      rejectNon200 = true).toDF.count() == 0)
+    // a negative Retry-After clamps to zero sleep and still retries
+    negCalls.set(0)
+    val r = Http.get(spark, s"$base/neg429").toDF.head()
+    assert(r.getAs[Int]("status") == 200 && negCalls.get() == 2)
+  }
+
+  test("maxRequestsPerSecond paces per-row requests (server-observed gaps)") {
+    import spark.implicits._
+    stamps.clear()
+    // one task, 4 requests at 20 rps -> >= 50ms between request STARTS;
+    // loopback latency is sub-ms, so server-arrival gaps track the
+    // pacing (assert 40ms for slack). Sleep cannot undershoot.
+    val urls = (1 to 4).map(i => (i, s"$base/stamp")).toDF("i", "url")
+    assert(Http.requestMany(urls, "url", parallelism = 1,
+      maxRequestsPerSecond = 20.0).toDF.count() == 4)
+    val ts = stamps.toArray(new Array[java.lang.Long](0)).map(_.longValue()).sorted
+    assert(ts.length == 4)
+    val gapsMs = ts.sliding(2).map(p => (p(1) - p(0)) / 1e6).toSeq
+    assert(gapsMs.forall(_ >= 40.0), s"paced gaps too small: $gapsMs")
+    // default stays unpaced: 4 sequential loopback calls land well
+    // inside one pacing interval
+    stamps.clear()
+    assert(Http.requestMany(urls, "url", parallelism = 1).toDF.count() == 4)
+    val ts2 = stamps.toArray(new Array[java.lang.Long](0)).map(_.longValue()).sorted
+    // generous bound: the paced run above slept >= 150ms BETWEEN
+    // arrivals by construction; unpaced loopback arrivals span far
+    // less even under suite load
+    assert((ts2.last - ts2.head) / 1e6 < 1500.0,
+      "unpaced requests must not sleep")
+    // loud guard
+    intercept[IllegalArgumentException](
+      Http.requestMany(urls, "url", maxRequestsPerSecond = -1.0))
   }
 
   test("rejectNon200: >399 status becomes a RUNTIME_ERROR rejection") {
@@ -272,6 +339,17 @@ class HttpSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(graft.sources.Http.xmlRecords(
       """<r><cd a="</cd>">x</cd><cd b='>'/></r>""", "cd") ==
       Seq("""<cd a="</cd>">x</cd>""", """<cd b='>'/>"""))
+    // legal ETag whitespace: '</cd >' (and newline forms) still close
+    // the record; a longer tag name ('</cdx>') still does not
+    assert(graft.sources.Http.xmlRecords(
+      "<r><cd><t>x</t></cd ></r>", "cd") == Seq("<cd><t>x</t></cd >"))
+    assert(graft.sources.Http.xmlRecords(
+      "<r><cd>x</cd\n\t></r>", "cd") == Seq("<cd>x</cd\n\t>"))
+    assert(graft.sources.Http.xmlRecords(
+      "<r><cd><cd>n</cd ></cd\t></r>", "cd") ==
+      Seq("<cd><cd>n</cd ></cd\t>"))
+    assert(graft.sources.Http.xmlRecords(
+      "<r><cdx>decoy</cdx><cd>x</cd></r>", "cd") == Seq("<cd>x</cd>"))
   }
 
   test("getRows dispatches on response Content-Type (json/xml/csv/raw)") {
