@@ -2783,6 +2783,42 @@ object SparkEntry {
         .orderBy("doc_id")
     },
 
+    "q_token_count_ext" -> { (s, dir) =>
+      // REAL-corpus token counts under a tokenizer LOADED from the
+      // public merges/vocab file pair (ops.Bpe.loadExternal — the
+      // production path: a training run's shipped tokenizer, not the
+      // self-trained model object). The fixture files state the same
+      // ten merges as bpeOracleMerges, so the oracle re-derives every
+      // per-document count from the stated constants via the
+      // recursive-CTE encoder — proving the FILE-loaded model drives
+      // the encoder identically. Any drift in merges.txt parsing
+      // (header, rank order) or the external-model encode path breaks
+      // the hash on real text at every sf.
+      val bc = bpeExtGateBc(s)
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          ops.Bpe.tokenCount(col("text"), bc).as("n_bpe"))
+        .orderBy("doc_id")
+    },
+
+    "q_bpe_ids_ext" -> { (s, dir) =>
+      // ids under the EXTERNAL vocabulary: same fixture arms as
+      // q_bpe_ids, but every id must follow the loaded vocab.json's
+      // SCRAMBLED table (reverse order, unk 22 / pad 23) instead of
+      // the derived pad-0/unk-1 scheme — the load-bearing claim of
+      // external loading: encoded ids match the tokenizer the
+      // training run actually uses. Oracle = stated streams joined
+      // against the stated external table.
+      val bc = bpeExtGateBc(s)
+      t(s, dir, "documents").filter(col("doc_id") < 300)
+        .select(col("doc_id"),
+          posexplode(ops.Bpe.ids(
+            element_at(typedLit(bpeGateArms),
+              (pmod(col("doc_id"), lit(3)) + 1).cast("int")), bc))
+            .as(Seq("pos", "token_id")))
+        .orderBy("doc_id", "pos")
+    },
+
     "q_pack_ids" -> { (s, dir) =>
       // FIXED-LENGTH packed token-ID sequences over REAL corpus text —
       // the tensor a trainer's data loader actually reads: encode each
@@ -3920,6 +3956,42 @@ ORDER BY doc_id"""
           s.range(300).select(element_at(typedLit(bpeGateArms),
             ((col("id") % 3) + 1).cast("int")).as("text")),
           "text", numMerges = 10, minPairCount = 2)))
+
+  /** The EXTERNAL-tokenizer fixture vocabulary, STATED by rule from
+    * [[bpeOracleVocab]]: drop the derived pad/unk slots, REVERSE the
+    * 22 remaining symbols, put unk/pad at the END (ids 22/23) — a
+    * deliberately scrambled id order, so a fall-through to the
+    * derived pad-0/unk-1 scheme cannot pass the id gate. */
+  private val bpeExtOracleVocab: Seq[String] =
+    bpeOracleVocab.drop(2).reverse ++ Seq("<unk>", "<pad>")
+
+  /** DuckDB CTE fragment `extvocab(tok, id)` stating
+    * [[bpeExtOracleVocab]]. */
+  private val bpeExtOracleVocabCte: String =
+    "extvocab(tok, id) AS (VALUES " + bpeExtOracleVocab.zipWithIndex
+      .map { case (t, i) => s"('$t', $i)" }.mkString(", ") + ")"
+
+  /** q_token_count_ext / q_bpe_ids_ext model: the SAME ten merges as
+    * [[bpeOracleMerges]], but LOADED from a public-format
+    * merges.txt + vocab.json file pair written once per JVM — the
+    * production-tokenizer path (graft.ops.Bpe.loadExternal) under the
+    * oracle, with [[bpeExtOracleVocab]] as the explicit id table. */
+  private def bpeExtGateBc(s: SparkSession) =
+    ops.Bpe.broadcastModel(s,
+      bpeGateModel.computeIfAbsent("extfile", _ => {
+        val utf8 = java.nio.charset.StandardCharsets.UTF_8
+        val dir = java.nio.file.Files.createTempDirectory("graft-ext-tok")
+        val mp = dir.resolve("merges.txt")
+        val vp = dir.resolve("vocab.json")
+        java.nio.file.Files.write(mp, ("#version: 0.2\n" +
+          bpeOracleMerges.map { case (l, r) => s"$l $r" }.mkString("\n") +
+          "\n").getBytes(utf8))
+        // fixture tokens hold no JSON-special characters — literal embed
+        java.nio.file.Files.write(vp, bpeExtOracleVocab.zipWithIndex
+          .map { case (t, i) => s""""$t":$i""" }
+          .mkString("{", ",", "}").getBytes(utf8))
+        ops.Bpe.loadExternal(s, mp.toString, vp.toString)
+      }))
 
   private val nbGateModels =
     new scala.collection.concurrent.TrieMap[(String, String),
@@ -5673,6 +5745,26 @@ ORDER BY doc_id"""
         |FROM documents d JOIN arms a ON a.arm = d.doc_id % 3
         |WHERE d.doc_id < 300
         |ORDER BY doc_id""".stripMargin,
+
+    // per-document counts re-derived from the stated merges alone —
+    // the engine side loaded them from the merges.txt fixture
+    "q_token_count_ext" ->
+      s"""WITH RECURSIVE
+$bpeOracleDocTokCte
+SELECT doc_id, n_bpe FROM doctok ORDER BY doc_id""",
+
+    // the stated streams joined against the stated EXTERNAL id table
+    "q_bpe_ids_ext" ->
+      s"""WITH toks(arm, pos, token) AS (VALUES
+         |$bpeOracleStreamValues),
+         |$bpeExtOracleVocabCte
+         |SELECT d.doc_id, CAST(t.pos AS INTEGER) AS pos,
+         |  CAST(v.id AS INTEGER) AS token_id
+         |FROM documents d
+         |JOIN toks t ON t.arm = d.doc_id % 3
+         |JOIN extvocab v ON v.tok = t.token
+         |WHERE d.doc_id < 300
+         |ORDER BY doc_id, pos""".stripMargin,
 
     "q_pack_ids" -> bpePackIdsOracle,
     "q_pack_whole" -> packWholeOracle,

@@ -20,10 +20,28 @@ import org.apache.spark.unsafe.types.UTF8String
   * dictionary), carried so the model defines a complete token
   * VOCABULARY without the corpus: see [[vocab]]. Models from before
   * the alphabet existed (or built by hand) may carry an empty one —
-  * every symbol then encodes to [[BpeModel.UnkId]]. */
+  * every symbol then encodes to [[BpeModel.UnkId]].
+  *
+  * `externalVocab` (non-null for models loaded from an external
+  * merges/vocab file pair — [[graft.ops.Bpe.loadExternal]]): the
+  * EXPLICIT token table, index = id, that OVERRIDES the derived
+  * vocabulary so encoded ids match the tokenizer a real training run
+  * uses, with `externalPadId`/`externalUnkId` naming its reserved
+  * slots (pad may be absent: -1 = nothing dropped on decode). Derived
+  * models leave it null and keep the documented pad-0/unk-1 scheme. */
 case class BpeModel(
     merges: Array[(String, String)],
-    alphabet: Array[String] = Array.empty) extends Serializable {
+    alphabet: Array[String] = Array.empty,
+    externalVocab: Array[String] = null,
+    externalPadId: Int = -1,
+    externalUnkId: Int = -1) extends Serializable {
+
+  /** The id that fills packed sequences; -1 = this vocabulary has no
+    * pad slot (external vocabs may omit one). */
+  def padId: Int = if (externalVocab != null) externalPadId else BpeModel.PadId
+
+  /** The id every out-of-vocabulary symbol encodes to. */
+  def unkId: Int = if (externalVocab != null) externalUnkId else BpeModel.UnkId
 
   /** Two-level pair->rank map: keyed (left, right) so pairs whose
     * symbols may contain ANY code point stay unambiguous (one
@@ -61,16 +79,18 @@ case class BpeModel(
     * vocabulary encodes to [[BpeModel.UnkId]] — with a full alphabet
     * that means "code point unseen at training time", the standard
     * char-level-UNK convention. */
-  @transient lazy val vocab: Array[String] = {
-    val out = new scala.collection.mutable.ArrayBuffer[String](
-      2 + alphabet.length + merges.length)
-    val seen = new java.util.HashSet[String]()
-    def add(s: String): Unit = if (seen.add(s)) out += s
-    add(BpeModel.PadToken); add(BpeModel.UnkToken)
-    alphabet.sorted.foreach(add)
-    merges.foreach { case (l, r) => add(l + r) }
-    out.toArray
-  }
+  @transient lazy val vocab: Array[String] =
+    if (externalVocab != null) externalVocab
+    else {
+      val out = new scala.collection.mutable.ArrayBuffer[String](
+        2 + alphabet.length + merges.length)
+      val seen = new java.util.HashSet[String]()
+      def add(s: String): Unit = if (seen.add(s)) out += s
+      add(BpeModel.PadToken); add(BpeModel.UnkToken)
+      alphabet.sorted.foreach(add)
+      merges.foreach { case (l, r) => add(l + r) }
+      out.toArray
+    }
 
   /** symbol -> vocab id, for the hot encode loop. */
   @transient lazy val vocabIds: java.util.HashMap[String, Integer] = {
@@ -188,16 +208,25 @@ object BpeUtil {
     * Called from generated code — keep the signature stable. */
   def decodeIds(ids: ArrayData, m: BpeModel): UTF8String = {
     val vocab = m.vocab
+    val padId = m.padId
+    // out-of-range / NULL ids decode to the MODEL's unk marker (an
+    // external vocab names its own), falling back to the derived
+    // convention for hand-built models without one
+    val unkTok =
+      if (m.unkId >= 0 && m.unkId < vocab.length) vocab(m.unkId)
+      else BpeModel.UnkToken
     val sb = new java.lang.StringBuilder
     var i = 0
     val n = ids.numElements()
     while (i < n) {
-      if (ids.isNullAt(i)) sb.append(BpeModel.UnkToken)
+      if (ids.isNullAt(i)) sb.append(unkTok)
       else {
         val id = ids.getInt(i)
-        if (id != BpeModel.PadId) {
+        // padId < 0 = no pad slot: nothing is dropped (the guard also
+        // keeps a NEGATIVE id from matching the -1 sentinel)
+        if (padId < 0 || id != padId) {
           if (id >= 0 && id < vocab.length) sb.append(vocab(id))
-          else sb.append(BpeModel.UnkToken)
+          else sb.append(unkTok)
         }
       }
       i += 1
@@ -229,7 +258,7 @@ object BpeUtil {
         var k = 0
         while (k < toks.length) {
           val id = m.vocabIds.get(toks(k))
-          out += (if (id == null) BpeModel.UnkId else id.intValue())
+          out += (if (id == null) m.unkId else id.intValue())
           k += 1
         }
       }

@@ -231,7 +231,20 @@ object Bpe {
         pairWords.remove(best)
       }
     }
-    BpeModel(model.merges ++ merges, alphabet)
+    // An EXTERNAL-vocab model keeps its table on continuation, with
+    // each genuinely new compound APPENDED (the published-tokenizer
+    // "add tokens" convention: existing ids are frozen — a trained
+    // checkpoint's embedding rows must keep meaning the same token —
+    // and additions take the next ids in merge order). New BASE
+    // symbols stay out-of-vocab (→ unk), exactly like the original
+    // external table would treat them.
+    if (model.externalVocab != null) {
+      val have = new java.util.HashSet[String]()
+      model.externalVocab.foreach(have.add)
+      val appended = merges.map { case (l, r) => l + r }.filter(have.add).toArray
+      BpeModel(model.merges ++ merges, alphabet,
+        model.externalVocab ++ appended, model.externalPadId, model.externalUnkId)
+    } else BpeModel(model.merges ++ merges, alphabet)
   }
 
   /** [[continueFromWordCounts]] over a text column: one dictionary
@@ -352,6 +365,11 @@ object Bpe {
     * pre-alphabet file still loads — as an empty-alphabet model). */
   def saveModel(spark: SparkSession, m: BpeModel, path: String): Unit = {
     import spark.implicits._
+    require(m.externalVocab == null,
+      "saveModel persists derived-vocab models only (the parquet table " +
+        "carries merges+alphabet and the vocab re-derives); an " +
+        "external-vocab model's ids live in its vocab table — use " +
+        "saveExternal, whose files round-trip through loadExternal")
     val merges = m.merges
     val alphabet = m.alphabet
     val rows: Seq[(Int, String, String)] =
@@ -360,6 +378,158 @@ object Bpe {
     spark.sparkContext.parallelize(rows, 1)
       .toDF("rank", "left", "right")
       .write.mode("overwrite").parquet(path)
+  }
+
+  // ------------------------------------------------- external tokenizers
+
+  /** Reads a whole (small) model file through the Hadoop FileSystem
+    * API — works for any supported scheme, and preserves LINE ORDER
+    * (rank = line position), which a distributed text read would not
+    * guarantee across splits. Model files are MB-scale; they live on
+    * the driver anyway (the model is broadcast from there). */
+  private def readUtf8(spark: SparkSession, path: String): String = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val in = fs.open(p)
+    try {
+      val out = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](65536)
+      var n = in.read(buf)
+      while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
+      new String(out.toByteArray, java.nio.charset.StandardCharsets.UTF_8)
+    } finally in.close()
+  }
+
+  private def writeUtf8(spark: SparkSession, path: String, text: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try out.write(text.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  /** Parses a `merges.txt`-format merge table (the subword-nmt /
+    * published-tokenizer convention: one merge per line, `left right`,
+    * rank = line order, optional leading `#version:` header line;
+    * blank lines skipped). Word-level models mark word ends with the
+    * `</w>` suffix on the right symbol — the same marker this engine
+    * uses, so a published word-level BPE drops straight in. */
+  def loadMergesTxt(spark: SparkSession, path: String): Array[(String, String)] = {
+    val lines = readUtf8(spark, path).split("\n", -1)
+    val body =
+      if (lines.nonEmpty && lines(0).startsWith("#version")) lines.drop(1) else lines
+    val out = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    var ln = if (body eq lines) 0 else 1
+    body.foreach { raw =>
+      ln += 1
+      val line = raw.stripSuffix("\r")
+      if (line.nonEmpty) {
+        val sp = line.indexOf(' ')
+        require(sp > 0 && sp < line.length - 1 && line.indexOf(' ', sp + 1) < 0,
+          s"loadMergesTxt($path): line $ln is not 'left right' " +
+            s"(exactly one separating space): '$line'")
+        out += ((line.substring(0, sp), line.substring(sp + 1)))
+      }
+    }
+    out.toArray
+  }
+
+  /** Parses a vocabulary table into the id-indexed token array:
+    * `vocab.json` (one JSON object, token → id — the published-
+    * tokenizer convention) or TSV (`token<TAB>id` lines) — detected by
+    * the first non-whitespace character. Ids must be dense 0..n-1 and
+    * tokens distinct (the table IS the id assignment). */
+  def loadVocab(spark: SparkSession, path: String): Array[String] = {
+    val text = readUtf8(spark, path)
+    val entries: Seq[(String, Int)] =
+      if (text.dropWhile(_.isWhitespace).startsWith("{")) {
+        // Jackson ships with Spark — the same parser its JSON reader uses
+        val root = new com.fasterxml.jackson.databind.ObjectMapper().readTree(text)
+        require(root.isObject, s"loadVocab($path): not a JSON object")
+        val it = root.fields()
+        val buf = scala.collection.mutable.ArrayBuffer.empty[(String, Int)]
+        while (it.hasNext) {
+          val e = it.next()
+          require(e.getValue.canConvertToInt && e.getValue.isIntegralNumber,
+            s"loadVocab($path): id of '${e.getKey}' is not an integer")
+          buf += ((e.getKey, e.getValue.intValue()))
+        }
+        buf.toSeq
+      } else {
+        text.split("\n", -1).toSeq.map(_.stripSuffix("\r")).filter(_.nonEmpty)
+          .zipWithIndex.map { case (line, i) =>
+            val tab = line.lastIndexOf('\t')
+            require(tab > 0, s"loadVocab($path): line ${i + 1} is not 'token<TAB>id'")
+            val id = scala.util.Try(line.substring(tab + 1).toInt).getOrElse(
+              throw new IllegalArgumentException(
+                s"loadVocab($path): line ${i + 1} id is not an integer"))
+            (line.substring(0, tab), id)
+          }
+      }
+    require(entries.nonEmpty, s"loadVocab($path): empty vocabulary")
+    val n = entries.length
+    val arr = new Array[String](n)
+    entries.foreach { case (tok, id) =>
+      require(id >= 0 && id < n,
+        s"loadVocab($path): id $id out of the dense range [0, $n) — " +
+          "ids must be dense 0..n-1")
+      require(arr(id) == null,
+        s"loadVocab($path): duplicate id $id ('${arr(id)}' and '$tok')")
+      arr(id) = tok
+    }
+    require(entries.map(_._1).distinct.length == n,
+      s"loadVocab($path): duplicate tokens — the table is an id assignment")
+    arr
+  }
+
+  /** Loads an EXTERNAL tokenizer — the merges/vocab file pair a real
+    * training run publishes (plain public formats: subword-nmt
+    * word-level `merges.txt` + `vocab.json` or TSV) — as a
+    * [[graft.functions.BpeModel]] whose ids FOLLOW THE EXTERNAL TABLE,
+    * so [[withTokenCount]]/[[withTokenIds]]/
+    * [[graft.ops.Packing.packTokenIds]]/[[decodeIds]] run under the
+    * tokenizer the trainer actually uses. `unkToken` must be in the
+    * vocab (unseen symbols need an id); `padToken` may be absent
+    * (padId -1 — decode then drops nothing). Every merge's compound
+    * symbol must be in the vocab — a missing one means the two files
+    * are not from the same tokenizer, the loudest failure available.
+    * Byte-level (GPT-2 `Ġ`-prefix) tables are NOT this format — this
+    * loader is for word-level models using `</w>` end markers. */
+  def loadExternal(
+      spark: SparkSession, mergesPath: String, vocabPath: String,
+      unkToken: String = graft.functions.BpeModel.UnkToken,
+      padToken: String = graft.functions.BpeModel.PadToken): BpeModel = {
+    val merges = loadMergesTxt(spark, mergesPath)
+    val vocab = loadVocab(spark, vocabPath)
+    val ids = vocab.zipWithIndex.toMap
+    merges.zipWithIndex.foreach { case ((l, r), i) =>
+      require(ids.contains(l + r),
+        s"loadExternal: merge ${i + 1} compound '${l + r}' is not in the " +
+          s"vocab — $mergesPath and $vocabPath are not the same tokenizer")
+    }
+    val unkId = ids.getOrElse(unkToken,
+      throw new IllegalArgumentException(
+        s"loadExternal: unk token '$unkToken' not in the vocab — " +
+          "unseen symbols need an id"))
+    val padId = ids.getOrElse(padToken, -1)
+    BpeModel(merges, Array.empty, vocab, padId, unkId)
+  }
+
+  /** Writes `m` as the public merges/vocab file pair [[loadExternal]]
+    * reads — the EXPORT verb: a model trained here ships to any
+    * system reading the published format, and
+    * `loadExternal(saveExternal(m))` encodes bit-identically (the
+    * vocab file states m's ids verbatim, derived or external). */
+  def saveExternal(
+      spark: SparkSession, m: BpeModel,
+      mergesPath: String, vocabPath: String): Unit = {
+    writeUtf8(spark, mergesPath,
+      "#version: 0.2\n" + m.merges.map { case (l, r) => s"$l $r" }.mkString("\n") +
+        (if (m.merges.nonEmpty) "\n" else ""))
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val node = om.createObjectNode()
+    m.vocab.zipWithIndex.foreach { case (t, i) => node.put(t, i) }
+    writeUtf8(spark, vocabPath, node.toString)
   }
 
   def loadModel(spark: SparkSession, path: String): BpeModel = {
