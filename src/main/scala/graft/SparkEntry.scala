@@ -94,6 +94,93 @@ object SparkEntry {
     concat((0 until bytes).map(i =>
       b2(pmod(shiftright(v.cast(LongType), 8 * i), lit(256L)))): _*)
 
+  // ------------- synthesized media fixtures (shared by the signature
+  // gates and the cross-corpus dedup gates): each is a SPEC-VALID
+  // payload whose content is pure arithmetic over `id`, so DuckDB can
+  // replay the resulting signature from constants. The cross gates
+  // pass a REPEATING class id (doc_id % prime) so corpus/catalog
+  // collisions exist by construction.
+
+  /** 9x8 grayscale PNG, pixel(x,y) = (id*7 + x*13 + y*31) % 256,
+    * stored-deflate IDAT (decoded by the REAL Inflater + unfilter). */
+  private def pngFixtureFor(id: Column): Column =
+    pngFixture((x, y) => pmod(id * 7 + x * 13 + y * 31, lit(256L)))
+
+  /** 9x8 grayscale PNG with an arbitrary pixel rule (the cross-dedup
+    * gates use a class-MULTIPLIED rule so different classes land far
+    * apart in Hamming space — a pure shift rule leaves comparison
+    * bits nearly class-invariant). */
+  private def pngFixture(px: (Column, Column) => Column): Column = {
+    val rowHex: Column => Column = y =>
+      concat(lit("00"), aggregate(sequence(lit(0L), lit(8L)), lit(""),
+        (acc, x) => concat(acc, b2(px(x, y)))))
+    val rawHex = aggregate(sequence(lit(0L), lit(7L)), lit(""),
+      (acc, y) => concat(acc, rowHex(y)))
+    val rawLen = lit(80L) // 8 rows x (1 filter byte + 9 pixels)
+    concat(
+      lit(Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a,
+        0, 0, 0, 13)),
+      ascii("IHDR"), be32(lit(9L)), be32(lit(8L)),
+      lit(Array[Byte](8, 0, 0, 0, 0, /*IHDR crc (unchecked)*/ 0, 0, 0, 0)),
+      be32(rawLen + 7), ascii("IDAT"),
+      lit(Array[Byte](0x78, 0x01, /*stored, final*/ 0x01)),
+      unhex(concat(le16h(rawLen), le16h(lit(65535L) - rawLen))),
+      unhex(rawHex),
+      lit(Array[Byte](0, 0, 0, 0)), // IDAT crc (unchecked)
+      lit(Array[Byte](0, 0, 0, 0, 'I', 'E', 'N', 'D', 0, 0, 0, 0)))
+  }
+
+  /** 130-sample 16-bit mono PCM WAV, sample(k) =
+    * signed16((id*37 + k*k*11) % 65536). */
+  private def wavFixtureFor(id: Column): Column =
+    wavFixture(k => pmod(id * 37 + k * k * 11, lit(65536L)))
+
+  /** 130-sample 16-bit mono PCM WAV with an arbitrary u16 sample
+    * rule. */
+  private def wavFixture(u: Column => Column): Column = {
+    val sampleHex = aggregate(sequence(lit(0L), lit(129L)), lit(""),
+      (acc, k) => concat(acc, le16h(u(k))))
+    val dataSize = lit(260L)
+    concat(
+      ascii("RIFF"), unhex(concat(le16h(dataSize + 36), lit("0000"))),
+      ascii("WAVE"), ascii("fmt "),
+      lit(Array[Byte](16, 0, 0, 0, /*PCM*/ 1, 0, /*mono*/ 1, 0,
+        /*8000 LE*/ 0x40, 0x1f, 0, 0, /*byteRate*/ 0x80.toByte, 0x3e, 0, 0,
+        /*blockAlign*/ 2, 0, /*bits*/ 16, 0)),
+      ascii("data"), unhex(concat(le16h(dataSize), lit("0000"))),
+      unhex(sampleHex))
+  }
+
+  /** Minimal spec-valid MP4 sample table (ftyp + moov/trak/mdia/minf/
+    * stbl), 130-entry stsz with size(k) = (id + k*13) % 200 + 1, one
+    * stsc run, one stco chunk. */
+  private def mp4FixtureFor(id: Column): Column =
+    mp4Fixture(k => pmod(id + k * 13, lit(200L)) + 1)
+
+  /** The MP4 fixture with an arbitrary sample-size rule. */
+  private def mp4Fixture(sizeK: Column => Column): Column = {
+    val n = lit(130L)
+    val sizesHex = aggregate(sequence(lit(1L), n), lit(""),
+      (acc, k) => concat(acc, lpad(hex(sizeK(k)), 8, "0")))
+    val stszB = concat(be32(n * 4 + 20), ascii("stsz"),
+      lit(new Array[Byte](4)), be32(lit(0L)), be32(n), unhex(sizesHex))
+    val stscB = concat(be32(lit(28L)), ascii("stsc"),
+      lit(new Array[Byte](4)), be32(lit(1L)),
+      be32(lit(1L)), be32(n), be32(lit(1L)))
+    val stcoB = concat(be32(lit(20L)), ascii("stco"),
+      lit(new Array[Byte](4)), be32(lit(1L)), be32(lit(4096L)))
+    val stblPayload = (n * 4 + 20) + 28 + 20
+    val stblB = concat(be32(stblPayload + 8), ascii("stbl"),
+      stszB, stscB, stcoB)
+    val minfB = concat(be32(stblPayload + 16), ascii("minf"), stblB)
+    val mdiaB = concat(be32(stblPayload + 24), ascii("mdia"), minfB)
+    val trakB = concat(be32(stblPayload + 32), ascii("trak"), mdiaB)
+    val moovB = concat(be32(stblPayload + 40), ascii("moov"), trakB)
+    val ftypB = concat(be32(lit(16L)), ascii("ftyp"),
+      ascii("isom"), be32(lit(0x200L)))
+    concat(ftypB, moovB)
+  }
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     queries("q1_agg")(spark, "/root/testdata/sf0.001")
@@ -2855,31 +2942,42 @@ object SparkEntry {
       // path is golden-pinned in MediaDecodeSpec). The PAIRING over
       // these signatures is simhashPairsFromSigs — the banding
       // machinery q_dedup_simhash_exact already proves end-to-end.
-      val px: (Column, Column) => Column = (x, y) =>
-        pmod(col("doc_id") * 7 + x * 13 + y * 31, lit(256L))
-      val rowHex: Column => Column = y =>
-        concat(lit("00"), aggregate(sequence(lit(0L), lit(8L)), lit(""),
-          (acc, x) => concat(acc, b2(px(x, y)))))
-      val rawHex = aggregate(sequence(lit(0L), lit(7L)), lit(""),
-        (acc, y) => concat(acc, rowHex(y)))
-      val rawLen = lit(80L) // 8 rows x (1 filter byte + 9 pixels)
-      val png = concat(
-        lit(Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a,
-          0, 0, 0, 13)),
-        ascii("IHDR"), be32(lit(9L)), be32(lit(8L)),
-        lit(Array[Byte](8, 0, 0, 0, 0, /*IHDR crc (unchecked)*/ 0, 0, 0, 0)),
-        be32(rawLen + 7), ascii("IDAT"),
-        lit(Array[Byte](0x78, 0x01, /*stored, final*/ 0x01)),
-        unhex(concat(le16h(rawLen), le16h(lit(65535L) - rawLen))),
-        unhex(rawHex),
-        lit(Array[Byte](0, 0, 0, 0)), // IDAT crc (unchecked)
-        lit(Array[Byte](0, 0, 0, 0, 'I', 'E', 'N', 'D', 0, 0, 0, 0)))
       t(s, dir, "documents").filter(col("doc_id") < 500)
         .select(col("doc_id"),
           concat_ws("", transform(
-            graft.functions.imageExprs.png_dhash(png), b => b.cast("string")))
+            graft.functions.imageExprs.png_dhash(pngFixtureFor(col("doc_id"))),
+            b => b.cast("string")))
             .as("dhash"))
         .orderBy("doc_id")
+    },
+
+    "q_dedup_cross_image" -> { (s, dir) =>
+      // cross-corpus IMAGE dedup under the oracle: the dHash
+      // signatures of a frozen catalog (doc_id % 7 == 0) screen the
+      // new crawl (the rest) through the CROSS-side banding —
+      // imageSignatureCatalog + crossCorpusImageDedup end-to-end.
+      // Fixture images are keyed by doc_id % 331 with a
+      // class-MULTIPLIED pixel rule (a shift rule would leave the
+      // comparison bits nearly class-invariant and dedup everything):
+      // the crawl contains exact re-ships of catalog images by
+      // construction, while distinct classes land far apart in
+      // Hamming space, so the survivor set is a real mixed verdict
+      // at every sf. DuckDB recomputes every 64-bit signature from
+      // the stated pixel rule and replays the hamming<=5 verdicts
+      // with BIT xor. bands=8 > maxHamming ⇒ exact recall by
+      // pigeonhole; maxBucket is lifted above the slice population so
+      // the cap (its own loud-guard spec arm) never shapes the gate.
+      val cid = pmod(col("doc_id"), lit(331L))
+      val docs = t(s, dir, "documents").filter(col("doc_id") < 1000)
+        .select(col("doc_id"),
+          pngFixture((x, y) =>
+            pmod((cid + 2) * (x * 13 + y * 31 + 7) + cid, lit(256L))).as("png"))
+      val catalog = ops.Dedup.imageSignatureCatalog(
+        docs.filter(col("doc_id") % 7 === 0), "doc_id", "png")
+      ops.Dedup.crossCorpusImageDedup(
+        docs.filter(col("doc_id") % 7 =!= 0), catalog, "id", "sig",
+        "doc_id", "png", maxHamming = 5, maxBucket = 5000)
+        .select("doc_id").orderBy("doc_id")
     },
 
     "q_video_structure_hash" -> { (s, dir) =>
@@ -2893,33 +2991,35 @@ object SparkEntry {
       // bookkeeping, the windowing, or the bit order breaks the
       // compare. The PAIRING over these signatures is the proven
       // simhashPairsFromSigs machinery.
-      val n = lit(130L)
-      def sizeK(k: Column) = pmod(col("doc_id") + k * 13, lit(200L)) + 1
-      val sizesHex = aggregate(sequence(lit(1L), n), lit(""),
-        (acc, k) => concat(acc, lpad(hex(sizeK(k)), 8, "0")))
-      val stszB = concat(be32(n * 4 + 20), ascii("stsz"),
-        lit(new Array[Byte](4)), be32(lit(0L)), be32(n), unhex(sizesHex))
-      val stscB = concat(be32(lit(28L)), ascii("stsc"),
-        lit(new Array[Byte](4)), be32(lit(1L)),
-        be32(lit(1L)), be32(n), be32(lit(1L)))
-      val stcoB = concat(be32(lit(20L)), ascii("stco"),
-        lit(new Array[Byte](4)), be32(lit(1L)), be32(lit(4096L)))
-      val stblPayload = (n * 4 + 20) + 28 + 20
-      val stblB = concat(be32(stblPayload + 8), ascii("stbl"),
-        stszB, stscB, stcoB)
-      val minfB = concat(be32(stblPayload + 16), ascii("minf"), stblB)
-      val mdiaB = concat(be32(stblPayload + 24), ascii("mdia"), minfB)
-      val trakB = concat(be32(stblPayload + 32), ascii("trak"), mdiaB)
-      val moovB = concat(be32(stblPayload + 40), ascii("moov"), trakB)
-      val ftypB = concat(be32(lit(16L)), ascii("ftyp"),
-        ascii("isom"), be32(lit(0x200L)))
       t(s, dir, "documents").filter(col("doc_id") < 500)
         .select(col("doc_id"),
           concat_ws("", transform(
             graft.functions.imageExprs.mp4_structure_hash(
-              concat(ftypB, moovB)),
+              mp4FixtureFor(col("doc_id"))),
             b => b.cast("string"))).as("vhash"))
         .orderBy("doc_id")
+    },
+
+    "q_dedup_cross_video" -> { (s, dir) =>
+      // cross-corpus VIDEO dedup under the oracle — q_dedup_cross_image
+      // for the MP4 structure hash: catalog (doc_id % 7 == 0)
+      // signatures screen the crawl through videoSignatureCatalog +
+      // crossCorpusVideoDedup; fixture sample tables keyed by
+      // doc_id % 347 with a class-multiplied size rule (see
+      // q_dedup_cross_image's rule note) plant exact re-muxes of
+      // catalog videos in the crawl. DuckDB replays the coded-size
+      // envelope and the hamming<=5 verdicts.
+      val cid = pmod(col("doc_id"), lit(347L))
+      val docs = t(s, dir, "documents").filter(col("doc_id") < 1000)
+        .select(col("doc_id"),
+          mp4Fixture(k =>
+            pmod((cid + 2) * k * 13 + cid, lit(200L)) + 1).as("mp4"))
+      val catalog = ops.Dedup.videoSignatureCatalog(
+        docs.filter(col("doc_id") % 7 === 0), "doc_id", "mp4")
+      ops.Dedup.crossCorpusVideoDedup(
+        docs.filter(col("doc_id") % 7 =!= 0), catalog, "id", "sig",
+        "doc_id", "mp4", maxHamming = 5, maxBucket = 5000)
+        .select("doc_id").orderBy("doc_id")
     },
 
     "q_audio_energy_hash" -> { (s, dir) =>
@@ -2931,25 +3031,35 @@ object SparkEntry {
       // as a bit string DuckDB recomputes arithmetically. The PAIRING
       // over these signatures is the same simhashPairsFromSigs
       // machinery as q_image_dhash's.
-      val u: Column => Column = k =>
-        pmod(col("doc_id") * 37 + k * k * 11, lit(65536L))
-      val sampleHex = aggregate(sequence(lit(0L), lit(129L)), lit(""),
-        (acc, k) => concat(acc, le16h(u(k))))
-      val dataSize = lit(260L)
-      val wav = concat(
-        ascii("RIFF"), unhex(concat(le16h(dataSize + 36), lit("0000"))),
-        ascii("WAVE"), ascii("fmt "),
-        lit(Array[Byte](16, 0, 0, 0, /*PCM*/ 1, 0, /*mono*/ 1, 0,
-          /*8000 LE*/ 0x40, 0x1f, 0, 0, /*byteRate*/ 0x80.toByte, 0x3e, 0, 0,
-          /*blockAlign*/ 2, 0, /*bits*/ 16, 0)),
-        ascii("data"), unhex(concat(le16h(dataSize), lit("0000"))),
-        unhex(sampleHex))
       t(s, dir, "documents").filter(col("doc_id") < 500)
         .select(col("doc_id"),
           concat_ws("", transform(
-            graft.functions.imageExprs.wav_energy_hash(wav),
+            graft.functions.imageExprs.wav_energy_hash(
+              wavFixtureFor(col("doc_id"))),
             b => b.cast("string"))).as("ahash"))
         .orderBy("doc_id")
+    },
+
+    "q_dedup_cross_audio" -> { (s, dir) =>
+      // cross-corpus AUDIO dedup under the oracle — q_dedup_cross_image
+      // for the gain-invariant energy hash: catalog (doc_id % 7 == 0)
+      // signatures screen the crawl through audioSignatureCatalog +
+      // crossCorpusAudioDedup; fixture WAVs keyed by doc_id % 337
+      // with a class-multiplied quadratic (see q_dedup_cross_image's
+      // rule note) plant exact re-ships of catalog clips in the
+      // crawl. DuckDB replays the integer-exact energy envelope and
+      // the hamming<=5 verdicts.
+      val cid = pmod(col("doc_id"), lit(337L))
+      val docs = t(s, dir, "documents").filter(col("doc_id") < 1000)
+        .select(col("doc_id"),
+          wavFixture(k =>
+            pmod((cid + 3) * 11 * k * k + cid * 37, lit(65536L))).as("wav"))
+      val catalog = ops.Dedup.audioSignatureCatalog(
+        docs.filter(col("doc_id") % 7 === 0), "doc_id", "wav")
+      ops.Dedup.crossCorpusAudioDedup(
+        docs.filter(col("doc_id") % 7 =!= 0), catalog, "id", "sig",
+        "doc_id", "wav", maxHamming = 5, maxBucket = 5000)
+        .select("doc_id").orderBy("doc_id")
     },
 
     "q_bpe_decode" -> { (s, dir) =>
@@ -5817,6 +5927,84 @@ SELECT doc_id, n_bpe FROM doctok ORDER BY doc_id""",
         |FROM (SELECT doc_id FROM documents WHERE doc_id < 500) d,
         |  range(8) tx(x), range(8) ty(y)
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // every signature re-derived from the class-id pixel rule, every
+    // verdict replayed as bit_count(xor) <= 5 against the distinct
+    // catalog signature set, survivors = crawl ANTI hits
+    "q_dedup_cross_image" ->
+      """WITH h AS (
+        |  SELECT doc_id,
+        |    string_agg(
+        |      CASE WHEN ((doc_id%331 + 2)*(x*13 + y*31 + 7) + doc_id%331) % 256 >
+        |                ((doc_id%331 + 2)*((x+1)*13 + y*31 + 7) + doc_id%331) % 256
+        |           THEN '1' ELSE '0' END, '' ORDER BY y, x) AS hb
+        |  FROM (SELECT doc_id FROM documents WHERE doc_id < 1000) d,
+        |    range(8) tx(x), range(8) ty(y)
+        |  GROUP BY doc_id),
+        |cat AS (SELECT DISTINCT hb FROM h WHERE doc_id % 7 = 0),
+        |corp AS (SELECT doc_id, hb FROM h WHERE doc_id % 7 <> 0),
+        |hits AS (
+        |  SELECT DISTINCT c.doc_id FROM corp c JOIN cat r
+        |  ON bit_count(xor(c.hb::BIT, r.hb::BIT)) <= 5)
+        |SELECT doc_id FROM corp ANTI JOIN hits USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
+
+    // the audio envelope replay of q_audio_energy_hash keyed by the
+    // class id, then the same cross-catalog hamming verdicts
+    "q_dedup_cross_audio" ->
+      """WITH smp AS (
+        |  SELECT doc_id, k,
+        |    CASE WHEN ((doc_id%337 + 3)*11*k*k + (doc_id%337)*37) % 65536 >= 32768
+        |         THEN ((doc_id%337 + 3)*11*k*k + (doc_id%337)*37) % 65536 - 65536
+        |         ELSE ((doc_id%337 + 3)*11*k*k + (doc_id%337)*37) % 65536 END AS s
+        |  FROM (SELECT doc_id FROM documents WHERE doc_id < 1000) d,
+        |    range(130) t(k)),
+        |e AS (
+        |  SELECT doc_id, k // 2 AS w, sum(s * s) AS energy
+        |  FROM smp GROUP BY doc_id, k // 2),
+        |e2 AS (
+        |  SELECT doc_id, w, energy,
+        |    lead(energy) OVER (PARTITION BY doc_id ORDER BY w) AS ne
+        |  FROM e),
+        |h AS (
+        |  SELECT doc_id,
+        |    string_agg(CASE WHEN energy > ne THEN '1' ELSE '0' END, ''
+        |               ORDER BY w) AS hb
+        |  FROM e2 WHERE ne IS NOT NULL GROUP BY doc_id),
+        |cat AS (SELECT DISTINCT hb FROM h WHERE doc_id % 7 = 0),
+        |corp AS (SELECT doc_id, hb FROM h WHERE doc_id % 7 <> 0),
+        |hits AS (
+        |  SELECT DISTINCT c.doc_id FROM corp c JOIN cat r
+        |  ON bit_count(xor(c.hb::BIT, r.hb::BIT)) <= 5)
+        |SELECT doc_id FROM corp ANTI JOIN hits USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
+
+    // the coded-size envelope replay of q_video_structure_hash keyed
+    // by the class id, then the same cross-catalog hamming verdicts
+    "q_dedup_cross_video" ->
+      """WITH sz AS (
+        |  SELECT doc_id, k, ((doc_id%347 + 2)*k*13 + doc_id%347) % 200 + 1 AS s
+        |  FROM (SELECT doc_id FROM documents WHERE doc_id < 1000) d,
+        |    range(1, 131) t(k)),
+        |e AS (
+        |  SELECT doc_id, (k - 1) // 2 AS w, sum(s) AS tot
+        |  FROM sz GROUP BY doc_id, (k - 1) // 2),
+        |e2 AS (
+        |  SELECT doc_id, w, tot,
+        |    lead(tot) OVER (PARTITION BY doc_id ORDER BY w) AS nt
+        |  FROM e),
+        |h AS (
+        |  SELECT doc_id,
+        |    string_agg(CASE WHEN tot > nt THEN '1' ELSE '0' END, ''
+        |               ORDER BY w) AS hb
+        |  FROM e2 WHERE nt IS NOT NULL GROUP BY doc_id),
+        |cat AS (SELECT DISTINCT hb FROM h WHERE doc_id % 7 = 0),
+        |corp AS (SELECT doc_id, hb FROM h WHERE doc_id % 7 <> 0),
+        |hits AS (
+        |  SELECT DISTINCT c.doc_id FROM corp c JOIN cat r
+        |  ON bit_count(xor(c.hb::BIT, r.hb::BIT)) <= 5)
+        |SELECT doc_id FROM corp ANTI JOIN hits USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
     // the training-example labels re-derived from the oracle's own
     // packed rows (lead() over the global token order)
     "q_pack_labels" -> bpePackLabelsOracle,

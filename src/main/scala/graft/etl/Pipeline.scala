@@ -1364,6 +1364,44 @@ final class Pipeline private (
       graft.ops.Dedup.crossCorpusDedupBySignatures(_, catalog, catalogIdCol,
         catalogSigCol, idCol, textCol, shingleN, numHashes, bands, threshold)))
 
+  /** Drop rows whose IMAGE near-duplicates any entry of a persisted
+    * [[graft.ops.Dedup.imageSignatureCatalog]]
+    * ([[graft.ops.Dedup.crossCorpusImageDedup]] — the media siblings
+    * of [[dedupAgainstSignatures]]: the catalog carries signatures,
+    * never the media bytes). */
+  def dedupImagesAgainst(
+      catalog: DataFrame, catalogIdCol: String, catalogSigCol: String,
+      idCol: String, pngCol: String,
+      hashW: Int = 8, hashH: Int = 8, bands: Int = 8,
+      maxHamming: Int = 5, maxBucket: Int = 200): Pipeline =
+    add(MapStep("dedupImagesAgainst",
+      graft.ops.Dedup.crossCorpusImageDedup(_, catalog, catalogIdCol,
+        catalogSigCol, idCol, pngCol, hashW, hashH, bands, maxHamming,
+        maxBucket)))
+
+  /** Drop rows whose AUDIO near-duplicates any entry of a persisted
+    * [[graft.ops.Dedup.audioSignatureCatalog]] (gain-invariant:
+    * volume-adjusted re-ships still collide). */
+  def dedupAudioAgainst(
+      catalog: DataFrame, catalogIdCol: String, catalogSigCol: String,
+      idCol: String, wavCol: String,
+      nBits: Int = 64, bands: Int = 8,
+      maxHamming: Int = 5, maxBucket: Int = 200): Pipeline =
+    add(MapStep("dedupAudioAgainst",
+      graft.ops.Dedup.crossCorpusAudioDedup(_, catalog, catalogIdCol,
+        catalogSigCol, idCol, wavCol, nBits, bands, maxHamming, maxBucket)))
+
+  /** Drop rows whose VIDEO near-duplicates any entry of a persisted
+    * [[graft.ops.Dedup.videoSignatureCatalog]] (re-mux-invariant). */
+  def dedupVideoAgainst(
+      catalog: DataFrame, catalogIdCol: String, catalogSigCol: String,
+      idCol: String, mp4Col: String,
+      nBits: Int = 64, bands: Int = 8,
+      maxHamming: Int = 5, maxBucket: Int = 200): Pipeline =
+    add(MapStep("dedupVideoAgainst",
+      graft.ops.Dedup.crossCorpusVideoDedup(_, catalog, catalogIdCol,
+        catalogSigCol, idCol, mp4Col, nBits, bands, maxHamming, maxBucket)))
+
   /** Drop rows whose normalized text EXACTLY appears in `reference`
     * ([[graft.ops.Dedup.exactCrossDedup]] — bloom-prefiltered
     * incremental-crawl dedup; [[dedupAgainst]] is the near-dup form). */

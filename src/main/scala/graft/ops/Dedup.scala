@@ -607,6 +607,166 @@ object Dedup {
     simhashPairsFromSigs(sigs, bands, nBits / bands, maxHamming, maxBucket)
   }
 
+  // ---------------------------------------- cross-corpus media dedup
+
+  /** Cross-frame Hamming pairs between two bit-signature frames
+    * (`__id__`/`__sig__`) — [[simhashPairsFromSigs]]' cross-corpus
+    * sibling: candidates come from CROSS-side band collisions only
+    * ([[LshBlocking.crossCandidatePairs]] — the corpus is never
+    * self-joined, the bucket cap bounds every bucket join, and the
+    * all-capped guard fails loudly instead of reporting zero overlap),
+    * then the exact Hamming screen. `bands > maxHamming` ⇒ exact
+    * recall by pigeonhole, as in the self-join form. Output:
+    * (id1 = corpus side, id2 = catalog side, hamming). */
+  def crossPairsFromSigs(
+      corpusSigs: DataFrame, catalogSigs: DataFrame,
+      bands: Int, rowsPerBand: Int,
+      maxHamming: Int, maxBucket: Int): DataFrame =
+    LshBlocking.crossCandidatePairs(corpusSigs, catalogSigs,
+      bands, rowsPerBand, maxBucket,
+      screen = _.withColumn("hamming",
+          graft.functions.similarityExprs.hamming_dist(col("p1"), col("p2")))
+        .filter(col("hamming") <= maxHamming)
+        .select(col("id1"), col("id2"), col("hamming")))
+
+  /** (id, sig) catalog of IMAGE dHash signatures — the persisted
+    * artifact a frozen training corpus ships so the next crawl dedups
+    * against it without re-reading the image bytes (the media sibling
+    * of [[signatureCatalog]]). Undecodable payloads contribute no
+    * entry, like null text there. */
+  def imageSignatureCatalog(
+      df: DataFrame, idCol: String, pngCol: String,
+      hashW: Int = 8, hashH: Int = 8): DataFrame =
+    df.select(col(idCol).as("id"),
+      graft.functions.imageExprs.png_dhash(col(pngCol), hashW, hashH).as("sig"))
+      .filter(col("sig").isNotNull)
+
+  /** (id, sig) catalog of AUDIO energy-envelope signatures. */
+  def audioSignatureCatalog(
+      df: DataFrame, idCol: String, wavCol: String, nBits: Int = 64): DataFrame =
+    df.select(col(idCol).as("id"),
+      graft.functions.imageExprs.wav_energy_hash(col(wavCol), nBits).as("sig"))
+      .filter(col("sig").isNotNull)
+
+  /** (id, sig) catalog of VIDEO structure signatures. */
+  def videoSignatureCatalog(
+      df: DataFrame, idCol: String, mp4Col: String, nBits: Int = 64): DataFrame =
+    df.select(col(idCol).as("id"),
+      graft.functions.imageExprs.mp4_structure_hash(col(mp4Col), nBits).as("sig"))
+      .filter(col("sig").isNotNull)
+
+  /** Shared cross-corpus media core: probe the catalog's signature
+    * width (the [[crossCorpusDedupBySignatures]] discipline — a
+    * mismatched catalog would silently stop colliding), then band
+    * corpus signatures against it. */
+  private def crossMediaPairs(
+      corpusSigs: DataFrame, catalog: DataFrame,
+      catalogIdCol: String, catalogSigCol: String,
+      nBits: Int, bands: Int, maxHamming: Int, maxBucket: Int,
+      what: String): DataFrame = {
+    require(nBits % bands == 0, s"$what: nBits=$nBits must be divisible by bands=$bands")
+    catalog.select(size(col(catalogSigCol))).limit(1).collect()
+      .foreach { r0 =>
+        require(r0.getInt(0) == nBits,
+          s"$what: catalog signatures have ${r0.getInt(0)} bits but the " +
+            s"query side hashes to $nBits — the catalog must be built " +
+            "and queried with the same signature parameters")
+      }
+    crossPairsFromSigs(corpusSigs,
+      catalog.select(col(catalogIdCol).as("__id__"), col(catalogSigCol).as("__sig__")),
+      bands, nBits / bands, maxHamming, maxBucket)
+  }
+
+  /** Cross-corpus IMAGE near-dup pairs: the new crawl's dHash
+    * signatures banded against a persisted [[imageSignatureCatalog]]
+    * — "does this image already sit in the shipped training set",
+    * without the catalog carrying image bytes. Output:
+    * (id1 = corpus, id2 = catalog, hamming <= maxHamming). */
+  def crossCorpusImageNearDups(
+      corpus: DataFrame, catalog: DataFrame,
+      catalogIdCol: String, catalogSigCol: String,
+      idCol: String, pngCol: String,
+      hashW: Int = 8, hashH: Int = 8, bands: Int = 8,
+      maxHamming: Int = 5, maxBucket: Int = 200): DataFrame =
+    crossMediaPairs(
+      imageSignatureCatalog(corpus, idCol, pngCol, hashW, hashH)
+        .select(col("id").as("__id__"), col("sig").as("__sig__")),
+      catalog, catalogIdCol, catalogSigCol,
+      hashW * hashH, bands, maxHamming, maxBucket, "crossCorpusImageNearDups")
+
+  /** Drop every corpus image near-duplicating ANY catalog entry —
+    * one anti-join on the distinct hit ids, rows with undecodable
+    * payloads pass through (no signature, no verdict — screen
+    * upstream when the drop rate matters). */
+  def crossCorpusImageDedup(
+      corpus: DataFrame, catalog: DataFrame,
+      catalogIdCol: String, catalogSigCol: String,
+      idCol: String, pngCol: String,
+      hashW: Int = 8, hashH: Int = 8, bands: Int = 8,
+      maxHamming: Int = 5, maxBucket: Int = 200): DataFrame = {
+    val hits = crossCorpusImageNearDups(corpus, catalog, catalogIdCol,
+      catalogSigCol, idCol, pngCol, hashW, hashH, bands, maxHamming, maxBucket)
+      .select(col("id1").as(idCol)).distinct()
+    corpus.join(hits, Seq(idCol), "left_anti")
+  }
+
+  /** Cross-corpus AUDIO near-dup pairs against a persisted
+    * [[audioSignatureCatalog]] (gain-invariant — a volume-adjusted
+    * re-ship of a catalog clip still collides at Hamming 0). */
+  def crossCorpusAudioNearDups(
+      corpus: DataFrame, catalog: DataFrame,
+      catalogIdCol: String, catalogSigCol: String,
+      idCol: String, wavCol: String,
+      nBits: Int = 64, bands: Int = 8,
+      maxHamming: Int = 5, maxBucket: Int = 200): DataFrame =
+    crossMediaPairs(
+      audioSignatureCatalog(corpus, idCol, wavCol, nBits)
+        .select(col("id").as("__id__"), col("sig").as("__sig__")),
+      catalog, catalogIdCol, catalogSigCol,
+      nBits, bands, maxHamming, maxBucket, "crossCorpusAudioNearDups")
+
+  /** [[crossCorpusImageDedup]]'s audio sibling. */
+  def crossCorpusAudioDedup(
+      corpus: DataFrame, catalog: DataFrame,
+      catalogIdCol: String, catalogSigCol: String,
+      idCol: String, wavCol: String,
+      nBits: Int = 64, bands: Int = 8,
+      maxHamming: Int = 5, maxBucket: Int = 200): DataFrame = {
+    val hits = crossCorpusAudioNearDups(corpus, catalog, catalogIdCol,
+      catalogSigCol, idCol, wavCol, nBits, bands, maxHamming, maxBucket)
+      .select(col("id1").as(idCol)).distinct()
+    corpus.join(hits, Seq(idCol), "left_anti")
+  }
+
+  /** Cross-corpus VIDEO near-dup pairs against a persisted
+    * [[videoSignatureCatalog]] (a re-MUXED copy of a catalog video
+    * still collides at Hamming 0; re-ENCODES are the embedding
+    * path's job, as in [[videoNearDups]]). */
+  def crossCorpusVideoNearDups(
+      corpus: DataFrame, catalog: DataFrame,
+      catalogIdCol: String, catalogSigCol: String,
+      idCol: String, mp4Col: String,
+      nBits: Int = 64, bands: Int = 8,
+      maxHamming: Int = 5, maxBucket: Int = 200): DataFrame =
+    crossMediaPairs(
+      videoSignatureCatalog(corpus, idCol, mp4Col, nBits)
+        .select(col("id").as("__id__"), col("sig").as("__sig__")),
+      catalog, catalogIdCol, catalogSigCol,
+      nBits, bands, maxHamming, maxBucket, "crossCorpusVideoNearDups")
+
+  /** [[crossCorpusImageDedup]]'s video sibling. */
+  def crossCorpusVideoDedup(
+      corpus: DataFrame, catalog: DataFrame,
+      catalogIdCol: String, catalogSigCol: String,
+      idCol: String, mp4Col: String,
+      nBits: Int = 64, bands: Int = 8,
+      maxHamming: Int = 5, maxBucket: Int = 200): DataFrame = {
+    val hits = crossCorpusVideoNearDups(corpus, catalog, catalogIdCol,
+      catalogSigCol, idCol, mp4Col, nBits, bands, maxHamming, maxBucket)
+      .select(col("id1").as(idCol)).distinct()
+    corpus.join(hits, Seq(idCol), "left_anti")
+  }
+
   /** SimHash signature under an md5-parity per-(token, bit) hash — the
     * CROSS-ENGINE-REPLICABLE hash family: any engine with md5 (DuckDB,
     * Trino, Postgres) recomputes the identical signature from text, so

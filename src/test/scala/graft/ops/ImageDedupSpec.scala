@@ -162,4 +162,67 @@ class ImageDedupSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](
       Dedup.videoNearDups(rows.toDF("id", "mp4"), "id", "mp4", bands = 7))
   }
+
+  test("cross-corpus media dedup: catalog hits drop, others survive, widths probed") {
+    // IMAGE: catalog ships baseA's signature only; the crawl holds a
+    // lightly-perturbed re-ship of baseA (drop), a reversed gradient
+    // (keep), and junk bytes (keep — no signature, no verdict)
+    def baseA(x: Int, y: Int) = x * 18 + y * 4 + 10
+    def baseB(x: Int, y: Int) = (8 - x) * 18 + y * 4 + 10
+    val catalog = Dedup.imageSignatureCatalog(
+      Seq((100L, grayPng(9, 8)(baseA))).toDF("id", "png"), "id", "png")
+    val corpus = Seq(
+      (1L, grayPng(9, 8)((x, y) => baseA(x, y) + (if (x == 2 && y == 2) 45 else 0))),
+      (2L, grayPng(9, 8)(baseB)),
+      (99L, "not a png".getBytes)).toDF("id", "png")
+    val pairs = Dedup.crossCorpusImageNearDups(
+      corpus, catalog, "id", "sig", "id", "png", maxHamming = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 100L)), pairs)
+    val kept = Dedup.crossCorpusImageDedup(
+      corpus, catalog, "id", "sig", "id", "png", maxHamming = 5)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(2L, 99L), kept)
+    // a catalog built at a different signature width fails loudly
+    // instead of silently never colliding
+    val e = intercept[IllegalArgumentException](
+      Dedup.crossCorpusImageDedup(corpus, catalog, "id", "sig", "id", "png",
+        hashW = 4, hashH = 4, bands = 4).collect())
+    assert(e.getMessage.contains("64 bits"), e.getMessage)
+    // the Pipeline verb routes through the same op
+    val viaVerb = graft.etl.Pipeline.of("imgs", corpus)
+      .dedupImagesAgainst(catalog, "id", "sig", "id", "png", maxHamming = 5)
+      .toDF.select("id").collect().map(_.getLong(0)).toSet
+    assert(viaVerb == kept)
+
+    // AUDIO: a gain-doubled re-ship of the catalog clip drops (the
+    // hash is gain-invariant), the shifted envelope survives
+    def sa(k: Int) = if ((k / 10) % 2 == 0) 4000 + (k % 7) * 11 else 300 + (k % 5)
+    def sb(k: Int) = if ((k / 10) % 2 == 1) 4000 + (k % 7) * 11 else 300 + (k % 5)
+    val acat = Dedup.audioSignatureCatalog(
+      Seq((100L, wav16((0 until 200).map(sa)))).toDF("id", "wav"), "id", "wav")
+    val acorp = Seq(
+      (1L, wav16((0 until 200).map(k => sa(k) * 2))),
+      (2L, wav16((0 until 200).map(sb))),
+      (99L, "not audio".getBytes)).toDF("id", "wav")
+    val akept = graft.etl.Pipeline.of("auds", acorp)
+      .dedupAudioAgainst(acat, "id", "sig", "id", "wav")
+      .toDF.select("id").collect().map(_.getLong(0)).toSet
+    assert(akept == Set(2L, 99L), akept)
+
+    // VIDEO: a re-MUX of the catalog video drops (same coded sizes,
+    // different chunking), the shifted envelope survives
+    def va(k: Int): Long = if ((k / 10) % 2 == 0) 3000 + k % 9 else 200 + k % 5
+    def vb(k: Int): Long = if ((k / 10) % 2 == 1) 3000 + k % 9 else 200 + k % 5
+    val vcat = Dedup.videoSignatureCatalog(
+      Seq((100L, mp4Of((0 until 200).map(va)))).toDF("id", "mp4"), "id", "mp4")
+    val vcorp = Seq(
+      (1L, mp4Of((0 until 200).map(va), chunkOffsets = Seq(100L, 999999L))),
+      (2L, mp4Of((0 until 200).map(vb))),
+      (99L, "not an mp4".getBytes)).toDF("id", "mp4")
+    val vkept = graft.etl.Pipeline.of("vids", vcorp)
+      .dedupVideoAgainst(vcat, "id", "sig", "id", "mp4")
+      .toDF.select("id").collect().map(_.getLong(0)).toSet
+    assert(vkept == Set(2L, 99L), vkept)
+  }
 }
