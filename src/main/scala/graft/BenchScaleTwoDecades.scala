@@ -35,7 +35,7 @@ import org.apache.spark.sql.SparkSession
   * Covers the heavy dedup set plus the ANN / pack / exact-dedup
   * families (documents + embeddings only — the tables ScaleCorpus
   * replicates). Output: one JSON line to stdout and
-  * BENCH_SCALE_r17.json in the working directory.
+  * BENCH_SCALE_r18.json in the working directory.
   *
   * Usage: BenchScaleTwoDecades [loDir midDir hiDir xhiDir]  (defaults:
   * /root/testdata/sf0.01, /root/testdata/sf0.1, /tmp/graft-sf1,
@@ -232,12 +232,27 @@ object BenchScaleTwoDecades {
           // volumes + screen-vs-verify timing split at the q_dedup_cross
           // parameters, so the slope attributes to a stage
           val crossCol = org.apache.spark.sql.functions.col("doc_id")
-          val cr = ops.ScaleStats.cross(
+          def crossOnce() = ops.ScaleStats.cross(
             docs.filter(crossCol % 10 =!= 0), docs.filter(crossCol % 10 === 0),
             "doc_id", "text", shingleN = 5, numHashes = 64, bands = 8,
             threshold = 0.8, maxBucket = 200, charShingles = true)
+          val cr = crossOnce()
+          // the r17 watch item: the hi→xhi slopes of q_dedup_cross and
+          // q_dedup_semantic oscillate 0.55↔0.81 / 0.81↔1.06 BETWEEN
+          // same-code runs. One measurement cannot attribute a band —
+          // repeat each family's stage split in the SAME process and
+          // emit both: the volume fields must agree exactly (the
+          // plans are deterministic), so whichever STAGE TIMING moves
+          // between the repeats is the band's carrier (and the band
+          // is thereby attributed to scheduler/cache variance on that
+          // stage's scan volume, not to plan shape).
+          val cr2 = crossOnce()
+          val ph2 = ops.ScaleStats.semanticPhases(emb, "vec_id", "embedding",
+            threshold = 0.4, targetCell = 512, replication = 2)
           s""","cluster":${jmap(cl)},"cluster_distributed":${jmap(clDist)},""" +
-            s""""semantic_auto_phases":${jmap(ph)},"cross":${jmap(cr)}"""
+            s""""semantic_auto_phases":${jmap(ph)},""" +
+            s""""semantic_auto_phases_repeat":${jmap(ph2)},""" +
+            s""""cross":${jmap(cr)},"cross_repeat":${jmap(cr2)}"""
         }
       System.err.println(s"[bench-scale2] attribution $dir done")
       s""""$dir":{"minhash":${jmap(mh)},"lsh":${jmap(ls)},""" +
@@ -277,7 +292,7 @@ object BenchScaleTwoDecades {
       s""""synthetic_hi":true,"xhi_replicas":26,"queries":{${entries.mkString(",")}},""" +
       s""""attribution":$attribution}"""
     try java.nio.file.Files.writeString(
-      java.nio.file.Path.of("BENCH_SCALE_r17.json"), line + "\n")
+      java.nio.file.Path.of("BENCH_SCALE_r18.json"), line + "\n")
     catch { case e: Exception => System.err.println(s"[bench-scale2] write failed: $e") }
     println(line)
     spark.stop()
