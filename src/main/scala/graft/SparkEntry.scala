@@ -3040,6 +3040,33 @@ object SparkEntry {
         .orderBy("doc_id")
     },
 
+    "q_dedup_catalog_image" -> { (s, dir) =>
+      // the incremental media-catalog LOOP under the oracle
+      // (q_dedup_catalog's image sibling): batch 1 (doc_id % 3 == 0)
+      // ships and seeds the signature catalog; batch 2 dedups against
+      // it (crossCorpusImageDedup) and only its SURVIVORS' signatures
+      // merge back in (updateSignatureCatalog — distinct on the
+      // signature). Output is the merged catalog's signature set —
+      // DuckDB recomputes signatures, hamming<=5 survivor verdicts,
+      // and the distinct union independently, so drift in EITHER half
+      // of the loop breaks the hash.
+      val cid = pmod(col("doc_id"), lit(331L))
+      val docs = t(s, dir, "documents").filter(col("doc_id") < 1000)
+        .select(col("doc_id"),
+          pngFixture((x, y) =>
+            pmod((cid + 2) * (x * 13 + y * 31 + 7) + cid, lit(256L))).as("png"))
+      val cat1 = ops.Dedup.imageSignatureCatalog(
+        docs.filter(col("doc_id") % 3 === 0), "doc_id", "png")
+      val kept2 = ops.Dedup.crossCorpusImageDedup(
+        docs.filter(col("doc_id") % 3 =!= 0), cat1, "id", "sig",
+        "doc_id", "png", maxHamming = 5, maxBucket = 5000)
+      val merged = ops.Dedup.updateSignatureCatalog(cat1,
+        ops.Dedup.imageSignatureCatalog(kept2, "doc_id", "png"))
+      merged.select(concat_ws("",
+        transform(col("sig"), b => b.cast("string"))).as("sig_bits"))
+        .orderBy("sig_bits")
+    },
+
     "q_dedup_cross_audio" -> { (s, dir) =>
       // cross-corpus AUDIO dedup under the oracle — q_dedup_cross_image
       // for the gain-invariant energy hash: catalog (doc_id % 7 == 0)
@@ -5948,6 +5975,29 @@ SELECT doc_id, n_bpe FROM doctok ORDER BY doc_id""",
         |  ON bit_count(xor(c.hb::BIT, r.hb::BIT)) <= 5)
         |SELECT doc_id FROM corp ANTI JOIN hits USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
+
+    // both halves of the incremental image-catalog loop re-derived:
+    // batch-1 distinct signatures, batch-2 survivors (hamming<=5 vs
+    // the batch-1 set), distinct union of the two signature sets
+    "q_dedup_catalog_image" ->
+      """WITH h AS (
+        |  SELECT doc_id,
+        |    string_agg(
+        |      CASE WHEN ((doc_id%331 + 2)*(x*13 + y*31 + 7) + doc_id%331) % 256 >
+        |                ((doc_id%331 + 2)*((x+1)*13 + y*31 + 7) + doc_id%331) % 256
+        |           THEN '1' ELSE '0' END, '' ORDER BY y, x) AS hb
+        |  FROM (SELECT doc_id FROM documents WHERE doc_id < 1000) d,
+        |    range(8) tx(x), range(8) ty(y)
+        |  GROUP BY doc_id),
+        |cat1 AS (SELECT DISTINCT hb FROM h WHERE doc_id % 3 = 0),
+        |b2 AS (SELECT doc_id, hb FROM h WHERE doc_id % 3 <> 0),
+        |hits AS (
+        |  SELECT DISTINCT c.doc_id FROM b2 c JOIN cat1 r
+        |  ON bit_count(xor(c.hb::BIT, r.hb::BIT)) <= 5),
+        |keep2 AS (SELECT hb FROM b2 ANTI JOIN hits USING (doc_id))
+        |SELECT DISTINCT hb AS sig_bits
+        |FROM (SELECT hb FROM cat1 UNION ALL SELECT hb FROM keep2)
+        |ORDER BY sig_bits""".stripMargin,
 
     // the audio envelope replay of q_audio_energy_hash keyed by the
     // class id, then the same cross-catalog hamming verdicts

@@ -677,6 +677,20 @@ object Dedup {
       bands, nBits / bands, maxHamming, maxBucket)
   }
 
+  /** Merge newly-shipped media signatures into a catalog — the
+    * incremental-crawl loop closer ([[updateFingerprintCatalog]]'s
+    * media sibling): ship a batch, dedup the next crawl against the
+    * catalog, merge only the SURVIVORS' signatures back in. Distinct
+    * on the SIGNATURE — the catalog is a screen, and two payloads
+    * sharing a signature screen identically (the retained id is
+    * arbitrary provenance; consumers must key on `sigCol`). Both
+    * frames need (id, sig) shape, e.g. [[imageSignatureCatalog]]
+    * outputs. */
+  def updateSignatureCatalog(
+      catalog: DataFrame, additions: DataFrame,
+      sigCol: String = "sig"): DataFrame =
+    catalog.unionByName(additions).dropDuplicates(sigCol)
+
   /** Cross-corpus IMAGE near-dup pairs: the new crawl's dHash
     * signatures banded against a persisted [[imageSignatureCatalog]]
     * — "does this image already sit in the shipped training set",

@@ -194,6 +194,17 @@ class ImageDedupSpec extends AnyFunSuite {
       .dedupImagesAgainst(catalog, "id", "sig", "id", "png", maxHamming = 5)
       .toDF.select("id").collect().map(_.getLong(0)).toSet
     assert(viaVerb == kept)
+    // the catalog-update loop: only survivors' signatures merge in
+    // (junk has none), and the merged set is distinct by SIGNATURE —
+    // re-shipping an identical-signature image does not grow it
+    val merged = Dedup.updateSignatureCatalog(catalog,
+      Dedup.imageSignatureCatalog(
+        corpus.filter(col("id") =!= 1L), "id", "png"))
+    assert(merged.count() == 2) // baseA (catalog) + baseB (survivor)
+    val again = Dedup.updateSignatureCatalog(merged,
+      Dedup.imageSignatureCatalog(
+        Seq((500L, grayPng(9, 8)(baseB))).toDF("id", "png"), "id", "png"))
+    assert(again.count() == 2)
 
     // AUDIO: a gain-doubled re-ship of the catalog clip drops (the
     // hash is gain-invariant), the shifted envelope survives
