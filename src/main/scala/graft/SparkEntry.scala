@@ -2906,6 +2906,40 @@ object SparkEntry {
         .orderBy("doc_id", "pos")
     },
 
+    "q_bpe_bytelevel_ids" -> { (s, dir) =>
+      // BYTE-level external tokenizer under the oracle (the GPT-2
+      // published convention, loaded from merges.txt + vocab files by
+      // loadExternalByteLevel): the fixture arms rotate contraction
+      // splitting, the double-space lookahead arm, and multi-byte
+      // UTF-8 through the regex pre-tokenizer + byte mapping + greedy
+      // merges + external-id lookup. The oracle states every
+      // (arm, pos, id) from an independent reimplementation of the
+      // convention — drift in the byte table, the pre-tokenizer, the
+      // merge loop, or the id mapping breaks the hash.
+      val bc = bpeByteGateBc(s)
+      t(s, dir, "documents").filter(col("doc_id") < 300)
+        .select(col("doc_id"),
+          posexplode(ops.Bpe.ids(
+            element_at(typedLit(bpeByteArms),
+              (pmod(col("doc_id"), lit(3)) + 1).cast("int")), bc))
+            .as(Seq("pos", "token_id")))
+        .orderBy("doc_id", "pos")
+    },
+
+    "q_bpe_bytelevel_roundtrip" -> { (s, dir) =>
+      // byte-level decode is LOSSLESS — decodeIds(ids(text)) must
+      // reproduce the arm text EXACTLY, double space and all (the
+      // word-level roundtrip only reaches whitespace normalization;
+      // this one is equality). The oracle states the arms directly.
+      val bc = bpeByteGateBc(s)
+      val arm = element_at(typedLit(bpeByteArms),
+        (pmod(col("doc_id"), lit(3)) + 1).cast("int"))
+      t(s, dir, "documents").filter(col("doc_id") < 300)
+        .select(col("doc_id"),
+          ops.Bpe.decodeIds(ops.Bpe.ids(arm, bc), bc).as("back"))
+        .orderBy("doc_id")
+    },
+
     "q_pack_ids" -> { (s, dir) =>
       // FIXED-LENGTH packed token-ID sequences over REAL corpus text —
       // the tensor a trainer's data loader actually reads: encode each
@@ -4128,6 +4162,41 @@ ORDER BY doc_id"""
           .map { case (t, i) => s""""$t":$i""" }
           .mkString("{", ",", "}").getBytes(utf8))
         ops.Bpe.loadExternal(s, mp.toString, vp.toString)
+      }))
+
+  /** Byte-level fixture tokenizer (the GPT-2-family published
+    * convention): eight STATED merges over the byte-char alphabet and
+    * a vocab of the 256 byte chars (ids 0..255 in byte order) +
+    * compounds in merge order (256..263) + `<|endoftext|>` (264),
+    * written per JVM as merges.txt + a TSV vocab (byte-level tokens
+    * can never contain a literal tab/newline — bytes 0x09/0x0A map to
+    * U+0109+/U+010A chars) and loaded through
+    * [[graft.ops.Bpe.loadExternalByteLevel]]. The gate arms exercise
+    * the contraction arm, the double-space lookahead split, and
+    * multi-byte UTF-8 (é → 'Ã','©'). Expected streams derived by an
+    * independent from-the-convention reimplementation. */
+  private val bpeByteMerges: Seq[(String, String)] = Seq(
+    "t" -> "h", "th" -> "e", "a" -> "t", "Ġ" -> "c", "Ġc" -> "at",
+    "Ġ" -> "t", "Ġt" -> "he", "h" -> "at")
+  private val bpeByteArms = Seq(
+    "the cat's hat", "that  thin cat", "café cat the")
+
+  private def bpeByteGateBc(s: SparkSession) =
+    ops.Bpe.broadcastModel(s,
+      bpeGateModel.computeIfAbsent("bytelevel", _ => {
+        val utf8 = java.nio.charset.StandardCharsets.UTF_8
+        val dir = java.nio.file.Files.createTempDirectory("graft-bytelevel-tok")
+        val mp = dir.resolve("merges.txt")
+        val vp = dir.resolve("vocab.tsv")
+        java.nio.file.Files.write(mp, ("#version: 0.2\n" +
+          bpeByteMerges.map { case (l, r) => s"$l $r" }.mkString("\n") +
+          "\n").getBytes(utf8))
+        val vocab = (0 until 256).map(b =>
+          String.valueOf(graft.functions.BpeByteLevel.byteToChar(b))) ++
+          bpeByteMerges.map { case (l, r) => l + r } ++ Seq("<|endoftext|>")
+        java.nio.file.Files.write(vp, vocab.zipWithIndex
+          .map { case (t, i) => s"$t\t$i" }.mkString("\n").getBytes(utf8))
+        ops.Bpe.loadExternalByteLevel(s, mp.toString, vp.toString)
       }))
 
   private val nbGateModels =
@@ -5902,6 +5971,33 @@ SELECT doc_id, n_bpe FROM doctok ORDER BY doc_id""",
          |JOIN extvocab v ON v.tok = t.token
          |WHERE d.doc_id < 300
          |ORDER BY doc_id, pos""".stripMargin,
+
+    // every byte-level id stated from the independent replay of the
+    // convention (byte table + pre-tokenizer + merges + id table)
+    "q_bpe_bytelevel_ids" ->
+      """WITH toks(arm, pos, token_id) AS (VALUES
+        |  (0, 0, 257), (0, 1, 260), (0, 2, 39), (0, 3, 115), (0, 4, 32), (0, 5, 263),
+        |  (1, 0, 256), (1, 1, 258), (1, 2, 32), (1, 3, 32), (1, 4, 256),
+        |  (1, 5, 105), (1, 6, 110), (1, 7, 260),
+        |  (2, 0, 99), (2, 1, 97), (2, 2, 102), (2, 3, 195), (2, 4, 169),
+        |  (2, 5, 260), (2, 6, 32), (2, 7, 257))
+        |SELECT d.doc_id, CAST(t.pos AS INTEGER) AS pos,
+        |  CAST(t.token_id AS INTEGER) AS token_id
+        |FROM documents d JOIN toks t ON t.arm = d.doc_id % 3
+        |WHERE d.doc_id < 300
+        |ORDER BY doc_id, pos""".stripMargin,
+
+    // losslessness stated directly: decode must equal the arm text,
+    // double space included
+    "q_bpe_bytelevel_roundtrip" ->
+      """WITH arms(arm, txt) AS (VALUES
+        |  (0, 'the cat''s hat'),
+        |  (1, 'that  thin cat'),
+        |  (2, 'café cat the'))
+        |SELECT d.doc_id, a.txt AS back
+        |FROM documents d JOIN arms a ON a.arm = d.doc_id % 3
+        |WHERE d.doc_id < 300
+        |ORDER BY doc_id""".stripMargin,
 
     "q_pack_ids" -> bpePackIdsOracle,
     "q_pack_whole" -> packWholeOracle,

@@ -34,7 +34,8 @@ case class BpeModel(
     alphabet: Array[String] = Array.empty,
     externalVocab: Array[String] = null,
     externalPadId: Int = -1,
-    externalUnkId: Int = -1) extends Serializable {
+    externalUnkId: Int = -1,
+    byteLevel: Boolean = false) extends Serializable {
 
   /** The id that fills packed sequences; -1 = this vocabulary has no
     * pad slot (external vocabs may omit one). */
@@ -120,6 +121,90 @@ object BpeModel {
   val UnkToken = "<unk>"
 }
 
+/** BYTE-level BPE plumbing (the GPT-2-family published-tokenizer
+  * convention, Radford et al. 2019): text → UTF-8 bytes → each byte
+  * mapped to a printable Unicode char (the standard bytes_to_unicode
+  * table, so merges/vocab files are plain text) → BPE merges over the
+  * char sequences of regex pre-tokenized chunks (spaces ride as `Ġ`
+  * prefixes; no end-of-word marker). Encode→decode is LOSSLESS — the
+  * byte mapping is a bijection — which is the convention's selling
+  * point over word-level's whitespace normalization. Models in this
+  * convention LOAD from published files
+  * ([[graft.ops.Bpe.loadExternalByteLevel]]); training here stays
+  * word-level. */
+object BpeByteLevel {
+
+  /** The standard byte → printable-char table: printable ASCII and
+    * Latin-1 ranges map to themselves; the other 68 bytes map to
+    * 256+n in ascending byte order (so 0x20 → 'Ġ' U+0120, 0x0A → 'Ċ'
+    * U+010A). Bijective by construction. */
+  val byteToChar: Array[Char] = {
+    val out = new Array[Char](256)
+    var n = 0
+    var b = 0
+    while (b < 256) {
+      if ((b >= 33 && b <= 126) || (b >= 161 && b <= 172) || (b >= 174 && b <= 255))
+        out(b) = b.toChar
+      else { out(b) = (256 + n).toChar; n += 1 }
+      b += 1
+    }
+    out
+  }
+
+  val charToByte: java.util.HashMap[Character, Integer] = {
+    val m = new java.util.HashMap[Character, Integer](512)
+    var b = 0
+    while (b < 256) { m.put(byteToChar(b), b); b += 1 }
+    m
+  }
+
+  /** The GPT-2 pre-tokenizer pattern, faithfully (contraction arms,
+    * ` ?` prefixes that glue ONE leading space to the next word, the
+    * lookahead whitespace arm). UNICODE_CHARACTER_CLASS so \s/\p{L}
+    * match what the published tokenizers' regex engine matches. */
+  private val preTokenPattern = java.util.regex.Pattern.compile(
+    "'s|'t|'re|'ve|'m|'ll|'d| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+(?!\\S)|\\s+",
+    java.util.regex.Pattern.UNICODE_CHARACTER_CLASS)
+
+  /** Pre-tokenized chunks; the pattern tiles the whole string (every
+    * char falls in some arm). */
+  def preTokenize(s: String): Seq[String] = {
+    val m = preTokenPattern.matcher(s)
+    val out = Seq.newBuilder[String]
+    while (m.find()) out += m.group()
+    out.result()
+  }
+
+  /** Chunk → mapped byte-char string (UTF-8 bytes through the table). */
+  def mapChunk(chunk: String): String = {
+    val bytes = chunk.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val sb = new java.lang.StringBuilder(bytes.length)
+    var i = 0
+    while (i < bytes.length) { sb.append(byteToChar(bytes(i) & 0xff)); i += 1 }
+    sb.toString
+  }
+
+  /** Token string back to raw text: byte-mappable chars decode through
+    * the table (then UTF-8); a token holding ANY unmapped char is a
+    * SPECIAL token (`<|endoftext|>` and friends) and passes through
+    * literally — the published-decoder convention. */
+  def decodeToken(tok: String, out: java.io.ByteArrayOutputStream): Unit = {
+    var i = 0
+    while (i < tok.length) {
+      if (charToByte.get(tok.charAt(i)) == null) {
+        out.write(tok.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        return
+      }
+      i += 1
+    }
+    i = 0
+    while (i < tok.length) {
+      out.write(charToByte.get(tok.charAt(i)).intValue())
+      i += 1
+    }
+  }
+}
+
 object BpeUtil {
 
   val EndOfWord = "</w>"
@@ -146,7 +231,29 @@ object BpeUtil {
   private[graft] def encodeWord(word: String, m: BpeModel): Array[String] = {
     val cached = m.cache.get().get(word)
     if (cached != null) return cached
-    var syms = initialSymbols(word)
+    val syms = encodeSymbols(initialSymbols(word), m)
+    m.cache.get().put(word, syms)
+    syms
+  }
+
+  /** The byte-level sibling: greedy merges over a pre-mapped
+    * byte-char chunk, per-CHAR initial symbols, no end-of-word
+    * marker. Cached under the mapped chunk (same per-thread LRU — a
+    * model runs in exactly one mode, so the key spaces cannot mix). */
+  private[graft] def encodeByteChunk(mapped: String, m: BpeModel): Array[String] = {
+    val cached = m.cache.get().get(mapped)
+    if (cached != null) return cached
+    val init = new Array[String](mapped.length)
+    var i = 0
+    while (i < mapped.length) { init(i) = String.valueOf(mapped.charAt(i)); i += 1 }
+    val syms = encodeSymbols(init, m)
+    m.cache.get().put(mapped, syms)
+    syms
+  }
+
+  /** The shared greedy merge loop over an initial symbol array. */
+  private def encodeSymbols(initial: Array[String], m: BpeModel): Array[String] = {
+    var syms = initial
     var done = false
     while (!done && syms.length > 1) {
       // lowest-rank adjacent pair present in the model
@@ -172,13 +279,16 @@ object BpeUtil {
         syms = out.toArray
       }
     }
-    m.cache.get().put(word, syms)
     syms
   }
 
   /** Whitespace-split the text (the engine-wide `[ \t\n\x0b\f\r]+`
-    * separator class), BPE-encode each word, concatenate. */
+    * separator class), BPE-encode each word, concatenate. Byte-level
+    * models instead pre-tokenize with the published regex and encode
+    * each chunk's mapped byte chars — one entry point, both
+    * conventions. */
   def tokens(text: UTF8String, m: BpeModel): ArrayData = {
+    if (m.byteLevel) return byteLevelTokens(text, m)
     val s = text.toString
     val out = new scala.collection.mutable.ArrayBuffer[UTF8String]()
     var i = 0
@@ -196,6 +306,16 @@ object BpeUtil {
     new GenericArrayData(out.toArray[Any])
   }
 
+  private def byteLevelTokens(text: UTF8String, m: BpeModel): ArrayData = {
+    val out = new scala.collection.mutable.ArrayBuffer[UTF8String]()
+    BpeByteLevel.preTokenize(text.toString).foreach { chunk =>
+      val toks = encodeByteChunk(BpeByteLevel.mapChunk(chunk), m)
+      var k = 0
+      while (k < toks.length) { out += UTF8String.fromString(toks(k)); k += 1 }
+    }
+    new GenericArrayData(out.toArray[Any])
+  }
+
   /** [[tokens]] mapped through the model's [[BpeModel.vocab]]: the
     * token-ID stream a trainer's data loader consumes. Same split,
     * same greedy encode (and the same per-thread word cache — the
@@ -207,6 +327,7 @@ object BpeUtil {
     * concatenate, split on the end-of-word markers, single-space join.
     * Called from generated code — keep the signature stable. */
   def decodeIds(ids: ArrayData, m: BpeModel): UTF8String = {
+    if (m.byteLevel) return byteLevelDecodeIds(ids, m)
     val vocab = m.vocab
     val padId = m.padId
     // out-of-range / NULL ids decode to the MODEL's unk marker (an
@@ -244,7 +365,38 @@ object BpeUtil {
     UTF8String.fromString(out.toString)
   }
 
+  /** Byte-level ids → text: vocabulary lookup, pad dropped (when the
+    * vocab has a pad slot), byte-mappable tokens decode through the
+    * byte table (then UTF-8 — hostile byte sequences come back with
+    * replacement chars, never a throw), special tokens pass through
+    * literally, out-of-range/NULL ids become the model's unk token
+    * when it has one and U+FFFD otherwise. LOSSLESS on faithful ids —
+    * decode(encode(s)) == s for any s, no whitespace normalization. */
+  private def byteLevelDecodeIds(ids: ArrayData, m: BpeModel): UTF8String = {
+    val vocab = m.vocab
+    val padId = m.padId
+    val unkTok =
+      if (m.unkId >= 0 && m.unkId < vocab.length) vocab(m.unkId) else "�"
+    val out = new java.io.ByteArrayOutputStream()
+    var i = 0
+    val n = ids.numElements()
+    while (i < n) {
+      if (ids.isNullAt(i)) BpeByteLevel.decodeToken(unkTok, out)
+      else {
+        val id = ids.getInt(i)
+        if (padId < 0 || id != padId) {
+          if (id >= 0 && id < vocab.length) BpeByteLevel.decodeToken(vocab(id), out)
+          else BpeByteLevel.decodeToken(unkTok, out)
+        }
+      }
+      i += 1
+    }
+    UTF8String.fromString(
+      new String(out.toByteArray, java.nio.charset.StandardCharsets.UTF_8))
+  }
+
   def tokenIds(text: UTF8String, m: BpeModel): ArrayData = {
+    if (m.byteLevel) return byteLevelTokenIds(text, m)
     val s = text.toString
     val out = new scala.collection.mutable.ArrayBuilder.ofInt
     var i = 0
@@ -261,6 +413,24 @@ object BpeUtil {
           out += (if (id == null) m.unkId else id.intValue())
           k += 1
         }
+      }
+    }
+    new GenericArrayData(out.result().map(Int.box: Int => Any))
+  }
+
+  private def byteLevelTokenIds(text: UTF8String, m: BpeModel): ArrayData = {
+    val out = new scala.collection.mutable.ArrayBuilder.ofInt
+    BpeByteLevel.preTokenize(text.toString).foreach { chunk =>
+      val toks = encodeByteChunk(BpeByteLevel.mapChunk(chunk), m)
+      var k = 0
+      while (k < toks.length) {
+        val id = m.vocabIds.get(toks(k))
+        // unreachable for a loadExternalByteLevel model (the loader
+        // validates all 256 byte chars are in the vocab, and merges
+        // only create validated compounds); hand-built models without
+        // an unk surface the honest -1 sentinel
+        out += (if (id == null) m.unkId else id.intValue())
+        k += 1
       }
     }
     new GenericArrayData(out.result().map(Int.box: Int => Any))

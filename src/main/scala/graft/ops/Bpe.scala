@@ -96,6 +96,11 @@ object Bpe {
   def continueFromWordCounts(
       model: BpeModel, counts: Seq[(String, Long)], extraMerges: Int,
       minPairCount: Long = 2L): BpeModel = {
+    require(!model.byteLevel,
+      "continueFromWordCounts: byte-level models use the published " +
+        "regex pre-tokenization and byte symbolization, not this " +
+        "word-level dictionary — retrain/extend them in the system " +
+        "that published the files")
     val numMerges = extraMerges
     require(numMerges >= 0, s"numMerges must be >= 0, got $numMerges")
     require(minPairCount >= 1, s"minPairCount must be >= 1, got $minPairCount")
@@ -513,6 +518,38 @@ object Bpe {
           "unseen symbols need an id"))
     val padId = ids.getOrElse(padToken, -1)
     BpeModel(merges, Array.empty, vocab, padId, unkId)
+  }
+
+  /** Loads an external BYTE-LEVEL tokenizer (the GPT-2-family
+    * published convention: merges/vocab over the standard
+    * bytes→printable-chars table, spaces as `Ġ` prefixes, regex
+    * pre-tokenization, NO end-of-word marker —
+    * [[graft.functions.BpeByteLevel]]). Encode→decode is LOSSLESS.
+    * The vocab must contain all 256 single-byte chars (so encoding
+    * never needs an unk — published byte-level vocabs have none;
+    * `unkToken`/`padToken` are OPTIONAL and resolve to -1 when absent
+    * or null). Merge compounds are cross-validated against the vocab
+    * like [[loadExternal]]. */
+  def loadExternalByteLevel(
+      spark: SparkSession, mergesPath: String, vocabPath: String,
+      unkToken: String = null, padToken: String = null): BpeModel = {
+    val merges = loadMergesTxt(spark, mergesPath)
+    val vocab = loadVocab(spark, vocabPath)
+    val ids = vocab.zipWithIndex.toMap
+    merges.zipWithIndex.foreach { case ((l, r), i) =>
+      require(ids.contains(l + r),
+        s"loadExternalByteLevel: merge ${i + 1} compound '${l + r}' is not " +
+          s"in the vocab — $mergesPath and $vocabPath are not the same tokenizer")
+    }
+    val missing = (0 until 256).filterNot(b =>
+      ids.contains(String.valueOf(graft.functions.BpeByteLevel.byteToChar(b))))
+    require(missing.isEmpty,
+      s"loadExternalByteLevel: the vocab is missing the byte chars for " +
+        s"bytes ${missing.take(8).mkString(", ")}${if (missing.length > 8) ", ..." else ""} — " +
+        "a byte-level vocab must cover all 256 single-byte symbols")
+    val unkId = Option(unkToken).flatMap(ids.get).getOrElse(-1)
+    val padId = Option(padToken).flatMap(ids.get).getOrElse(-1)
+    BpeModel(merges, Array.empty, vocab, padId, unkId, byteLevel = true)
   }
 
   /** Writes `m` as the public merges/vocab file pair [[loadExternal]]
