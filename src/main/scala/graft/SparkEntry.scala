@@ -3166,6 +3166,90 @@ object SparkEntry {
         .orderBy("seq_id", "pos")
     },
 
+    "q_pack_whole_sft" -> { (s, dir) =>
+      // THE full SFT tensor path composed end to end: whole-document
+      // next-fit packing (a doc never splits) → causal-LM labels
+      // (-100 past the real tokens and across doc boundaries) →
+      // deterministic shuffle-and-shard (md5-prefix permutation, 4-row
+      // shard cut). Each stage is individually green elsewhere; this
+      // gate proves the composed column/contract chain — labels read
+      // packWholeDocs' doc_offsets/n_pad unchanged, the shard rank
+      // rides the packed seq_id — under ONE oracle that replays the
+      // next-fit walk, re-derives every label from its own packed
+      // rows, and re-ranks the permutation.
+      val bc = bpeGateBc(s)
+      val docs = ops.Bpe.withTokenIds(
+        t(s, dir, "documents").filter(col("doc_id") < 300), "text", "ids", bc)
+        .filter(size(col("ids")).between(1, 1024))
+      val packed = ops.Packing.packWholeDocs(docs, "doc_id", "ids",
+        seqLen = 1024, padId = 0, bucketWidth = 100)
+      ops.Packing.assignShuffledShards(
+        ops.Packing.withCausalLabels(packed), "seq_id", ":pws18",
+        rowsPerShard = 4)
+        .select(col("seq_id"), col("n_docs"), col("n_pad"),
+          concat_ws(",", transform(col("doc_ids"), x => x.cast("string")))
+            .as("doc_ids_csv"),
+          concat_ws(",", transform(col("doc_offsets"), x => x.cast("string")))
+            .as("offsets_csv"),
+          col("rank"), col("shard_id"),
+          posexplode(arrays_zip(col("input_ids"), col("labels")))
+            .as(Seq("pos", "__z__")))
+        .select(col("seq_id"), col("n_docs"), col("n_pad"),
+          col("doc_ids_csv"), col("offsets_csv"), col("rank"),
+          col("shard_id"), col("pos"),
+          col("__z__.input_ids").as("token_id"),
+          col("__z__.labels").as("label"))
+        .orderBy("seq_id", "pos")
+    },
+
+    "q_pack_whole_sft_tfr" -> { (s, dir) =>
+      // the SFT path's FILE layout under the hash: the q_pack_whole_sft
+      // frame written through TfRecord.writeShardFiles (exactly one
+      // file per shard_id, rank order inside — the shard(i) = file(i)
+      // dataloader contract) and READ BACK, so the int64/int-list wire
+      // format of the whole training example (ids, labels, offsets,
+      // rank, shard) sits under the same next-fit + labels + shard
+      // oracle as the in-memory frame.
+      val bc = bpeGateBc(s)
+      val docs = ops.Bpe.withTokenIds(
+        t(s, dir, "documents").filter(col("doc_id") < 300), "text", "ids", bc)
+        .filter(size(col("ids")).between(1, 1024))
+      val sharded = ops.Packing.assignShuffledShards(
+        ops.Packing.withCausalLabels(
+          ops.Packing.packWholeDocs(docs, "doc_id", "ids",
+            seqLen = 1024, padId = 0, bucketWidth = 100)),
+        "seq_id", ":pws18", rowsPerShard = 4)
+      val out = s"${System.getProperty("java.io.tmpdir")}/graft-gate-packsft-" +
+        s"${ProcessHandle.current().pid()}-${Integer.toHexString(dir.hashCode)}/shards_tfr"
+      sources.TfRecord.writeShardFiles(
+        sharded.select("seq_id", "n_docs", "n_pad", "doc_ids", "doc_offsets",
+          "rank", "shard_id", "input_ids", "labels"), out)
+      sources.TfRecord.read(s, out, StructType(Seq(
+        StructField("seq_id", LongType),
+        StructField("n_docs", IntegerType),
+        StructField("n_pad", IntegerType),
+        StructField("doc_ids", ArrayType(LongType)),
+        StructField("doc_offsets", ArrayType(IntegerType)),
+        StructField("rank", LongType),
+        StructField("shard_id", LongType),
+        StructField("input_ids", ArrayType(IntegerType)),
+        StructField("labels", ArrayType(IntegerType)))))
+        .select(col("seq_id"), col("n_docs"), col("n_pad"),
+          concat_ws(",", transform(col("doc_ids"), x => x.cast("string")))
+            .as("doc_ids_csv"),
+          concat_ws(",", transform(col("doc_offsets"), x => x.cast("string")))
+            .as("offsets_csv"),
+          col("rank"), col("shard_id"),
+          posexplode(arrays_zip(col("input_ids"), col("labels")))
+            .as(Seq("pos", "__z__")))
+        .select(col("seq_id"), col("n_docs"), col("n_pad"),
+          col("doc_ids_csv"), col("offsets_csv"), col("rank"),
+          col("shard_id"), col("pos"),
+          col("__z__.input_ids").as("token_id"),
+          col("__z__.labels").as("label"))
+        .orderBy("seq_id", "pos")
+    },
+
     "q_sample_soft" -> { (s, dir) =>
       // SOFT quality filtering under the hash: per-doc keep probability
       // p = min(1, n_chars/500) — short docs keep a proportional share
@@ -3969,7 +4053,7 @@ ORDER BY seq_id"""
     * walk over doc order — whole-document packing with the per-bucket
     * (doc_id//100) restart mirrored exactly; a linear recursion over
     * the ≤300-doc slice, one step per doc. */
-  private val packWholeOracle: String = {
+  private val (packWholeOracle: String, packWholeSftOracle: String) = {
     def pat(l: String, r: String) = s"chr(1)||'$l'||chr(1)||'$r'||chr(1)"
     def rep(l: String, r: String) = s"chr(1)||'$l$r'||chr(1)"
     val any = bpeOracleMerges
@@ -3981,7 +4065,7 @@ ORDER BY seq_id"""
       .mkString("\n      ")
     val ws = """'[ \t\n\x0b\f\r]+'"""
     val init = """chr(1) || regexp_replace(word, '(.)', '\1' || chr(1), 'g') || '</w>' || chr(1)"""
-    s"""WITH RECURSIVE
+    val body = s"""WITH RECURSIVE
 docs300 AS (
   SELECT doc_id, text FROM documents WHERE text IS NOT NULL AND doc_id < 300),
 dw AS (
@@ -4049,12 +4133,45 @@ realrows AS (
 padrows AS (
   SELECT seq_id, cast(pp AS INTEGER) AS pos, cast(0 AS INTEGER) AS token_id
   FROM (SELECT seq_id, unnest(range(n_tok, 1024)) AS pp FROM seqmeta)),
-allrows AS (SELECT * FROM realrows UNION ALL SELECT * FROM padrows)
+allrows AS (SELECT * FROM realrows UNION ALL SELECT * FROM padrows)"""
+    val idsSelect = """
 SELECT a.seq_id, cast(m.n_docs AS INTEGER) AS n_docs,
   cast(1024 - m.n_tok AS INTEGER) AS n_pad, m.doc_ids_csv, m.offsets_csv,
   a.pos, a.token_id
 FROM allrows a JOIN seqmeta m USING (seq_id)
 ORDER BY seq_id, pos"""
+    // the SFT tail: labels re-derived from the oracle's own packed
+    // rows (lead over in-sequence order; -100 where the next position
+    // is past the real tokens or is a later document's first-token
+    // offset — exactly LabelUtil.causal's rule), and the shard
+    // permutation re-ranked from seqmeta (md5-prefix order over
+    // seq_id, ties on the id, rank // 4 the shard cut)
+    val sftSelect = """,
+nextt AS (
+  SELECT seq_id, pos, token_id,
+    lead(token_id) OVER (PARTITION BY seq_id ORDER BY pos) AS nxt
+  FROM allrows),
+dstarts AS (
+  SELECT seq_id, cast(off AS INTEGER) AS off FROM placed WHERE off > 0),
+lab AS (
+  SELECT n.seq_id, n.pos, n.token_id,
+    cast(CASE WHEN n.pos + 1 >= m.n_tok OR d.off IS NOT NULL
+         THEN -100 ELSE n.nxt END AS INTEGER) AS label
+  FROM nextt n
+  JOIN seqmeta m USING (seq_id)
+  LEFT JOIN dstarts d ON d.seq_id = n.seq_id AND d.off = n.pos + 1),
+ranks AS (
+  SELECT seq_id,
+    row_number() OVER (ORDER BY
+      substr(md5(cast(seq_id AS VARCHAR) || ':pws18'), 1, 12), seq_id) - 1
+      AS rank
+  FROM seqmeta)
+SELECT l.seq_id, cast(m.n_docs AS INTEGER) AS n_docs,
+  cast(1024 - m.n_tok AS INTEGER) AS n_pad, m.doc_ids_csv, m.offsets_csv,
+  r.rank, r.rank // 4 AS shard_id, l.pos, l.token_id, l.label
+FROM lab l JOIN seqmeta m USING (seq_id) JOIN ranks r USING (seq_id)
+ORDER BY seq_id, pos"""
+    (body + idsSelect, body + sftSelect)
   }
 
   /** q_bpe_decode oracle: the recursive-CTE encoder's symbol stream
@@ -6001,6 +6118,8 @@ SELECT doc_id, n_bpe FROM doctok ORDER BY doc_id""",
 
     "q_pack_ids" -> bpePackIdsOracle,
     "q_pack_whole" -> packWholeOracle,
+    "q_pack_whole_sft" -> packWholeSftOracle,
+    "q_pack_whole_sft_tfr" -> packWholeSftOracle,
     "q_bpe_decode" -> bpeDecodeOracle,
 
     "q_video_structure_hash" ->

@@ -390,8 +390,13 @@ object Http {
     * a parser: tracks nesting depth of `tag` only, which is exactly
     * what splitting on a row tag needs. Attribute values are
     * quote-skipped (a `>` or `/>` inside `attr="a/>b"` is data, not
-    * the tag end); comments/CDATA/element TEXT containing a literal
-    * `<tag` or `</tag>` remain the documented limitation. */
+    * the tag end); `<!--...-->` comments and `<![CDATA[...]]>`
+    * sections are skipped whole (a literal `<tag`/`</tag>` inside
+    * them is data — their bytes still land in the emitted snippet
+    * when they sit inside a record, where Spark's XML reader handles
+    * them for real). Element TEXT containing a literal `<tag` or
+    * `</tag>` remains the documented limitation (that spelling is
+    * not well-formed XML — `<` in text must be `&lt;`). */
   private[sources] def xmlRecords(body: String, tag: String): Seq[String] = {
     val out = Seq.newBuilder[String]
     val open = s"<$tag"
@@ -422,7 +427,15 @@ object Http {
     var start = -1
     var depth = 0
     while (i < body.length) {
-      if (body.startsWith(open, i) &&
+      if (body.startsWith("<!--", i)) {
+        // comment: opaque to the tag scan; unterminated → rest is comment
+        val e = body.indexOf("-->", i + 4)
+        i = if (e >= 0) e + 3 else body.length
+      } else if (body.startsWith("<![CDATA[", i)) {
+        // CDATA: opaque to the tag scan; unterminated → rest is data
+        val e = body.indexOf("]]>", i + 9)
+        i = if (e >= 0) e + 3 else body.length
+      } else if (body.startsWith(open, i) &&
           (i + open.length >= body.length ||
             " \t\r\n>/".indexOf(body.charAt(i + open.length)) >= 0)) {
         if (depth == 0) start = i

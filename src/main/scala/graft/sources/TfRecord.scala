@@ -393,6 +393,52 @@ object TfRecord {
     }
   }
 
+  /** Write a shuffled-sharded sequence set
+    * ([[graft.ops.Packing.assignShuffledShards]]'s shape: a dense
+    * `shard_id` 0..nShards−1 plus a unique `rank`) as its training
+    * FILE layout: exactly ONE `part-NNNNN.tfrecord[.gz]` per shard
+    * (file NNNNN = shard NNNNN), rows in rank order within the file —
+    * the bijection a dataloader's `shard(i) = file(i)` contract needs.
+    *
+    * Hash repartitioning cannot guarantee that bijection (two shard
+    * ids may fold into one task, leaving other files empty), so rows
+    * are routed by a DIRECT partitioner on `shard_id` with the rank
+    * sort folded into the same shuffle
+    * (`repartitionAndSortWithinPartitions` — one exchange, no second
+    * sort pass). `nShards` = max(shard_id)+1: one bounded scalar
+    * action, and the cap below keeps a mis-assigned shard column from
+    * provisioning millions of reducers. */
+  def writeShardFiles(df: DataFrame, dir: String, gzip: Boolean = false): Unit = {
+    require(df.columns.contains("shard_id") && df.columns.contains("rank"),
+      "writeShardFiles expects assignShuffledShards output (shard_id, rank columns)")
+    val maxRow = df.agg(org.apache.spark.sql.functions.max(
+      org.apache.spark.sql.functions.col("shard_id")).cast("long")).head()
+    if (maxRow.isNullAt(0)) { write(df.repartition(1), dir, gzip); return }
+    val nShards = maxRow.getLong(0) + 1
+    require(nShards >= 1 && nShards <= (1 << 20),
+      s"writeShardFiles: $nShards shard files — raise rowsPerShard " +
+        "(a shard per task AND per file; >1M files is a layout smell)")
+    val schema = df.schema
+    val sIdx = schema.fieldIndex("shard_id")
+    val rIdx = schema.fieldIndex("rank")
+    val keyed = df.rdd.map { r =>
+      val sid = r.get(sIdx).asInstanceOf[Number].longValue
+      val rk = r.get(rIdx).asInstanceOf[Number].longValue
+      require(sid >= 0 && sid < nShards,
+        s"writeShardFiles: shard_id $sid outside [0, $nShards)")
+      ((sid, rk), r)
+    }
+    val byShard = new org.apache.spark.Partitioner {
+      override def numPartitions: Int = nShards.toInt
+      override def getPartition(key: Any): Int =
+        key.asInstanceOf[(Long, Long)]._1.toInt
+    }
+    implicit val keyOrd: Ordering[(Long, Long)] =
+      Ordering.Tuple2(Ordering.Long, Ordering.Long)
+    val sorted = keyed.repartitionAndSortWithinPartitions(byShard).values
+    write(df.sparkSession.createDataFrame(sorted, schema), dir, gzip)
+  }
+
   /** Read TFRecord shards of tf.Example rows back into `schema` —
     * features absent from a record read as NULL; features present
     * under a mismatching kind fail typed. One FILE per task

@@ -315,15 +315,18 @@ class HttpSpec extends AnyFunSuite with BeforeAndAfterAll {
       val recs = (0 until n).map { i =>
         val attrs = if (rnd.nextBoolean()) s""" id="$i" x="y"""" else ""
         if (rnd.nextInt(5) == 0) s"<cd$attrs/>"
-        else rnd.nextInt(4) match {
+        else rnd.nextInt(6) match {
           case 0 => s"<cd$attrs><title>t$i</title></cd>"
           case 1 => s"<cd$attrs><cd><title>nested$i</title></cd></cd>"
           case 2 => s"<cd$attrs>text $i <other>x</other></cd>"
           case 3 => s"<cd$attrs><cd/><cd><cd>deep</cd></cd></cd>"
+          case 4 => s"<cd$attrs><![CDATA[ raw </cd> <cd x> $i ]]></cd>"
+          case 5 => s"<cd$attrs>a<!-- </cd> <cd>ghost</cd> -->b$i</cd>"
         }
       }
       val fillers = Seq("", "\n  ", "<!-- note -->", "<meta>m</meta>",
-        "<cdx>decoy</cdx>", "plain text")
+        "<cdx>decoy</cdx>", "plain text",
+        "<!-- <cd>ghost</cd> -->", "<![CDATA[ </cd> <cd> ]]>")
       def filler() = fillers(rnd.nextInt(fillers.length))
       val body = "<catalog>" + filler() +
         recs.map(_ + filler()).mkString + "</catalog>"
@@ -350,6 +353,25 @@ class HttpSpec extends AnyFunSuite with BeforeAndAfterAll {
       Seq("<cd><cd>n</cd ></cd\t>"))
     assert(graft.sources.Http.xmlRecords(
       "<r><cdx>decoy</cdx><cd>x</cd></r>", "cd") == Seq("<cd>x</cd>"))
+    // comments and CDATA are opaque to the tag scan: a commented-out
+    // record is not emitted, and a literal <cd>/</cd> inside either
+    // section neither opens nor closes a record — but the section's
+    // bytes stay inside the emitted snippet when within a record
+    assert(graft.sources.Http.xmlRecords(
+      "<r><!-- <cd>ghost</cd> --><cd>x</cd></r>", "cd") == Seq("<cd>x</cd>"))
+    assert(graft.sources.Http.xmlRecords(
+      "<r><cd>a<!-- </cd> -->b</cd></r>", "cd") ==
+      Seq("<cd>a<!-- </cd> -->b</cd>"))
+    assert(graft.sources.Http.xmlRecords(
+      "<r><cd><![CDATA[ </cd><cd> ]]></cd></r>", "cd") ==
+      Seq("<cd><![CDATA[ </cd><cd> ]]></cd>"))
+    // unterminated comment/CDATA: the rest of the body is the
+    // section's content — records already closed stay emitted, a
+    // record left open is dropped (never a mis-split)
+    assert(graft.sources.Http.xmlRecords(
+      "<r><cd>x</cd><!-- oops <cd>y</cd>", "cd") == Seq("<cd>x</cd>"))
+    assert(graft.sources.Http.xmlRecords(
+      "<r><cd>x</cd><![CDATA[ oops <cd>y</cd>", "cd") == Seq("<cd>x</cd>"))
   }
 
   test("getRows dispatches on response Content-Type (json/xml/csv/raw)") {

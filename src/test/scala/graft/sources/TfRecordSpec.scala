@@ -188,6 +188,41 @@ class TfRecordSpec extends AnyFunSuite {
     assert(back.sorted.toSeq == (1L to 100L))
   }
 
+  test("writeShardFiles: file NNNNN = shard NNNNN, rank order inside each file") {
+    import spark.implicits._
+    val dir = tmp("shardfiles")
+    // 23 rows over 6 shards of 4 (last partial); scrambled input order
+    // and a deliberately adversarial upstream layout (2 partitions, so
+    // several shard ids share every task before the direct partitioner)
+    val rows = scala.util.Random.shuffle(
+      (0L until 23L).map(r => (r * 37 % 97, r / 4, r)).toList)
+    val df = rows.toDF("payload", "shard_id", "rank").repartition(2)
+    TfRecord.writeShardFiles(df, dir)
+    val files = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".tfrecord")).sortBy(_.getName)
+    assert(files.length == 6, "exactly one file per shard")
+    val schema = StructType(Seq(StructField("payload", LongType),
+      StructField("shard_id", LongType), StructField("rank", LongType)))
+    files.zipWithIndex.foreach { case (f, i) =>
+      assert(f.getName == f"part-$i%05d.tfrecord")
+      val in = TfRecord.read(spark, f.getPath, schema).collect()
+      // every row in file i is shard i, in ascending rank order,
+      // exactly the ranks [4i, 4i+4) ∩ [0, 23)
+      assert(in.forall(_.getLong(1) == i.toLong))
+      val ranks = in.map(_.getLong(2)).toSeq
+      assert(ranks == (4L * i until math.min(4L * i + 4, 23L)))
+      assert(in.forall(r => r.getLong(0) == r.getLong(2) * 37 % 97))
+    }
+    // loud reject: a shard id outside [0, nShards) cannot happen from
+    // assignShuffledShards, but a hand-built frame with a negative id
+    // must fail, not silently route
+    val bad = Seq((1L, -1L, 0L), (2L, 5L, 1L)).toDF("payload", "shard_id", "rank")
+    val e = intercept[org.apache.spark.SparkException](
+      TfRecord.writeShardFiles(bad, tmp("shardbad")))
+    assert(e.getMessage.contains("shard_id") ||
+      Option(e.getCause).exists(_.getMessage.contains("shard_id")))
+  }
+
   test("cross-implementation: the stdlib-python decoder reads our bytes exactly") {
     // tools/tfrecord_check.py was written from the PUBLIC specs and
     // shares no code with the Scala encoder/decoder — a wire-format
