@@ -3540,6 +3540,42 @@ object SparkEntry {
         .orderBy("doc_id")
     },
 
+    "q_dedup_cross_embedding_exact" -> { (s, dir) =>
+      // EXACT cross-corpus SEMANTIC overlap (recall 1.0): every
+      // (corpus, catalog) embedding pair with cosine >= 0.35 across
+      // the vec_id % 5 split — the oracle arm of the five-modality
+      // catalog-dedup symmetry (text/image/audio/video/embedding).
+      // Oracle-checkable because CosineSim is bit-identical to
+      // DuckDB's sequential list fold (the q_simsearch_knn proof);
+      // threshold 0.35 sits under this corpus's ~0.51 max pairwise
+      // cosine so real hits exist on both sides of the verdict.
+      val emb = t(s, dir, "embeddings")
+      ops.Dedup.crossCorpusEmbeddingNearDupsExact(
+        emb.filter(col("vec_id") % 5 =!= 0),
+        ops.Dedup.embeddingCatalog(
+          emb.filter(col("vec_id") % 5 === 0), "vec_id", "embedding"),
+        "id", "embedding", "vec_id", "embedding", threshold = 0.35)
+        .orderBy("id1", "id2")
+    },
+
+    "q_dedup_cross_embedding" -> { (s, dir) =>
+      // the BANDED scale arm: survivors of deduping the crawl slice
+      // against the embedding catalog through sign-LSH cross-bucket
+      // candidates + exact cosine screen. Rows-only (the seeded
+      // hyperplanes have no DuckDB counterpart — the q_dedup_minhash
+      // discipline); the _exact sibling holds the arithmetic under
+      // the oracle, and RowsOnlyInvariantSpec re-verifies the banded
+      // path's verdicts independently.
+      val emb = t(s, dir, "embeddings")
+      ops.Dedup.crossCorpusEmbeddingDedup(
+        emb.filter(col("vec_id") % 5 =!= 0),
+        ops.Dedup.embeddingCatalog(
+          emb.filter(col("vec_id") % 5 === 0), "vec_id", "embedding"),
+        "id", "embedding", "vec_id", "embedding", threshold = 0.35)
+        .select("vec_id")
+        .orderBy("vec_id")
+    },
+
     "q_dedup_semantic" -> { (s, dir) =>
       // SemDeDup: kmeans-cell-bounded cosine near-dup pairs, on the
       // DEFAULT (corpus-sized quantizer) path — what a bare semDedup /
@@ -6607,6 +6643,22 @@ ORDER BY shard_id""",
         |SELECT doc_id FROM documents
         |WHERE doc_id % 10 <> 0 AND doc_id NOT IN (SELECT doc_id FROM hits)
         |ORDER BY doc_id""".stripMargin,
+
+    // the q_dedup_embedding cosine fold (bit-identical to CosineSim)
+    // crossed over the vec_id % 5 split — the semantic catalog arm
+    "q_dedup_cross_embedding_exact" ->
+      """WITH v AS (SELECT vec_id,
+        |    list_transform(embedding, x -> cast(x AS DOUBLE)) AS e FROM embeddings),
+        |cs AS (
+        |  SELECT a.vec_id AS id1, b.vec_id AS id2,
+        |    list_sum(list_transform(range(1, len(a.e) + 1), i -> a.e[i] * b.e[i])) /
+        |      (sqrt(list_sum(list_transform(range(1, len(a.e) + 1), i -> a.e[i] * a.e[i]))) *
+        |       sqrt(list_sum(list_transform(range(1, len(b.e) + 1), i -> b.e[i] * b.e[i])))) AS cosine
+        |  FROM v a, v b
+        |  WHERE a.vec_id % 5 <> 0 AND b.vec_id % 5 = 0)
+        |SELECT id1, id2, cosine FROM cs
+        |WHERE cosine >= 0.35
+        |ORDER BY id1, id2""".stripMargin,
 
     // the same regex pattern STRINGS the Spark side uses (interpolated
     // from UrlOps — one source of truth); only the replacement syntax

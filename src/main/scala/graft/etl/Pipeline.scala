@@ -1402,6 +1402,20 @@ final class Pipeline private (
       graft.ops.Dedup.crossCorpusVideoDedup(_, catalog, catalogIdCol,
         catalogSigCol, idCol, mp4Col, nBits, bands, maxHamming, maxBucket)))
 
+  /** Drop rows whose EMBEDDING near-duplicates any entry of a
+    * persisted [[graft.ops.Dedup.embeddingCatalog]]
+    * ([[graft.ops.Dedup.crossCorpusEmbeddingDedup]] — the semantic
+    * sibling of the media catalog verbs: "is this document already in
+    * the shipped training set, in meaning if not in bytes"). */
+  def dedupEmbeddingsAgainst(
+      catalog: DataFrame, catalogIdCol: String, catalogVecCol: String,
+      idCol: String, vecCol: String,
+      threshold: Double = 0.95, exact: Boolean = false,
+      maxBucket: Int = 200): Pipeline =
+    add(MapStep("dedupEmbeddingsAgainst",
+      graft.ops.Dedup.crossCorpusEmbeddingDedup(_, catalog, catalogIdCol,
+        catalogVecCol, idCol, vecCol, threshold, exact, maxBucket)))
+
   /** Drop rows whose normalized text EXACTLY appears in `reference`
     * ([[graft.ops.Dedup.exactCrossDedup]] — bloom-prefiltered
     * incremental-crawl dedup; [[dedupAgainst]] is the near-dup form). */

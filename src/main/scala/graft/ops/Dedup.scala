@@ -781,6 +781,141 @@ object Dedup {
     corpus.join(hits, Seq(idCol), "left_anti")
   }
 
+  /** Embedding catalog for a shipped training set — the EMBEDDING
+    * modality's [[imageSignatureCatalog]] sibling, closing the
+    * five-modality cross-corpus symmetry (text shingles, image dHash,
+    * audio energy, video structure, and now semantic embeddings). The
+    * embedding IS the signature here (the dense vector carries the
+    * comparison itself), so the catalog persists (id, embedding) and
+    * the banding side is re-derived at query time from the shared
+    * deterministic hyperplane seed — there is no precomputed LSH
+    * width to mismatch, only the embedding DIMENSION, which
+    * [[crossCorpusEmbeddingNearDups]] probes and enforces. */
+  def embeddingCatalog(
+      df: DataFrame, idCol: String, vecCol: String): DataFrame =
+    df.filter(col(vecCol).isNotNull)
+      .select(col(idCol).as("id"), VectorOps.asDouble(col(vecCol)).as("embedding"))
+
+  /** Merge newly-shipped embeddings into a catalog — distinct on the
+    * EMBEDDING (two payloads sharing a vector screen identically;
+    * the retained id is arbitrary provenance, as in
+    * [[updateSignatureCatalog]]). */
+  def updateEmbeddingCatalog(
+      catalog: DataFrame, additions: DataFrame,
+      vecCol: String = "embedding"): DataFrame =
+    catalog.unionByName(additions).dropDuplicates(vecCol)
+
+  /** Cross-corpus SEMANTIC near-dup pairs: the new crawl's embeddings
+    * sign-LSH-banded against a persisted [[embeddingCatalog]] —
+    * "is this document semantically already in the shipped training
+    * set" (the SemDeDup question asked across corpora). Candidates
+    * come from CROSS-side bucket collisions only
+    * ([[LshBlocking.crossCandidatePairs]] — the corpus never
+    * self-joins), then exact cosine screens at `threshold`; the band
+    * plan is sized from the COMBINED population ([[VectorOps.lshPlan]]
+    * — the corpus-sized-quantizer discipline; fixed banding saturates
+    * once either side outgrows it) and both sides hash through the
+    * SAME seeded hyperplanes, so a pair's collision depends only on
+    * the vectors. Embedding dimensions are probed on both sides and a
+    * mismatch fails loudly — a catalog embedded by a DIFFERENT model
+    * would bucket to noise and silently report zero overlap, the worst
+    * possible answer for a contamination screen.
+    * Output: (id1 = corpus, id2 = catalog, cosine >= threshold);
+    * values exact, recall approximate (the LSH trade) —
+    * [[crossCorpusEmbeddingNearDupsExact]] is the recall-1.0 arm. */
+  def crossCorpusEmbeddingNearDups(
+      corpus: DataFrame, catalog: DataFrame,
+      catalogIdCol: String, catalogVecCol: String,
+      idCol: String, vecCol: String,
+      threshold: Double = 0.95, targetBucket: Int = 64,
+      recall: Double = 0.9, maxBands: Int = 50,
+      maxBucket: Int = 200, seed: Long = 42L): DataFrame = {
+    val emptyOut = corpus.select(col(idCol).as("id1"), col(idCol).as("id2"),
+      lit(0.0).as("cosine")).where(lit(false))
+    // prune to the two read columns and pin across the dim probe, the
+    // planning counts, and the signature pass (the lshNeighborsAuto
+    // one-upstream-execution discipline, applied to both sides)
+    val pa = corpus.select(col(idCol), col(vecCol))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val pb = catalog.select(col(catalogIdCol), col(catalogVecCol))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      def dim(df: DataFrame, c: String): Option[Int] =
+        df.select(size(col(c)).as("__d__")).filter(col("__d__").isNotNull)
+          .head(1).headOption.map(_.getInt(0))
+      val da = dim(pa, vecCol)
+      val db = dim(pb, catalogVecCol)
+      if (da.isEmpty || db.isEmpty) return emptyOut
+      require(da == db,
+        s"crossCorpusEmbeddingNearDups: corpus embeddings have dim " +
+          s"${da.get} but the catalog has dim ${db.get} — the catalog " +
+          "must be built with the same embedding model")
+      val n = pa.filter(col(vecCol).isNotNull).count() +
+        pb.filter(col(catalogVecCol).isNotNull).count()
+      val (nPlanes, rowsPerBand) =
+        VectorOps.lshPlan(n, threshold, targetBucket, recall, maxBands)
+      val planes = VectorOps.hyperplanes(nPlanes, da.get, seed)
+      LshBlocking.crossCandidatePairs(
+        VectorOps.lshSignatures(pa, idCol, vecCol, planes),
+        VectorOps.lshSignatures(pb, catalogIdCol, catalogVecCol, planes),
+        nPlanes / rowsPerBand, rowsPerBand, maxBucket,
+        screen = _.withColumn("cosine", VectorOps.cosine(col("p1"), col("p2")))
+          .filter(col("cosine") >= threshold)
+          .select(col("id1"), col("id2"), col("cosine")),
+        payload = Some("__v__"))
+    } finally {
+      pa.unpersist(blocking = false)
+      pb.unpersist(blocking = false)
+    }
+  }
+
+  /** EXACT cross-corpus semantic near-dup pairs: every
+    * (corpus id1, catalog id2) with cosine >= `threshold` — recall 1.0
+    * by definition, the oracle/verifier arm of
+    * [[crossCorpusEmbeddingNearDups]]. All-pairs across the two sides,
+    * so the CATALOG side must be bounded (it is broadcast); the corpus
+    * side streams, spread by key so a single-file input never runs the
+    * cosine loop in one task. */
+  def crossCorpusEmbeddingNearDupsExact(
+      corpus: DataFrame, catalog: DataFrame,
+      catalogIdCol: String, catalogVecCol: String,
+      idCol: String, vecCol: String,
+      threshold: Double): DataFrame = {
+    val stream = spreadByKey(
+      corpus.select(col(idCol), VectorOps.asDouble(col(vecCol)).as("__v__")),
+      idCol, "__v__")
+      .select(col("__id__").as("id1"), col("__t__").as("__v1__"))
+    val build = broadcast(catalog.select(col(catalogIdCol).as("id2"),
+      VectorOps.asDouble(col(catalogVecCol)).as("__v2__")))
+    stream.crossJoin(build)
+      .withColumn("cosine", VectorOps.cosine(col("__v1__"), col("__v2__")))
+      .filter(col("cosine") >= threshold)
+      .select(col("id1"), col("id2"), col("cosine"))
+  }
+
+  /** Drop every corpus row whose embedding near-duplicates ANY catalog
+    * entry — [[crossCorpusImageDedup]]'s semantic sibling: one
+    * anti-join on the distinct hit ids; rows with NULL embeddings pass
+    * through (no vector, no verdict). `exact = true` uses the
+    * recall-1.0 all-pairs arm (bounded catalogs / verification);
+    * the default is the banded scale path. */
+  def crossCorpusEmbeddingDedup(
+      corpus: DataFrame, catalog: DataFrame,
+      catalogIdCol: String, catalogVecCol: String,
+      idCol: String, vecCol: String,
+      threshold: Double = 0.95, exact: Boolean = false,
+      maxBucket: Int = 200): DataFrame = {
+    val hits =
+      (if (exact)
+        crossCorpusEmbeddingNearDupsExact(corpus, catalog, catalogIdCol,
+          catalogVecCol, idCol, vecCol, threshold)
+      else
+        crossCorpusEmbeddingNearDups(corpus, catalog, catalogIdCol,
+          catalogVecCol, idCol, vecCol, threshold, maxBucket = maxBucket))
+        .select(col("id1").as(idCol)).distinct()
+    corpus.join(hits, Seq(idCol), "left_anti")
+  }
+
   /** SimHash signature under an md5-parity per-(token, bit) hash — the
     * CROSS-ENGINE-REPLICABLE hash family: any engine with md5 (DuckDB,
     * Trino, Postgres) recomputes the identical signature from text, so

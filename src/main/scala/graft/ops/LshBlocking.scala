@@ -172,12 +172,14 @@ object LshBlocking {
     * [[candidatePairs]]; id1 is always the `a` side. */
   def crossCandidatePairs(
       a: DataFrame, b: DataFrame, bands: Int, rowsPerBand: Int,
-      maxBucket: Int, screen: DataFrame => DataFrame = identity): DataFrame = {
+      maxBucket: Int, screen: DataFrame => DataFrame = identity,
+      payload: Option[String] = None): DataFrame = {
+    val carry = payload.getOrElse("__sig__")
     val sa = a.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sb = b.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      val ba = bandRows(sa, bands, rowsPerBand, "__sig__")
-      val bb = bandRows(sb, bands, rowsPerBand, "__sig__")
+      val ba = bandRows(sa, bands, rowsPerBand, carry)
+      val bb = bandRows(sb, bands, rowsPerBand, carry)
       // one aggregate over the tagged union yields both side counts:
       // total n and b-side count nb (sum of the 0/1 tag) — keep only
       // buckets with members on BOTH sides, under the combined cap

@@ -190,4 +190,39 @@ class RowsOnlyInvariantSpec extends AnyFunSuite {
       assert(key.sameElements(key.sorted), s"query $q ranks out of score order")
     }
   }
+
+  test("q_dedup_cross_embedding: banded survivors between exact survivors and corpus; drops are true hits") {
+    // the banded catalog dedup's precision is exact BY CONSTRUCTION
+    // (exact cosine decides every candidate), so every DROPPED id must
+    // be a genuine exact hit (dropped ⊆ exact-dropped, equivalently
+    // exact-survivors ⊆ banded-survivors); recall ≥ floor bounds the
+    // missed-pair tax the same way the lshNeighborsAuto arm does
+    val all = Tables.load(spark, dir, "embeddings")
+    val corpus = all.filter(col("vec_id") % 5 =!= 0)
+    val catalog = ops.Dedup.embeddingCatalog(
+      all.filter(col("vec_id") % 5 === 0), "vec_id", "embedding")
+    val banded = SparkEntry.queries("q_dedup_cross_embedding")(spark, dir)
+      .collect().map(_.getLong(0)).toSet
+    val exactSurvivors = ops.Dedup.crossCorpusEmbeddingDedup(
+      corpus, catalog, "id", "embedding", "vec_id", "embedding",
+      threshold = 0.35, exact = true)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val corpusIds = corpus.select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(exactSurvivors.subsetOf(banded),
+      s"banded dropped non-hits: ${(exactSurvivors -- banded).take(5)}")
+    assert(banded.subsetOf(corpusIds))
+    val exactDropped = corpusIds.size - exactSurvivors.size
+    val bandedDropped = corpusIds.size - banded.size
+    assert(exactDropped > 0, "fixture has no cross hits — gate proves nothing")
+    val recall = bandedDropped.toDouble / exactDropped
+    assert(recall >= 0.6, f"cross-catalog recall $recall%.3f < 0.6 floor " +
+      s"($bandedDropped of $exactDropped exact-dropped ids)")
+    // dimension mismatch fails loudly, never silently reports no overlap
+    val skinny = catalog.select(col("id"),
+      slice(col("embedding"), 1, 3).as("embedding"))
+    val e = intercept[IllegalArgumentException](
+      ops.Dedup.crossCorpusEmbeddingNearDups(
+        corpus, skinny, "id", "embedding", "vec_id", "embedding", 0.35))
+    assert(e.getMessage.contains("dim"))
+  }
 }
