@@ -3576,6 +3576,29 @@ object SparkEntry {
         .orderBy("vec_id")
     },
 
+    "q_dedup_catalog_embedding" -> { (s, dir) =>
+      // the incremental SEMANTIC-catalog loop under the oracle
+      // (q_dedup_catalog_image's embedding sibling): batch 1
+      // (vec_id % 3 == 0) ships and seeds the embedding catalog;
+      // batch 2 dedups against it on the EXACT arm (recall 1.0 — the
+      // oracle-able path; the banded arm is q_dedup_cross_embedding's
+      // job) and only its SURVIVORS' embeddings merge back in
+      // (updateEmbeddingCatalog). Output is the merged catalog's id
+      // set — DuckDB recomputes every cosine verdict and the union
+      // independently, so drift in EITHER half of the loop breaks
+      // the hash.
+      val emb = t(s, dir, "embeddings")
+      val cat1 = ops.Dedup.embeddingCatalog(
+        emb.filter(col("vec_id") % 3 === 0), "vec_id", "embedding")
+      val kept2 = ops.Dedup.crossCorpusEmbeddingDedup(
+        emb.filter(col("vec_id") % 3 =!= 0), cat1, "id", "embedding",
+        "vec_id", "embedding", threshold = 0.35, exact = true)
+      ops.Dedup.updateEmbeddingCatalog(cat1,
+        ops.Dedup.embeddingCatalog(kept2, "vec_id", "embedding"))
+        .select(col("id").as("catalog_id"))
+        .orderBy("catalog_id")
+    },
+
     "q_dedup_semantic" -> { (s, dir) =>
       // SemDeDup: kmeans-cell-bounded cosine near-dup pairs, on the
       // DEFAULT (corpus-sized quantizer) path — what a bare semDedup /
@@ -6659,6 +6682,22 @@ ORDER BY shard_id""",
         |SELECT id1, id2, cosine FROM cs
         |WHERE cosine >= 0.35
         |ORDER BY id1, id2""".stripMargin,
+
+    // the incremental semantic-catalog loop replayed: batch-1 ids
+    // union the batch-2 survivors of the exact cosine screen
+    "q_dedup_catalog_embedding" ->
+      """WITH v AS (SELECT vec_id,
+        |    list_transform(embedding, x -> cast(x AS DOUBLE)) AS e FROM embeddings),
+        |hits AS (
+        |  SELECT DISTINCT a.vec_id FROM v a, v b
+        |  WHERE a.vec_id % 3 <> 0 AND b.vec_id % 3 = 0
+        |    AND list_sum(list_transform(range(1, len(a.e) + 1), i -> a.e[i] * b.e[i])) /
+        |      (sqrt(list_sum(list_transform(range(1, len(a.e) + 1), i -> a.e[i] * a.e[i]))) *
+        |       sqrt(list_sum(list_transform(range(1, len(b.e) + 1), i -> b.e[i] * b.e[i])))) >= 0.35)
+        |SELECT vec_id AS catalog_id FROM embeddings
+        |WHERE vec_id % 3 = 0
+        |   OR (vec_id % 3 <> 0 AND vec_id NOT IN (SELECT vec_id FROM hits))
+        |ORDER BY catalog_id""".stripMargin,
 
     // the same regex pattern STRINGS the Spark side uses (interpolated
     // from UrlOps — one source of truth); only the replacement syntax
