@@ -2500,6 +2500,46 @@ object SparkEntry {
         .orderBy("doc_id")
     },
 
+    "q_c4_clean" -> { (s, dir) =>
+      // C4 cleanup (Raffel et al. 2020 §2.2) under the hash: both
+      // engines synthesize the same multi-line page per doc (4-8 lines
+      // rotating through 8 kinds keyed by doc_id: survivor, short,
+      // no-terminal, ellipsis, javascript, privacy-policy, quote-
+      // terminal survivor, question survivor — plus lorem-ipsum / '{'
+      // page markers on the %17 / %19 docs), then replay line
+      // verdicts, the page rebuild, and all three page-level drops
+      // independently. Kind rotation means different docs lose
+      // different survivor kinds, so the >=3-sentences arm fires on
+      // real mixed verdicts, not one constant.
+      val nl = (col("doc_id") % 5 + 4).cast("int")
+      def base(i: Column) = col("text").substr(i * 7 + 1, lit(40))
+      val fixture = concat(
+        array_join(transform(sequence(lit(0), nl - 1), i => {
+          val kind = pmod(col("doc_id") + i, lit(8L))
+          when(kind === 0, concat(base(i), lit(" alpha beta gamma one.")))
+            .when(kind === 1, lit("two words."))
+            .when(kind === 2, concat(base(i), lit(" alpha beta gamma one")))
+            .when(kind === 3, concat(base(i), lit(" alpha beta gamma one...")))
+            .when(kind === 4, concat(base(i), lit(" javascript alert needed here.")))
+            .when(kind === 5, concat(base(i), lit(" our privacy policy applies here.")))
+            .when(kind === 6, concat(base(i), lit(" alpha beta gamma said done.\"")))
+            .otherwise(concat(base(i), lit(" alpha beta gamma right?")))
+        }), "\n"),
+        when(col("doc_id") % 17 === 0, lit("\nsee lorem ipsum note."))
+          .otherwise(lit("")),
+        when(col("doc_id") % 19 === 0, lit("\ncode { block."))
+          .otherwise(lit("")))
+      val docs = t(s, dir, "documents").filter(col("text").isNotNull)
+        .select(col("doc_id"), fixture.as("text"))
+      ops.TextOps.c4Clean(docs, "doc_id", "text",
+        minWords = 5, minSentences = 3)
+        .select(col("doc_id"), md5(col("text")).as("clean_md5"),
+          size(split(col("text"), "\n", -1)).as("n_lines"),
+          size(regexp_extract_all(col("text"), lit("[.!?]"), lit(0)))
+            .as("n_sentences"))
+        .orderBy("doc_id")
+    },
+
     "q_chunk" -> { (s, dir) =>
       // token-budget chunking with overlap (context-window prep):
       // chunk i covers normalized tokens [i*48, i*48+64)
@@ -5958,6 +5998,47 @@ ORDER BY doc_id"""
         |       ELSE md5(coalesce(r.t, '')) END AS clean_md5
         |FROM aug a LEFT JOIN rebuilt r USING (doc_id)
         |ORDER BY a.doc_id""".stripMargin,
+
+    // the C4 fixture + every line/page verdict replayed independently
+    "q_c4_clean" ->
+      """WITH fx AS (
+        |  SELECT doc_id,
+        |    array_to_string(list_transform(range(0, doc_id % 5 + 4), i ->
+        |      CASE cast((doc_id + i) % 8 AS INTEGER)
+        |        WHEN 0 THEN substr(text, i*7+1, 40) || ' alpha beta gamma one.'
+        |        WHEN 1 THEN 'two words.'
+        |        WHEN 2 THEN substr(text, i*7+1, 40) || ' alpha beta gamma one'
+        |        WHEN 3 THEN substr(text, i*7+1, 40) || ' alpha beta gamma one...'
+        |        WHEN 4 THEN substr(text, i*7+1, 40) || ' javascript alert needed here.'
+        |        WHEN 5 THEN substr(text, i*7+1, 40) || ' our privacy policy applies here.'
+        |        WHEN 6 THEN substr(text, i*7+1, 40) || ' alpha beta gamma said done."'
+        |        ELSE substr(text, i*7+1, 40) || ' alpha beta gamma right?'
+        |      END), chr(10))
+        |    || CASE WHEN doc_id % 17 = 0 THEN chr(10) || 'see lorem ipsum note.' ELSE '' END
+        |    || CASE WHEN doc_id % 19 = 0 THEN chr(10) || 'code { block.' ELSE '' END AS text
+        |  FROM documents WHERE text IS NOT NULL),
+        |clean AS (
+        |  SELECT doc_id, text,
+        |    array_to_string(list_filter(string_split(text, chr(10)), l ->
+        |      regexp_matches(trim(l), '[.!?"]$')
+        |      AND NOT regexp_matches(trim(l), '\.\.\.$')
+        |      AND len(regexp_split_to_array(trim(l), '\s+')) >= 5
+        |      AND NOT contains(lower(trim(l)), 'javascript')
+        |      AND NOT contains(lower(trim(l)), 'terms of use')
+        |      AND NOT contains(lower(trim(l)), 'privacy policy')
+        |      AND NOT contains(lower(trim(l)), 'cookie policy')
+        |      AND NOT contains(lower(trim(l)), 'uses cookies')
+        |      AND NOT contains(lower(trim(l)), 'use of cookies')
+        |      AND NOT contains(lower(trim(l)), 'use cookies')), chr(10)) AS ctext
+        |  FROM fx)
+        |SELECT doc_id, md5(ctext) AS clean_md5,
+        |  cast(len(string_split(ctext, chr(10))) AS INTEGER) AS n_lines,
+        |  cast(len(regexp_extract_all(ctext, '[.!?]')) AS INTEGER) AS n_sentences
+        |FROM clean
+        |WHERE NOT contains(lower(text), 'lorem ipsum')
+        |  AND NOT contains(text, '{')
+        |  AND len(regexp_extract_all(ctext, '[.!?]')) >= 3
+        |ORDER BY doc_id""".stripMargin,
 
     // chunk i = tokens[i*48+1 : i*48+64] (1-based inclusive slice =
     // Spark's slice(tk, i*48+1, 64)); nChunks folds ceil into one

@@ -1440,6 +1440,17 @@ final class Pipeline private (
           minWords = minWords, minStopwordHits = minStopwordHits))
         .drop("__g__")))
 
+  /** C4-style page+line cleanup ([[graft.ops.TextOps.c4Clean]] —
+    * Raffel et al. 2020 §2.2: terminal-punctuation/short/boilerplate
+    * lines dropped, the page rebuilt, then lorem-ipsum / `{` /
+    * too-few-sentences pages dropped whole). Rewrites `textCol` in
+    * place; pages that fail drop from the pipeline. */
+  def cleanC4(
+      idCol: String, textCol: String,
+      minWords: Int = 5, minSentences: Int = 3): Pipeline =
+    add(MapStep("cleanC4",
+      graft.ops.TextOps.c4Clean(_, idCol, textCol, minWords, minSentences)))
+
   /** SemDeDup-style semantic near-dedup over an embedding column
     * ([[graft.ops.Dedup.semDedup]] — kmeans cells bound the pairwise
     * cosine work; corpus-sized quantizer, the scale-safe default —

@@ -346,6 +346,66 @@ object TextOps {
       .drop("__bid__", "__clean__")
   }
 
+  /** The C4 policy-boilerplate substrings (Raffel et al. 2020, the
+    * tensorflow_datasets c4_utils constants): a line mentioning any of
+    * these is cookie/policy chrome, not content. */
+  val c4PolicySubstrings: Seq[String] = Seq(
+    "terms of use", "privacy policy", "cookie policy",
+    "uses cookies", "use of cookies", "use cookies")
+
+  /** C4's per-LINE keep verdict (Raffel et al. 2020 §2.2): the line
+    * (trimmed) must end in a terminal mark (`. ! ? "`), must NOT end
+    * in an ellipsis, must carry at least `minWords` whitespace words,
+    * and must mention neither "javascript" nor any
+    * [[c4PolicySubstrings]] entry (case-insensitive). Pure codegen'd
+    * string ops — engine-portable (the oracle replays it verbatim). */
+  def c4KeepLine(l: Column, minWords: Int = 5): Column = once(trim(l)) { t =>
+    once(lower(t)) { low =>
+      t.rlike("[.!?\"]$") && !t.rlike("\\.\\.\\.$") &&
+        (size(split(t, "\\s+")) >= minWords) &&
+        !low.contains("javascript") &&
+        c4PolicySubstrings.map(p => !low.contains(p)).reduce(_ && _)
+    }
+  }
+
+  /** C4 page+line cleanup (Raffel et al. 2020 §2.2): lines failing
+    * [[c4KeepLine]] are dropped and the page rebuilt from the
+    * survivors in order; then the PAGE itself is dropped when its
+    * ORIGINAL text mentions "lorem ipsum" or contains `{` (code, not
+    * prose), or when the cleaned text keeps fewer than `minSentences`
+    * sentences — C4 counts nltk sentences; this counts terminal marks
+    * (`[.!?]`) in the cleaned text, a documented deviation that needs
+    * no model file and replays in any SQL engine. NULL-text pages
+    * drop (no sentences).
+    *
+    * Scale shape: the line verdicts are codegen'd predicates under a
+    * posexplode (no interpreted higher-order filter in the hot path —
+    * the WordNgramHashes lesson), and the rebuild is ONE hash
+    * aggregation on the id; page predicates are a plain filter. */
+  def c4Clean(
+      df: org.apache.spark.sql.DataFrame, idCol: String, textCol: String,
+      minWords: Int = 5, minSentences: Int = 3): org.apache.spark.sql.DataFrame = {
+    Seq("__cid__", "__pos__", "__line__", "__clean__").foreach(c =>
+      require(!df.columns.contains(c), s"input already has a column named $c"))
+    val lines = df
+      .select(col(idCol).as("__cid__"),
+        posexplode(split(col(textCol), "\n", -1)).as(Seq("__pos__", "__line__")))
+      .filter(c4KeepLine(col("__line__"), minWords))
+    val rebuilt = lines.groupBy("__cid__")
+      .agg(concat_ws("\n",
+        transform(array_sort(collect_list(struct(col("__pos__"), col("__line__")))),
+          s => s.getField("__line__"))).as("__clean__"))
+    df.join(rebuilt, col(idCol) === col("__cid__"), "left")
+      .withColumn("__clean__", coalesce(col("__clean__"), lit("")))
+      .filter(
+        !lower(col(textCol)).contains("lorem ipsum") &&
+          !col(textCol).contains("{") &&
+          size(regexp_extract_all(col("__clean__"), lit("[.!?]"), lit(0)))
+            >= minSentences)
+      .withColumn(textCol, col("__clean__"))
+      .drop("__cid__", "__clean__")
+  }
+
   /** Token-budget document chunking (context-window preprocessing):
     * split each document into chunks of at most `maxTokens` whitespace
     * tokens of the normalized text, consecutive chunks sharing

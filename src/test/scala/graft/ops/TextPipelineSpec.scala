@@ -167,4 +167,51 @@ class TextPipelineSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](
       TextOps.chunkDocuments(docs, "doc_id", "text", maxTokens = 10, overlap = 10))
   }
+
+  test("c4Clean: each published line rule trips on its designed offender") {
+    // one page per rule, each with three guaranteed-good lines so the
+    // page itself survives and ONLY the offender line vanishes
+    val good = "one two three four five six."
+    def page(offender: String) = s"$good\n$offender\n$good\n$good"
+    val docs = Seq(
+      (0L, page("too short.")),                          // < 5 words
+      (1L, page("one two three four five no mark")),     // no terminal
+      (2L, page("one two three four five six...")),      // ellipsis
+      (3L, page("enable JavaScript one two three four.")), // javascript (ci)
+      (4L, page("read our Cookie Policy one two three.")), // policy (ci)
+      (5L, page("one two three four five seven?")),      // survivor: ?
+      (6L, page("one two three said \"quoted words.\"")) // survivor: quote
+    ).toDF("doc_id", "text")
+    val out = TextOps.c4Clean(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out.keySet == Set(0L, 1L, 2L, 3L, 4L, 5L, 6L))
+    (0L to 4L).foreach(d =>
+      assert(out(d) == s"$good\n$good\n$good", s"doc $d kept its offender"))
+    assert(out(5L).split("\n").length == 4 &&
+      out(5L).contains("seven?"))
+    assert(out(6L).split("\n").length == 4)
+  }
+
+  test("c4Clean: page-level drops — lorem ipsum, braces, too few sentences, NULL") {
+    val good = "one two three four five six."
+    val docs = Seq(
+      (0L, s"$good\n$good\n$good"),                      // survives (3 sentences)
+      (1L, s"$good\n$good"),                             // dies: 2 sentences
+      (2L, s"$good\n$good\n$good\nsee Lorem Ipsum here."), // dies: lorem ipsum
+      (3L, s"$good\n$good\n$good\nvar x = { a: 1 }"),    // dies: brace
+      (4L, null.asInstanceOf[String])                    // dies: NULL text
+    ).toDF("doc_id", "text")
+    val kept = TextOps.c4Clean(docs, "doc_id", "text")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(0L))
+    // minSentences is a knob: at 2 the two-line page survives
+    val kept2 = TextOps.c4Clean(docs, "doc_id", "text", minSentences = 2)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept2 == Set(0L, 1L))
+    // other columns pass through untouched
+    val wide = Seq((0L, s"$good\n$good\n$good", "keep-me"))
+      .toDF("doc_id", "text", "tag")
+    val w = TextOps.c4Clean(wide, "doc_id", "text").collect()(0)
+    assert(w.getAs[String]("tag") == "keep-me")
+  }
 }
