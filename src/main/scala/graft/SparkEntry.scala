@@ -360,6 +360,32 @@ object SparkEntry {
         .orderBy("fingerprint")
     },
 
+    "q_stream_embedding" -> { (s, dir) =>
+      // streaming cross-corpus SEMANTIC screen end-to-end under the
+      // oracle: embeddings as a bounded file stream, each arrival
+      // scored per-row against the broadcast catalog (vec_id % 5 == 0
+      // slice) by the STATELESS codegen'd screen — no join, no state
+      // store — on the EXACT arm (every member a candidate, recall
+      // 1.0), so both the survivor set and each survivor's max
+      // catalog cosine replay as DuckDB's sequential list fold.
+      val batch = Tables.load(s, dir, "embeddings")
+      val schema = batch.schema
+      val catBc = ops.Dedup.broadcastEmbeddingScreen(
+        batch.filter(col("vec_id") % 5 === 0), "vec_id", "embedding",
+        banded = false)
+      def stream = s.readStream.schema(schema)
+        .parquet(s"$dir/embeddings*.parquet")
+      val survivors = graft.streaming.Streams.dedupEmbeddingsAgainst(
+        stream.filter(col("vec_id") % 5 =!= 0 && col("embedding").isNotNull),
+        "embedding", catBc, threshold = 0.35)
+        .withColumn("max_catalog_cosine",
+          graft.functions.screenExprs.max_catalog_cosine(
+            ops.VectorOps.asDouble(col("embedding")), catBc))
+      graft.streaming.Streams.runBounded(survivors)
+        .select(col("vec_id"), col("max_catalog_cosine"))
+        .orderBy("vec_id")
+    },
+
     "q_stream_gapsessions" -> { (s, dir) =>
       // the CUSTOM-STATE session op (Streams.gapSessions,
       // flatMapGroupsWithState with event-time timeout — the
@@ -6763,6 +6789,25 @@ ORDER BY shard_id""",
         |SELECT id1, id2, cosine FROM cs
         |WHERE cosine >= 0.35
         |ORDER BY id1, id2""".stripMargin,
+
+    // the streaming screen's exact arm: per-survivor max catalog
+    // cosine over the vec_id % 5 split, survivors strictly under the
+    // threshold
+    "q_stream_embedding" ->
+      """WITH v AS (SELECT vec_id,
+        |    list_transform(embedding, x -> cast(x AS DOUBLE)) AS e FROM embeddings),
+        |mx AS (
+        |  SELECT a.vec_id,
+        |    max(list_sum(list_transform(range(1, len(a.e) + 1), i -> a.e[i] * b.e[i])) /
+        |      (sqrt(list_sum(list_transform(range(1, len(a.e) + 1), i -> a.e[i] * a.e[i]))) *
+        |       sqrt(list_sum(list_transform(range(1, len(b.e) + 1), i -> b.e[i] * b.e[i])))))
+        |      AS max_catalog_cosine
+        |  FROM v a, v b
+        |  WHERE a.vec_id % 5 <> 0 AND b.vec_id % 5 = 0
+        |  GROUP BY a.vec_id)
+        |SELECT vec_id, max_catalog_cosine FROM mx
+        |WHERE max_catalog_cosine < 0.35
+        |ORDER BY vec_id""".stripMargin,
 
     // the incremental semantic-catalog loop replayed: batch-1 ids
     // union the batch-2 survivors of the exact cosine screen

@@ -916,6 +916,137 @@ object Dedup {
     corpus.join(hits, Seq(idCol), "left_anti")
   }
 
+  /** Collect a bounded embedding catalog into a broadcast
+    * [[graft.functions.ScreenCatalog]] — the STATELESS form of
+    * cross-corpus embedding dedup (the [[graft.ops.LmScore]]
+    * discipline: the catalog is the model-sized side by design, the
+    * 100 TB side is the SCREENED corpus). With the catalog on every
+    * executor the screen is a per-row codegen'd expression — no join,
+    * no shuffle, no state — so the SAME filter runs on a batch corpus
+    * and on a structured stream unchanged
+    * ([[graft.streaming.Streams.dedupEmbeddingsAgainst]]).
+    *
+    * `banded = true` (default) pre-buckets members by sign-LSH band
+    * keys sized from the catalog ([[VectorOps.lshPlan]] at
+    * `threshold`): a probe cosines only colliding buckets' members —
+    * approximate recall (the LSH trade), exact verdict values.
+    * `banded = false` cosines every member per probe: recall 1.0, the
+    * oracle/verifier arm — per-probe cost nMembers·dim, so keep it
+    * for bounded catalogs or gate queries. Fails loudly past
+    * `maxEntries` — that is not a broadcastable catalog; use the
+    * join-based [[crossCorpusEmbeddingNearDups]] instead. */
+  def broadcastEmbeddingScreen(
+      catalog: DataFrame, idCol: String, vecCol: String,
+      threshold: Double = 0.95, banded: Boolean = true,
+      targetBucket: Int = 64, recall: Double = 0.9, maxBands: Int = 50,
+      maxEntries: Int = 1000000, seed: Long = 42L)
+      : org.apache.spark.broadcast.Broadcast[graft.functions.ScreenCatalog] = {
+    val spark = catalog.sparkSession
+    val pruned = catalog.select(VectorOps.asDouble(col(vecCol)).as("__v__"))
+      .filter(col("__v__").isNotNull)
+    val dimRow = pruned.select(size(col("__v__")).as("__d__")).head(1)
+    val dim = dimRow.headOption.map(_.getInt(0)).getOrElse(1)
+
+    def bounded(rows: Array[org.apache.spark.sql.Row], what: String): Unit =
+      require(rows.length <= maxEntries,
+        s"broadcastEmbeddingScreen: $what exceeds $maxEntries entries — " +
+          "not a broadcastable catalog; screen with " +
+          "crossCorpusEmbeddingNearDups (the join path) instead")
+
+    val cat =
+      if (!banded) {
+        val rows = pruned.limit(maxEntries + 1).collect()
+        bounded(rows, "catalog")
+        val vecs = new Array[Double](rows.length * dim)
+        rows.zipWithIndex.foreach { case (r, m) =>
+          val v = r.getSeq[Double](0)
+          require(v.length == dim,
+            s"broadcastEmbeddingScreen: member $m has ${v.length} dims, expected $dim")
+          var j = 0
+          while (j < dim) { vecs(m * dim + j) = v(j); j += 1 }
+        }
+        new graft.functions.ScreenCatalog(dim, rows.length, vecs,
+          0, 0, Array.empty, Array.empty, Array.empty, Array.empty)
+      } else {
+        // signatures computed DISTRIBUTED (the driver only packs keys)
+        val n = pruned.count()
+        val (nPlanes, rowsPerBand) =
+          VectorOps.lshPlan(n, threshold, targetBucket, recall, maxBands)
+        val planes = VectorOps.hyperplanes(nPlanes, dim, seed)
+        val rows = VectorOps.lshSignatures(
+          pruned.withColumn("__sid__", monotonically_increasing_id()),
+          "__sid__", "__v__", planes)
+          .select(col("__v__"), col("__sig__"))
+          .limit(maxEntries + 1).collect()
+        bounded(rows, "catalog")
+        val nMembers = rows.length
+        val vecs = new Array[Double](nMembers * dim)
+        val bits = new Array[Array[Int]](nMembers)
+        rows.zipWithIndex.foreach { case (r, m) =>
+          val v = r.getSeq[Double](0)
+          require(v.length == dim,
+            s"broadcastEmbeddingScreen: member $m has ${v.length} dims, expected $dim")
+          var j = 0
+          while (j < dim) { vecs(m * dim + j) = v(j); j += 1 }
+          bits(m) = r.getSeq[Int](1).toArray
+        }
+        val bands = nPlanes / rowsPerBand
+        val flatPlanes = new Array[Double](nPlanes * dim)
+        planes.zipWithIndex.foreach { case (p, i) =>
+          var j = 0
+          while (j < dim) { flatPlanes(i * dim + j) = p(j); j += 1 }
+        }
+        val bandKeys = new Array[Array[Long]](bands)
+        val bandStarts = new Array[Array[Int]](bands)
+        val bandMembers = new Array[Array[Int]](bands)
+        var b = 0
+        while (b < bands) {
+          // the probe's packing: the band's bits MSB-first
+          val keyed = (0 until nMembers).map { m =>
+            var key = 0L
+            var r = 0
+            while (r < rowsPerBand) {
+              key = (key << 1) | bits(m)(b * rowsPerBand + r).toLong
+              r += 1
+            }
+            (key, m)
+          }.sortBy(_._1)
+          val keys = scala.collection.mutable.ArrayBuffer.empty[Long]
+          val starts = scala.collection.mutable.ArrayBuffer.empty[Int]
+          keyed.zipWithIndex.foreach { case ((k, _), i) =>
+            if (keys.isEmpty || keys.last != k) { keys += k; starts += i }
+          }
+          starts += nMembers
+          bandKeys(b) = keys.toArray
+          bandStarts(b) = starts.toArray
+          bandMembers(b) = keyed.map(_._2).toArray
+          b += 1
+        }
+        new graft.functions.ScreenCatalog(dim, nMembers, vecs,
+          bands, rowsPerBand, flatPlanes, bandKeys, bandStarts, bandMembers)
+      }
+    spark.sparkContext.broadcast(cat)
+  }
+
+  /** Drop every row whose embedding near-duplicates ANY member of a
+    * broadcast [[graft.functions.ScreenCatalog]] — one stateless
+    * codegen'd filter (NULL-embedding rows pass through: no vector,
+    * no verdict). Batch form; the streaming form is the same call
+    * ([[graft.streaming.Streams.dedupEmbeddingsAgainst]]). */
+  def screenEmbeddings(
+      df: DataFrame, vecCol: String,
+      catalogBc: org.apache.spark.broadcast.Broadcast[graft.functions.ScreenCatalog],
+      threshold: Double): DataFrame = {
+    require(threshold > -1.0,
+      s"screenEmbeddings: threshold must be > -1, got $threshold")
+    // single expression reference; NULL (no candidate / NULL vector)
+    // coalesces BELOW any real threshold so those rows survive
+    df.filter(coalesce(
+      graft.functions.screenExprs.max_catalog_cosine(
+        VectorOps.asDouble(col(vecCol)), catalogBc),
+      lit(-2.0)) < threshold)
+  }
+
   /** SimHash signature under an md5-parity per-(token, bit) hash — the
     * CROSS-ENGINE-REPLICABLE hash family: any engine with md5 (DuckDB,
     * Trino, Postgres) recomputes the identical signature from text, so

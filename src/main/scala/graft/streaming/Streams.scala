@@ -163,6 +163,23 @@ object Streams {
       .dropDuplicatesWithinWatermark("__fp__")
       .drop("__fp__")
 
+  /** Streaming cross-corpus SEMANTIC dedup: drop every arriving row
+    * whose embedding near-duplicates ANY member of a broadcast
+    * [[graft.functions.ScreenCatalog]]
+    * ([[graft.ops.Dedup.broadcastEmbeddingScreen]]). The screen is a
+    * STATELESS codegen'd filter — no join, no state store, no
+    * watermark — so it composes anywhere in a streaming plan and its
+    * verdicts are bit-identical to the batch path
+    * ([[graft.ops.Dedup.screenEmbeddings]], which this delegates to).
+    * The catalog is bounded by design (the broadcast guard fails
+    * loudly); dedup against an UNBOUNDED reference is the batch
+    * join path's job. */
+  def dedupEmbeddingsAgainst(
+      stream: DataFrame, vecCol: String,
+      catalogBc: org.apache.spark.broadcast.Broadcast[graft.functions.ScreenCatalog],
+      threshold: Double): DataFrame =
+    graft.ops.Dedup.screenEmbeddings(stream, vecCol, catalogBc, threshold)
+
   /** One banded arrival entering [[minhashNearDupPairs]]'s state op. */
   case class BandedDoc(
       band: Int, bucket: Int, id: Long, ts: java.sql.Timestamp, sig: Seq[Long])
