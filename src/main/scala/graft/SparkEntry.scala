@@ -386,6 +386,40 @@ object SparkEntry {
         .orderBy("vec_id")
     },
 
+    "q_stream_image" -> { (s, dir) =>
+      // streaming MEDIA screen end-to-end under the oracle: documents
+      // as a bounded file stream, the q_dedup_cross_image PNG fixture
+      // synthesized per ARRIVAL, dHash computed per-row (codegen'd
+      // expression), and the broadcast signature screen deciding each
+      // arrival against the frozen catalog (doc_id % 7 == 0 slice) —
+      // no join, no state store. bands=8 > maxHamming=5 means the
+      // banded screen is verdict-exact by pigeonhole, so the stream
+      // must reproduce the BATCH cross-image survivor set: the oracle
+      // is q_dedup_cross_image's, verbatim.
+      val cid = pmod(col("doc_id"), lit(331L))
+      val png = pngFixture((x, y) =>
+        pmod((cid + 2) * (x * 13 + y * 31 + 7) + cid, lit(256L)))
+      val batch = Tables.load(s, dir, "documents")
+      val catBc = ops.Dedup.broadcastSignatureScreen(
+        ops.Dedup.imageSignatureCatalog(
+          batch.filter(col("doc_id") < 1000 && col("doc_id") % 7 === 0)
+            .select(col("doc_id"), png.as("png")),
+          "doc_id", "png"),
+        "sig", bands = 8)
+      def stream = s.readStream.schema(batch.schema)
+        .parquet(s"$dir/documents*.parquet")
+      val arrivals = stream
+        .filter(col("doc_id") < 1000 && col("doc_id") % 7 =!= 0)
+        .select(col("doc_id"),
+          graft.functions.imageExprs.png_dhash(png, 8, 8).as("sig"))
+        .filter(col("sig").isNotNull)
+      graft.streaming.Streams.runBounded(
+        graft.streaming.Streams.dedupSignaturesAgainst(
+          arrivals, "sig", catBc, maxHamming = 5))
+        .select("doc_id")
+        .orderBy("doc_id")
+    },
+
     "q_stream_gapsessions" -> { (s, dir) =>
       // the CUSTOM-STATE session op (Streams.gapSessions,
       // flatMapGroupsWithState with event-time timeout — the
@@ -4178,6 +4212,29 @@ ORDER BY seq_id"""
     * walk over doc order — whole-document packing with the per-bucket
     * (doc_id//100) restart mirrored exactly; a linear recursion over
     * the ≤300-doc slice, one step per doc. */
+  /** The cross-corpus image dedup replay (dHash recomputed
+    * arithmetically from the synthesized PNG rule, hamming<=5 verdicts
+    * as BIT xor) — shared by the batch gate (q_dedup_cross_image) and
+    * the streaming broadcast-screen gate (q_stream_image), which must
+    * reproduce the identical survivor set. */
+  private val crossImageOracle: String =
+    """WITH h AS (
+      |  SELECT doc_id,
+      |    string_agg(
+      |      CASE WHEN ((doc_id%331 + 2)*(x*13 + y*31 + 7) + doc_id%331) % 256 >
+      |                ((doc_id%331 + 2)*((x+1)*13 + y*31 + 7) + doc_id%331) % 256
+      |           THEN '1' ELSE '0' END, '' ORDER BY y, x) AS hb
+      |  FROM (SELECT doc_id FROM documents WHERE doc_id < 1000) d,
+      |    range(8) tx(x), range(8) ty(y)
+      |  GROUP BY doc_id),
+      |cat AS (SELECT DISTINCT hb FROM h WHERE doc_id % 7 = 0),
+      |corp AS (SELECT doc_id, hb FROM h WHERE doc_id % 7 <> 0),
+      |hits AS (
+      |  SELECT DISTINCT c.doc_id FROM corp c JOIN cat r
+      |  ON bit_count(xor(c.hb::BIT, r.hb::BIT)) <= 5)
+      |SELECT doc_id FROM corp ANTI JOIN hits USING (doc_id)
+      |ORDER BY doc_id""".stripMargin
+
   private val (packWholeOracle: String, packWholeSftOracle: String) = {
     def pat(l: String, r: String) = s"chr(1)||'$l'||chr(1)||'$r'||chr(1)"
     def rep(l: String, r: String) = s"chr(1)||'$l$r'||chr(1)"
@@ -6339,23 +6396,11 @@ SELECT doc_id, n_bpe FROM doctok ORDER BY doc_id""",
     // every signature re-derived from the class-id pixel rule, every
     // verdict replayed as bit_count(xor) <= 5 against the distinct
     // catalog signature set, survivors = crawl ANTI hits
-    "q_dedup_cross_image" ->
-      """WITH h AS (
-        |  SELECT doc_id,
-        |    string_agg(
-        |      CASE WHEN ((doc_id%331 + 2)*(x*13 + y*31 + 7) + doc_id%331) % 256 >
-        |                ((doc_id%331 + 2)*((x+1)*13 + y*31 + 7) + doc_id%331) % 256
-        |           THEN '1' ELSE '0' END, '' ORDER BY y, x) AS hb
-        |  FROM (SELECT doc_id FROM documents WHERE doc_id < 1000) d,
-        |    range(8) tx(x), range(8) ty(y)
-        |  GROUP BY doc_id),
-        |cat AS (SELECT DISTINCT hb FROM h WHERE doc_id % 7 = 0),
-        |corp AS (SELECT doc_id, hb FROM h WHERE doc_id % 7 <> 0),
-        |hits AS (
-        |  SELECT DISTINCT c.doc_id FROM corp c JOIN cat r
-        |  ON bit_count(xor(c.hb::BIT, r.hb::BIT)) <= 5)
-        |SELECT doc_id FROM corp ANTI JOIN hits USING (doc_id)
-        |ORDER BY doc_id""".stripMargin,
+    "q_dedup_cross_image" -> crossImageOracle,
+    // the STREAMING screen must reproduce the batch cross-image
+    // answer exactly (pigeonhole: hamming<=5 over 8 bands is
+    // recall-1.0, so the banded broadcast screen is verdict-exact)
+    "q_stream_image" -> crossImageOracle,
 
     // both halves of the incremental image-catalog loop re-derived:
     // batch-1 distinct signatures, batch-2 survivors (hamming<=5 vs

@@ -159,9 +159,149 @@ case class MaxCatalogCosine(
     copy(child = newChild)
 }
 
+/** The media/simhash sibling of [[ScreenCatalog]]: a bounded catalog
+  * of BIT signatures (dHash / energy / structure / simhash — any
+  * `array<int>` of 0/1 bits), packed into 64-bit words for xor-popcount
+  * Hamming. Banded form buckets members by packed `rowsPerBand`-bit
+  * band keys; by PIGEONHOLE a probe within Hamming `h` of a member
+  * shares at least one exact band whenever `h < bands`, so the banded
+  * screen's recall is EXACTLY 1.0 at the usual (h=5, bands=8) media
+  * parameters — banding here is pure speedup, not approximation. */
+final class SigScreenCatalog(
+    val nBits: Int,
+    val nMembers: Int,
+    val packed: Array[Long], // nMembers x wordsPerSig, row-major
+    val bands: Int,
+    val rowsPerBand: Int,
+    val bandKeys: Array[Array[Long]],
+    val bandStarts: Array[Array[Int]],
+    val bandMembers: Array[Array[Int]])
+  extends Serializable {
+  require(nBits > 0, s"SigScreenCatalog: nBits must be positive, got $nBits")
+  val wordsPerSig: Int = (nBits + 63) / 64
+  require(packed.length == nMembers * wordsPerSig,
+    s"SigScreenCatalog: ${packed.length} words != $nMembers x $wordsPerSig")
+  def banded: Boolean = bands > 0
+}
+
+object SigScreenUtil {
+
+  /** Pack an ArrayData of 0/1 ints into 64-bit words, bit i of the
+    * signature at word i/64, MSB-first within the word — returns null
+    * (meaning: no verdict) if any bit entry is NULL. */
+  private def pack(sig: ArrayData, nBits: Int): Array[Long] = {
+    val words = new Array[Long]((nBits + 63) / 64)
+    var i = 0
+    while (i < nBits) {
+      if (sig.isNullAt(i)) return null
+      val b = sig.getInt(i)
+      if (b != 0) words(i / 64) |= 1L << (63 - (i % 64))
+      i += 1
+    }
+    words
+  }
+
+  /** Min catalog Hamming distance for one probe signature; `null`
+    * (boxed) when the catalog is empty, the probe has a NULL bit, or
+    * (banded form) no band bucket collides. Wrong probe width fails
+    * loudly — a catalog built at another signature width would
+    * otherwise silently stop colliding. */
+  def minHamming(sig: ArrayData, cat: SigScreenCatalog): Any = {
+    if (cat.nMembers == 0) return null
+    if (sig.numElements() != cat.nBits)
+      throw new IllegalArgumentException(
+        s"signature_screen: probe has ${sig.numElements()} bits, catalog " +
+          s"has ${cat.nBits} — build catalog and probe with the same signature")
+    val w = cat.wordsPerSig
+    val p = pack(sig, cat.nBits)
+    if (p == null) return null
+    var best = Int.MaxValue
+    def probeMember(m: Int): Unit = {
+      val off = m * w
+      var d = 0
+      var j = 0
+      while (j < w) {
+        d += java.lang.Long.bitCount(p(j) ^ cat.packed(off + j))
+        j += 1
+      }
+      if (d < best) best = d
+    }
+    if (!cat.banded) {
+      var m = 0
+      while (m < cat.nMembers) { probeMember(m); m += 1 }
+    } else {
+      var b = 0
+      while (b < cat.bands) {
+        var key = 0L
+        var r = 0
+        while (r < cat.rowsPerBand) {
+          val i = b * cat.rowsPerBand + r
+          key = (key << 1) |
+            ((p(i / 64) >>> (63 - (i % 64))) & 1L)
+          r += 1
+        }
+        val pos = java.util.Arrays.binarySearch(cat.bandKeys(b), key)
+        if (pos >= 0) {
+          val start = cat.bandStarts(b)(pos)
+          val end = cat.bandStarts(b)(pos + 1)
+          var k = start
+          while (k < end) { probeMember(cat.bandMembers(b)(k)); k += 1 }
+        }
+        b += 1
+      }
+    }
+    if (best == Int.MaxValue) null else Int.box(best)
+  }
+}
+
+/** `min_catalog_hamming(sig)` — the per-row media-signature screen
+  * verdict under a broadcast [[SigScreenCatalog]]. NULL = no verdict
+  * (no collision / empty catalog / NULL bit): callers screening
+  * survivors must treat NULL as "no hit". */
+case class MinCatalogHamming(
+    child: Expression,
+    catalogBc: org.apache.spark.broadcast.Broadcast[SigScreenCatalog])
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case ArrayType(IntegerType, _) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"min_catalog_hamming expects array<int>, got ${other.simpleString}")
+    }
+  override def dataType: DataType = IntegerType
+  override def nullIntolerant: Boolean = true
+  override def nullable: Boolean = true
+  override def prettyName: String = "min_catalog_hamming"
+
+  override protected def nullSafeEval(input: Any): Any =
+    SigScreenUtil.minHamming(input.asInstanceOf[ArrayData], catalogBc.value)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val bcRef = ctx.addReferenceObj("sigScreenBc", catalogBc,
+      "org.apache.spark.broadcast.Broadcast")
+    nullSafeCodeGen(ctx, ev, c => {
+      val tmp = ctx.freshName("minHam")
+      s"""
+         |Object $tmp = graft.functions.SigScreenUtil$$.MODULE$$.minHamming(
+         |  $c, (graft.functions.SigScreenCatalog) $bcRef.value());
+         |if ($tmp == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = ((java.lang.Integer) $tmp).intValue(); }
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object screenExprs {
   def max_catalog_cosine(
       v: Column,
       catalogBc: org.apache.spark.broadcast.Broadcast[ScreenCatalog]): Column =
     Bridge.toColumn(MaxCatalogCosine(Bridge.toExpression(v), catalogBc))
+  def min_catalog_hamming(
+      sig: Column,
+      catalogBc: org.apache.spark.broadcast.Broadcast[SigScreenCatalog]): Column =
+    Bridge.toColumn(MinCatalogHamming(Bridge.toExpression(sig), catalogBc))
 }

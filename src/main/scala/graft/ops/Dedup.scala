@@ -1047,6 +1047,101 @@ object Dedup {
       lit(-2.0)) < threshold)
   }
 
+  /** Collect a bounded BIT-signature catalog (dHash / energy /
+    * structure / simhash — any [[imageSignatureCatalog]]-shaped
+    * (id, sig) frame) into a broadcast
+    * [[graft.functions.SigScreenCatalog]] — the media sibling of
+    * [[broadcastEmbeddingScreen]]. The banded form buckets members on
+    * packed `bands`-way band keys; by pigeonhole the screen's recall
+    * is EXACTLY 1.0 whenever the caller's maxHamming < bands (≤5 vs 8
+    * at the media defaults), so banding is pure speedup here, not
+    * approximation. Fails loudly past `maxEntries`. */
+  def broadcastSignatureScreen(
+      catalog: DataFrame, sigCol: String = "sig",
+      bands: Int = 8, maxEntries: Int = 4000000)
+      : org.apache.spark.broadcast.Broadcast[graft.functions.SigScreenCatalog] = {
+    require(bands >= 0, s"bands must be >= 0 (0 = exact), got $bands")
+    val spark = catalog.sparkSession
+    val rows = catalog.select(col(sigCol).cast("array<int>").as("__sig__"))
+      .filter(col("__sig__").isNotNull)
+      .limit(maxEntries + 1).collect()
+    require(rows.length <= maxEntries,
+      s"broadcastSignatureScreen: catalog exceeds $maxEntries entries — " +
+        "not a broadcastable catalog; use the banded join path " +
+        "(crossCorpusImageNearDups and siblings) instead")
+    val nMembers = rows.length
+    val nBits = if (nMembers == 0) 64 else rows(0).getSeq[Int](0).length
+    require(bands == 0 || nBits % bands == 0,
+      s"nBits=$nBits must be divisible by bands=$bands")
+    val words = (nBits + 63) / 64
+    val packed = new Array[Long](nMembers * words)
+    rows.zipWithIndex.foreach { case (r, m) =>
+      val s = r.getSeq[Int](0)
+      require(s.length == nBits,
+        s"broadcastSignatureScreen: member $m has ${s.length} bits, expected $nBits")
+      var i = 0
+      while (i < nBits) {
+        if (s(i) != 0) packed(m * words + i / 64) |= 1L << (63 - (i % 64))
+        i += 1
+      }
+    }
+    val cat =
+      if (bands == 0 || nMembers == 0)
+        new graft.functions.SigScreenCatalog(nBits, nMembers, packed,
+          0, 0, Array.empty, Array.empty, Array.empty)
+      else {
+        val rpb = nBits / bands
+        val bandKeys = new Array[Array[Long]](bands)
+        val bandStarts = new Array[Array[Int]](bands)
+        val bandMembers = new Array[Array[Int]](bands)
+        var b = 0
+        while (b < bands) {
+          val keyed = (0 until nMembers).map { m =>
+            var key = 0L
+            var r = 0
+            while (r < rpb) {
+              val i = b * rpb + r
+              key = (key << 1) |
+                ((packed(m * words + i / 64) >>> (63 - (i % 64))) & 1L)
+              r += 1
+            }
+            (key, m)
+          }.sortBy(_._1)
+          val ks = scala.collection.mutable.ArrayBuffer.empty[Long]
+          val starts = scala.collection.mutable.ArrayBuffer.empty[Int]
+          keyed.zipWithIndex.foreach { case ((k, _), i) =>
+            if (ks.isEmpty || ks.last != k) { ks += k; starts += i }
+          }
+          starts += nMembers
+          bandKeys(b) = ks.toArray
+          bandStarts(b) = starts.toArray
+          bandMembers(b) = keyed.map(_._2).toArray
+          b += 1
+        }
+        new graft.functions.SigScreenCatalog(nBits, nMembers, packed,
+          bands, rpb, bandKeys, bandStarts, bandMembers)
+      }
+    spark.sparkContext.broadcast(cat)
+  }
+
+  /** Drop every row whose bit signature sits within `maxHamming` of
+    * ANY broadcast-catalog member — one stateless codegen'd filter,
+    * identical on batch and streaming corpora
+    * ([[graft.streaming.Streams.dedupSignaturesAgainst]]). Rows whose
+    * signature column is NULL (undecodable payload) pass through. The
+    * screen is EXACT (pigeonhole) when the catalog's bands exceed
+    * `maxHamming`. */
+  def screenSignatures(
+      df: DataFrame, sigCol: String,
+      catalogBc: org.apache.spark.broadcast.Broadcast[graft.functions.SigScreenCatalog],
+      maxHamming: Int): DataFrame = {
+    require(maxHamming >= 0, s"maxHamming must be >= 0, got $maxHamming")
+    df.filter(coalesce(
+      graft.functions.screenExprs.min_catalog_hamming(
+        col(sigCol).cast("array<int>"), catalogBc),
+      lit(Int.MaxValue)) > maxHamming)
+  }
+
   /** SimHash signature under an md5-parity per-(token, bit) hash — the
     * CROSS-ENGINE-REPLICABLE hash family: any engine with md5 (DuckDB,
     * Trino, Postgres) recomputes the identical signature from text, so

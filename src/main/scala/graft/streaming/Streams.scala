@@ -180,6 +180,19 @@ object Streams {
       threshold: Double): DataFrame =
     graft.ops.Dedup.screenEmbeddings(stream, vecCol, catalogBc, threshold)
 
+  /** Streaming cross-corpus MEDIA dedup: drop every arriving row whose
+    * bit signature (dHash / energy / structure / simhash) sits within
+    * `maxHamming` of any broadcast-catalog member
+    * ([[graft.ops.Dedup.broadcastSignatureScreen]]) — the media
+    * sibling of [[dedupEmbeddingsAgainst]], same stateless codegen'd
+    * filter, EXACT by pigeonhole when the catalog's bands exceed
+    * `maxHamming`. */
+  def dedupSignaturesAgainst(
+      stream: DataFrame, sigCol: String,
+      catalogBc: org.apache.spark.broadcast.Broadcast[graft.functions.SigScreenCatalog],
+      maxHamming: Int): DataFrame =
+    graft.ops.Dedup.screenSignatures(stream, sigCol, catalogBc, maxHamming)
+
   /** One banded arrival entering [[minhashNearDupPairs]]'s state op. */
   case class BandedDoc(
       band: Int, bucket: Int, id: Long, ts: java.sql.Timestamp, sig: Seq[Long])

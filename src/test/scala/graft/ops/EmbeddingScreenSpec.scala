@@ -97,4 +97,57 @@ class EmbeddingScreenSpec extends AnyFunSuite {
       .toDF("vec_id", "embedding")
     assert(Dedup.screenEmbeddings(withNull, "embedding", bc, 0.35).count() == 1)
   }
+
+  test("signature screen: banded == exact == brute force for maxHamming < bands (pigeonhole)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    def sig() = Seq.fill(64)(rnd.nextInt(2))
+    val catalogSigs = Seq.fill(40)(sig())
+    // probes: 20 random (far), 20 catalog members with 0-5 bits
+    // flipped (must hit), 5 with exactly 6 flips (must survive at 5)
+    def flip(s: Seq[Int], k: Int): Seq[Int] = {
+      val idx = rnd.shuffle((0 until 64).toList).take(k).toSet
+      s.zipWithIndex.map { case (b, i) => if (idx(i)) 1 - b else b }
+    }
+    val probes =
+      Seq.tabulate(20)(i => (i.toLong, sig())) ++
+        Seq.tabulate(20)(i => (100L + i, flip(catalogSigs(i % 40), i % 6))) ++
+        Seq.tabulate(5)(i => (200L + i, flip(catalogSigs(i), 6)))
+    val catDf = catalogSigs.zipWithIndex.map { case (s, i) => (i.toLong, s) }
+      .toDF("id", "sig")
+    val probeDf = probes.toDF("id", "sig")
+    val bcB = Dedup.broadcastSignatureScreen(catDf, "sig", bands = 8)
+    val bcE = Dedup.broadcastSignatureScreen(catDf, "sig", bands = 0)
+    def survivors(bc: org.apache.spark.broadcast.Broadcast[
+        graft.functions.SigScreenCatalog]) =
+      Dedup.screenSignatures(probeDf, "sig", bc, maxHamming = 5)
+        .select("id").collect().map(_.getLong(0)).toSet
+    // brute force on the driver
+    def ham(a: Seq[Int], b: Seq[Int]) = a.zip(b).count(p => p._1 != p._2)
+    val brute = probes.filter { case (_, s) =>
+      catalogSigs.forall(c => ham(s, c) > 5) }.map(_._1).toSet
+    assert(survivors(bcE) == brute)
+    assert(survivors(bcB) == brute,
+      "banded screen must be verdict-exact when maxHamming < bands")
+    // all 0-5-flip probes dropped, all 6-flip probes kept
+    assert((100L until 120L).forall(id => !brute.contains(id) ||
+      // a random flip may coincide with another member — only the
+      // designed 0-flip copies are guaranteed drops
+      probes.find(_._1 == id).exists(p => catalogSigs.forall(c => ham(p._2, c) > 5))))
+    assert((200L until 205L).forall(id =>
+      survivors(bcB).contains(id) == brute.contains(id)))
+    // width mismatch fails loudly; NULL signature survives
+    val skinny = Seq((1L, Seq.fill(32)(1))).toDF("id", "sig")
+    val e = intercept[Exception](
+      Dedup.screenSignatures(skinny, "sig", bcB, 5).collect())
+    assert(e.getMessage.contains("bits") ||
+      Option(e.getCause).exists(_.getMessage.contains("bits")))
+    val withNull = Seq((1L, null.asInstanceOf[Seq[Int]])).toDF("id", "sig")
+    assert(Dedup.screenSignatures(withNull, "sig", bcB, 5).count() == 1)
+    // empty catalog: everything survives
+    val bcEmpty = Dedup.broadcastSignatureScreen(
+      catDf.filter(lit(false)), "sig", bands = 8)
+    assert(Dedup.screenSignatures(probeDf, "sig", bcEmpty, 5).count()
+      == probes.size)
+  }
 }
