@@ -70,7 +70,11 @@ object BenchScaleTwoDecades {
     // round-14 families: encode-only THROUGHPUT (fixed model, whole
     // corpus — a tokenizer regression must show as a slope, not an
     // anecdote) and the full text→ids→fixed-length-sequences pipeline
-    "q_bpe_encode_full", "q_pack_ids_full")
+    "q_bpe_encode_full", "q_pack_ids_full",
+    // round-18 family: banded cross-corpus embedding dedup at corpus
+    // scale (combined-population band plan + cross-side-only bucket
+    // collisions — expected ~linear like the lsh_auto row)
+    "q_dedup_cross_embedding_full")
 
   /** Scale-only run shapes that are not gate queries: the gate form of
     * q_project_rp caps at 300 vectors (the oracle's brute-force
@@ -107,6 +111,20 @@ object BenchScaleTwoDecades {
           ops.Bpe.withTokenIds(Tables.load(s, dir, "documents"),
             "text", "__ids__", SparkEntry.bpeGateBc(s)),
           "doc_id", "__ids__", seqLen = 1024, padId = 0)),
+      // banded cross-corpus embedding dedup over the FULL corpus at
+      // the op's lshNeighbors design threshold (0.7 — the regime the
+      // band plan is sized for; this corpus's max pairwise cosine is
+      // ~0.51, so the row measures candidate generation + screen cost
+      // on a realistic no-overlap crawl, the common production case)
+      "q_dedup_cross_embedding_full" -> ((s, dir) => {
+        val emb = Tables.load(s, dir, "embeddings")
+        val vid = org.apache.spark.sql.functions.col("vec_id")
+        ops.Dedup.crossCorpusEmbeddingDedup(
+          emb.filter(vid % 5 =!= 0),
+          ops.Dedup.embeddingCatalog(
+            emb.filter(vid % 5 === 0), "vec_id", "embedding"),
+          "id", "embedding", "vec_id", "embedding", threshold = 0.7)
+      }),
       // whole-document next-fit packing at corpus scale (the SFT
       // shape): encode + oversize filter + ONE bucket shuffle +
       // streaming per-bucket fold
@@ -133,7 +151,8 @@ object BenchScaleTwoDecades {
     "q_dedup_semantic", "q_dedup_minhash",
     "q_dedup_cross", "q_dedup_minhash_cluster", "q_dedup_cluster",
     "q_prep_mix", "q_simsearch_quant", "q_project_rp_full",
-    "q_bpe_encode_full", "q_pack_ids_full")
+    "q_bpe_encode_full", "q_pack_ids_full",
+    "q_dedup_cross_embedding_full")
 
   /** xhi is 26 replicas vs hi's 10: 0.415 decades. */
   private val xhiDecades = math.log10(26.0 / 10.0)

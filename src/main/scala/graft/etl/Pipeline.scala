@@ -1416,6 +1416,32 @@ final class Pipeline private (
       graft.ops.Dedup.crossCorpusEmbeddingDedup(_, catalog, catalogIdCol,
         catalogVecCol, idCol, vecCol, threshold, exact, maxBucket)))
 
+  /** Drop rows whose embedding near-duplicates any member of a
+    * BROADCAST screen catalog
+    * ([[graft.ops.Dedup.broadcastEmbeddingScreen]] /
+    * [[graft.ops.Dedup.screenEmbeddings]]) — the stateless per-row
+    * form of [[dedupEmbeddingsAgainst]]: no join, no shuffle, works
+    * unchanged on a streaming pipeline. */
+  def screenEmbeddings(
+      vecCol: String,
+      catalogBc: org.apache.spark.broadcast.Broadcast[graft.functions.ScreenCatalog],
+      threshold: Double = 0.95): Pipeline =
+    add(MapStep("screenEmbeddings",
+      graft.ops.Dedup.screenEmbeddings(_, vecCol, catalogBc, threshold)))
+
+  /** Drop rows whose bit signature (dHash / energy / structure /
+    * simhash) sits within `maxHamming` of any member of a BROADCAST
+    * signature catalog
+    * ([[graft.ops.Dedup.broadcastSignatureScreen]] /
+    * [[graft.ops.Dedup.screenSignatures]]) — pigeonhole-exact when
+    * the catalog's bands exceed `maxHamming`. */
+  def screenSignatures(
+      sigCol: String,
+      catalogBc: org.apache.spark.broadcast.Broadcast[graft.functions.SigScreenCatalog],
+      maxHamming: Int = 5): Pipeline =
+    add(MapStep("screenSignatures",
+      graft.ops.Dedup.screenSignatures(_, sigCol, catalogBc, maxHamming)))
+
   /** Drop rows whose normalized text EXACTLY appears in `reference`
     * ([[graft.ops.Dedup.exactCrossDedup]] — bloom-prefiltered
     * incremental-crawl dedup; [[dedupAgainst]] is the near-dup form). */
