@@ -475,4 +475,56 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(exchanges == 1,
       s"expected exactly 1 hash exchange (group key), got $exchanges:\n$s")
   }
+
+  test("broadcast screens plan as a bare filtered scan — no join, no exchange, codegen'd") {
+    // the stateless-screen contract: with the catalog broadcast, the
+    // corpus side is ONE pruned scan + codegen'd filter — nothing else.
+    // This is what makes the same op legal in a streaming plan.
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val bc = ops.Dedup.broadcastEmbeddingScreen(
+      emb.filter(org.apache.spark.sql.functions.col("vec_id") % 5 === 0),
+      "vec_id", "embedding", banded = false)
+    val s = planString(executed(
+      ops.Dedup.screenEmbeddings(
+        emb.filter(org.apache.spark.sql.functions.col("vec_id") % 5 =!= 0),
+        "embedding", bc, 0.35)))
+    assert(!s.contains("Join"), s"screen must not join:\n$s")
+    assert(!s.contains("Exchange"), s"screen must not shuffle:\n$s")
+    assert(s.contains("WholeStageCodegen"), s"screen filter left codegen:\n$s")
+    // and the signature screen: same shape
+    import spark.implicits._
+    val sigs = (0L until 100L).map(i =>
+      (i, Seq.tabulate(64)(b => ((i >> (b % 8)) & 1).toInt))).toDF("id", "sig")
+    val sbc = ops.Dedup.broadcastSignatureScreen(sigs, "sig", bands = 8)
+    val s2 = planString(executed(
+      ops.Dedup.screenSignatures(sigs, "sig", sbc, 5)))
+    assert(!s2.contains("Join") && !s2.contains("Exchange"),
+      s"signature screen must be a bare filter:\n$s2")
+  }
+
+  test("the streaming screen plans with NO stateful operator") {
+    // q_stream_embedding's scale contract: the screen adds no state
+    // store — the streaming plan is scan + filter + project only
+    import org.apache.spark.sql.functions._
+    val batch = Tables.load(spark, dir, "embeddings")
+    val bc = ops.Dedup.broadcastEmbeddingScreen(
+      batch.filter(col("vec_id") % 5 === 0), "vec_id", "embedding",
+      banded = false)
+    val stream = spark.readStream.schema(batch.schema)
+      .parquet(s"$dir/embeddings*.parquet")
+    val screened = graft.streaming.Streams.dedupEmbeddingsAgainst(
+      stream.filter(col("vec_id") % 5 =!= 0), "embedding", bc, 0.35)
+    val name = "plan_audit_stream_screen"
+    val q = screened.writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val buf = new java.io.ByteArrayOutputStream()
+      Console.withOut(new java.io.PrintStream(buf)) { q.explain(extended = true) }
+      val plan = buf.toString
+      assert(plan.nonEmpty, "no streaming plan captured")
+      assert(!plan.contains("StateStore"),
+        s"stateless screen planned a state store:\n$plan")
+    } finally { q.stop(); spark.catalog.dropTempView(name) }
+  }
 }
