@@ -420,6 +420,91 @@ object SparkEntry {
         .orderBy("doc_id")
     },
 
+    "q_stream_audio" -> { (s, dir) =>
+      // the streaming screen's AUDIO arm: q_dedup_cross_audio's WAV
+      // fixture synthesized per arrival, gain-invariant energy hash
+      // per-row, broadcast screen vs the frozen %7 catalog — the
+      // stream must reproduce the batch survivor set (pigeonhole:
+      // bands=8 > maxHamming=5), oracle shared verbatim.
+      val cid = pmod(col("doc_id"), lit(337L))
+      val wav = wavFixture(k =>
+        pmod((cid + 3) * 11 * k * k + cid * 37, lit(65536L)))
+      val batch = Tables.load(s, dir, "documents")
+      val catBc = ops.Dedup.broadcastSignatureScreen(
+        ops.Dedup.audioSignatureCatalog(
+          batch.filter(col("doc_id") < 1000 && col("doc_id") % 7 === 0)
+            .select(col("doc_id"), wav.as("wav")),
+          "doc_id", "wav"),
+        "sig", bands = 8)
+      def stream = s.readStream.schema(batch.schema)
+        .parquet(s"$dir/documents*.parquet")
+      val arrivals = stream
+        .filter(col("doc_id") < 1000 && col("doc_id") % 7 =!= 0)
+        .select(col("doc_id"),
+          graft.functions.imageExprs.wav_energy_hash(wav, 64).as("sig"))
+        .filter(col("sig").isNotNull)
+      graft.streaming.Streams.runBounded(
+        graft.streaming.Streams.dedupSignaturesAgainst(
+          arrivals, "sig", catBc, maxHamming = 5))
+        .select("doc_id")
+        .orderBy("doc_id")
+    },
+
+    "q_stream_video" -> { (s, dir) =>
+      // the streaming screen's VIDEO arm: q_dedup_cross_video's MP4
+      // fixture per arrival, structure hash per-row, broadcast screen
+      // vs the frozen %7 catalog — batch survivor set reproduced,
+      // oracle shared verbatim.
+      val cid = pmod(col("doc_id"), lit(347L))
+      val mp4 = mp4Fixture(k => pmod((cid + 2) * k * 13 + cid, lit(200L)) + 1)
+      val batch = Tables.load(s, dir, "documents")
+      val catBc = ops.Dedup.broadcastSignatureScreen(
+        ops.Dedup.videoSignatureCatalog(
+          batch.filter(col("doc_id") < 1000 && col("doc_id") % 7 === 0)
+            .select(col("doc_id"), mp4.as("mp4")),
+          "doc_id", "mp4"),
+        "sig", bands = 8)
+      def stream = s.readStream.schema(batch.schema)
+        .parquet(s"$dir/documents*.parquet")
+      val arrivals = stream
+        .filter(col("doc_id") < 1000 && col("doc_id") % 7 =!= 0)
+        .select(col("doc_id"),
+          graft.functions.imageExprs.mp4_structure_hash(mp4, 64).as("sig"))
+        .filter(col("sig").isNotNull)
+      graft.streaming.Streams.runBounded(
+        graft.streaming.Streams.dedupSignaturesAgainst(
+          arrivals, "sig", catBc, maxHamming = 5))
+        .select("doc_id")
+        .orderBy("doc_id")
+    },
+
+    "q_stream_text" -> { (s, dir) =>
+      // the streaming screen's TEXT arm, fully under the oracle via
+      // the md5-parity simhash (the q_dedup_simhash_exact hash family
+      // DuckDB recomputes from text): arrivals' 32-bit signatures
+      // screened against the frozen %5 catalog slice; bands=16 >
+      // maxHamming=8 keeps the banded screen verdict-exact, so the
+      // oracle replays signatures, hamming, and the survivor set.
+      val batch = Tables.load(s, dir, "documents")
+      val slice = col("doc_id") < 150 && col("text").isNotNull
+      val catBc = ops.Dedup.broadcastSignatureScreen(
+        batch.filter(slice && col("doc_id") % 5 === 0)
+          .select(col("doc_id").as("id"),
+            ops.Dedup.simhashSignatureMd5(col("text"), 32).as("sig")),
+        "sig", bands = 16)
+      def stream = s.readStream.schema(batch.schema)
+        .parquet(s"$dir/documents*.parquet")
+      val arrivals = stream
+        .filter(slice && col("doc_id") % 5 =!= 0)
+        .select(col("doc_id"),
+          ops.Dedup.simhashSignatureMd5(col("text"), 32).as("sig"))
+      graft.streaming.Streams.runBounded(
+        graft.streaming.Streams.dedupSignaturesAgainst(
+          arrivals, "sig", catBc, maxHamming = 8))
+        .select("doc_id")
+        .orderBy("doc_id")
+    },
+
     "q_stream_gapsessions" -> { (s, dir) =>
       // the CUSTOM-STATE session op (Streams.gapSessions,
       // flatMapGroupsWithState with event-time timeout — the
@@ -4235,6 +4320,61 @@ ORDER BY seq_id"""
       |SELECT doc_id FROM corp ANTI JOIN hits USING (doc_id)
       |ORDER BY doc_id""".stripMargin
 
+  /** The audio/video siblings of [[crossImageOracle]] — shared by the
+    * batch cross gates and the streaming broadcast-screen gates. */
+  private val crossAudioOracle: String =
+    """WITH smp AS (
+        |  SELECT doc_id, k,
+        |    CASE WHEN ((doc_id%337 + 3)*11*k*k + (doc_id%337)*37) % 65536 >= 32768
+        |         THEN ((doc_id%337 + 3)*11*k*k + (doc_id%337)*37) % 65536 - 65536
+        |         ELSE ((doc_id%337 + 3)*11*k*k + (doc_id%337)*37) % 65536 END AS s
+        |  FROM (SELECT doc_id FROM documents WHERE doc_id < 1000) d,
+        |    range(130) t(k)),
+        |e AS (
+        |  SELECT doc_id, k // 2 AS w, sum(s * s) AS energy
+        |  FROM smp GROUP BY doc_id, k // 2),
+        |e2 AS (
+        |  SELECT doc_id, w, energy,
+        |    lead(energy) OVER (PARTITION BY doc_id ORDER BY w) AS ne
+        |  FROM e),
+        |h AS (
+        |  SELECT doc_id,
+        |    string_agg(CASE WHEN energy > ne THEN '1' ELSE '0' END, ''
+        |               ORDER BY w) AS hb
+        |  FROM e2 WHERE ne IS NOT NULL GROUP BY doc_id),
+        |cat AS (SELECT DISTINCT hb FROM h WHERE doc_id % 7 = 0),
+        |corp AS (SELECT doc_id, hb FROM h WHERE doc_id % 7 <> 0),
+        |hits AS (
+        |  SELECT DISTINCT c.doc_id FROM corp c JOIN cat r
+        |  ON bit_count(xor(c.hb::BIT, r.hb::BIT)) <= 5)
+        |SELECT doc_id FROM corp ANTI JOIN hits USING (doc_id)
+        |ORDER BY doc_id""".stripMargin
+
+  private val crossVideoOracle: String =
+    """WITH sz AS (
+        |  SELECT doc_id, k, ((doc_id%347 + 2)*k*13 + doc_id%347) % 200 + 1 AS s
+        |  FROM (SELECT doc_id FROM documents WHERE doc_id < 1000) d,
+        |    range(1, 131) t(k)),
+        |e AS (
+        |  SELECT doc_id, (k - 1) // 2 AS w, sum(s) AS tot
+        |  FROM sz GROUP BY doc_id, (k - 1) // 2),
+        |e2 AS (
+        |  SELECT doc_id, w, tot,
+        |    lead(tot) OVER (PARTITION BY doc_id ORDER BY w) AS nt
+        |  FROM e),
+        |h AS (
+        |  SELECT doc_id,
+        |    string_agg(CASE WHEN tot > nt THEN '1' ELSE '0' END, ''
+        |               ORDER BY w) AS hb
+        |  FROM e2 WHERE nt IS NOT NULL GROUP BY doc_id),
+        |cat AS (SELECT DISTINCT hb FROM h WHERE doc_id % 7 = 0),
+        |corp AS (SELECT doc_id, hb FROM h WHERE doc_id % 7 <> 0),
+        |hits AS (
+        |  SELECT DISTINCT c.doc_id FROM corp c JOIN cat r
+        |  ON bit_count(xor(c.hb::BIT, r.hb::BIT)) <= 5)
+        |SELECT doc_id FROM corp ANTI JOIN hits USING (doc_id)
+        |ORDER BY doc_id""".stripMargin
+
   private val (packWholeOracle: String, packWholeSftOracle: String) = {
     def pat(l: String, r: String) = s"chr(1)||'$l'||chr(1)||'$r'||chr(1)"
     def rep(l: String, r: String) = s"chr(1)||'$l$r'||chr(1)"
@@ -6427,60 +6567,38 @@ SELECT doc_id, n_bpe FROM doctok ORDER BY doc_id""",
 
     // the audio envelope replay of q_audio_energy_hash keyed by the
     // class id, then the same cross-catalog hamming verdicts
-    "q_dedup_cross_audio" ->
-      """WITH smp AS (
-        |  SELECT doc_id, k,
-        |    CASE WHEN ((doc_id%337 + 3)*11*k*k + (doc_id%337)*37) % 65536 >= 32768
-        |         THEN ((doc_id%337 + 3)*11*k*k + (doc_id%337)*37) % 65536 - 65536
-        |         ELSE ((doc_id%337 + 3)*11*k*k + (doc_id%337)*37) % 65536 END AS s
-        |  FROM (SELECT doc_id FROM documents WHERE doc_id < 1000) d,
-        |    range(130) t(k)),
-        |e AS (
-        |  SELECT doc_id, k // 2 AS w, sum(s * s) AS energy
-        |  FROM smp GROUP BY doc_id, k // 2),
-        |e2 AS (
-        |  SELECT doc_id, w, energy,
-        |    lead(energy) OVER (PARTITION BY doc_id ORDER BY w) AS ne
-        |  FROM e),
-        |h AS (
+    "q_dedup_cross_audio" -> crossAudioOracle,
+    "q_stream_audio" -> crossAudioOracle,
+
+    // the text arm: md5-parity simhash signatures recomputed from
+    // text (the q_dedup_simhash_exact family), crossed over the %5
+    // split, hamming<=8 hits, survivors
+    "q_stream_text" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '[ \t\n\x0b\f\r]+')) AS t
+        |  FROM documents WHERE doc_id < 150 AND text IS NOT NULL),
+        |votes AS (
+        |  SELECT doc_id, b.b AS bit,
+        |    sum(CASE WHEN strpos('13579bdf', substr(md5(t || ':' || b.b), 32, 1)) > 0
+        |             THEN 1 ELSE -1 END) AS s
+        |  FROM toks, range(0, 32) b(b)
+        |  GROUP BY doc_id, b.b),
+        |sg AS (
         |  SELECT doc_id,
-        |    string_agg(CASE WHEN energy > ne THEN '1' ELSE '0' END, ''
-        |               ORDER BY w) AS hb
-        |  FROM e2 WHERE ne IS NOT NULL GROUP BY doc_id),
-        |cat AS (SELECT DISTINCT hb FROM h WHERE doc_id % 7 = 0),
-        |corp AS (SELECT doc_id, hb FROM h WHERE doc_id % 7 <> 0),
+        |    sum(CASE WHEN s >= 0 THEN cast(power(2, bit) AS BIGINT) ELSE 0 END) AS sig
+        |  FROM votes GROUP BY doc_id),
+        |cat AS (SELECT DISTINCT sig FROM sg WHERE doc_id % 5 = 0),
+        |corp AS (SELECT doc_id, sig FROM sg WHERE doc_id % 5 <> 0),
         |hits AS (
         |  SELECT DISTINCT c.doc_id FROM corp c JOIN cat r
-        |  ON bit_count(xor(c.hb::BIT, r.hb::BIT)) <= 5)
+        |  ON bit_count(xor(c.sig, r.sig)) <= 8)
         |SELECT doc_id FROM corp ANTI JOIN hits USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
 
     // the coded-size envelope replay of q_video_structure_hash keyed
     // by the class id, then the same cross-catalog hamming verdicts
-    "q_dedup_cross_video" ->
-      """WITH sz AS (
-        |  SELECT doc_id, k, ((doc_id%347 + 2)*k*13 + doc_id%347) % 200 + 1 AS s
-        |  FROM (SELECT doc_id FROM documents WHERE doc_id < 1000) d,
-        |    range(1, 131) t(k)),
-        |e AS (
-        |  SELECT doc_id, (k - 1) // 2 AS w, sum(s) AS tot
-        |  FROM sz GROUP BY doc_id, (k - 1) // 2),
-        |e2 AS (
-        |  SELECT doc_id, w, tot,
-        |    lead(tot) OVER (PARTITION BY doc_id ORDER BY w) AS nt
-        |  FROM e),
-        |h AS (
-        |  SELECT doc_id,
-        |    string_agg(CASE WHEN tot > nt THEN '1' ELSE '0' END, ''
-        |               ORDER BY w) AS hb
-        |  FROM e2 WHERE nt IS NOT NULL GROUP BY doc_id),
-        |cat AS (SELECT DISTINCT hb FROM h WHERE doc_id % 7 = 0),
-        |corp AS (SELECT doc_id, hb FROM h WHERE doc_id % 7 <> 0),
-        |hits AS (
-        |  SELECT DISTINCT c.doc_id FROM corp c JOIN cat r
-        |  ON bit_count(xor(c.hb::BIT, r.hb::BIT)) <= 5)
-        |SELECT doc_id FROM corp ANTI JOIN hits USING (doc_id)
-        |ORDER BY doc_id""".stripMargin,
+    "q_dedup_cross_video" -> crossVideoOracle,
+    "q_stream_video" -> crossVideoOracle,
     // the training-example labels re-derived from the oracle's own
     // packed rows (lead() over the global token order)
     "q_pack_labels" -> bpePackLabelsOracle,
