@@ -2693,6 +2693,29 @@ object SparkEntry {
         .orderBy("doc_id", "chunk_id")
     },
 
+    "q_gopher_repetition" -> { (s, dir) =>
+      // the OTHER half of Gopher's published filter table (Rae et al.
+      // 2021 Table A1): duplicate-line/paragraph fractions and top
+      // n-gram character claims. Both engines synthesize the same
+      // multi-line fixture page (a planted duplicate line in every
+      // doc, a %3-planted duplicate paragraph) so the line/paragraph
+      // arms fire on real mixed verdicts; the n-gram arms run on the
+      // corpus's own words. Every fraction is one division of exact
+      // ints — bit-identical cross-engine.
+      val fixture = concat(
+        col("text").substr(lit(1), lit(40)), lit("\n"),
+        col("text").substr(lit(1), lit(25)), lit("\n"),
+        col("text").substr(lit(1), lit(25)), lit("\n\n"),
+        col("text").substr(lit(41), lit(40)),
+        when(col("doc_id") % 3 === 0,
+          concat(lit("\n\n"), col("text").substr(lit(1), lit(40))))
+          .otherwise(lit("")))
+      val docs = t(s, dir, "documents").filter(col("text").isNotNull)
+        .select(col("doc_id"), fixture.as("text"))
+      ops.TextOps.gopherRepetitionSignals(docs, "doc_id", "text")
+        .orderBy("doc_id")
+    },
+
     "q_gopher_quality" -> { (s, dir) =>
       // Gopher quality-rule signals + verdict (Rae et al. 2021): every
       // ratio is a SINGLE division of exact ints, so the doubles (and
@@ -6287,6 +6310,74 @@ ORDER BY doc_id"""
     // counts to long. replace() is literal (non-overlapping leftmost,
     // same as the regex '\.\.\.'), and the line/bullet regexes use the
     // explicit '[ \t]' class (no \s — RE2/Java divergence)
+    // every fraction replayed: line/para dup groups, the tie-broken
+    // top n-gram per n, all as single divisions of exact ints
+    "q_gopher_repetition" ->
+      """WITH fx AS (
+        |  SELECT doc_id,
+        |    substr(text,1,40) || chr(10) || substr(text,1,25) || chr(10) ||
+        |    substr(text,1,25) || chr(10) || chr(10) || substr(text,41,40) ||
+        |    CASE WHEN doc_id % 3 = 0
+        |         THEN chr(10) || chr(10) || substr(text,1,40) ELSE '' END AS t
+        |  FROM documents WHERE text IS NOT NULL),
+        |lu AS (
+        |  SELECT doc_id, trim(u) AS u
+        |  FROM fx, unnest(string_split(t, chr(10))) AS s(u)
+        |  WHERE length(trim(u)) > 0),
+        |lg AS (SELECT doc_id, u, count(*) AS c FROM lu GROUP BY doc_id, u),
+        |ls AS (SELECT doc_id,
+        |    cast(sum(c) - count(*) AS DOUBLE) / cast(sum(c) AS DOUBLE) AS dup_line_frac,
+        |    cast(sum((c-1)*length(u)) AS DOUBLE) / cast(sum(c*length(u)) AS DOUBLE) AS dup_line_char_frac
+        |  FROM lg GROUP BY doc_id),
+        |pu AS (
+        |  SELECT doc_id, trim(u) AS u
+        |  FROM fx, unnest(string_split(t, chr(10) || chr(10))) AS s(u)
+        |  WHERE length(trim(u)) > 0),
+        |pg AS (SELECT doc_id, u, count(*) AS c FROM pu GROUP BY doc_id, u),
+        |ps AS (SELECT doc_id,
+        |    cast(sum(c) - count(*) AS DOUBLE) / cast(sum(c) AS DOUBLE) AS dup_para_frac,
+        |    cast(sum((c-1)*length(u)) AS DOUBLE) / cast(sum(c*length(u)) AS DOUBLE) AS dup_para_char_frac
+        |  FROM pg GROUP BY doc_id),
+        |nw AS (SELECT doc_id,
+        |    regexp_replace(lower(trim(t)), '[ \t\n\x0b\f\r]+', ' ', 'g') AS nt
+        |  FROM fx),
+        |wd AS (SELECT doc_id, length(nt) AS len, string_split(nt, ' ') AS w FROM nw),
+        |g2 AS (SELECT doc_id, len,
+        |    array_to_string(w[i+1:i+2], ' ') AS g
+        |  FROM wd, unnest(range(0, greatest(len(w)-1, 0))) AS r(i)),
+        |c2 AS (SELECT doc_id, len, g, count(*) AS c FROM g2 GROUP BY doc_id, len, g),
+        |t2 AS (SELECT doc_id,
+        |    cast(c*length(g) AS DOUBLE) / cast(len AS DOUBLE) AS f,
+        |    row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, g ASC) AS rn
+        |  FROM c2),
+        |g3 AS (SELECT doc_id, len, array_to_string(w[i+1:i+3], ' ') AS g
+        |  FROM wd, unnest(range(0, greatest(len(w)-2, 0))) AS r(i)),
+        |c3 AS (SELECT doc_id, len, g, count(*) AS c FROM g3 GROUP BY doc_id, len, g),
+        |t3 AS (SELECT doc_id,
+        |    cast(c*length(g) AS DOUBLE) / cast(len AS DOUBLE) AS f,
+        |    row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, g ASC) AS rn
+        |  FROM c3),
+        |g4 AS (SELECT doc_id, len, array_to_string(w[i+1:i+4], ' ') AS g
+        |  FROM wd, unnest(range(0, greatest(len(w)-3, 0))) AS r(i)),
+        |c4 AS (SELECT doc_id, len, g, count(*) AS c FROM g4 GROUP BY doc_id, len, g),
+        |t4 AS (SELECT doc_id,
+        |    cast(c*length(g) AS DOUBLE) / cast(len AS DOUBLE) AS f,
+        |    row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, g ASC) AS rn
+        |  FROM c4)
+        |SELECT f.doc_id,
+        |  ls.dup_line_frac, ls.dup_line_char_frac,
+        |  ps.dup_para_frac, ps.dup_para_char_frac,
+        |  coalesce(t2.f, 0.0) AS top_2gram_char_frac,
+        |  coalesce(t3.f, 0.0) AS top_3gram_char_frac,
+        |  coalesce(t4.f, 0.0) AS top_4gram_char_frac
+        |FROM fx f
+        |LEFT JOIN ls USING (doc_id)
+        |LEFT JOIN ps USING (doc_id)
+        |LEFT JOIN (SELECT doc_id, f FROM t2 WHERE rn = 1) t2 USING (doc_id)
+        |LEFT JOIN (SELECT doc_id, f FROM t3 WHERE rn = 1) t3 USING (doc_id)
+        |LEFT JOIN (SELECT doc_id, f FROM t4 WHERE rn = 1) t4 USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
+
     "q_gopher_quality" ->
       """WITH norm AS (
         |  SELECT doc_id, text,

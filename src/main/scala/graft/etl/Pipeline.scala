@@ -1466,6 +1466,15 @@ final class Pipeline private (
           minWords = minWords, minStopwordHits = minStopwordHits))
         .drop("__g__")))
 
+  /** Keep only rows passing Gopher's REPETITION thresholds
+    * ([[graft.ops.TextOps.gopherRepetitionFilter]] — Rae et al. 2021
+    * Table A1's other half, next to [[filterGopher]]'s quality
+    * rules: duplicate-line/paragraph fractions and top n-gram
+    * character claims at the published defaults). */
+  def filterGopherRepetition(idCol: String, textCol: String): Pipeline =
+    add(MapStep("filterGopherRepetition",
+      graft.ops.TextOps.gopherRepetitionFilter(_, idCol, textCol)))
+
   /** C4-style page+line cleanup ([[graft.ops.TextOps.c4Clean]] —
     * Raffel et al. 2020 §2.2: terminal-punctuation/short/boilerplate
     * lines dropped, the page rebuilt, then lorem-ipsum / `{` /

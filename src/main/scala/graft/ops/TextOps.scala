@@ -259,6 +259,137 @@ object TextOps {
       .otherwise(lit(1.0) - distinctGrams.cast("double") / total)
   }
 
+  /** The Gopher REPETITION signals (Rae et al. 2021, Table A1 — the
+    * other half of the published filter table next to
+    * [[gopherSignals]]'s quality rules): per document,
+    *   - `dup_line_frac` / `dup_para_frac` — fraction of non-empty
+    *     trimmed lines (split on `\n`) / paragraphs (split on `\n\n`)
+    *     that are repeats of an earlier identical one:
+    *     (n − n_distinct) / n;
+    *   - `dup_line_char_frac` / `dup_para_char_frac` — fraction of
+    *     those units' characters sitting in the repeat occurrences:
+    *     (Σ chars − Σ chars over distinct) / Σ chars;
+    *   - `top_{n}gram_char_frac` for each n in `topNs` — characters
+    *     claimed by the most frequent word n-gram of the normalized
+    *     text (occurrences × n-gram length incl. single joining
+    *     spaces) / characters of the normalized text; ties break to
+    *     the lexicographically smallest n-gram (deterministic,
+    *     engine-portable). Documents with fewer than n words score 0.
+    * Deviation from the paper, documented: Gopher's dup-n-gram
+    * COVERAGE family (union of covered character intervals) is not
+    * replayable as portable SQL and is approximated in this library
+    * by [[repetitionRatio]]'s distinct-gram fraction instead.
+    * Every emitted fraction is a SINGLE division of exact ints, so
+    * the doubles are bit-identical cross-engine. NULL text → NULL
+    * signals (one row per input row either way).
+    *
+    * Scale shape: one explode + hash-aggregate pair per unit family
+    * (map-side partial combine), a per-(doc, n) `min_by` struct
+    * aggregate for the top n-gram — no windows, no driver loops. */
+  def gopherRepetitionSignals(
+      df: org.apache.spark.sql.DataFrame, idCol: String, textCol: String,
+      topNs: Seq[Int] = Seq(2, 3, 4)): org.apache.spark.sql.DataFrame = {
+    require(topNs.nonEmpty && topNs.forall(_ >= 1),
+      s"topNs must be non-empty positive, got $topNs")
+    Seq("__rid__", "__u__", "__n__", "__g__").foreach(c =>
+      require(!df.columns.contains(c), s"input already has a column named $c"))
+    val base = df.select(col(idCol).as("__rid__"), col(textCol).as("__t__"))
+
+    // one (n, n_distinct, chars, dup_chars) row per doc per unit kind
+    def unitStats(sep: String, nFrac: String, cFrac: String) = {
+      val units = base
+        .select(col("__rid__"),
+          explode(split(col("__t__"), sep, -1)).as("__u0__"))
+        .select(col("__rid__"), trim(col("__u0__")).as("__u__"))
+        .filter(length(col("__u__")) > 0)
+      units
+        .groupBy("__rid__", "__u__").agg(count(lit(1)).as("__c__"))
+        .groupBy("__rid__")
+        .agg(
+          sum(col("__c__")).as("__n__"),
+          count(lit(1)).as("__nd__"),
+          sum(col("__c__") * length(col("__u__"))).as("__ch__"),
+          sum((col("__c__") - 1) * length(col("__u__"))).as("__dch__"))
+        .select(col("__rid__"),
+          ((col("__n__") - col("__nd__")).cast("double") /
+            col("__n__").cast("double")).as(nFrac),
+          (col("__dch__").cast("double") / col("__ch__").cast("double"))
+            .as(cFrac))
+    }
+    val lineStats = unitStats("\n", "dup_line_frac", "dup_line_char_frac")
+    val paraStats = unitStats("\n\n", "dup_para_frac", "dup_para_char_frac")
+
+    // the most frequent word n-gram's character claim, per n
+    val words = base.select(col("__rid__"),
+      tokens(normalized(col("__t__"))).as("__w__"),
+      length(normalized(col("__t__"))).as("__len__"))
+    def topStats(n: Int) = {
+      val grams = words
+        .select(col("__rid__"), col("__len__"),
+          explode(when(size(col("__w__")) >= n,
+            transform(sequence(lit(0), size(col("__w__")) - n),
+              i => concat_ws(" ", slice(col("__w__"), i + 1, lit(n)))))
+            .otherwise(array())).as("__g__"))
+      grams
+        .groupBy("__rid__", "__len__", "__g__").agg(count(lit(1)).as("__c__"))
+        .groupBy("__rid__", "__len__")
+        // most frequent, ties to the lexicographically smallest gram:
+        // min_by over (-count, gram) is deterministic on both engines
+        .agg(min_by(
+          struct(col("__c__"), col("__g__")),
+          struct((-col("__c__")).as("nc"), col("__g__"))).as("__top__"))
+        .select(col("__rid__"),
+          ((col("__top__.__c__") * length(col("__top__.__g__")))
+            .cast("double") / col("__len__").cast("double"))
+            .as(s"top_${n}gram_char_frac"))
+    }
+
+    val joined = topNs.foldLeft(
+      base.join(lineStats, Seq("__rid__"), "left")
+        .join(paraStats, Seq("__rid__"), "left")) { (acc, n) =>
+      acc.join(topStats(n), Seq("__rid__"), "left")
+    }
+    val outCols = Seq("dup_line_frac", "dup_line_char_frac",
+      "dup_para_frac", "dup_para_char_frac") ++
+      topNs.map(n => s"top_${n}gram_char_frac")
+    // empty-gram docs (fewer than n words) score 0, not NULL — but a
+    // NULL text stays NULL across every signal
+    joined.select(
+      col("__rid__").as(idCol) +:
+        outCols.map(c =>
+          when(col("__t__").isNull, lit(null).cast("double"))
+            .otherwise(coalesce(col(c), lit(0.0))).as(c)): _*)
+  }
+
+  /** Keep only documents passing Gopher's repetition thresholds
+    * (Rae et al. 2021 Table A1: dup lines ≤ 0.30, dup paragraphs ≤
+    * 0.30, dup line/paragraph chars ≤ 0.20, top 2/3/4-gram chars ≤
+    * 0.20/0.18/0.16). Signals are computed by
+    * [[gopherRepetitionSignals]] and dropped again; NULL-text rows
+    * fail (no text, no pass — matching gopherPass). The per-n
+    * thresholds are positional over `topNs = (2, 3, 4)`. */
+  def gopherRepetitionFilter(
+      df: org.apache.spark.sql.DataFrame, idCol: String, textCol: String,
+      maxDupLineFrac: Double = 0.30, maxDupParaFrac: Double = 0.30,
+      maxDupLineCharFrac: Double = 0.20, maxDupParaCharFrac: Double = 0.20,
+      maxTopGramCharFrac: Seq[Double] = Seq(0.20, 0.18, 0.16)): org.apache.spark.sql.DataFrame = {
+    val topNs = Seq(2, 3, 4)
+    require(maxTopGramCharFrac.length == topNs.length,
+      s"maxTopGramCharFrac must give one threshold per n in $topNs")
+    val sig = gopherRepetitionSignals(df.select(col(idCol), col(textCol)),
+      idCol, textCol, topNs)
+    val pass = sig.filter(
+      col("dup_line_frac") <= maxDupLineFrac &&
+        col("dup_para_frac") <= maxDupParaFrac &&
+        col("dup_line_char_frac") <= maxDupLineCharFrac &&
+        col("dup_para_char_frac") <= maxDupParaCharFrac &&
+        topNs.zip(maxTopGramCharFrac).map { case (n, t) =>
+          col(s"top_${n}gram_char_frac") <= t
+        }.reduce(_ && _))
+      .select(col(idCol))
+    df.join(pass, Seq(idCol), "left_semi")
+  }
+
   /** Document-term TF-IDF over whitespace tokens of the normalized
     * text: one row per (doc, term) with the raw term frequency, the
     * document frequency, and smoothed tf-idf

@@ -214,4 +214,58 @@ class TextPipelineSpec extends AnyFunSuite {
     val w = TextOps.c4Clean(wide, "doc_id", "text").collect()(0)
     assert(w.getAs[String]("tag") == "keep-me")
   }
+
+  test("gopherRepetitionSignals: hand-computed fractions on designed documents") {
+    // doc 0: lines "aaaa","bb","aaaa","cc" (4 lines, 3 distinct):
+    //   dup_line_frac = 1/4; dup chars = 4 of (4+2+4+2)=12 -> 1/3
+    //   paragraphs "aaaa\nbb" and "aaaa\ncc": distinct -> 0
+    //   words: aaaa bb aaaa cc; top 2-gram each unique (count 1):
+    //   tie-break -> lexicographically smallest "aaaa bb" (7 chars);
+    //   normalized length = 4+1+2+1+4+1+2 = 15 -> 7/15
+    // doc 1: "x y x y x y" — top 2-gram "x y" count 3, ties beat
+    //   "y x" (count 2) on count; len 11 -> 3*3/11
+    // doc 2: NULL text -> all NULL
+    val docs = Seq(
+      (0L, "aaaa\nbb\n\naaaa\ncc"),
+      (1L, "x y x y x y"),
+      (2L, null.asInstanceOf[String])
+    ).toDF("doc_id", "text")
+    val out = TextOps.gopherRepetitionSignals(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    val d0 = out(0L)
+    assert(d0.getAs[Double]("dup_line_frac") == 0.25)
+    assert(d0.getAs[Double]("dup_line_char_frac") == 4.0 / 12.0)
+    assert(d0.getAs[Double]("dup_para_frac") == 0.0)
+    assert(d0.getAs[Double]("dup_para_char_frac") == 0.0)
+    assert(d0.getAs[Double]("top_2gram_char_frac") == 7.0 / 15.0)
+    val d1 = out(1L)
+    assert(d1.getAs[Double]("dup_line_frac") == 0.0)
+    assert(d1.getAs[Double]("top_2gram_char_frac") == 9.0 / 11.0)
+    assert(d1.getAs[Double]("top_3gram_char_frac") == 2 * 5.0 / 11.0)
+    val d2 = out(2L)
+    Seq("dup_line_frac", "dup_para_frac", "top_2gram_char_frac")
+      .foreach(c => assert(d2.isNullAt(d2.fieldIndex(c)), s"$c not NULL"))
+    // one-word / empty docs: no n-grams -> 0, not NULL or crash
+    val tiny = TextOps.gopherRepetitionSignals(
+      Seq((0L, "word")).toDF("doc_id", "text"), "doc_id", "text").collect()(0)
+    assert(tiny.getAs[Double]("top_2gram_char_frac") == 0.0)
+  }
+
+  test("gopherRepetitionFilter: each published threshold trips on its designed offender") {
+    // every word distinct per line AND across lines, so every n-gram
+    // is unique — no accidental top-gram mass
+    val clean = (1 to 30).map(i =>
+      s"alpha$i beta$i gamma$i delta$i epsilon$i.").mkString("\n")
+    val dupLines = (1 to 10).map(_ => "the same line again").mkString("\n") +
+      "\n" + (1 to 10).map(i => s"fresh line $i").mkString("\n")
+    val topHeavy = (1 to 50).map(_ => "spark engine").mkString(" ")
+    val docs = Seq(
+      (0L, clean), (1L, dupLines), (2L, topHeavy),
+      (3L, null.asInstanceOf[String])
+    ).toDF("doc_id", "text")
+    val kept = TextOps.gopherRepetitionFilter(docs, "doc_id", "text")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(0L),
+      s"expected only the clean doc to survive, got $kept")
+  }
 }
