@@ -3791,10 +3791,12 @@ object SparkEntry {
       // batch 2 dedups against it on the EXACT arm (recall 1.0 — the
       // oracle-able path; the banded arm is q_dedup_cross_embedding's
       // job) and only its SURVIVORS' embeddings merge back in
-      // (updateEmbeddingCatalog). Output is the merged catalog's id
-      // set — DuckDB recomputes every cosine verdict and the union
-      // independently, so drift in EITHER half of the loop breaks
-      // the hash.
+      // (updateEmbeddingCatalog — deterministic min-id per distinct
+      // embedding, which the oracle replays as GROUP BY e / min(id)).
+      // Output is the merged catalog's id set — DuckDB recomputes
+      // every cosine verdict, the union, AND the vector-dedup
+      // independently, so drift in ANY leg of the loop breaks the
+      // hash even on a fixture with duplicate vectors.
       val emb = t(s, dir, "embeddings")
       val cat1 = ops.Dedup.embeddingCatalog(
         emb.filter(col("vec_id") % 3 === 0), "vec_id", "embedding")
@@ -6268,7 +6270,7 @@ ORDER BY doc_id"""
         |    array_to_string(list_filter(string_split(text, chr(10)), l ->
         |      regexp_matches(trim(l), '[.!?"]$')
         |      AND NOT regexp_matches(trim(l), '\.\.\.$')
-        |      AND len(regexp_split_to_array(trim(l), '\s+')) >= 5
+        |      AND len(regexp_split_to_array(trim(l), '[ \t\n\x0b\f\r]+')) >= 5
         |      AND NOT contains(lower(trim(l)), 'javascript')
         |      AND NOT contains(lower(trim(l)), 'terms of use')
         |      AND NOT contains(lower(trim(l)), 'privacy policy')
@@ -7064,7 +7066,10 @@ ORDER BY shard_id""",
         |ORDER BY vec_id""".stripMargin,
 
     // the incremental semantic-catalog loop replayed: batch-1 ids
-    // union the batch-2 survivors of the exact cosine screen
+    // union the batch-2 survivors of the exact cosine screen, then
+    // the SAME distinct-on-embedding-keep-min-id the Spark side's
+    // updateEmbeddingCatalog applies — duplicate vectors (should the
+    // fixture ever grow any) resolve identically on both engines
     "q_dedup_catalog_embedding" ->
       """WITH v AS (SELECT vec_id,
         |    list_transform(embedding, x -> cast(x AS DOUBLE)) AS e FROM embeddings),
@@ -7073,10 +7078,12 @@ ORDER BY shard_id""",
         |  WHERE a.vec_id % 3 <> 0 AND b.vec_id % 3 = 0
         |    AND list_sum(list_transform(range(1, len(a.e) + 1), i -> a.e[i] * b.e[i])) /
         |      (sqrt(list_sum(list_transform(range(1, len(a.e) + 1), i -> a.e[i] * a.e[i]))) *
-        |       sqrt(list_sum(list_transform(range(1, len(b.e) + 1), i -> b.e[i] * b.e[i])))) >= 0.35)
-        |SELECT vec_id AS catalog_id FROM embeddings
-        |WHERE vec_id % 3 = 0
-        |   OR (vec_id % 3 <> 0 AND vec_id NOT IN (SELECT vec_id FROM hits))
+        |       sqrt(list_sum(list_transform(range(1, len(b.e) + 1), i -> b.e[i] * b.e[i])))) >= 0.35),
+        |merged AS (
+        |  SELECT vec_id, e FROM v
+        |  WHERE vec_id % 3 = 0
+        |     OR (vec_id % 3 <> 0 AND vec_id NOT IN (SELECT vec_id FROM hits)))
+        |SELECT min(vec_id) AS catalog_id FROM merged GROUP BY e
         |ORDER BY catalog_id""".stripMargin,
 
     // the same regex pattern STRINGS the Spark side uses (interpolated

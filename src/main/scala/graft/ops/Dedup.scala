@@ -797,13 +797,26 @@ object Dedup {
       .select(col(idCol).as("id"), VectorOps.asDouble(col(vecCol)).as("embedding"))
 
   /** Merge newly-shipped embeddings into a catalog — distinct on the
-    * EMBEDDING (two payloads sharing a vector screen identically;
-    * the retained id is arbitrary provenance, as in
-    * [[updateSignatureCatalog]]). */
+    * EMBEDDING (two payloads sharing a vector screen identically).
+    * Unlike [[updateSignatureCatalog]]'s arbitrary-provenance
+    * dropDuplicates, the retained row per embedding is DETERMINISTIC:
+    * the struct-minimum of the non-vector columns (for the canonical
+    * (id, embedding) shape, the smallest id). Determinism costs
+    * nothing — it is the same single hash aggregation on the vector
+    * that dropDuplicates would shuffle — and it makes repeated merges
+    * of the same batches byte-identical, which catalogs persisted
+    * across crawls need (and the q_dedup_catalog_embedding oracle
+    * replays). */
   def updateEmbeddingCatalog(
       catalog: DataFrame, additions: DataFrame,
-      vecCol: String = "embedding"): DataFrame =
-    catalog.unionByName(additions).dropDuplicates(vecCol)
+      vecCol: String = "embedding"): DataFrame = {
+    val u = catalog.unionByName(additions)
+    val others = u.columns.filterNot(_ == vecCol)
+    u.groupBy(col(vecCol))
+      .agg(min(struct(others.map(col): _*)).as("__keep__"))
+      .select(u.columns.map(c =>
+        if (c == vecCol) col(vecCol) else col(s"__keep__.`$c`").as(c)): _*)
+  }
 
   /** Cross-corpus SEMANTIC near-dup pairs: the new crawl's embeddings
     * sign-LSH-banded against a persisted [[embeddingCatalog]] —
@@ -830,8 +843,17 @@ object Dedup {
       threshold: Double = 0.95, targetBucket: Int = 64,
       recall: Double = 0.9, maxBands: Int = 50,
       maxBucket: Int = 200, seed: Long = 42L): DataFrame = {
-    val emptyOut = corpus.select(col(idCol).as("id1"), col(idCol).as("id2"),
-      lit(0.0).as("cosine")).where(lit(false))
+    // id2 comes from the CATALOG id column in both branches: when the
+    // corpus and catalog id columns differ in type (long crawl ids vs
+    // string catalog ids), an empty frame typed off the corpus would
+    // give this function a schema that depends on whether any non-null
+    // vector was found, breaking downstream unions only in the empty
+    // case. The where(false) cross join is pruned to an empty
+    // LocalRelation at plan time — no scan happens.
+    val emptyOut = corpus.select(col(idCol).as("id1"))
+      .crossJoin(catalog.select(col(catalogIdCol).as("id2")))
+      .withColumn("cosine", lit(0.0))
+      .where(lit(false))
     // prune to the two read columns and pin across the dim probe, the
     // planning counts, and the signature pass (the lshNeighborsAuto
     // one-upstream-execution discipline, applied to both sides)
@@ -875,18 +897,28 @@ object Dedup {
     * [[crossCorpusEmbeddingNearDups]]. All-pairs across the two sides,
     * so the CATALOG side must be bounded (it is broadcast); the corpus
     * side streams, spread by key so a single-file input never runs the
-    * cosine loop in one task. */
+    * cosine loop in one task. Fails loudly past `maxEntries` catalog
+    * rows (the [[broadcastEmbeddingScreen]] guard): an oversized
+    * catalog here would otherwise surface as a driver/executor OOM
+    * instead of a routing error — use the banded join path
+    * ([[crossCorpusEmbeddingNearDups]]) for catalogs that size. The
+    * guard is one bounded count (limit maxEntries+1), not a collect. */
   def crossCorpusEmbeddingNearDupsExact(
       corpus: DataFrame, catalog: DataFrame,
       catalogIdCol: String, catalogVecCol: String,
       idCol: String, vecCol: String,
-      threshold: Double): DataFrame = {
+      threshold: Double, maxEntries: Int = 1000000): DataFrame = {
     val stream = spreadByKey(
       corpus.select(col(idCol), VectorOps.asDouble(col(vecCol)).as("__v__")),
       idCol, "__v__")
       .select(col("__id__").as("id1"), col("__t__").as("__v1__"))
-    val build = broadcast(catalog.select(col(catalogIdCol).as("id2"),
-      VectorOps.asDouble(col(catalogVecCol)).as("__v2__")))
+    val catSide = catalog.select(col(catalogIdCol).as("id2"),
+      VectorOps.asDouble(col(catalogVecCol)).as("__v2__"))
+    require(catSide.limit(maxEntries + 1).count() <= maxEntries,
+      s"crossCorpusEmbeddingNearDupsExact: catalog exceeds $maxEntries " +
+        "entries — not a broadcastable catalog; use the banded join " +
+        "path (crossCorpusEmbeddingNearDups) instead")
+    val build = broadcast(catSide)
     stream.crossJoin(build)
       .withColumn("cosine", VectorOps.cosine(col("__v1__"), col("__v2__")))
       .filter(col("cosine") >= threshold)

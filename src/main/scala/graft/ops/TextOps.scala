@@ -489,11 +489,15 @@ object TextOps {
     * in an ellipsis, must carry at least `minWords` whitespace words,
     * and must mention neither "javascript" nor any
     * [[c4PolicySubstrings]] entry (case-insensitive). Pure codegen'd
-    * string ops — engine-portable (the oracle replays it verbatim). */
+    * string ops — engine-portable (the oracle replays it verbatim).
+    * The word separator is the EXPLICIT class `[ \t\n\x0b\f\r]+`, not
+    * `\s+`: RE2's `\s` excludes vertical tab while Java's includes
+    * it, so `\s` would diverge cross-engine on any \x0b-bearing line
+    * (same discipline as the normalized/gopher oracles). */
   def c4KeepLine(l: Column, minWords: Int = 5): Column = once(trim(l)) { t =>
     once(lower(t)) { low =>
       t.rlike("[.!?\"]$") && !t.rlike("\\.\\.\\.$") &&
-        (size(split(t, "\\s+")) >= minWords) &&
+        (size(split(t, "[ \\t\\n\\x0b\\f\\r]+")) >= minWords) &&
         !low.contains("javascript") &&
         c4PolicySubstrings.map(p => !low.contains(p)).reduce(_ && _)
     }

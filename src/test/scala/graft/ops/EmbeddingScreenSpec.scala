@@ -98,6 +98,66 @@ class EmbeddingScreenSpec extends AnyFunSuite {
     assert(Dedup.screenEmbeddings(withNull, "embedding", bc, 0.35).count() == 1)
   }
 
+  test("updateEmbeddingCatalog: deterministic min-id per duplicate vector, schema preserved") {
+    import spark.implicits._
+    val cat = Seq((10L, Seq(1.0, 0.0)), (3L, Seq(0.0, 1.0)))
+      .toDF("id", "embedding")
+    // additions carry a vector ALREADY in the catalog under a larger
+    // id, a duplicate PAIR within the batch, and one fresh vector
+    val add = Seq((99L, Seq(1.0, 0.0)), (7L, Seq(0.5, 0.5)),
+      (4L, Seq(0.5, 0.5)), (20L, Seq(0.2, 0.8)))
+      .toDF("id", "embedding")
+    val merged = Dedup.updateEmbeddingCatalog(cat, add)
+    assert(merged.columns.toSeq == Seq("id", "embedding"))
+    val got = merged.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    // smallest id wins per distinct vector: 10 beats 99, 4 beats 7
+    assert(got.keySet == Set(10L, 3L, 4L, 20L))
+    assert(got(4L) == Seq(0.5, 0.5))
+    // repeated merges of the same batches are byte-identical (the
+    // persisted-catalog property dropDuplicates could not promise)
+    val again = Dedup.updateEmbeddingCatalog(cat, add).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    assert(again == got)
+  }
+
+  test("crossCorpusEmbeddingNearDups: empty-corpus branch keeps the catalog id2 type") {
+    import spark.implicits._
+    // string catalog ids vs long corpus ids — the branch that found
+    // no non-null vector must type id2 off the CATALOG, matching the
+    // normal branch's schema
+    val catalog = Seq(("c1", Seq(1.0, 0.0))).toDF("cid", "embedding")
+    val corpusEmpty = Seq.empty[(Long, Seq[Double])].toDF("vec_id", "embedding")
+    val corpusFull = Seq((1L, Seq(1.0, 0.0))).toDF("vec_id", "embedding")
+    val emptySchema = Dedup.crossCorpusEmbeddingNearDups(
+      corpusEmpty, catalog, "cid", "embedding", "vec_id", "embedding").schema
+    val fullOut = Dedup.crossCorpusEmbeddingNearDups(
+      corpusFull, catalog, "cid", "embedding", "vec_id", "embedding",
+      threshold = 0.9)
+    assert(emptySchema.map(f => (f.name, f.dataType))
+      == fullOut.schema.map(f => (f.name, f.dataType)))
+    // and the two branches union cleanly (the downstream-consumer shape)
+    assert(fullOut.unionByName(
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        emptySchema)).count() == fullOut.count())
+  }
+
+  test("crossCorpusEmbeddingNearDupsExact: oversize catalog fails loudly, not OOM") {
+    import spark.implicits._
+    val corpus = Seq((1L, Seq(1.0, 0.0))).toDF("vec_id", "embedding")
+    val bigCat = spark.range(10)
+      .select(col("id").as("cid"), array(lit(1.0), lit(0.0)).as("embedding"))
+    val e = intercept[IllegalArgumentException](
+      Dedup.crossCorpusEmbeddingNearDupsExact(
+        corpus, bigCat, "cid", "embedding", "vec_id", "embedding",
+        threshold = 0.5, maxEntries = 3))
+    assert(e.getMessage.contains("banded join"))
+    // within bounds the exact arm still answers
+    assert(Dedup.crossCorpusEmbeddingNearDupsExact(
+      corpus, bigCat.limit(2), "cid", "embedding", "vec_id", "embedding",
+      threshold = 0.5, maxEntries = 3).count() == 2)
+  }
+
   test("signature screen: banded == exact == brute force for maxHamming < bands (pigeonhole)") {
     import spark.implicits._
     val rnd = new scala.util.Random(7)

@@ -192,6 +192,22 @@ class TextPipelineSpec extends AnyFunSuite {
     assert(out(6L).split("\n").length == 4)
   }
 
+  test("c4KeepLine: \\x0b separates words identically to the oracle's explicit class") {
+    // the word separator is the explicit [ \t\n\x0b\f\r]+ class on
+    // BOTH engines — RE2's \s excludes \x0b (so the old oracle saw
+    // "alpha\x0bbeta" as ONE word and dropped doc 0) while Java's \s
+    // includes it; the explicit class makes both engines count 5.
+    // Verdict pinned here so a regression to \s on either side that
+    // changes the Spark verdict fails loudly.
+    val df = Seq(
+      (0L, "alphabeta gamma delta five."), // 5 words via \x0b split
+      (1L, "alphabeta gamma four.")        // 4 words — dropped
+    ).toDF("id", "line")
+    val kept = df.filter(TextOps.c4KeepLine(col("line")))
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(0L))
+  }
+
   test("c4Clean: page-level drops — lorem ipsum, braces, too few sentences, NULL") {
     val good = "one two three four five six."
     val docs = Seq(
