@@ -2716,6 +2716,33 @@ object SparkEntry {
         .orderBy("doc_id")
     },
 
+    "q_gopher_dupcoverage" -> { (s, dir) =>
+      // the LAST published Gopher repetition signal (Rae et al. 2021
+      // Table A1): dup_{5..10}gram_char_frac — characters covered by
+      // ANY occurrence of a duplicated word n-gram, an interval UNION
+      // so overlapping grams never double-count. Both engines build
+      // the same fixture (the doc's first-40-char block planted twice
+      // adjacently — heavy overlapping duplication — plus a third
+      // NON-adjacent copy on %3 docs exercising separate islands, over
+      // an 80-char organic tail); DuckDB recomputes the union with a
+      // completely different algorithm (gaps-and-islands windows over
+      // gram char intervals) vs the Spark side's one-pass native
+      // merged walk, so an off-by-one anywhere in either union breaks
+      // the hash. Block word counts vary per doc, so higher n values
+      // (8..10) outgrow many blocks — real mixed verdicts per column.
+      val fixture = concat(
+        col("text").substr(lit(1), lit(40)), lit(" "),
+        col("text").substr(lit(1), lit(40)), lit(" "),
+        col("text").substr(lit(41), lit(80)),
+        when(col("doc_id") % 3 === 0,
+          concat(lit(" "), col("text").substr(lit(1), lit(40))))
+          .otherwise(lit("")))
+      val docs = t(s, dir, "documents").filter(col("text").isNotNull)
+        .select(col("doc_id"), fixture.as("text"))
+      ops.TextOps.gopherDupNgramSignals(docs, "doc_id", "text")
+        .orderBy("doc_id")
+    },
+
     "q_gopher_quality" -> { (s, dir) =>
       // Gopher quality-rule signals + verdict (Rae et al. 2021): every
       // ratio is a SINGLE division of exact ints, so the doubles (and
@@ -6378,6 +6405,83 @@ ORDER BY doc_id"""
         |LEFT JOIN (SELECT doc_id, f FROM t2 WHERE rn = 1) t2 USING (doc_id)
         |LEFT JOIN (SELECT doc_id, f FROM t3 WHERE rn = 1) t3 USING (doc_id)
         |LEFT JOIN (SELECT doc_id, f FROM t4 WHERE rn = 1) t4 USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
+
+    // the dup-n-gram coverage union recomputed by a DIFFERENT
+    // algorithm: gram char intervals from token-length prefix-sum
+    // windows, duplicated grams by exact string group-count, then a
+    // gaps-and-islands union (new island when an interval starts past
+    // the running max end) — vs the Spark side's one-pass native
+    // merged walk. Each fraction is covered/len of exact BIGINTs.
+    "q_gopher_dupcoverage" ->
+      """WITH fx AS (
+        |  SELECT doc_id,
+        |    substr(text,1,40) || ' ' || substr(text,1,40) || ' ' ||
+        |    substr(text,41,80) ||
+        |    CASE WHEN doc_id % 3 = 0 THEN ' ' || substr(text,1,40) ELSE '' END AS t
+        |  FROM documents WHERE text IS NOT NULL),
+        |norm AS (SELECT doc_id,
+        |    trim(regexp_replace(lower(trim(t)), '[ \t\n\x0b\f\r]+', ' ', 'g')) AS s
+        |  FROM fx),
+        |tok AS (SELECT doc_id, string_split(s, ' ') AS tk, length(s) AS len
+        |  FROM norm WHERE s <> ''),
+        |offs AS (
+        |  SELECT doc_id, i,
+        |    coalesce(sum(length(tk[i+1]) + 1) OVER (
+        |      PARTITION BY doc_id ORDER BY i
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cs
+        |  FROM tok, unnest(range(0, len(tk))) AS r(i)),
+        |g AS (
+        |  SELECT doc_id, ns.n, r.i,
+        |    array_to_string(tk[r.i+1 : r.i+ns.n], ' ') AS gram
+        |  FROM tok, (SELECT unnest([5,6,7,8,9,10]) AS n) ns,
+        |    unnest(range(0, greatest(len(tk) - ns.n + 1, 0))) AS r(i)),
+        |dupg AS (SELECT doc_id, n, gram FROM g
+        |  GROUP BY doc_id, n, gram HAVING count(*) > 1),
+        |ivs AS (
+        |  SELECT g.doc_id, g.n, o.cs, o.cs + length(g.gram) - 1 AS ce
+        |  FROM g JOIN dupg USING (doc_id, n, gram)
+        |  JOIN offs o ON o.doc_id = g.doc_id AND o.i = g.i),
+        |mrk AS (
+        |  SELECT doc_id, n, cs, ce,
+        |    max(ce) OVER (PARTITION BY doc_id, n ORDER BY cs
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pce
+        |  FROM ivs),
+        |isl AS (
+        |  SELECT doc_id, n, cs, ce,
+        |    sum(CASE WHEN pce IS NULL OR cs > pce THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY doc_id, n ORDER BY cs) AS grp
+        |  FROM mrk),
+        |cov AS (
+        |  SELECT doc_id, n, sum(mx - mn + 1) AS covered
+        |  FROM (SELECT doc_id, n, grp, min(cs) AS mn, max(ce) AS mx
+        |        FROM isl GROUP BY doc_id, n, grp)
+        |  GROUP BY doc_id, n),
+        |cv AS (
+        |  SELECT doc_id,
+        |    max(CASE WHEN n = 5 THEN covered END) AS c5,
+        |    max(CASE WHEN n = 6 THEN covered END) AS c6,
+        |    max(CASE WHEN n = 7 THEN covered END) AS c7,
+        |    max(CASE WHEN n = 8 THEN covered END) AS c8,
+        |    max(CASE WHEN n = 9 THEN covered END) AS c9,
+        |    max(CASE WHEN n = 10 THEN covered END) AS c10
+        |  FROM cov GROUP BY doc_id)
+        |SELECT f.doc_id,
+        |  CASE WHEN t.len IS NULL THEN 0.0
+        |       ELSE cast(coalesce(cv.c5, 0) AS DOUBLE) / cast(t.len AS DOUBLE) END AS dup_5gram_char_frac,
+        |  CASE WHEN t.len IS NULL THEN 0.0
+        |       ELSE cast(coalesce(cv.c6, 0) AS DOUBLE) / cast(t.len AS DOUBLE) END AS dup_6gram_char_frac,
+        |  CASE WHEN t.len IS NULL THEN 0.0
+        |       ELSE cast(coalesce(cv.c7, 0) AS DOUBLE) / cast(t.len AS DOUBLE) END AS dup_7gram_char_frac,
+        |  CASE WHEN t.len IS NULL THEN 0.0
+        |       ELSE cast(coalesce(cv.c8, 0) AS DOUBLE) / cast(t.len AS DOUBLE) END AS dup_8gram_char_frac,
+        |  CASE WHEN t.len IS NULL THEN 0.0
+        |       ELSE cast(coalesce(cv.c9, 0) AS DOUBLE) / cast(t.len AS DOUBLE) END AS dup_9gram_char_frac,
+        |  CASE WHEN t.len IS NULL THEN 0.0
+        |       ELSE cast(coalesce(cv.c10, 0) AS DOUBLE) / cast(t.len AS DOUBLE) END AS dup_10gram_char_frac
+        |FROM fx f
+        |LEFT JOIN tok t USING (doc_id)
+        |LEFT JOIN cv USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
 
     "q_gopher_quality" ->

@@ -1469,8 +1469,9 @@ final class Pipeline private (
   /** Keep only rows passing Gopher's REPETITION thresholds
     * ([[graft.ops.TextOps.gopherRepetitionFilter]] — Rae et al. 2021
     * Table A1's other half, next to [[filterGopher]]'s quality
-    * rules: duplicate-line/paragraph fractions and top n-gram
-    * character claims at the published defaults). */
+    * rules: duplicate-line/paragraph fractions, top n-gram character
+    * claims, AND duplicate 5..10-gram character coverage, all at the
+    * published defaults — the complete published table). */
   def filterGopherRepetition(idCol: String, textCol: String): Pipeline =
     add(MapStep("filterGopherRepetition",
       graft.ops.TextOps.gopherRepetitionFilter(_, idCol, textCol)))

@@ -275,10 +275,11 @@ object TextOps {
     *     spaces) / characters of the normalized text; ties break to
     *     the lexicographically smallest n-gram (deterministic,
     *     engine-portable). Documents with fewer than n words score 0.
-    * Deviation from the paper, documented: Gopher's dup-n-gram
-    * COVERAGE family (union of covered character intervals) is not
-    * replayable as portable SQL and is approximated in this library
-    * by [[repetitionRatio]]'s distinct-gram fraction instead.
+    * Gopher's dup-n-gram COVERAGE family (`dup_{5..10}gram_char_frac`
+    * — union of covered character intervals) lives in the sibling
+    * [[gopherDupNgramSignals]]: it is a pure per-row projection (no
+    * explode/aggregate), so fusing it into this function's join tree
+    * would put a shuffle under a computation that needs none.
     * Every emitted fraction is a SINGLE division of exact ints, so
     * the doubles are bit-identical cross-engine. NULL text → NULL
     * signals (one row per input row either way).
@@ -361,21 +362,75 @@ object TextOps {
             .otherwise(coalesce(col(c), lit(0.0))).as(c)): _*)
   }
 
-  /** Keep only documents passing Gopher's repetition thresholds
-    * (Rae et al. 2021 Table A1: dup lines ≤ 0.30, dup paragraphs ≤
-    * 0.30, dup line/paragraph chars ≤ 0.20, top 2/3/4-gram chars ≤
-    * 0.20/0.18/0.16). Signals are computed by
-    * [[gopherRepetitionSignals]] and dropped again; NULL-text rows
+  /** Gopher duplicate-n-gram character-coverage fractions (Rae et al.
+    * 2021, Table A1's `dup_{5..10}gram_char_frac` family — the last
+    * of the published repetition signals): per document and per n in
+    * `ns`, the fraction of the normalized text's characters lying
+    * inside at least one occurrence of a word n-gram that appears 2+
+    * times — the UNION of the duplicated grams' character intervals,
+    * so overlapping occurrences never double-count. Gram identity is
+    * exact string equality over [[tokens]] of [[normalized]] text
+    * (the family's shared tokenization); the denominator is the
+    * normalized length; each fraction is one division of exact longs
+    * (bit-identical cross-engine). Documents with fewer than n words
+    * score 0; NULL text → NULL (an array, so every per-n signal).
+    *
+    * Scale shape: ONE native codegen'd expression computes every n in
+    * a single pass over the token array
+    * ([[graft.functions.DupNgramCharFracs]]) — a pure projection, no
+    * explode, no aggregate, no shuffle; the per-row cost is O(words·n)
+    * in gram bytes, the shape that survives a 100 TB corpus because
+    * it parallelizes embarrassingly with the scan. */
+  def dupNgramCharFracs(c: Column, ns: Seq[Int]): Column = {
+    require(ns.nonEmpty && ns.forall(_ >= 2),
+      s"ns must be non-empty with every n >= 2, got $ns")
+    when(c.isNull, lit(null).cast("array<double>"))
+      .otherwise(graft.functions.spanExprs.dup_ngram_char_fracs(
+        tokens(normalized(c)), ns))
+  }
+
+  /** One `dup_{n}gram_char_frac` column per n — the wide form of
+    * [[dupNgramCharFracs]], mirroring [[gopherRepetitionSignals]]'
+    * output shape. The shared array is materialized once per row and
+    * the per-n columns are element reads (whole-stage codegen's
+    * subexpression elimination keeps the expensive expression single
+    * — the [[gopherPass]] struct discipline). */
+  def gopherDupNgramSignals(
+      df: org.apache.spark.sql.DataFrame, idCol: String, textCol: String,
+      ns: Seq[Int] = 5 to 10): org.apache.spark.sql.DataFrame = {
+    require(!df.columns.contains("__f__"),
+      "input already has a column named __f__")
+    df.select(col(idCol), dupNgramCharFracs(col(textCol), ns).as("__f__"))
+      .select(col(idCol) +: ns.zipWithIndex.map { case (n, i) =>
+        element_at(col("__f__"), i + 1).as(s"dup_${n}gram_char_frac")
+      }: _*)
+  }
+
+  /** Keep only documents passing Gopher's repetition thresholds —
+    * the COMPLETE published set (Rae et al. 2021 Table A1): dup lines
+    * ≤ 0.30, dup paragraphs ≤ 0.30, dup line/paragraph chars ≤ 0.20,
+    * top 2/3/4-gram chars ≤ 0.20/0.18/0.16, and duplicate 5..10-gram
+    * character coverage ≤ 0.15/0.14/0.13/0.12/0.11/0.10. Signals are
+    * computed by [[gopherRepetitionSignals]] /
+    * [[gopherDupNgramSignals]] and dropped again; NULL-text rows
     * fail (no text, no pass — matching gopherPass). The per-n
-    * thresholds are positional over `topNs = (2, 3, 4)`. */
+    * thresholds are positional over `topNs = (2, 3, 4)` and
+    * `dupNs = (5..10)`. The coverage rules run as a plain filter on
+    * the aggregate rules' survivors — the projection-only signal
+    * costs nothing on rows the cheap rules already rejected. */
   def gopherRepetitionFilter(
       df: org.apache.spark.sql.DataFrame, idCol: String, textCol: String,
       maxDupLineFrac: Double = 0.30, maxDupParaFrac: Double = 0.30,
       maxDupLineCharFrac: Double = 0.20, maxDupParaCharFrac: Double = 0.20,
-      maxTopGramCharFrac: Seq[Double] = Seq(0.20, 0.18, 0.16)): org.apache.spark.sql.DataFrame = {
+      maxTopGramCharFrac: Seq[Double] = Seq(0.20, 0.18, 0.16),
+      maxDupGramCharFrac: Seq[Double] =
+        Seq(0.15, 0.14, 0.13, 0.12, 0.11, 0.10)): org.apache.spark.sql.DataFrame = {
     val topNs = Seq(2, 3, 4)
+    val dupNs = 5 to 10
     require(maxTopGramCharFrac.length == topNs.length,
       s"maxTopGramCharFrac must give one threshold per n in $topNs")
+    require(maxDupGramCharFrac.length == dupNs.length,
+      s"maxDupGramCharFrac must give one threshold per n in $dupNs")
     val sig = gopherRepetitionSignals(df.select(col(idCol), col(textCol)),
       idCol, textCol, topNs)
     val pass = sig.filter(
@@ -388,6 +443,11 @@ object TextOps {
         }.reduce(_ && _))
       .select(col(idCol))
     df.join(pass, Seq(idCol), "left_semi")
+      .withColumn("__f__", dupNgramCharFracs(col(textCol), dupNs))
+      .filter(dupNs.indices.map(i =>
+        element_at(col("__f__"), i + 1) <= maxDupGramCharFrac(i))
+        .reduce(_ && _))
+      .drop("__f__")
   }
 
   /** Document-term TF-IDF over whitespace tokens of the normalized

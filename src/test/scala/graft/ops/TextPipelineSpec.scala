@@ -267,6 +267,72 @@ class TextPipelineSpec extends AnyFunSuite {
     assert(tiny.getAs[Double]("top_2gram_char_frac") == 0.0)
   }
 
+  test("dupNgramCharFracs: hand-computed interval unions — overlap, islands, edges") {
+    // doc 0: tokens a,b,a,b,a,b,x,y,z,w (all len 1; joined len 19).
+    //   n=2: dup grams "a b"(i=0,2,4) and "b a"(i=1,3) — intervals
+    //   [2i, 2i+2] for i=0..4 chain into ONE island [0,10] = 11 chars;
+    //   n=3: "a b a"(0,2) + "b a b"(1,3) union again [0,10];
+    //   n=5: no 5-gram repeats -> 0.
+    // doc 1: tokens c,d,c,d,e,f,g,c,d (joined len 17). n=2: "c d" at
+    //   i=0,2,7 -> [0,2],[4,6],[14,16] — [0,2]+[4,6] ADJACENT (gap of
+    //   exactly the separating char) merge-or-not counts the same 6,
+    //   [14,16] a separate island -> 9 covered chars.
+    // doc 2: fewer than 2 words -> 0. doc 3: NULL -> NULL.
+    // doc 4: empty -> 0.
+    val docs = Seq(
+      (0L, "a b a b a b x y z w"),
+      (1L, "c d c d e f g c d"),
+      (2L, "lonely"),
+      (3L, null.asInstanceOf[String]),
+      (4L, "")
+    ).toDF("doc_id", "text")
+    val out = TextOps.gopherDupNgramSignals(docs, "doc_id", "text", Seq(2, 3, 5))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(0L).getDouble(1) == 11.0 / 19.0)
+    assert(out(0L).getDouble(2) == 11.0 / 19.0)
+    assert(out(0L).getDouble(3) == 0.0)
+    assert(out(1L).getDouble(1) == 9.0 / 17.0)
+    assert(out(2L).getDouble(1) == 0.0)
+    assert(out(3L).isNullAt(1) && out(3L).isNullAt(2) && out(3L).isNullAt(3))
+    assert(out(4L).getDouble(1) == 0.0)
+  }
+
+  test("dupNgramCharFracs: brute-force parity on random small-vocab corpora") {
+    // small vocab forces heavy organic duplication; the brute force
+    // marks covered char positions in a boolean array — a third
+    // algorithm vs the native merged walk and the oracle's islands
+    val rnd = new scala.util.Random(19)
+    val vocab = Vector("ab", "c", "def", "gh", "i")
+    val ns = Seq(2, 3, 5, 7)
+    val docs = (0L until 30L).map { id =>
+      val nTok = 1 + rnd.nextInt(60)
+      (id, Seq.fill(nTok)(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    }
+    def brute(text: String, n: Int): Double = {
+      val toks = text.split(" ")
+      if (toks.length < n) return 0.0
+      val grams = toks.sliding(n).map(_.mkString(" ")).toArray
+      val counts = grams.groupBy(identity).map { case (g, o) => g -> o.length }
+      val starts = toks.scanLeft(0)((acc, w) => acc + w.length + 1)
+      val covered = new Array[Boolean](text.length)
+      grams.zipWithIndex.foreach { case (g, i) =>
+        if (counts(g) > 1)
+          (starts(i) until starts(i) + g.length).foreach(covered(_) = true)
+      }
+      covered.count(identity).toDouble / text.length.toDouble
+    }
+    val got = TextOps.gopherDupNgramSignals(
+      docs.toDF("doc_id", "text"), "doc_id", "text", ns)
+      .collect().map(r => r.getLong(0) ->
+        ns.indices.map(i => r.getDouble(i + 1))).toMap
+    docs.foreach { case (id, text) =>
+      ns.zipWithIndex.foreach { case (n, i) =>
+        assert(got(id)(i) == brute(text, n),
+          s"doc $id n=$n: native ${got(id)(i)} != brute ${brute(text, n)}")
+      }
+    }
+  }
+
   test("gopherRepetitionFilter: each published threshold trips on its designed offender") {
     // every word distinct per line AND across lines, so every n-gram
     // is unique — no accidental top-gram mass
@@ -275,13 +341,29 @@ class TextPipelineSpec extends AnyFunSuite {
     val dupLines = (1 to 10).map(_ => "the same line again").mkString("\n") +
       "\n" + (1 to 10).map(i => s"fresh line $i").mkString("\n")
     val topHeavy = (1 to 50).map(_ => "spark engine").mkString(" ")
+    // dup-GRAM offender: every line distinct (no line/para dups), no
+    // 2/3/4-gram claims a big character share, but one 12-word
+    // sentence appears twice — its 5..10-gram coverage (~24 of ~99
+    // words' chars) trips every published dup_{n}gram threshold
+    val repeated = "zulu yankee xray whiskey victor uniform tango " +
+      "sierra romeo quebec papa oscar"
+    val dupGrams = ((1 to 15).map(i =>
+      s"filler$i extra$i words$i here$i now$i") :+ repeated :+ repeated)
+      .mkString("\n")
     val docs = Seq(
       (0L, clean), (1L, dupLines), (2L, topHeavy),
-      (3L, null.asInstanceOf[String])
+      (3L, null.asInstanceOf[String]), (4L, dupGrams)
     ).toDF("doc_id", "text")
     val kept = TextOps.gopherRepetitionFilter(docs, "doc_id", "text")
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(kept == Set(0L),
       s"expected only the clean doc to survive, got $kept")
+    // the dup-gram offender fails ONLY the coverage family: relax it
+    // and the doc passes every other published rule
+    val relaxed = TextOps.gopherRepetitionFilter(docs, "doc_id", "text",
+      maxDupGramCharFrac = Seq.fill(6)(1.0))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(relaxed == Set(0L, 4L),
+      s"expected the dup-gram offender to pass with coverage relaxed, got $relaxed")
   }
 }
