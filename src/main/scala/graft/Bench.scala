@@ -96,8 +96,16 @@ object Bench {
     // ~1.4×) — or the machine was visibly loaded before Spark started,
     // run ONE more steady sweep so at least one sample has a chance to
     // land outside the burst. Min-of-sweeps then discards the poisoned
-    // ones. Thresholds: cold/steady > 2.5 (quiet ~1.4, r12-contended
-    // 3.5), external 1-min load > cpus/4 at start.
+    // ones. Thresholds (tightened per the r18 verdict: a 5.68-load,
+    // 1.68-cold/steady driver record measured 14% above the
+    // idle-machine close of the SAME SHA yet reported
+    // contended_suspect=false): cold/steady > 1.5 (quiet ~1.4,
+    // r12-contended 3.5 — the band between 1.5 and 2.5 is exactly
+    // where r18's miss sat) or external 1-min load > cpus/8 at start
+    // (5.68 > 4 flags; load AFTER is recorded but deliberately not a
+    // condition — the bench's own tail load sits near that line). A
+    // false positive costs one extra sweep and a conservative flag —
+    // far cheaper than a poisoned record passing as clean.
     // SUCCESSFUL runs only: a fast-throwing failed query contributes a
     // near-zero steady time that would inflate the cold/steady ratio and
     // trigger (or mask) the extra sweep on failure noise, not load
@@ -109,8 +117,8 @@ object Bench {
       ok.map(_._1).min
     }.sum
     val contendedSuspect =
-      coldTotal0 / math.max(steadyTotal0, 1e-3) > 2.5 ||
-        loadBefore > cpus.toDouble / 4
+      coldTotal0 / math.max(steadyTotal0, 1e-3) > 1.5 ||
+        loadBefore > cpus.toDouble / 8
     val s3 = if (contendedSuspect) {
       System.err.println(
         f"[bench] CONTENTION SUSPECT (cold/steady=${coldTotal0 / math.max(steadyTotal0, 1e-3)}%.2f, " +

@@ -35,7 +35,7 @@ import org.apache.spark.sql.SparkSession
   * Covers the heavy dedup set plus the ANN / pack / exact-dedup
   * families (documents + embeddings only — the tables ScaleCorpus
   * replicates). Output: one JSON line to stdout and
-  * BENCH_SCALE_r18.json in the working directory.
+  * BENCH_SCALE_r19.json in the working directory.
   *
   * Usage: BenchScaleTwoDecades [loDir midDir hiDir xhiDir]  (defaults:
   * /root/testdata/sf0.01, /root/testdata/sf0.1, /tmp/graft-sf1,
@@ -268,10 +268,25 @@ object BenchScaleTwoDecades {
           val cr2 = crossOnce()
           val ph2 = ops.ScaleStats.semanticPhases(emb, "vec_id", "embedding",
             threshold = 0.4, targetCell = 512, replication = 2)
+          // the r18 watch item (q_simsearch_lsh_auto carried the
+          // worst production mid→hi slope, 0.556): the lsh_auto split
+          // repeated in the SAME process at hi/xhi. The volume fields
+          // (rows, band_rows, buckets, candidate_pairs) and the plan
+          // fields (n_planes, rows_per_band — already per-dir above)
+          // must agree exactly between the repeats; whatever remains
+          // of the slope after candidate_pairs growth and the
+          // n_planes·rows plan widening is the timing swing BETWEEN
+          // repeats — the scheduler/cache variance carrier, same
+          // discipline as cross/semantic.
+          val lsAuto2 = ops.ScaleStats.lsh(emb, "vec_id", "embedding",
+            nPlanes = planPlanes, rowsPerBand = planRows, threshold = 0.7) +
+            ("n_planes" -> planPlanes.toLong) +
+            ("rows_per_band" -> planRows.toLong)
           s""","cluster":${jmap(cl)},"cluster_distributed":${jmap(clDist)},""" +
             s""""semantic_auto_phases":${jmap(ph)},""" +
             s""""semantic_auto_phases_repeat":${jmap(ph2)},""" +
-            s""""cross":${jmap(cr)},"cross_repeat":${jmap(cr2)}"""
+            s""""cross":${jmap(cr)},"cross_repeat":${jmap(cr2)},""" +
+            s""""lsh_auto_repeat":${jmap(lsAuto2)}"""
         }
       System.err.println(s"[bench-scale2] attribution $dir done")
       s""""$dir":{"minhash":${jmap(mh)},"lsh":${jmap(ls)},""" +
@@ -311,7 +326,7 @@ object BenchScaleTwoDecades {
       s""""synthetic_hi":true,"xhi_replicas":26,"queries":{${entries.mkString(",")}},""" +
       s""""attribution":$attribution}"""
     try java.nio.file.Files.writeString(
-      java.nio.file.Path.of("BENCH_SCALE_r18.json"), line + "\n")
+      java.nio.file.Path.of("BENCH_SCALE_r19.json"), line + "\n")
     catch { case e: Exception => System.err.println(s"[bench-scale2] write failed: $e") }
     println(line)
     spark.stop()

@@ -966,7 +966,27 @@ object Dedup {
     * oracle/verifier arm — per-probe cost nMembers·dim, so keep it
     * for bounded catalogs or gate queries. Fails loudly past
     * `maxEntries` — that is not a broadcastable catalog; use the
-    * join-based [[crossCorpusEmbeddingNearDups]] instead. */
+    * join-based [[crossCorpusEmbeddingNearDups]] instead.
+    *
+    * REUSE IDIOM: the returned broadcast IS the reusable handle.
+    * THIS call collects + packs + broadcasts the catalog (driver
+    * work proportional to the catalog); every [[screenEmbeddings]] /
+    * [[graft.streaming.Streams.dedupEmbeddingsAgainst]] call against
+    * the handle is then a pure executor-side filter with ZERO further
+    * catalog jobs. A pipeline screening several crawls, columns, or
+    * streams against one catalog should call this ONCE and pass the
+    * handle around — calling it per screen redoes the collect+pack
+    * for nothing (spec-pinned: EmbeddingScreenSpec's handle-reuse
+    * test counts the jobs).
+    *
+    * Band-plan sizing note: `banded = true` plans bands from the
+    * CATALOG population only — the probe corpus's size/density never
+    * enters, unlike the join path ([[crossCorpusEmbeddingNearDups]])
+    * which plans from the COMBINED population. That is deliberate
+    * (a screen's recall target is vs the catalog, and the handle must
+    * be probe-agnostic to be reusable), but it means the two shapes
+    * can pick different band plans for the same data — a plan-width
+    * difference, not a bug. */
   def broadcastEmbeddingScreen(
       catalog: DataFrame, idCol: String, vecCol: String,
       threshold: Double = 0.95, banded: Boolean = true,
@@ -1087,7 +1107,10 @@ object Dedup {
     * packed `bands`-way band keys; by pigeonhole the screen's recall
     * is EXACTLY 1.0 whenever the caller's maxHamming < bands (≤5 vs 8
     * at the media defaults), so banding is pure speedup here, not
-    * approximation. Fails loudly past `maxEntries`. */
+    * approximation. Fails loudly past `maxEntries`. Same reuse idiom
+    * as [[broadcastEmbeddingScreen]]: collect once, pass the returned
+    * handle to every [[screenSignatures]] /
+    * [[graft.streaming.Streams.dedupSignaturesAgainst]] call. */
   def broadcastSignatureScreen(
       catalog: DataFrame, sigCol: String = "sig",
       bands: Int = 8, maxEntries: Int = 4000000)

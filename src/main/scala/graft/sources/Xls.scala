@@ -277,9 +277,14 @@ private[graft] object XlsParser {
 
   // ---------------------------------------------------------- top level
 
-  /** Parse an xls workbook to the chosen sheet's headers + rows. */
+  /** Parse an xls workbook to the chosen sheet's headers + rows.
+    * `outputFormulaValues = false` emits each formula cell's FORMULA
+    * TEXT decompiled from its stored token stream
+    * ([[XlsFormula.decompile]]) instead of the cached result — the
+    * reference's `XlsSource.outputFormulaValues(false)` mode
+    * (`XlsProcessor.groovy:165-166`, HSSFFormulaParser.toFormulaString). */
   def parse(bytes: Array[Byte], sheetName: String, dateFormat: String,
-      startOnRow: Int = 0): XlsxParser.Sheet = {
+      startOnRow: Int = 0, outputFormulaValues: Boolean = true): XlsxParser.Sheet = {
     val stream = cfbStream(bytes, Seq("Workbook", "Book"))
     val recs = records(stream)
     val fmt = DateTimeFormatter.ofPattern(dateFormat)
@@ -372,12 +377,19 @@ private[graft] object XlsParser {
             val rk = b.getInt(6 + k * 6) & 0xFFFFFFFFL
             put(row, colFirst + k, formatNum(rkValue(rk), ixfe))
           }
-        case 0x06 => // FORMULA (cached result)
+        case 0x06 => // FORMULA (cached result, or the formula text itself)
           val b = le(r.data)
           val row = b.getShort(0) & 0xFFFF
           val col = b.getShort(2) & 0xFFFF
           val ixfe = b.getShort(4) & 0xFFFF
-          if ((b.getShort(12) & 0xFFFF) == 0xFFFF) {
+          if (!outputFormulaValues) {
+            // formula-text mode: decompile the rgce token stream; the
+            // cached value (and any trailing STRING record — no
+            // pendingFormula is armed) is ignored
+            val cce = b.getShort(20) & 0xFFFF
+            put(row, col, XlsFormula.decompile(
+              java.util.Arrays.copyOfRange(r.data, 22, 22 + cce)))
+          } else if ((b.getShort(12) & 0xFFFF) == 0xFFFF) {
             (r.data(6) & 0xFF) match {
               case 0 => pendingFormula = Some((row, col)) // string follows
               case 1 => put(row, col, if ((r.data(8) & 0xFF) == 1) "TRUE" else "FALSE")
@@ -427,15 +439,192 @@ private[graft] object XlsParser {
   }
 }
 
+/** BIFF8 formula-token (rgce / Ptg) decompiler — the engine behind
+  * `outputFormulaValues = false` (reference `XlsProcessor.groovy:165-166`,
+  * which asks POI's HSSFFormulaParser for the same string). The token
+  * stream is the RPN the MS-XLS spec documents (2.5.198.*): operands
+  * push, operators pop-combine — one forward walk rebuilds the text.
+  * Parenthesization is FAITHFUL, not inferred: Excel stores an
+  * explicit tParen token wherever the author wrote parens, so the
+  * rebuild needs no precedence analysis.
+  *
+  * Supported: all binary/unary operators, explicit parens, literals
+  * (int/num/str/bool/err/missing-arg), same-sheet cell and area
+  * references with absolute/relative anchors, deleted-ref errors,
+  * fixed- and variable-arity builtin calls (the common Ftab subset),
+  * and the tAttr family (SUM shorthand rendered as SUM(..), jump/
+  * space attrs skipped). Unsupported tokens — 3-D references, defined
+  * names, array constants, shared-formula stubs, exotic Ftab ids —
+  * FAIL LOUDLY with the token id: a token's operand width cannot be
+  * guessed, and a wrong guess would silently corrupt every later cell
+  * in the stream. */
+private[sources] object XlsFormula {
+
+  private val errText = Map(
+    0x00 -> "#NULL!", 0x07 -> "#DIV/0!", 0x0F -> "#VALUE!",
+    0x17 -> "#REF!", 0x1D -> "#NAME?", 0x24 -> "#NUM!", 0x2A -> "#N/A")
+
+  private val binOp = Map(
+    0x03 -> "+", 0x04 -> "-", 0x05 -> "*", 0x06 -> "/", 0x07 -> "^",
+    0x08 -> "&", 0x09 -> "<", 0x0A -> "<=", 0x0B -> "=", 0x0C -> ">=",
+    0x0D -> ">", 0x0E -> "<>", 0x0F -> " ", 0x10 -> ",", 0x11 -> ":")
+
+  /** (name, fixed arity) for tFunc; tFuncVar uses only the name. The
+    * ids are the public MS-XLS Ftab (2.5.198.17). */
+  private val ftab: Map[Int, (String, Int)] = Map(
+    0 -> ("COUNT", 1), 1 -> ("IF", 2), 2 -> ("ISNA", 1), 3 -> ("ISERROR", 1),
+    4 -> ("SUM", 1), 5 -> ("AVERAGE", 1), 6 -> ("MIN", 1), 7 -> ("MAX", 1),
+    8 -> ("ROW", 1), 9 -> ("COLUMN", 1), 10 -> ("NA", 0), 15 -> ("SIN", 1),
+    16 -> ("COS", 1), 17 -> ("TAN", 1), 18 -> ("ATAN", 1), 19 -> ("PI", 0),
+    20 -> ("SQRT", 1), 21 -> ("EXP", 1), 22 -> ("LN", 1), 23 -> ("LOG10", 1),
+    24 -> ("ABS", 1), 25 -> ("INT", 1), 26 -> ("SIGN", 1), 27 -> ("ROUND", 2),
+    28 -> ("LOOKUP", 2), 29 -> ("INDEX", 2), 30 -> ("REPT", 2), 31 -> ("MID", 3),
+    32 -> ("LEN", 1), 33 -> ("VALUE", 1), 34 -> ("TRUE", 0), 35 -> ("FALSE", 0),
+    36 -> ("AND", 1), 37 -> ("OR", 1), 38 -> ("NOT", 1), 39 -> ("MOD", 2),
+    48 -> ("TEXT", 2), 63 -> ("RAND", 0), 65 -> ("DATE", 3), 66 -> ("TIME", 3),
+    67 -> ("DAY", 1), 68 -> ("MONTH", 1), 69 -> ("YEAR", 1), 71 -> ("HOUR", 1),
+    72 -> ("MINUTE", 1), 73 -> ("SECOND", 1), 74 -> ("NOW", 0),
+    75 -> ("AREAS", 1), 76 -> ("ROWS", 1), 77 -> ("COLUMNS", 1),
+    82 -> ("SEARCH", 2), 86 -> ("TYPE", 1), 97 -> ("ATAN2", 2),
+    98 -> ("ASIN", 1), 99 -> ("ACOS", 1), 100 -> ("CHOOSE", 2),
+    101 -> ("HLOOKUP", 3), 102 -> ("VLOOKUP", 3), 105 -> ("ISREF", 1),
+    109 -> ("LOG", 1), 111 -> ("CHAR", 1), 112 -> ("LOWER", 1),
+    113 -> ("UPPER", 1), 114 -> ("PROPER", 1), 115 -> ("LEFT", 1),
+    116 -> ("RIGHT", 1), 117 -> ("EXACT", 2), 118 -> ("TRIM", 1),
+    119 -> ("REPLACE", 4), 120 -> ("SUBSTITUTE", 3), 121 -> ("CODE", 1),
+    124 -> ("FIND", 2), 126 -> ("ISERR", 1), 127 -> ("ISTEXT", 1),
+    128 -> ("ISNUMBER", 1), 129 -> ("ISBLANK", 1), 130 -> ("T", 1),
+    131 -> ("N", 1), 140 -> ("DATEVALUE", 1), 141 -> ("TIMEVALUE", 1),
+    148 -> ("INDIRECT", 1), 162 -> ("CLEAN", 1), 169 -> ("COUNTA", 1),
+    183 -> ("PRODUCT", 1), 184 -> ("FACT", 1), 190 -> ("ISNONTEXT", 1),
+    197 -> ("TRUNC", 1), 198 -> ("ISLOGICAL", 1), 212 -> ("ROUNDUP", 2),
+    213 -> ("ROUNDDOWN", 2), 220 -> ("DAYS360", 2), 221 -> ("TODAY", 0),
+    227 -> ("MEDIAN", 1), 228 -> ("SUMPRODUCT", 1), 269 -> ("AVEDEV", 1),
+    336 -> ("CONCATENATE", 1), 342 -> ("RADIANS", 1), 343 -> ("DEGREES", 1),
+    344 -> ("SUMIF", 2), 345 -> ("COUNTIF", 2), 346 -> ("COUNTBLANK", 1),
+    354 -> ("ROMAN", 2), 359 -> ("HYPERLINK", 1), 361 -> ("AVERAGEA", 1),
+    362 -> ("MAXA", 1), 363 -> ("MINA", 1))
+
+  private def colLetters(c: Int): String = {
+    var n = c
+    var s = ""
+    while (n >= 0) { s = ('A' + n % 26).toChar.toString + s; n = n / 26 - 1 }
+    s
+  }
+
+  /** `RgceLoc`: 2-byte row, 2-byte column whose bits 14/15 carry the
+    * col/row RELATIVE flags (absolute anchors render as `$`). */
+  private def cellRef(rw: Int, colField: Int): String = {
+    val col = colField & 0x3FFF
+    val colRel = (colField & 0x4000) != 0
+    val rowRel = (colField & 0x8000) != 0
+    (if (colRel) "" else "$") + colLetters(col) +
+      (if (rowRel) "" else "$") + (rw + 1)
+  }
+
+  def decompile(rgce: Array[Byte]): String = {
+    val b = java.nio.ByteBuffer.wrap(rgce).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    val stack = scala.collection.mutable.Stack.empty[String]
+    def pop(): String = {
+      require(stack.nonEmpty, "xls formula: malformed token stream (operand underflow)")
+      stack.pop()
+    }
+    def call(name: String, n: Int): Unit = {
+      val args = List.fill(n)(pop()).reverse
+      stack.push(args.mkString(s"$name(", ",", ")"))
+    }
+    while (b.hasRemaining) {
+      val ptg = b.get() & 0xFF
+      val base = if (ptg >= 0x20) 0x20 + ((ptg - 0x20) & 0x1F) else ptg
+      base match {
+        case op if binOp.contains(op) =>
+          val r = pop(); val l = pop()
+          stack.push(l + binOp(op) + r)
+        case 0x12 => stack.push("+" + pop())
+        case 0x13 => stack.push("-" + pop())
+        case 0x14 => stack.push(pop() + "%")
+        case 0x15 => stack.push("(" + pop() + ")")
+        case 0x16 => stack.push("") // tMissArg: IF(a,,b)
+        case 0x17 => // tStr: ShortXLUnicodeString
+          val cch = b.get() & 0xFF
+          val high = (b.get() & 1) == 1
+          val s =
+            if (high) {
+              val arr = new Array[Byte](cch * 2); b.get(arr)
+              new String(arr, java.nio.charset.StandardCharsets.UTF_16LE)
+            } else {
+              val arr = new Array[Byte](cch); b.get(arr)
+              new String(arr.map(x => (x & 0xFF).toChar))
+            }
+          stack.push("\"" + s.replace("\"", "\"\"") + "\"")
+        case 0x19 => // tAttr
+          val grbit = b.get() & 0xFF
+          val wData = b.getShort() & 0xFFFF
+          if ((grbit & 0x10) != 0) call("SUM", 1)
+          else if ((grbit & 0x04) != 0) { // tAttrChoose: skip jump table
+            val skip = new Array[Byte]((wData + 1) * 2); b.get(skip)
+          } // semi/if/goto/space: no stack effect
+        case 0x1C =>
+          val e = b.get() & 0xFF
+          stack.push(errText.getOrElse(e, s"#ERR$e!"))
+        case 0x1D => stack.push(if ((b.get() & 0xFF) == 1) "TRUE" else "FALSE")
+        case 0x1E => stack.push((b.getShort() & 0xFFFF).toString)
+        case 0x1F =>
+          val v = b.getDouble()
+          stack.push(
+            if (v == Math.rint(v) && Math.abs(v) < 1e15) v.toLong.toString
+            else v.toString)
+        case 0x21 => // tFunc (fixed arity)
+          val id = b.getShort() & 0xFFFF
+          val (name, arity) = ftab.getOrElse(id,
+            throw new IllegalArgumentException(
+              s"xls formula: unsupported builtin function id $id"))
+          call(name, arity)
+        case 0x22 => // tFuncVar
+          val cargs = b.get() & 0x7F
+          val id = b.getShort() & 0x7FFF
+          val name = ftab.get(id).map(_._1).getOrElse(
+            throw new IllegalArgumentException(
+              s"xls formula: unsupported builtin function id $id"))
+          call(name, cargs)
+        case 0x24 => // tRef
+          val rw = b.getShort() & 0xFFFF
+          stack.push(cellRef(rw, b.getShort() & 0xFFFF))
+        case 0x25 => // tArea
+          val rw1 = b.getShort() & 0xFFFF
+          val rw2 = b.getShort() & 0xFFFF
+          val c1 = b.getShort() & 0xFFFF
+          val c2 = b.getShort() & 0xFFFF
+          stack.push(cellRef(rw1, c1) + ":" + cellRef(rw2, c2))
+        case 0x2A => b.position(b.position() + 4); stack.push("#REF!")
+        case 0x2B => b.position(b.position() + 8); stack.push("#REF!")
+        case other => throw new IllegalArgumentException(
+          f"xls formula: unsupported token 0x$other%02X — 3-D refs, " +
+            "defined names, array constants and shared-formula stubs " +
+            "are not decompiled (a wrong operand width would corrupt " +
+            "every later token); read this workbook with " +
+            "outputFormulaValues = true instead")
+      }
+    }
+    require(stack.size == 1,
+      s"xls formula: malformed token stream (${stack.size} values left)")
+    stack.pop()
+  }
+}
+
 /** Spark-side legacy-xls reading (reference `XlsSource.xls`); same
-  * per-file parallel topology as [[Xlsx.read]]. */
+  * per-file parallel topology as [[Xlsx.read]].
+  * `outputFormulaValues = false` emits formula TEXT instead of cached
+  * results (reference `XlsSource.outputFormulaValues`,
+  * `XlsSource.groovy:73-79`). */
 object Xls {
 
   def read(
       spark: SparkSession, path: String,
       sheet: String = null,
       dateFormat: String = "yyyy-MM-dd",
-      startOnRow: Int = 0): Pipeline = {
+      startOnRow: Int = 0,
+      outputFormulaValues: Boolean = true): Pipeline = {
     val loaded = spark.read.format("binaryFile")
       .option("pathGlobFilter", "*.xls")
       .option("recursiveFileLookup", true)
@@ -443,14 +632,15 @@ object Xls {
     val files = loaded.select("path", "content")
     val headers = XlsParser.parse(
       HeaderProbe.firstFileBytes(loaded, path, "xls"),
-      sheet, dateFormat, startOnRow).headers
+      sheet, dateFormat, startOnRow, outputFormulaValues).headers
     val schema = StructType(headers.map(StructField(_, StringType, nullable = true)))
 
     val sheetName = sheet
     val fmt = dateFormat
     val start = startOnRow
+    val ofv = outputFormulaValues
     val df = files.flatMap { row =>
-      val parsed = XlsParser.parse(row.getAs[Array[Byte]](1), sheetName, fmt, start)
+      val parsed = XlsParser.parse(row.getAs[Array[Byte]](1), sheetName, fmt, start, ofv)
       val idx = headers.map(parsed.headers.indexOf)
       parsed.rows.iterator.map(cells =>
         Row.fromSeq(idx.map(i => if (i < 0) null else cells(i))))

@@ -98,6 +98,45 @@ class EmbeddingScreenSpec extends AnyFunSuite {
     assert(Dedup.screenEmbeddings(withNull, "embedding", bc, 0.35).count() == 1)
   }
 
+  test("catalog handle reuse: zero catalog jobs across repeated screens") {
+    // the broadcast returned by broadcastEmbeddingScreen is the
+    // reusable handle: collection happens THERE, and N subsequent
+    // screens — different thresholds, different frames — run as pure
+    // scan+filter jobs with no catalog-side work. Pinned by job-group
+    // accounting: each screen's collect() is exactly ONE job (a
+    // re-collection of the catalog would add its own jobs to the
+    // group; so would a join or shuffle smuggled into the screen).
+    val sc = spark.sparkContext
+    val bcE = Dedup.broadcastEmbeddingScreen(
+      catalogDf, "vec_id", "embedding", banded = false)
+    val bcB = Dedup.broadcastEmbeddingScreen(
+      catalogDf, "vec_id", "embedding", threshold = 0.35, banded = true)
+    // pre-materialize the probe frames so the measured jobs are the
+    // screens' own (a fresh parquet read can add listing jobs)
+    val probeA = corpus.collect()
+    val probeDf = spark.createDataFrame(
+      sc.parallelize(probeA.toIndexedSeq, 4), corpus.schema)
+    def screenJobs(label: String)(run: => Unit): Int = {
+      val group = s"screen-reuse-$label-${System.nanoTime()}"
+      sc.setJobGroup(group, label)
+      try run finally sc.clearJobGroup()
+      // listener-bus feed of the status store is async — poll briefly
+      def n = sc.statusTracker.getJobIdsForGroup(group).length
+      val deadline = System.currentTimeMillis() + 10000
+      while (n < 1 && System.currentTimeMillis() < deadline) Thread.sleep(50)
+      n
+    }
+    val j1 = screenJobs("exact")(
+      Dedup.screenEmbeddings(probeDf, "embedding", bcE, 0.35).collect())
+    val j2 = screenJobs("exact-2nd")(
+      Dedup.screenEmbeddings(probeDf, "embedding", bcE, 0.5).collect())
+    val j3 = screenJobs("banded")(
+      Dedup.screenEmbeddings(probeDf, "embedding", bcB, 0.35).collect())
+    assert(j1 == 1 && j2 == 1 && j3 == 1,
+      s"expected exactly 1 job per screen, got ($j1, $j2, $j3) — " +
+        "a screen re-collected the catalog or grew a shuffle")
+  }
+
   test("updateEmbeddingCatalog: deterministic min-id per duplicate vector, schema preserved") {
     import spark.implicits._
     val cat = Seq((10L, Seq(1.0, 0.0)), (3L, Seq(0.0, 1.0)))

@@ -47,4 +47,144 @@ class XlsSpec extends AnyFunSuite {
     val df = Xls.read(spark, playersXls, startOnRow = 1).toDF
     assert(df.count() == 6)
   }
+
+  // ------------------------------------------------ formula-string mode
+
+  /** Minimal BIFF8 record builders for the formula fixture (players.xls
+    * carries no FORMULA records, and no tool here writes xls — the
+    * OoxmlStandardSpec discipline: synthesize from the public MS-XLS
+    * spec, sharing no code with the parser under test). */
+  private object Biff {
+    import java.nio.{ByteBuffer, ByteOrder}
+    private def le(n: Int) = ByteBuffer.allocate(n).order(ByteOrder.LITTLE_ENDIAN)
+    def rec(id: Int, p: Array[Byte]): Array[Byte] = {
+      val b = le(4 + p.length)
+      b.putShort(id.toShort).putShort(p.length.toShort).put(p).array()
+    }
+    def bof(dt: Int): Array[Byte] =
+      rec(0x0809, le(16).putShort(0x0600.toShort).putShort(dt.toShort).array())
+    def boundsheet(pos: Int, name: String): Array[Byte] = {
+      val chars = name.getBytes("ISO-8859-1")
+      val b = le(8 + chars.length)
+      b.putInt(pos).putShort(0).put(chars.length.toByte).put(0.toByte).put(chars)
+      rec(0x85, b.array())
+    }
+    def eof: Array[Byte] = rec(0x0A, Array.empty)
+    def label(row: Int, c: Int, s: String): Array[Byte] = {
+      val chars = s.getBytes("ISO-8859-1")
+      val b = le(9 + chars.length)
+      b.putShort(row.toShort).putShort(c.toShort).putShort(0)
+      b.putShort(chars.length.toShort).put(0.toByte).put(chars)
+      rec(0x204, b.array())
+    }
+    def number(row: Int, c: Int, v: Double): Array[Byte] =
+      rec(0x203, le(14).putShort(row.toShort).putShort(c.toShort)
+        .putShort(0).putDouble(v).array())
+    def formulaNum(row: Int, c: Int, cached: Double, rgce: Array[Byte]): Array[Byte] = {
+      val b = le(22 + rgce.length)
+      b.putShort(row.toShort).putShort(c.toShort).putShort(0)
+      b.putDouble(cached).putShort(0).putInt(0)
+      b.putShort(rgce.length.toShort).put(rgce)
+      rec(0x06, b.array())
+    }
+    /** FORMULA whose cached result is a string (num field = the
+      * 0xFFFF-marked type-0 stub; the text follows in a STRING rec). */
+    def formulaStr(row: Int, c: Int, cachedText: String, rgce: Array[Byte]): Array[Byte] = {
+      val b = le(22 + rgce.length)
+      b.putShort(row.toShort).putShort(c.toShort).putShort(0)
+      b.put(Array[Byte](0, 0, 0, 0, 0, 0, -1, -1)) // type=0 (string), 0xFFFF marker
+      b.putShort(0).putInt(0)
+      b.putShort(rgce.length.toShort).put(rgce)
+      val chars = cachedText.getBytes("ISO-8859-1")
+      val s = le(3 + chars.length)
+      s.putShort(chars.length.toShort).put(0.toByte).put(chars)
+      rec(0x06, b.array()) ++ rec(0x207, s.array())
+    }
+    // rgce token builders (value-class where classed)
+    def tRef(row: Int, c: Int, rel: Boolean = true): Array[Byte] = {
+      val colField = c | (if (rel) 0xC000 else 0)
+      le(5).put(0x44.toByte).putShort(row.toShort).putShort(colField.toShort).array()
+    }
+    def tArea(r1: Int, r2: Int, c1: Int, c2: Int): Array[Byte] = {
+      val b = le(9).put(0x45.toByte)
+      b.putShort(r1.toShort).putShort(r2.toShort)
+      b.putShort((c1 | 0xC000).toShort).putShort((c2 | 0xC000).toShort).array()
+    }
+    def tInt(v: Int): Array[Byte] = le(3).put(0x1E.toByte).putShort(v.toShort).array()
+    def tStr(s: String): Array[Byte] = {
+      val chars = s.getBytes("ISO-8859-1")
+      le(3 + chars.length).put(0x17.toByte).put(chars.length.toByte)
+        .put(0.toByte).put(chars).array()
+    }
+    def tFuncVar(cargs: Int, id: Int): Array[Byte] =
+      le(4).put(0x42.toByte).put(cargs.toByte).putShort(id.toShort).array()
+    def tFunc(id: Int): Array[Byte] =
+      le(3).put(0x41.toByte).putShort(id.toShort).array()
+    val tAdd: Array[Byte] = Array(0x03)
+    val tMul: Array[Byte] = Array(0x05)
+    val tConcat: Array[Byte] = Array(0x08)
+    val tParen: Array[Byte] = Array(0x15)
+
+    /** One-sheet workbook around the given sheet cell records. */
+    def workbook(cellRecs: Array[Byte]*): Array[Byte] = {
+      val name = "S"
+      // globals size: BOF(20) + BOUNDSHEET(12 + |name|) + EOF(4)
+      val globals = bof(0x05) ++ boundsheet(20 + 12 + name.length + 4, name) ++ eof
+      val sheet = bof(0x10) ++ cellRecs.flatten ++ eof
+      StdFixture.cfb(Seq("Workbook" -> (globals ++ sheet)))
+    }
+  }
+
+  test("formula cells: cached values by default, formula text on outputFormulaValues=false") {
+    val wb = Biff.workbook(
+      Biff.label(0, 0, "a"), Biff.label(0, 1, "b"), Biff.label(0, 2, "f"),
+      Biff.number(1, 0, 3), Biff.number(1, 1, 4),
+      // f2 = A2+B2*2, cached 11
+      Biff.formulaNum(1, 2, 11,
+        Biff.tRef(1, 0) ++ Biff.tRef(1, 1) ++ Biff.tInt(2) ++ Biff.tMul ++ Biff.tAdd),
+      // f3 = "x"&"y", cached string "xy" via the trailing STRING record
+      Biff.formulaStr(2, 2, "xy", Biff.tStr("x") ++ Biff.tStr("y") ++ Biff.tConcat))
+    val vals = XlsParser.parse(wb, null, "yyyy-MM-dd")
+    assert(vals.headers == Vector("a", "b", "f"))
+    assert(vals.rows == Vector(
+      Vector("3", "4", "11"), Vector(null, null, "xy")))
+    val fx = XlsParser.parse(wb, null, "yyyy-MM-dd", outputFormulaValues = false)
+    assert(fx.rows == Vector(
+      Vector("3", "4", "A2+B2*2"), Vector(null, null, "\"x\"&\"y\"")))
+    // and through the Spark reader
+    val dir = java.nio.file.Files.createTempDirectory("graft-xls-fx")
+    java.nio.file.Files.write(dir.resolve("fx.xls"), wb)
+    val df = Xls.read(spark, dir.toString, outputFormulaValues = false).toDF
+    assert(df.select("f").collect().map(_.getString(0)).toSet
+      == Set("A2+B2*2", "\"x\"&\"y\""))
+  }
+
+  test("XlsFormula.decompile: parens fidelity, functions, anchors, attrs, loud unsupported") {
+    import Biff._
+    def d(t: Array[Byte]*) = XlsFormula.decompile(t.flatten.toArray)
+    // stored tParen is reproduced, not inferred
+    assert(d(tRef(0, 0), tRef(0, 1), tAdd, tParen, tRef(0, 2), tMul)
+      == "(A1+B1)*C1")
+    assert(d(tRef(0, 0), tRef(0, 1), tRef(0, 2), tMul, tAdd) == "A1+B1*C1")
+    // variable- and fixed-arity builtins
+    assert(d(tArea(0, 9, 0, 1), tFuncVar(1, 4)) == "SUM(A1:B10)")
+    assert(d(Array[Byte](0x1F) ++ {
+      val b = java.nio.ByteBuffer.allocate(8).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      b.putDouble(2.5).array()
+    }, tInt(0), tFunc(27)) == "ROUND(2.5,0)")
+    // IF with a missing argument (tMissArg renders empty)
+    assert(d(tRef(0, 0), Array[Byte](0x16), tInt(2), tFuncVar(3, 1)) == "IF(A1,,2)")
+    // absolute anchors
+    assert(d(tRef(0, 0, rel = false)) == "$A$1")
+    // unary minus + percent, embedded-quote strings, error literals
+    assert(d(tInt(5), Array[Byte](0x13), Array[Byte](0x14)) == "-5%")
+    assert(d(tStr("say \"hi\"")) == "\"say \"\"hi\"\"\"")
+    assert(d(Array[Byte](0x1C, 0x07)) == "#DIV/0!")
+    // tAttrSum shorthand renders as SUM(..)
+    assert(d(tArea(0, 4, 0, 0), Array[Byte](0x19, 0x10, 0, 0)) == "SUM(A1:A5)")
+    // unsupported token (tName) fails loudly, naming the token
+    val e = intercept[IllegalArgumentException](
+      d(Array[Byte](0x23, 0, 0, 0, 0)))
+    assert(e.getMessage.contains("0x23"))
+  }
 }
