@@ -481,23 +481,31 @@ object SparkEntry {
     "q_stream_text" -> { (s, dir) =>
       // the streaming screen's TEXT arm, fully under the oracle via
       // the md5-parity simhash (the q_dedup_simhash_exact hash family
-      // DuckDB recomputes from text): arrivals' 32-bit signatures
+      // DuckDB recomputes from text): arrivals' 64-BIT signatures
       // screened against the frozen %5 catalog slice; bands=16 >
       // maxHamming=8 keeps the banded screen verdict-exact, so the
       // oracle replays signatures, hamming, and the survivor set.
+      // 64 bits (was 32 — the r18 verdict's weak-discrimination note):
+      // at 32 bits this self-similar corpus collapses to 2-3
+      // survivors, barely exercising the keep side; at 64 only true
+      // text near-dups across the split fall within hamming 8, so
+      // both verdict arms carry real populations. The oracle packs
+      // the signature as two 32-bit halves (one 64-bit power-of-two
+      // sum would overflow signed BIGINT at bit 63) and sums the
+      // halves' per-half hamming.
       val batch = Tables.load(s, dir, "documents")
       val slice = col("doc_id") < 150 && col("text").isNotNull
       val catBc = ops.Dedup.broadcastSignatureScreen(
         batch.filter(slice && col("doc_id") % 5 === 0)
           .select(col("doc_id").as("id"),
-            ops.Dedup.simhashSignatureMd5(col("text"), 32).as("sig")),
+            ops.Dedup.simhashSignatureMd5(col("text"), 64).as("sig")),
         "sig", bands = 16)
       def stream = s.readStream.schema(batch.schema)
         .parquet(s"$dir/documents*.parquet")
       val arrivals = stream
         .filter(slice && col("doc_id") % 5 =!= 0)
         .select(col("doc_id"),
-          ops.Dedup.simhashSignatureMd5(col("text"), 32).as("sig"))
+          ops.Dedup.simhashSignatureMd5(col("text"), 64).as("sig"))
       graft.streaming.Streams.runBounded(
         graft.streaming.Streams.dedupSignaturesAgainst(
           arrivals, "sig", catBc, maxHamming = 8))
@@ -6767,9 +6775,11 @@ SELECT doc_id, n_bpe FROM doctok ORDER BY doc_id""",
     "q_dedup_cross_audio" -> crossAudioOracle,
     "q_stream_audio" -> crossAudioOracle,
 
-    // the text arm: md5-parity simhash signatures recomputed from
-    // text (the q_dedup_simhash_exact family), crossed over the %5
-    // split, hamming<=8 hits, survivors
+    // the text arm: md5-parity 64-bit simhash signatures recomputed
+    // from text (the q_dedup_simhash_exact family), crossed over the
+    // %5 split, hamming<=8 hits, survivors. The signature rides as
+    // two 32-bit halves (bit 63's power-of-two sum would overflow a
+    // signed BIGINT); hamming = the halves' bit_count sum.
     "q_stream_text" ->
       """WITH toks AS (
         |  SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '[ \t\n\x0b\f\r]+')) AS t
@@ -6778,17 +6788,18 @@ SELECT doc_id, n_bpe FROM doctok ORDER BY doc_id""",
         |  SELECT doc_id, b.b AS bit,
         |    sum(CASE WHEN strpos('13579bdf', substr(md5(t || ':' || b.b), 32, 1)) > 0
         |             THEN 1 ELSE -1 END) AS s
-        |  FROM toks, range(0, 32) b(b)
+        |  FROM toks, range(0, 64) b(b)
         |  GROUP BY doc_id, b.b),
         |sg AS (
         |  SELECT doc_id,
-        |    sum(CASE WHEN s >= 0 THEN cast(power(2, bit) AS BIGINT) ELSE 0 END) AS sig
+        |    sum(CASE WHEN s >= 0 AND bit < 32 THEN cast(power(2, bit) AS BIGINT) ELSE 0 END) AS lo,
+        |    sum(CASE WHEN s >= 0 AND bit >= 32 THEN cast(power(2, bit - 32) AS BIGINT) ELSE 0 END) AS hi
         |  FROM votes GROUP BY doc_id),
-        |cat AS (SELECT DISTINCT sig FROM sg WHERE doc_id % 5 = 0),
-        |corp AS (SELECT doc_id, sig FROM sg WHERE doc_id % 5 <> 0),
+        |cat AS (SELECT DISTINCT lo, hi FROM sg WHERE doc_id % 5 = 0),
+        |corp AS (SELECT doc_id, lo, hi FROM sg WHERE doc_id % 5 <> 0),
         |hits AS (
         |  SELECT DISTINCT c.doc_id FROM corp c JOIN cat r
-        |  ON bit_count(xor(c.sig, r.sig)) <= 8)
+        |  ON bit_count(xor(c.lo, r.lo)) + bit_count(xor(c.hi, r.hi)) <= 8)
         |SELECT doc_id FROM corp ANTI JOIN hits USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
 
