@@ -806,6 +806,32 @@ object SparkEntry {
         .toDF
     },
 
+    "q_asdate_lenient" -> { (s, dir) =>
+      // the reference's EXACT SimpleDateFormat-lenient semantics
+      // (asDateLenient): out-of-range month/day fields ROLL and
+      // trailing garbage is accepted. The fixture plants months 1..15
+      // and days 1..40 keyed by o_orderkey (+ a trailing 'x' on %7
+      // rows, an unparseable arm on %11 rows → rejected). Spark
+      // actually PARSES each string through SimpleDateFormat; DuckDB
+      // never parses — it computes Calendar's lenient normalization
+      // CLOSED-FORM (2020-01-01 + (mm-1) months + (dd-1) days, which
+      // is exactly how lenient field resolution linearizes), so the
+      // two engines agree only if the roll semantics are faithful.
+      val mm = (col("o_orderkey") % 15 + 1).cast("int")
+      val dd = (col("o_orderkey") % 40 + 1).cast("int")
+      val odS = when(col("o_orderkey") % 11 === 0, lit("not-a-date"))
+        .otherwise(concat(
+          lit("2020-"), lpad(mm.cast("string"), 2, "0"),
+          lit("-"), lpad(dd.cast("string"), 2, "0"),
+          when(col("o_orderkey") % 7 === 0, lit("x")).otherwise(lit(""))))
+      p(s, dir, "orders")
+        .addField("od_s", odS)
+        .asDateLenient("od_s", "yyyy-MM-dd")
+        .clip("o_orderkey", "od_s")
+        .toDF
+        .orderBy("o_orderkey")
+    },
+
     // ------------------------------------------- joins / multi-input (§2.4)
     "q_join_inner" -> { (s, dir) =>
       p(s, dir, "orders")
@@ -5007,6 +5033,17 @@ ORDER BY doc_id"""
         |p AS (SELECT try_strptime(od_s, '%Y-%m-%d') AS od_s FROM t
         |      WHERE od_s IS NULL OR trim(od_s) = '' OR try_strptime(od_s, '%Y-%m-%d') IS NOT NULL)
         |SELECT count(*) AS n_loaded, min(od_s) AS min_d, max(od_s) AS max_d FROM p""".stripMargin,
+
+    // Calendar's lenient normalization computed closed-form — no
+    // parsing on the oracle side at all (see the gate comment)
+    "q_asdate_lenient" ->
+      """SELECT o_orderkey,
+        |  TIMESTAMP '2020-01-01 00:00:00'
+        |    + to_months(cast(o_orderkey % 15 AS INTEGER))
+        |    + to_days(cast(o_orderkey % 40 AS INTEGER)) AS od_s
+        |FROM orders
+        |WHERE o_orderkey % 11 <> 0
+        |ORDER BY o_orderkey""".stripMargin,
 
     "q_join_inner" ->
       """SELECT o_orderkey, o_custkey, c_name, o_totalprice

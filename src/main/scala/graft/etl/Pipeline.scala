@@ -669,17 +669,49 @@ final class Pipeline private (
 
   /** gratum `asDate` (Pipeline.groovy:779-798): try each format in order;
     * null/empty pass through; unparseable rejected INVALID_FORMAT.
-    * Formats are Spark `DateTimeFormatter` patterns (reference used
-    * SimpleDateFormat — documented deviation). Produces TIMESTAMP_NTZ:
-    * the reference parses wall-clock dates with no timezone, and the
-    * UTC-adjusted TimestampType would not round-trip against naive
-    * timestamps in other engines. */
+    * Formats are Spark `DateTimeFormatter` patterns parsed STRICTLY
+    * (the engine-native, codegen'd path — the right default for a
+    * data pipeline, where February 30 is dirty data, not March 2);
+    * [[asDateLenient]] reproduces the reference's exact
+    * SimpleDateFormat-lenient semantics when parity matters. Produces
+    * TIMESTAMP_NTZ: the reference parses wall-clock dates with no
+    * timezone, and the UTC-adjusted TimestampType would not
+    * round-trip against naive timestamps in other engines. */
   def asDate(column: String, formats: String*): Pipeline = {
     val fmts = if (formats.isEmpty) Seq("yyyy-MM-dd") else formats
     def parsed(c: Column): Column =
       coalesce(fmts.map(f => try_to_timestamp(c, lit(f))): _*).cast(TimestampNTZType)
     add(FilterStep(
       s"asDate($column, ${fmts.mkString(",")})",
+      RejectionCategory.INVALID_FORMAT,
+      df => concat_ws(" ", col(column).cast(StringType),
+        lit(s"could not be parsed by format ${fmts.mkString(",")}")),
+      df => {
+        val s = col(column).cast(StringType)
+        s.isNull || trim(s) === "" || parsed(s).isNotNull
+      },
+      df => df.withColumn(column, {
+        val s = col(column).cast(StringType)
+        when(s.isNull || trim(s) === "", lit(null).cast(TimestampNTZType))
+          .otherwise(parsed(s))
+      })))
+  }
+
+  /** [[asDate]] with the reference's EXACT SimpleDateFormat-lenient
+    * semantics (`Pipeline.groovy:779` constructs SimpleDateFormats,
+    * lenient by default): out-of-range fields ROLL (2023-02-30 →
+    * 2023-03-02, month 13 → January next year) and trailing garbage
+    * after a parsed prefix is accepted ("2023-01-05xyz" parses).
+    * One native codegen'd expression per row
+    * ([[graft.functions.LenientSimpleDate]], UTC-pinned so the roll
+    * arithmetic is DST-free); null/empty pass through; rows no format
+    * parses reject INVALID_FORMAT, as in [[asDate]]. */
+  def asDateLenient(column: String, formats: String*): Pipeline = {
+    val fmts = if (formats.isEmpty) Seq("yyyy-MM-dd") else formats
+    def parsed(c: Column): Column =
+      graft.functions.dateExprs.lenient_simple_date(c, fmts)
+    add(FilterStep(
+      s"asDateLenient($column, ${fmts.mkString(",")})",
       RejectionCategory.INVALID_FORMAT,
       df => concat_ws(" ", col(column).cast(StringType),
         lit(s"could not be parsed by format ${fmts.mkString(",")}")),

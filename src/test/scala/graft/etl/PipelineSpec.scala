@@ -140,6 +140,42 @@ class PipelineSpec extends AnyFunSuite {
     assert(multi.loaded == 1)
   }
 
+  test("asDateLenient: SimpleDateFormat parity — rolls, trailing garbage, fallback, reject") {
+    // the verdicts are asserted against java.text.SimpleDateFormat
+    // ITSELF (UTC, the expression's pin) — reference parity by
+    // construction, not by hand-computed expectations
+    val cases = Seq(
+      "2023-02-30",    // rolls to March 2
+      "2023-13-01",    // rolls to January 2024
+      "2020-15-40",    // both fields roll
+      "2023-01-05xyz", // trailing garbage accepted
+      "2023-06-07")    // plain
+    val sdf = new java.text.SimpleDateFormat("yyyy-MM-dd", java.util.Locale.ROOT)
+    sdf.setTimeZone(java.util.TimeZone.getTimeZone("UTC"))
+    val df = cases.zipWithIndex.map { case (s, i) => (i.toString, s) }.toDF("id", "dt")
+    val out = Pipeline.of(df).asDateLenient("dt").toDF
+    assert(out.schema("dt").dataType == TimestampNTZType)
+    val got = out.collect().map(r =>
+      r.getString(0) -> r.getAs[java.time.LocalDateTime]("dt")).toMap
+    cases.zipWithIndex.foreach { case (s, i) =>
+      val expect = java.time.LocalDateTime.ofEpochSecond(
+        sdf.parse(s).getTime / 1000, 0, java.time.ZoneOffset.UTC)
+      assert(got(i.toString) == expect, s"'$s': ${got(i.toString)} != $expect")
+    }
+    assert(got("0").toLocalDate == java.time.LocalDate.of(2023, 3, 2))
+    assert(got("1").toLocalDate == java.time.LocalDate.of(2024, 1, 1))
+    // multi-format fallback order + reject + null/empty passthrough
+    val multi = Pipeline.of(Seq(("x", "07/04/2020")).toDF("id", "dt"))
+      .asDateLenient("dt", "yyyy-MM-dd", "MM/dd/yyyy").go()
+    assert(multi.loaded == 1)
+    val bad = Pipeline.of(Seq(("x", "not-a-date")).toDF("id", "dt"))
+      .asDateLenient("dt").go()
+    assert(bad.loaded == 0 && bad.rejections(RejectionCategory.INVALID_FORMAT) == 1)
+    val nulls = Pipeline.of(Seq(("a", null.asInstanceOf[String]), ("b", ""))
+      .toDF("id", "dt")).asDateLenient("dt").toDF
+    assert(nulls.where(col("dt").isNull).count() == 2)
+  }
+
   test("unique keeps one row per key, rejects dups IGNORE_ROW") {
     val stat = Pipeline.of(hobbies).unique("id", orderBy = "hobby").go()
     assert(stat.loaded == 4)
