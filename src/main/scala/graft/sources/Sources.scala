@@ -15,8 +15,12 @@ import java.io.ByteArrayInputStream
   * parser) — POI is absent in this environment but unnecessary for
   * unencrypted workbooks; the HTTP source lives in
   * [[graft.sources.Http]] (JDK HttpClient; specs run an in-process
-  * server — no egress needed). Not ported (libraries absent,
-  * documented in SURVEY §2.10): SshSource only (no sshd in the environment to validate against); PGP lives in [[graft.ops.Pgp]] (system GnuPG).
+  * server — no egress needed); the SSH/SFTP source lives in
+  * [[graft.sources.Ssh]] (system OpenSSH client; the SFTP leg is
+  * interop-tested against the real `sftp` binary via its `-D`
+  * direct-server flag — no sshd exists here, so the network/auth leg
+  * is pinned at the argv level); PGP lives in [[graft.ops.Pgp]]
+  * (system GnuPG). Every SURVEY §2.10 source is now implemented.
   */
 object Sources {
 

@@ -1,0 +1,156 @@
+package graft.sources
+
+import graft.etl.Pipeline
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import java.nio.file.{Files, Path}
+
+/** SFTP download source (reference `SshSource.groovy:51-183`): connect
+  * to a remote SSH host, download one or more paths — files or
+  * directories, directories recursively — and emit one row per fetched
+  * file. The reference rides the JSch library; no SSH library ships in
+  * this stack, so this drives the SYSTEM OpenSSH client (`sftp`), which
+  * is what every cluster node images anyway — the transport, host-key
+  * checking, and key handling are openssh's own, not a reimplementation.
+  *
+  * Row shape (the reference's keys, Spark-typed): `host`, `port`,
+  * `filename` (base name — reference `filename`), `path` (full remote
+  * path), `size`, `content` (the file bytes — the columnar analogue of
+  * the reference's `stream`; a DataFrame cannot carry open
+  * InputStreams).
+  *
+  * Auth: `identity(user, keyFile)` (publickey) is first-class.
+  * `authPass(user, password)` rides OpenSSH's askpass hook
+  * (`SSH_ASKPASS_REQUIRE=force` + a transient 0700 helper script that
+  * is deleted after the transfer) — the only non-interactive password
+  * path OpenSSH offers; prefer keys. `knownHosts(file)` /
+  * `enableStrictHostCheck(b)` mirror the reference's host-key surface.
+  *
+  * Scale shape: the transfer stages through a local temp directory on
+  * the DRIVER — one sequential SFTP channel, exactly the reference's
+  * topology — and the staged tree is then read distributed
+  * (binaryFile). This is a modest-remote-drop ingest (the reference's
+  * use case), not a 100 TB path: at corpus scale land the files on
+  * shared storage and read them directly.
+  *
+  * Testing note: no sshd exists in this environment, so the specs
+  * validate the SFTP leg against the REAL OpenSSH client via its `-D`
+  * direct-server flag (`extraArgs`) talking to a protocol-faithful
+  * in-test SFTP v3 server; the network/auth leg is openssh's own code
+  * and is exercised in any real deployment by the same argv this
+  * builder assembles (spec-pinned). */
+final case class SshSource(
+    host: String,
+    port: Int = 22,
+    username: Option[String] = None,
+    password: Option[String] = None,
+    identityFile: Option[String] = None,
+    knownHostsFile: Option[String] = None,
+    strictHostCheck: Boolean = true,
+    paths: Seq[String] = Nil,
+    extraArgs: Seq[String] = Nil) {
+
+  def authPass(user: String, pass: String): SshSource =
+    copy(username = Some(user), password = Some(pass))
+
+  def identity(user: String, keyFile: java.io.File): SshSource =
+    copy(username = Some(user), identityFile = Some(keyFile.getAbsolutePath))
+
+  def knownHosts(file: java.io.File): SshSource =
+    copy(knownHostsFile = Some(file.getAbsolutePath))
+
+  def enableStrictHostCheck(enable: Boolean): SshSource =
+    copy(strictHostCheck = enable)
+
+  /** Remote paths to fetch; a directory downloads recursively
+    * (reference `download(String...)`). */
+  def download(remotePaths: String*): SshSource =
+    copy(paths = paths ++ remotePaths)
+
+  /** Extra argv for the sftp client (ports/config/testing — e.g. the
+    * spec's `-D <server command>`). */
+  def withExtraArgs(args: String*): SshSource =
+    copy(extraArgs = extraArgs ++ args)
+
+  /** The argv this source hands the OpenSSH client — exposed so specs
+    * pin the exact flag assembly (auth, host key, batch mode). */
+  private[sources] def command(batchFile: Path): Seq[String] = {
+    val target = username.map(u => s"$u@$host").getOrElse(host)
+    Seq("sftp", "-b", batchFile.toString, "-P", port.toString) ++
+      identityFile.toSeq.flatMap(f => Seq("-i", f)) ++
+      knownHostsFile.toSeq.flatMap(f => Seq("-o", s"UserKnownHostsFile=$f")) ++
+      Seq("-o", s"StrictHostKeyChecking=${if (strictHostCheck) "yes" else "no"}") ++
+      // no password → BatchMode forbids prompts: a wrong key FAILS
+      // loudly instead of hanging a headless job on a hidden prompt
+      (if (password.isEmpty) Seq("-o", "BatchMode=yes") else Nil) ++
+      extraArgs ++ Seq(target)
+  }
+
+  /** Run the transfer and wrap the fetched files as a [[Pipeline]]. */
+  def into(spark: SparkSession): Pipeline = {
+    require(paths.nonEmpty, "SshSource: no paths to download — call download(...)")
+    paths.foreach(p => require(!p.contains("\""),
+      s"SshSource: path contains a double quote (unsupported in sftp batch): $p"))
+    val staging = Files.createTempDirectory("graft-ssh")
+    val norm = paths.map(_.stripSuffix("/"))
+    val batch = norm.zipWithIndex
+      .map { case (p, i) => s"""get -R "$p" "$staging/k$i"""" }
+      .mkString("", "\n", "\n")
+    val batchFile = Files.writeString(staging.resolve("batch"), batch)
+
+    val pb = new ProcessBuilder(command(batchFile): _*)
+    pb.redirectErrorStream(true)
+    val askpass = password.map { pw =>
+      // OpenSSH's non-interactive password hook: a transient helper
+      // that prints the secret, forced via SSH_ASKPASS_REQUIRE
+      val script = staging.resolve("askpass.sh")
+      Files.writeString(script, s"#!/bin/sh\nprintf '%s' '${pw.replace("'", "'\\''")}'\n")
+      script.toFile.setExecutable(true, true)
+      script.toFile.setReadable(false, false)
+      script.toFile.setReadable(true, true)
+      pb.environment().put("SSH_ASKPASS", script.toString)
+      pb.environment().put("SSH_ASKPASS_REQUIRE", "force")
+      if (!pb.environment().containsKey("DISPLAY"))
+        pb.environment().put("DISPLAY", ":0")
+      script
+    }
+    try {
+      val proc = pb.start()
+      val output = new String(proc.getInputStream.readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8)
+      val code = proc.waitFor()
+      if (code != 0)
+        throw new IllegalStateException(
+          s"SshSource: sftp exited $code for $host:$port\n${output.takeRight(2000)}")
+    } finally askpass.foreach(Files.deleteIfExists(_))
+    Files.deleteIfExists(batchFile)
+
+    // staged tree → rows, read DISTRIBUTED; local staged paths map
+    // back to remote paths by the k<i> prefix each batch line created
+    val df = spark.read.format("binaryFile")
+      .option("recursiveFileLookup", true)
+      .load(staging.toString)
+    val local = col("path")
+    val remote = coalesce(norm.zipWithIndex.flatMap { case (p, i) =>
+      Seq(
+        when(local.rlike(s".*/k$i/.*"),
+          concat(lit(p + "/"), regexp_extract(local, s".*/k$i/(.*)", 1))),
+        when(local.endsWith(s"/k$i"), lit(p)))
+    }: _*)
+    val out = df.select(
+      lit(host).as("host"),
+      lit(port).as("port"),
+      element_at(split(remote, "/"), -1).as("filename"),
+      remote.as("path"),
+      col("length").as("size"),
+      col("content"))
+    Pipeline.of(s"ssh($host:$port)", out)
+  }
+}
+
+object Ssh {
+  /** Reference `SshSource.ssh(remoteHost, port)`. */
+  def ssh(remoteHost: String, port: Int = 22): SshSource =
+    SshSource(remoteHost, port)
+}

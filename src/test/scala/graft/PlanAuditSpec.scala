@@ -261,6 +261,25 @@ class PlanAuditSpec extends AnyFunSuite {
       s"generator child re-evaluates the chunk transform per output row: $genLine")
   }
 
+  test("gopherDupNgramSignals plans as one pruned-scan projection — no shuffle, one expression") {
+    val df = ops.TextOps.gopherDupNgramSignals(
+      spark.read.parquet(s"$dir/documents.parquet"), "doc_id", "text")
+    val s = planString(executed(df))
+    assert(!s.contains("Exchange"), s"dup-coverage must not shuffle:\n$s")
+    assert(!s.contains("Generate"), s"dup-coverage must not explode:\n$s")
+    assert(!s.contains("Aggregate"), s"dup-coverage must not aggregate:\n$s")
+    // all six per-n columns read ONE shared expression: exactly one
+    // dup_ngram_char_fracs evaluation survives in the physical plan
+    assert(s.sliding("dup_ngram_char_fracs".length).count(
+      _ == "dup_ngram_char_fracs") == 1,
+      s"the shared fracs array must be computed once:\n$s")
+    // and the scan reads only the two referenced columns
+    val scanLine = s.linesIterator.find(l => l.contains("FileScan") || l.contains("Scan parquet"))
+      .getOrElse(fail(s"no parquet scan in plan:\n$s"))
+    assert(!scanLine.contains("lang") && !scanLine.contains("n_chars"),
+      s"unreferenced columns read by scan: $scanLine")
+  }
+
   test("chunkByTokenCount plans as pure projection + generate — no shuffle at all") {
     val docs = spark.read.parquet(s"$dir/documents.parquet")
     val m = ops.Bpe.train(docs.limit(50), "text", numMerges = 10, minPairCount = 2)

@@ -1,0 +1,106 @@
+package graft.sources
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.nio.file.{Files, Path}
+
+/** SshSource specs. No sshd exists in this environment, so the SFTP
+  * leg runs against the REAL OpenSSH client via `sftp -D` talking to
+  * the in-test SFTP v3 server (`src/test/resources/TestSftpServer.java`,
+  * executed through JDK single-file source mode) — the wire bytes on
+  * the client side are openssh's own, so a protocol error in either
+  * the batch assembly or the row mapping fails here. The network/auth
+  * leg (host keys, identities, askpass) is pinned at the argv level:
+  * those flags are consumed by openssh itself, unchanged, on a real
+  * deployment. */
+class SshSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-ssh-test")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def serverCmd: String = {
+    val src = getClass.getResource("/TestSftpServer.java")
+    assume(src != null, "TestSftpServer.java resource missing")
+    s"java ${src.getPath}"
+  }
+
+  private def fixtureRoot: Path = {
+    val root = Files.createTempDirectory("graft-ssh-fixture")
+    Files.createDirectories(root.resolve("data/sub"))
+    Files.writeString(root.resolve("data/people.csv"), "id,name\n1,alpha\n2,beta\n")
+    Files.writeString(root.resolve("data/sub/note.txt"), "hello world\n")
+    Files.write(root.resolve("solo.bin"), Array[Byte](0, 1, 2, -1))
+    root
+  }
+
+  test("recursive directory + single file download through the real sftp client") {
+    val root = fixtureRoot
+    val rows = Ssh.ssh("example.test")
+      .download(s"$root/data", s"$root/solo.bin")
+      .withExtraArgs("-D", serverCmd)
+      .into(spark)
+      .toDF
+      .collect()
+      .map(r => r.getAs[String]("path") ->
+        (r.getAs[String]("filename"), r.getAs[Array[Byte]]("content")))
+      .toMap
+    assert(rows.keySet == Set(
+      s"$root/data/people.csv", s"$root/data/sub/note.txt", s"$root/solo.bin"))
+    assert(rows(s"$root/data/people.csv")._1 == "people.csv")
+    assert(new String(rows(s"$root/data/people.csv")._2) == "id,name\n1,alpha\n2,beta\n")
+    assert(new String(rows(s"$root/data/sub/note.txt")._2) == "hello world\n")
+    assert(rows(s"$root/solo.bin")._2.toSeq == Seq[Byte](0, 1, 2, -1))
+  }
+
+  test("row shape carries the reference's keys: host, port, filename, path, size, content") {
+    val root = fixtureRoot
+    val df = Ssh.ssh("example.test", 2222)
+      .download(s"$root/solo.bin")
+      .withExtraArgs("-D", serverCmd)
+      .into(spark).toDF
+    assert(df.columns.toSeq ==
+      Seq("host", "port", "filename", "path", "size", "content"))
+    val r = df.collect()(0)
+    assert(r.getAs[String]("host") == "example.test")
+    assert(r.getAs[Int]("port") == 2222)
+    assert(r.getAs[Long]("size") == 4L)
+  }
+
+  test("argv assembly: identity, known hosts, strict checking, batch mode, password") {
+    val batch = java.nio.file.Path.of("/tmp/b")
+    val key = Ssh.ssh("h", 2200).identity("u", new java.io.File("/k/id_ed25519"))
+      .knownHosts(new java.io.File("/k/known")).command(batch)
+    assert(key.containsSlice(Seq("-P", "2200")))
+    assert(key.containsSlice(Seq("-i", "/k/id_ed25519")))
+    assert(key.containsSlice(Seq("-o", "UserKnownHostsFile=/k/known")))
+    assert(key.containsSlice(Seq("-o", "StrictHostKeyChecking=yes")))
+    // keyed/headless → BatchMode forbids hidden prompts
+    assert(key.containsSlice(Seq("-o", "BatchMode=yes")))
+    assert(key.last == "u@h")
+    val lax = Ssh.ssh("h").enableStrictHostCheck(false).command(batch)
+    assert(lax.containsSlice(Seq("-o", "StrictHostKeyChecking=no")))
+    assert(lax.last == "h") // no username → bare host
+    // password auth must NOT set BatchMode (it would suppress askpass)
+    val pw = Ssh.ssh("h").authPass("u", "s3cret").command(batch)
+    assert(!pw.containsSlice(Seq("-o", "BatchMode=yes")))
+    assert(pw.last == "u@h")
+  }
+
+  test("missing remote path and quoted-path guard fail loudly") {
+    val root = fixtureRoot
+    val e = intercept[IllegalStateException](
+      Ssh.ssh("example.test")
+        .download(s"$root/no-such-file")
+        .withExtraArgs("-D", serverCmd)
+        .into(spark))
+    assert(e.getMessage.contains("sftp exited"))
+    intercept[IllegalArgumentException](
+      Ssh.ssh("h").download("/path/with\"quote").into(spark))
+    intercept[IllegalArgumentException](Ssh.ssh("h").into(spark))
+  }
+}
