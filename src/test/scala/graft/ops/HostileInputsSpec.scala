@@ -89,6 +89,23 @@ class HostileInputsSpec extends AnyFunSuite {
     }
   }
 
+  test("dupNgramCharFracs: no-throw and bounded on hostile text; big-doc repetition detected") {
+    val rows = hostile.select(col("id"),
+      TextOps.dupNgramCharFracs(col("text"), Seq(5, 10)).as("f"))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    // NULL text → NULL array; everything else defined and in [0, 1]
+    assert(rows(1L).isNullAt(1))
+    rows.values.filterNot(_.isNullAt(1)).foreach { r =>
+      r.getSeq[Double](1).foreach(v =>
+        assert(v >= 0.0 && v <= 1.0, s"frac out of bounds: $v (id=${r.getLong(0)})"))
+    }
+    // the pathological repeated doc is near-totally covered at n=5
+    assert(rows(8L).getSeq[Double](1).head > 0.9)
+    // tokenless whitespace (incl. \x0b) and single tokens score 0
+    assert(rows(4L).getSeq[Double](1) == Seq(0.0, 0.0))
+    assert(rows(11L).getSeq[Double](1) == Seq(0.0, 0.0))
+  }
+
   test("cleanText / redactPii: no-throw, idempotent, controls stripped") {
     val out = hostile.select(col("id"),
       TextOps.cleanText(col("text")).as("c1"),
