@@ -99,13 +99,14 @@ object Bench {
     // ones. Thresholds (tightened per the r18 verdict: a 5.68-load,
     // 1.68-cold/steady driver record measured 14% above the
     // idle-machine close of the SAME SHA yet reported
-    // contended_suspect=false): cold/steady > 1.5 (quiet ~1.4,
-    // r12-contended 3.5 — the band between 1.5 and 2.5 is exactly
-    // where r18's miss sat) or external 1-min load > cpus/8 at start
-    // (5.68 > 4 flags; load AFTER is recorded but deliberately not a
-    // condition — the bench's own tail load sits near that line). A
-    // false positive costs one extra sweep and a conservative flag —
-    // far cheaper than a poisoned record passing as clean.
+    // contended_suspect=false): the extra-sweep TRIGGER fires at
+    // cold/steady > 1.5 or 1-min load > cpus/8 at start — a false
+    // trigger costs one extra sweep, cheap insurance. The RECORDED
+    // flag is computed separately below from the FINAL (min-of-all-
+    // sweeps) ratio at > 1.6 plus the load condition: a measured-idle
+    // run whose 2-sweep ratio grazes 1.5 (observed 1.49 final at load
+    // 0.93) must not ship labeled contended, while r18's miss (1.68
+    // at load 5.68) flags on both conditions.
     // SUCCESSFUL runs only: a fast-throwing failed query contributes a
     // near-zero steady time that would inflate the cold/steady ratio and
     // trigger (or mask) the extra sweep on failure noise, not load
@@ -149,11 +150,16 @@ object Bench {
     val totalCold = results.map(_._2).sum
     val failed = results.filter(_._4).map("\"" + _._1 + "\"").mkString("[", ",", "]")
     val loadAfter = loadAvg1()
+    // the RECORDED flag (see the trigger comment above): final ratio
+    // after the extra sweep had its chance to repair the steady floor
+    val contendedFinal =
+      totalCold / math.max(total, 1e-3) > 1.6 ||
+        loadBefore > cpus.toDouble / 8
     val loadPart =
       s""""load_avg_before":${r3(loadBefore)},"load_avg_after":${r3(loadAfter)},""" +
         s""""cpu_anchor_ms":${r3(anchorMs)},""" +
         s""""cold_steady_ratio":${r3(totalCold / math.max(total, 1e-3))},""" +
-        s""""contended_suspect":$contendedSuspect,"extra_sweeps":${s3.size},"""
+        s""""contended_suspect":$contendedFinal,"extra_sweeps":${s3.size},"""
     val line = s"""{"metric":"total","value":${r3(total)},"unit":"sec","timing":"steady-state (min across interleaved sweeps 2-3${if (s3.nonEmpty) "+extra" else ""}); per-query cold on stderr","total_cold":${r3(totalCold)},"failed":$failed,$loadPart"sf":"$sfDir","queries":$steadyObj}"""
     try java.nio.file.Files.writeString(java.nio.file.Path.of("BENCH_LOCAL.json"), line + "\n")
     catch { case e: Exception => System.err.println(s"[bench] BENCH_LOCAL.json write failed: $e") }
