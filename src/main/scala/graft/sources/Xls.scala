@@ -522,7 +522,15 @@ private[sources] object XlsFormula {
       (if (rowRel) "" else "$") + (rw + 1)
   }
 
-  def decompile(rgce: Array[Byte]): String = {
+  def decompile(rgce: Array[Byte]): String =
+    try decompile0(rgce)
+    catch {
+      case _: java.nio.BufferUnderflowException =>
+        throw new IllegalArgumentException(
+          "xls formula: truncated token stream (operand runs past cce)")
+    }
+
+  private def decompile0(rgce: Array[Byte]): String = {
     val b = java.nio.ByteBuffer.wrap(rgce).order(java.nio.ByteOrder.LITTLE_ENDIAN)
     val stack = scala.collection.mutable.Stack.empty[String]
     def pop(): String = {

@@ -179,6 +179,53 @@ class ExprFuzzSpec extends AnyFunSuite {
       similarityExprs.jaccard_sim)
   }
 
+  test("dup_ngram_char_fracs: interpreted == codegen over random token arrays") {
+    // randWord mixes multibyte and astral chars, so the char-offset
+    // arithmetic (numChars, not UTF-16 units) is under the fuzz; a
+    // tiny vocab arm forces heavy duplication so the union walk sees
+    // real overlapping/adjacent islands
+    val tiny = Vector("a", "bb", "c")
+    val arrays: Seq[Seq[String]] =
+      Seq(null, Seq.empty[String], Seq(""), Seq("solo")) ++
+        (0 until 150).map(_ => randTokens()) ++
+        (0 until 150).map(_ =>
+          Seq.fill(1 + rnd.nextInt(30))(tiny(rnd.nextInt(tiny.size))))
+    val df = arrays.toDF("x")
+    val lits = arrays.map(strsLit)
+    sweep1("dup_ngram_char_fracs(2,3,5)", df, lits,
+      spanExprs.dup_ngram_char_fracs(_, Seq(2, 3, 5)))
+    sweep1("dup_ngram_char_fracs(7)", df, lits,
+      spanExprs.dup_ngram_char_fracs(_, Seq(7)))
+    // NULL token element throws (both paths) — the non-null contract
+    val bad = Seq(Seq("a", null, "b")).toDF("x")
+    val e = intercept[Exception](
+      bad.select(spanExprs.dup_ngram_char_fracs(col("x"), Seq(2))).collect())
+    assert(e.getMessage.contains("NULL token") ||
+      Option(e.getCause).exists(_.getMessage.contains("NULL token")))
+  }
+
+  test("lenient_simple_date: interpreted == codegen over date-ish strings") {
+    def randDateish(): String = {
+      val kind = rnd.nextInt(6)
+      val y = 1900 + rnd.nextInt(300)
+      val m = rnd.nextInt(40) // deliberately often out of range
+      val d = rnd.nextInt(80)
+      kind match {
+        case 0 => f"$y%04d-$m%02d-$d%02d"
+        case 1 => f"$y%04d-$m%02d-$d%02d${randWord()}" // trailing garbage
+        case 2 => f"$m%02d/$d%02d/$y%04d" // wrong format → fallback/null
+        case 3 => randWord()
+        case 4 => ""
+        case _ => f"$y%04d-$m%d-$d%d" // unpadded fields
+      }
+    }
+    val texts: Seq[String] = Seq(null, "", "2020-01-01") ++
+      (0 until 300).map(_ => randDateish())
+    val df = texts.toDF("x")
+    sweep1("lenient_simple_date", df, texts.map(strLit),
+      dateExprs.lenient_simple_date(_, Seq("yyyy-MM-dd", "MM/dd/yyyy")))
+  }
+
   // ---------- numeric-array expressions ----------
 
   test("vector expressions: cosine_sim / sign_lsh_sig / sig_agreement / hamming_dist") {

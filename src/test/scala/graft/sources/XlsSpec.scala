@@ -187,4 +187,22 @@ class XlsSpec extends AnyFunSuite {
       d(Array[Byte](0x23, 0, 0, 0, 0)))
     assert(e.getMessage.contains("0x23"))
   }
+
+  test("XlsFormula.decompile: hostile token streams return or throw IllegalArgument, fast") {
+    // random rgce bytes: every outcome must be a string or a LOUD
+    // IllegalArgumentException (unsupported token, truncation, stack
+    // underflow/leftovers) — never another exception type, never a
+    // hang. 2000 streams bound the walk behavior, not just one case.
+    val rnd = new scala.util.Random(19)
+    var ok = 0
+    var rejected = 0
+    (0 until 2000).foreach { _ =>
+      val bytes = new Array[Byte](rnd.nextInt(40))
+      rnd.nextBytes(bytes)
+      try { XlsFormula.decompile(bytes); ok += 1 }
+      catch { case _: IllegalArgumentException => rejected += 1 }
+    }
+    assert(ok + rejected == 2000)
+    assert(rejected > 0, "fuzz produced no rejects — streams too tame")
+  }
 }
