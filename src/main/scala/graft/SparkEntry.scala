@@ -806,6 +806,43 @@ object SparkEntry {
         .toDF
     },
 
+    "q_ssh_roundtrip" -> { (s, dir) =>
+      // the SSH/SFTP family under the hard gate (the q_http_roundtrip
+      // discipline): nation lands as one small file per row in a
+      // local "remote" tree, Ssh.fetchMany pulls every file through
+      // the REAL OpenSSH client (sftp -D against the shipped loopback
+      // SFTP v3 fixture — no sshd, no network), and the parsed
+      // contents must reproduce the original table bit-for-bit. A
+      // single failed fetch surfaces as a missing/odd row and breaks
+      // the count/hash.
+      import s.implicits._
+      val rows = t(s, dir, "nation")
+        .select("n_nationkey", "n_name", "n_regionkey").collect()
+        .filter(!_.isNullAt(0))
+      require(rows.length <= 1000, "ssh gate expects the fixed-size nation table")
+      val remote = java.nio.file.Files.createTempDirectory("graft-ssh-gate")
+      val paths = rows.toSeq.map { r =>
+        val key = r.getAs[Number](0).longValue
+        val f = remote.resolve(s"n$key.csv")
+        java.nio.file.Files.writeString(f,
+          s"${Option(r.get(1)).orNull},${Option(r.get(2)).orNull}")
+        (key, f.toString)
+      }
+      val df = paths.toDF("n_nationkey", "remote_path")
+      sources.Ssh.fetchMany(df, "remote_path",
+        sources.Ssh.ssh("127.0.0.1")
+          .withExtraArgs("-D", sources.SftpFixture.serverCommand()),
+        parallelism = 4)
+        .toDF
+        .filter(col("error").isNull)
+        .select(col("n_nationkey").cast("int").as("n_nationkey"),
+          split(decode(col("content"), "UTF-8"), ",", 2).as("__p__"))
+        .select(col("n_nationkey"),
+          element_at(col("__p__"), 1).as("n_name"),
+          element_at(col("__p__"), 2).cast("int").as("n_regionkey"))
+        .orderBy("n_nationkey")
+    },
+
     "q_asdate_lenient" -> { (s, dir) =>
       // the reference's EXACT SimpleDateFormat-lenient semantics
       // (asDateLenient): out-of-range month/day fields ROLL and
@@ -5033,6 +5070,12 @@ ORDER BY doc_id"""
         |p AS (SELECT try_strptime(od_s, '%Y-%m-%d') AS od_s FROM t
         |      WHERE od_s IS NULL OR trim(od_s) = '' OR try_strptime(od_s, '%Y-%m-%d') IS NOT NULL)
         |SELECT count(*) AS n_loaded, min(od_s) AS min_d, max(od_s) AS max_d FROM p""".stripMargin,
+
+    // the round-tripped remote files must reproduce nation exactly
+    "q_ssh_roundtrip" ->
+      """SELECT n_nationkey, n_name, n_regionkey FROM nation
+        |WHERE n_nationkey IS NOT NULL
+        |ORDER BY n_nationkey""".stripMargin,
 
     // Calendar's lenient normalization computed closed-form — no
     // parsing on the oracle side at all (see the gate comment)

@@ -87,24 +87,20 @@ final case class SshSource(
       extraArgs ++ Seq(target)
   }
 
-  /** Run the transfer and wrap the fetched files as a [[Pipeline]]. */
-  def into(spark: SparkSession): Pipeline = {
-    require(paths.nonEmpty, "SshSource: no paths to download — call download(...)")
-    paths.foreach(p => require(!p.contains("\""),
-      s"SshSource: path contains a double quote (unsupported in sftp batch): $p"))
-    val staging = Files.createTempDirectory("graft-ssh")
-    val norm = paths.map(_.stripSuffix("/"))
-    val batch = norm.zipWithIndex
-      .map { case (p, i) => s"""get -R "$p" "$staging/k$i"""" }
-      .mkString("", "\n", "\n")
-    val batchFile = Files.writeString(staging.resolve("batch"), batch)
-
+  /** Run one sftp process for `batchFile` (used on the driver by
+    * [[into]] and on EXECUTORS by [[Ssh.fetchMany]] — the case class
+    * ships whole). `failOnExit = false` is the lenient per-row mode:
+    * the batch's `-get` lines already ignore per-file failures, and
+    * the caller reconciles which paths landed. Returns the combined
+    * output for error reporting. */
+  private[sources] def runSftp(
+      batchFile: Path, scratch: Path, failOnExit: Boolean): String = {
     val pb = new ProcessBuilder(command(batchFile): _*)
     pb.redirectErrorStream(true)
     val askpass = password.map { pw =>
       // OpenSSH's non-interactive password hook: a transient helper
       // that prints the secret, forced via SSH_ASKPASS_REQUIRE
-      val script = staging.resolve("askpass.sh")
+      val script = scratch.resolve(s"askpass-${System.nanoTime()}.sh")
       Files.writeString(script, s"#!/bin/sh\nprintf '%s' '${pw.replace("'", "'\\''")}'\n")
       script.toFile.setExecutable(true, true)
       script.toFile.setReadable(false, false)
@@ -120,10 +116,26 @@ final case class SshSource(
       val output = new String(proc.getInputStream.readAllBytes(),
         java.nio.charset.StandardCharsets.UTF_8)
       val code = proc.waitFor()
-      if (code != 0)
+      if (code != 0 && failOnExit)
         throw new IllegalStateException(
           s"SshSource: sftp exited $code for $host:$port\n${output.takeRight(2000)}")
+      output
     } finally askpass.foreach(Files.deleteIfExists(_))
+  }
+
+  /** Run the transfer and wrap the fetched files as a [[Pipeline]]. */
+  def into(spark: SparkSession): Pipeline = {
+    require(paths.nonEmpty, "SshSource: no paths to download — call download(...)")
+    paths.foreach(p => require(!p.contains("\""),
+      s"SshSource: path contains a double quote (unsupported in sftp batch): $p"))
+    val staging = Files.createTempDirectory("graft-ssh")
+    val norm = paths.map(_.stripSuffix("/"))
+    val batch = norm.zipWithIndex
+      .map { case (p, i) => s"""get -R "$p" "$staging/k$i"""" }
+      .mkString("", "\n", "\n")
+    val batchFile = Files.writeString(staging.resolve("batch"), batch)
+
+    runSftp(batchFile, staging, failOnExit = true)
     Files.deleteIfExists(batchFile)
 
     // staged tree → rows, read DISTRIBUTED; local staged paths map
@@ -149,8 +161,100 @@ final case class SshSource(
   }
 }
 
+/** The loopback SFTP fixture behind the ssh gates and specs — the
+  * analogue of `com.sun.net.httpserver` for the HTTP gates, which the
+  * JDK does not provide for SFTP: a protocol-faithful read-only SFTP
+  * v3 server over stdio (`TestSftpServer.java`, shipped as a
+  * resource, run via JDK single-file source mode), which the REAL
+  * OpenSSH client connects to through its `-D` direct-server flag —
+  * so the wire bytes on the client side of every gate/spec are
+  * openssh's own, with no network or sshd needed. */
+object SftpFixture {
+  /** Extract the server source to a temp file and return the `-D`
+    * command line that runs it. */
+  def serverCommand(): String = {
+    val in = getClass.getResourceAsStream("/TestSftpServer.java")
+    require(in != null, "TestSftpServer.java resource missing")
+    val dir = Files.createTempDirectory("graft-sftp-fixture")
+    val f = dir.resolve("TestSftpServer.java")
+    try Files.copy(in, f, java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    finally in.close()
+    s"java $f"
+  }
+}
+
 object Ssh {
   /** Reference `SshSource.ssh(remoteHost, port)`. */
   def ssh(remoteHost: String, port: Int = 22): SshSource =
     SshSource(remoteHost, port)
+
+  /** Distributed per-row SFTP fetch — [[graft.sources.Http.requestMany]]'s
+    * shape for remote file drops, and the scale-out form of
+    * [[SshSource.into]]: `df` carries a remote FILE path per row; rows
+    * round-robin across `parallelism` tasks; each task drives ONE sftp
+    * process for its whole partition (one connection, one batch file —
+    * never a process per row), and each row gains `content` (the
+    * fetched bytes) and `error` (NULL on success). Fetching is
+    * crawl-grade LENIENT per row: batch lines use sftp's `-` prefix so
+    * a missing remote file marks its own row's `error` instead of
+    * killing the partition — one bad path in a million can't kill the
+    * ingest. NULL paths pass through with an error marker. Auth /
+    * host-key / extra-arg config rides a [[SshSource]] built with the
+    * same fluent verbs (`download` paths on it are ignored — the
+    * DataFrame is the path source here).
+    *
+    * Scale shape: the exchange below moves only the (small) path
+    * rows (`repartition`, not `coalesce` — the requestMany lesson:
+    * coalesce would throttle the whole upstream plan to `parallelism`
+    * tasks), connection count is exactly `parallelism`, and content
+    * bytes materialize straight into each task's rows — no driver
+    * staging, no shared filesystem needed. */
+  def fetchMany(
+      df: org.apache.spark.sql.DataFrame, pathCol: String,
+      config: SshSource, parallelism: Int = 8): Pipeline = {
+    require(parallelism >= 1, s"parallelism must be >= 1, got $parallelism")
+    Seq("content", "error").foreach(c =>
+      require(!df.columns.contains(c), s"input already has a column named $c"))
+    val pathIdx = df.schema.fieldIndex(pathCol)
+    val cfg = config
+    val outSchema = df.schema
+      .add("content", org.apache.spark.sql.types.BinaryType)
+      .add("error", org.apache.spark.sql.types.StringType)
+    val out = df.repartition(parallelism).mapPartitions { it =>
+      val rows = it.toVector
+      if (rows.isEmpty) Iterator.empty
+      else {
+        val scratch = Files.createTempDirectory("graft-ssh-many")
+        val fetchable = rows.zipWithIndex.filter { case (r, _) =>
+          !r.isNullAt(pathIdx) && !r.getString(pathIdx).contains("\"")
+        }
+        val batch = fetchable.map { case (r, i) =>
+          s"""-get "${r.getString(pathIdx)}" "$scratch/f$i""""
+        }.mkString("", "\n", "\n")
+        val batchFile = Files.writeString(scratch.resolve("batch"), batch)
+        val output =
+          if (fetchable.isEmpty) ""
+          else cfg.runSftp(batchFile, scratch, failOnExit = false)
+        Files.deleteIfExists(batchFile)
+        rows.zipWithIndex.iterator.map { case (r, i) =>
+          val extra: Seq[Any] =
+            if (r.isNullAt(pathIdx)) Seq(null, "null path")
+            else if (r.getString(pathIdx).contains("\""))
+              Seq(null, "path contains a double quote (unsupported in sftp batch)")
+            else {
+              val f = scratch.resolve(s"f$i")
+              if (Files.isRegularFile(f)) {
+                val bytes = Files.readAllBytes(f)
+                Files.deleteIfExists(f)
+                Seq(bytes, null)
+              } else Seq(null,
+                s"not fetched: ${r.getString(pathIdx)} " +
+                  s"(sftp tail: ${output.takeRight(200).replace('\n', ' ')})")
+            }
+          org.apache.spark.sql.Row.fromSeq(r.toSeq ++ extra)
+        }
+      }
+    }(org.apache.spark.sql.Encoders.row(outSchema))
+    Pipeline.of(s"sshMany(${cfg.host}:${cfg.port})", out)
+  }
 }

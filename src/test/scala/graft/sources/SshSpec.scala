@@ -23,11 +23,7 @@ class SshSpec extends AnyFunSuite {
     .config("spark.ui.enabled", "false")
     .getOrCreate()
 
-  private def serverCmd: String = {
-    val src = getClass.getResource("/TestSftpServer.java")
-    assume(src != null, "TestSftpServer.java resource missing")
-    s"java ${src.getPath}"
-  }
+  private def serverCmd: String = SftpFixture.serverCommand()
 
   private def fixtureRoot: Path = {
     val root = Files.createTempDirectory("graft-ssh-fixture")
@@ -89,6 +85,31 @@ class SshSpec extends AnyFunSuite {
     val pw = Ssh.ssh("h").authPass("u", "s3cret").command(batch)
     assert(!pw.containsSlice(Seq("-o", "BatchMode=yes")))
     assert(pw.last == "u@h")
+  }
+
+  test("fetchMany: distributed per-row fetch — content lands, bad rows mark errors, job survives") {
+    import spark.implicits._
+    val root = fixtureRoot
+    val paths = Seq(
+      s"$root/data/people.csv",
+      s"$root/data/sub/note.txt",
+      s"$root/no-such-file",       // lenient: marks its own row only
+      null.asInstanceOf[String],   // null path passes through
+      s"$root/solo.bin")
+    val df = paths.zipWithIndex.map { case (p, i) => (i.toLong, p) }
+      .toDF("id", "remote_path")
+    val out = Ssh.fetchMany(df, "remote_path",
+      Ssh.ssh("example.test").withExtraArgs("-D", serverCmd),
+      parallelism = 3)
+      .toDF.collect().map(r => r.getLong(0) ->
+        (r.getAs[Array[Byte]]("content"), r.getAs[String]("error"))).toMap
+    assert(out.size == 5)
+    assert(new String(out(0L)._1) == "id,name\n1,alpha\n2,beta\n" && out(0L)._2 == null)
+    assert(new String(out(1L)._1) == "hello world\n" && out(1L)._2 == null)
+    assert(out(4L)._1.toSeq == Seq[Byte](0, 1, 2, -1))
+    // the missing file marks ITS row; the partition's other rows land
+    assert(out(2L)._1 == null && out(2L)._2.contains("not fetched"))
+    assert(out(3L)._1 == null && out(3L)._2 == "null path")
   }
 
   test("missing remote path and quoted-path guard fail loudly") {
