@@ -35,7 +35,7 @@ import org.apache.spark.sql.SparkSession
   * Covers the heavy dedup set plus the ANN / pack / exact-dedup
   * families (documents + embeddings only — the tables ScaleCorpus
   * replicates). Output: one JSON line to stdout and
-  * BENCH_SCALE_r19.json in the working directory.
+  * BENCH_SCALE_r20.json in the working directory.
   *
   * Usage: BenchScaleTwoDecades [loDir midDir hiDir xhiDir]  (defaults:
   * /root/testdata/sf0.01, /root/testdata/sf0.1, /tmp/graft-sf1,
@@ -282,9 +282,22 @@ object BenchScaleTwoDecades {
             nPlanes = planPlanes, rowsPerBand = planRows, threshold = 0.7) +
             ("n_planes" -> planPlanes.toLong) +
             ("rows_per_band" -> planRows.toLong)
+          // the r19 watch item (q_dedup_semantic hi→xhi oscillates
+          // 0.63↔0.98 between same-code runs at equal candidate
+          // volumes): the semantic CANDIDATE-VOLUME split repeated in
+          // the SAME process at hi/xhi — semantic_auto already carries
+          // the volume fields (assignments, cells, candidate_pairs,
+          // emitted_pairs) per dir; this repeat must reproduce them
+          // EXACTLY (the auto plan is deterministic), so the slope
+          // band attributes to timing variance on a fixed plan, the
+          // same discipline lsh_auto got in r19.
+          val seAuto2 = ops.ScaleStats.semantic(emb, "vec_id", "embedding",
+            threshold = 0.4, nCells = autoCells, replication = 2) +
+            ("n_cells" -> autoCells.toLong)
           s""","cluster":${jmap(cl)},"cluster_distributed":${jmap(clDist)},""" +
             s""""semantic_auto_phases":${jmap(ph)},""" +
             s""""semantic_auto_phases_repeat":${jmap(ph2)},""" +
+            s""""semantic_auto_repeat":${jmap(seAuto2)},""" +
             s""""cross":${jmap(cr)},"cross_repeat":${jmap(cr2)},""" +
             s""""lsh_auto_repeat":${jmap(lsAuto2)}"""
         }
@@ -326,7 +339,7 @@ object BenchScaleTwoDecades {
       s""""synthetic_hi":true,"xhi_replicas":26,"queries":{${entries.mkString(",")}},""" +
       s""""attribution":$attribution}"""
     try java.nio.file.Files.writeString(
-      java.nio.file.Path.of("BENCH_SCALE_r19.json"), line + "\n")
+      java.nio.file.Path.of("BENCH_SCALE_r20.json"), line + "\n")
     catch { case e: Exception => System.err.println(s"[bench-scale2] write failed: $e") }
     println(line)
     spark.stop()

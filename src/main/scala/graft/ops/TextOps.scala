@@ -427,6 +427,8 @@ object TextOps {
         Seq(0.15, 0.14, 0.13, 0.12, 0.11, 0.10)): org.apache.spark.sql.DataFrame = {
     val topNs = Seq(2, 3, 4)
     val dupNs = 5 to 10
+    require(!df.columns.contains("__f__"),
+      "input already has a column named __f__")
     require(maxTopGramCharFrac.length == topNs.length,
       s"maxTopGramCharFrac must give one threshold per n in $topNs")
     require(maxDupGramCharFrac.length == dupNs.length,

@@ -294,6 +294,11 @@ private[graft] object XlsParser {
     val xfFmt = Vector.newBuilder[Int]
     val customDateFmt = scala.collection.mutable.Set.empty[Int]
     val sheets = Vector.newBuilder[(String, Int)] // (name, stream offset)
+    // formula-text context: SUPBOOK/EXTERNSHEET give 3-D refs their
+    // sheet spans, LBL gives tName its texts (all workbook globals)
+    val xtis = Vector.newBuilder[(Int, Int, Int)]
+    val supbooks = Vector.newBuilder[Boolean]
+    val lblNames = Vector.newBuilder[String]
     var date1904 = false
     recs.zipWithIndex.takeWhile { case (r, i) => i == 0 || r.id != 0x0809 || {
       // stop at the first sheet BOF (records before it are the globals)
@@ -314,6 +319,29 @@ private[graft] object XlsParser {
             else new String((0 until cch).map(j => (r.data(8 + j) & 0xFF).toChar).toArray)
           sheets += name -> pos
         case 0x22 => date1904 = (r.data(0) & 0xFF) == 1
+        case 0x1AE => // SUPBOOK: 4-byte 0x0401 marker = this workbook
+          supbooks += (r.data.length == 4 &&
+            ((r.data(2) & 0xFF) | ((r.data(3) & 0xFF) << 8)) == 0x0401)
+        case 0x17 => // EXTERNSHEET: cXTI × (iSupBook, itabFirst, itabLast)
+          val b = le(r.data)
+          val n = b.getShort(0) & 0xFFFF
+          (0 until math.min(n, (r.data.length - 2) / 6)).foreach { k =>
+            xtis += ((b.getShort(2 + k * 6) & 0xFFFF,
+              b.getShort(4 + k * 6).toInt, b.getShort(6 + k * 6).toInt))
+          }
+        case 0x18 => // LBL (defined name); builtins render by spec name
+          val grbit = (r.data(0) & 0xFF) | ((r.data(1) & 0xFF) << 8)
+          val cch = r.data(3) & 0xFF
+          val high = (r.data(14) & 1) == 1
+          val raw =
+            if (high) new String(r.data, 15, cch * 2,
+              java.nio.charset.StandardCharsets.UTF_16LE)
+            else new String((0 until cch).map(j => (r.data(15 + j) & 0xFF).toChar).toArray)
+          lblNames += (if ((grbit & 0x20) != 0)
+            XlsFormula.builtinNames.getOrElse(
+              raw.headOption.map(_.toInt).getOrElse(-1),
+              s"_Builtin${raw.headOption.map(_.toInt).getOrElse(-1)}")
+          else raw)
         case 0x2F => throw new IllegalArgumentException(
           "encrypted xls workbooks are unsupported (FILEPASS)")
         case _ => ()
@@ -334,6 +362,8 @@ private[graft] object XlsParser {
 
     val allSheets = sheets.result()
     if (allSheets.isEmpty) throw new IllegalArgumentException("workbook has no sheets")
+    val fctx = XlsFormula.Ctx(allSheets.map(_._1),
+      xtis.result(), supbooks.result(), lblNames.result())
     val chosen = Option(sheetName) match {
       case Some(n) => allSheets.find(_._1 == n).getOrElse(
         throw new IllegalArgumentException(
@@ -388,7 +418,7 @@ private[graft] object XlsParser {
             // pendingFormula is armed) is ignored
             val cce = b.getShort(20) & 0xFFFF
             put(row, col, XlsFormula.decompile(
-              java.util.Arrays.copyOfRange(r.data, 22, 22 + cce)))
+              java.util.Arrays.copyOfRange(r.data, 22, 22 + cce), fctx))
           } else if ((b.getShort(12) & 0xFFFF) == 0xFFFF) {
             (r.data(6) & 0xFF) match {
               case 0 => pendingFormula = Some((row, col)) // string follows
@@ -452,13 +482,37 @@ private[graft] object XlsParser {
   * (int/num/str/bool/err/missing-arg), same-sheet cell and area
   * references with absolute/relative anchors, deleted-ref errors,
   * fixed- and variable-arity builtin calls (the common Ftab subset),
-  * and the tAttr family (SUM shorthand rendered as SUM(..), jump/
-  * space attrs skipped). Unsupported tokens — 3-D references, defined
-  * names, array constants, shared-formula stubs, exotic Ftab ids —
-  * FAIL LOUDLY with the token id: a token's operand width cannot be
-  * guessed, and a wrong guess would silently corrupt every later cell
-  * in the stream. */
+  * the tAttr family (SUM shorthand rendered as SUM(..), jump/
+  * space attrs skipped), and — round 20, via the workbook [[Ctx]]
+  * (BOUNDSHEET + SUPBOOK + EXTERNSHEET + LBL plumbing) — 3-D cell/
+  * area references (`Sheet2!A1`, `'My Sheet'!A1:B3`,
+  * `Sheet1:Sheet3!A1`, deleted-sheet `#REF!`) and defined names
+  * (tName/tNameX against the workbook's LBL table, builtin LBL ids
+  * rendered by their published names). Unsupported tokens —
+  * EXTERNAL-workbook 3-D refs, array constants, shared-formula
+  * stubs, exotic Ftab ids — FAIL LOUDLY with a named error: a
+  * token's operand width cannot be guessed, and a wrong guess would
+  * silently corrupt every later cell in the stream. */
 private[sources] object XlsFormula {
+
+  /** Workbook-global context a formula token stream resolves against:
+    * `sheets` in BOUNDSHEET order, `xti` = EXTERNSHEET entries
+    * (iSupBook, itabFirst, itabLast — itab < 0 means deleted/global),
+    * `supbookInternal(i)` = whether SUPBOOK i is the workbook's
+    * self-reference (the 0x0401 marker), `names` = LBL texts in
+    * record order (tName indices are 1-based into it). */
+  final case class Ctx(
+      sheets: Vector[String], xti: Vector[(Int, Int, Int)],
+      supbookInternal: Vector[Boolean], names: Vector[String])
+  val emptyCtx: Ctx = Ctx(Vector.empty, Vector.empty, Vector.empty, Vector.empty)
+
+  /** The published builtin LBL ids (MS-XLS 2.4.150 fBuiltin). */
+  private[sources] val builtinNames = Map(
+    0 -> "Consolidate_Area", 1 -> "Auto_Open", 2 -> "Auto_Close",
+    3 -> "Extract", 4 -> "Database", 5 -> "Criteria", 6 -> "Print_Area",
+    7 -> "Print_Titles", 8 -> "Recorder", 9 -> "Data_Form",
+    10 -> "Auto_Activate", 11 -> "Auto_Deactivate", 12 -> "Sheet_Title",
+    13 -> "_FilterDatabase")
 
   private val errText = Map(
     0x00 -> "#NULL!", 0x07 -> "#DIV/0!", 0x0F -> "#VALUE!",
@@ -522,15 +576,27 @@ private[sources] object XlsFormula {
       (if (rowRel) "" else "$") + (rw + 1)
   }
 
-  def decompile(rgce: Array[Byte]): String =
-    try decompile0(rgce)
+  def decompile(rgce: Array[Byte]): String = decompile(rgce, emptyCtx)
+
+  def decompile(rgce: Array[Byte], ctx: Ctx): String =
+    try decompile0(rgce, ctx)
     catch {
       case _: java.nio.BufferUnderflowException =>
         throw new IllegalArgumentException(
           "xls formula: truncated token stream (operand runs past cce)")
     }
 
-  private def decompile0(rgce: Array[Byte]): String = {
+  /** Excel quotes a sheet name in references unless it is a plain
+    * identifier (letters/digits/underscore, not digit-led). */
+  private def quoteSheets(first: String, last: Option[String]): String = {
+    val body = last.filter(_ != first).map(l => s"$first:$l").getOrElse(first)
+    val plain = (s: String) =>
+      s.nonEmpty && !s.head.isDigit && s.forall(c => c.isLetterOrDigit || c == '_')
+    if (plain(first) && last.forall(plain)) body
+    else "'" + body.replace("'", "''") + "'"
+  }
+
+  private def decompile0(rgce: Array[Byte], ctx: Ctx): String = {
     val b = java.nio.ByteBuffer.wrap(rgce).order(java.nio.ByteOrder.LITTLE_ENDIAN)
     val stack = scala.collection.mutable.Stack.empty[String]
     def pop(): String = {
@@ -541,6 +607,28 @@ private[sources] object XlsFormula {
       val args = List.fill(n)(pop()).reverse
       stack.push(args.mkString(s"$name(", ",", ")"))
     }
+    // XTI index → "Sheet2!" / "'My Sheet:Other'!" / "#REF!" prefix;
+    // EXTERNAL-workbook supbooks fail loudly (rendering them needs the
+    // other workbook's path — outside this decompiler's contract)
+    def sheetPrefix(ixti: Int): String = {
+      val (iSup, first, last) = ctx.xti.lift(ixti).getOrElse(
+        throw new IllegalArgumentException(
+          s"xls formula: 3-D reference to undefined EXTERNSHEET entry $ixti"))
+      if (!ctx.supbookInternal.lift(iSup).getOrElse(false))
+        throw new IllegalArgumentException(
+          "xls formula: external-workbook 3-D reference is not " +
+            "decompiled (SUPBOOK is another workbook); read this " +
+            "workbook with outputFormulaValues = true instead")
+      if (first < 0 || first >= ctx.sheets.length) "#REF!"
+      else quoteSheets(ctx.sheets(first),
+        if (last != first && last >= 0 && last < ctx.sheets.length)
+          Some(ctx.sheets(last)) else None) + "!"
+    }
+    def nameText(index1: Int): String =
+      ctx.names.lift(index1 - 1).getOrElse(
+        throw new IllegalArgumentException(
+          s"xls formula: reference to undefined name index $index1 " +
+            s"(workbook has ${ctx.names.length} LBL records)"))
     while (b.hasRemaining) {
       val ptg = b.get() & 0xFF
       val base = if (ptg >= 0x20) 0x20 + ((ptg - 0x20) & 0x1F) else ptg
@@ -604,13 +692,58 @@ private[sources] object XlsFormula {
           val c1 = b.getShort() & 0xFFFF
           val c2 = b.getShort() & 0xFFFF
           stack.push(cellRef(rw1, c1) + ":" + cellRef(rw2, c2))
+        case 0x23 => // tName: 1-based LBL index + 2 reserved bytes
+          val idx = b.getShort() & 0xFFFF
+          b.getShort()
+          stack.push(nameText(idx))
+        case 0x39 => // tNameX: XTI + 1-based name index + 2 reserved
+          val ixti = b.getShort() & 0xFFFF
+          val idx = b.getShort() & 0xFFFF
+          b.getShort()
+          val iSup = ctx.xti.lift(ixti).map(_._1).getOrElse(
+            throw new IllegalArgumentException(
+              s"xls formula: tNameX against undefined EXTERNSHEET entry $ixti"))
+          if (!ctx.supbookInternal.lift(iSup).getOrElse(false))
+            throw new IllegalArgumentException(
+              "xls formula: external-workbook name (tNameX) is not " +
+                "decompiled; read with outputFormulaValues = true instead")
+          stack.push(nameText(idx))
+        case 0x3A => // tRef3d: XTI + RgceLoc
+          val ixti = b.getShort() & 0xFFFF
+          val rw = b.getShort() & 0xFFFF
+          stack.push(sheetPrefix(ixti) + cellRef(rw, b.getShort() & 0xFFFF))
+        case 0x3B => // tArea3d: XTI + RgceArea
+          val ixti = b.getShort() & 0xFFFF
+          val rw1 = b.getShort() & 0xFFFF
+          val rw2 = b.getShort() & 0xFFFF
+          val c1 = b.getShort() & 0xFFFF
+          val c2 = b.getShort() & 0xFFFF
+          stack.push(sheetPrefix(ixti) + cellRef(rw1, c1) + ":" + cellRef(rw2, c2))
+        case 0x3C => // tRefErr3d: sheet prefix survives, the loc is dead
+          val p = sheetPrefix(b.getShort() & 0xFFFF)
+          b.position(b.position() + 4)
+          stack.push((if (p == "#REF!") "" else p) + "#REF!")
+        case 0x3D => // tAreaErr3d
+          val p = sheetPrefix(b.getShort() & 0xFFFF)
+          b.position(b.position() + 8)
+          stack.push((if (p == "#REF!") "" else p) + "#REF!")
         case 0x2A => b.position(b.position() + 4); stack.push("#REF!")
         case 0x2B => b.position(b.position() + 8); stack.push("#REF!")
+        case 0x01 => throw new IllegalArgumentException(
+          "xls formula: shared-formula stub (tExp) — the cell points at " +
+            "a SHRFMLA master this decompiler does not dereference; read " +
+            "this workbook with outputFormulaValues = true instead")
+        case 0x02 => throw new IllegalArgumentException(
+          "xls formula: data-table stub (tTbl) is not decompiled; read " +
+            "this workbook with outputFormulaValues = true instead")
+        case 0x20 => throw new IllegalArgumentException(
+          "xls formula: array constant (tArray) is not decompiled (its " +
+            "values live past the rgce in rgcb); read this workbook " +
+            "with outputFormulaValues = true instead")
         case other => throw new IllegalArgumentException(
-          f"xls formula: unsupported token 0x$other%02X — 3-D refs, " +
-            "defined names, array constants and shared-formula stubs " +
-            "are not decompiled (a wrong operand width would corrupt " +
-            "every later token); read this workbook with " +
+          f"xls formula: unsupported token 0x$other%02X — exotic " +
+            "operand tokens are not decompiled (a wrong operand width " +
+            "would corrupt every later token); read this workbook with " +
             "outputFormulaValues = true instead")
       }
     }

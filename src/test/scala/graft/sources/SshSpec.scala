@@ -124,4 +124,79 @@ class SshSpec extends AnyFunSuite {
       Ssh.ssh("h").download("/path/with\"quote").into(spark))
     intercept[IllegalArgumentException](Ssh.ssh("h").into(spark))
   }
+
+  test("batch-injection guard: control-character paths are rejected, never executed") {
+    import spark.implicits._
+    val root = fixtureRoot
+    val nonce = s"graft-pwned-${System.nanoTime()}"
+    val marker = java.nio.file.Path.of(s"/tmp/$nonce")
+    // a crawl-supplied path that would line-split the sftp batch file
+    // and ride the `!` local-shell escape — the r19 injection vector
+    val hostile = s"""$root/x"\n!touch $marker\n"""
+    val cr = s"$root/y\rz"
+    val df = Seq(
+      (0L, s"$root/solo.bin"),      // clean row in the SAME partition
+      (1L, hostile),
+      (2L, cr),
+      (3L, s"$root/data/people.csv"))
+      .toDF("id", "remote_path")
+    val out = Ssh.fetchMany(df, "remote_path",
+      Ssh.ssh("example.test").withExtraArgs("-D", serverCmd),
+      parallelism = 1)
+      .toDF.collect().map(r => r.getLong(0) ->
+        (r.getAs[Array[Byte]]("content"), r.getAs[String]("error"))).toMap
+    // the injected command must NOT have run
+    assert(!Files.exists(marker), "sftp batch injection executed a local command")
+    // hostile rows carry error markers; content stays null
+    assert(out(1L)._1 == null && out(1L)._2.contains("control character"))
+    assert(out(2L)._1 == null && out(2L)._2.contains("control character"))
+    // clean rows in the same partition still fetch
+    assert(out(0L)._1.toSeq == Seq[Byte](0, 1, 2, -1) && out(0L)._2 == null)
+    assert(new String(out(3L)._1) == "id,name\n1,alpha\n2,beta\n" && out(3L)._2 == null)
+    // the driver-staged form REFUSES the same paths up front
+    val e = intercept[IllegalArgumentException](
+      Ssh.ssh("h").download(hostile).into(spark))
+    assert(e.getMessage.contains("control character"))
+    intercept[IllegalArgumentException](Ssh.ssh("h").download(cr).into(spark))
+  }
+
+  test("fetchMany sub-batches: batchSize=2 over 5 rows (>1 sftp round) — identical output") {
+    import spark.implicits._
+    val root = fixtureRoot
+    val paths = Seq(
+      s"$root/data/people.csv",
+      s"$root/data/sub/note.txt",
+      s"$root/no-such-file",
+      s"$root/solo.bin",
+      s"$root/data/people.csv")
+    val df = paths.zipWithIndex.map { case (p, i) => (i.toLong, p) }
+      .toDF("id", "remote_path")
+    def run(bs: Int) = Ssh.fetchMany(df, "remote_path",
+      Ssh.ssh("example.test").withExtraArgs("-D", serverCmd),
+      parallelism = 1, batchSize = bs)
+      .toDF.collect().map(r => r.getLong(0) ->
+        (Option(r.getAs[Array[Byte]]("content")).map(_.toSeq),
+          r.getAs[String]("error") == null)).toMap
+    // parallelism=1 puts all 5 rows in one partition; batchSize=2
+    // forces ceil(5/2)=3 sftp rounds against one round at 256 —
+    // staged bytes stay bounded by batchSize, output must not change
+    val chunked = run(2)
+    val whole = run(256)
+    assert(chunked == whole)
+    assert(chunked(0L)._1.get == "id,name\n1,alpha\n2,beta\n".getBytes.toSeq)
+    assert(chunked(2L)._2 == false) // lenient miss survives sub-batching
+    assert(chunked(4L)._1.get == chunked(0L)._1.get)
+  }
+
+  test("askpass helper is deleted on the sftp FAILURE path too") {
+    val scratch = Files.createTempDirectory("graft-askpass-spec")
+    val batch = Files.writeString(scratch.resolve("batch"), "get \"/nope\" \"/nope\"\n")
+    val cfg = Ssh.ssh("example.test").authPass("u", "s3cret")
+      .withExtraArgs("-D", serverCmd)
+    intercept[IllegalStateException](cfg.runSftp(batch, scratch, failOnExit = true))
+    import scala.jdk.CollectionConverters._
+    val leftover = Files.list(scratch).iterator().asScala
+      .filter(_.getFileName.toString.startsWith("askpass-")).toList
+    assert(leftover.isEmpty, s"askpass script leaked: $leftover")
+  }
 }

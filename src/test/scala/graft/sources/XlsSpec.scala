@@ -133,6 +133,54 @@ class XlsSpec extends AnyFunSuite {
       val sheet = bof(0x10) ++ cellRecs.flatten ++ eof
       StdFixture.cfb(Seq("Workbook" -> (globals ++ sheet)))
     }
+
+    // ---- 3-D / defined-name globals (MS-XLS 2.4.150/2.4.265/2.4.271)
+    def supbookSelf(ctab: Int): Array[Byte] =
+      rec(0x1AE, le(4).putShort(ctab.toShort).putShort(0x0401.toShort).array())
+    def externsheet(entries: (Int, Int, Int)*): Array[Byte] = {
+      val b = le(2 + entries.length * 6).putShort(entries.length.toShort)
+      entries.foreach { case (iSup, first, last) =>
+        b.putShort(iSup.toShort).putShort(first.toShort).putShort(last.toShort)
+      }
+      rec(0x17, b.array())
+    }
+    def lbl(name: String, builtin: Boolean = false): Array[Byte] = {
+      val chars = name.getBytes("ISO-8859-1")
+      val b = le(15 + chars.length)
+      b.putShort(if (builtin) 0x20.toShort else 0.toShort) // grbit
+      b.put(0.toByte).put(chars.length.toByte) // chKey, cch
+      b.putShort(0).putShort(0).putShort(0) // cce, reserved, itab
+      b.putInt(0) // 4 menu/description/help/status lengths
+      b.put(0.toByte).put(chars) // XLUnicodeStringNoCch, compressed
+      rec(0x18, b.array())
+    }
+    def tRef3d(ixti: Int, row: Int, c: Int): Array[Byte] =
+      le(7).put(0x5A.toByte).putShort(ixti.toShort)
+        .putShort(row.toShort).putShort((c | 0xC000).toShort).array()
+    def tArea3d(ixti: Int, r1: Int, r2: Int, c1: Int, c2: Int): Array[Byte] =
+      le(11).put(0x5B.toByte).putShort(ixti.toShort)
+        .putShort(r1.toShort).putShort(r2.toShort)
+        .putShort((c1 | 0xC000).toShort).putShort((c2 | 0xC000).toShort).array()
+    def tName(index1: Int): Array[Byte] =
+      le(5).put(0x43.toByte).putShort(index1.toShort).putShort(0).array()
+
+    /** Multi-sheet workbook with SUPBOOK/EXTERNSHEET/LBL globals:
+      * cellRecs land on the FIRST sheet; the second ("My Sheet") holds
+      * one number so 3-D refs have a real target. */
+    def workbook3d(lbls: Seq[Array[Byte]], xti: Seq[(Int, Int, Int)],
+        cellRecs: Array[Byte]*): Array[Byte] = {
+      val names = Seq("S", "My Sheet")
+      val fixed = bof(0x05) ++ supbookSelf(names.length) ++
+        externsheet(xti: _*) ++ lbls.flatten
+      val bsLen = names.map(n => 12 + n.length).sum
+      val globalsLen = fixed.length + bsLen + 4
+      val sheet1 = bof(0x10) ++ cellRecs.flatten ++ eof
+      val globals = fixed ++
+        boundsheet(globalsLen, names(0)) ++
+        boundsheet(globalsLen + sheet1.length, names(1)) ++ eof
+      val sheet2 = bof(0x10) ++ number(0, 0, 7) ++ eof
+      StdFixture.cfb(Seq("Workbook" -> (globals ++ sheet1 ++ sheet2)))
+    }
   }
 
   test("formula cells: cached values by default, formula text on outputFormulaValues=false") {
@@ -182,10 +230,66 @@ class XlsSpec extends AnyFunSuite {
     assert(d(Array[Byte](0x1C, 0x07)) == "#DIV/0!")
     // tAttrSum shorthand renders as SUM(..)
     assert(d(tArea(0, 4, 0, 0), Array[Byte](0x19, 0x10, 0, 0)) == "SUM(A1:A5)")
-    // unsupported token (tName) fails loudly, naming the token
-    val e = intercept[IllegalArgumentException](
-      d(Array[Byte](0x23, 0, 0, 0, 0)))
-    assert(e.getMessage.contains("0x23"))
+    // unsupported tokens fail loudly with NAMED errors
+    val e = intercept[IllegalArgumentException](d(Array[Byte](0x20)))
+    assert(e.getMessage.contains("array constant"))
+    val e2 = intercept[IllegalArgumentException](d(Array[Byte](0x01, 0, 0, 0, 0)))
+    assert(e2.getMessage.contains("shared-formula"))
+    // a name index against an EMPTY ctx names the problem, too
+    val e3 = intercept[IllegalArgumentException](d(Array[Byte](0x23, 1, 0, 0, 0)))
+    assert(e3.getMessage.contains("undefined name"))
+  }
+
+  test("XlsFormula.decompile: 3-D refs, sheet spans, quoting, deleted sheets, defined names") {
+    import Biff._
+    val ctx = XlsFormula.Ctx(
+      sheets = Vector("Sheet1", "My Sheet", "S3"),
+      xti = Vector((0, 1, 1), (0, 0, 2), (0, -1, -1), (1, 0, 0), (0, 2, 2)),
+      supbookInternal = Vector(true, false),
+      names = Vector("TaxRate", "_FilterDatabase"))
+    def d(t: Array[Byte]*) = XlsFormula.decompile(t.flatten.toArray, ctx)
+    // sheet needing quotes; absolute-free A1-style ref
+    assert(d(tRef3d(0, 0, 0)) == "'My Sheet'!A1")
+    assert(d(tRef3d(4, 1, 1)) == "S3!B2")
+    // multi-sheet span: plain ends stay unquoted (quoting is one body
+    // when either end needs it — the e2e spec covers that arm)
+    assert(d(tRef3d(1, 0, 0)) == "Sheet1:S3!A1")
+    assert(d(tArea3d(4, 0, 9, 0, 1)) == "S3!A1:B10")
+    // deleted sheet (itab = -1) → #REF!
+    assert(d(tRef3d(2, 0, 0)) == "#REF!A1")
+    // defined names (tName is 1-based), inside an expression
+    assert(d(tName(1)) == "TaxRate")
+    assert(d(tRef3d(4, 0, 0), tName(1), tMul) == "S3!A1*TaxRate")
+    assert(d(tName(2)) == "_FilterDatabase")
+    // external-workbook supbook fails loudly, by name
+    val e = intercept[IllegalArgumentException](d(tRef3d(3, 0, 0)))
+    assert(e.getMessage.contains("external-workbook"))
+    // undefined XTI entry fails loudly
+    val e2 = intercept[IllegalArgumentException](d(tRef3d(9, 0, 0)))
+    assert(e2.getMessage.contains("EXTERNSHEET"))
+  }
+
+  test("multi-sheet workbook end-to-end: Sheet2!A1 formulas render from EXTERNSHEET/LBL plumbing") {
+    val wb = Biff.workbook3d(
+      lbls = Seq(Biff.lbl("TaxRate"), Biff.lbl("\u0006", builtin = true)),
+      xti = Seq((0, 1, 1), (0, 0, 1)),
+      Biff.label(0, 0, "a"), Biff.label(0, 1, "f"), Biff.label(0, 2, "g"),
+      Biff.number(1, 0, 3),
+      // f2 = 'My Sheet'!A1*TaxRate (cached 21), g2 = SUM(S:My Sheet!A1:A1)
+      Biff.formulaNum(1, 1, 21,
+        Biff.tRef3d(0, 0, 0) ++ Biff.tName(1) ++ Biff.tMul),
+      Biff.formulaNum(1, 2, 7,
+        Biff.tArea3d(1, 0, 0, 0, 0) ++ Biff.tFuncVar(1, 4)))
+    // cached-value mode unaffected by the new globals
+    val vals = XlsParser.parse(wb, null, "yyyy-MM-dd")
+    assert(vals.rows == Vector(Vector("3", "21", "7")))
+    // formula-text mode renders 3-D refs + names via the workbook ctx
+    val fx = XlsParser.parse(wb, null, "yyyy-MM-dd", outputFormulaValues = false)
+    assert(fx.rows == Vector(Vector(
+      "3", "'My Sheet'!A1*TaxRate", "SUM('S:My Sheet'!A1:A1)")))
+    // the second sheet parses by name, proving the offsets are real
+    val s2 = XlsParser.parse(wb, "My Sheet", "yyyy-MM-dd")
+    assert(s2.headers == Vector("7"))
   }
 
   test("XlsFormula.decompile: hostile token streams return or throw IllegalArgument, fast") {
