@@ -377,6 +377,13 @@ private[graft] object XlsParser {
     def put(row: Int, col: Int, v: String): Unit =
       cells.getOrElseUpdate(row, scala.collection.mutable.Map.empty)(col) = v
     var pendingFormula: Option[(Int, Int)] = None // formula awaiting its STRING
+    // formula-text mode: decompilation DEFERS to the end of the walk —
+    // a tExp stub points at a SHRFMLA template that is recorded AFTER
+    // the shared range's master FORMULA record
+    val textFormulas = Vector.newBuilder[(Int, Int, Array[Byte], Array[Byte])]
+    val sharedRgce =
+      scala.collection.mutable.Map.empty[(Int, Int), (Array[Byte], Array[Byte])]
+    val arrayMasters = scala.collection.mutable.Set.empty[(Int, Int)]
     var depth = 0
     val it = sheetRecs.iterator
     var done = false
@@ -413,12 +420,14 @@ private[graft] object XlsParser {
           val col = b.getShort(2) & 0xFFFF
           val ixfe = b.getShort(4) & 0xFFFF
           if (!outputFormulaValues) {
-            // formula-text mode: decompile the rgce token stream; the
+            // formula-text mode: buffer the rgce for end-of-walk
+            // decompilation (tExp stubs need the SHRFMLA table); the
             // cached value (and any trailing STRING record — no
             // pendingFormula is armed) is ignored
             val cce = b.getShort(20) & 0xFFFF
-            put(row, col, XlsFormula.decompile(
-              java.util.Arrays.copyOfRange(r.data, 22, 22 + cce), fctx))
+            textFormulas += ((row, col,
+              java.util.Arrays.copyOfRange(r.data, 22, 22 + cce),
+              java.util.Arrays.copyOfRange(r.data, 22 + cce, r.data.length)))
           } else if ((b.getShort(12) & 0xFFFF) == 0xFFFF) {
             (r.data(6) & 0xFF) match {
               case 0 => pendingFormula = Some((row, col)) // string follows
@@ -427,6 +436,16 @@ private[graft] object XlsParser {
               case _ => put(row, col, null) // error
             }
           } else put(row, col, formatNum(b.getDouble(6), ixfe))
+        case 0x4BC => // SHRFMLA: template rgce(+rgcb) keyed by range top-left
+          val rwFirst = (r.data(0) & 0xFF) | ((r.data(1) & 0xFF) << 8)
+          val colFirst = r.data(4) & 0xFF
+          val cce = (r.data(8) & 0xFF) | ((r.data(9) & 0xFF) << 8)
+          sharedRgce((rwFirst, colFirst)) =
+            (java.util.Arrays.copyOfRange(r.data, 10, 10 + cce),
+              java.util.Arrays.copyOfRange(r.data, 10 + cce, r.data.length))
+        case 0x221 => // ARRAY: note the master so a tExp miss names it
+          arrayMasters += (((r.data(0) & 0xFF) | ((r.data(1) & 0xFF) << 8),
+            r.data(4) & 0xFF))
         case 0x207 => // STRING (pending formula's cached text)
           pendingFormula.foreach { case (row, col) =>
             put(row, col, unicodeString(r.data, 0))
@@ -452,6 +471,31 @@ private[graft] object XlsParser {
           (0 until n).foreach(k => put(row, colFirst + k, null))
         case _ => ()
       }
+    }
+
+    // formula-text mode: resolve the buffered rgce streams — tExp
+    // stubs dereference the SHRFMLA table and rebase its relative
+    // tokens against the MEMBER cell (the drag-fill semantics; the
+    // reference gets the same string from POI's shared-formula
+    // resolution); everything else decompiles directly
+    textFormulas.result().foreach { case (row, col, rgce, rgcb) =>
+      val text =
+        if (rgce.length >= 5 && rgce(0) == 0x01) {
+          val rw = (rgce(1) & 0xFF) | ((rgce(2) & 0xFF) << 8)
+          val c = (rgce(3) & 0xFF) | ((rgce(4) & 0xFF) << 8)
+          sharedRgce.get((rw, c)) match {
+            case Some((template, templateRgcb)) =>
+              XlsFormula.decompile(template, fctx, Some((row, col)), templateRgcb)
+            case None if arrayMasters((rw, c)) =>
+              throw new IllegalArgumentException(
+                "xls formula: array formula (tExp -> ARRAY record) is " +
+                  "not decompiled; read with outputFormulaValues = true")
+            case None => throw new IllegalArgumentException(
+              s"xls formula: tExp stub points at ($rw, $c) but no " +
+                "SHRFMLA template was recorded there")
+          }
+        } else XlsFormula.decompile(rgce, fctx, None, rgcb)
+      put(row, col, text)
     }
 
     // ---- assemble: first surviving row = header (XlsProcessor:245-250)
@@ -488,11 +532,16 @@ private[graft] object XlsParser {
   * area references (`Sheet2!A1`, `'My Sheet'!A1:B3`,
   * `Sheet1:Sheet3!A1`, deleted-sheet `#REF!`) and defined names
   * (tName/tNameX against the workbook's LBL table, builtin LBL ids
-  * rendered by their published names). Unsupported tokens —
-  * EXTERNAL-workbook 3-D refs, array constants, shared-formula
-  * stubs, exotic Ftab ids — FAIL LOUDLY with a named error: a
-  * token's operand width cannot be guessed, and a wrong guess would
-  * silently corrupt every later cell in the stream. */
+  * rendered by their published names), shared formulas (the sheet
+  * parser dereferences tExp stubs against the SHRFMLA table and this
+  * decompiler rebases the template's tRefN/tAreaN relative tokens
+  * against each member cell — Excel's drag-fill storage), and array
+  * constants (tArray values read from the record's rgcb tail,
+  * rendered `{1,"a";TRUE,#N/A}`). Unsupported tokens —
+  * EXTERNAL-workbook 3-D refs, array-formula stubs, exotic Ftab
+  * ids — FAIL LOUDLY with a named error: a token's operand width
+  * cannot be guessed, and a wrong guess would silently corrupt every
+  * later cell in the stream. */
 private[sources] object XlsFormula {
 
   /** Workbook-global context a formula token stream resolves against:
@@ -578,12 +627,21 @@ private[sources] object XlsFormula {
 
   def decompile(rgce: Array[Byte]): String = decompile(rgce, emptyCtx)
 
-  def decompile(rgce: Array[Byte], ctx: Ctx): String =
-    try decompile0(rgce, ctx)
+  def decompile(rgce: Array[Byte], ctx: Ctx): String = decompile(rgce, ctx, None)
+
+  /** `base` = the formula cell's own (row, col) — set when decompiling
+    * a SHRFMLA template, whose tRefN/tAreaN tokens carry offsets
+    * RELATIVE to each member cell (the drag-fill rebase). `rgcb` =
+    * the extra-data block that FOLLOWS the rgce in the record
+    * (CellParsedFormula.rgcb) — array constants (tArray) read their
+    * values from it, in token order. */
+  def decompile(rgce: Array[Byte], ctx: Ctx, base: Option[(Int, Int)],
+      rgcb: Array[Byte] = Array.emptyByteArray): String =
+    try decompile0(rgce, ctx, base, rgcb)
     catch {
       case _: java.nio.BufferUnderflowException =>
         throw new IllegalArgumentException(
-          "xls formula: truncated token stream (operand runs past cce)")
+          "xls formula: truncated token stream (operand runs past cce/rgcb)")
     }
 
   /** Excel quotes a sheet name in references unless it is a plain
@@ -596,8 +654,10 @@ private[sources] object XlsFormula {
     else "'" + body.replace("'", "''") + "'"
   }
 
-  private def decompile0(rgce: Array[Byte], ctx: Ctx): String = {
+  private def decompile0(rgce: Array[Byte], ctx: Ctx, base: Option[(Int, Int)],
+      rgcb: Array[Byte]): String = {
     val b = java.nio.ByteBuffer.wrap(rgce).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    val extra = java.nio.ByteBuffer.wrap(rgcb).order(java.nio.ByteOrder.LITTLE_ENDIAN)
     val stack = scala.collection.mutable.Stack.empty[String]
     def pop(): String = {
       require(stack.nonEmpty, "xls formula: malformed token stream (operand underflow)")
@@ -629,6 +689,21 @@ private[sources] object XlsFormula {
         throw new IllegalArgumentException(
           s"xls formula: reference to undefined name index $index1 " +
             s"(workbook has ${ctx.names.length} LBL records)"))
+    // tRefN/tAreaN: offsets are relative to the MEMBER cell (shared-
+    // formula rebase); relative row offset is the signed 16-bit field,
+    // relative col offset the signed LOW 8 bits (MS-XLS PtgRefN)
+    def relRef(rwField: Int, colField: Int): String = {
+      val (bR, bC) = base.getOrElse(throw new IllegalArgumentException(
+        "xls formula: relative reference token (tRefN/tAreaN) outside " +
+          "a shared-formula template"))
+      val rowRel = (colField & 0x8000) != 0
+      val colRel = (colField & 0x4000) != 0
+      val row = if (rowRel) (bR + rwField.toShort.toInt) & 0xFFFF else rwField
+      val col = if (colRel) (bC + (colField & 0xFF).toByte.toInt) & 0xFF
+        else colField & 0x3FFF
+      (if (colRel) "" else "$") + colLetters(col) +
+        (if (rowRel) "" else "$") + (row + 1)
+    }
     while (b.hasRemaining) {
       val ptg = b.get() & 0xFF
       val base = if (ptg >= 0x20) 0x20 + ((ptg - 0x20) & 0x1F) else ptg
@@ -692,6 +767,15 @@ private[sources] object XlsFormula {
           val c1 = b.getShort() & 0xFFFF
           val c2 = b.getShort() & 0xFFFF
           stack.push(cellRef(rw1, c1) + ":" + cellRef(rw2, c2))
+        case 0x2C => // tRefN (shared-formula relative ref)
+          val rw = b.getShort() & 0xFFFF
+          stack.push(relRef(rw, b.getShort() & 0xFFFF))
+        case 0x2D => // tAreaN
+          val rw1 = b.getShort() & 0xFFFF
+          val rw2 = b.getShort() & 0xFFFF
+          val c1 = b.getShort() & 0xFFFF
+          val c2 = b.getShort() & 0xFFFF
+          stack.push(relRef(rw1, c1) + ":" + relRef(rw2, c2))
         case 0x23 => // tName: 1-based LBL index + 2 reserved bytes
           val idx = b.getShort() & 0xFFFF
           b.getShort()
@@ -730,16 +814,51 @@ private[sources] object XlsFormula {
         case 0x2A => b.position(b.position() + 4); stack.push("#REF!")
         case 0x2B => b.position(b.position() + 8); stack.push("#REF!")
         case 0x01 => throw new IllegalArgumentException(
-          "xls formula: shared-formula stub (tExp) — the cell points at " +
-            "a SHRFMLA master this decompiler does not dereference; read " +
-            "this workbook with outputFormulaValues = true instead")
+          "xls formula: shared-formula stub (tExp) — the sheet parser " +
+            "dereferences these against the SHRFMLA table; a bare rgce " +
+            "cannot be decompiled without it")
         case 0x02 => throw new IllegalArgumentException(
           "xls formula: data-table stub (tTbl) is not decompiled; read " +
             "this workbook with outputFormulaValues = true instead")
-        case 0x20 => throw new IllegalArgumentException(
-          "xls formula: array constant (tArray) is not decompiled (its " +
-            "values live past the rgce in rgcb); read this workbook " +
-            "with outputFormulaValues = true instead")
+        case 0x20 => // tArray: 7 unused operand bytes; values in rgcb
+          b.position(b.position() + 7)
+          // SerArray (MS-XLS 2.5.7/OpenOffice BIFF8): cols-1:u8,
+          // rows-1:u16, then rows×cols SerAr values row-major
+          val cols = (extra.get() & 0xFF) + 1
+          val rows = (extra.getShort() & 0xFFFF) + 1
+          val body = (0 until rows).map { _ =>
+            (0 until cols).map { _ =>
+              (extra.get() & 0xFF) match {
+                case 0x01 => // SerNum
+                  val v = extra.getDouble()
+                  if (v == Math.rint(v) && Math.abs(v) < 1e15) v.toLong.toString
+                  else v.toString
+                case 0x02 => // SerStr: XLUnicodeString (cch16 + flags)
+                  val cch = extra.getShort() & 0xFFFF
+                  val high = (extra.get() & 1) == 1
+                  val s =
+                    if (high) {
+                      val arr = new Array[Byte](cch * 2); extra.get(arr)
+                      new String(arr, java.nio.charset.StandardCharsets.UTF_16LE)
+                    } else {
+                      val arr = new Array[Byte](cch); extra.get(arr)
+                      new String(arr.map(x => (x & 0xFF).toChar))
+                    }
+                  "\"" + s.replace("\"", "\"\"") + "\""
+                case 0x04 => // SerBool: 1 byte + 7 unused
+                  val v = (extra.get() & 0xFF) == 1
+                  extra.position(extra.position() + 7)
+                  if (v) "TRUE" else "FALSE"
+                case 0x10 => // SerErr: 1 byte + 7 unused
+                  val e = extra.get() & 0xFF
+                  extra.position(extra.position() + 7)
+                  errText.getOrElse(e, s"#ERR$e!")
+                case t => throw new IllegalArgumentException(
+                  f"xls formula: unsupported array-constant value type 0x$t%02X")
+              }
+            }.mkString(",")
+          }.mkString(";")
+          stack.push("{" + body + "}")
         case other => throw new IllegalArgumentException(
           f"xls formula: unsupported token 0x$other%02X — exotic " +
             "operand tokens are not decompiled (a wrong operand width " +

@@ -80,11 +80,12 @@ class XlsSpec extends AnyFunSuite {
     def number(row: Int, c: Int, v: Double): Array[Byte] =
       rec(0x203, le(14).putShort(row.toShort).putShort(c.toShort)
         .putShort(0).putDouble(v).array())
-    def formulaNum(row: Int, c: Int, cached: Double, rgce: Array[Byte]): Array[Byte] = {
-      val b = le(22 + rgce.length)
+    def formulaNum(row: Int, c: Int, cached: Double, rgce: Array[Byte],
+        rgcb: Array[Byte] = Array.emptyByteArray): Array[Byte] = {
+      val b = le(22 + rgce.length + rgcb.length)
       b.putShort(row.toShort).putShort(c.toShort).putShort(0)
       b.putDouble(cached).putShort(0).putInt(0)
-      b.putShort(rgce.length.toShort).put(rgce)
+      b.putShort(rgce.length.toShort).put(rgce).put(rgcb)
       rec(0x06, b.array())
     }
     /** FORMULA whose cached result is a string (num field = the
@@ -163,6 +164,58 @@ class XlsSpec extends AnyFunSuite {
         .putShort((c1 | 0xC000).toShort).putShort((c2 | 0xC000).toShort).array()
     def tName(index1: Int): Array[Byte] =
       le(5).put(0x43.toByte).putShort(index1.toShort).putShort(0).array()
+    def tExp(rw: Int, c: Int): Array[Byte] =
+      le(5).put(0x01.toByte).putShort(rw.toShort).putShort(c.toShort).array()
+    def tRefN(rowOff: Int, colOff: Int,
+        rowRel: Boolean = true, colRel: Boolean = true): Array[Byte] = {
+      val colField = (if (colRel) (colOff & 0xFF) | 0x4000 else colOff & 0x3FFF) |
+        (if (rowRel) 0x8000 else 0)
+      le(5).put(0x4C.toByte).putShort(rowOff.toShort).putShort(colField.toShort).array()
+    }
+    def shrfmla(rwFirst: Int, rwLast: Int, colFirst: Int, colLast: Int,
+        rgce: Array[Byte]): Array[Byte] = {
+      val b = le(10 + rgce.length)
+      b.putShort(rwFirst.toShort).putShort(rwLast.toShort)
+      b.put(colFirst.toByte).put(colLast.toByte)
+      b.put(0.toByte).put(2.toByte) // unused, cUse
+      b.putShort(rgce.length.toShort).put(rgce)
+      rec(0x4BC, b.array())
+    }
+    def arrayRec(rwFirst: Int, colFirst: Int): Array[Byte] = {
+      val b = le(16)
+      b.putShort(rwFirst.toShort).putShort(rwFirst.toShort)
+      b.put(colFirst.toByte).put(colFirst.toByte)
+      b.putShort(0).putInt(0).putShort(0) // flags, chn, cce=0
+      rec(0x221, b.array())
+    }
+    /** tArray token (7 unused operand bytes; values ride rgcb). */
+    val tArray: Array[Byte] = Array[Byte](0x40, 0, 0, 0, 0, 0, 0, 0)
+    /** SerArray rgcb block: values row-major, each (type, payload). */
+    def serArray(cols: Int, rows: Int, values: Seq[Any]): Array[Byte] = {
+      val buf = new java.io.ByteArrayOutputStream()
+      buf.write(cols - 1)
+      buf.write((rows - 1) & 0xFF); buf.write(((rows - 1) >> 8) & 0xFF)
+      values.foreach {
+        case d: Double =>
+          buf.write(0x01)
+          buf.writeBytes(le(8).putDouble(d).array())
+        case s: String =>
+          buf.write(0x02)
+          val chars = s.getBytes("ISO-8859-1")
+          buf.write(chars.length & 0xFF); buf.write((chars.length >> 8) & 0xFF)
+          buf.write(0) // compressed
+          buf.writeBytes(chars)
+        case v: Boolean =>
+          buf.write(0x04)
+          buf.write(if (v) 1 else 0)
+          buf.writeBytes(new Array[Byte](7))
+        case e: Int => // error code
+          buf.write(0x10)
+          buf.write(e)
+          buf.writeBytes(new Array[Byte](7))
+      }
+      buf.toByteArray
+    }
 
     /** Multi-sheet workbook with SUPBOOK/EXTERNSHEET/LBL globals:
       * cellRecs land on the FIRST sheet; the second ("My Sheet") holds
@@ -231,13 +284,40 @@ class XlsSpec extends AnyFunSuite {
     // tAttrSum shorthand renders as SUM(..)
     assert(d(tArea(0, 4, 0, 0), Array[Byte](0x19, 0x10, 0, 0)) == "SUM(A1:A5)")
     // unsupported tokens fail loudly with NAMED errors
-    val e = intercept[IllegalArgumentException](d(Array[Byte](0x20)))
-    assert(e.getMessage.contains("array constant"))
+    val e = intercept[IllegalArgumentException](
+      d(Array[Byte](0x20, 0, 0, 0, 0, 0, 0, 0))) // tArray with EMPTY rgcb
+    assert(e.getMessage.contains("truncated"))
     val e2 = intercept[IllegalArgumentException](d(Array[Byte](0x01, 0, 0, 0, 0)))
     assert(e2.getMessage.contains("shared-formula"))
     // a name index against an EMPTY ctx names the problem, too
     val e3 = intercept[IllegalArgumentException](d(Array[Byte](0x23, 1, 0, 0, 0)))
     assert(e3.getMessage.contains("undefined name"))
+  }
+
+  test("array constants: tArray values render from the rgcb tail") {
+    import Biff._
+    // SUM({1,2;3,4}) — 2 cols × 2 rows, cached 10
+    val wb = workbook(
+      label(0, 0, "f"),
+      formulaNum(1, 0, 10, tArray ++ tFuncVar(1, 4),
+        serArray(2, 2, Seq(1.0, 2.0, 3.0, 4.0))))
+    val vals = XlsParser.parse(wb, null, "yyyy-MM-dd")
+    assert(vals.rows == Vector(Vector("10")))
+    val fx = XlsParser.parse(wb, null, "yyyy-MM-dd", outputFormulaValues = false)
+    assert(fx.rows == Vector(Vector("SUM({1,2;3,4})")))
+    // mixed types: string (embedded quotes doubled), bool, error
+    assert(XlsFormula.decompile(tArray, XlsFormula.emptyCtx, None,
+      serArray(3, 1, Seq("""say "hi"""", true, 0x2A)))
+      == "{\"say \"\"hi\"\"\",TRUE,#N/A}")
+    // two tArray tokens consume rgcb IN ORDER
+    assert(XlsFormula.decompile(tArray ++ tArray ++ Biff.tAdd,
+      XlsFormula.emptyCtx, None,
+      serArray(1, 1, Seq(5.0)) ++ serArray(1, 1, Seq(7.0))) == "{5}+{7}")
+    // truncated rgcb mid-array fails loudly as truncation
+    val e = intercept[IllegalArgumentException](
+      XlsFormula.decompile(tArray, XlsFormula.emptyCtx, None,
+        serArray(2, 2, Seq(1.0, 2.0, 3.0, 4.0)).dropRight(4)))
+    assert(e.getMessage.contains("truncated"))
   }
 
   test("XlsFormula.decompile: 3-D refs, sheet spans, quoting, deleted sheets, defined names") {
@@ -267,6 +347,44 @@ class XlsSpec extends AnyFunSuite {
     // undefined XTI entry fails loudly
     val e2 = intercept[IllegalArgumentException](d(tRef3d(9, 0, 0)))
     assert(e2.getMessage.contains("EXTERNSHEET"))
+  }
+
+  test("shared formulas: tExp stubs dereference SHRFMLA, relative tokens rebase per member cell") {
+    import Biff._
+    // col B = A*2 drag-filled over B2:B3 — Excel stores ONE template
+    // (SHRFMLA after the master FORMULA) and a tExp stub in every
+    // member cell; the template ref is RELATIVE (row +0, col -1)
+    val template = tRefN(0, -1) ++ tInt(2) ++ tMul
+    val wb = workbook(
+      label(0, 0, "a"), label(0, 1, "f"),
+      number(1, 0, 3), number(2, 0, 5),
+      formulaNum(1, 1, 6, tExp(1, 1)) ++ shrfmla(1, 2, 1, 1, template),
+      formulaNum(2, 1, 10, tExp(1, 1)))
+    // cached-value mode ignores the stubs entirely
+    val vals = XlsParser.parse(wb, null, "yyyy-MM-dd")
+    assert(vals.rows == Vector(Vector("3", "6"), Vector("5", "10")))
+    // formula-text mode: each member renders REBASED to its own cell
+    val fx = XlsParser.parse(wb, null, "yyyy-MM-dd", outputFormulaValues = false)
+    assert(fx.rows == Vector(Vector("3", "A2*2"), Vector("5", "A3*2")))
+    // mixed anchors: absolute row survives the rebase ($ on row only)
+    assert(XlsFormula.decompile(
+      tRefN(5, 2, rowRel = false, colRel = true),
+      XlsFormula.emptyCtx, Some((0, 0))) == "C$6")
+    // tRefN outside a shared template fails loudly
+    val e = intercept[IllegalArgumentException](
+      XlsFormula.decompile(tRefN(0, 0)))
+    assert(e.getMessage.contains("outside a shared-formula"))
+    // a stub with no SHRFMLA target fails loudly; an ARRAY master is
+    // named as the reason when one sits at the stub's coordinates
+    val orphan = workbook(label(0, 0, "a"), formulaNum(1, 0, 0, tExp(9, 9)))
+    val e2 = intercept[IllegalArgumentException](
+      XlsParser.parse(orphan, null, "yyyy-MM-dd", outputFormulaValues = false))
+    assert(e2.getMessage.contains("no SHRFMLA"))
+    val arr = workbook(label(0, 0, "a"),
+      formulaNum(1, 0, 0, tExp(1, 0)) ++ arrayRec(1, 0))
+    val e3 = intercept[IllegalArgumentException](
+      XlsParser.parse(arr, null, "yyyy-MM-dd", outputFormulaValues = false))
+    assert(e3.getMessage.contains("array formula"))
   }
 
   test("multi-sheet workbook end-to-end: Sheet2!A1 formulas render from EXTERNSHEET/LBL plumbing") {
