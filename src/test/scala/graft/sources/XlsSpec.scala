@@ -426,5 +426,26 @@ class XlsSpec extends AnyFunSuite {
     }
     assert(ok + rejected == 2000)
     assert(rejected > 0, "fuzz produced no rejects — streams too tame")
+    // same walk-behavior bound with the round-20 surface live: a
+    // populated ctx (3-D/name tokens resolve instead of rejecting), a
+    // member-cell base (tRefN/tAreaN resolve), and a random rgcb
+    // (tArray reads from it) — every outcome still string-or-IAE
+    val ctx = XlsFormula.Ctx(
+      sheets = Vector("S1", "My Sheet"),
+      xti = Vector((0, 0, 0), (0, 1, 1), (0, -1, -1)),
+      supbookInternal = Vector(true),
+      names = Vector("N1", "N2"))
+    var ok2 = 0
+    var rejected2 = 0
+    (0 until 2000).foreach { _ =>
+      val bytes = new Array[Byte](rnd.nextInt(40))
+      rnd.nextBytes(bytes)
+      val rgcb = new Array[Byte](rnd.nextInt(30))
+      rnd.nextBytes(rgcb)
+      try { XlsFormula.decompile(bytes, ctx, Some((3, 2)), rgcb); ok2 += 1 }
+      catch { case _: IllegalArgumentException => rejected2 += 1 }
+    }
+    assert(ok2 + rejected2 == 2000)
+    assert(rejected2 > 0)
   }
 }
