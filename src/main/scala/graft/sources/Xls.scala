@@ -645,11 +645,19 @@ private[sources] object XlsFormula {
     }
 
   /** Excel quotes a sheet name in references unless it is a plain
-    * identifier (letters/digits/underscore, not digit-led). */
+    * identifier (letters/digits/underscore, not digit-led) that could
+    * not be misread as a CELL reference — a sheet literally named
+    * "A1" or "XFD2" must render as 'A1'!B2 or the text re-parses as a
+    * cell (POI's CellReference ambiguity rule), and TRUE/FALSE would
+    * re-parse as boolean literals. */
+  private val cellLike = "(?i)[A-Z]{1,3}[0-9]{1,7}|R[0-9]*C[0-9]*|TRUE|FALSE".r
+
   private def quoteSheets(first: String, last: Option[String]): String = {
     val body = last.filter(_ != first).map(l => s"$first:$l").getOrElse(first)
     val plain = (s: String) =>
-      s.nonEmpty && !s.head.isDigit && s.forall(c => c.isLetterOrDigit || c == '_')
+      s.nonEmpty && !s.head.isDigit &&
+        s.forall(c => c.isLetterOrDigit || c == '_') &&
+        !cellLike.matches(s)
     if (plain(first) && last.forall(plain)) body
     else "'" + body.replace("'", "''") + "'"
   }

@@ -323,24 +323,33 @@ class XlsSpec extends AnyFunSuite {
   test("XlsFormula.decompile: 3-D refs, sheet spans, quoting, deleted sheets, defined names") {
     import Biff._
     val ctx = XlsFormula.Ctx(
-      sheets = Vector("Sheet1", "My Sheet", "S3"),
+      sheets = Vector("Sheet1", "My Sheet", "Sales"),
       xti = Vector((0, 1, 1), (0, 0, 2), (0, -1, -1), (1, 0, 0), (0, 2, 2)),
       supbookInternal = Vector(true, false),
       names = Vector("TaxRate", "_FilterDatabase"))
     def d(t: Array[Byte]*) = XlsFormula.decompile(t.flatten.toArray, ctx)
     // sheet needing quotes; absolute-free A1-style ref
     assert(d(tRef3d(0, 0, 0)) == "'My Sheet'!A1")
-    assert(d(tRef3d(4, 1, 1)) == "S3!B2")
+    assert(d(tRef3d(4, 1, 1)) == "Sales!B2")
     // multi-sheet span: plain ends stay unquoted (quoting is one body
     // when either end needs it — the e2e spec covers that arm)
-    assert(d(tRef3d(1, 0, 0)) == "Sheet1:S3!A1")
-    assert(d(tArea3d(4, 0, 9, 0, 1)) == "S3!A1:B10")
+    assert(d(tRef3d(1, 0, 0)) == "Sheet1:Sales!A1")
+    assert(d(tArea3d(4, 0, 9, 0, 1)) == "Sales!A1:B10")
     // deleted sheet (itab = -1) → #REF!
     assert(d(tRef3d(2, 0, 0)) == "#REF!A1")
     // defined names (tName is 1-based), inside an expression
     assert(d(tName(1)) == "TaxRate")
-    assert(d(tRef3d(4, 0, 0), tName(1), tMul) == "S3!A1*TaxRate")
+    assert(d(tRef3d(4, 0, 0), tName(1), tMul) == "Sales!A1*TaxRate")
     assert(d(tName(2)) == "_FilterDatabase")
+    // a sheet NAMED like a cell ref (or a boolean) must quote, or the
+    // rendered text re-parses as a cell/boolean instead of a sheet
+    val trap = ctx.copy(sheets = Vector("A1", "TRUE", "S3"))
+    // "S3" itself is a valid cell address, so it must quote too
+    assert(XlsFormula.decompile(tRef3d(4, 1, 1), trap) == "'S3'!B2")
+    assert(XlsFormula.decompile(tRef3d(0, 0, 0),
+      trap.copy(xti = Vector((0, 0, 0)))) == "'A1'!A1")
+    assert(XlsFormula.decompile(tRef3d(0, 0, 0),
+      trap.copy(xti = Vector((0, 1, 1)))) == "'TRUE'!A1")
     // external-workbook supbook fails loudly, by name
     val e = intercept[IllegalArgumentException](d(tRef3d(3, 0, 0)))
     assert(e.getMessage.contains("external-workbook"))
