@@ -262,7 +262,14 @@ object Http {
                 val waitNanos = nextAllowedAt - now
                 Thread.sleep(waitNanos / 1000000L, (waitNanos % 1000000L).toInt)
               }
-              nextAllowedAt = math.max(now, nextAllowedAt) + minIntervalNanos
+              // schedule from the POST-sleep clock: if the scheduler
+              // overslept this slot, the lost time must not be "repaid"
+              // by a catch-up burst — consecutive request STARTS stay
+              // >= minInterval apart (a 429-sensitive endpoint sees the
+              // instantaneous gap, not the long-run average), at the
+              // cost of averaging slightly UNDER the requested rate
+              nextAllowedAt = math.max(System.nanoTime(), nextAllowedAt) +
+                minIntervalNanos
             }
             val resp = fetch(r.getString(urlIdx), hdrs, Map.empty, auth,
               tok, retries, v, body, bct)

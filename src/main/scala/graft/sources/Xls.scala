@@ -383,7 +383,8 @@ private[graft] object XlsParser {
     val textFormulas = Vector.newBuilder[(Int, Int, Array[Byte], Array[Byte])]
     val sharedRgce =
       scala.collection.mutable.Map.empty[(Int, Int), (Array[Byte], Array[Byte])]
-    val arrayMasters = scala.collection.mutable.Set.empty[(Int, Int)]
+    val arrayRgce =
+      scala.collection.mutable.Map.empty[(Int, Int), (Array[Byte], Array[Byte])]
     var depth = 0
     val it = sheetRecs.iterator
     var done = false
@@ -443,9 +444,14 @@ private[graft] object XlsParser {
           sharedRgce((rwFirst, colFirst)) =
             (java.util.Arrays.copyOfRange(r.data, 10, 10 + cce),
               java.util.Arrays.copyOfRange(r.data, 10 + cce, r.data.length))
-        case 0x221 => // ARRAY: note the master so a tExp miss names it
-          arrayMasters += (((r.data(0) & 0xFF) | ((r.data(1) & 0xFF) << 8),
-            r.data(4) & 0xFF))
+        case 0x221 => // ARRAY: the array formula's own rgce(+rgcb),
+          // keyed by range top-left (6-byte ref + 2 flags + 4 chn)
+          val rwFirst = (r.data(0) & 0xFF) | ((r.data(1) & 0xFF) << 8)
+          val colFirst = r.data(4) & 0xFF
+          val cce = (r.data(12) & 0xFF) | ((r.data(13) & 0xFF) << 8)
+          arrayRgce((rwFirst, colFirst)) =
+            (java.util.Arrays.copyOfRange(r.data, 14, 14 + cce),
+              java.util.Arrays.copyOfRange(r.data, 14 + cce, r.data.length))
         case 0x207 => // STRING (pending formula's cached text)
           pendingFormula.foreach { case (row, col) =>
             put(row, col, unicodeString(r.data, 0))
@@ -486,13 +492,17 @@ private[graft] object XlsParser {
           sharedRgce.get((rw, c)) match {
             case Some((template, templateRgcb)) =>
               XlsFormula.decompile(template, fctx, Some((row, col)), templateRgcb)
-            case None if arrayMasters((rw, c)) =>
-              throw new IllegalArgumentException(
-                "xls formula: array formula (tExp -> ARRAY record) is " +
-                  "not decompiled; read with outputFormulaValues = true")
-            case None => throw new IllegalArgumentException(
-              s"xls formula: tExp stub points at ($rw, $c) but no " +
-                "SHRFMLA template was recorded there")
+            case None => arrayRgce.get((rw, c)) match {
+              // array formula: ONE rgce for the whole range; relative
+              // tokens anchor on the range top-left, so every member
+              // renders the same text (Excel shows the same {=...}
+              // formula in each member cell)
+              case Some((template, templateRgcb)) =>
+                XlsFormula.decompile(template, fctx, Some((rw, c)), templateRgcb)
+              case None => throw new IllegalArgumentException(
+                s"xls formula: tExp stub points at ($rw, $c) but no " +
+                  "SHRFMLA/ARRAY template was recorded there")
+            }
           }
         } else XlsFormula.decompile(rgce, fctx, None, rgcb)
       put(row, col, text)
@@ -535,13 +545,15 @@ private[graft] object XlsParser {
   * rendered by their published names), shared formulas (the sheet
   * parser dereferences tExp stubs against the SHRFMLA table and this
   * decompiler rebases the template's tRefN/tAreaN relative tokens
-  * against each member cell — Excel's drag-fill storage), and array
-  * constants (tArray values read from the record's rgcb tail,
-  * rendered `{1,"a";TRUE,#N/A}`). Unsupported tokens —
-  * EXTERNAL-workbook 3-D refs, array-formula stubs, exotic Ftab
-  * ids — FAIL LOUDLY with a named error: a token's operand width
-  * cannot be guessed, and a wrong guess would silently corrupt every
-  * later cell in the stream. */
+  * against each member cell — Excel's drag-fill storage), array
+  * FORMULAS (tExp stubs against the ARRAY record's rgce, anchored on
+  * the range top-left so every member renders Excel's same text),
+  * and array constants (tArray values read from the record's rgcb
+  * tail, rendered `{1,"a";TRUE,#N/A}`). Unsupported tokens —
+  * EXTERNAL-workbook 3-D refs, exotic Ftab ids — FAIL LOUDLY with a
+  * named error: a token's operand width cannot be guessed, and a
+  * wrong guess would silently corrupt every later cell in the
+  * stream. */
 private[sources] object XlsFormula {
 
   /** Workbook-global context a formula token stream resolves against:

@@ -172,6 +172,11 @@ class XlsSpec extends AnyFunSuite {
         (if (rowRel) 0x8000 else 0)
       le(5).put(0x4C.toByte).putShort(rowOff.toShort).putShort(colField.toShort).array()
     }
+    def tAreaN(r1: Int, r2: Int, c1: Int, c2: Int): Array[Byte] = {
+      def cf(c: Int) = ((c & 0xFF) | 0xC000).toShort
+      le(9).put(0x4D.toByte).putShort(r1.toShort).putShort(r2.toShort)
+        .putShort(cf(c1)).putShort(cf(c2)).array()
+    }
     def shrfmla(rwFirst: Int, rwLast: Int, colFirst: Int, colLast: Int,
         rgce: Array[Byte]): Array[Byte] = {
       val b = le(10 + rgce.length)
@@ -181,11 +186,14 @@ class XlsSpec extends AnyFunSuite {
       b.putShort(rgce.length.toShort).put(rgce)
       rec(0x4BC, b.array())
     }
-    def arrayRec(rwFirst: Int, colFirst: Int): Array[Byte] = {
-      val b = le(16)
+    def arrayRec(rwFirst: Int, colFirst: Int,
+        rgce: Array[Byte] = Array.emptyByteArray,
+        rgcb: Array[Byte] = Array.emptyByteArray): Array[Byte] = {
+      val b = le(16 + rgce.length + rgcb.length)
       b.putShort(rwFirst.toShort).putShort(rwFirst.toShort)
       b.put(colFirst.toByte).put(colFirst.toByte)
-      b.putShort(0).putInt(0).putShort(0) // flags, chn, cce=0
+      b.putShort(0).putInt(0) // flags, chn
+      b.putShort(rgce.length.toShort).put(rgce).put(rgcb)
       rec(0x221, b.array())
     }
     /** tArray token (7 unused operand bytes; values ride rgcb). */
@@ -383,17 +391,22 @@ class XlsSpec extends AnyFunSuite {
     val e = intercept[IllegalArgumentException](
       XlsFormula.decompile(tRefN(0, 0)))
     assert(e.getMessage.contains("outside a shared-formula"))
-    // a stub with no SHRFMLA target fails loudly; an ARRAY master is
-    // named as the reason when one sits at the stub's coordinates
+    // a stub with no SHRFMLA/ARRAY target fails loudly
     val orphan = workbook(label(0, 0, "a"), formulaNum(1, 0, 0, tExp(9, 9)))
     val e2 = intercept[IllegalArgumentException](
       XlsParser.parse(orphan, null, "yyyy-MM-dd", outputFormulaValues = false))
-    assert(e2.getMessage.contains("no SHRFMLA"))
-    val arr = workbook(label(0, 0, "a"),
-      formulaNum(1, 0, 0, tExp(1, 0)) ++ arrayRec(1, 0))
-    val e3 = intercept[IllegalArgumentException](
-      XlsParser.parse(arr, null, "yyyy-MM-dd", outputFormulaValues = false))
-    assert(e3.getMessage.contains("array formula"))
+    assert(e2.getMessage.contains("no SHRFMLA/ARRAY"))
+    // array FORMULA: both member cells render the ARRAY record's rgce,
+    // relative tokens anchored on the range TOP-LEFT (Excel shows the
+    // same formula text in every member of {=A2:A3*2})
+    val arr = workbook(
+      label(0, 0, "a"), label(0, 1, "f"),
+      number(1, 0, 3), number(2, 0, 5),
+      formulaNum(1, 1, 6, tExp(1, 1)) ++
+        arrayRec(1, 1, tAreaN(0, 1, -1, -1) ++ tInt(2) ++ tMul),
+      formulaNum(2, 1, 10, tExp(1, 1)))
+    val afx = XlsParser.parse(arr, null, "yyyy-MM-dd", outputFormulaValues = false)
+    assert(afx.rows == Vector(Vector("3", "A2:A3*2"), Vector("5", "A2:A3*2")))
   }
 
   test("multi-sheet workbook end-to-end: Sheet2!A1 formulas render from EXTERNSHEET/LBL plumbing") {
