@@ -138,11 +138,10 @@ object Pgp {
     deleteRecursively(home)
   }
 
-  private def deleteRecursively(p: Path): Unit = {
-    import scala.jdk.CollectionConverters._
-    if (Files.exists(p))
-      Files.walk(p).iterator().asScala.toSeq.reverse.foreach(f => Files.deleteIfExists(f))
-  }
+  // one recursive-delete implementation for the whole library — a
+  // future fix (symlinks, retries) must not need applying twice
+  private def deleteRecursively(p: Path): Unit =
+    graft.sources.Ssh.deleteRecursivelyNow(p)
 
   /** One gpg invocation: payload on stdin, result from stdout; throws
     * with stderr on a non-zero exit. */

@@ -251,7 +251,7 @@ object Ssh {
     Runtime.getRuntime.addShutdownHook(new Thread(() =>
       exitDeletions.forEach(p => deleteRecursivelyNow(p))))
 
-  private[sources] def deleteRecursivelyNow(p: Path): Unit =
+  private[graft] def deleteRecursivelyNow(p: Path): Unit =
     if (Files.exists(p)) {
       import scala.jdk.CollectionConverters._
       Files.walk(p).sorted(java.util.Comparator.reverseOrder())

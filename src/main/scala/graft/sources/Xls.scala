@@ -322,10 +322,20 @@ private[graft] object XlsParser {
         case 0x1AE => // SUPBOOK: 4-byte 0x0401 marker = this workbook
           supbooks += (r.data.length == 4 &&
             ((r.data(2) & 0xFF) | ((r.data(3) & 0xFF) << 8)) == 0x0401)
-        case 0x17 => // EXTERNSHEET: cXTI × (iSupBook, itabFirst, itabLast)
-          val b = le(r.data)
+        case 0x17 => // EXTERNSHEET: cXTI × (iSupBook, itabFirst, itabLast).
+          // rgXTI may spill into CONTINUE records (it splits on XTI
+          // boundaries) — merge them; a still-short array fails LOUDLY
+          // instead of silently dropping entries (every later ixti
+          // would resolve wrong or not at all)
+          val merged = r.data ++
+            recs.drop(i + 1).takeWhile(_.id == 0x3C).flatMap(_.data)
+          val b = le(merged)
           val n = b.getShort(0) & 0xFFFF
-          (0 until math.min(n, (r.data.length - 2) / 6)).foreach { k =>
+          if (merged.length < 2 + n * 6)
+            throw new IllegalArgumentException(
+              s"corrupt EXTERNSHEET: $n XTI entries declared, only " +
+                s"${(merged.length - 2) / 6} present (incl. CONTINUE)")
+          (0 until n).foreach { k =>
             xtis += ((b.getShort(2 + k * 6) & 0xFFFF,
               b.getShort(4 + k * 6).toInt, b.getShort(6 + k * 6).toInt))
           }
@@ -437,15 +447,18 @@ private[graft] object XlsParser {
               case _ => put(row, col, null) // error
             }
           } else put(row, col, formatNum(b.getDouble(6), ixfe))
-        case 0x4BC => // SHRFMLA: template rgce(+rgcb) keyed by range top-left
+        case 0x4BC if !outputFormulaValues =>
+          // SHRFMLA: template rgce(+rgcb) keyed by range top-left
+          // (cached-value mode never reads it — skip the copies)
           val rwFirst = (r.data(0) & 0xFF) | ((r.data(1) & 0xFF) << 8)
           val colFirst = r.data(4) & 0xFF
           val cce = (r.data(8) & 0xFF) | ((r.data(9) & 0xFF) << 8)
           sharedRgce((rwFirst, colFirst)) =
             (java.util.Arrays.copyOfRange(r.data, 10, 10 + cce),
               java.util.Arrays.copyOfRange(r.data, 10 + cce, r.data.length))
-        case 0x221 => // ARRAY: the array formula's own rgce(+rgcb),
-          // keyed by range top-left (6-byte ref + 2 flags + 4 chn)
+        case 0x221 if !outputFormulaValues =>
+          // ARRAY: the array formula's own rgce(+rgcb), keyed by
+          // range top-left (6-byte ref + 2 flags + 4 chn)
           val rwFirst = (r.data(0) & 0xFF) | ((r.data(1) & 0xFF) << 8)
           val colFirst = r.data(4) & 0xFF
           val cce = (r.data(12) & 0xFF) | ((r.data(13) & 0xFF) << 8)
@@ -699,10 +712,13 @@ private[sources] object XlsFormula {
           "xls formula: external-workbook 3-D reference is not " +
             "decompiled (SUPBOOK is another workbook); read this " +
             "workbook with outputFormulaValues = true instead")
-      if (first < 0 || first >= ctx.sheets.length) "#REF!"
+      // EITHER dead endpoint poisons the whole prefix — a span whose
+      // last sheet was deleted must not silently shrink to a
+      // single-sheet reference (the loud-or-#REF! contract)
+      val valid = (i: Int) => i >= 0 && i < ctx.sheets.length
+      if (!valid(first) || !valid(last)) "#REF!"
       else quoteSheets(ctx.sheets(first),
-        if (last != first && last >= 0 && last < ctx.sheets.length)
-          Some(ctx.sheets(last)) else None) + "!"
+        if (last != first) Some(ctx.sheets(last)) else None) + "!"
     }
     def nameText(index1: Int): String =
       ctx.names.lift(index1 - 1).getOrElse(
@@ -849,6 +865,11 @@ private[sources] object XlsFormula {
           val body = (0 until rows).map { _ =>
             (0 until cols).map { _ =>
               (extra.get() & 0xFF) match {
+                case 0x00 => // SerNil: a legal empty slot (8 unused
+                  // bytes) — renders as an empty element, the same
+                  // choice tMissArg makes for IF(a,,b)
+                  extra.position(extra.position() + 8)
+                  ""
                 case 0x01 => // SerNum
                   val v = extra.getDouble()
                   if (v == Math.rint(v) && Math.abs(v) < 1e15) v.toLong.toString

@@ -138,12 +138,22 @@ class XlsSpec extends AnyFunSuite {
     // ---- 3-D / defined-name globals (MS-XLS 2.4.150/2.4.265/2.4.271)
     def supbookSelf(ctab: Int): Array[Byte] =
       rec(0x1AE, le(4).putShort(ctab.toShort).putShort(0x0401.toShort).array())
-    def externsheet(entries: (Int, Int, Int)*): Array[Byte] = {
-      val b = le(2 + entries.length * 6).putShort(entries.length.toShort)
-      entries.foreach { case (iSup, first, last) =>
-        b.putShort(iSup.toShort).putShort(first.toShort).putShort(last.toShort)
+    def externsheet(entries: (Int, Int, Int)*): Array[Byte] =
+      externsheetSplit(Int.MaxValue, entries: _*)
+    /** EXTERNSHEET whose rgXTI spills into a CONTINUE record after
+      * `split` entries (the >1370-entry real-file shape, miniature). */
+    def externsheetSplit(split: Int, entries: (Int, Int, Int)*): Array[Byte] = {
+      def pack(es: Seq[(Int, Int, Int)]): Array[Byte] = {
+        val b = le(es.length * 6)
+        es.foreach { case (iSup, first, last) =>
+          b.putShort(iSup.toShort).putShort(first.toShort).putShort(last.toShort)
+        }
+        b.array()
       }
-      rec(0x17, b.array())
+      val (head, tail) = entries.splitAt(split)
+      val first = rec(0x17,
+        le(2).putShort(entries.length.toShort).array() ++ pack(head))
+      if (tail.isEmpty) first else first ++ rec(0x3C, pack(tail))
     }
     def lbl(name: String, builtin: Boolean = false): Array[Byte] = {
       val chars = name.getBytes("ISO-8859-1")
@@ -232,7 +242,9 @@ class XlsSpec extends AnyFunSuite {
         cellRecs: Array[Byte]*): Array[Byte] = {
       val names = Seq("S", "My Sheet")
       val fixed = bof(0x05) ++ supbookSelf(names.length) ++
-        externsheet(xti: _*) ++ lbls.flatten
+        // the second XTI entry rides a CONTINUE record, so the e2e
+        // arms also pin the EXTERNSHEET merge path
+        externsheetSplit(1, xti: _*) ++ lbls.flatten
       val bsLen = names.map(n => 12 + n.length).sum
       val globalsLen = fixed.length + bsLen + 4
       val sheet1 = bof(0x10) ++ cellRecs.flatten ++ eof
@@ -321,6 +333,10 @@ class XlsSpec extends AnyFunSuite {
     assert(XlsFormula.decompile(tArray ++ tArray ++ Biff.tAdd,
       XlsFormula.emptyCtx, None,
       serArray(1, 1, Seq(5.0)) ++ serArray(1, 1, Seq(7.0))) == "{5}+{7}")
+    // SerNil (legal empty slot) renders as an empty element
+    assert(XlsFormula.decompile(tArray, XlsFormula.emptyCtx, None,
+      Array[Byte](1, 0, 0, /*nil*/ 0, 0, 0, 0, 0, 0, 0, 0, 0) ++
+        serArray(1, 1, Seq(9.0)).drop(3)) == "{,9}")
     // truncated rgcb mid-array fails loudly as truncation
     val e = intercept[IllegalArgumentException](
       XlsFormula.decompile(tArray, XlsFormula.emptyCtx, None,
@@ -343,8 +359,12 @@ class XlsSpec extends AnyFunSuite {
     // when either end needs it — the e2e spec covers that arm)
     assert(d(tRef3d(1, 0, 0)) == "Sheet1:Sales!A1")
     assert(d(tArea3d(4, 0, 9, 0, 1)) == "Sales!A1:B10")
-    // deleted sheet (itab = -1) → #REF!
+    // deleted sheet (itab = -1) → #REF!; a span whose LAST endpoint is
+    // dead must poison the prefix too, never silently shrink to a
+    // single-sheet reference
     assert(d(tRef3d(2, 0, 0)) == "#REF!A1")
+    assert(XlsFormula.decompile(tRef3d(0, 0, 0),
+      ctx.copy(xti = Vector((0, 0, -1)))) == "#REF!A1")
     // defined names (tName is 1-based), inside an expression
     assert(d(tName(1)) == "TaxRate")
     assert(d(tRef3d(4, 0, 0), tName(1), tMul) == "Sales!A1*TaxRate")
