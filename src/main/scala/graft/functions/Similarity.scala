@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graftbridge.Bridge
 import org.apache.spark.sql.types._
@@ -55,6 +55,95 @@ case class CosineSim(left: Expression, right: Expression) extends BinaryExpressi
 
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(left = l, right = r)
+}
+
+/** Euclidean norm sqrt(Σ x_i²) of an array<double>/array<float> column
+  * — the per-ROW half of [[CosineSimPre]]'s hoisted-norm cosine. The
+  * accumulation loop is bit-identical to [[SimilarityUtil.cosine]]'s
+  * norm loops (sequential index order, double arithmetic; floats widen
+  * exactly), so `dot/(norm(a)*norm(b))` reproduces `cosine_sim(a, b)`
+  * bit for bit. */
+case class VecNorm(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case ArrayType(DoubleType, _) | ArrayType(FloatType, _) =>
+        TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"vec_norm expects array<double> or array<float>, got $other")
+    }
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "vec_norm"
+  private def isFloat = child.dataType == ArrayType(FloatType, true) ||
+    child.dataType == ArrayType(FloatType, false)
+  override protected def nullSafeEval(a: Any): Any =
+    if (isFloat) SimilarityUtil.normF(a.asInstanceOf[ArrayData])
+    else SimilarityUtil.norm(a.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val fn = if (isFloat) "normF" else "norm"
+    defineCodeGen(ctx, ev, a =>
+      s"graft.functions.SimilarityUtil$$.MODULE$$.$fn($a)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Hoisted-norm cosine similarity: `dot(a, b) / (na * nb)` where
+  * `na`/`nb` are the PRECOMPUTED [[VecNorm]]s of `a`/`b` — the per-PAIR
+  * half of the guide-§1.2 "per-task work" split. The naive
+  * [[CosineSim]] re-walks both arrays for their norms on EVERY
+  * candidate pair (3 passes/pair); in an all-pairs or banded screen
+  * each row is paired against many others, so hoisting the norms to
+  * one [[VecNorm]] per ROW cuts the pair kernel to the dot product
+  * alone (~3x fewer flops where pair counts dominate). Bit-identical:
+  * dot loop order unchanged, and `dot / (sqrt(na) * sqrt(nb))` is the
+  * same double expression [[SimilarityUtil.cosine]] evaluates — NULL
+  * (not NaN) on degenerate vectors, like [[CosineSim]].
+  * Float arrays widen per element (exact), halving pair-side bytes
+  * when the caller keeps the raw float vectors. */
+case class CosineSimPre(first: Expression, second: Expression,
+    third: Expression, fourth: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.QuaternaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    (first.dataType, second.dataType, third.dataType, fourth.dataType) match {
+      case (ArrayType(DoubleType, _), ArrayType(DoubleType, _), DoubleType, DoubleType) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (ArrayType(FloatType, _), ArrayType(FloatType, _), DoubleType, DoubleType) =>
+        TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"cosine_sim_pre expects (array<T>, array<T>, double, double) " +
+          s"with T double or float on both sides, got $other")
+    }
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  override def nullable: Boolean = true
+  override def prettyName: String = "cosine_sim_pre"
+  private def isFloat = first.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+  override protected def nullSafeEval(a: Any, b: Any, na: Any, nb: Any): Any = {
+    val c =
+      if (isFloat) SimilarityUtil.cosinePreF(a.asInstanceOf[ArrayData],
+        b.asInstanceOf[ArrayData], na.asInstanceOf[Double], nb.asInstanceOf[Double])
+      else SimilarityUtil.cosinePre(a.asInstanceOf[ArrayData],
+        b.asInstanceOf[ArrayData], na.asInstanceOf[Double], nb.asInstanceOf[Double])
+    if (java.lang.Double.isNaN(c)) null else c
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val fn = if (isFloat) "cosinePreF" else "cosinePre"
+    nullSafeCodeGen(ctx, ev, (a, b, na, nb) =>
+      s"""
+         |${ev.value} = graft.functions.SimilarityUtil$$.MODULE$$.$fn($a, $b, $na, $nb);
+         |if (java.lang.Double.isNaN(${ev.value})) {
+         |  ${ev.isNull} = true;
+         |  ${ev.value} = 0.0;
+         |}
+       """.stripMargin)
+  }
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression, q: Expression): Expression =
+    copy(first = f, second = s, third = t, fourth = q)
 }
 
 /** Native Jaccard similarity of two array<string> columns as SETS. */
@@ -221,6 +310,49 @@ object SimilarityUtil {
     dot / (math.sqrt(na) * math.sqrt(nb))
   }
 
+  /** Norm half of the hoisted cosine — the same loop as [[cosine]]'s
+    * `na` accumulation, then sqrt. */
+  def norm(a: ArrayData): Double = {
+    var na = 0.0
+    var i = 0
+    while (i < a.numElements()) { val x = a.getDouble(i); na += x * x; i += 1 }
+    math.sqrt(na)
+  }
+
+  /** Float-array norm: elements widen to double exactly, so the sum
+    * matches [[norm]] over the asDouble-cast array bit for bit. */
+  def normF(a: ArrayData): Double = {
+    var na = 0.0
+    var i = 0
+    while (i < a.numElements()) { val x: Double = a.getFloat(i); na += x * x; i += 1 }
+    math.sqrt(na)
+  }
+
+  /** Pair half of the hoisted cosine: dot product in [[cosine]]'s loop
+    * order divided by the precomputed norms — `dot / (sqrt(na) *
+    * sqrt(nb))` evaluated as the identical double expression. */
+  def cosinePre(a: ArrayData, b: ArrayData, na: Double, nb: Double): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var dot = 0.0
+    var i = 0
+    while (i < n) { dot += a.getDouble(i) * b.getDouble(i); i += 1 }
+    dot / (na * nb)
+  }
+
+  /** Float-array pair half — elements widen exactly (see [[normF]]). */
+  def cosinePreF(a: ArrayData, b: ArrayData, na: Double, nb: Double): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var dot = 0.0
+    var i = 0
+    while (i < n) {
+      val x: Double = a.getFloat(i)
+      val y: Double = b.getFloat(i)
+      dot += x * y
+      i += 1
+    }
+    dot / (na * nb)
+  }
+
   def jaccard(a: ArrayData, b: ArrayData): Double = {
     val sa = new java.util.HashSet[Any]()
     var i = 0
@@ -243,6 +375,11 @@ object SimilarityUtil {
 object similarityExprs {
   def cosine_sim(a: Column, b: Column): Column =
     Bridge.toColumn(CosineSim(Bridge.toExpression(a), Bridge.toExpression(b)))
+  def vec_norm(a: Column): Column =
+    Bridge.toColumn(VecNorm(Bridge.toExpression(a)))
+  def cosine_sim_pre(a: Column, b: Column, na: Column, nb: Column): Column =
+    Bridge.toColumn(CosineSimPre(Bridge.toExpression(a), Bridge.toExpression(b),
+      Bridge.toExpression(na), Bridge.toExpression(nb)))
   def jaccard_sim(a: Column, b: Column): Column =
     Bridge.toColumn(JaccardSim(Bridge.toExpression(a), Bridge.toExpression(b)))
   def sig_agreement(a: Column, b: Column): Column =

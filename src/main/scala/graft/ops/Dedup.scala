@@ -27,6 +27,14 @@ object Dedup {
     * runs post-shuffle in parallel. Requires `idCol` unique. */
   private[ops] def spreadByKey(df: DataFrame, idCol: String, valCol: String): DataFrame =
     df.select(col(idCol).as("__id__"), col(valCol).as("__t__"))
+      // explicit-count repartition BY THE GROUP KEY: satisfies the
+      // aggregation's distribution (no second exchange) while pinning
+      // the post-shuffle partition count — AQE's byte-based coalescing
+      // would otherwise shrink this exchange to ~1 partition for small
+      // inputs and serialize the heavy projection the spread exists
+      // for (measured: the whole signature pipeline in ONE task at
+      // bench scale). See [[Par.pinned]].
+      .repartition(Par.pinned(df), col("__id__"))
       .groupBy("__id__")
       // min, not first: ids are unique by contract (identical result,
       // same one-pass hash agg), but a crawler re-emitting an id must
@@ -877,14 +885,22 @@ object Dedup {
       val (nPlanes, rowsPerBand) =
         VectorOps.lshPlan(n, threshold, targetBucket, recall, maxBands)
       val planes = VectorOps.hyperplanes(nPlanes, da.get, seed)
+      // payload = (vector, hoisted norm) struct — the lshNeighbors r21
+      // discipline: each candidate pair pays one dot product instead of
+      // re-walking both arrays for their norms (bit-identical)
+      def packed(sigs: DataFrame): DataFrame = sigs.select(col("__id__"),
+        struct(col("__v__").as("v"), col("__nrm__").as("n")).as("__pv__"),
+        col("__sig__"))
       LshBlocking.crossCandidatePairs(
-        VectorOps.lshSignatures(pa, idCol, vecCol, planes),
-        VectorOps.lshSignatures(pb, catalogIdCol, catalogVecCol, planes),
+        packed(VectorOps.lshSignatures(pa, idCol, vecCol, planes)),
+        packed(VectorOps.lshSignatures(pb, catalogIdCol, catalogVecCol, planes)),
         nPlanes / rowsPerBand, rowsPerBand, maxBucket,
-        screen = _.withColumn("cosine", VectorOps.cosine(col("p1"), col("p2")))
+        screen = _.withColumn("cosine",
+            graft.functions.similarityExprs.cosine_sim_pre(
+              col("p1.v"), col("p2.v"), col("p1.n"), col("p2.n")))
           .filter(col("cosine") >= threshold)
           .select(col("id1"), col("id2"), col("cosine")),
-        payload = Some("__v__"))
+        payload = Some("__pv__"))
     } finally {
       pa.unpersist(blocking = false)
       pb.unpersist(blocking = false)
@@ -908,19 +924,25 @@ object Dedup {
       catalogIdCol: String, catalogVecCol: String,
       idCol: String, vecCol: String,
       threshold: Double, maxEntries: Int = 1000000): DataFrame = {
+    // norms hoisted to one VecNorm per row (r21) — the
+    // embeddingNearDupsExact discipline: the corpus×catalog kernel
+    // pays the dot product alone per pair (bit-identical)
     val stream = spreadByKey(
       corpus.select(col(idCol), VectorOps.asDouble(col(vecCol)).as("__v__")),
       idCol, "__v__")
-      .select(col("__id__").as("id1"), col("__t__").as("__v1__"))
+      .select(col("__id__").as("id1"), col("__t__").as("__v1__"),
+        graft.functions.similarityExprs.vec_norm(col("__t__")).as("__n1__"))
     val catSide = catalog.select(col(catalogIdCol).as("id2"),
       VectorOps.asDouble(col(catalogVecCol)).as("__v2__"))
+      .withColumn("__n2__", graft.functions.similarityExprs.vec_norm(col("__v2__")))
     require(catSide.limit(maxEntries + 1).count() <= maxEntries,
       s"crossCorpusEmbeddingNearDupsExact: catalog exceeds $maxEntries " +
         "entries — not a broadcastable catalog; use the banded join " +
         "path (crossCorpusEmbeddingNearDups) instead")
     val build = broadcast(catSide)
     stream.crossJoin(build)
-      .withColumn("cosine", VectorOps.cosine(col("__v1__"), col("__v2__")))
+      .withColumn("cosine", graft.functions.similarityExprs.cosine_sim_pre(
+        col("__v1__"), col("__v2__"), col("__n1__"), col("__n2__")))
       .filter(col("cosine") >= threshold)
       .select(col("id1"), col("id2"), col("cosine"))
   }
@@ -1330,7 +1352,13 @@ object Dedup {
       val goodGrams = counts
         .filter(col("__n__").between(2, maxDocsPerGram))
         .select("__h__")
-      val keep = grams.join(goodGrams, Seq("__h__"), "left_semi")
+      // pinned-count repartition on the gram key (Par.pinned — the
+      // LshBlocking.candidatePairs discipline): the within-gram
+      // self-join's output is quadratic in gram popularity, so its
+      // parallelism must not be sized by the small shuffle bytes
+      // feeding it. One exchange, reused by both self-join sides.
+      val keep = grams.repartition(Par.pinned(grams), col("__h__"))
+        .join(goodGrams, Seq("__h__"), "left_semi")
       keep.select(col("__h__"), col("__id__").as("id1"))
         .join(keep.select(col("__h__"), col("__id__").as("id2")), Seq("__h__"))
         .filter(col("id1") < col("id2"))
@@ -1351,6 +1379,7 @@ object Dedup {
       val gramCounts = cached.groupBy("__h__").agg(count(lit(1)).as("__n__"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       try {
+        val result = pairs(cached, Some(gramCounts)).localCheckpoint(true)
         // the LshBlocking all-capped discipline, gram form: when every
         // SHARED gram exceeds maxDocsPerGram and none sits in the
         // pairable band, the edge set is empty by saturation — a
@@ -1378,37 +1407,45 @@ object Dedup {
         // materialized (production) path runs the check —
         // materialize=false returns a lazy plan for composition/plan
         // audits and a driver action here would defeat it.
-        val occ = gramCounts.agg(
-          sum(when(col("__n__").between(2, maxDocsPerGram), lit(1))
-            .otherwise(lit(0))).as("__pairable__"),
-          sum(when(col("__n__") > maxDocsPerGram, lit(1))
-            .otherwise(lit(0))).as("__capped__"),
-          sum(when(col("__n__") > maxDocsPerGram, col("__n__"))
-            .otherwise(lit(0L))).as("__cappedMass__"),
-          sum(col("__n__")).as("__mass__"))
-          .head()
-        val pairable = if (occ.isNullAt(0)) 0L else occ.getLong(0)
-        val capped = if (occ.isNullAt(1)) 0L else occ.getLong(1)
-        val cappedMass = if (occ.isNullAt(2)) 0L else occ.getLong(2)
-        val mass = if (occ.isNullAt(3)) 0L else occ.getLong(3)
-        if (capped > 0 && pairable == 0) {
-          if (cappedMass >= saturationMassFraction * mass)
-            throw new IllegalStateException(
-              s"sharedShingleEdges: all $capped shared grams exceed " +
-                s"maxDocsPerGram=$maxDocsPerGram and they carry " +
-                s"$cappedMass of $mass gram occurrences — the corpus is " +
-                "saturated and ZERO edges would be emitted (a " +
-                "wall-to-wall-duplicate corpus would dedup to nothing). " +
-                "Raise maxDocsPerGram or use a longer shingleN.")
-          else
-            log.warn(
-              s"sharedShingleEdges: the only shared grams ($capped) all " +
-                s"exceed maxDocsPerGram=$maxDocsPerGram, but they carry " +
-                s"just $cappedMass of $mass gram occurrences — shared " +
-                "boilerplate in an otherwise-unique corpus; emitting the " +
-                "empty edge set.")
+        // Guard runs AFTER the materialization and only on an empty
+        // edge set (it can only fire when pairable == 0 ⇒ goodGrams is
+        // empty ⇒ the join emitted nothing) — the
+        // LshBlocking.candidatePairs r21 ordering: one gram pass
+        // instead of two, and the common non-empty path pays one
+        // take(1) instead of the occupancy job.
+        if (result.isEmpty) {
+          val occ = gramCounts.agg(
+            sum(when(col("__n__").between(2, maxDocsPerGram), lit(1))
+              .otherwise(lit(0))).as("__pairable__"),
+            sum(when(col("__n__") > maxDocsPerGram, lit(1))
+              .otherwise(lit(0))).as("__capped__"),
+            sum(when(col("__n__") > maxDocsPerGram, col("__n__"))
+              .otherwise(lit(0L))).as("__cappedMass__"),
+            sum(col("__n__")).as("__mass__"))
+            .head()
+          val pairable = if (occ.isNullAt(0)) 0L else occ.getLong(0)
+          val capped = if (occ.isNullAt(1)) 0L else occ.getLong(1)
+          val cappedMass = if (occ.isNullAt(2)) 0L else occ.getLong(2)
+          val mass = if (occ.isNullAt(3)) 0L else occ.getLong(3)
+          if (capped > 0 && pairable == 0) {
+            if (cappedMass >= saturationMassFraction * mass)
+              throw new IllegalStateException(
+                s"sharedShingleEdges: all $capped shared grams exceed " +
+                  s"maxDocsPerGram=$maxDocsPerGram and they carry " +
+                  s"$cappedMass of $mass gram occurrences — the corpus is " +
+                  "saturated and ZERO edges would be emitted (a " +
+                  "wall-to-wall-duplicate corpus would dedup to nothing). " +
+                  "Raise maxDocsPerGram or use a longer shingleN.")
+            else
+              log.warn(
+                s"sharedShingleEdges: the only shared grams ($capped) all " +
+                  s"exceed maxDocsPerGram=$maxDocsPerGram, but they carry " +
+                  s"just $cappedMass of $mass gram occurrences — shared " +
+                  "boilerplate in an otherwise-unique corpus; emitting the " +
+                  "empty edge set.")
+          }
         }
-        pairs(cached, Some(gramCounts)).localCheckpoint(true)
+        result
       } finally {
         gramCounts.unpersist(false)
         cached.unpersist(false)
@@ -1490,13 +1527,19 @@ object Dedup {
   def embeddingNearDupsExact(
       df: DataFrame, idCol: String, vecCol: String,
       threshold: Double): DataFrame = {
+    // norms hoisted to one VecNorm per row (r21): the all-pairs kernel
+    // is n²/2 cosines, so the pair side pays the dot product alone
+    // (cosine_sim_pre — bit-identical to cosine_sim)
     val stream = spreadByKey(
       df.select(col(idCol), VectorOps.asDouble(col(vecCol)).as("__v__")), idCol, "__v__")
-      .select(col("__id__").as("id1"), col("__t__").as("__v1__"))
+      .select(col("__id__").as("id1"), col("__t__").as("__v1__"),
+        graft.functions.similarityExprs.vec_norm(col("__t__")).as("__n1__"))
     val build = broadcast(
-      df.select(col(idCol).as("id2"), VectorOps.asDouble(col(vecCol)).as("__v2__")))
+      df.select(col(idCol).as("id2"), VectorOps.asDouble(col(vecCol)).as("__v2__"))
+        .withColumn("__n2__", graft.functions.similarityExprs.vec_norm(col("__v2__"))))
     stream.join(build, col("id1") < col("id2"))
-      .withColumn("cosine", VectorOps.cosine(col("__v1__"), col("__v2__")))
+      .withColumn("cosine", graft.functions.similarityExprs.cosine_sim_pre(
+        col("__v1__"), col("__v2__"), col("__n1__"), col("__n2__")))
       .filter(col("cosine") >= threshold)
       .select(col("id1"), col("id2"), col("cosine"))
   }
@@ -1548,35 +1591,52 @@ object Dedup {
     val centroids = centroidsOpt.get
     // persisted: referenced by the cell-size aggregate and both pair
     // sides; materialized (localCheckpoint) before the finally-unpersist
-    // so the returned frame never recomputes the assignment
+    // so the returned frame never recomputes the assignment.
+    // __nrm__ hoists the vector norm to ONE VecNorm per indexed row
+    // (r21, guide §1.2 per-task work): the pair screen below evaluates
+    // a cosine per CANDIDATE PAIR, and the naive kernel re-walked both
+    // arrays for their norms on every pair — cosine_sim_pre reuses the
+    // per-row norms, cutting the pair kernel to the dot product alone
+    // (bit-identical: dot/(sqrt(na)*sqrt(nb)) with identical loops).
     val indexed = Ivf.index(df, idCol, vecCol, centroids, replication)
+      .withColumn("__nrm__",
+        graft.functions.similarityExprs.vec_norm(col("__v__")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      // the cap drops non-discriminative cells — a legitimate skew
-      // trade for SOME cells, a silent wrong answer when it hits ALL
-      // of them (an under-sized quantizer on a grown corpus returns
-      // zero pairs while looking healthy — measured at 26x scale:
-      // every cell past maxCell, 676M candidate pairs shed, 0 rows).
-      // That configuration fails loudly instead; one tiny aggregate
-      // on the already-persisted index pays for the guard.
-      val health = indexed.groupBy("__cell__").agg(count(lit(1)).as("__n__"))
-        .agg(count(lit(1)).as("cells"),
-          sum(when(col("__n__").between(2, maxCell), 1).otherwise(0)).as("pairable"),
-          sum(when(col("__n__") > maxCell, 1).otherwise(0)).as("capped"))
-        .head()
-      if (health.getLong(0) > 0 && health.getLong(1) == 0 && health.getLong(2) > 0)
-        throw new IllegalStateException(
-          s"semanticNearDups: every populated cell exceeds maxCell=$maxCell " +
-            s"(${health.getLong(2)} of ${health.getLong(0)} cells capped) — the " +
-            s"quantizer is under-sized for this corpus at nCells=$nCells; raise " +
-            "nCells (or use semanticNearDups, which sizes it to the corpus)")
       val good = indexed.groupBy("__cell__").agg(count(lit(1)).as("__n__"))
         .filter(col("__n__").between(2, maxCell))
         .select("__cell__")
       val ok = indexed.join(good, Seq("__cell__"), "left_semi")
-      ok.select(col("__cell__"), col("__id__").as("id1"), col("__v__").as("v1"))
-        .join(ok.select(col("__cell__"), col("__id__").as("id2"), col("__v__").as("v2")),
-          Seq("__cell__"))
+      // Sub-bucketed pair join (r21, guide §2.5): within-cell pair
+      // work is quadratic in cell occupancy, so (a) a SINGLE cell must
+      // never be one task's whole workload (a maxCell cell is up to
+      // 10k² = 100M pairs — AQE's skew splitter cannot split one key),
+      // and (b) at small cell counts (the replication=nCells exact
+      // arm) the join would otherwise run on ≤ nCells tasks. Each side
+      // gets a deterministic id-hash sub-bucket 0..b-1 and enumerates
+      // the other side's buckets, so every pair lands in EXACTLY ONE
+      // (cell, ba, bb) key — b² keys per cell, per-key work capped at
+      // (|cell|/b)². b is plan-time scale-adaptive: 1 (no replication
+      // cost at all) once nCells covers the cluster parallelism,
+      // up to 16 for tiny quantizers; the repartition pins the
+      // exchange's partition count against byte-based AQE coalescing
+      // (Par.pinned — the LshBlocking discipline).
+      val pinned = Par.pinned(df)
+      val b = math.max(1, math.min(16,
+        math.ceil(math.sqrt(2.0 * pinned / math.max(nCells, 1))).toInt))
+      val bl = lit(b.toLong)
+      val left = ok.select(col("__cell__"), col("__id__").as("id1"),
+          col("__v__").as("v1"), col("__nrm__").as("n1"),
+          pmod(xxhash64(col("__id__")), bl).as("__ba__"))
+        .withColumn("__bb__", explode(sequence(lit(0L), lit((b - 1).toLong))))
+        .repartition(pinned, col("__cell__"), col("__ba__"), col("__bb__"))
+      val right = ok.select(col("__cell__"), col("__id__").as("id2"),
+          col("__v__").as("v2"), col("__nrm__").as("n2"),
+          pmod(xxhash64(col("__id__")), bl).as("__bb__"))
+        .withColumn("__ba__", explode(sequence(lit(0L), lit((b - 1).toLong))))
+        .repartition(pinned, col("__cell__"), col("__ba__"), col("__bb__"))
+      val result = left
+        .join(right, Seq("__cell__", "__ba__", "__bb__"))
         .filter(col("id1") < col("id2"))
         // score and THRESHOLD-FILTER before the cross-cell pair dedup:
         // a pair sharing several cells pays the (cheap, codegen'd)
@@ -1586,11 +1646,38 @@ object Dedup {
         // carrying both dense vectors (~1 KB/row): measured ~4x slower
         // and memory-unstable at 32 threads
         .withColumn("cosine",
-          graft.functions.similarityExprs.cosine_sim(col("v1"), col("v2")))
+          graft.functions.similarityExprs.cosine_sim_pre(
+            col("v1"), col("v2"), col("n1"), col("n2")))
         .filter(col("cosine") >= threshold)
         .select(col("id1"), col("id2"), col("cosine"))
         .dropDuplicates("id1", "id2")
         .localCheckpoint(true)
+      // the cap drops non-discriminative cells — a legitimate skew
+      // trade for SOME cells, a silent wrong answer when it hits ALL
+      // of them (an under-sized quantizer on a grown corpus returns
+      // zero pairs while looking healthy — measured at 26x scale:
+      // every cell past maxCell, 676M candidate pairs shed, 0 rows).
+      // That configuration fails loudly instead. The guard can only
+      // FIRE when the pair set is empty (all cells capped ⇒ good is
+      // empty ⇒ the join emitted nothing), so it runs AFTER the
+      // materialization and only on an empty result — the
+      // LshBlocking.candidatePairs r21 ordering: the index pipeline
+      // runs once, and the common non-empty path pays one take(1)
+      // instead of the health job.
+      if (result.isEmpty) {
+        val health = indexed.groupBy("__cell__").agg(count(lit(1)).as("__n__"))
+          .agg(count(lit(1)).as("cells"),
+            sum(when(col("__n__").between(2, maxCell), 1).otherwise(0)).as("pairable"),
+            sum(when(col("__n__") > maxCell, 1).otherwise(0)).as("capped"))
+          .head()
+        if (health.getLong(0) > 0 && health.getLong(1) == 0 && health.getLong(2) > 0)
+          throw new IllegalStateException(
+            s"semanticNearDups: every populated cell exceeds maxCell=$maxCell " +
+              s"(${health.getLong(2)} of ${health.getLong(0)} cells capped) — the " +
+              s"quantizer is under-sized for this corpus at nCells=$nCells; raise " +
+              "nCells (or use semanticNearDups, which sizes it to the corpus)")
+      }
+      result
     } finally indexed.unpersist(false)
   }
 

@@ -70,7 +70,17 @@ object LshBlocking {
     // and both self-join sides costs almost nothing. Unpersisted below.
     val sigs = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
+    // pinned-count repartition on the band key (Par.pinned): the
+    // within-bucket self-join's OUTPUT is quadratic in bucket
+    // occupancy, so its parallelism must not be sized by the (small)
+    // shuffle bytes feeding it — AQE coalescing (or a broadcast-join
+    // rewrite inheriting a single-file scan's layout) would run every
+    // bucket's pair loop in one task (measured at bench scale). One
+    // exchange, reused by the occupancy aggregate, the semi-join and
+    // both self-join sides; at cluster scale it is the same (band,
+    // bucket) exchange a sort-merge pair join needs anyway.
     val banded = bandRows(sigs, bands, rowsPerBand, carry)
+      .repartition(Par.pinned(df), col("band"), col("bucket"))
 
     // Bucket occupancy is computed ONCE and persisted — it feeds both
     // the all-capped guard below and the goodBuckets join side (the
@@ -82,6 +92,24 @@ object LshBlocking {
       .agg(count(lit(1)).as("__n__"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
+      val goodBuckets = bucketCounts
+        .filter(col("__n__").between(2, maxBucket))
+        .select("band", "bucket")
+
+      val filtered = banded.join(goodBuckets, Seq("band", "bucket"), "left_semi")
+
+      val raw = filtered
+        .select(col("band"), col("bucket"), col("__id__").as("id1"), col("__p__").as("p1"))
+        .join(
+          filtered.select(col("band"), col("bucket"), col("__id__").as("id2"), col("__p__").as("p2")),
+          Seq("band", "bucket"))
+        .filter(col("id1") < col("id2"))
+        .select(col("id1"), col("id2"), col("p1"), col("p2"))
+
+      val result = screen(raw)
+        .dropDuplicates("id1", "id2")
+        .localCheckpoint(true)
+
       // ALL-capped guard (the semantic family's under-sized-quantizer
       // discipline, r15): when every multi-member (band, bucket)
       // exceeds maxBucket, the op would emit ZERO pairs — for a corpus
@@ -103,56 +131,49 @@ object LshBlocking {
       // maxBucket when mega-dup islands should pair, or set
       // saturationMassFraction = 0 to restore the strict fail-loud
       // guard (any all-capped shape throws).
-      // The mass sums ride the same aggregate — no extra pass. An
-      // empty or all-singleton banding (capped == 0) passes through
-      // silently; so does any mix with at least one pairable bucket.
-      val occ = bucketCounts.agg(
-        sum(when(col("__n__").between(2, maxBucket), lit(1)).otherwise(lit(0)))
-          .as("__pairable__"),
-        sum(when(col("__n__") > maxBucket, lit(1)).otherwise(lit(0)))
-          .as("__capped__"),
-        sum(when(col("__n__") > maxBucket, col("__n__")).otherwise(lit(0L)))
-          .as("__cappedMass__"),
-        sum(col("__n__")).as("__mass__"))
-        .head()
-      val pairableBuckets = if (occ.isNullAt(0)) 0L else occ.getLong(0)
-      val cappedBuckets = if (occ.isNullAt(1)) 0L else occ.getLong(1)
-      val cappedMass = if (occ.isNullAt(2)) 0L else occ.getLong(2)
-      val mass = if (occ.isNullAt(3)) 0L else occ.getLong(3)
-      if (cappedBuckets > 0 && pairableBuckets == 0) {
-        if (cappedMass >= saturationMassFraction * mass)
-          throw new IllegalStateException(
-            s"lsh blocking: all $cappedBuckets occupied multi-member buckets " +
-              s"exceed maxBucket=$maxBucket and hold $cappedMass of $mass " +
-              "banding rows — the banding is too coarse for this corpus " +
-              "and zero pairs would be emitted. Widen the bands (more rows " +
-              "per band; see VectorOps.lshPlan) or raise maxBucket.")
-        else
-          log.warn(
-            s"lsh blocking: the only multi-member buckets ($cappedBuckets) " +
-              s"all exceed maxBucket=$maxBucket, but they hold just " +
-              s"$cappedMass of $mass banding rows — isolated mega-dup " +
-              "islands in an otherwise-unique corpus are being skipped by " +
-              "the bucket cap; emitting the empty pair set.")
+      //
+      // Ordering (r21, guide §1.2): the guard can only FIRE when the
+      // pair set is empty (pairable == 0 ⇒ goodBuckets is empty ⇒ the
+      // join emits nothing), so it now runs AFTER the materialization
+      // and ONLY on an empty result. The old guard-first order paid
+      // the whole banding pipeline once for the guard's head() and
+      // again for the checkpoint; this order computes the banding
+      // exactly once, and the non-empty (common) path replaces the
+      // occupancy job with one take(1) on the checkpointed result.
+      // The saturation exception is unchanged — it just surfaces
+      // after the (empty, therefore cheap) materialization.
+      if (result.isEmpty) {
+        val occ = bucketCounts.agg(
+          sum(when(col("__n__").between(2, maxBucket), lit(1)).otherwise(lit(0)))
+            .as("__pairable__"),
+          sum(when(col("__n__") > maxBucket, lit(1)).otherwise(lit(0)))
+            .as("__capped__"),
+          sum(when(col("__n__") > maxBucket, col("__n__")).otherwise(lit(0L)))
+            .as("__cappedMass__"),
+          sum(col("__n__")).as("__mass__"))
+          .head()
+        val pairableBuckets = if (occ.isNullAt(0)) 0L else occ.getLong(0)
+        val cappedBuckets = if (occ.isNullAt(1)) 0L else occ.getLong(1)
+        val cappedMass = if (occ.isNullAt(2)) 0L else occ.getLong(2)
+        val mass = if (occ.isNullAt(3)) 0L else occ.getLong(3)
+        if (cappedBuckets > 0 && pairableBuckets == 0) {
+          if (cappedMass >= saturationMassFraction * mass)
+            throw new IllegalStateException(
+              s"lsh blocking: all $cappedBuckets occupied multi-member buckets " +
+                s"exceed maxBucket=$maxBucket and hold $cappedMass of $mass " +
+                "banding rows — the banding is too coarse for this corpus " +
+                "and zero pairs would be emitted. Widen the bands (more rows " +
+                "per band; see VectorOps.lshPlan) or raise maxBucket.")
+          else
+            log.warn(
+              s"lsh blocking: the only multi-member buckets ($cappedBuckets) " +
+                s"all exceed maxBucket=$maxBucket, but they hold just " +
+                s"$cappedMass of $mass banding rows — isolated mega-dup " +
+                "islands in an otherwise-unique corpus are being skipped by " +
+                "the bucket cap; emitting the empty pair set.")
+        }
       }
-
-      val goodBuckets = bucketCounts
-        .filter(col("__n__").between(2, maxBucket))
-        .select("band", "bucket")
-
-      val filtered = banded.join(goodBuckets, Seq("band", "bucket"), "left_semi")
-
-      val raw = filtered
-        .select(col("band"), col("bucket"), col("__id__").as("id1"), col("__p__").as("p1"))
-        .join(
-          filtered.select(col("band"), col("bucket"), col("__id__").as("id2"), col("__p__").as("p2")),
-          Seq("band", "bucket"))
-        .filter(col("id1") < col("id2"))
-        .select(col("id1"), col("id2"), col("p1"), col("p2"))
-
-      screen(raw)
-        .dropDuplicates("id1", "id2")
-        .localCheckpoint(true)
+      result
     } finally {
       // even when the guard/screen/checkpoint throws
       bucketCounts.unpersist(false)
@@ -178,8 +199,15 @@ object LshBlocking {
     val sa = a.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sb = b.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
+      // pinned-count repartition on the band key — same rationale as
+      // [[candidatePairs]]: cross-bucket pair output is a product of
+      // per-side occupancies, so the join's parallelism must not be
+      // sized by its (small) input bytes.
+      val pinned = Par.pinned(a)
       val ba = bandRows(sa, bands, rowsPerBand, carry)
+        .repartition(pinned, col("band"), col("bucket"))
       val bb = bandRows(sb, bands, rowsPerBand, carry)
+        .repartition(pinned, col("band"), col("bucket"))
       // one aggregate over the tagged union yields both side counts:
       // total n and b-side count nb (sum of the 0/1 tag) — keep only
       // buckets with members on BOTH sides, under the combined cap
@@ -191,30 +219,7 @@ object LshBlocking {
         .groupBy("band", "bucket")
         .agg(count(lit(1)).as("__n__"), sum(col("__s__")).as("__nb__"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      // the candidatePairs all-capped guard, cross form: only buckets
-      // with members on BOTH sides can pair, so only those count —
-      // when every such bucket exceeds the cap, the op would report
-      // ZERO overlap for a crawl that may be wall-to-wall copies of
-      // the reference. Fail loudly; single-side buckets (no pairs
-      // possible regardless) and mixed bandings pass through.
       val crossSide = col("__nb__") >= 1 && col("__nb__") < col("__n__")
-      val occ = tagged.agg(
-        sum(when(crossSide && col("__n__") <= maxBucket, lit(1))
-          .otherwise(lit(0))).as("__pairable__"),
-        sum(when(crossSide && col("__n__") > maxBucket, lit(1))
-          .otherwise(lit(0))).as("__capped__"))
-        .head()
-      val pairableBuckets = if (occ.isNullAt(0)) 0L else occ.getLong(0)
-      val cappedBuckets = if (occ.isNullAt(1)) 0L else occ.getLong(1)
-      if (cappedBuckets > 0 && pairableBuckets == 0) {
-        tagged.unpersist(false)
-        throw new IllegalStateException(
-          s"lsh cross blocking: all $cappedBuckets cross-side buckets " +
-            s"exceed maxBucket=$maxBucket — the banding is too coarse for " +
-            "these corpora and zero overlap would be reported. Widen the " +
-            "bands (more rows per band; see VectorOps.lshPlan) or raise " +
-            "maxBucket.")
-      }
       val good = tagged
         .filter(crossSide && col("__n__") <= maxBucket)
         .select("band", "bucket")
@@ -225,11 +230,40 @@ object LshBlocking {
             .select(col("band"), col("bucket"), col("__id__").as("id2"), col("__p__").as("p2")),
           Seq("band", "bucket"))
         .select(col("id1"), col("id2"), col("p1"), col("p2"))
-      try
-        screen(raw)
+      try {
+        val result = screen(raw)
           .dropDuplicates("id1", "id2")
           .localCheckpoint(true)
-      finally tagged.unpersist(false)
+        // the candidatePairs all-capped guard, cross form: only buckets
+        // with members on BOTH sides can pair, so only those count —
+        // when every such bucket exceeds the cap, the op would report
+        // ZERO overlap for a crawl that may be wall-to-wall copies of
+        // the reference. Fail loudly; single-side buckets (no pairs
+        // possible regardless) and mixed bandings pass through.
+        // Guard runs AFTER the materialization and only on an empty
+        // result (it can only fire when pairable == 0 ⇒ good is empty
+        // ⇒ the join emitted nothing) — see candidatePairs on why:
+        // one banding pass instead of two, and the common non-empty
+        // path pays one take(1) instead of the occupancy job.
+        if (result.isEmpty) {
+          val occ = tagged.agg(
+            sum(when(crossSide && col("__n__") <= maxBucket, lit(1))
+              .otherwise(lit(0))).as("__pairable__"),
+            sum(when(crossSide && col("__n__") > maxBucket, lit(1))
+              .otherwise(lit(0))).as("__capped__"))
+            .head()
+          val pairableBuckets = if (occ.isNullAt(0)) 0L else occ.getLong(0)
+          val cappedBuckets = if (occ.isNullAt(1)) 0L else occ.getLong(1)
+          if (cappedBuckets > 0 && pairableBuckets == 0)
+            throw new IllegalStateException(
+              s"lsh cross blocking: all $cappedBuckets cross-side buckets " +
+                s"exceed maxBucket=$maxBucket — the banding is too coarse for " +
+                "these corpora and zero overlap would be reported. Widen the " +
+                "bands (more rows per band; see VectorOps.lshPlan) or raise " +
+                "maxBucket.")
+        }
+        result
+      } finally tagged.unpersist(false)
     } finally {
       sa.unpersist(false)
       sb.unpersist(false)

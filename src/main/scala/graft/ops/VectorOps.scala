@@ -160,6 +160,11 @@ object VectorOps {
     Dedup.spreadByKey(
       df.select(col(idCol), asDouble(col(vecCol)).as("__v0__")), idCol, "__v0__")
       .select(col("__id__"), col("__t__").as("__v__"),
+        // norm hoisted to one VecNorm per ROW (r21): banded screens
+        // evaluate a cosine per candidate PAIR — cosine_sim_pre over
+        // this column cuts the pair kernel to the dot product
+        // (bit-identical; see CosineSimPre)
+        graft.functions.similarityExprs.vec_norm(col("__t__")).as("__nrm__"),
         graft.functions.similarityExprs.sign_lsh_sig(
           col("__t__"), typedLit(planes)).as("__sig__"))
 
@@ -212,10 +217,17 @@ object VectorOps {
     val dim = dimRow(0).getInt(0)
     val planes = hyperplanes(nPlanes, dim, seed)
 
+    // payload = (vector, hoisted norm) struct: the screen's cosine per
+    // candidate pair reduces to one dot product (cosine_sim_pre,
+    // bit-identical to cosine_sim — see CosineSimPre)
     val sigs = lshSignatures(df, idCol, vecCol, planes)
+      .select(col("__id__"),
+        struct(col("__v__").as("v"), col("__nrm__").as("n")).as("__pv__"),
+        col("__sig__"))
 
-    LshBlocking.candidatePairs(sigs, nBands, rowsPerBand, maxBucket, payload = Some("__v__"),
-      screen = _.withColumn("cosine", cosine(col("p1"), col("p2")))
+    LshBlocking.candidatePairs(sigs, nBands, rowsPerBand, maxBucket, payload = Some("__pv__"),
+      screen = _.withColumn("cosine", graft.functions.similarityExprs.cosine_sim_pre(
+          col("p1.v"), col("p2.v"), col("p1.n"), col("p2.n")))
         .filter(col("cosine") > threshold)
         .select(col("id1"), col("id2"), col("cosine")))
   }
