@@ -376,7 +376,10 @@ object SparkEntry {
       def stream = s.readStream.schema(schema)
         .parquet(s"$dir/embeddings*.parquet")
       val survivors = graft.streaming.Streams.dedupEmbeddingsAgainst(
-        stream.filter(col("vec_id") % 5 =!= 0 && col("embedding").isNotNull),
+        stream.filter(col("vec_id") % 5 =!= 0 && col("embedding").isNotNull)
+          // keyed repartition before the per-arrival catalog screen —
+          // see q_stream_audio (single-task stream scan, AQE off)
+          .repartition(col("vec_id")),
         "embedding", catBc, threshold = 0.35)
         .withColumn("max_catalog_cosine",
           graft.functions.screenExprs.max_catalog_cosine(
@@ -410,6 +413,9 @@ object SparkEntry {
         .parquet(s"$dir/documents*.parquet")
       val arrivals = stream
         .filter(col("doc_id") < 1000 && col("doc_id") % 7 =!= 0)
+        // keyed repartition before the per-arrival synth+hash — see
+        // q_stream_audio (single-task stream scan, AQE off in streams)
+        .repartition(col("doc_id"))
         .select(col("doc_id"),
           graft.functions.imageExprs.png_dhash(png, 8, 8).as("sig"))
         .filter(col("sig").isNotNull)
@@ -440,6 +446,12 @@ object SparkEntry {
         .parquet(s"$dir/documents*.parquet")
       val arrivals = stream
         .filter(col("doc_id") < 1000 && col("doc_id") % 7 =!= 0)
+        // keyed repartition BEFORE the per-arrival synth+hash: a
+        // bounded file stream reads one small file in one task and AQE
+        // is disabled in streaming, so without this the whole fixture
+        // synthesis + energy hash runs single-threaded per micro-batch
+        // (r21; deterministic keyed shuffle, row set unchanged)
+        .repartition(col("doc_id"))
         .select(col("doc_id"),
           graft.functions.imageExprs.wav_energy_hash(wav, 64).as("sig"))
         .filter(col("sig").isNotNull)
@@ -468,6 +480,9 @@ object SparkEntry {
         .parquet(s"$dir/documents*.parquet")
       val arrivals = stream
         .filter(col("doc_id") < 1000 && col("doc_id") % 7 =!= 0)
+        // keyed repartition before the per-arrival synth+hash — see
+        // q_stream_audio (single-task stream scan, AQE off in streams)
+        .repartition(col("doc_id"))
         .select(col("doc_id"),
           graft.functions.imageExprs.mp4_structure_hash(mp4, 64).as("sig"))
         .filter(col("sig").isNotNull)
@@ -504,6 +519,9 @@ object SparkEntry {
         .parquet(s"$dir/documents*.parquet")
       val arrivals = stream
         .filter(slice && col("doc_id") % 5 =!= 0)
+        // keyed repartition before the per-arrival signature — see
+        // q_stream_audio (single-task stream scan, AQE off in streams)
+        .repartition(col("doc_id"))
         .select(col("doc_id"),
           ops.Dedup.simhashSignatureMd5(col("text"), 64).as("sig"))
       graft.streaming.Streams.runBounded(
@@ -2120,7 +2138,13 @@ object SparkEntry {
       // keyed per (pid, sf) for the same reuse/isolation reasons as
       // q_orc_roundtrip above.
       val out = s"${System.getProperty("java.io.tmpdir")}/graft-gate-avro-${ProcessHandle.current().pid()}-${Integer.toHexString(dir.hashCode)}/orders_avro"
-      sources.Avro.write(t(s, dir, "orders"), out)
+      // pinned keyed repartition before the write: the per-row
+      // GenericRecord encode is the cost here, and a single-file scan
+      // would serialize it into one task / one container (r21; row set
+      // unchanged — the write emits one part per partition and the
+      // read plans a split per container)
+      sources.Avro.write(t(s, dir, "orders")
+        .repartition(ops.Par.pinned(t(s, dir, "orders")), col("o_orderkey")), out)
       sources.Avro.read(s, out)
         .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
           col("o_totalprice"), col("o_orderdate"), col("o_orderpriority"))

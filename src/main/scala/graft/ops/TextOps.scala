@@ -629,16 +629,30 @@ object TextOps {
     // nChunks = ceil((n - maxTokens) / stride) + 1 for n > maxTokens,
     // folded to one floor: (n - maxTokens + 2·stride - 1) div stride
     // (double division then int cast truncates = floor for the
-    // non-negative numerator this branch guarantees)
-    val base = df
-      .select(col(idCol), tokens(normalized(col(textCol))).as("__tk__"))
-      .withColumn("__n__", size(col("__tk__")))
-      .withColumn("__nc__", when(col("__n__") <= maxTokens, lit(1))
-        .otherwise(((col("__n__") - maxTokens + lit(2 * stride - 1)) / lit(stride)).cast("int")))
-      .withColumn("__chunks__",
-        transform(sequence(lit(0), col("__nc__") - 1), i => struct(
-          concat_ws(" ", slice(col("__tk__"), i * stride + 1, lit(maxTokens))).as("chunk_text"),
-          least(lit(maxTokens), col("__n__") - i * stride).as("n_chunk_tokens"))))
+    // non-negative numerator this branch guarantees).
+    // token array / count / chunk count are once-bound as lambda
+    // variables (r21; the [[once]] rebinding chunkDocumentsByCost
+    // already uses): the withColumn chain COLLAPSES into one
+    // projection, and each reference of __n__/__tk__ would otherwise
+    // re-evaluate the whole tokens(normalized(text)) pass per row
+    val chunksCol = once(tokens(normalized(col(textCol)))) { tk =>
+      once(size(tk)) { n =>
+        once(when(n <= maxTokens, lit(1))
+          .otherwise(((n - maxTokens + lit(2 * stride - 1)) / lit(stride)).cast("int"))) { nc =>
+          transform(sequence(lit(0), nc - 1), i => struct(
+            concat_ws(" ", slice(tk, i * stride + 1, lit(maxTokens))).as("chunk_text"),
+            least(lit(maxTokens), n - i * stride).as("n_chunk_tokens")))
+        }
+      }
+    }
+    // pinned keyed repartition below the (heavy) tokenize+chunk
+    // projection: chunking is pure per-row work with no downstream
+    // shuffle, so a single-file scan would otherwise run the whole
+    // pass in one task (r21; see Par.pinned — explicit count, exempt
+    // from AQE byte-based coalescing)
+    val base = df.select(col(idCol), col(textCol))
+      .repartition(Par.pinned(df), col(idCol))
+      .select(col(idCol), chunksCol.as("__chunks__"))
     base
       .select(col(idCol), posexplode(col("__chunks__")).as(Seq("chunk_id", "__c__")))
       .select(col(idCol), col("chunk_id"),
@@ -709,6 +723,10 @@ object TextOps {
       }
     }
     df.filter(col(textCol).isNotNull)
+      // pinned keyed repartition below the heavy greedy-chunk
+      // projection — same rationale as chunkDocuments (r21)
+      .select(col(idCol), col(textCol))
+      .repartition(Par.pinned(df), col(idCol))
       .select(col(idCol), chunksExpr.as("__chunks__"))
       .select(col(idCol), posexplode(col("__chunks__")).as(Seq("chunk_id", "__ch__")))
       .select(col(idCol), col("chunk_id"),
