@@ -65,17 +65,49 @@ object Profile {
       }
     }
 
+    // sub-execution plan capture: operators that materialize
+    // internally (localCheckpoint/persist guards) hide their real
+    // plans from a top-level explain — a QueryExecutionListener sees
+    // every action's EXECUTED plan (post-AQE), so the dumped file
+    // carries the whole query's physical story.
+    val subPlans = mutable.Buffer[String]()
+    val qeListener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          durationNs: Long): Unit = subPlans.synchronized {
+        subPlans += s"== sub-execution: $funcName (${durationNs / 1000000} ms) ==\n" +
+          qe.explainString(
+            org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+      }
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          exception: Exception): Unit = ()
+    }
+
     for (name <- qnames) {
       val fn = SparkEntry.queries.getOrElse(name,
         sys.error(s"unknown query $name"))
-      // plan dump (pre-execution shape; AQE initial plan)
+      // plan dump: the top-level plan (pre-execution; AQE initial)
+      // plus every sub-execution's executed plan, captured while the
+      // top-level frame is CONSTRUCTED and run once
       plansDir.foreach { case (tag, suffix) =>
         val dir = java.nio.file.Path.of(s"plans/$tag")
         java.nio.file.Files.createDirectories(dir)
-        val plan = try fn(spark, sfDir).queryExecution.explainString(
-          org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+        subPlans.synchronized(subPlans.clear())
+        spark.listenerManager.register(qeListener)
+        val plan = try {
+          val df = fn(spark, sfDir)
+          val top = df.queryExecution.explainString(
+            org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+          df.write.format("noop").mode("overwrite").save()
+          top
+        }
         catch { case e: Throwable => s"EXPLAIN FAILED: $e" }
-        java.nio.file.Files.writeString(dir.resolve(s"${name}_$suffix.txt"), plan)
+        spark.listenerManager.unregister(qeListener)
+        Thread.sleep(200) // listener is async; let the bus drain
+        val all = subPlans.synchronized(
+          (s"== top-level plan ==\n$plan" +: subPlans.toSeq).mkString("\n\n"))
+        java.nio.file.Files.writeString(dir.resolve(s"${name}_$suffix.txt"), all)
       }
       // warm run (codegen) then measured run
       spark.sparkContext.setJobDescription(s"$name warm")

@@ -376,10 +376,7 @@ object SparkEntry {
       def stream = s.readStream.schema(schema)
         .parquet(s"$dir/embeddings*.parquet")
       val survivors = graft.streaming.Streams.dedupEmbeddingsAgainst(
-        stream.filter(col("vec_id") % 5 =!= 0 && col("embedding").isNotNull)
-          // keyed repartition before the per-arrival catalog screen —
-          // see q_stream_audio (single-task stream scan, AQE off)
-          .repartition(col("vec_id")),
+        stream.filter(col("vec_id") % 5 =!= 0 && col("embedding").isNotNull),
         "embedding", catBc, threshold = 0.35)
         .withColumn("max_catalog_cosine",
           graft.functions.screenExprs.max_catalog_cosine(
@@ -413,9 +410,6 @@ object SparkEntry {
         .parquet(s"$dir/documents*.parquet")
       val arrivals = stream
         .filter(col("doc_id") < 1000 && col("doc_id") % 7 =!= 0)
-        // keyed repartition before the per-arrival synth+hash — see
-        // q_stream_audio (single-task stream scan, AQE off in streams)
-        .repartition(col("doc_id"))
         .select(col("doc_id"),
           graft.functions.imageExprs.png_dhash(png, 8, 8).as("sig"))
         .filter(col("sig").isNotNull)
@@ -446,12 +440,6 @@ object SparkEntry {
         .parquet(s"$dir/documents*.parquet")
       val arrivals = stream
         .filter(col("doc_id") < 1000 && col("doc_id") % 7 =!= 0)
-        // keyed repartition BEFORE the per-arrival synth+hash: a
-        // bounded file stream reads one small file in one task and AQE
-        // is disabled in streaming, so without this the whole fixture
-        // synthesis + energy hash runs single-threaded per micro-batch
-        // (r21; deterministic keyed shuffle, row set unchanged)
-        .repartition(col("doc_id"))
         .select(col("doc_id"),
           graft.functions.imageExprs.wav_energy_hash(wav, 64).as("sig"))
         .filter(col("sig").isNotNull)
@@ -480,9 +468,6 @@ object SparkEntry {
         .parquet(s"$dir/documents*.parquet")
       val arrivals = stream
         .filter(col("doc_id") < 1000 && col("doc_id") % 7 =!= 0)
-        // keyed repartition before the per-arrival synth+hash — see
-        // q_stream_audio (single-task stream scan, AQE off in streams)
-        .repartition(col("doc_id"))
         .select(col("doc_id"),
           graft.functions.imageExprs.mp4_structure_hash(mp4, 64).as("sig"))
         .filter(col("sig").isNotNull)
@@ -519,9 +504,6 @@ object SparkEntry {
         .parquet(s"$dir/documents*.parquet")
       val arrivals = stream
         .filter(slice && col("doc_id") % 5 =!= 0)
-        // keyed repartition before the per-arrival signature — see
-        // q_stream_audio (single-task stream scan, AQE off in streams)
-        .repartition(col("doc_id"))
         .select(col("doc_id"),
           ops.Dedup.simhashSignatureMd5(col("text"), 64).as("sig"))
       graft.streaming.Streams.runBounded(

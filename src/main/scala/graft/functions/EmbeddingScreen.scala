@@ -43,6 +43,27 @@ final class ScreenCatalog(
   require(vecs.length == nMembers * dim,
     s"ScreenCatalog: ${vecs.length} values != $nMembers x $dim")
   def banded: Boolean = bands > 0
+
+  /** Member norms, computed ONCE per JVM on first probe (r21) — the
+    * probe kernel otherwise re-walked the member vector for its norm
+    * on EVERY probe row (a second dim-length pass per candidate).
+    * Same accumulation order as [[SimilarityUtil.norm]], so
+    * `dot/(normA*memberNorms(m))` is bit-identical to the inline
+    * recomputation. @transient: derived on each executor after
+    * broadcast deserialization, never shipped. */
+  @transient lazy val memberNorms: Array[Double] = {
+    val out = new Array[Double](nMembers)
+    var m = 0
+    while (m < nMembers) {
+      val off = m * dim
+      var nb = 0.0
+      var j = 0
+      while (j < dim) { val x = vecs(off + j); nb += x * x; j += 1 }
+      out(m) = math.sqrt(nb)
+      m += 1
+    }
+    out
+  }
 }
 
 object ScreenCatalogUtil {
@@ -74,15 +95,15 @@ object ScreenCatalogUtil {
     val normA = math.sqrt(na)
 
     var best = Double.NaN
+    val memberNorms = cat.memberNorms
     def probeMember(m: Int): Unit = {
       val off = m * d
       var dot = 0.0
       var j = 0
       while (j < d) { dot += a(j) * cat.vecs(off + j); j += 1 }
-      var nb = 0.0
-      j = 0
-      while (j < d) { val x = cat.vecs(off + j); nb += x * x; j += 1 }
-      val c = dot / (normA * math.sqrt(nb))
+      // precomputed member norm (cat.memberNorms — bit-identical to
+      // the inline recomputation this replaces, r21)
+      val c = dot / (normA * memberNorms(m))
       if (!java.lang.Double.isNaN(c) &&
         (java.lang.Double.isNaN(best) || c > best)) best = c
     }

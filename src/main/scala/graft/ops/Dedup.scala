@@ -870,21 +870,37 @@ object Dedup {
     val pb = catalog.select(col(catalogIdCol), col(catalogVecCol))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      def dim(df: DataFrame, c: String): Option[Int] =
-        df.select(size(col(c)).as("__d__")).filter(col("__d__").isNotNull)
-          .head(1).headOption.map(_.getInt(0))
-      val da = dim(pa, vecCol)
-      val db = dim(pb, catalogVecCol)
-      if (da.isEmpty || db.isEmpty) return emptyOut
+      // ONE aggregate over the tagged union replaces four driver
+      // actions (two dim probes + two counts, r21): the band-plan
+      // count had to scan both sides anyway, so folding the dimension
+      // probe into the same pass is strictly fewer scans at any
+      // scale. max(size) detects a cross-side model mismatch exactly
+      // as well as the first-row probe it replaces (neither detected
+      // within-side variation).
+      // when-guarded size: __d__ is NULL exactly for NULL vectors on
+      // any ANSI/legacy setting (bare size(NULL) is -1 in legacy mode)
+      val stats = pa.select(
+          when(col(vecCol).isNotNull, size(col(vecCol))).as("__d__"),
+          lit(0).as("__side__"))
+        .unionByName(pb.select(
+          when(col(catalogVecCol).isNotNull, size(col(catalogVecCol))).as("__d__"),
+          lit(1).as("__side__")))
+        .agg(
+          max(when(col("__side__") === 0, col("__d__"))).as("da"),
+          max(when(col("__side__") === 1, col("__d__"))).as("db"),
+          sum(when(col("__d__").isNotNull, 1L).otherwise(0L)).as("n"))
+        .head()
+      if (stats.isNullAt(0) || stats.isNullAt(1)) return emptyOut
+      val da = stats.getInt(0)
+      val db = stats.getInt(1)
       require(da == db,
         s"crossCorpusEmbeddingNearDups: corpus embeddings have dim " +
-          s"${da.get} but the catalog has dim ${db.get} — the catalog " +
+          s"$da but the catalog has dim $db — the catalog " +
           "must be built with the same embedding model")
-      val n = pa.filter(col(vecCol).isNotNull).count() +
-        pb.filter(col(catalogVecCol).isNotNull).count()
+      val n = stats.getLong(2)
       val (nPlanes, rowsPerBand) =
         VectorOps.lshPlan(n, threshold, targetBucket, recall, maxBands)
-      val planes = VectorOps.hyperplanes(nPlanes, da.get, seed)
+      val planes = VectorOps.hyperplanes(nPlanes, da, seed)
       // payload = (vector, hoisted norm) struct — the lshNeighbors r21
       // discipline: each candidate pair pays one dot product instead of
       // re-walking both arrays for their norms (bit-identical)
@@ -901,6 +917,8 @@ object Dedup {
           .filter(col("cosine") >= threshold)
           .select(col("id1"), col("id2"), col("cosine")),
         payload = Some("__pv__"))
+      // pinPartitions left default-false — see VectorOps.lshNeighbors:
+      // both banded sides inherit lshSignatures' pinned spread
     } finally {
       pa.unpersist(blocking = false)
       pb.unpersist(blocking = false)
@@ -1352,13 +1370,12 @@ object Dedup {
       val goodGrams = counts
         .filter(col("__n__").between(2, maxDocsPerGram))
         .select("__h__")
-      // pinned-count repartition on the gram key (Par.pinned — the
-      // LshBlocking.candidatePairs discipline): the within-gram
-      // self-join's output is quadratic in gram popularity, so its
-      // parallelism must not be sized by the small shuffle bytes
-      // feeding it. One exchange, reused by both self-join sides.
-      val keep = grams.repartition(Par.pinned(grams), col("__h__"))
-        .join(goodGrams, Seq("__h__"), "left_semi")
+      // no pinned repartition here (r21, measured): the gram pair
+      // emission is id-pairs only — a handful of integer ops per
+      // candidate — so this is a LIGHT screen in the
+      // LshBlocking.candidatePairs sense; the planner's own exchange
+      // shape (SMJ at scale, AQE-sized) wins.
+      val keep = grams.join(goodGrams, Seq("__h__"), "left_semi")
       keep.select(col("__h__"), col("__id__").as("id1"))
         .join(keep.select(col("__h__"), col("__id__").as("id2")), Seq("__h__"))
         .filter(col("id1") < col("id2"))

@@ -119,26 +119,50 @@ object Ivf {
     spark.read.parquet(path).orderBy("cell").collect()
       .map(_.getSeq[Double](1).toSeq).toSeq
 
-  /** Nearest-centroid cell id for a (double-array) vector column —
-    * codegen'd argmax over the broadcast centroid literals. */
-  def cellOf(v: Column, centroids: Seq[Seq[Double]]): Column = {
-    val scored = centroids.zipWithIndex.map { case (c, i) =>
-      struct(graft.functions.similarityExprs
-        .cosine_sim(v, typedLit(c)).as("s"), lit(i).as("cell"))
-    }
-    array_max(array(scored: _*)).getField("cell")
+  /** Driver-side centroid norm, in the SAME sequential accumulation
+    * order as [[graft.functions.SimilarityUtil.norm]] — the per-pair
+    * `dot/(nv*nc)` then reproduces `cosine_sim(v, centroid)` bit for
+    * bit. */
+  private def centroidNorm(c: Seq[Double]): Double = {
+    var s = 0.0
+    var i = 0
+    while (i < c.length) { s += c(i) * c(i); i += 1 }
+    math.sqrt(s)
   }
 
-  /** The `nProbe` nearest cells of a vector, as an array column. */
-  def probeCells(v: Column, centroids: Seq[Seq[Double]], nProbe: Int): Column = {
-    val scored = centroids.zipWithIndex.map { case (c, i) =>
-      struct(graft.functions.similarityExprs
-        .cosine_sim(v, typedLit(c)).as("s"), lit(i).as("cell"))
+  /** The per-centroid scoring row shared by [[cellOf]] and
+    * [[probeCells]] (r21): the vector expression and its norm are
+    * once-bound as lambda variables — the collapsed projection would
+    * otherwise re-evaluate BOTH the upstream vector cast and a full
+    * norm pass once per centroid per row (nCells× the work on the
+    * linear index pass); centroid norms fold to literals on the
+    * driver. Scores are bit-identical to cosine_sim (see
+    * CosineSimPre). */
+  private def scoredCells(v: Column, centroids: Seq[Seq[Double]])(
+      finish: Column => Column): Column =
+    graft.ops.TextOps.once(v) { vv =>
+      graft.ops.TextOps.once(
+        graft.functions.similarityExprs.vec_norm(vv)) { nv =>
+        val scored = centroids.zipWithIndex.map { case (c, i) =>
+          struct(graft.functions.similarityExprs
+            .cosine_sim_pre(vv, typedLit(c), nv, lit(centroidNorm(c)))
+            .as("s"), lit(i).as("cell"))
+        }
+        finish(array(scored: _*))
+      }
     }
-    transform(
-      slice(reverse(array_sort(array(scored: _*))), 1, nProbe),
-      e => e.getField("cell"))
-  }
+
+  /** Nearest-centroid cell id for a (double-array) vector column —
+    * codegen'd argmax over the broadcast centroid literals. */
+  def cellOf(v: Column, centroids: Seq[Seq[Double]]): Column =
+    scoredCells(v, centroids)(arr => array_max(arr).getField("cell"))
+
+  /** The `nProbe` nearest cells of a vector, as an array column. */
+  def probeCells(v: Column, centroids: Seq[Seq[Double]], nProbe: Int): Column =
+    scoredCells(v, centroids)(arr =>
+      transform(
+        slice(reverse(array_sort(arr)), 1, nProbe),
+        e => e.getField("cell")))
 
   /** Build the inverted index: corpus rows tagged with their cell.
     *

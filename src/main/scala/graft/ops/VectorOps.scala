@@ -54,15 +54,23 @@ object VectorOps {
   def bruteForceTopK(
       corpus: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, k: Int): DataFrame = {
+    // norms hoisted to one VecNorm per row on each side (r21): the
+    // corpus×queries kernel pays the dot product alone per pair
+    // (cosine_sim_pre — bit-identical to cosine_sim)
     val q = broadcast(
       queries.select(
         col(idCol).as("query_id"),
-        asDouble(col(vecCol)).as("__qv__")))
+        asDouble(col(vecCol)).as("__qv__"))
+        .withColumn("__qn__",
+          graft.functions.similarityExprs.vec_norm(col("__qv__"))))
     val scored = corpus
       .select(col(idCol).as("neighbor_id"), asDouble(col(vecCol)).as("__cv__"))
+      .withColumn("__cn__",
+        graft.functions.similarityExprs.vec_norm(col("__cv__")))
       .crossJoin(q)
       .filter(col("neighbor_id") =!= col("query_id"))
-      .withColumn("cosine", cosine(col("__qv__"), col("__cv__")))
+      .withColumn("cosine", graft.functions.similarityExprs.cosine_sim_pre(
+        col("__qv__"), col("__cv__"), col("__qn__"), col("__cn__")))
       // undefined similarity (null/zero-norm/NaN vectors) is not a
       // result: filtered BEFORE ranking so degenerate corpus rows
       // never occupy a top-k slot
@@ -78,13 +86,19 @@ object VectorOps {
   def cosineThreshold(
       corpus: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, threshold: Double): DataFrame = {
+    // same hoisted-norm kernel as bruteForceTopK (r21)
     val q = broadcast(
-      queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("__qv__")))
+      queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("__qv__"))
+        .withColumn("__qn__",
+          graft.functions.similarityExprs.vec_norm(col("__qv__"))))
     corpus
       .select(col(idCol).as("neighbor_id"), asDouble(col(vecCol)).as("__cv__"))
+      .withColumn("__cn__",
+        graft.functions.similarityExprs.vec_norm(col("__cv__")))
       .crossJoin(q)
       .filter(col("neighbor_id") =!= col("query_id"))
-      .withColumn("cosine", cosine(col("__qv__"), col("__cv__")))
+      .withColumn("cosine", graft.functions.similarityExprs.cosine_sim_pre(
+        col("__qv__"), col("__cv__"), col("__qn__"), col("__cn__")))
       .filter(col("cosine") > threshold)
       .select("query_id", "neighbor_id", "cosine")
   }
@@ -230,6 +244,12 @@ object VectorOps {
           col("p1.v"), col("p2.v"), col("p1.n"), col("p2.n")))
         .filter(col("cosine") > threshold)
         .select(col("id1"), col("id2"), col("cosine")))
+    // pinPartitions deliberately left at the default false (r21,
+    // measured): the probe side already carries lshSignatures'
+    // pinned spreadByKey partitioning through the persisted cache,
+    // so the join parallelizes without a forced exchange — adding
+    // one cost +20% at bench scale for no gain. The knob remains for
+    // corpora whose per-bucket pair work outgrows that layout.
   }
 
   /** The standard LSH band plan (banding theory applied to sign-LSH):

@@ -301,12 +301,6 @@ object Streams {
     }
 
     val banded = docs
-      // keyed repartition before the per-arrival signature: a bounded
-      // file stream reads few files in few tasks and AQE is disabled
-      // in streaming, so the (heavy) minhash projection would
-      // otherwise run at the scan's parallelism per micro-batch (r21;
-      // deterministic keyed shuffle, row set unchanged)
-      .repartition(col(idCol))
       .select(col(idCol).cast("long").as("id"), col(tsCol).as("ts"),
         graft.functions.exprs.minhash_sig(
           graft.ops.TextOps.shingles(col(textCol), shingleN), numHashes).as("sig"))
