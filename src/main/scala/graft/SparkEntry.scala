@@ -2120,13 +2120,15 @@ object SparkEntry {
       // keyed per (pid, sf) for the same reuse/isolation reasons as
       // q_orc_roundtrip above.
       val out = s"${System.getProperty("java.io.tmpdir")}/graft-gate-avro-${ProcessHandle.current().pid()}-${Integer.toHexString(dir.hashCode)}/orders_avro"
-      // pinned keyed repartition before the write: the per-row
-      // GenericRecord encode is the cost here, and a single-file scan
-      // would serialize it into one task / one container (r21; row set
+      // CONDITIONAL keyed spread before the write (r22,
+      // Par.spreadNarrow): the per-row GenericRecord encode is the
+      // cost here, and a single-file scan would serialize it into one
+      // task / one container — but a scan that is already parallel
+      // must not pay an extra full shuffle of the table (row set
       // unchanged — the write emits one part per partition and the
       // read plans a split per container)
-      sources.Avro.write(t(s, dir, "orders")
-        .repartition(ops.Par.pinned(t(s, dir, "orders")), col("o_orderkey")), out)
+      sources.Avro.write(
+        ops.Par.spreadNarrow(t(s, dir, "orders"), col("o_orderkey")), out)
       sources.Avro.read(s, out)
         .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
           col("o_totalprice"), col("o_orderdate"), col("o_orderpriority"))

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 
 /** Partition-count pinning for WORK-heavy exchanges (optimization
   * guide §2.5): AQE's coalescing sizes post-shuffle partitions by
@@ -25,5 +25,34 @@ object Par {
     val ss = df.sparkSession
     try ss.conf.get("spark.sql.shuffle.partitions").toInt
     catch { case _: Exception => ss.sparkContext.defaultParallelism }
+  }
+
+  /** Planned physical partition count of `df` (no execution — the
+    * physical plan is compiled, not run). -1 when it cannot be known
+    * (streaming frames have no static partitioning). */
+  private def plannedPartitions(df: DataFrame): Int =
+    if (df.isStreaming) -1
+    else try df.queryExecution.toRdd.getNumPartitions
+    catch { case _: Exception => -1 }
+
+  /** Keyed repartition to the pinned count ONLY when the input's
+    * planned parallelism is under a QUARTER of it — the conditional
+    * form of the work-spread (r22, resolving the r21 chunker-shuffle
+    * contradiction): heavy map-only operators (chunkers, sink-side
+    * row encodes) must not pay an unconditional full shuffle of the
+    * corpus, because at 100 TB their scan is already thousands of
+    * tasks wide and the shuffle is the textbook guide-§2 anti-pattern.
+    * The single-task problem the spread fixes only exists for inputs
+    * whose SCAN cannot parallelize (one small file / one parquet row
+    * group — splitting via maxPartitionBytes cannot help there, since
+    * row groups are the atomic split unit), so the spread fires
+    * exactly when the planner says the input is that narrow. A
+    * streaming frame never spreads here (no static partition count;
+    * per-trigger parallelism is the source's business). */
+  def spreadNarrow(df: DataFrame, key: Column): DataFrame = {
+    val target = pinned(df)
+    val parts = plannedPartitions(df)
+    if (parts >= 0 && parts * 4 <= target) df.repartition(target, key)
+    else df
   }
 }

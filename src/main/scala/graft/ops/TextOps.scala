@@ -645,13 +645,16 @@ object TextOps {
         }
       }
     }
-    // pinned keyed repartition below the (heavy) tokenize+chunk
-    // projection: chunking is pure per-row work with no downstream
-    // shuffle, so a single-file scan would otherwise run the whole
-    // pass in one task (r21; see Par.pinned — explicit count, exempt
-    // from AQE byte-based coalescing)
-    val base = df.select(col(idCol), col(textCol))
-      .repartition(Par.pinned(df), col(idCol))
+    // CONDITIONAL keyed spread below the (heavy) tokenize+chunk
+    // projection (r22; see Par.spreadNarrow): chunking is pure per-row
+    // work, so a narrow input (one small file / one parquet row group)
+    // would run the whole pass in one task — but a scan that is
+    // already parallel must NOT pay a full shuffle of the corpus for a
+    // map-only operator (the 100 TB no-shuffle contract,
+    // PlanAuditSpec). r21's unconditional repartition violated that
+    // contract; the spread now fires only when the planner says the
+    // input parallelism is under a quarter of the target.
+    val base = Par.spreadNarrow(df.select(col(idCol), col(textCol)), col(idCol))
       .select(col(idCol), chunksCol.as("__chunks__"))
     base
       .select(col(idCol), posexplode(col("__chunks__")).as(Seq("chunk_id", "__c__")))
@@ -722,11 +725,13 @@ object TextOps {
         }
       }
     }
-    df.filter(col(textCol).isNotNull)
-      // pinned keyed repartition below the heavy greedy-chunk
-      // projection — same rationale as chunkDocuments (r21)
-      .select(col(idCol), col(textCol))
-      .repartition(Par.pinned(df), col(idCol))
+    // conditional keyed spread below the heavy greedy-chunk
+    // projection — same rationale as chunkDocuments (r22,
+    // Par.spreadNarrow: only when the input scan is too narrow to
+    // parallelize; never an unconditional corpus shuffle)
+    Par.spreadNarrow(
+      df.filter(col(textCol).isNotNull).select(col(idCol), col(textCol)),
+      col(idCol))
       .select(col(idCol), chunksExpr.as("__chunks__"))
       .select(col(idCol), posexplode(col("__chunks__")).as(Seq("chunk_id", "__ch__")))
       .select(col(idCol), col("chunk_id"),

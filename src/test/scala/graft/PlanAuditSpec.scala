@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.functions._
 import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -246,19 +247,47 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!scanLine.contains("text"), s"text read by scan: $scanLine")
   }
 
-  test("q_chunk plans as pure projection + generate — no shuffle at all") {
+  // An input that is ALREADY parallel, with no Exchange of its own:
+  // Range with explicit slices ≥ the session's shuffle.partitions (4),
+  // so Par.spreadNarrow must not fire. ~100 tokens per doc → several
+  // chunks per doc under the budgets below.
+  private def wideDocs(n: Int) =
+    spark.range(0, n, 1, 4).select(col("id").as("doc_id"),
+      concat_ws(" ", transform(sequence(lit(1), lit(100)),
+        i => concat(lit("tok"), i.cast("string")))).as("text"))
+
+  test("q_chunk on a parallel input plans as pure projection + generate — no shuffle") {
+    // the 100 TB contract: chunking is pure per-row work, and an input
+    // whose scan is already parallel must NOT pay a corpus shuffle
+    // (r22 — the spread is conditional, see Par.spreadNarrow)
     val df = ops.TextOps.chunkDocuments(
-      spark.read.parquet(s"$dir/documents.parquet"), "doc_id", "text",
+      wideDocs(200), "doc_id", "text",
       maxTokens = 64, overlap = 16) // audit the op, not the gate's ORDER BY
     val s = planString(executed(df))
     assert(s.contains("Generate"), s"no generate in plan:\n$s")
-    assert(!s.contains("Exchange"), s"chunking must not shuffle:\n$s")
+    assert(!s.contains("Exchange"), s"chunking must not shuffle a parallel input:\n$s")
     // the chunk array must be materialized BELOW the generator (bare
     // attribute child), not rebuilt per emitted row
     val genLine = s.linesIterator.find(_.trim.startsWith("Generate"))
       .getOrElse(fail(s"no Generate line:\n$s"))
     assert(!genLine.contains("transform("),
       s"generator child re-evaluates the chunk transform per output row: $genLine")
+  }
+
+  test("q_chunk on a single-task input gets exactly one pinned work-spread exchange") {
+    // the bench-scale arm of the conditional: a one-row-group parquet
+    // file plans as ONE scan task (row groups are the atomic split
+    // unit — maxPartitionBytes cannot split them), so the heavy
+    // chunk projection must be spread by an explicit-count keyed
+    // repartition (exempt from AQE byte coalescing)
+    val df = ops.TextOps.chunkDocuments(
+      spark.read.parquet(s"$dir/documents.parquet"), "doc_id", "text",
+      maxTokens = 64, overlap = 16)
+    val s = planString(executed(df))
+    val exchanges = s.linesIterator.filter(_.trim.startsWith("Exchange")).toSeq
+    assert(exchanges.size == 1, s"expected exactly one exchange:\n$s")
+    assert(exchanges.head.contains("REPARTITION_BY_NUM"),
+      s"the spread must pin an explicit partition count: ${exchanges.head}")
   }
 
   test("gopherDupNgramSignals plans as one pruned-scan projection — no shuffle, one expression") {
@@ -280,15 +309,18 @@ class PlanAuditSpec extends AnyFunSuite {
       s"unreferenced columns read by scan: $scanLine")
   }
 
-  test("chunkByTokenCount plans as pure projection + generate — no shuffle at all") {
+  test("chunkByTokenCount on a parallel input plans as pure projection + generate — no shuffle") {
+    // same conditional-spread contract as q_chunk (r22): a parallel
+    // input must not shuffle; the narrow-input arm is covered by the
+    // q_chunk spread test above (both chunkers share Par.spreadNarrow)
     val docs = spark.read.parquet(s"$dir/documents.parquet")
     val m = ops.Bpe.train(docs.limit(50), "text", numMerges = 10, minPairCount = 2)
     val bc = ops.Bpe.broadcastModel(spark, m)
-    val df = ops.Bpe.chunkByTokenCount(docs, "doc_id", "text",
+    val df = ops.Bpe.chunkByTokenCount(wideDocs(200), "doc_id", "text",
       maxTokens = 24, bc) // audit the op, not the gate's ORDER BY
     val s = planString(executed(df))
     assert(s.contains("Generate"), s"no generate in plan:\n$s")
-    assert(!s.contains("Exchange"), s"chunking must not shuffle:\n$s")
+    assert(!s.contains("Exchange"), s"chunking must not shuffle a parallel input:\n$s")
     val genLine = s.linesIterator.find(_.trim.startsWith("Generate"))
       .getOrElse(fail(s"no Generate line:\n$s"))
     assert(!genLine.contains("transform("),
