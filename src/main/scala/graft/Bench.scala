@@ -18,13 +18,13 @@ import org.apache.spark.sql.SparkSession
   * contention, never under-report work.
   *
   * The JSON line reports steady-state per query (`queries`) plus scalar
-  * totals for both; per-query cold times go to stderr only. The line is
-  * kept short (3-decimal rounding, no second map) and `queries` is
-  * placed LAST: the driver records only the tail of the process output,
-  * and round 2's two-map line overflowed that capture, truncating
-  * exactly the per-query numbers the judge wanted to see. The SAME line
-  * is also written whole to BENCH_LOCAL.json in the working directory,
-  * so a truncated tail-capture can never be the only artifact.
+  * totals for both; per-query cold times go to stderr only. The FULL
+  * line is the LAST stdout line (r22 — the driver parses the final
+  * JSON line, and r18-r21 all recorded "parsed": null while a
+  * queries-less summary sat last); it is kept short (3-decimal
+  * rounding, no second map, no prose fields) and is ALSO written whole
+  * to BENCH_LOCAL.json in the working directory, so a truncated
+  * tail-capture can never be the only artifact.
   */
 object Bench {
 
@@ -160,15 +160,21 @@ object Bench {
         s""""cpu_anchor_ms":${r3(anchorMs)},""" +
         s""""cold_steady_ratio":${r3(totalCold / math.max(total, 1e-3))},""" +
         s""""contended_suspect":$contendedFinal,"extra_sweeps":${s3.size},"""
-    val line = s"""{"metric":"total","value":${r3(total)},"unit":"sec","timing":"steady-state (min across interleaved sweeps 2-3${if (s3.nonEmpty) "+extra" else ""}); per-query cold on stderr","total_cold":${r3(totalCold)},"failed":$failed,$loadPart"sf":"$sfDir","queries":$steadyObj}"""
+    // The FULL one-line JSON (per-query map included) is the LAST
+    // stdout line — r21 verdict: the driver's parser reads the final
+    // JSON line of the output, and rounds 18-21 all recorded
+    // "parsed": null because the last line was a compact summary
+    // WITHOUT the `queries` map (the full line before it fell off the
+    // tail capture). The summary (same scalars, no map) now prints
+    // FIRST, purely for humans reading a truncated tail; the full
+    // line is kept minimal (the r21 "timing" prose dropped) and is
+    // also written whole to BENCH_LOCAL.json so no capture window can
+    // ever be the only artifact.
+    val line = s"""{"metric":"total","value":${r3(total)},"unit":"sec","n":${results.length},"total_cold":${r3(totalCold)},"failed":$failed,$loadPart"sf":"$sfDir","queries":$steadyObj}"""
     try java.nio.file.Files.writeString(java.nio.file.Path.of("BENCH_LOCAL.json"), line + "\n")
     catch { case e: Exception => System.err.println(s"[bench] BENCH_LOCAL.json write failed: $e") }
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","n":${results.length},"total_cold":${r3(totalCold)},"failed":$failed,$loadPart"sf":"$sfDir","note":"summary; the full line with the queries map follows LAST (and in BENCH_LOCAL.json)"}""")
     println(line)
-    // the driver records only the TAIL of stdout; with 125 queries the
-    // full line's head can fall off the capture (BENCH_r11 recorded
-    // "parsed": null). The LAST line is therefore a compact summary
-    // that always fits and always parses on its own.
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","n":${results.length},"total_cold":${r3(totalCold)},"failed":$failed,$loadPart"sf":"$sfDir","note":"summary line; full per-query map in the previous line and BENCH_LOCAL.json"}""")
     spark.stop()
   }
 }
