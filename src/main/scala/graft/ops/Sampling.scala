@@ -144,9 +144,22 @@ object Sampling {
     // budget-less strata leave before any aggregation work; the
     // prefix-sum protocol itself is Packing's (one audited
     // implementation — including the loud null-key guard: a null key
-    // hashes to a null bucket, which would silently misplace weight)
+    // hashes to a null bucket, which would silently misplace weight).
+    // LAZY localCheckpoint (r22, guide §5): the two-pass protocol
+    // executes its input twice (bucket-sum pass + output pass), which
+    // re-ran the whole upstream chain — decontamination, quality
+    // bucketing, BPE token counting — once per pass (measured:
+    // q_prep_mix 2.06s, q_sample_budget_bpe 0.63s, both paying their
+    // dominant upstream twice). The budget-filtered slice materializes
+    // as a side effect of the FIRST pass (lazy — no extra action) and
+    // the output pass reads the stored blocks; the blocks are freed by
+    // the ContextCleaner when the frame goes unreferenced (the
+    // LshBlocking discipline). Trade at scale: store the shipped slice
+    // once instead of computing its upstream twice — the same trade
+    // packTokenIds already makes for the same protocol.
     val hashed = df.filter(budget.isNotNull)
       .withColumn("__tbh__", hashPrefix(key, salt))
+      .localCheckpoint(false)
     Packing.bucketedCumsum(
       hashed, Seq(stratumCol),
       substring(col("__tbh__"), 1, bucketHexDigits),

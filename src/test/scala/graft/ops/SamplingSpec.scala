@@ -132,6 +132,33 @@ class SamplingSpec extends AnyFunSuite {
     }
   }
 
+  test("sampleByTokenBudget: the upstream chain executes ONCE, not once per pass") {
+    // the r22 scoped-materialization contract (guide §5): the bucketed
+    // prefix-sum protocol is two passes (bucket-sum action + output
+    // plan), and before the lazy localCheckpoint each pass re-ran the
+    // WHOLE upstream — q_prep_mix paid its decontaminate+bucket+BPE
+    // chain twice. An accumulator-bumping upstream proves the input
+    // rows are now computed exactly once and the second pass reads the
+    // checkpointed blocks.
+    val sc = spark.sparkContext
+    val evals = sc.longAccumulator("upstream-evals")
+    val rdd = sc.parallelize(0L until 1000L, 4).map { i =>
+      evals.add(1L)
+      org.apache.spark.sql.Row(i, if (i % 2 == 0) "en" else "de", i % 97)
+    }
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("k", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("s", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("tok", org.apache.spark.sql.types.LongType)))
+    val df = spark.createDataFrame(rdd, schema)
+    val kept = Sampling.sampleByTokenBudget(
+      df, col("k"), "s", "tok", Seq("en" -> 5000L, "de" -> 3000L), ":once")
+    assert(kept.count() > 0)
+    assert(evals.value == 1000L,
+      s"upstream evaluated ${evals.value} rows for a 1000-row input — " +
+        "the two-pass protocol must compute its input once")
+  }
+
   test("sampleByTokenBudget: crossing doc kept, unlisted strata dropped, null weight = 0") {
     val df = Seq(
       ("a", 1L, 100L), ("a", 2L, 100L), ("a", 3L, 100L),
