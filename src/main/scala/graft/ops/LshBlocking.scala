@@ -55,8 +55,7 @@ object LshBlocking {
       df: DataFrame, bands: Int, rowsPerBand: Int,
       maxBucket: Int, payload: Option[String] = None,
       screen: DataFrame => DataFrame = identity,
-      saturationMassFraction: Double = 0.5,
-      pinPartitions: Boolean = false): DataFrame = {
+      saturationMassFraction: Double = 0.5): DataFrame = {
     require(saturationMassFraction >= 0.0 && saturationMassFraction <= 1.0,
       s"saturationMassFraction must be in [0, 1], got $saturationMassFraction")
     val carry = payload.getOrElse("__sig__")
@@ -71,28 +70,14 @@ object LshBlocking {
     // and both self-join sides costs almost nothing. Unpersisted below.
     val sigs = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
-    // pinPartitions (r21): pinned-count repartition on the band key
-    // (Par.pinned) for HEAVY-screen callers — the within-bucket
-    // self-join's output is quadratic in bucket occupancy, so when
-    // each candidate pays a dense-vector kernel (the sign-LSH cosine
-    // screens), its parallelism must not be sized by the (small)
-    // shuffle bytes feeding it: a broadcast-join rewrite inheriting a
-    // single-file scan's layout runs every bucket's pair loop in one
-    // task (measured: the whole q_dedup_embedding pair screen in one
-    // 1.1s task). One exchange, reused by the semi-join and both
-    // self-join sides; at cluster scale it is the same (band, bucket)
-    // exchange a sort-merge pair join needs anyway. LIGHT screens
-    // (hamming / signature agreement — tens of integer ops per
-    // candidate) keep the default false: for them the forced exchange
-    // plus extra stages cost more than single-task screening saves at
-    // small sizes (measured +8-30% across the minhash/simhash family),
-    // and at scale the planner gives them the same SMJ exchanges
-    // anyway, AQE-sized.
-    val banded0 = bandRows(sigs, bands, rowsPerBand, carry)
-    val banded =
-      if (pinPartitions)
-        banded0.repartition(Par.pinned(df), col("band"), col("bucket"))
-      else banded0
+    // No forced (band, bucket) repartition here — measured in r21 and
+    // deleted in r22: every caller's signature frame already carries
+    // spreadByKey's pinned keyed layout through the persisted cache,
+    // so the pair join parallelizes without a second exchange, and a
+    // forced one cost +8-30% across the minhash/simhash family (+20%
+    // on the sign-LSH screens) for no gain. At cluster scale the
+    // planner plans the same SMJ exchanges itself, AQE-sized.
+    val banded = bandRows(sigs, bands, rowsPerBand, carry)
 
     // Bucket occupancy is computed ONCE and persisted — it feeds both
     // the all-capped guard below and the goodBuckets join side (the
@@ -206,24 +191,15 @@ object LshBlocking {
   def crossCandidatePairs(
       a: DataFrame, b: DataFrame, bands: Int, rowsPerBand: Int,
       maxBucket: Int, screen: DataFrame => DataFrame = identity,
-      payload: Option[String] = None,
-      pinPartitions: Boolean = false): DataFrame = {
+      payload: Option[String] = None): DataFrame = {
     val carry = payload.getOrElse("__sig__")
     val sa = a.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sb = b.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      // pinPartitions — same heavy-vs-light screen rationale as
-      // [[candidatePairs]]: cross-bucket pair output is a product of
-      // per-side occupancies, so a dense-vector screen's parallelism
-      // must not be sized by its (small) input bytes; light hamming/
-      // agreement screens keep the planner's own shape.
-      val pinned = Par.pinned(a)
-      def maybePin(df: DataFrame): DataFrame =
-        if (pinPartitions)
-          df.repartition(pinned, col("band"), col("bucket"))
-        else df
-      val ba = maybePin(bandRows(sa, bands, rowsPerBand, carry))
-      val bb = maybePin(bandRows(sb, bands, rowsPerBand, carry))
+      // no forced (band, bucket) repartition — see [[candidatePairs]]:
+      // both sides inherit their signature frames' pinned spread
+      val ba = bandRows(sa, bands, rowsPerBand, carry)
+      val bb = bandRows(sb, bands, rowsPerBand, carry)
       // one aggregate over the tagged union yields both side counts:
       // total n and b-side count nb (sum of the 0/1 tag) — keep only
       // buckets with members on BOTH sides, under the combined cap
