@@ -106,32 +106,48 @@ case class CosineSimPre(first: Expression, second: Expression,
     extends org.apache.spark.sql.catalyst.expressions.QuaternaryExpression {
   override def checkInputDataTypes(): TypeCheckResult =
     (first.dataType, second.dataType, third.dataType, fourth.dataType) match {
-      case (ArrayType(DoubleType, _), ArrayType(DoubleType, _), DoubleType, DoubleType) =>
-        TypeCheckResult.TypeCheckSuccess
-      case (ArrayType(FloatType, _), ArrayType(FloatType, _), DoubleType, DoubleType) =>
+      case (ArrayType(DoubleType | FloatType, _), ArrayType(DoubleType | FloatType, _),
+          DoubleType, DoubleType) =>
         TypeCheckResult.TypeCheckSuccess
       case other => TypeCheckResult.TypeCheckFailure(
-        s"cosine_sim_pre expects (array<T>, array<T>, double, double) " +
-          s"with T double or float on both sides, got $other")
+        s"cosine_sim_pre expects (array<double|float>, array<double|float>, " +
+          s"double, double) — mixed element types allowed (floats widen " +
+          s"exactly), got $other")
     }
   override def dataType: DataType = DoubleType
   override def nullIntolerant: Boolean = true
   override def nullable: Boolean = true
   override def prettyName: String = "cosine_sim_pre"
-  private def isFloat = first.dataType match {
+  // per-side element-type dispatch (r22): float sides widen to double
+  // per ELEMENT inside the kernel — exact, so every combination is
+  // bit-identical to asDouble-casting first. Mixed (float, double)
+  // pairs arise when a float corpus screens against a double catalog.
+  private def sideIsFloat(t: DataType) = t match {
     case ArrayType(FloatType, _) => true
     case _ => false
   }
+  private def kernel: String =
+    (sideIsFloat(first.dataType), sideIsFloat(second.dataType)) match {
+      case (false, false) => "cosinePre"
+      case (true, true) => "cosinePreF"
+      case (true, false) => "cosinePreFD"
+      case (false, true) => "cosinePreDF"
+    }
   override protected def nullSafeEval(a: Any, b: Any, na: Any, nb: Any): Any = {
-    val c =
-      if (isFloat) SimilarityUtil.cosinePreF(a.asInstanceOf[ArrayData],
-        b.asInstanceOf[ArrayData], na.asInstanceOf[Double], nb.asInstanceOf[Double])
-      else SimilarityUtil.cosinePre(a.asInstanceOf[ArrayData],
-        b.asInstanceOf[ArrayData], na.asInstanceOf[Double], nb.asInstanceOf[Double])
+    val aa = a.asInstanceOf[ArrayData]
+    val bb = b.asInstanceOf[ArrayData]
+    val nna = na.asInstanceOf[Double]
+    val nnb = nb.asInstanceOf[Double]
+    val c = kernel match {
+      case "cosinePre" => SimilarityUtil.cosinePre(aa, bb, nna, nnb)
+      case "cosinePreF" => SimilarityUtil.cosinePreF(aa, bb, nna, nnb)
+      case "cosinePreFD" => SimilarityUtil.cosinePreFD(aa, bb, nna, nnb)
+      case _ => SimilarityUtil.cosinePreDF(aa, bb, nna, nnb)
+    }
     if (java.lang.Double.isNaN(c)) null else c
   }
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val fn = if (isFloat) "cosinePreF" else "cosinePre"
+    val fn = kernel
     nullSafeCodeGen(ctx, ev, (a, b, na, nb) =>
       s"""
          |${ev.value} = graft.functions.SimilarityUtil$$.MODULE$$.$fn($a, $b, $na, $nb);
@@ -229,19 +245,31 @@ case class HammingDist(left: Expression, right: Expression) extends BinaryExpres
 case class SignLshSig(left: Expression, right: Expression) extends BinaryExpression {
   override def checkInputDataTypes(): TypeCheckResult =
     (left.dataType, right.dataType) match {
-      case (ArrayType(DoubleType, _), ArrayType(ArrayType(DoubleType, _), _)) =>
+      case (ArrayType(DoubleType | FloatType, _), ArrayType(ArrayType(DoubleType, _), _)) =>
         TypeCheckResult.TypeCheckSuccess
       case other => TypeCheckResult.TypeCheckFailure(
-        s"sign_lsh_sig expects (array<double>, array<array<double>>), got $other")
+        s"sign_lsh_sig expects (array<double|float>, array<array<double>>), got $other")
     }
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
   override def nullIntolerant: Boolean = true
   override def prettyName: String = "sign_lsh_sig"
+  // float vectors widen per element inside the kernel (exact) — the
+  // r22 float-carry: signatures off the raw float column are
+  // bit-identical to signatures off its asDouble cast
+  private def isFloat = left.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
   override protected def nullSafeEval(v: Any, planes: Any): Any =
-    SimilarityUtil.signBits(v.asInstanceOf[ArrayData], planes.asInstanceOf[ArrayData])
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    if (isFloat)
+      SimilarityUtil.signBitsF(v.asInstanceOf[ArrayData], planes.asInstanceOf[ArrayData])
+    else
+      SimilarityUtil.signBits(v.asInstanceOf[ArrayData], planes.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val fn = if (isFloat) "signBitsF" else "signBits"
     defineCodeGen(ctx, ev, (v, p) =>
-      s"graft.functions.SimilarityUtil$$.MODULE$$.signBits($v, $p)")
+      s"graft.functions.SimilarityUtil$$.MODULE$$.$fn($v, $p)")
+  }
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(left = l, right = r)
 }
@@ -260,6 +288,29 @@ object SimilarityUtil {
       var dot = 0.0
       var i = 0
       while (i < n) { dot += v.getDouble(i) * p.getDouble(i); i += 1 }
+      out(j) = if (dot >= 0) 1 else 0
+      j += 1
+    }
+    ArrayData.toArrayData(out)
+  }
+
+  /** Float-vector sign bits — elements widen to double exactly, so the
+    * per-plane dots (and therefore every bit) match [[signBits]] over
+    * the asDouble-cast vector (r22 float-carry). */
+  def signBitsF(v: ArrayData, planes: ArrayData): ArrayData = {
+    val nP = planes.numElements()
+    val out = new Array[Int](nP)
+    var j = 0
+    while (j < nP) {
+      val p = planes.getArray(j)
+      val n = math.min(v.numElements(), p.numElements())
+      var dot = 0.0
+      var i = 0
+      while (i < n) {
+        val x: Double = v.getFloat(i)
+        dot += x * p.getDouble(i)
+        i += 1
+      }
       out(j) = if (dot >= 0) 1 else 0
       j += 1
     }
@@ -348,6 +399,34 @@ object SimilarityUtil {
       val x: Double = a.getFloat(i)
       val y: Double = b.getFloat(i)
       dot += x * y
+      i += 1
+    }
+    dot / (na * nb)
+  }
+
+  /** Mixed (float, double) pair half — the float side widens exactly,
+    * so the dot matches [[cosinePre]] over both asDouble casts bit for
+    * bit (r22 float-carry: a float corpus against a double catalog). */
+  def cosinePreFD(a: ArrayData, b: ArrayData, na: Double, nb: Double): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var dot = 0.0
+    var i = 0
+    while (i < n) {
+      val x: Double = a.getFloat(i)
+      dot += x * b.getDouble(i)
+      i += 1
+    }
+    dot / (na * nb)
+  }
+
+  /** Mixed (double, float) pair half — see [[cosinePreFD]]. */
+  def cosinePreDF(a: ArrayData, b: ArrayData, na: Double, nb: Double): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var dot = 0.0
+    var i = 0
+    while (i < n) {
+      val y: Double = b.getFloat(i)
+      dot += a.getDouble(i) * y
       i += 1
     }
     dot / (na * nb)

@@ -318,11 +318,24 @@ object Dedup {
       src: DataFrame, idCol: String, textCol: String,
       candidateIds: DataFrame,
       shingler: (Column, Int) => Column, shingleN: Int): DataFrame = {
+    val ids = candidateIds.limit(maxBroadcastCandidates + 1).collect().map(_.get(0))
+    candidateShingleSetsFromIds(src, idCol, textCol, ids, candidateIds,
+      shingler, shingleN)
+  }
+
+  /** [[candidateShingleSets]] with the (capped) id array ALREADY
+    * collected — so [[crossCorpusNearDups]] can pull both sides' id
+    * sets in ONE driver action (r22; was one collect per side). `ids`
+    * must be `candidateIds.limit(maxBroadcastCandidates + 1)`'s rows:
+    * the length-vs-cap test and both build paths are unchanged. */
+  private def candidateShingleSetsFromIds(
+      src: DataFrame, idCol: String, textCol: String,
+      ids: Array[Any], candidateIds: DataFrame,
+      shingler: (Column, Int) => Column, shingleN: Int): DataFrame = {
     def sets(s: DataFrame): DataFrame =
       spreadByKey(s.select(col(idCol), col(textCol)), idCol, textCol)
         .select(col("__id__").as("__sid__"),
           array_distinct(shingler(col("__t__"), shingleN)).as("__sh__"))
-    val ids = candidateIds.limit(maxBroadcastCandidates + 1).collect().map(_.get(0))
     if (ids.length <= maxBroadcastCandidates)
       broadcast(sets(src.filter(col(idCol).isin(ids.toIndexedSeq: _*))))
     else
@@ -442,10 +455,31 @@ object Dedup {
     else {
       val shingler: (Column, Int) => Column =
         if (charShingles) TextOps.charShingles else TextOps.shingles
-      val sets1 = candidateShingleSets(corpus, idCol, textCol,
-        screened.select(col("id1").as("__sid__")).distinct(), shingler, shingleN)
-      val sets2 = candidateShingleSets(reference, idCol, textCol,
-        screened.select(col("id2").as("__sid__")).distinct(), shingler, shingleN)
+      val cand1 = screened.select(col("id1").as("__sid__")).distinct()
+      val cand2 = screened.select(col("id2").as("__sid__")).distinct()
+      // ONE driver action pulls both sides' (capped) candidate-id sets
+      // off the materialized pair frame (r22; was one collect per
+      // side — the r21 "Not yet optimized" item): each branch keeps
+      // its own distinct+limit, so the per-side rows and the over-cap
+      // fallback are exactly what the two collects produced. Falls
+      // back to per-side collects only when the two id columns differ
+      // in TYPE (a union cannot mix them).
+      val (ids1, ids2) =
+        if (screened.schema("id1").dataType == screened.schema("id2").dataType) {
+          val both = cand1.select(lit(0).as("__side__"), col("__sid__"))
+            .limit(maxBroadcastCandidates + 1)
+            .unionAll(cand2.select(lit(1).as("__side__"), col("__sid__"))
+              .limit(maxBroadcastCandidates + 1))
+            .collect()
+          (both.filter(_.getInt(0) == 0).map(_.get(1)),
+            both.filter(_.getInt(0) == 1).map(_.get(1)))
+        } else
+          (cand1.limit(maxBroadcastCandidates + 1).collect().map(_.get(0)),
+            cand2.limit(maxBroadcastCandidates + 1).collect().map(_.get(0)))
+      val sets1 = candidateShingleSetsFromIds(corpus, idCol, textCol,
+        ids1, cand1, shingler, shingleN)
+      val sets2 = candidateShingleSetsFromIds(reference, idCol, textCol,
+        ids2, cand2, shingler, shingleN)
       screened
         .join(sets1.withColumnRenamed("__sid__", "id1").withColumnRenamed("__sh__", "sh1"),
           Seq("id1"))
@@ -917,8 +951,6 @@ object Dedup {
           .filter(col("cosine") >= threshold)
           .select(col("id1"), col("id2"), col("cosine")),
         payload = Some("__pv__"))
-      // pinPartitions left default-false — see VectorOps.lshNeighbors:
-      // both banded sides inherit lshSignatures' pinned spread
     } finally {
       pa.unpersist(blocking = false)
       pb.unpersist(blocking = false)
@@ -945,13 +977,16 @@ object Dedup {
     // norms hoisted to one VecNorm per row (r21) — the
     // embeddingNearDupsExact discipline: the corpus×catalog kernel
     // pays the dot product alone per pair (bit-identical)
+    // native element types on both sides (r22 float-carry — the
+    // embeddingNearDupsExact discipline): a float corpus against a
+    // double catalog takes the mixed kernel (cosinePreFD), exact
     val stream = spreadByKey(
-      corpus.select(col(idCol), VectorOps.asDouble(col(vecCol)).as("__v__")),
+      corpus.select(col(idCol), VectorOps.carryVec(corpus, vecCol).as("__v__")),
       idCol, "__v__")
       .select(col("__id__").as("id1"), col("__t__").as("__v1__"),
         graft.functions.similarityExprs.vec_norm(col("__t__")).as("__n1__"))
     val catSide = catalog.select(col(catalogIdCol).as("id2"),
-      VectorOps.asDouble(col(catalogVecCol)).as("__v2__"))
+      VectorOps.carryVec(catalog, catalogVecCol).as("__v2__"))
       .withColumn("__n2__", graft.functions.similarityExprs.vec_norm(col("__v2__")))
     require(catSide.limit(maxEntries + 1).count() <= maxEntries,
       s"crossCorpusEmbeddingNearDupsExact: catalog exceeds $maxEntries " +
@@ -1547,12 +1582,16 @@ object Dedup {
     // norms hoisted to one VecNorm per row (r21): the all-pairs kernel
     // is n²/2 cosines, so the pair side pays the dot product alone
     // (cosine_sim_pre — bit-identical to cosine_sim)
+    // native element type (r22 float-carry): a float32 corpus keeps
+    // its vectors float through the spread shuffle AND the broadcast
+    // (half the bytes on both); the norm and pair kernels widen per
+    // element exactly, so every cosine is bit-identical
     val stream = spreadByKey(
-      df.select(col(idCol), VectorOps.asDouble(col(vecCol)).as("__v__")), idCol, "__v__")
+      df.select(col(idCol), VectorOps.carryVec(df, vecCol).as("__v__")), idCol, "__v__")
       .select(col("__id__").as("id1"), col("__t__").as("__v1__"),
         graft.functions.similarityExprs.vec_norm(col("__t__")).as("__n1__"))
     val build = broadcast(
-      df.select(col(idCol).as("id2"), VectorOps.asDouble(col(vecCol)).as("__v2__"))
+      df.select(col(idCol).as("id2"), VectorOps.carryVec(df, vecCol).as("__v2__"))
         .withColumn("__n2__", graft.functions.similarityExprs.vec_norm(col("__v2__"))))
     stream.join(build, col("id1") < col("id2"))
       .withColumn("cosine", graft.functions.similarityExprs.cosine_sim_pre(

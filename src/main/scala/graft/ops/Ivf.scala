@@ -177,9 +177,16 @@ object Ivf {
     // them all into one cell and let them pad search rankings with
     // NULL-cosine "neighbors" — they are not findable, so they don't
     // enter the index (mirrors trainCentroidsOpt)
+    // NATIVE element type (r22 float-carry): __v__ stays float32 when
+    // the corpus stores float32 — the cell-assignment kernel
+    // (cosine_sim_pre via scoredCells) and every downstream consumer
+    // (semanticNearDupsFixedCells' pair join, search's scoring) widen
+    // per element exactly, so cells, cosines and results are
+    // bit-identical while the persisted index and the pair-join
+    // shuffles carry HALF the vector bytes
     val base = df.filter(col(vecCol).isNotNull).select(
       col(idCol).as("__id__"),
-      VectorOps.asDouble(col(vecCol)).as("__v__"))
+      VectorOps.carryVec(df, vecCol).as("__v__"))
     if (replication <= 1)
       base.withColumn("__cell__", cellOf(col("__v__"), centroids))
     else
@@ -194,21 +201,32 @@ object Ivf {
       indexed: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String,
       centroids: Seq[Seq[Double]], k: Int, nProbe: Int): DataFrame = {
+    // norms hoisted to one VecNorm per row on each side (r22 — the
+    // lshNeighbors r21 discipline brought to IVF search): the probed
+    // kernel pays the dot product alone per pair (cosine_sim_pre —
+    // bit-identical to cosine_sim), and native float vectors carry
+    // through the probe join un-widened (exact)
     val q = broadcast(
       queries.filter(col(vecCol).isNotNull).select(
         col(idCol).as("query_id"),
-        VectorOps.asDouble(col(vecCol)).as("__qv__"))
+        VectorOps.carryVec(queries, vecCol).as("__qv__"))
+        .withColumn("__qn__",
+          graft.functions.similarityExprs.vec_norm(col("__qv__")))
         .withColumn("__probe__", explode(probeCells(col("__qv__"), centroids, nProbe))))
-    val scored = indexed
-      .join(q, indexed("__cell__") === q("__probe__"))
+    val c = indexed.withColumn("__cn__",
+      graft.functions.similarityExprs.vec_norm(col("__v__")))
+    val scored = c
+      .join(q, c("__cell__") === q("__probe__"))
       .filter(col("__id__") =!= col("query_id"))
       // a replicated index / multi-probe query can meet the same
       // (query, neighbor) pair via several cells — dedup BEFORE the
       // exact distance so each pair is scored once
-      .select(col("query_id"), col("__qv__"), col("__id__"), col("__v__"))
+      .select(col("query_id"), col("__qv__"), col("__qn__"),
+        col("__id__"), col("__v__"), col("__cn__"))
       .dropDuplicates("query_id", "__id__")
       .withColumn("cosine",
-        graft.functions.similarityExprs.cosine_sim(col("__qv__"), col("__v__")))
+        graft.functions.similarityExprs.cosine_sim_pre(
+          col("__qv__"), col("__v__"), col("__qn__"), col("__cn__")))
       // undefined similarity (zero-norm / NaN-component vectors) is
       // not a search result: filtered BEFORE ranking so degenerate
       // rows never occupy a top-k slot

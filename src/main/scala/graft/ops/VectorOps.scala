@@ -2,7 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.DoubleType
+import org.apache.spark.sql.types.{ArrayType, DoubleType, FloatType}
 import org.apache.spark.sql.{Column, DataFrame}
 
 /** Vector similarity primitives over embedding columns
@@ -18,6 +18,20 @@ object VectorOps {
 
   /** Cast an embedding column to array<double> (float32 parquet input). */
   def asDouble(v: Column): Column = transform(v, _.cast(DoubleType))
+
+  /** The embedding column in its NATIVE array type when the similarity
+    * kernels can take it directly (float or double — floats widen per
+    * element inside the kernels, exactly), else cast to array<double>.
+    * The r22 float-carry (guide §2.3 "narrower types"): embeddings are
+    * stored float32 in parquet, and widening them BEFORE the pair-join
+    * shuffles doubled the biggest shuffles in the engine for no change
+    * in any result bit. Falls back to the cast for exotic element
+    * types (or non-top-level columns, where the schema lookup fails). */
+  private[ops] def carryVec(df: DataFrame, vecCol: String): Column =
+    (try Some(df.schema(vecCol).dataType) catch { case _: Exception => None }) match {
+      case Some(ArrayType(FloatType, _)) | Some(ArrayType(DoubleType, _)) => col(vecCol)
+      case _ => asDouble(col(vecCol))
+    }
 
   /** Sequential dot product: sum_i a_i*b_i, left-to-right. */
   def dot(a: Column, b: Column): Column =
@@ -56,15 +70,17 @@ object VectorOps {
       idCol: String, vecCol: String, k: Int): DataFrame = {
     // norms hoisted to one VecNorm per row on each side (r21): the
     // corpus×queries kernel pays the dot product alone per pair
-    // (cosine_sim_pre — bit-identical to cosine_sim)
+    // (cosine_sim_pre — bit-identical to cosine_sim). Native element
+    // types (r22 float-carry): no per-row array copy for the cast;
+    // the kernels widen floats exactly.
     val q = broadcast(
       queries.select(
         col(idCol).as("query_id"),
-        asDouble(col(vecCol)).as("__qv__"))
+        carryVec(queries, vecCol).as("__qv__"))
         .withColumn("__qn__",
           graft.functions.similarityExprs.vec_norm(col("__qv__"))))
     val scored = corpus
-      .select(col(idCol).as("neighbor_id"), asDouble(col(vecCol)).as("__cv__"))
+      .select(col(idCol).as("neighbor_id"), carryVec(corpus, vecCol).as("__cv__"))
       .withColumn("__cn__",
         graft.functions.similarityExprs.vec_norm(col("__cv__")))
       .crossJoin(q)
@@ -86,13 +102,14 @@ object VectorOps {
   def cosineThreshold(
       corpus: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, threshold: Double): DataFrame = {
-    // same hoisted-norm kernel as bruteForceTopK (r21)
+    // same hoisted-norm kernel as bruteForceTopK (r21); native element
+    // types (r22 float-carry — see bruteForceTopK)
     val q = broadcast(
-      queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("__qv__"))
+      queries.select(col(idCol).as("query_id"), carryVec(queries, vecCol).as("__qv__"))
         .withColumn("__qn__",
           graft.functions.similarityExprs.vec_norm(col("__qv__"))))
     corpus
-      .select(col(idCol).as("neighbor_id"), asDouble(col(vecCol)).as("__cv__"))
+      .select(col(idCol).as("neighbor_id"), carryVec(corpus, vecCol).as("__cv__"))
       .withColumn("__cn__",
         graft.functions.similarityExprs.vec_norm(col("__cv__")))
       .crossJoin(q)
@@ -171,8 +188,15 @@ object VectorOps {
   def lshSignatures(
       df: DataFrame, idCol: String, vecCol: String,
       planes: Seq[Seq[Double]]): DataFrame =
+    // NATIVE element type through the spread (r22 float-carry): a
+    // float32 corpus used to widen to double BEFORE this keyed
+    // exchange — and before every banded pair shuffle carrying the
+    // payload struct downstream — doubling their bytes. vec_norm,
+    // sign_lsh_sig and cosine_sim_pre all take float directly and
+    // widen per element (exact), so every signature, norm and cosine
+    // is bit-identical to the cast form.
     Dedup.spreadByKey(
-      df.select(col(idCol), asDouble(col(vecCol)).as("__v0__")), idCol, "__v0__")
+      df.select(col(idCol), carryVec(df, vecCol).as("__v0__")), idCol, "__v0__")
       .select(col("__id__"), col("__t__").as("__v__"),
         // norm hoisted to one VecNorm per ROW (r21): banded screens
         // evaluate a cosine per candidate PAIR — cosine_sim_pre over
@@ -244,12 +268,6 @@ object VectorOps {
           col("p1.v"), col("p2.v"), col("p1.n"), col("p2.n")))
         .filter(col("cosine") > threshold)
         .select(col("id1"), col("id2"), col("cosine")))
-    // pinPartitions deliberately left at the default false (r21,
-    // measured): the probe side already carries lshSignatures'
-    // pinned spreadByKey partitioning through the persisted cache,
-    // so the join parallelizes without a forced exchange — adding
-    // one cost +20% at bench scale for no gain. The knob remains for
-    // corpora whose per-bucket pair work outgrows that layout.
   }
 
   /** The standard LSH band plan (banding theory applied to sign-LSH):
