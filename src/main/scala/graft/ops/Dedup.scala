@@ -835,8 +835,14 @@ object Dedup {
     * [[crossCorpusEmbeddingNearDups]] probes and enforces. */
   def embeddingCatalog(
       df: DataFrame, idCol: String, vecCol: String): DataFrame =
+    // NATIVE element type (r22 float-carry): a float32 corpus keeps
+    // float32 catalog entries — half the persisted/broadcast bytes —
+    // and every consumer (the exact arm's mixed-kernel cosine, the
+    // banded arm's signatures, updateEmbeddingCatalog's group-by)
+    // widens exactly or groups identically (exact widening is
+    // injective), so all catalog verdicts and ids are unchanged
     df.filter(col(vecCol).isNotNull)
-      .select(col(idCol).as("id"), VectorOps.asDouble(col(vecCol)).as("embedding"))
+      .select(col(idCol).as("id"), VectorOps.carryVec(df, vecCol).as("embedding"))
 
   /** Merge newly-shipped embeddings into a catalog — distinct on the
     * EMBEDDING (two payloads sharing a vector screen identically).
