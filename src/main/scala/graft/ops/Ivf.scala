@@ -152,7 +152,8 @@ object Ivf {
       }
     }
 
-  /** Nearest-centroid cell id for a (double-array) vector column —
+  /** Nearest-centroid cell id for a vector column (array<double> or
+    * array<float> — floats widen exactly inside the kernel) —
     * codegen'd argmax over the broadcast centroid literals. */
   def cellOf(v: Column, centroids: Seq[Seq[Double]]): Column =
     scoredCells(v, centroids)(arr => array_max(arr).getField("cell"))
